@@ -1,0 +1,299 @@
+"""JSON query DSL → DataFrame compiler.
+
+Implements the reference's structured-query surface (Beacon
+``beacon-core/src/query/mod.rs:84-241`` and ``query/filter/mod.rs:36-120``;
+pipeline order ``query/compiler.rs:12-85``) on PySpark:
+
+    body = {
+      "select":  ["col", {"column": c, "alias": a},
+                  {"function": f, "args": [...], "alias": a},
+                  {"value": v, "alias": a}],        # alias: query_parameters
+      "filter":  nested {and|or: [...]} / leaf predicates,
+      "filters": [leaf, ...],                        # legacy flat list
+      "from":    "table" | {"parquet": {"paths": [...]}} | {"csv": {...}} ...,
+      "sort_by": [{"asc": c} | {"desc": c}],
+      "distinct": {"on": [sel...], "select": [sel...]},
+      "offset": n, "limit": n,
+    }
+
+Pinned semantics (ported from the reference's inline serde tests,
+``query/filter/mod.rs:124-338`` and ``query/mod.rs:243-365``):
+  - comparison leaves match by field name: eq/neq/gt/gt_eq/lt/lt_eq
+  - ``gt_eq`` + ``lt_eq`` on one leaf ⇒ BETWEEN
+  - legacy aliases: ``for_query_parameter``→column, ``min``→gt_eq,
+    ``max``→lt_eq, ``skip_fill_values``/``skip_missing``→is_not_null
+  - number literals coerce to the column's type (fractionals truncate into
+    integer columns; out-of-range falls back to float) so pushdown survives
+  - ISO-datetime strings become timestamp literals
+  - empty ``and`` ⇒ TRUE, empty ``or`` ⇒ FALSE
+  - ``= null`` is rejected; nullness uses is_null/is_not_null
+  - filter applies AFTER projection (compiler.rs:39-57)
+  - sort is nulls-last in both directions (query/mod.rs:333-344)
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_COMPARISONS = ("eq", "neq", "gt", "gt_eq", "lt", "lt_eq")
+_INT_RANGES = {
+    T.ByteType(): (-(2**7), 2**7 - 1),
+    T.ShortType(): (-(2**15), 2**15 - 1),
+    T.IntegerType(): (-(2**31), 2**31 - 1),
+    T.LongType(): (-(2**63), 2**63 - 1),
+}
+
+
+class DslError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- literals
+
+
+def _parse_iso_timestamp(s: str) -> _dt.datetime | None:
+    try:
+        return _dt.datetime.fromisoformat(s)
+    except ValueError:
+        return None
+
+
+def _coerce_number(value: float, dtype: T.DataType | None) -> Column:
+    """Coerce a JSON number to the column's type (filter/mod.rs:94-113).
+
+    Keeps an integer column's predicate integer-typed so parquet pushdown
+    and min/max pruning stay effective. Fractional bounds truncate
+    (pinned behavior); out-of-range falls back to the double literal.
+    """
+    if dtype is not None and dtype in _INT_RANGES:
+        lo, hi = _INT_RANGES[dtype]
+        trunc = math.trunc(value)
+        if lo <= trunc <= hi:
+            return F.lit(trunc).cast(dtype)
+        return F.lit(float(value))
+    if dtype == T.FloatType():
+        return F.lit(float(value)).cast(T.FloatType())
+    if isinstance(value, bool):
+        return F.lit(value)
+    if isinstance(value, int):
+        return F.lit(value)
+    return F.lit(float(value))
+
+
+def _comparison_value(value: Any, dtype: T.DataType | None) -> Column:
+    if value is None:
+        raise DslError("null comparison values are rejected; use is_null/is_not_null")
+    if isinstance(value, bool):
+        return F.lit(value)
+    if isinstance(value, (int, float)):
+        return _coerce_number(value, dtype)
+    if isinstance(value, str):
+        ts = _parse_iso_timestamp(value)
+        if ts is not None and ("T" in value or " " in value):
+            # reference renders these as ns-timestamp literals
+            # (filter tests: timestamp_values_become_nanosecond_literals)
+            return F.lit(ts)
+        return F.lit(value)
+    raise DslError(f"unsupported comparison value: {value!r}")
+
+
+# ---------------------------------------------------------------- select
+
+
+def _select_to_column(item: Any) -> Column:
+    if isinstance(item, str):
+        return F.col(item)
+    if not isinstance(item, dict):
+        raise DslError(f"bad select item: {item!r}")
+    alias = item.get("alias")
+    if "column" in item or "column_name" in item:
+        col = F.col(item.get("column", item.get("column_name")))
+    elif "function" in item:
+        args = [_select_to_column(a) for a in item.get("args", [])]
+        col = F.call_function(item["function"], *args)
+    elif "value" in item:
+        v = item["value"]
+        col = F.lit(v)
+    else:
+        raise DslError(f"bad select item: {item!r}")
+    return col.alias(alias) if alias else col
+
+
+def collect_columns(item: Any, out: list[str]) -> None:
+    """Referenced column names of a select item (for pushdown projection,
+    query/mod.rs:163-178)."""
+    if isinstance(item, str):
+        out.append(item)
+    elif isinstance(item, dict):
+        if "column" in item or "column_name" in item:
+            out.append(item.get("column", item.get("column_name")))
+        for a in item.get("args", []) or []:
+            collect_columns(a, out)
+
+
+# ---------------------------------------------------------------- filter
+
+
+def _column_type(schema: T.StructType, name: str) -> T.DataType | None:
+    for f_ in schema.fields:
+        if f_.name == name:
+            return f_.dataType
+    return None
+
+
+def compile_filter(node: Any, schema: T.StructType) -> Column:
+    if not isinstance(node, dict):
+        raise DslError(f"bad filter node: {node!r}")
+
+    if "and" in node:
+        expr = F.lit(True)
+        for child in node["and"]:
+            expr = expr & compile_filter(child, schema)
+        return expr
+    if "or" in node:
+        expr = F.lit(False)
+        for child in node["or"]:
+            expr = expr | compile_filter(child, schema)
+        return expr
+
+    for key in ("is_not_null", "skip_fill_values", "skip_missing"):
+        if key in node:
+            return F.col(node[key]["column"]).isNotNull()
+    if "is_null" in node:
+        return F.col(node["is_null"]["column"]).isNull()
+
+    # GeoJSON spatial filter (query/filter/geo_json.rs:1-55): rewritten onto
+    # the st_* functions exactly as the reference does.
+    if "geometry" in node and "longitude_column" in node:
+        import json as _json
+
+        return F.call_function(
+            "st_within_point",
+            F.call_function("st_geojson_as_wkt", F.lit(_json.dumps(node["geometry"]))),
+            F.col(node["longitude_column"]),
+            F.col(node["latitude_column"]),
+        )
+
+    # comparison leaf
+    name = node.get("column", node.get("for_query_parameter"))
+    if name is None:
+        raise DslError(f"bad filter node: {node!r}")
+    ops = {k: node[k] for k in _COMPARISONS if k in node}
+    # legacy min/max spellings
+    if "min" in node:
+        ops.setdefault("gt_eq", node["min"])
+    if "max" in node:
+        ops.setdefault("lt_eq", node["max"])
+    if not ops:
+        raise DslError(f"comparison leaf with no operator: {node!r}")
+
+    dtype = _column_type(schema, name)
+    col = F.col(name)
+    if "gt_eq" in ops and "lt_eq" in ops:
+        expr = col.between(
+            _comparison_value(ops.pop("gt_eq"), dtype),
+            _comparison_value(ops.pop("lt_eq"), dtype),
+        )
+    else:
+        expr = None
+    builders = {
+        "eq": lambda c, v: c == v,
+        "neq": lambda c, v: c != v,
+        "gt": lambda c, v: c > v,
+        "gt_eq": lambda c, v: c >= v,
+        "lt": lambda c, v: c < v,
+        "lt_eq": lambda c, v: c <= v,
+    }
+    for op, raw in ops.items():
+        piece = builders[op](col, _comparison_value(raw, dtype))
+        expr = piece if expr is None else (expr & piece)
+    return expr
+
+
+# ---------------------------------------------------------------- sort / distinct
+
+
+def _sort_exprs(sort_by: list[Any]) -> list[Column]:
+    out = []
+    for item in sort_by:
+        if not isinstance(item, dict) or len(item) != 1:
+            raise DslError(f"bad sort item: {item!r}")
+        (kind, colname), = item.items()
+        kind = kind.lower()
+        if kind == "asc":
+            out.append(F.col(colname).asc_nulls_last())
+        elif kind == "desc":
+            out.append(F.col(colname).desc_nulls_last())
+        else:
+            raise DslError(f"bad sort direction: {kind}")
+    return out
+
+
+def apply_distinct_on(df: DataFrame, on: list[Column], select: list[Column]) -> DataFrame:
+    """DISTINCT ON (DataFusion ``distinct_on`` with no sort): one arbitrary
+    row per distinct on-value. We make the choice deterministic by ordering
+    on the ON expressions themselves (query/compiler.rs:63-77).
+
+    Plan: single shuffle on the ON keys (window + row_number), then project.
+    """
+    from pyspark.sql import Window
+
+    tagged = df.select(*on, *select)
+    on_names = tagged.columns[: len(on)]
+    sel_names = tagged.columns[len(on):]
+    w = Window.partitionBy(*on_names).orderBy(*on_names)
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*sel_names)
+    )
+
+
+# ---------------------------------------------------------------- entry
+
+
+def compile_query(engine, body: dict[str, Any]) -> DataFrame:
+    """Compile a JSON query body into a DataFrame (query/compiler.rs:12-85).
+
+    ``engine`` provides ``resolve_from(from_spec, projection)``; pipeline is
+    project → filter → legacy filters → sort → distinct_on → offset/limit,
+    matching the reference exactly (filters see the projected schema).
+    """
+    body = dict(body)
+    select = body.get("select", body.get("query_parameters"))
+    if not select:
+        raise DslError("query body needs a non-empty select")
+
+    pushdown_cols: list[str] = []
+    for item in select:
+        collect_columns(item, pushdown_cols)
+
+    df = engine.resolve_from(body.get("from"), pushdown_cols or None)
+    df = df.select(*[_select_to_column(s) for s in select])
+
+    if body.get("filter") is not None:
+        df = df.filter(compile_filter(body["filter"], df.schema))
+    for legacy in body.get("filters") or []:
+        df = df.filter(compile_filter(legacy, df.schema))
+
+    if body.get("sort_by"):
+        df = df.orderBy(*_sort_exprs(body["sort_by"]))
+
+    if body.get("distinct"):
+        d = body["distinct"]
+        on = [_select_to_column(s) for s in d["on"]]
+        sel = [_select_to_column(s) for s in d["select"]]
+        df = apply_distinct_on(df, on, sel)
+
+    offset = body.get("offset") or 0
+    if offset:
+        df = df.offset(offset)
+    if body.get("limit") is not None:
+        df = df.limit(int(body["limit"]))
+    return df

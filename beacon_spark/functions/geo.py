@@ -1,0 +1,225 @@
+"""Geo predicates without native geo libraries.
+
+The container has no shapely/Sedona, so the two functions the reference's
+GeoJSON filter needs (``st_geojson_as_wkt`` + ``st_within_point``,
+``beacon-functions/src/geo/*.rs``) are implemented as:
+
+  - a pure-Python GeoJSON→WKT converter (driver- or executor-side, trivial)
+  - a vectorized numpy point-in-polygon (ray casting, even-odd rule with
+    holes) inside an Arrow-batched pandas UDF, with a per-executor parsed-
+    geometry LRU cache and a bbox prefilter — the same two optimizations the
+    reference applies (st_within_point.rs: bbox pre-filter + LRU cache for
+    constant geometry; NULL coords → false).
+
+At scale the predicate is embarrassingly parallel (per-batch numpy); the
+geometry string is a plan constant so each executor parses it once.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------- geojson → wkt
+
+
+def geojson_to_wkt(geojson: str | dict) -> str:
+    g = json.loads(geojson) if isinstance(geojson, str) else geojson
+    t = g["type"]
+    c = g.get("coordinates")
+
+    def ring(r):
+        return "(" + ", ".join(f"{x} {y}" for x, y, *_ in r) + ")"
+
+    if t == "Point":
+        x, y, *_ = c
+        return f"POINT ({x} {y})"
+    if t == "MultiPoint":
+        return "MULTIPOINT (" + ", ".join(f"({x} {y})" for x, y, *_ in c) + ")"
+    if t == "LineString":
+        return "LINESTRING " + ring(c)
+    if t == "MultiLineString":
+        return "MULTILINESTRING (" + ", ".join(ring(r) for r in c) + ")"
+    if t == "Polygon":
+        return "POLYGON (" + ", ".join(ring(r) for r in c) + ")"
+    if t == "MultiPolygon":
+        return (
+            "MULTIPOLYGON ("
+            + ", ".join("(" + ", ".join(ring(r) for r in poly) + ")" for poly in c)
+            + ")"
+        )
+    if t == "GeometryCollection":
+        return (
+            "GEOMETRYCOLLECTION ("
+            + ", ".join(geojson_to_wkt(x) for x in g["geometries"])
+            + ")"
+        )
+    raise ValueError(f"unsupported GeoJSON type {t}")
+
+
+# ---------------------------------------------------------------- wkt parsing
+
+_NUM = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
+
+
+def _parse_ring(text: str) -> np.ndarray:
+    pts = re.findall(rf"({_NUM})\s+({_NUM})", text)
+    return np.array(pts, dtype=np.float64)
+
+
+def parse_wkt_polygons(wkt: str) -> list[list[np.ndarray]]:
+    """WKT → list of polygons, each a list of rings (first = shell, rest =
+    holes). Supports POLYGON and MULTIPOLYGON; POINT degenerates to a
+    zero-area polygon (point-equality)."""
+    s = wkt.strip()
+    upper = s.upper()
+    if upper.startswith("MULTIPOLYGON"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        polys = []
+        depth = 0
+        start = None
+        for i, ch in enumerate(body):
+            if ch == "(":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    polys.append(body[start + 1 : i])
+        return [[_parse_ring(r) for r in re.findall(r"\(([^()]*)\)", "(" + p + ")")]
+                for p in polys]
+    if upper.startswith("POLYGON"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        rings = re.findall(r"\(([^()]*)\)", body)
+        if not rings:
+            rings = [body]
+        return [[_parse_ring(r) for r in rings]]
+    if upper.startswith("POINT"):
+        ring = _parse_ring(s)
+        return [[ring]]
+    raise ValueError(f"unsupported WKT geometry: {wkt[:40]}...")
+
+
+# ---------------------------------------------------------------- containment
+
+
+def _points_in_ring(ring: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized ray casting: for each (x, y), crossing-count parity
+    against one ring. O(vertices × points) numpy ops, no Python loop over
+    points."""
+    x1, y1 = ring[:-1, 0][:, None], ring[:-1, 1][:, None]
+    x2, y2 = ring[1:, 0][:, None], ring[1:, 1][:, None]
+    cond = (y1 <= y[None, :]) != (y2 <= y[None, :])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = x1 + (y[None, :] - y1) * (x2 - x1) / (y2 - y1)
+    crossings = (cond & (x[None, :] < xin)).sum(axis=0)
+    return (crossings % 2).astype(bool)
+
+
+class _Geometry:
+    def __init__(self, wkt: str):
+        self.polys = parse_wkt_polygons(wkt)
+        allpts = np.vstack([r for p in self.polys for r in p])
+        self.bbox = (
+            allpts[:, 0].min(), allpts[:, 1].min(),
+            allpts[:, 0].max(), allpts[:, 1].max(),
+        )
+        self.is_point = len(self.polys) == 1 and len(self.polys[0][0]) == 1
+
+    def contains(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(x), dtype=bool)
+        minx, miny, maxx, maxy = self.bbox
+        cand = (x >= minx) & (x <= maxx) & (y >= miny) & (y <= maxy)
+        if not cand.any():
+            return out
+        cx, cy = x[cand], y[cand]
+        if self.is_point:
+            px, py = self.polys[0][0][0]
+            res = (cx == px) & (cy == py)
+        else:
+            res = np.zeros(len(cx), dtype=bool)
+            for rings in self.polys:
+                shell = _points_in_ring(_closed(rings[0]), cx, cy)
+                for hole in rings[1:]:
+                    shell &= ~_points_in_ring(_closed(hole), cx, cy)
+                res |= shell
+        out[cand] = res
+        return out
+
+
+def _closed(ring: np.ndarray) -> np.ndarray:
+    if len(ring) and not np.array_equal(ring[0], ring[-1]):
+        return np.vstack([ring, ring[:1]])
+    return ring
+
+
+_GEOM_CACHE: dict[str, _Geometry] = {}
+
+
+def _geometry(wkt: str) -> _Geometry:
+    g = _GEOM_CACHE.get(wkt)
+    if g is None:
+        if len(_GEOM_CACHE) > 64:
+            _GEOM_CACHE.clear()
+        g = _GEOM_CACHE[wkt] = _Geometry(wkt)
+    return g
+
+
+# ---------------------------------------------------------------- python API
+
+
+def st_geojson_as_wkt_py(geojson: str) -> str:
+    return geojson_to_wkt(geojson)
+
+
+def st_within_point_py(wkt: str, lon, lat):
+    """Vectorized containment; NULL lon/lat → false (st_within_point.rs)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    valid = ~(np.isnan(lon) | np.isnan(lat))
+    out = np.zeros(len(lon), dtype=bool)
+    if valid.any():
+        out[valid] = _geometry(wkt).contains(lon[valid], lat[valid])
+    return out
+
+
+# ---------------------------------------------------------------- pandas UDFs
+
+
+def st_geojson_as_wkt_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else geojson_to_wkt(v))
+
+    return _udf
+
+
+def st_within_point_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BooleanType())
+    def _udf(wkt: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        if wkt.empty:
+            return pd.Series([], dtype=bool)
+        # geometry is a plan constant in the GeoJSON-filter rewrite; the
+        # cache makes the parse once-per-executor, as the reference's LRU does
+        w = wkt.iloc[0]
+        lo = pd.to_numeric(lon, errors="coerce").to_numpy(dtype=np.float64, na_value=np.nan)
+        la = pd.to_numeric(lat, errors="coerce").to_numpy(dtype=np.float64, na_value=np.nan)
+        if wkt.nunique(dropna=False) == 1:
+            return pd.Series(st_within_point_py(w, lo, la))
+        out = np.zeros(len(wkt), dtype=bool)
+        for g, idx in wkt.groupby(wkt).groups.items():
+            ii = np.asarray(idx)
+            out[ii] = st_within_point_py(g, lo[ii], la[ii])
+        return pd.Series(out)
+
+    return _udf

@@ -1,0 +1,274 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's surface (BASELINE.json north-star): exact dedup,
+n-gram Jaccard, MinHash+LSH and SimHash near-dup detection, each expressed
+as pure DataFrame transformations (no Python in the hot path except
+nothing — everything here is JVM-side Catalyst expressions).
+
+Scale design notes (the point of each choice):
+  - exact dedup groups on md5(text) — a 16-byte shuffle key instead of the
+    full document; map-side partial agg collapses most duplicates early.
+  - shingling/minhashing is explode → groupBy(doc): one shuffle keyed by
+    doc_id; the k permutations are k column-level min-aggregates (wholestage
+    codegen, no UDF).
+  - LSH banding turns all-pairs O(n²) into groupBy(band-signature) —
+    candidate generation shuffles on the band key only; exact verification
+    joins only candidate pairs.
+  - SimHash reduces each doc to one int64; near-dup candidates join on
+    rotated band keys (hamming ≤ d ⇒ some band of bits equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime for universal hashing min((a*h+b) mod p)
+_MERSENNE = (1 << 61) - 1
+
+
+def shingles_expr(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column — a single Catalyst
+    expression (split → sequence → transform), no UDF."""
+    w = f"split(trim({text_col}), '\\\\s+')"
+    gram = " , ' ', ".join(f"__w[i + {j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({w}) - {n}), "
+        f"i -> concat({gram}))) "
+        f"ELSE array() END".replace("__w", w)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5-keyed groupBy keeping the minimum id as
+    canonical. Returns (content_hash, keep_id, dup_count)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs.
+
+    explode(shingles) → self-equi-join on shingle (id_a < id_b) →
+    count(shared)/(|A|+|B|-shared). The join key is the shingle string, so
+    Catalyst shuffles both sides once on it; extremely hot shingles are the
+    skew risk at scale — AQE skew-join handles it (enabled in session.py).
+    Returns (id_a, id_b, jaccard) with jaccard rounded to 4 places.
+    """
+    t = df.select(
+        F.col(id_col).alias("__id"), shingles_expr(text_col, n).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    sizes = t.select("__id", F.size("__sh").alias("__nsh"))
+    e = t.select("__id", F.explode("__sh").alias("__s"))
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__nsh", "__na"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__nsh", "__nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k minhash permutations."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(k)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures: explode shingles, xxhash64 each once, then k
+    universal-hash minima as k parallel agg expressions — one shuffle
+    keyed by doc, zero UDFs. Returns (id, sig array<long>, nsh)."""
+    params = _hash_params(num_perm, seed)
+    t = df.select(
+        F.col(id_col).alias("__id"), shingles_expr(text_col, shingle_n).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    e = t.select(
+        "__id",
+        F.size("__sh").alias("__nsh"),
+        # non-negative base hash so the modular arithmetic stays in range
+        F.pmod(F.xxhash64(F.explode("__sh")), F.lit(_MERSENNE)).alias("__h"),
+    )
+    mins = [
+        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    agg = e.groupBy("__id").agg(F.first("__nsh").alias("__nsh"), *mins)
+    return agg.select(
+        "__id",
+        F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("sig"),
+        "__nsh",
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs with exact verification.
+
+    banding: 16 bands × 4 rows over 64 permutations → P(candidate) ≈
+    1-(1-j⁴)¹⁶, >0.99 at j=0.5. Candidates (equal band signature) are
+    verified with *exact* shingle Jaccard, so the output contains no false
+    positives — matching an exact-Jaccard oracle whenever recall holds.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed).cache()
+
+    band_cols = []
+    for b in range(bands):
+        segment = [F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.xxhash64(F.lit(b), *segment).alias(f"__b{b}"))
+    banded = sigs.select("__id", *band_cols)
+    stacked = banded.select(
+        "__id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"__b{b}").alias("sig"))
+                      for b in range(bands)])
+        ).alias("bs"),
+    ).select("__id", F.col("bs.band").alias("__band"), F.col("bs.sig").alias("__bsig"))
+
+    cand = (
+        stacked.alias("a")
+        .join(
+            stacked.alias("b"),
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bsig") == F.col("b.__bsig"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+    # exact verification on candidates only
+    t = df.select(
+        F.col(id_col).alias("__id"), shingles_expr(text_col, shingle_n).alias("__sh")
+    )
+    verified = (
+        cand.join(t.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha")), "id_a")
+        .join(t.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb")), "id_b")
+        .withColumn("__inter", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter")
+                / (F.size("__sha") + F.size("__shb") - F.col("__inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash_expr(text_col: str, bits: int = 64) -> Column:
+    """64-bit SimHash of word tokens as a single Catalyst expression:
+    per-token xxhash64, then per-bit majority vote via aggregate() over the
+    token array. JVM-side; no UDF."""
+    w = f"array_distinct(split(trim({text_col}), '\\\\s+'))"
+    # build: for each bit position, sum(+1/-1), then sign → bit
+    return F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, {bits - 1}), bit ->
+            CASE WHEN aggregate({w}, 0L,
+              (acc, t) -> acc + CASE WHEN ((xxhash64(t) >> bit) & 1) = 1
+                                     THEN 1L ELSE -1L END) > 0
+                 THEN shiftleft(1L, bit) ELSE 0L END),
+          0L, (acc, x) -> acc + x)
+        """
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming(sig_a, sig_b) ≤ max_hamming.
+
+    Pigeonhole banding: split the 64-bit signature into ``bands`` chunks —
+    any pair within hamming d < bands shares at least one exact chunk, so
+    candidates come from ``bands`` equi-joins (one shuffle each on a
+    16-bit key), then exact hamming verification via bit_count(xor).
+    """
+    sigs = df.select(
+        F.col(id_col).alias("__id"), simhash_expr(text_col).alias("__sig")
+    ).cache()
+    width = 64 // bands
+    chunks = sigs.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    ((F.col("__sig").bitwiseXOR(0)) >> (b * width) & ((1 << width) - 1)).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("c"),
+    ).select("__id", "__sig", F.col("c.band").alias("__band"), F.col("c.key").alias("__key"))
+
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sig").alias("__sa"),
+            F.col("b.__sig").alias("__sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

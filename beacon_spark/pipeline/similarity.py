@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a single narrow projection (the dot
+product is one ``aggregate(zip_with(...))`` Catalyst expression, no UDF,
+no shuffle until the final top-k, which Spark executes as TakeOrdered —
+map-side partial top-k per partition, only k rows cross the wire).
+
+Scale path: random-hyperplane LSH bucketing — each vector lands in
+``2^n_planes`` buckets; a query probes only its bucket, cutting the scan
+by the bucket fan-out. Exactness is traded per-bucket; the API returns
+(bucket-restricted) exact cosine order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_expr(col: str | Column, query: list[float]) -> Column:
+    """Cosine similarity between an array column and a constant query
+    vector as a pure Catalyst expression (zip_with product + aggregate
+    fold, SURVEY.md north-star item). Left-to-right fold keeps the
+    summation order deterministic for oracle comparison."""
+    c = F.col(col) if isinstance(col, str) else col
+    q = [float(x) for x in query]
+    qnorm = float(np.sqrt(np.dot(q, q)))
+    dot = F.aggregate(
+        F.zip_with(c.cast("array<double>"), _vec_lit(q), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(c.cast("array<double>"), c.cast("array<double>"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (norm * F.lit(qnorm))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: projection + TakeOrdered (no full sort, no
+    shuffle of the data — only k rows per partition reach the driver-side
+    merge). Deterministic tie-break on id."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_expr(vec_col, query), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def lsh_bucket_expr(vec_col: str | Column, planes: np.ndarray) -> Column:
+    """Random-hyperplane LSH bucket id: sign pattern of <v, plane_i> packed
+    into an int. Pure Catalyst (one aggregate per plane over zip_with)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(c.cast("array<double>"), _vec_lit(list(p)), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate NN: probe only the query's LSH bucket, exact cosine
+    within it. At 100 TB the bucketed table would be written out
+    partitioned by bucket id so a probe is a partition-pruned scan."""
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qvec = np.asarray(query, dtype=np.float64)
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, qvec)) > 0))
+    bucketed = df.withColumn("__bucket", lsh_bucket_expr(vec_col, planes))
+    return (
+        bucketed.filter(F.col("__bucket") == qbucket)
+        .select(F.col(id_col), F.round(cosine_expr(vec_col, query), 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """All-pairs near-duplicate vectors (cosine ≥ threshold) via LSH
+    bucket self-join + exact verification. Bucket join keeps the candidate
+    set ~n²/2^planes instead of n²."""
+    sample = df.select(vec_col).first()
+    dim = len(sample[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        lsh_bucket_expr(vec_col, planes).alias("__bucket"),
+    )
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.__bucket") == F.col("b.__bucket")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>"),
+                   lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(F.aggregate(
+        F.zip_with(F.col("__va").cast("array<double>"), F.col("__va").cast("array<double>"),
+                   lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
+    norm_b = F.sqrt(F.aggregate(
+        F.zip_with(F.col("__vb").cast("array<double>"), F.col("__vb").cast("array<double>"),
+                   lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        cand.withColumn("cosine", F.round(dot / (norm_a * norm_b), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,79 @@
+"""Text analysis operators (north-star extensions, BASELINE.json):
+token counting, quality scoring, language ID, document fingerprinting.
+
+Everything is pure Catalyst expressions — whole-stage codegen, no Python
+in the hot path — and each has an exact ANSI-SQL equivalent so the DuckDB
+oracle can verify it value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword markers for the n-gram/stopword heuristic.
+# Deliberately small so the same lists inline into the oracle SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+
+
+def token_count_expr(text_col: str = "text") -> Column:
+    """Whitespace token count (the whitespace half of the tokenizer; a
+    BPE-ish regex count is ``regexp_count(text, pattern)``)."""
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword / uppercase ratios + a composite
+    quality score — the standard cheap pre-filters of a training-data
+    pipeline. One narrow projection, no shuffle."""
+    t = F.col(text_col)
+    n_tokens = token_count_expr(text_col)
+    n_chars = F.length(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
+    n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    stop_hits = sum(
+        (F.size(F.split(F.concat(F.lit(" "), t, F.lit(" ")), f" {w} ")) - 1)
+        for w in LANG_MARKERS["en"]
+    )
+    mean_word_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(n_upper / F.greatest(n_chars, F.lit(1)), 4).alias("upper_ratio"),
+        F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID: argmax of per-language marker hits,
+    'und' (undetermined) when nothing matches. greatest()/chained CASE —
+    fully codegen'd, SQL-portable."""
+    t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    scores = {
+        lang: sum((F.size(F.split(t, f" {w} ")) - 1) for w in words)
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # deterministic preference order on ties: en, de, fr, es (dict order)
+    for lang in reversed(list(scores)):
+        pred = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprint_expr(text_col: str = "text", length: int = 16) -> Column:
+    """Document fingerprint: content hash of the whitespace-normalized
+    text (md5 prefix — portable to every SQL engine for oracle checks)."""
+    normalized = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return F.substring(F.md5(normalized), 1, length)

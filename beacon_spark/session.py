@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the target deployment.
+
+Local testing runs ``local[N]`` single-JVM; production target is a large
+multi-executor cluster. Every config here is chosen to survive a 100 TB
+deployment unchanged except parallelism knobs:
+
+  - AQE on (runtime coalesce, skew-join splitting, dynamic join selection)
+  - shuffle partitions sized to cores locally; on a real cluster AQE's
+    coalescePartitions makes the initial number mostly irrelevant
+  - Arrow on for every Python<->JVM boundary (pandas UDFs, toPandas)
+  - UTC session timezone so timestamp semantics match the reference's
+    (UTC-naive ns timestamps; Spark is µs — documented divergence, SURVEY §1.2)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "beacon_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,69 @@
+"""Glob resolution against a datasets root.
+
+Mirrors the reference's listing-URL resolution (table functions accept one
+glob or a list of globs resolved against the datasets root,
+``docs/docs/2.0.0-rc2/sql/table-functions.md:8-23``). Local filesystem +
+anything fsspec-like later; v1 is local/posix because that is what the test
+environment provides. At cluster scale the file listing itself should be
+delegated to Spark's InMemoryFileIndex (``spark.read.load(glob)``), which
+lists in parallel on executors — we only materialize a python-side list when
+per-file schema harmonization is required.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+
+def resolve_globs(paths: str | list[str], datasets_root: str | None = None) -> list[str]:
+    if isinstance(paths, str):
+        paths = [paths]
+    out: list[str] = []
+    for p in paths:
+        if datasets_root is not None and not os.path.isabs(p):
+            p = os.path.join(datasets_root, p)
+        if any(ch in p for ch in "*?["):
+            out.extend(sorted(_glob.glob(p, recursive=True)))
+        else:
+            out.append(p)
+    if not out:
+        raise FileNotFoundError(f"no files matched {paths!r}")
+    return out
+
+
+_FORMAT_BY_EXT = {
+    ".parquet": "parquet", ".pq": "parquet",
+    ".csv": "csv", ".tsv": "csv", ".txt": "odv",
+    ".arrow": "arrow", ".feather": "arrow", ".ipc": "arrow",
+    ".nc": "netcdf", ".nc4": "netcdf", ".cdf": "netcdf",
+    ".h5": "hdf5", ".hdf5": "hdf5",
+    ".zarr": "zarr", ".tif": "tiff", ".tiff": "tiff",
+    ".json": "json", ".jsonl": "json", ".ndjson": "json",
+}
+
+
+def detect_format(path: str) -> str | None:
+    """Best-effort format detection by extension (the reference's
+    ``list_datasets`` does the same per-file detection,
+    ``beacon-functions/src/file_formats/list_datasets.rs``)."""
+    if path.rstrip("/").endswith(".zarr"):
+        return "zarr"
+    _, ext = os.path.splitext(path)
+    return _FORMAT_BY_EXT.get(ext.lower())
+
+
+def list_datasets(datasets_root: str) -> list[tuple[str, str | None]]:
+    """Walk the datasets root; (relative_path, detected format) per file."""
+    out: list[tuple[str, str | None]] = []
+    for dirpath, dirnames, filenames in os.walk(datasets_root):
+        # a .zarr directory is one dataset, don't descend
+        zarr_dirs = [d for d in dirnames if d.endswith(".zarr")]
+        for z in zarr_dirs:
+            rel = os.path.relpath(os.path.join(dirpath, z), datasets_root)
+            out.append((rel, "zarr"))
+            dirnames.remove(z)
+        for f in filenames:
+            rel = os.path.relpath(os.path.join(dirpath, f), datasets_root)
+            out.append((rel, detect_format(rel)))
+    return sorted(out)

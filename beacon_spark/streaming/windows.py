@@ -1,0 +1,125 @@
+"""Structured Streaming extension (SURVEY.md §2.12: the reference has NO
+streaming engine — this is the north-star extension over the ``events``
+fixture, not parity).
+
+The window builders work identically on batch and streaming DataFrames
+(same ``F.window``/``F.session_window`` expressions), so batch tests and
+the DuckDB oracle validate the exact aggregation semantics that the
+streaming path executes incrementally with watermark-bounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling event-time windows; window start surfaced as an epoch-
+    seconds BIGINT so results hash portably across engines."""
+    group_cols = group_cols if group_cols is not None else ["event_type"]
+    return (
+        df.groupBy(F.window(F.col(ts_col), window).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    group_cols = group_cols if group_cols is not None else ["event_type"]
+    return (
+        df.groupBy(F.window(F.col(ts_col), window, slide).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            *group_cols,
+            "n_events",
+        )
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Sessionization with a dynamic-length session window (gap timeout)."""
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "events_stream",
+):
+    """readStream over the events parquet → watermarked tumbling-window
+    counts → memory sink. ``availableNow`` + ``processAllAvailable`` lets a
+    batch of files drive the streaming query to completion synchronously
+    (the local smoke path; production swaps source/sink, the plan is the
+    same)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(path)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q
