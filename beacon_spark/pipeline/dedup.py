@@ -23,8 +23,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Mersenne prime for universal hashing min((a*h+b) mod p)
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime for universal hashing min((a*h+b) mod p). 2^31-1 keeps
+# a*h < 2^62 so the arithmetic never overflows int64 (Spark 4 is ANSI).
+_MERSENNE = (1 << 31) - 1
 
 
 def shingles_expr(text_col: str, n: int = 3) -> Column:
@@ -116,10 +117,12 @@ def minhash_signatures(
         F.col(id_col).alias("__id"), shingles_expr(text_col, shingle_n).alias("__sh")
     ).filter(F.size("__sh") > 0)
     e = t.select(
+        "__id", F.size("__sh").alias("__nsh"), F.explode("__sh").alias("__s")
+    ).select(
         "__id",
-        F.size("__sh").alias("__nsh"),
+        "__nsh",
         # non-negative base hash so the modular arithmetic stays in range
-        F.pmod(F.xxhash64(F.explode("__sh")), F.lit(_MERSENNE)).alias("__h"),
+        F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE)).alias("__h"),
     )
     mins = [
         F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"__m{i}")
@@ -244,7 +247,9 @@ def simhash_pairs(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    ((F.col("__sig").bitwiseXOR(0)) >> (b * width) & ((1 << width) - 1)).alias("key"),
+                    F.shiftright(F.col("__sig"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("key"),
                 )
                 for b in range(bands)
             ])
