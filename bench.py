@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query suite = the reference benchmark harness's 8 shapes
+(BASELINE.md / benchmarks/harness/queries.py:35-96) mapped onto the driver
+tables, plus the heavy extension operators (minhash dedup, similarity
+top-k, event windows) so regressions in the custom paths show up here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_QUERIES = [
+    # the 8 reference-harness shapes
+    "count_all",
+    "filter_range",
+    "filter_multi",
+    "pricing_summary",      # agg_by_platform analog (group+avg+count)
+    "top_orders",           # join+filter (spatial_box analog is a 2-col range: filter_multi)
+    "topn_recent",
+    "distinct_types",
+    "date_trunc_agg",       # time_window analog
+    # custom/extension operators
+    "window_topk",
+    "dsl_query",
+    "tumbling_window",
+    "session_windows",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "sim_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from beacon_spark.session import get_spark
+
+    spark = get_spark(app_name="beacon_spark_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+
+    # warm the JVM + file cache with a trivial action
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_seconds_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
