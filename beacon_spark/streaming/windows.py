@@ -14,16 +14,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# the events fixture stores ns timestamps, which Spark reads as long under
+# the nanosAsLong flag (session.py); the stream rebuilds µs timestamps.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("ts", T.LongType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
         T.StructField("props", T.StringType(), True),
     ]
 )
+
+
+def _ensure_timestamp(df: DataFrame, ts_col: str) -> DataFrame:
+    """ns-as-long columns (nanosAsLong reads) → µs timestamps."""
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        return df.withColumn(
+            ts_col, F.expr(f"timestamp_micros(CAST({ts_col} DIV 1000 AS BIGINT))")
+        )
+    return df
 
 
 def tumbling_window_agg(
@@ -34,6 +45,7 @@ def tumbling_window_agg(
 ) -> DataFrame:
     """Tumbling event-time windows; window start surfaced as an epoch-
     seconds BIGINT so results hash portably across engines."""
+    df = _ensure_timestamp(df, ts_col)
     group_cols = group_cols if group_cols is not None else ["event_type"]
     return (
         df.groupBy(F.window(F.col(ts_col), window).alias("w"), *group_cols)
@@ -57,6 +69,7 @@ def sliding_window_agg(
     slide: str = "30 minutes",
     group_cols: list[str] | None = None,
 ) -> DataFrame:
+    df = _ensure_timestamp(df, ts_col)
     group_cols = group_cols if group_cols is not None else ["event_type"]
     return (
         df.groupBy(F.window(F.col(ts_col), window, slide).alias("w"), *group_cols)
@@ -76,6 +89,7 @@ def session_window_agg(
     key_col: str = "user_id",
 ) -> DataFrame:
     """Sessionization with a dynamic-length session window (gap timeout)."""
+    df = _ensure_timestamp(df, ts_col)
     return (
         df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key_col)
         .agg(
@@ -104,8 +118,16 @@ def stream_events(
     batch of files drive the streaming query to completion synchronously
     (the local smoke path; production swaps source/sink, the plan is the
     same)."""
+    import os
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if os.path.isfile(path):
+        # file-stream sources need a directory; narrow with a glob filter
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(path)
+        reader.load(path)
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -115,8 +137,11 @@ def stream_events(
             "n_events",
         )
     )
+    # complete mode so the final (watermark-open) windows are emitted when a
+    # bounded file batch drives the stream; a production append-mode sink
+    # would rely on later data advancing the watermark instead.
     q = (
-        stream.writeStream.outputMode("append")
+        stream.writeStream.outputMode("complete")
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)

@@ -1,0 +1,156 @@
+"""JSON DSL compiler tests — ports of the reference's serde/compile tests
+(beacon-core/src/query/filter/mod.rs:124-338, query/mod.rs:243-365)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beacon_spark import Engine
+from beacon_spark.dsl import DslError, compile_filter
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    df = spark.createDataFrame(
+        [(0, 12.5, "argo"), (50, 13.5, None), (100, None, "buoy")],
+        "depth int, temperature double, platform string",
+    )
+    df.createOrReplaceTempView("obs")
+    return Engine(spark, default_table="obs")
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---- filter leaf semantics (filter/mod.rs tests) ----
+
+
+def test_comparison_variants_by_field_name(eng):
+    for op, expect in [
+        ("eq", [0]), ("neq", [50, 100]), ("gt", [50, 100]),
+        ("gt_eq", [0, 50, 100]), ("lt", []), ("lt_eq", [0]),
+    ]:
+        got = rows(eng.query({"select": ["depth"], "filter": {"column": "depth", op: 0}}))
+        assert [r[0] for r in got] == expect, op
+
+
+def test_gteq_plus_lteq_is_between(eng):
+    got = rows(eng.query({"select": ["depth"],
+                          "filter": {"column": "depth", "gt_eq": 0, "lt_eq": 60}}))
+    assert [r[0] for r in got] == [0, 50]
+
+
+def test_legacy_aliases(eng):
+    modern = rows(eng.query({"select": ["depth"],
+                             "filter": {"column": "depth", "gt_eq": 0, "lt_eq": 60}}))
+    legacy = rows(eng.query({"select": ["depth"],
+                             "filter": {"for_query_parameter": "depth", "min": 0, "max": 60}}))
+    assert modern == legacy
+    for alias in ("is_not_null", "skip_fill_values", "skip_missing"):
+        got = rows(eng.query({"select": ["platform"], "filter": {alias: {"column": "platform"}}}))
+        assert len(got) == 2, alias
+
+
+def test_fractional_literal_truncates_into_integer_column(eng):
+    # depth >= 49.5 compiles to depth >= 49 (pinned lossy semantics)
+    got = rows(eng.query({"select": ["depth"], "filter": {"column": "depth", "gt_eq": 49.5}}))
+    assert [r[0] for r in got] == [50, 100]
+
+
+def test_string_values_select_string_variant(eng):
+    got = rows(eng.query({"select": ["platform"],
+                          "filter": {"column": "platform", "eq": "argo"}}))
+    assert got == [("argo",)]
+
+
+def test_empty_combinators_fold_to_identity(eng):
+    assert len(rows(eng.query({"select": ["depth"], "filter": {"and": []}}))) == 3
+    assert len(rows(eng.query({"select": ["depth"], "filter": {"or": []}}))) == 0
+
+
+def test_nested_combinators(eng):
+    got = rows(eng.query({
+        "select": ["depth"],
+        "filter": {"and": [{"column": "depth", "gt": 0},
+                           {"or": [{"is_null": {"column": "platform"}}]}]},
+    }))
+    assert [r[0] for r in got] == [50]
+
+
+def test_null_comparison_rejected(eng):
+    with pytest.raises(DslError):
+        eng.query({"select": ["depth"], "filter": {"column": "depth", "eq": None}})
+
+
+def test_is_null_variant(eng):
+    got = rows(eng.query({"select": ["depth"], "filter": {"is_null": {"column": "platform"}}}))
+    assert [r[0] for r in got] == [50]
+
+
+def test_number_coercion_keeps_pushdown_type(spark):
+    # coerced literal stays integer-typed in the plan (no cast of the column)
+    schema = spark.createDataFrame([(1,)], "depth int").schema
+    expr = compile_filter({"column": "depth", "eq": 3}, schema)
+    assert "CAST(depth" not in str(expr._jc)
+
+
+def test_timestamp_string_becomes_timestamp_literal(spark):
+    df = spark.createDataFrame([("2024-01-01 00:00:00",)], "s string").select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    df.createOrReplaceTempView("tsv")
+    eng = Engine(spark, default_table="tsv")
+    got = rows(eng.query({"select": ["ts"], "filter": {"column": "ts", "eq": "2024-01-01T00:00:00"}}))
+    assert len(got) == 1
+
+
+# ---- select shapes (query/mod.rs tests) ----
+
+
+def test_select_shapes(eng):
+    df = eng.query({"select": [
+        "depth",
+        {"column": "depth", "alias": "d2"},
+        {"function": "abs", "args": ["depth"], "alias": "fn"},
+        {"value": 7, "alias": "lit7"},
+    ]})
+    assert df.columns == ["depth", "d2", "fn", "lit7"]
+
+
+def test_query_parameters_alias(eng):
+    df = eng.query({"query_parameters": ["depth"]})
+    assert df.columns == ["depth"]
+
+
+def test_sort_nulls_last_both_directions(eng):
+    asc = [r[0] for r in eng.query(
+        {"select": ["temperature"], "sort_by": [{"asc": "temperature"}]}).collect()]
+    desc = [r[0] for r in eng.query(
+        {"select": ["temperature"], "sort_by": [{"desc": "temperature"}]}).collect()]
+    assert asc == [12.5, 13.5, None]
+    assert desc == [13.5, 12.5, None]
+
+
+def test_offset_limit(eng):
+    got = eng.query({"select": ["depth"], "sort_by": [{"asc": "depth"}],
+                     "offset": 1, "limit": 1}).collect()
+    assert [r[0] for r in got] == [50]
+
+
+def test_distinct_on(eng):
+    df = eng.query({
+        "select": ["platform", "depth"],
+        "distinct": {"on": [{"function": "coalesce", "args": ["platform", {"value": "?"}]}],
+                     "select": ["platform"]},
+    })
+    assert df.count() == 3
+
+
+def test_sql_and_json_same_result(eng, spark):
+    """DSL-vs-SQL equivalence (integration-tests/test_queries_parquet.py:31)."""
+    a = rows(eng.query({"select": ["depth", "temperature"],
+                        "filter": {"column": "depth", "gt_eq": 0, "lt_eq": 60},
+                        "sort_by": [{"asc": "depth"}]}))
+    b = rows(spark.sql(
+        "SELECT depth, temperature FROM obs WHERE depth BETWEEN 0 AND 60 ORDER BY depth"))
+    assert a == b

@@ -1,0 +1,126 @@
+"""nd grid-flattening tests — the worked example from the reference's
+arrays-to-tables.md plus CF decoding rules (cf-decoding.md)."""
+
+import numpy as np
+import pyarrow as pa
+
+from beacon_spark.sources.nd import GridDataset, decode_cf
+
+
+def sst_dataset() -> GridDataset:
+    """The docs' worked example: dims time=2, lat=3, lon=4; sst on the full
+    grid; coordinate vars 1-D; one var attr and one global attr."""
+    return GridDataset(
+        dims={"time": 2, "lat": 3, "lon": 4},
+        variables={
+            "time": (("time",), np.array([1704067200, 1704153600], dtype="int64")),
+            "lat": (("lat",), np.array([50.0, 51.0, 52.0], dtype="float32")),
+            "lon": (("lon",), np.array([-4.0, -3.0, -2.0, -1.0], dtype="float32")),
+            "sst": (("time", "lat", "lon"), np.arange(24, dtype="float32").reshape(2, 3, 4)),
+        },
+        var_attrs={"sst": {"units": "degree_Celsius"}},
+        global_attrs={"title": "Demo SST"},
+    )
+
+
+def test_grid_is_largest_variable():
+    assert sst_dataset().grid() == ("time", "lat", "lon")
+
+
+def test_row_count_is_grid_product():
+    assert sst_dataset().row_count() == 24
+
+
+def test_flatten_broadcast_rule():
+    t = sst_dataset().flatten()
+    assert t.num_rows == 24
+    # row 0: first of everything; row 4 (docs example row 5): lat cycles to 51
+    assert t.column("time")[0].as_py() == 1704067200
+    assert t.column("lat")[0].as_py() == 50.0
+    assert t.column("lon")[1].as_py() == -3.0  # lon cycles fastest
+    assert t.column("lat")[4].as_py() == 51.0
+    assert t.column("sst")[5].as_py() == 5.0
+
+
+def test_attribute_columns():
+    t = sst_dataset().flatten()
+    assert t.column("sst.units")[0].as_py() == "degree_Celsius"
+    assert t.column(".title")[23].as_py() == "Demo SST"
+
+
+def test_scalar_becomes_constant_column():
+    ds = sst_dataset()
+    ds.variables["version"] = ((), np.float64(3.0))
+    t = ds.flatten()
+    assert t.column("version").to_pylist() == [3.0] * 24
+
+
+def test_variable_outside_grid_dropped():
+    ds = sst_dataset()
+    ds.dims["other"] = 7
+    ds.variables["weird"] = (("other",), np.arange(7))
+    t = ds.flatten()
+    assert "weird" not in t.column_names
+
+
+def test_row_range_slicing_matches_full():
+    ds = sst_dataset()
+    full = ds.flatten()
+    parts = [ds.flatten(row_range=(lo, lo + 7)) for lo in range(0, 24, 7)]
+    joined = pa.concat_tables(parts)
+    assert joined.column("sst").to_pylist() == full.column("sst").to_pylist()
+    assert joined.column("lat").to_pylist() == full.column("lat").to_pylist()
+
+
+def test_dimensions_override():
+    ds = sst_dataset()
+    t = ds.flatten(dimensions=["time"])
+    # grid=(time,) → only vars on ⊆{time} survive: time itself (lat/lon/sst dropped)
+    assert t.num_rows == 2
+    assert "sst" not in t.column_names and "time" in t.column_names
+
+
+# ---- CF decoding (cf-decoding.md) ----
+
+
+def test_cf_time_since_epoch():
+    vals = np.array([0.0, 1.0], dtype="float64")
+    out, typ = decode_cf(vals, {"units": "days since 1950-01-01"})
+    assert typ == pa.timestamp("us")
+    assert str(out.view("int64")[1] - out.view("int64")[0]) == str(86_400_000_000_000)
+
+
+def test_cf_scale_offset():
+    vals = np.array([10, 20], dtype="int16")
+    out, _ = decode_cf(vals, {"scale_factor": 0.5, "add_offset": 100.0})
+    assert out.dtype == np.float64
+    assert out.tolist() == [105.0, 110.0]
+
+
+def test_cf_fill_value_becomes_null():
+    vals = np.array([1, -999, 3], dtype="int32")
+    out, _ = decode_cf(vals, {"_FillValue": -999})
+    arr = pa.array(out.data if isinstance(out, np.ma.MaskedArray) else out,
+                   mask=np.ma.getmaskarray(out) if isinstance(out, np.ma.MaskedArray) else None)
+    assert arr.to_pylist() == [1, None, 3]
+
+
+def test_cf_missing_value_ignored():
+    # the reference deliberately ignores missing_value (cf-decoding.md)
+    vals = np.array([1, -999, 3], dtype="int32")
+    out, _ = decode_cf(vals, {"missing_value": -999})
+    assert np.asarray(out).tolist() == [1, -999, 3]
+
+
+def test_ragged_profile_shape():
+    """CF contiguous ragged arrays: per-profile rows via a profile dim."""
+    ds = GridDataset(
+        dims={"obs": 6},
+        variables={
+            "pressure": (("obs",), np.array([1, 2, 3, 1, 2, 3], dtype="int32")),
+            "profile_id": (("obs",), np.array([0, 0, 0, 1, 1, 1], dtype="int32")),
+        },
+    )
+    t = ds.flatten()
+    assert t.num_rows == 6
+    assert t.column("profile_id").to_pylist() == [0, 0, 0, 1, 1, 1]

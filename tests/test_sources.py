@@ -1,0 +1,81 @@
+"""Source-connector tests: heterogeneous parquet supertype merge, Arrow
+IPC distributed read, CSV, list_datasets (FileCollection analogs)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.ipc as pa_ipc
+import pyarrow.parquet as pq
+import pytest
+
+from beacon_spark import Engine
+
+
+@pytest.fixture(scope="module")
+def lake(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lake"))
+    # two parquet files with conflicting schemas: x int64 vs x float64;
+    # second file adds a column
+    pq.write_table(pa.table({"x": pa.array([1, 2], pa.int64()),
+                             "y": pa.array(["a", "b"])}), f"{root}/p1.parquet")
+    pq.write_table(pa.table({"x": pa.array([3.5], pa.float64()),
+                             "z": pa.array([9], pa.int32())}), f"{root}/p2.parquet")
+    # arrow IPC files
+    t = pa.table({"k": pa.array([1, 2], pa.int32()), "v": pa.array([0.1, 0.2])})
+    with pa_ipc.new_file(f"{root}/f1.arrow", t.schema) as w:
+        w.write_table(t)
+    t2 = pa.table({"k": pa.array([3], pa.int32())})
+    with pa_ipc.new_file(f"{root}/f2.arrow", t2.schema) as w:
+        w.write_table(t2)
+    with open(f"{root}/c.csv", "w") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    return root
+
+
+def test_parquet_supertype_merge(spark, lake):
+    eng = Engine(spark, datasets_root=lake)
+    df = eng.read_parquet("*.parquet")
+    types = dict(df.dtypes)
+    assert types["x"] == "double"  # int64 ⊔ float64 → double
+    assert set(df.columns) == {"x", "y", "z"}
+    rows = sorted((r.x, r.y, r.z) for r in df.collect())
+    assert rows == [(1.0, "a", None), (2.0, "b", None), (3.5, None, 9)]
+
+
+def test_parquet_schema_introspection(spark, lake):
+    eng = Engine(spark, datasets_root=lake)
+    rows = {r.column_name: r.data_type for r in eng.read_parquet_schema("*.parquet").collect()}
+    assert rows == {"x": "double", "y": "string", "z": "int"}
+
+
+def test_arrow_ipc_distributed_read(spark, lake):
+    eng = Engine(spark, datasets_root=lake)
+    df = eng.read_arrow("*.arrow")
+    rows = sorted((r.k, r.v) for r in df.collect())
+    assert rows == [(1, 0.1), (2, 0.2), (3, None)]
+
+
+def test_csv_read(spark, lake):
+    eng = Engine(spark, datasets_root=lake)
+    rows = sorted((r.a, r.b) for r in eng.read_csv("c.csv").collect())
+    assert rows == [(1, "x"), (2, "y")]
+
+
+def test_list_datasets(spark, lake):
+    eng = Engine(spark, datasets_root=lake)
+    got = {r.dataset: r.format for r in eng.list_datasets().collect()}
+    assert got["p1.parquet"] == "parquet"
+    assert got["c.csv"] == "csv"
+    assert got["f1.arrow"] == "arrow"
+
+
+def test_sql_read_fn_multiple_globs(spark, lake):
+    eng = Engine(spark, datasets_root=lake)
+    n = eng.sql("SELECT count(*) AS n FROM read_parquet('p1.parquet', 'p2.parquet')").collect()[0].n
+    assert n == 3
+
+
+def test_missing_glob_errors(spark, lake):
+    eng = Engine(spark, datasets_root=lake)
+    with pytest.raises(FileNotFoundError):
+        eng.read_parquet("nope/*.parquet")
