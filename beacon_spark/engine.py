@@ -30,7 +30,8 @@ from beacon_spark.sources import tabular
 from beacon_spark.sources.nd import read_nd
 
 _READ_FN_RE = re.compile(
-    r"\bread_(parquet|csv|arrow|netcdf|zarr|hdf5)\s*\(\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\)",
+    r"\bread_(parquet|csv|arrow|netcdf|zarr|hdf5|odv_ascii|odv)\s*\("
+    r"\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\)",
     re.IGNORECASE,
 )
 _TRY_ARROW_CAST_RE = re.compile(
@@ -61,6 +62,11 @@ class Engine:
 
     def read_arrow(self, paths) -> DataFrame:
         return tabular.read_arrow(self.spark, paths, self.datasets_root)
+
+    def read_odv(self, paths) -> DataFrame:
+        from beacon_spark.sources.odv import read_odv
+
+        return read_odv(self.spark, paths, self.datasets_root)
 
     def read_netcdf(self, paths, dimensions=None) -> DataFrame:
         return read_nd(self.spark, "netcdf", paths, self.datasets_root, dimensions)
@@ -130,6 +136,8 @@ class Engine:
                 "netcdf": self.read_netcdf,
                 "zarr": self.read_zarr,
                 "hdf5": self.read_netcdf,
+                "odv": self.read_odv,
+                "odv_ascii": self.read_odv,
             }[fmt](globs)
             name = f"__beacon_read_{abs(hash((fmt, tuple(globs)))) % 10**10}"
             df.createOrReplaceTempView(name)
@@ -163,12 +171,20 @@ class Engine:
 
     # ------------------------------------------------------------ json dsl
 
-    def query(self, body: dict[str, Any]) -> DataFrame:
+    def query(self, body: dict[str, Any], output_path: str | None = None) -> DataFrame:
         """JSON query DSL (or ``{"sql": ...}``) → DataFrame — the two forms
-        compile to the same plans (README.md:117-119)."""
-        if "sql" in body:
-            return self.sql(body["sql"])
-        return dsl.compile_query(self, body)
+        compile to the same plans (README.md:117-119). An ``output`` block
+        (``{"format": ..., ...options}``) plus ``output_path`` writes the
+        result in the requested format (query/output.rs)."""
+        body = dict(body)
+        output = body.pop("output", None)
+        df = self.sql(body["sql"]) if "sql" in body else dsl.compile_query(self, body)
+        if output is not None and output_path is not None:
+            from beacon_spark.outputs import write_output
+
+            opts = {k: v for k, v in output.items() if k != "format"}
+            write_output(df, output["format"], output_path, **opts)
+        return df
 
     def resolve_from(self, spec: Any, projection: list[str] | None = None) -> DataFrame:
         """Resolve a DSL ``from`` (query/from.rs:23-131): named table, or
@@ -194,6 +210,8 @@ class Engine:
                 return self.read_netcdf(cfg["paths"])
             if fmt == "zarr":
                 return self.read_zarr(cfg["paths"])
+            if fmt == "odv":
+                return self.read_odv(cfg["paths"])
             raise ValueError(f"unsupported from format: {fmt}")
         raise ValueError(f"bad from spec: {spec!r}")
 
