@@ -274,7 +274,17 @@ def compile_query(engine, body: dict[str, Any]) -> DataFrame:
     for item in select:
         collect_columns(item, pushdown_cols)
 
-    df = engine.resolve_from(body.get("from"), pushdown_cols or None)
+    # planner-side file pruning: AND-ed numeric ranges from the filter reach
+    # the source resolver, which drops provably-dead files via the stats
+    # index before the scan (stats.py — the reference's PushdownFilter +
+    # file-stats pruning pipeline)
+    from beacon_spark.stats import extract_value_ranges
+
+    ranges = {}
+    if body.get("filter") is not None:
+        ranges = extract_value_ranges(body["filter"])
+
+    df = engine.resolve_from(body.get("from"), pushdown_cols or None, ranges)
     df = df.select(*[_select_to_column(s) for s in select])
 
     if body.get("filter") is not None:

@@ -38,6 +38,9 @@ _TRY_ARROW_CAST_RE = re.compile(
     r"\btry_arrow_cast\s*\(", re.IGNORECASE
 )
 _SUMMARIZE_RE = re.compile(r"^\s*SUMMARIZE\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL)
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+FILES(?:\s+'([^']*)')?(\s+FORCE)?;?\s*$", re.IGNORECASE
+)
 
 
 class Engine:
@@ -108,6 +111,24 @@ class Engine:
         - ``read_parquet('glob')`` etc. in FROM → temp views over our readers
         - ``try_arrow_cast(e, 'Int32')`` → ``try_cast`` with Spark type names
         """
+        m = _ANALYZE_RE.match(statement)
+        if m:
+            # ANALYZE FILES ['prefix'] [FORCE] (parser/statement.rs:305-318)
+            from beacon_spark.stats import analyze_files
+
+            if self.datasets_root is None:
+                raise ValueError("ANALYZE FILES needs a datasets_root")
+            prefix, force = m.group(1), bool(m.group(2))
+            files = None
+            if prefix:
+                from beacon_spark.sources.paths import resolve_globs
+
+                files = resolve_globs(f"{prefix}*.parquet", self.datasets_root)
+            n = analyze_files(self.datasets_root, files, force=force)
+            return self.spark.createDataFrame(
+                [(n,)], T.StructType([T.StructField("files_analyzed", T.IntegerType())])
+            )
+
         m = _SUMMARIZE_RE.match(statement)
         if m:
             src = m.group(1).strip()
@@ -186,11 +207,18 @@ class Engine:
             write_output(df, output["format"], output_path, **opts)
         return df
 
-    def resolve_from(self, spec: Any, projection: list[str] | None = None) -> DataFrame:
+    def resolve_from(
+        self,
+        spec: Any,
+        projection: list[str] | None = None,
+        ranges: dict | None = None,
+    ) -> DataFrame:
         """Resolve a DSL ``from`` (query/from.rs:23-131): named table, or
         ``{"<format>": {"paths": [...], ...}}``. ``projection`` is the
         DSL compiler's pushdown column set — Catalyst prunes scans on its
-        own, so it only gates nd readers (which prune variables)."""
+        own, so it only gates nd readers (which prune variables).
+        ``ranges`` (column → [lo, hi] from the filter) drives stats-index
+        file pruning for parquet collections (fail-open)."""
         if spec is None:
             if self.default_table is None:
                 raise ValueError("query has no 'from' and engine has no default table")
@@ -201,6 +229,18 @@ class Engine:
             ((fmt, cfg),) = spec.items()
             fmt = fmt.lower()
             if fmt == "parquet":
+                if ranges and self.datasets_root:
+                    from beacon_spark.sources.paths import resolve_globs
+                    from beacon_spark.stats import prune_files
+
+                    files = resolve_globs(cfg["paths"], self.datasets_root)
+                    pruned = prune_files(self.datasets_root, files, ranges)
+                    if not pruned:
+                        # every file provably dead → empty frame, full schema
+                        full = self.read_parquet(files)
+                        return self.spark.createDataFrame([], full.schema)
+                    if pruned != files:
+                        return self.read_parquet(pruned)
                 return self.read_parquet(cfg["paths"])
             if fmt == "csv":
                 return self.read_csv(cfg["paths"], cfg.get("delimiter"))
@@ -214,6 +254,20 @@ class Engine:
                 return self.read_odv(cfg["paths"])
             raise ValueError(f"unsupported from format: {fmt}")
         raise ValueError(f"bad from spec: {spec!r}")
+
+    # ------------------------------------------------------------ stats
+
+    def analyze_files(self, force: bool = False) -> int:
+        from beacon_spark.stats import analyze_files
+
+        if self.datasets_root is None:
+            raise ValueError("Engine has no datasets_root configured")
+        return analyze_files(self.datasets_root, force=force)
+
+    def view_statistics(self) -> DataFrame:
+        from beacon_spark.stats import statistics_df
+
+        return statistics_df(self.spark, self.datasets_root)
 
     # ------------------------------------------------------------ operators
 

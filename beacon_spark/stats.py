@@ -1,0 +1,231 @@
+"""File-statistics index + scan-time file pruning.
+
+The reference keeps a durable per-file/per-column min-max store
+(``beacon-file-stats/src/lib.rs``), backfilled by ``ANALYZE FILES`` and a
+background collector, and rewrites every listing scan's file list through
+a pruning predicate — **fail-open** (a file with no stats is always kept)
+(``file-stats/src/pruning.rs``, ``scan_pruning.rs``).
+
+Spark design: the index is itself a parquet table
+(``<datasets_root>/.beacon_stats/index.parquet``) with one row per
+(file, column): path, mtime, row_count, column, min/max (as strings +
+numeric doubles for range tests). Collection reads parquet FOOTERS only
+(row-group statistics — no data scan) in a thread pool; at lake scale the
+same loop runs as a Spark job over the file list.
+
+Pruning happens before ``spark.read.parquet(files)``: the planner-side
+file-list filter is a plain python pass over the index — the Spark analog
+of the reference's ListingTable rewrite; Catalyst then still applies
+row-group pruning inside the surviving files.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+STATS_DIRNAME = ".beacon_stats"
+
+_SCHEMA = pa.schema(
+    [
+        pa.field("path", pa.string()),
+        pa.field("mtime", pa.float64()),
+        pa.field("row_count", pa.int64()),
+        pa.field("column", pa.string()),
+        pa.field("min_str", pa.string()),
+        pa.field("max_str", pa.string()),
+        pa.field("min_num", pa.float64()),
+        pa.field("max_num", pa.float64()),
+    ]
+)
+
+
+def _file_stats(path: str) -> list[dict]:
+    """Footer-only stats for one parquet file: per-column global min/max
+    across row groups."""
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            name = col.path_in_schema
+            if st is None or not st.has_min_max:
+                mins[name] = maxs[name] = None
+                continue
+            if name not in mins or (
+                mins[name] is not None and st.min is not None and st.min < mins[name]
+            ):
+                mins[name] = st.min
+            if name not in maxs or (
+                maxs[name] is not None and st.max is not None and st.max > maxs[name]
+            ):
+                maxs[name] = st.max
+    mtime = os.path.getmtime(path)
+    out = []
+    for name in mins:
+        mn, mx = mins[name], maxs[name]
+
+        def as_num(v):
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                if hasattr(v, "timestamp"):
+                    return v.timestamp()
+                return None
+
+        out.append(
+            {
+                "path": path,
+                "mtime": mtime,
+                "row_count": md.num_rows,
+                "column": name,
+                "min_str": None if mn is None else str(mn),
+                "max_str": None if mx is None else str(mx),
+                "min_num": as_num(mn),
+                "max_num": as_num(mx),
+            }
+        )
+    return out
+
+
+def index_path(datasets_root: str) -> str:
+    return os.path.join(datasets_root, STATS_DIRNAME, "index.parquet")
+
+
+def analyze_files(
+    datasets_root: str,
+    files: list[str] | None = None,
+    force: bool = False,
+) -> int:
+    """``ANALYZE FILES ['prefix'] [FORCE]`` analog: (re)build the stats
+    index for parquet files under the root. Incremental by mtime unless
+    ``force``. Returns the number of files (re)analyzed."""
+    import glob as _glob
+
+    if files is None:
+        files = sorted(
+            f
+            for f in _glob.glob(os.path.join(datasets_root, "**", "*.parquet"), recursive=True)
+            if STATS_DIRNAME not in f
+        )
+    idx_file = index_path(datasets_root)
+    existing: dict[str, float] = {}
+    rows: list[dict] = []
+    if os.path.exists(idx_file) and not force:
+        prev = pq.read_table(idx_file).to_pylist()
+        for r in prev:
+            existing[r["path"]] = r["mtime"]
+        rows = [r for r in prev if os.path.exists(r["path"])]
+
+    todo = [
+        f
+        for f in files
+        if force or f not in existing or os.path.getmtime(f) > existing[f]
+    ]
+    if todo:
+        rows = [r for r in rows if r["path"] not in set(todo)]
+        with ThreadPoolExecutor(max_workers=min(32, len(todo))) as ex:
+            for stats in ex.map(_file_stats, todo):
+                rows.extend(stats)
+    os.makedirs(os.path.dirname(idx_file), exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows, schema=_SCHEMA), idx_file)
+    return len(todo)
+
+
+# ------------------------------------------------------------ ranges
+
+
+def extract_value_ranges(node: Any) -> dict[str, tuple[float | None, float | None]]:
+    """Walk a JSON-DSL filter, extracting per-column [lo, hi] ranges from
+    AND-ed comparison leaves — the analog of the reference's
+    ``PushdownFilter`` physical-predicate walk
+    (``beacon-nd-array/src/arrow/pushdown_filter.rs:11-99``). OR branches
+    contribute nothing (fail-open)."""
+    ranges: dict[str, tuple[float | None, float | None]] = {}
+
+    def merge(col: str, lo: float | None, hi: float | None) -> None:
+        cur = ranges.get(col, (None, None))
+        nlo = cur[0] if lo is None else (lo if cur[0] is None else max(cur[0], lo))
+        nhi = cur[1] if hi is None else (hi if cur[1] is None else min(cur[1], hi))
+        ranges[col] = (nlo, nhi)
+
+    def walk(n: Any) -> None:
+        if not isinstance(n, dict):
+            return
+        if "and" in n:
+            for c in n["and"]:
+                walk(c)
+            return
+        if "or" in n or "geometry" in n:
+            return
+        col = n.get("column", n.get("for_query_parameter"))
+        if not col:
+            return
+        ops = dict(n)
+        if "min" in ops:
+            ops.setdefault("gt_eq", ops["min"])
+        if "max" in ops:
+            ops.setdefault("lt_eq", ops["max"])
+        for op, (lo, hi) in {
+            "eq": ("v", "v"), "gt": ("v", None), "gt_eq": ("v", None),
+            "lt": (None, "v"), "lt_eq": (None, "v"),
+        }.items():
+            if op in ops and isinstance(ops[op], (int, float)) and not isinstance(ops[op], bool):
+                v = float(ops[op])
+                merge(col, v if lo else None, v if hi else None)
+
+    walk(node)
+    return {c: r for c, r in ranges.items() if r != (None, None)}
+
+
+def prune_files(
+    datasets_root: str,
+    files: list[str],
+    ranges: dict[str, tuple[float | None, float | None]],
+) -> list[str]:
+    """Drop files whose stats prove no row can match. Fail-open: files
+    absent from the index (or with null stats) are kept
+    (file-stats/src/scan_pruning.rs — fail-open contract)."""
+    idx_file = index_path(datasets_root)
+    if not ranges or not os.path.exists(idx_file):
+        return files
+    idx = pq.read_table(idx_file).to_pylist()
+    by_file: dict[str, dict[str, dict]] = {}
+    for r in idx:
+        by_file.setdefault(r["path"], {})[r["column"]] = r
+
+    kept = []
+    for f in files:
+        stats = by_file.get(f)
+        if stats is None:
+            kept.append(f)
+            continue
+        alive = True
+        for col, (lo, hi) in ranges.items():
+            s = stats.get(col)
+            if s is None or s["min_num"] is None or s["max_num"] is None:
+                continue
+            if lo is not None and s["max_num"] < lo:
+                alive = False
+                break
+            if hi is not None and s["min_num"] > hi:
+                alive = False
+                break
+        if alive:
+            kept.append(f)
+    return kept
+
+
+def statistics_df(spark, datasets_root: str):
+    """``view_statistics_cache`` / ``view_dataset_statistics`` analog."""
+    idx_file = index_path(datasets_root)
+    if not os.path.exists(idx_file):
+        raise FileNotFoundError("no statistics index; run ANALYZE FILES first")
+    return spark.read.parquet(idx_file)
