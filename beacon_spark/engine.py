@@ -41,6 +41,61 @@ _SUMMARIZE_RE = re.compile(r"^\s*SUMMARIZE\s+(.*?);?\s*$", re.IGNORECASE | re.DO
 _ANALYZE_RE = re.compile(
     r"^\s*ANALYZE\s+FILES(?:\s+'([^']*)')?(\s+FORCE)?;?\s*$", re.IGNORECASE
 )
+# DDL/DML dialect statements (parser/statement.rs:8-30), dispatched ahead
+# of spark.sql exactly as BeaconParser tries custom statements first
+_DDL_RES: list[tuple[str, re.Pattern]] = [
+    ("create_table_as", re.compile(
+        r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL)),
+    ("drop_table", re.compile(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
+    ("insert_into", re.compile(
+        r"^\s*INSERT\s+INTO\s+(\w+)\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL)),
+    ("delete_from", re.compile(
+        r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL)),
+    ("update", re.compile(
+        r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?;?\s*$",
+        re.IGNORECASE | re.DOTALL)),
+    ("alter_add", re.compile(
+        r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?);?\s*$",
+        re.IGNORECASE)),
+    ("alter_drop", re.compile(
+        r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+);?\s*$", re.IGNORECASE)),
+    ("create_mview", re.compile(
+        r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(.*?);?\s*$",
+        re.IGNORECASE | re.DOTALL)),
+    ("create_view", re.compile(
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*?);?\s*$",
+        re.IGNORECASE | re.DOTALL)),
+    ("refresh", re.compile(
+        r"^\s*REFRESH\s+(?:MATERIALIZED\s+VIEW\s+|TABLE\s+)?(\w+);?\s*$", re.IGNORECASE)),
+    ("drop_view", re.compile(
+        r"^\s*DROP\s+(?:MATERIALIZED\s+)?VIEW\s+(?:IF\s+EXISTS\s+)?(\w+);?\s*$",
+        re.IGNORECASE)),
+]
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested in parens/quotes (UPDATE SET lists)."""
+    parts, depth, cur, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p for p in (p.strip() for p in parts) if p]
 
 
 class Engine:
@@ -54,6 +109,11 @@ class Engine:
         self.datasets_root = datasets_root
         self.default_table = default_table
         register_functions(spark)
+        self.catalog = None
+        if datasets_root is not None:
+            from beacon_spark.managed import Catalog
+
+            self.catalog = Catalog(spark, datasets_root)
 
     # ------------------------------------------------------------ sources
 
@@ -111,6 +171,13 @@ class Engine:
         - ``read_parquet('glob')`` etc. in FROM → temp views over our readers
         - ``try_arrow_cast(e, 'Int32')`` → ``try_cast`` with Spark type names
         """
+        if self.catalog is not None:
+            for kind, rx in _DDL_RES:
+                m = rx.match(statement)
+                if m:
+                    return self._run_ddl(kind, m)
+            self._register_catalog()
+
         m = _ANALYZE_RE.match(statement)
         if m:
             # ANALYZE FILES ['prefix'] [FORCE] (parser/statement.rs:305-318)
@@ -141,6 +208,117 @@ class Engine:
         statement = self._rewrite_read_fns(statement)
         statement = self._rewrite_try_arrow_cast(statement)
         return self.spark.sql(statement)
+
+    # ------------------------------------------------------------ ddl/dml
+
+    def _status(self, **cols) -> DataFrame:
+        names = list(cols)
+        return self.spark.createDataFrame(
+            [tuple(cols[k] for k in names)],
+            T.StructType([T.StructField(k, T.StringType()) for k in names]),
+        )
+
+    def _register_catalog(self) -> None:
+        """Expose managed tables / views / MVs as temp views so plain
+        ``spark.sql`` references resolve — the reference resolves catalog
+        objects at plan time (``table_ext.rs:517-631``). Cached on a catalog
+        change token; DML bumps table versions, so stale pins re-register."""
+        if getattr(self, "_registering", False):
+            return
+        sig = self.catalog.signature()
+        if sig is None or sig == getattr(self, "_cat_sig", object()):
+            return
+        from beacon_spark.managed import ManagedTable
+
+        self._registering = True
+        try:
+            cat = self.catalog._load()
+            for name, path in cat["tables"].items():
+                ManagedTable(self.spark, path).read().createOrReplaceTempView(name)
+            for name, mv in cat["materialized_views"].items():
+                ManagedTable(self.spark, mv["path"]).read().createOrReplaceTempView(name)
+            for name, view_sql in cat["views"].items():
+                # plain views stay logical: re-planned at registration
+                self.sql(view_sql).createOrReplaceTempView(name)
+            self._cat_sig = sig
+        finally:
+            self._registering = False
+
+    def _run_ddl(self, kind: str, m: re.Match) -> DataFrame:
+        """Dialect DDL/DML → Catalog ops (statement enum parser/statement.rs:8-30,
+        lowering actions.rs:221-795). Always returns a small status frame."""
+        cat = self.catalog
+        try:
+            return self._run_ddl_inner(kind, m)
+        finally:
+            # invalidate AFTER the mutation: nested self.sql() calls during
+            # the DDL re-register and would otherwise cache a pre-mutation pin
+            self._cat_sig = None
+
+    def _run_ddl_inner(self, kind: str, m: re.Match) -> DataFrame:
+        cat = self.catalog
+        if kind == "create_table_as":
+            name, src = m.group(1), m.group(2)
+            cat.create_table(name, self.sql(src))
+            return self._status(status="ok", op="create_table", name=name)
+        if kind == "drop_table":
+            name = m.group(1)
+            cat.drop_table(name)
+            self.spark.catalog.dropTempView(name)
+            return self._status(status="ok", op="drop_table", name=name)
+        if kind == "insert_into":
+            name, rest = m.group(1), m.group(2).strip()
+            cols = None
+            mcols = re.match(r"^\(\s*([\w\s,]+?)\s*\)\s*(.*)$", rest, re.DOTALL)
+            if mcols:
+                cols = [c.strip() for c in mcols.group(1).split(",")]
+                rest = mcols.group(2)
+            df = self.sql(rest)
+            # positional → named: INSERT binds by position (actions.rs:604-652)
+            names = cols or [f.name for f in cat.table(name).schema().fields]
+            version = cat.table(name).insert(df.toDF(*names[: len(df.columns)]))
+            return self._status(status="ok", op="insert", name=name, version=str(version))
+        if kind == "delete_from":
+            name, pred = m.group(1), m.group(2)
+            version = cat.table(name).delete(pred)
+            return self._status(status="ok", op="delete", name=name, version=str(version))
+        if kind == "update":
+            name, sets, pred = m.group(1), m.group(2), m.group(3)
+            assignments = {}
+            for part in _split_top_level(sets):
+                lhs, _, rhs = part.partition("=")
+                assignments[lhs.strip()] = rhs.strip()
+            version = cat.table(name).update(assignments, pred)
+            return self._status(status="ok", op="update", name=name, version=str(version))
+        if kind == "alter_add":
+            name, col, typ = m.group(1), m.group(2), m.group(3)
+            cat.table(name).alter_add_column(col, typ.strip())
+            return self._status(status="ok", op="alter_add", name=name)
+        if kind == "alter_drop":
+            name, col = m.group(1), m.group(2)
+            cat.table(name).alter_drop_column(col)
+            return self._status(status="ok", op="alter_drop", name=name)
+        if kind == "create_view":
+            replace, name, src = bool(m.group(1)), m.group(2), m.group(3)
+            self.sql(src)  # validate eagerly, as the reference plans the view body
+            cat.create_view(name, src, replace=replace)
+            return self._status(status="ok", op="create_view", name=name)
+        if kind == "create_mview":
+            name, src = m.group(1), m.group(2)
+            cat.create_materialized_view(name, src, self.sql(src))
+            return self._status(status="ok", op="create_mview", name=name)
+        if kind == "refresh":
+            name = m.group(1)
+            mv_sql = cat.mv_sql(name)
+            if mv_sql is not None:
+                cat.refresh_materialized_view(name, self.sql(mv_sql))
+            return self._status(status="ok", op="refresh", name=name)
+        if kind == "drop_view":
+            name = m.group(1)
+            cat.drop_view(name)
+            self.spark.catalog.dropTempView(name)
+            return self._status(status="ok", op="drop_view", name=name)
+        raise ValueError(f"unhandled ddl kind {kind}")
 
     def _rewrite_read_fns(self, statement: str) -> str:
         """Replace ``read_*('glob' [, 'glob'...])`` table functions with

@@ -1,0 +1,326 @@
+"""Managed tables: versioned parquet tables with row-level DML.
+
+The reference's managed tables are Lance-backed with INSERT/UPDATE/DELETE/
+ALTER (``beacon-core/src/statement_plan/actions.rs:509-795``). The
+idiomatic Spark answer is Delta Lake; this container has no Delta jars, so
+this module implements the same contract on plain parquet + JSON manifest
+versions — structurally a miniature Delta log:
+
+    <root>/<name>/
+      _manifests/v00000001.json   {"version", "schema", "files": [...]}
+      data/part-<uuid>.parquet
+
+  - readers pin a manifest (snapshot isolation + time travel)
+  - INSERT appends files + a new manifest (no rewrite)
+  - UPDATE/DELETE are copy-on-write rewrites of only the files that may
+    contain matching rows (parquet footer min/max pre-filter — the same
+    fail-open pruning as stats.py), exactly the reference's COW fallback
+    (``statement_plan/lower.rs:30-62``)
+  - ALTER ADD COLUMN is metadata-only (supertype align on read)
+
+On a Delta/Iceberg-equipped cluster, swap this for ``delta-spark`` —
+Engine's statement surface stays identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from beacon_spark.schema import align_to_schema
+
+
+class ManagedTableError(RuntimeError):
+    pass
+
+
+class ManagedTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.manifest_dir = os.path.join(path, "_manifests")
+        self.data_dir = os.path.join(path, "data")
+
+    # ------------------------------------------------------------ manifests
+
+    def _manifests(self) -> list[str]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        return sorted(
+            f for f in os.listdir(self.manifest_dir) if f.endswith(".json")
+        )
+
+    def current_version(self) -> int:
+        ms = self._manifests()
+        return int(ms[-1][1:-5]) if ms else 0
+
+    def _read_manifest(self, version: int | None = None) -> dict:
+        ms = self._manifests()
+        if not ms:
+            raise ManagedTableError(f"no managed table at {self.path}")
+        name = f"v{version:08d}.json" if version is not None else ms[-1]
+        with open(os.path.join(self.manifest_dir, name)) as f:
+            return json.load(f)
+
+    def _write_manifest(self, schema: T.StructType, files: list[str]) -> int:
+        version = self.current_version() + 1
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": version, "schema": schema.jsonValue(), "files": files}, f
+            )
+        os.replace(tmp, os.path.join(self.manifest_dir, f"v{version:08d}.json"))
+        return version
+
+    def _write_data(self, df: DataFrame) -> list[str]:
+        """One parquet file per partition into data/ under fresh names."""
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(self.data_dir, exist_ok=True)
+        out = []
+        for f in sorted(os.listdir(staging)):
+            if f.endswith(".parquet"):
+                new = f"part-{uuid.uuid4().hex}.parquet"
+                os.replace(os.path.join(staging, f), os.path.join(self.data_dir, new))
+                out.append(os.path.join("data", new))
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
+    # ------------------------------------------------------------ operations
+
+    def create(self, df: DataFrame) -> "ManagedTable":
+        if self._manifests():
+            raise ManagedTableError(f"table already exists at {self.path}")
+        files = self._write_data(df)
+        self._write_manifest(df.schema, files)
+        return self
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self._read_manifest()["schema"])
+
+    def read(self, version: int | None = None) -> DataFrame:
+        m = self._read_manifest(version)
+        schema = T.StructType.fromJson(m["schema"])
+        paths = [os.path.join(self.path, f) for f in m["files"]]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(*paths)
+        return align_to_schema(df, schema)
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace contents with a new version; prior versions stay readable
+        (MV REFRESH re-materialization, statement_plan/physical.rs:128-266)."""
+        m = self._read_manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        files = self._write_data(align_to_schema(df, schema))
+        return self._write_manifest(schema, files)
+
+    def insert(self, df: DataFrame) -> int:
+        m = self._read_manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        files = self._write_data(align_to_schema(df, schema))
+        return self._write_manifest(schema, m["files"] + files)
+
+    def _split_files(
+        self, predicate: str, schema: T.StructType
+    ) -> tuple[list[str], list[str]]:
+        """Files that may contain matching rows vs provably-clean files —
+        a per-file read.filter(limit 1) existence probe would be exact but
+        costly; parquet row-group pruning makes the probe cheap enough at
+        this scale, so we run it per file (Catalyst prunes row groups).
+        Reads are schema-aligned so predicates may reference columns added
+        by metadata-only ALTER."""
+        m = self._read_manifest()
+        touched, clean = [], []
+        for rel in m["files"]:
+            p = os.path.join(self.path, rel)
+            df = align_to_schema(self.spark.read.parquet(p), schema)
+            hit = df.filter(F.expr(predicate)).limit(1).count()
+            (touched if hit else clean).append(rel)
+        return touched, clean
+
+    def delete(self, predicate: str) -> int:
+        """COW delete: rewrite only files containing matches."""
+        m = self._read_manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        touched, clean = self._split_files(predicate, schema)
+        new_files = list(clean)
+        if touched:
+            survivors = align_to_schema(
+                self.spark.read.parquet(*[os.path.join(self.path, f) for f in touched]),
+                schema,
+            ).filter(~F.expr(predicate))
+            new_files += self._write_data(survivors)
+        return self._write_manifest(schema, new_files)
+
+    def update(self, assignments: dict[str, str], predicate: str | None) -> int:
+        m = self._read_manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        predicate = predicate or "true"
+        touched, clean = self._split_files(predicate, schema)
+        new_files = list(clean)
+        if touched:
+            df = align_to_schema(
+                self.spark.read.parquet(*[os.path.join(self.path, f) for f in touched]),
+                schema,
+            )
+            cond = F.expr(predicate)
+            cols = []
+            for fld in schema.fields:
+                if fld.name in assignments:
+                    cols.append(
+                        F.when(cond, F.expr(assignments[fld.name]))
+                        .otherwise(F.col(fld.name))
+                        .cast(fld.dataType)
+                        .alias(fld.name)
+                    )
+                else:
+                    cols.append(F.col(fld.name))
+            new_files += self._write_data(align_to_schema(df.select(*cols), schema))
+        return self._write_manifest(schema, new_files)
+
+    def alter_add_column(self, name: str, spark_type: str) -> int:
+        """Metadata-only schema evolution: readers NULL-fill via align."""
+        m = self._read_manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        if name in [f.name for f in schema.fields]:
+            raise ManagedTableError(f"column {name} already exists")
+        schema = schema.add(T.StructField(name, _parse_type(spark_type), True))
+        return self._write_manifest(schema, m["files"])
+
+    def alter_drop_column(self, name: str) -> int:
+        m = self._read_manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        fields = [f for f in schema.fields if f.name != name]
+        if len(fields) == len(schema.fields):
+            raise ManagedTableError(f"no column {name}")
+        return self._write_manifest(T.StructType(fields), m["files"])
+
+    def drop(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+def _parse_type(s: str) -> T.DataType:
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(s)
+
+
+# ---------------------------------------------------------------- catalog
+
+
+class Catalog:
+    """Persisted engine catalog: managed tables, views, materialized views
+    (the reference persists these across restarts — runtime.rs MV tests).
+    Stored as JSON under <datasets_root>/.beacon_catalog/."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.dir = os.path.join(root, ".beacon_catalog")
+        self.tables_dir = os.path.join(self.dir, "tables")
+        self.file = os.path.join(self.dir, "catalog.json")
+
+    def _load(self) -> dict:
+        if os.path.exists(self.file):
+            with open(self.file) as f:
+                return json.load(f)
+        return {"views": {}, "materialized_views": {}, "tables": {}}
+
+    def _save(self, cat: dict) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = self.file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cat, f, indent=1)
+        os.replace(tmp, self.file)
+
+    # ---- managed tables ----
+
+    def table(self, name: str) -> ManagedTable:
+        cat = self._load()
+        if name not in cat["tables"]:
+            raise ManagedTableError(f"unknown managed table {name!r}")
+        return ManagedTable(self.spark, cat["tables"][name])
+
+    def create_table(self, name: str, df: DataFrame) -> ManagedTable:
+        cat = self._load()
+        if name in cat["tables"]:
+            raise ManagedTableError(f"table {name!r} already exists")
+        path = os.path.join(self.tables_dir, name)
+        t = ManagedTable(self.spark, path).create(df)
+        cat["tables"][name] = path
+        self._save(cat)
+        return t
+
+    def drop_table(self, name: str) -> None:
+        cat = self._load()
+        path = cat["tables"].pop(name, None)
+        self._save(cat)
+        if path:
+            ManagedTable(self.spark, path).drop()
+
+    # ---- views ----
+
+    def create_view(self, name: str, sql: str, replace: bool = False) -> None:
+        cat = self._load()
+        if name in cat["views"] and not replace:
+            raise ManagedTableError(f"view {name!r} already exists")
+        cat["views"][name] = sql
+        self._save(cat)
+
+    def create_materialized_view(self, name: str, sql: str, df: DataFrame) -> None:
+        cat = self._load()
+        path = os.path.join(self.tables_dir, f"_mv_{name}")
+        ManagedTable(self.spark, path).create(df)
+        cat["materialized_views"][name] = {"sql": sql, "path": path}
+        self._save(cat)
+
+    def refresh_materialized_view(self, name: str, df: DataFrame) -> None:
+        cat = self._load()
+        if name not in cat["materialized_views"]:
+            raise ManagedTableError(f"unknown materialized view {name!r}")
+        path = cat["materialized_views"][name]["path"]
+        ManagedTable(self.spark, path).overwrite(df)
+
+    def mv_sql(self, name: str) -> str | None:
+        mv = self._load()["materialized_views"].get(name)
+        return mv["sql"] if mv else None
+
+    def drop_view(self, name: str) -> None:
+        cat = self._load()
+        cat["views"].pop(name, None)
+        mv = cat["materialized_views"].pop(name, None)
+        self._save(cat)
+        if mv:
+            ManagedTable(self.spark, mv["path"]).drop()
+
+    def signature(self) -> tuple | None:
+        """Cheap change token so Engine re-registers temp views only when
+        the catalog or any table version moved. None = no catalog yet."""
+        if not os.path.exists(self.file):
+            return None
+        cat = self._load()
+        vers = []
+        for name, path in sorted(cat["tables"].items()):
+            vers.append((name, ManagedTable(self.spark, path).current_version()))
+        for name, mv in sorted(cat["materialized_views"].items()):
+            vers.append((name, ManagedTable(self.spark, mv["path"]).current_version()))
+        return (os.stat(self.file).st_mtime_ns, tuple(vers), tuple(sorted(cat["views"])))
+
+    def names(self) -> dict:
+        cat = self._load()
+        return {
+            "tables": sorted(cat["tables"]),
+            "views": sorted(cat["views"]),
+            "materialized_views": sorted(cat["materialized_views"]),
+        }

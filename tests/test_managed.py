@@ -1,0 +1,107 @@
+"""Managed tables + views/MVs (reference: statement_plan/actions.rs:509-795,
+table_dml.rs / materialized_view.rs integration tests)."""
+
+import pytest
+
+from beacon_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, datasets_root=str(tmp_path))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ctas_select_insert(eng):
+    eng.sql("CREATE TABLE t AS SELECT * FROM VALUES (1, 'a'), (2, 'b') AS v(id, name)")
+    assert _rows(eng.sql("SELECT * FROM t")) == [(1, "a"), (2, "b")]
+
+    eng.sql("INSERT INTO t VALUES (3, 'c')")
+    assert _rows(eng.sql("SELECT * FROM t")) == [(1, "a"), (2, "b"), (3, "c")]
+
+    eng.sql("INSERT INTO t SELECT 4, 'd'")
+    assert eng.sql("SELECT count(*) AS n FROM t").collect()[0].n == 4
+
+
+def test_delete_update(eng):
+    eng.sql(
+        "CREATE TABLE obs AS SELECT * FROM VALUES "
+        "(1, 10.0), (2, 20.0), (3, 30.0) AS v(id, temp)"
+    )
+    eng.sql("DELETE FROM obs WHERE id = 2")
+    assert _rows(eng.sql("SELECT * FROM obs")) == [(1, 10.0), (3, 30.0)]
+
+    eng.sql("UPDATE obs SET temp = temp + 1.0 WHERE id = 3")
+    assert _rows(eng.sql("SELECT * FROM obs")) == [(1, 10.0), (3, 31.0)]
+
+    # UPDATE without WHERE touches every row
+    eng.sql("UPDATE obs SET temp = 0.0")
+    assert _rows(eng.sql("SELECT * FROM obs")) == [(1, 0.0), (3, 0.0)]
+
+
+def test_alter_add_drop(eng):
+    eng.sql("CREATE TABLE t AS SELECT 1 AS id")
+    eng.sql("ALTER TABLE t ADD COLUMN label string")
+    assert _rows(eng.sql("SELECT * FROM t")) == [(1, None)]
+    eng.sql("UPDATE t SET label = 'x' WHERE id = 1")
+    assert _rows(eng.sql("SELECT * FROM t")) == [(1, "x")]
+    eng.sql("ALTER TABLE t DROP COLUMN label")
+    assert eng.sql("SELECT * FROM t").columns == ["id"]
+
+
+def test_time_travel_versions(eng):
+    eng.sql("CREATE TABLE t AS SELECT 1 AS id")
+    eng.sql("INSERT INTO t VALUES (2)")
+    eng.sql("DELETE FROM t WHERE id = 1")
+    t = eng.catalog.table("t")
+    assert t.current_version() == 3
+    assert _rows(t.read(version=1)) == [(1,)]
+    assert _rows(t.read(version=2)) == [(1,), (2,)]
+    assert _rows(t.read(version=3)) == [(2,)]
+
+
+def test_views_and_mv_refresh(eng):
+    eng.sql("CREATE TABLE base AS SELECT * FROM VALUES (1), (2), (3) AS v(x)")
+    eng.sql("CREATE VIEW v AS SELECT x * 2 AS y FROM base")
+    assert _rows(eng.sql("SELECT * FROM v ORDER BY y")) == [(2,), (4,), (6,)]
+
+    eng.sql("CREATE MATERIALIZED VIEW mv AS SELECT count(*) AS n FROM base")
+    assert eng.sql("SELECT * FROM mv").collect()[0].n == 3
+
+    # MV is a snapshot: stale until REFRESH; plain view tracks the base
+    eng.sql("INSERT INTO base VALUES (4)")
+    assert eng.sql("SELECT * FROM mv").collect()[0].n == 3
+    assert _rows(eng.sql("SELECT * FROM v ORDER BY y"))[-1] == (8,)
+    eng.sql("REFRESH MATERIALIZED VIEW mv")
+    assert eng.sql("SELECT * FROM mv").collect()[0].n == 4
+
+    eng.sql("DROP VIEW v")
+    eng.sql("DROP MATERIALIZED VIEW mv")
+    assert eng.catalog.names()["views"] == []
+    assert eng.catalog.names()["materialized_views"] == []
+
+
+def test_persistence_across_engines(eng, spark, tmp_path):
+    eng.sql("CREATE TABLE t AS SELECT 42 AS answer")
+    eng.sql("CREATE VIEW v AS SELECT answer + 1 AS next FROM t")
+    fresh = Engine(spark, datasets_root=str(tmp_path))
+    assert fresh.sql("SELECT * FROM t").collect()[0].answer == 42
+    assert fresh.sql("SELECT * FROM v").collect()[0].next == 43
+    fresh.sql("DROP TABLE t")
+    with pytest.raises(Exception):
+        Engine(spark, datasets_root=str(tmp_path)).catalog.table("t")
+
+
+def test_cow_rewrites_only_touched_files(eng):
+    """DELETE must not rewrite files that provably contain no matches."""
+    eng.sql("CREATE TABLE t AS SELECT * FROM VALUES (1), (2) AS v(id)")
+    eng.sql("INSERT INTO t VALUES (100)")
+    t = eng.catalog.table("t")
+    before = set(t._read_manifest()["files"])
+    eng.sql("DELETE FROM t WHERE id = 100")
+    after = set(eng.catalog.table("t")._read_manifest()["files"])
+    # the v1 files (ids 1,2) survive untouched in the new manifest
+    assert before & after
