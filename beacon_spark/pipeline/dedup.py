@@ -28,8 +28,8 @@ from pyspark.sql import functions as F
 _MERSENNE = (1 << 31) - 1
 
 
-def shingles_expr(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column — a single Catalyst
+def _shingles_sql(text_col: str, n: int = 3) -> str:
+    """SQL for distinct word n-gram shingles — a single Catalyst
     expression (split → sequence → transform), no UDF.
 
     The words array is *let-bound* via ``transform(array(split(..)), ws ->
@@ -39,13 +39,17 @@ def shingles_expr(text_col: str, n: int = 3) -> Column:
     binding; ~1s after)."""
     w = f"split(trim({text_col}), '\\\\s+')"
     gram = ", ' ', ".join(f"ws[i + {j}]" for j in range(n))
-    return F.expr(
+    return (
         f"transform(array({w}), ws -> "
         f"CASE WHEN size(ws) >= {n} THEN "
         f"array_distinct(transform(sequence(0, size(ws) - {n}), "
         f"i -> concat({gram}))) "
         f"ELSE array() END)[0]"
     )
+
+
+def shingles_expr(text_col: str, n: int = 3) -> Column:
+    return F.expr(_shingles_sql(text_col, n))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -116,30 +120,35 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash signatures: explode shingles, xxhash64 each once, then k
-    universal-hash minima as k parallel agg expressions — one shuffle
-    keyed by doc, zero UDFs. Returns (id, sig array<long>, nsh)."""
+    """MinHash signatures, fully map-side: shingle → xxhash64 once →
+    k universal-hash minima via nested higher-order functions, all inside
+    ONE per-row Catalyst expression. No explode, no shuffle, no UDF —
+    signature cost is O(k·shingles) arithmetic local to each task, so the
+    stage scales linearly with corpus partitions (an earlier explode →
+    groupBy(k min-aggs) version shuffled every shingle and compiled k
+    unrolled aggregates; this is both faster cold — far smaller codegen —
+    and shuffle-free at 100 TB). Returns (__id, sig array<long>, __nsh)."""
     params = _hash_params(num_perm, seed)
-    t = df.select(
-        F.col(id_col).alias("__id"), shingles_expr(text_col, shingle_n).alias("__sh")
-    ).filter(F.size("__sh") > 0)
-    e = t.select(
-        "__id", F.size("__sh").alias("__nsh"), F.explode("__sh").alias("__s")
-    ).select(
-        "__id",
-        "__nsh",
-        # non-negative base hash so the modular arithmetic stays in range
-        F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE)).alias("__h"),
+    a_arr = ", ".join(f"{a}L" for a, _ in params)
+    b_arr = ", ".join(f"{b}L" for _, b in params)
+    # let-bind shingles (sh) then their base hashes (hs); the (a, b)
+    # parameter arrays are zipped so each permutation is one array_min pass
+    st = (
+        f"transform(array({_shingles_sql(text_col, shingle_n)}), sh -> struct("
+        f"size(sh) AS nsh, "
+        f"transform(array(transform(sh, s -> pmod(xxhash64(s), {_MERSENNE}L))), hs -> "
+        f"zip_with(array({a_arr}), array({b_arr}), (a, b) -> "
+        f"array_min(transform(hs, h -> pmod(h * a + b, {_MERSENNE}L)))))[0] AS sig"
+        f"))[0]"
     )
-    mins = [
-        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"__m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    agg = e.groupBy("__id").agg(F.first("__nsh").alias("__nsh"), *mins)
-    return agg.select(
-        "__id",
-        F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("sig"),
-        "__nsh",
+    return (
+        df.select(F.col(id_col).alias("__id"), F.expr(st).alias("__st"))
+        .select(
+            "__id",
+            F.col("__st.sig").alias("sig"),
+            F.col("__st.nsh").alias("__nsh"),
+        )
+        .filter(F.col("__nsh") > 0)
     )
 
 
@@ -161,6 +170,8 @@ def minhash_lsh_pairs(
     positives — matching an exact-Jaccard oracle whenever recall holds.
     """
     rows_per_band = num_perm // bands
+    # cached: the band self-join consumes sigs on both sides; k longs per
+    # doc is tiny relative to recomputing shingles for the whole corpus
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed).cache()
 
     # One compact expression: band b's key = xxhash64(b, sig[b*r : b*r+r]).
@@ -187,31 +198,19 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Pre-filter candidates by the minhash *estimate* before touching the
-    # (much wider) shingle arrays: matching signature positions / num_perm.
-    # The margin is ~5σ below threshold at 128 perms, so the probability of
-    # dropping a true ≥threshold pair is negligible while the bulk of
-    # low-similarity band collisions dies here — this is what keeps the
-    # exact-verification join small at scale.
-    est_margin = max(0.0, threshold - max(0.2, 3.0 / (num_perm**0.5)))
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("__siga"), F.col("__sigb"), lambda x, y: x == y),
-                lambda b: b,
-            )
-        )
-        / F.lit(num_perm)
+    # exact verification on the surviving candidates only. Shingles are
+    # recomputed for *candidate docs alone* (semi-join pre-filter): at
+    # corpus scale the candidate set is orders of magnitude smaller than
+    # the corpus, so this keeps the wide shingle arrays off the full scan
+    # — work ∝ candidates, not ∝ corpus. AQE turns the id-set join into a
+    # broadcast when the candidate set is small.
+    cand.cache()
+    cand_ids = cand.select(F.col("id_a").alias("__cid")).union(
+        cand.select(F.col("id_b"))
     )
-    cand = (
-        cand.join(sigs.select(F.col("__id").alias("id_a"), F.col("sig").alias("__siga")), "id_a")
-        .join(sigs.select(F.col("__id").alias("id_b"), F.col("sig").alias("__sigb")), "id_b")
-        .filter(est >= F.lit(est_margin))
-        .select("id_a", "id_b")
-    )
-
-    # exact verification on the surviving candidates only
-    t = df.select(
+    t = df.join(
+        cand_ids, F.col(id_col) == F.col("__cid"), "left_semi"
+    ).select(
         F.col(id_col).alias("__id"), shingles_expr(text_col, shingle_n).alias("__sh")
     )
     verified = (
