@@ -44,6 +44,23 @@ _ANALYZE_RE = re.compile(
 # DDL/DML dialect statements (parser/statement.rs:8-30), dispatched ahead
 # of spark.sql exactly as BeaconParser tries custom statements first
 _DDL_RES: list[tuple[str, re.Pattern]] = [
+    ("create_external", re.compile(
+        r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(\w+)\s+STORED\s+AS\s+(\w+)\s+"
+        r"LOCATION\s+'([^']+)';?\s*$", re.IGNORECASE)),
+    ("create_index", re.compile(
+        r"^\s*CREATE\s+INDEX\s+(?:(\w+)\s+)?ON\s+(\w+)\s*\(\s*(\w+)\s*\)"
+        r"(?:\s+USING\s+(\w+))?;?\s*$", re.IGNORECASE)),
+    ("drop_index", re.compile(
+        r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
+    ("show_indexes", re.compile(r"^\s*SHOW\s+INDEXES;?\s*$", re.IGNORECASE)),
+    ("create_crawler", re.compile(
+        r"^\s*CREATE\s+CRAWLER\s+(\w+)(?:\s+ON\s+'([^']*)')?;?\s*$", re.IGNORECASE)),
+    ("run_crawler", re.compile(
+        r"^\s*RUN\s+CRAWLER\s+(\w+);?\s*$", re.IGNORECASE)),
+    ("drop_crawler", re.compile(
+        r"^\s*DROP\s+CRAWLER\s+(?:IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
+    ("show_crawlers", re.compile(r"^\s*SHOW\s+CRAWLERS;?\s*$", re.IGNORECASE)),
+    ("show_tables", re.compile(r"^\s*SHOW\s+(TABLES|VIEWS);?\s*$", re.IGNORECASE)),
     ("create_table_as", re.compile(
         r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL)),
     ("drop_table", re.compile(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
@@ -235,6 +252,19 @@ class Engine:
             cat = self.catalog._load()
             for name, path in cat["tables"].items():
                 ManagedTable(self.spark, path).read().createOrReplaceTempView(name)
+            for name, ext in cat["external_tables"].items():
+                try:
+                    self.resolve_from({ext["format"]: {"paths": ext["paths"]}})\
+                        .createOrReplaceTempView(name)
+                except Exception as e:
+                    # fail-open: a missing optional reader lib (netcdf/zarr)
+                    # must not break unrelated statements — but say so
+                    import sys
+
+                    print(
+                        f"warning: external table {name!r} not registered: {e}",
+                        file=sys.stderr,
+                    )
             for name, mv in cat["materialized_views"].items():
                 ManagedTable(self.spark, mv["path"]).read().createOrReplaceTempView(name)
             for name, view_sql in cat["views"].items():
@@ -257,13 +287,73 @@ class Engine:
 
     def _run_ddl_inner(self, kind: str, m: re.Match) -> DataFrame:
         cat = self.catalog
+        if kind == "create_external":
+            name, fmt, loc = m.group(1), m.group(2), m.group(3)
+            # validate format + location eagerly (the reference plans the
+            # listing at CREATE time, actions.rs:221-492)
+            self.resolve_from({fmt.lower(): {"paths": [loc]}})
+            cat.create_external_table(name, fmt, [loc])
+            return self._status(status="ok", op="create_external_table", name=name)
+        if kind == "create_index":
+            idx, table, column, using = m.groups()
+            idx = idx or f"{table}_{column}_idx"
+            using = (using or "btree").lower()
+            cat.create_index(idx, table, column, using)
+            if using == "btree" and self.datasets_root is not None:
+                # the btree role (range pruning) is served by the file-stats
+                # min/max index — backfill it for the table's files
+                ext = cat._load()["external_tables"].get(table)
+                if ext and ext["format"] == "parquet":
+                    from beacon_spark.sources.paths import resolve_globs
+                    from beacon_spark.stats import analyze_files
+
+                    files = resolve_globs(ext["paths"], self.datasets_root)
+                    analyze_files(self.datasets_root, files)
+            return self._status(status="ok", op="create_index", name=idx)
+        if kind == "drop_index":
+            cat.drop_index(m.group(1))
+            return self._status(status="ok", op="drop_index", name=m.group(1))
+        if kind == "show_indexes":
+            rows = [
+                (n, d["table"], d["column"], d["using"])
+                for n, d in sorted(cat._load()["indexes"].items())
+            ]
+            return self.spark.createDataFrame(
+                rows, "index_name string, table_name string, column_name string, using string"
+            )
+        if kind == "create_crawler":
+            name, prefix = m.group(1), m.group(2)
+            cat.create_crawler(name, prefix)
+            return self._status(status="ok", op="create_crawler", name=name)
+        if kind == "run_crawler":
+            return self._run_crawler(m.group(1))
+        if kind == "drop_crawler":
+            cat.drop_crawler(m.group(1))
+            return self._status(status="ok", op="drop_crawler", name=m.group(1))
+        if kind == "show_crawlers":
+            rows = [
+                (n, d["prefix"]) for n, d in sorted(cat._load()["crawlers"].items())
+            ]
+            return self.spark.createDataFrame(rows, "crawler_name string, prefix string")
+        if kind == "show_tables":
+            c = cat._load()
+            rows = (
+                [(n, "managed") for n in c["tables"]]
+                + [(n, "external") for n in c["external_tables"]]
+                + [(n, "view") for n in c["views"]]
+                + [(n, "materialized_view") for n in c["materialized_views"]]
+            )
+            return self.spark.createDataFrame(
+                sorted(rows), "table_name string, table_type string"
+            )
         if kind == "create_table_as":
             name, src = m.group(1), m.group(2)
             cat.create_table(name, self.sql(src))
             return self._status(status="ok", op="create_table", name=name)
         if kind == "drop_table":
             name = m.group(1)
-            cat.drop_table(name)
+            if not cat.drop_external_table(name):
+                cat.drop_table(name)
             self.spark.catalog.dropTempView(name)
             return self._status(status="ok", op="drop_table", name=name)
         if kind == "insert_into":
@@ -319,6 +409,39 @@ class Engine:
             self.spark.catalog.dropTempView(name)
             return self._status(status="ok", op="drop_view", name=name)
         raise ValueError(f"unhandled ddl kind {kind}")
+
+    def _run_crawler(self, name: str) -> DataFrame:
+        """RUN CRAWLER: discover files under the crawler's prefix and
+        auto-register recognized ones as external tables (discovery loop,
+        beacon-core/src/crawler/discovery.rs). Sync — embedded mode has no
+        scheduler. Returns the discovery report."""
+        crawlers = self.catalog._load()["crawlers"]
+        if name not in crawlers:
+            raise ValueError(f"unknown crawler {name!r}")
+        if self.datasets_root is None:
+            raise ValueError("crawler needs a datasets_root")
+        prefix = crawlers[name]["prefix"]
+        known = self.catalog._load()
+        taken = set(known["external_tables"]) | set(known["tables"])
+        report = []
+        for rel, fmt in _paths.list_datasets(self.datasets_root):
+            if prefix and not rel.startswith(prefix):
+                continue
+            if rel.startswith(".beacon"):
+                continue
+            if fmt not in ("parquet", "csv", "arrow", "netcdf", "zarr", "odv"):
+                report.append((rel, fmt or "unknown", "skipped"))
+                continue
+            tname = re.sub(r"\W+", "_", rel.rsplit(".", 1)[0]).strip("_")
+            if tname in taken:
+                report.append((rel, fmt, "exists"))
+                continue
+            self.catalog.create_external_table(tname, fmt, [rel])
+            taken.add(tname)
+            report.append((rel, fmt, f"registered as {tname}"))
+        return self.spark.createDataFrame(
+            report, "path string, format string, action string"
+        )
 
     def _rewrite_read_fns(self, statement: str) -> str:
         """Replace ``read_*('glob' [, 'glob'...])`` table functions with

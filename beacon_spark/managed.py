@@ -231,11 +231,23 @@ class Catalog:
         self.tables_dir = os.path.join(self.dir, "tables")
         self.file = os.path.join(self.dir, "catalog.json")
 
+    _EMPTY = {
+        "views": {},
+        "materialized_views": {},
+        "tables": {},
+        "external_tables": {},
+        "indexes": {},
+        "crawlers": {},
+    }
+
     def _load(self) -> dict:
+        cat = {}
         if os.path.exists(self.file):
             with open(self.file) as f:
-                return json.load(f)
-        return {"views": {}, "materialized_views": {}, "tables": {}}
+                cat = json.load(f)
+        for k, v in self._EMPTY.items():
+            cat.setdefault(k, dict(v))
+        return cat
 
     def _save(self, cat: dict) -> None:
         os.makedirs(self.dir, exist_ok=True)
@@ -268,6 +280,61 @@ class Catalog:
         self._save(cat)
         if path:
             ManagedTable(self.spark, path).drop()
+
+    # ---- external tables (CREATE EXTERNAL TABLE ... STORED AS ... LOCATION,
+    #      actions.rs:221-492: a named listing over files in place) ----
+
+    def create_external_table(
+        self, name: str, fmt: str, paths: list[str], options: dict | None = None
+    ) -> None:
+        cat = self._load()
+        if name in cat["external_tables"] or name in cat["tables"]:
+            raise ManagedTableError(f"table {name!r} already exists")
+        cat["external_tables"][name] = {
+            "format": fmt.lower(),
+            "paths": paths,
+            "options": options or {},
+        }
+        self._save(cat)
+
+    def drop_external_table(self, name: str) -> bool:
+        cat = self._load()
+        hit = cat["external_tables"].pop(name, None) is not None
+        if hit:
+            self._save(cat)
+        return hit
+
+    # ---- secondary indexes (Lance btree/bitmap/inverted analog: recorded
+    #      metadata; the btree role is served by the file-stats min/max
+    #      index, actions.rs:763-820) ----
+
+    def create_index(self, name: str, table: str, column: str, using: str) -> None:
+        cat = self._load()
+        if name in cat["indexes"]:
+            raise ManagedTableError(f"index {name!r} already exists")
+        cat["indexes"][name] = {"table": table, "column": column, "using": using}
+        self._save(cat)
+
+    def drop_index(self, name: str) -> None:
+        cat = self._load()
+        cat["indexes"].pop(name, None)
+        self._save(cat)
+
+    # ---- crawlers (scheduled re-discovery of new files -> auto-registered
+    #      external tables, beacon-core/src/crawler/*; embedded mode has no
+    #      scheduler so RUN is the sync point) ----
+
+    def create_crawler(self, name: str, prefix: str | None) -> None:
+        cat = self._load()
+        if name in cat["crawlers"]:
+            raise ManagedTableError(f"crawler {name!r} already exists")
+        cat["crawlers"][name] = {"prefix": prefix or ""}
+        self._save(cat)
+
+    def drop_crawler(self, name: str) -> None:
+        cat = self._load()
+        cat["crawlers"].pop(name, None)
+        self._save(cat)
 
     # ---- views ----
 
@@ -323,4 +390,7 @@ class Catalog:
             "tables": sorted(cat["tables"]),
             "views": sorted(cat["views"]),
             "materialized_views": sorted(cat["materialized_views"]),
+            "external_tables": sorted(cat["external_tables"]),
+            "indexes": sorted(cat["indexes"]),
+            "crawlers": sorted(cat["crawlers"]),
         }

@@ -32,6 +32,26 @@ def resolve_globs(paths: str | list[str], datasets_root: str | None = None) -> l
     return out
 
 
+def expand_parquet_dirs(files: list[str]) -> list[str]:
+    """Expand Spark/Hive-written parquet DIRECTORY datasets into their part
+    files (skipping _SUCCESS/_committed/hidden); plain files pass through.
+    Keeps footer-level code (supertype scan, stats collection) working on
+    real files while spark.read accepts either form."""
+    out: list[str] = []
+    for f in files:
+        if os.path.isdir(f):
+            out.extend(
+                sorted(
+                    p
+                    for p in _glob.glob(os.path.join(f, "**", "*.parquet"), recursive=True)
+                    if not os.path.basename(p).startswith(("_", "."))
+                )
+            )
+        else:
+            out.append(f)
+    return out or files
+
+
 _FORMAT_BY_EXT = {
     ".parquet": "parquet", ".pq": "parquet",
     ".csv": "csv", ".tsv": "csv", ".txt": "odv",
@@ -57,13 +77,16 @@ def list_datasets(datasets_root: str) -> list[tuple[str, str | None]]:
     """Walk the datasets root; (relative_path, detected format) per file."""
     out: list[tuple[str, str | None]] = []
     for dirpath, dirnames, filenames in os.walk(datasets_root):
-        # a .zarr directory is one dataset, don't descend
-        zarr_dirs = [d for d in dirnames if d.endswith(".zarr")]
-        for z in zarr_dirs:
-            rel = os.path.relpath(os.path.join(dirpath, z), datasets_root)
-            out.append((rel, "zarr"))
-            dirnames.remove(z)
+        # a .zarr store or a Spark-written .parquet directory is ONE
+        # dataset — don't descend into its chunks/part-files
+        ds_dirs = [d for d in dirnames if d.endswith((".zarr", ".parquet"))]
+        for d in ds_dirs:
+            rel = os.path.relpath(os.path.join(dirpath, d), datasets_root)
+            out.append((rel, "zarr" if d.endswith(".zarr") else "parquet"))
+            dirnames.remove(d)
         for f in filenames:
+            if f.startswith(("_", ".")):  # _SUCCESS, _committed, hidden
+                continue
             rel = os.path.relpath(os.path.join(dirpath, f), datasets_root)
             out.append((rel, detect_format(rel)))
     return sorted(out)

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from beacon_spark.schema import align_to_schema, super_schema
-from beacon_spark.sources.paths import resolve_globs
+from beacon_spark.sources.paths import expand_parquet_dirs, resolve_globs
 
 
 def _arrow_to_spark_schema(schema: pa.Schema) -> T.StructType:
@@ -130,7 +130,7 @@ def read_parquet(
     """``read_parquet(globs)`` (table-functions.md:25-40). ``merge='fast'``
     skips the footer scan (delegates to Spark's parallel file index +
     mergeSchema) for homogeneous lakes at scale."""
-    files = resolve_globs(paths, datasets_root)
+    files = expand_parquet_dirs(resolve_globs(paths, datasets_root))
     if merge == "fast":
         return spark.read.option("mergeSchema", "true").parquet(*files)
     schemas = _schemas_parallel(files, pq.read_schema)

@@ -109,12 +109,16 @@ def analyze_files(
     ``force``. Returns the number of files (re)analyzed."""
     import glob as _glob
 
+    from beacon_spark.sources.paths import expand_parquet_dirs
+
     if files is None:
         files = sorted(
             f
             for f in _glob.glob(os.path.join(datasets_root, "**", "*.parquet"), recursive=True)
             if STATS_DIRNAME not in f
         )
+    # directory datasets → part files; dedupe (a dir glob can match both)
+    files = sorted({f for f in expand_parquet_dirs(files) if os.path.isfile(f)})
     idx_file = index_path(datasets_root)
     existing: dict[str, float] = {}
     rows: list[dict] = []

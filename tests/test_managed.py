@@ -105,3 +105,41 @@ def test_cow_rewrites_only_touched_files(eng):
     after = set(eng.catalog.table("t")._read_manifest()["files"])
     # the v1 files (ids 1,2) survive untouched in the new manifest
     assert before & after
+
+
+def test_external_table_and_show(eng, tmp_path, spark):
+    spark.range(5).toDF("v").write.mode("overwrite").parquet(str(tmp_path / "ext"))
+    eng.sql("CREATE EXTERNAL TABLE extt STORED AS parquet LOCATION 'ext/*.parquet'")
+    assert eng.sql("SELECT count(*) AS n FROM extt").collect()[0].n == 5
+    rows = {(r.table_name, r.table_type) for r in eng.sql("SHOW TABLES").collect()}
+    assert ("extt", "external") in rows
+    eng.sql("DROP TABLE extt")
+    assert eng.catalog.names()["external_tables"] == []
+
+
+def test_indexes(eng, tmp_path, spark):
+    spark.range(10).toDF("v").write.mode("overwrite").parquet(str(tmp_path / "ix"))
+    eng.sql("CREATE EXTERNAL TABLE ixt STORED AS parquet LOCATION 'ix/*.parquet'")
+    eng.sql("CREATE INDEX vix ON ixt(v) USING btree")
+    idx = eng.sql("SHOW INDEXES").collect()
+    assert [(r.index_name, r.table_name, r.column_name, r.using) for r in idx] == [
+        ("vix", "ixt", "v", "btree")
+    ]
+    eng.sql("DROP INDEX vix")
+    assert eng.sql("SHOW INDEXES").count() == 0
+
+
+def test_crawler(eng, tmp_path, spark):
+    spark.range(3).toDF("a").write.mode("overwrite").parquet(str(tmp_path / "obs" / "x.parquet"))
+    eng.sql("CREATE CRAWLER c1 ON 'obs'")
+    assert eng.sql("SHOW CRAWLERS").collect()[0].crawler_name == "c1"
+    report = eng.sql("RUN CRAWLER c1").collect()
+    assert any("registered" in r.action for r in report)
+    names = eng.catalog.names()["external_tables"]
+    assert len(names) == 1
+    assert eng.sql(f"SELECT count(*) AS n FROM {names[0]}").collect()[0].n == 3
+    # idempotent: second run reports exists, registers nothing new
+    report2 = eng.sql("RUN CRAWLER c1").collect()
+    assert all("registered" not in r.action for r in report2)
+    eng.sql("DROP CRAWLER c1")
+    assert eng.sql("SHOW CRAWLERS").count() == 0
