@@ -1199,6 +1199,52 @@ FROM coded ORDER BY n_nationkey
 """
 
 
+def _q_geo_filter(spark, sf_dir):
+    """§2.2 GeoJSON spatial filter (query/filter/geo_json.rs): DSL
+    geometry filter → st_within_point (ray-casting pandas UDF with bbox
+    prefilter). Rectangle geometry so the oracle is exact bbox SQL;
+    +0.5 offsets keep every point off the boundary."""
+    from beacon_spark.engine import Engine
+
+    _reg(spark, sf_dir, "customer")
+    spark.table("customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 360) - 180 + F.lit(0.5)).cast("double").alias("lon"),
+        (((F.col("c_custkey") * 7) % 180) - 90 + F.lit(0.5)).cast("double").alias("lat"),
+    ).createOrReplaceTempView("geo_pts")
+    eng = Engine(spark)
+    return eng.query(
+        {
+            "select": ["c_custkey", "lon", "lat"],
+            "filter": {
+                "longitude_column": "lon",
+                "latitude_column": "lat",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[-60, 20], [-20, 20], [-20, 50], [-60, 50], [-60, 20]]
+                    ],
+                },
+            },
+            "from": "geo_pts",
+            "sort_by": [{"asc": "c_custkey"}],
+        }
+    )
+
+
+_SQL_GEO = """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+         CAST(((c_custkey * 7) % 180) - 90 + 0.5 AS DOUBLE) AS lat
+  FROM customer
+)
+SELECT c_custkey, lon, lat FROM pts
+WHERE lon > -60 AND lon < -20 AND lat > 20 AND lat < 50
+ORDER BY c_custkey
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -1232,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subqueries": _q_subqueries,
         "cte_query": _q_cte,
         "vocab_mappers": _q_vocab_mappers,
+        "geo_filter": _q_geo_filter,
         # bench shapes (BASELINE.md harness queries)
         "count_all": _q_count_all,
         "filter_range": _q_filter_range,
@@ -1283,6 +1330,7 @@ def oracle_sql() -> dict[str, str]:
         "subqueries": _SQL_SUBQUERIES,
         "cte_query": _SQL_CTE,
         "vocab_mappers": _SQL_VOCAB,
+        "geo_filter": _SQL_GEO,
         "rollup_agg": _SQL_ROLLUP,
         "pivot_agg": _SQL_PIVOT,
         "count_all": _SQL_COUNT_ALL,

@@ -38,6 +38,7 @@ _TRY_ARROW_CAST_RE = re.compile(
     r"\btry_arrow_cast\s*\(", re.IGNORECASE
 )
 _SUMMARIZE_RE = re.compile(r"^\s*SUMMARIZE\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL)
+_QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
 _ANALYZE_RE = re.compile(
     r"^\s*ANALYZE\s+FILES(?:\s+'([^']*)')?(\s+FORCE)?;?\s*$", re.IGNORECASE
 )
@@ -163,6 +164,21 @@ class Engine:
     def read_arrow_schema(self, paths) -> DataFrame:
         return tabular.read_arrow_schema(self.spark, paths, self.datasets_root)
 
+    def read_netcdf_schema(self, paths) -> DataFrame:
+        from beacon_spark.sources.tabular import _schema_df
+
+        return _schema_df(self.spark, self.read_netcdf(paths).schema)
+
+    def read_zarr_schema(self, paths) -> DataFrame:
+        from beacon_spark.sources.tabular import _schema_df
+
+        return _schema_df(self.spark, self.read_zarr(paths).schema)
+
+    def read_odv_schema(self, paths) -> DataFrame:
+        from beacon_spark.sources.tabular import _schema_df
+
+        return _schema_df(self.spark, self.read_odv(paths).schema)
+
     def list_datasets(self) -> DataFrame:
         """Every file under the datasets root + detected format
         (beacon-functions/src/file_formats/list_datasets.rs)."""
@@ -225,6 +241,7 @@ class Engine:
         statement = self._rewrite_read_fns(statement)
         statement = self._rewrite_try_arrow_cast(statement)
         statement = self._rewrite_macros(statement)
+        statement = self._rewrite_qualify(statement)
         return self.spark.sql(statement)
 
     # ------------------------------------------------------------ ddl/dml
@@ -519,6 +536,48 @@ class Engine:
                 + pressure_to_depth_sql(args[0], args[1])
                 + statement[i:]
             )
+
+    def _rewrite_qualify(self, statement: str) -> str:
+        """``QUALIFY <pred>`` (docs sql/index.md:46-48 — DataFusion dialect)
+        → filter over a computed window column. The predicate (which may be
+        a window expression or reference select aliases) becomes an extra
+        select item on the inner query, filtered then dropped:
+
+          SELECT ... FROM t QUALIFY p [ORDER BY/LIMIT tail]
+          ⇒ SELECT * EXCEPT (__q) FROM
+              (SELECT __orig.*, (p) AS __q FROM (SELECT ...) __orig) __f
+            WHERE __q [tail]
+
+        Limitation: a window in the predicate may only reference columns
+        the inner select exposes (true for alias-style and self-contained
+        QUALIFY, the documented uses)."""
+        m = _QUALIFY_RE.search(statement)
+        if not m:
+            return statement
+        inner = statement[: m.start()].rstrip()
+        rest = statement[m.end():].strip().rstrip(";")
+        # predicate runs until an ORDER BY / LIMIT / OFFSET at paren depth 0
+        # (an ORDER BY inside OVER(...) belongs to the predicate)
+        split_at = None
+        depth = 0
+        for km in re.finditer(
+            r"[()]|\b(ORDER\s+BY|LIMIT|OFFSET)\b", rest, re.IGNORECASE
+        ):
+            tok = km.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                split_at = km.start()
+                break
+        pred = rest[:split_at].strip() if split_at is not None else rest
+        tail = " " + rest[split_at:] if split_at is not None else ""
+        return (
+            f"SELECT * EXCEPT (__q) FROM "
+            f"(SELECT __orig.*, ({pred}) AS __q FROM ({inner}) __orig) __f "
+            f"WHERE __q{tail}"
+        )
 
     # ------------------------------------------------------------ json dsl
 
