@@ -1199,6 +1199,84 @@ FROM coded ORDER BY n_nationkey
 """
 
 
+def _q_netcdf_roundtrip(spark, sf_dir):
+    """§2.1 + §2.10 nd formats: aggregate → flat NetCDF (pure NetCDF3
+    writer) → read_netcdf → rows. The oracle computes the same aggregate
+    directly, so a hash match proves the write→read cycle is lossless
+    (the reference's test_nd_formats.py round-trip, in-driver-contract)."""
+    import os
+    import tempfile
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.outputs import write_output
+
+    _reg(spark, sf_dir, "lineitem")
+    agg = (
+        spark.table("lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).cast("double").alias("n_rows"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="beacon_nd_")
+    write_output(agg, "netcdf", os.path.join(root, "agg.nc"))
+    eng = Engine(spark, datasets_root=root)
+    return eng.sql(
+        "SELECT l_returnflag, l_linestatus, sum_qty, "
+        "CAST(n_rows AS BIGINT) AS n_rows "
+        "FROM read_netcdf('agg.nc') ORDER BY l_returnflag, l_linestatus"
+    )
+
+
+_SQL_NETCDF_RT = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q_odv_roundtrip(spark, sf_dir):
+    """§2.1 + §2.10 ODV ASCII: rows → ODV spreadsheet → read_odv_ascii →
+    rows, hash-matched against computing the projection directly."""
+    import os
+    import tempfile
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.sources.odv import write_odv
+
+    _reg(spark, sf_dir, "supplier")
+    pts = (
+        spark.table("supplier")
+        .select(
+            F.col("s_suppkey").cast("double").alias("station"),
+            ((F.col("s_suppkey") % 360) - 180 + 0.25).cast("double").alias("longitude"),
+            (((F.col("s_suppkey") * 3) % 180) - 90 + 0.25).cast("double").alias("latitude"),
+            F.round(F.col("s_acctbal"), 2).alias("balance"),
+        )
+        .orderBy("station")
+    )
+    root = tempfile.mkdtemp(prefix="beacon_odv_")
+    p = os.path.join(root, "sup.txt")
+    write_odv(pts, p, longitude_column="longitude", latitude_column="latitude")
+    eng = Engine(spark, datasets_root=root)
+    return eng.sql(
+        "SELECT CAST(station AS BIGINT) AS station, longitude, latitude, balance "
+        "FROM read_odv_ascii('sup.txt') ORDER BY station"
+    )
+
+
+_SQL_ODV_RT = """
+SELECT s_suppkey AS station,
+       CAST((s_suppkey % 360) - 180 + 0.25 AS DOUBLE) AS longitude,
+       CAST(((s_suppkey * 3) % 180) - 90 + 0.25 AS DOUBLE) AS latitude,
+       round(s_acctbal, 2) AS balance
+FROM supplier ORDER BY station
+"""
+
+
 def _q_geo_filter(spark, sf_dir):
     """§2.2 GeoJSON spatial filter (query/filter/geo_json.rs): DSL
     geometry filter → st_within_point (ray-casting pandas UDF with bbox
@@ -1279,6 +1357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cte_query": _q_cte,
         "vocab_mappers": _q_vocab_mappers,
         "geo_filter": _q_geo_filter,
+        "netcdf_roundtrip": _q_netcdf_roundtrip,
+        "odv_roundtrip": _q_odv_roundtrip,
         # bench shapes (BASELINE.md harness queries)
         "count_all": _q_count_all,
         "filter_range": _q_filter_range,
@@ -1331,6 +1411,8 @@ def oracle_sql() -> dict[str, str]:
         "cte_query": _SQL_CTE,
         "vocab_mappers": _SQL_VOCAB,
         "geo_filter": _SQL_GEO,
+        "netcdf_roundtrip": _SQL_NETCDF_RT,
+        "odv_roundtrip": _SQL_ODV_RT,
         "rollup_agg": _SQL_ROLLUP,
         "pivot_agg": _SQL_PIVOT,
         "count_all": _SQL_COUNT_ALL,

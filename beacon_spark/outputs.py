@@ -160,33 +160,59 @@ def write_netcdf(
     dimension_columns: list[str] | None = None,
 ) -> None:
     """Flat (record-oriented) or nd (re-gridded over ``dimension_columns``)
-    NetCDF output (output.rs:102-112). Requires netCDF4 — gated."""
-    try:
-        import netCDF4  # type: ignore
-    except ImportError as e:
-        raise ImportError(
-            "netcdf output requires the 'netCDF4' package; not installed here"
-        ) from e
+    NetCDF output (output.rs:102-112) — written with the self-contained
+    NetCDF3 classic writer (sources/netcdf3.py), so no native library is
+    needed. Timestamps become CF "microseconds since 1970-01-01" doubles;
+    object/string grids become fixed-width char arrays."""
+    from beacon_spark.sources.netcdf3 import write_netcdf3
+
+    # CF-normalize at the ARROW level first: tz/decimal columns become
+    # numerics with CF units attrs (pandas would hand us object arrays)
     table = df.toArrow()
-    ds = netCDF4.Dataset(path, "w")
-    try:
-        if dimension_columns:
-            coords, variables = regrid(table, dimension_columns)
-            for dim, vals in coords.items():
-                ds.createDimension(dim, len(vals))
-                v = ds.createVariable(dim, np.asarray(vals).dtype, (dim,))
-                v[:] = vals
-            for name, arr in variables.items():
-                v = ds.createVariable(name, arr.dtype, tuple(dimension_columns))
-                v[:] = arr
-        else:
-            ds.createDimension("obs", table.num_rows)
-            for name in table.column_names:
-                col = table.column(name).to_pandas().to_numpy()
-                v = ds.createVariable(name, col.dtype, ("obs",))
-                v[:] = col
-    finally:
-        ds.close()
+    cols, cf_attrs = [], {}
+    for name in table.column_names:
+        c = table.column(name)
+        t = c.type
+        if pa.types.is_timestamp(t):
+            c = c.cast(pa.timestamp("us")).cast(pa.int64()).cast(pa.float64())
+            cf_attrs[name] = {"units": "microseconds since 1970-01-01"}
+        elif pa.types.is_date(t):
+            c = c.cast(pa.date32()).cast(pa.int32()).cast(pa.float64())
+            cf_attrs[name] = {"units": "days since 1970-01-01"}
+        elif pa.types.is_decimal(t):
+            c = c.cast(pa.float64())
+        cols.append(c)
+    table = pa.table(dict(zip(table.column_names, cols)))
+
+    def to_np(col) -> np.ndarray:
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            return np.asarray(["" if v is None else v for v in col.to_pylist()])
+        arr = col.to_pandas().to_numpy()
+        if arr.dtype == object:  # nullable ints etc.
+            arr = np.asarray(
+                [np.nan if v is None else v for v in arr], dtype=np.float64
+            )
+        return arr
+
+    dims: dict[str, int] = {}
+    variables: dict[str, tuple[tuple[str, ...], np.ndarray]] = {}
+    var_attrs: dict[str, dict] = dict(cf_attrs)
+    if dimension_columns:
+        coords, grids = regrid(table, dimension_columns)
+        for dim, vals in coords.items():
+            dims[dim] = len(vals)
+            variables[dim] = ((dim,), np.asarray(vals))
+        for name, arr in grids.items():
+            if arr.dtype == object:
+                arr = np.asarray(
+                    [("" if v is None else str(v)) for v in arr.ravel()]
+                ).reshape(arr.shape)
+            variables[name] = (tuple(dimension_columns), arr)
+    else:
+        dims["obs"] = table.num_rows
+        for name in table.column_names:
+            variables[name] = (("obs",), to_np(table.column(name)))
+    write_netcdf3(path, dims, variables, var_attrs)
 
 
 # ------------------------------------------------------------ dispatcher

@@ -244,26 +244,31 @@ def open_netcdf(path: str) -> GridDataset:
         return GridDataset(dims, variables, var_attrs, global_attrs)
     try:
         import xarray as xr  # type: ignore
-    except ImportError as e:
-        raise ImportError(
-            "read_netcdf requires the 'netCDF4' or 'xarray' package; "
-            "neither is installed in this environment"
-        ) from e
-    ds = xr.open_dataset(path, decode_cf=False)
-    dims = dict(ds.sizes)
-    variables = {n: (tuple(v.dims), v.values) for n, v in ds.variables.items()}
-    var_attrs = {n: dict(v.attrs) for n, v in ds.variables.items()}
-    return GridDataset(dims, variables, var_attrs, dict(ds.attrs))
+    except ImportError:
+        xr = None
+    if xr is not None:
+        ds = xr.open_dataset(path, decode_cf=False)
+        dims = dict(ds.sizes)
+        variables = {n: (tuple(v.dims), v.values) for n, v in ds.variables.items()}
+        var_attrs = {n: dict(v.attrs) for n, v in ds.variables.items()}
+        return GridDataset(dims, variables, var_attrs, dict(ds.attrs))
+    # no nd library installed: self-contained NetCDF3 classic parser
+    # (NetCDF4/HDF5 files raise with a clear message from read_netcdf3)
+    from beacon_spark.sources.netcdf3 import read_netcdf3
+
+    return GridDataset(*read_netcdf3(path))
 
 
 def open_zarr(path: str) -> GridDataset:
-    """Open a Zarr v2/v3 store as a GridDataset (gated on the zarr lib)."""
+    """Open a Zarr v2/v3 store as a GridDataset — via the zarr package when
+    present, else the self-contained directory-store reader (bytes/gzip/
+    zlib codecs; exotic codecs raise naming the package)."""
     try:
         import zarr  # type: ignore
-    except ImportError as e:
-        raise ImportError(
-            "read_zarr requires the 'zarr' package; not installed here"
-        ) from e
+    except ImportError:
+        from beacon_spark.sources.zarrlite import read_zarr_store
+
+        return GridDataset(*read_zarr_store(path))
     g = zarr.open_group(path, mode="r")
     dims: dict[str, int] = {}
     variables = {}

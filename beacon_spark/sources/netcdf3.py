@@ -1,0 +1,321 @@
+"""Pure-Python NetCDF3 "classic" reader/writer (no external libraries).
+
+The container has no netCDF4/h5py/xarray, but NetCDF3 classic (CDF-1 /
+CDF-2) is a simple, fully published binary format (the NetCDF "Classic
+Format Spec"): a big-endian header (dims, global attrs, variables with
+their attrs and data offsets) followed by contiguous big-endian array
+data, 4-byte aligned, with an optional UNLIMITED record dimension whose
+variables interleave per record.
+
+This backs the reference's `read_netcdf` surface
+(`beacon-arrow-netcdf/src/lib.rs` — which similarly ships its own pure
+reader, oxcdf, next to the netcdf-c binding) and the `netcdf`/`ndnetcdf`
+OUTPUT formats (`beacon-core/src/query/output.rs:102-112`) without any
+native dependency. NetCDF4 (HDF5-based) files are out of scope here and
+raise a clear error pointing at the optional netCDF4 package.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAGIC = b"CDF"
+_NC_DIMENSION = 0x0A
+_NC_VARIABLE = 0x0B
+_NC_ATTRIBUTE = 0x0C
+
+# nc_type -> (numpy dtype, size)
+_TYPES = {
+    1: np.dtype(">i1"),  # NC_BYTE
+    2: np.dtype("S1"),   # NC_CHAR
+    3: np.dtype(">i2"),  # NC_SHORT
+    4: np.dtype(">i4"),  # NC_INT
+    5: np.dtype(">f4"),  # NC_FLOAT
+    6: np.dtype(">f8"),  # NC_DOUBLE
+}
+_NC_TYPE_OF = {
+    "int8": 1, "uint8": 1, "bool": 1,
+    "int16": 3, "int32": 4,
+    "float32": 5, "float64": 6,
+}
+
+
+def _pad4(n: int) -> int:
+    return (4 - (n % 4)) % 4
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.b = buf
+        self.o = 0
+
+    def u4(self) -> int:
+        (v,) = struct.unpack_from(">I", self.b, self.o)
+        self.o += 4
+        return v
+
+    def i4(self) -> int:
+        (v,) = struct.unpack_from(">i", self.b, self.o)
+        self.o += 4
+        return v
+
+    def i8(self) -> int:
+        (v,) = struct.unpack_from(">q", self.b, self.o)
+        self.o += 8
+        return v
+
+    def name(self) -> str:
+        n = self.u4()
+        s = self.b[self.o : self.o + n].decode("utf-8")
+        self.o += n + _pad4(n)
+        return s
+
+    def values(self, nc_type: int, count: int):
+        dt = _TYPES[nc_type]
+        nbytes = dt.itemsize * count
+        arr = np.frombuffer(self.b, dt, count, self.o)
+        self.o += nbytes + _pad4(nbytes)
+        if nc_type == 2:
+            return arr.tobytes().decode("utf-8", "replace")
+        vals = arr.tolist()
+        return vals[0] if count == 1 else vals
+
+
+def read_netcdf3(path: str) -> tuple[dict, dict, dict, dict]:
+    """Parse a CDF-1/CDF-2 file → (dims, variables, var_attrs, global_attrs)
+    in GridDataset's shapes: dims name→size, variables name→(dim_names,
+    ndarray)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:3] != _MAGIC or buf[3] not in (1, 2):
+        raise ValueError(
+            f"{path}: not a NetCDF3 classic file (NetCDF4/HDF5 needs the "
+            f"optional netCDF4 package)"
+        )
+    version = buf[3]
+    r = _Reader(buf)
+    r.o = 4
+    numrecs = r.u4()  # 0xFFFFFFFF = STREAMING; treated as computed below
+
+    dims: list[tuple[str, int]] = []
+    tag, n = r.u4(), r.u4()
+    if tag == _NC_DIMENSION:
+        for _ in range(n):
+            dims.append((r.name(), r.u4()))
+
+    def read_attrs() -> dict:
+        tag, n = r.u4(), r.u4()
+        out = {}
+        if tag == _NC_ATTRIBUTE:
+            for _ in range(n):
+                nm = r.name()
+                t = r.u4()
+                cnt = r.u4()
+                out[nm] = r.values(t, cnt)
+        return out
+
+    global_attrs = read_attrs()
+
+    tag, nvars = r.u4(), r.u4()
+    var_meta = []
+    if tag == _NC_VARIABLE:
+        for _ in range(nvars):
+            nm = r.name()
+            ndims = r.u4()
+            dimids = [r.u4() for _ in range(ndims)]
+            attrs = read_attrs()
+            nc_type = r.u4()
+            vsize = r.u4()
+            begin = r.i8() if version == 2 else r.u4()
+            var_meta.append((nm, dimids, attrs, nc_type, vsize, begin))
+
+    rec_dim = next((i for i, (_, sz) in enumerate(dims) if sz == 0), None)
+    # actual record count: prefer header numrecs, else derive from file size
+    rec_vars = [m for m in var_meta if rec_dim is not None and rec_dim in m[1]]
+    if rec_dim is not None and (numrecs == 0xFFFFFFFF) and rec_vars:
+        recsize = sum(m[4] for m in rec_vars)
+        first = min(m[5] for m in rec_vars)
+        numrecs = (len(buf) - first) // recsize if recsize else 0
+
+    dim_sizes = {
+        name: (numrecs if sz == 0 else sz) for name, sz in dims
+    }
+    variables: dict[str, tuple[tuple[str, ...], np.ndarray]] = {}
+    var_attrs: dict[str, dict] = {}
+
+    recsize = sum(m[4] for m in rec_vars)
+    for nm, dimids, attrs, nc_type, vsize, begin in var_meta:
+        dnames = tuple(dims[i][0] for i in dimids)
+        shape = tuple(dim_sizes[d] for d in dnames)
+        dt = _TYPES[nc_type]
+        is_rec = rec_dim is not None and rec_dim in dimids
+        if not is_rec:
+            count = int(np.prod(shape)) if shape else 1
+            arr = np.frombuffer(buf, dt, count, begin).reshape(shape)
+        else:
+            # per-record slabs of vsize bytes, strided by total recsize
+            per_rec_shape = shape[1:]
+            per_count = int(np.prod(per_rec_shape)) if per_rec_shape else 1
+            out = np.empty((dim_sizes[dims[rec_dim][0]], per_count), dt)
+            stride = recsize if len(rec_vars) > 1 else vsize
+            for rec in range(out.shape[0]):
+                out[rec] = np.frombuffer(buf, dt, per_count, begin + rec * stride)
+            arr = out.reshape(shape)
+        if nc_type == 2 and arr.ndim >= 1:
+            # char array: last dim = string length (CF convention)
+            if arr.ndim >= 2:
+                arr = arr.view(f"S{arr.shape[-1]}")[..., 0]
+                arr = np.char.decode(arr, "utf-8", "replace")
+                dnames = dnames[:-1]
+            else:
+                arr = np.char.decode(arr.view("S1"), "utf-8", "replace")
+        if arr.dtype.byteorder == ">":
+            arr = arr.astype(arr.dtype.newbyteorder("="))  # pyarrow needs native
+        variables[nm] = (dnames, np.ascontiguousarray(arr))
+        var_attrs[nm] = attrs
+
+    return dim_sizes, variables, var_attrs, global_attrs
+
+
+# ---------------------------------------------------------------- writer
+
+
+def _nc_type_for(arr: np.ndarray) -> tuple[int, np.ndarray]:
+    kind = arr.dtype
+    if kind.kind in ("U", "S", "O"):
+        return 2, arr  # handled specially
+    name = kind.name
+    if name in _NC_TYPE_OF:
+        t = _NC_TYPE_OF[name]
+    elif kind.kind in ("i", "u"):
+        t, arr = 4, arr.astype(np.int64).clip(-(2**31), 2**31 - 1).astype(np.int32)
+        # int64 narrowed: NetCDF3 classic has no 64-bit integer type
+    else:
+        t, arr = 6, arr.astype(np.float64)
+    return t, arr
+
+
+class _Writer:
+    def __init__(self):
+        self.parts: list[bytes] = []
+
+    def raw(self, b: bytes):
+        self.parts.append(b)
+
+    def u4(self, v: int):
+        self.parts.append(struct.pack(">I", v))
+
+    def name(self, s: str):
+        b = s.encode("utf-8")
+        self.u4(len(b))
+        self.raw(b + b"\x00" * _pad4(len(b)))
+
+    def attr_values(self, v):
+        if isinstance(v, str):
+            b = v.encode("utf-8")
+            self.u4(2)
+            self.u4(len(b))
+            self.raw(b + b"\x00" * _pad4(len(b)))
+            return
+        arr = np.atleast_1d(np.asarray(v))
+        t, arr = _nc_type_for(arr)
+        dt = _TYPES[t]
+        self.u4(t)
+        self.u4(arr.size)
+        b = np.ascontiguousarray(arr, dt).tobytes()
+        self.raw(b + b"\x00" * _pad4(len(b)))
+
+    def attrs(self, attrs: dict):
+        if not attrs:
+            self.u4(0)
+            self.u4(0)
+            return
+        self.u4(_NC_ATTRIBUTE)
+        self.u4(len(attrs))
+        for k, v in attrs.items():
+            self.name(k)
+            self.attr_values(v)
+
+    def size(self) -> int:
+        return sum(len(p) for p in self.parts)
+
+
+def write_netcdf3(
+    path: str,
+    dims: dict[str, int],
+    variables: dict[str, tuple[tuple[str, ...], np.ndarray]],
+    var_attrs: dict[str, dict] | None = None,
+    global_attrs: dict | None = None,
+) -> None:
+    """Write a CDF-2 (64-bit-offset) classic file; all dims fixed-size.
+    int64 narrows to int32 (classic has no 64-bit int) — callers that
+    need exact 64-bit values should cast to double or split the column."""
+    var_attrs = var_attrs or {}
+    dim_names = list(dims)
+    dim_index = {d: i for i, d in enumerate(dim_names)}
+
+    prepared = []
+    for nm, (dnames, arr) in variables.items():
+        arr = np.asarray(arr)
+        if arr.dtype.kind in ("U", "S", "O"):
+            a = np.char.encode(arr.astype("U"), "utf-8")
+            width = max(1, int(a.dtype.itemsize))
+            strdim = f"_strlen_{nm}"
+            dims = {**dims, strdim: width}
+            dim_names.append(strdim)
+            dim_index[strdim] = len(dim_names) - 1
+            bytes_arr = np.frombuffer(
+                a.astype(f"S{width}").tobytes(), "S1"
+            ).reshape(*arr.shape, width)
+            prepared.append((nm, (*dnames, strdim), 2, bytes_arr))
+        else:
+            t, a = _nc_type_for(arr)
+            prepared.append((nm, dnames, t, np.ascontiguousarray(a, _TYPES[t])))
+
+    w = _Writer()
+    w.raw(_MAGIC + bytes([2]))
+    w.u4(0)  # numrecs (no record dim)
+    w.u4(_NC_DIMENSION)
+    w.u4(len(dim_names))
+    for d in dim_names:
+        w.name(d)
+        w.u4(int(dims[d]))
+    w.attrs(global_attrs or {})
+    w.u4(_NC_VARIABLE)
+    w.u4(len(prepared))
+
+    # first pass with dummy offsets to size the header
+    def var_header(writer, nm, dnames, t, data, begin):
+        writer.name(nm)
+        writer.u4(len(dnames))
+        for d in dnames:
+            writer.u4(dim_index[d])
+        writer.attrs(var_attrs.get(nm, {}))
+        writer.u4(t)
+        vsize = data.size * _TYPES[t].itemsize
+        writer.u4(vsize + _pad4(vsize))
+        writer.raw(struct.pack(">q", begin))
+
+    probe = _Writer()
+    for nm, dnames, t, data in prepared:
+        var_header(probe, nm, dnames, t, data, 0)
+    header_size = w.size() + probe.size()
+
+    begins = []
+    off = header_size
+    for nm, dnames, t, data in prepared:
+        begins.append(off)
+        vsize = data.size * _TYPES[t].itemsize
+        off += vsize + _pad4(vsize)
+
+    for (nm, dnames, t, data), begin in zip(prepared, begins):
+        var_header(w, nm, dnames, t, data, begin)
+    for nm, dnames, t, data in prepared:
+        b = data.tobytes()
+        w.raw(b + b"\x00" * _pad4(len(b)))
+
+    with open(path, "wb") as f:
+        for p in w.parts:
+            f.write(p)

@@ -1,0 +1,222 @@
+"""Pure-Python nd file formats: NetCDF3 classic round-trip, zarr v2/v3
+directory stores, end-to-end read_netcdf/read_zarr through Spark
+(reference: beacon-arrow-netcdf, beacon-arrow-zarr, arrays-to-tables.md)."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+from beacon_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
+from beacon_spark.sources.nd import open_netcdf, open_zarr
+
+
+@pytest.fixture()
+def nc_file(tmp_path):
+    p = str(tmp_path / "grid.nc")
+    time = np.array([0.0, 1.0, 2.0])
+    lat = np.array([10.0, 20.0], dtype=np.float32)
+    temp = np.arange(6, dtype=np.float32).reshape(3, 2) / 2.0
+    write_netcdf3(
+        p,
+        dims={"time": 3, "lat": 2},
+        variables={
+            "time": (("time",), time),
+            "lat": (("lat",), lat),
+            "temperature": (("time", "lat"), temp),
+            "qc": (("time",), np.array([1, 2, 3], dtype=np.int16)),
+        },
+        var_attrs={
+            "time": {"units": "days since 2020-01-01"},
+            "temperature": {"units": "Celsius", "scale_factor": 2.0},
+        },
+        global_attrs={"title": "test grid", "version": 3},
+    )
+    return p
+
+
+def test_netcdf3_roundtrip(nc_file):
+    dims, variables, var_attrs, gattrs = read_netcdf3(nc_file)
+    assert dims == {"time": 3, "lat": 2}
+    assert variables["temperature"][0] == ("time", "lat")
+    np.testing.assert_array_equal(
+        variables["temperature"][1], np.arange(6, dtype=np.float32).reshape(3, 2) / 2.0
+    )
+    np.testing.assert_array_equal(variables["qc"][1], [1, 2, 3])
+    assert var_attrs["time"]["units"] == "days since 2020-01-01"
+    assert gattrs["title"] == "test grid"
+    assert gattrs["version"] == 3
+
+
+def test_netcdf3_string_var(tmp_path):
+    p = str(tmp_path / "s.nc")
+    write_netcdf3(
+        p,
+        dims={"obs": 3},
+        variables={"platform": (("obs",), np.array(["argo", "ship", "x"]))},
+    )
+    _, variables, _, _ = read_netcdf3(p)
+    assert variables["platform"][0] == ("obs",)
+    assert list(variables["platform"][1]) == ["argo", "ship", "x"]
+
+
+def test_open_netcdf_flatten_cf(nc_file):
+    ds = open_netcdf(nc_file)
+    assert ds.grid() == ("time", "lat")
+    t = ds.flatten()
+    assert t.num_rows == 6
+    cols = t.column_names
+    # CF: time decoded to timestamp; scale_factor applied; attrs as columns
+    assert "temperature" in cols and "time" in cols
+    temps = t.column("temperature").to_pylist()
+    assert temps[:4] == [0.0, 1.0, 2.0, 3.0]  # raw/2 * scale_factor 2
+    assert "temperature.units" in cols
+    assert t.column(".title").to_pylist()[0] == "test grid"
+    assert str(t.schema.field("time").type).startswith("timestamp")
+
+
+def _write_zarr_v3(root, arrays, gattrs=None):
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "zarr.json"), "w") as f:
+        json.dump(
+            {"zarr_format": 3, "node_type": "group", "attributes": gattrs or {}}, f
+        )
+    for name, (dims, arr, attrs, chunk_shape, codec) in arrays.items():
+        adir = os.path.join(root, name)
+        os.makedirs(adir, exist_ok=True)
+        codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+        if codec == "gzip":
+            codecs.append({"name": "gzip", "configuration": {"level": 5}})
+        meta = {
+            "zarr_format": 3,
+            "node_type": "array",
+            "shape": list(arr.shape),
+            "data_type": arr.dtype.name,
+            "chunk_grid": {
+                "name": "regular",
+                "configuration": {"chunk_shape": list(chunk_shape)},
+            },
+            "chunk_key_encoding": {
+                "name": "default",
+                "configuration": {"separator": "/"},
+            },
+            "fill_value": 0,
+            "codecs": codecs,
+            "attributes": attrs,
+            "dimension_names": list(dims),
+        }
+        with open(os.path.join(adir, "zarr.json"), "w") as f:
+            json.dump(meta, f)
+        import itertools
+
+        grid = [max(1, -(-s // c)) for s, c in zip(arr.shape, chunk_shape)]
+        for idx in itertools.product(*(range(g) for g in grid)):
+            full = np.zeros(chunk_shape, arr.dtype)
+            slices = tuple(
+                slice(i * c, min((i + 1) * c, s))
+                for i, c, s in zip(idx, chunk_shape, arr.shape)
+            )
+            trim = tuple(slice(0, sl.stop - sl.start) for sl in slices)
+            full[trim] = arr[slices]
+            raw = full.astype(arr.dtype.newbyteorder("<")).tobytes()
+            if codec == "gzip":
+                raw = gzip.compress(raw)
+            cdir = os.path.join(adir, "c", *[str(i) for i in idx[:-1]])
+            os.makedirs(cdir, exist_ok=True)
+            with open(os.path.join(cdir, str(idx[-1])), "wb") as f:
+                f.write(raw)
+
+
+def test_zarr_v3_store(tmp_path):
+    root = str(tmp_path / "store.zarr")
+    temp = np.arange(24, dtype=np.float64).reshape(4, 6)
+    depth = np.array([0, 10, 20, 30], dtype=np.int32)
+    _write_zarr_v3(
+        root,
+        {
+            "temp": (("depth", "x"), temp, {"units": "C"}, (2, 4), "gzip"),
+            "depth": (("depth",), depth, {}, (4,), None),
+        },
+        gattrs={"source": "synthetic"},
+    )
+    ds = open_zarr(root)
+    assert ds.grid() == ("depth", "x")
+    np.testing.assert_array_equal(ds.variables["temp"][1], temp)
+    np.testing.assert_array_equal(ds.variables["depth"][1], depth)
+    t = ds.flatten()
+    assert t.num_rows == 24
+    assert t.column(".source").to_pylist()[0] == "synthetic"
+
+
+def test_zarr_v2_store(tmp_path):
+    import zlib
+
+    root = str(tmp_path / "v2.zarr")
+    os.makedirs(os.path.join(root, "v"), exist_ok=True)
+    with open(os.path.join(root, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    arr = np.arange(10, dtype="f4")
+    with open(os.path.join(root, "v", ".zarray"), "w") as f:
+        json.dump(
+            {
+                "zarr_format": 2,
+                "shape": [10],
+                "chunks": [4],
+                "dtype": "<f4",
+                "compressor": {"id": "zlib", "level": 6},
+                "fill_value": 0.0,
+                "order": "C",
+                "filters": None,
+            },
+            f,
+        )
+    with open(os.path.join(root, "v", ".zattrs"), "w") as f:
+        json.dump({"_ARRAY_DIMENSIONS": ["obs"], "units": "m"}, f)
+    for i in range(3):
+        full = np.zeros(4, "f4")
+        part = arr[i * 4 : (i + 1) * 4]
+        full[: len(part)] = part
+        with open(os.path.join(root, "v", str(i)), "wb") as f:
+            f.write(zlib.compress(full.tobytes()))
+    ds = open_zarr(root)
+    np.testing.assert_array_equal(ds.variables["v"][1], arr)
+    assert ds.var_attrs["v"]["units"] == "m"
+
+
+def test_read_netcdf_spark_e2e(spark, tmp_path, nc_file):
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    df = eng.sql(
+        "SELECT time, lat, temperature FROM read_netcdf('grid.nc') "
+        "WHERE temperature >= 1.0 ORDER BY time, lat"
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert rows[0].temperature == 1.0
+    # schema twin
+    schema = {r.column_name for r in eng.read_netcdf_schema("grid.nc").collect()}
+    assert {"time", "lat", "temperature"} <= schema
+
+
+def test_read_zarr_spark_e2e(spark, tmp_path):
+    from beacon_spark.engine import Engine
+
+    root = str(tmp_path / "s.zarr")
+    _write_zarr_v3(
+        root,
+        {
+            "temp": (
+                ("t", "x"),
+                np.arange(12, dtype=np.float64).reshape(3, 4),
+                {},
+                (2, 2),
+                "gzip",
+            )
+        },
+    )
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    df = eng.sql("SELECT * FROM read_zarr('s.zarr') WHERE temp > 5.0")
+    assert df.count() == 6

@@ -88,6 +88,55 @@ def test_geoparquet_metadata(spark, tmp_path):
     assert geom_type == 1 and (x, y) == (4.5, 52.0)
 
 
-def test_netcdf_gated(result_df, tmp_path):
-    with pytest.raises(ImportError):
-        write_output(result_df, "netcdf", str(tmp_path / "x.nc"))
+def test_netcdf_flat_roundtrip(result_df, tmp_path, spark):
+    """Flat record-oriented NetCDF written with the pure writer reads back
+    through read_netcdf with identical values (output.rs:102-105)."""
+    from beacon_spark.engine import Engine
+
+    p = str(tmp_path / "flat.nc")
+    write_output(result_df, "netcdf", p)
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    back = eng.sql(
+        "SELECT o_orderpriority, CAST(count AS BIGINT) AS count "
+        "FROM read_netcdf('flat.nc') ORDER BY o_orderpriority"
+    ).collect()
+    orig = result_df.collect()
+    assert [(r.o_orderpriority, r["count"]) for r in back] == [
+        (r.o_orderpriority, r["count"]) for r in orig
+    ]
+
+
+def test_ndnetcdf_regrid_roundtrip(spark, tmp_path):
+    """rows → nd grid → NetCDF → rows: the reference's nd round-trip test
+    (test_nd_formats.py pins flat & nd NetCDF output round-trips)."""
+    from beacon_spark.engine import Engine
+
+    df = spark.createDataFrame(
+        [(t, d, float(t * 10 + d)) for t in range(3) for d in (0, 5)],
+        "t int, depth int, val double",
+    )
+    p = str(tmp_path / "grid.nc")
+    write_output(df, "ndnetcdf", p, dimension_columns=["t", "depth"])
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    back = eng.sql(
+        "SELECT CAST(t AS INT) AS t, CAST(depth AS INT) AS depth, val "
+        "FROM read_netcdf('grid.nc') ORDER BY t, depth"
+    ).collect()
+    assert [(r.t, r.depth, r.val) for r in back] == [
+        (t, d, float(t * 10 + d)) for t in range(3) for d in (0, 5)
+    ]
+
+
+def test_netcdf_timestamp_cf(spark, tmp_path):
+    """Timestamps survive the CF microseconds-since-epoch round-trip."""
+    from beacon_spark.engine import Engine
+
+    df = spark.sql(
+        "SELECT timestamp'2021-03-04 05:06:07.123456' AS ts, 1.5 AS v"
+    )
+    p = str(tmp_path / "ts.nc")
+    write_output(df, "netcdf", p)
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    row = eng.sql("SELECT ts, v FROM read_netcdf('ts.nc')").collect()[0]
+    assert str(row.ts).startswith("2021-03-04 05:06:07.123456")  # CF decode is tz-aware UTC
+    assert row.v == 1.5
