@@ -149,11 +149,15 @@ class Engine:
 
         return read_odv(self.spark, paths, self.datasets_root)
 
-    def read_netcdf(self, paths, dimensions=None) -> DataFrame:
-        return read_nd(self.spark, "netcdf", paths, self.datasets_root, dimensions)
+    def read_netcdf(self, paths, dimensions=None, ranges=None) -> DataFrame:
+        return read_nd(
+            self.spark, "netcdf", paths, self.datasets_root, dimensions, ranges=ranges
+        )
 
-    def read_zarr(self, paths, dimensions=None) -> DataFrame:
-        return read_nd(self.spark, "zarr", paths, self.datasets_root, dimensions)
+    def read_zarr(self, paths, dimensions=None, ranges=None) -> DataFrame:
+        return read_nd(
+            self.spark, "zarr", paths, self.datasets_root, dimensions, ranges=ranges
+        )
 
     def read_parquet_schema(self, paths) -> DataFrame:
         return tabular.read_parquet_schema(self.spark, paths, self.datasets_root)
@@ -636,9 +640,13 @@ class Engine:
             if fmt == "arrow":
                 return self.read_arrow(cfg["paths"])
             if fmt in ("netcdf", "hdf5"):
-                return self.read_netcdf(cfg["paths"])
+                return self.read_netcdf(
+                    cfg["paths"], cfg.get("dimensions"), ranges=ranges
+                )
             if fmt == "zarr":
-                return self.read_zarr(cfg["paths"])
+                return self.read_zarr(
+                    cfg["paths"], cfg.get("dimensions"), ranges=ranges
+                )
             if fmt == "odv":
                 return self.read_odv(cfg["paths"])
             raise ValueError(f"unsupported from format: {fmt}")

@@ -288,6 +288,51 @@ _OPENERS = {"netcdf": open_netcdf, "zarr": open_zarr, "hdf5": open_netcdf}
 # ------------------------------------------------------------ spark reader
 
 
+def coord_row_ranges(
+    ds: GridDataset,
+    dimensions: list[str] | None,
+    ranges: dict[str, tuple[float | None, float | None]] | None,
+) -> list[tuple[int, int]]:
+    """Coordinate pushdown (the reference's PushdownFilter analog,
+    ``beacon-nd-array/src/arrow/pushdown_filter.rs:11-99`` → chunk
+    selection, e.g. ``beacon-arrow-zarr/src/datafusion/source.rs``):
+    an AND-ed numeric range on the LEADING grid dimension's coordinate
+    variable maps to a contiguous index hull, which in C-order flattening
+    is a contiguous row range — rows outside are never materialized.
+    Inner-dim and non-numeric constraints fall through fail-open (the
+    residual Spark filter keeps correctness)."""
+    grid = ds.grid(dimensions)
+    shape = [ds.dims[d] for d in grid]
+    n = int(np.prod(shape)) if shape else 1
+    full = [(0, n)]
+    if not grid or not ranges:
+        return full
+    lead = grid[0]
+    spec = ranges.get(lead)
+    if spec is None or lead not in ds.variables:
+        return full
+    dims_of, coord = ds.variables[lead]
+    if dims_of != (lead,):
+        return full
+    vals, arrow_type = decode_cf(
+        np.ascontiguousarray(coord), ds.var_attrs.get(lead, {})
+    )
+    if isinstance(vals, np.ma.MaskedArray) or vals.dtype.kind not in "iuf":
+        return full
+    lo, hi = spec
+    mask = np.ones(len(vals), bool)
+    if lo is not None:
+        mask &= vals >= lo
+    if hi is not None:
+        mask &= vals <= hi
+    if not mask.any():
+        return []
+    i0 = int(np.argmax(mask))
+    i1 = len(mask) - int(np.argmax(mask[::-1]))
+    inner = n // shape[0] if shape[0] else 1
+    return [(i0 * inner, i1 * inner)]
+
+
 def read_nd(
     spark,
     fmt: str,
@@ -295,16 +340,16 @@ def read_nd(
     datasets_root: str | None = None,
     dimensions: list[str] | None = None,
     rows_per_task: int = 1_000_000,
+    ranges: dict[str, tuple[float | None, float | None]] | None = None,
 ):
     """Distributed nd read: plan (file, row-chunk) tasks, flatten per task.
 
     Partition planning opens each file's *metadata* driver-side to learn the
     grid size (the reference does the same in its table providers), then
     splits the row space into ``rows_per_task`` chunks so a single huge file
-    still parallelizes across the cluster. Predicate pushdown into chunk
-    selection (the reference's PushdownFilter analog,
-    ``beacon-nd-array/src/arrow/pushdown_filter.rs``) is planned for a later
-    round: coordinate-range conjuncts → dim-index ranges → chunk pruning.
+    still parallelizes across the cluster. ``ranges`` (per-column numeric
+    bounds from the query filter) prunes chunks by coordinate range at
+    planning time — see ``coord_row_ranges``.
     """
     from pyspark.sql import types as T
 
@@ -318,13 +363,16 @@ def read_nd(
     sample_schema: pa.Schema | None = None
     for f in files:
         ds = opener(f)
-        n = ds.row_count(dimensions)
         if sample_schema is None:
             sample_schema = ds.flatten(dimensions, row_range=(0, 0)).schema
-        for lo in range(0, max(n, 1), rows_per_task):
-            tasks.append((f, lo, min(lo + rows_per_task, n)))
+        for rlo, rhi in coord_row_ranges(ds, dimensions, ranges):
+            for lo in range(rlo, max(rhi, rlo + 1), rows_per_task):
+                tasks.append((f, lo, min(lo + rows_per_task, rhi)))
 
     spark_schema = _arrow_to_spark_schema(sample_schema)
+    if not tasks:
+        # every chunk provably outside the requested coordinate ranges
+        return spark.createDataFrame([], spark_schema)
     tasks_df = spark.createDataFrame(
         tasks,
         T.StructType(

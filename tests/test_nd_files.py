@@ -220,3 +220,89 @@ def test_read_zarr_spark_e2e(spark, tmp_path):
     eng = Engine(spark, datasets_root=str(tmp_path))
     df = eng.sql("SELECT * FROM read_zarr('s.zarr') WHERE temp > 5.0")
     assert df.count() == 6
+
+
+def test_coord_pushdown_prunes_chunks(tmp_path):
+    """Leading-dim range → contiguous row-range pruning (PushdownFilter
+    analog): only matching slices are planned."""
+    from beacon_spark.sources.nd import GridDataset, coord_row_ranges
+
+    ds = GridDataset(
+        dims={"time": 10, "x": 4},
+        variables={
+            "time": (("time",), np.arange(10) * 10.0),
+            "v": (("time", "x"), np.arange(40, dtype="f8").reshape(10, 4)),
+        },
+    )
+    assert coord_row_ranges(ds, None, {"time": (30.0, 50.0)}) == [(12, 24)]
+    assert coord_row_ranges(ds, None, {"time": (None, 15.0)}) == [(0, 8)]
+    assert coord_row_ranges(ds, None, {"time": (1000.0, None)}) == []
+    # inner-dim constraint: fail-open (full range)
+    assert coord_row_ranges(ds, None, {"x": (0.0, 1.0)}) == [(0, 40)]
+    # no constraint
+    assert coord_row_ranges(ds, None, None) == [(0, 40)]
+
+
+def test_dsl_nd_pushdown_e2e(spark, tmp_path, nc_file):
+    """DSL filter on the time coordinate prunes rows at planning time AND
+    returns exactly the filtered result (residual filter keeps semantics)."""
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    # nc_file grid: time=3 days since 2020-01-01 -> timestamps; use lat
+    # (numeric, leading only if dimensions override) — filter on
+    # temperature is inner/non-coord: fail-open but correct
+    out = eng.query(
+        {
+            "select": ["time", "lat", "temperature"],
+            "filter": {
+                "and": [
+                    {"column": "temperature", "gt_eq": 1.0},
+                ]
+            },
+            "from": {"netcdf": {"paths": ["grid.nc"]}},
+            "sort_by": [{"asc": "lat"}],
+        }
+    )
+    assert out.count() == 5
+
+
+def test_zarr_pushdown_e2e(spark, tmp_path):
+    """Numeric leading coordinate: the planned task set shrinks and the
+    result matches the unpruned read + filter."""
+    from beacon_spark.engine import Engine
+
+    root = str(tmp_path / "p.zarr")
+    depth = np.array([0.0, 10.0, 20.0, 30.0, 40.0, 50.0])
+    temp = np.arange(36, dtype="f8").reshape(6, 6)
+    _write_zarr_v3(
+        root,
+        {
+            "depth": (("depth",), depth, {}, (6,), None),
+            "temp": (("depth", "x"), temp, {}, (2, 6), None),
+        },
+    )
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    pruned = eng.query(
+        {
+            "select": ["depth", "temp"],
+            "filter": {"and": [
+                {"column": "depth", "gt_eq": 20.0},
+                {"column": "depth", "lt_eq": 30.0},
+            ]},
+            "from": {"zarr": {"paths": ["p.zarr"]}},
+        }
+    )
+    rows = pruned.collect()
+    assert len(rows) == 12
+    assert {r.depth for r in rows} == {20.0, 30.0}
+    # empty-range case: planner returns an empty frame with full schema
+    none = eng.query(
+        {
+            "select": ["depth", "temp"],
+            "filter": {"and": [{"column": "depth", "gt_eq": 999.0}]},
+            "from": {"zarr": {"paths": ["p.zarr"]}},
+        }
+    )
+    assert none.count() == 0
+    assert set(none.columns) == {"depth", "temp"}
