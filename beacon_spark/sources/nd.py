@@ -206,6 +206,10 @@ class GridDataset:
 
 
 def _to_arrow(arr: np.ndarray, arrow_type: pa.DataType | None) -> pa.Array:
+    if arr.dtype.byteorder == ">":
+        # slice-level native-endian copy (pyarrow rejects byte-swapped);
+        # O(slice) — the full variable stays an OS-paged mmap view
+        arr = arr.astype(arr.dtype.newbyteorder("="))
     if isinstance(arr, np.ma.MaskedArray):
         return pa.array(arr.data, mask=np.ma.getmaskarray(arr), type=arrow_type)
     out = pa.array(arr)

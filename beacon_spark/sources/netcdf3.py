@@ -87,7 +87,15 @@ def read_netcdf3(path: str) -> tuple[dict, dict, dict, dict]:
     """Parse a CDF-1/CDF-2 file → (dims, variables, var_attrs, global_attrs)
     in GridDataset's shapes: dims name→size, variables name→(dim_names,
     ndarray)."""
-    with open(path, "rb") as f:
+    # mmap, not read(): variables become OS-paged views, so a Spark task
+    # flattening rows [lo, hi) only faults in the pages its slice touches —
+    # per-task I/O ∝ slice, not file size (the header itself is tiny)
+    import mmap as _mmap
+
+    f = open(path, "rb")
+    try:
+        buf = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+    except ValueError:  # empty file
         buf = f.read()
     if buf[:3] != _MAGIC or buf[3] not in (1, 2):
         raise ValueError(
@@ -171,9 +179,10 @@ def read_netcdf3(path: str) -> tuple[dict, dict, dict, dict]:
                 dnames = dnames[:-1]
             else:
                 arr = np.char.decode(arr.view("S1"), "utf-8", "replace")
-        if arr.dtype.byteorder == ">":
-            arr = arr.astype(arr.dtype.newbyteorder("="))  # pyarrow needs native
-        variables[nm] = (dnames, np.ascontiguousarray(arr))
+        # big-endian views stay UNSWAPPED here: swapping would copy the
+        # whole (mmap'd) variable at open; GridDataset.flatten converts
+        # per-slice at Arrow emission instead, keeping open() O(header)
+        variables[nm] = (dnames, arr)
         var_attrs[nm] = attrs
 
     return dim_sizes, variables, var_attrs, global_attrs

@@ -148,3 +148,62 @@ def stream_events(
         .start()
     )
     return q
+
+
+def stream_user_state(
+    spark: SparkSession,
+    path: str,
+    query_name: str = "user_state_stream",
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event count, value sum, last event type), state
+    carried across micro-batches. This is the pattern for operators the
+    built-in windows can't express (counters, CDC merge, custom
+    sessionization); Arrow-batched per group, state is a tiny tuple.
+    """
+    import os
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+
+    out_schema = "user_id bigint, n_events bigint, sum_value double, last_type string"
+    state_schema = "n bigint, total double, last string"
+
+    def update(key, pdfs, state: GroupState):
+        n, total, last = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            if len(pdf):
+                last = pdf["event_type"].iloc[-1]
+        state.update((n, total, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(total, 4)],
+                "last_type": [last],
+            }
+        )
+
+    stream = (
+        reader.load(path)
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    return (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -20,3 +20,25 @@ def test_stream_matches_batch(spark, sf_small):
     s = sorted(tuple(r) for r in streamed.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert s == b and len(s) > 0
+
+
+def test_stateful_operator_matches_batch(spark, sf_small):
+    """applyInPandasWithState per-user running stats == batch aggregate
+    (single availableNow batch drives state once per user)."""
+    from beacon_spark.streaming.windows import stream_user_state
+
+    q = stream_user_state(spark, f"{sf_small}/events.parquet", query_name="u_state")
+    q.awaitTermination(120)
+
+    streamed = spark.sql("SELECT user_id, n_events, sum_value FROM u_state")
+    batch = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4).alias("sum_value"),
+        )
+    )
+    s = sorted(tuple(r) for r in streamed.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert s == b and len(s) > 0
