@@ -243,10 +243,34 @@ class Engine:
             return summarize(self.spark.table(src))
 
         statement = self._rewrite_read_fns(statement)
+        statement = self._rewrite_metadata_fns(statement)
         statement = self._rewrite_try_arrow_cast(statement)
         statement = self._rewrite_macros(statement)
         statement = self._rewrite_qualify(statement)
         return self.spark.sql(statement)
+
+    def _rewrite_metadata_fns(self, statement: str) -> str:
+        """Zero-arg metadata table functions → temp views:
+        ``list_datasets()`` (file_formats/list_datasets.rs) and
+        ``view_statistics_cache()`` / ``view_dataset_statistics()``
+        (beacon-functions/src/metadata/*)."""
+
+        def repl(m: re.Match) -> str:
+            fn = m.group(1).lower()
+            if fn == "list_datasets":
+                df = self.list_datasets()
+            else:
+                df = self.view_statistics()
+            name = f"__beacon_meta_{fn}"
+            df.createOrReplaceTempView(name)
+            return name
+
+        return re.sub(
+            r"\b(list_datasets|view_statistics_cache|view_dataset_statistics)\s*\(\s*\)",
+            repl,
+            statement,
+            flags=re.IGNORECASE,
+        )
 
     # ------------------------------------------------------------ ddl/dml
 

@@ -77,12 +77,21 @@ def list_datasets(datasets_root: str) -> list[tuple[str, str | None]]:
     """Walk the datasets root; (relative_path, detected format) per file."""
     out: list[tuple[str, str | None]] = []
     for dirpath, dirnames, filenames in os.walk(datasets_root):
-        # a .zarr store or a Spark-written .parquet directory is ONE
-        # dataset — don't descend into its chunks/part-files
-        ds_dirs = [d for d in dirnames if d.endswith((".zarr", ".parquet"))]
+        # a .zarr store, a Spark-written .parquet directory, or a
+        # Hive-partitioned layout (key=value subdirs) is ONE dataset —
+        # don't descend into its chunks/part-files (the reference's
+        # crawler does the same hive detection, crawler/discovery.rs)
+        ds_dirs = [
+            d
+            for d in dirnames
+            if d.endswith((".zarr", ".parquet")) or _is_hive_partitioned(
+                os.path.join(dirpath, d)
+            )
+        ]
         for d in ds_dirs:
             rel = os.path.relpath(os.path.join(dirpath, d), datasets_root)
-            out.append((rel, "zarr" if d.endswith(".zarr") else "parquet"))
+            fmt = "zarr" if d.endswith(".zarr") else "parquet"
+            out.append((rel, fmt))
             dirnames.remove(d)
         for f in filenames:
             if f.startswith(("_", ".")):  # _SUCCESS, _committed, hidden
@@ -90,3 +99,21 @@ def list_datasets(datasets_root: str) -> list[tuple[str, str | None]]:
             rel = os.path.relpath(os.path.join(dirpath, f), datasets_root)
             out.append((rel, detect_format(rel)))
     return sorted(out)
+
+
+def _is_hive_partitioned(path: str) -> bool:
+    """True when a directory's children are key=value partition dirs
+    (ultimately holding parquet) — Spark reads such a root natively with
+    partition pruning, so it must register as one dataset."""
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        return False
+    parts = [
+        e
+        for e in entries
+        if "=" in e and os.path.isdir(os.path.join(path, e))
+    ]
+    return bool(parts) and all(
+        e.startswith(("_", ".")) or "=" in e for e in entries
+    )

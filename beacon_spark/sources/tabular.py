@@ -130,14 +130,32 @@ def read_parquet(
     """``read_parquet(globs)`` (table-functions.md:25-40). ``merge='fast'``
     skips the footer scan (delegates to Spark's parallel file index +
     mergeSchema) for homogeneous lakes at scale."""
-    files = expand_parquet_dirs(resolve_globs(paths, datasets_root))
-    if merge == "fast":
-        return spark.read.option("mergeSchema", "true").parquet(*files)
-    schemas = _schemas_parallel(files, pq.read_schema)
-    return _read_harmonized(
-        spark, files, schemas,
-        lambda grp, schema: spark.read.parquet(*grp),
-    )
+    from beacon_spark.schema import union_all_by_name
+    from beacon_spark.sources.paths import _is_hive_partitioned
+
+    resolved = resolve_globs(paths, datasets_root)
+    # Hive-partitioned roots go to spark.read UNEXPANDED so partition
+    # columns are derived and partition pruning works; plain files/dirs
+    # take the footer-scan supertype path
+    hive = [f for f in resolved if _is_hive_partitioned(f)]
+    files = expand_parquet_dirs([f for f in resolved if f not in hive])
+    parts: list[DataFrame] = [
+        spark.read.option("mergeSchema", "true").parquet(h) for h in hive
+    ]
+    if files:
+        if merge == "fast":
+            parts.append(spark.read.option("mergeSchema", "true").parquet(*files))
+        else:
+            schemas = _schemas_parallel(files, pq.read_schema)
+            parts.append(
+                _read_harmonized(
+                    spark, files, schemas,
+                    lambda grp, schema: spark.read.parquet(*grp),
+                )
+            )
+    if not parts:
+        raise FileNotFoundError(f"no parquet inputs matched {paths!r}")
+    return parts[0] if len(parts) == 1 else union_all_by_name(*parts)
 
 
 def read_parquet_schema(

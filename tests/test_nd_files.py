@@ -306,3 +306,42 @@ def test_zarr_pushdown_e2e(spark, tmp_path):
     )
     assert none.count() == 0
     assert set(none.columns) == {"depth", "temp"}
+
+
+def test_netcdf3_hypothesis_roundtrip():
+    """Property: any (dims, typed arrays, attrs) round-trips through the
+    classic writer/reader bit-exactly (modulo int64 narrowing)."""
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+    import tempfile, os
+
+    from beacon_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
+
+    dtypes = ["int8", "int16", "int32", "float32", "float64"]
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        data=st.data(),
+        shape=st.tuples(st.integers(1, 5), st.integers(1, 4)),
+        dt=st.sampled_from(dtypes),
+    )
+    def prop(data, shape, dt):
+        rng = np.random.RandomState(data.draw(st.integers(0, 2**31 - 1)))
+        arr = (rng.randn(*shape) * 100).astype(dt)
+        attrs = {"units": data.draw(st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=12))}
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "t.nc")
+            write_netcdf3(
+                p,
+                dims={"a": shape[0], "b": shape[1]},
+                variables={"v": (("a", "b"), arr)},
+                var_attrs={"v": attrs},
+            )
+            dims, variables, var_attrs, _ = read_netcdf3(p)
+            assert dims == {"a": shape[0], "b": shape[1]}
+            np.testing.assert_array_equal(np.asarray(variables["v"][1]), arr)
+            if attrs["units"]:
+                assert var_attrs["v"]["units"] == attrs["units"]
+
+    prop()

