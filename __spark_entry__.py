@@ -1199,6 +1199,47 @@ FROM coded ORDER BY n_nationkey
 """
 
 
+def _q_date_bin(spark, sf_dir):
+    """§2.8 date_bin (DataFusion temporal binning — Engine macro over
+    unix_micros floor arithmetic) + coalesce_label + cast_int8_as_char."""
+    from beacon_spark.engine import Engine
+    from beacon_spark.functions.core import cast_int8_as_char, coalesce_label
+
+    _reg(spark, sf_dir, "events")
+    eng = Engine(spark)
+    binned = eng.sql(
+        "SELECT date_bin(INTERVAL '15 minutes', ts, TIMESTAMP '1970-01-01') AS b, "
+        "value, event_type FROM events"
+    )
+    return (
+        binned.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+        .select(
+            F.unix_timestamp("b").alias("bucket_start"),
+            "n",
+            "sum_v",
+            coalesce_label(F.lit(None).cast("string"), "never", F.lit("x"), "lbl").alias(
+                "label"
+            ),
+            cast_int8_as_char(F.lit(65)).alias("ch"),
+        )
+        .orderBy("bucket_start")
+    )
+
+
+_SQL_DATE_BIN = """
+SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts)) AS BIGINT) AS bucket_start,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_v,
+       'lbl' AS label,
+       chr(65) AS ch
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def _q_netcdf_roundtrip(spark, sf_dir):
     """§2.1 + §2.10 nd formats: aggregate → flat NetCDF (pure NetCDF3
     writer) → read_netcdf → rows. The oracle computes the same aggregate
@@ -1359,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_filter": _q_geo_filter,
         "netcdf_roundtrip": _q_netcdf_roundtrip,
         "odv_roundtrip": _q_odv_roundtrip,
+        "date_bin_agg": _q_date_bin,
         # bench shapes (BASELINE.md harness queries)
         "count_all": _q_count_all,
         "filter_range": _q_filter_range,
@@ -1413,6 +1455,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_filter": _SQL_GEO,
         "netcdf_roundtrip": _SQL_NETCDF_RT,
         "odv_roundtrip": _SQL_ODV_RT,
+        "date_bin_agg": _SQL_DATE_BIN,
         "rollup_agg": _SQL_ROLLUP,
         "pivot_agg": _SQL_PIVOT,
         "count_all": _SQL_COUNT_ALL,

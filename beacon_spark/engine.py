@@ -39,6 +39,9 @@ _TRY_ARROW_CAST_RE = re.compile(
 )
 _SUMMARIZE_RE = re.compile(r"^\s*SUMMARIZE\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL)
 _QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+_EXPLAIN_ANALYZE_RE = re.compile(
+    r"^\s*EXPLAIN\s+ANALYZE\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL
+)
 _ANALYZE_RE = re.compile(
     r"^\s*ANALYZE\s+FILES(?:\s+'([^']*)')?(\s+FORCE)?;?\s*$", re.IGNORECASE
 )
@@ -62,6 +65,9 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
         r"^\s*DROP\s+CRAWLER\s+(?:IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
     ("show_crawlers", re.compile(r"^\s*SHOW\s+CRAWLERS;?\s*$", re.IGNORECASE)),
     ("show_tables", re.compile(r"^\s*SHOW\s+(TABLES|VIEWS);?\s*$", re.IGNORECASE)),
+    ("attach", re.compile(
+        r"^\s*ATTACH\s+'([^']+)'\s+AS\s+(\w+);?\s*$", re.IGNORECASE)),
+    ("detach", re.compile(r"^\s*DETACH\s+(\w+);?\s*$", re.IGNORECASE)),
     ("create_table_as", re.compile(
         r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL)),
     ("drop_table", re.compile(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
@@ -215,6 +221,18 @@ class Engine:
                     return self._run_ddl(kind, m)
             self._register_catalog()
 
+        m = _EXPLAIN_ANALYZE_RE.match(statement)
+        if m:
+            # EXPLAIN ANALYZE <q> (runtime.rs:444-509): execute fully, then
+            # surface the executed plan with its runtime metrics
+            inner = self.sql(m.group(1))
+            inner.count()
+            plan = inner._jdf.queryExecution().executedPlan().toString()
+            return self.spark.createDataFrame(
+                [(line,) for line in plan.splitlines()],
+                T.StructType([T.StructField("plan", T.StringType())]),
+            )
+
         m = _ANALYZE_RE.match(statement)
         if m:
             # ANALYZE FILES ['prefix'] [FORCE] (parser/statement.rs:305-318)
@@ -316,6 +334,26 @@ class Engine:
             for name, view_sql in cat["views"].items():
                 # plain views stay logical: re-planned at registration
                 self.sql(view_sql).createOrReplaceTempView(name)
+            for aname, aroot in cat.get("attachments", {}).items():
+                try:
+                    sub = Engine(self.spark, datasets_root=aroot)
+                    subcat = sub.catalog._load()
+                    from beacon_spark.managed import ManagedTable as _MT
+
+                    for t, p in subcat["tables"].items():
+                        _MT(self.spark, p).read().createOrReplaceTempView(f"{aname}_{t}")
+                    for t, mv in subcat["materialized_views"].items():
+                        _MT(self.spark, mv["path"]).read().createOrReplaceTempView(
+                            f"{aname}_{t}"
+                        )
+                    for t, ext in subcat["external_tables"].items():
+                        sub.resolve_from(
+                            {ext["format"]: {"paths": ext["paths"]}}
+                        ).createOrReplaceTempView(f"{aname}_{t}")
+                except Exception as e:
+                    import sys
+
+                    print(f"warning: attachment {aname!r}: {e}", file=sys.stderr)
             self._cat_sig = sig
         finally:
             self._registering = False
@@ -392,6 +430,23 @@ class Engine:
             return self.spark.createDataFrame(
                 sorted(rows), "table_name string, table_type string"
             )
+        if kind == "attach":
+            # ATTACH '<root>' AS name (parser/statement.rs:60-76): mount
+            # another lake root's catalog; its tables/MVs/externals resolve
+            # as <name>_<table>. Local-root analog of the reference's
+            # remote-Beacon federation (plain views are not re-planned
+            # cross-catalog — documented divergence).
+            path, name = m.group(1), m.group(2)
+            c = cat._load()
+            c.setdefault("attachments", {})[name] = path
+            cat._save(c)
+            return self._status(status="ok", op="attach", name=name)
+        if kind == "detach":
+            name = m.group(1)
+            c = cat._load()
+            c.setdefault("attachments", {}).pop(name, None)
+            cat._save(c)
+            return self._status(status="ok", op="detach", name=name)
         if kind == "create_table_as":
             name, src = m.group(1), m.group(2)
             cat.create_table(name, self.sql(src))
@@ -539,31 +594,69 @@ class Engine:
 
     def _rewrite_macros(self, statement: str) -> str:
         """Inline SQL macros for functions that would otherwise need a
-        python UDF in the SQL path — pressure_to_depth_teos_10 expands to
-        its arithmetic (stays in whole-stage codegen)."""
+        python UDF in the SQL path — each expands to plain arithmetic and
+        stays in whole-stage codegen:
+
+        - ``pressure_to_depth_teos_10(p, lat)``
+        - ``date_bin(INTERVAL 'n unit', ts[, origin])`` (DataFusion's
+          temporal binning, function-reference.md — Spark has no date_bin)
+        """
         from beacon_spark.functions.domain import pressure_to_depth_sql
 
-        rx = re.compile(r"\bpressure_to_depth_teos_10\s*\(", re.IGNORECASE)
-        while True:
-            m = rx.search(statement)
-            if not m:
-                return statement
-            start = m.end()
-            depth, i = 1, start
-            while i < len(statement) and depth:
-                if statement[i] == "(":
-                    depth += 1
-                elif statement[i] == ")":
-                    depth -= 1
-                i += 1
-            args = _split_top_level(statement[start : i - 1])
+        def expand(name: str, render) -> None:
+            nonlocal statement
+            rx = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+            while True:
+                m = rx.search(statement)
+                if not m:
+                    return
+                start = m.end()
+                depth, i = 1, start
+                while i < len(statement) and depth:
+                    if statement[i] == "(":
+                        depth += 1
+                    elif statement[i] == ")":
+                        depth -= 1
+                    i += 1
+                args = _split_top_level(statement[start : i - 1])
+                statement = statement[: m.start()] + render(args) + statement[i:]
+
+        def render_depth(args: list[str]) -> str:
             if len(args) != 2:
                 raise ValueError("pressure_to_depth_teos_10 takes (pressure, latitude)")
-            statement = (
-                statement[: m.start()]
-                + pressure_to_depth_sql(args[0], args[1])
-                + statement[i:]
+            return pressure_to_depth_sql(args[0], args[1])
+
+        def render_date_bin(args: list[str]) -> str:
+            if len(args) not in (2, 3):
+                raise ValueError("date_bin takes (stride, ts[, origin])")
+            mi = re.match(
+                r"(?i)^\s*INTERVAL\s+'(\d+)\s*(\w+?)s?'\s*$", args[0]
             )
+            if not mi:
+                raise ValueError(f"date_bin stride must be INTERVAL 'n unit': {args[0]}")
+            n, unit = int(mi.group(1)), mi.group(2).lower()
+            us_per = {
+                "microsecond": 1, "millisecond": 1_000, "second": 1_000_000,
+                "minute": 60_000_000, "hour": 3_600_000_000, "day": 86_400_000_000,
+                "week": 7 * 86_400_000_000,
+            }
+            if unit not in us_per:
+                raise ValueError(f"date_bin: unsupported unit {unit!r}")
+            stride = n * us_per[unit]
+            origin = (
+                f"unix_micros(CAST({args[2]} AS TIMESTAMP))"
+                if len(args) == 3
+                else "0"
+            )
+            t = f"unix_micros(CAST({args[1]} AS TIMESTAMP))"
+            return (
+                f"timestamp_micros(CAST(floor(({t} - {origin}) / {stride}) AS BIGINT)"
+                f" * {stride} + {origin})"
+            )
+
+        expand("pressure_to_depth_teos_10", render_depth)
+        expand("date_bin", render_date_bin)
+        return statement
 
     def _rewrite_qualify(self, statement: str) -> str:
         """``QUALIFY <pred>`` (docs sql/index.md:46-48 — DataFusion dialect)

@@ -93,6 +93,9 @@ def register_functions(spark: SparkSession) -> None:
     spark.udf.register("st_geojson_as_wkt", geo.st_geojson_as_wkt_udf())
     spark.udf.register("st_within_point", geo.st_within_point_udf())
     spark.udf.register(
+        "cast_int8_as_char", lambda c: None if c is None else chr(c), T.StringType()
+    )
+    spark.udf.register(
         "beacon_version",
         lambda: VERSION,
         T.StringType(),

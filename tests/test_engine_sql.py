@@ -43,3 +43,49 @@ def test_read_schema_twins(eng):
     rows = {r.column_name: r.data_type for r in eng.read_parquet_schema("orders.parquet").collect()}
     assert rows["o_orderkey"] in ("bigint", "long")
     odv = None  # odv/netcdf twins need fixture files; schema twin for parquet covers the path
+
+
+def test_attach_detach(spark, tmp_path):
+    from beacon_spark.engine import Engine
+
+    other_root = tmp_path / "other"
+    other_root.mkdir()
+    other = Engine(spark, datasets_root=str(other_root))
+    other.sql("CREATE TABLE remote_t AS SELECT 7 AS seven")
+
+    mine = Engine(spark, datasets_root=str(tmp_path / "mine"))
+    (tmp_path / "mine").mkdir()
+    mine.sql(f"ATTACH '{other_root}' AS oth")
+    assert mine.sql("SELECT seven FROM oth_remote_t").collect()[0].seven == 7
+    mine.sql("DETACH oth")
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        spark.catalog.dropTempView("oth_remote_t")
+        mine.sql("SELECT * FROM oth_remote_t").collect()
+
+
+def test_explain_analyze(spark, sf_dir):
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=sf_dir)
+    out = eng.sql(
+        "EXPLAIN ANALYZE SELECT count(*) FROM read_parquet('orders.parquet')"
+    ).collect()
+    text = "\n".join(r.plan for r in out)
+    assert "HashAggregate" in text or "Scan" in text
+
+
+def test_date_bin_macro(spark, sf_dir):
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=sf_dir)
+    row = eng.sql(
+        "SELECT date_bin(INTERVAL '15 minutes', TIMESTAMP '2020-01-01 00:22:10') AS b"
+    ).collect()[0]
+    assert str(row.b).startswith("2020-01-01 00:15:00")
+    row2 = eng.sql(
+        "SELECT date_bin(INTERVAL '1 hour', TIMESTAMP '2020-01-01 05:59:59', "
+        "TIMESTAMP '2020-01-01 00:30:00') AS b"
+    ).collect()[0]
+    assert str(row2.b).startswith("2020-01-01 05:30:00")
