@@ -79,9 +79,9 @@ def ngram_jaccard_pairs(
     skew risk at scale — AQE skew-join handles it (enabled in session.py).
     Returns (id_a, id_b, jaccard) with jaccard rounded to 4 places.
     """
-    t = df.select(
+    t = _ensure_parallelism(_min_words_filter(df, text_col, n)).select(
         F.col(id_col).alias("__id"), shingles_expr(text_col, n).alias("__sh")
-    ).filter(F.size("__sh") > 0)
+    )
     sizes = t.select("__id", F.size("__sh").alias("__nsh"))
     e = t.select("__id", F.explode("__sh").alias("__s"))
     pairs = (
@@ -102,6 +102,29 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _min_words_filter(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Keep docs with at least n words — the cheap equivalent of
+    'produces ≥1 shingle'. Filtering on the *derived* shingle count is a
+    scale trap: Catalyst pushes the filter below exchanges and re-evaluates
+    the full (expensive) expression as the filter condition, doubling the
+    signature compute (observed 2× on the bench)."""
+    return df.filter(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n)
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before a CPU-bound map
+    stage. A small file count (locally: one parquet file) yields fewer
+    input splits than cores, serializing per-doc hashing; at real scale the
+    input already exceeds defaultParallelism and this is a no-op, so the
+    extra shuffle only ever costs when the data is small enough not to
+    matter."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -141,14 +164,17 @@ def minhash_signatures(
         f"array_min(transform(hs, h -> pmod(h * a + b, {_MERSENNE}L)))))[0] AS sig"
         f"))[0]"
     )
+    # pre-filter on word count (cheap) rather than post-filter on the
+    # derived shingle count (which Catalyst would push down and re-evaluate
+    # the whole minhash expression for — see _min_words_filter)
     return (
-        df.select(F.col(id_col).alias("__id"), F.expr(st).alias("__st"))
+        _ensure_parallelism(_min_words_filter(df, text_col, shingle_n))
+        .select(F.col(id_col).alias("__id"), F.expr(st).alias("__st"))
         .select(
             "__id",
             F.col("__st.sig").alias("sig"),
             F.col("__st.nsh").alias("__nsh"),
         )
-        .filter(F.col("__nsh") > 0)
     )
 
 
@@ -271,9 +297,11 @@ def simhash_pairs(
     candidates come from ``bands`` equi-joins (one shuffle each on a
     16-bit key), then exact hamming verification via bit_count(xor).
     """
-    sigs = df.select(
-        F.col(id_col).alias("__id"), simhash_expr(text_col).alias("__sig")
-    ).cache()
+    sigs = (
+        _ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id"), simhash_expr(text_col).alias("__sig"))
+        .cache()
+    )
     width = 64 // bands
     chunks = sigs.select(
         "__id",
