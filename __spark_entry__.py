@@ -1240,6 +1240,45 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def _q_delta_roundtrip(spark, sf_dir):
+    """§2.1 read_delta + managed-table write path: pure-Python Delta log
+    (sources/delta.py — protocol replay, no delta-spark jar). Writes two
+    commits (overwrite 'F' rows, append 'O' rows), reads the latest
+    snapshot back through read_delta, aggregates. The oracle computes the
+    same aggregate straight from the source parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    from beacon_spark.sources.delta import read_delta, write_delta
+
+    loc = os.path.join(tempfile.gettempdir(), f"beacon_delta_q_{os.getpid()}")
+    shutil.rmtree(loc, ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_delta(
+        orders.filter(F.col("o_orderstatus") == "F"), loc, mode="overwrite"
+    )
+    write_delta(
+        orders.filter(F.col("o_orderstatus") == "O"), loc, mode="append"
+    )
+    return (
+        read_delta(spark, loc)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_SQL_DELTA_RT = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders WHERE o_orderstatus IN ('F', 'O')
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def _q_netcdf_roundtrip(spark, sf_dir):
     """§2.1 + §2.10 nd formats: aggregate → flat NetCDF (pure NetCDF3
     writer) → read_netcdf → rows. The oracle computes the same aggregate
@@ -1400,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_filter": _q_geo_filter,
         "netcdf_roundtrip": _q_netcdf_roundtrip,
         "odv_roundtrip": _q_odv_roundtrip,
+        "delta_roundtrip": _q_delta_roundtrip,
         "date_bin_agg": _q_date_bin,
         # bench shapes (BASELINE.md harness queries)
         "count_all": _q_count_all,
@@ -1455,6 +1495,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_filter": _SQL_GEO,
         "netcdf_roundtrip": _SQL_NETCDF_RT,
         "odv_roundtrip": _SQL_ODV_RT,
+        "delta_roundtrip": _SQL_DELTA_RT,
         "date_bin_agg": _SQL_DATE_BIN,
         "rollup_agg": _SQL_ROLLUP,
         "pivot_agg": _SQL_PIVOT,

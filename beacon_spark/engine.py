@@ -30,7 +30,7 @@ from beacon_spark.sources import tabular
 from beacon_spark.sources.nd import read_nd
 
 _READ_FN_RE = re.compile(
-    r"\bread_(parquet|csv|arrow|netcdf|zarr|hdf5|odv_ascii|odv)\s*\("
+    r"\bread_(parquet|csv|arrow|netcdf|zarr|hdf5|odv_ascii|odv|delta)\s*\("
     r"\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\)",
     re.IGNORECASE,
 )
@@ -165,6 +165,11 @@ class Engine:
             self.spark, "zarr", paths, self.datasets_root, dimensions, ranges=ranges
         )
 
+    def read_delta(self, location, version_as_of: int | None = None) -> DataFrame:
+        from beacon_spark.sources.delta import read_delta
+
+        return read_delta(self.spark, location, self.datasets_root, version_as_of)
+
     def read_parquet_schema(self, paths) -> DataFrame:
         return tabular.read_parquet_schema(self.spark, paths, self.datasets_root)
 
@@ -183,6 +188,11 @@ class Engine:
         from beacon_spark.sources.tabular import _schema_df
 
         return _schema_df(self.spark, self.read_zarr(paths).schema)
+
+    def read_delta_schema(self, location) -> DataFrame:
+        from beacon_spark.sources.delta import read_delta_schema
+
+        return read_delta_schema(self.spark, location, self.datasets_root)
 
     def read_odv_schema(self, paths) -> DataFrame:
         from beacon_spark.sources.tabular import _schema_df
@@ -561,6 +571,7 @@ class Engine:
                 "hdf5": self.read_netcdf,
                 "odv": self.read_odv,
                 "odv_ascii": self.read_odv,
+                "delta": lambda gs: self.read_delta(gs[0]),
             }[fmt](globs)
             name = f"__beacon_read_{abs(hash((fmt, tuple(globs)))) % 10**10}"
             df.createOrReplaceTempView(name)
@@ -766,6 +777,9 @@ class Engine:
                 )
             if fmt == "odv":
                 return self.read_odv(cfg["paths"])
+            if fmt == "delta":
+                loc = cfg["paths"][0] if "paths" in cfg else cfg["location"]
+                return self.read_delta(loc, cfg.get("version_as_of"))
             raise ValueError(f"unsupported from format: {fmt}")
         raise ValueError(f"bad from spec: {spec!r}")
 

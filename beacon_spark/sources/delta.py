@@ -1,0 +1,325 @@
+"""Delta Lake source — pure-Python transaction-log replay, no delta-spark jar.
+
+The reference reads Delta tables via the ``deltalake`` Rust crate
+(``beacon-db/beacon-file-formats/beacon-delta/src/``, SURVEY.md §2.1).
+Spark's first-party integration needs the delta-spark runtime jar, which is
+not available here, so we implement the *read protocol* directly — it is
+deliberately simple: a ``_delta_log/`` directory of ordered JSON commits
+(+ periodic parquet checkpoints) whose ``add``/``remove`` actions define
+the set of live parquet files at every version.
+
+Scale design:
+  - log replay is a driver-side **metadata-only** pass (same as delta-spark's
+    Snapshot construction): O(actions since last checkpoint), never O(data).
+  - the data read is a plain ``spark.read.schema(...).parquet(*files)`` over
+    the live file list — full vectorized scan, predicate pushdown, and
+    whole-stage codegen are preserved, and partition values are attached per
+    partition-group so partition pruning happens via Catalyst constant
+    folding on the literal columns.
+  - time travel (``version_as_of``) replays the same log to an earlier stop
+    point — no data copies.
+
+Unsupported (fail loudly, never silently wrong): column mapping,
+deletion vectors (protocol readerFeatures), generated columns are ignored.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["read_delta", "read_delta_schema", "write_delta", "delta_history"]
+
+
+@dataclass
+class _Snapshot:
+    version: int = -1
+    schema: T.StructType | None = None
+    partition_columns: list[str] = field(default_factory=list)
+    # path -> partitionValues dict (live files only)
+    adds: dict[str, dict] = field(default_factory=dict)
+    configuration: dict = field(default_factory=dict)
+    min_reader: int = 1
+    reader_features: list[str] = field(default_factory=list)
+
+
+def _log_dir(location: str) -> str:
+    return os.path.join(location, "_delta_log")
+
+
+def _list_commits(log: str) -> list[tuple[int, str]]:
+    out = []
+    for name in os.listdir(log):
+        base, ext = os.path.splitext(name)
+        if ext == ".json" and base.isdigit():
+            out.append((int(base), os.path.join(log, name)))
+    return sorted(out)
+
+
+def _apply_action(snap: _Snapshot, action: dict) -> None:
+    if "metaData" in action:
+        md = action["metaData"]
+        snap.schema = T.StructType.fromJson(json.loads(md["schemaString"]))
+        snap.partition_columns = md.get("partitionColumns", [])
+        snap.configuration = md.get("configuration", {}) or {}
+    elif "protocol" in action:
+        p = action["protocol"]
+        snap.min_reader = p.get("minReaderVersion", 1)
+        snap.reader_features = p.get("readerFeatures", []) or []
+    elif "add" in action:
+        a = action["add"]
+        if a.get("deletionVector"):
+            raise NotImplementedError("Delta deletion vectors are not supported")
+        snap.adds[a["path"]] = a.get("partitionValues", {}) or {}
+    elif "remove" in action:
+        snap.adds.pop(action["remove"]["path"], None)
+
+
+def _unmap(v):
+    """pyarrow map<string,string> → dict (checkpoints store partitionValues
+    and configuration as Arrow maps, which to_pylist yields as tuple lists)."""
+    if isinstance(v, list) and all(isinstance(x, tuple) and len(x) == 2 for x in v):
+        return dict(v)
+    return v
+
+
+def _read_checkpoint(snap: _Snapshot, path: str) -> None:
+    """A checkpoint parquet is the flattened action list at its version —
+    one row per action, struct columns add/remove/metaData/protocol."""
+    tbl = pq.read_table(path)
+    cols = set(tbl.column_names)
+    for row in tbl.to_pylist():
+        for key in ("protocol", "metaData", "add", "remove"):
+            if key in cols and row.get(key) is not None:
+                action = {
+                    k: _unmap(v) for k, v in row[key].items()
+                }
+                _apply_action(snap, {key: action})
+
+
+def _snapshot(location: str, version_as_of: int | None = None) -> _Snapshot:
+    log = _log_dir(location)
+    if not os.path.isdir(log):
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {location}")
+    snap = _Snapshot()
+    commits = _list_commits(log)
+    start = 0
+    last_cp = os.path.join(log, "_last_checkpoint")
+    if version_as_of is None and os.path.exists(last_cp):
+        with open(last_cp) as f:
+            cp = json.load(f)
+        cp_version = cp["version"]
+        _read_checkpoint(
+            snap, os.path.join(log, f"{cp_version:020d}.checkpoint.parquet")
+        )
+        snap.version = cp_version
+        start = cp_version + 1
+    for v, path in commits:
+        if v < start:
+            continue
+        if version_as_of is not None and v > version_as_of:
+            break
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    _apply_action(snap, json.loads(line))
+        snap.version = v
+    if version_as_of is not None and snap.version < version_as_of:
+        raise ValueError(
+            f"version {version_as_of} does not exist (latest {snap.version})"
+        )
+    if snap.schema is None:
+        raise ValueError(f"Delta log has no metaData action: {location}")
+    cm = snap.configuration.get("delta.columnMapping.mode", "none")
+    if cm != "none":
+        raise NotImplementedError(f"Delta column mapping mode {cm!r} not supported")
+    unsupported = {"deletionVectors", "columnMapping"} & set(snap.reader_features)
+    if unsupported:
+        raise NotImplementedError(f"Delta reader features not supported: {unsupported}")
+    return snap
+
+
+def read_delta(
+    spark: SparkSession,
+    location: str,
+    datasets_root: str | None = None,
+    version_as_of: int | None = None,
+) -> DataFrame:
+    """``read_delta(location)`` (table-functions.md; beacon-delta/src/).
+
+    Log replay → live file list → one vectorized parquet scan per
+    partition-value group with the partition columns attached as typed
+    literals (so filters on them constant-fold and prune whole groups)."""
+    from beacon_spark.sources.paths import resolve_dir
+
+    location = resolve_dir(location, datasets_root)
+    snap = _snapshot(location, version_as_of)
+    part_cols = snap.partition_columns
+    data_schema = T.StructType(
+        [f for f in snap.schema.fields if f.name not in part_cols]
+    )
+    if not snap.adds:
+        return spark.createDataFrame([], snap.schema)
+
+    groups: dict[tuple, list[str]] = {}
+    for path, pvals in snap.adds.items():
+        key = tuple(pvals.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(os.path.join(location, path))
+
+    types = {f.name: f.dataType for f in snap.schema.fields}
+    parts = []
+    for key, files in sorted(groups.items()):
+        df = spark.read.schema(data_schema).parquet(*files)
+        for c, v in zip(part_cols, key):
+            df = df.withColumn(
+                c,
+                F.lit(v).cast(types[c])
+                if v is not None
+                else F.lit(None).cast(types[c]),
+            )
+        parts.append(df.select([f.name for f in snap.schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def read_delta_schema(
+    spark: SparkSession, location: str, datasets_root: str | None = None
+) -> DataFrame:
+    from beacon_spark.sources.paths import resolve_dir
+    from beacon_spark.sources.tabular import _schema_df
+
+    snap = _snapshot(resolve_dir(location, datasets_root))
+    return _schema_df(spark, snap.schema)
+
+
+def delta_history(
+    spark: SparkSession, location: str, datasets_root: str | None = None
+) -> DataFrame:
+    """(version, timestamp, operation, num_add, num_remove) per commit."""
+    from beacon_spark.sources.paths import resolve_dir
+
+    location = resolve_dir(location, datasets_root)
+    rows = []
+    for v, path in _list_commits(_log_dir(location)):
+        op, ts, n_add, n_rm = None, None, 0, 0
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    op = a["commitInfo"].get("operation")
+                    ts = a["commitInfo"].get("timestamp")
+                elif "add" in a:
+                    n_add += 1
+                elif "remove" in a:
+                    n_rm += 1
+        rows.append((v, ts, op, n_add, n_rm))
+    return spark.createDataFrame(
+        rows, "version long, timestamp long, operation string, num_add long, num_remove long"
+    )
+
+
+# ---------------------------------------------------------------- writer
+
+
+def write_delta(
+    df: DataFrame,
+    location: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Minimal single-writer Delta commit: stage parquet through Spark's
+    distributed writer into a per-version subdirectory, then append one
+    atomic JSON commit referencing the staged files (Delta `add` paths may
+    be relative subpaths). Returns the committed version.
+
+    This is the test/fixture-grade writer (no concurrent-writer conflict
+    detection — a production deployment would use a commit coordinator);
+    the *read* path is protocol-complete for checkpointed tables.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"write_delta mode must be overwrite|append, got {mode!r}")
+    partition_by = partition_by or []
+    spark = df.sparkSession
+    os.makedirs(_log_dir(location), exist_ok=True)
+    commits = _list_commits(_log_dir(location))
+    version = commits[-1][0] + 1 if commits else 0
+    prev = _snapshot(location) if commits else None
+
+    stage = f"v{version}"
+    stage_dir = os.path.join(location, stage)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage_dir)
+
+    adds = []
+    for root, _dirs, files in os.walk(stage_dir):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, location)
+            pvals = {}
+            for seg in os.path.relpath(root, stage_dir).split(os.sep):
+                if "=" in seg:
+                    k, _, val = seg.partition("=")
+                    pvals[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+            adds.append(
+                {
+                    "add": {
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(full),
+                        "modificationTime": int(time.time() * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": now, "operation": "WRITE", "operationParameters": {"mode": mode.upper()}}}
+    ]
+    if version == 0:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+    if version == 0 or mode == "overwrite":
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(df.schema.jsonValue()),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": now,
+                }
+            }
+        )
+    if mode == "overwrite" and prev is not None:
+        for path in prev.adds:
+            actions.append(
+                {"remove": {"path": path, "deletionTimestamp": now, "dataChange": True}}
+            )
+    actions.extend(adds)
+
+    commit_path = os.path.join(_log_dir(location), f"{version:020d}.json")
+    tmp = commit_path + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.rename(tmp, commit_path)
+    return version

@@ -32,6 +32,14 @@ def resolve_globs(paths: str | list[str], datasets_root: str | None = None) -> l
     return out
 
 
+def resolve_dir(path: str, datasets_root: str | None = None) -> str:
+    """Resolve a single directory location (Delta/Iceberg table roots —
+    not globbable) against the datasets root."""
+    if datasets_root is not None and not os.path.isabs(path):
+        return os.path.join(datasets_root, path)
+    return path
+
+
 def expand_parquet_dirs(files: list[str]) -> list[str]:
     """Expand Spark/Hive-written parquet DIRECTORY datasets into their part
     files (skipping _SUCCESS/_committed/hidden); plain files pass through.

@@ -1,0 +1,187 @@
+"""Delta Lake source: pure-Python log replay (sources/delta.py).
+
+Round-trips through our own minimal writer — which emits the same protocol
+delta-spark reads (JSON commits with protocol/metaData/add/remove) — plus
+time travel, partitioned tables, schema evolution with NULL-fill, history,
+and loud failures on unsupported reader features.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from beacon_spark.sources.delta import (
+    delta_history,
+    read_delta,
+    read_delta_schema,
+    write_delta,
+)
+
+
+@pytest.fixture()
+def delta_dir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_write_read_roundtrip(spark, delta_dir):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"), (F.col("id") * 1.5).alias("v")
+    )
+    v = write_delta(df, delta_dir, mode="overwrite")
+    assert v == 0
+    out = read_delta(spark, delta_dir)
+    assert out.count() == 100
+    assert {r["id"] for r in out.collect()} == set(range(100))
+
+
+def test_append_and_time_travel(spark, delta_dir):
+    write_delta(spark.range(10), delta_dir, mode="overwrite")
+    write_delta(spark.range(10, 25), delta_dir, mode="append")
+    assert read_delta(spark, delta_dir).count() == 25
+    assert read_delta(spark, delta_dir, version_as_of=0).count() == 10
+    with pytest.raises(ValueError, match="does not exist"):
+        read_delta(spark, delta_dir, version_as_of=9)
+
+
+def test_overwrite_removes_old_files(spark, delta_dir):
+    write_delta(spark.range(50), delta_dir, mode="overwrite")
+    write_delta(spark.range(7), delta_dir, mode="overwrite")
+    assert read_delta(spark, delta_dir).count() == 7
+    assert read_delta(spark, delta_dir, version_as_of=0).count() == 50
+    h = {r["version"]: r for r in delta_history(spark, delta_dir).collect()}
+    assert h[1]["num_remove"] > 0
+
+
+def test_partitioned_table_prunes(spark, delta_dir):
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("p")
+    )
+    write_delta(df, delta_dir, mode="overwrite", partition_by=["p"])
+    out = read_delta(spark, delta_dir)
+    assert out.count() == 40
+    assert dict(out.dtypes)["p"] == "int"
+    one = out.filter(F.col("p") == 2)
+    assert one.count() == 10
+    # partition filter constant-folds: the final plan scans only p=2 files
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "p=2" not in plan or "p=1" not in plan
+
+
+def test_schema_evolution_null_fill(spark, delta_dir):
+    write_delta(spark.range(5).select("id"), delta_dir, mode="overwrite")
+    # append with an extra column via overwrite-metadata commit: simulate a
+    # widened table whose old files lack the new column
+    df2 = spark.range(5, 8).select("id", F.lit("x").alias("tag"))
+    write_delta(df2, delta_dir, mode="append")
+    # append keeps the ORIGINAL metaData (no schema overwrite) → still id-only
+    assert read_delta(spark, delta_dir).columns == ["id"]
+    # an overwrite commits new metadata including the new column
+    write_delta(df2, delta_dir, mode="overwrite")
+    out = read_delta(spark, delta_dir)
+    assert set(out.columns) == {"id", "tag"}
+
+
+def test_schema_fn(spark, delta_dir):
+    write_delta(
+        spark.range(3).select("id", F.lit(1.5).alias("v")), delta_dir
+    )
+    rows = {r["column_name"]: r["data_type"] for r in read_delta_schema(spark, delta_dir).collect()}
+    assert rows == {"id": "bigint", "v": "double"}
+
+
+def test_checkpoint_replay(spark, delta_dir):
+    """Reader honors _last_checkpoint + checkpoint parquet (the state of a
+    long log compacted at version N), replaying only later commits."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    write_delta(spark.range(10), delta_dir, mode="overwrite")
+    write_delta(spark.range(10, 20), delta_dir, mode="append")
+    snap_files = read_delta(spark, delta_dir).count()
+    # build a checkpoint at version 1 from the log state
+    from beacon_spark.sources.delta import _snapshot
+
+    snap = _snapshot(delta_dir)
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "metaData": None, "add": None},
+        {"protocol": None,
+         "metaData": {
+             "id": "cp", "schemaString": json.dumps(snap.schema.jsonValue()),
+             "partitionColumns": [], "configuration": {}},
+         "add": None},
+    ] + [
+        {"protocol": None, "metaData": None,
+         "add": {"path": p, "partitionValues": pv, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}
+        for p, pv in snap.adds.items()
+    ]
+    log = os.path.join(delta_dir, "_delta_log")
+    mss = pa.map_(pa.string(), pa.string())
+    cp_schema = pa.schema([
+        pa.field("protocol", pa.struct([
+            pa.field("minReaderVersion", pa.int32()),
+            pa.field("minWriterVersion", pa.int32())])),
+        pa.field("metaData", pa.struct([
+            pa.field("id", pa.string()),
+            pa.field("schemaString", pa.string()),
+            pa.field("partitionColumns", pa.list_(pa.string())),
+            pa.field("configuration", mss)])),
+        pa.field("add", pa.struct([
+            pa.field("path", pa.string()),
+            pa.field("partitionValues", mss),
+            pa.field("size", pa.int64()),
+            pa.field("modificationTime", pa.int64()),
+            pa.field("dataChange", pa.bool_())])),
+    ])
+    for r in rows:
+        if r["metaData"]:
+            r["metaData"]["configuration"] = list(
+                r["metaData"]["configuration"].items())
+        if r["add"]:
+            r["add"]["partitionValues"] = list(r["add"]["partitionValues"].items())
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=cp_schema),
+        os.path.join(log, f"{snap.version:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": snap.version, "size": len(rows)}, f)
+    # remove the pre-checkpoint commits: reader must rely on the checkpoint
+    for v in range(snap.version):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert read_delta(spark, delta_dir).count() == snap_files
+    write_delta(spark.range(20, 23), delta_dir, mode="append")
+    assert read_delta(spark, delta_dir).count() == snap_files + 3
+
+
+def test_unsupported_features_raise(spark, delta_dir):
+    write_delta(spark.range(3), delta_dir)
+    log = os.path.join(delta_dir, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "readerFeatures": ["deletionVectors"]}}) + "\n")
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        read_delta(spark, delta_dir)
+
+
+def test_sql_and_dsl_paths(spark, delta_dir, tmp_path):
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    write_delta(
+        spark.range(30).select("id", (F.col("id") % 3).alias("g")), delta_dir
+    )
+    n = eng.sql(
+        f"SELECT g, count(*) AS n FROM read_delta('{delta_dir}') GROUP BY g"
+    )
+    assert n.count() == 3
+    out = eng.query(
+        {
+            "select": ["id"],
+            "from": {"delta": {"location": delta_dir}},
+            "filter": {"column": "id", "gt": 25},
+        }
+    )
+    assert out.count() == 4
