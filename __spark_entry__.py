@@ -1240,6 +1240,52 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def _q_geoparquet_roundtrip(spark, sf_dir):
+    """§2.1 read_geoparquet + §2.10 geoparquet output: derive lon/lat
+    points from customer keys, write GeoParquet (WKB + `geo` metadata),
+    read back through read_geoparquet (WKB→WKT decode), re-extract the
+    coordinates from the WKT and aggregate. Oracle computes the same sums
+    from the source arithmetic directly."""
+    import os
+    import tempfile
+
+    from beacon_spark.outputs import write_geoparquet
+    from beacon_spark.sources.geoparquet import read_geoparquet
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey",
+        (F.col("c_custkey") % 360 - 180 + 0.5).alias("lon"),
+        (F.col("c_custkey") % 180 - 90 + 0.25).alias("lat"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"beacon_geopq_{os.getpid()}.parquet"
+    )
+    write_geoparquet(pts, path, "lon", "lat")
+    g = read_geoparquet(spark, path)
+    num = r"(-?[0-9.]+)"
+    return g.select(
+        F.regexp_extract("geometry", rf"POINT \({num} {num}\)", 1)
+        .cast("double")
+        .alias("lon2"),
+        F.regexp_extract("geometry", rf"POINT \({num} {num}\)", 2)
+        .cast("double")
+        .alias("lat2"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("lon2"), 2).alias("sum_lon"),
+        F.round(F.sum("lat2"), 2).alias("sum_lat"),
+    )
+
+
+_SQL_GEOPQ_RT = """
+SELECT count(*) AS n,
+       round(sum((c_custkey % 360) - 180 + 0.5), 2) AS sum_lon,
+       round(sum((c_custkey % 180) - 90 + 0.25), 2) AS sum_lat
+FROM customer
+"""
+
+
 def _q_delta_roundtrip(spark, sf_dir):
     """§2.1 read_delta + managed-table write path: pure-Python Delta log
     (sources/delta.py — protocol replay, no delta-spark jar). Writes two
@@ -1440,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "netcdf_roundtrip": _q_netcdf_roundtrip,
         "odv_roundtrip": _q_odv_roundtrip,
         "delta_roundtrip": _q_delta_roundtrip,
+        "geoparquet_roundtrip": _q_geoparquet_roundtrip,
         "date_bin_agg": _q_date_bin,
         # bench shapes (BASELINE.md harness queries)
         "count_all": _q_count_all,
@@ -1496,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
         "netcdf_roundtrip": _SQL_NETCDF_RT,
         "odv_roundtrip": _SQL_ODV_RT,
         "delta_roundtrip": _SQL_DELTA_RT,
+        "geoparquet_roundtrip": _SQL_GEOPQ_RT,
         "date_bin_agg": _SQL_DATE_BIN,
         "rollup_agg": _SQL_ROLLUP,
         "pivot_agg": _SQL_PIVOT,

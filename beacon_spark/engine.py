@@ -30,7 +30,7 @@ from beacon_spark.sources import tabular
 from beacon_spark.sources.nd import read_nd
 
 _READ_FN_RE = re.compile(
-    r"\bread_(parquet|csv|arrow|netcdf|zarr|hdf5|odv_ascii|odv|delta)\s*\("
+    r"\bread_(geoparquet|parquet|csv|arrow|netcdf|zarr|hdf5|odv_ascii|odv|delta)\s*\("
     r"\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\)",
     re.IGNORECASE,
 )
@@ -164,6 +164,16 @@ class Engine:
         return read_nd(
             self.spark, "zarr", paths, self.datasets_root, dimensions, ranges=ranges
         )
+
+    def read_geoparquet(self, paths, keep_wkb: bool = False) -> DataFrame:
+        from beacon_spark.sources.geoparquet import read_geoparquet
+
+        return read_geoparquet(self.spark, paths, self.datasets_root, keep_wkb)
+
+    def read_geoparquet_schema(self, paths) -> DataFrame:
+        from beacon_spark.sources.geoparquet import read_geoparquet_schema
+
+        return read_geoparquet_schema(self.spark, paths, self.datasets_root)
 
     def read_delta(self, location, version_as_of: int | None = None) -> DataFrame:
         from beacon_spark.sources.delta import read_delta
@@ -572,6 +582,7 @@ class Engine:
                 "odv": self.read_odv,
                 "odv_ascii": self.read_odv,
                 "delta": lambda gs: self.read_delta(gs[0]),
+                "geoparquet": self.read_geoparquet,
             }[fmt](globs)
             name = f"__beacon_read_{abs(hash((fmt, tuple(globs)))) % 10**10}"
             df.createOrReplaceTempView(name)
@@ -780,6 +791,8 @@ class Engine:
             if fmt == "delta":
                 loc = cfg["paths"][0] if "paths" in cfg else cfg["location"]
                 return self.read_delta(loc, cfg.get("version_as_of"))
+            if fmt == "geoparquet":
+                return self.read_geoparquet(cfg["paths"])
             raise ValueError(f"unsupported from format: {fmt}")
         raise ValueError(f"bad from spec: {spec!r}")
 

@@ -223,3 +223,90 @@ def st_within_point_udf():
         return pd.Series(out)
 
     return _udf
+
+
+# ---------------------------------------------------------------- wkb → wkt
+
+
+_WKB_NAMES = {
+    1: "POINT", 2: "LINESTRING", 3: "POLYGON",
+    4: "MULTIPOINT", 5: "MULTILINESTRING", 6: "MULTIPOLYGON",
+    7: "GEOMETRYCOLLECTION",
+}
+
+
+def wkb_to_wkt(buf: bytes) -> str:
+    """ISO/OGC WKB → WKT for the 7 standard 2-D geometry types (+ Z/M
+    flags, both byte orders). Pure Python — used by read_geoparquet to
+    decode geometry columns into the engine's WKT currency
+    (beacon-arrow-geoparquet decodes to GeoArrow; we have no geometry
+    type in Spark, so WKT strings are the documented mapping)."""
+    import struct
+
+    def parse(off: int) -> tuple[str, int]:
+        bo = "<" if buf[off] == 1 else ">"
+        (code,) = struct.unpack_from(bo + "I", buf, off + 1)
+        off += 5
+        ndim = 2
+        base = code % 1000
+        flags = code // 1000
+        if flags in (1, 2):      # Z or M
+            ndim = 3
+        elif flags == 3:         # ZM
+            ndim = 4
+        name = _WKB_NAMES.get(base)
+        if name is None:
+            raise ValueError(f"unsupported WKB geometry code {code}")
+
+        def coords(o: int) -> tuple[str, int]:
+            vals = struct.unpack_from(bo + f"{ndim}d", buf, o)
+            return " ".join(f"{v:g}" for v in vals), o + 8 * ndim
+
+        def ring(o: int) -> tuple[str, int]:
+            (n,) = struct.unpack_from(bo + "I", buf, o)
+            o += 4
+            pts = []
+            for _ in range(n):
+                p, o = coords(o)
+                pts.append(p)
+            return "(" + ", ".join(pts) + ")", o
+
+        if base == 1:
+            p, off = coords(off)
+            return f"{name} ({p})", off
+        if base == 2:
+            r, off = ring(off)
+            return f"{name} {r}", off
+        if base == 3:
+            (n,) = struct.unpack_from(bo + "I", buf, off)
+            off += 4
+            rings = []
+            for _ in range(n):
+                r, off = ring(off)
+                rings.append(r)
+            return f"{name} ({', '.join(rings)})", off
+        # multi/collection: n child geometries, each with its own header
+        (n,) = struct.unpack_from(bo + "I", buf, off)
+        off += 4
+        parts = []
+        for _ in range(n):
+            child, off = parse(off)
+            if base in (4, 5, 6):
+                # strip child's "TYPE " prefix per WKT multi syntax
+                parts.append(child.split(" ", 1)[1])
+            else:
+                parts.append(child)
+        return f"{name} ({', '.join(parts)})", off
+
+    wkt, _ = parse(0)
+    return wkt
+
+
+def wkb_to_wkt_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return b.map(lambda v: None if v is None else wkb_to_wkt(bytes(v)))
+
+    return _udf

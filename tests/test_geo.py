@@ -77,3 +77,88 @@ def test_sql_geo_udfs(spark):
              5.0D, 5.0D) AS inside"""
     ).collect()
     assert got[0].inside is True
+
+
+# ---------------------------------------------------------------- wkb → wkt
+
+
+def test_wkb_to_wkt_shapes():
+    import struct
+
+    from beacon_spark.functions.geo import wkb_to_wkt
+
+    pt = b"\x01\x01\x00\x00\x00" + struct.pack("<2d", 4.5, -3.25)
+    assert wkb_to_wkt(pt) == "POINT (4.5 -3.25)"
+
+    def be_ring(pts):
+        return struct.pack(">I", len(pts)) + b"".join(
+            struct.pack(">2d", *p) for p in pts
+        )
+
+    poly = (
+        b"\x00" + struct.pack(">I", 3) + struct.pack(">I", 2)
+        + be_ring([(0, 0), (4, 0), (4, 4), (0, 0)])
+        + be_ring([(1, 1), (2, 1), (1, 2), (1, 1)])
+    )
+    assert wkb_to_wkt(poly) == (
+        "POLYGON ((0 0, 4 0, 4 4, 0 0), (1 1, 2 1, 1 2, 1 1))"
+    )
+    # Z-flagged point (ISO code 1001)
+    ptz = b"\x01\xe9\x03\x00\x00" + struct.pack("<3d", 1, 2, 3)
+    assert wkb_to_wkt(ptz) == "POINT (1 2 3)"
+
+
+def test_geoparquet_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from beacon_spark.outputs import write_geoparquet
+    from beacon_spark.sources.geoparquet import (
+        geo_metadata,
+        read_geoparquet,
+        read_geoparquet_schema,
+    )
+
+    df = spark.range(10).select(
+        F.col("id"),
+        (F.col("id") * 1.5 - 5).alias("lon"),
+        (F.col("id") * 2.0 - 9).alias("lat"),
+    )
+    path = str(tmp_path / "pts.parquet")
+    write_geoparquet(df, path, "lon", "lat")
+    assert geo_metadata(path)["primary_column"] == "geometry"
+
+    out = read_geoparquet(spark, path)
+    rows = {r["id"]: r["geometry"] for r in out.collect()}
+    assert rows[0] == "POINT (-5 -9)"
+    assert rows[9] == "POINT (8.5 9)"
+    schema = {
+        r["column_name"]: r["data_type"]
+        for r in read_geoparquet_schema(spark, path).collect()
+    }
+    assert schema["geometry"] == "string"
+
+    # plain parquet without geo metadata is rejected
+    import pytest as _pytest
+
+    plain = str(tmp_path / "plain.parquet")
+    df.write.mode("overwrite").parquet(plain)
+    with _pytest.raises(ValueError, match="no 'geo' metadata"):
+        read_geoparquet(spark, plain)
+
+
+def test_geoparquet_sql_path(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from beacon_spark import Engine
+    from beacon_spark.outputs import write_geoparquet
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    df = spark.range(5).select(
+        F.col("id"), F.lit(1.0).alias("lon"), F.lit(2.0).alias("lat")
+    )
+    write_geoparquet(df, str(tmp_path / "g.parquet"), "lon", "lat")
+    out = eng.sql(
+        "SELECT count(*) AS n FROM read_geoparquet('g.parquet') "
+        "WHERE geometry = 'POINT (1 2)'"
+    )
+    assert out.collect()[0]["n"] == 5
