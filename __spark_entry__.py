@@ -1240,6 +1240,43 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def _q_iceberg_roundtrip(spark, sf_dir):
+    """§2.1 read_iceberg: snapshot/manifest replay via the pure-Python avro
+    codec (sources/iceberg.py, sources/avrolite.py). Two commits (overwrite
+    low-priority orders, append the rest), read the latest snapshot,
+    aggregate. Oracle recomputes from the source parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    from beacon_spark.sources.iceberg import read_iceberg, write_iceberg
+
+    loc = os.path.join(tempfile.gettempdir(), f"beacon_ice_q_{os.getpid()}")
+    shutil.rmtree(loc, ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_iceberg(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"), loc, mode="overwrite"
+    )
+    write_iceberg(
+        orders.filter(F.col("o_orderpriority") != "1-URGENT"), loc, mode="append"
+    )
+    return (
+        read_iceberg(spark, loc)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_ICEBERG_RT = """
+SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def _q_geoparquet_roundtrip(spark, sf_dir):
     """§2.1 read_geoparquet + §2.10 geoparquet output: derive lon/lat
     points from customer keys, write GeoParquet (WKB + `geo` metadata),
@@ -1486,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "netcdf_roundtrip": _q_netcdf_roundtrip,
         "odv_roundtrip": _q_odv_roundtrip,
         "delta_roundtrip": _q_delta_roundtrip,
+        "iceberg_roundtrip": _q_iceberg_roundtrip,
         "geoparquet_roundtrip": _q_geoparquet_roundtrip,
         "date_bin_agg": _q_date_bin,
         # bench shapes (BASELINE.md harness queries)
@@ -1543,6 +1581,7 @@ def oracle_sql() -> dict[str, str]:
         "netcdf_roundtrip": _SQL_NETCDF_RT,
         "odv_roundtrip": _SQL_ODV_RT,
         "delta_roundtrip": _SQL_DELTA_RT,
+        "iceberg_roundtrip": _SQL_ICEBERG_RT,
         "geoparquet_roundtrip": _SQL_GEOPQ_RT,
         "date_bin_agg": _SQL_DATE_BIN,
         "rollup_agg": _SQL_ROLLUP,

@@ -30,7 +30,7 @@ from beacon_spark.sources import tabular
 from beacon_spark.sources.nd import read_nd
 
 _READ_FN_RE = re.compile(
-    r"\bread_(geoparquet|parquet|csv|arrow|netcdf|zarr|hdf5|odv_ascii|odv|delta)\s*\("
+    r"\bread_(geoparquet|parquet|csv|arrow|netcdf|zarr|hdf5|odv_ascii|odv|delta|iceberg)\s*\("
     r"\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\)",
     re.IGNORECASE,
 )
@@ -179,6 +179,16 @@ class Engine:
         from beacon_spark.sources.delta import read_delta
 
         return read_delta(self.spark, location, self.datasets_root, version_as_of)
+
+    def read_iceberg(self, location, snapshot_id: int | None = None) -> DataFrame:
+        from beacon_spark.sources.iceberg import read_iceberg
+
+        return read_iceberg(self.spark, location, self.datasets_root, snapshot_id)
+
+    def read_iceberg_schema(self, location) -> DataFrame:
+        from beacon_spark.sources.iceberg import read_iceberg_schema
+
+        return read_iceberg_schema(self.spark, location, self.datasets_root)
 
     def read_parquet_schema(self, paths) -> DataFrame:
         return tabular.read_parquet_schema(self.spark, paths, self.datasets_root)
@@ -582,6 +592,7 @@ class Engine:
                 "odv": self.read_odv,
                 "odv_ascii": self.read_odv,
                 "delta": lambda gs: self.read_delta(gs[0]),
+                "iceberg": lambda gs: self.read_iceberg(gs[0]),
                 "geoparquet": self.read_geoparquet,
             }[fmt](globs)
             name = f"__beacon_read_{abs(hash((fmt, tuple(globs)))) % 10**10}"
@@ -793,6 +804,9 @@ class Engine:
                 return self.read_delta(loc, cfg.get("version_as_of"))
             if fmt == "geoparquet":
                 return self.read_geoparquet(cfg["paths"])
+            if fmt == "iceberg":
+                loc = cfg["paths"][0] if "paths" in cfg else cfg["location"]
+                return self.read_iceberg(loc, cfg.get("snapshot_id"))
             raise ValueError(f"unsupported from format: {fmt}")
         raise ValueError(f"bad from spec: {spec!r}")
 

@@ -1,0 +1,366 @@
+"""Apache Iceberg source — metadata/manifest replay, no iceberg-spark jar.
+
+The reference reads Iceberg through the ``iceberg`` Rust crate
+(``beacon-db/beacon-file-formats/beacon-iceberg/src/``, SURVEY.md §2.1).
+Here the table spec is implemented directly:
+
+  metadata/v<N>.metadata.json   table metadata (schema, snapshots, specs)
+  snapshot → manifest list      avro (sources/avrolite.py)
+  manifest → data-file entries  avro; status 0=existing 1=added 2=deleted
+  data files                    parquet → Spark's vectorized reader
+
+Scale: like Delta, snapshot resolution is a driver-side metadata pass
+(manifests are designed to be small and partition-prunable); the data scan
+is one ``spark.read.schema(...).parquet(*files)`` with pushdown intact.
+Iceberg data files are self-contained (partition columns are stored in the
+files), so no literal attachment is needed.
+
+Unsupported (loud): v2 delete files (positional/equality), name-mapping /
+field-id-based schema evolution beyond name compatibility.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from beacon_spark.sources.avrolite import read_avro, write_avro
+
+__all__ = ["read_iceberg", "read_iceberg_schema", "write_iceberg"]
+
+
+# ------------------------------------------------------------ type mapping
+
+_PRIM = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "time": T.LongType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "string": T.StringType(),
+    "uuid": T.StringType(),
+    "binary": T.BinaryType(),
+}
+
+
+def _ice_to_spark(t) -> T.DataType:
+    if isinstance(t, str):
+        if t in _PRIM:
+            return _PRIM[t]
+        m = re.match(r"decimal\((\d+),\s*(\d+)\)", t)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        if t.startswith("fixed"):
+            return T.BinaryType()
+        raise ValueError(f"unsupported iceberg type: {t}")
+    kind = t["type"]
+    if kind == "struct":
+        return T.StructType(
+            [
+                T.StructField(f["name"], _ice_to_spark(f["type"]), not f["required"])
+                for f in t["fields"]
+            ]
+        )
+    if kind == "list":
+        return T.ArrayType(_ice_to_spark(t["element"]), not t["element-required"])
+    if kind == "map":
+        return T.MapType(
+            _ice_to_spark(t["key"]), _ice_to_spark(t["value"]), not t["value-required"]
+        )
+    raise ValueError(f"unsupported iceberg type: {t}")
+
+
+_SPARK_TO_ICE = {
+    T.BooleanType(): "boolean",
+    T.IntegerType(): "int",
+    T.ShortType(): "int",
+    T.ByteType(): "int",
+    T.LongType(): "long",
+    T.FloatType(): "float",
+    T.DoubleType(): "double",
+    T.DateType(): "date",
+    T.TimestampType(): "timestamptz",
+    T.TimestampNTZType(): "timestamp",
+    T.StringType(): "string",
+    T.BinaryType(): "binary",
+}
+
+
+# ------------------------------------------------------------ metadata
+
+
+def _load_metadata(location: str) -> dict:
+    mdir = os.path.join(location, "metadata")
+    if not os.path.isdir(mdir):
+        raise FileNotFoundError(f"not an Iceberg table (no metadata/): {location}")
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            v = f.read().strip()
+        path = os.path.join(mdir, f"v{v}.metadata.json")
+    else:
+        cands = sorted(
+            (f for f in os.listdir(mdir) if f.endswith(".metadata.json")),
+            key=lambda n: [int(x) for x in re.findall(r"\d+", n)] or [0],
+        )
+        if not cands:
+            raise FileNotFoundError(f"no *.metadata.json under {mdir}")
+        path = os.path.join(mdir, cands[-1])
+    with open(path) as f:
+        return json.load(f)
+
+
+def _current_schema(md: dict) -> dict:
+    if "schemas" in md:
+        sid = md.get("current-schema-id", 0)
+        for s in md["schemas"]:
+            if s.get("schema-id", 0) == sid:
+                return s
+        return md["schemas"][-1]
+    return md["schema"]  # v1
+
+
+def _localize(path: str, location: str) -> str:
+    """Manifest paths are absolute URIs from write time; map them onto the
+    local table root so relocated/copied tables still read."""
+    p = re.sub(r"^file:(//)?", "", path)
+    if os.path.exists(p):
+        return p
+    # fall back: re-root the path at this table's location
+    marker = "/" + os.path.basename(os.path.normpath(location)) + "/"
+    idx = p.find(marker)
+    if idx >= 0:
+        cand = os.path.join(location, p[idx + len(marker):])
+        if os.path.exists(cand):
+            return cand
+    return p
+
+
+def _snapshot_files(location: str, md: dict, snapshot_id: int | None) -> list[str]:
+    snaps = md.get("snapshots", [])
+    if not snaps:
+        return []
+    if snapshot_id is None:
+        snapshot_id = md.get("current-snapshot-id")
+        if snapshot_id in (None, -1):
+            return []
+    snap = next((s for s in snaps if s["snapshot-id"] == snapshot_id), None)
+    if snap is None:
+        raise ValueError(f"snapshot {snapshot_id} not found")
+    if "manifest-list" in snap:
+        _, entries = read_avro(_localize(snap["manifest-list"], location))
+        manifests = []
+        for e in entries:
+            if e.get("content", 0) == 1:
+                raise NotImplementedError("Iceberg delete manifests not supported")
+            manifests.append(_localize(e["manifest_path"], location))
+    else:  # v1: inline manifest path list
+        manifests = [_localize(p, location) for p in snap.get("manifests", [])]
+    files: list[str] = []
+    for mpath in manifests:
+        _, entries = read_avro(mpath)
+        for e in entries:
+            if e.get("status", 1) == 2:  # deleted
+                continue
+            dfile = e["data_file"]
+            if dfile.get("content", 0) != 0:
+                raise NotImplementedError("Iceberg delete files not supported")
+            fmt = (dfile.get("file_format") or "PARQUET").upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(f"Iceberg {fmt} data files not supported")
+            files.append(_localize(dfile["file_path"], location))
+    return files
+
+
+# ------------------------------------------------------------ read
+
+
+def read_iceberg(
+    spark: SparkSession,
+    location: str,
+    datasets_root: str | None = None,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """``read_iceberg(location)``: snapshot → manifests → one vectorized
+    parquet scan over the live data files. ``snapshot_id`` time-travels."""
+    from beacon_spark.sources.paths import resolve_dir
+
+    location = resolve_dir(location, datasets_root)
+    md = _load_metadata(location)
+    schema = _ice_to_spark(
+        {**_current_schema(md), "type": "struct"}
+    )
+    files = _snapshot_files(location, md, snapshot_id)
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def read_iceberg_schema(
+    spark: SparkSession, location: str, datasets_root: str | None = None
+) -> DataFrame:
+    from beacon_spark.sources.paths import resolve_dir
+    from beacon_spark.sources.tabular import _schema_df
+
+    md = _load_metadata(resolve_dir(location, datasets_root))
+    return _schema_df(spark, _ice_to_spark({**_current_schema(md), "type": "struct"}))
+
+
+# ------------------------------------------------------------ write (fixtures)
+
+_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+
+def _spark_to_ice_schema(schema: T.StructType) -> dict:
+    fields = []
+    for i, f in enumerate(schema.fields):
+        t = _SPARK_TO_ICE.get(f.dataType)
+        if t is None:
+            if isinstance(f.dataType, T.DecimalType):
+                t = f"decimal({f.dataType.precision},{f.dataType.scale})"
+            else:
+                raise ValueError(f"unsupported type for iceberg write: {f.dataType}")
+        fields.append(
+            {"id": i + 1, "name": f.name, "required": False, "type": t}
+        )
+    return {"schema-id": 0, "type": "struct", "fields": fields}
+
+
+def write_iceberg(df: DataFrame, location: str, mode: str = "overwrite") -> int:
+    """Minimal single-writer Iceberg v2 commit (fixture/test grade — no
+    commit-conflict handling): stage parquet, write a manifest + manifest
+    list with avrolite, append a snapshot to the metadata JSON, bump
+    version-hint. Returns the new snapshot id."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"write_iceberg mode must be overwrite|append: {mode!r}")
+    spark = df.sparkSession
+    mdir = os.path.join(location, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    try:
+        md = _load_metadata(location)
+        version = max(
+            int(re.search(r"\d+", n).group())
+            for n in os.listdir(mdir)
+            if n.endswith(".metadata.json")
+        )
+    except FileNotFoundError:
+        md = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": location,
+            "last-sequence-number": 0,
+            "last-updated-ms": 0,
+            "last-column-id": len(df.schema.fields),
+            "schemas": [_spark_to_ice_schema(df.schema)],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "snapshots": [],
+        }
+        version = 0
+    snap_id = len(md.get("snapshots", [])) + 1
+    stage = os.path.join(location, "data", f"snap{snap_id}")
+    df.write.mode("overwrite").parquet(stage)
+
+    entries = []
+    for root, _d, names in os.walk(stage):
+        for n in names:
+            if n.endswith(".parquet"):
+                full = os.path.join(root, n)
+                entries.append(
+                    {
+                        "status": 1,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": full,
+                            "file_format": "PARQUET",
+                            "record_count": -1,
+                            "file_size_in_bytes": os.path.getsize(full),
+                        },
+                    }
+                )
+    manifest = os.path.join(mdir, f"manifest-{snap_id}.avro")
+    write_avro(manifest, _MANIFEST_SCHEMA, entries)
+
+    prev_manifests: list[dict] = []
+    if mode == "append" and md.get("current-snapshot-id") not in (None, -1):
+        cur = next(
+            s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+        )
+        _, prev_manifests = read_avro(_localize(cur["manifest-list"], location))
+    mlist = os.path.join(mdir, f"snap-{snap_id}-manifest-list.avro")
+    write_avro(
+        mlist,
+        _MANIFEST_LIST_SCHEMA,
+        prev_manifests
+        + [
+            {
+                "manifest_path": manifest,
+                "manifest_length": os.path.getsize(manifest),
+                "content": 0,
+                "added_snapshot_id": snap_id,
+            }
+        ],
+    )
+    now = int(time.time() * 1000)
+    if mode == "overwrite":
+        md["schemas"] = [_spark_to_ice_schema(df.schema)]
+        md["current-schema-id"] = md["schemas"][0]["schema-id"]
+    md.setdefault("snapshots", []).append(
+        {
+            "snapshot-id": snap_id,
+            "timestamp-ms": now,
+            "summary": {"operation": mode},
+            "manifest-list": mlist,
+            "schema-id": md.get("current-schema-id", 0),
+        }
+    )
+    md["current-snapshot-id"] = snap_id
+    md["last-updated-ms"] = now
+    version += 1
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(md, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return snap_id
