@@ -68,6 +68,19 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
     ("attach", re.compile(
         r"^\s*ATTACH\s+'([^']+)'\s+AS\s+(\w+);?\s*$", re.IGNORECASE)),
     ("detach", re.compile(r"^\s*DETACH\s+(\w+);?\s*$", re.IGNORECASE)),
+    ("create_secret", re.compile(
+        r"^\s*CREATE\s+(PERSISTENT\s+|TEMPORARY\s+)?SECRET\s+(\w+)\s*\((.*)\)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL)),
+    ("drop_secret", re.compile(
+        r"^\s*DROP\s+SECRET\s+(IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
+    ("show_secrets", re.compile(r"^\s*SHOW\s+SECRETS;?\s*$", re.IGNORECASE)),
+    ("set_extension", re.compile(
+        r"^\s*SET\s+EXTENSION\s+'([^']+)'\s+FOR\s+([\w.]+)\s+TO\s+'((?:[^']|'')*)'\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL)),
+    ("drop_extension", re.compile(
+        r"^\s*DROP\s+EXTENSION\s+'([^']+)'\s+FOR\s+([\w.]+);?\s*$", re.IGNORECASE)),
+    ("show_extensions", re.compile(
+        r"^\s*SHOW\s+EXTENSIONS\s+FOR\s+([\w.]+);?\s*$", re.IGNORECASE)),
     ("create_table_as", re.compile(
         r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL)),
     ("drop_table", re.compile(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
@@ -134,6 +147,7 @@ class Engine:
         self.default_table = default_table
         register_functions(spark)
         self.catalog = None
+        self._session_secrets: dict[str, dict] = {}
         if datasets_root is not None:
             from beacon_spark.managed import Catalog
 
@@ -384,9 +398,41 @@ class Engine:
                     import sys
 
                     print(f"warning: attachment {aname!r}: {e}", file=sys.stderr)
+            import base64
+
+            for s in cat.get("secrets", {}).values():
+                self._apply_secret(
+                    s,
+                    {
+                        k: base64.b64decode(v).decode()
+                        for k, v in s.get("options", {}).items()
+                    },
+                )
             self._cat_sig = sig
         finally:
             self._registering = False
+
+    def _apply_secret(self, entry: dict, params: dict[str, str]) -> None:
+        """Wire an s3-type secret onto the Hadoop connector config (the
+        reference hands credentials to object_store per URL scope). A
+        `s3://bucket` scope becomes per-bucket fs.s3a config; empty scope
+        is global."""
+        if entry.get("type") != "s3":
+            return
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        scope = entry.get("scope") or ""
+        bm = re.match(r"s3a?://([^/]+)", scope)
+        prefix = f"fs.s3a.bucket.{bm.group(1)}." if bm else "fs.s3a."
+        keymap = {
+            "key_id": "access.key",
+            "secret": "secret.key",
+            "region": "endpoint.region",
+            "endpoint": "endpoint",
+            "session_token": "session.token",
+        }
+        for k, v in params.items():
+            if k in keymap:
+                conf.set(prefix + keymap[k], v)
 
     def _run_ddl(self, kind: str, m: re.Match) -> DataFrame:
         """Dialect DDL/DML → Catalog ops (statement enum parser/statement.rs:8-30,
@@ -477,6 +523,92 @@ class Engine:
             c.setdefault("attachments", {}).pop(name, None)
             cat._save(c)
             return self._status(status="ok", op="detach", name=name)
+        if kind == "create_secret":
+            # CREATE [PERSISTENT|TEMPORARY] SECRET n (TYPE t, k 'v', …,
+            # SCOPE 's') — actions.rs:110-220. Persistent secrets go to the
+            # catalog (values base64-obfuscated — the reference encrypts
+            # into its db file; we have no key store, documented
+            # divergence); TEMPORARY/default live only in this Engine.
+            import base64
+
+            modifier = (m.group(1) or "").strip().lower()
+            name, body = m.group(2), m.group(3)
+            params: dict[str, str] = {}
+            stype = scope = None
+            for item in _split_top_level(body):
+                item = item.strip()
+                tm = re.match(r"(?i)^TYPE\s+'?(\w+)'?$", item)
+                sm = re.match(r"(?i)^SCOPE\s+'([^']*)'$", item)
+                km = re.match(r"^(\w+)\s+'([^']*)'$", item)
+                if tm:
+                    stype = tm.group(1).lower()
+                elif sm:
+                    scope = sm.group(1)
+                elif km:
+                    params[km.group(1).lower()] = km.group(2)
+                elif item:
+                    raise ValueError(f"bad secret parameter: {item!r}")
+            entry = {"type": stype, "scope": scope, "persistent": modifier == "persistent"}
+            self._apply_secret(entry, params)
+            if modifier == "persistent":
+                c = cat._load()
+                c.setdefault("secrets", {})[name] = {
+                    **entry,
+                    "options": {
+                        k: base64.b64encode(v.encode()).decode()
+                        for k, v in params.items()
+                    },
+                }
+                cat._save(c)
+            else:
+                self._session_secrets[name] = {**entry, "options": params}
+            return self._status(status="ok", op="create_secret", name=name)
+        if kind == "drop_secret":
+            if_exists, name = bool(m.group(1)), m.group(2)
+            c = cat._load()
+            found = name in self._session_secrets or name in c.get("secrets", {})
+            if not found and not if_exists:
+                raise ValueError(f"secret {name!r} does not exist")
+            self._session_secrets.pop(name, None)
+            c.setdefault("secrets", {}).pop(name, None)
+            cat._save(c)
+            return self._status(status="ok", op="drop_secret", name=name)
+        if kind == "show_secrets":
+            # values never shown (the reference stores them encrypted)
+            rows = []
+            c = cat._load()
+            for name, s in sorted(
+                {**c.get("secrets", {}), **self._session_secrets}.items()
+            ):
+                rows.append(
+                    (name, s.get("type"), s.get("scope"),
+                     bool(s.get("persistent")),
+                     ",".join(sorted(s.get("options", {}))))
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "name string, type string, scope string, persistent boolean, option_keys string",
+            )
+        if kind == "set_extension":
+            # SET EXTENSION '<kind>' FOR <table> TO '<json>' (statement.rs)
+            ext_kind, table, payload = m.group(1), m.group(2), m.group(3)
+            c = cat._load()
+            c.setdefault("extensions", {}).setdefault(table, {})[ext_kind] = (
+                payload.replace("''", "'")
+            )
+            cat._save(c)
+            return self._status(status="ok", op="set_extension", name=table)
+        if kind == "drop_extension":
+            ext_kind, table = m.group(1), m.group(2)
+            c = cat._load()
+            c.setdefault("extensions", {}).get(table, {}).pop(ext_kind, None)
+            cat._save(c)
+            return self._status(status="ok", op="drop_extension", name=table)
+        if kind == "show_extensions":
+            table = m.group(1)
+            c = cat._load()
+            rows = sorted(c.get("extensions", {}).get(table, {}).items())
+            return self.spark.createDataFrame(rows, "kind string, value string")
         if kind == "create_table_as":
             name, src = m.group(1), m.group(2)
             cat.create_table(name, self.sql(src))

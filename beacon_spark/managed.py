@@ -238,6 +238,8 @@ class Catalog:
         "external_tables": {},
         "indexes": {},
         "crawlers": {},
+        "secrets": {},
+        "extensions": {},
     }
 
     def _load(self) -> dict:

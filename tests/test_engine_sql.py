@@ -89,3 +89,56 @@ def test_date_bin_macro(spark, sf_dir):
         "TIMESTAMP '2020-01-01 00:30:00') AS b"
     ).collect()[0]
     assert str(row2.b).startswith("2020-01-01 05:30:00")
+
+
+# ------------------------------------------------------- secrets / extensions
+
+
+def test_secrets_lifecycle(spark, tmp_path):
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql(
+        "CREATE SECRET tmp_s3 (TYPE S3, KEY_ID 'AKIA123', SECRET 'shh', "
+        "SCOPE 's3://my-bucket')"
+    )
+    eng.sql(
+        "CREATE PERSISTENT SECRET persisted (TYPE S3, KEY_ID 'AKIA9', "
+        "SECRET 'topsecret', SCOPE 's3://other')"
+    )
+    rows = {r["name"]: r for r in eng.sql("SHOW SECRETS").collect()}
+    assert rows["tmp_s3"]["persistent"] is False
+    assert rows["persisted"]["persistent"] is True
+    assert rows["persisted"]["scope"] == "s3://other"
+    # secret values never appear in SHOW output
+    assert "topsecret" not in repr(eng.sql("SHOW SECRETS").collect())
+    # s3 secret applied to per-bucket hadoop conf
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert conf.get("fs.s3a.bucket.my-bucket.access.key") == "AKIA123"
+
+    # persistent secrets survive a fresh Engine on the same root
+    eng2 = Engine(spark, datasets_root=str(tmp_path))
+    names = {r["name"] for r in eng2.sql("SHOW SECRETS").collect()}
+    assert names == {"persisted"}  # session secret gone
+
+    eng2.sql("DROP SECRET persisted")
+    assert eng2.sql("SHOW SECRETS").count() == 0
+    import pytest as _p
+
+    with _p.raises(Exception, match="does not exist"):
+        eng2.sql("DROP SECRET nope")
+    eng2.sql("DROP SECRET IF EXISTS nope")  # no error
+
+
+def test_extensions_lifecycle(spark, tmp_path):
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("""SET EXTENSION 'mcp' FOR orders TO '{"expose": true}'""")
+    eng.sql("""SET EXTENSION 'preset' FOR orders TO '{"cols": ["a"]}'""")
+    rows = {r["kind"]: r["value"] for r in
+            eng.sql("SHOW EXTENSIONS FOR orders").collect()}
+    assert rows == {"mcp": '{"expose": true}', "preset": '{"cols": ["a"]}'}
+    eng.sql("DROP EXTENSION 'mcp' FOR orders")
+    assert eng.sql("SHOW EXTENSIONS FOR orders").count() == 1
+    assert eng.sql("SHOW EXTENSIONS FOR unknown_table").count() == 0
