@@ -1277,6 +1277,51 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def _q_tiff_roundtrip(spark, sf_dir):
+    """§2.1 read_tiff: pure-Python GeoTIFF parser → nd flatten
+    (sources/tifflite.py). A 10×10 raster is built from the first 100
+    lineitem quantities, written as a georeferenced deflate GeoTIFF, read
+    back through read_tiff, and aggregated together with the derived
+    coordinate axes. Oracle recomputes from lineitem."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from beacon_spark.sources.nd import read_nd
+    from beacon_spark.sources.tifflite import write_tiff
+
+    vals = [
+        r["l_quantity"]
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .orderBy("l_orderkey", "l_linenumber")
+        .select("l_quantity")
+        .limit(100)
+        .collect()
+    ]
+    band = np.array(vals, dtype=np.float64).reshape(10, 10)
+    path = os.path.join(tempfile.gettempdir(), f"beacon_tiff_q_{os.getpid()}.tif")
+    write_tiff(
+        path, [band],
+        pixel_scale=(1.0, 1.0), tiepoint=(0, 0, 0.0, 50.0), epsg=4326,
+    )
+    df = read_nd(spark, "tiff", [path])
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("`band.0`"), 2).alias("sum_q"),
+        F.round(F.sum("`geo.lat`"), 1).alias("sum_lat"),
+        F.min("`geo.epsg`").alias("epsg"),
+    )
+
+
+_SQL_TIFF_RT = """
+SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_q,
+       round(100 * (50 + 49 + 48 + 47 + 46 + 45 + 44 + 43 + 42 + 41) / 10.0, 1) AS sum_lat,
+       4326 AS epsg
+FROM (SELECT l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100)
+"""
+
+
 def _q_geoparquet_roundtrip(spark, sf_dir):
     """§2.1 read_geoparquet + §2.10 geoparquet output: derive lon/lat
     points from customer keys, write GeoParquet (WKB + `geo` metadata),
@@ -1525,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_roundtrip": _q_delta_roundtrip,
         "iceberg_roundtrip": _q_iceberg_roundtrip,
         "geoparquet_roundtrip": _q_geoparquet_roundtrip,
+        "tiff_roundtrip": _q_tiff_roundtrip,
         "date_bin_agg": _q_date_bin,
         # bench shapes (BASELINE.md harness queries)
         "count_all": _q_count_all,
@@ -1583,6 +1629,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_roundtrip": _SQL_DELTA_RT,
         "iceberg_roundtrip": _SQL_ICEBERG_RT,
         "geoparquet_roundtrip": _SQL_GEOPQ_RT,
+        "tiff_roundtrip": _SQL_TIFF_RT,
         "date_bin_agg": _SQL_DATE_BIN,
         "rollup_agg": _SQL_ROLLUP,
         "pivot_agg": _SQL_PIVOT,

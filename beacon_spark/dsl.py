@@ -54,6 +54,13 @@ class DslError(ValueError):
     pass
 
 
+def _col(name: str) -> Column:
+    """Column ref by *literal* name. DSL column names are flat — a dot is
+    part of the name (attribute columns "<var>.<attr>", arrays-to-tables.md),
+    never struct access — so dotted names are backtick-quoted."""
+    return F.col(f"`{name}`") if "." in name else F.col(name)
+
+
 # ---------------------------------------------------------------- literals
 
 
@@ -108,12 +115,12 @@ def _comparison_value(value: Any, dtype: T.DataType | None) -> Column:
 
 def _select_to_column(item: Any) -> Column:
     if isinstance(item, str):
-        return F.col(item)
+        return _col(item)
     if not isinstance(item, dict):
         raise DslError(f"bad select item: {item!r}")
     alias = item.get("alias")
     if "column" in item or "column_name" in item:
-        col = F.col(item.get("column", item.get("column_name")))
+        col = _col(item.get("column", item.get("column_name")))
     elif "function" in item:
         args = [_select_to_column(a) for a in item.get("args", [])]
         col = F.call_function(item["function"], *args)
@@ -164,9 +171,9 @@ def compile_filter(node: Any, schema: T.StructType) -> Column:
 
     for key in ("is_not_null", "skip_fill_values", "skip_missing"):
         if key in node:
-            return F.col(node[key]["column"]).isNotNull()
+            return _col(node[key]["column"]).isNotNull()
     if "is_null" in node:
-        return F.col(node["is_null"]["column"]).isNull()
+        return _col(node["is_null"]["column"]).isNull()
 
     # GeoJSON spatial filter (query/filter/geo_json.rs:1-55): rewritten onto
     # the st_* functions exactly as the reference does.
@@ -176,8 +183,8 @@ def compile_filter(node: Any, schema: T.StructType) -> Column:
         return F.call_function(
             "st_within_point",
             F.call_function("st_geojson_as_wkt", F.lit(_json.dumps(node["geometry"]))),
-            F.col(node["longitude_column"]),
-            F.col(node["latitude_column"]),
+            _col(node["longitude_column"]),
+            _col(node["latitude_column"]),
         )
 
     # comparison leaf
@@ -194,7 +201,7 @@ def compile_filter(node: Any, schema: T.StructType) -> Column:
         raise DslError(f"comparison leaf with no operator: {node!r}")
 
     dtype = _column_type(schema, name)
-    col = F.col(name)
+    col = _col(name)
     if "gt_eq" in ops and "lt_eq" in ops:
         expr = col.between(
             _comparison_value(ops.pop("gt_eq"), dtype),
@@ -227,9 +234,9 @@ def _sort_exprs(sort_by: list[Any]) -> list[Column]:
         (kind, colname), = item.items()
         kind = kind.lower()
         if kind == "asc":
-            out.append(F.col(colname).asc_nulls_last())
+            out.append(_col(colname).asc_nulls_last())
         elif kind == "desc":
-            out.append(F.col(colname).desc_nulls_last())
+            out.append(_col(colname).desc_nulls_last())
         else:
             raise DslError(f"bad sort direction: {kind}")
     return out

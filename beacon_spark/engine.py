@@ -30,7 +30,7 @@ from beacon_spark.sources import tabular
 from beacon_spark.sources.nd import read_nd
 
 _READ_FN_RE = re.compile(
-    r"\bread_(geoparquet|parquet|csv|arrow|netcdf|zarr|hdf5|odv_ascii|odv|delta|iceberg)\s*\("
+    r"\bread_(geoparquet|parquet|csv|arrow|netcdf|zarr|hdf5|odv_ascii|odv|delta|iceberg|tiff)\s*\("
     r"\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\)",
     re.IGNORECASE,
 )
@@ -203,6 +203,16 @@ class Engine:
         from beacon_spark.sources.iceberg import read_iceberg_schema
 
         return read_iceberg_schema(self.spark, location, self.datasets_root)
+
+    def read_tiff(self, paths, dimensions=None, ranges=None) -> DataFrame:
+        return read_nd(
+            self.spark, "tiff", paths, self.datasets_root, dimensions, ranges=ranges
+        )
+
+    def read_tiff_schema(self, paths) -> DataFrame:
+        from beacon_spark.sources.tabular import _schema_df
+
+        return _schema_df(self.spark, self.read_tiff(paths).schema)
 
     def read_parquet_schema(self, paths) -> DataFrame:
         return tabular.read_parquet_schema(self.spark, paths, self.datasets_root)
@@ -725,6 +735,7 @@ class Engine:
                 "odv_ascii": self.read_odv,
                 "delta": lambda gs: self.read_delta(gs[0]),
                 "iceberg": lambda gs: self.read_iceberg(gs[0]),
+                "tiff": self.read_tiff,
                 "geoparquet": self.read_geoparquet,
             }[fmt](globs)
             name = f"__beacon_read_{abs(hash((fmt, tuple(globs)))) % 10**10}"
@@ -927,6 +938,10 @@ class Engine:
                 )
             if fmt == "zarr":
                 return self.read_zarr(
+                    cfg["paths"], cfg.get("dimensions"), ranges=ranges
+                )
+            if fmt == "tiff":
+                return self.read_tiff(
                     cfg["paths"], cfg.get("dimensions"), ranges=ranges
                 )
             if fmt == "odv":

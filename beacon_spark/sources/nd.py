@@ -101,10 +101,9 @@ def decode_cf(values: np.ndarray, attrs: dict) -> tuple[np.ndarray, pa.DataType 
         return arr, pa.timestamp("us")
 
     if mask is not None:
-        if np.issubdtype(out.dtype, np.floating):
-            out = np.where(mask, np.nan, out)
-        else:
-            out = np.ma.masked_array(out, mask=mask)
+        # _FillValue becomes SQL NULL for every type, floats included
+        # (cf-decoding.md:112-125 — NaN stays NaN, fill becomes NULL)
+        out = np.ma.masked_array(out, mask=mask)
     return out, None
 
 
@@ -286,7 +285,18 @@ def open_zarr(path: str) -> GridDataset:
     return GridDataset(dims, variables, var_attrs, dict(g.attrs))
 
 
-_OPENERS = {"netcdf": open_netcdf, "zarr": open_zarr, "hdf5": open_netcdf}
+def open_tiff(path: str) -> GridDataset:
+    from beacon_spark.sources.tifflite import open_tiff as _ot
+
+    return _ot(path)
+
+
+_OPENERS = {
+    "netcdf": open_netcdf,
+    "zarr": open_zarr,
+    "hdf5": open_netcdf,
+    "tiff": open_tiff,
+}
 
 
 # ------------------------------------------------------------ spark reader

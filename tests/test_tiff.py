@@ -1,0 +1,105 @@
+"""GeoTIFF source (sources/tifflite.py): pure-Python parser → shared nd
+flattening, matching the reference's raster-as-nd-dataset model
+(beacon-arrow-tiff/src/reader.rs)."""
+
+import numpy as np
+import pytest
+
+from beacon_spark.sources.tifflite import open_tiff, write_tiff
+
+
+def _geo_tiff(path, band, **kw):
+    kw.setdefault("pixel_scale", (0.5, 0.25))
+    kw.setdefault("tiepoint", (0, 0, 10.0, 60.0))
+    kw.setdefault("epsg", 4326)
+    write_tiff(str(path), [band], **kw)
+    return str(path)
+
+
+def test_roundtrip_float_deflate_multistrip(tmp_path):
+    band = np.arange(35, dtype=np.float32).reshape(7, 5)
+    p = _geo_tiff(tmp_path / "a.tif", band, rows_per_strip=3)
+    ds = open_tiff(p)
+    assert ds.dims == {"y": 7, "x": 5}
+    got = ds.variables["band.0"][1]
+    assert np.array_equal(got, band)
+    # reference coordinate formula (reader.rs:215-216)
+    lon = ds.variables["geo.lon"][1]
+    lat = ds.variables["geo.lat"][1]
+    assert lon.tolist() == [10.0, 10.5, 11.0, 11.5, 12.0]
+    assert lat[0] == 60.0 and lat[1] == 59.75
+
+
+def test_nodata_becomes_null(tmp_path):
+    band = np.arange(12, dtype=np.float32).reshape(3, 4)
+    band[1, 1] = -999.0
+    p = _geo_tiff(tmp_path / "n.tif", band, nodata=-999)
+    tbl = open_tiff(p).flatten()
+    assert tbl.column("band.0").null_count == 1
+    assert tbl.column("geo.nodata").to_pylist()[0] == "-999"
+
+
+def test_multiband_and_dtypes(tmp_path):
+    for dt in (np.uint8, np.int16, np.uint16, np.int32, np.float64):
+        bands = [
+            np.arange(12, dtype=dt).reshape(3, 4),
+            (np.arange(12, dtype=dt)[::-1]).reshape(3, 4).copy(),
+        ]
+        p = str(tmp_path / f"m_{np.dtype(dt).name}.tif")
+        write_tiff(p, bands, compression="none")
+        ds = open_tiff(p)
+        assert np.array_equal(ds.variables["band.0"][1], bands[0])
+        assert np.array_equal(ds.variables["band.1"][1], bands[1])
+
+
+def test_metadata_scalars(tmp_path):
+    band = np.ones((4, 6), dtype=np.uint8)
+    p = _geo_tiff(tmp_path / "s.tif", band)
+    tbl = open_tiff(p).flatten()
+    row0 = {c: tbl.column(c).to_pylist()[0] for c in tbl.column_names}
+    assert row0["image.width"] == 6
+    assert row0["image.height"] == 4
+    assert row0["geo.epsg"] == 4326
+    assert row0["geo.crs"] == "EPSG:4326"
+    assert tbl.num_rows == 24
+
+
+def test_not_a_tiff(tmp_path):
+    p = tmp_path / "x.tif"
+    p.write_bytes(b"garbage")
+    with pytest.raises(ValueError, match="not a TIFF"):
+        open_tiff(str(p))
+
+
+def test_spark_read_tiff_sql(spark, tmp_path):
+    from beacon_spark import Engine
+
+    band = np.arange(24, dtype=np.float32).reshape(4, 6)
+    _geo_tiff(tmp_path / "r.tif", band)
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    out = eng.sql(
+        "SELECT count(*) AS n, round(sum(`band.0`), 1) AS s, "
+        "min(`geo.lat`) AS south FROM read_tiff('r.tif')"
+    ).collect()[0]
+    assert out["n"] == 24
+    assert out["s"] == float(band.sum())
+    assert out["south"] == 60.0 - 3 * 0.25
+
+
+def test_coordinate_pruning_tiff(spark, tmp_path):
+    """WHERE on geo.lat prunes row chunks at plan time (nd pushdown)."""
+    from beacon_spark import Engine
+
+    band = np.arange(100, dtype=np.float32).reshape(10, 10)
+    _geo_tiff(tmp_path / "p.tif", band, pixel_scale=(1.0, 1.0),
+              tiepoint=(0, 0, 0.0, 50.0))
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    out = eng.query(
+        {
+            "select": ["geo.lat", "band.0"],
+            "from": {"tiff": {"paths": ["p.tif"]}},
+            "filter": {"column": "geo.lat", "gt_eq": 48.0},
+        }
+    )
+    # lat 50..41 descending; >= 48 keeps rows for lat 50,49,48 = 3 rows × 10
+    assert out.count() == 30
