@@ -42,6 +42,11 @@ _QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
 _EXPLAIN_ANALYZE_RE = re.compile(
     r"^\s*EXPLAIN\s+ANALYZE\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL
 )
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(.*?)\s+TO\s+'([^']+)'"
+    r"(?:\s+(?:STORED\s+AS|FORMAT)\s+(\w+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ANALYZE_RE = re.compile(
     r"^\s*ANALYZE\s+FILES(?:\s+'([^']*)')?(\s+FORCE)?;?\s*$", re.IGNORECASE
 )
@@ -286,6 +291,29 @@ class Engine:
                 [(line,) for line in plan.splitlines()],
                 T.StructType([T.StructField("plan", T.StringType())]),
             )
+
+        m = _COPY_RE.match(statement)
+        if m:
+            # COPY <table|(query)> TO '<path>' [STORED AS fmt] — the
+            # reference wraps the plan in a DataFusion CopyTo and rewrites
+            # the target into the datasets store (statement_plan/lower.rs:
+            # 12-13, output.rs). Format defaults from the path extension.
+            import os as _os
+
+            from beacon_spark.outputs import write_output
+            from beacon_spark.sources.paths import detect_format
+
+            src, target, fmt = m.group(1).strip(), m.group(2), m.group(3)
+            if src.startswith("(") and src.endswith(")"):
+                src = src[1:-1]
+            df = self.sql(src) if re.search(r"(?i)\bSELECT\b", src) else self.sql(
+                f"SELECT * FROM {src}"
+            )
+            fmt = (fmt or detect_format(target) or "parquet").lower()
+            if self.datasets_root is not None and not _os.path.isabs(target):
+                target = _os.path.join(self.datasets_root, target)
+            write_output(df, fmt, target)
+            return self._status(status="ok", op="copy_to", name=target)
 
         m = _ANALYZE_RE.match(statement)
         if m:

@@ -142,3 +142,24 @@ def test_extensions_lifecycle(spark, tmp_path):
     eng.sql("DROP EXTENSION 'mcp' FOR orders")
     assert eng.sql("SHOW EXTENSIONS FOR orders").count() == 1
     assert eng.sql("SHOW EXTENSIONS FOR unknown_table").count() == 0
+
+
+def test_copy_to(spark, tmp_path, sf_small):
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql(
+        f"COPY (SELECT * FROM read_parquet('{sf_small}/region.parquet')) "
+        f"TO 'out.csv'"
+    )
+    back = eng.read_csv("out.csv")
+    assert back.count() == 5
+    eng.sql(
+        f"COPY (SELECT r_regionkey FROM read_parquet('{sf_small}/region.parquet') "
+        f"WHERE r_regionkey < 2) TO 'two.parquet' STORED AS PARQUET"
+    )
+    assert eng.read_parquet("two.parquet").count() == 2
+    # bare table name source
+    eng.sql(f"CREATE TABLE reg AS SELECT * FROM read_parquet('{sf_small}/region.parquet')")
+    eng.sql("COPY reg TO 'reg.arrow'")
+    assert eng.read_arrow("reg.arrow").count() == 5
