@@ -811,6 +811,22 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(emb.filter(F.col("vec_id") != 0), list(query), k=10, n_planes=4)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """ANN top-k via IVF coarse quantizer (sample-trained k-means cells,
+    nprobe probing — pipeline/similarity.py). Probing ALL cells makes the
+    result exhaustively exact, so the DuckDB brute-force oracle applies;
+    partial-probe recall is covered in tests/test_pipeline.py."""
+    from beacon_spark.pipeline.similarity import ivf_ann_topk
+
+    _reg(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_ann_topk(
+        emb.filter(F.col("vec_id") != 0), list(query), k=10,
+        n_cells=8, nprobe=8,
+    )
+
+
 def _q_multimodal(spark, sf_dir):
     """Multimodal plumbing: synthesize binary payloads (PNG headers for
     even ids), sniff metadata via mapInPandas, group by mime. Binary
@@ -1595,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": _q_sim_topk,
         "sim_pairs_exact": _q_sim_pairs_exact,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "multimodal_meta": _q_multimodal,
     }
 
@@ -1649,6 +1666,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_sql(),
         "tokens_fingerprint": _SQL_TOKENS_FP,
         "sim_topk": _SQL_SIM_TOPK,
+        "ann_ivf_topk": _SQL_SIM_TOPK,
         "sim_pairs_exact": _SQL_SIM_PAIRS,
         # rows-only (non-SQL-expressible): simhash_pairs, ann_lsh_topk,
         # multimodal_meta

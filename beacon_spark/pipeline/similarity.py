@@ -158,3 +158,94 @@ def cosine_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------- IVF
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse-quantizer training, FAISS-style: Lloyd's k-means on a
+    driver-side sample (deterministic — ordered by id), not on the full
+    corpus. At 100 TB the sample is a bounded collect; the expensive part
+    (assignment) stays distributed. Vectors are L2-normalized so nearest
+    centroid by L2 == nearest by cosine."""
+    sample = np.array(
+        [
+            r[0]
+            for r in df.select(vec_col).orderBy(id_col).limit(sample_n).collect()
+        ],
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def ivf_cell_expr(vec_col: str, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id as one Catalyst expression. Normalization is
+    skipped on the data side: for unit centroids, argmax over dot(v, c)
+    equals argmax over dot(v/|v|, c), so only the per-centroid dot products
+    are computed (let-bound once, then argmax'd). JVM-side — the
+    full-corpus assignment pass has no UDF and no shuffle."""
+    dots = ", ".join(
+        "aggregate(zip_with(rv, array(%s), (a, b) -> a * b), 0D, (s, x) -> s + x)"
+        % ", ".join(f"{v!r}D" for v in cent)
+        for cent in centroids.tolist()
+    )
+    sql = (
+        "transform(array(transform(`{v}`, x -> CAST(x AS DOUBLE))), rv -> "
+        "transform(array(array({dots})), ds -> "
+        "array_position(ds, array_max(ds)) - 1)[0])[0]"
+    ).format(v=vec_col, dots=dots)
+    return F.expr(sql).cast("int")
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest centroid
+    cell, probe only the ``nprobe`` cells nearest the query, exact cosine
+    inside them. At scale the assignment runs once at ingest (table written
+    partitioned by cell → a probe is a partition-pruned scan touching
+    nprobe/n_cells of the data); here the cell column is computed inline.
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            df, n_cells, vec_col, id_col, seed=seed
+        )
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(centroids @ q))
+    probe = [int(c) for c in order[:nprobe]]
+    celled = df.withColumn("__cell", ivf_cell_expr(vec_col, centroids))
+    return (
+        celled.filter(F.col("__cell").isin(probe))
+        .select(F.col(id_col), F.round(cosine_expr(vec_col, query), 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

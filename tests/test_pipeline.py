@@ -129,3 +129,50 @@ def test_quality_metrics_empty_and_punct(spark):
     assert out[1].n_tokens == 6
     assert out[1].punct_ratio > 0
     assert out[2].n_tokens == 0 and out[2].mean_word_len == 0.0
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+
+def test_ivf_full_probe_matches_brute_force(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from beacon_spark.pipeline.similarity import brute_force_topk, ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = brute_force_topk(rest, query, k=10).collect()
+    full = ivf_ann_topk(rest, query, k=10, n_cells=8, nprobe=8).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in full] == [
+        (r["vec_id"], r["cosine"]) for r in exact
+    ]
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from beacon_spark.pipeline.similarity import brute_force_topk, ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in brute_force_topk(rest, query, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ivf_ann_topk(rest, query, k=10, n_cells=8, nprobe=3).collect()
+    }
+    # probing 3/8 cells must still find most true neighbors
+    assert len(exact & approx) >= 6
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    from beacon_spark.pipeline.similarity import ivf_train_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    import numpy as np
+
+    c1 = ivf_train_centroids(emb, n_cells=4, sample_n=256)
+    c2 = ivf_train_centroids(emb, n_cells=4, sample_n=256)
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
