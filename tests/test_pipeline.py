@@ -176,3 +176,18 @@ def test_ivf_centroids_deterministic(spark, sf_dir):
     c2 = ivf_train_centroids(emb, n_cells=4, sample_n=256)
     assert np.allclose(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_minhash_impls_bit_identical(spark, sf_dir):
+    from beacon_spark.pipeline.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    a = {
+        r["__id"]: r["sig"]
+        for r in minhash_signatures(docs, impl="catalyst").collect()
+    }
+    b = {
+        r["__id"]: r["sig"]
+        for r in minhash_signatures(docs, impl="numpy").collect()
+    }
+    assert a == b
