@@ -982,6 +982,18 @@ class Engine:
             if fmt == "iceberg":
                 loc = cfg["paths"][0] if "paths" in cfg else cfg["location"]
                 return self.read_iceberg(loc, cfg.get("snapshot_id"))
+            if fmt in ("icechunk", "bbf"):
+                # icechunk needs the icechunk store library (msgpack+zstd
+                # manifests — absent here); bbf is Beacon's proprietary
+                # container (SURVEY.md §2.1: documented out of scope)
+                raise NotImplementedError(
+                    f"format {fmt!r} is recognized but not supported in this build"
+                )
+            if fmt in ("postgres", "mysql"):
+                raise NotImplementedError(
+                    f"{fmt} federation needs a JDBC driver jar "
+                    "(spark.read.jdbc) — not available in this build"
+                )
             raise ValueError(f"unsupported from format: {fmt}")
         raise ValueError(f"bad from spec: {spec!r}")
 
