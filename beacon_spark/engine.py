@@ -50,6 +50,87 @@ _COPY_RE = re.compile(
 _ANALYZE_RE = re.compile(
     r"^\s*ANALYZE\s+FILES(?:\s+'([^']*)')?(\s+FORCE)?;?\s*$", re.IGNORECASE
 )
+_EXCLUDE_RE = re.compile(
+    r"(\*\s+)EXCLUDE\s*(\(([^)]*)\)|(\w+))", re.IGNORECASE
+)
+
+
+def _bind_placeholders(statement: str, params: list) -> tuple[str, dict]:
+    """Rewrite DataFusion-style positional placeholders ``$1..$n``
+    (bound via ``with_param_values``, runtime.rs:107-116) to Spark named
+    parameter markers, skipping single-quoted string literals."""
+    args = {f"__p{i + 1}": v for i, v in enumerate(params)}
+    out: list[str] = []
+    i, n, in_str = 0, len(statement), False
+    while i < n:
+        ch = statement[i]
+        if ch == "'":
+            in_str = not in_str
+            out.append(ch)
+            i += 1
+        elif ch == "$" and not in_str and i + 1 < n and statement[i + 1].isdigit():
+            j = i + 1
+            while j < n and statement[j].isdigit():
+                j += 1
+            out.append(f":__p{statement[i + 1:j]}")
+            i = j
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), args
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested in parens/quotes."""
+    parts, depth, in_str, cur = [], 0, False, []
+    for ch in s:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+                continue
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def _extract_star_replace(statement: str) -> tuple[str, list[tuple[str, str]]]:
+    """``SELECT * REPLACE (expr AS col, ...)`` (DataFusion star options,
+    docs/.../sql/index.md:46-48): strip the REPLACE clause and return the
+    replacement list, applied post-projection via ``withColumn`` (which
+    keeps each replaced column's position, matching DataFusion)."""
+    m = re.match(r"(?is)^(\s*SELECT\s+(?:\w+\.)?\*\s+)REPLACE\s*\(", statement)
+    if not m:
+        return statement, []
+    # find the matching close paren
+    depth, in_str, i = 1, False, m.end()
+    while i < len(statement) and depth:
+        ch = statement[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        i += 1
+    if depth:
+        return statement, []
+    inner = statement[m.end():i - 1]
+    replaces: list[tuple[str, str]] = []
+    for item in _split_top_level(inner):
+        im = re.match(r"(?is)^(.*?)\s+AS\s+(\w+)\s*$", item)
+        if not im:
+            raise ValueError(f"bad REPLACE item (want 'expr AS col'): {item!r}")
+        replaces.append((im.group(1).strip(), im.group(2)))
+    return m.group(1) + statement[i:], replaces
 # DDL/DML dialect statements (parser/statement.rs:8-30), dispatched ahead
 # of spark.sql exactly as BeaconParser tries custom statements first
 _DDL_RES: list[tuple[str, re.Pattern]] = [
@@ -266,12 +347,16 @@ class Engine:
 
     # ------------------------------------------------------------ sql
 
-    def sql(self, statement: str) -> DataFrame:
+    def sql(self, statement: str, params: list | dict | None = None) -> DataFrame:
         """Spark SQL with the dialect extensions pre-compiled away.
 
         - ``SUMMARIZE <table|query>`` → one-pass profiling aggregate
         - ``read_parquet('glob')`` etc. in FROM → temp views over our readers
         - ``try_arrow_cast(e, 'Int32')`` → ``try_cast`` with Spark type names
+        - ``params``: positional values bound to ``$1..$n`` placeholders
+          (runtime.rs:107-116) or a dict for ``:name`` markers
+        - ``SELECT * EXCLUDE (...)`` / ``* REPLACE (expr AS col)`` star
+          options rewritten onto Spark's ``* EXCEPT`` / ``withColumn``
         """
         if self.catalog is not None:
             for kind, rx in _DDL_RES:
@@ -347,7 +432,22 @@ class Engine:
         statement = self._rewrite_try_arrow_cast(statement)
         statement = self._rewrite_macros(statement)
         statement = self._rewrite_qualify(statement)
-        return self.spark.sql(statement)
+        statement = _EXCLUDE_RE.sub(
+            lambda m: f"{m.group(1)}EXCEPT ({m.group(3) or m.group(4)})", statement
+        )
+        statement, replaces = _extract_star_replace(statement)
+        args: dict | None = None
+        if isinstance(params, dict):
+            args = params
+        elif params is not None:
+            statement, args = _bind_placeholders(statement, params)
+        df = self.spark.sql(statement, args=args) if args else self.spark.sql(statement)
+        if replaces:
+            from pyspark.sql import functions as F
+
+            for expr_s, name in replaces:
+                df = df.withColumn(name, F.expr(expr_s))
+        return df
 
     def _rewrite_metadata_fns(self, statement: str) -> str:
         """Zero-arg metadata table functions → temp views:

@@ -163,3 +163,52 @@ def test_copy_to(spark, tmp_path, sf_small):
     eng.sql(f"CREATE TABLE reg AS SELECT * FROM read_parquet('{sf_small}/region.parquet')")
     eng.sql("COPY reg TO 'reg.arrow'")
     assert eng.read_arrow("reg.arrow").count() == 5
+
+
+def test_positional_params(eng):
+    # $1..$n placeholders (runtime.rs:107-116 with_param_values)
+    out = eng.sql(
+        "SELECT o_orderkey FROM read_parquet('orders.parquet') "
+        "WHERE o_totalprice > $1 AND o_orderstatus = $2 ORDER BY o_orderkey",
+        params=[100000.0, "F"],
+    ).collect()
+    ref = eng.sql(
+        "SELECT o_orderkey FROM read_parquet('orders.parquet') "
+        "WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F' ORDER BY o_orderkey"
+    ).collect()
+    assert out == ref and len(out) > 0
+
+
+def test_positional_params_skip_strings(eng):
+    out = eng.sql(
+        "SELECT '$1 literal' AS s, $1 AS v FROM read_parquet('region.parquet') LIMIT 1",
+        params=[7],
+    ).collect()
+    assert out[0].s == "$1 literal" and out[0].v == 7
+
+
+def test_named_params(eng):
+    out = eng.sql(
+        "SELECT count(*) AS n FROM read_parquet('orders.parquet') WHERE o_totalprice > :lim",
+        params={"lim": 100000.0},
+    ).collect()
+    assert out[0].n > 0
+
+
+def test_star_exclude(eng):
+    df = eng.sql("SELECT * EXCLUDE (r_name) FROM read_parquet('region.parquet')")
+    assert df.columns == ["r_regionkey"]
+    df2 = eng.sql("SELECT * EXCLUDE r_name FROM read_parquet('region.parquet')")
+    assert df2.columns == ["r_regionkey"]
+
+
+def test_star_replace(eng):
+    df = eng.sql(
+        "SELECT * REPLACE (upper(r_name) AS r_name, r_regionkey + 100 AS r_regionkey) "
+        "FROM read_parquet('region.parquet') ORDER BY r_regionkey"
+    )
+    # positions preserved, values replaced
+    assert df.columns[:2] == ["r_regionkey", "r_name"]
+    rows = df.collect()
+    assert all(r.r_regionkey >= 100 for r in rows)
+    assert all(r.r_name == r.r_name.upper() for r in rows)
