@@ -122,9 +122,14 @@ class GridDataset:
     def grid(self, dimensions: list[str] | None = None) -> tuple[str, ...]:
         """The grid = dims of the largest-volume variable
         (arrays-to-tables.md: 'The rule'). An explicit ``dimensions``
-        argument overrides the choice (table-functions.md read_netcdf)."""
+        argument overrides the choice (table-functions.md read_netcdf).
+        A ragged (CF contiguous) dataset always grids on its sample
+        dimension — one row per observation."""
         if dimensions:
             return tuple(dimensions)
+        ragged = self.ragged_spec()
+        if ragged is not None:
+            return (ragged[0],)
         best: tuple[str, ...] = ()
         best_vol = -1
         for dims, arr in self.variables.values():
@@ -132,6 +137,22 @@ class GridDataset:
             if vol > best_vol:
                 best_vol, best = vol, dims
         return best
+
+    def ragged_spec(self) -> tuple[str, str, np.ndarray] | None:
+        """CF contiguous ragged arrays (beacon-nd-array/src/dataset/
+        any.rs:10-23,42-50): a row-count variable carries attribute
+        ``sample_dimension: "<obs_dim>"``; its own dimension is the
+        instance (profile) dimension. Returns
+        ``(sample_dim, instance_dim, counts)`` or None."""
+        for name, attrs in self.var_attrs.items():
+            sd = attrs.get("sample_dimension")
+            if sd is None or name not in self.variables:
+                continue
+            sd = str(sd)
+            dims_of, arr = self.variables[name]
+            if sd in self.dims and len(dims_of) == 1 and dims_of[0] != sd:
+                return sd, dims_of[0], np.asarray(arr).astype(np.int64).reshape(-1)
+        return None
 
     def row_count(self, dimensions: list[str] | None = None) -> int:
         return int(np.prod([self.dims[d] for d in self.grid(dimensions)] or [1]))
@@ -160,10 +181,31 @@ class GridDataset:
         lo, hi = row_range or (0, n_rows)
         lo, hi = max(lo, 0), min(hi, n_rows)
 
+        # CF contiguous ragged layout: instance-dim variables repeat onto
+        # the sample dimension per the row-count variable. Precompute the
+        # obs→instance index map for just this slice (O(slice log inst)).
+        ragged = self.ragged_spec()
+        inst_idx: np.ndarray | None = None
+        inst_dim = None
+        if ragged is not None and grid == (ragged[0],):
+            _, inst_dim, counts = ragged
+            ends = np.cumsum(counts)
+            inst_idx = np.searchsorted(ends, np.arange(lo, hi), side="right")
+
         names: list[str] = []
         arrays: list[pa.Array] = []
         for name, (dims, arr) in self.variables.items():
             if columns is not None and name not in columns:
+                continue
+            if inst_idx is not None and dims == (inst_dim,):
+                # per-profile value gathered onto each of its observations
+                flat = np.asarray(arr)[np.clip(inst_idx, 0, len(arr) - 1)]
+                attrs = self.var_attrs.get(name, {})
+                arrow_type = None
+                if cf_decode:
+                    flat, arrow_type = decode_cf(np.ascontiguousarray(flat), attrs)
+                names.append(name)
+                arrays.append(_to_arrow(flat, arrow_type))
                 continue
             if not set(dims).issubset(grid):
                 continue  # outside the grid → dropped (rule 5)

@@ -124,3 +124,50 @@ def test_ragged_profile_shape():
     t = ds.flatten()
     assert t.num_rows == 6
     assert t.column("profile_id").to_pylist() == [0, 0, 0, 1, 1, 1]
+
+
+def ragged_dataset() -> GridDataset:
+    """CF contiguous ragged layout (dataset/any.rs:10-23): 3 profiles with
+    2/3/1 observations; rowSize carries sample_dimension."""
+    return GridDataset(
+        dims={"profile": 3, "obs": 6},
+        variables={
+            "platform": (("profile",), np.array([10, 20, 30], dtype="int32")),
+            "lat": (("profile",), np.array([50.0, 51.0, 52.0], dtype="float64")),
+            "rowSize": (("profile",), np.array([2, 3, 1], dtype="int32")),
+            "pressure": (("obs",), np.array([5, 10, 5, 10, 15, 5], dtype="int32")),
+        },
+        var_attrs={"rowSize": {"sample_dimension": "obs"}},
+    )
+
+
+def test_ragged_grid_is_sample_dim():
+    assert ragged_dataset().grid() == ("obs",)
+    assert ragged_dataset().row_count() == 6
+
+
+def test_ragged_instance_vars_repeat_per_counts():
+    t = ragged_dataset().flatten(attribute_columns=False)
+    assert t.column("platform").to_pylist() == [10, 10, 20, 20, 20, 30]
+    assert t.column("lat").to_pylist() == [50.0, 50.0, 51.0, 51.0, 51.0, 52.0]
+    assert t.column("pressure").to_pylist() == [5, 10, 5, 10, 15, 5]
+    assert t.column("rowSize").to_pylist() == [2, 2, 3, 3, 3, 1]
+
+
+def test_ragged_row_range_mid_profile():
+    t = ragged_dataset().flatten(attribute_columns=False, row_range=(1, 5))
+    assert t.column("platform").to_pylist() == [10, 20, 20, 20]
+    assert t.column("pressure").to_pylist() == [10, 5, 10, 15]
+
+
+def test_ragged_netcdf3_roundtrip(tmp_path):
+    from beacon_spark.sources.nd import open_netcdf
+    from beacon_spark.sources.netcdf3 import write_netcdf3
+
+    ds = ragged_dataset()
+    p = str(tmp_path / "ragged.nc")
+    write_netcdf3(p, ds.dims, ds.variables, ds.var_attrs, {})
+    back = open_netcdf(p)
+    t = back.flatten(attribute_columns=False)
+    assert t.column("platform").to_pylist() == [10, 10, 20, 20, 20, 30]
+    assert t.column("pressure").to_pylist() == [5, 10, 5, 10, 15, 5]
