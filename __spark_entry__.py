@@ -1547,6 +1547,95 @@ ORDER BY c_custkey
 """
 
 
+def _q_star_options(spark, sf_dir):
+    """§2.2 star options: ``* EXCLUDE`` + ``* REPLACE`` (DataFusion select
+    surface, docs/.../sql/index.md:46-48). DuckDB shares the syntax, so
+    the oracle runs the same star options natively."""
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=sf_dir)
+    return eng.sql(
+        "SELECT * EXCLUDE (n_regionkey) REPLACE (lower(n_name) AS n_name) "
+        "FROM read_parquet('nation.parquet') ORDER BY n_nationkey"
+    )
+
+
+_SQL_STAR_OPTIONS = """
+SELECT * EXCLUDE (n_regionkey) REPLACE (lower(n_name) AS n_name)
+FROM nation ORDER BY n_nationkey
+"""
+
+
+def _q_params_bound(spark, sf_dir):
+    """§3.1 parameter placeholders: ``$1..$n`` bound server-side
+    (runtime.rs:107-116 with_param_values)."""
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=sf_dir)
+    return eng.sql(
+        "SELECT o_orderkey, o_totalprice FROM read_parquet('orders.parquet') "
+        "WHERE o_totalprice > $1 AND o_orderstatus = $2",
+        params=[150000.0, "F"],
+    )
+
+
+_SQL_PARAMS = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+"""
+
+
+def _q_ragged_netcdf(spark, sf_dir):
+    """§1.1 ragged (CF contiguous) arrays: orders grouped per customer →
+    ragged NetCDF (rowSize + sample_dimension, beacon-nd-array/src/
+    dataset/any.rs:10-23) → read_netcdf flattens back to one row per
+    observation with instance variables repeated. The oracle computes the
+    same projection straight from parquet, so a hash match proves the
+    per-profile repeat semantics."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.sources.netcdf3 import write_netcdf3
+
+    _reg(spark, sf_dir, "orders")
+    pdf = (
+        spark.table("orders")
+        .filter(F.col("o_custkey") <= 200)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+        .toPandas()
+    )
+    counts = pdf.groupby("o_custkey", sort=True).size()
+    root = tempfile.mkdtemp(prefix="beacon_ragged_")
+    write_netcdf3(
+        os.path.join(root, "profiles.nc"),
+        {"profile": len(counts), "obs": len(pdf)},
+        {
+            "custkey": (("profile",), counts.index.to_numpy().astype(np.int32)),
+            "rowSize": (("profile",), counts.to_numpy().astype(np.int32)),
+            "orderkey": (("obs",), pdf["o_orderkey"].to_numpy().astype(np.int32)),
+            "totalprice": (("obs",), pdf["o_totalprice"].to_numpy().astype(np.float64)),
+        },
+        {"rowSize": {"sample_dimension": "obs"}},
+        {},
+    )
+    eng = Engine(spark, datasets_root=root)
+    return eng.sql(
+        "SELECT CAST(custkey AS BIGINT) AS o_custkey, "
+        "CAST(orderkey AS BIGINT) AS o_orderkey, "
+        "totalprice AS o_totalprice "
+        "FROM read_netcdf('profiles.nc')"
+    )
+
+
+_SQL_RAGGED = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_custkey <= 200
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -1588,6 +1677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparquet_roundtrip": _q_geoparquet_roundtrip,
         "tiff_roundtrip": _q_tiff_roundtrip,
         "date_bin_agg": _q_date_bin,
+        "star_options": _q_star_options,
+        "params_bound": _q_params_bound,
+        "ragged_netcdf": _q_ragged_netcdf,
         # bench shapes (BASELINE.md harness queries)
         "count_all": _q_count_all,
         "filter_range": _q_filter_range,
@@ -1647,6 +1739,9 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_roundtrip": _SQL_ICEBERG_RT,
         "geoparquet_roundtrip": _SQL_GEOPQ_RT,
         "tiff_roundtrip": _SQL_TIFF_RT,
+        "star_options": _SQL_STAR_OPTIONS,
+        "params_bound": _SQL_PARAMS,
+        "ragged_netcdf": _SQL_RAGGED,
         "date_bin_agg": _SQL_DATE_BIN,
         "rollup_agg": _SQL_ROLLUP,
         "pivot_agg": _SQL_PIVOT,

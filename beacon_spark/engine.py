@@ -106,7 +106,10 @@ def _extract_star_replace(statement: str) -> tuple[str, list[tuple[str, str]]]:
     docs/.../sql/index.md:46-48): strip the REPLACE clause and return the
     replacement list, applied post-projection via ``withColumn`` (which
     keeps each replaced column's position, matching DataFusion)."""
-    m = re.match(r"(?is)^(\s*SELECT\s+(?:\w+\.)?\*\s+)REPLACE\s*\(", statement)
+    m = re.match(
+        r"(?is)^(\s*SELECT\s+(?:\w+\.)?\*(?:\s+EXCEPT\s*\([^)]*\))?\s+)REPLACE\s*\(",
+        statement,
+    )
     if not m:
         return statement, []
     # find the matching close paren

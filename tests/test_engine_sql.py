@@ -212,3 +212,12 @@ def test_star_replace(eng):
     rows = df.collect()
     assert all(r.r_regionkey >= 100 for r in rows)
     assert all(r.r_name == r.r_name.upper() for r in rows)
+
+
+def test_star_exclude_replace_compose(eng):
+    df = eng.sql(
+        "SELECT * EXCLUDE (r_regionkey) REPLACE (lower(r_name) AS r_name) "
+        "FROM read_parquet('region.parquet')"
+    )
+    assert df.columns == ["r_name"]
+    assert all(r.r_name == r.r_name.lower() for r in df.collect())
