@@ -221,3 +221,15 @@ def test_star_exclude_replace_compose(eng):
     )
     assert df.columns == ["r_name"]
     assert all(r.r_name == r.r_name.lower() for r in df.collect())
+
+
+def test_describe_show_columns_explain(eng):
+    # §2.11 SHOW/DESCRIBE/EXPLAIN pass through the read_* rewrite
+    d = eng.sql("DESCRIBE read_parquet('region.parquet')").collect()
+    assert [r.col_name for r in d] == ["r_regionkey", "r_name"]
+    c = eng.sql("SHOW COLUMNS FROM read_parquet('region.parquet')").collect()
+    assert [r.col_name for r in c] == ["r_regionkey", "r_name"]
+    plan = eng.sql(
+        "EXPLAIN SELECT r_name FROM read_parquet('region.parquet') WHERE r_regionkey > 1"
+    ).collect()[0][0]
+    assert "PushedFilters" in plan and "GreaterThan(r_regionkey,1)" in plan
