@@ -388,19 +388,23 @@ def _q_pivot(spark, sf_dir):
         .count()
         .select(
             "o_orderpriority",
-            F.coalesce("O", F.lit(0)).alias("n_open"),
-            F.coalesce("F", F.lit(0)).alias("n_finished"),
-            F.coalesce("P", F.lit(0)).alias("n_pending"),
+            F.coalesce("O", F.lit(0)).cast("long").alias("n_open"),
+            F.coalesce("F", F.lit(0)).cast("long").alias("n_finished"),
+            F.coalesce("P", F.lit(0)).cast("long").alias("n_pending"),
         )
+        .orderBy("o_orderpriority")
     )
 
 
+# DuckDB's sum(CASE ...) yields HUGEINT (materializes as float64 via pandas);
+# cast to BIGINT so value hashing agrees with Spark's long counts, and pin row
+# order on both sides.
 _SQL_PIVOT = """
 SELECT o_orderpriority,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
-FROM orders GROUP BY o_orderpriority
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
