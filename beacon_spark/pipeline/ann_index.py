@@ -1,0 +1,186 @@
+"""Persisted ANN index: build once, probe many (partition-pruned scans).
+
+The inline probes in :mod:`beacon_spark.pipeline.similarity` compute the
+bucket/cell column per query, which is a full-corpus scan per probe. This
+module is the scale path the reference's Lance indexes play for tabular
+data (reference: beacon-core/src/statement_plan/actions.rs:763-820 —
+CREATE INDEX accelerating scans): the corpus is written ONCE partitioned
+by coarse cell (``__cell=<k>/`` directories), and a probe reads only the
+``nprobe`` nearest cells' directories. At 100 TB a probe therefore
+touches ``nprobe / n_cells`` of the data — partition pruning happens at
+the file-listing level, independent of Catalyst, because the probe
+enumerates the pruned directories explicitly.
+
+Cell assignment stays JVM-side (Catalyst expression) for small indexes;
+past a codegen-safety threshold it switches to an Arrow-batched pandas
+UDF with the centroid matrix broadcast to executors — O(batch x cells)
+BLAS per batch, never a SQL literal per centroid (fixes the
+O(n_cells x dim) codegen blowup of ``ivf_cell_expr``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beacon_spark.pipeline.similarity import (
+    _hyperplanes,
+    cosine_expr,
+    ivf_cell_expr,
+    ivf_train_centroids,
+    lsh_bucket_expr,
+)
+
+META_FILE = "_ann_index.json"
+
+# n_cells * dim above which the Catalyst literal expression is replaced by
+# a broadcast pandas UDF (whole-stage codegen degrades well before the
+# 64KB method limit; 4096 doubles keeps generated code small).
+_CODEGEN_LIMIT = 4096
+
+
+def assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str) -> Column:
+    """Nearest-centroid cell id for every row.
+
+    Small index -> pure Catalyst expression (no Python in the hot path).
+    Large index -> pandas UDF: centroids broadcast once, argmax over a
+    single matrix multiply per Arrow batch.
+    """
+    n_cells, dim = centroids.shape
+    if n_cells * dim <= _CODEGEN_LIMIT:
+        return ivf_cell_expr(vec_col, centroids)
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(np.ascontiguousarray(centroids, dtype=np.float64))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _assign(v):
+        import pandas as pd
+
+        mat = np.vstack(v.to_numpy())  # (batch, dim)
+        return pd.Series(np.argmax(mat @ bc.value.T, axis=1).astype("int32"))
+
+    return _assign(F.col(vec_col).cast("array<double>"))
+
+
+def ann_build(
+    df: DataFrame,
+    path: str,
+    method: str = "ivf",
+    n_cells: int = 16,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> dict[str, Any]:
+    """Build the persisted index: assign a coarse cell to every vector and
+    write the corpus ``partitionBy("__cell")``. One full pass over the
+    data (the expensive step runs exactly once, at ingest), after which
+    every probe is a pruned read.
+
+    Returns the metadata dict, also persisted as ``_ann_index.json``
+    inside the index directory (underscore-prefixed -> invisible to
+    Spark's parquet listing).
+    """
+    if method == "ivf":
+        centroids = ivf_train_centroids(
+            df, n_cells, vec_col, id_col, sample_n=sample_n, iters=iters, seed=seed
+        )
+        cell = assign_cells(df, centroids, vec_col)
+        meta: dict[str, Any] = {
+            "method": "ivf",
+            "n_cells": int(n_cells),
+            "centroids": centroids.tolist(),
+        }
+    elif method == "lsh":
+        sample = df.select(vec_col).first()
+        dim = len(sample[0])
+        planes = _hyperplanes(dim, n_planes, seed)
+        cell = lsh_bucket_expr(vec_col, planes)
+        meta = {
+            "method": "lsh",
+            "n_planes": int(n_planes),
+            "planes": planes.tolist(),
+        }
+    else:
+        raise ValueError(f"unknown ANN index method {method!r} (ivf|lsh)")
+
+    meta.update({"vec_col": vec_col, "id_col": id_col, "version": 1})
+    (
+        df.withColumn("__cell", cell)
+        .write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(path)
+    )
+    with open(os.path.join(path, META_FILE), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def _load_meta(path: str) -> dict[str, Any]:
+    with open(os.path.join(path, META_FILE)) as fh:
+        return json.load(fh)
+
+
+def _probe_cells(meta: dict[str, Any], query: list[float], nprobe: int) -> list[int]:
+    q = np.asarray(query, dtype=np.float64)
+    if meta["method"] == "ivf":
+        qn = q / max(float(np.linalg.norm(q)), 1e-12)
+        cent = np.asarray(meta["centroids"], dtype=np.float64)
+        order = np.argsort(-(cent @ qn))
+        return [int(c) for c in order[:nprobe]]
+    planes = np.asarray(meta["planes"], dtype=np.float64)
+    base = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, q)) > 0))
+    if nprobe <= 1:
+        return [base]
+    # multiprobe: also flip the planes the query is closest to (smallest
+    # |margin|), the standard LSH multiprobe order.
+    margins = np.abs(planes @ q)
+    flips = np.argsort(margins)
+    cells = [base]
+    for i in flips:
+        if len(cells) >= nprobe:
+            break
+        cells.append(base ^ (1 << int(i)))
+    return cells
+
+
+def ann_probe(
+    spark: SparkSession,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k probe against a built index: list the ``nprobe`` nearest
+    cells' directories and read ONLY those (file-listing-level partition
+    pruning — the scan's ``inputFiles()`` is a strict subset of the
+    corpus). Exact cosine + TakeOrdered within the probed cells."""
+    meta = _load_meta(path)
+    cells = _probe_cells(meta, query, nprobe)
+    dirs = [
+        os.path.join(path, f"__cell={c}")
+        for c in cells
+        if os.path.isdir(os.path.join(path, f"__cell={c}"))
+    ]
+    if not dirs:
+        schema = f"{meta['id_col']} long, cosine double"
+        return spark.createDataFrame([], schema)
+    df = spark.read.option("basePath", path).parquet(*dirs)
+    return (
+        df.select(
+            F.col(meta["id_col"]),
+            F.round(cosine_expr(meta["vec_col"], query), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(meta["id_col"]))
+        .limit(k)
+    )

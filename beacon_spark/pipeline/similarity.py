@@ -116,24 +116,35 @@ def cosine_pairs_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = 6,
+    n_bands: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """All-pairs near-duplicate vectors (cosine ≥ threshold) via LSH
-    bucket self-join + exact verification. Bucket join keeps the candidate
-    set ~n²/2^planes instead of n²."""
+    """All-pairs near-duplicate vectors (cosine ≥ threshold) via banded
+    LSH self-join + exact verification. Each band is an independent
+    plane-set; a pair is a candidate if it collides in ANY band
+    (OR-amplification: miss probability (1-p^planes)^bands, with p the
+    per-plane agreement probability). Exact verification keeps precision
+    at 1.0, so extra bands only improve recall. Candidate volume is
+    ~bands * n^2 / 2^planes instead of n^2 — this is the scale path; the
+    brute-force theta join exists only as its tiny-N oracle."""
     sample = df.select(vec_col).first()
     dim = len(sample[0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    b = df.select(
+    bands = [
+        lsh_bucket_expr(vec_col, _hyperplanes(dim, n_planes, seed + 7919 * b)).alias(f"__b{b}")
+        for b in range(n_bands)
+    ]
+    base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        lsh_bucket_expr(vec_col, planes).alias("__bucket"),
+        F.posexplode(F.array(*bands)).alias("__band", "__bucket"),
     )
     cand = (
-        b.alias("a")
+        base.alias("a")
         .join(
-            b.alias("b"),
-            (F.col("a.__bucket") == F.col("b.__bucket")) & (F.col("a.__id") < F.col("b.__id")),
+            base.alias("b"),
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(
             F.col("a.__id").alias("id_a"),
@@ -141,6 +152,7 @@ def cosine_pairs_lsh(
             F.col("a.__v").alias("__va"),
             F.col("b.__v").alias("__vb"),
         )
+        .dropDuplicates(["id_a", "id_b"])
     )
     dot = F.aggregate(
         F.zip_with(F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>"),
@@ -230,9 +242,11 @@ def ivf_ann_topk(
 ) -> DataFrame:
     """IVF approximate top-k: assign every vector to its nearest centroid
     cell, probe only the ``nprobe`` cells nearest the query, exact cosine
-    inside them. At scale the assignment runs once at ingest (table written
-    partitioned by cell → a probe is a partition-pruned scan touching
-    nprobe/n_cells of the data); here the cell column is computed inline.
+    inside them. Here the cell column is computed inline (one-shot
+    queries); the build-once/probe-many scale path is
+    :func:`beacon_spark.pipeline.ann_index.ann_build` /
+    :func:`~beacon_spark.pipeline.ann_index.ann_probe`, where a probe is
+    a partition-pruned scan touching nprobe/n_cells of the files.
     """
     if centroids is None:
         centroids = ivf_train_centroids(
