@@ -1434,6 +1434,57 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def _q_zarr_roundtrip(spark, sf_dir):
+    """§2.1 read_zarr over a blosc-compressed v2 store (numcodecs-default
+    lz4+byte-shuffle frames, decoded pure-Python by sources/blosclite.py;
+    reference: beacon-arrow-zarr/src/lib.rs). The store is built from an
+    orders aggregate; the oracle recomputes it directly, so a hash match
+    proves chunked+compressed write→read is lossless."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.sources.zarrlite import write_zarr_store
+
+    _reg(spark, sf_dir, "orders")
+    pdf = (
+        spark.table("orders")
+        .groupBy((F.col("o_custkey") % 100).cast("long").alias("bucket"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("bucket")
+        .toPandas()
+    )
+    root = tempfile.mkdtemp(prefix="beacon_zarr_")
+    write_zarr_store(
+        os.path.join(root, "agg.zarr"),
+        {
+            "bucket": (("row",), pdf["bucket"].to_numpy(np.int64)),
+            "total": (("row",), pdf["total"].to_numpy(np.float64)),
+            "n": (("row",), pdf["n"].to_numpy(np.int64)),
+        },
+        version=2,
+        codec="blosc",
+        chunk_shapes={k: (32,) for k in ("bucket", "total", "n")},
+    )
+    eng = Engine(spark, datasets_root=root)
+    return eng.sql(
+        "SELECT bucket, total, n FROM read_zarr('agg.zarr') ORDER BY bucket"
+    )
+
+
+_SQL_ZARR_RT = """
+SELECT CAST(o_custkey % 100 AS BIGINT) AS bucket,
+       round(sum(o_totalprice), 2) AS total,
+       count(*) AS n
+FROM orders GROUP BY bucket ORDER BY bucket
+"""
+
+
 def _q_odv_roundtrip(spark, sf_dir):
     """§2.1 + §2.10 ODV ASCII: rows → ODV spreadsheet → read_odv_ascii →
     rows, hash-matched against computing the projection directly."""
@@ -1646,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_filter": _q_geo_filter,
         # sources / sinks round-trips
         "netcdf_roundtrip": _q_netcdf_roundtrip,
+        "zarr_roundtrip": _q_zarr_roundtrip,
         "odv_roundtrip": _q_odv_roundtrip,
         "delta_roundtrip": _q_delta_roundtrip,
         "iceberg_roundtrip": _q_iceberg_roundtrip,
@@ -1710,6 +1762,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_mappers": _SQL_VOCAB,
         "geo_filter": _SQL_GEO,
         "netcdf_roundtrip": _SQL_NETCDF_RT,
+        "zarr_roundtrip": _SQL_ZARR_RT,
         "odv_roundtrip": _SQL_ODV_RT,
         "delta_roundtrip": _SQL_DELTA_RT,
         "iceberg_roundtrip": _SQL_ICEBERG_RT,

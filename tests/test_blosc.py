@@ -1,0 +1,141 @@
+"""Pure-Python blosc frame codec + blosc/zstd zarr stores.
+
+Pin the on-disk frame layout (header fields, offsets, raw-stream
+fallback, byte-shuffle, multi-block) and the zarr read path for the
+numcodecs-default compressor."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from beacon_spark.sources.blosclite import (
+    _shuffle,
+    _unshuffle,
+    blosc_decode,
+    blosc_encode,
+)
+from beacon_spark.sources.zarrlite import read_zarr_store, write_zarr_store
+
+
+@pytest.mark.parametrize("cname", ["lz4", "zstd", "zlib", "snappy"])
+def test_frame_roundtrip_codecs(cname):
+    data = np.arange(5000, dtype="<f8").tobytes()
+    frame = blosc_encode(data, typesize=8, cname=cname)
+    assert blosc_decode(frame) == data
+
+
+def test_frame_header_fields():
+    data = b"abcd" * 100
+    frame = blosc_encode(data, typesize=4, cname="lz4")
+    assert frame[0] == 2  # format version
+    assert (frame[2] >> 5) == 1  # lz4 codec id
+    assert frame[2] & 0x1  # shuffle flag
+    assert frame[3] == 4  # typesize
+    nbytes, blocksize, cbytes = struct.unpack_from("<III", frame, 4)
+    assert nbytes == 400 and cbytes == len(frame)
+
+
+def test_multiblock_frame():
+    rng = np.random.RandomState(0)
+    data = rng.randint(0, 50, size=100_000, dtype="<i4").tobytes()  # 400 KB
+    frame = blosc_encode(data, typesize=4, cname="lz4", blocksize=1 << 16)
+    nblocks = -(-len(data) // (1 << 16))
+    assert nblocks > 1
+    assert blosc_decode(frame) == data
+
+
+def test_incompressible_stream_stored_raw():
+    rng = np.random.RandomState(1)
+    data = rng.bytes(4096)  # random = incompressible
+    frame = blosc_encode(data, typesize=1, cname="lz4", shuffle=False)
+    assert blosc_decode(frame) == data
+    # stream length equals uncompressed size -> stored raw per format
+    (cb,) = struct.unpack_from("<i", frame, 20)
+    assert cb == 4096
+
+
+def test_shuffle_inverse():
+    data = np.arange(999, dtype="<i8").tobytes() + b"xyz"  # leftover bytes
+    assert _unshuffle(_shuffle(data, 8), 8) == data
+
+
+def test_split_streams_decode():
+    """A frame whose block holds typesize sub-streams (c-blosc split mode)
+    must decode via the nsplits=typesize trial."""
+    data = np.arange(256, dtype="<i4").tobytes()  # 1024 bytes, typesize 4
+    import pyarrow as pa
+
+    shuffled = _shuffle(data, 4)
+    streams = []
+    neblock = len(data) // 4
+    for s in range(4):
+        part = shuffled[s * neblock: (s + 1) * neblock]
+        comp = pa.Codec("lz4_raw").compress(part).to_pybytes()
+        st = part if len(comp) >= len(part) else comp
+        streams.append(struct.pack("<i", len(st)) + st)
+    body = b"".join(streams)
+    header = bytearray(16)
+    header[0], header[1], header[2], header[3] = 2, 1, (1 << 5) | 0x1, 4
+    struct.pack_into("<III", header, 4, len(data), len(data), 16 + 4 + len(body))
+    frame = bytes(header) + struct.pack("<I", 20) + body
+    assert blosc_decode(frame) == data
+
+
+def test_memcpy_flag():
+    data = b"tiny"
+    header = bytearray(16)
+    header[0], header[1], header[2], header[3] = 2, 1, 0x2, 1
+    struct.pack_into("<III", header, 4, 4, 4, 20)
+    assert blosc_decode(bytes(header) + data) == data
+
+
+def test_blosclz_raises_clear_error():
+    header = bytearray(16)
+    header[0], header[1], header[2], header[3] = 2, 1, 0, 1  # codec id 0
+    struct.pack_into("<III", header, 4, 4, 4, 20)
+    with pytest.raises(ValueError, match="blosc"):
+        blosc_decode(bytes(header) + b"aaaa")
+
+
+@pytest.mark.parametrize("version,codec", [(2, "blosc"), (3, "blosc"), (3, "zstd"), (2, "zstd")])
+def test_zarr_store_roundtrip(tmp_path, version, codec):
+    temp = np.arange(48, dtype=np.float64).reshape(6, 8)
+    depth = np.arange(6, dtype=np.int32) * 10
+    root = str(tmp_path / f"s{version}{codec}.zarr")
+    write_zarr_store(
+        root,
+        {"temp": (("depth", "x"), temp), "depth": (("depth",), depth)},
+        var_attrs={"temp": {"units": "C"}},
+        global_attrs={"source": "fixture"},
+        version=version,
+        codec=codec,
+        chunk_shapes={"temp": (2, 8)},
+    )
+    dims, variables, var_attrs, gattrs = read_zarr_store(root)
+    assert dims == {"depth": 6, "x": 8}
+    np.testing.assert_array_equal(variables["temp"][1], temp)
+    np.testing.assert_array_equal(variables["depth"][1], depth)
+    assert var_attrs["temp"]["units"] == "C"
+    assert gattrs["source"] == "fixture"
+
+
+def test_zarr_blosc_sql_e2e(spark, tmp_path):
+    """read_zarr over a blosc store through Engine.sql."""
+    from beacon_spark.engine import Engine
+
+    root = str(tmp_path / "obs.zarr")
+    write_zarr_store(
+        root,
+        {
+            "sst": (("t",), np.array([10.5, 11.0, 12.25, 9.75])),
+            "t": (("t",), np.arange(4, dtype=np.int64)),
+        },
+        codec="blosc",
+        version=2,
+    )
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    rows = eng.sql(
+        "SELECT t, sst FROM read_zarr('obs.zarr') WHERE sst > 10 ORDER BY t"
+    ).collect()
+    assert [(r.t, r.sst) for r in rows] == [(0, 10.5), (1, 11.0), (2, 12.25)]
