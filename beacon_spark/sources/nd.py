@@ -164,22 +164,47 @@ class GridDataset:
         row_range: tuple[int, int] | None = None,
         cf_decode: bool = True,
         attribute_columns: bool = True,
+        region: list[tuple[int, int]] | None = None,
     ) -> pa.Table:
         """Broadcast every variable onto the grid and emit rows
-        [row_range[0], row_range[1]) as one Arrow table.
+        [row_range[0], row_range[1]) of the selected ``region`` as one
+        Arrow table.
 
-        Broadcasting is numpy stride-tricks (``np.broadcast_to``) — a
-        lower-rank variable is *viewed*, not copied, onto the grid; only
-        the requested row slice is materialized. Work is therefore
-        O(slice), not O(grid), which is what makes per-chunk Spark tasks
-        cheap (the reference gets the same effect from its
-        NdProjectionPushdown rule, ``nd/optimizer.rs:42-127``).
-        """
+        ``region`` is a per-grid-dimension index hull ``[(lo, hi), ...]``
+        (default: the full grid) — the output of :func:`coord_region`'s
+        any-dimension coordinate pushdown. ``row_range`` counts rows in
+        the C-order flattening OF THE REGION, so Spark tasks split a
+        pruned region without ever touching excluded indices.
+
+        Variables are sliced to the covering sub-grid BEFORE any
+        broadcast or reshape: materialized work is O(covering slice) =
+        O(rows requested + one partial leading hyper-row), never O(grid)
+        — also for broadcast lower-rank variables, whose flatten
+        previously forced a grid-sized copy. Lazy variables (zarr chunk
+        stores, netCDF library handles) therefore read only intersecting
+        chunks (the reference's NdProjectionPushdown effect,
+        ``nd/optimizer.rs:42-127``)."""
         grid = self.grid(dimensions)
-        shape = tuple(self.dims[d] for d in grid)
-        n_rows = int(np.prod(shape)) if shape else 1
+        if region is None:
+            region = [(0, self.dims[d]) for d in grid]
+        rshape = tuple(hi - lo for lo, hi in region)
+        n_rows = int(np.prod(rshape)) if rshape else 1
         lo, hi = row_range or (0, n_rows)
         lo, hi = max(lo, 0), min(hi, n_rows)
+
+        # covering slice on the leading region axis for [lo, hi)
+        inner = int(np.prod(rshape[1:])) if len(rshape) > 1 else 1
+        if rshape and inner:
+            lead_lo, lead_hi = lo // inner, -(-hi // inner)
+        else:
+            lead_lo, lead_hi = 0, rshape[0] if rshape else 1
+        eff_region = (
+            [(region[0][0] + lead_lo, region[0][0] + lead_hi)] + list(region[1:])
+            if region
+            else []
+        )
+        eff_shape = tuple(h - l for l, h in eff_region)
+        off = lo - lead_lo * inner  # offset of row lo inside the covering slice
 
         # CF contiguous ragged layout: instance-dim variables repeat onto
         # the sample dimension per the row-count variable. Precompute the
@@ -190,7 +215,9 @@ class GridDataset:
         if ragged is not None and grid == (ragged[0],):
             _, inst_dim, counts = ragged
             ends = np.cumsum(counts)
-            inst_idx = np.searchsorted(ends, np.arange(lo, hi), side="right")
+            abs_lo = region[0][0] + lo
+            inst_idx = np.searchsorted(ends, np.arange(abs_lo, abs_lo + (hi - lo)),
+                                       side="right")
 
         names: list[str] = []
         arrays: list[pa.Array] = []
@@ -199,7 +226,8 @@ class GridDataset:
                 continue
             if inst_idx is not None and dims == (inst_dim,):
                 # per-profile value gathered onto each of its observations
-                flat = np.asarray(arr)[np.clip(inst_idx, 0, len(arr) - 1)]
+                inst = np.asarray(arr)
+                flat = inst[np.clip(inst_idx, 0, len(inst) - 1)]
                 attrs = self.var_attrs.get(name, {})
                 arrow_type = None
                 if cf_decode:
@@ -209,19 +237,23 @@ class GridDataset:
                 continue
             if not set(dims).issubset(grid):
                 continue  # outside the grid → dropped (rule 5)
-            # view the variable on the grid: insert size-1 axes for missing
-            # dims (in grid order), then broadcast_to the grid shape
-            expand_shape = tuple(
-                self.dims[d] if d in dims else 1 for d in grid
-            )
+            # slice the variable to the covering sub-grid in ITS OWN axis
+            # order (lazy arrays read only this), then broadcast
             if dims:
-                # reorder the variable's axes into grid order
+                var_slices = tuple(
+                    slice(*eff_region[grid.index(d)]) for d in dims
+                )
+                sub = np.asarray(arr[var_slices])
                 order = sorted(range(len(dims)), key=lambda i: grid.index(dims[i]))
-                view = np.transpose(arr, order).reshape(expand_shape)
+                expand_shape = tuple(
+                    eff_shape[gi] if grid[gi] in dims else 1
+                    for gi in range(len(grid))
+                )
+                view = np.transpose(sub, order).reshape(expand_shape)
             else:
-                view = arr.reshape(expand_shape) if shape else arr
-            bcast = np.broadcast_to(view, shape) if shape else view
-            flat = bcast.reshape(-1)[lo:hi]
+                view = np.asarray(arr).reshape((1,) * len(grid)) if rshape else np.asarray(arr)
+            bcast = np.broadcast_to(view, eff_shape) if rshape else view
+            flat = bcast.reshape(-1)[off: off + (hi - lo)]
             attrs = self.var_attrs.get(name, {})
             arrow_type = None
             if cf_decode:
@@ -268,10 +300,33 @@ def _const_array(value, count: int) -> pa.Array:
 # ------------------------------------------------------------ file openers
 
 
+class _LazyVar:
+    """Lazy handle over a library-backed nd variable (netCDF4.Variable,
+    xarray.Variable, zarr.Array): slicing reads only the requested
+    window; ``np.asarray`` reads everything. ``holder`` keeps the owning
+    dataset object alive (and its file handle open). Planning a file
+    therefore touches headers only; a Spark task reads only its slice."""
+
+    def __init__(self, var, holder=None):
+        self._var, self._holder = var, holder
+        self.shape = tuple(var.shape)
+        self.ndim = len(self.shape)
+
+    def __len__(self) -> int:
+        return self.shape[0] if self.shape else 1
+
+    def __getitem__(self, idx) -> np.ndarray:
+        return np.asarray(self._var[idx])
+
+    def __array__(self, dtype=None, copy=None):
+        full = np.asarray(self._var[...] if self.shape else self._var[()])
+        return full.astype(dtype) if dtype is not None else full
+
+
 def open_netcdf(path: str) -> GridDataset:
-    """Open a NetCDF file as a GridDataset. Requires netCDF4 or h5py or
-    xarray (none present in this container — gated; the flattening core
-    above is exercised by unit tests on synthetic arrays instead)."""
+    """Open a NetCDF file as a GridDataset. Uses netCDF4 / xarray when
+    present (variables wrapped lazily — no whole-variable reads at open),
+    else the self-contained NetCDF3 parser (mmap-backed, O(slice))."""
     try:
         import netCDF4  # type: ignore
     except ImportError:
@@ -283,7 +338,7 @@ def open_netcdf(path: str) -> GridDataset:
         variables = {}
         var_attrs = {}
         for name, v in ds.variables.items():
-            variables[name] = (tuple(v.dimensions), np.asarray(v[...]))
+            variables[name] = (tuple(v.dimensions), _LazyVar(v, ds))
             var_attrs[name] = {k: v.getncattr(k) for k in v.ncattrs()}
         global_attrs = {k: ds.getncattr(k) for k in ds.ncattrs()}
         return GridDataset(dims, variables, var_attrs, global_attrs)
@@ -294,7 +349,9 @@ def open_netcdf(path: str) -> GridDataset:
     if xr is not None:
         ds = xr.open_dataset(path, decode_cf=False)
         dims = dict(ds.sizes)
-        variables = {n: (tuple(v.dims), v.values) for n, v in ds.variables.items()}
+        variables = {
+            n: (tuple(v.dims), _LazyVar(v, ds)) for n, v in ds.variables.items()
+        }
         var_attrs = {n: dict(v.attrs) for n, v in ds.variables.items()}
         return GridDataset(dims, variables, var_attrs, dict(ds.attrs))
     # no nd library installed: self-contained NetCDF3 classic parser
@@ -305,9 +362,11 @@ def open_netcdf(path: str) -> GridDataset:
 
 
 def open_zarr(path: str) -> GridDataset:
-    """Open a Zarr v2/v3 store as a GridDataset — via the zarr package when
-    present, else the self-contained directory-store reader (bytes/gzip/
-    zlib codecs; exotic codecs raise naming the package)."""
+    """Open a Zarr v2/v3 store as a GridDataset — via the zarr package
+    when present (arrays wrapped lazily; slicing reads only intersecting
+    chunks), else the self-contained chunk-lazy directory-store reader
+    (bytes/gzip/zlib/blosc/zstd codecs; exotic codecs raise naming the
+    package)."""
     try:
         import zarr  # type: ignore
     except ImportError:
@@ -322,7 +381,7 @@ def open_zarr(path: str) -> GridDataset:
         adims = tuple(arr.attrs.get("_ARRAY_DIMENSIONS", [f"dim_{i}" for i in range(arr.ndim)]))
         for d, s in zip(adims, arr.shape):
             dims[d] = s
-        variables[name] = (adims, arr[...])
+        variables[name] = (adims, _LazyVar(arr, g))
         var_attrs[name] = {k: v for k, v in arr.attrs.items() if k != "_ARRAY_DIMENSIONS"}
     return GridDataset(dims, variables, var_attrs, dict(g.attrs))
 
@@ -344,49 +403,49 @@ _OPENERS = {
 # ------------------------------------------------------------ spark reader
 
 
-def coord_row_ranges(
+def coord_region(
     ds: GridDataset,
     dimensions: list[str] | None,
     ranges: dict[str, tuple[float | None, float | None]] | None,
-) -> list[tuple[int, int]]:
-    """Coordinate pushdown (the reference's PushdownFilter analog,
-    ``beacon-nd-array/src/arrow/pushdown_filter.rs:11-99`` → chunk
-    selection, e.g. ``beacon-arrow-zarr/src/datafusion/source.rs``):
-    an AND-ed numeric range on the LEADING grid dimension's coordinate
-    variable maps to a contiguous index hull, which in C-order flattening
-    is a contiguous row range — rows outside are never materialized.
-    Inner-dim and non-numeric constraints fall through fail-open (the
-    residual Spark filter keeps correctness)."""
+) -> list[tuple[int, int]] | None:
+    """Any-dimension coordinate pushdown (the reference's PushdownFilter,
+    ``beacon-nd-array/src/arrow/pushdown_filter.rs:11-99`` → chunk-grid
+    selection over EVERY dim, ``beacon-arrow-zarr/src/datafusion/
+    source.rs:165-305``): each AND-ed numeric range on a grid dimension's
+    1-D coordinate variable maps to an index hull on that dimension; the
+    region is the hyper-rectangle of hulls. A lat/lon box on a
+    (time, lat, lon) grid therefore prunes chunks on lat AND lon, not
+    just time. Returns ``None`` when any hull is empty (zero rows);
+    unconstrainable dims stay full (fail-open — the residual Spark
+    filter keeps correctness)."""
     grid = ds.grid(dimensions)
-    shape = [ds.dims[d] for d in grid]
-    n = int(np.prod(shape)) if shape else 1
-    full = [(0, n)]
+    region = [(0, ds.dims[d]) for d in grid]
     if not grid or not ranges:
-        return full
-    lead = grid[0]
-    spec = ranges.get(lead)
-    if spec is None or lead not in ds.variables:
-        return full
-    dims_of, coord = ds.variables[lead]
-    if dims_of != (lead,):
-        return full
-    vals, arrow_type = decode_cf(
-        np.ascontiguousarray(coord), ds.var_attrs.get(lead, {})
-    )
-    if isinstance(vals, np.ma.MaskedArray) or vals.dtype.kind not in "iuf":
-        return full
-    lo, hi = spec
-    mask = np.ones(len(vals), bool)
-    if lo is not None:
-        mask &= vals >= lo
-    if hi is not None:
-        mask &= vals <= hi
-    if not mask.any():
-        return []
-    i0 = int(np.argmax(mask))
-    i1 = len(mask) - int(np.argmax(mask[::-1]))
-    inner = n // shape[0] if shape[0] else 1
-    return [(i0 * inner, i1 * inner)]
+        return region
+    for gi, dim in enumerate(grid):
+        spec = ranges.get(dim)
+        if spec is None or dim not in ds.variables:
+            continue
+        dims_of, coord = ds.variables[dim]
+        if dims_of != (dim,):
+            continue
+        vals, _ = decode_cf(
+            np.ascontiguousarray(np.asarray(coord)), ds.var_attrs.get(dim, {})
+        )
+        if isinstance(vals, np.ma.MaskedArray) or vals.dtype.kind not in "iuf":
+            continue
+        lo, hi = spec
+        mask = np.ones(len(vals), bool)
+        if lo is not None:
+            mask &= vals >= lo
+        if hi is not None:
+            mask &= vals <= hi
+        if not mask.any():
+            return None
+        i0 = int(np.argmax(mask))
+        i1 = len(mask) - int(np.argmax(mask[::-1]))
+        region[gi] = (i0, i1)
+    return region
 
 
 def read_nd(
@@ -398,15 +457,21 @@ def read_nd(
     rows_per_task: int = 1_000_000,
     ranges: dict[str, tuple[float | None, float | None]] | None = None,
 ):
-    """Distributed nd read: plan (file, row-chunk) tasks, flatten per task.
+    """Distributed nd read: plan (file, region, row-chunk) tasks, flatten
+    per task.
 
-    Partition planning opens each file's *metadata* driver-side to learn the
-    grid size (the reference does the same in its table providers), then
-    splits the row space into ``rows_per_task`` chunks so a single huge file
-    still parallelizes across the cluster. ``ranges`` (per-column numeric
-    bounds from the query filter) prunes chunks by coordinate range at
-    planning time — see ``coord_row_ranges``.
+    Planning learns each file's grid size and coordinate hulls from
+    *metadata + coordinate variables only* (lazy openers touch no data
+    chunks), computes the pruned region per file (``coord_region`` — the
+    reference's chunk-grid pruning), and splits the region's row space
+    into ``rows_per_task`` chunks so a single huge file still
+    parallelizes across the cluster. Past a file-count threshold the
+    per-file planning itself runs distributed (one metadata open per
+    executor task) instead of serially on the driver — at 100k files the
+    driver never opens them one by one.
     """
+    import json as _json
+
     from pyspark.sql import types as T
 
     from beacon_spark.sources.paths import resolve_globs
@@ -415,15 +480,33 @@ def read_nd(
     files = resolve_globs(paths, datasets_root)
     opener = _OPENERS[fmt]
 
-    tasks: list[tuple[str, int, int]] = []
-    sample_schema: pa.Schema | None = None
-    for f in files:
+    def _plan(f: str):
         ds = opener(f)
-        if sample_schema is None:
-            sample_schema = ds.flatten(dimensions, row_range=(0, 0)).schema
-        for rlo, rhi in coord_row_ranges(ds, dimensions, ranges):
-            for lo in range(rlo, max(rhi, rlo + 1), rows_per_task):
-                tasks.append((f, lo, min(lo + rows_per_task, rhi)))
+        region = coord_region(ds, dimensions, ranges)
+        if region is None:
+            return f, None, 0
+        n = int(np.prod([hi - lo for lo, hi in region])) if region else 1
+        return f, region, n
+
+    if len(files) > 64:
+        sc = spark.sparkContext
+        plans = sc.parallelize(files, max(1, len(files) // 32)).map(_plan).collect()
+    else:
+        plans = [_plan(f) for f in files]
+
+    sample_schema: pa.Schema | None = None
+    if files:
+        # 1-row sample (O(1) element reads on lazy variables) so constant
+        # attribute columns carry their value type, not null
+        sample_schema = opener(files[0]).flatten(dimensions, row_range=(0, 1)).schema
+
+    tasks: list[tuple[str, str, int, int]] = []
+    for f, region, n in plans:
+        if region is None or n == 0:
+            continue
+        rjson = _json.dumps(region)
+        for lo in range(0, n, rows_per_task):
+            tasks.append((f, rjson, lo, min(lo + rows_per_task, n)))
 
     spark_schema = _arrow_to_spark_schema(sample_schema)
     if not tasks:
@@ -434,20 +517,35 @@ def read_nd(
         T.StructType(
             [
                 T.StructField("path", T.StringType(), False),
+                T.StructField("region", T.StringType(), False),
                 T.StructField("lo", T.LongType(), False),
                 T.StructField("hi", T.LongType(), False),
             ]
         ),
     ).repartition(min(len(tasks), 256))
 
-    target_names = [f.name for f in sample_schema]
+    target_fields = list(sample_schema)
 
     def _scan(batches):
         for b in batches:
             for row in b.to_pylist():
                 ds = opener(row["path"])
-                table = ds.flatten(dimensions, row_range=(row["lo"], row["hi"]))
-                table = table.select([n for n in target_names if n in table.column_names])
+                region = [tuple(r) for r in _json.loads(row["region"])]
+                table = ds.flatten(
+                    dimensions, row_range=(row["lo"], row["hi"]), region=region
+                )
+                # align to the sample schema: null-fill missing columns,
+                # cast mismatched types (multi-file supertype safety)
+                cols = []
+                for fld in target_fields:
+                    if fld.name in table.column_names:
+                        col = table.column(fld.name)
+                        if col.type != fld.type:
+                            col = col.cast(fld.type)
+                    else:
+                        col = pa.nulls(table.num_rows, fld.type)
+                    cols.append(col)
+                table = pa.table(cols, names=[fld.name for fld in target_fields])
                 yield from table.to_batches(max_chunksize=1 << 16)
 
     return tasks_df.mapInArrow(_scan, spark_schema)

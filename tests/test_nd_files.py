@@ -222,25 +222,134 @@ def test_read_zarr_spark_e2e(spark, tmp_path):
     assert df.count() == 6
 
 
-def test_coord_pushdown_prunes_chunks(tmp_path):
-    """Leading-dim range → contiguous row-range pruning (PushdownFilter
-    analog): only matching slices are planned."""
-    from beacon_spark.sources.nd import GridDataset, coord_row_ranges
+def test_coord_region_prunes_any_dim(tmp_path):
+    """Any-dimension coordinate pushdown (PushdownFilter analog): each
+    constrained dim gets its own index hull; a box on inner dims prunes
+    too (the r01 leading-dim-only limitation is gone)."""
+    from beacon_spark.sources.nd import GridDataset, coord_region
 
     ds = GridDataset(
-        dims={"time": 10, "x": 4},
+        dims={"time": 10, "lat": 4, "lon": 6},
         variables={
             "time": (("time",), np.arange(10) * 10.0),
-            "v": (("time", "x"), np.arange(40, dtype="f8").reshape(10, 4)),
+            "lat": (("lat",), np.array([-30.0, -10.0, 10.0, 30.0])),
+            "lon": (("lon",), np.arange(6) * 60.0 - 180.0),
+            "v": (("time", "lat", "lon"), np.arange(240, dtype="f8").reshape(10, 4, 6)),
         },
     )
-    assert coord_row_ranges(ds, None, {"time": (30.0, 50.0)}) == [(12, 24)]
-    assert coord_row_ranges(ds, None, {"time": (None, 15.0)}) == [(0, 8)]
-    assert coord_row_ranges(ds, None, {"time": (1000.0, None)}) == []
-    # inner-dim constraint: fail-open (full range)
-    assert coord_row_ranges(ds, None, {"x": (0.0, 1.0)}) == [(0, 40)]
-    # no constraint
-    assert coord_row_ranges(ds, None, None) == [(0, 40)]
+    # leading dim only
+    assert coord_region(ds, None, {"time": (30.0, 50.0)}) == [(3, 6), (0, 4), (0, 6)]
+    # box on ALL THREE dims → hull on every dim
+    assert coord_region(
+        ds, None, {"time": (30.0, 50.0), "lat": (-15.0, 15.0), "lon": (-120.0, 0.0)}
+    ) == [(3, 6), (1, 3), (1, 4)]
+    # inner-dim-only constraint prunes that dim
+    assert coord_region(ds, None, {"lat": (-15.0, 15.0)}) == [(0, 10), (1, 3), (0, 6)]
+    # empty hull on any dim → None (zero rows)
+    assert coord_region(ds, None, {"lon": (999.0, None)}) is None
+    # no constraint / unconstrainable column: full region
+    assert coord_region(ds, None, None) == [(0, 10), (0, 4), (0, 6)]
+    assert coord_region(ds, None, {"v": (0.0, 1.0)}) == [(0, 10), (0, 4), (0, 6)]
+
+
+def test_flatten_region_matches_full():
+    """region + row_range compose: concatenating region-sliced chunks
+    equals filtering the full flatten to the region's index box."""
+    from beacon_spark.sources.nd import GridDataset
+
+    v = np.arange(240, dtype="f8").reshape(10, 4, 6)
+    ds = GridDataset(
+        dims={"t": 10, "y": 4, "x": 6},
+        variables={
+            "t": (("t",), np.arange(10.0)),
+            "y": (("y",), np.arange(4.0)),
+            "x": (("x",), np.arange(6.0)),
+            "v": (("t", "y", "x"), v),
+        },
+    )
+    region = [(3, 6), (1, 3), (1, 4)]
+    full = ds.flatten(attribute_columns=False).to_pandas()
+    want = full[
+        full.t.isin([3, 4, 5]) & full.y.isin([1, 2]) & full.x.isin([1, 2, 3])
+    ].reset_index(drop=True)
+    n = 3 * 2 * 3
+    parts = [
+        ds.flatten(attribute_columns=False, region=region, row_range=(lo, lo + 4)).to_pandas()
+        for lo in range(0, n, 4)
+    ]
+    import pandas as pd
+
+    got = pd.concat(parts, ignore_index=True)
+    assert got.equals(want)
+
+
+def test_zarr_lazy_chunk_pruning(tmp_path):
+    """Opening a zarr store reads no chunk files; a region-sliced flatten
+    decodes only intersecting chunks on EVERY dim."""
+    from beacon_spark.sources import zarrlite
+    from beacon_spark.sources.nd import open_zarr
+    from beacon_spark.sources.zarrlite import write_zarr_store
+
+    root = str(tmp_path / "boxy.zarr")
+    v = np.arange(8 * 8 * 8, dtype="f8").reshape(8, 8, 8)
+    write_zarr_store(
+        root,
+        {
+            "t": (("t",), np.arange(8.0)),
+            "y": (("y",), np.arange(8.0)),
+            "x": (("x",), np.arange(8.0)),
+            "v": (("t", "y", "x"), v),
+        },
+        version=2,
+        codec="blosc",
+        chunk_shapes={"v": (2, 2, 2), "t": (8,), "y": (8,), "x": (8,)},
+    )
+    before = zarrlite.CHUNK_READS
+    ds = open_zarr(root)
+    assert zarrlite.CHUNK_READS == before, "open must touch no chunk data"
+    # one 2x2x2 corner box -> exactly 1 of 64 v-chunks (+3 coord chunks)
+    t = ds.flatten(
+        attribute_columns=False, region=[(0, 2), (0, 2), (0, 2)]
+    )
+    reads = zarrlite.CHUNK_READS - before
+    assert t.num_rows == 8
+    assert reads <= 1 + 3, f"read {reads} chunks for a 1-chunk box"
+    np.testing.assert_array_equal(
+        np.asarray(t.column("v")), v[:2, :2, :2].reshape(-1)
+    )
+
+
+def test_read_nd_multidim_pushdown_e2e(spark, tmp_path):
+    """A (t, lat) box through read_nd prunes the planned row space on
+    both dims: task row totals shrink and results match the residual
+    filter semantics."""
+    from beacon_spark.sources.nd import read_nd
+    from beacon_spark.sources.zarrlite import write_zarr_store
+
+    root = str(tmp_path / "grid.zarr")
+    temp = np.arange(120, dtype="f8").reshape(10, 12)
+    write_zarr_store(
+        root,
+        {
+            "t": (("t",), np.arange(10.0)),
+            "lat": (("lat",), np.arange(12.0) * 10 - 60),
+            "temp": (("t", "lat"), temp),
+        },
+        version=2,
+        codec="blosc",
+        chunk_shapes={"temp": (2, 3), "t": (10,), "lat": (12,)},
+    )
+    df = read_nd(
+        spark, "zarr", root,
+        ranges={"t": (2.0, 4.0), "lat": (-30.0, 10.0)},
+    )
+    pdf = df.toPandas()
+    # region = t in [2,4] (3 rows) x lat in [-30,10] (5 cols) = 15 rows
+    assert len(pdf) == 15
+    assert sorted(pdf.t.unique()) == [2.0, 3.0, 4.0]
+    assert sorted(pdf.lat.unique()) == [-30.0, -20.0, -10.0, 0.0, 10.0]
+    got = pdf.sort_values(["t", "lat"]).temp.to_numpy()
+    np.testing.assert_array_equal(got, temp[2:5, 3:8].reshape(-1))
 
 
 def test_dsl_nd_pushdown_e2e(spark, tmp_path, nc_file):
