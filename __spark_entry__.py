@@ -1153,37 +1153,64 @@ ORDER BY b.o_custkey
 
 
 def _q_vocab_mappers(spark, sf_dir):
-    """§2.8 vocabulary mappers: code→code lookup with NULL-if-absent
-    (blue_cloud/** — sample C17→L06 table; full tables load from CSV)."""
-    from beacon_spark.functions.domain import vocab_map
+    """§2.8 vocabulary mappers over the real public tables
+    (functions/vocab/): 6 mappers spanning every execution path —
+    create_map literal (c17_l06, l22_l05, wmo), broadcast pandas UDF
+    (map_c17, 13k entries), Catalyst regexp parse (seadatanet
+    instrument), and when-chain (wod quality flag). Codes are actual
+    entries from the SeaDataNet/NERC data; the oracle replays the same
+    public mappings as CASE expressions."""
+    from beacon_spark.functions.vocab import (
+        map_seadatanet_instrument_l05,
+        map_wod_quality_flag,
+        vocab_lookup,
+    )
 
     _reg(spark, sf_dir, "nation")
     n = spark.table("nation")
-    code = F.when(F.col("n_nationkey") % 3 == 0, F.lit("74E9")).when(
-        F.col("n_nationkey") % 3 == 1, F.lit("06M4")
-    ).otherwise(F.lit("XXXX"))
-    return (
-        n.select(
-            "n_nationkey",
-            code.alias("c17_code"),
-            vocab_map("map_c17_l06", code).alias("l06_class"),
-        )
-        .orderBy("n_nationkey")
+    k = F.col("n_nationkey")
+    c17full = (
+        F.when(k % 3 == 0, F.lit("SDN:C17::33JY"))
+        .when(k % 3 == 1, F.lit("SDN:C17::067I"))
+        .otherwise(F.lit("SDN:C17::none"))
     )
+    bare17 = F.when(k % 4 == 0, F.lit("33KU")).when(k % 4 == 1, F.lit("33L6")).otherwise(
+        F.lit("ZZZZ")
+    )
+    l22 = F.when(k % 2 == 0, F.lit("SDN:L22::TOOL0942")).otherwise(
+        F.lit("SDN:L22::TOOL1494")
+    )
+    wmo = F.when(k % 2 == 0, F.lit("810")).otherwise(F.lit("820"))
+    instr = F.when(k % 2 == 0, F.lit("CTD (130)")).otherwise(F.lit("plain sensor"))
+    return n.select(
+        "n_nationkey",
+        vocab_lookup("map_c17_l06", c17full).alias("l06_class"),
+        vocab_lookup("map_c17", bare17).alias("c17_token"),
+        vocab_lookup("map_l22_l05", l22).alias("l05_cat"),
+        vocab_lookup("map_wmo_instrument_type_l05", wmo).alias("wmo_l05"),
+        map_seadatanet_instrument_l05(instr).alias("parsed_l05"),
+        map_wod_quality_flag(k % 10).alias("sdn_flag"),
+    ).orderBy("n_nationkey")
 
 
+# Oracle: the same public vocabulary entries as CASE literals
+# (c17_l06.csv: 33JY->L06::0, 067I->L06::31; c17_codes.json identity
+# tokens; l22_l05.csv: TOOL0942->369, TOOL1494->185; WMO 1770: 810->30,
+# 820->135; WOD flags 0->1, 1-5->3, 6-9->4).
 _SQL_VOCAB = """
-WITH coded AS (
-  SELECT n_nationkey,
-         CASE WHEN n_nationkey % 3 = 0 THEN '74E9'
-              WHEN n_nationkey % 3 = 1 THEN '06M4'
-              ELSE 'XXXX' END AS c17_code
-  FROM nation
-)
-SELECT n_nationkey, c17_code,
-       CASE c17_code WHEN '74E9' THEN '31' WHEN '06M4' THEN '31'
-                     WHEN '48MB' THEN '31' END AS l06_class
-FROM coded ORDER BY n_nationkey
+SELECT n_nationkey,
+       CASE WHEN n_nationkey % 3 = 0 THEN 'SDN:L06::0'
+            WHEN n_nationkey % 3 = 1 THEN 'SDN:L06::31' END AS l06_class,
+       CASE WHEN n_nationkey % 4 = 0 THEN 'SDN:C17::33KU'
+            WHEN n_nationkey % 4 = 1 THEN 'SDN:C17::33L6' END AS c17_token,
+       CASE WHEN n_nationkey % 2 = 0 THEN 'SDN:L05::369'
+            ELSE 'SDN:L05::185' END AS l05_cat,
+       CASE WHEN n_nationkey % 2 = 0 THEN 'SDN:L05::30'
+            ELSE 'SDN:L05::135' END AS wmo_l05,
+       CASE WHEN n_nationkey % 2 = 0 THEN 'SDN:L05::130' END AS parsed_l05,
+       CASE WHEN n_nationkey % 10 = 0 THEN '1'
+            WHEN n_nationkey % 10 <= 5 THEN '3' ELSE '4' END AS sdn_flag
+FROM nation ORDER BY n_nationkey
 """
 
 

@@ -10,12 +10,13 @@ Spark design
   - `pressure_to_depth` is pure Column arithmetic (whole-stage codegen,
     also inlined as a SQL macro by Engine.sql — no UDF in the hot path).
   - unit conversion is a (from,to) → (factor, offset) literal map.
-  - vocabulary mappers compile their dict to a `create_map` literal +
-    `element_at` — JVM-side, shipped with the plan (the idiomatic Spark
-    form of a broadcast dimension this small). Production vocab tables
-    load from the same CSV shape the reference's vocab-generation tooling
-    emits (`load_vocab_csv`); this repo ships small built-in samples so
-    the mechanism is testable without the proprietary-sized tables.
+  - vocabulary mappers live in `beacon_spark.functions.vocab`, backed by
+    the public SeaDataNet/NERC/EDMO/WMO data files under
+    `functions/vocab/` (see vocab/README.md): small tables compile to
+    `create_map` literals (JVM-side), large ones (C17 13k codes) go
+    through a broadcast pandas UDF, parse-style mappers are regexp
+    Columns. `VOCABULARIES`/`vocab_map` here remain the dict-style API
+    over the same data.
 """
 
 from __future__ import annotations
@@ -103,59 +104,27 @@ def map_units(
 
 
 # --------------------------------------------------------------- vocab
+# Real content lives in beacon_spark.functions.vocab (public SeaDataNet/
+# NERC/EDMO/WMO data under functions/vocab/). This module keeps the
+# dict-style VOCABULARIES / vocab_map API over the same tables.
 
-# Sample vocabulary content (SeaDataNet code lists are public; full tables
-# load via load_vocab_csv). Keys here = the reference's registered names
-# (function-reference.md:330-400; beacon-functions/src/blue_cloud/**).
-_SAMPLE_VOCABS: dict[str, dict[str, str]] = {
-    # C17 (ICES platform codes) -> L06 (platform classes)
-    "map_c17_l06": {"74E9": "31", "06M4": "31", "48MB": "31"},
-    # L22 (device catalogue) -> L05 (device categories)
-    "map_l22_l05": {"TOOL0022": "130", "TOOL0398": "134"},
-    # WMO instrument type -> L05 / L22
-    "map_wmo_instrument_type_l05": {"995": "130", "999": "134"},
-    "map_wmo_instrument_type_l22": {"995": "TOOL0022"},
-    # Argo
-    "map_argo_instrument_l05": {"CTD": "130"},
-    "map_argo_platform_l06": {"FLOAT": "46"},
-    "map_argo_platform_edmo": {},
-    # generic code->code families; empty tables behave as all-NULL lookups
-    "map_c17": {},
-    "map_call_sign_c17": {},
-    "map_measuring_area_type_feature_type": {},
-    "map_p01_p25": {},
-    "map_p25_l05": {},
-    "map_cmems_bigram_l05": {},
-    "map_cmems_bigram_l06": {},
-    "map_cora_instrument_l05": {},
-    "map_cora_instrument_l22": {},
-    "map_cora_platform_l06": {},
-    "map_emodnet_chemistry_instrument_info_l22": {},
-    "map_emodnet_chemistry_instrument_l05": {},
-    "map_emodnet_chemistry_instrument_l05_multi": {},
-    "map_emodnet_chemistry_originator_edmo": {},
-    "map_emodnet_chemistry_p35_contributor_codes_p01": {},
-    "map_emodnet_chemistry_platform_l06": {},
-    "map_seadatanet_instrument_l05": {},
-    "map_seadatanet_salinity": {},
-    "map_seadatanet_temperature": {},
-    "map_seadatanet_platform_l06": {},
-    "map_seadatanet_originator_edmo": {},
-    "map_seadatanet_c17_l06": {},
-    "map_wod_edmo": {},
-    "map_wod_edmo_approx": {},
-    "map_wod_instrument_l05": {},
-    "map_wod_instrument_l22": {},
-    "map_wod_instrument_l33": {},
-    "map_wod_platform_c17": {},
-    "map_wod_quality_flag": {},
-    "map_instrument_info_l22": {},
-    "map_originator_edmo": {},
-    "map_p35_contributor_codes_p01": {},
-    "map_platform_c17_l06": {},
-}
 
-VOCABULARIES: dict[str, dict[str, str]] = {k: dict(v) for k, v in _SAMPLE_VOCABS.items()}
+class _VocabDict(dict):
+    """name → table dict, loading table-backed mappers lazily from the
+    vocab data files on first access."""
+
+    def __missing__(self, name: str):
+        from beacon_spark.functions.vocab import _TABLE_MAPPERS
+
+        if name in _TABLE_MAPPERS:
+            table = dict(_TABLE_MAPPERS[name][0]())
+        else:
+            table = {}
+        self[name] = table
+        return table
+
+
+VOCABULARIES: dict[str, dict[str, str]] = _VocabDict()
 
 
 def load_vocab_csv(name: str, path: str) -> None:
@@ -171,23 +140,24 @@ def load_vocab_csv(name: str, path: str) -> None:
 
 def vocab_map(name: str, col: Column | str) -> Column:
     """Code→code lookup against a named vocabulary: NULL when absent,
-    exactly the reference's mapper behavior."""
-    table = VOCABULARIES[name]
-    if not table:
-        return F.lit(None).cast("string")
-    items: list[Column] = []
-    for k, v in table.items():
-        items.extend([F.lit(k), F.lit(v)])
-    return F.element_at(F.create_map(*items), _c(col).cast("string"))
+    exactly the reference's mapper behavior. JVM create_map literal for
+    small tables, broadcast pandas UDF past the codegen limit."""
+    from beacon_spark.functions.vocab import _lookup_col
+
+    return _lookup_col(VOCABULARIES[name], _c(col), "string")
 
 
 def register_domain_functions(spark: SparkSession) -> None:
-    """SQL/DSL-callable registration. The mappers register as tiny python
-    UDFs (dict.get) so `F.call_function`/SQL resolve them; DataFrame code
-    should prefer the Column builders above (JVM-side)."""
-    for name in VOCABULARIES:
-        table = VOCABULARIES[name]
-        spark.udf.register(name, (lambda t: lambda c: t.get(c))(table), "string")
+    """SQL/DSL-callable registration of the full mapper surface
+    (lib.rs:27-56) plus map_units. map_p01_p25/map_p25_l05 register as
+    always-NULL: the reference's modules for them are empty files
+    (common/map_p01_p25.rs, map_p25_l05.rs — 0 bytes), so NULL is the
+    honest parity."""
+    from beacon_spark.functions.vocab import register_vocab_functions
+
+    register_vocab_functions(spark)
+    spark.udf.register("map_p01_p25", lambda c: None, "string")
+    spark.udf.register("map_p25_l05", lambda c: None, "string")
     spark.udf.register(
         "map_units",
         lambda u, t, v: (

@@ -68,12 +68,16 @@ def test_map_units_sql(spark):
 
 
 def test_vocab_map(spark):
-    df = spark.createDataFrame([("74E9",), ("ZZZZ",), (None,)], "code string")
+    # real public-table content: c17_l06.csv maps SDN:C17::33JY -> L06::0
+    df = spark.createDataFrame(
+        [("SDN:C17::33JY",), ("SDN:C17::067I",), ("ZZZZ",), (None,)], "code string"
+    )
     out = df.select(domain.vocab_map("map_c17_l06", "code").alias("m")).collect()
-    assert [r.m for r in out] == ["31", None, None]
-    # empty vocab → all NULL (reference behavior for absent codes)
-    out2 = df.select(domain.vocab_map("map_c17", "code").alias("m")).collect()
-    assert [r.m for r in out2] == [None, None, None]
+    assert [r.m for r in out] == ["SDN:L06::0", "SDN:L06::31", None, None]
+    # large table (13k codes) -> pandas-UDF path, same NULL-if-absent
+    df2 = spark.createDataFrame([("33KU",), ("nope",)], "code string")
+    out2 = df2.select(domain.vocab_map("map_c17", "code").alias("m")).collect()
+    assert [r.m for r in out2] == ["SDN:C17::33KU", None]
 
 
 def test_vocab_sql_and_dsl(spark):
@@ -81,14 +85,15 @@ def test_vocab_sql_and_dsl(spark):
 
     register_functions(spark)
     assert (
-        spark.sql("SELECT map_c17_l06('06M4') AS m").collect()[0].m == "31"
+        spark.sql("SELECT map_c17_l06('SDN:C17::33JY') AS m").collect()[0].m
+        == "SDN:L06::0"
     )
     # DSL function select item resolves through the registry
     from beacon_spark import dsl
     from beacon_spark.engine import Engine
 
     eng = Engine(spark)
-    spark.createDataFrame([("74E9",)], "code string").createOrReplaceTempView(
+    spark.createDataFrame([("SDN:C17::067I",)], "code string").createOrReplaceTempView(
         "vocab_t"
     )
     out = dsl.compile_query(
@@ -100,16 +105,16 @@ def test_vocab_sql_and_dsl(spark):
             "from": "vocab_t",
         },
     ).collect()
-    assert out[0].m == "31"
+    assert out[0].m == "SDN:L06::31"
 
 
 def test_load_vocab_csv(spark, tmp_path):
     p = tmp_path / "v.csv"
     p.write_text("AAA,111\nBBB,222\n")
-    domain.load_vocab_csv("map_c17", str(p))
+    domain.load_vocab_csv("map_custom", str(p))
     try:
         df = spark.createDataFrame([("AAA",), ("CCC",)], "code string")
-        out = df.select(domain.vocab_map("map_c17", "code").alias("m")).collect()
+        out = df.select(domain.vocab_map("map_custom", "code").alias("m")).collect()
         assert [r.m for r in out] == ["111", None]
     finally:
-        domain.VOCABULARIES["map_c17"] = {}
+        del domain.VOCABULARIES["map_custom"]
