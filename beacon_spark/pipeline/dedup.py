@@ -70,20 +70,40 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs.
 
     explode(shingles) → self-equi-join on shingle (id_a < id_b) →
-    count(shared)/(|A|+|B|-shared). The join key is the shingle string, so
-    Catalyst shuffles both sides once on it; extremely hot shingles are the
-    skew risk at scale — AQE skew-join handles it (enabled in session.py).
+    count(shared)/(|A|+|B|-shared). The join key is the shingle string;
+    a shingle appearing in k documents contributes k² join rows, so
+    boilerplate shingles ("terms of service …") make the join quadratic
+    at corpus scale. ``max_shingle_df`` is the standard fix: shingles
+    with document frequency above the cap are dropped BEFORE the
+    self-join — from both the intersection and the size denominators, so
+    jaccard stays consistent over the filtered shingle universe (the
+    per-pair effect is pinned in tests/test_pipeline.py). AQE skew-join
+    (enabled in session.py) handles residual sub-cap skew. Default None
+    = exact semantics (the DuckDB oracle's definition).
     Returns (id_a, id_b, jaccard) with jaccard rounded to 4 places.
     """
     t = _ensure_parallelism(_min_words_filter(df, text_col, n)).select(
         F.col(id_col).alias("__id"), shingles_expr(text_col, n).alias("__sh")
     )
-    sizes = t.select("__id", F.size("__sh").alias("__nsh"))
     e = t.select("__id", F.explode("__sh").alias("__s"))
+    if max_shingle_df is not None:
+        hot = (
+            e.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("__s")
+        )
+        # hot set is small by construction (only above-cap shingles) →
+        # broadcast anti-join, no extra shuffle of the exploded rows
+        e = e.join(F.broadcast(hot), "__s", "left_anti")
+        sizes = e.groupBy("__id").agg(F.count(F.lit(1)).alias("__nsh"))
+    else:
+        sizes = t.select("__id", F.size("__sh").alias("__nsh"))
     pairs = (
         e.alias("a")
         .join(e.alias("b"), (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
@@ -116,15 +136,20 @@ def _min_words_filter(df: DataFrame, text_col: str, n: int) -> DataFrame:
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread a narrow input across the cluster before a CPU-bound map
     stage. A small file count (locally: one parquet file) yields fewer
-    input splits than cores, serializing per-doc hashing; at real scale the
-    input already exceeds defaultParallelism and this is a no-op, so the
-    extra shuffle only ever costs when the data is small enough not to
-    matter."""
+    input splits than cores, serializing per-doc hashing; at real scale
+    the input already exceeds defaultParallelism and this is a no-op.
+    Partition count is estimated from the scan's file listing
+    (``inputFiles``) — cheap metadata, unlike ``df.rdd`` which forces an
+    RDD translation of the whole plan per call."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        nfiles = 0
+    if nfiles >= target:
+        return df
+    return df.repartition(target)
 
 
 def _hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:

@@ -40,6 +40,35 @@ def test_ngram_jaccard_finds_planted_pair(docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_ngram_shingle_df_cap(spark):
+    """Hot-shingle df cap: a boilerplate shingle shared by EVERY doc is
+    dropped before the self-join, so otherwise-unrelated docs stop
+    pairing on it; genuinely duplicated docs still pair (jaccard over
+    the filtered shingle universe)."""
+    boiler = "terms of service apply here"
+    rows = [
+        (0, f"{boiler} alpha beta gamma delta"),
+        (1, f"{boiler} epsilon zeta eta theta"),
+        (2, f"{boiler} alpha beta gamma delta"),  # true dup of 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: the shared boilerplate inflates 0-1 similarity above 0
+    uncapped = {(r.id_a, r.id_b): r.jaccard
+                for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert (0, 1) in uncapped
+    # cap at df<=2: every-doc shingles vanish; only the true dup remains
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in ngram_jaccard_pairs(docs, threshold=0.1,
+                                           max_shingle_df=2).collect()}
+    assert (0, 2) in capped and capped[(0, 2)] == 1.0
+    assert (0, 1) not in capped
+    # cap above the corpus max df == exact semantics
+    loose = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, threshold=0.1,
+                                          max_shingle_df=100).collect()}
+    assert loose == uncapped
+
+
 def test_minhash_matches_exact_on_planted(docs):
     exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
     lsh = {(r.id_a, r.id_b) for r in
