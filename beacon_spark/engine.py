@@ -80,27 +80,6 @@ def _bind_placeholders(statement: str, params: list) -> tuple[str, dict]:
     return "".join(out), args
 
 
-def _split_top_level(s: str) -> list[str]:
-    """Split on commas not nested in parens/quotes."""
-    parts, depth, in_str, cur = [], 0, False, []
-    for ch in s:
-        if ch == "'":
-            in_str = not in_str
-        elif not in_str:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif ch == "," and depth == 0:
-                parts.append("".join(cur).strip())
-                cur = []
-                continue
-        cur.append(ch)
-    if cur:
-        parts.append("".join(cur).strip())
-    return parts
-
-
 def _extract_star_replace(statement: str) -> tuple[str, list[tuple[str, str]]]:
     """``SELECT * REPLACE (expr AS col, ...)`` (DataFusion star options,
     docs/.../sql/index.md:46-48): strip the REPLACE clause and return the
@@ -134,6 +113,64 @@ def _extract_star_replace(statement: str) -> tuple[str, list[tuple[str, str]]]:
             raise ValueError(f"bad REPLACE item (want 'expr AS col'): {item!r}")
         replaces.append((im.group(1).strip(), im.group(2)))
     return m.group(1) + statement[i:], replaces
+def _split_order_limit(statement: str) -> tuple[str, str | None, str | None, str | None]:
+    """Peel a TOP-LEVEL trailing ``ORDER BY … [LIMIT n] [OFFSET n]`` off a
+    statement (paren-depth-0 scan, so subquery ORDER BYs are untouched).
+    Returns (core, order_clause, limit, offset)."""
+    s = statement.rstrip().rstrip(";")
+    depth = 0
+    quote = None
+    lowered = s.lower()
+    order_at = -1
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and lowered.startswith("order", i) and re.match(
+            r"order\s+by\b", lowered[i:]
+        ):
+            order_at = i
+    if order_at < 0:
+        return statement, None, None, None
+    tail = s[order_at:]
+    m = re.match(
+        r"(?is)^ORDER\s+BY\s+(.*?)(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?\s*$",
+        tail,
+    )
+    if not m:
+        return statement, None, None, None
+    return s[:order_at].rstrip(), m.group(1).strip(), m.group(2), m.group(3)
+
+
+def _order_columns(order_clause: str):
+    """'a DESC, b, c ASC NULLS LAST' → Column sort expressions."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for item in _split_top_level(order_clause):
+        m = re.match(
+            r"(?is)^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$", item
+        )
+        expr_s, direction, nulls = m.group(1).strip(), m.group(2), m.group(3)
+        c = F.expr(expr_s)
+        desc = direction is not None and direction.upper() == "DESC"
+        if nulls is None:
+            c = c.desc() if desc else c.asc()
+        elif nulls.upper() == "FIRST":
+            c = c.desc_nulls_first() if desc else c.asc_nulls_first()
+        else:
+            c = c.desc_nulls_last() if desc else c.asc_nulls_last()
+        cols.append(c)
+    return cols
+
+
 # DDL/DML dialect statements (parser/statement.rs:8-30), dispatched ahead
 # of spark.sql exactly as BeaconParser tries custom statements first
 _DDL_RES: list[tuple[str, re.Pattern]] = [
@@ -439,6 +476,15 @@ class Engine:
             lambda m: f"{m.group(1)}EXCEPT ({m.group(3) or m.group(4)})", statement
         )
         statement, replaces = _extract_star_replace(statement)
+        order_clause = limit_clause = offset_clause = None
+        if replaces:
+            # ORDER BY must resolve to the REPLACED output column
+            # (DataFusion/DuckDB semantics), so the trailing ORDER BY /
+            # LIMIT / OFFSET are peeled off, replacements applied
+            # position-preserving, then ordering applied on the output.
+            statement, order_clause, limit_clause, offset_clause = _split_order_limit(
+                statement
+            )
         args: dict | None = None
         if isinstance(params, dict):
             args = params
@@ -450,6 +496,12 @@ class Engine:
 
             for expr_s, name in replaces:
                 df = df.withColumn(name, F.expr(expr_s))
+            if order_clause:
+                df = df.orderBy(*_order_columns(order_clause))
+            if offset_clause is not None:
+                df = df.offset(int(offset_clause))
+            if limit_clause is not None:
+                df = df.limit(int(limit_clause))
         return df
 
     def _rewrite_metadata_fns(self, statement: str) -> str:

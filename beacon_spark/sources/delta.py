@@ -117,9 +117,23 @@ def _snapshot(location: str, version_as_of: int | None = None) -> _Snapshot:
         with open(last_cp) as f:
             cp = json.load(f)
         cp_version = cp["version"]
-        _read_checkpoint(
-            snap, os.path.join(log, f"{cp_version:020d}.checkpoint.parquet")
-        )
+        parts = cp.get("parts")
+        if parts:
+            # multi-part checkpoint: <v>.checkpoint.<i>.<n>.parquet, all
+            # parts together hold the action list (Delta protocol §
+            # checkpoints; common on larger external tables)
+            for i in range(1, int(parts) + 1):
+                _read_checkpoint(
+                    snap,
+                    os.path.join(
+                        log,
+                        f"{cp_version:020d}.checkpoint.{i:010d}.{int(parts):010d}.parquet",
+                    ),
+                )
+        else:
+            _read_checkpoint(
+                snap, os.path.join(log, f"{cp_version:020d}.checkpoint.parquet")
+            )
         snap.version = cp_version
         start = cp_version + 1
     for v, path in commits:

@@ -91,20 +91,8 @@ def test_schema_fn(spark, delta_dir):
     assert rows == {"id": "bigint", "v": "double"}
 
 
-def test_checkpoint_replay(spark, delta_dir):
-    """Reader honors _last_checkpoint + checkpoint parquet (the state of a
-    long log compacted at version N), replaying only later commits."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    write_delta(spark.range(10), delta_dir, mode="overwrite")
-    write_delta(spark.range(10, 20), delta_dir, mode="append")
-    snap_files = read_delta(spark, delta_dir).count()
-    # build a checkpoint at version 1 from the log state
-    from beacon_spark.sources.delta import _snapshot
-
-    snap = _snapshot(delta_dir)
-    rows = [
+def _checkpoint_rows(snap):
+    return [
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
          "metaData": None, "add": None},
         {"protocol": None,
@@ -118,7 +106,11 @@ def test_checkpoint_replay(spark, delta_dir):
                  "modificationTime": 0, "dataChange": True}}
         for p, pv in snap.adds.items()
     ]
-    log = os.path.join(delta_dir, "_delta_log")
+
+
+def _checkpoint_table(rows):
+    import pyarrow as pa
+
     mss = pa.map_(pa.string(), pa.string())
     cp_schema = pa.schema([
         pa.field("protocol", pa.struct([
@@ -142,8 +134,25 @@ def test_checkpoint_replay(spark, delta_dir):
                 r["metaData"]["configuration"].items())
         if r["add"]:
             r["add"]["partitionValues"] = list(r["add"]["partitionValues"].items())
+    return pa.Table.from_pylist(rows, schema=cp_schema)
+
+
+def test_checkpoint_replay(spark, delta_dir):
+    """Reader honors _last_checkpoint + checkpoint parquet (the state of a
+    long log compacted at version N), replaying only later commits."""
+    import pyarrow.parquet as pq
+
+    write_delta(spark.range(10), delta_dir, mode="overwrite")
+    write_delta(spark.range(10, 20), delta_dir, mode="append")
+    snap_files = read_delta(spark, delta_dir).count()
+    # build a checkpoint at version 1 from the log state
+    from beacon_spark.sources.delta import _snapshot
+
+    snap = _snapshot(delta_dir)
+    rows = _checkpoint_rows(snap)
+    log = os.path.join(delta_dir, "_delta_log")
     pq.write_table(
-        pa.Table.from_pylist(rows, schema=cp_schema),
+        _checkpoint_table(rows),
         os.path.join(log, f"{snap.version:020d}.checkpoint.parquet"),
     )
     with open(os.path.join(log, "_last_checkpoint"), "w") as f:
@@ -154,6 +163,36 @@ def test_checkpoint_replay(spark, delta_dir):
     assert read_delta(spark, delta_dir).count() == snap_files
     write_delta(spark.range(20, 23), delta_dir, mode="append")
     assert read_delta(spark, delta_dir).count() == snap_files + 3
+
+
+def test_multipart_checkpoint_replay(spark, delta_dir):
+    """_last_checkpoint with 'parts': actions split across
+    <v>.checkpoint.<i>.<n>.parquet files (common on larger external
+    tables) — all parts replay together."""
+    import pyarrow.parquet as pq
+
+    write_delta(spark.range(10), delta_dir, mode="overwrite")
+    write_delta(spark.range(10, 20), delta_dir, mode="append")
+    total = read_delta(spark, delta_dir).count()
+    from beacon_spark.sources.delta import _snapshot
+
+    snap = _snapshot(delta_dir)
+    rows = _checkpoint_rows(snap)
+    # split: protocol+metaData in part 1, adds in part 2
+    part1, part2 = rows[:2] + rows[2:3], rows[3:]
+    log = os.path.join(delta_dir, "_delta_log")
+    v = snap.version
+    pq.write_table(_checkpoint_table(part1),
+                   os.path.join(log, f"{v:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    pq.write_table(_checkpoint_table(part2),
+                   os.path.join(log, f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": v, "size": len(rows), "parts": 2}, f)
+    for ver in range(v):
+        os.remove(os.path.join(log, f"{ver:020d}.json"))
+    assert read_delta(spark, delta_dir).count() == total
+    write_delta(spark.range(20, 25), delta_dir, mode="append")
+    assert read_delta(spark, delta_dir).count() == total + 5
 
 
 def test_unsupported_features_raise(spark, delta_dir):

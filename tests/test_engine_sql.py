@@ -214,6 +214,25 @@ def test_star_replace(eng):
     assert all(r.r_name == r.r_name.upper() for r in rows)
 
 
+def test_star_replace_order_by_sorts_replaced_values(eng):
+    """ORDER BY on a replaced column must resolve to the REPLACED output
+    (DataFusion/DuckDB semantics): 4-r_regionkey inverts the order, so
+    sorting must follow the inverted values, not the originals."""
+    df = eng.sql(
+        "SELECT * REPLACE (4 - r_regionkey AS r_regionkey) "
+        "FROM read_parquet('region.parquet') ORDER BY r_regionkey LIMIT 3"
+    )
+    keys = [r.r_regionkey for r in df.collect()]
+    assert keys == [0, 1, 2]  # replaced values ascending (orig 4,3,2)
+    # DESC + inner subquery ORDER BY untouched
+    df2 = eng.sql(
+        "SELECT * REPLACE (4 - r_regionkey AS r_regionkey) FROM "
+        "(SELECT * FROM read_parquet('region.parquet') ORDER BY r_name) "
+        "ORDER BY r_regionkey DESC"
+    )
+    assert [r.r_regionkey for r in df2.collect()] == [4, 3, 2, 1, 0]
+
+
 def test_star_exclude_replace_compose(eng):
     df = eng.sql(
         "SELECT * EXCLUDE (r_regionkey) REPLACE (lower(r_name) AS r_name) "
