@@ -1512,6 +1512,57 @@ FROM orders GROUP BY bucket ORDER BY bucket
 """
 
 
+def _q_atlas_roundtrip(spark, sf_dir):
+    """§2.1 read_atlas (beacon-arrow-atlas/): an atlas store with TWO
+    named datasets (split halves of an orders aggregate) reads back as
+    their union through read_atlas; the oracle recomputes the aggregate
+    directly, so a hash match proves registry + zstd .af decode +
+    multi-dataset union. Stats pruning is pinned in tests/test_atlas.py."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.sources.atlaslite import write_atlas_store
+
+    _reg(spark, sf_dir, "orders")
+    pdf = (
+        spark.table("orders")
+        .groupBy((F.col("o_custkey") % 64).cast("long").alias("bucket"))
+        .agg(F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .orderBy("bucket")
+        .toPandas()
+    )
+    lo, hi = pdf[pdf.bucket < 32], pdf[pdf.bucket >= 32]
+    root = tempfile.mkdtemp(prefix="beacon_atlas_")
+    write_atlas_store(
+        os.path.join(root, "agg.atlas"),
+        {
+            "lo": {"variables": {
+                "bucket": (("row",), lo["bucket"].to_numpy(np.int64)),
+                "avg_price": (("row",), lo["avg_price"].to_numpy(np.float64)),
+            }},
+            "hi": {"variables": {
+                "bucket": (("row",), hi["bucket"].to_numpy(np.int64)),
+                "avg_price": (("row",), hi["avg_price"].to_numpy(np.float64)),
+            }},
+        },
+    )
+    eng = Engine(spark, datasets_root=root)
+    return eng.sql(
+        "SELECT bucket, avg_price FROM read_atlas('agg.atlas/atlas.json') "
+        "ORDER BY bucket"
+    )
+
+
+_SQL_ATLAS_RT = """
+SELECT CAST(o_custkey % 64 AS BIGINT) AS bucket,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders GROUP BY bucket ORDER BY bucket
+"""
+
+
 def _q_odv_roundtrip(spark, sf_dir):
     """§2.1 + §2.10 ODV ASCII: rows → ODV spreadsheet → read_odv_ascii →
     rows, hash-matched against computing the projection directly."""
@@ -1725,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sources / sinks round-trips
         "netcdf_roundtrip": _q_netcdf_roundtrip,
         "zarr_roundtrip": _q_zarr_roundtrip,
+        "atlas_roundtrip": _q_atlas_roundtrip,
         "odv_roundtrip": _q_odv_roundtrip,
         "delta_roundtrip": _q_delta_roundtrip,
         "iceberg_roundtrip": _q_iceberg_roundtrip,
@@ -1790,6 +1842,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_filter": _SQL_GEO,
         "netcdf_roundtrip": _SQL_NETCDF_RT,
         "zarr_roundtrip": _SQL_ZARR_RT,
+        "atlas_roundtrip": _SQL_ATLAS_RT,
         "odv_roundtrip": _SQL_ODV_RT,
         "delta_roundtrip": _SQL_DELTA_RT,
         "iceberg_roundtrip": _SQL_ICEBERG_RT,

@@ -30,7 +30,7 @@ from beacon_spark.sources import tabular
 from beacon_spark.sources.nd import read_nd
 
 _READ_FN_RE = re.compile(
-    r"\bread_(geoparquet|parquet|csv|arrow|netcdf|zarr|hdf5|odv_ascii|odv|delta|iceberg|tiff)\s*\("
+    r"\bread_(geoparquet|parquet|csv|arrow|netcdf|zarr|hdf5|odv_ascii|odv|delta|iceberg|tiff|atlas)\s*\("
     r"\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\)",
     re.IGNORECASE,
 )
@@ -339,6 +339,38 @@ class Engine:
         from beacon_spark.sources.tabular import _schema_df
 
         return _schema_df(self.spark, self.read_tiff(paths).schema)
+
+    def read_atlas(self, paths, dimensions=None, ranges=None) -> DataFrame:
+        """Atlas array stores (read_atlas table function,
+        beacon-arrow-atlas/): paths address ``atlas.json`` markers (exact
+        or glob). Each marker's datasets expand to per-dataset scan units
+        AFTER stats pruning — datasets whose column stats cannot match
+        the query's ranges are dropped before any array data is read
+        (the format's headline capability, pruning.rs)."""
+        from beacon_spark.sources import atlaslite
+        from beacon_spark.sources.atlaslite import DATASET_SEP, prune_datasets
+        from beacon_spark.sources.paths import resolve_globs
+
+        markers = resolve_globs(paths, self.datasets_root)
+        units: list[str] = []
+        for mk in markers:
+            for name in prune_datasets(mk, ranges):
+                units.append(f"{mk}{DATASET_SEP}{name}")
+        if not units:
+            # all datasets pruned: empty frame with the full-store schema
+            units = [
+                f"{mk}{DATASET_SEP}{n}"
+                for mk in markers
+                for n in atlaslite.list_datasets(mk)
+            ]
+            df = read_nd(self.spark, "atlas", units, None, dimensions, ranges=ranges)
+            return df.limit(0)
+        return read_nd(self.spark, "atlas", units, None, dimensions, ranges=ranges)
+
+    def read_atlas_schema(self, paths) -> DataFrame:
+        from beacon_spark.sources.tabular import _schema_df
+
+        return _schema_df(self.spark, self.read_atlas(paths).schema)
 
     def read_parquet_schema(self, paths) -> DataFrame:
         return tabular.read_parquet_schema(self.spark, paths, self.datasets_root)
@@ -919,6 +951,7 @@ class Engine:
                 "delta": lambda gs: self.read_delta(gs[0]),
                 "iceberg": lambda gs: self.read_iceberg(gs[0]),
                 "tiff": self.read_tiff,
+                "atlas": self.read_atlas,
                 "geoparquet": self.read_geoparquet,
             }[fmt](globs)
             name = f"__beacon_read_{abs(hash((fmt, tuple(globs)))) % 10**10}"
@@ -1125,6 +1158,10 @@ class Engine:
                 )
             if fmt == "tiff":
                 return self.read_tiff(
+                    cfg["paths"], cfg.get("dimensions"), ranges=ranges
+                )
+            if fmt == "atlas":
+                return self.read_atlas(
                     cfg["paths"], cfg.get("dimensions"), ranges=ranges
                 )
             if fmt == "odv":

@@ -392,11 +392,18 @@ def open_tiff(path: str) -> GridDataset:
     return _ot(path)
 
 
+def open_atlas(path: str) -> GridDataset:
+    from beacon_spark.sources.atlaslite import open_atlas as _oa
+
+    return _oa(path)
+
+
 _OPENERS = {
     "netcdf": open_netcdf,
     "zarr": open_zarr,
     "hdf5": open_netcdf,
     "tiff": open_tiff,
+    "atlas": open_atlas,
 }
 
 
