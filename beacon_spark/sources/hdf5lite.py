@@ -1,0 +1,1244 @@
+"""Pure-Python HDF5 reader — the subset libhdf5 writes for NetCDF4/h5py
+data files (no h5py/netCDF4/libhdf5 needed).
+
+HDF5's on-disk format is publicly specified (HDF5 File Format
+Specification v3, hdfgroup.org). This reader covers what netCDF4 and
+plain h5py files actually contain:
+
+  - superblock v0/v2/v3;
+  - object headers v1 and v2 (+ continuation blocks);
+  - messages: dataspace (v1/v2), datatype (fixed/float/string/vlen/
+    reference/compound), fill value, data layout v3 (compact/contiguous/
+    chunked-v1-btree) and v4 (single-chunk/implicit/fixed-array),
+    filter pipeline (deflate, shuffle), attributes (v1/v3),
+    links (hard), link-info, group-info, symbol-table;
+  - group traversal: old-style (v1 B-tree + local heap + SNODs) and
+    new-style compact link messages;
+  - chunked data via B-tree v1 or fixed-array index; deflate + shuffle
+    filters; contiguous and compact layouts;
+  - global heap (vlen attribute values — NetCDF4's DIMENSION_LIST is a
+    vlen of object references);
+  - compound datasets → one column per member (the reference reads these
+    too, beacon-arrow-hdf5/src/lib.rs:1-10).
+
+NetCDF4 mapping (netcdf.hdf5 convention): dimension-scale datasets
+(CLASS="DIMENSION_SCALE") name the dims; each variable's k-th dimension
+comes from its DIMENSION_LIST attribute (object references resolved by
+object-header address); attributes ride along (CF decoding happens in
+the shared GridDataset core, sources/nd.py).
+
+Dense (fractal-heap) links/attributes and v2-btree chunk indexes are not
+implemented and raise naming the feature — libhdf5 only emits them past
+~8 attributes/links per object or for unlimited-dimension datasets,
+which the gated `netCDF4`/`h5py` import path in sources/nd.py still
+covers when those libraries exist.
+
+Parity: beacon-arrow-hdf5 (2.8k LoC) + beacon-arrow-netcdf's NetCDF4
+path (9.7k LoC Rust over netcdf-c/oxcdf).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+MAGIC = b"\x89HDF\r\n\x1a\n"
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+class Hdf5Error(ValueError):
+    pass
+
+
+def _unsupported(what: str) -> Hdf5Error:
+    return Hdf5Error(f"HDF5 feature not supported by the pure-Python reader: {what} "
+                     "(install h5py/netCDF4 for full coverage)")
+
+
+# ---------------------------------------------------------------- file
+
+
+class Hdf5File:
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            self.buf = f.read()
+        if self.buf[:8] != MAGIC:
+            raise Hdf5Error(f"{path}: not an HDF5 file")
+        self._parse_superblock()
+        self._gh_cache: dict[int, dict[int, bytes]] = {}
+
+    # -- superblock
+    def _parse_superblock(self) -> None:
+        b = self.buf
+        ver = b[8]
+        self.sb_version = ver
+        if ver in (0, 1):
+            self.size_offsets = b[13]
+            self.size_lengths = b[14]
+            gl_internal = b[16]  # group leaf/internal k
+            self.gk_leaf = struct.unpack_from("<H", b, 16)[0]
+            self.gk_internal = struct.unpack_from("<H", b, 18)[0]
+            off = 24
+            if ver == 1:
+                off += 4
+            o = self.size_offsets
+            base, _fsa, eof, _drv = struct.unpack_from(f"<{4}Q", b, off)
+            # root group symbol table entry follows (link name offset,
+            # object header address, cache type, ...)
+            ste_off = off + 4 * 8
+            self.root_addr = struct.unpack_from("<Q", b, ste_off + 8)[0]
+        elif ver in (2, 3):
+            self.size_offsets = b[9]
+            self.size_lengths = b[10]
+            base, ext, eof, root = struct.unpack_from("<4Q", b, 12)
+            self.root_addr = root
+        else:
+            raise _unsupported(f"superblock v{ver}")
+        if self.size_offsets != 8 or self.size_lengths != 8:
+            raise _unsupported(
+                f"offset/length sizes {self.size_offsets}/{self.size_lengths}"
+            )
+
+    # -- object headers -------------------------------------------------
+
+    def messages(self, addr: int) -> list[tuple[int, bytes, int]]:
+        """All (type, body, flags) messages of the object header at addr,
+        continuations followed."""
+        b = self.buf
+        if b[addr: addr + 4] == b"OHDR":
+            return self._messages_v2(addr)
+        return self._messages_v1(addr)
+
+    def _messages_v1(self, addr: int) -> list[tuple[int, bytes, int]]:
+        b = self.buf
+        version = b[addr]
+        if version != 1:
+            raise _unsupported(f"object header v{version} at {addr}")
+        nmsg = struct.unpack_from("<H", b, addr + 2)[0]
+        hdr_size = struct.unpack_from("<I", b, addr + 8)[0]
+        out: list[tuple[int, bytes, int]] = []
+        # message block starts 8-byte aligned after the 12-byte prefix...
+        # (the v1 header is 16 bytes total: 12 + 4 pad)
+        blocks = [(addr + 16, hdr_size)]
+        while blocks and len(out) < nmsg:
+            pos, size = blocks.pop(0)
+            end = pos + size
+            while pos + 8 <= end and len(out) < nmsg:
+                mtype, msize, mflags = struct.unpack_from("<HHB", b, pos)
+                body = b[pos + 8: pos + 8 + msize]
+                pos += 8 + msize
+                if mtype == 0x10:  # continuation
+                    caddr, clen = struct.unpack_from("<QQ", body, 0)
+                    blocks.append((caddr, clen))
+                    continue
+                out.append((mtype, body, mflags))
+        return out
+
+    def _messages_v2(self, addr: int) -> list[tuple[int, bytes, int]]:
+        b = self.buf
+        flags = b[addr + 5]
+        pos = addr + 6
+        if flags & 0x20:  # times present
+            pos += 16
+        if flags & 0x10:  # max compact/min dense attrs
+            pos += 4
+        chunk0_size_bytes = 1 << (flags & 0x3)
+        size = int.from_bytes(b[pos: pos + chunk0_size_bytes], "little")
+        pos += chunk0_size_bytes
+        track_order = bool(flags & 0x04)
+        out: list[tuple[int, bytes, int]] = []
+        # chunk-0 size excludes its checksum; an OCHK continuation's
+        # length includes its 4-byte signature AND 4-byte checksum
+        blocks = [(pos, size)]
+        while blocks:
+            start, bsize = blocks.pop(0)
+            p = start
+            end = start + bsize
+            while p + 4 <= end:
+                mtype = b[p]
+                msize = struct.unpack_from("<H", b, p + 1)[0]
+                mflags = b[p + 3]
+                p += 4
+                if track_order:
+                    p += 2
+                body = b[p: p + msize]
+                p += msize
+                if mtype == 0x10:
+                    caddr, clen = struct.unpack_from("<QQ", body, 0)
+                    blocks.append((caddr + 4, clen - 8))
+                    continue
+                out.append((mtype, body, mflags))
+        return out
+
+
+# ------------------------------------------------------------ datatypes
+
+
+@dataclass
+class Datatype:
+    cls: int               # 0 fixed, 1 float, 3 string, 6 compound, 7 ref, 9 vlen
+    size: int
+    dtype: np.dtype | None = None
+    vlen_base: "Datatype | None" = None
+    members: list[tuple[str, int, "Datatype"]] = field(default_factory=list)
+    is_vlen_str: bool = False
+
+
+def parse_datatype(body: bytes, pos: int = 0) -> tuple[Datatype, int]:
+    cls_ver = body[pos]
+    cls = cls_ver & 0x0F
+    bits0, bits8, bits16 = body[pos + 1], body[pos + 2], body[pos + 3]
+    size = struct.unpack_from("<I", body, pos + 4)[0]
+    p = pos + 8
+    if cls == 0:  # fixed-point
+        signed = bool(bits0 & 0x08)
+        big = bool(bits0 & 0x01)
+        ch = {1: "b", 2: "h", 4: "i", 8: "q"}.get(size)
+        if ch is None:
+            raise _unsupported(f"fixed-point size {size}")
+        if not signed:
+            ch = ch.upper()
+        dt = np.dtype((">" if big else "<") + {"b": "i1", "h": "i2", "i": "i4", "q": "i8",
+                                               "B": "u1", "H": "u2", "I": "u4", "Q": "u8"}[ch])
+        p += 4  # bit offset + precision
+        return Datatype(cls, size, dt), p
+    if cls == 1:  # float
+        big = bool(bits0 & 0x01)
+        dt = np.dtype((">" if big else "<") + {2: "f2", 4: "f4", 8: "f8"}[size])
+        p += 12
+        return Datatype(cls, size, dt), p
+    if cls == 3:  # string (fixed-length)
+        return Datatype(cls, size, np.dtype(f"S{size}")), p
+    if cls == 6:  # compound
+        nmembers = bits0 | (bits8 << 8)
+        version = cls_ver >> 4
+        members: list[tuple[str, int, Datatype]] = []
+        for _ in range(nmembers):
+            if version == 1:
+                end = body.index(b"\x00", p)
+                name = body[p:end].decode()
+                p += ((end - p) // 8 + 1) * 8  # padded to 8
+                offset = struct.unpack_from("<I", body, p)[0]
+                p += 4
+                # dimensionality(1) + reserved(3) + perm(4) + reserved(4)
+                # + 4 dim sizes (16)
+                p += 28
+                mdt, p = parse_datatype(body, p)
+            elif version == 2:
+                end = body.index(b"\x00", p)
+                name = body[p:end].decode()
+                p += ((end - p) // 8 + 1) * 8
+                offset = struct.unpack_from("<I", body, p)[0]
+                p += 4
+                mdt, p = parse_datatype(body, p)
+            else:  # version 3: name not padded, compact offset
+                end = body.index(b"\x00", p)
+                name = body[p:end].decode()
+                p = end + 1
+                nbytes = max(1, (int(size).bit_length() + 7) // 8)
+                offset = int.from_bytes(body[p: p + nbytes], "little")
+                p += nbytes
+                mdt, p = parse_datatype(body, p)
+            members.append((name, offset, mdt))
+        return Datatype(cls, size, None, members=members), p
+    if cls == 7:  # reference
+        return Datatype(cls, size, np.dtype("<u8")), p
+    if cls == 9:  # variable-length
+        is_str = (bits0 & 0x0F) == 1
+        base, p2 = parse_datatype(body, p)
+        return Datatype(cls, size, None, vlen_base=base, is_vlen_str=is_str), p2
+    raise _unsupported(f"datatype class {cls}")
+
+
+def parse_dataspace(body: bytes) -> tuple[int, ...]:
+    ver = body[0]
+    rank = body[1]
+    if ver == 1:
+        flags = body[2]
+        pos = 8
+    elif ver == 2:
+        flags = body[2]
+        pos = 4
+    else:
+        raise _unsupported(f"dataspace v{ver}")
+    dims = struct.unpack_from(f"<{rank}Q", body, pos)
+    return tuple(int(d) for d in dims)
+
+
+# ------------------------------------------------------------- messages
+
+
+@dataclass
+class Link:
+    name: str
+    addr: int  # object header address (hard links only)
+
+
+def parse_link_msg(body: bytes) -> Link | None:
+    ver, flags = body[0], body[1]
+    if ver != 1:
+        raise _unsupported(f"link message v{ver}")
+    p = 2
+    ltype = 0
+    if flags & 0x08:
+        ltype = body[p]
+        p += 1
+    if flags & 0x04:  # creation order
+        p += 8
+    if flags & 0x10:  # charset
+        p += 1
+    nlen_size = 1 << (flags & 0x3)
+    nlen = int.from_bytes(body[p: p + nlen_size], "little")
+    p += nlen_size
+    name = body[p: p + nlen].decode("utf-8", "replace")
+    p += nlen
+    if ltype == 0:  # hard
+        addr = struct.unpack_from("<Q", body, p)[0]
+        return Link(name, addr)
+    return None  # soft/external links: not needed for data files
+
+
+@dataclass
+class LinkInfo:
+    fheap_addr: int
+    name_btree_addr: int
+
+
+def parse_link_info(body: bytes) -> LinkInfo:
+    ver, flags = body[0], body[1]
+    p = 2
+    if flags & 0x01:
+        p += 8
+    fheap, btree = struct.unpack_from("<QQ", body, p)
+    return LinkInfo(fheap, btree)
+
+
+@dataclass
+class AttrInfo:
+    fheap_addr: int
+    name_btree_addr: int
+
+
+def parse_attr_info(body: bytes) -> AttrInfo:
+    ver, flags = body[0], body[1]
+    p = 2
+    if flags & 0x01:
+        p += 2
+    fheap, btree = struct.unpack_from("<QQ", body, p)
+    return AttrInfo(fheap, btree)
+
+
+def _pad8(n: int) -> int:
+    return (n + 7) & ~7
+
+
+def parse_attribute(f: "Hdf5File", body: bytes):
+    """Attribute message → (name, python value)."""
+    ver = body[0]
+    if ver == 1:
+        name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+        p = 8
+        name = body[p: p + name_size].split(b"\x00")[0].decode("utf-8", "replace")
+        p += _pad8(name_size)
+        dt, _ = parse_datatype(body, p)
+        p += _pad8(dt_size)
+        shape = parse_dataspace(body[p: p + ds_size])
+        p += _pad8(ds_size)
+    elif ver in (2, 3):
+        flags = body[1]
+        if flags & 0x03:
+            raise _unsupported("shared attribute datatype/dataspace")
+        name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+        p = 8
+        if ver == 3:
+            p += 1  # name charset
+        name = body[p: p + name_size].split(b"\x00")[0].decode("utf-8", "replace")
+        p += name_size
+        dt, _ = parse_datatype(body, p)
+        p += dt_size
+        shape = parse_dataspace(body[p: p + ds_size])
+        p += ds_size
+    else:
+        raise _unsupported(f"attribute message v{ver}")
+    data = body[p:]
+    return name, decode_values(f, dt, shape, data)
+
+
+def decode_values(f: "Hdf5File", dt: Datatype, shape: tuple[int, ...], data: bytes):
+    """Decode raw attribute/element bytes into a python scalar / list /
+    ndarray, resolving vlen via the global heap."""
+    n = 1
+    for s in shape:
+        n *= s
+    if dt.cls == 9:  # vlen
+        out = []
+        for i in range(n):
+            sz, gaddr, gidx = struct.unpack_from("<IQI", data, i * 16)
+            payload = f.global_heap_object(gaddr, gidx)
+            if dt.is_vlen_str:
+                out.append(payload.decode("utf-8", "replace"))
+            else:
+                base = dt.vlen_base
+                vals = decode_values(f, base, (sz,), payload)
+                out.append(vals if isinstance(vals, list) else list(np.atleast_1d(vals)))
+        if not shape:
+            return out[0]
+        return out
+    if dt.cls == 3:  # fixed string
+        vals = [
+            data[i * dt.size: (i + 1) * dt.size].split(b"\x00")[0].decode("utf-8", "replace")
+            for i in range(n)
+        ]
+        return vals[0] if not shape else vals
+    if dt.cls == 7:  # object reference: address
+        vals = list(np.frombuffer(data[: n * 8], "<u8"))
+        return int(vals[0]) if not shape else [int(v) for v in vals]
+    if dt.dtype is None:
+        raise _unsupported(f"attribute datatype class {dt.cls}")
+    arr = np.frombuffer(data[: n * dt.dtype.itemsize], dt.dtype)
+    if not shape or n == 1:
+        # collapse rank-0 AND 1-element attributes to scalars (netCDF
+        # writers emit scale_factor/_FillValue either way; CF decoding
+        # expects plain numbers)
+        return arr[0].item()
+    return arr.reshape(shape)
+
+
+@dataclass
+class Layout:
+    cls: int                      # 0 compact, 1 contiguous, 2 chunked
+    data: bytes | None = None     # compact
+    addr: int = UNDEF
+    size: int = 0
+    chunk_shape: tuple[int, ...] = ()
+    index: str = "btree1"         # btree1|single|implicit|fixed
+    index_addr: int = UNDEF
+    single_filtered_size: int = 0
+    single_filter_mask: int = 0
+
+
+def parse_layout(body: bytes) -> Layout:
+    ver = body[0]
+    if ver == 3:
+        cls = body[1]
+        if cls == 0:
+            size = struct.unpack_from("<H", body, 2)[0]
+            return Layout(0, data=body[4: 4 + size])
+        if cls == 1:
+            addr, size = struct.unpack_from("<QQ", body, 2)
+            return Layout(1, addr=addr, size=size)
+        if cls == 2:
+            ndims = body[2]
+            addr = struct.unpack_from("<Q", body, 3)[0]
+            dims = struct.unpack_from(f"<{ndims}I", body, 11)
+            # last "dimension" is the element size
+            return Layout(2, addr=addr, chunk_shape=tuple(int(d) for d in dims[:-1]),
+                          index="btree1", index_addr=addr)
+        raise _unsupported(f"layout v3 class {cls}")
+    if ver == 4:
+        cls = body[1]
+        if cls != 2:
+            raise _unsupported(f"layout v4 class {cls}")
+        flags = body[2]
+        ndims = body[3]
+        enc = body[4]
+        p = 5
+        dims = [int.from_bytes(body[p + i * enc: p + (i + 1) * enc], "little")
+                for i in range(ndims)]
+        p += ndims * enc
+        itype = body[p]
+        p += 1
+        lay = Layout(2, chunk_shape=tuple(dims[:-1]))
+        if itype == 1:  # single chunk
+            lay.index = "single"
+            if flags & 0x02:  # filtered single chunk: size + mask precede addr
+                fsz_len = 8  # "variable size" = size of lengths (8)
+                lay.single_filtered_size = int.from_bytes(body[p: p + 8], "little")
+                p += 8
+                lay.single_filter_mask = struct.unpack_from("<I", body, p)[0]
+                p += 4
+            lay.index_addr = struct.unpack_from("<Q", body, p)[0]
+            return lay
+        if itype == 2:  # implicit
+            lay.index = "implicit"
+            lay.index_addr = struct.unpack_from("<Q", body, p)[0]
+            return lay
+        if itype == 3:  # fixed array
+            lay.index = "fixed"
+            p += 1  # page bits
+            lay.index_addr = struct.unpack_from("<Q", body, p)[0]
+            return lay
+        raise _unsupported(f"chunk index type {itype} (extensible array / v2 btree)")
+    raise _unsupported(f"layout v{ver}")
+
+
+@dataclass
+class Filter:
+    fid: int
+    client: tuple[int, ...]
+
+
+def parse_filters(body: bytes) -> list[Filter]:
+    ver = body[0]
+    nf = body[1]
+    out: list[Filter] = []
+    if ver == 1:
+        p = 8
+        for _ in range(nf):
+            fid, nlen, flags, ncv = struct.unpack_from("<HHHH", body, p)
+            p += 8
+            p += _pad8(nlen)
+            client = struct.unpack_from(f"<{ncv}I", body, p)
+            p += 4 * ncv
+            if ncv % 2:
+                p += 4
+            out.append(Filter(fid, tuple(client)))
+    elif ver == 2:
+        p = 2
+        for _ in range(nf):
+            fid = struct.unpack_from("<H", body, p)[0]
+            p += 2
+            nlen = 0
+            if fid >= 256:
+                nlen = struct.unpack_from("<H", body, p)[0]
+                p += 2
+            flags, ncv = struct.unpack_from("<HH", body, p)
+            p += 4
+            p += nlen
+            client = struct.unpack_from(f"<{ncv}I", body, p)
+            p += 4 * ncv
+            out.append(Filter(fid, tuple(client)))
+    else:
+        raise _unsupported(f"filter pipeline v{ver}")
+    return out
+
+
+def apply_filters(raw: bytes, filters: list[Filter], mask: int, itemsize: int) -> bytes:
+    data = raw
+    for i, flt in enumerate(reversed(filters)):
+        idx = len(filters) - 1 - i
+        if mask & (1 << idx):
+            continue
+        if flt.fid == 1:  # deflate
+            data = zlib.decompress(data)
+        elif flt.fid == 2:  # shuffle
+            t = flt.client[0] if flt.client else itemsize
+            if t > 1:
+                nel = len(data) // t
+                body_arr = np.frombuffer(data[: nel * t], "u1")
+                data = body_arr.reshape(t, nel).T.reshape(-1).tobytes() + data[nel * t:]
+        elif flt.fid == 3:  # fletcher32 checksum suffix
+            data = data[:-4]
+        else:
+            raise _unsupported(f"filter id {flt.fid} (szip/blosc need plugins)")
+    return data
+
+
+# --------------------------------------------------- heaps and B-trees
+
+
+def _local_heap_data(f: Hdf5File, addr: int) -> int:
+    b = f.buf
+    if b[addr: addr + 4] != b"HEAP":
+        raise Hdf5Error(f"bad local heap at {addr}")
+    return struct.unpack_from("<Q", b, addr + 24)[0]
+
+
+def _iter_btree1_group(f: Hdf5File, addr: int, heap_data: int):
+    """Old-style group B-tree (v1, type 0) → (name, object header addr)."""
+    b = f.buf
+    if b[addr: addr + 4] != b"TREE":
+        raise Hdf5Error(f"bad v1 btree node at {addr}")
+    node_type, level = b[addr + 4], b[addr + 5]
+    nused = struct.unpack_from("<H", b, addr + 6)[0]
+    # keys/children interleave: key0, child0, key1, child1 ... keyN
+    pos = addr + 24
+    childs = []
+    for i in range(nused):
+        pos += 8  # key i
+        childs.append(struct.unpack_from("<Q", b, pos)[0])
+        pos += 8
+    for c in childs:
+        if level > 0:
+            yield from _iter_btree1_group(f, c, heap_data)
+        else:
+            # SNOD: symbol table node
+            if b[c: c + 4] != b"SNOD":
+                raise Hdf5Error(f"bad SNOD at {c}")
+            nsym = struct.unpack_from("<H", b, c + 6)[0]
+            p = c + 8
+            for _ in range(nsym):
+                name_off, oh_addr = struct.unpack_from("<QQ", b, p)
+                name_pos = heap_data + name_off
+                end = b.index(b"\x00", name_pos)
+                yield b[name_pos:end].decode("utf-8", "replace"), oh_addr
+                p += 40
+
+
+class FractalHeap:
+    """Managed-object fractal heap (FRHP): enough to resolve the heap IDs
+    that dense link/attribute storage uses. Huge/tiny objects and paged
+    direct blocks raise."""
+
+    def __init__(self, f: Hdf5File, addr: int):
+        b = f.buf
+        if b[addr: addr + 4] != b"FRHP":
+            raise Hdf5Error(f"bad fractal heap at {addr}")
+        self.f = f
+        p = addr + 5
+        self.heap_id_len = struct.unpack_from("<H", b, p)[0]; p += 2
+        self.io_filter_len = struct.unpack_from("<H", b, p)[0]; p += 2
+        self.flags = b[p]; p += 1
+        self.max_size_managed = struct.unpack_from("<I", b, p)[0]; p += 4
+        self.next_huge_id = struct.unpack_from("<Q", b, p)[0]; p += 8
+        self.huge_btree = struct.unpack_from("<Q", b, p)[0]; p += 8
+        self.free_space = struct.unpack_from("<Q", b, p)[0]; p += 8
+        self.free_mgr = struct.unpack_from("<Q", b, p)[0]; p += 8
+        self.managed_space = struct.unpack_from("<Q", b, p)[0]; p += 8
+        self.alloc_space = struct.unpack_from("<Q", b, p)[0]; p += 8
+        self.iterator_offset = struct.unpack_from("<Q", b, p)[0]; p += 8
+        self.n_managed = struct.unpack_from("<Q", b, p)[0]; p += 8
+        self.huge_size = struct.unpack_from("<Q", b, p)[0]; p += 8
+        self.n_huge = struct.unpack_from("<Q", b, p)[0]; p += 8
+        self.tiny_size = struct.unpack_from("<Q", b, p)[0]; p += 8
+        self.n_tiny = struct.unpack_from("<Q", b, p)[0]; p += 8
+        # doubling table
+        self.table_width = struct.unpack_from("<H", b, p)[0]; p += 2
+        self.start_block = struct.unpack_from("<Q", b, p)[0]; p += 8
+        self.max_direct = struct.unpack_from("<Q", b, p)[0]; p += 8
+        self.max_heap_bits = struct.unpack_from("<H", b, p)[0]; p += 2
+        self.start_rows = struct.unpack_from("<H", b, p)[0]; p += 2
+        self.root_addr = struct.unpack_from("<Q", b, p)[0]; p += 8
+        self.root_rows = struct.unpack_from("<H", b, p)[0]; p += 2
+        if self.io_filter_len:
+            raise _unsupported("filtered fractal heap blocks")
+        self.off_size = (self.max_heap_bits + 7) // 8
+        self.len_size = (max(self.max_size_managed, 1).bit_length() + 7) // 8
+        self.max_dblock_rows = (
+            int(self.max_direct).bit_length() - int(self.start_block).bit_length() + 2
+        )
+        # map: heap offset -> file addr, via block walk
+        self._blocks: list[tuple[int, int, int]] = []  # (heap_off, size, file_addr)
+        if self.root_addr != UNDEF:
+            if self.root_rows == 0:
+                self._blocks.append((0, self._row_block_size(0), self.root_addr))
+            else:
+                self._walk_indirect(self.root_addr, 0, self.root_rows)
+
+    def _row_block_size(self, row: int) -> int:
+        if row < 2:
+            return self.start_block
+        return self.start_block << (row - 1)
+
+    def _walk_indirect(self, addr: int, heap_off: int, nrows: int) -> None:
+        b = self.f.buf
+        if b[addr: addr + 4] != b"FHIB":
+            raise Hdf5Error(f"bad fractal heap indirect block at {addr}")
+        p = addr + 4 + 1 + 8  # sig, version, heap header addr
+        p += self.off_size    # block offset of this block
+        off = heap_off
+        for row in range(nrows):
+            bsize = self._row_block_size(row)
+            for _ in range(self.table_width):
+                child = struct.unpack_from("<Q", b, p)[0]
+                p += 8
+                if row < self.max_dblock_rows:
+                    if child != UNDEF:
+                        self._blocks.append((off, bsize, child))
+                else:
+                    if child != UNDEF:
+                        sub_rows = (int(bsize).bit_length()
+                                    - int(self.start_block).bit_length() + 1)
+                        self._walk_indirect(child, off, sub_rows)
+                off += bsize
+
+    def get(self, heap_id: bytes) -> bytes:
+        flags = heap_id[0]
+        idtype = (flags >> 4) & 0x3
+        if idtype != 0:
+            raise _unsupported(f"fractal heap id type {idtype} (huge/tiny)")
+        off = int.from_bytes(heap_id[1: 1 + self.off_size], "little")
+        ln = int.from_bytes(
+            heap_id[1 + self.off_size: 1 + self.off_size + self.len_size], "little"
+        )
+        for hoff, size, faddr in self._blocks:
+            if hoff <= off < hoff + size:
+                # heap offsets span the heap's address space INCLUDING
+                # each direct block's header, so the file position is a
+                # straight translation from the block's base
+                return bytes(self.f.buf[faddr + (off - hoff): faddr + (off - hoff) + ln])
+        raise Hdf5Error(f"fractal heap offset {off} not found")
+
+
+def _iter_btree2_records(f: Hdf5File, addr: int):
+    """Iterate raw records of a v2 B-tree (BTHD). Yields bytes per record."""
+    b = f.buf
+    if b[addr: addr + 4] != b"BTHD":
+        raise Hdf5Error(f"bad v2 btree header at {addr}")
+    rtype = b[addr + 5]
+    node_size = struct.unpack_from("<I", b, addr + 6)[0]
+    record_size = struct.unpack_from("<H", b, addr + 10)[0]
+    depth = struct.unpack_from("<H", b, addr + 12)[0]
+    split, merge = b[addr + 14], b[addr + 15]
+    root_addr = struct.unpack_from("<Q", b, addr + 16)[0]
+    root_nrec = struct.unpack_from("<H", b, addr + 24)[0]
+    total_nrec = struct.unpack_from("<Q", b, addr + 26)[0]
+    if root_addr == UNDEF:
+        return
+    # sizes of the "number of records" fields for child pointers
+    def max_nrec(nsize: int, d: int) -> int:
+        # leaf capacity
+        leaf = (nsize - 10) // record_size
+        if d == 1:
+            return leaf
+        # internal nodes hold records + child pointers
+        lower = max_nrec(nsize, d - 1)
+        total_size = _bytes_for(lower)
+        n = (nsize - 10 - (8 + total_size)) // (record_size + 8 + total_size)
+        return n  # per-node records at this depth (approx per spec)
+
+    def _bytes_for(v: int) -> int:
+        return max(1, (int(v).bit_length() + 7) // 8)
+
+    def walk(naddr: int, nrec: int, d: int):
+        if d == 0:
+            if b[naddr: naddr + 4] != b"BTLF":
+                raise Hdf5Error(f"bad BTLF at {naddr}")
+            p = naddr + 6
+            for _ in range(nrec):
+                yield b[p: p + record_size]
+                p += record_size
+            return
+        if b[naddr: naddr + 4] != b"BTIN":
+            raise Hdf5Error(f"bad BTIN at {naddr}")
+        p = naddr + 6
+        # internal node: all records first, then the nrec+1 child pointers
+        below = d - 1
+        recs = [b[p + i * record_size: p + (i + 1) * record_size] for i in range(nrec)]
+        p += nrec * record_size
+        nrec_size = _bytes_for(_capacity(below))
+        tot_size = _bytes_for(_total_capacity(below)) if below > 0 else 0
+        childs = []
+        for _ in range(nrec + 1):
+            caddr = struct.unpack_from("<Q", b, p)[0]
+            p += 8
+            cnrec = int.from_bytes(b[p: p + nrec_size], "little")
+            p += nrec_size + tot_size
+            childs.append((caddr, cnrec))
+        for i, (caddr, cnrec) in enumerate(childs):
+            yield from walk(caddr, cnrec, below)
+            if i < nrec:
+                yield recs[i]
+
+    def _capacity(d: int) -> int:
+        if d == 0:
+            return (node_size - 10) // record_size
+        cap_below = _capacity(d - 1)
+        sz = _bytes_for(cap_below) + (0 if d - 1 == 0 else _bytes_for(_total_capacity(d - 1)))
+        return (node_size - 10 - (8 + sz)) // (record_size + 8 + sz)
+
+    def _total_capacity(d: int) -> int:
+        if d == 0:
+            return _capacity(0)
+        c = _capacity(d)
+        return c + (c + 1) * _total_capacity(d - 1)
+
+    yield from walk(root_addr, root_nrec, depth)
+
+
+# ---------------------------------------------------------- global heap
+
+
+def _global_heap_collection(f: Hdf5File, addr: int) -> dict[int, bytes]:
+    b = f.buf
+    if b[addr: addr + 4] != b"GCOL":
+        raise Hdf5Error(f"bad global heap at {addr}")
+    size = struct.unpack_from("<Q", b, addr + 8)[0]
+    out: dict[int, bytes] = {}
+    p = addr + 16
+    end = addr + size
+    while p + 16 <= end:
+        idx, refc = struct.unpack_from("<HH", b, p)
+        osize = struct.unpack_from("<Q", b, p + 8)[0]
+        if idx == 0:
+            break
+        out[idx] = bytes(b[p + 16: p + 16 + osize])
+        p += 16 + _pad8(osize)
+    return out
+
+
+# ------------------------------------------------------------ the model
+
+
+@dataclass
+class Dataset:
+    name: str
+    addr: int
+    shape: tuple[int, ...]
+    dtype: Datatype
+    layout: Layout
+    filters: list[Filter]
+    fill: bytes | None
+    attrs: dict
+
+
+@dataclass
+class Group:
+    name: str
+    addr: int
+    attrs: dict
+    datasets: dict[str, Dataset]
+    groups: dict[str, "Group"]
+
+
+class Hdf5Reader(Hdf5File):
+    """Structured view: groups, datasets, attributes, data access."""
+
+    def __init__(self, path: str):
+        super().__init__(path)
+        self.root = self._read_group("", self.root_addr)
+
+    # -- global heap access (cached per collection)
+    def global_heap_object(self, addr: int, idx: int) -> bytes:
+        col = self._gh_cache.get(addr)
+        if col is None:
+            col = _global_heap_collection(self, addr)
+            self._gh_cache[addr] = col
+        return col[idx]
+
+    # -- object assembly
+    def _object_attrs_and_links(self, addr: int):
+        msgs = self.messages(addr)
+        attrs: dict = {}
+        links: list[Link] = []
+        parts: dict[int, bytes] = {t: b for t, b, _ in msgs if t in (0x11,)}
+        for t, body, _ in msgs:
+            if t == 0x0C:
+                try:
+                    name, val = parse_attribute(self, body)
+                    attrs[name] = val
+                except Hdf5Error:
+                    pass  # exotic attribute types: skip, don't fail the file
+            elif t == 0x06:
+                ln = parse_link_msg(body)
+                if ln is not None:
+                    links.append(ln)
+            elif t == 0x02:
+                li = parse_link_info(body)
+                if li.fheap_addr != UNDEF:
+                    links.extend(self._dense_links(li))
+            elif t == 0x15:
+                ai = parse_attr_info(body)
+                if ai.fheap_addr != UNDEF:
+                    attrs.update(self._dense_attrs(ai))
+            elif t == 0x11:
+                btree_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
+                heap_data = _local_heap_data(self, heap_addr)
+                for name, oaddr in _iter_btree1_group(self, btree_addr, heap_data):
+                    links.append(Link(name, oaddr))
+        return msgs, attrs, links
+
+    def _dense_links(self, li: LinkInfo) -> list[Link]:
+        heap = FractalHeap(self, li.fheap_addr)
+        out: list[Link] = []
+        if li.name_btree_addr == UNDEF:
+            return out
+        for rec in _iter_btree2_records(self, li.name_btree_addr):
+            # type-5 record: hash(4) + heap id (heap's id length)
+            hid = rec[4: 4 + heap.heap_id_len]
+            body = heap.get(hid)
+            ln = parse_link_msg(body)
+            if ln is not None:
+                out.append(ln)
+        return out
+
+    def _dense_attrs(self, ai: AttrInfo) -> dict:
+        heap = FractalHeap(self, ai.fheap_addr)
+        out: dict = {}
+        if ai.name_btree_addr == UNDEF:
+            return out
+        for rec in _iter_btree2_records(self, ai.name_btree_addr):
+            # type-8 record: heap id + flags(1) + corder(4) + hash(4)
+            hid = rec[: heap.heap_id_len]
+            try:
+                body = heap.get(hid)
+                name, val = parse_attribute(self, body)
+                out[name] = val
+            except Hdf5Error:
+                continue
+        return out
+
+    def _read_group(self, name: str, addr: int) -> Group:
+        msgs, attrs, links = self._object_attrs_and_links(addr)
+        g = Group(name, addr, attrs, {}, {})
+        for ln in sorted(links, key=lambda x: x.name):
+            cmsgs = self.messages(ln.addr)
+            types = {t for t, _, _ in cmsgs}
+            if 0x03 in types and 0x08 in types:  # datatype + layout = dataset
+                g.datasets[ln.name] = self._read_dataset(ln.name, ln.addr, cmsgs)
+            else:
+                g.groups[ln.name] = self._read_group(ln.name, ln.addr)
+        return g
+
+    def _read_dataset(self, name: str, addr: int, msgs) -> Dataset:
+        shape: tuple[int, ...] = ()
+        dt: Datatype | None = None
+        layout: Layout | None = None
+        filters: list[Filter] = []
+        fill: bytes | None = None
+        _, attrs, _links = self._object_attrs_and_links(addr)
+        for t, body, _ in msgs:
+            if t == 0x01:
+                shape = parse_dataspace(body)
+            elif t == 0x03:
+                dt, _p = parse_datatype(body)
+            elif t == 0x08:
+                layout = parse_layout(body)
+            elif t == 0x0B:
+                filters = parse_filters(body)
+            elif t == 0x05:
+                ver = body[0]
+                if ver in (1, 2):
+                    if body[3]:  # defined
+                        sz = struct.unpack_from("<I", body, 4)[0]
+                        fill = body[8: 8 + sz]
+                elif ver == 3:
+                    flags = body[1]
+                    if flags & 0x20:
+                        sz = struct.unpack_from("<I", body, 2)[0]
+                        fill = body[6: 6 + sz]
+        if dt is None or layout is None:
+            raise Hdf5Error(f"dataset {name}: missing datatype/layout")
+        return Dataset(name, addr, shape, dt, layout, filters, fill, attrs)
+
+    # -- data access ----------------------------------------------------
+
+    def _np_dtype(self, dt: Datatype) -> np.dtype:
+        if dt.cls == 6:
+            return np.dtype({"names": [m[0] for m in dt.members],
+                             "formats": [self._np_dtype(m[2]) for m in dt.members],
+                             "offsets": [m[1] for m in dt.members],
+                             "itemsize": dt.size})
+        if dt.dtype is None:
+            raise _unsupported(f"dataset datatype class {dt.cls}")
+        return dt.dtype
+
+    def read(self, ds: Dataset) -> np.ndarray:
+        """Materialize a whole dataset (vlen-string datasets resolve via
+        the global heap; numeric/compound via layout)."""
+        if ds.dtype.cls == 9 and ds.dtype.is_vlen_str:
+            raw = self._raw(ds, 16)
+            n = 1
+            for s in ds.shape:
+                n *= s
+            vals = []
+            for i in range(n):
+                sz, gaddr, gidx = struct.unpack_from("<IQI", raw, i * 16)
+                vals.append(self.global_heap_object(gaddr, gidx).decode("utf-8", "replace"))
+            return np.array(vals, dtype=object).reshape(ds.shape)
+        npdt = self._np_dtype(ds.dtype)
+        raw = self._raw(ds, npdt.itemsize)
+        n = 1
+        for s in ds.shape:
+            n *= s
+        arr = np.frombuffer(raw[: n * npdt.itemsize], npdt).reshape(ds.shape)
+        return arr
+
+    def _raw(self, ds: Dataset, itemsize: int) -> bytes:
+        lay = ds.layout
+        n = 1
+        for s in ds.shape:
+            n *= s
+        total = n * itemsize
+        if lay.cls == 0:
+            return lay.data or b""
+        if lay.cls == 1:
+            if lay.addr == UNDEF:
+                return (ds.fill or b"\x00" * itemsize) * n
+            return bytes(self.buf[lay.addr: lay.addr + total])
+        # chunked
+        out = bytearray((ds.fill or b"\x00" * itemsize) * n)
+        cshape = lay.chunk_shape
+        for coffset, caddr, csize, cmask in self._chunks(ds):
+            raw = bytes(self.buf[caddr: caddr + csize])
+            if ds.filters:
+                raw = apply_filters(raw, ds.filters, cmask, itemsize)
+            self._place_chunk(out, raw, ds.shape, cshape, coffset, itemsize)
+        return bytes(out)
+
+    def _chunks(self, ds: Dataset):
+        """Yield (chunk_offset_tuple, file_addr, stored_size, filter_mask)."""
+        lay = ds.layout
+        cshape = lay.chunk_shape
+        ndims = len(ds.shape)
+        csize_nominal = int(np.prod(cshape)) * (ds.dtype.size if ds.dtype.cls != 9 else 16)
+        if lay.index == "btree1":
+            yield from self._chunks_btree1(lay.index_addr, ndims)
+        elif lay.index == "single":
+            size = lay.single_filtered_size if ds.filters else csize_nominal
+            if lay.index_addr != UNDEF:
+                yield (0,) * ndims, lay.index_addr, size or csize_nominal, lay.single_filter_mask
+        elif lay.index == "implicit":
+            grid = [-(-s // c) for s, c in zip(ds.shape, cshape)]
+            import itertools as _it
+
+            addr = lay.index_addr
+            for idx in _it.product(*(range(g) for g in grid)):
+                off = tuple(i * c for i, c in zip(idx, cshape))
+                yield off, addr, csize_nominal, 0
+                addr += csize_nominal
+        elif lay.index == "fixed":
+            yield from self._chunks_fixed_array(ds, csize_nominal)
+        else:
+            raise _unsupported(f"chunk index {lay.index}")
+
+    def _chunks_btree1(self, addr: int, ndims: int):
+        b = self.buf
+        if addr == UNDEF:
+            return
+        if b[addr: addr + 4] != b"TREE":
+            raise Hdf5Error(f"bad chunk btree at {addr}")
+        level = b[addr + 5]
+        nused = struct.unpack_from("<H", b, addr + 6)[0]
+        key_size = 8 + 8 * (ndims + 1)
+        p = addr + 24
+        for _ in range(nused):
+            csize, cmask = struct.unpack_from("<II", b, p)
+            offs = struct.unpack_from(f"<{ndims}Q", b, p + 8)
+            p += key_size
+            child = struct.unpack_from("<Q", b, p)[0]
+            p += 8
+            if level > 0:
+                yield from self._chunks_btree1(child, ndims)
+            else:
+                yield tuple(int(o) for o in offs), child, csize, cmask
+
+    def _chunks_fixed_array(self, ds: Dataset, csize_nominal: int):
+        b = self.buf
+        addr = ds.layout.index_addr
+        if addr == UNDEF:
+            return
+        if b[addr: addr + 4] != b"FAHD":
+            raise Hdf5Error(f"bad fixed array header at {addr}")
+        client_id = b[addr + 5]
+        entry_size = b[addr + 6]
+        page_bits = b[addr + 7]
+        nelmts = struct.unpack_from("<Q", b, addr + 8)[0]
+        dblock = struct.unpack_from("<Q", b, addr + 16)[0]
+        if dblock == UNDEF:
+            return
+        if b[dblock: dblock + 4] != b"FADB":
+            raise Hdf5Error(f"bad fixed array data block at {dblock}")
+        p = dblock + 4 + 1 + 1 + 8  # sig, version, client id, header addr
+        npages = -(-nelmts // (1 << page_bits)) if nelmts > (1 << page_bits) else 0
+        if npages:
+            raise _unsupported("paged fixed-array chunk index")
+        cshape = ds.layout.chunk_shape
+        grid = [-(-s // c) for s, c in zip(ds.shape, cshape)]
+        import itertools as _it
+
+        idxs = list(_it.product(*(range(g) for g in grid)))
+        for i in range(int(nelmts)):
+            if client_id == 0:  # non-filtered: just addresses
+                caddr = struct.unpack_from("<Q", b, p)[0]
+                p += entry_size
+                csize, cmask = csize_nominal, 0
+            else:  # filtered: address + size + mask
+                caddr = struct.unpack_from("<Q", b, p)[0]
+                size_len = entry_size - 12
+                csize = int.from_bytes(b[p + 8: p + 8 + size_len], "little")
+                cmask = struct.unpack_from("<I", b, p + 8 + size_len)[0]
+                p += entry_size
+            if caddr == UNDEF or i >= len(idxs):
+                continue
+            off = tuple(ii * c for ii, c in zip(idxs[i], cshape))
+            yield off, caddr, csize, cmask
+
+    @staticmethod
+    def _place_chunk(out: bytearray, raw: bytes, shape, cshape, coffset, itemsize):
+        """Scatter one (full-size, possibly edge-overhanging) chunk into
+        the C-order output buffer."""
+        full = np.frombuffer(raw, "u1")
+        need = int(np.prod(cshape)) * itemsize
+        if len(full) < need:
+            full = np.concatenate([full, np.zeros(need - len(full), "u1")])
+        chunk = full[:need].reshape(tuple(cshape) + (itemsize,)) if cshape else full
+        dst = np.frombuffer(out, "u1").reshape(tuple(shape) + (itemsize,)) if shape else np.frombuffer(out, "u1")
+        sel_dst = tuple(
+            slice(o, min(o + c, s)) for o, c, s in zip(coffset, cshape, shape)
+        )
+        sel_src = tuple(slice(0, sl.stop - sl.start) for sl in sel_dst)
+        # bytearray-backed frombuffer views are writable
+        dst[sel_dst] = chunk[sel_src]
+
+    def read_compound(self, ds: Dataset) -> dict[str, np.ndarray]:
+        """Compound dataset → one ndarray per member (vlen-string members
+        resolve via the global heap)."""
+        raw = self._raw(ds, ds.dtype.size)
+        n = 1
+        for s in ds.shape:
+            n *= s
+        out: dict[str, np.ndarray] = {}
+        for name, off, mdt in ds.dtype.members:
+            if mdt.cls == 9 and mdt.is_vlen_str:
+                vals = []
+                for i in range(n):
+                    base = i * ds.dtype.size + off
+                    sz, gaddr, gidx = struct.unpack_from("<IQI", raw, base)
+                    vals.append(
+                        self.global_heap_object(gaddr, gidx).decode("utf-8", "replace")
+                    )
+                out[name] = np.array(vals, dtype=object).reshape(ds.shape)
+            elif mdt.dtype is not None:
+                sd = np.dtype({"names": [name], "formats": [mdt.dtype],
+                               "offsets": [off], "itemsize": ds.dtype.size})
+                out[name] = np.frombuffer(raw[: n * ds.dtype.size], sd)[name].reshape(ds.shape)
+        return out
+
+
+# ----------------------------------------------- netCDF4 / HDF5 → grid
+
+_INTERNAL_ATTRS = {
+    "DIMENSION_LIST", "REFERENCE_LIST", "CLASS", "NAME",
+    "_Netcdf4Dimid", "_Netcdf4Coordinates", "_NCProperties",
+}
+_PURE_DIM_NAME = "This is a netCDF dimension but not a netCDF variable"
+
+
+class _H5Lazy:
+    """Lazy per-variable handle: the dataset decodes on first access only
+    (whole variable; chunk-sliced reads stay a TODO — one file is one
+    task, so a task never decodes variables it doesn't select)."""
+
+    def __init__(self, reader: Hdf5Reader, ds: Dataset, member: str | None = None,
+                 join_char_dim: bool = False):
+        self.reader, self.ds, self.member = reader, ds, member
+        self.join_char_dim = join_char_dim
+        self.shape = tuple(ds.shape[:-1]) if join_char_dim else tuple(ds.shape)
+        self.ndim = len(self.shape)
+        self._data: np.ndarray | None = None
+
+    def _load(self) -> np.ndarray:
+        if self._data is None:
+            if self.member is not None:
+                self._data = self.reader.read_compound(self.ds)[self.member]
+            else:
+                a = self.reader.read(self.ds)
+                if self.join_char_dim:
+                    # (..., strlen) S1 char matrix → (...,) strings
+                    a = a.view(np.dtype(f"S{self.ds.shape[-1]}")).reshape(self.shape)
+                if a.dtype.kind == "S":
+                    a = np.char.decode(
+                        np.char.rstrip(a, b"\x00 "), "utf-8", "replace"
+                    )
+                self._data = a
+        return self._data
+
+    def __len__(self) -> int:
+        return self.shape[0] if self.shape else 1
+
+    def __getitem__(self, idx) -> np.ndarray:
+        return self._load()[idx]
+
+    def __array__(self, dtype=None, copy=None):
+        full = self._load()
+        return full.astype(dtype) if dtype is not None else full
+
+
+def _collect_datasets(g: Group, prefix: str = "") -> list[tuple[str, Dataset]]:
+    out = [(prefix + name, ds) for name, ds in g.datasets.items()]
+    for sub in g.groups.values():
+        out.extend(_collect_datasets(sub, f"{prefix}{sub.name}/"))
+    return out
+
+
+def _collect_group_attrs(g: Group, prefix: str = "") -> dict:
+    out = {prefix + k: v for k, v in g.attrs.items() if k not in _INTERNAL_ATTRS}
+    for sub in g.groups.values():
+        out.update(_collect_group_attrs(sub, f"{prefix}{sub.name}/"))
+    return out
+
+
+def read_hdf5_grid(path: str):
+    """Open an HDF5/NetCDF4 file as (dims, variables, var_attrs,
+    global_attrs) in GridDataset's shapes.
+
+    NetCDF4 convention: dimension-scale datasets (CLASS=DIMENSION_SCALE)
+    define the dims; variables bind dims via DIMENSION_LIST object
+    references (resolved by object-header address). Fixed-length char
+    matrices whose last dim is a string-length dim join into strings
+    (netCDF char-array convention). Plain HDF5 files get netCDF-C-style
+    ``phony_dim_<n>`` names, one per distinct size; compound datasets
+    expand to one ``<dataset>.<member>`` column each."""
+    r = Hdf5Reader(path)
+    entries = _collect_datasets(r.root)
+    addr_to_name = {ds.addr: name for name, ds in entries}
+
+    dim_names: dict[int, str] = {}     # OH addr -> dim name
+    dim_sizes: dict[str, int] = {}
+    scales: set[str] = set()
+    for name, ds in entries:
+        if str(ds.attrs.get("CLASS", "")) == "DIMENSION_SCALE":
+            dim_names[ds.addr] = name
+            dim_sizes[name] = ds.shape[0] if ds.shape else 1
+            scales.add(name)
+
+    phony: dict[int, str] = {}
+
+    def _phony_dim(size: int) -> str:
+        if size not in phony:
+            phony[size] = f"phony_dim_{len(phony)}"
+            dim_sizes[phony[size]] = size
+        return phony[size]
+
+    variables: dict = {}
+    var_attrs: dict = {}
+    for name, ds in entries:
+        is_pure_dim = name in scales and str(ds.attrs.get("NAME", "")).startswith(
+            _PURE_DIM_NAME
+        )
+        dl = ds.attrs.get("DIMENSION_LIST")
+        dims: list[str] = []
+        if name in scales:
+            dims = [name] + [
+                _phony_dim(s) for s in ds.shape[1:]
+            ]
+        elif isinstance(dl, list) and len(dl) == len(ds.shape):
+            for k, refs in enumerate(dl):
+                ref = refs[0] if isinstance(refs, list) and refs else refs
+                dname = dim_names.get(int(ref) if ref is not None else -1)
+                dims.append(dname if dname else _phony_dim(ds.shape[k]))
+        else:
+            dims = [_phony_dim(s) for s in ds.shape]
+        for d, s in zip(dims, ds.shape):
+            dim_sizes.setdefault(d, s)
+
+        attrs = {k: v for k, v in ds.attrs.items() if k not in _INTERNAL_ATTRS}
+        if is_pure_dim:
+            continue  # anonymous dim carrier, not a variable
+        if ds.dtype.cls == 6:
+            for mname, _off, mdt in ds.dtype.members:
+                col = f"{name}.{mname}"
+                variables[col] = (tuple(dims), _H5Lazy(r, ds, member=mname))
+                var_attrs[col] = dict(attrs)
+            continue
+        join = (
+            ds.dtype.cls == 3
+            and ds.dtype.size == 1
+            and len(ds.shape) > 1
+            and (dims[-1].startswith(("STRING", "strnlen", "string", "phony"))
+                 or "str" in dims[-1].lower())
+        )
+        if join:
+            dims = dims[:-1]
+        variables[name] = (tuple(dims), _H5Lazy(r, ds, join_char_dim=join))
+        var_attrs[name] = attrs
+
+    dims_final = {d: s for d, s in dim_sizes.items()
+                  if any(d in v[0] for v in variables.values())}
+    return dims_final, variables, var_attrs, _collect_group_attrs(r.root)
+

@@ -354,8 +354,15 @@ def open_netcdf(path: str) -> GridDataset:
         }
         var_attrs = {n: dict(v.attrs) for n, v in ds.variables.items()}
         return GridDataset(dims, variables, var_attrs, dict(ds.attrs))
-    # no nd library installed: self-contained NetCDF3 classic parser
-    # (NetCDF4/HDF5 files raise with a clear message from read_netcdf3)
+    # no nd library installed: self-contained parsers — NetCDF4/HDF5
+    # (hdf5lite: superblocks v0-v3, dense links/attrs, chunked+
+    # shuffle/deflate, DIMENSION_LIST dims) or NetCDF3 classic
+    with open(path, "rb") as fh:
+        magic = fh.read(8)
+    if magic == b"\x89HDF\r\n\x1a\n":
+        from beacon_spark.sources.hdf5lite import read_hdf5_grid
+
+        return GridDataset(*read_hdf5_grid(path))
     from beacon_spark.sources.netcdf3 import read_netcdf3
 
     return GridDataset(*read_netcdf3(path))
