@@ -454,7 +454,14 @@ def _q_topn_recent(spark, sf_dir):
     return (
         e.orderBy(F.col("ts").desc(), F.col("event_id").desc())
         .limit(1000)
-        .select("event_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+        .select(
+            "event_id",
+            # events.ts is parquet timestamp[us] without tz → Spark reads
+            # TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (session tz is UTC,
+            # so the cast is value-preserving either way)
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_type",
+        )
     )
 
 

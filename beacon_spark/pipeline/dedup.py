@@ -272,28 +272,54 @@ def minhash_lsh_pairs(
     """MinHash + LSH near-duplicate pairs with exact verification.
 
     banding: 16 bands × 4 rows over 64 permutations → P(candidate) ≈
-    1-(1-j⁴)¹⁶, >0.99 at j=0.5. Candidates (equal band signature) are
+    1-(1-j⁴)¹⁶ (≈0.64 at j=0.5, ≈0.99 at j=0.7). Candidates (equal band
+    signature) are
     verified with *exact* shingle Jaccard, so the output contains no false
     positives — matching an exact-Jaccard oracle whenever recall holds.
     """
     rows_per_band = num_perm // bands
-    # cached: the band self-join consumes sigs on both sides; k longs per
-    # doc is tiny relative to recomputing shingles for the whole corpus
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed).cache()
+    params = _hash_params(num_perm, seed)
+    a_arr = ", ".join(f"{a}L" for a, _ in params)
+    b_arr = ", ".join(f"{b}L" for _, b in params)
 
-    # One compact expression: band b's key = xxhash64(b, sig[b*r : b*r+r]).
-    # The band index is folded into the hash, so the join key is a single
-    # long (a 64-wide struct-array restack was ~2× slower purely from
-    # generated-code size).
-    stacked = sigs.select(
-        "__id",
-        F.explode(
+    # ONE corpus scan → 64-bit shingle hashes, cached and reused by (a) the
+    # banding inputs and (b) exact verification. Verification on the raw
+    # 64-bit hashes replaces the previous second corpus scan + per-candidate
+    # shingle recompute; a long-array intersect also beats a string-array
+    # intersect. Collision risk within one pair's union (~10³ hashes over a
+    # 2⁶⁴ space) is ~0 — the exact-Jaccard oracle stays bit-identical.
+    base = (
+        _ensure_parallelism(_min_words_filter(df, text_col, shingle_n))
+        .select(
+            F.col(id_col).alias("__id"),
             F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> xxhash64(b, slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
-            )
-        ).alias("__bsig"),
+                f"transform({_shingles_sql(text_col, shingle_n)}, s -> xxhash64(s))"
+            ).alias("__hs"),
+        )
+        .cache()
     )
+
+    # Signature + band keys in one expression over the cached hashes:
+    #   hm  = hash mod p (let-bound, one pass)
+    #   sig = per-permutation scalar fold aggregate(least(...)) — no
+    #         intermediate nsh-array allocation per permutation (the
+    #         array_min(transform(...)) form allocates k arrays per doc)
+    #   band b's key = xxhash64(b, sig[b*r : b*r+r]) — the band index is
+    #         folded into the hash, so the join key is a single long.
+    # sig semantics are unchanged: min over pmod(hm*a + b, p), p = 2³¹-1,
+    # identical to minhash_signatures (pinned by tests).
+    bands_expr = (
+        f"transform(array(transform(__hs, h -> pmod(h, {_MERSENNE}L))), hm -> "
+        f"transform(array(zip_with(array({a_arr}), array({b_arr}), (a, b) -> "
+        f"aggregate(hm, {_MERSENNE}L, (acc, h) -> least(acc, pmod(h * a + b, {_MERSENNE}L))))), "
+        f"sg -> transform(sequence(0, {bands - 1}), "
+        f"b -> xxhash64(b, slice(sg, b * {rows_per_band} + 1, {rows_per_band}))))[0])[0]"
+    )
+    # cached: the self-join consumes band keys on both sides; without the
+    # cache the k-permutation fold would run twice per doc
+    stacked = base.select(
+        "__id", F.explode(F.expr(bands_expr)).alias("__bsig")
+    ).cache()
 
     cand = (
         stacked.alias("a")
@@ -305,24 +331,16 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification on the surviving candidates only. Shingles are
-    # recomputed for *candidate docs alone* (semi-join pre-filter): at
-    # corpus scale the candidate set is orders of magnitude smaller than
-    # the corpus, so this keeps the wide shingle arrays off the full scan
-    # — work ∝ candidates, not ∝ corpus. AQE turns the id-set join into a
-    # broadcast when the candidate set is small.
+    # exact verification on the surviving candidates only, against the
+    # CACHED hash arrays — no second pass over the corpus text. Work is
+    # two joins ∝ candidates; AQE turns them into broadcasts when the
+    # candidate set is small. `__hs` holds distinct-shingle hashes, so
+    # size/intersect arithmetic equals the string-set version exactly.
     cand.cache()
-    cand_ids = cand.select(F.col("id_a").alias("__cid")).union(
-        cand.select(F.col("id_b"))
-    )
-    t = df.join(
-        cand_ids, F.col(id_col) == F.col("__cid"), "left_semi"
-    ).select(
-        F.col(id_col).alias("__id"), shingles_expr(text_col, shingle_n).alias("__sh")
-    )
+    t = base.select("__id", "__hs")
     verified = (
-        cand.join(t.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha")), "id_a")
-        .join(t.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb")), "id_b")
+        cand.join(t.select(F.col("__id").alias("id_a"), F.col("__hs").alias("__sha")), "id_a")
+        .join(t.select(F.col("__id").alias("id_b"), F.col("__hs").alias("__shb")), "id_b")
         .withColumn("__inter", F.size(F.array_intersect("__sha", "__shb")))
         .withColumn(
             "jaccard",
