@@ -764,14 +764,27 @@ FROM documents
 """
 
 
+def _query_vec(sf_dir, vec_id=0):
+    """The probe vector is a *query parameter*, not part of the
+    distributed computation — fetch it with a single-row pyarrow read on
+    the driver instead of paying a Spark job (collect roundtrip + codegen)
+    per query. At 100 TB the probe vector arrives from the user anyway."""
+    import pyarrow.dataset as ds
+
+    t = ds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["embedding"], filter=ds.field("vec_id") == vec_id
+    )
+    return [float(x) for x in t.column("embedding")[0].as_py()]
+
+
 def _q_sim_topk(spark, sf_dir):
     """Brute-force cosine top-k against vec_id 0's embedding."""
     from beacon_spark.pipeline.similarity import brute_force_topk
 
     _reg(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
-    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return brute_force_topk(emb.filter(F.col("vec_id") != 0), list(query), k=10)
+    query = _query_vec(sf_dir)
+    return brute_force_topk(emb.filter(F.col("vec_id") != 0), query, k=10)
 
 
 _SQL_SIM_TOPK = """
@@ -821,8 +834,8 @@ def _q_ann_lsh(spark, sf_dir):
 
     _reg(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
-    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return lsh_ann_topk(emb.filter(F.col("vec_id") != 0), list(query), k=10, n_planes=4)
+    query = _query_vec(sf_dir)
+    return lsh_ann_topk(emb.filter(F.col("vec_id") != 0), query, k=10, n_planes=4)
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -834,9 +847,9 @@ def _q_ann_ivf(spark, sf_dir):
 
     _reg(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
-    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    query = _query_vec(sf_dir)
     return ivf_ann_topk(
-        emb.filter(F.col("vec_id") != 0), list(query), k=10,
+        emb.filter(F.col("vec_id") != 0), query, k=10,
         n_cells=8, nprobe=8,
     )
 
@@ -854,10 +867,10 @@ def _q_ann_ivf_probe(spark, sf_dir):
 
     _reg(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
-    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    query = _query_vec(sf_dir)
     path = os.path.join(tempfile.mkdtemp(prefix="beacon_ann_"), "ivf_idx")
     ann_build(emb.filter(F.col("vec_id") != 0), path, method="ivf", n_cells=8)
-    return ann_probe(spark, path, list(query), k=10, nprobe=8)
+    return ann_probe(spark, path, query, k=10, nprobe=8)
 
 
 def _q_multimodal(spark, sf_dir):
@@ -1642,6 +1655,60 @@ def _q_geo_filter(spark, sf_dir):
     )
 
 
+def _q_geo_suite(spark, sf_dir):
+    """§2.8 ST_* function suite (reference registers geodatafusion
+    wholesale, beacon-db/beacon-functions/src/lib.rs:31; ours is
+    functions/st.py). Exercises constructor (st_point), accessors
+    (st_x/st_y), measure (st_point_distance — SQL tier; st_area — pandas
+    tier), predicate (st_contains, ray-cast), and transform
+    (st_flipcoordinates). Geometry per row is a triangle/point built
+    from customer-key coordinates, so every output has a closed-form
+    SQL oracle (triangle area = |x·y|/2, rectangle containment = range
+    compare); +0.5 offsets keep points off every boundary."""
+    from beacon_spark.functions.core import register_functions
+
+    _reg(spark, sf_dir, "customer")
+    register_functions(spark)
+    spark.table("customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 360) - 180 + F.lit(0.5)).cast("double").alias("lon"),
+        (((F.col("c_custkey") * 7) % 180) - 90 + F.lit(0.5)).cast("double").alias("lat"),
+    ).createOrReplaceTempView("geo_suite_pts")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               st_x(pt) AS x, st_y(pt) AS y,
+               round(st_point_distance(pt, st_point(0.0D, 0.0D)), 4) AS dist_origin,
+               round(st_area(tri), 4) AS tri_area,
+               st_contains('POLYGON ((-60 20, -20 20, -20 50, -60 50, -60 20))', pt) AS in_box,
+               st_flipcoordinates(pt) AS flipped
+        FROM (
+          SELECT c_custkey, st_point(lon, lat) AS pt,
+                 concat('POLYGON ((0 0, ', CAST(lon AS STRING), ' 0, 0 ',
+                        CAST(lat AS STRING), ', 0 0))') AS tri
+          FROM geo_suite_pts
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+_SQL_GEO_SUITE = """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+         CAST(((c_custkey * 7) % 180) - 90 + 0.5 AS DOUBLE) AS lat
+  FROM customer
+)
+SELECT c_custkey, lon AS x, lat AS y,
+       round(sqrt(power(lon - 0.0, 2) + power(lat - 0.0, 2)), 4) AS dist_origin,
+       round(abs(lon * lat) / 2, 4) AS tri_area,
+       (lon > -60 AND lon < -20 AND lat > 20 AND lat < 50) AS in_box,
+       concat('POINT (', CAST(lat AS VARCHAR), ' ', CAST(lon AS VARCHAR), ')') AS flipped
+FROM pts ORDER BY c_custkey
+"""
+
+
 _SQL_GEO = """
 WITH pts AS (
   SELECT c_custkey,
@@ -1780,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cte_query": _q_cte,
         "vocab_mappers": _q_vocab_mappers,
         "geo_filter": _q_geo_filter,
+        "geo_suite": _q_geo_suite,
         # sources / sinks round-trips
         "netcdf_roundtrip": _q_netcdf_roundtrip,
         "zarr_roundtrip": _q_zarr_roundtrip,
@@ -1847,6 +1915,7 @@ def oracle_sql() -> dict[str, str]:
         "cte_query": _SQL_CTE,
         "vocab_mappers": _SQL_VOCAB,
         "geo_filter": _SQL_GEO,
+        "geo_suite": _SQL_GEO_SUITE,
         "netcdf_roundtrip": _SQL_NETCDF_RT,
         "zarr_roundtrip": _SQL_ZARR_RT,
         "atlas_roundtrip": _SQL_ATLAS_RT,

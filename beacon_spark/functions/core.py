@@ -88,8 +88,10 @@ def register_functions(spark: SparkSession) -> None:
     DSL's function select items via F.call_function)."""
     from beacon_spark.functions import geo
     from beacon_spark.functions.domain import register_domain_functions
+    from beacon_spark.functions.st import register_st_functions
 
     register_domain_functions(spark)
+    register_st_functions(spark)
     spark.udf.register("st_geojson_as_wkt", geo.st_geojson_as_wkt_udf())
     spark.udf.register("st_within_point", geo.st_within_point_udf())
     spark.udf.register(

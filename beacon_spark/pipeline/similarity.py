@@ -25,24 +25,27 @@ def _vec_lit(vec: list[float]) -> Column:
 def cosine_expr(col: str | Column, query: list[float]) -> Column:
     """Cosine similarity between an array column and a constant query
     vector as a pure Catalyst expression (zip_with product + aggregate
-    fold, SURVEY.md north-star item). Left-to-right fold keeps the
-    summation order deterministic for oracle comparison."""
+    fold, SURVEY.md north-star item). ONE fold computes dot and
+    self-norm together through a struct accumulator — half the generated
+    code of separate dot/norm folds (codegen size, not arithmetic, is
+    the constant cost at high dims). Per-term order inside the fold is
+    unchanged (left-to-right), so values are bit-identical to the
+    two-fold form and to a left-to-right SQL oracle."""
     c = F.col(col) if isinstance(col, str) else col
     q = [float(x) for x in query]
     qnorm = float(np.sqrt(np.dot(q, q)))
-    dot = F.aggregate(
-        F.zip_with(c.cast("array<double>"), _vec_lit(q), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    acc = F.aggregate(
+        F.zip_with(
+            c.cast("array<double>"),
+            _vec_lit(q),
+            lambda a, b: F.struct((a * b).alias("d"), (a * a).alias("n")),
+        ),
+        F.struct(F.lit(0.0).alias("d"), F.lit(0.0).alias("n")),
+        lambda s, x: F.struct(
+            (s["d"] + x["d"]).alias("d"), (s["n"] + x["n"]).alias("n")
+        ),
     )
-    norm = F.sqrt(
-        F.aggregate(
-            F.zip_with(c.cast("array<double>"), c.cast("array<double>"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return dot / (norm * F.lit(qnorm))
+    return acc["d"] / (F.sqrt(acc["n"]) * F.lit(qnorm))
 
 
 def brute_force_topk(

@@ -29,11 +29,17 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def _ensure_timestamp(df: DataFrame, ts_col: str) -> DataFrame:
-    """ns-as-long columns (nanosAsLong reads) → µs timestamps."""
-    if dict(df.dtypes).get(ts_col) == "bigint":
+    """Normalize the event-time column to TIMESTAMP: ns-as-long
+    (nanosAsLong reads) → µs timestamps; TIMESTAMP_NTZ (parquet
+    timestamp without tz) → TIMESTAMP (session tz is pinned UTC, so the
+    cast is value-preserving)."""
+    dt = dict(df.dtypes).get(ts_col)
+    if dt == "bigint":
         return df.withColumn(
             ts_col, F.expr(f"timestamp_micros(CAST({ts_col} DIV 1000 AS BIGINT))")
         )
+    if dt == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 
@@ -120,14 +126,17 @@ def stream_events(
     same)."""
     import os
 
-    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    # readStream needs an explicit schema — take it from the parquet
+    # footer so the stream tracks whatever physical type the fixture
+    # carries (ns-as-long under nanosAsLong, µs TIMESTAMP_NTZ, …)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
     if os.path.isfile(path):
         # file-stream sources need a directory; narrow with a glob filter
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     stream = (
-        reader.load(path)
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        _ensure_timestamp(reader.load(path), "ts")
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -166,7 +175,7 @@ def stream_user_state(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    reader = spark.readStream.schema(spark.read.parquet(path).schema).format("parquet")
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
@@ -193,8 +202,7 @@ def stream_user_state(
         )
 
     stream = (
-        reader.load(path)
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        _ensure_timestamp(reader.load(path), "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout

@@ -1,0 +1,195 @@
+"""ST_* suite (functions/st.py) — parity with PostGIS/geodatafusion
+semantics (reference registers geodatafusion wholesale,
+beacon-db/beacon-functions/src/lib.rs:31)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from beacon_spark.functions.st import (
+    geom_area,
+    geom_centroid,
+    geom_contains,
+    geom_distance,
+    geom_intersects,
+    geom_length,
+    geom_to_geojson,
+    haversine_m,
+    parse_wkt,
+    wkt_to_wkb,
+)
+from beacon_spark.functions.geo import wkb_to_wkt
+
+
+def test_parse_point():
+    g = parse_wkt("POINT (1.5 -2.5)")
+    assert g.kind == "POINT"
+    assert np.allclose(g.pts, [[1.5, -2.5]])
+
+
+def test_parse_multipolygon_holes():
+    g = parse_wkt(
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1)),"
+        " ((10 10, 11 10, 11 11, 10 10)))"
+    )
+    assert g.kind == "MULTIPOLYGON"
+    assert len(g.polys) == 2
+    assert len(g.polys[0]) == 2  # shell + hole
+    assert geom_area(g) == pytest.approx(16 - 1 + 0.5)
+
+
+def test_parse_geometrycollection():
+    g = parse_wkt("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 0))")
+    assert len(g.geoms) == 2
+    assert geom_length(g) == pytest.approx(1.0)
+
+
+def test_empty():
+    g = parse_wkt("POINT EMPTY")
+    assert g.empty
+    assert geom_area(g) == 0.0
+
+
+def test_area_orientation_insensitive():
+    cw = parse_wkt("POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))")
+    ccw = parse_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    assert geom_area(cw) == geom_area(ccw) == 1.0
+
+
+def test_centroid_polygon_with_hole():
+    # symmetric hole keeps the centroid at the shell centre
+    g = parse_wkt(
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5))"
+    )
+    cx, cy = geom_centroid(g)
+    assert (cx, cy) == pytest.approx((2.0, 2.0))
+
+
+def test_centroid_linestring_length_weighted():
+    g = parse_wkt("LINESTRING (0 0, 2 0, 2 1)")
+    cx, cy = geom_centroid(g)
+    # segments: (1,0) w=2 and (2,0.5) w=1
+    assert (cx, cy) == pytest.approx((4 / 3, 1 / 6))
+
+
+def test_distance_point_segment():
+    d = geom_distance(parse_wkt("POINT (5 3)"), parse_wkt("LINESTRING (0 0, 10 0)"))
+    assert d == pytest.approx(3.0)
+
+
+def test_distance_clamps_to_endpoint():
+    d = geom_distance(parse_wkt("POINT (13 4)"), parse_wkt("LINESTRING (0 0, 10 0)"))
+    assert d == pytest.approx(5.0)
+
+
+def test_distance_intersecting_zero():
+    a = parse_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    b = parse_wkt("LINESTRING (1 1, 9 9)")
+    assert geom_distance(a, b) == 0.0
+
+
+def test_distance_point_point():
+    assert geom_distance(parse_wkt("POINT (0 0)"), parse_wkt("POINT (3 4)")) == 5.0
+
+
+def test_intersects_edge_cross():
+    a = parse_wkt("LINESTRING (0 0, 2 2)")
+    b = parse_wkt("LINESTRING (0 2, 2 0)")
+    assert geom_intersects(a, b)
+
+
+def test_intersects_touch():
+    a = parse_wkt("LINESTRING (0 0, 1 1)")
+    b = parse_wkt("LINESTRING (1 1, 2 0)")
+    assert geom_intersects(a, b)
+
+
+def test_intersects_disjoint_bbox_overlap():
+    # bboxes overlap but geometries don't touch
+    a = parse_wkt("LINESTRING (0 0, 1 1)")
+    b = parse_wkt("LINESTRING (0 0.9, 0.05 1.0)")
+    assert not geom_intersects(a, b)
+
+
+def test_contains_point_in_hole_false():
+    g = parse_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))")
+    assert not geom_contains(g, parse_wkt("POINT (2 2)"))
+    assert geom_contains(g, parse_wkt("POINT (0.5 0.5)"))
+
+
+def test_contains_polygon_in_polygon():
+    outer = parse_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    inner = parse_wkt("POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))")
+    assert geom_contains(outer, inner)
+    assert not geom_contains(inner, outer)
+
+
+def test_haversine_equator_degree():
+    # 1 degree of longitude at the equator ≈ 111.195 km with R=6371008.8
+    d = haversine_m(0.0, 0.0, 1.0, 0.0)
+    assert d == pytest.approx(111195.08, abs=1.0)
+
+
+def test_wkb_roundtrip():
+    for wkt in [
+        "POINT (1 2)",
+        "LINESTRING (0 0, 1 1, 2 0)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+        "MULTIPOINT ((1 2), (3 4))",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))",
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 0))",
+    ]:
+        rt = wkb_to_wkt(wkt_to_wkb(wkt))
+        assert geom_area(parse_wkt(rt)) == pytest.approx(geom_area(parse_wkt(wkt)))
+        assert np.allclose(
+            parse_wkt(rt).all_coords(), parse_wkt(wkt).all_coords()
+        )
+
+
+def test_geojson_roundtrip():
+    import json
+
+    gj = geom_to_geojson(parse_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+    d = json.loads(gj)
+    assert d["type"] == "Polygon"
+    assert d["coordinates"][0][0] == [0.0, 0.0]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from beacon_spark.functions.core import register_functions
+    from beacon_spark.session import get_spark
+
+    s = get_spark(shuffle_partitions=4, extra_conf={"spark.driver.memory": "8g"})
+    register_functions(s)
+    yield s
+
+
+def test_sql_surface(spark):
+    row = spark.sql(
+        """SELECT st_point(1.0, 2.0) AS p,
+                  st_x(st_point(3.5, 4.5)) AS x,
+                  st_y(st_point(3.5, 4.5)) AS y,
+                  st_point_distance(st_point(0.0, 0.0), st_point(3.0, 4.0)) AS d,
+                  st_geometrytype('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))') AS t,
+                  st_area('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS a,
+                  st_contains('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'POINT (1 1)') AS c,
+                  st_dwithin('POINT (0 0)', 'POINT (3 4)', 4.9) AS dw"""
+    ).collect()[0]
+    assert row.p == "POINT (1.0 2.0)"
+    assert row.x == 3.5 and row.y == 4.5
+    assert row.d == 5.0
+    assert row.t == "ST_MultiPolygon"
+    assert row.a == 4.0
+    assert row.c is True
+    assert row.dw is False
+
+
+def test_sql_tier_stays_jvm(spark):
+    """The point tier must not appear as a Python UDF in the plan —
+    pushdown/codegen depends on it."""
+    df = spark.sql("SELECT st_x(st_point(1.0, 2.0)) AS x")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
