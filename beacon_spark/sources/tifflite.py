@@ -11,10 +11,14 @@ reader.rs:80-150). We produce the same dataset shape and feed it through
 the shared nd flattening (sources/nd.py), so grid selection, chunked
 Spark tasks, and coordinate-range pruning all apply unchanged.
 
-Supported: classic TIFF (little/big endian), strip or tile layout, chunky
-or planar configuration, compression none(1)/deflate(8,32946), horizontal
-predictor(2), sample formats uint/int/float 8-64 bit, GDAL_NODATA → NULL.
-BigTIFF and JPEG/LZW/packbits compression raise loudly.
+Supported: classic TIFF *and* BigTIFF (magic 43, 8-byte offsets), either
+endianness, strip or tile layout, chunky or planar configuration,
+compression none(1)/LZW(5)/deflate(8,32946), horizontal predictor(2),
+sample formats uint/int/float 8-64 bit, GDAL_NODATA → NULL, and COG
+overview chains (reduced-resolution IFDs selectable via
+``open_tiff(path, overview=k)`` — a whole-extent visualization/decimation
+query reads the small IFD, not the full raster, which is the COG
+contract). JPEG/packbits compression raise loudly.
 
 No rasterio/PIL in this container — this parser is the real read path,
 not a stub, and the writer exists so tests can build fixtures.
@@ -29,15 +33,18 @@ import numpy as np
 
 from beacon_spark.sources.nd import GridDataset
 
-__all__ = ["open_tiff", "write_tiff"]
+__all__ = ["open_tiff", "write_tiff", "tiff_overviews"]
 
 _TYPE_FMT = {
     1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
     6: ("b", 1), 7: ("B", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8),
     11: ("f", 4), 12: ("d", 8),
+    # BigTIFF additions: LONG8 / SLONG8 / IFD8
+    16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8),
 }
 
 _TAGS = {
+    254: "subfile_type",
     256: "width", 257: "height", 258: "bits_per_sample", 259: "compression",
     273: "strip_offsets", 277: "samples_per_pixel", 278: "rows_per_strip",
     279: "strip_byte_counts", 284: "planar_config", 317: "predictor",
@@ -49,22 +56,31 @@ _TAGS = {
 }
 
 
-def _read_ifd(buf: bytes, bo: str, off: int) -> dict:
-    (n,) = struct.unpack_from(bo + "H", buf, off)
-    off += 2
+def _read_ifd(buf: bytes, bo: str, off: int, big: bool) -> tuple[dict, int]:
+    """Parse one IFD → (tags, next_ifd_offset). Classic: 2-byte entry
+    count, 12-byte entries, 4-byte value slot. BigTIFF: 8-byte count,
+    20-byte entries, 8-byte value slot."""
+    if big:
+        (n,) = struct.unpack_from(bo + "Q", buf, off)
+        off += 8
+        esize, slot, cfmt = 20, 8, "HHQ"
+    else:
+        (n,) = struct.unpack_from(bo + "H", buf, off)
+        off += 2
+        esize, slot, cfmt = 12, 4, "HHI"
     tags: dict[str, object] = {}
     for _ in range(n):
-        tag, typ, count = struct.unpack_from(bo + "HHI", buf, off)
+        tag, typ, count = struct.unpack_from(bo + cfmt, buf, off)
         name = _TAGS.get(tag)
         if name is None or typ not in _TYPE_FMT:
-            off += 12
+            off += esize
             continue
         fmt, size = _TYPE_FMT[typ]
         nbytes = size * count
-        if nbytes <= 4:
-            data_off = off + 8
+        if nbytes <= slot:
+            data_off = off + esize - slot
         else:
-            (data_off,) = struct.unpack_from(bo + "I", buf, off + 8)
+            (data_off,) = struct.unpack_from(bo + ("Q" if big else "I"), buf, off + esize - slot)
         if typ == 2:  # ascii
             raw = buf[data_off : data_off + count]
             tags[name] = raw.split(b"\x00", 1)[0].decode("latin-1")
@@ -74,8 +90,126 @@ def _read_ifd(buf: bytes, bo: str, off: int) -> dict:
         else:
             vals = struct.unpack_from(bo + fmt * count, buf, data_off)
             tags[name] = list(vals) if count > 1 else vals[0]
-        off += 12
-    return tags
+        off += esize
+    (nxt,) = struct.unpack_from(bo + ("Q" if big else "I"), buf, off)
+    return tags, nxt
+
+
+def _read_header(buf: bytes) -> tuple[str, bool, int]:
+    """→ (byte_order, is_bigtiff, first_ifd_offset)."""
+    if buf[:2] == b"II":
+        bo = "<"
+    elif buf[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (magic,) = struct.unpack_from(bo + "H", buf, 2)
+    if magic == 42:
+        (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
+        return bo, False, ifd_off
+    if magic == 43:
+        osize, zero = struct.unpack_from(bo + "HH", buf, 4)
+        if osize != 8 or zero != 0:
+            raise ValueError(f"bad BigTIFF header (offset size {osize})")
+        (ifd_off,) = struct.unpack_from(bo + "Q", buf, 8)
+        return bo, True, ifd_off
+    raise ValueError(f"not a TIFF (magic {magic})")
+
+
+# ---------------------------------------------------------------- LZW codec
+
+_CLEAR, _EOI = 256, 257
+
+
+def _lzw_decode(raw: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first bit order, early code-width change —
+    the libtiff convention)."""
+    out = bytearray()
+    nbits = len(raw) * 8
+    bitpos = 0
+    code_bits = 9
+    table: list[bytes] = []
+    prev = b""
+
+    while bitpos + code_bits <= nbits:
+        byte0 = bitpos >> 3
+        window = int.from_bytes(raw[byte0 : byte0 + 4].ljust(4, b"\x00"), "big")
+        code = (window >> (32 - (bitpos & 7) - code_bits)) & ((1 << code_bits) - 1)
+        bitpos += code_bits
+        if code == _EOI:
+            break
+        if code == _CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            code_bits = 9
+            prev = b""
+            continue
+        if not table:
+            raise ValueError("LZW stream must start with CLEAR")
+        if not prev:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        prev = entry
+        # early change (libtiff convention): the encoder's table runs one
+        # entry ahead of the decoder's, so the decoder widens at 2^n - 2
+        # (510/1022/2046) to stay code-aligned with an encoder that
+        # widens at 2^n - 1
+        if len(table) == (1 << code_bits) - 2 and code_bits < 12:
+            code_bits += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Matching TIFF-variant encoder (fixture writer)."""
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+    code_bits = 9
+
+    def emit(code: int):
+        nonlocal acc, acc_bits
+        acc = (acc << code_bits) | code
+        acc_bits += code_bits
+        while acc_bits >= 8:
+            acc_bits -= 8
+            out.append((acc >> acc_bits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(_CLEAR)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        w = c
+        if next_code == (1 << code_bits) - 1 and code_bits < 12:
+            code_bits += 1
+        if next_code == 4094:  # reset before the 12-bit table fills
+            emit(table[w])
+            emit(_CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            code_bits = 9
+            w = b""
+    if w:
+        emit(table[w])
+    emit(_EOI)
+    if acc_bits:
+        out.append((acc << (8 - acc_bits)) & 0xFF)
+    return bytes(out)
 
 
 def _dtype(bo: str, sample_format: int, bits: int) -> np.dtype:
@@ -90,30 +224,73 @@ def _dtype(bo: str, sample_format: int, bits: int) -> np.dtype:
 def _decompress(raw: bytes, compression: int) -> bytes:
     if compression == 1:
         return raw
+    if compression == 5:
+        return _lzw_decode(raw)
     if compression in (8, 32946):
         return zlib.decompress(raw)
     raise NotImplementedError(f"unsupported TIFF compression {compression}")
 
 
-def open_tiff(path: str) -> GridDataset:
-    """Parse a (Geo)TIFF into the shared nd model: dims (y, x), variables
-    ``band.<i>`` (+ ``geo.lon``/``geo.lat`` when georeferenced) and scalar
-    metadata variables matching the reference's names."""
+def _ifd_chain(buf: bytes, bo: str, big: bool, first: int) -> list[dict]:
+    chain = []
+    off = first
+    while off:
+        t, off = _read_ifd(buf, bo, off, big)
+        chain.append(t)
+        if len(chain) > 64:
+            raise ValueError("IFD chain too long (cyclic?)")
+    return chain
+
+
+def tiff_overviews(path: str) -> list[tuple[int, int]]:
+    """(width, height) of each reduced-resolution IFD, COG order
+    (largest first). Empty when the file has no overviews."""
     with open(path, "rb") as f:
         buf = f.read()
-    if buf[:2] == b"II":
-        bo = "<"
-    elif buf[:2] == b"MM":
-        bo = ">"
+    bo, big, first = _read_header(buf)
+    chain = _ifd_chain(buf, bo, big, first)
+    return [
+        (int(t["width"]), int(t["height"]))
+        for t in chain
+        if int(t.get("subfile_type", 0)) & 1
+    ]
+
+
+def open_tiff(path: str, overview: int | None = None) -> GridDataset:
+    """Parse a (Geo)TIFF into the shared nd model: dims (y, x), variables
+    ``band.<i>`` (+ ``geo.lon``/``geo.lat`` when georeferenced) and scalar
+    metadata variables matching the reference's names.
+
+    ``overview=k`` selects the k-th reduced-resolution IFD (0-based, COG
+    overview chain) instead of the full-resolution image — the COG read
+    contract: a decimated query touches only the small IFD's strips or
+    tiles. Georeferencing is rescaled from the full-resolution tags when
+    the overview IFD carries none of its own."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    bo, big, first = _read_header(buf)
+    chain = _ifd_chain(buf, bo, big, first)
+    full = [t for t in chain if not (int(t.get("subfile_type", 0)) & 1)]
+    ovrs = [t for t in chain if int(t.get("subfile_type", 0)) & 1]
+    base = full[0] if full else chain[0]
+    if overview is None:
+        t = base
     else:
-        raise ValueError(f"not a TIFF: {path}")
-    (magic,) = struct.unpack_from(bo + "H", buf, 2)
-    if magic == 43:
-        raise NotImplementedError("BigTIFF not supported")
-    if magic != 42:
-        raise ValueError(f"not a TIFF: {path}")
-    (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
-    t = _read_ifd(buf, bo, ifd_off)
+        if overview >= len(ovrs):
+            raise IndexError(f"overview {overview} of {len(ovrs)} in {path}")
+        t = dict(ovrs[overview])
+        # inherit georeferencing, rescaled by the decimation factor
+        if "model_pixel_scale" not in t and "model_pixel_scale" in base:
+            fx = int(base["width"]) / int(t["width"])
+            fy = int(base["height"]) / int(t["height"])
+            ps = base["model_pixel_scale"]
+            t["model_pixel_scale"] = [ps[0] * fx, ps[1] * fy] + list(ps[2:])
+            if "model_tiepoint" in base:
+                t["model_tiepoint"] = list(base["model_tiepoint"])
+        for key in ("geo_key_directory", "gdal_nodata"):
+            if key not in t and key in base:
+                t[key] = base[key]
+    n_overviews = len(ovrs)
 
     w, h = int(t["width"]), int(t["height"])
     spp = int(t.get("samples_per_pixel", 1))
@@ -203,6 +380,7 @@ def open_tiff(path: str) -> GridDataset:
     scalar("image.height", h)
     scalar("image.samples_per_pixel", spp)
     scalar("image.bits_per_sample", bits)
+    scalar("image.overview_count", n_overviews)
     if "tile_offsets" in t:
         scalar("image.tile_width", int(t["tile_width"]))
         scalar("image.tile_height", int(t["tile_length"]))
@@ -249,6 +427,26 @@ def open_tiff(path: str) -> GridDataset:
 # ---------------------------------------------------------------- writer
 
 
+def _tag_bytes(typ: int, vals: list) -> bytes:
+    fmt, _ = _TYPE_FMT[typ]
+    if typ == 2:
+        return bytes(vals)
+    return struct.pack("<" + fmt * len(vals), *vals)
+
+
+def _compress_strips(arr: np.ndarray, rps: int, comp: int) -> list[bytes]:
+    strips = []
+    for y0 in range(0, arr.shape[0], rps):
+        raw = arr[y0 : y0 + rps].tobytes()
+        if comp == 8:
+            strips.append(zlib.compress(raw))
+        elif comp == 5:
+            strips.append(_lzw_encode(raw))
+        else:
+            strips.append(raw)
+    return strips
+
+
 def write_tiff(
     path: str,
     bands: list[np.ndarray],
@@ -258,104 +456,124 @@ def write_tiff(
     nodata: float | None = None,
     compression: str = "deflate",
     rows_per_strip: int | None = None,
+    bigtiff: bool = False,
+    overviews: list[list[np.ndarray]] | None = None,
 ) -> None:
-    """Minimal striped chunky little-endian GeoTIFF writer (fixtures).
-    ``tiepoint`` = (px, py, wx, wy)."""
-    h, w = bands[0].shape
-    spp = len(bands)
-    arr = np.stack([np.asarray(b) for b in bands], axis=-1)
-    dt = arr.dtype.newbyteorder("<")
-    arr = arr.astype(dt)
-    sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
-    comp = 8 if compression == "deflate" else 1
-    rps = rows_per_strip or h
+    """Striped chunky little-endian GeoTIFF writer (fixtures).
+    ``tiepoint`` = (px, py, wx, wy); ``compression`` none|deflate|lzw;
+    ``bigtiff=True`` writes the magic-43 8-byte-offset layout;
+    ``overviews`` appends reduced-resolution IFDs (SubfileType=1) in a
+    COG-style chain."""
+    comp = {"none": 1, "deflate": 8, "lzw": 5}[compression]
 
-    strips = []
-    for y0 in range(0, h, rps):
-        raw = arr[y0 : y0 + rps].tobytes()
-        strips.append(zlib.compress(raw) if comp == 8 else raw)
+    def image(levels_bands: list[np.ndarray], is_ovr: bool):
+        h, w = levels_bands[0].shape
+        spp = len(levels_bands)
+        arr = np.stack([np.asarray(b) for b in levels_bands], axis=-1)
+        dt = arr.dtype.newbyteorder("<")
+        arr = arr.astype(dt)
+        sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+        rps = rows_per_strip or h
+        strips = _compress_strips(arr, rps, comp)
+        tags: list[tuple[int, int, list]] = [
+            (256, 4, [w]), (257, 4, [h]),
+            (258, 3, [dt.itemsize * 8] * spp),
+            (259, 3, [comp]), (277, 3, [spp]), (278, 4, [rps]),
+            (284, 3, [1]), (339, 3, [sfmt] * spp),
+        ]
+        if is_ovr:
+            tags.append((254, 4, [1]))  # NewSubfileType: reduced resolution
+        else:
+            if pixel_scale:
+                tags.append((33550, 12, [pixel_scale[0], pixel_scale[1], 0.0]))
+            if tiepoint:
+                tags.append(
+                    (33922, 12,
+                     [tiepoint[0], tiepoint[1], 0.0, tiepoint[2], tiepoint[3], 0.0])
+                )
+            if epsg:
+                # minimal geokey directory: version 1.1.0, one key
+                tags.append((34735, 3, [1, 1, 0, 1, 2048, 0, 1, int(epsg)]))
+            if nodata is not None:
+                s = (f"{nodata:g}" + "\x00").encode()
+                tags.append((42113, 2, list(s)))
+        return tags, strips
 
-    entries: list[tuple[int, int, list]] = [
-        (256, 4, [w]), (257, 4, [h]),
-        (258, 3, [dt.itemsize * 8] * spp),
-        (259, 3, [comp]), (277, 3, [spp]), (278, 4, [rps]),
-        (284, 3, [1]), (339, 3, [sfmt] * spp),
-    ]
-    extra: list[tuple[int, int, list]] = []
-    if pixel_scale:
-        extra.append((33550, 12, [pixel_scale[0], pixel_scale[1], 0.0]))
-    if tiepoint:
-        extra.append(
-            (33922, 12, [tiepoint[0], tiepoint[1], 0.0, tiepoint[2], tiepoint[3], 0.0])
-        )
-    if epsg:
-        # minimal geokey directory: version 1.1.0, one key (2048 geographic)
-        extra.append((34735, 3, [1, 1, 0, 1, 2048, 0, 1, int(epsg)]))
-    if nodata is not None:
-        s = (f"{nodata:g}" + "\x00").encode()
-        extra.append((42113, 2, list(s)))
+    images = [image(bands, False)]
+    for ov in overviews or []:
+        images.append(image(ov, True))
 
-    n_entries = len(entries) + len(extra) + 2  # + strip offsets/counts
-    header = 8
-    ifd_off = header
-    ifd_size = 2 + n_entries * 12 + 4
-    data_off = ifd_off + ifd_size
-
-    # lay out out-of-line tag data, then strip data
-    blobs: dict[int, bytes] = {}
-
-    def tag_bytes(typ: int, vals: list) -> bytes:
-        fmt, _ = _TYPE_FMT[typ]
-        if typ == 2:
-            return bytes(vals)
-        return struct.pack("<" + fmt * len(vals), *vals)
-
-    all_tags = entries + extra
-    offsets: dict[int, int] = {}
-    cursor = data_off
-    for tag, typ, vals in all_tags:
-        b = tag_bytes(typ, vals)
-        if len(b) > 4:
-            blobs[tag] = b
-            offsets[tag] = cursor
-            cursor += len(b) + (len(b) % 2)
-    strip_offs = []
-    for sdata in strips:
-        strip_offs.append(cursor)
-        cursor += len(sdata) + (len(sdata) % 2)
-    all_tags.append((273, 4, strip_offs))
-    all_tags.append((279, 4, [len(s) for s in strips]))
-    for tag, typ, vals in all_tags[-2:]:
-        b = tag_bytes(typ, vals)
-        if len(b) > 4:
-            blobs[tag] = b
-            offsets[tag] = cursor
-            cursor += len(b) + (len(b) % 2)
+    big = bigtiff
+    slot = 8 if big else 4
+    esize = 20 if big else 12
+    cnt_size = 8 if big else 2
+    off_size = 8 if big else 4
+    header = 16 if big else 8
+    off_type = 16 if big else 4  # LONG8 vs LONG for strip offsets
 
     out = bytearray()
-    out += b"II" + struct.pack("<HI", 42, ifd_off)
-    out += struct.pack("<H", n_entries)
-    for tag, typ, vals in sorted(all_tags):
-        fmt, size = _TYPE_FMT[typ]
-        b = tag_bytes(typ, vals)
-        count = len(vals)
-        if len(b) <= 4:
-            out += struct.pack("<HHI", tag, typ, count) + b.ljust(4, b"\x00")
-        else:
-            out += struct.pack("<HHII", tag, typ, count, offsets[tag])
-    out += struct.pack("<I", 0)  # no next IFD
-    assert len(out) == data_off
-    for tag, typ, vals in all_tags:
-        if tag in blobs and tag not in (273, 279):
-            b = blobs[tag]
-            out += b + b"\x00" * (len(b) % 2)
-    for i, sdata in enumerate(strips):
-        assert len(out) == strip_offs[i]
-        out += sdata + b"\x00" * (len(sdata) % 2)
-    for tag in (273, 279):
-        if tag in blobs:
-            assert len(out) == offsets[tag]
-            b = blobs[tag]
-            out += b + b"\x00" * (len(b) % 2)
+    if big:
+        out += b"II" + struct.pack("<HHHQ", 43, 8, 0, header)
+    else:
+        out += b"II" + struct.pack("<HI", 42, header)
+    cursor = header
+
+    for idx, (tags, strips) in enumerate(images):
+        n_entries = len(tags) + 2  # + strip offsets/counts
+        ifd_size = cnt_size + n_entries * esize + off_size
+        data_start = cursor + ifd_size
+        blobs: dict[int, bytes] = {}
+        offsets: dict[int, int] = {}
+        c = data_start
+        for tag, typ, vals in tags:
+            b = _tag_bytes(typ, vals)
+            if len(b) > slot:
+                blobs[tag] = b
+                offsets[tag] = c
+                c += len(b) + (len(b) % 2)
+        strip_offs = []
+        for sdata in strips:
+            strip_offs.append(c)
+            c += len(sdata) + (len(sdata) % 2)
+        all_tags = tags + [(273, off_type, strip_offs), (279, 4, [len(s) for s in strips])]
+        for tag, typ, vals in all_tags[-2:]:
+            b = _tag_bytes(typ, vals)
+            if len(b) > slot:
+                blobs[tag] = b
+                offsets[tag] = c
+                c += len(b) + (len(b) % 2)
+        next_ifd = c if idx + 1 < len(images) else 0
+
+        out += struct.pack("<Q" if big else "<H", n_entries)
+        for tag, typ, vals in sorted(all_tags):
+            b = _tag_bytes(typ, vals)
+            count = len(vals)
+            if big:
+                if len(b) <= slot:
+                    out += struct.pack("<HHQ", tag, typ, count) + b.ljust(8, b"\x00")
+                else:
+                    out += struct.pack("<HHQQ", tag, typ, count, offsets[tag])
+            else:
+                if len(b) <= slot:
+                    out += struct.pack("<HHI", tag, typ, count) + b.ljust(4, b"\x00")
+                else:
+                    out += struct.pack("<HHII", tag, typ, count, offsets[tag])
+        out += struct.pack("<Q" if big else "<I", next_ifd)
+        assert len(out) == data_start
+        for tag, typ, vals in tags:
+            if tag in blobs:
+                b = blobs[tag]
+                out += b + b"\x00" * (len(b) % 2)
+        for i, sdata in enumerate(strips):
+            assert len(out) == strip_offs[i]
+            out += sdata + b"\x00" * (len(sdata) % 2)
+        for tag, typ, vals in all_tags[-2:]:
+            if tag in blobs:
+                assert len(out) == offsets[tag]
+                b = blobs[tag]
+                out += b + b"\x00" * (len(b) % 2)
+        cursor = c
+        assert len(out) == cursor
+
     with open(path, "wb") as f:
         f.write(bytes(out))

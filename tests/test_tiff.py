@@ -103,3 +103,64 @@ def test_coordinate_pruning_tiff(spark, tmp_path):
     )
     # lat 50..41 descending; >= 48 keeps rows for lat 50,49,48 = 3 rows × 10
     assert out.count() == 30
+
+
+# ------------------------------------------------------- LZW / BigTIFF / COG
+
+
+def test_lzw_codec_roundtrip():
+    """TIFF-variant LZW (MSB-first, early change at 510/1022/2046),
+    including the table-reset path on high-entropy input."""
+    from beacon_spark.sources.tifflite import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(7)
+    for data in [
+        b"",
+        b"\x00",
+        b"TOBEORNOTTOBEORTOBEORNOT" * 3,
+        rng.integers(0, 8, 30000, dtype=np.uint8).tobytes(),   # deep dictionary
+        bytes(rng.integers(0, 256, 120000, dtype=np.uint8)),   # forces reset
+    ]:
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+
+def test_lzw_tiff_roundtrip(tmp_path):
+    band = np.arange(200, dtype=np.uint16).reshape(20, 10)
+    _geo_tiff(tmp_path / "l.tif", band, compression="lzw", rows_per_strip=6)
+    ds = open_tiff(str(tmp_path / "l.tif"))
+    assert np.array_equal(ds.variables["band.0"][1], band)
+
+
+def test_bigtiff_roundtrip(tmp_path):
+    band = np.linspace(0, 1, 600, dtype=np.float64).reshape(30, 20)
+    _geo_tiff(tmp_path / "b.tif", band, bigtiff=True, rows_per_strip=8)
+    with open(tmp_path / "b.tif", "rb") as f:
+        import struct
+
+        assert struct.unpack_from("<H", f.read(4), 2)[0] == 43
+    ds = open_tiff(str(tmp_path / "b.tif"))
+    assert np.allclose(ds.variables["band.0"][1], band)
+    assert ds.variables["geo.lat"][1][0] == 60.0
+
+
+def test_cog_overview_chain(tmp_path):
+    from beacon_spark.sources.tifflite import tiff_overviews
+
+    band = np.arange(1600, dtype=np.float32).reshape(40, 40)
+    ovr1 = np.ascontiguousarray(band[::2, ::2])
+    ovr2 = np.ascontiguousarray(band[::4, ::4])
+    _geo_tiff(tmp_path / "c.tif", band, pixel_scale=(0.5, 0.5),
+              overviews=[[ovr1], [ovr2]])
+    assert tiff_overviews(str(tmp_path / "c.tif")) == [(20, 20), (10, 10)]
+    # full-res read ignores overview IFDs
+    full = open_tiff(str(tmp_path / "c.tif"))
+    assert full.variables["band.0"][1].shape == (40, 40)
+    assert full.variables["image.overview_count"][1] == 2
+    # overview read decodes only the reduced image, with rescaled georef
+    o1 = open_tiff(str(tmp_path / "c.tif"), overview=0)
+    assert np.array_equal(o1.variables["band.0"][1], ovr1)
+    lon_full = full.variables["geo.lon"][1]
+    lon_o1 = o1.variables["geo.lon"][1]
+    assert lon_o1[1] - lon_o1[0] == pytest.approx(2 * (lon_full[1] - lon_full[0]))
+    with pytest.raises(IndexError):
+        open_tiff(str(tmp_path / "c.tif"), overview=5)
