@@ -19,8 +19,15 @@ Scale design:
   - time travel (``version_as_of``) replays the same log to an earlier stop
     point — no data copies.
 
-Unsupported (fail loudly, never silently wrong): column mapping,
-deletion vectors (protocol readerFeatures), generated columns are ignored.
+Deletion vectors (readerFeatures ``deletionVectors``) are supported:
+descriptors are decoded driver-side (sources/delta_dv.py — z85 +
+roaring bitmap, metadata-sized work) and applied as an anti-join of
+``(_metadata.file_path, _metadata.row_index)`` against the deleted-row
+set — Spark's generated row-index metadata column keeps the scan fully
+vectorized, and AQE broadcasts the (small) deleted set.
+
+Unsupported (fail loudly, never silently wrong): column mapping;
+generated columns are ignored.
 """
 
 from __future__ import annotations
@@ -36,7 +43,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["read_delta", "read_delta_schema", "write_delta", "delta_history"]
+__all__ = [
+    "read_delta", "read_delta_schema", "write_delta", "delta_history",
+    "delta_delete_rows",
+]
 
 
 @dataclass
@@ -46,6 +56,8 @@ class _Snapshot:
     partition_columns: list[str] = field(default_factory=list)
     # path -> partitionValues dict (live files only)
     adds: dict[str, dict] = field(default_factory=dict)
+    # path -> deletionVector descriptor (files with deleted rows)
+    dvs: dict[str, dict] = field(default_factory=dict)
     configuration: dict = field(default_factory=dict)
     min_reader: int = 1
     reader_features: list[str] = field(default_factory=list)
@@ -76,11 +88,15 @@ def _apply_action(snap: _Snapshot, action: dict) -> None:
         snap.reader_features = p.get("readerFeatures", []) or []
     elif "add" in action:
         a = action["add"]
-        if a.get("deletionVector"):
-            raise NotImplementedError("Delta deletion vectors are not supported")
         snap.adds[a["path"]] = a.get("partitionValues", {}) or {}
+        dv = a.get("deletionVector")
+        if dv:
+            snap.dvs[a["path"]] = dv
+        else:
+            snap.dvs.pop(a["path"], None)
     elif "remove" in action:
         snap.adds.pop(action["remove"]["path"], None)
+        snap.dvs.pop(action["remove"]["path"], None)
 
 
 def _unmap(v):
@@ -156,7 +172,7 @@ def _snapshot(location: str, version_as_of: int | None = None) -> _Snapshot:
     cm = snap.configuration.get("delta.columnMapping.mode", "none")
     if cm != "none":
         raise NotImplementedError(f"Delta column mapping mode {cm!r} not supported")
-    unsupported = {"deletionVectors", "columnMapping"} & set(snap.reader_features)
+    unsupported = {"columnMapping"} & set(snap.reader_features)
     if unsupported:
         raise NotImplementedError(f"Delta reader features not supported: {unsupported}")
     return snap
@@ -190,9 +206,18 @@ def read_delta(
         groups.setdefault(key, []).append(os.path.join(location, path))
 
     types = {f.name: f.dataType for f in snap.schema.fields}
+    out_cols = [f.name for f in snap.schema.fields]
+    with_dv = bool(snap.dvs)
     parts = []
     for key, files in sorted(groups.items()):
         df = spark.read.schema(data_schema).parquet(*files)
+        if with_dv:
+            # hidden parquet metadata columns: fully vectorized, no UDF
+            df = df.select(
+                "*",
+                F.col("_metadata.file_path").alias("__dv_fp"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            )
         for c, v in zip(part_cols, key):
             df = df.withColumn(
                 c,
@@ -200,11 +225,36 @@ def read_delta(
                 if v is not None
                 else F.lit(None).cast(types[c]),
             )
-        parts.append(df.select([f.name for f in snap.schema.fields]))
+        parts.append(
+            df.select(out_cols + (["__dv_fp", "__dv_pos"] if with_dv else []))
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
+    if with_dv:
+        from beacon_spark.sources.delta_dv import decode_dv_descriptor
+
+        deleted = [
+            (_file_uri(os.path.join(location, path)), int(idx))
+            for path, desc in snap.dvs.items()
+            for idx in decode_dv_descriptor(desc, location)
+        ]
+        del_df = spark.createDataFrame(
+            deleted, T.StructType([
+                T.StructField("__dv_fp", T.StringType()),
+                T.StructField("__dv_pos", T.LongType()),
+            ])
+        )
+        out = out.join(
+            F.broadcast(del_df), ["__dv_fp", "__dv_pos"], "left_anti"
+        ).drop("__dv_fp", "__dv_pos")
     return out
+
+
+def _file_uri(path: str) -> str:
+    """Absolute path → the URI form Spark reports in _metadata.file_path
+    (Hadoop Path.toString: single-slash ``file:`` scheme, unescaped)."""
+    return "file:" + os.path.abspath(path)
 
 
 def read_delta_schema(
@@ -330,6 +380,60 @@ def write_delta(
             )
     actions.extend(adds)
 
+    commit_path = os.path.join(_log_dir(location), f"{version:020d}.json")
+    tmp = commit_path + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.rename(tmp, commit_path)
+    return version
+
+
+def delta_delete_rows(location: str, deletes: dict[str, list[int]]) -> int:
+    """Commit deletion vectors for ``{relative_file_path: [row_index]}``
+    (fixture-grade DV writer — real engines also compact/rewrite).
+    Merges with any DV already on the file; upgrades the protocol to
+    readerFeatures=[deletionVectors]. Returns the committed version."""
+    from beacon_spark.sources.delta_dv import decode_dv_descriptor, write_dv_file
+
+    snap = _snapshot(location)
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": now, "operation": "DELETE"}},
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+    ]
+    for rel, idxs in deletes.items():
+        if rel not in snap.adds:
+            raise ValueError(f"{rel} is not a live file of {location}")
+        merged = sorted(set(idxs))
+        if rel in snap.dvs:
+            merged = sorted(set(merged) | set(
+                decode_dv_descriptor(snap.dvs[rel], location)
+            ))
+        desc, _ = write_dv_file(location, merged)
+        actions.append(
+            {"remove": {"path": rel, "deletionTimestamp": now, "dataChange": True}}
+        )
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": snap.adds[rel],
+                    "size": os.path.getsize(os.path.join(location, rel)),
+                    "modificationTime": now,
+                    "dataChange": True,
+                    "deletionVector": desc,
+                }
+            }
+        )
+    version = snap.version + 1
     commit_path = os.path.join(_log_dir(location), f"{version:020d}.json")
     tmp = commit_path + ".tmp"
     with open(tmp, "w") as f:

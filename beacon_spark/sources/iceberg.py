@@ -15,8 +15,17 @@ is one ``spark.read.schema(...).parquet(*files)`` with pushdown intact.
 Iceberg data files are self-contained (partition columns are stored in the
 files), so no literal attachment is needed.
 
-Unsupported (loud): v2 delete files (positional/equality), name-mapping /
-field-id-based schema evolution beyond name compatibility.
+v2 delete files are supported: positional deletes apply as an anti-join
+of ``(_metadata.file_path, _metadata.row_index)`` against the delete
+parquet's ``(file_path, pos)`` rows (vectorized, no driver-side row
+work); equality deletes anti-join on the ``equality_ids`` columns with
+null-safe equality. Simplification (documented): deletes apply to the
+whole snapshot regardless of sequence numbers — correct for the common
+deletes-after-data case, wrong only for engines that interleave
+same-snapshot data/delete sequencing.
+
+Unsupported (loud): name-mapping / field-id-based schema evolution
+beyond name compatibility.
 """
 
 from __future__ import annotations
@@ -32,7 +41,10 @@ from pyspark.sql import types as T
 
 from beacon_spark.sources.avrolite import read_avro, write_avro
 
-__all__ = ["read_iceberg", "read_iceberg_schema", "write_iceberg"]
+__all__ = [
+    "read_iceberg", "read_iceberg_schema", "write_iceberg",
+    "write_iceberg_deletes",
+]
 
 
 # ------------------------------------------------------------ type mapping
@@ -146,40 +158,49 @@ def _localize(path: str, location: str) -> str:
     return p
 
 
-def _snapshot_files(location: str, md: dict, snapshot_id: int | None) -> list[str]:
+def _snapshot_files(
+    location: str, md: dict, snapshot_id: int | None
+) -> tuple[list[str], list[str], list[tuple[str, list[int]]]]:
+    """→ (data_files, positional_delete_files, [(eq_delete_file,
+    equality_field_ids)])."""
     snaps = md.get("snapshots", [])
     if not snaps:
-        return []
+        return [], [], []
     if snapshot_id is None:
         snapshot_id = md.get("current-snapshot-id")
         if snapshot_id in (None, -1):
-            return []
+            return [], [], []
     snap = next((s for s in snaps if s["snapshot-id"] == snapshot_id), None)
     if snap is None:
         raise ValueError(f"snapshot {snapshot_id} not found")
     if "manifest-list" in snap:
         _, entries = read_avro(_localize(snap["manifest-list"], location))
-        manifests = []
-        for e in entries:
-            if e.get("content", 0) == 1:
-                raise NotImplementedError("Iceberg delete manifests not supported")
-            manifests.append(_localize(e["manifest_path"], location))
+        manifests = [_localize(e["manifest_path"], location) for e in entries]
     else:  # v1: inline manifest path list
         manifests = [_localize(p, location) for p in snap.get("manifests", [])]
     files: list[str] = []
+    pos_deletes: list[str] = []
+    eq_deletes: list[tuple[str, list[int]]] = []
     for mpath in manifests:
         _, entries = read_avro(mpath)
         for e in entries:
             if e.get("status", 1) == 2:  # deleted
                 continue
             dfile = e["data_file"]
-            if dfile.get("content", 0) != 0:
-                raise NotImplementedError("Iceberg delete files not supported")
             fmt = (dfile.get("file_format") or "PARQUET").upper()
             if fmt != "PARQUET":
-                raise NotImplementedError(f"Iceberg {fmt} data files not supported")
-            files.append(_localize(dfile["file_path"], location))
-    return files
+                raise NotImplementedError(f"Iceberg {fmt} files not supported")
+            content = dfile.get("content", 0)
+            path = _localize(dfile["file_path"], location)
+            if content == 0:
+                files.append(path)
+            elif content == 1:
+                pos_deletes.append(path)
+            elif content == 2:
+                eq_deletes.append((path, list(dfile.get("equality_ids") or [])))
+            else:
+                raise ValueError(f"unknown iceberg file content {content}")
+    return files, pos_deletes, eq_deletes
 
 
 # ------------------------------------------------------------ read
@@ -197,13 +218,50 @@ def read_iceberg(
 
     location = resolve_dir(location, datasets_root)
     md = _load_metadata(location)
-    schema = _ice_to_spark(
-        {**_current_schema(md), "type": "struct"}
-    )
-    files = _snapshot_files(location, md, snapshot_id)
+    ice_schema = _current_schema(md)
+    schema = _ice_to_spark({**ice_schema, "type": "struct"})
+    files, pos_deletes, eq_deletes = _snapshot_files(location, md, snapshot_id)
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    df = spark.read.schema(schema).parquet(*files)
+    if pos_deletes:
+        from pyspark.sql import functions as F
+
+        # normalize both sides to "file:<abs>" (Hadoop Path.toString);
+        # delete-file paths may carry a URI scheme or be relocated
+        dels = (
+            spark.read.parquet(*pos_deletes)
+            .select(
+                F.regexp_replace("file_path", "^file:/*", "/").alias("__fp_raw"),
+                F.col("pos").alias("__pos"),
+            )
+            .withColumn("__fp", F.concat(F.lit("file:"), F.col("__fp_raw")))
+            .drop("__fp_raw")
+        )
+        df = (
+            df.select(
+                "*",
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            .join(F.broadcast(dels), ["__fp", "__pos"], "left_anti")
+            .drop("__fp", "__pos")
+        )
+    for path, eq_ids in eq_deletes:
+        from pyspark.sql import functions as F
+
+        id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
+        cols = [id_to_name[i] for i in eq_ids] if eq_ids else None
+        dels = spark.read.parquet(path)
+        cols = cols or dels.columns
+        # null-safe equality per Iceberg equality-delete semantics
+        cond = None
+        right = dels.select(*[F.col(c).alias(f"__eq_{c}") for c in cols]).distinct()
+        for c in cols:
+            term = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+            cond = term if cond is None else cond & term
+        df = df.join(F.broadcast(right), cond, "left_anti")
+    return df
 
 
 def read_iceberg_schema(
@@ -265,6 +323,140 @@ def _spark_to_ice_schema(schema: T.StructType) -> dict:
             {"id": i + 1, "name": f.name, "required": False, "type": t}
         )
     return {"schema-id": 0, "type": "struct", "fields": fields}
+
+
+_DELETE_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2d",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "equality_ids", "type": {"type": "array", "items": "int"}},
+                ],
+            },
+        },
+    ],
+}
+
+
+def write_iceberg_deletes(
+    spark: SparkSession,
+    location: str,
+    pos: list[tuple[str, int]] | None = None,
+    eq_df: DataFrame | None = None,
+    equality_fields: list[str] | None = None,
+) -> int:
+    """Fixture-grade v2 delete commit: write positional delete parquet
+    (``(file_path, pos)`` rows) and/or an equality delete parquet, stage
+    a delete manifest (content 1/2 + equality_ids), and append a
+    snapshot whose manifest list keeps all prior manifests. Returns the
+    new snapshot id."""
+    md = _load_metadata(location)
+    mdir = os.path.join(location, "metadata")
+    version = max(
+        int(re.search(r"\d+", n).group())
+        for n in os.listdir(mdir)
+        if n.endswith(".metadata.json")
+    )
+    snap_id = len(md.get("snapshots", [])) + 1
+    ddir = os.path.join(location, "data", f"deletes{snap_id}")
+    entries = []
+    if pos:
+        pdir = os.path.join(ddir, "pos")
+        spark.createDataFrame(
+            [(p, int(i)) for p, i in pos], "file_path string, pos long"
+        ).coalesce(1).write.mode("overwrite").parquet(pdir)
+        for root, _d, names in os.walk(pdir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    full = os.path.join(root, n)
+                    entries.append(
+                        {
+                            "status": 1,
+                            "data_file": {
+                                "content": 1,
+                                "file_path": full,
+                                "file_format": "PARQUET",
+                                "record_count": len(pos),
+                                "file_size_in_bytes": os.path.getsize(full),
+                                "equality_ids": [],
+                            },
+                        }
+                    )
+    if eq_df is not None:
+        schema_fields = _current_schema(md)["fields"]
+        name_to_id = {f["name"]: f["id"] for f in schema_fields}
+        eq_fields = equality_fields or eq_df.columns
+        edir = os.path.join(ddir, "eq")
+        eq_df.select(*eq_fields).coalesce(1).write.mode("overwrite").parquet(edir)
+        for root, _d, names in os.walk(edir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    full = os.path.join(root, n)
+                    entries.append(
+                        {
+                            "status": 1,
+                            "data_file": {
+                                "content": 2,
+                                "file_path": full,
+                                "file_format": "PARQUET",
+                                "record_count": -1,
+                                "file_size_in_bytes": os.path.getsize(full),
+                                "equality_ids": [name_to_id[c] for c in eq_fields],
+                            },
+                        }
+                    )
+    manifest = os.path.join(mdir, f"delete-manifest-{snap_id}.avro")
+    write_avro(manifest, _DELETE_MANIFEST_SCHEMA, entries)
+
+    prev_manifests: list[dict] = []
+    if md.get("current-snapshot-id") not in (None, -1):
+        cur = next(
+            s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+        )
+        _, prev_manifests = read_avro(_localize(cur["manifest-list"], location))
+    mlist = os.path.join(mdir, f"snap-{snap_id}-manifest-list.avro")
+    write_avro(
+        mlist,
+        _MANIFEST_LIST_SCHEMA,
+        prev_manifests
+        + [
+            {
+                "manifest_path": manifest,
+                "manifest_length": os.path.getsize(manifest),
+                "content": 1,
+                "added_snapshot_id": snap_id,
+            }
+        ],
+    )
+    now = int(time.time() * 1000)
+    md.setdefault("snapshots", []).append(
+        {
+            "snapshot-id": snap_id,
+            "timestamp-ms": now,
+            "summary": {"operation": "delete"},
+            "manifest-list": mlist,
+            "schema-id": md.get("current-schema-id", 0),
+        }
+    )
+    md["current-snapshot-id"] = snap_id
+    md["last-updated-ms"] = now
+    version += 1
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(md, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return snap_id
 
 
 def write_iceberg(df: DataFrame, location: str, mode: str = "overwrite") -> int:

@@ -196,12 +196,13 @@ def test_multipart_checkpoint_replay(spark, delta_dir):
 
 
 def test_unsupported_features_raise(spark, delta_dir):
+    """deletionVectors is now supported; columnMapping still gates."""
     write_delta(spark.range(3), delta_dir)
     log = os.path.join(delta_dir, "_delta_log")
     with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
         f.write(json.dumps({"protocol": {
-            "minReaderVersion": 3, "readerFeatures": ["deletionVectors"]}}) + "\n")
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+            "minReaderVersion": 3, "readerFeatures": ["columnMapping"]}}) + "\n")
+    with pytest.raises(NotImplementedError, match="columnMapping"):
         read_delta(spark, delta_dir)
 
 
@@ -224,3 +225,65 @@ def test_sql_and_dsl_paths(spark, delta_dir, tmp_path):
         }
     )
     assert out.count() == 4
+
+
+# ------------------------------------------------------- deletion vectors
+
+
+def test_dv_roundtrip_units():
+    """z85 + roaring bitmap array encode/decode (sources/delta_dv.py),
+    incl. multi-container and >2^32 indexes."""
+    import os as _os
+
+    from beacon_spark.sources.delta_dv import (
+        roaring_bitmap_array_decode,
+        roaring_bitmap_array_encode,
+        z85_decode,
+        z85_encode,
+    )
+
+    for n in (4, 16, 40):
+        b = _os.urandom(n)
+        assert z85_decode(z85_encode(b)) == b
+    idx = [0, 1, 5, 65535, 65536, 70000, (1 << 32) + 3, (1 << 33) + 9]
+    assert roaring_bitmap_array_decode(roaring_bitmap_array_encode(idx)) == sorted(idx)
+
+
+def test_dv_bitmap_and_run_containers():
+    """Decoder handles bitset (>4096 cardinality) and run containers."""
+    import struct
+
+    from beacon_spark.sources.delta_dv import _roaring32_decode
+
+    # hand-built run-container stream: cookie 12347, 1 container, run flag
+    # set, key 0, card-1 = 9, runs [(5, len 4), (100, len 4)]
+    buf = struct.pack("<I", 12347 | (0 << 16))
+    buf += b"\x01"  # run flag bitset, container 0 is a run
+    buf += struct.pack("<HH", 0, 9)
+    buf += struct.pack("<H", 2) + struct.pack("<HH", 5, 4) + struct.pack("<HH", 100, 4)
+    vals, _ = _roaring32_decode(buf, 0)
+    assert vals == [5, 6, 7, 8, 9, 100, 101, 102, 103, 104]
+
+
+def test_delta_deletion_vectors(spark, tmp_path):
+    import os as _os
+
+    from beacon_spark.sources.delta import delta_delete_rows
+
+    loc = str(tmp_path / "dvt")
+    df = spark.range(0, 100).selectExpr("id", "id % 3 AS g")
+    write_delta(df.coalesce(1), loc)
+    rel = [
+        _os.path.relpath(_os.path.join(r, n), loc)
+        for r, _, ns in _os.walk(loc)
+        for n in ns
+        if n.endswith(".parquet")
+    ][0]
+    delta_delete_rows(loc, {rel: [0, 5, 99]})
+    ids = sorted(r.id for r in read_delta(spark, loc).collect())
+    assert len(ids) == 97 and {0, 5, 99}.isdisjoint(ids)
+    # merge with the existing DV
+    delta_delete_rows(loc, {rel: [1]})
+    assert read_delta(spark, loc).count() == 96
+    # time travel ignores later DVs
+    assert read_delta(spark, loc, version_as_of=0).count() == 100

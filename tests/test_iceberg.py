@@ -81,11 +81,11 @@ def test_schema_fn(spark, ice_dir):
     assert got == {"id": "bigint", "s": "string", "v": "double", "b": "boolean"}
 
 
-def test_delete_manifests_rejected(spark, ice_dir):
-    import json
-
+def test_unknown_content_rejected(spark, ice_dir):
+    """data_file.content outside {0,1,2} fails loudly, never silently."""
     from beacon_spark.sources.avrolite import write_avro as _wa
     from beacon_spark.sources.iceberg import (
+        _DELETE_MANIFEST_SCHEMA,
         _MANIFEST_LIST_SCHEMA,
         _load_metadata,
         _localize,
@@ -98,9 +98,23 @@ def test_delete_manifests_rejected(spark, ice_dir):
     )
     mlist = _localize(cur["manifest-list"], ice_dir)
     _meta, entries = read_avro(mlist)
-    entries.append({**entries[0], "content": 1})
+    import os as _os
+
+    bad = _os.path.join(ice_dir, "metadata", "bad-manifest.avro")
+    _wa(bad, _DELETE_MANIFEST_SCHEMA, [{
+        "status": 1,
+        "data_file": {
+            "content": 3, "file_path": "/nope.parquet",
+            "file_format": "PARQUET", "record_count": 0,
+            "file_size_in_bytes": 0, "equality_ids": [],
+        },
+    }])
+    entries.append({
+        "manifest_path": bad, "manifest_length": _os.path.getsize(bad),
+        "content": 1, "added_snapshot_id": 99,
+    })
     _wa(mlist, _MANIFEST_LIST_SCHEMA, entries)
-    with pytest.raises(NotImplementedError, match="delete manifests"):
+    with pytest.raises(ValueError, match="unknown iceberg file content"):
         read_iceberg(spark, ice_dir)
 
 
@@ -137,3 +151,36 @@ def test_sql_and_dsl_paths(spark, ice_dir, tmp_path):
         }
     )
     assert out.count() == 5
+
+
+# ------------------------------------------------------- v2 delete files
+
+
+def test_positional_and_equality_deletes(spark, tmp_path):
+    import os as _os
+
+    from beacon_spark.sources.iceberg import write_iceberg_deletes
+
+    loc = str(tmp_path / "icedel")
+    df = spark.range(0, 50).selectExpr(
+        "id", "CAST(id % 5 AS INT) AS grp", "concat('u', id) AS name"
+    )
+    write_iceberg(df.coalesce(1), loc)
+    data_files = [
+        _os.path.join(r, n)
+        for r, _, ns in _os.walk(_os.path.join(loc, "data"))
+        for n in ns
+        if n.endswith(".parquet")
+    ]
+    write_iceberg_deletes(spark, loc, pos=[(data_files[0], 0), (data_files[0], 3)])
+    ids = sorted(r.id for r in read_iceberg(spark, loc).collect())
+    assert len(ids) == 48 and 0 not in ids and 3 not in ids
+
+    eq = spark.createDataFrame([(2,)], "grp int")
+    write_iceberg_deletes(spark, loc, eq_df=eq, equality_fields=["grp"])
+    ids2 = sorted(r.id for r in read_iceberg(spark, loc).collect())
+    assert len(ids2) == 38 and all(i % 5 != 2 for i in ids2)
+
+    # earlier snapshots are unaffected (sequence simplification: deletes
+    # attach to their own snapshot onward)
+    assert read_iceberg(spark, loc, snapshot_id=1).count() == 50
