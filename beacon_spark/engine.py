@@ -685,15 +685,27 @@ class Engine:
             using = (using or "btree").lower()
             cat.create_index(idx, table, column, using)
             if using == "btree" and self.datasets_root is not None:
-                # the btree role (range pruning) is served by the file-stats
-                # min/max index — backfill it for the table's files
-                ext = cat._load()["external_tables"].get(table)
+                # the btree role (range pruning) is served by physical
+                # clustering + the file-stats min/max index
+                c = cat._load()
+                ext = c["external_tables"].get(table)
                 if ext and ext["format"] == "parquet":
                     from beacon_spark.sources.paths import resolve_globs
                     from beacon_spark.stats import analyze_files
 
                     files = resolve_globs(ext["paths"], self.datasets_root)
                     analyze_files(self.datasets_root, files)
+                elif table in c["tables"]:
+                    # managed table: rewrite range-clustered on the index
+                    # column (each file owns a disjoint range), then index
+                    # the new files' min/max — scans skip files via the
+                    # stats index and row groups via parquet footers
+                    from beacon_spark.managed import ManagedTable
+                    from beacon_spark.stats import analyze_files
+
+                    mt = ManagedTable(self.spark, c["tables"][table])
+                    mt.cluster_by(column)
+                    analyze_files(self.datasets_root, mt.files())
             return self._status(status="ok", op="create_index", name=idx)
         if kind == "drop_index":
             cat.drop_index(m.group(1))
@@ -855,10 +867,12 @@ class Engine:
             # positional → named: INSERT binds by position (actions.rs:604-652)
             names = cols or [f.name for f in cat.table(name).schema().fields]
             version = cat.table(name).insert(df.toDF(*names[: len(df.columns)]))
+            self._refresh_index_stats(name)
             return self._status(status="ok", op="insert", name=name, version=str(version))
         if kind == "delete_from":
             name, pred = m.group(1), m.group(2)
             version = cat.table(name).delete(pred)
+            self._refresh_index_stats(name)
             return self._status(status="ok", op="delete", name=name, version=str(version))
         if kind == "update":
             name, sets, pred = m.group(1), m.group(2), m.group(3)
@@ -867,6 +881,7 @@ class Engine:
                 lhs, _, rhs = part.partition("=")
                 assignments[lhs.strip()] = rhs.strip()
             version = cat.table(name).update(assignments, pred)
+            self._refresh_index_stats(name)
             return self._status(status="ok", op="update", name=name, version=str(version))
         if kind == "alter_add":
             name, col, typ = m.group(1), m.group(2), m.group(3)
@@ -1109,6 +1124,55 @@ class Engine:
             write_output(df, output["format"], output_path, **opts)
         return df
 
+    def _pruned_managed_read(self, name: str, ranges) -> "DataFrame | None":
+        """Index-backed file pruning for managed tables: when ``name`` is a
+        managed table with a btree index whose column appears in the
+        query's value ranges, read only the files whose min/max stats can
+        match (fail-open). Returns None when not applicable — caller
+        falls back to the registered temp view."""
+        if not ranges or self.datasets_root is None or self.catalog is None:
+            return None
+        try:
+            c = self.catalog._load()
+        except Exception:
+            return None
+        path = c.get("tables", {}).get(name)
+        if not path or not any(
+            d["table"] == name and d["using"] == "btree" and d["column"] in ranges
+            for d in c.get("indexes", {}).values()
+        ):
+            return None
+        from beacon_spark.managed import ManagedTable
+        from beacon_spark.schema import align_to_schema
+        from beacon_spark.stats import prune_files
+
+        mt = ManagedTable(self.spark, path)
+        files = mt.files()
+        pruned = prune_files(self.datasets_root, files, ranges)
+        if not pruned:
+            return self.spark.createDataFrame([], mt.schema())
+        if pruned == files:
+            return None
+        return align_to_schema(self.spark.read.parquet(*pruned), mt.schema())
+
+    def _refresh_index_stats(self, table: str) -> None:
+        """After DML on an indexed managed table, re-analyze its (new)
+        files so the stats index tracks the live version. Incremental by
+        mtime — cost ∝ rewritten files."""
+        if self.datasets_root is None or self.catalog is None:
+            return
+        c = self.catalog._load()
+        if table not in c.get("tables", {}) or not any(
+            d["table"] == table for d in c.get("indexes", {}).values()
+        ):
+            return
+        from beacon_spark.managed import ManagedTable
+        from beacon_spark.stats import analyze_files
+
+        analyze_files(
+            self.datasets_root, ManagedTable(self.spark, c["tables"][table]).files()
+        )
+
     def resolve_from(
         self,
         spec: Any,
@@ -1126,6 +1190,9 @@ class Engine:
                 raise ValueError("query has no 'from' and engine has no default table")
             spec = self.default_table
         if isinstance(spec, str):
+            pruned = self._pruned_managed_read(spec, ranges)
+            if pruned is not None:
+                return pruned
             return self.spark.table(spec)
         if isinstance(spec, dict):
             ((fmt, cfg),) = spec.items()

@@ -106,6 +106,29 @@ class ManagedTable:
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self._read_manifest()["schema"])
 
+    def files(self, version: int | None = None) -> list[str]:
+        """Absolute paths of the version's data files."""
+        return [
+            os.path.join(self.path, f) for f in self._read_manifest(version)["files"]
+        ]
+
+    def cluster_by(self, column: str, n_files: int | None = None) -> int:
+        """Physically cluster the table by ``column`` (the single-column
+        Z-ORDER analog, serving the Lance btree-index role,
+        actions.rs:763-820): range-repartition + in-partition sort, so
+        every file owns a disjoint value range. Parquet footer min/max
+        then skips row groups natively, and the file-stats index skips
+        whole files before the scan even opens them."""
+        m = self._read_manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        df = self.read()
+        n = n_files or max(len(m["files"]), 4)
+        clustered = df.repartitionByRange(n, F.col(column)).sortWithinPartitions(
+            column
+        )
+        files = self._write_data(clustered)
+        return self._write_manifest(schema, files)
+
     def read(self, version: int | None = None) -> DataFrame:
         m = self._read_manifest(version)
         schema = T.StructType.fromJson(m["schema"])

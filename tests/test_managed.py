@@ -143,3 +143,49 @@ def test_crawler(eng, tmp_path, spark):
     assert all("registered" not in r.action for r in report2)
     eng.sql("DROP CRAWLER c1")
     assert eng.sql("SHOW CRAWLERS").count() == 0
+
+
+# ------------------------------------------------- index-backed pruning
+
+
+def test_create_index_clusters_and_prunes(spark, tmp_path):
+    """CREATE INDEX ... USING btree physically clusters the managed table
+    by the column and builds file stats; a DSL range query then reads
+    only the files whose min/max can match (the Lance-btree analog,
+    actions.rs:763-820)."""
+    from beacon_spark import Engine
+
+    root = str(tmp_path)
+    eng = Engine(spark, datasets_root=root)
+    df = spark.range(0, 20000).selectExpr("id", "id % 7 AS g").repartition(8)
+    eng.catalog.create_table("idx_t", df)
+    eng.sql("CREATE INDEX ON idx_t (id) USING btree")
+
+    mt = eng.catalog.table("idx_t")
+    n_files = len(mt.files())
+    assert n_files >= 4  # clustering split into range files
+
+    out = eng.query(
+        {
+            "select": ["id"],
+            "from": "idx_t",
+            "filter": {"column": "id", "gt_eq": 10, "lt_eq": 20},
+        }
+    )
+    assert out.count() == 11
+    assert len(out.inputFiles()) < n_files  # file-level skip happened
+
+    # DML refreshes the stats index: new rows are found
+    eng.sql("INSERT INTO idx_t SELECT 90000 + id AS id, 0 AS g FROM range(5)")
+    out2 = eng.query(
+        {"select": ["id"], "from": "idx_t",
+         "filter": {"column": "id", "gt_eq": 90000}}
+    )
+    assert out2.count() == 5
+
+    # fail-open: un-indexed column ranges keep every file
+    out3 = eng.query(
+        {"select": ["id"], "from": "idx_t",
+         "filter": {"column": "g", "eq": 3}}
+    )
+    assert out3.count() > 0
