@@ -52,7 +52,13 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    queries = entry_mod.queries()
+    # bench shapes resolve to the _q_* implementations directly — the
+    # public queries() registry is capped at the 50 graded slots and some
+    # bench-only shapes (count_all, filter_*, …) live outside it
+    queries = dict(entry_mod.queries())
+    for name in BENCH_QUERIES:
+        if name not in queries:
+            queries[name] = getattr(entry_mod, f"_q_{name}")
 
     # warm the JVM + file cache with a trivial action
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
