@@ -8,6 +8,7 @@ oracle can verify it value-for-value.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,3 +78,69 @@ def fingerprint_expr(text_col: str = "text", length: int = 16) -> Column:
     text (md5 prefix — portable to every SQL engine for oracle checks)."""
     normalized = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     return F.substring(F.md5(normalized), 1, length)
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    ngram_ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+
+      - ``dup_line_ratio``: duplicate lines / lines
+      - ``dup_word_ratio``: duplicate words / words
+      - ``top_{n}gram_char_frac``: characters inside the single most
+        frequent word n-gram / total characters, per requested n
+
+    Line/word ratios are pure Catalyst (linear per doc: split +
+    array_distinct). The top-n-gram fraction needs a per-doc frequency
+    table, which Catalyst can only express quadratically — that runs as
+    an Arrow-batched pandas UDF (Counter per doc, linear), the
+    documented vectorized path for 100 TB corpora."""
+    from collections import Counter
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    lines = F.split(F.col(text_col), r"\n")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.round(
+            (F.size(lines) - F.size(F.array_distinct(lines)))
+            / F.greatest(F.size(lines), F.lit(1)),
+            4,
+        ).alias("dup_line_ratio"),
+        F.round(
+            (F.size(words) - F.size(F.array_distinct(words)))
+            / F.greatest(F.size(words), F.lit(1)),
+            4,
+        ).alias("dup_word_ratio"),
+    )
+
+    def top_frac(n: int):
+        @pandas_udf(T.DoubleType())
+        def _udf(texts: pd.Series) -> pd.Series:
+            vals = []
+            for t in texts:
+                if t is None:
+                    vals.append(None)
+                    continue
+                ws = t.split()
+                total = len(t)
+                if len(ws) < n or total == 0:
+                    vals.append(0.0)
+                    continue
+                grams = Counter(
+                    tuple(ws[i : i + n]) for i in range(len(ws) - n + 1)
+                )
+                gram, cnt = grams.most_common(1)[0]
+                # chars covered by the most frequent n-gram's occurrences
+                covered = cnt * (sum(len(w) for w in gram) + (n - 1))
+                vals.append(round(min(covered / total, 1.0), 4))
+            return pd.Series(vals)
+
+        return _udf
+
+    for n in ngram_ns:
+        out = out.withColumn(f"top_{n}gram_char_frac", top_frac(n)("__t"))
+    return out.drop("__t")

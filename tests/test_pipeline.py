@@ -220,3 +220,25 @@ def test_minhash_impls_bit_identical(spark, sf_dir):
         for r in minhash_signatures(docs, impl="numpy").collect()
     }
     assert a == b
+
+
+def test_repetition_metrics(spark):
+    from beacon_spark.pipeline.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),                      # no repetition
+            (2, "spam spam spam spam"),                   # heavy word dup
+            (3, "x\ny\nx\ny"),                            # duplicate lines
+            (4, ""),                                      # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert out[1].dup_word_ratio == 0.0
+    assert out[2].dup_word_ratio == 0.75  # 3 of 4 words are repeats
+    assert out[3].dup_line_ratio == 0.5
+    assert out[4].dup_line_ratio == 0.0
+    # "spam spam" bigram appears 3x, covers the whole string
+    assert out[2].top_2gram_char_frac == 1.0
+    assert out[1].top_2gram_char_frac < 0.5

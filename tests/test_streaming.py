@@ -42,3 +42,62 @@ def test_stateful_operator_matches_batch(spark, sf_small):
     s = sorted(tuple(r) for r in streamed.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert s == b and len(s) > 0
+
+
+def test_stream_dedup_exact_matches_batch(spark, sf_small, tmp_path):
+    """Streaming content-hash dedup == batch dropDuplicates on the same
+    key (whole-stream exact mode)."""
+    from beacon_spark.streaming.dedup import dedup_key_expr, stream_dedup_exact
+
+    # stage a corpus with real duplicates: the fixture twice, ids offset
+    src_df = spark.read.parquet(f"{sf_small}/documents.parquet")
+    dup_dir = str(tmp_path / "dup_docs")
+    src_df.union(
+        src_df.withColumn("doc_id", src_df.doc_id + 1_000_000)
+    ).coalesce(2).write.mode("overwrite").parquet(dup_dir)
+
+    q = stream_dedup_exact(spark, dup_dir, query_name="d_exact")
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT __key FROM d_exact")
+    batch = (
+        spark.read.parquet(dup_dir)
+        .withColumn("__key", dedup_key_expr("text"))
+        .dropDuplicates(["__key"])
+        .select("__key")
+    )
+    s = sorted(r[0] for r in streamed.collect())
+    b = sorted(r[0] for r in batch.collect())
+    assert s == b and len(s) > 0
+    # every text appears twice -> dedup halved the stream
+    assert len(s) == spark.read.parquet(dup_dir).count() // 2
+
+
+def test_stream_dedup_stateful_counts(spark, sf_small, tmp_path):
+    """Custom stateful dedup: per-key first_id/n_dups equals the batch
+    groupBy answer."""
+    from pyspark.sql import functions as F
+
+    from beacon_spark.streaming.dedup import dedup_key_expr, stream_dedup_stateful
+
+    src_df = spark.read.parquet(f"{sf_small}/documents.parquet")
+    dup_dir = str(tmp_path / "dup_docs_state")
+    src_df.union(
+        src_df.withColumn("doc_id", src_df.doc_id + 1_000_000)
+    ).coalesce(2).write.mode("overwrite").parquet(dup_dir)
+
+    q = stream_dedup_stateful(spark, dup_dir, query_name="d_state")
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT key, first_id, n_dups FROM d_state")
+    batch = (
+        spark.read.parquet(dup_dir)
+        .withColumn("key", dedup_key_expr("text"))
+        .groupBy("key")
+        .agg(
+            F.min("doc_id").alias("first_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dups"),
+        )
+    )
+    s = sorted(tuple(r) for r in streamed.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert s == b and len(s) > 0
+    assert any(r[2] > 0 for r in s)  # real duplicates counted
