@@ -85,7 +85,12 @@ def map_lookup(mapping: dict, col: Column | str) -> Column:
 
 def register_functions(spark: SparkSession) -> None:
     """Register the SQL-callable subset (used by Engine.sql and the JSON
-    DSL's function select items via F.call_function)."""
+    DSL's function select items via F.call_function). Idempotent per
+    SparkSession — Engine constructs per query in some paths, and the
+    ST/domain registration (SQL UDF statements + dozens of pandas UDFs)
+    costs ~0.5s per pass."""
+    if getattr(spark, "_beacon_fns_registered", False):
+        return
     from beacon_spark.functions import geo
     from beacon_spark.functions.domain import register_domain_functions
     from beacon_spark.functions.st import register_st_functions
@@ -102,3 +107,4 @@ def register_functions(spark: SparkSession) -> None:
         lambda: VERSION,
         T.StringType(),
     )
+    spark._beacon_fns_registered = True
