@@ -272,6 +272,14 @@ class Engine:
         self.datasets_root = datasets_root
         self.default_table = default_table
         register_functions(spark)
+        try:
+            from beacon_spark.sources.nd_datasource import register_nd_datasource
+
+            register_nd_datasource(spark)
+        except Exception:
+            # idiomatic spark.read.format("beacon_nd") surface is optional;
+            # Engine read_netcdf/read_zarr/... remain the primary path
+            pass
         self.catalog = None
         self._session_secrets: dict[str, dict] = {}
         if datasets_root is not None:

@@ -1,0 +1,148 @@
+"""Spark Python DataSource (V2 API) surface for the nd readers.
+
+``read_nd`` (sources/nd.py) is the primary distributed path — it plans
+(file, region, row-chunk) tasks and flattens via ``mapInArrow``. This
+module wraps the same machinery in Spark 4's Python DataSource API so
+the formats also compose with the idiomatic reader surface:
+
+    spark.dataSource.register(BeaconNDDataSource)
+    spark.read.format("beacon_nd")
+         .option("fmt", "netcdf").load("/data/obs/*.nc")
+
+Partition planning happens in ``partitions()`` (one InputPartition per
+row-chunk of the pruned region — the same planning-time pushdown story
+as read_nd: the executor task reads only its slice); ``read()`` yields
+Arrow record batches, so rows never materialize in Python objects.
+
+The reference exposes these formats as DataFusion TableProviders
+(beacon-arrow-netcdf/src/, beacon-arrow-zarr/src/datafusion/); this is
+the Spark-native equivalent registration.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class NDPartition(InputPartition):
+    def __init__(self, path: str, region_json: str, lo: int, hi: int):
+        self.path = path
+        self.region_json = region_json
+        self.lo = lo
+        self.hi = hi
+
+
+class BeaconNDDataSource(DataSource):
+    """Options: ``fmt`` (netcdf|zarr|tiff|atlas|hdf5), ``path`` (or the
+    load() argument), ``dimensions`` (comma-separated), ``rows_per_task``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "beacon_nd"
+
+    def _files(self) -> list[str]:
+        from beacon_spark.sources.paths import resolve_globs
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("beacon_nd: a load() path or path option is required")
+        return resolve_globs([path], self.options.get("datasets_root"))
+
+    def _fmt(self) -> str:
+        return (self.options.get("fmt") or "netcdf").lower()
+
+    def _dimensions(self) -> list[str] | None:
+        dims = self.options.get("dimensions")
+        return [d.strip() for d in dims.split(",")] if dims else None
+
+    def schema(self):
+        from beacon_spark.sources.nd import _OPENERS
+        from beacon_spark.sources.tabular import _arrow_to_spark_schema
+
+        files = self._files()
+        if not files:
+            raise FileNotFoundError("beacon_nd: no files matched")
+        sample = _OPENERS[self._fmt()](files[0]).flatten(
+            self._dimensions(), row_range=(0, 1)
+        )
+        return _arrow_to_spark_schema(sample.schema)
+
+    def reader(self, schema) -> "NDReader":
+        return NDReader(
+            self._fmt(),
+            self._files(),
+            self._dimensions(),
+            int(self.options.get("rows_per_task", 1_000_000)),
+            schema,
+        )
+
+
+class NDReader(DataSourceReader):
+    def __init__(self, fmt, files, dimensions, rows_per_task, schema):
+        self.fmt = fmt
+        self.files = files
+        self.dimensions = dimensions
+        self.rows_per_task = rows_per_task
+        self.spark_schema = schema
+
+    def partitions(self):
+        import numpy as np
+
+        from beacon_spark.sources.nd import _OPENERS, coord_region
+
+        opener = _OPENERS[self.fmt]
+        parts: list[NDPartition] = []
+        for f in self.files:
+            ds = opener(f)  # lazy: metadata + coordinate vars only
+            region = coord_region(ds, self.dimensions, None)
+            if region is None:
+                continue
+            n = int(np.prod([hi - lo for lo, hi in region])) if region else 1
+            rjson = json.dumps(region)
+            for lo in range(0, n, self.rows_per_task):
+                parts.append(
+                    NDPartition(f, rjson, lo, min(lo + self.rows_per_task, n))
+                )
+        return parts or [NDPartition("", "[]", 0, 0)]
+
+    def read(self, partition: NDPartition):
+        import pyarrow as pa
+
+        from beacon_spark.sources.nd import _OPENERS
+
+        if not partition.path:
+            return
+        ds = _OPENERS[self.fmt](partition.path)
+        region = [tuple(r) for r in json.loads(partition.region_json)]
+        table = ds.flatten(
+            self.dimensions,
+            row_range=(partition.lo, partition.hi),
+            region=region,
+        )
+        # align to the negotiated schema (multi-file safety, same rule as
+        # read_nd): null-fill missing columns, cast mismatched types
+        import pyarrow as _pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.spark_schema)
+        cols = []
+        for fld in target:
+            if fld.name in table.column_names:
+                col = table.column(fld.name)
+                if col.type != fld.type:
+                    col = col.cast(fld.type)
+            else:
+                col = _pa.nulls(table.num_rows, fld.type)
+            cols.append(col)
+        aligned = pa.table(cols, names=[f.name for f in target])
+        yield from aligned.to_batches(max_chunksize=1 << 16)
+
+
+def register_nd_datasource(spark) -> None:
+    """Idempotent registration of the ``beacon_nd`` format."""
+    if getattr(spark, "_beacon_nd_ds_registered", False):
+        return
+    spark.dataSource.register(BeaconNDDataSource)
+    spark._beacon_nd_ds_registered = True
