@@ -527,6 +527,51 @@ def wkt_to_wkb(wkt: str) -> bytes:
     return emit(g)
 
 
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; returns hull vertices CCW (not closed)."""
+    pts = np.unique(pts, axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(points):
+        out: list[np.ndarray] = []
+        for p in points:
+            while (
+                len(out) >= 2
+                and float(np.cross(out[-1] - out[-2], p - out[-2])) <= 0
+            ):
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(list(pts))
+    upper = half(list(pts[::-1]))
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def douglas_peucker(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Line simplification: keep points farther than ``tol`` from the
+    chord, recursively."""
+    if len(pts) < 3:
+        return pts
+    a, b = pts[0], pts[-1]
+    ab = b - a
+    ll = float(ab @ ab)
+    if ll == 0:
+        d = np.linalg.norm(pts - a, axis=1)
+    else:
+        t = np.clip(((pts - a) @ ab) / ll, 0, 1)
+        proj = a + t[:, None] * ab
+        d = np.linalg.norm(pts - proj, axis=1)
+    i = int(d.argmax())
+    if d[i] <= tol:
+        return np.array([a, b])
+    left = douglas_peucker(pts[: i + 1], tol)
+    right = douglas_peucker(pts[i:], tol)
+    return np.vstack([left[:-1], right])
+
+
 # ------------------------------------------------------------------ UDF tier
 
 
@@ -639,6 +684,63 @@ def register_st_functions(spark) -> None:
     reg("st_geomfromgeojson", _u1(lambda j: geojson_to_wkt(j), _S))
     reg("st_asbinary", _u1(lambda w: wkt_to_wkb(w), T.BinaryType()))
     reg("st_geomfromwkb", _u1(lambda b: wkb_to_wkt(bytes(b)), _S))
+
+    def _hull(w):
+        pts = _parsed(w).all_coords()
+        h = convex_hull(pts)
+        if len(h) == 0:
+            return "POLYGON EMPTY"
+        if len(h) == 1:
+            return f"POINT ({_fmt(h[0][0])} {_fmt(h[0][1])})"
+        if len(h) == 2:
+            return (
+                f"LINESTRING ({_fmt(h[0][0])} {_fmt(h[0][1])}, "
+                f"{_fmt(h[1][0])} {_fmt(h[1][1])})"
+            )
+        ring = ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in h)
+        first = f"{_fmt(h[0][0])} {_fmt(h[0][1])}"
+        return f"POLYGON (({ring}, {first}))"
+
+    reg("st_convexhull", _u1(_hull, _S))
+
+    def _simplify(w, tol):
+        g = _parsed(w)
+        if g.kind == "LINESTRING" and g.lines:
+            s = douglas_peucker(g.lines[0], float(tol))
+            body = ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in s)
+            return f"LINESTRING ({body})"
+        if g.kind == "POLYGON" and g.polys:
+            rings = []
+            for r in g.polys[0]:
+                rc = _close(r)
+                s = douglas_peucker(rc[:-1], float(tol))
+                if len(s) < 3:
+                    s = rc[:-1]
+                body = ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in s)
+                first = f"{_fmt(s[0][0])} {_fmt(s[0][1])}"
+                rings.append(f"({body}, {first})")
+            return f"POLYGON ({', '.join(rings)})"
+        return w.strip()
+
+    reg("st_simplify", _u2(_simplify, _S))
+
+    def _buffer(w, dist):
+        g = _parsed(w)
+        if g.kind != "POINT" or not len(g.pts):
+            raise ValueError(
+                "st_buffer supports POINT inputs (32-gon circle); general "
+                "geometry buffering needs a full offset-curve engine"
+            )
+        cx, cy = g.pts[0]
+        ang = np.linspace(0, 2 * np.pi, 33)[:-1]
+        ring = ", ".join(
+            f"{_fmt(cx + float(dist) * np.cos(a))} {_fmt(cy + float(dist) * np.sin(a))}"
+            for a in ang
+        )
+        first = f"{_fmt(cx + float(dist))} {_fmt(cy)}"
+        return f"POLYGON (({ring}, {first}))"
+
+    reg("st_buffer", _u2(_buffer, _S))
 
     reg("st_distance", _u2(lambda a, b: geom_distance(_parsed(a), _parsed(b)), _D))
     reg("st_intersects", _u2(lambda a, b: geom_intersects(_parsed(a), _parsed(b)), _B))

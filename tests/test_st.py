@@ -193,3 +193,28 @@ def test_sql_tier_stays_jvm(spark):
     df = spark.sql("SELECT st_x(st_point(1.0, 2.0)) AS x")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_convex_hull_and_simplify_units():
+    from beacon_spark.functions.st import convex_hull, douglas_peucker
+
+    pts = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [1, 1], [0.5, 0.5]])
+    h = convex_hull(pts)
+    assert len(h) == 4 and {tuple(p) for p in h} == {(0, 0), (2, 0), (2, 2), (0, 2)}
+
+    line = np.array([[0, 0], [1, 0.01], [2, 0], [3, 2], [4, 0]], dtype=float)
+    s = douglas_peucker(line, 0.1)
+    assert [tuple(p) for p in s] == [(0, 0), (2, 0), (3, 2), (4, 0)]
+
+
+def test_hull_simplify_buffer_sql(spark):
+    row = spark.sql(
+        """SELECT st_convexhull('MULTIPOINT ((0 0), (2 0), (2 2), (0 2), (1 1))') AS h,
+                  st_simplify('LINESTRING (0 0, 1 0.01, 2 0)', 0.1) AS s,
+                  round(st_area(st_buffer('POINT (0 0)', 1.0)), 2) AS ba"""
+    ).collect()[0]
+    assert row.h.startswith("POLYGON")
+    assert "1 1" not in row.h  # interior point dropped
+    assert row.s == "LINESTRING (0 0, 2 0)"
+    # 32-gon area approximates pi (n/2 sin(2pi/n) = 3.1214)
+    assert row.ba == pytest.approx(3.12, abs=0.01)
