@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata (north-star extension, BASELINE.json).
 
-The container has no image/audio codecs (no PIL/ffmpeg), so the *decode
-kernels* are stubbed behind ``DecoderUnavailable`` / deterministic fakes —
-but the Spark-side machinery is real and tested: schema contract, Arrow
-batch shape through ``mapInPandas``, partition sizing, and the
-metadata-extraction pass.
+PNG decode is REAL — a from-spec pure-Python codec over stdlib zlib
+(pipeline/pnglite.py: all five scanline filters, gray/RGB/palette/alpha,
+8/16-bit), so ``decode_image``/``featurize`` produce actual pixel
+statistics for the most common dataset image format. JPEG/audio/video
+still gate behind ``DecoderUnavailable`` (those need native codecs), and
+``featurize`` falls back to the deterministic fake for them — the Spark
+plumbing (schema contract, Arrow batch shape through ``mapInPandas``,
+byte-sized partitioning) is identical either way.
 
 Schema contract for a multimodal asset column:
 
@@ -84,9 +87,62 @@ def extract_metadata(df: DataFrame, asset_col: str = "asset") -> DataFrame:
     return df.mapInPandas(_extract, out_schema)
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decode requires PIL/libjpeg — unavailable here."""
-    raise DecoderUnavailable("image decode requires PIL; not installed in this container")
+def decode_image(payload: bytes):
+    """PNG → numpy (h, w, channels) via the pure-Python codec; other
+    formats need native codecs and raise ``DecoderUnavailable``."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from beacon_spark.pipeline.pnglite import decode_png
+
+        return decode_png(payload)
+    raise DecoderUnavailable(
+        "only PNG decodes without native codecs (pnglite); "
+        "JPEG/video need libjpeg/ffmpeg, absent in this container"
+    )
+
+
+def image_stat_features(payload: bytes, n_features: int = 8) -> list[float] | None:
+    """Real per-image features from decoded pixels: height, width,
+    channels, then per-channel mean/std (padded/truncated to
+    ``n_features``). Returns None when the payload can't be decoded."""
+    import numpy as np
+
+    try:
+        img = decode_image(payload)
+    except (DecoderUnavailable, ValueError, NotImplementedError):
+        return None
+    h, w = img.shape[:2]
+    nch = img.shape[2] if img.ndim == 3 else 1
+    flat = img.reshape(h * w, nch).astype(np.float64)
+    stats: list[float] = [float(h), float(w), float(nch)]
+    for c in range(nch):
+        stats.append(round(float(flat[:, c].mean()), 4))
+        stats.append(round(float(flat[:, c].std()), 4))
+    stats = stats[:n_features]
+    stats += [0.0] * (n_features - len(stats))
+    return stats
+
+
+def resize_images(
+    df: DataFrame, size: tuple[int, int], asset_col: str = "asset"
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode PNG, executor-side
+    per Arrow batch; undecodable payloads pass through unchanged."""
+    from beacon_spark.pipeline.pnglite import encode_png, resize_nearest
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+
+            def one(p):
+                try:
+                    return encode_png(resize_nearest(decode_image(p), size))
+                except (DecoderUnavailable, ValueError, NotImplementedError):
+                    return p
+
+            out[asset_col] = [one(p) for p in pdf[asset_col]]
+            yield out
+
+    return df.mapInPandas(_resize, df.schema)
 
 
 def fake_image_features(payload: bytes, n_features: int = 8) -> list[float]:
@@ -115,7 +171,12 @@ def featurize(df: DataFrame, asset_col: str = "asset", n_features: int = 8) -> D
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [fake_image_features(p, n_features) for p in pdf[asset_col]]
+            feats = []
+            for p in pdf[asset_col]:
+                # real pixel statistics when decodable (PNG), else the
+                # deterministic fake keeps the column total
+                real = image_stat_features(bytes(p), n_features) if p is not None else None
+                feats.append(real if real is not None else fake_image_features(p, n_features))
             out = pdf.drop(columns=[asset_col])
             out["features"] = feats
             yield out

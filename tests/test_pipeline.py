@@ -242,3 +242,46 @@ def test_repetition_metrics(spark):
     # "spam spam" bigram appears 3x, covers the whole string
     assert out[2].top_2gram_char_frac == 1.0
     assert out[1].top_2gram_char_frac < 0.5
+
+
+def test_png_decode_real(spark):
+    """PNG decode is real (pnglite): featurize returns actual pixel
+    statistics, resize_images actually shrinks the payloads."""
+    import numpy as np
+
+    from beacon_spark.pipeline.multimodal import (
+        extract_metadata,
+        featurize,
+        image_stat_features,
+        resize_images,
+    )
+    from beacon_spark.pipeline.pnglite import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (16, 12, 3), dtype=np.uint8) for _ in range(3)]
+    rows = [(i, encode_png(img)) for i, img in enumerate(imgs)]
+    df = spark.createDataFrame(rows, "img_id long, asset binary")
+
+    meta = {r.img_id: r.asset_meta for r in extract_metadata(df).collect()}
+    assert meta[0].mime == "image/png" and meta[0].width == 12 and meta[0].height == 16
+
+    feats = {r.img_id: r.features for r in featurize(df).collect()}
+    for i, img in enumerate(imgs):
+        f = feats[i]
+        assert f[0] == 16.0 and f[1] == 12.0 and f[2] == 3.0
+        assert f[3] == round(float(img[:, :, 0].mean()), 4)  # real channel mean
+
+    resized = {r.img_id: bytes(r.asset) for r in resize_images(df, (8, 6)).collect()}
+    out = decode_png(resized[0])
+    assert out.shape == (8, 6, 3)
+    # nearest-neighbor: pixel (0,0) survives
+    assert np.array_equal(out[0, 0], imgs[0][0, 0])
+
+
+def test_featurize_fallback_for_non_png(spark):
+    from beacon_spark.pipeline.multimodal import fake_image_features, featurize
+
+    rows = [(1, b"\xff\xd8notarealjpeg")]
+    df = spark.createDataFrame(rows, "img_id long, asset binary")
+    feats = featurize(df).collect()[0].features
+    assert feats == fake_image_features(rows[0][1])
