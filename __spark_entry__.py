@@ -874,29 +874,46 @@ def _q_ann_ivf_probe(spark, sf_dir):
 
 
 def _q_multimodal(spark, sf_dir):
-    """Multimodal plumbing: synthesize binary payloads (PNG headers for
-    even ids), sniff metadata via mapInPandas, group by mime. Binary
-    handling isn't SQL-portable — rows-only check."""
-    from beacon_spark.pipeline.multimodal import extract_metadata
+    """Multimodal pipeline end-to-end on REAL payloads: even doc_ids get
+    a genuine PNG (pure-Python encoder, deterministic 8×4 gradient
+    keyed by doc_id), odd ids raw text bytes. extract_metadata sniffs
+    headers; featurize DECODES the PNGs (pnglite) and emits real pixel
+    statistics. Binary handling isn't SQL-portable — rows-only check."""
+    import numpy as np
+
+    from beacon_spark.pipeline.multimodal import extract_metadata, featurize
+    from beacon_spark.pipeline.pnglite import encode_png
 
     _reg(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def make_asset(doc_id, text):
+        import pandas as pd
+
+        out = []
+        for i, t in zip(doc_id, text):
+            if i % 2 == 0:
+                img = ((np.arange(32).reshape(4, 8, 1) + int(i)) % 256).astype(
+                    np.uint8
+                )
+                out.append(encode_png(img))
+            else:
+                out.append((t or "").encode("utf-8"))
+        return pd.Series(out)
+
     docs = spark.table("documents").select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 2 == 0,
-            F.concat(
-                F.lit(bytes.fromhex("89504e470d0a1a0a0000000d49484452")),
-                F.lit(bytes.fromhex("00000040000000300806000000")),
-                F.encode("text", "utf-8"),
-            ),
-        )
-        .otherwise(F.encode("text", "utf-8"))
-        .alias("asset"),
+        "doc_id", make_asset("doc_id", "text").alias("asset")
     )
+    with_meta = extract_metadata(docs)
+    feats = featurize(with_meta)
     return (
-        extract_metadata(docs)
-        .groupBy(F.col("asset_meta.mime").alias("mime"))
-        .agg(F.count(F.lit(1)).alias("n"), F.min("asset_meta.width").alias("min_width"))
+        feats.groupBy(F.col("asset_meta.mime").alias("mime"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("asset_meta.width").alias("min_width"),
+            # features[0] is the decoded height (real decode) for PNGs
+            F.round(F.avg(F.element_at("features", 1)), 4).alias("avg_f0"),
+        )
         .orderBy("mime")
     )
 
