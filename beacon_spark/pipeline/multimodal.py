@@ -4,8 +4,10 @@ with typed metadata (north-star extension, BASELINE.json).
 PNG decode is REAL — a from-spec pure-Python codec over stdlib zlib
 (pipeline/pnglite.py: all five scanline filters, gray/RGB/palette/alpha,
 8/16-bit), so ``decode_image``/``featurize`` produce actual pixel
-statistics for the most common dataset image format. JPEG/audio/video
-still gate behind ``DecoderUnavailable`` (those need native codecs), and
+statistics for the most common dataset image format. WAV decode is
+also REAL (``decode_wav``: RIFF PCM 8/16/32-bit + IEEE float — struct
+parsing + numpy, no codec). JPEG/compressed-audio/video still gate
+behind ``DecoderUnavailable`` (those need native codecs), and
 ``featurize`` falls back to the deterministic fake for them — the Spark
 plumbing (schema contract, Arrow batch shape through ``mapInPandas``,
 byte-sized partitioning) is identical either way.
@@ -182,3 +184,88 @@ def featurize(df: DataFrame, asset_col: str = "asset", n_features: int = 8) -> D
             yield out
 
     return df.mapInPandas(_feat, out_schema)
+
+
+# ---------------------------------------------------------------- audio (WAV)
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM decode — pure struct parsing + numpy frombuffer, no
+    codec library. Returns (samples: np.ndarray (n_frames, n_channels)
+    normalized to [-1, 1] float64, sample_rate). Supports PCM 8/16/32-bit
+    and IEEE float 32/64; compressed formats raise DecoderUnavailable."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _brate, _align, bits = fmt
+    if audio_format == 1:  # integer PCM
+        dt = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
+        if dt is None:
+            raise DecoderUnavailable(f"PCM {bits}-bit WAV not supported")
+        raw = np.frombuffer(data, dtype=dt)
+        if bits == 8:  # unsigned, offset binary
+            x = (raw.astype(np.float64) - 128.0) / 128.0
+        else:
+            x = raw.astype(np.float64) / float(1 << (bits - 1))
+    elif audio_format == 3:  # IEEE float
+        dt = {32: np.float32, 64: np.float64}.get(bits)
+        if dt is None:
+            raise DecoderUnavailable(f"float {bits}-bit WAV not supported")
+        x = np.frombuffer(data, dtype=dt).astype(np.float64)
+    else:
+        raise DecoderUnavailable(f"WAV audio format {audio_format} needs a codec")
+    n = (len(x) // n_channels) * n_channels
+    return x[:n].reshape(-1, n_channels), sample_rate
+
+
+def audio_stat_features(payload: bytes) -> list[float] | None:
+    """Real audio features from decoded samples: duration_s, sample_rate,
+    n_channels, rms, peak, zero-crossing rate. None if undecodable."""
+    import numpy as np
+
+    try:
+        samples, rate = decode_wav(bytes(payload))
+    except (DecoderUnavailable, ValueError, struct.error):
+        return None
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    zc = float(np.count_nonzero(np.diff(np.signbit(mono)))) / max(n - 1, 1)
+    return [
+        round(n / float(rate), 4),
+        float(rate),
+        float(samples.shape[1]),
+        round(float(np.sqrt((mono**2).mean())) if n else 0.0, 4),
+        round(float(np.abs(mono).max()) if n else 0.0, 4),
+        round(zc, 4),
+    ]
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Fixture encoder: 16-bit PCM from float [-1, 1] (n, ch) array."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    pcm = (np.clip(arr, -1, 1) * 32767).astype("<i2").tobytes()
+    n_ch = arr.shape[1]
+    byte_rate = sample_rate * n_ch * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_ch, sample_rate, byte_rate, n_ch * 2, 16)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    return hdr + pcm

@@ -285,3 +285,33 @@ def test_featurize_fallback_for_non_png(spark):
     df = spark.createDataFrame(rows, "img_id long, asset binary")
     feats = featurize(df).collect()[0].features
     assert feats == fake_image_features(rows[0][1])
+
+
+def test_wav_decode_real():
+    import numpy as np
+
+    from beacon_spark.pipeline.multimodal import (
+        audio_stat_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.linspace(0, 1, 16000, endpoint=False)
+    sine = np.sin(2 * np.pi * 440 * t)  # 1s A440
+    payload = encode_wav(sine, 16000)
+    samples, rate = decode_wav(payload)
+    assert rate == 16000 and samples.shape == (16000, 1)
+    assert np.allclose(samples[:, 0], sine, atol=1e-3)
+
+    f = audio_stat_features(payload)
+    dur, sr, nch, rms, peak, zcr = f
+    assert dur == 1.0 and sr == 16000.0 and nch == 1.0
+    assert abs(rms - 1 / np.sqrt(2)) < 1e-3    # sine RMS
+    assert abs(peak - 1.0) < 1e-3
+    assert abs(zcr - 880 / 16000) < 1e-3       # 2 crossings per cycle
+
+    # stereo + graceful failure
+    st = encode_wav(np.stack([sine, -sine], axis=1), 8000)
+    s2, r2 = decode_wav(st)
+    assert s2.shape == (16000, 2) and r2 == 8000
+    assert audio_stat_features(b"not audio") is None
