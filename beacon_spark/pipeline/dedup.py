@@ -439,3 +439,104 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------- clusters
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-duplicate pair edges → connected components: ``(doc_id,
+    cluster_id)`` with cluster_id = the component's minimum member id.
+
+    Distributed min-label propagation with pointer jumping: each round
+    (1) every node adopts the minimum label in its edge neighborhood,
+    then (2) adopts its label's label (path halving) — the doubling step
+    that turns O(diameter) rounds into O(log diameter), the same
+    complexity as the large-star/small-star scheme (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"). Each round is two
+    edge/label-linear shuffles — the transitive closure is never
+    materialized, so a 10^9-edge corpus runs in edge-linear work.
+    ``localCheckpoint`` cuts the per-round lineage (iterative plans
+    otherwise nest until codegen falls over). Stops when no label
+    changes; ``max_iterations`` bounds adversarial graphs."""
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("src"),
+            F.col(id_b).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    # undirected: keep both directions so each node sees every neighbor
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    # label(v) = min(v, min neighbor) to start
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("nmin")).alias("label"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # (1) node's label = min(own, min over neighbors' labels)
+        nbr = sym.join(labels, sym.dst == labels.node).select(
+            sym.src.alias("node"), F.col("label")
+        )
+        merged = (
+            labels.select("node", "label")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # (2) pointer jumping: label <- label(label)
+        parent = merged.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            merged.join(parent, merged.label == F.col("p_node"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop near-duplicates: resolve pair edges to clusters, keep the
+    minimum-id document of each cluster plus every unpaired document.
+    The left-anti join carries only (id, cluster) — document payloads
+    never shuffle."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("__loser")
+    )
+    return df.join(
+        losers, df[id_col] == F.col("__loser"), "left_anti"
+    )

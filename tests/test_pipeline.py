@@ -315,3 +315,40 @@ def test_wav_decode_real():
     s2, r2 = decode_wav(st)
     assert s2.shape == (16000, 2) and r2 == 8000
     assert audio_stat_features(b"not audio") is None
+
+
+def test_dedup_clusters_connected_components(spark):
+    from beacon_spark.pipeline.dedup import dedup_clusters
+
+    # two chains + a triangle + an isolated pair: components are
+    # {1,2,3,4}, {10,11,12}, {20,21}
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "id_a long, id_b long",
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_keep_canonical(spark):
+    from beacon_spark.pipeline.dedup import dedup_keep_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(r.doc_id for r in dedup_keep_canonical(docs, pairs).collect())
+    # clusters {0,1,2} -> keep 0; {5,6} -> keep 5; 3,4,7 unpaired
+    assert kept == [0, 3, 4, 5, 7]
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    from beacon_spark.pipeline.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    out = dedup_clusters(chain).collect()
+    assert all(r.cluster_id == 0 for r in out) and len(out) == 31
