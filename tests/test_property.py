@@ -1,0 +1,99 @@
+"""Property-based round-trips (hypothesis) for the pure-Python codecs —
+the from-spec binary parsers are the riskiest code in the repo, so fuzz
+their encode/decode pairs instead of trusting hand-picked fixtures."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_lzw_roundtrip(data):
+    from beacon_spark.sources.tifflite import _lzw_decode, _lzw_encode
+
+    assert _lzw_decode(_lzw_encode(data)) == data
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=512).filter(lambda b: len(b) % 4 == 0))
+def test_z85_roundtrip(data):
+    from beacon_spark.sources.delta_dv import z85_decode, z85_encode
+
+    assert z85_decode(z85_encode(data)) == data
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 40) - 1),
+        min_size=0,
+        max_size=300,
+    )
+)
+def test_roaring_roundtrip(indexes):
+    from beacon_spark.sources.delta_dv import (
+        roaring_bitmap_array_decode,
+        roaring_bitmap_array_encode,
+    )
+
+    assert roaring_bitmap_array_decode(
+        roaring_bitmap_array_encode(indexes)
+    ) == sorted(set(indexes))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 3, 4]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip(h, w, nch, seed):
+    from beacon_spark.pipeline.pnglite import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, nch), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=500,
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip(samples, rate):
+    from beacon_spark.pipeline.multimodal import decode_wav, encode_wav
+
+    arr = np.array(samples)
+    out, r = decode_wav(encode_wav(arr, rate))
+    assert r == rate and out.shape == (len(samples), 1)
+    # 16-bit quantization: truncation (1 LSB) + the 32767/32768
+    # encode/decode scale mismatch -> up to ~2 LSB of error
+    assert np.allclose(out[:, 0], arr, atol=2.5 / 32767)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_wkt_wkb_roundtrip_multipoint(points):
+    from beacon_spark.functions.geo import wkb_to_wkt
+    from beacon_spark.functions.st import parse_wkt, wkt_to_wkb
+
+    wkt = "MULTIPOINT (" + ", ".join(f"({x} {y})" for x, y in points) + ")"
+    rt = wkb_to_wkt(wkt_to_wkb(wkt))
+    assert np.allclose(
+        parse_wkt(rt).all_coords(), parse_wkt(wkt).all_coords()
+    )
