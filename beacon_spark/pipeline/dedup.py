@@ -540,3 +540,26 @@ def dedup_keep_canonical(
     return df.join(
         losers, df[id_col] == F.col("__loser"), "left_anti"
     )
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """One-call near-duplicate removal — the composed pipeline a training
+    corpus actually runs: MinHash-LSH candidate pairs (banded, verified
+    exact) → connected components → keep the min-id document per cluster.
+    Returns ``df`` minus near-duplicates; every stage is edge/candidate-
+    linear (no all-pairs work anywhere)."""
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col,
+        num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, seed=seed,
+    )
+    return dedup_keep_canonical(df, pairs, id_col)

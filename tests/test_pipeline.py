@@ -352,3 +352,23 @@ def test_dedup_clusters_long_chain_converges(spark):
     )
     out = dedup_clusters(chain).collect()
     assert all(r.cluster_id == 0 for r in out) and len(out) == 31
+
+
+def test_near_dedup_end_to_end(spark):
+    from beacon_spark.pipeline.dedup import near_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again today "
+    ) * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "tiny trailing change"),   # near-dup of 1
+            (3, "completely different content about oceanography and "
+                "instrument calibration procedures for deep sea sensors"),
+            (4, base),                             # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in near_dedup(docs, threshold=0.6).collect())
+    assert kept == [1, 3]
