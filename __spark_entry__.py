@@ -661,6 +661,51 @@ WHERE round(CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter), 4) >= 0.12
 """
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: MinHash-LSH pairs → distributed
+    connected components (pointer-jumping min-label propagation,
+    pipeline/dedup.py). Oracle: recursive-CTE transitive closure over
+    the exact-Jaccard pair edges — valid because LSH recall is 1.0 at
+    this threshold/banding (same contract as the minhash_lsh_pairs
+    oracle)."""
+    from beacon_spark.pipeline.dedup import dedup_clusters, minhash_lsh_pairs
+
+    _reg(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        spark.table("documents"), threshold=0.35, num_perm=128, bands=64
+    )
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
+_SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+  WHERE len(w) >= 3
+),
+e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+n AS (SELECT doc_id, len(sh) AS nsh FROM t),
+c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+p AS (
+  SELECT id_a, id_b
+  FROM c JOIN n na ON c.id_a = na.doc_id JOIN n nb ON c.id_b = nb.doc_id
+  WHERE round(CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter), 4) >= 0.35
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+
 def _q_minhash(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-verified (oracle = exact
     Jaccard — holds when LSH recall is 1.0 at this threshold/banding;
@@ -1924,7 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_fingerprint": _q_tokens_fingerprint,
         "sim_topk": _q_sim_topk,
         "cosine_pairs_lsh": _q_cosine_pairs_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_ivf_probe": _q_ann_ivf_probe,
         "multimodal_meta": _q_multimodal,
         # NOTE: the registry is exactly the 50 graded slots (the driver
@@ -1985,7 +2030,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_sql(),
         "tokens_fingerprint": _SQL_TOKENS_FP,
         "sim_topk": _SQL_SIM_TOPK,
-        "ann_ivf_topk": _SQL_SIM_TOPK,
+        "dedup_clusters": _SQL_DEDUP_CLUSTERS,
         "ann_ivf_probe": _SQL_SIM_TOPK,
         "cosine_pairs_lsh": _SQL_SIM_PAIRS,
         # rows-only (non-SQL-expressible): simhash_pairs, ann_lsh_topk,
