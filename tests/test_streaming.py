@@ -101,3 +101,29 @@ def test_stream_dedup_stateful_counts(spark, sf_small, tmp_path):
     b = sorted(tuple(r) for r in batch.collect())
     assert s == b and len(s) > 0
     assert any(r[2] > 0 for r in s)  # real duplicates counted
+
+
+def test_sliding_window_semantics(spark, sf_small):
+    """1h/30m sliding windows: every event lands in exactly two windows,
+    and a spot-checked window's count equals the direct range filter."""
+    from pyspark.sql import functions as F
+
+    from beacon_spark.streaming.windows import _ensure_timestamp, sliding_window_agg
+
+    events = spark.read.parquet(f"{sf_small}/events.parquet")
+    out = sliding_window_agg(events, window="1 hour", slide="30 minutes",
+                             group_cols=[])
+    total_events = events.count()
+    assert out.agg(F.sum("n_events")).collect()[0][0] == 2 * total_events
+
+    first = out.orderBy("window_start").limit(3).collect()
+    start = first[1].window_start  # a fully-interior window
+    direct = (
+        _ensure_timestamp(events, "ts")
+        .filter(
+            (F.unix_timestamp("ts") >= start)
+            & (F.unix_timestamp("ts") < start + 3600)
+        )
+        .count()
+    )
+    assert {r.window_start: r.n_events for r in first}[start] == direct
