@@ -948,6 +948,63 @@ class Hdf5Reader(Hdf5File):
         arr = np.frombuffer(raw[: n * npdt.itemsize], npdt).reshape(ds.shape)
         return arr
 
+    def read_region(self, ds: Dataset, region) -> np.ndarray:
+        """Decode only the chunks (or the contiguous slab) overlapping
+        ``region`` — a list of (lo, hi) per dimension. This is what makes
+        a row-chunked Spark task O(its slice), not O(the variable):
+        contiguous layouts seek straight to the leading-dim slab; chunked
+        layouts walk the chunk index and decompress intersecting chunks
+        only. vlen-string data falls back to a full read (global-heap
+        indirection; coordinate-sized in practice)."""
+        region = [tuple(r) for r in region]
+        if len(region) != len(ds.shape):
+            raise ValueError("region rank mismatch")
+        sel = tuple(slice(lo, hi) for lo, hi in region)
+        if ds.dtype.cls == 9 and ds.dtype.is_vlen_str:
+            return self.read(ds)[sel]
+        npdt = self._np_dtype(ds.dtype)
+        itemsize = npdt.itemsize
+        lay = ds.layout
+        if lay.cls == 0:  # compact: already in memory
+            return self.read(ds)[sel]
+        if lay.cls == 1:  # contiguous: slab on the leading dim, slice rest
+            if lay.addr == UNDEF:
+                fill = np.frombuffer((ds.fill or b"\x00" * itemsize)[:itemsize], npdt)[0]
+                return np.full(tuple(hi - lo for lo, hi in region), fill, npdt)
+            row = int(np.prod(ds.shape[1:], dtype=np.int64)) * itemsize
+            lo0, hi0 = region[0]
+            raw = bytes(self.buf[lay.addr + lo0 * row : lay.addr + hi0 * row])
+            arr = np.frombuffer(raw, npdt).reshape((hi0 - lo0,) + tuple(ds.shape[1:]))
+            return arr[(slice(None),) + sel[1:]]
+        # chunked: decode intersecting chunks only
+        rshape = tuple(hi - lo for lo, hi in region)
+        fill = np.frombuffer((ds.fill or b"\x00" * itemsize)[:itemsize], npdt)[0]
+        out = np.full(rshape, fill, npdt)
+        cshape = lay.chunk_shape
+        nelem_chunk = int(np.prod(cshape, dtype=np.int64))
+        for coffset, caddr, csize, cmask in self._chunks(ds):
+            inter = [
+                (max(lo, co), min(hi, co + cs))
+                for (lo, hi), co, cs in zip(region, coffset, cshape)
+            ]
+            if any(lo >= hi for lo, hi in inter):
+                continue
+            raw = bytes(self.buf[caddr : caddr + csize])
+            if ds.filters:
+                raw = apply_filters(raw, ds.filters, cmask, itemsize)
+            carr = np.frombuffer(
+                raw[: nelem_chunk * itemsize], npdt
+            ).reshape(cshape)
+            src = tuple(
+                slice(lo - co, hi - co) for (lo, hi), co in zip(inter, coffset)
+            )
+            dst = tuple(
+                slice(lo - rlo, hi - rlo)
+                for (lo, hi), (rlo, _) in zip(inter, region)
+            )
+            out[dst] = carr[src]
+        return out
+
     def _raw(self, ds: Dataset, itemsize: int) -> bytes:
         lay = ds.layout
         n = 1
@@ -1110,9 +1167,12 @@ _PURE_DIM_NAME = "This is a netCDF dimension but not a netCDF variable"
 
 
 class _H5Lazy:
-    """Lazy per-variable handle: the dataset decodes on first access only
-    (whole variable; chunk-sliced reads stay a TODO — one file is one
-    task, so a task never decodes variables it doesn't select)."""
+    """Lazy per-variable handle. A basic-slice ``__getitem__`` pushes the
+    selection into ``Hdf5Reader.read_region`` — only the chunks (or the
+    contiguous slab) overlapping the slice decode, so a Spark row-chunk
+    task reads O(its slice) bytes, not O(the variable). Fancy/stepped
+    indexing and string-matrix joins fall back to a cached whole-variable
+    load."""
 
     def __init__(self, reader: Hdf5Reader, ds: Dataset, member: str | None = None,
                  join_char_dim: bool = False):
@@ -1141,7 +1201,46 @@ class _H5Lazy:
     def __len__(self) -> int:
         return self.shape[0] if self.shape else 1
 
+    def _as_region(self, idx):
+        """Basic int/contiguous-slice indexing → (region, residual index)
+        or None when the form needs the full array."""
+        items = idx if isinstance(idx, tuple) else (idx,)
+        if len(items) > self.ndim:
+            return None
+        region: list[tuple[int, int]] = []
+        post: list = []
+        for d, it in enumerate(items):
+            n = self.shape[d]
+            if isinstance(it, (int, np.integer)):
+                i = int(it) + (n if it < 0 else 0)
+                if not 0 <= i < n:
+                    raise IndexError(idx)
+                region.append((i, i + 1))
+                post.append(0)
+            elif isinstance(it, slice):
+                if it.step not in (None, 1):
+                    return None
+                lo, hi, _ = it.indices(n)
+                region.append((lo, max(lo, hi)))
+                post.append(slice(None))
+            else:
+                return None
+        for d in range(len(items), self.ndim):
+            region.append((0, self.shape[d]))
+            post.append(slice(None))
+        return region, tuple(post)
+
     def __getitem__(self, idx) -> np.ndarray:
+        if self._data is None and self.member is None and not self.join_char_dim:
+            norm = self._as_region(idx)
+            if norm is not None:
+                region, post = norm
+                a = self.reader.read_region(self.ds, region)
+                if a.dtype.kind == "S":
+                    a = np.char.decode(
+                        np.char.rstrip(a, b"\x00 "), "utf-8", "replace"
+                    )
+                return a[post]
         return self._load()[idx]
 
     def __array__(self, dtype=None, copy=None):
