@@ -210,6 +210,8 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
     ("create_table_as", re.compile(
         r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL)),
     ("drop_table", re.compile(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
+    ("vacuum", re.compile(
+        r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?;?\s*$", re.IGNORECASE)),
     ("insert_into", re.compile(
         r"^\s*INSERT\s+INTO\s+(\w+)\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL)),
     ("delete_from", re.compile(
@@ -864,6 +866,13 @@ class Engine:
                 cat.drop_table(name)
             self.spark.catalog.dropTempView(name)
             return self._status(status="ok", op="drop_table", name=name)
+        if kind == "vacuum":
+            name, retain = m.group(1), int(m.group(2) or 1)
+            n_manifests, n_files = cat.table(name).vacuum(retain)
+            return self._status(
+                status="ok", op="vacuum", name=name,
+                manifests_removed=str(n_manifests), files_removed=str(n_files),
+            )
         if kind == "insert_into":
             name, rest = m.group(1), m.group(2).strip()
             cols = None

@@ -227,6 +227,32 @@ class ManagedTable:
             raise ManagedTableError(f"no column {name}")
         return self._write_manifest(T.StructType(fields), m["files"])
 
+    def vacuum(self, retain_versions: int = 1) -> tuple[int, int]:
+        """Reclaim storage: drop manifests older than the newest
+        ``retain_versions`` and delete data files no surviving version
+        references. Time travel shortens accordingly (the same contract
+        as Delta VACUUM / Lance cleanup). Returns (manifests_removed,
+        files_removed)."""
+        if retain_versions < 1:
+            raise ManagedTableError("VACUUM must retain at least 1 version")
+        ms = self._manifests()
+        keep_ms = ms[-retain_versions:]
+        drop_ms = ms[: -retain_versions] if retain_versions < len(ms) else []
+        live: set[str] = set()
+        for name in keep_ms:
+            with open(os.path.join(self.manifest_dir, name)) as f:
+                live.update(json.load(f)["files"])
+        removed_files = 0
+        if os.path.isdir(self.data_dir):
+            for fn in os.listdir(self.data_dir):
+                rel = os.path.join("data", fn)
+                if fn.endswith(".parquet") and rel not in live:
+                    os.remove(os.path.join(self.data_dir, fn))
+                    removed_files += 1
+        for name in drop_ms:
+            os.remove(os.path.join(self.manifest_dir, name))
+        return len(drop_ms), removed_files
+
     def drop(self) -> None:
         import shutil
 

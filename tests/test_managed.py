@@ -189,3 +189,34 @@ def test_create_index_clusters_and_prunes(spark, tmp_path):
          "filter": {"column": "g", "eq": 3}}
     )
     assert out3.count() > 0
+
+
+def test_vacuum_reclaims_old_versions(spark, tmp_path):
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.catalog.create_table("vac_t", spark.range(10).selectExpr("id"))
+    eng.sql("INSERT INTO vac_t SELECT id + 100 AS id FROM range(5)")
+    eng.sql("UPDATE vac_t SET id = id + 1 WHERE id < 3")
+    mt = eng.catalog.table("vac_t")
+    assert mt.current_version() >= 3
+    # old version readable before vacuum
+    assert mt.read(version=1).count() == 10
+
+    res = eng.sql("VACUUM vac_t RETAIN 1 VERSIONS").collect()[0]
+    assert int(res.files_removed) > 0 and int(res.manifests_removed) >= 2
+    # latest still intact, history gone
+    assert mt.read().count() == 15
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        mt.read(version=1)
+    # no dangling files: every remaining data file is referenced
+    import os as _os
+
+    live = set(mt._read_manifest()["files"])
+    on_disk = {
+        _os.path.join("data", f)
+        for f in _os.listdir(_os.path.join(mt.path, "data"))
+    }
+    assert on_disk == live
