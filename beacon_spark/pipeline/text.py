@@ -144,3 +144,73 @@ def repetition_metrics(
     for n in ngram_ns:
         out = out.withColumn(f"top_{n}gram_char_frac", top_frac(n)("__t"))
     return out.drop("__t")
+
+
+# ---------------------------------------------------------------- scrubbing
+
+# conservative, precision-leaning patterns (training-data scrub standard:
+# prefer leaving odd strings over mangling prose)
+_PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "url": (r"https?://[^\s<>\"']+", "<URL>"),
+    "ip": (
+        r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+        r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b",
+        "<IP>",
+    ),
+    "phone": (
+        r"\+\d{1,3}[ -]?(?:\(\d{1,4}\)[ -]?)?\d{2,4}(?:[ -]\d{2,4}){1,3}\b",
+        "<PHONE>",
+    ),
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "url", "ip", "phone"),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace emails/URLs/IPs/phone numbers with typed placeholder
+    tokens and append per-kind hit counts — chained ``regexp_replace``
+    (whole-stage codegen, no UDF; at 100 TB the scrub is a pure map
+    stage). Counts come from length deltas of a marker substitution, so
+    the text is scanned once per kind, not twice."""
+    out_col = out_col or text_col
+    cur = F.col(text_col)
+    counts = []
+    for kind in kinds:
+        pat, token = _PII_PATTERNS[kind]
+        n = F.size(F.split(cur, pat)) - F.lit(1)
+        counts.append(F.greatest(n, F.lit(0)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, token)
+    keep = [F.col(c) for c in df.columns if c != out_col]
+    return df.select(*keep, *counts, cur.alias(out_col))
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 50,
+    max_chars: int = 100_000,
+    max_dup_line_ratio: float = 0.3,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """Gopher-style document filter composed from the metric expressions
+    — single pass, all Catalyst; each rejection reason is cheap to audit
+    by selecting the metric columns before filtering."""
+    lines = F.split(F.col(text_col), r"\n")
+    n_chars = F.length(text_col)
+    dup_line = (F.size(lines) - F.size(F.array_distinct(lines))) / F.greatest(
+        F.size(lines), F.lit(1)
+    )
+    punct = (
+        n_chars
+        - F.length(F.regexp_replace(F.col(text_col), r"[.,;:!?]", ""))
+    ) / F.greatest(n_chars, F.lit(1))
+    return df.filter(
+        (n_chars >= min_chars)
+        & (n_chars <= max_chars)
+        & (dup_line <= max_dup_line_ratio)
+        & (punct <= max_punct_ratio)
+    )

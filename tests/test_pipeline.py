@@ -372,3 +372,48 @@ def test_near_dedup_end_to_end(spark):
     )
     kept = sorted(r.doc_id for r in near_dedup(docs, threshold=0.6).collect())
     assert kept == [1, 3]
+
+
+def test_scrub_pii(spark):
+    from beacon_spark.pipeline.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or visit https://x.io/a?b=1 now"),
+            (2, "server at 192.168.1.10 and call +1 555-123-4567 ok"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert "<EMAIL>" in out[1].text and "<URL>" in out[1].text
+    assert out[1].n_email == 1 and out[1].n_url == 1
+    assert "<IP>" in out[2].text and "<PHONE>" in out[2].text
+    assert out[2].n_ip == 1 and out[2].n_phone == 1
+    assert out[3].text == "no pii here at all"
+    assert out[3].n_email == out[3].n_url == out[3].n_ip == out[3].n_phone == 0
+
+
+def test_scrub_pii_no_python_in_plan(spark):
+    from beacon_spark.pipeline.text import scrub_pii
+
+    df = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
+    plan = scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_filter(spark):
+    from beacon_spark.pipeline.text import quality_filter
+
+    good = "This is a perfectly reasonable paragraph of text " * 3
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short"),
+            (3, "x\n" * 200),          # duplicate lines
+            (4, "!?.,;:" * 50),         # punctuation soup
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in quality_filter(df).collect())
+    assert kept == [1]
