@@ -1556,7 +1556,9 @@ def _q_netcdf_roundtrip(spark, sf_dir):
     )
     root = tempfile.mkdtemp(prefix="beacon_nd_")
     write_output(agg, "netcdf", os.path.join(root, "agg.nc"))
-    eng = Engine(spark, datasets_root=root)
+    # file:// URI root: the read resolves through the object-store
+    # byte-source abstraction (sources/bytesource.py), not bare open()
+    eng = Engine(spark, datasets_root="file://" + root)
     return eng.sql(
         "SELECT l_returnflag, l_linestatus, sum_qty, "
         "CAST(n_rows AS BIGINT) AS n_rows "
@@ -1610,7 +1612,9 @@ def _q_zarr_roundtrip(spark, sf_dir):
         codec="blosc",
         chunk_shapes={k: (32,) for k in ("bucket", "total", "n")},
     )
-    eng = Engine(spark, datasets_root=root)
+    # file:// URI root — zarr chunk reads go through the byte-source
+    # abstraction's scheme dispatch (sources/bytesource.py)
+    eng = Engine(spark, datasets_root="file://" + root)
     return eng.sql(
         "SELECT bucket, total, n FROM read_zarr('agg.zarr') ORDER BY bucket"
     )

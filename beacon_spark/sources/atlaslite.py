@@ -39,6 +39,8 @@ import os
 
 import numpy as np
 
+from beacon_spark.sources import bytesource as _bs
+
 ATLAS_MARKER_NAMES = (
     "atlas.json", "atlas.json.zst", "atlas.json.lz4",
     "atlas.msgpack", "atlas.msgpack.zst", "atlas.msgpack.lz4",
@@ -53,11 +55,10 @@ AF_READS = 0
 
 
 def _read_marker(path: str) -> dict:
-    name = os.path.basename(path)
+    name = _bs.basename(path)
     if name not in ATLAS_MARKER_NAMES:
         raise ValueError(f"{path}: not an atlas marker (want one of {ATLAS_MARKER_NAMES})")
-    with open(path, "rb") as f:
-        raw = f.read()
+    raw = _bs.read_bytes(path)
     if name.endswith((".zst", ".lz4")) or ".msgpack" in name:
         raise ValueError(
             f"{path}: only plain atlas.json markers are supported "
@@ -87,8 +88,7 @@ class AtlasLazyArray:
             AF_READS += 1
             import pyarrow as pa
 
-            with open(self.af_path, "rb") as f:
-                raw = f.read()
+            raw = _bs.read_bytes(self.af_path)
             buf = pa.Codec("zstd").decompress(raw, self.nbytes)
             if self.dtype.kind in "US":  # strings: json-encoded list
                 vals = json.loads(buf.to_pybytes())
@@ -169,7 +169,7 @@ def open_atlas(path: str):
     if ds_name not in datasets:
         raise KeyError(f"{marker}: no dataset {ds_name!r} (have {sorted(datasets)})")
     spec = datasets[ds_name]
-    root = os.path.dirname(marker)
+    root = _bs.dirname(marker)
 
     dims: dict[str, int] = {}
     variables: dict[str, tuple[tuple[str, ...], AtlasLazyArray]] = {}
@@ -178,7 +178,7 @@ def open_atlas(path: str):
         shape = tuple(aspec["shape"])
         adims = tuple(aspec["dims"])
         arr = AtlasLazyArray(
-            os.path.join(root, aspec["path"]),
+            _bs.join(root, aspec["path"]),
             shape,
             np.dtype(aspec["dtype"]),
             aspec.get("fill_value"),

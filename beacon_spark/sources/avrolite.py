@@ -18,6 +18,8 @@ from __future__ import annotations
 import io
 import json
 import struct
+
+from beacon_spark.sources import bytesource as _bs
 import zlib
 
 __all__ = ["read_avro", "write_avro"]
@@ -112,8 +114,7 @@ class _Reader:
 
 def read_avro(path: str) -> tuple[dict, list[dict]]:
     """→ (file metadata dict with parsed 'avro.schema', list of records)."""
-    with open(path, "rb") as f:
-        buf = f.read()
+    buf = _bs.read_bytes(path)  # manifests are metadata-sized; one GET
     r = _Reader(buf)
     if r.read(4) != _MAGIC:
         raise ValueError(f"not an avro container: {path}")

@@ -1,0 +1,491 @@
+"""Seekable byte-source + filesystem abstraction for the custom readers.
+
+The reference reads every file format through a pluggable ``object_store``
+layer (``beacon-arrow-netcdf/src/lib.rs:1-20`` "oxcdf over object_store",
+``beacon-arrow-zarr/src/lib.rs:1-10``), so 100 TB of NetCDF/Zarr/TIFF in
+S3 is as readable as a local directory.  This module is the PySpark-side
+analog for our pure-Python readers (hdf5lite / netcdf3 / zarrlite /
+tifflite / atlaslite / delta / iceberg / odv):
+
+- **Local paths stay mmap.**  ``open_buffer("/x/y.h5")`` returns an
+  OS-paged ``mmap`` — slicing faults in only the touched pages, zero
+  behavior change vs the previous ``open()``-based code.
+- **URIs become ranged reads.**  ``open_buffer("s3://b/k.h5")`` returns a
+  :class:`LazyBuf`: a bytes-like facade over a :class:`ByteSource` whose
+  ``[a:b]`` slicing issues object-store range GETs.  Small reads (header
+  walks, b-tree hops) are served from an LRU block cache (64 KiB blocks);
+  large reads (data chunks) bypass the cache as one range request.  A
+  reader written against "bytes-like + :func:`unpack_from` +
+  :func:`frombuffer`" therefore works unchanged over both.
+- **Directory/metadata formats** (zarr stores, Delta logs, Iceberg
+  metadata, ODV text) go through the module-level FS helpers
+  (:func:`read_bytes` / :func:`read_text` / :func:`exists` /
+  :func:`listdir` / :func:`walk` / :func:`isdir` / :func:`join`), which
+  dispatch on URI scheme the same way.
+
+Remote schemes resolve through ``pyarrow.fs.FileSystem.from_uri`` (s3://,
+gs://, hdfs://, …) — no extra dependency; filesystem instances are cached
+per (scheme, authority).  Tests and exotic stores can
+:func:`register_scheme` their own filesystem object (this is how the
+range-read accounting test proves chunk reads fetch only their byte
+ranges).
+"""
+
+from __future__ import annotations
+
+import fnmatch as _fnmatch
+import glob as _glob
+import io
+import mmap as _mmap
+import os
+import posixpath
+import struct
+from collections import OrderedDict
+from urllib.parse import urlparse
+
+import numpy as np
+
+__all__ = [
+    "ByteSource", "FileByteSource", "ArrowFileByteSource", "LazyBuf",
+    "open_buffer", "unpack_from", "frombuffer", "read_range",
+    "read_bytes", "read_text", "open_text", "exists", "isdir", "isfile",
+    "listdir", "walk", "join", "basename", "dirname", "glob", "is_uri",
+    "local_path", "read_head", "register_scheme",
+]
+
+
+# --------------------------------------------------------------- URIs
+
+def is_uri(path: str) -> bool:
+    """True for scheme://… paths (windows drive letters excluded)."""
+    i = path.find("://")
+    return i > 1  # "c://" single letter = drive, not a scheme
+
+
+def _scheme(path: str) -> str | None:
+    return path[: path.find("://")].lower() if is_uri(path) else None
+
+
+def local_path(path: str) -> str:
+    """Strip a file:// scheme; other paths pass through unchanged."""
+    if path.startswith("file://"):
+        return path[7:] or "/"
+    return path
+
+
+def _is_local(path: str) -> bool:
+    s = _scheme(path)
+    return s is None or s == "file"
+
+
+# ------------------------------------------------------- byte sources
+
+class ByteSource:
+    """A seekable, random-access byte container: the contract every
+    custom reader's I/O reduces to (the object_store GetRange analog)."""
+
+    def size(self) -> int:
+        raise NotImplementedError
+
+    def read_range(self, offset: int, length: int) -> bytes:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+
+class FileByteSource(ByteSource):
+    """Local file via mmap (used only when a test wraps it — plain local
+    opens return the mmap itself, no indirection)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = open(path, "rb")
+        try:
+            self._buf = _mmap.mmap(self._f.fileno(), 0, access=_mmap.ACCESS_READ)
+        except ValueError:  # empty file
+            self._buf = b""
+
+    def size(self) -> int:
+        return len(self._buf)
+
+    def read_range(self, offset: int, length: int) -> bytes:
+        return bytes(self._buf[offset: offset + length])
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class ArrowFileByteSource(ByteSource):
+    """Range reads over a ``pyarrow.fs`` random-access file (S3/GCS/HDFS:
+    every ``read_range`` is one ranged GET on the store)."""
+
+    def __init__(self, fs, fs_path: str):
+        self._f = fs.open_input_file(fs_path)
+        self._size = self._f.size()
+
+    def size(self) -> int:
+        return self._size
+
+    def read_range(self, offset: int, length: int) -> bytes:
+        # read_at = positioned read; no seek state to race between tasks
+        return self._f.read_at(length, offset)
+
+    def close(self) -> None:
+        self._f.close()
+
+
+_BLOCK = 64 * 1024          # cache granularity for small metadata reads
+_CACHE_BLOCKS = 256         # ≤ 16 MiB resident per open remote file
+
+
+class LazyBuf:
+    """Bytes-like facade over a :class:`ByteSource`.
+
+    Supports exactly what the readers use: ``len()``, ``buf[i]`` → int,
+    ``buf[a:b]`` → bytes.  Slices shorter than one block are served from
+    an LRU 64 KiB block cache (header parsing does thousands of tiny
+    reads — one GET per 64 KiB region instead); slices ≥ one block
+    bypass the cache as a single range request (a 10 MB chunk read is
+    one GET, not 160).
+    """
+
+    def __init__(self, source: ByteSource):
+        self.source = source
+        self._size = source.size()
+        self._blocks: OrderedDict[int, bytes] = OrderedDict()
+
+    def __len__(self) -> int:
+        return self._size
+
+    def _block(self, idx: int) -> bytes:
+        blk = self._blocks.get(idx)
+        if blk is None:
+            off = idx * _BLOCK
+            blk = self.source.read_range(off, min(_BLOCK, self._size - off))
+            self._blocks[idx] = blk
+            if len(self._blocks) > _CACHE_BLOCKS:
+                self._blocks.popitem(last=False)
+        else:
+            self._blocks.move_to_end(idx)
+        return blk
+
+    def read_range(self, offset: int, length: int) -> bytes:
+        offset = max(0, min(offset, self._size))
+        length = max(0, min(length, self._size - offset))
+        if length == 0:
+            return b""
+        if length >= _BLOCK:
+            return self.source.read_range(offset, length)
+        first, last = offset // _BLOCK, (offset + length - 1) // _BLOCK
+        parts = [self._block(i) for i in range(first, last + 1)]
+        blob = parts[0] if len(parts) == 1 else b"".join(parts)
+        start = offset - first * _BLOCK
+        return blob[start: start + length]
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            start, stop, step = key.indices(self._size)
+            if step != 1:
+                return self.read_range(start, max(0, stop - start))[::step]
+            return self.read_range(start, max(0, stop - start))
+        if key < 0:
+            key += self._size
+        return self.read_range(key, 1)[0]
+
+
+def unpack_from(fmt: str, buf, offset: int = 0) -> tuple:
+    """``struct.unpack_from`` that also accepts a :class:`LazyBuf`."""
+    if isinstance(buf, LazyBuf):
+        return struct.unpack(fmt, buf.read_range(offset, struct.calcsize(fmt)))
+    return struct.unpack_from(fmt, buf, offset)
+
+
+def frombuffer(buf, dtype, count: int = -1, offset: int = 0) -> np.ndarray:
+    """``np.frombuffer`` that also accepts a :class:`LazyBuf` (remote:
+    one ranged read of exactly ``count`` items — callers keep reads
+    O(slice) by passing the covering range, not the whole variable)."""
+    if isinstance(buf, LazyBuf):
+        dt = np.dtype(dtype)
+        n = count if count >= 0 else (len(buf) - offset) // dt.itemsize
+        return np.frombuffer(buf.read_range(offset, n * dt.itemsize), dt, n)
+    return np.frombuffer(buf, dtype, count, offset)
+
+
+def find_nul(buf, pos: int) -> int:
+    """Offset of the next NUL byte at/after ``pos`` (C-string scans in
+    the HDF5 local heap); block-wise over a :class:`LazyBuf`."""
+    if isinstance(buf, LazyBuf):
+        off = pos
+        while off < len(buf):
+            chunk = buf.read_range(off, 256)
+            i = chunk.find(b"\x00")
+            if i >= 0:
+                return off + i
+            off += len(chunk)
+        raise ValueError("unterminated string")
+    i = buf.find(b"\x00", pos)
+    if i < 0:
+        raise ValueError("unterminated string")
+    return i
+
+
+def read_range(buf, offset: int, length: int) -> bytes:
+    """Ranged read over either buffer kind (mmap slice or range GET)."""
+    if isinstance(buf, LazyBuf):
+        return buf.read_range(offset, length)
+    return bytes(buf[offset: offset + length])
+
+
+# ------------------------------------------------------- filesystems
+
+class _LocalFS:
+    """POSIX operations; file:// URIs are stripped per call."""
+
+    def open_buffer(self, path: str):
+        p = local_path(path)
+        f = open(p, "rb")
+        try:
+            return _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+        except ValueError:
+            return f.read()  # empty file
+        finally:
+            # mmap holds its own fd reference; the python handle can close
+            f.close()
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(local_path(path), "rb") as f:
+            return f.read()
+
+    def open_text(self, path: str, **kw):
+        return open(local_path(path), encoding=kw.get("encoding", "utf-8"),
+                    errors=kw.get("errors", "strict"), newline=kw.get("newline"))
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(local_path(path))
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(local_path(path))
+
+    def isfile(self, path: str) -> bool:
+        return os.path.isfile(local_path(path))
+
+    def listdir(self, path: str) -> list[str]:
+        return sorted(os.listdir(local_path(path)))
+
+    def walk(self, path: str):
+        yield from os.walk(local_path(path))
+
+    def glob(self, pattern: str) -> list[str]:
+        prefix = "file://" if pattern.startswith("file://") else ""
+        return [
+            prefix + p
+            for p in sorted(_glob.glob(local_path(pattern), recursive=True))
+        ]
+
+
+class _ArrowFS:
+    """pyarrow.fs-backed operations for object-store URIs.  Full URIs in,
+    full URIs out — internal paths are scheme-stripped per pyarrow's
+    convention (s3://bucket/key ↔ "bucket/key")."""
+
+    def __init__(self, scheme: str, authority: str):
+        from pyarrow import fs as pafs
+
+        self.scheme, self.authority = scheme, authority
+        base = f"{scheme}://{authority}" if authority else f"{scheme}://"
+        self.fs, self._root = pafs.FileSystem.from_uri(base + "/")
+        self._root = self._root.rstrip("/")
+
+    def _p(self, uri: str) -> str:
+        u = urlparse(uri)
+        path = u.path.lstrip("/")
+        if self._root:
+            return f"{self._root}/{path}" if path else self._root
+        return "/" + path if uri[len(self.scheme) + 3:].startswith("/") else path
+
+    def _uri(self, fs_path: str) -> str:
+        rel = fs_path[len(self._root):].lstrip("/") if self._root else fs_path.lstrip("/")
+        return f"{self.scheme}://{self.authority}/{rel}" if self.authority else f"{self.scheme}:///{rel}"
+
+    def open_buffer(self, path: str):
+        return LazyBuf(ArrowFileByteSource(self.fs, self._p(path)))
+
+    def read_bytes(self, path: str) -> bytes:
+        with self.fs.open_input_stream(self._p(path)) as f:
+            return f.read()
+
+    def open_text(self, path: str, **kw):
+        return io.TextIOWrapper(
+            io.BytesIO(self.read_bytes(path)),
+            encoding=kw.get("encoding", "utf-8"), errors=kw.get("errors"),
+            newline=kw.get("newline"),
+        )
+
+    def _info(self, path: str):
+        from pyarrow import fs as pafs
+
+        try:
+            return self.fs.get_file_info(self._p(path))
+        except OSError:
+            return pafs.FileInfo(self._p(path), pafs.FileType.NotFound)
+
+    def exists(self, path: str) -> bool:
+        from pyarrow import fs as pafs
+
+        return self._info(path).type != pafs.FileType.NotFound
+
+    def isdir(self, path: str) -> bool:
+        from pyarrow import fs as pafs
+
+        return self._info(path).type == pafs.FileType.Directory
+
+    def isfile(self, path: str) -> bool:
+        from pyarrow import fs as pafs
+
+        return self._info(path).type == pafs.FileType.File
+
+    def listdir(self, path: str) -> list[str]:
+        from pyarrow import fs as pafs
+
+        sel = pafs.FileSelector(self._p(path), recursive=False)
+        return sorted(posixpath.basename(i.path) for i in self.fs.get_file_info(sel))
+
+    def walk(self, path: str):
+        from pyarrow import fs as pafs
+
+        sel = pafs.FileSelector(self._p(path), recursive=True)
+        infos = self.fs.get_file_info(sel)
+        by_dir: dict[str, tuple[list[str], list[str]]] = {self._uri(self._p(path)).rstrip("/"): ([], [])}
+        for i in sorted(infos, key=lambda i: i.path):
+            d = self._uri(posixpath.dirname(i.path)).rstrip("/")
+            dirs, files = by_dir.setdefault(d, ([], []))
+            if i.type == pafs.FileType.Directory:
+                dirs.append(posixpath.basename(i.path))
+                by_dir.setdefault(self._uri(i.path).rstrip("/"), ([], []))
+            else:
+                files.append(posixpath.basename(i.path))
+        for d, (dirs, files) in by_dir.items():
+            yield d, dirs, files
+
+    def glob(self, pattern: str) -> list[str]:
+        # longest wildcard-free prefix = the listing root
+        u = urlparse(pattern)
+        parts = u.path.lstrip("/").split("/")
+        base_parts = []
+        for p in parts:
+            if any(ch in p for ch in "*?["):
+                break
+            base_parts.append(p)
+        base = f"{u.scheme}://{u.netloc}/" + "/".join(base_parts)
+        from pyarrow import fs as pafs
+
+        try:
+            infos = self.fs.get_file_info(pafs.FileSelector(self._p(base), recursive=True))
+        except (OSError, FileNotFoundError):
+            return []
+        want = u.path.lstrip("/")
+        out = []
+        for i in infos:
+            uri = self._uri(i.path)
+            rel = urlparse(uri).path.lstrip("/")
+            if _fnmatch.fnmatch(rel, want):
+                out.append(uri)
+        return sorted(out)
+
+
+_LOCAL_FS = _LocalFS()
+_SCHEMES: dict[str, object] = {}       # scheme -> factory(scheme, authority) -> FS
+_FS_CACHE: dict[tuple[str, str], object] = {}
+
+
+def register_scheme(scheme: str, factory) -> None:
+    """Register ``factory(scheme, authority) -> filesystem`` for a URI
+    scheme (the test hook — a recording/in-memory store plugs in here;
+    also the extension point for fsspec-style stores)."""
+    _SCHEMES[scheme.lower()] = factory
+    for key in [k for k in _FS_CACHE if k[0] == scheme.lower()]:
+        del _FS_CACHE[key]
+
+
+def fs_for(path: str):
+    s = _scheme(path)
+    if s is None or s == "file":
+        return _LOCAL_FS
+    auth = urlparse(path).netloc
+    key = (s, auth)
+    fs = _FS_CACHE.get(key)
+    if fs is None:
+        factory = _SCHEMES.get(s)
+        fs = factory(s, auth) if factory is not None else _ArrowFS(s, auth)
+        _FS_CACHE[key] = fs
+    return fs
+
+
+# ------------------------------------------- module-level dispatchers
+
+def open_buffer(path: str):
+    """Path/URI → bytes-like: mmap for local (OS-paged, zero copy),
+    :class:`LazyBuf` (block-cached range reads) for object stores."""
+    return fs_for(path).open_buffer(path)
+
+
+def read_bytes(path: str) -> bytes:
+    return fs_for(path).read_bytes(path)
+
+
+def read_text(path: str, **kw) -> str:
+    with fs_for(path).open_text(path, **kw) as f:
+        return f.read()
+
+
+def open_text(path: str, **kw):
+    return fs_for(path).open_text(path, **kw)
+
+
+def exists(path: str) -> bool:
+    return fs_for(path).exists(path)
+
+
+def isdir(path: str) -> bool:
+    return fs_for(path).isdir(path)
+
+
+def isfile(path: str) -> bool:
+    return fs_for(path).isfile(path)
+
+
+def listdir(path: str) -> list[str]:
+    return fs_for(path).listdir(path)
+
+
+def walk(path: str):
+    yield from fs_for(path).walk(path)
+
+
+def glob(pattern: str) -> list[str]:
+    return fs_for(pattern).glob(pattern)
+
+
+def read_head(path: str, n: int) -> bytes:
+    """First ``n`` bytes (format sniffing) without a full open."""
+    fs = fs_for(path)
+    if fs is _LOCAL_FS:
+        with open(local_path(path), "rb") as f:
+            return f.read(n)
+    return fs.open_buffer(path).read_range(0, n)
+
+
+def join(base: str, *parts: str) -> str:
+    """URI-aware path join ("/" separators for URIs, os.path locally)."""
+    if is_uri(base):
+        return "/".join([base.rstrip("/"), *[p.strip("/") for p in parts]])
+    return os.path.join(base, *parts)
+
+
+def basename(path: str) -> str:
+    return posixpath.basename(path.rstrip("/")) if is_uri(path) else os.path.basename(path)
+
+
+def dirname(path: str) -> str:
+    return posixpath.dirname(path.rstrip("/")) if is_uri(path) else os.path.dirname(path)

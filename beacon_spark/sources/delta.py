@@ -33,6 +33,8 @@ generated columns are ignored.
 from __future__ import annotations
 
 import json
+
+from beacon_spark.sources import bytesource as _bs
 import os
 import time
 import uuid
@@ -64,15 +66,15 @@ class _Snapshot:
 
 
 def _log_dir(location: str) -> str:
-    return os.path.join(location, "_delta_log")
+    return _bs.join(location, "_delta_log")
 
 
 def _list_commits(log: str) -> list[tuple[int, str]]:
     out = []
-    for name in os.listdir(log):
+    for name in _bs.listdir(log):
         base, ext = os.path.splitext(name)
         if ext == ".json" and base.isdigit():
-            out.append((int(base), os.path.join(log, name)))
+            out.append((int(base), _bs.join(log, name)))
     return sorted(out)
 
 
@@ -123,15 +125,14 @@ def _read_checkpoint(snap: _Snapshot, path: str) -> None:
 
 def _snapshot(location: str, version_as_of: int | None = None) -> _Snapshot:
     log = _log_dir(location)
-    if not os.path.isdir(log):
+    if not _bs.isdir(log):
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {location}")
     snap = _Snapshot()
     commits = _list_commits(log)
     start = 0
-    last_cp = os.path.join(log, "_last_checkpoint")
-    if version_as_of is None and os.path.exists(last_cp):
-        with open(last_cp) as f:
-            cp = json.load(f)
+    last_cp = _bs.join(log, "_last_checkpoint")
+    if version_as_of is None and _bs.exists(last_cp):
+        cp = json.loads(_bs.read_text(last_cp))
         cp_version = cp["version"]
         parts = cp.get("parts")
         if parts:
@@ -141,14 +142,14 @@ def _snapshot(location: str, version_as_of: int | None = None) -> _Snapshot:
             for i in range(1, int(parts) + 1):
                 _read_checkpoint(
                     snap,
-                    os.path.join(
+                    _bs.join(
                         log,
                         f"{cp_version:020d}.checkpoint.{i:010d}.{int(parts):010d}.parquet",
                     ),
                 )
         else:
             _read_checkpoint(
-                snap, os.path.join(log, f"{cp_version:020d}.checkpoint.parquet")
+                snap, _bs.join(log, f"{cp_version:020d}.checkpoint.parquet")
             )
         snap.version = cp_version
         start = cp_version + 1
@@ -157,7 +158,7 @@ def _snapshot(location: str, version_as_of: int | None = None) -> _Snapshot:
             continue
         if version_as_of is not None and v > version_as_of:
             break
-        with open(path) as f:
+        with _bs.open_text(path) as f:
             for line in f:
                 line = line.strip()
                 if line:
@@ -203,7 +204,7 @@ def read_delta(
     groups: dict[tuple, list[str]] = {}
     for path, pvals in snap.adds.items():
         key = tuple(pvals.get(c) for c in part_cols)
-        groups.setdefault(key, []).append(os.path.join(location, path))
+        groups.setdefault(key, []).append(_bs.join(location, path))
 
     types = {f.name: f.dataType for f in snap.schema.fields}
     out_cols = [f.name for f in snap.schema.fields]
@@ -232,23 +233,82 @@ def read_delta(
     for p in parts[1:]:
         out = out.union(p)
     if with_dv:
-        from beacon_spark.sources.delta_dv import decode_dv_descriptor
-
-        deleted = [
-            (_file_uri(os.path.join(location, path)), int(idx))
-            for path, desc in snap.dvs.items()
-            for idx in decode_dv_descriptor(desc, location)
-        ]
-        del_df = spark.createDataFrame(
-            deleted, T.StructType([
-                T.StructField("__dv_fp", T.StringType()),
-                T.StructField("__dv_pos", T.LongType()),
-            ])
+        from beacon_spark.sources.delta_dv import (
+            decode_dv_descriptor,
+            read_dv_blob,
+            roaring_bitmap_array_decode,
         )
-        out = out.join(
-            F.broadcast(del_df), ["__dv_fp", "__dv_pos"], "left_anti"
-        ).drop("__dv_fp", "__dv_pos")
+
+        total_card = sum(
+            int(desc.get("cardinality", 0)) for desc in snap.dvs.values()
+        )
+        if total_card <= _DV_EXPAND_LIMIT:
+            # metadata-sized DVs: expand on the driver, broadcast an
+            # anti-join — pure JVM, no Python in the scan
+            deleted = [
+                (_file_uri(_bs.join(location, path)), int(idx))
+                for path, desc in snap.dvs.items()
+                for idx in decode_dv_descriptor(desc, location)
+            ]
+            del_df = spark.createDataFrame(
+                deleted, T.StructType([
+                    T.StructField("__dv_fp", T.StringType()),
+                    T.StructField("__dv_pos", T.LongType()),
+                ])
+            )
+            out = out.join(
+                F.broadcast(del_df), ["__dv_fp", "__dv_pos"], "left_anti"
+            ).drop("__dv_fp", "__dv_pos")
+        else:
+            # high-cardinality DVs (large DELETEs): never materialize the
+            # index list on the driver — ship the compact roaring blobs
+            # (KBs per million rows) and filter executor-side with a
+            # vectorized searchsorted over each task's Arrow batch
+            import numpy as np
+            import pandas as pd
+
+            blobs = {
+                _file_uri(_bs.join(location, path)): read_dv_blob(desc, location)
+                for path, desc in snap.dvs.items()
+            }
+            bc = spark.sparkContext.broadcast(blobs)
+
+            def __dv_live(fp, pos):
+                cache: dict[str, np.ndarray] = {}
+                keep = np.ones(len(fp), dtype=bool)
+                for f in fp.unique():
+                    blob = bc.value.get(f)
+                    if blob is None:
+                        continue
+                    arr = cache.get(f)
+                    if arr is None:
+                        arr = np.asarray(
+                            roaring_bitmap_array_decode(blob), dtype=np.int64
+                        )
+                        cache[f] = arr
+                    m = fp.values == f
+                    p = pos.values[m].astype(np.int64)
+                    loc = np.searchsorted(arr, p)
+                    hit = (loc < len(arr)) & (arr[np.minimum(loc, len(arr) - 1)] == p)
+                    keep[m] = ~hit
+                return pd.Series(keep)
+
+            # real (non-string) annotations: `from __future__ import
+            # annotations` would otherwise break pandas_udf inference
+            __dv_live.__annotations__ = {
+                "fp": pd.Series, "pos": pd.Series, "return": pd.Series
+            }
+            __dv_live = F.pandas_udf(__dv_live, "boolean")
+            out = out.filter(__dv_live(F.col("__dv_fp"), F.col("__dv_pos"))).drop(
+                "__dv_fp", "__dv_pos"
+            )
     return out
+
+
+# Above this many total deleted rows the driver stops expanding roaring
+# bitmaps into (file, index) tuples and switches to executor-side
+# bitmap filtering (read_delta's two DV strategies).
+_DV_EXPAND_LIMIT = 1_000_000
 
 
 def _file_uri(path: str) -> str:
@@ -277,7 +337,7 @@ def delta_history(
     rows = []
     for v, path in _list_commits(_log_dir(location)):
         op, ts, n_add, n_rm = None, None, 0, 0
-        with open(path) as f:
+        with _bs.open_text(path) as f:
             for line in f:
                 line = line.strip()
                 if not line:

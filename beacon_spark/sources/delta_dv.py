@@ -12,10 +12,15 @@ Per the public Delta protocol (PROTOCOL.md "Deletion Vectors"):
   - on-disk format: file starts with a version byte (1); the blob at
     ``offset`` is ``[size: i32 BE][data][crc32(data): u32 BE]`` where
     ``data`` = ``[magic 1681511377: u32 LE][RoaringBitmapArray]``.
-  - RoaringBitmapArray (Delta's 64-bit "native" serialization):
-    ``[numBitmaps: i64 LE]`` then that many standard-serialization
-    32-bit Roaring bitmaps; bitmap ``i`` holds the low 32 bits of the
-    deleted row indexes whose high 32 bits equal ``i``.
+  - RoaringBitmapArray, **portable** serialization (PROTOCOL.md points
+    at the 64-bit extension of the RoaringFormatSpec — this is what
+    delta-spark and delta-rs read/write): ``[numBitmaps: i64 LE]`` then
+    per bitmap ``[key: u32 LE][standard 32-bit roaring serialization]``,
+    where ``key`` is the high 32 bits of the row indexes in that bitmap.
+    Keys are sorted and only non-empty bitmaps are stored.  (The keyless
+    sequential layout this module previously wrote is delta-spark's
+    "native" in-memory format, not the on-disk one — a byte-level
+    fixture in tests/test_delta.py pins the portable layout.)
 
 The 32-bit Roaring "portable" wire format (RoaringFormatSpec): cookie
 12346 (no runs, container count follows) or 12347 (runs, count packed in
@@ -35,6 +40,7 @@ __all__ = [
     "roaring_bitmap_array_decode",
     "roaring_bitmap_array_encode",
     "decode_dv_descriptor",
+    "read_dv_blob",
     "write_dv_file",
 ]
 
@@ -156,17 +162,19 @@ _DV_MAGIC = 1681511377
 
 
 def roaring_bitmap_array_decode(data: bytes) -> list[int]:
-    """Delta ``data`` blob (magic + 64-bit RoaringBitmapArray) → sorted
-    row indexes."""
+    """Delta ``data`` blob (magic + portable 64-bit RoaringBitmapArray)
+    → sorted row indexes."""
     (magic,) = struct.unpack_from("<I", data, 0)
     if magic != _DV_MAGIC:
         raise ValueError(f"bad deletion-vector magic {magic}")
     (n_bitmaps,) = struct.unpack_from("<q", data, 4)
     off = 12
     out: list[int] = []
-    for i in range(n_bitmaps):
+    for _ in range(n_bitmaps):
+        (key,) = struct.unpack_from("<I", data, off)
+        off += 4
         vals, off = _roaring32_decode(data, off)
-        out.extend((i << 32) | v for v in vals)
+        out.extend((key << 32) | v for v in vals)
     return sorted(out)
 
 
@@ -174,45 +182,55 @@ def roaring_bitmap_array_encode(indexes: list[int]) -> bytes:
     groups: dict[int, list[int]] = {}
     for v in indexes:
         groups.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
-    n = (max(groups) + 1) if groups else 0
-    out = bytearray(struct.pack("<Iq", _DV_MAGIC, n))
-    for i in range(n):
-        out += _roaring32_encode(groups.get(i, []))
+    keys = sorted(groups)  # portable: sorted, non-empty bitmaps only
+    out = bytearray(struct.pack("<Iq", _DV_MAGIC, len(keys)))
+    for k in keys:
+        out += struct.pack("<I", k)
+        out += _roaring32_encode(groups[k])
     return bytes(out)
 
 
 # ------------------------------------------------------- descriptor I/O
 
 
-def decode_dv_descriptor(desc: dict, table_location: str) -> list[int]:
-    """DeletionVectorDescriptor → sorted deleted row indexes."""
-    import os
+def read_dv_blob(desc: dict, table_location: str) -> bytes:
+    """DeletionVectorDescriptor → the verified ``data`` blob (magic +
+    portable RoaringBitmapArray), NOT the expanded index list — callers
+    that ship the vector to executors keep it compact (a million deleted
+    rows is a few hundred KB of roaring, not a million-tuple Python
+    list)."""
+    from beacon_spark.sources import bytesource as _bs
 
     st = desc["storageType"]
     if st == "i":
-        data = z85_decode(desc["pathOrInlineDv"])
-        return roaring_bitmap_array_decode(data[: desc["sizeInBytes"]])
+        return z85_decode(desc["pathOrInlineDv"])[: desc["sizeInBytes"]]
     if st == "u":
         enc = desc["pathOrInlineDv"]
         prefix, uid_part = enc[:-20], enc[-20:]
         uid = z85_decode(uid_part)
         name = f"deletion_vector_{_uuid_str(uid)}.bin"
-        path = os.path.join(table_location, prefix, name) if prefix else os.path.join(
+        path = _bs.join(table_location, prefix, name) if prefix else _bs.join(
             table_location, name
         )
     elif st == "p":
         path = desc["pathOrInlineDv"]
     else:
         raise ValueError(f"unknown deletion vector storageType {st!r}")
-    with open(path, "rb") as f:
-        buf = f.read()
+    # DVs are small relative to data files; the ranged read fetches only
+    # [offset, offset+size+8) when the store supports it
+    buf = _bs.open_buffer(path)
     off = desc.get("offset", 1)
-    (size,) = struct.unpack_from(">i", buf, off)
-    data = buf[off + 4 : off + 4 + size]
-    (crc,) = struct.unpack_from(">I", buf, off + 4 + size)
+    (size,) = _bs.unpack_from(">i", buf, off)
+    data = _bs.read_range(buf, off + 4, size)
+    (crc,) = _bs.unpack_from(">I", buf, off + 4 + size)
     if zlib.crc32(data) & 0xFFFFFFFF != crc:
         raise ValueError(f"deletion vector checksum mismatch in {path}")
-    return roaring_bitmap_array_decode(data)
+    return data
+
+
+def decode_dv_descriptor(desc: dict, table_location: str) -> list[int]:
+    """DeletionVectorDescriptor → sorted deleted row indexes."""
+    return roaring_bitmap_array_decode(read_dv_blob(desc, table_location))
 
 
 def _uuid_str(b: bytes) -> str:

@@ -45,6 +45,10 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from beacon_spark.sources.bytesource import find_nul as _find_nul
+from beacon_spark.sources.bytesource import open_buffer as _open_buffer
+from beacon_spark.sources.bytesource import unpack_from as _upk
+
 MAGIC = b"\x89HDF\r\n\x1a\n"
 UNDEF = 0xFFFFFFFFFFFFFFFF
 
@@ -64,8 +68,12 @@ def _unsupported(what: str) -> Hdf5Error:
 class Hdf5File:
     def __init__(self, path: str):
         self.path = path
-        with open(path, "rb") as f:
-            self.buf = f.read()
+        # byte-source abstraction: local path -> mmap (OS-paged; metadata
+        # walks + read_region slices fault in only touched pages), URI ->
+        # block-cached object-store range reads (bytesource.LazyBuf) —
+        # the reference's object_store layer (beacon-arrow-netcdf/src/
+        # lib.rs:1-20) re-expressed for the pure-Python readers
+        self.buf = _open_buffer(path)
         if self.buf[:8] != MAGIC:
             raise Hdf5Error(f"{path}: not an HDF5 file")
         self._parse_superblock()
@@ -80,21 +88,21 @@ class Hdf5File:
             self.size_offsets = b[13]
             self.size_lengths = b[14]
             gl_internal = b[16]  # group leaf/internal k
-            self.gk_leaf = struct.unpack_from("<H", b, 16)[0]
-            self.gk_internal = struct.unpack_from("<H", b, 18)[0]
+            self.gk_leaf = _upk("<H", b, 16)[0]
+            self.gk_internal = _upk("<H", b, 18)[0]
             off = 24
             if ver == 1:
                 off += 4
             o = self.size_offsets
-            base, _fsa, eof, _drv = struct.unpack_from(f"<{4}Q", b, off)
+            base, _fsa, eof, _drv = _upk(f"<{4}Q", b, off)
             # root group symbol table entry follows (link name offset,
             # object header address, cache type, ...)
             ste_off = off + 4 * 8
-            self.root_addr = struct.unpack_from("<Q", b, ste_off + 8)[0]
+            self.root_addr = _upk("<Q", b, ste_off + 8)[0]
         elif ver in (2, 3):
             self.size_offsets = b[9]
             self.size_lengths = b[10]
-            base, ext, eof, root = struct.unpack_from("<4Q", b, 12)
+            base, ext, eof, root = _upk("<4Q", b, 12)
             self.root_addr = root
         else:
             raise _unsupported(f"superblock v{ver}")
@@ -118,8 +126,8 @@ class Hdf5File:
         version = b[addr]
         if version != 1:
             raise _unsupported(f"object header v{version} at {addr}")
-        nmsg = struct.unpack_from("<H", b, addr + 2)[0]
-        hdr_size = struct.unpack_from("<I", b, addr + 8)[0]
+        nmsg = _upk("<H", b, addr + 2)[0]
+        hdr_size = _upk("<I", b, addr + 8)[0]
         out: list[tuple[int, bytes, int]] = []
         # message block starts 8-byte aligned after the 12-byte prefix...
         # (the v1 header is 16 bytes total: 12 + 4 pad)
@@ -128,11 +136,11 @@ class Hdf5File:
             pos, size = blocks.pop(0)
             end = pos + size
             while pos + 8 <= end and len(out) < nmsg:
-                mtype, msize, mflags = struct.unpack_from("<HHB", b, pos)
+                mtype, msize, mflags = _upk("<HHB", b, pos)
                 body = b[pos + 8: pos + 8 + msize]
                 pos += 8 + msize
                 if mtype == 0x10:  # continuation
-                    caddr, clen = struct.unpack_from("<QQ", body, 0)
+                    caddr, clen = _upk("<QQ", body, 0)
                     blocks.append((caddr, clen))
                     continue
                 out.append((mtype, body, mflags))
@@ -160,7 +168,7 @@ class Hdf5File:
             end = start + bsize
             while p + 4 <= end:
                 mtype = b[p]
-                msize = struct.unpack_from("<H", b, p + 1)[0]
+                msize = _upk("<H", b, p + 1)[0]
                 mflags = b[p + 3]
                 p += 4
                 if track_order:
@@ -168,7 +176,7 @@ class Hdf5File:
                 body = b[p: p + msize]
                 p += msize
                 if mtype == 0x10:
-                    caddr, clen = struct.unpack_from("<QQ", body, 0)
+                    caddr, clen = _upk("<QQ", body, 0)
                     blocks.append((caddr + 4, clen - 8))
                     continue
                 out.append((mtype, body, mflags))
@@ -192,7 +200,7 @@ def parse_datatype(body: bytes, pos: int = 0) -> tuple[Datatype, int]:
     cls_ver = body[pos]
     cls = cls_ver & 0x0F
     bits0, bits8, bits16 = body[pos + 1], body[pos + 2], body[pos + 3]
-    size = struct.unpack_from("<I", body, pos + 4)[0]
+    size = _upk("<I", body, pos + 4)[0]
     p = pos + 8
     if cls == 0:  # fixed-point
         signed = bool(bits0 & 0x08)
@@ -222,7 +230,7 @@ def parse_datatype(body: bytes, pos: int = 0) -> tuple[Datatype, int]:
                 end = body.index(b"\x00", p)
                 name = body[p:end].decode()
                 p += ((end - p) // 8 + 1) * 8  # padded to 8
-                offset = struct.unpack_from("<I", body, p)[0]
+                offset = _upk("<I", body, p)[0]
                 p += 4
                 # dimensionality(1) + reserved(3) + perm(4) + reserved(4)
                 # + 4 dim sizes (16)
@@ -232,7 +240,7 @@ def parse_datatype(body: bytes, pos: int = 0) -> tuple[Datatype, int]:
                 end = body.index(b"\x00", p)
                 name = body[p:end].decode()
                 p += ((end - p) // 8 + 1) * 8
-                offset = struct.unpack_from("<I", body, p)[0]
+                offset = _upk("<I", body, p)[0]
                 p += 4
                 mdt, p = parse_datatype(body, p)
             else:  # version 3: name not padded, compact offset
@@ -265,7 +273,7 @@ def parse_dataspace(body: bytes) -> tuple[int, ...]:
         pos = 4
     else:
         raise _unsupported(f"dataspace v{ver}")
-    dims = struct.unpack_from(f"<{rank}Q", body, pos)
+    dims = _upk(f"<{rank}Q", body, pos)
     return tuple(int(d) for d in dims)
 
 
@@ -297,7 +305,7 @@ def parse_link_msg(body: bytes) -> Link | None:
     name = body[p: p + nlen].decode("utf-8", "replace")
     p += nlen
     if ltype == 0:  # hard
-        addr = struct.unpack_from("<Q", body, p)[0]
+        addr = _upk("<Q", body, p)[0]
         return Link(name, addr)
     return None  # soft/external links: not needed for data files
 
@@ -313,7 +321,7 @@ def parse_link_info(body: bytes) -> LinkInfo:
     p = 2
     if flags & 0x01:
         p += 8
-    fheap, btree = struct.unpack_from("<QQ", body, p)
+    fheap, btree = _upk("<QQ", body, p)
     return LinkInfo(fheap, btree)
 
 
@@ -328,7 +336,7 @@ def parse_attr_info(body: bytes) -> AttrInfo:
     p = 2
     if flags & 0x01:
         p += 2
-    fheap, btree = struct.unpack_from("<QQ", body, p)
+    fheap, btree = _upk("<QQ", body, p)
     return AttrInfo(fheap, btree)
 
 
@@ -340,7 +348,7 @@ def parse_attribute(f: "Hdf5File", body: bytes):
     """Attribute message → (name, python value)."""
     ver = body[0]
     if ver == 1:
-        name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+        name_size, dt_size, ds_size = _upk("<HHH", body, 2)
         p = 8
         name = body[p: p + name_size].split(b"\x00")[0].decode("utf-8", "replace")
         p += _pad8(name_size)
@@ -352,7 +360,7 @@ def parse_attribute(f: "Hdf5File", body: bytes):
         flags = body[1]
         if flags & 0x03:
             raise _unsupported("shared attribute datatype/dataspace")
-        name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+        name_size, dt_size, ds_size = _upk("<HHH", body, 2)
         p = 8
         if ver == 3:
             p += 1  # name charset
@@ -377,7 +385,7 @@ def decode_values(f: "Hdf5File", dt: Datatype, shape: tuple[int, ...], data: byt
     if dt.cls == 9:  # vlen
         out = []
         for i in range(n):
-            sz, gaddr, gidx = struct.unpack_from("<IQI", data, i * 16)
+            sz, gaddr, gidx = _upk("<IQI", data, i * 16)
             payload = f.global_heap_object(gaddr, gidx)
             if dt.is_vlen_str:
                 out.append(payload.decode("utf-8", "replace"))
@@ -426,15 +434,15 @@ def parse_layout(body: bytes) -> Layout:
     if ver == 3:
         cls = body[1]
         if cls == 0:
-            size = struct.unpack_from("<H", body, 2)[0]
+            size = _upk("<H", body, 2)[0]
             return Layout(0, data=body[4: 4 + size])
         if cls == 1:
-            addr, size = struct.unpack_from("<QQ", body, 2)
+            addr, size = _upk("<QQ", body, 2)
             return Layout(1, addr=addr, size=size)
         if cls == 2:
             ndims = body[2]
-            addr = struct.unpack_from("<Q", body, 3)[0]
-            dims = struct.unpack_from(f"<{ndims}I", body, 11)
+            addr = _upk("<Q", body, 3)[0]
+            dims = _upk(f"<{ndims}I", body, 11)
             # last "dimension" is the element size
             return Layout(2, addr=addr, chunk_shape=tuple(int(d) for d in dims[:-1]),
                           index="btree1", index_addr=addr)
@@ -459,18 +467,18 @@ def parse_layout(body: bytes) -> Layout:
                 fsz_len = 8  # "variable size" = size of lengths (8)
                 lay.single_filtered_size = int.from_bytes(body[p: p + 8], "little")
                 p += 8
-                lay.single_filter_mask = struct.unpack_from("<I", body, p)[0]
+                lay.single_filter_mask = _upk("<I", body, p)[0]
                 p += 4
-            lay.index_addr = struct.unpack_from("<Q", body, p)[0]
+            lay.index_addr = _upk("<Q", body, p)[0]
             return lay
         if itype == 2:  # implicit
             lay.index = "implicit"
-            lay.index_addr = struct.unpack_from("<Q", body, p)[0]
+            lay.index_addr = _upk("<Q", body, p)[0]
             return lay
         if itype == 3:  # fixed array
             lay.index = "fixed"
             p += 1  # page bits
-            lay.index_addr = struct.unpack_from("<Q", body, p)[0]
+            lay.index_addr = _upk("<Q", body, p)[0]
             return lay
         raise _unsupported(f"chunk index type {itype} (extensible array / v2 btree)")
     raise _unsupported(f"layout v{ver}")
@@ -489,10 +497,10 @@ def parse_filters(body: bytes) -> list[Filter]:
     if ver == 1:
         p = 8
         for _ in range(nf):
-            fid, nlen, flags, ncv = struct.unpack_from("<HHHH", body, p)
+            fid, nlen, flags, ncv = _upk("<HHHH", body, p)
             p += 8
             p += _pad8(nlen)
-            client = struct.unpack_from(f"<{ncv}I", body, p)
+            client = _upk(f"<{ncv}I", body, p)
             p += 4 * ncv
             if ncv % 2:
                 p += 4
@@ -500,16 +508,16 @@ def parse_filters(body: bytes) -> list[Filter]:
     elif ver == 2:
         p = 2
         for _ in range(nf):
-            fid = struct.unpack_from("<H", body, p)[0]
+            fid = _upk("<H", body, p)[0]
             p += 2
             nlen = 0
             if fid >= 256:
-                nlen = struct.unpack_from("<H", body, p)[0]
+                nlen = _upk("<H", body, p)[0]
                 p += 2
-            flags, ncv = struct.unpack_from("<HH", body, p)
+            flags, ncv = _upk("<HH", body, p)
             p += 4
             p += nlen
-            client = struct.unpack_from(f"<{ncv}I", body, p)
+            client = _upk(f"<{ncv}I", body, p)
             p += 4 * ncv
             out.append(Filter(fid, tuple(client)))
     else:
@@ -545,7 +553,7 @@ def _local_heap_data(f: Hdf5File, addr: int) -> int:
     b = f.buf
     if b[addr: addr + 4] != b"HEAP":
         raise Hdf5Error(f"bad local heap at {addr}")
-    return struct.unpack_from("<Q", b, addr + 24)[0]
+    return _upk("<Q", b, addr + 24)[0]
 
 
 def _iter_btree1_group(f: Hdf5File, addr: int, heap_data: int):
@@ -554,13 +562,13 @@ def _iter_btree1_group(f: Hdf5File, addr: int, heap_data: int):
     if b[addr: addr + 4] != b"TREE":
         raise Hdf5Error(f"bad v1 btree node at {addr}")
     node_type, level = b[addr + 4], b[addr + 5]
-    nused = struct.unpack_from("<H", b, addr + 6)[0]
+    nused = _upk("<H", b, addr + 6)[0]
     # keys/children interleave: key0, child0, key1, child1 ... keyN
     pos = addr + 24
     childs = []
     for i in range(nused):
         pos += 8  # key i
-        childs.append(struct.unpack_from("<Q", b, pos)[0])
+        childs.append(_upk("<Q", b, pos)[0])
         pos += 8
     for c in childs:
         if level > 0:
@@ -569,12 +577,12 @@ def _iter_btree1_group(f: Hdf5File, addr: int, heap_data: int):
             # SNOD: symbol table node
             if b[c: c + 4] != b"SNOD":
                 raise Hdf5Error(f"bad SNOD at {c}")
-            nsym = struct.unpack_from("<H", b, c + 6)[0]
+            nsym = _upk("<H", b, c + 6)[0]
             p = c + 8
             for _ in range(nsym):
-                name_off, oh_addr = struct.unpack_from("<QQ", b, p)
+                name_off, oh_addr = _upk("<QQ", b, p)
                 name_pos = heap_data + name_off
-                end = b.index(b"\x00", name_pos)
+                end = _find_nul(b, name_pos)
                 yield b[name_pos:end].decode("utf-8", "replace"), oh_addr
                 p += 40
 
@@ -590,30 +598,30 @@ class FractalHeap:
             raise Hdf5Error(f"bad fractal heap at {addr}")
         self.f = f
         p = addr + 5
-        self.heap_id_len = struct.unpack_from("<H", b, p)[0]; p += 2
-        self.io_filter_len = struct.unpack_from("<H", b, p)[0]; p += 2
+        self.heap_id_len = _upk("<H", b, p)[0]; p += 2
+        self.io_filter_len = _upk("<H", b, p)[0]; p += 2
         self.flags = b[p]; p += 1
-        self.max_size_managed = struct.unpack_from("<I", b, p)[0]; p += 4
-        self.next_huge_id = struct.unpack_from("<Q", b, p)[0]; p += 8
-        self.huge_btree = struct.unpack_from("<Q", b, p)[0]; p += 8
-        self.free_space = struct.unpack_from("<Q", b, p)[0]; p += 8
-        self.free_mgr = struct.unpack_from("<Q", b, p)[0]; p += 8
-        self.managed_space = struct.unpack_from("<Q", b, p)[0]; p += 8
-        self.alloc_space = struct.unpack_from("<Q", b, p)[0]; p += 8
-        self.iterator_offset = struct.unpack_from("<Q", b, p)[0]; p += 8
-        self.n_managed = struct.unpack_from("<Q", b, p)[0]; p += 8
-        self.huge_size = struct.unpack_from("<Q", b, p)[0]; p += 8
-        self.n_huge = struct.unpack_from("<Q", b, p)[0]; p += 8
-        self.tiny_size = struct.unpack_from("<Q", b, p)[0]; p += 8
-        self.n_tiny = struct.unpack_from("<Q", b, p)[0]; p += 8
+        self.max_size_managed = _upk("<I", b, p)[0]; p += 4
+        self.next_huge_id = _upk("<Q", b, p)[0]; p += 8
+        self.huge_btree = _upk("<Q", b, p)[0]; p += 8
+        self.free_space = _upk("<Q", b, p)[0]; p += 8
+        self.free_mgr = _upk("<Q", b, p)[0]; p += 8
+        self.managed_space = _upk("<Q", b, p)[0]; p += 8
+        self.alloc_space = _upk("<Q", b, p)[0]; p += 8
+        self.iterator_offset = _upk("<Q", b, p)[0]; p += 8
+        self.n_managed = _upk("<Q", b, p)[0]; p += 8
+        self.huge_size = _upk("<Q", b, p)[0]; p += 8
+        self.n_huge = _upk("<Q", b, p)[0]; p += 8
+        self.tiny_size = _upk("<Q", b, p)[0]; p += 8
+        self.n_tiny = _upk("<Q", b, p)[0]; p += 8
         # doubling table
-        self.table_width = struct.unpack_from("<H", b, p)[0]; p += 2
-        self.start_block = struct.unpack_from("<Q", b, p)[0]; p += 8
-        self.max_direct = struct.unpack_from("<Q", b, p)[0]; p += 8
-        self.max_heap_bits = struct.unpack_from("<H", b, p)[0]; p += 2
-        self.start_rows = struct.unpack_from("<H", b, p)[0]; p += 2
-        self.root_addr = struct.unpack_from("<Q", b, p)[0]; p += 8
-        self.root_rows = struct.unpack_from("<H", b, p)[0]; p += 2
+        self.table_width = _upk("<H", b, p)[0]; p += 2
+        self.start_block = _upk("<Q", b, p)[0]; p += 8
+        self.max_direct = _upk("<Q", b, p)[0]; p += 8
+        self.max_heap_bits = _upk("<H", b, p)[0]; p += 2
+        self.start_rows = _upk("<H", b, p)[0]; p += 2
+        self.root_addr = _upk("<Q", b, p)[0]; p += 8
+        self.root_rows = _upk("<H", b, p)[0]; p += 2
         if self.io_filter_len:
             raise _unsupported("filtered fractal heap blocks")
         self.off_size = (self.max_heap_bits + 7) // 8
@@ -644,7 +652,7 @@ class FractalHeap:
         for row in range(nrows):
             bsize = self._row_block_size(row)
             for _ in range(self.table_width):
-                child = struct.unpack_from("<Q", b, p)[0]
+                child = _upk("<Q", b, p)[0]
                 p += 8
                 if row < self.max_dblock_rows:
                     if child != UNDEF:
@@ -680,13 +688,13 @@ def _iter_btree2_records(f: Hdf5File, addr: int):
     if b[addr: addr + 4] != b"BTHD":
         raise Hdf5Error(f"bad v2 btree header at {addr}")
     rtype = b[addr + 5]
-    node_size = struct.unpack_from("<I", b, addr + 6)[0]
-    record_size = struct.unpack_from("<H", b, addr + 10)[0]
-    depth = struct.unpack_from("<H", b, addr + 12)[0]
+    node_size = _upk("<I", b, addr + 6)[0]
+    record_size = _upk("<H", b, addr + 10)[0]
+    depth = _upk("<H", b, addr + 12)[0]
     split, merge = b[addr + 14], b[addr + 15]
-    root_addr = struct.unpack_from("<Q", b, addr + 16)[0]
-    root_nrec = struct.unpack_from("<H", b, addr + 24)[0]
-    total_nrec = struct.unpack_from("<Q", b, addr + 26)[0]
+    root_addr = _upk("<Q", b, addr + 16)[0]
+    root_nrec = _upk("<H", b, addr + 24)[0]
+    total_nrec = _upk("<Q", b, addr + 26)[0]
     if root_addr == UNDEF:
         return
     # sizes of the "number of records" fields for child pointers
@@ -724,7 +732,7 @@ def _iter_btree2_records(f: Hdf5File, addr: int):
         tot_size = _bytes_for(_total_capacity(below)) if below > 0 else 0
         childs = []
         for _ in range(nrec + 1):
-            caddr = struct.unpack_from("<Q", b, p)[0]
+            caddr = _upk("<Q", b, p)[0]
             p += 8
             cnrec = int.from_bytes(b[p: p + nrec_size], "little")
             p += nrec_size + tot_size
@@ -757,13 +765,13 @@ def _global_heap_collection(f: Hdf5File, addr: int) -> dict[int, bytes]:
     b = f.buf
     if b[addr: addr + 4] != b"GCOL":
         raise Hdf5Error(f"bad global heap at {addr}")
-    size = struct.unpack_from("<Q", b, addr + 8)[0]
+    size = _upk("<Q", b, addr + 8)[0]
     out: dict[int, bytes] = {}
     p = addr + 16
     end = addr + size
     while p + 16 <= end:
-        idx, refc = struct.unpack_from("<HH", b, p)
-        osize = struct.unpack_from("<Q", b, p + 8)[0]
+        idx, refc = _upk("<HH", b, p)
+        osize = _upk("<Q", b, p + 8)[0]
         if idx == 0:
             break
         out[idx] = bytes(b[p + 16: p + 16 + osize])
@@ -836,7 +844,7 @@ class Hdf5Reader(Hdf5File):
                 if ai.fheap_addr != UNDEF:
                     attrs.update(self._dense_attrs(ai))
             elif t == 0x11:
-                btree_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
+                btree_addr, heap_addr = _upk("<QQ", body, 0)
                 heap_data = _local_heap_data(self, heap_addr)
                 for name, oaddr in _iter_btree1_group(self, btree_addr, heap_data):
                     links.append(Link(name, oaddr))
@@ -904,12 +912,12 @@ class Hdf5Reader(Hdf5File):
                 ver = body[0]
                 if ver in (1, 2):
                     if body[3]:  # defined
-                        sz = struct.unpack_from("<I", body, 4)[0]
+                        sz = _upk("<I", body, 4)[0]
                         fill = body[8: 8 + sz]
                 elif ver == 3:
                     flags = body[1]
                     if flags & 0x20:
-                        sz = struct.unpack_from("<I", body, 2)[0]
+                        sz = _upk("<I", body, 2)[0]
                         fill = body[6: 6 + sz]
         if dt is None or layout is None:
             raise Hdf5Error(f"dataset {name}: missing datatype/layout")
@@ -937,7 +945,7 @@ class Hdf5Reader(Hdf5File):
                 n *= s
             vals = []
             for i in range(n):
-                sz, gaddr, gidx = struct.unpack_from("<IQI", raw, i * 16)
+                sz, gaddr, gidx = _upk("<IQI", raw, i * 16)
                 vals.append(self.global_heap_object(gaddr, gidx).decode("utf-8", "replace"))
             return np.array(vals, dtype=object).reshape(ds.shape)
         npdt = self._np_dtype(ds.dtype)
@@ -1060,14 +1068,14 @@ class Hdf5Reader(Hdf5File):
         if b[addr: addr + 4] != b"TREE":
             raise Hdf5Error(f"bad chunk btree at {addr}")
         level = b[addr + 5]
-        nused = struct.unpack_from("<H", b, addr + 6)[0]
+        nused = _upk("<H", b, addr + 6)[0]
         key_size = 8 + 8 * (ndims + 1)
         p = addr + 24
         for _ in range(nused):
-            csize, cmask = struct.unpack_from("<II", b, p)
-            offs = struct.unpack_from(f"<{ndims}Q", b, p + 8)
+            csize, cmask = _upk("<II", b, p)
+            offs = _upk(f"<{ndims}Q", b, p + 8)
             p += key_size
-            child = struct.unpack_from("<Q", b, p)[0]
+            child = _upk("<Q", b, p)[0]
             p += 8
             if level > 0:
                 yield from self._chunks_btree1(child, ndims)
@@ -1084,8 +1092,8 @@ class Hdf5Reader(Hdf5File):
         client_id = b[addr + 5]
         entry_size = b[addr + 6]
         page_bits = b[addr + 7]
-        nelmts = struct.unpack_from("<Q", b, addr + 8)[0]
-        dblock = struct.unpack_from("<Q", b, addr + 16)[0]
+        nelmts = _upk("<Q", b, addr + 8)[0]
+        dblock = _upk("<Q", b, addr + 16)[0]
         if dblock == UNDEF:
             return
         if b[dblock: dblock + 4] != b"FADB":
@@ -1101,14 +1109,14 @@ class Hdf5Reader(Hdf5File):
         idxs = list(_it.product(*(range(g) for g in grid)))
         for i in range(int(nelmts)):
             if client_id == 0:  # non-filtered: just addresses
-                caddr = struct.unpack_from("<Q", b, p)[0]
+                caddr = _upk("<Q", b, p)[0]
                 p += entry_size
                 csize, cmask = csize_nominal, 0
             else:  # filtered: address + size + mask
-                caddr = struct.unpack_from("<Q", b, p)[0]
+                caddr = _upk("<Q", b, p)[0]
                 size_len = entry_size - 12
                 csize = int.from_bytes(b[p + 8: p + 8 + size_len], "little")
-                cmask = struct.unpack_from("<I", b, p + 8 + size_len)[0]
+                cmask = _upk("<I", b, p + 8 + size_len)[0]
                 p += entry_size
             if caddr == UNDEF or i >= len(idxs):
                 continue
@@ -1145,7 +1153,7 @@ class Hdf5Reader(Hdf5File):
                 vals = []
                 for i in range(n):
                     base = i * ds.dtype.size + off
-                    sz, gaddr, gidx = struct.unpack_from("<IQI", raw, base)
+                    sz, gaddr, gidx = _upk("<IQI", raw, base)
                     vals.append(
                         self.global_heap_object(gaddr, gidx).decode("utf-8", "replace")
                     )

@@ -31,6 +31,8 @@ beyond name compatibility.
 from __future__ import annotations
 
 import json
+
+from beacon_spark.sources import bytesource as _bs
 import os
 import re
 import time
@@ -112,24 +114,22 @@ _SPARK_TO_ICE = {
 
 
 def _load_metadata(location: str) -> dict:
-    mdir = os.path.join(location, "metadata")
-    if not os.path.isdir(mdir):
+    mdir = _bs.join(location, "metadata")
+    if not _bs.isdir(mdir):
         raise FileNotFoundError(f"not an Iceberg table (no metadata/): {location}")
-    hint = os.path.join(mdir, "version-hint.text")
-    if os.path.exists(hint):
-        with open(hint) as f:
-            v = f.read().strip()
-        path = os.path.join(mdir, f"v{v}.metadata.json")
+    hint = _bs.join(mdir, "version-hint.text")
+    if _bs.exists(hint):
+        v = _bs.read_text(hint).strip()
+        path = _bs.join(mdir, f"v{v}.metadata.json")
     else:
         cands = sorted(
-            (f for f in os.listdir(mdir) if f.endswith(".metadata.json")),
+            (f for f in _bs.listdir(mdir) if f.endswith(".metadata.json")),
             key=lambda n: [int(x) for x in re.findall(r"\d+", n)] or [0],
         )
         if not cands:
             raise FileNotFoundError(f"no *.metadata.json under {mdir}")
-        path = os.path.join(mdir, cands[-1])
-    with open(path) as f:
-        return json.load(f)
+        path = _bs.join(mdir, cands[-1])
+    return json.loads(_bs.read_text(path))
 
 
 def _current_schema(md: dict) -> dict:
@@ -145,6 +145,16 @@ def _current_schema(md: dict) -> dict:
 def _localize(path: str, location: str) -> str:
     """Manifest paths are absolute URIs from write time; map them onto the
     local table root so relocated/copied tables still read."""
+    if _bs.is_uri(location):
+        # remote table roots: keep absolute URIs, re-root others
+        if _bs.is_uri(path) and path.startswith(location):
+            return path
+        marker = "/" + _bs.basename(location) + "/"
+        q = re.sub(r"^[a-z0-9+.-]+://", "", path)
+        idx = ("/" + q).find(marker)
+        if idx >= 0:
+            return _bs.join(location, ("/" + q)[idx + len(marker):])
+        return path
     p = re.sub(r"^file:(//)?", "", path)
     if os.path.exists(p):
         return p

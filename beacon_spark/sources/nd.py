@@ -356,9 +356,12 @@ def open_netcdf(path: str) -> GridDataset:
         return GridDataset(dims, variables, var_attrs, dict(ds.attrs))
     # no nd library installed: self-contained parsers — NetCDF4/HDF5
     # (hdf5lite: superblocks v0-v3, dense links/attrs, chunked+
-    # shuffle/deflate, DIMENSION_LIST dims) or NetCDF3 classic
-    with open(path, "rb") as fh:
-        magic = fh.read(8)
+    # shuffle/deflate, DIMENSION_LIST dims) or NetCDF3 classic; both read
+    # through the byte-source abstraction (bytesource.py), so `path` may
+    # be an object-store URI
+    from beacon_spark.sources import bytesource as _bs
+
+    magic = _bs.read_head(path, 8)
     if magic == b"\x89HDF\r\n\x1a\n":
         from beacon_spark.sources.hdf5lite import read_hdf5_grid
 

@@ -21,6 +21,8 @@ import struct
 
 import numpy as np
 
+from beacon_spark.sources import bytesource as _bs
+
 _MAGIC = b"CDF"
 _NC_DIMENSION = 0x0A
 _NC_VARIABLE = 0x0B
@@ -52,17 +54,17 @@ class _Reader:
         self.o = 0
 
     def u4(self) -> int:
-        (v,) = struct.unpack_from(">I", self.b, self.o)
+        (v,) = _bs.unpack_from(">I", self.b, self.o)
         self.o += 4
         return v
 
     def i4(self) -> int:
-        (v,) = struct.unpack_from(">i", self.b, self.o)
+        (v,) = _bs.unpack_from(">i", self.b, self.o)
         self.o += 4
         return v
 
     def i8(self) -> int:
-        (v,) = struct.unpack_from(">q", self.b, self.o)
+        (v,) = _bs.unpack_from(">q", self.b, self.o)
         self.o += 8
         return v
 
@@ -75,7 +77,7 @@ class _Reader:
     def values(self, nc_type: int, count: int):
         dt = _TYPES[nc_type]
         nbytes = dt.itemsize * count
-        arr = np.frombuffer(self.b, dt, count, self.o)
+        arr = _bs.frombuffer(self.b, dt, count, self.o)
         self.o += nbytes + _pad4(nbytes)
         if nc_type == 2:
             return arr.tobytes().decode("utf-8", "replace")
@@ -83,20 +85,101 @@ class _Reader:
         return vals[0] if count == 1 else vals
 
 
+class _Nc3Var:
+    """Lazy handle over one NetCDF3 variable: slicing issues ranged reads
+    for the covering leading-axis window only (mmap pages locally, one
+    object-store range GET remotely).  Open therefore touches the header
+    only; a Spark task flattening rows [lo, hi) reads ∝ its slice.
+
+    ``char`` (NC_CHAR) variables decode lazily too: the trailing
+    string-length axis collapses per the CF convention, so the *logical*
+    shape excludes it while reads still fetch the raw bytes."""
+
+    def __init__(self, buf, begin: int, nc_type: int, raw_shape: tuple[int, ...],
+                 stride: int | None = None):
+        self.buf, self.begin, self.nc_type = buf, begin, nc_type
+        self.raw_shape = raw_shape          # includes char-length axis
+        self.dtype = _TYPES[nc_type]
+        # record variables interleave per record: stride = bytes between
+        # consecutive records (= recsize when >1 record var)
+        self.inner = int(np.prod(raw_shape[1:])) if len(raw_shape) > 1 else 1
+        self.stride = stride if stride is not None else self.inner * self.dtype.itemsize
+        self.char = nc_type == 2 and len(raw_shape) >= 2
+        self.shape = raw_shape[:-1] if self.char else raw_shape
+        self.ndim = len(self.shape)
+
+    def __len__(self) -> int:
+        return self.shape[0] if self.shape else 1
+
+    def _read_lead(self, lo: int, hi: int) -> np.ndarray:
+        """Rows [lo, hi) of the leading axis as one contiguous/strided
+        ranged read, reshaped to (hi-lo, *raw_shape[1:])."""
+        per_rec = self.inner * self.dtype.itemsize
+        if not self.raw_shape:
+            raw = _bs.read_range(self.buf, self.begin, self.dtype.itemsize)
+            return np.frombuffer(raw, self.dtype, 1)
+        if self.stride == per_rec:  # contiguous (non-record) layout
+            raw = _bs.read_range(self.buf, self.begin + lo * per_rec,
+                                 (hi - lo) * per_rec)
+            return np.frombuffer(raw, self.dtype, (hi - lo) * self.inner).reshape(
+                (hi - lo,) + self.raw_shape[1:])
+        # interleaved records: one read of the covering window, then
+        # per-record extraction from the local bytes
+        if hi <= lo:
+            return np.empty((0,) + self.raw_shape[1:], self.dtype)
+        win_lo = self.begin + lo * self.stride
+        raw = _bs.read_range(self.buf, win_lo,
+                             (hi - lo - 1) * self.stride + per_rec)
+        out = np.empty((hi - lo, self.inner), self.dtype)
+        for r in range(hi - lo):
+            out[r] = np.frombuffer(raw, self.dtype, self.inner, r * self.stride)
+        return out.reshape((hi - lo,) + self.raw_shape[1:])
+
+    def _decode_char(self, arr: np.ndarray) -> np.ndarray:
+        if self.char:
+            s = arr.view(f"S{self.raw_shape[-1]}")[..., 0]
+            return np.char.decode(s, "utf-8", "replace")
+        if self.nc_type == 2:
+            return np.char.decode(arr.view("S1"), "utf-8", "replace")
+        return arr
+
+    def __getitem__(self, idx) -> np.ndarray:
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        if not self.shape:
+            return self._decode_char(self._read_lead(0, 1).reshape(()))
+        lead = idx[0] if idx else slice(None)
+        if isinstance(lead, slice):
+            lo, hi, step = lead.indices(self.shape[0])
+        else:
+            if lead < 0:
+                lead += self.shape[0]
+            if not 0 <= lead < self.shape[0]:
+                raise IndexError(lead)
+            lo, hi, step = lead, lead + 1, 1
+        arr = self._decode_char(self._read_lead(lo, hi))
+        rest = idx[1:]
+        if isinstance(lead, slice):
+            sel = (slice(None, None, step),) + rest
+        else:
+            sel = (0,) + rest
+        return arr[sel]
+
+    def __array__(self, dtype=None, copy=None):
+        full = self[(slice(None),) * max(1, self.ndim)] if self.shape else self[()]
+        full = np.asarray(full)
+        return full.astype(dtype) if dtype is not None else full
+
+
 def read_netcdf3(path: str) -> tuple[dict, dict, dict, dict]:
     """Parse a CDF-1/CDF-2 file → (dims, variables, var_attrs, global_attrs)
     in GridDataset's shapes: dims name→size, variables name→(dim_names,
-    ndarray)."""
-    # mmap, not read(): variables become OS-paged views, so a Spark task
-    # flattening rows [lo, hi) only faults in the pages its slice touches —
-    # per-task I/O ∝ slice, not file size (the header itself is tiny)
-    import mmap as _mmap
-
-    f = open(path, "rb")
-    try:
-        buf = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
-    except ValueError:  # empty file
-        buf = f.read()
+    lazy var)."""
+    # byte-source abstraction (bytesource.py): local path → mmap (variables
+    # become OS-paged views — a Spark task flattening rows [lo, hi) faults
+    # in only its pages), URI → block-cached object-store range reads; the
+    # header itself is tiny either way
+    buf = _bs.open_buffer(path)
     if buf[:3] != _MAGIC or buf[3] not in (1, 2):
         raise ValueError(
             f"{path}: not a NetCDF3 classic file (NetCDF4/HDF5 needs the "
@@ -156,32 +239,15 @@ def read_netcdf3(path: str) -> tuple[dict, dict, dict, dict]:
     recsize = sum(m[4] for m in rec_vars)
     for nm, dimids, attrs, nc_type, vsize, begin in var_meta:
         dnames = tuple(dims[i][0] for i in dimids)
-        shape = tuple(dim_sizes[d] for d in dnames)
-        dt = _TYPES[nc_type]
+        raw_shape = tuple(dim_sizes[d] for d in dnames)
         is_rec = rec_dim is not None and rec_dim in dimids
-        if not is_rec:
-            count = int(np.prod(shape)) if shape else 1
-            arr = np.frombuffer(buf, dt, count, begin).reshape(shape)
-        else:
-            # per-record slabs of vsize bytes, strided by total recsize
-            per_rec_shape = shape[1:]
-            per_count = int(np.prod(per_rec_shape)) if per_rec_shape else 1
-            out = np.empty((dim_sizes[dims[rec_dim][0]], per_count), dt)
-            stride = recsize if len(rec_vars) > 1 else vsize
-            for rec in range(out.shape[0]):
-                out[rec] = np.frombuffer(buf, dt, per_count, begin + rec * stride)
-            arr = out.reshape(shape)
-        if nc_type == 2 and arr.ndim >= 1:
-            # char array: last dim = string length (CF convention)
-            if arr.ndim >= 2:
-                arr = arr.view(f"S{arr.shape[-1]}")[..., 0]
-                arr = np.char.decode(arr, "utf-8", "replace")
-                dnames = dnames[:-1]
-            else:
-                arr = np.char.decode(arr.view("S1"), "utf-8", "replace")
-        # big-endian views stay UNSWAPPED here: swapping would copy the
-        # whole (mmap'd) variable at open; GridDataset.flatten converts
-        # per-slice at Arrow emission instead, keeping open() O(header)
+        stride = (recsize if len(rec_vars) > 1 else vsize) if is_rec else None
+        arr = _Nc3Var(buf, begin, nc_type, raw_shape, stride)
+        if arr.char:
+            dnames = dnames[:-1]  # char length axis collapses (CF)
+        # big-endian data stays UNSWAPPED and UNREAD here: _Nc3Var reads
+        # per requested slice; GridDataset.flatten converts to native
+        # endianness at Arrow emission — open() is O(header) always
         variables[nm] = (dnames, arr)
         var_attrs[nm] = attrs
 

@@ -27,6 +27,8 @@ import re
 from typing import NamedTuple
 
 import numpy as np
+
+from beacon_spark.sources import bytesource as _bs
 import pandas as pd
 import pyarrow as pa
 
@@ -129,7 +131,7 @@ def resolve_columns(
 def read_odv_table(path: str) -> pa.Table:
     """One ODV file → Arrow table (runs executor-side)."""
     header_lines: list[str] = []
-    with open(path, encoding="utf-8", errors="replace") as f:
+    with _bs.open_text(path, errors="replace") as f:
         for line in f:
             header_lines.append(line)
             if not line.startswith("//"):
@@ -187,7 +189,7 @@ def read_odv_table(path: str) -> pa.Table:
 
 def odv_schema(path: str) -> pa.Schema:
     header_lines: list[str] = []
-    with open(path, encoding="utf-8", errors="replace") as f:
+    with _bs.open_text(path, errors="replace") as f:
         for line in f:
             header_lines.append(line)
             if not line.startswith("//"):

@@ -17,14 +17,22 @@ import os
 
 
 def resolve_globs(paths: str | list[str], datasets_root: str | None = None) -> list[str]:
+    from beacon_spark.sources import bytesource as _bs
+
     if isinstance(paths, str):
         paths = [paths]
     out: list[str] = []
     for p in paths:
-        if datasets_root is not None and not os.path.isabs(p):
-            p = os.path.join(datasets_root, p)
+        if datasets_root is not None and not os.path.isabs(p) and not _bs.is_uri(p):
+            p = (
+                _bs.join(datasets_root, p)
+                if _bs.is_uri(datasets_root)
+                else os.path.join(datasets_root, p)
+            )
         if any(ch in p for ch in "*?["):
-            out.extend(sorted(_glob.glob(p, recursive=True)))
+            # URI globs list through the scheme's filesystem (object-store
+            # listing); local globs stay glob.glob
+            out.extend(_bs.glob(p) if _bs.is_uri(p) else sorted(_glob.glob(p, recursive=True)))
         else:
             out.append(p)
     if not out:

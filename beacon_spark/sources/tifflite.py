@@ -31,6 +31,8 @@ import zlib
 
 import numpy as np
 
+from beacon_spark.sources import bytesource as _bs
+
 from beacon_spark.sources.nd import GridDataset
 
 __all__ = ["open_tiff", "write_tiff", "tiff_overviews"]
@@ -61,16 +63,16 @@ def _read_ifd(buf: bytes, bo: str, off: int, big: bool) -> tuple[dict, int]:
     count, 12-byte entries, 4-byte value slot. BigTIFF: 8-byte count,
     20-byte entries, 8-byte value slot."""
     if big:
-        (n,) = struct.unpack_from(bo + "Q", buf, off)
+        (n,) = _bs.unpack_from(bo + "Q", buf, off)
         off += 8
         esize, slot, cfmt = 20, 8, "HHQ"
     else:
-        (n,) = struct.unpack_from(bo + "H", buf, off)
+        (n,) = _bs.unpack_from(bo + "H", buf, off)
         off += 2
         esize, slot, cfmt = 12, 4, "HHI"
     tags: dict[str, object] = {}
     for _ in range(n):
-        tag, typ, count = struct.unpack_from(bo + cfmt, buf, off)
+        tag, typ, count = _bs.unpack_from(bo + cfmt, buf, off)
         name = _TAGS.get(tag)
         if name is None or typ not in _TYPE_FMT:
             off += esize
@@ -80,18 +82,18 @@ def _read_ifd(buf: bytes, bo: str, off: int, big: bool) -> tuple[dict, int]:
         if nbytes <= slot:
             data_off = off + esize - slot
         else:
-            (data_off,) = struct.unpack_from(bo + ("Q" if big else "I"), buf, off + esize - slot)
+            (data_off,) = _bs.unpack_from(bo + ("Q" if big else "I"), buf, off + esize - slot)
         if typ == 2:  # ascii
             raw = buf[data_off : data_off + count]
             tags[name] = raw.split(b"\x00", 1)[0].decode("latin-1")
         elif typ in (5, 10):  # rational
-            vals = struct.unpack_from(bo + "II" * count, buf, data_off)
+            vals = _bs.unpack_from(bo + "II" * count, buf, data_off)
             tags[name] = [vals[i] / max(vals[i + 1], 1) for i in range(0, 2 * count, 2)]
         else:
-            vals = struct.unpack_from(bo + fmt * count, buf, data_off)
+            vals = _bs.unpack_from(bo + fmt * count, buf, data_off)
             tags[name] = list(vals) if count > 1 else vals[0]
         off += esize
-    (nxt,) = struct.unpack_from(bo + ("Q" if big else "I"), buf, off)
+    (nxt,) = _bs.unpack_from(bo + ("Q" if big else "I"), buf, off)
     return tags, nxt
 
 
@@ -103,15 +105,15 @@ def _read_header(buf: bytes) -> tuple[str, bool, int]:
         bo = ">"
     else:
         raise ValueError("not a TIFF")
-    (magic,) = struct.unpack_from(bo + "H", buf, 2)
+    (magic,) = _bs.unpack_from(bo + "H", buf, 2)
     if magic == 42:
-        (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
+        (ifd_off,) = _bs.unpack_from(bo + "I", buf, 4)
         return bo, False, ifd_off
     if magic == 43:
-        osize, zero = struct.unpack_from(bo + "HH", buf, 4)
+        osize, zero = _bs.unpack_from(bo + "HH", buf, 4)
         if osize != 8 or zero != 0:
             raise ValueError(f"bad BigTIFF header (offset size {osize})")
-        (ifd_off,) = struct.unpack_from(bo + "Q", buf, 8)
+        (ifd_off,) = _bs.unpack_from(bo + "Q", buf, 8)
         return bo, True, ifd_off
     raise ValueError(f"not a TIFF (magic {magic})")
 
@@ -245,8 +247,7 @@ def _ifd_chain(buf: bytes, bo: str, big: bool, first: int) -> list[dict]:
 def tiff_overviews(path: str) -> list[tuple[int, int]]:
     """(width, height) of each reduced-resolution IFD, COG order
     (largest first). Empty when the file has no overviews."""
-    with open(path, "rb") as f:
-        buf = f.read()
+    buf = _bs.open_buffer(path)
     bo, big, first = _read_header(buf)
     chain = _ifd_chain(buf, bo, big, first)
     return [
@@ -266,8 +267,10 @@ def open_tiff(path: str, overview: int | None = None) -> GridDataset:
     contract: a decimated query touches only the small IFD's strips or
     tiles. Georeferencing is rescaled from the full-resolution tags when
     the overview IFD carries none of its own."""
-    with open(path, "rb") as f:
-        buf = f.read()
+    # byte-source abstraction: local mmap / object-store range reads —
+    # IFD walks hit the 64 KiB block cache; strip/tile reads are single
+    # ranged GETs (the COG read contract end to end)
+    buf = _bs.open_buffer(path)
     bo, big, first = _read_header(buf)
     chain = _ifd_chain(buf, bo, big, first)
     full = [t for t in chain if not (int(t.get("subfile_type", 0)) & 1)]

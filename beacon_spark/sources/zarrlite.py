@@ -32,6 +32,8 @@ import zlib
 
 import numpy as np
 
+from beacon_spark.sources import bytesource as _bs
+
 from beacon_spark.sources.blosclite import blosc_decode
 
 _V3_DTYPES = {
@@ -118,14 +120,14 @@ class ZarrLazyArray:
     def _chunk_path(self, idx: tuple[int, ...]) -> str:
         if self.version == 2:
             key = ".".join(str(i) for i in idx) or "0"
-            return os.path.join(self.adir, key)
+            return _bs.join(self.adir, key)
         if self.key_name == "v2":
             key = self.sep.join(str(i) for i in idx) or "0"
         else:
             key = "c" + (self.sep + self.sep.join(str(i) for i in idx) if self.shape else "")
         if self.sep == "/":
-            return os.path.join(self.adir, *key.split("/"))
-        return os.path.join(self.adir, key)
+            return _bs.join(self.adir, *key.split("/"))
+        return _bs.join(self.adir, key)
 
     def _decode_chunk(self, raw: bytes) -> np.ndarray:
         global CHUNK_READS
@@ -174,10 +176,11 @@ class ZarrLazyArray:
         ] or [range(1)]
         for cidx in itertools.product(*cranges):
             p = self._chunk_path(cidx)
-            if not os.path.exists(p):
+            try:
+                raw = _bs.read_bytes(p)  # one GET; no exists() pre-flight
+            except (FileNotFoundError, OSError):
                 continue  # missing chunk = fill value (per spec)
-            with open(p, "rb") as f:
-                chunk = self._decode_chunk(f.read())
+            chunk = self._decode_chunk(raw)
             # intersection of this chunk with the selection, both frames
             src, dst = [], []
             for i, (s, c) in enumerate(zip(sel, self.chunk_shape)):
@@ -229,52 +232,47 @@ def _read_array_v2(adir: str, meta: dict, attrs: dict) -> tuple[tuple[str, ...],
 def read_zarr_store(path: str) -> tuple[dict, dict, dict, dict]:
     """Open a zarr v2/v3 directory store → (dims, variables, var_attrs,
     global_attrs) in GridDataset's shapes."""
-    v3_root = os.path.join(path, "zarr.json")
-    v2_group = os.path.join(path, ".zgroup")
+    v3_root = _bs.join(path, "zarr.json")
+    v2_group = _bs.join(path, ".zgroup")
     dims: dict[str, int] = {}
     variables: dict[str, tuple[tuple[str, ...], np.ndarray]] = {}
     var_attrs: dict[str, dict] = {}
     global_attrs: dict = {}
 
-    if os.path.exists(v3_root):
-        with open(v3_root) as f:
-            root = json.load(f)
+    if _bs.exists(v3_root):
+        root = json.loads(_bs.read_text(v3_root))
         if root.get("node_type") == "array":
             dnames, arr, attrs = _read_array_v3(path, root)
-            name = os.path.basename(path.rstrip("/")).removesuffix(".zarr")
+            name = _bs.basename(path).removesuffix(".zarr")
             variables[name] = (dnames, arr)
             var_attrs[name] = attrs
         else:
             global_attrs = root.get("attributes", {})
-            for entry in sorted(os.listdir(path)):
-                adir = os.path.join(path, entry)
-                ameta = os.path.join(adir, "zarr.json")
-                if not os.path.isfile(ameta):
+            for entry in _bs.listdir(path):
+                adir = _bs.join(path, entry)
+                ameta = _bs.join(adir, "zarr.json")
+                if not _bs.isfile(ameta):
                     continue
-                with open(ameta) as f:
-                    meta = json.load(f)
+                meta = json.loads(_bs.read_text(ameta))
                 if meta.get("node_type") != "array":
                     continue
                 dnames, arr, attrs = _read_array_v3(adir, meta)
                 variables[entry] = (dnames, arr)
                 var_attrs[entry] = attrs
-    elif os.path.exists(v2_group) or os.path.exists(os.path.join(path, ".zarray")):
-        gattrs_p = os.path.join(path, ".zattrs")
-        if os.path.exists(gattrs_p):
-            with open(gattrs_p) as f:
-                global_attrs = json.load(f)
-        for entry in sorted(os.listdir(path)):
-            adir = os.path.join(path, entry)
-            zarray = os.path.join(adir, ".zarray")
-            if not os.path.isfile(zarray):
+    elif _bs.exists(v2_group) or _bs.exists(_bs.join(path, ".zarray")):
+        gattrs_p = _bs.join(path, ".zattrs")
+        if _bs.exists(gattrs_p):
+            global_attrs = json.loads(_bs.read_text(gattrs_p))
+        for entry in _bs.listdir(path):
+            adir = _bs.join(path, entry)
+            zarray = _bs.join(adir, ".zarray")
+            if not _bs.isfile(zarray):
                 continue
-            with open(zarray) as f:
-                meta = json.load(f)
+            meta = json.loads(_bs.read_text(zarray))
             attrs = {}
-            zattrs = os.path.join(adir, ".zattrs")
-            if os.path.exists(zattrs):
-                with open(zattrs) as f:
-                    attrs = json.load(f)
+            zattrs = _bs.join(adir, ".zattrs")
+            if _bs.exists(zattrs):
+                attrs = json.loads(_bs.read_text(zattrs))
             dnames, arr, a = _read_array_v2(adir, meta, attrs)
             variables[entry] = (dnames, arr)
             var_attrs[entry] = a

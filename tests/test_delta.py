@@ -287,3 +287,60 @@ def test_delta_deletion_vectors(spark, tmp_path):
     assert read_delta(spark, loc).count() == 96
     # time travel ignores later DVs
     assert read_delta(spark, loc, version_as_of=0).count() == 100
+
+
+def test_dv_portable_layout_bytes():
+    """Pin the on-disk RoaringBitmapArray layout byte-for-byte: the
+    portable 64-bit format (PROTOCOL.md) key-prefixes every 32-bit
+    bitmap and stores only non-empty bitmaps — NOT the keyless
+    sequential 'native' layout."""
+    import struct
+
+    from beacon_spark.sources.delta_dv import (
+        roaring_bitmap_array_decode,
+        roaring_bitmap_array_encode,
+    )
+
+    indexes = [1, 5, (1 << 32) | 7]
+    # hand-built per RoaringFormatSpec 64-bit extension:
+    fix = struct.pack("<Iq", 1681511377, 2)          # magic, numBitmaps
+    fix += struct.pack("<I", 0)                       # key 0 (high bits)
+    fix += struct.pack("<II", 12346, 1)               # cookie, 1 container
+    fix += struct.pack("<HH", 0, 1)                   # key16 0, card-1
+    fix += struct.pack("<I", 16)                      # offset table (from bitmap start)
+    fix += struct.pack("<2H", 1, 5)                   # values
+    fix += struct.pack("<I", 1)                       # key 1
+    fix += struct.pack("<II", 12346, 1)
+    fix += struct.pack("<HH", 0, 0)
+    fix += struct.pack("<I", 16)
+    fix += struct.pack("<1H", 7)
+    assert roaring_bitmap_array_encode(indexes) == fix
+    assert roaring_bitmap_array_decode(fix) == indexes
+    # sparse high bits: no empty bitmaps in between
+    blob = roaring_bitmap_array_encode([(5 << 32) | 3])
+    assert struct.unpack_from("<q", blob, 4)[0] == 1
+    assert roaring_bitmap_array_decode(blob) == [(5 << 32) | 3]
+
+
+def test_delta_dv_executor_side_filter(spark, tmp_path, monkeypatch):
+    """Past _DV_EXPAND_LIMIT the read must not expand indexes on the
+    driver: the broadcast-blob + searchsorted path returns the same
+    rows."""
+    import os as _os
+
+    from beacon_spark.sources import delta as delta_mod
+    from beacon_spark.sources.delta import delta_delete_rows
+
+    loc = str(tmp_path / "dvbig")
+    df = spark.range(0, 100).selectExpr("id", "id % 3 AS g")
+    write_delta(df.coalesce(1), loc)
+    rel = [
+        _os.path.relpath(_os.path.join(r, n), loc)
+        for r, _, ns in _os.walk(loc)
+        for n in ns
+        if n.endswith(".parquet")
+    ][0]
+    delta_delete_rows(loc, {rel: [0, 5, 99]})
+    monkeypatch.setattr(delta_mod, "_DV_EXPAND_LIMIT", 0)
+    ids = sorted(r.id for r in read_delta(spark, loc).collect())
+    assert len(ids) == 97 and {0, 5, 99}.isdisjoint(ids)
