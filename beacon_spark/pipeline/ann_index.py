@@ -29,45 +29,15 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beacon_spark.pipeline.similarity import (
+    _CODEGEN_LIMIT,  # noqa: F401  (re-export: tests pin the threshold here)
     _hyperplanes,
+    assign_buckets,
+    assign_cells,
     cosine_expr,
-    ivf_cell_expr,
     ivf_train_centroids,
-    lsh_bucket_expr,
 )
 
 META_FILE = "_ann_index.json"
-
-# n_cells * dim above which the Catalyst literal expression is replaced by
-# a broadcast pandas UDF (whole-stage codegen degrades well before the
-# 64KB method limit; 4096 doubles keeps generated code small).
-_CODEGEN_LIMIT = 4096
-
-
-def assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str) -> Column:
-    """Nearest-centroid cell id for every row.
-
-    Small index -> pure Catalyst expression (no Python in the hot path).
-    Large index -> pandas UDF: centroids broadcast once, argmax over a
-    single matrix multiply per Arrow batch.
-    """
-    n_cells, dim = centroids.shape
-    if n_cells * dim <= _CODEGEN_LIMIT:
-        return ivf_cell_expr(vec_col, centroids)
-
-    sc = df.sparkSession.sparkContext
-    bc = sc.broadcast(np.ascontiguousarray(centroids, dtype=np.float64))
-
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("int")
-    def _assign(v):
-        import pandas as pd
-
-        mat = np.vstack(v.to_numpy())  # (batch, dim)
-        return pd.Series(np.argmax(mat @ bc.value.T, axis=1).astype("int32"))
-
-    return _assign(F.col(vec_col).cast("array<double>"))
 
 
 def ann_build(
@@ -105,7 +75,7 @@ def ann_build(
         sample = df.select(vec_col).first()
         dim = len(sample[0])
         planes = _hyperplanes(dim, n_planes, seed)
-        cell = lsh_bucket_expr(vec_col, planes)
+        cell = assign_buckets(df, planes, vec_col)
         meta = {
             "method": "lsh",
             "n_planes": int(n_planes),

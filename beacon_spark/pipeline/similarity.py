@@ -73,9 +73,22 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.randn(n_planes, dim)
 
 
+# Matrix-size threshold (elements: n_cells*dim or n_planes*dim) above
+# which inlining the matrix as Catalyst literals is replaced by a
+# broadcast-matrix pandas UDF: whole-stage codegen degrades well before
+# the 64KB JVM method limit, and a 1024x768 centroid table as SQL
+# literals is megabytes of generated code. EVERY assignment path (inline
+# probes, pair mining, persisted-index build) routes through the guarded
+# assigners below — the Catalyst tier is an optimization detail, not an
+# API.
+_CODEGEN_LIMIT = 4096
+
+
 def lsh_bucket_expr(vec_col: str | Column, planes: np.ndarray) -> Column:
     """Random-hyperplane LSH bucket id: sign pattern of <v, plane_i> packed
-    into an int. Pure Catalyst (one aggregate per plane over zip_with)."""
+    into an int. Pure Catalyst (one aggregate per plane over zip_with).
+    Codegen-safe only for small plane matrices — call
+    :func:`assign_buckets` unless you know n_planes*dim is tiny."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
@@ -86,6 +99,61 @@ def lsh_bucket_expr(vec_col: str | Column, planes: np.ndarray) -> Column:
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
+
+
+def assign_buckets(df: DataFrame, planes: np.ndarray, vec_col: str | Column) -> Column:
+    """LSH bucket id for every row, codegen-guarded.
+
+    Small plane matrix -> pure Catalyst expression (JVM-side, WSCG).
+    Large (n_planes*dim > _CODEGEN_LIMIT) -> Arrow-batched pandas UDF:
+    planes broadcast once, one (batch x dim)@(dim x planes) BLAS multiply
+    + sign-pack per batch."""
+    n_planes, dim = planes.shape
+    if n_planes * dim <= _CODEGEN_LIMIT:
+        return lsh_bucket_expr(vec_col, planes)
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(planes, dtype=np.float64)
+    )
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def _assign(v):
+        import pandas as pd
+
+        mat = np.vstack(v.to_numpy())
+        bits = (mat @ bc.value.T) > 0
+        return pd.Series((bits @ weights).astype("int64"))
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _assign(c.cast("array<double>"))
+
+
+def assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str | Column) -> Column:
+    """Nearest-centroid cell id for every row, codegen-guarded.
+
+    Small index -> pure Catalyst expression (no Python in the hot path).
+    Large -> pandas UDF: centroids broadcast once, argmax over a single
+    matrix multiply per Arrow batch."""
+    n_cells, dim = centroids.shape
+    if n_cells * dim <= _CODEGEN_LIMIT:
+        if not isinstance(vec_col, str):
+            raise TypeError("assign_cells needs a column NAME (ivf_cell_expr builds SQL)")
+        return ivf_cell_expr(vec_col, centroids)
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(centroids, dtype=np.float64)
+    )
+
+    @F.pandas_udf("int")
+    def _assign(v):
+        import pandas as pd
+
+        mat = np.vstack(v.to_numpy())
+        return pd.Series(np.argmax(mat @ bc.value.T, axis=1).astype("int32"))
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _assign(c.cast("array<double>"))
 
 
 def lsh_ann_topk(
@@ -104,7 +172,7 @@ def lsh_ann_topk(
     planes = _hyperplanes(dim, n_planes, seed)
     qvec = np.asarray(query, dtype=np.float64)
     qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, qvec)) > 0))
-    bucketed = df.withColumn("__bucket", lsh_bucket_expr(vec_col, planes))
+    bucketed = df.withColumn("__bucket", assign_buckets(df, planes, vec_col))
     return (
         bucketed.filter(F.col("__bucket") == qbucket)
         .select(F.col(id_col), F.round(cosine_expr(vec_col, query), 4).alias("cosine"))
@@ -133,12 +201,18 @@ def cosine_pairs_lsh(
     sample = df.select(vec_col).first()
     dim = len(sample[0])
     bands = [
-        lsh_bucket_expr(vec_col, _hyperplanes(dim, n_planes, seed + 7919 * b)).alias(f"__b{b}")
+        assign_buckets(
+            df, _hyperplanes(dim, n_planes, seed + 7919 * b), vec_col
+        ).alias(f"__b{b}")
         for b in range(n_bands)
     ]
+    # candidate mining carries ONLY (band, bucket, id): at 768-dim
+    # doubles a vector is ~6 KB, and dragging two of them through the
+    # self-join + dropDuplicates shuffles would dominate the exchange.
+    # Vectors are re-joined per UNIQUE pair afterwards (the same shape as
+    # dedup.py's minhash verification).
     base = df.select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
         F.posexplode(F.array(*bands)).alias("__band", "__bucket"),
     )
     cand = (
@@ -152,10 +226,15 @@ def cosine_pairs_lsh(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__v").alias("__va"),
-            F.col("b.__v").alias("__vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"))
+    cand = (
+        cand.join(vecs, cand["id_a"] == vecs["__vid"])
+        .select("id_a", "id_b", F.col("__vec").alias("__va"))
+        .join(vecs, F.col("id_b") == vecs["__vid"])
+        .select("id_a", "id_b", "__va", F.col("__vec").alias("__vb"))
     )
     dot = F.aggregate(
         F.zip_with(F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>"),
@@ -259,7 +338,7 @@ def ivf_ann_topk(
     q = q / max(np.linalg.norm(q), 1e-12)
     order = np.argsort(-(centroids @ q))
     probe = [int(c) for c in order[:nprobe]]
-    celled = df.withColumn("__cell", ivf_cell_expr(vec_col, centroids))
+    celled = df.withColumn("__cell", assign_cells(df, centroids, vec_col))
     return (
         celled.filter(F.col("__cell").isin(probe))
         .select(F.col(id_col), F.round(cosine_expr(vec_col, query), 4).alias("cosine"))

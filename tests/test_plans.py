@@ -76,3 +76,28 @@ def test_sim_topk_is_take_ordered(spark, sf):
 
     plan = _plan(E._q_sim_topk(spark, sf))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cosine_pairs_candidate_exchange_ids_only(spark):
+    """cosine_pairs_lsh's candidate dedup must shuffle only pair ids:
+    the HashAggregate implementing dropDuplicates(id_a, id_b) (and the
+    exchange feeding it) must not carry vector payloads — vectors are
+    re-joined per unique pair afterwards."""
+    import numpy as np
+
+    from beacon_spark.pipeline.similarity import cosine_pairs_lsh
+
+    rng = np.random.default_rng(1)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plan = _plan(cosine_pairs_lsh(df, threshold=0.5))
+    for line in plan.splitlines():
+        if "HashAggregate" in line and "id_a" in line and "id_b" in line:
+            assert "__va" not in line and "__vb" not in line and "__v#" not in line
+            break
+    else:
+        pytest.fail("no dedup HashAggregate over (id_a, id_b) in plan")
+    # no Exchange ships a vector column to the dedup
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(id_a" in line:
+            assert "__va" not in line and "__vb" not in line
