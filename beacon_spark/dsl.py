@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_COMPARISONS = ("eq", "neq", "gt", "gt_eq", "lt", "lt_eq")
+_COMPARISONS = ("eq", "neq", "gt", "gt_eq", "lt", "lt_eq", "contains", "like")
 _INT_RANGES = {
     T.ByteType(): (-(2**7), 2**7 - 1),
     T.ShortType(): (-(2**15), 2**15 - 1),
@@ -218,7 +218,13 @@ def compile_filter(node: Any, schema: T.StructType) -> Column:
         "lt_eq": lambda c, v: c <= v,
     }
     for op, raw in ops.items():
-        piece = builders[op](col, _comparison_value(raw, dtype))
+        if op in ("contains", "like"):
+            # text predicates (substring / SQL LIKE) — these also drive
+            # inverted-index file pruning on managed tables
+            s = str(raw)
+            piece = col.contains(s) if op == "contains" else col.like(s)
+        else:
+            piece = builders[op](col, _comparison_value(raw, dtype))
         expr = piece if expr is None else (expr & piece)
     return expr
 
@@ -285,13 +291,17 @@ def compile_query(engine, body: dict[str, Any]) -> DataFrame:
     # the source resolver, which drops provably-dead files via the stats
     # index before the scan (stats.py — the reference's PushdownFilter +
     # file-stats pruning pipeline)
-    from beacon_spark.stats import extract_value_ranges
+    from beacon_spark.stats import extract_contains_terms, extract_value_ranges
 
     ranges = {}
+    terms = {}
     if body.get("filter") is not None:
         ranges = extract_value_ranges(body["filter"])
+        terms = extract_contains_terms(body["filter"])
 
-    df = engine.resolve_from(body.get("from"), pushdown_cols or None, ranges)
+    df = engine.resolve_from(
+        body.get("from"), pushdown_cols or None, ranges, terms
+    )
     df = df.select(*[_select_to_column(s) for s in select])
 
     if body.get("filter") is not None:

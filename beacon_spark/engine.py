@@ -716,6 +716,17 @@ class Engine:
                     mt = ManagedTable(self.spark, c["tables"][table])
                     mt.cluster_by(column)
                     analyze_files(self.datasets_root, mt.files())
+            elif using == "inverted" and self.datasets_root is not None:
+                # real token->posting-file index (managed tables): built
+                # here, consulted by _pruned_managed_read for contains/
+                # LIKE predicates
+                c = cat._load()
+                if table in c["tables"]:
+                    from beacon_spark.managed import ManagedTable
+
+                    ManagedTable(self.spark, c["tables"][table]).build_inverted_index(
+                        column, idx
+                    )
             return self._status(status="ok", op="create_index", name=idx)
         if kind == "drop_index":
             cat.drop_index(m.group(1))
@@ -1141,23 +1152,25 @@ class Engine:
             write_output(df, output["format"], output_path, **opts)
         return df
 
-    def _pruned_managed_read(self, name: str, ranges) -> "DataFrame | None":
-        """Index-backed file pruning for managed tables: when ``name`` is a
-        managed table with a btree index whose column appears in the
-        query's value ranges, read only the files whose min/max stats can
-        match (fail-open). Returns None when not applicable — caller
-        falls back to the registered temp view."""
-        if not ranges or self.datasets_root is None or self.catalog is None:
+    def _pruned_managed_read(self, name: str, ranges, terms=None) -> "DataFrame | None":
+        """Index-backed file pruning for managed tables, fail-open:
+
+        - btree index + numeric value ranges -> file-stats min/max pruning
+        - inverted index + ``contains``/LIKE terms -> token-posting
+          pruning (every term's tokens must post in a file for it to
+          survive; managed.py:build_inverted_index)
+
+        Both prune the FILE LIST before the scan opens; when both apply
+        the survivor set is the intersection. Returns None when no index
+        narrows anything — caller falls back to the registered view."""
+        if (not ranges and not terms) or self.datasets_root is None or self.catalog is None:
             return None
         try:
             c = self.catalog._load()
         except Exception:
             return None
         path = c.get("tables", {}).get(name)
-        if not path or not any(
-            d["table"] == name and d["using"] == "btree" and d["column"] in ranges
-            for d in c.get("indexes", {}).values()
-        ):
+        if not path:
             return None
         from beacon_spark.managed import ManagedTable
         from beacon_spark.schema import align_to_schema
@@ -1165,12 +1178,28 @@ class Engine:
 
         mt = ManagedTable(self.spark, path)
         files = mt.files()
-        pruned = prune_files(self.datasets_root, files, ranges)
-        if not pruned:
-            return self.spark.createDataFrame([], mt.schema())
-        if pruned == files:
+        survivors = files
+        if ranges and any(
+            d["table"] == name and d["using"] == "btree" and d["column"] in ranges
+            for d in c.get("indexes", {}).values()
+        ):
+            survivors = prune_files(self.datasets_root, survivors, ranges)
+        if terms:
+            for iname, d in c.get("indexes", {}).items():
+                if (
+                    d["table"] == name
+                    and d["using"] == "inverted"
+                    and d["column"] in terms
+                ):
+                    hit = mt.inverted_prune(iname, terms[d["column"]])
+                    if hit is not None:
+                        keep = set(hit)
+                        survivors = [f for f in survivors if f in keep]
+        if survivors == files:
             return None
-        return align_to_schema(self.spark.read.parquet(*pruned), mt.schema())
+        if not survivors:
+            return self.spark.createDataFrame([], mt.schema())
+        return align_to_schema(self.spark.read.parquet(*survivors), mt.schema())
 
     def _refresh_index_stats(self, table: str) -> None:
         """After DML on an indexed managed table, re-analyze its (new)
@@ -1186,15 +1215,20 @@ class Engine:
         from beacon_spark.managed import ManagedTable
         from beacon_spark.stats import analyze_files
 
-        analyze_files(
-            self.datasets_root, ManagedTable(self.spark, c["tables"][table]).files()
-        )
+        mt = ManagedTable(self.spark, c["tables"][table])
+        analyze_files(self.datasets_root, mt.files())
+        for iname, d in c.get("indexes", {}).items():
+            if d["table"] == table and d["using"] == "inverted":
+                # incremental: only files new since the last build are
+                # tokenized (build_inverted_index keys postings by file)
+                mt.build_inverted_index(d["column"], iname)
 
     def resolve_from(
         self,
         spec: Any,
         projection: list[str] | None = None,
         ranges: dict | None = None,
+        terms: dict | None = None,
     ) -> DataFrame:
         """Resolve a DSL ``from`` (query/from.rs:23-131): named table, or
         ``{"<format>": {"paths": [...], ...}}``. ``projection`` is the
@@ -1207,7 +1241,7 @@ class Engine:
                 raise ValueError("query has no 'from' and engine has no default table")
             spec = self.default_table
         if isinstance(spec, str):
-            pruned = self._pruned_managed_read(spec, ranges)
+            pruned = self._pruned_managed_read(spec, ranges, terms)
             if pruned is not None:
                 return pruned
             return self.spark.table(spec)

@@ -227,6 +227,107 @@ class ManagedTable:
             raise ManagedTableError(f"no column {name}")
         return self._write_manifest(T.StructType(fields), m["files"])
 
+    # --------------------------------------------------- inverted index
+
+    TOKEN_RE = "[^a-z0-9]+"
+
+    def build_inverted_index(self, column: str, index_name: str) -> int:
+        """Token→posting-file index (the Lance inverted-index role,
+        reference ``beacon-core/src/statement_plan/actions.rs:763-820``):
+        one distributed pass tokenizes ``column`` (lowercase, split on
+        non-alphanumeric), emits DISTINCT (token, file) pairs, and writes
+        them sorted by token — so a probe is a token-range parquet read,
+        not a scan. Incremental: files already in the index keep their
+        postings; only new files are tokenized (cost ∝ appended data).
+        Returns the number of files newly indexed."""
+        idx_dir = os.path.join(self.path, "_indexes", index_name)
+        files = self.files()
+        basenames = {os.path.basename(f) for f in files}
+        prior = None
+        indexed: set[str] = set()
+        if os.path.isdir(idx_dir):
+            prior = self.spark.read.parquet(idx_dir)
+            # keep postings of files still live in the current manifest
+            prior = prior.filter(F.col("file").isin(list(basenames))).cache()
+            indexed = {r.file for r in prior.select("file").distinct().collect()}
+        new_files = [f for f in files if os.path.basename(f) not in indexed]
+        parts = [] if prior is None else [prior]
+        if new_files:
+            tokens = (
+                self.spark.read.parquet(*new_files)
+                .select(
+                    F.explode(
+                        F.split(F.lower(F.col(column).cast("string")), self.TOKEN_RE)
+                    ).alias("token"),
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("file"),
+                )
+                .filter(F.col("token") != "")
+                .distinct()
+            )
+            parts.append(tokens)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        tmp = idx_dir + f".tmp-{uuid.uuid4().hex}"
+        out.sort("token").write.mode("overwrite").parquet(tmp)
+        # sidecar: the exact file set this index covers — prune treats
+        # files OUTSIDE it as unprunable (fail-open on a stale index)
+        with open(os.path.join(tmp, "_indexed_files.json"), "w") as fh:
+            json.dump(sorted(basenames), fh)
+        import shutil
+
+        if os.path.isdir(idx_dir):
+            shutil.rmtree(idx_dir)
+        os.replace(tmp, idx_dir)
+        return len(new_files)
+
+    def inverted_prune(
+        self, index_name: str, terms: list[str]
+    ) -> list[str] | None:
+        """Files that can contain rows where the indexed column CONTAINS
+        every term (AND semantics: a matching row carries all the terms'
+        tokens, so its file posts all of them). Fail-open: returns None
+        when the index is missing/unreadable. The postings read is a
+        metadata-sized pyarrow scan with a token-IN filter (row groups
+        are token-sorted), no Spark job."""
+        import re as _re
+
+        idx_dir = os.path.join(self.path, "_indexes", index_name)
+        if not os.path.isdir(idx_dir):
+            return None
+        tokens = set()
+        for t in terms:
+            tokens.update(x for x in _re.split(self.TOKEN_RE, str(t).lower()) if x)
+        if not tokens:
+            return None
+        try:
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(idx_dir, format="parquet").to_table(
+                filter=pads.field("token").isin(sorted(tokens))
+            )
+        except Exception:
+            return None
+        seen: dict[str, set] = {}
+        for f, t in zip(
+            tbl.column("file").to_pylist(), tbl.column("token").to_pylist()
+        ):
+            seen.setdefault(f, set()).add(t)
+        keep = {f for f, toks in seen.items() if toks >= tokens}
+        try:
+            with open(os.path.join(idx_dir, "_indexed_files.json")) as fh:
+                indexed = set(json.load(fh))
+        except OSError:
+            return None  # no coverage manifest -> can't prune safely
+        return [
+            f
+            for f in self.files()
+            # unindexed files are kept unconditionally (fail-open)
+            if os.path.basename(f) in keep or os.path.basename(f) not in indexed
+        ]
+
     def vacuum(self, retain_versions: int = 1) -> tuple[int, int]:
         """Reclaim storage: drop manifests older than the newest
         ``retain_versions`` and delete data files no surviving version

@@ -146,6 +146,39 @@ def analyze_files(
 # ------------------------------------------------------------ ranges
 
 
+def extract_contains_terms(node: Any) -> dict[str, list[str]]:
+    """Walk a JSON-DSL filter, collecting AND-ed ``contains`` (and
+    non-wildcard-leading LIKE) terms per column — these drive
+    inverted-index file pruning on managed tables. OR branches contribute
+    nothing (fail-open, same contract as :func:`extract_value_ranges`)."""
+    terms: dict[str, list[str]] = {}
+
+    def walk(n: Any) -> None:
+        if not isinstance(n, dict):
+            return
+        if "and" in n:
+            for c in n["and"]:
+                walk(c)
+            return
+        if "or" in n or "geometry" in n:
+            return
+        col = n.get("column", n.get("for_query_parameter"))
+        if not col:
+            return
+        if isinstance(n.get("contains"), str) and n["contains"]:
+            terms.setdefault(col, []).append(n["contains"])
+        like = n.get("like")
+        if isinstance(like, str):
+            # LIKE '%term%' and friends: the literal runs between
+            # wildcards still token-match; extract them
+            for piece in like.replace("_", "%").split("%"):
+                if piece:
+                    terms.setdefault(col, []).append(piece)
+
+    walk(node)
+    return terms
+
+
 def extract_value_ranges(node: Any) -> dict[str, tuple[float | None, float | None]]:
     """Walk a JSON-DSL filter, extracting per-column [lo, hi] ranges from
     AND-ed comparison leaves — the analog of the reference's

@@ -220,3 +220,70 @@ def test_vacuum_reclaims_old_versions(spark, tmp_path):
         for f in _os.listdir(_os.path.join(mt.path, "data"))
     }
     assert on_disk == live
+
+
+def test_inverted_index_prunes_files(spark, tmp_path):
+    """CREATE INDEX ... USING inverted builds a token->posting-file
+    index; a DSL contains/LIKE query then opens a STRICT SUBSET of the
+    table's files (reference: Lance inverted index accelerating text
+    predicates, actions.rs:763-820)."""
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    rows = [(i, f"common filler text row {i}") for i in range(400)]
+    # the needle lives in exactly one partition-worth of rows
+    rows += [(1000 + i, f"rare zyzzyva mention {i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, body string").repartitionByRange(
+        6, "id"
+    )
+    eng.catalog.create_table("docs_t", df)
+    eng.sql("CREATE INDEX bidx ON docs_t (body) USING inverted")
+
+    mt = eng.catalog.table("docs_t")
+    n_files = len(mt.files())
+    assert n_files >= 4
+
+    out = eng.query(
+        {
+            "select": ["id", "body"],
+            "from": "docs_t",
+            "filter": {"column": "body", "contains": "zyzzyva"},
+        }
+    )
+    assert out.count() == 5
+    assert 0 < len(out.inputFiles()) < n_files  # strict subset opened
+
+    # LIKE drives the same pruning
+    out2 = eng.query(
+        {
+            "select": ["id"],
+            "from": "docs_t",
+            "filter": {"column": "body", "like": "%zyzzyva%"},
+        }
+    )
+    assert out2.count() == 5
+    assert 0 < len(out2.inputFiles()) < n_files
+
+    # no-hit term -> empty result without opening any data file
+    out3 = eng.query(
+        {
+            "select": ["id"],
+            "from": "docs_t",
+            "filter": {"column": "body", "contains": "nonexistentterm"},
+        }
+    )
+    assert out3.count() == 0 and len(out3.inputFiles()) == 0
+
+    # DML refresh: newly inserted rows become findable (incremental build)
+    eng.sql(
+        "INSERT INTO docs_t SELECT 2000 + id AS id, "
+        "concat('fresh xylophone text ', id) AS body FROM range(3)"
+    )
+    out4 = eng.query(
+        {
+            "select": ["id"],
+            "from": "docs_t",
+            "filter": {"column": "body", "contains": "xylophone"},
+        }
+    )
+    assert out4.count() == 3
