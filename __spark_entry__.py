@@ -923,7 +923,14 @@ def _q_multimodal(spark, sf_dir):
     a genuine PNG (pure-Python encoder, deterministic 8×4 gradient
     keyed by doc_id), odd ids raw text bytes. extract_metadata sniffs
     headers; featurize DECODES the PNGs (pnglite) and emits real pixel
-    statistics. Binary handling isn't SQL-portable — rows-only check."""
+    statistics.
+
+    Oracle-checkable by construction: the gradient pixels are a closed
+    form of doc_id, so the decoded per-image mean (features[4]) × 32
+    recovers the integer pixel SUM exactly (rounding noise ≤ 0.0016 ≪
+    0.5), and DuckDB reproduces the expected total with pure integer
+    arithmetic over range(32) — a hash match therefore proves the PNG
+    encode→decode pixel path, not just row counts."""
     import numpy as np
 
     from beacon_spark.pipeline.multimodal import extract_metadata, featurize
@@ -951,16 +958,47 @@ def _q_multimodal(spark, sf_dir):
     )
     with_meta = extract_metadata(docs)
     feats = featurize(with_meta)
+    is_png = F.col("asset_meta.mime") == "image/png"
     return (
         feats.groupBy(F.col("asset_meta.mime").alias("mime"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.min("asset_meta.width").alias("min_width"),
-            # features[0] is the decoded height (real decode) for PNGs
-            F.round(F.avg(F.element_at("features", 1)), 4).alias("avg_f0"),
+            F.min("asset_meta.width").cast("long").alias("min_width"),
+            # decoded height/width (real decode), constant per group
+            F.max(F.when(is_png, F.element_at("features", 1)))
+            .cast("long")
+            .alias("dec_height"),
+            # features[4] = decoded channel-0 mean; ×32 = integer pixel sum
+            F.sum(
+                F.when(
+                    is_png, F.round(F.element_at("features", 4) * 32, 0)
+                ).cast("long")
+            ).alias("px_sum"),
         )
         .orderBy("mime")
     )
+
+
+_SQL_MULTIMODAL = """
+SELECT mime,
+       count(*) AS n,
+       min(width) AS min_width,
+       max(dec_h) AS dec_height,
+       CAST(sum(px) AS BIGINT) AS px_sum
+FROM (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 2 = 0 THEN 'image/png'
+              ELSE 'application/octet-stream' END AS mime,
+         CASE WHEN d.doc_id % 2 = 0 THEN CAST(8 AS BIGINT) END AS width,
+         CASE WHEN d.doc_id % 2 = 0 THEN CAST(4 AS BIGINT) END AS dec_h,
+         CASE WHEN d.doc_id % 2 = 0 THEN
+           (SELECT sum((t.k + d.doc_id) % 256) FROM range(32) t(k))
+         END AS px
+  FROM documents d
+)
+GROUP BY mime
+ORDER BY mime
+"""
 
 
 # =====================================================================
@@ -2037,6 +2075,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,
         "ann_ivf_probe": _SQL_SIM_TOPK,
         "cosine_pairs_lsh": _SQL_SIM_PAIRS,
-        # rows-only (non-SQL-expressible): simhash_pairs, ann_lsh_topk,
-        # multimodal_meta
+        # multimodal_meta: the PNG payloads are closed-form in doc_id, so
+        # the decoded pixel sums ARE SQL-reproducible (see _q_multimodal)
+        "multimodal_meta": _SQL_MULTIMODAL,
+        # rows-only (non-SQL-expressible): simhash_pairs, ann_lsh_topk
     }

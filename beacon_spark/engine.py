@@ -184,7 +184,8 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
         r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
     ("show_indexes", re.compile(r"^\s*SHOW\s+INDEXES;?\s*$", re.IGNORECASE)),
     ("create_crawler", re.compile(
-        r"^\s*CREATE\s+CRAWLER\s+(\w+)(?:\s+ON\s+'([^']*)')?;?\s*$", re.IGNORECASE)),
+        r"^\s*CREATE\s+CRAWLER\s+(\w+)(?:\s+ON\s+'([^']*)')?"
+        r"(?:\s+WITH\s*\(([^)]*)\))?;?\s*$", re.IGNORECASE)),
     ("run_crawler", re.compile(
         r"^\s*RUN\s+CRAWLER\s+(\w+);?\s*$", re.IGNORECASE)),
     ("drop_crawler", re.compile(
@@ -261,6 +262,22 @@ def _split_top_level(s: str) -> list[str]:
     if cur:
         parts.append("".join(cur))
     return [p for p in (p.strip() for p in parts) if p]
+
+
+def _parse_crawler_schedule(with_opts: str | None) -> int | None:
+    """``WITH (schedule = '15m')`` → seconds (units s/m/h/d, bare number
+    = seconds; the reference's definition.rs:116-171 parse)."""
+    if not with_opts:
+        return None
+    m = re.search(
+        r"['\"]?schedule['\"]?\s*[=,]?\s*['\"]([0-9]+)\s*([smhd]?)['\"]",
+        with_opts,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"bad crawler WITH options: {with_opts!r}")
+    n, unit = int(m.group(1)), m.group(2).lower()
+    return n * {"": 1, "s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
 
 
 class Engine:
@@ -740,8 +757,9 @@ class Engine:
                 rows, "index_name string, table_name string, column_name string, using string"
             )
         if kind == "create_crawler":
-            name, prefix = m.group(1), m.group(2)
-            cat.create_crawler(name, prefix)
+            name, prefix, with_opts = m.groups()
+            schedule = _parse_crawler_schedule(with_opts)
+            cat.create_crawler(name, prefix, schedule)
             return self._status(status="ok", op="create_crawler", name=name)
         if kind == "run_crawler":
             return self._run_crawler(m.group(1))
@@ -750,9 +768,12 @@ class Engine:
             return self._status(status="ok", op="drop_crawler", name=m.group(1))
         if kind == "show_crawlers":
             rows = [
-                (n, d["prefix"]) for n, d in sorted(cat._load()["crawlers"].items())
+                (n, d["prefix"], d.get("schedule_secs"))
+                for n, d in sorted(cat._load()["crawlers"].items())
             ]
-            return self.spark.createDataFrame(rows, "crawler_name string, prefix string")
+            return self.spark.createDataFrame(
+                rows, "crawler_name string, prefix string, schedule_secs long"
+            )
         if kind == "show_tables":
             c = cat._load()
             rows = (
@@ -941,11 +962,61 @@ class Engine:
             return self._status(status="ok", op="drop_view", name=name)
         raise ValueError(f"unhandled ddl kind {kind}")
 
+    def run_due_crawlers(self, now: float | None = None) -> list[tuple]:
+        """One scheduler sweep (the reference's periodic re-discovery,
+        ``beacon-core/src/crawler/discovery.rs:1-6`` + manager timer):
+        run every crawler whose schedule interval has elapsed since its
+        last run (never-run crawlers with a schedule are due
+        immediately; crawlers without a schedule only run via RUN
+        CRAWLER). Returns the combined discovery report rows."""
+        import time as _time
+
+        now = _time.time() if now is None else now
+        out: list[tuple] = []
+        for name, d in sorted(self.catalog._load()["crawlers"].items()):
+            secs = d.get("schedule_secs")
+            if secs is None:
+                continue
+            last = d.get("last_run")
+            if last is not None and now - last < secs:
+                continue
+            out.extend(tuple(r) for r in self._run_crawler(name).collect())
+        return out
+
+    def start_crawler_scheduler(self, poll_secs: float = 30.0) -> None:
+        """Background re-discovery: a daemon thread sweeping
+        :meth:`run_due_crawlers` every ``poll_secs``. Embedded-mode analog
+        of the reference's crawler manager timer. Idempotent."""
+        import threading
+
+        if getattr(self, "_crawler_thread", None) is not None:
+            return
+        self._crawler_stop = threading.Event()
+
+        def _loop():
+            while not self._crawler_stop.wait(poll_secs):
+                try:
+                    self.run_due_crawlers()
+                except Exception:  # never kill the host app from a sweep
+                    pass
+
+        self._crawler_thread = threading.Thread(
+            target=_loop, name="beacon-crawler-scheduler", daemon=True
+        )
+        self._crawler_thread.start()
+
+    def stop_crawler_scheduler(self) -> None:
+        t = getattr(self, "_crawler_thread", None)
+        if t is not None:
+            self._crawler_stop.set()
+            t.join(timeout=5)
+            self._crawler_thread = None
+
     def _run_crawler(self, name: str) -> DataFrame:
         """RUN CRAWLER: discover files under the crawler's prefix and
         auto-register recognized ones as external tables (discovery loop,
-        beacon-core/src/crawler/discovery.rs). Sync — embedded mode has no
-        scheduler. Returns the discovery report."""
+        beacon-core/src/crawler/discovery.rs). Also the unit of work for
+        the run_due_crawlers() scheduler sweep. Returns the report."""
         crawlers = self.catalog._load()["crawlers"]
         if name not in crawlers:
             raise ValueError(f"unknown crawler {name!r}")
@@ -970,6 +1041,9 @@ class Engine:
             self.catalog.create_external_table(tname, fmt, [rel])
             taken.add(tname)
             report.append((rel, fmt, f"registered as {tname}"))
+        import time as _time
+
+        self.catalog.touch_crawler(name, _time.time())
         return self.spark.createDataFrame(
             report, "path string, format string, action string"
         )

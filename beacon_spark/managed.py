@@ -476,12 +476,25 @@ class Catalog:
     #      external tables, beacon-core/src/crawler/*; embedded mode has no
     #      scheduler so RUN is the sync point) ----
 
-    def create_crawler(self, name: str, prefix: str | None) -> None:
+    def create_crawler(
+        self, name: str, prefix: str | None, schedule_secs: int | None = None
+    ) -> None:
         cat = self._load()
         if name in cat["crawlers"]:
             raise ManagedTableError(f"crawler {name!r} already exists")
-        cat["crawlers"][name] = {"prefix": prefix or ""}
+        cat["crawlers"][name] = {
+            "prefix": prefix or "",
+            "schedule_secs": schedule_secs,
+            "last_run": None,
+        }
         self._save(cat)
+
+    def touch_crawler(self, name: str, when: float) -> None:
+        """Record a crawl's completion time (drives run_due scheduling)."""
+        cat = self._load()
+        if name in cat["crawlers"]:
+            cat["crawlers"][name]["last_run"] = when
+            self._save(cat)
 
     def drop_crawler(self, name: str) -> None:
         cat = self._load()

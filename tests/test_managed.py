@@ -287,3 +287,52 @@ def test_inverted_index_prunes_files(spark, tmp_path):
         }
     )
     assert out4.count() == 3
+
+
+def test_crawler_scheduling(spark, tmp_path):
+    """A crawler with WITH (schedule='...') is auto-run by the scheduler
+    sweep: a file that appears AFTER creation is registered without any
+    explicit RUN CRAWLER (reference crawler manager timer +
+    discovery.rs)."""
+    import time
+
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE CRAWLER sched ON 'inbox' WITH (schedule = '1s')")
+    row = eng.sql("SHOW CRAWLERS").collect()[0]
+    assert row.schedule_secs == 1
+
+    # nothing to discover yet; first sweep runs (never-run = due) and
+    # stamps last_run
+    eng.run_due_crawlers()
+    # a new file lands
+    spark.range(4).toDF("a").write.mode("overwrite").parquet(
+        str(tmp_path / "inbox" / "fresh.parquet")
+    )
+    # immediately after the sweep the crawler is NOT due again
+    last = eng.catalog._load()["crawlers"]["sched"]["last_run"]
+    assert eng.run_due_crawlers(now=last + 0.5) == []
+    # past the interval -> sweep discovers and registers the new file
+    report = eng.run_due_crawlers(now=last + 2)
+    assert any("registered" in r[2] for r in report)
+    names = eng.catalog.names()["external_tables"]
+    assert any("fresh" in n for n in names)
+
+    # background thread: a second new file is picked up with no call
+    spark.range(2).toDF("a").write.mode("overwrite").parquet(
+        str(tmp_path / "inbox" / "later.parquet")
+    )
+    eng.start_crawler_scheduler(poll_secs=0.2)
+    try:
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            if any(
+                "later" in n for n in eng.catalog.names()["external_tables"]
+            ):
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError("background sweep never registered later.parquet")
+    finally:
+        eng.stop_crawler_scheduler()
