@@ -80,6 +80,50 @@ def _bind_placeholders(statement: str, params: list) -> tuple[str, dict]:
     return "".join(out), args
 
 
+def _literal_spans(statement: str) -> list[tuple[int, int]]:
+    """(start, end) spans of single-quoted string literals, honoring the
+    SQL ``''`` escape. Used so dialect rewrites never fire on text that is
+    merely *quoted* (e.g. the literal ``'read_parquet(x)'``) — the same
+    scan ``_bind_placeholders`` already does for ``$n`` markers."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(statement)
+    while i < n:
+        if statement[i] == "'":
+            j = i + 1
+            while j < n:
+                if statement[j] == "'":
+                    if j + 1 < n and statement[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j, n - 1) + 1))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _in_literal(spans: list[tuple[int, int]], pos: int) -> bool:
+    return any(a < pos < b for a, b in spans)
+
+
+def _sub_outside_literals(pattern: re.Pattern, repl, statement: str) -> str:
+    """``pattern.sub(repl, statement)`` but skipping matches that *start*
+    inside a single-quoted string literal."""
+    spans = _literal_spans(statement)
+    out: list[str] = []
+    last = 0
+    for m in pattern.finditer(statement):
+        if _in_literal(spans, m.start()):
+            continue
+        out.append(statement[last:m.start()])
+        out.append(repl(m) if callable(repl) else m.expand(repl))
+        last = m.end()
+    out.append(statement[last:])
+    return "".join(out)
+
+
 def _extract_star_replace(statement: str) -> tuple[str, list[tuple[str, str]]]:
     """``SELECT * REPLACE (expr AS col, ...)`` (DataFusion star options,
     docs/.../sql/index.md:46-48): strip the REPLACE clause and return the
@@ -531,8 +575,10 @@ class Engine:
         statement = self._rewrite_try_arrow_cast(statement)
         statement = self._rewrite_macros(statement)
         statement = self._rewrite_qualify(statement)
-        statement = _EXCLUDE_RE.sub(
-            lambda m: f"{m.group(1)}EXCEPT ({m.group(3) or m.group(4)})", statement
+        statement = _sub_outside_literals(
+            _EXCLUDE_RE,
+            lambda m: f"{m.group(1)}EXCEPT ({m.group(3) or m.group(4)})",
+            statement,
         )
         statement, replaces = _extract_star_replace(statement)
         order_clause = limit_clause = offset_clause = None
@@ -579,11 +625,14 @@ class Engine:
             df.createOrReplaceTempView(name)
             return name
 
-        return re.sub(
-            r"\b(list_datasets|view_statistics_cache|view_dataset_statistics)\s*\(\s*\)",
+        return _sub_outside_literals(
+            re.compile(
+                r"\b(list_datasets|view_statistics_cache|view_dataset_statistics)"
+                r"\s*\(\s*\)",
+                re.IGNORECASE,
+            ),
             repl,
             statement,
-            flags=re.IGNORECASE,
         )
 
     # ------------------------------------------------------------ ddl/dml
@@ -1075,13 +1124,16 @@ class Engine:
             df.createOrReplaceTempView(name)
             return name
 
-        return _READ_FN_RE.sub(repl, statement)
+        return _sub_outside_literals(_READ_FN_RE, repl, statement)
 
     def _rewrite_try_arrow_cast(self, statement: str) -> str:
         """try_arrow_cast(expr, 'ArrowType') → try_cast(expr AS sparktype)."""
         out = []
         pos = 0
+        spans = _literal_spans(statement)
         for m in _TRY_ARROW_CAST_RE.finditer(statement):
+            if _in_literal(spans, m.start()):
+                continue
             start = m.end()  # after the open paren
             depth = 1
             i = start
@@ -1116,7 +1168,10 @@ class Engine:
             nonlocal statement
             rx = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
             while True:
+                spans = _literal_spans(statement)
                 m = rx.search(statement)
+                while m and _in_literal(spans, m.start()):
+                    m = rx.search(statement, m.end())
                 if not m:
                     return
                 start = m.end()
@@ -1181,7 +1236,10 @@ class Engine:
         Limitation: a window in the predicate may only reference columns
         the inner select exposes (true for alias-style and self-contained
         QUALIFY, the documented uses)."""
+        spans = _literal_spans(statement)
         m = _QUALIFY_RE.search(statement)
+        while m and _in_literal(spans, m.start()):
+            m = _QUALIFY_RE.search(statement, m.end())
         if not m:
             return statement
         inner = statement[: m.start()].rstrip()

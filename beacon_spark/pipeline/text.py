@@ -174,15 +174,15 @@ def scrub_pii(
     """Replace emails/URLs/IPs/phone numbers with typed placeholder
     tokens and append per-kind hit counts — chained ``regexp_replace``
     (whole-stage codegen, no UDF; at 100 TB the scrub is a pure map
-    stage). Counts come from length deltas of a marker substitution, so
-    the text is scanned once per kind, not twice."""
+    stage). Each kind costs two vectorized regex passes over the text
+    (a ``regexp_count`` and a ``regexp_replace``), both inside the same
+    codegen stage — no shuffle, no Python."""
     out_col = out_col or text_col
     cur = F.col(text_col)
     counts = []
     for kind in kinds:
         pat, token = _PII_PATTERNS[kind]
-        n = F.size(F.split(cur, pat)) - F.lit(1)
-        counts.append(F.greatest(n, F.lit(0)).alias(f"n_{kind}"))
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
         cur = F.regexp_replace(cur, pat, token)
     keep = [F.col(c) for c in df.columns if c != out_col]
     return df.select(*keep, *counts, cur.alias(out_col))

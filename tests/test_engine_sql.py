@@ -252,3 +252,32 @@ def test_describe_show_columns_explain(eng):
         "EXPLAIN SELECT r_name FROM read_parquet('region.parquet') WHERE r_regionkey > 1"
     ).collect()[0][0]
     assert "PushedFilters" in plan and "GreaterThan(r_regionkey,1)" in plan
+
+
+def test_rewrites_skip_string_literals(eng):
+    # read_*/try_arrow_cast/EXCLUDE inside single-quoted literals must pass
+    # through unrewritten (the pre-parser is string-literal-aware, like the
+    # $n placeholder scan).
+    out = eng.sql(
+        "SELECT 'read_parquet(x)' AS a, 'try_arrow_cast(y, Int64)' AS b, "
+        "'* EXCLUDE (r_name)' AS c, 'QUALIFY rank' AS d, "
+        "'date_bin(z)' AS e, 'list_datasets()' AS f, r_name "
+        "FROM read_parquet('region.parquet') ORDER BY r_name LIMIT 1"
+    ).collect()
+    r = out[0]
+    assert r.a == "read_parquet(x)"
+    assert r.b == "try_arrow_cast(y, Int64)"
+    assert r.c == "* EXCLUDE (r_name)"
+    assert r.d == "QUALIFY rank"
+    assert r.e == "date_bin(z)"
+    assert r.f == "list_datasets()"
+    assert r.r_name == "AFRICA"
+
+
+def test_rewrites_literal_with_quote_escape(eng):
+    # the '' escape keeps the scan in-literal across the doubled quote
+    out = eng.sql(
+        "SELECT 'it''s read_csv(a)' AS s, r_regionkey "
+        "FROM read_parquet('region.parquet') ORDER BY r_regionkey LIMIT 1"
+    ).collect()
+    assert out[0].s == "it's read_csv(a)"
