@@ -19,10 +19,12 @@ v2 delete files are supported: positional deletes apply as an anti-join
 of ``(_metadata.file_path, _metadata.row_index)`` against the delete
 parquet's ``(file_path, pos)`` rows (vectorized, no driver-side row
 work); equality deletes anti-join on the ``equality_ids`` columns with
-null-safe equality. Simplification (documented): deletes apply to the
-whole snapshot regardless of sequence numbers — correct for the common
-deletes-after-data case, wrong only for engines that interleave
-same-snapshot data/delete sequencing.
+null-safe equality. Delete application is sequence-number-aware per the
+spec: positional deletes hit data files with data_seq <= del_seq,
+equality deletes only data_seq < del_seq — so rows appended after a
+delete snapshot survive. Real v2 tables supply sequence numbers in the
+manifest list; tables without them (our fixtures) get a commit-order
+surrogate from the snapshot log (``_snapshot_files``).
 
 Unsupported (loud): name-mapping / field-id-based schema evolution
 beyond name compatibility.
@@ -170,9 +172,21 @@ def _localize(path: str, location: str) -> str:
 
 def _snapshot_files(
     location: str, md: dict, snapshot_id: int | None
-) -> tuple[list[str], list[str], list[tuple[str, list[int]]]]:
-    """→ (data_files, positional_delete_files, [(eq_delete_file,
-    equality_field_ids)])."""
+) -> tuple[
+    list[tuple[str, int]],
+    list[tuple[str, int]],
+    list[tuple[str, list[int], int]],
+]:
+    """→ ([(data_file, data_seq)], [(positional_delete_file, del_seq)],
+    [(eq_delete_file, equality_field_ids, del_seq)]).
+
+    ``seq`` is the Iceberg data sequence number when the manifest list
+    carries one (v2 tables written by real engines always do), else a
+    commit-order surrogate: the rank of the manifest's
+    ``added_snapshot_id`` in the table's snapshot log. Either way it is
+    monotone in commit order, which is all the delete-application rules
+    below need (spec: positional deletes apply to data files with
+    data_seq <= del_seq; equality deletes to data_seq < del_seq)."""
     snaps = md.get("snapshots", [])
     if not snaps:
         return [], [], []
@@ -183,19 +197,34 @@ def _snapshot_files(
     snap = next((s for s in snaps if s["snapshot-id"] == snapshot_id), None)
     if snap is None:
         raise ValueError(f"snapshot {snapshot_id} not found")
+    snap_rank = {s["snapshot-id"]: i + 1 for i, s in enumerate(snaps)}
     if "manifest-list" in snap:
-        _, entries = read_avro(_localize(snap["manifest-list"], location))
-        manifests = [_localize(e["manifest_path"], location) for e in entries]
-    else:  # v1: inline manifest path list
-        manifests = [_localize(p, location) for p in snap.get("manifests", [])]
-    files: list[str] = []
-    pos_deletes: list[str] = []
-    eq_deletes: list[tuple[str, list[int]]] = []
-    for mpath in manifests:
+        _, mentries = read_avro(_localize(snap["manifest-list"], location))
+        use_real = all(e.get("sequence_number") is not None for e in mentries)
+        manifests = []
+        for e in mentries:
+            mseq = (
+                int(e["sequence_number"])
+                if use_real
+                else snap_rank.get(e.get("added_snapshot_id"), 0)
+            )
+            manifests.append((_localize(e["manifest_path"], location), mseq, use_real))
+    else:  # v1: inline manifest path list (no row-level deletes in v1)
+        manifests = [
+            (_localize(p, location), snap_rank.get(snapshot_id, 0), False)
+            for p in snap.get("manifests", [])
+        ]
+    files: list[tuple[str, int]] = []
+    pos_deletes: list[tuple[str, int]] = []
+    eq_deletes: list[tuple[str, list[int], int]] = []
+    for mpath, mseq, use_real in manifests:
         _, entries = read_avro(mpath)
         for e in entries:
             if e.get("status", 1) == 2:  # deleted
                 continue
+            # v2 entry-level sequence number; null inherits the manifest's
+            eseq = e.get("sequence_number")
+            seq = int(eseq) if (use_real and eseq is not None) else mseq
             dfile = e["data_file"]
             fmt = (dfile.get("file_format") or "PARQUET").upper()
             if fmt != "PARQUET":
@@ -203,11 +232,11 @@ def _snapshot_files(
             content = dfile.get("content", 0)
             path = _localize(dfile["file_path"], location)
             if content == 0:
-                files.append(path)
+                files.append((path, seq))
             elif content == 1:
-                pos_deletes.append(path)
+                pos_deletes.append((path, seq))
             elif content == 2:
-                eq_deletes.append((path, list(dfile.get("equality_ids") or [])))
+                eq_deletes.append((path, list(dfile.get("equality_ids") or []), seq))
             else:
                 raise ValueError(f"unknown iceberg file content {content}")
     return files, pos_deletes, eq_deletes
@@ -233,44 +262,66 @@ def read_iceberg(
     files, pos_deletes, eq_deletes = _snapshot_files(location, md, snapshot_id)
     if not files:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*files)
-    if pos_deletes:
+    df = spark.read.schema(schema).parquet(*[p for p, _s in files])
+    if pos_deletes or eq_deletes:
         from pyspark.sql import functions as F
 
-        # normalize both sides to "file:<abs>" (Hadoop Path.toString);
-        # delete-file paths may carry a URI scheme or be relocated
-        dels = (
-            spark.read.parquet(*pos_deletes)
-            .select(
-                F.regexp_replace("file_path", "^file:/*", "/").alias("__fp_raw"),
-                F.col("pos").alias("__pos"),
-            )
-            .withColumn("__fp", F.concat(F.lit("file:"), F.col("__fp_raw")))
-            .drop("__fp_raw")
-        )
-        df = (
-            df.select(
-                "*",
-                F.col("_metadata.file_path").alias("__fp"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
-            .join(F.broadcast(dels), ["__fp", "__pos"], "left_anti")
-            .drop("__fp", "__pos")
-        )
-    for path, eq_ids in eq_deletes:
-        from pyspark.sql import functions as F
+        # normalize to "file:<abs>" (Hadoop Path.toString) so driver-side
+        # manifest paths, delete-file path values, and _metadata.file_path
+        # compare equal for local files; real URIs pass through unchanged
+        def _fp_key(p: str) -> str:
+            if _bs.is_uri(p) and not p.startswith("file:"):
+                return p
+            return "file:" + re.sub(r"^file:/*", "/", p)
 
-        id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
-        cols = [id_to_name[i] for i in eq_ids] if eq_ids else None
-        dels = spark.read.parquet(path)
-        cols = cols or dels.columns
-        # null-safe equality per Iceberg equality-delete semantics
-        cond = None
-        right = dels.select(*[F.col(c).alias(f"__eq_{c}") for c in cols]).distinct()
-        for c in cols:
-            term = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
-            cond = term if cond is None else cond & term
-        df = df.join(F.broadcast(right), cond, "left_anti")
+        # metadata-sized (one row per data file): data sequence numbers
+        # ride a broadcast join, never a shuffle of the data
+        seq_map = spark.createDataFrame(
+            [(_fp_key(p), int(s)) for p, s in files],
+            "__fp string, __data_seq long",
+        )
+        df = df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        ).join(F.broadcast(seq_map), "__fp", "left")
+        if pos_deletes:
+            # spec: a positional delete applies to data files with
+            # data_seq <= del_seq (same-snapshot deletes DO apply)
+            dels = None
+            for path, dseq in pos_deletes:
+                d = spark.read.parquet(path).select(
+                    F.concat(
+                        F.lit("file:"),
+                        F.regexp_replace("file_path", "^file:/*", "/"),
+                    ).alias("__dfp"),
+                    F.col("pos").alias("__dpos"),
+                    F.lit(int(dseq)).alias("__del_seq"),
+                )
+                dels = d if dels is None else dels.unionAll(d)
+            df = df.join(
+                F.broadcast(dels),
+                (df["__fp"] == dels["__dfp"])
+                & (df["__pos"] == dels["__dpos"])
+                & (df["__data_seq"] <= dels["__del_seq"]),
+                "left_anti",
+            )
+        for path, eq_ids, dseq in eq_deletes:
+            id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
+            cols = [id_to_name[i] for i in eq_ids] if eq_ids else None
+            dels = spark.read.parquet(path)
+            cols = cols or dels.columns
+            # null-safe equality per Iceberg equality-delete semantics;
+            # spec: applies only to data files with data_seq strictly
+            # below the delete's — rows appended later survive
+            right = dels.select(
+                *[F.col(c).alias(f"__eq_{c}") for c in cols]
+            ).distinct()
+            cond = F.col("__data_seq") < F.lit(int(dseq))
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+            df = df.join(F.broadcast(right), cond, "left_anti")
+        df = df.drop("__fp", "__pos", "__data_seq")
     return df
 
 

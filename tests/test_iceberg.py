@@ -184,3 +184,42 @@ def test_positional_and_equality_deletes(spark, tmp_path):
     # earlier snapshots are unaffected (sequence simplification: deletes
     # attach to their own snapshot onward)
     assert read_iceberg(spark, loc, snapshot_id=1).count() == 50
+
+
+def test_deletes_respect_sequence_order(spark, tmp_path):
+    """Append-after-delete: rows committed after a delete snapshot must
+    survive that delete (spec: equality deletes apply only to data files
+    with data_seq strictly below the delete's; positional deletes key on
+    file path so later files are untouched by construction)."""
+    import os as _os
+
+    from beacon_spark.sources.iceberg import write_iceberg_deletes
+
+    loc = str(tmp_path / "iceseq")
+    base = spark.range(0, 10).selectExpr("id", "CAST(id % 5 AS INT) AS grp")
+    write_iceberg(base.coalesce(1), loc)  # snap 1: grp 2 → ids 2, 7
+
+    eq = spark.createDataFrame([(2,)], "grp int")
+    write_iceberg_deletes(spark, loc, eq_df=eq, equality_fields=["grp"])  # snap 2
+
+    # snap 3: re-append rows with the *same* equality key after the delete
+    extra = spark.createDataFrame([(100, 2), (101, 2)], "id long, grp int")
+    write_iceberg(extra.coalesce(1), loc, mode="append")
+
+    ids = sorted(r.id for r in read_iceberg(spark, loc).collect())
+    # originals with grp=2 are gone; the later append with grp=2 survives
+    assert 2 not in ids and 7 not in ids
+    assert 100 in ids and 101 in ids
+    assert len(ids) == 10  # 10 - 2 deleted + 2 appended
+
+    # positional delete after the append only hits the file it names
+    data_files = sorted(
+        _os.path.join(r, n)
+        for r, _, ns in _os.walk(_os.path.join(loc, "data"))
+        for n in ns
+        if n.endswith(".parquet") and "snap" in _os.path.basename(r)
+    )
+    snap3_file = [p for p in data_files if "/snap3/" in p][0]
+    write_iceberg_deletes(spark, loc, pos=[(snap3_file, 0)])
+    ids2 = sorted(r.id for r in read_iceberg(spark, loc).collect())
+    assert len(ids2) == 9 and 100 not in ids2 and 101 in ids2
