@@ -297,11 +297,8 @@ def _point_in_polys(g: Geom, x: float, y: float) -> bool:
     return False
 
 
-def _segs_intersect(sa: np.ndarray, sb: np.ndarray) -> bool:
-    """Any segment of sa properly/improperly intersects any of sb.
-    Vectorized orientation tests over the m×n pair grid."""
-    if not len(sa) or not len(sb):
-        return False
+def _seg_orients(sa: np.ndarray, sb: np.ndarray):
+    """Orientation determinants for the m×n segment-pair grid."""
     ax1, ay1, ax2, ay2 = (sa[:, i][:, None] for i in range(4))
     bx1, by1, bx2, by2 = (sb[:, i][None, :] for i in range(4))
 
@@ -312,6 +309,26 @@ def _segs_intersect(sa: np.ndarray, sb: np.ndarray) -> bool:
     d2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
     d3 = orient(bx1, by1, bx2, by2, ax1, ay1)
     d4 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    return (ax1, ay1, ax2, ay2, bx1, by1, bx2, by2, d1, d2, d3, d4)
+
+
+def _segs_cross_properly(sa: np.ndarray, sb: np.ndarray) -> bool:
+    """Any segment of sa *properly* crosses any of sb (interiors
+    intersect; shared endpoints / collinear touching do NOT count)."""
+    if not len(sa) or not len(sb):
+        return False
+    *_pts, d1, d2, d3, d4 = _seg_orients(sa, sb)
+    return bool((((d1 > 0) != (d2 > 0)) & ((d1 != 0) & (d2 != 0))
+                 & ((d3 > 0) != (d4 > 0)) & ((d3 != 0) & (d4 != 0))).any())
+
+
+def _segs_intersect(sa: np.ndarray, sb: np.ndarray) -> bool:
+    """Any segment of sa properly/improperly intersects any of sb.
+    Vectorized orientation tests over the m×n pair grid."""
+    if not len(sa) or not len(sb):
+        return False
+    (ax1, ay1, ax2, ay2, bx1, by1, bx2, by2,
+     d1, d2, d3, d4) = _seg_orients(sa, sb)
     proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
     if proper.any():
         return True
@@ -365,8 +382,14 @@ def geom_contains(a: Geom, b: Geom) -> bool:
         for p in b.all_coords():
             if not _point_in_polys(a, p[0], p[1]):
                 return False
-        # boundary of b must not properly cross a's boundary; touching is
-        # allowed for the closed-set ST_Covers semantics we approximate.
+        # a concave a can hold all of b's vertices while an edge of b
+        # exits and re-enters — a *proper* boundary crossing disqualifies
+        # containment. Touching (shared vertices/edges) stays allowed:
+        # closed-set ST_Covers semantics. Remaining approximation: a b
+        # edge threading exactly through a vertex of a is counted as
+        # touching, not crossing.
+        if _segs_cross_properly(a.segments(), b.segments()):
+            return False
         return True
     if a.pts is not None and b.pts is not None and len(b.pts):
         return all(

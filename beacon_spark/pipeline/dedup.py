@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Mersenne prime for universal hashing min((a*h+b) mod p). 2^31-1 keeps
 # a*h < 2^62 so the arithmetic never overflows int64 (Spark 4 is ANSI).
@@ -463,7 +464,23 @@ def dedup_clusters(
     materialized, so a 10^9-edge corpus runs in edge-linear work.
     ``localCheckpoint`` cuts the per-round lineage (iterative plans
     otherwise nest until codegen falls over). Stops when no label
-    changes; ``max_iterations`` bounds adversarial graphs."""
+    changes; ``max_iterations`` bounds adversarial graphs.
+
+    Non-numeric ids (strings, binaries) are supported: propagation runs
+    on ``xxhash64(id)`` node keys (a lossy long cast would turn them
+    into NULLs and silently drop every edge), and the result is joined
+    back so ``cluster_id`` is again the minimum *original* member id —
+    one extra shuffle of (id, cluster) pairs, payload-free. A 64-bit
+    hash collision would merge two unrelated ids (~n²/2⁶⁴ odds)."""
+    numeric = isinstance(
+        pairs.schema[id_a].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    ) and isinstance(
+        pairs.schema[id_b].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    )
+    if not numeric:
+        return _dedup_clusters_hashed(pairs, id_a, id_b, max_iterations)
     edges = (
         pairs.select(
             F.col(id_a).cast("long").alias("src"),
@@ -522,6 +539,35 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _dedup_clusters_hashed(
+    pairs: DataFrame, id_a: str, id_b: str, max_iterations: int
+) -> DataFrame:
+    """``dedup_clusters`` for non-numeric ids: propagate min labels over
+    xxhash64 node keys, then map hashes back to original ids and re-take
+    the minimum original id per component (hash order != id order)."""
+    # (original id, hashed node) for every distinct endpoint — the only
+    # state that ever carries the original (possibly wide) id values
+    idmap = (
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .select("id", F.xxhash64("id").alias("node"))
+    )
+    hashed = pairs.select(
+        F.xxhash64(F.col(id_a)).alias("id_a"),
+        F.xxhash64(F.col(id_b)).alias("id_b"),
+    )
+    comp = dedup_clusters(hashed, "id_a", "id_b", max_iterations)
+    # hash-space labels → original ids; cluster_id = min original member
+    labeled = comp.join(idmap, comp.doc_id == idmap.node).select(
+        F.col("id").alias("doc_id"), F.col("cluster_id").alias("__h_cluster")
+    )
+    cmin = labeled.groupBy("__h_cluster").agg(
+        F.min("doc_id").alias("cluster_id")
+    )
+    return labeled.join(cmin, "__h_cluster").select("doc_id", "cluster_id")
 
 
 def dedup_keep_canonical(

@@ -417,3 +417,26 @@ def test_quality_filter(spark):
     )
     kept = sorted(r.doc_id for r in quality_filter(df).collect())
     assert kept == [1]
+
+
+def test_dedup_clusters_string_ids(spark):
+    """Non-numeric doc ids must cluster correctly (a long cast would NULL
+    them out and silently drop every edge — regression guard)."""
+    from beacon_spark.pipeline.dedup import dedup_clusters, dedup_keep_canonical
+
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-x", "doc-y")],
+        "id_a string, id_b string",
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert out == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "doc-x": "doc-x", "doc-y": "doc-x",
+    }
+
+    docs = spark.createDataFrame(
+        [(d,) for d in ["doc-a", "doc-b", "doc-c", "doc-x", "doc-y", "solo"]],
+        "doc_id string",
+    )
+    kept = sorted(r.doc_id for r in dedup_keep_canonical(docs, pairs).collect())
+    assert kept == ["doc-a", "doc-x", "solo"]

@@ -218,3 +218,21 @@ def test_hull_simplify_buffer_sql(spark):
     assert row.s == "LINESTRING (0 0, 2 0)"
     # 32-gon area approximates pi (n/2 sin(2pi/n) = 3.1214)
     assert row.ba == pytest.approx(3.12, abs=0.01)
+
+
+def test_contains_concave_edge_exit():
+    """All of b's vertices inside a concave a, but an edge of b crosses
+    the notch — not contained (the proper-crossing check)."""
+    # U-shaped polygon: notch cut into the top between x=2..4
+    u = parse_wkt(
+        "POLYGON ((0 0, 6 0, 6 5, 4 5, 4 2, 2 2, 2 5, 0 5, 0 0))"
+    )
+    # both endpoints in the arms of the U (y<2 is solid), segment spans the notch
+    bar = parse_wkt("POLYGON ((1 3, 5 3, 5 4, 1 4, 1 3))")
+    assert not geom_contains(u, bar)
+    # fully inside the solid base — contained
+    base = parse_wkt("POLYGON ((1 0.5, 5 0.5, 5 1.5, 1 1.5, 1 0.5))")
+    assert geom_contains(u, base)
+    # touching the boundary (shared edge) still counts: closed-set semantics
+    touch = parse_wkt("POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))")
+    assert geom_contains(u, touch)
