@@ -13,9 +13,10 @@ reader covers the subset a data lake actually serves from disk:
 
 Blosc frames (the numcodecs default compressor) decode via
 :mod:`beacon_spark.sources.blosclite` — pure Python over pyarrow's
-lz4/zstd/snappy block codecs, byte-shuffle included. Only blosclz and
-bit-shuffle still require the real `blosc` package and raise a clear
-error naming the codec.
+lz4/zstd/snappy block codecs plus a pure-Python blosclz decoder;
+byte-shuffle AND bit-shuffle are both implemented (numpy bit-matrix
+transpose) — the full c-blosc codec matrix decodes without the `blosc`
+package.
 
 Reference parity: `beacon-arrow-zarr/src/lib.rs` (Zarr v3 stores over
 object_store).

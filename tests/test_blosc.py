@@ -90,12 +90,76 @@ def test_memcpy_flag():
     assert blosc_decode(bytes(header) + data) == data
 
 
-def test_blosclz_raises_clear_error():
-    header = bytearray(16)
-    header[0], header[1], header[2], header[3] = 2, 1, 0, 1  # codec id 0
-    struct.pack_into("<III", header, 4, 4, 4, 20)
-    with pytest.raises(ValueError, match="blosc"):
-        blosc_decode(bytes(header) + b"aaaa")
+def test_blosclz_roundtrip():
+    """Full-frame roundtrip through the pure-Python blosclz codec."""
+    rng = np.random.default_rng(7)
+    for data in (
+        b"",
+        b"x",
+        b"hello world hello world hello world " * 40,  # near matches
+        bytes(rng.integers(0, 4, 10_000, dtype=np.uint8)),  # long matches
+        b"a" * 5000,  # RLE (distance-1 overlap)
+        np.arange(3000, dtype="<i4").tobytes(),
+    ):
+        frame = blosc_encode(data, typesize=4, cname="blosclz")
+        assert blosc_decode(frame) == data
+
+
+def test_blosclz_wire_grammar():
+    """Hand-crafted opcode streams pin the decode grammar itself (not
+    just self-roundtrip): literal runs, near match with distance+1 and
+    len+3 bias, saturated-length extension, distance-1 RLE."""
+    from beacon_spark.sources.blosclite import _blosclz_decompress
+
+    # "abc" literal, then match len 3 dist 3 -> "abcabc"
+    s = bytes([2]) + b"abc" + bytes([(1 << 5) | 0, 2])
+    assert _blosclz_decompress(s, 6) == b"abcabc"
+    # RLE: "z" then match len 5 dist 1 -> "zzzzzz"
+    s = bytes([0]) + b"z" + bytes([(3 << 5) | 0, 0])
+    assert _blosclz_decompress(s, 6) == b"zzzzzz"
+    # saturated 3-bit length + extension: len field 7, ext 0 -> L=9
+    s = bytes([0]) + b"q" + bytes([(7 << 5) | 0, 0, 0])
+    assert _blosclz_decompress(s, 10) == b"q" * 10
+    # 255-chained extension: L = 9 + 255 + 1 = 265
+    s = bytes([0]) + b"w" + bytes([(7 << 5) | 0, 255, 1, 0])
+    assert _blosclz_decompress(s, 266) == b"w" * 266
+    # truncated stream fails loudly
+    with pytest.raises(ValueError, match="blosclz"):
+        _blosclz_decompress(bytes([5]) + b"ab", 6)
+
+
+def test_bitshuffle_planes():
+    """Bit-plane layout pinned by hand: planes ordered (byte, bit
+    LSB-first), element 8m+t at bit t of plane byte m."""
+    from beacon_spark.sources.blosclite import (
+        _bitshuffle_block,
+        _bitunshuffle_block,
+    )
+
+    # typesize=1, 8 elements: only element 0 has bit 0 set
+    out = _bitshuffle_block(bytes([1, 0, 0, 0, 0, 0, 0, 0]), 1)
+    assert out == bytes([1] + [0] * 7)  # plane 0 byte 0 = 0b00000001
+    # element 3 has bit 6 set -> plane 6, bit 3
+    out = _bitshuffle_block(bytes([0, 0, 0, 0x40, 0, 0, 0, 0]), 1)
+    assert out[6] == 1 << 3 and sum(out) == 1 << 3
+    # typesize=2: byte-1 planes come after all byte-0 planes
+    elems = np.zeros(8, dtype="<u2")
+    elems[2] = 1 << 8  # byte 1, bit 0 of element 2
+    out = _bitshuffle_block(elems.tobytes(), 2)
+    assert out[8] == 1 << 2 and sum(out) == 1 << 2
+    # leftover elements (not multiple of 8) are verbatim
+    data = bytes(range(20))
+    out = _bitshuffle_block(data, 2)  # 10 elements -> 8 shuffled + 2 raw
+    assert out[16:] == data[16:]
+    assert _bitunshuffle_block(out, 2) == data
+
+
+@pytest.mark.parametrize("cname", ["lz4", "blosclz", "zstd"])
+def test_bitshuffle_frame_roundtrip(cname):
+    data = np.arange(4096, dtype="<f4").tobytes()
+    frame = blosc_encode(data, typesize=4, cname=cname, shuffle="bit")
+    assert frame[2] & 0x4  # bit-shuffle flag set
+    assert blosc_decode(frame) == data
 
 
 @pytest.mark.parametrize("version,codec", [(2, "blosc"), (3, "blosc"), (3, "zstd"), (2, "zstd")])
