@@ -26,8 +26,13 @@ roaring bitmap, metadata-sized work) and applied as an anti-join of
 set — Spark's generated row-index metadata column keeps the scan fully
 vectorized, and AQE broadcasts the (small) deleted set.
 
-Unsupported (fail loudly, never silently wrong): column mapping;
-generated columns are ignored.
+Column mapping (modes ``name`` and ``id``) is supported: the parquet
+scan runs with the physical schema (``delta.columnMapping.physicalName``
+from the field metadata, any nesting depth) and renames back to logical
+names with positional struct casts — pure Catalyst, no data movement.
+id-mode tables are matched via the physicalName delta-spark/delta-rs
+always stamp alongside the ids; a mapped table without physicalName
+metadata fails loudly. Generated columns are ignored.
 """
 
 from __future__ import annotations
@@ -171,12 +176,44 @@ def _snapshot(location: str, version_as_of: int | None = None) -> _Snapshot:
     if snap.schema is None:
         raise ValueError(f"Delta log has no metaData action: {location}")
     cm = snap.configuration.get("delta.columnMapping.mode", "none")
-    if cm != "none":
+    if cm not in ("none", "name", "id"):
         raise NotImplementedError(f"Delta column mapping mode {cm!r} not supported")
-    unsupported = {"columnMapping"} & set(snap.reader_features)
-    if unsupported:
-        raise NotImplementedError(f"Delta reader features not supported: {unsupported}")
+    if cm != "none" and any(
+        not (f.metadata or {}).get("delta.columnMapping.physicalName")
+        for f in snap.schema.fields
+    ):
+        # delta-spark/delta-rs stamp physicalName in both name and id
+        # modes; without it id-mode matching would need parquet field ids
+        raise NotImplementedError(
+            f"Delta column mapping mode {cm!r} without physicalName metadata"
+        )
     return snap
+
+
+def _phys_name(f: T.StructField) -> str:
+    return (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+
+
+def _physical_type(dt: T.DataType) -> T.DataType:
+    """Logical schema → physical parquet schema under column mapping:
+    every StructField (any nesting depth) renamed to its
+    delta.columnMapping.physicalName."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(_phys_name(f), _physical_type(f.dataType), f.nullable)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType),
+            _physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
 
 
 def read_delta(
@@ -194,16 +231,35 @@ def read_delta(
 
     location = resolve_dir(location, datasets_root)
     snap = _snapshot(location, version_as_of)
-    part_cols = snap.partition_columns
+    cm = snap.configuration.get("delta.columnMapping.mode", "none")
+    # under column mapping the parquet files, add.partitionValues keys,
+    # and (per delta-spark) metaData.partitionColumns all use PHYSICAL
+    # names; the logical schema is the user-facing one. Normalize
+    # partition columns to logical, read with the physical schema, and
+    # rename back with positional struct casts (pure Catalyst renames).
+    phys_of = {
+        f.name: (_phys_name(f) if cm != "none" else f.name)
+        for f in snap.schema.fields
+    }
+    log_of = {v: k for k, v in phys_of.items()}
+    part_cols = [log_of.get(c, c) for c in snap.partition_columns]
+    data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
     data_schema = T.StructType(
-        [f for f in snap.schema.fields if f.name not in part_cols]
+        [
+            T.StructField(phys_of[f.name], _physical_type(f.dataType), f.nullable)
+            for f in data_fields
+        ]
+        if cm != "none"
+        else data_fields
     )
     if not snap.adds:
         return spark.createDataFrame([], snap.schema)
 
     groups: dict[tuple, list[str]] = {}
     for path, pvals in snap.adds.items():
-        key = tuple(pvals.get(c) for c in part_cols)
+        key = tuple(
+            pvals.get(phys_of.get(c, c), pvals.get(c)) for c in part_cols
+        )
         groups.setdefault(key, []).append(_bs.join(location, path))
 
     types = {f.name: f.dataType for f in snap.schema.fields}
@@ -212,7 +268,22 @@ def read_delta(
     parts = []
     for key, files in sorted(groups.items()):
         df = spark.read.schema(data_schema).parquet(*files)
-        if with_dv:
+        if cm != "none":
+            df = df.select(
+                *[
+                    F.col(phys_of[f.name]).cast(f.dataType).alias(f.name)
+                    for f in data_fields
+                ]
+                + (
+                    [
+                        F.col("_metadata.file_path").alias("__dv_fp"),
+                        F.col("_metadata.row_index").alias("__dv_pos"),
+                    ]
+                    if with_dv
+                    else []
+                )
+            )
+        elif with_dv:
             # hidden parquet metadata columns: fully vectorized, no UDF
             df = df.select(
                 "*",

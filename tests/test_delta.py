@@ -196,13 +196,19 @@ def test_multipart_checkpoint_replay(spark, delta_dir):
 
 
 def test_unsupported_features_raise(spark, delta_dir):
-    """deletionVectors is now supported; columnMapping still gates."""
+    """Column mapping is supported when physicalName metadata is present;
+    a mapped table WITHOUT it (id-mode needing parquet field ids) still
+    fails loudly rather than guessing."""
     write_delta(spark.range(3), delta_dir)
     log = os.path.join(delta_dir, "_delta_log")
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]}
     with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
-        f.write(json.dumps({"protocol": {
-            "minReaderVersion": 3, "readerFeatures": ["columnMapping"]}}) + "\n")
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+        f.write(json.dumps({"metaData": {
+            "id": "x", "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"}}}) + "\n")
+    with pytest.raises(NotImplementedError, match="physicalName"):
         read_delta(spark, delta_dir)
 
 
@@ -344,3 +350,77 @@ def test_delta_dv_executor_side_filter(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(delta_mod, "_DV_EXPAND_LIMIT", 0)
     ids = sorted(r.id for r in read_delta(spark, loc).collect())
     assert len(ids) == 97 and {0, 5, 99}.isdisjoint(ids)
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    """Hand-built name-mode table per PROTOCOL.md Column Mapping: parquet
+    columns + partitionValues keys + partitionColumns use physical names;
+    the logical schema (incl. a nested struct) comes back to the user."""
+    import json as _json
+    import os as _os
+
+    loc = str(tmp_path / "cmtab")
+    _os.makedirs(_os.path.join(loc, "_delta_log"))
+    # physical-named parquet data file (nested struct field also mapped)
+    pdir = _os.path.join(loc, "part")
+    spark.createDataFrame(
+        [(1, ("a", 10)), (2, ("b", 20))],
+        "`col-7f3a` long, `col-9e2b` struct<`col-11aa`: string, `col-22bb`: long>",
+    ).coalesce(1).write.parquet(pdir)
+    data_file = next(
+        n for n in _os.listdir(pdir) if n.endswith(".parquet")
+    )
+    _os.rename(_os.path.join(pdir, data_file), _os.path.join(loc, "f1.parquet"))
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id", "type": "long", "nullable": True,
+                "metadata": {"delta.columnMapping.id": 1,
+                             "delta.columnMapping.physicalName": "col-7f3a"},
+            },
+            {
+                "name": "rec", "nullable": True,
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "tag", "type": "string", "nullable": True,
+                         "metadata": {"delta.columnMapping.id": 3,
+                                      "delta.columnMapping.physicalName": "col-11aa"}},
+                        {"name": "score", "type": "long", "nullable": True,
+                         "metadata": {"delta.columnMapping.id": 4,
+                                      "delta.columnMapping.physicalName": "col-22bb"}},
+                    ],
+                },
+                "metadata": {"delta.columnMapping.id": 2,
+                             "delta.columnMapping.physicalName": "col-9e2b"},
+            },
+            {
+                "name": "p", "type": "integer", "nullable": True,
+                "metadata": {"delta.columnMapping.id": 5,
+                             "delta.columnMapping.physicalName": "col-p5"},
+            },
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "t-cm", "format": {"provider": "parquet"},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": ["col-p5"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "5"},
+        }},
+        {"add": {"path": "f1.parquet", "partitionValues": {"col-p5": "7"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(_os.path.join(loc, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions))
+
+    df = read_delta(spark, loc)
+    assert [f.name for f in df.schema.fields] == ["id", "rec", "p"]
+    assert df.schema["rec"].dataType.fieldNames() == ["tag", "score"]
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].rec.tag == "a" and rows[2].rec.score == 20
+    assert rows[1].p == 7 and rows[2].p == 7
