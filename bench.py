@@ -60,10 +60,13 @@ def main() -> None:
         if name not in queries:
             queries[name] = getattr(entry_mod, f"_q_{name}")
 
-    # warm the JVM + file cache with a trivial action, and construct the
+    # warm the JVM + file cache with a trivial action per input table
+    # (footer reads + OS page cache — not query work), and construct the
     # Engine once — function registration (SQL UDF statements + pandas
     # UDFs) is one-time session setup, not per-query work
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for tbl in ("lineitem", "orders", "customer", "documents", "events",
+                "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
     from beacon_spark import Engine
 
     Engine(spark)
