@@ -124,7 +124,7 @@ def read_avro(path: str) -> tuple[dict, list[dict]]:
     sync = r.read(16)
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(f"avro codec {codec!r} not supported")
     records: list[dict] = []
     while not r.at_end():
@@ -133,6 +133,27 @@ def read_avro(path: str) -> tuple[dict, list[dict]]:
         block = r.read(size)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            # spec: snappy blocks carry a big-endian CRC32 of the
+            # UNCOMPRESSED data in their last 4 bytes; raw snappy leads
+            # with the uncompressed length as a varint (pyarrow needs it)
+            import struct as _struct
+
+            import pyarrow as _pa
+
+            crc = _struct.unpack(">I", block[-4:])[0]
+            comp = block[:-4]
+            usize = shift = i = 0
+            while True:
+                byte = comp[i]
+                usize |= (byte & 0x7F) << shift
+                i += 1
+                if not byte & 0x80:
+                    break
+                shift += 7
+            block = _pa.Codec("snappy").decompress(comp, usize).to_pybytes()
+            if zlib.crc32(block) & 0xFFFFFFFF != crc:
+                raise ValueError(f"avro snappy block crc mismatch in {path}")
         if r.read(16) != sync:
             raise ValueError("avro sync marker mismatch")
         br = _Reader(block)
@@ -237,6 +258,13 @@ def write_avro(
     if codec == "deflate":
         co = zlib.compressobj(wbits=-15)
         block = co.compress(block) + co.flush()
+    elif codec == "snappy":
+        import struct as _struct
+
+        import pyarrow as _pa
+
+        crc = _struct.pack(">I", zlib.crc32(block) & 0xFFFFFFFF)
+        block = _pa.Codec("snappy").compress(block).to_pybytes() + crc
     elif codec != "null":
         raise NotImplementedError(f"avro codec {codec!r} not supported")
     tail = _Writer()

@@ -30,7 +30,7 @@ def test_avro_container_roundtrip(tmp_path):
         {"s": "a", "n": None, "xs": [1.5, -2.25], "m": {"k": "v", "z": None}, "ok": True},
         {"s": "ü", "n": -(2**40), "xs": [], "m": {}, "ok": False},
     ]
-    for codec in ("null", "deflate"):
+    for codec in ("null", "deflate", "snappy"):
         p = str(tmp_path / f"t_{codec}.avro")
         write_avro(p, schema, recs, codec)
         meta, out = read_avro(p)

@@ -440,3 +440,23 @@ def test_dedup_clusters_string_ids(spark):
     )
     kept = sorted(r.doc_id for r in dedup_keep_canonical(docs, pairs).collect())
     assert kept == ["doc-a", "doc-x", "solo"]
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7: 7 independently-filtered passes scattered on the pass grid;
+    odd sizes exercise empty/partial passes."""
+    import numpy as np
+
+    from beacon_spark.pipeline.pnglite import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for shape in ((16, 16, 3), (13, 7, 1), (1, 1, 4), (2, 9, 3), (5, 3, 2)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        payload = encode_png(img, interlace=True)
+        np.testing.assert_array_equal(
+            decode_png(payload).reshape(img.shape), img
+        )
+        # interlaced and sequential encodings decode identically
+        np.testing.assert_array_equal(
+            decode_png(payload), decode_png(encode_png(img))
+        )
