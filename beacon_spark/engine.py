@@ -237,7 +237,8 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
     ("show_crawlers", re.compile(r"^\s*SHOW\s+CRAWLERS;?\s*$", re.IGNORECASE)),
     ("show_tables", re.compile(r"^\s*SHOW\s+(TABLES|VIEWS);?\s*$", re.IGNORECASE)),
     ("attach", re.compile(
-        r"^\s*ATTACH\s+'([^']+)'\s+AS\s+(\w+);?\s*$", re.IGNORECASE)),
+        r"^\s*ATTACH\s+'([^']+)'\s+AS\s+(\w+)(?:\s+WITH\s*\(([^)]*)\))?;?\s*$",
+        re.IGNORECASE)),
     ("detach", re.compile(r"^\s*DETACH\s+(\w+);?\s*$", re.IGNORECASE)),
     ("create_secret", re.compile(
         r"^\s*CREATE\s+(PERSISTENT\s+|TEMPORARY\s+)?SECRET\s+(\w+)\s*\((.*)\)\s*;?\s*$",
@@ -570,6 +571,7 @@ class Engine:
                 return summarize(self.sql(src))
             return summarize(self.spark.table(src))
 
+        statement = self._resolve_remote(statement)
         statement = self._rewrite_read_fns(statement)
         statement = self._rewrite_metadata_fns(statement)
         statement = self._rewrite_try_arrow_cast(statement)
@@ -680,6 +682,27 @@ class Engine:
                 # plain views stay logical: re-planned at registration
                 self.sql(view_sql).createOrReplaceTempView(name)
             for aname, aroot in cat.get("attachments", {}).items():
+                if isinstance(aroot, dict):
+                    # remote attachment: reconnect lazily (no data fetched
+                    # here — table views materialize on first reference)
+                    self._remotes = getattr(self, "_remotes", {})
+                    if aname not in self._remotes:
+                        try:
+                            from beacon_spark.server.remote import RemoteBeacon
+
+                            self._remotes[aname] = RemoteBeacon(
+                                aroot["url"],
+                                token=aroot.get("token"),
+                                tls=aroot.get("tls", False),
+                            )
+                        except Exception as e:
+                            import sys
+
+                            print(
+                                f"warning: remote attachment {aname!r}: {e}",
+                                file=sys.stderr,
+                            )
+                    continue
                 try:
                     sub = Engine(self.spark, datasets_root=aroot)
                     subcat = sub.catalog._load()
@@ -835,12 +858,41 @@ class Engine:
                 sorted(rows), "table_name string, table_type string"
             )
         if kind == "attach":
-            # ATTACH '<root>' AS name (parser/statement.rs:60-76): mount
-            # another lake root's catalog; its tables/MVs/externals resolve
-            # as <name>_<table>. Local-root analog of the reference's
-            # remote-Beacon federation (plain views are not re-planned
-            # cross-catalog — documented divergence).
-            path, name = m.group(1), m.group(2)
+            # ATTACH '<target>' AS name [WITH ('token' 't', 'tls' 'true')]
+            # (parser/statement.rs:60-76). Two forms:
+            #   - a remote engine URL (beacon://host:port or grpc://…):
+            #     connect over Arrow Flight and enumerate its tables once
+            #     (remote/catalog.rs:1-11; validated eagerly like
+            #     connection.rs:57). Queried via remote_query('name', sql)
+            #     pushdown or name__table references (server/remote.py).
+            #   - a local lake root: mount its catalog; tables resolve as
+            #     <name>_<table> (plain views are not re-planned
+            #     cross-catalog — documented divergence).
+            path, name, optstr = m.group(1), m.group(2), m.group(3)
+            from beacon_spark.server.remote import RemoteBeacon, parse_remote_url
+
+            if parse_remote_url(path):
+                opts = dict(
+                    re.findall(r"'([^']*)'\s+'((?:[^']|'')*)'", optstr or "")
+                )
+                rb = RemoteBeacon(
+                    path,
+                    token=opts.get("token"),
+                    tls=opts.get("tls", "").lower() == "true",
+                )
+                rb.list_tables()  # eager validation, like the reference
+                self._remotes = getattr(self, "_remotes", {})
+                self._remotes[name] = rb
+                c = cat._load()
+                c.setdefault("attachments", {})[name] = {
+                    "url": path,
+                    "token": opts.get("token"),
+                    "tls": opts.get("tls", "").lower() == "true",
+                }
+                cat._save(c)
+                return self._status(
+                    status="ok", op="attach", name=name, remote="true"
+                )
             c = cat._load()
             c.setdefault("attachments", {})[name] = path
             cat._save(c)
@@ -850,6 +902,9 @@ class Engine:
             c = cat._load()
             c.setdefault("attachments", {}).pop(name, None)
             cat._save(c)
+            rb = getattr(self, "_remotes", {}).pop(name, None)
+            if rb is not None:
+                rb.close()
             return self._status(status="ok", op="detach", name=name)
         if kind == "create_secret":
             # CREATE [PERSISTENT|TEMPORARY] SECRET n (TYPE t, k 'v', …,
@@ -1096,6 +1151,56 @@ class Engine:
         return self.spark.createDataFrame(
             report, "path string, format string, action string"
         )
+
+    _REMOTE_QUERY_RE = re.compile(
+        r"\bremote_query\s*\(\s*'(\w+)'\s*,\s*'((?:[^']|'')*)'\s*\)",
+        re.IGNORECASE,
+    )
+
+    def remote_query(self, alias: str, sql: str) -> DataFrame:
+        """Push ``sql`` to the attached remote engine ``alias`` and return
+        the result as a DataFrame — explicit-statement federation
+        (remote/catalog.rs:1-11; see server/remote.py for the pushdown
+        contract)."""
+        self._register_catalog()
+        rb = getattr(self, "_remotes", {}).get(alias)
+        if rb is None:
+            raise ValueError(f"no attached remote engine {alias!r}")
+        return rb.query(self.spark, sql)
+
+    def _resolve_remote(self, statement: str) -> str:
+        """SQL surface for attached remotes: ``remote_query('alias',
+        'sql')`` pushes the statement down; a bare ``alias__table``
+        reference fetches that table (SELECT *) into a temp view on
+        first use in the statement."""
+        remotes = getattr(self, "_remotes", {})
+        if not remotes:
+            return statement
+
+        def repl(m: re.Match) -> str:
+            alias, rsql = m.group(1), m.group(2).replace("''", "'")
+            rb = remotes.get(alias)
+            if rb is None:
+                raise ValueError(f"no attached remote engine {alias!r}")
+            name = f"__remote_{alias}_{abs(hash(rsql)) % 10**10}"
+            rb.query(self.spark, rsql).createOrReplaceTempView(name)
+            return name
+
+        statement = _sub_outside_literals(self._REMOTE_QUERY_RE, repl, statement)
+        spans = _literal_spans(statement)
+        for alias, rb in remotes.items():
+            pat = re.compile(rf"\b{re.escape(alias)}__(\w+)\b")
+            seen: set[str] = set()
+            for m in pat.finditer(statement):
+                tbl = m.group(1)
+                if _in_literal(spans, m.start()) or tbl in seen:
+                    continue
+                seen.add(tbl)
+                if tbl in rb.list_tables():
+                    rb.fetch_table(self.spark, tbl).createOrReplaceTempView(
+                        f"{alias}__{tbl}"
+                    )
+        return statement
 
     def _rewrite_read_fns(self, statement: str) -> str:
         """Replace ``read_*('glob' [, 'glob'...])`` table functions with

@@ -1,0 +1,96 @@
+"""Remote-engine federation client.
+
+The Spark analog of the reference's remote catalog
+(``beacon-datafusion-ext/src/remote/catalog.rs:1-11``,
+``connection.rs:57``): ``ATTACH 'beacon://host:port' AS lake [WITH
+('token' 't', 'tls' 'true')]`` connects over Arrow Flight, enumerates
+the remote's tables once (a snapshot, like the reference — re-attach to
+pick up new ones), and makes them queryable:
+
+  - ``remote_query('lake', 'SELECT …')`` pushes the WHOLE statement to
+    the remote — joins/aggregations between remote tables execute
+    remotely, only the result crosses the wire. This is the explicit
+    form of what the reference's federation optimizer does
+    automatically (documented divergence: Spark has no federation
+    rewrite, so pushdown is by statement, not by plan fragment).
+  - ``SELECT … FROM lake__tbl`` — a referenced remote table is fetched
+    (``SELECT *``) into a temp view on first use per statement. Right
+    for dimension-sized tables; push filters with remote_query for big
+    ones.
+
+Results stream back as Arrow batches and land as a driver-side
+DataFrame (``spark.createDataFrame(arrow)``)."""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyarrow.flight as fl
+
+__all__ = ["RemoteBeacon", "parse_remote_url"]
+
+_REMOTE_RE = re.compile(r"^(beacon|grpc|grpc\+tls|grpc\+unix)://", re.IGNORECASE)
+
+
+def parse_remote_url(url: str) -> str | None:
+    """→ grpc location if the ATTACH target is a remote engine, else None."""
+    m = _REMOTE_RE.match(url)
+    if not m:
+        return None
+    scheme = m.group(1).lower()
+    if scheme == "beacon":  # reference URL scheme (beacon_parser.rs:1261)
+        return "grpc://" + url.split("://", 1)[1]
+    return url
+
+
+class RemoteBeacon:
+    def __init__(self, url: str, token: str | None = None, tls: bool = False):
+        loc = parse_remote_url(url)
+        if loc is None:
+            raise ValueError(f"not a remote engine URL: {url!r}")
+        if tls and loc.startswith("grpc://"):
+            loc = "grpc+tls://" + loc[len("grpc://"):]
+        self.url = url
+        self.location = loc
+        self._token = token
+        self._client = fl.FlightClient(loc)
+        self._tables: list[str] | None = None
+
+    def _opts(self) -> fl.FlightCallOptions | None:
+        if self._token is None:
+            return None
+        return fl.FlightCallOptions(
+            headers=[(b"authorization", f"Bearer {self._token}".encode())]
+        )
+
+    # ------------------------------------------------------------ metadata
+
+    def list_tables(self) -> list[str]:
+        if self._tables is None:
+            res = list(
+                self._client.do_action(
+                    fl.Action("list_tables", b""), options=self._opts()
+                )
+            )
+            body = json.loads(res[0].body.to_pybytes().decode())
+            # datasets are addressable through read_* in pushed SQL; the
+            # enumerated view surface is the catalog tables
+            self._tables = body["tables"]
+            self.datasets = body.get("datasets", [])
+        return self._tables
+
+    # ------------------------------------------------------------ querying
+
+    def query_arrow(self, sql: str):
+        ticket = fl.Ticket(json.dumps({"sql": sql}).encode())
+        return self._client.do_get(ticket, options=self._opts()).read_all()
+
+    def query(self, spark, sql: str):
+        return spark.createDataFrame(self.query_arrow(sql))
+
+    def fetch_table(self, spark, table: str):
+        return self.query(spark, f"SELECT * FROM {table}")
+
+    def close(self) -> None:
+        self._client.close()

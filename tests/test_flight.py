@@ -1,0 +1,108 @@
+"""Flight serving + remote ATTACH federation (server/flight.py,
+server/remote.py; reference: beacon-server flight_sql/service.rs,
+beacon-datafusion-ext remote/catalog.rs)."""
+
+import json
+
+import pytest
+
+from beacon_spark.engine import Engine
+
+
+@pytest.fixture()
+def served(spark, tmp_path):
+    """A server-side engine with one dataset + one managed table, served
+    over Flight on an ephemeral port."""
+    from beacon_spark.server import BeaconFlightServer
+
+    root = str(tmp_path / "server_root")
+    import os
+
+    os.makedirs(root)
+    spark.range(20).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(
+        f"{root}/obs.parquet"
+    )
+    eng = Engine(spark, datasets_root=root)
+    eng.sql("CREATE TABLE remobs AS SELECT id, id % 3 AS g FROM read_parquet('obs.parquet')")
+    server = BeaconFlightServer(eng, port=0)
+    port = server.serve_background()
+    yield eng, server, port
+    server.shutdown()
+
+
+def test_flight_do_get_and_info(spark, served):
+    import pyarrow.flight as fl
+
+    _eng, _server, port = served
+    client = fl.FlightClient(f"grpc://127.0.0.1:{port}")
+    # metadata enumeration (the attach-time GetTables analog)
+    body = json.loads(
+        list(client.do_action(fl.Action("list_tables", b"")))[0]
+        .body.to_pybytes()
+        .decode()
+    )
+    assert "remobs" in body["tables"]
+    assert any(d.startswith("obs.parquet") for d in body["datasets"])
+    # schema-only info, then the stream itself
+    desc = fl.FlightDescriptor.for_command(
+        json.dumps({"sql": "SELECT g, count(*) AS n FROM remobs GROUP BY g"}).encode()
+    )
+    info = client.get_flight_info(desc)
+    assert {f.name for f in info.schema} == {"g", "n"}
+    t = client.do_get(info.endpoints[0].ticket).read_all()
+    assert t.num_rows == 3 and sum(t.column("n").to_pylist()) == 20
+
+
+def test_remote_attach_and_query(spark, served, tmp_path):
+    _eng, _server, port = served
+    client_eng = Engine(spark, datasets_root=str(tmp_path / "client_root"))
+    out = client_eng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS lake").collect()
+    assert out[0].status == "ok" and out[0].remote == "true"
+
+    # bare remote-table reference: fetched over Flight into a temp view
+    rows = client_eng.sql(
+        "SELECT g, count(*) AS n FROM lake__remobs GROUP BY g ORDER BY g"
+    ).collect()
+    assert [r.n for r in rows] == [7, 7, 6]
+
+    # remote_query: the whole statement (incl. read_parquet on the
+    # remote's datasets) executes remotely; only the result crosses
+    agg = client_eng.sql(
+        "SELECT n FROM remote_query('lake', "
+        "'SELECT count(*) AS n FROM read_parquet(''obs.parquet'')')"
+    ).collect()
+    assert agg[0].n == 20
+    # engine-level API
+    assert client_eng.remote_query("lake", "SELECT max(id) AS m FROM remobs").collect()[0].m == 19
+
+    client_eng.sql("DETACH lake")
+    with pytest.raises(ValueError, match="no attached remote"):
+        client_eng.remote_query("lake", "SELECT 1")
+
+
+def test_remote_attach_token_auth(spark, served, tmp_path):
+    from beacon_spark.server import BeaconFlightServer
+
+    eng, _server, _port = served
+    secure = BeaconFlightServer(eng, port=0, token="sekrit")
+    sport = secure.serve_background()
+    try:
+        client_eng = Engine(spark, datasets_root=str(tmp_path / "c2"))
+        with pytest.raises(Exception, match="[Uu]nauthenticated|bearer"):
+            client_eng.sql(f"ATTACH 'grpc://127.0.0.1:{sport}' AS locked")
+        out = client_eng.sql(
+            f"ATTACH 'grpc://127.0.0.1:{sport}' AS lake2 WITH ('token' 'sekrit')"
+        ).collect()
+        assert out[0].status == "ok"
+        assert client_eng.remote_query("lake2", "SELECT 1 AS one").collect()[0].one == 1
+        client_eng.sql("DETACH lake2")
+    finally:
+        secure.shutdown()
+
+
+def test_beacon_url_scheme():
+    from beacon_spark.server.remote import parse_remote_url
+
+    assert parse_remote_url("beacon://h:50051") == "grpc://h:50051"
+    assert parse_remote_url("grpc://h:1") == "grpc://h:1"
+    assert parse_remote_url("/local/path") is None
