@@ -106,3 +106,94 @@ def test_beacon_url_scheme():
     assert parse_remote_url("beacon://h:50051") == "grpc://h:50051"
     assert parse_remote_url("grpc://h:1") == "grpc://h:1"
     assert parse_remote_url("/local/path") is None
+
+
+# ------------------------------------------------------------ HTTP API
+
+
+def test_http_api(spark, served, tmp_path):
+    """POST /api/query (SQL + DSL, arrow & json) and the metadata GETs
+    (axum client API analog, router.rs:107-118)."""
+    import urllib.request
+
+    import pyarrow as pa
+
+    from beacon_spark.server.http import BeaconHttpServer
+
+    eng, _fs, _p = served
+    hs = BeaconHttpServer(eng, port=0)
+    port = hs.serve_background()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        def get(path):
+            with urllib.request.urlopen(base + path) as r:
+                ctype = r.headers["Content-Type"]
+                body = r.read()
+            return body, ctype
+
+        def post(path, obj):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                return r.read(), r.headers["Content-Type"]
+
+        assert get("/api/health")[0] == b"Ok"
+        body, _ = get("/api/datasets")
+        assert any(d["dataset"].startswith("obs.parquet") for d in json.loads(body))
+        assert json.loads(get("/api/total-datasets")[0])["total"] >= 1
+        assert "remobs" in json.loads(get("/api/tables")[0])
+        schema = json.loads(get("/api/table-schema?table=remobs")[0])
+        assert {f["name"] for f in schema["fields"]} == {"id", "g"}
+        assert json.loads(get("/api/info")[0])["engine"] == "beacon_spark"
+
+        # SQL → arrow ipc stream (the reference default)
+        body, ctype = post("/api/query", {
+            "sql": "SELECT g, count(*) AS n FROM remobs GROUP BY g"})
+        assert ctype == "application/vnd.apache.arrow.stream"
+        t = pa.ipc.open_stream(body).read_all()
+        assert t.num_rows == 3 and sum(t.column("n").to_pylist()) == 20
+
+        # JSON DSL body on the same endpoint, json output
+        body, ctype = post("/api/query", {
+            "select": ["id"],
+            "from": {"parquet": {"paths": ["obs.parquet"]}},
+            "filter": {"column": "id", "gt": 16},
+            "format": "json",
+        })
+        assert ctype == "application/json"
+        assert sorted(r["id"] for r in json.loads(body)) == [17, 18, 19]
+
+        # errors surface as 400 with a message, not a hung socket
+        import urllib.error
+        try:
+            post("/api/query", {"sql": "SELECT FROM nope"})
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        hs.shutdown()
+
+
+def test_http_token_auth(spark, served):
+    import urllib.error
+    import urllib.request
+
+    from beacon_spark.server.http import BeaconHttpServer
+
+    eng, _fs, _p = served
+    hs = BeaconHttpServer(eng, port=0, token="tok")
+    port = hs.serve_background()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        try:
+            urllib.request.urlopen(base + "/api/health")
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        req = urllib.request.Request(
+            base + "/api/health", headers={"Authorization": "Bearer tok"})
+        assert urllib.request.urlopen(req).read() == b"Ok"
+    finally:
+        hs.shutdown()
