@@ -15,6 +15,14 @@ The Spark analog of the reference's axum client API
   - ``GET /api/tables`` → catalog tables
   - ``GET /api/table-schema?table=t`` → Spark schema JSON
   - ``GET /api/info`` → engine version info
+  - ``POST /mcp`` — MCP streamable-HTTP (JSON-RPC 2.0): ``initialize``,
+    ``tools/list``, ``tools/call`` with the reference's core tool set
+    (``list_tables`` / ``describe_table`` / ``run_sql``, beacon-mcp
+    catalog.rs:134-136). ``run_sql`` is strictly read-only: anything
+    that is not a SELECT-shaped statement is rejected, mirroring the
+    reference's cleared super-user flag (server.rs:70-85). Tool
+    failures come back as tool-result errors (isError), not protocol
+    errors, so a model can read and react.
   - optional bearer token (same contract as the Flight transport)
 
 Like the Flight transport, results materialize on the Spark driver and
@@ -25,6 +33,7 @@ from __future__ import annotations
 
 import io
 import json
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -120,6 +129,19 @@ class BeaconHttpServer:
                 if not self._authed():
                     return
                 u = urlparse(self.path)
+                if u.path == "/mcp":
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        msg = json.loads(self.rfile.read(n).decode() or "{}")
+                    except Exception as e:
+                        self._deny(400, str(e))
+                        return
+                    resp = outer._mcp_handle(msg)
+                    if resp is None:  # notification: no body
+                        self._send(b"", "application/json")
+                    else:
+                        self._send_json(resp)
+                    return
                 if u.path != "/api/query":
                     self._deny(404, f"no such endpoint: {u.path}")
                     return
@@ -156,6 +178,123 @@ class BeaconHttpServer:
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------ MCP
+
+    _MCP_TOOLS = [
+        {
+            "name": "list_tables",
+            "description": "List the engine's tables and datasets.",
+            "inputSchema": {"type": "object", "properties": {}},
+        },
+        {
+            "name": "describe_table",
+            "description": "Schema of a table (column names and types).",
+            "inputSchema": {
+                "type": "object",
+                "properties": {"table": {"type": "string"}},
+                "required": ["table"],
+            },
+        },
+        {
+            "name": "run_sql",
+            "description": "Run read-only SQL (SELECT only) and return "
+                           "JSON records (capped at `limit`, default 100).",
+            "inputSchema": {
+                "type": "object",
+                "properties": {
+                    "sql": {"type": "string"},
+                    "limit": {"type": "integer"},
+                },
+                "required": ["sql"],
+            },
+        },
+    ]
+
+    _READONLY_RE = re.compile(
+        r"^\s*(SELECT|WITH|SUMMARIZE|EXPLAIN|SHOW|DESCRIBE)\b",
+        re.IGNORECASE,
+    )
+
+    def _mcp_tool(self, name: str, args: dict) -> str:
+        eng = self.engine
+        if name == "list_tables":
+            cat = eng.catalog._load() if eng.catalog else {}
+            try:
+                datasets = [r.dataset for r in eng.list_datasets().collect()]
+            except Exception:
+                datasets = []
+            return json.dumps({
+                "tables": sorted(
+                    list(cat.get("tables", {}))
+                    + list(cat.get("external_tables", {}))
+                    + list(cat.get("views", {}))
+                    + list(cat.get("materialized_views", {}))
+                ),
+                "datasets": datasets,
+            })
+        if name == "describe_table":
+            df = eng.sql(f"SELECT * FROM {args['table']} LIMIT 0")
+            return json.dumps(
+                [{"column": f.name, "type": f.dataType.simpleString()}
+                 for f in df.schema.fields]
+            )
+        if name == "run_sql":
+            sql = args["sql"]
+            if not self._READONLY_RE.match(sql):
+                raise ValueError(
+                    "run_sql is read-only: statement must be SELECT-shaped"
+                )
+            limit = int(args.get("limit", 100))
+            rows = eng.sql(sql).limit(limit).collect()
+            return json.dumps([r.asDict(recursive=True) for r in rows],
+                              default=str)
+        raise ValueError(f"unknown tool {name!r}")
+
+    def _mcp_handle(self, msg: dict):
+        """One JSON-RPC 2.0 message → response dict (None for
+        notifications)."""
+        method = msg.get("method", "")
+        mid = msg.get("id")
+        if method.startswith("notifications/"):
+            return None
+
+        def ok(result):
+            return {"jsonrpc": "2.0", "id": mid, "result": result}
+
+        if method == "initialize":
+            return ok({
+                "protocolVersion": msg.get("params", {}).get(
+                    "protocolVersion", "2024-11-05"
+                ),
+                "capabilities": {"tools": {}},
+                "serverInfo": {"name": "beacon_spark", "version": "1"},
+                "instructions": (
+                    "beacon_spark engine. Call list_tables to discover "
+                    "tables, describe_table for a schema, run_sql for "
+                    "read-only SQL (SELECT only)."
+                ),
+            })
+        if method == "ping":
+            return ok({})
+        if method == "tools/list":
+            return ok({"tools": self._MCP_TOOLS})
+        if method == "tools/call":
+            params = msg.get("params", {})
+            try:
+                text = self._mcp_tool(
+                    params.get("name", ""), params.get("arguments", {}) or {}
+                )
+                return ok({"content": [{"type": "text", "text": text}],
+                           "isError": False})
+            except Exception as e:
+                # tool failure = tool-result error, not protocol error
+                return ok({"content": [{"type": "text", "text": str(e)}],
+                           "isError": True})
+        return {
+            "jsonrpc": "2.0", "id": mid,
+            "error": {"code": -32601, "message": f"unknown method {method!r}"},
+        }
 
     def serve_background(self) -> int:
         self._thread = threading.Thread(

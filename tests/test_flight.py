@@ -197,3 +197,56 @@ def test_http_token_auth(spark, served):
         assert urllib.request.urlopen(req).read() == b"Ok"
     finally:
         hs.shutdown()
+
+
+def test_mcp_endpoint(spark, served):
+    """MCP streamable-HTTP: initialize / tools list / tool calls, with
+    run_sql's read-only gate (beacon-mcp server.rs, catalog.rs:134-136)."""
+    import urllib.request
+
+    from beacon_spark.server.http import BeaconHttpServer
+
+    eng, _fs, _p = served
+    hs = BeaconHttpServer(eng, port=0)
+    port = hs.serve_background()
+    base = f"http://127.0.0.1:{port}/mcp"
+    try:
+        def rpc(method, params=None, mid=1):
+            body = {"jsonrpc": "2.0", "id": mid, "method": method}
+            if params is not None:
+                body["params"] = params
+            req = urllib.request.Request(
+                base, data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"}, method="POST")
+            with urllib.request.urlopen(req) as r:
+                raw = r.read()
+            return json.loads(raw) if raw else None
+
+        init = rpc("initialize", {"protocolVersion": "2024-11-05"})
+        assert init["result"]["serverInfo"]["name"] == "beacon_spark"
+        tools = rpc("tools/list")["result"]["tools"]
+        assert {t["name"] for t in tools} == {
+            "list_tables", "describe_table", "run_sql"}
+
+        lt = rpc("tools/call", {"name": "list_tables", "arguments": {}})
+        listing = json.loads(lt["result"]["content"][0]["text"])
+        assert "remobs" in listing["tables"]
+
+        ds = rpc("tools/call", {
+            "name": "describe_table", "arguments": {"table": "remobs"}})
+        cols = {c["column"] for c in json.loads(ds["result"]["content"][0]["text"])}
+        assert cols == {"id", "g"}
+
+        q = rpc("tools/call", {"name": "run_sql", "arguments": {
+            "sql": "SELECT count(*) AS n FROM remobs"}})
+        assert json.loads(q["result"]["content"][0]["text"]) == [{"n": 20}]
+
+        # read-only gate: DDL/DML comes back as a tool error, not data
+        bad = rpc("tools/call", {"name": "run_sql", "arguments": {
+            "sql": "DROP TABLE remobs"}})
+        assert bad["result"]["isError"] is True
+        assert "read-only" in bad["result"]["content"][0]["text"]
+        # the table survived
+        assert eng.sql("SELECT count(*) AS n FROM remobs").collect()[0].n == 20
+    finally:
+        hs.shutdown()
