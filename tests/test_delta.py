@@ -424,3 +424,49 @@ def test_column_mapping_name_mode(spark, tmp_path):
     rows = {r.id: r for r in df.collect()}
     assert rows[1].rec.tag == "a" and rows[2].rec.score == 20
     assert rows[1].p == 7 and rows[2].p == 7
+
+
+def test_column_mapping_pushdown_plan(spark, tmp_path):
+    """The physical→logical rename is transparent to Catalyst: a filter
+    on a logical column reaches the parquet scan as a pushed filter on
+    the PHYSICAL column, and ReadSchema prunes to the referenced
+    physical columns only."""
+    import json as _json
+    import os as _os
+    import re as _re
+
+    loc = str(tmp_path / "cmplan")
+    _os.makedirs(_os.path.join(loc, "_delta_log"))
+    pdir = _os.path.join(loc, "part")
+    spark.range(100).selectExpr(
+        "id AS `col-aa`", "id * 2 AS `col-bb`"
+    ).coalesce(1).write.parquet(pdir)
+    fn = next(n for n in _os.listdir(pdir) if n.endswith(".parquet"))
+    _os.rename(_os.path.join(pdir, fn), _os.path.join(loc, "f1.parquet"))
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aa"}},
+        {"name": "v", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bb"}},
+    ]}
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet"},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "name"}}},
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(_os.path.join(loc, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions))
+
+    df = read_delta(spark, loc).filter(F.col("id") > 90).select("id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = _re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    assert "col-aa" in pushed and "GreaterThan" in pushed
+    read_schema = _re.search(r"ReadSchema: ([^\n]*)", plan).group(1)
+    assert "col-aa" in read_schema and "col-bb" not in read_schema
+    assert df.count() == 9
