@@ -1,3 +1,8 @@
+from beacon_spark.pipeline.corpus import (
+    chunk_documents,
+    decontaminate,
+    export_shards,
+)
 from beacon_spark.pipeline.dedup import (
     dedup_clusters,
     dedup_keep_canonical,
@@ -36,6 +41,7 @@ from beacon_spark.pipeline.text import (
 )
 
 __all__ = [
+    "chunk_documents", "decontaminate", "export_shards",
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
     "ngram_jaccard_pairs", "simhash_pairs", "shingles_expr",
     "dedup_clusters", "dedup_keep_canonical", "near_dedup",
