@@ -150,16 +150,24 @@ class BeaconHttpServer:
                     req = json.loads(self.rfile.read(n).decode() or "{}")
                     if not isinstance(req, dict):
                         raise ValueError("query body must be a JSON object")
+                    output = req.get("output")
                     if "sql" in req:
                         df = outer.engine.sql(req["sql"], params=req.get("params"))
                     else:
                         # the JSON query DSL rides the same endpoint
-                        # (query.rs: InnerQuery::Sql | Json); "format" is
-                        # transport-level, not part of the DSL
+                        # (query.rs: InnerQuery::Sql | Json); "format"/
+                        # "output" are transport-level, not part of the DSL
                         body = req.get("query", req)
                         df = outer.engine.query(
-                            {k: v for k, v in body.items() if k != "format"}
+                            {k: v for k, v in body.items()
+                             if k not in ("format", "output")}
                         )
+                    if output:
+                        # file-output formats come back as a download
+                        # (query.rs:20-44: CSV/Parquet/Arrow/ODV/NetCDF/
+                        # GeoParquet)
+                        self._send(*outer._materialize(df, output))
+                        return
                     if req.get("format") == "json":
                         self._send_json(
                             [row.asDict(recursive=True) for row in df.collect()]
@@ -178,6 +186,33 @@ class BeaconHttpServer:
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread: threading.Thread | None = None
+
+    _OUTPUT_MIME = {
+        "csv": "text/csv",
+        "parquet": "application/vnd.apache.parquet",
+        "arrow": "application/vnd.apache.arrow.file",
+        "ipc": "application/vnd.apache.arrow.file",
+        "netcdf": "application/x-netcdf",
+        "odv": "text/plain",
+        "geoparquet": "application/vnd.apache.parquet",
+    }
+
+    def _materialize(self, df, output: dict) -> tuple[bytes, str]:
+        """``{"format": fmt, ...opts}`` → (file bytes, content type) via
+        the engine's output writers (outputs.py / write_output)."""
+        import os
+        import tempfile
+
+        from beacon_spark.outputs import write_output
+
+        fmt = output.get("format", "csv").lower()
+        opts = {k: v for k, v in output.items() if k != "format"}
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, f"result.{fmt}")
+            write_output(df, fmt, path, **opts)
+            with open(path, "rb") as f:
+                data = f.read()
+        return data, self._OUTPUT_MIME.get(fmt, "application/octet-stream")
 
     # ------------------------------------------------------------ MCP
 

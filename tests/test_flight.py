@@ -250,3 +250,45 @@ def test_mcp_endpoint(spark, served):
         assert eng.sql("SELECT count(*) AS n FROM remobs").collect()[0].n == 20
     finally:
         hs.shutdown()
+
+
+def test_http_query_file_outputs(spark, served):
+    """{"output": {"format": ...}} returns a file download
+    (query.rs:20-44: CSV / Parquet / Arrow)."""
+    import io
+    import urllib.request
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beacon_spark.server.http import BeaconHttpServer
+
+    eng, _fs, _p = served
+    hs = BeaconHttpServer(eng, port=0)
+    port = hs.serve_background()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        def post(obj):
+            req = urllib.request.Request(
+                base + "/api/query", data=json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"}, method="POST")
+            with urllib.request.urlopen(req) as r:
+                return r.read(), r.headers["Content-Type"]
+
+        q = {"sql": "SELECT id, g FROM remobs ORDER BY id LIMIT 5"}
+        body, ctype = post({**q, "output": {"format": "csv"}})
+        assert ctype == "text/csv"
+        lines = body.decode().strip().splitlines()
+        assert lines[0].split(",") == ["id", "g"] and len(lines) == 6
+
+        body, ctype = post({**q, "output": {"format": "parquet"}})
+        assert "parquet" in ctype
+        t = pq.read_table(io.BytesIO(body))
+        assert t.num_rows == 5
+
+        body, ctype = post({**q, "output": {"format": "arrow"}})
+        assert "arrow" in ctype
+        t = pa.ipc.open_file(io.BytesIO(body)).read_all()
+        assert t.column("id").to_pylist() == [0, 1, 2, 3, 4]
+    finally:
+        hs.shutdown()
