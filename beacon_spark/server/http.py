@@ -71,10 +71,13 @@ class BeaconHttpServer:
                 self._deny(401, "bad or missing bearer token")
                 return False
 
-            def _send(self, payload: bytes, ctype: str) -> None:
+            def _send(self, payload: bytes, ctype: str,
+                      extra: dict | None = None) -> None:
                 self.send_response(200)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(payload)))
+                for k, v in (extra or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(payload)
 
@@ -122,6 +125,13 @@ class BeaconHttpServer:
                     from beacon_spark.version import VERSION
 
                     self._send_json({"version": VERSION, "engine": "beacon_spark"})
+                elif path.startswith("/api/query/metrics/"):
+                    qid = path.rsplit("/", 1)[1]
+                    metrics = outer._metrics.get(qid)
+                    if metrics is None:
+                        self._deny(404, f"no metrics for query {qid!r}")
+                    else:
+                        self._send_json(metrics)
                 else:
                     self._deny(404, f"no such endpoint: {path}")
 
@@ -129,6 +139,24 @@ class BeaconHttpServer:
                 if not self._authed():
                     return
                 u = urlparse(self.path)
+                if u.path in ("/api/explain-query", "/api/parse-query"):
+                    try:
+                        n = int(self.headers.get("Content-Length", 0))
+                        req = json.loads(self.rfile.read(n).decode() or "{}")
+                        df = (
+                            outer.engine.sql(req["sql"])
+                            if "sql" in req
+                            else outer.engine.query(req.get("query", req))
+                        )
+                        if u.path == "/api/parse-query":
+                            # parse/plan succeeded; return the schema
+                            self._send_json(json.loads(df.schema.json()))
+                        else:
+                            plan = df._jdf.queryExecution().toString()
+                            self._send_json({"plan": plan})
+                    except Exception as e:
+                        self._deny(400, str(e))
+                    return
                 if u.path == "/mcp":
                     n = int(self.headers.get("Content-Length", 0))
                     try:
@@ -162,15 +190,25 @@ class BeaconHttpServer:
                             {k: v for k, v in body.items()
                              if k not in ("format", "output")}
                         )
+                    import time as _time
+                    import uuid as _uuid
+
+                    qid = str(_uuid.uuid4())
+                    t0 = _time.perf_counter()
+                    hdr = {"x-beacon-query-id": qid}
                     if output:
                         # file-output formats come back as a download
                         # (query.rs:20-44: CSV/Parquet/Arrow/ODV/NetCDF/
                         # GeoParquet)
-                        self._send(*outer._materialize(df, output))
+                        data, ctype = outer._materialize(df, output)
+                        outer._record(qid, df, None, t0)
+                        self._send(data, ctype, hdr)
                         return
                     if req.get("format") == "json":
-                        self._send_json(
-                            [row.asDict(recursive=True) for row in df.collect()]
+                        rows = [row.asDict(recursive=True) for row in df.collect()]
+                        outer._record(qid, df, len(rows), t0)
+                        self._send(
+                            json.dumps(rows).encode(), "application/json", hdr
                         )
                         return
                     import pyarrow as pa
@@ -179,13 +217,33 @@ class BeaconHttpServer:
                     sink = io.BytesIO()
                     with pa.ipc.new_stream(sink, tbl.schema) as w:
                         w.write_table(tbl)
-                    self._send(sink.getvalue(), _ARROW_MIME)
+                    outer._record(qid, df, tbl.num_rows, t0)
+                    self._send(sink.getvalue(), _ARROW_MIME, hdr)
                 except Exception as e:
                     self._deny(400, str(e))
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread: threading.Thread | None = None
+        # query metrics by id (GET /api/query/metrics/{query_id}; the
+        # reference retains these per query, api.rs:193), bounded ring
+        self._metrics: dict[str, dict] = {}
+
+    def _record(self, qid: str, df, rows, t0) -> None:
+        import time as _time
+
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            plan = None
+        self._metrics[qid] = {
+            "query_id": qid,
+            "rows": rows,
+            "seconds": round(_time.perf_counter() - t0, 3),
+            "plan": plan,
+        }
+        while len(self._metrics) > 256:  # bounded
+            self._metrics.pop(next(iter(self._metrics)))
 
     _OUTPUT_MIME = {
         "csv": "text/csv",

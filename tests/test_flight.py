@@ -292,3 +292,37 @@ def test_http_query_file_outputs(spark, served):
         assert t.column("id").to_pylist() == [0, 1, 2, 3, 4]
     finally:
         hs.shutdown()
+
+
+def test_http_explain_and_metrics(spark, served):
+    """/api/explain-query, /api/parse-query, the x-beacon-query-id
+    header + /api/query/metrics/{id} (api.rs:193)."""
+    import urllib.request
+
+    from beacon_spark.server.http import BeaconHttpServer
+
+    eng, _fs, _p = served
+    hs = BeaconHttpServer(eng, port=0)
+    port = hs.serve_background()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        def post(path, obj):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"}, method="POST")
+            with urllib.request.urlopen(req) as r:
+                return r.read(), dict(r.headers)
+
+        body, _ = post("/api/explain-query", {"sql": "SELECT count(*) AS n FROM remobs"})
+        assert "Physical Plan" in json.loads(body)["plan"]
+        body, _ = post("/api/parse-query", {"sql": "SELECT id, g FROM remobs"})
+        assert {f["name"] for f in json.loads(body)["fields"]} == {"id", "g"}
+
+        body, headers = post("/api/query", {
+            "sql": "SELECT count(*) AS n FROM remobs", "format": "json"})
+        qid = headers["x-beacon-query-id"]
+        with urllib.request.urlopen(base + f"/api/query/metrics/{qid}") as r:
+            m = json.loads(r.read())
+        assert m["rows"] == 1 and m["seconds"] >= 0 and m["plan"]
+    finally:
+        hs.shutdown()
