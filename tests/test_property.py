@@ -97,3 +97,31 @@ def test_wkt_wkb_roundtrip_multipoint(points):
     assert np.allclose(
         parse_wkt(rt).all_coords(), parse_wkt(wkt).all_coords()
     )
+
+
+@given(st.binary(min_size=0, max_size=8192))
+def test_blosclz_roundtrip_fuzz(data):
+    from beacon_spark.sources.blosclite import (
+        _blosclz_compress,
+        _blosclz_decompress,
+    )
+
+    assert _blosclz_decompress(_blosclz_compress(data), len(data)) == data
+
+
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=0, max_value=257),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_bitshuffle_roundtrip_fuzz(typesize, nbytes_extra, seed):
+    import numpy as np
+
+    from beacon_spark.sources.blosclite import (
+        _bitshuffle_block,
+        _bitunshuffle_block,
+    )
+
+    rng = np.random.default_rng(seed)
+    data = bytes(rng.integers(0, 256, typesize * 8 + nbytes_extra, dtype=np.uint8))
+    assert _bitunshuffle_block(_bitshuffle_block(data, typesize), typesize) == data
