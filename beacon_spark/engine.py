@@ -473,6 +473,20 @@ class Engine:
 
         return _schema_df(self.spark, self.read_odv(paths).schema)
 
+    def table_names(self) -> list[str]:
+        """All catalog-addressable table names (managed + external +
+        views + MVs), sorted — the enumeration every server transport
+        serves (Flight list_tables, HTTP /api/tables, MCP)."""
+        if self.catalog is None:
+            return []
+        cat = self.catalog._load()
+        return sorted(
+            list(cat.get("tables", {}))
+            + list(cat.get("external_tables", {}))
+            + list(cat.get("views", {}))
+            + list(cat.get("materialized_views", {}))
+        )
+
     def list_datasets(self) -> DataFrame:
         """Every file under the datasets root + detected format
         (beacon-functions/src/file_formats/list_datasets.rs)."""
@@ -905,6 +919,13 @@ class Engine:
             rb = getattr(self, "_remotes", {}).pop(name, None)
             if rb is not None:
                 rb.close()
+            # drop materialized remote views — a stale temp view would
+            # keep serving data from a connection the user detached
+            for v in getattr(self, "_remote_views", {}).pop(name, set()):
+                try:
+                    self.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
             return self._status(status="ok", op="detach", name=name)
         if kind == "create_secret":
             # CREATE [PERSISTENT|TEMPORARY] SECRET n (TYPE t, k 'v', …,
@@ -1184,6 +1205,8 @@ class Engine:
                 raise ValueError(f"no attached remote engine {alias!r}")
             name = f"__remote_{alias}_{abs(hash(rsql)) % 10**10}"
             rb.query(self.spark, rsql).createOrReplaceTempView(name)
+            self._remote_views = getattr(self, "_remote_views", {})
+            self._remote_views.setdefault(alias, set()).add(name)
             return name
 
         statement = _sub_outside_literals(self._REMOTE_QUERY_RE, repl, statement)
@@ -1198,6 +1221,10 @@ class Engine:
                 seen.add(tbl)
                 if tbl in rb.list_tables():
                     rb.fetch_table(self.spark, tbl).createOrReplaceTempView(
+                        f"{alias}__{tbl}"
+                    )
+                    self._remote_views = getattr(self, "_remote_views", {})
+                    self._remote_views.setdefault(alias, set()).add(
                         f"{alias}__{tbl}"
                     )
         return statement
@@ -1394,8 +1421,9 @@ class Engine:
 
         - btree index + numeric value ranges -> file-stats min/max pruning
         - inverted index + ``contains``/LIKE terms -> token-posting
-          pruning (every term's tokens must post in a file for it to
-          survive; managed.py:build_inverted_index)
+          pruning (substring-of-token match: every query piece must have
+          a posted token containing it for a file to survive;
+          managed.py:inverted_prune)
 
         Both prune the FILE LIST before the scan opens; when both apply
         the survivor set is the intersection. Returns None when no index

@@ -287,35 +287,42 @@ class ManagedTable:
         self, index_name: str, terms: list[str]
     ) -> list[str] | None:
         """Files that can contain rows where the indexed column CONTAINS
-        every term (AND semantics: a matching row carries all the terms'
-        tokens, so its file posts all of them). Fail-open: returns None
-        when the index is missing/unreadable. The postings read is a
-        metadata-sized pyarrow scan with a token-IN filter (row groups
-        are token-sorted), no Spark job."""
+        every term. Substring-safe: ``contains 'error'`` matches a row
+        whose only posted token is ``errors``, and in a multi-word term
+        the first/last pieces may be a token's suffix/prefix — so a
+        query piece matches a posted token when the piece is a SUBSTRING
+        of the token, and a file survives when every piece has at least
+        one substring-matching posted token (AND semantics). Fail-open:
+        returns None when the index is missing/unreadable. The postings
+        read is a metadata-sized pyarrow scan with a match_substring
+        filter over the token dictionary, no Spark job."""
         import re as _re
 
         idx_dir = os.path.join(self.path, "_indexes", index_name)
         if not os.path.isdir(idx_dir):
             return None
-        tokens = set()
+        pieces = set()
         for t in terms:
-            tokens.update(x for x in _re.split(self.TOKEN_RE, str(t).lower()) if x)
-        if not tokens:
+            pieces.update(x for x in _re.split(self.TOKEN_RE, str(t).lower()) if x)
+        if not pieces:
             return None
         try:
+            import pyarrow.compute as pc
             import pyarrow.dataset as pads
 
-            tbl = pads.dataset(idx_dir, format="parquet").to_table(
-                filter=pads.field("token").isin(sorted(tokens))
-            )
+            expr = None
+            for p in sorted(pieces):
+                e = pc.match_substring(pads.field("token"), p)
+                expr = e if expr is None else expr | e
+            tbl = pads.dataset(idx_dir, format="parquet").to_table(filter=expr)
         except Exception:
             return None
         seen: dict[str, set] = {}
         for f, t in zip(
             tbl.column("file").to_pylist(), tbl.column("token").to_pylist()
         ):
-            seen.setdefault(f, set()).add(t)
-        keep = {f for f, toks in seen.items() if toks >= tokens}
+            seen.setdefault(f, set()).update(p for p in pieces if p in t)
+        keep = {f for f, ps in seen.items() if ps >= pieces}
         try:
             with open(os.path.join(idx_dir, "_indexed_files.json")) as fh:
                 indexed = set(json.load(fh))

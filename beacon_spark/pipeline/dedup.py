@@ -547,6 +547,15 @@ def _dedup_clusters_hashed(
     """``dedup_clusters`` for non-numeric ids: propagate min labels over
     xxhash64 node keys, then map hashes back to original ids and re-take
     the minimum original id per component (hash order != id order)."""
+    ta, tb = pairs.schema[id_a].dataType, pairs.schema[id_b].dataType
+    if ta != tb:
+        # a union of mixed types would coerce one side BEFORE hashing,
+        # making node hashes disagree with edge hashes — rows would
+        # silently vanish from the output. Fail loudly instead.
+        raise ValueError(
+            f"dedup_clusters: id columns must share a type, got "
+            f"{ta.simpleString()} vs {tb.simpleString()}"
+        )
     # (original id, hashed node) for every distinct endpoint — the only
     # state that ever carries the original (possibly wide) id values
     idmap = (

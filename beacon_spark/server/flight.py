@@ -91,21 +91,21 @@ class BeaconFlightServer(fl.FlightServerBase):
 
     def get_flight_info(self, context, descriptor):
         cmd = self._cmd_from_descriptor(descriptor)
-        # schema-only planning: LIMIT 0 keeps it metadata-sized
-        schema = self.engine.sql(cmd["sql"]).limit(0).toArrow().schema
+        # schema-only planning: LIMIT 0 keeps it metadata-sized (params
+        # must bind here too, or parameterized commands fail at info time)
+        schema = (
+            self.engine.sql(cmd["sql"], params=cmd.get("params"))
+            .limit(0)
+            .toArrow()
+            .schema
+        )
         ticket = fl.Ticket(json.dumps(cmd).encode())
         endpoint = fl.FlightEndpoint(ticket, [])
         return fl.FlightInfo(schema, descriptor, [endpoint], -1, -1)
 
     def do_action(self, context, action: fl.Action):
         if action.type == "list_tables":
-            cat = self.engine.catalog._load() if self.engine.catalog else {}
-            tables = sorted(
-                list(cat.get("tables", {}))
-                + list(cat.get("external_tables", {}))
-                + list(cat.get("views", {}))
-                + list(cat.get("materialized_views", {}))
-            )
+            tables = self.engine.table_names()
             try:
                 datasets = [
                     r.dataset for r in self.engine.list_datasets().collect()

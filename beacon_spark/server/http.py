@@ -106,15 +106,7 @@ class BeaconHttpServer:
                 elif path == "/api/total-datasets":
                     self._send_json({"total": eng.list_datasets().count()})
                 elif path == "/api/tables":
-                    cat = eng.catalog._load() if eng.catalog else {}
-                    self._send_json(
-                        sorted(
-                            list(cat.get("tables", {}))
-                            + list(cat.get("external_tables", {}))
-                            + list(cat.get("views", {}))
-                            + list(cat.get("materialized_views", {}))
-                        )
-                    )
+                    self._send_json(eng.table_names())
                 elif path == "/api/table-schema":
                     tbl = q.get("table")
                     if not tbl:
@@ -304,26 +296,38 @@ class BeaconHttpServer:
         },
     ]
 
-    _READONLY_RE = re.compile(
+    _READONLY_START_RE = re.compile(
         r"^\s*(SELECT|WITH|SUMMARIZE|EXPLAIN|SHOW|DESCRIBE)\b",
         re.IGNORECASE,
     )
+    # write/DDL/admin keywords that must not appear ANYWHERE outside
+    # string literals — a WITH-prefixed INSERT or an EXPLAIN ANALYZE of
+    # a COPY both start "read-only" but execute writes
+    _WRITE_KEYWORD_RE = re.compile(
+        r"\b(INSERT|UPDATE|DELETE|MERGE|DROP|CREATE|ALTER|TRUNCATE|COPY|"
+        r"VACUUM|ATTACH|DETACH|ANALYZE|GRANT|REVOKE|SET|RUN|REFRESH|"
+        r"OVERWRITE)\b",
+        re.IGNORECASE,
+    )
+
+    @classmethod
+    def _is_readonly_sql(cls, sql: str) -> bool:
+        if not cls._READONLY_START_RE.match(sql):
+            return False
+        # blank out single-quoted literals ('' escape included) so quoted
+        # text can't false-positive, then scan for write keywords
+        stripped = re.sub(r"'(?:[^']|'')*'", "''", sql)
+        return not cls._WRITE_KEYWORD_RE.search(stripped)
 
     def _mcp_tool(self, name: str, args: dict) -> str:
         eng = self.engine
         if name == "list_tables":
-            cat = eng.catalog._load() if eng.catalog else {}
             try:
                 datasets = [r.dataset for r in eng.list_datasets().collect()]
             except Exception:
                 datasets = []
             return json.dumps({
-                "tables": sorted(
-                    list(cat.get("tables", {}))
-                    + list(cat.get("external_tables", {}))
-                    + list(cat.get("views", {}))
-                    + list(cat.get("materialized_views", {}))
-                ),
+                "tables": eng.table_names(),
                 "datasets": datasets,
             })
         if name == "describe_table":
@@ -334,9 +338,10 @@ class BeaconHttpServer:
             )
         if name == "run_sql":
             sql = args["sql"]
-            if not self._READONLY_RE.match(sql):
+            if not self._is_readonly_sql(sql):
                 raise ValueError(
-                    "run_sql is read-only: statement must be SELECT-shaped"
+                    "run_sql is read-only: statement must be SELECT-shaped "
+                    "and free of write/DDL/admin keywords"
                 )
             limit = int(args.get("limit", 100))
             rows = eng.sql(sql).limit(limit).collect()

@@ -41,6 +41,7 @@ import json
 
 from beacon_spark.sources import bytesource as _bs
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -344,8 +345,14 @@ def read_delta(
             }
             bc = spark.sparkContext.broadcast(blobs)
 
+            # decode cache OUTSIDE the call: one roaring decode per file
+            # per worker process, not per Arrow batch (a big file scans
+            # as hundreds of batches; per-call decode would redo the
+            # multi-hundred-KB pure-Python decode every batch)
+            _decoded: dict[str, np.ndarray] = {}
+
             def __dv_live(fp, pos):
-                cache: dict[str, np.ndarray] = {}
+                cache = _decoded
                 keep = np.ones(len(fp), dtype=bool)
                 for f in fp.unique():
                     blob = bc.value.get(f)
@@ -383,9 +390,13 @@ _DV_EXPAND_LIMIT = 1_000_000
 
 
 def _file_uri(path: str) -> str:
-    """Absolute path → the URI form Spark reports in _metadata.file_path
-    (Hadoop Path.toString: single-slash ``file:`` scheme, unescaped)."""
-    return "file:" + os.path.abspath(path)
+    """Path → the URI form Spark reports in _metadata.file_path (Hadoop
+    Path.toString). Local paths get the single-slash ``file:`` scheme;
+    real object-store URIs (s3://…) pass through unchanged — prefixing
+    them with ``file:`` would silently break the DV anti-join keys."""
+    if _bs.is_uri(path) and not path.startswith("file:"):
+        return path
+    return "file:" + os.path.abspath(re.sub(r"^file:/*", "/", path))
 
 
 def read_delta_schema(

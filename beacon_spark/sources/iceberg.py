@@ -287,14 +287,23 @@ def read_iceberg(
         ).join(F.broadcast(seq_map), "__fp", "left")
         if pos_deletes:
             # spec: a positional delete applies to data files with
-            # data_seq <= del_seq (same-snapshot deletes DO apply)
+            # data_seq <= del_seq (same-snapshot deletes DO apply).
+            # file_path values get the same normalization as _fp_key:
+            # real URIs pass through, local paths become "file:<abs>"
+            norm_fp = F.when(
+                F.col("file_path").rlike("^[a-z0-9+.-]+://")
+                & ~F.col("file_path").startswith("file:"),
+                F.col("file_path"),
+            ).otherwise(
+                F.concat(
+                    F.lit("file:"),
+                    F.regexp_replace("file_path", "^file:/*", "/"),
+                )
+            )
             dels = None
             for path, dseq in pos_deletes:
                 d = spark.read.parquet(path).select(
-                    F.concat(
-                        F.lit("file:"),
-                        F.regexp_replace("file_path", "^file:/*", "/"),
-                    ).alias("__dfp"),
+                    norm_fp.alias("__dfp"),
                     F.col("pos").alias("__dpos"),
                     F.lit(int(dseq)).alias("__del_seq"),
                 )

@@ -42,8 +42,15 @@ def resolve_globs(paths: str | list[str], datasets_root: str | None = None) -> l
 
 def resolve_dir(path: str, datasets_root: str | None = None) -> str:
     """Resolve a single directory location (Delta/Iceberg table roots —
-    not globbable) against the datasets root."""
-    if datasets_root is not None and not os.path.isabs(path):
+    not globbable) against the datasets root. Object-store URIs pass
+    through (joining them under the root would mangle the scheme)."""
+    from beacon_spark.sources import bytesource as _bs
+
+    if (
+        datasets_root is not None
+        and not os.path.isabs(path)
+        and not _bs.is_uri(path)
+    ):
         return os.path.join(datasets_root, path)
     return path
 

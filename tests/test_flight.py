@@ -78,6 +78,9 @@ def test_remote_attach_and_query(spark, served, tmp_path):
     client_eng.sql("DETACH lake")
     with pytest.raises(ValueError, match="no attached remote"):
         client_eng.remote_query("lake", "SELECT 1")
+    # materialized remote views are dropped — no stale data after detach
+    with pytest.raises(Exception):
+        spark.sql("SELECT * FROM lake__remobs").collect()
 
 
 def test_remote_attach_token_auth(spark, served, tmp_path):
@@ -242,10 +245,20 @@ def test_mcp_endpoint(spark, served):
         assert json.loads(q["result"]["content"][0]["text"]) == [{"n": 20}]
 
         # read-only gate: DDL/DML comes back as a tool error, not data
-        bad = rpc("tools/call", {"name": "run_sql", "arguments": {
-            "sql": "DROP TABLE remobs"}})
-        assert bad["result"]["isError"] is True
-        assert "read-only" in bad["result"]["content"][0]["text"]
+        for sql in (
+            "DROP TABLE remobs",
+            # WITH-prefixed write and EXPLAIN ANALYZE of a write both
+            # start 'read-only' but execute writes — must be rejected
+            "WITH c AS (SELECT 1) INSERT INTO remobs SELECT id, g FROM remobs",
+            "EXPLAIN ANALYZE COPY remobs TO '/tmp/pwn.parquet'",
+        ):
+            bad = rpc("tools/call", {"name": "run_sql", "arguments": {"sql": sql}})
+            assert bad["result"]["isError"] is True, sql
+            assert "read-only" in bad["result"]["content"][0]["text"]
+        # quoted keywords are fine (literal-stripping, not naive grep)
+        ok = rpc("tools/call", {"name": "run_sql", "arguments": {
+            "sql": "SELECT 'please INSERT a coin' AS s"}})
+        assert ok["result"]["isError"] is False
         # the table survived
         assert eng.sql("SELECT count(*) AS n FROM remobs").collect()[0].n == 20
     finally:

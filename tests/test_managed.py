@@ -288,6 +288,19 @@ def test_inverted_index_prunes_files(spark, tmp_path):
     )
     assert out4.count() == 3
 
+    # substring semantics: 'zyzzyv' is a PARTIAL token ('zyzzyva' is
+    # posted) — contains must still find the rows, not silently prune
+    # them (substring-of-token match in inverted_prune)
+    out5 = eng.query(
+        {
+            "select": ["id"],
+            "from": "docs_t",
+            "filter": {"column": "body", "contains": "zyzzyv"},
+        }
+    )
+    assert out5.count() == 5
+    assert 0 < len(out5.inputFiles()) < n_files  # still prunes
+
 
 def test_crawler_scheduling(spark, tmp_path):
     """A crawler with WITH (schedule='...') is auto-run by the scheduler

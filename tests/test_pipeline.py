@@ -460,3 +460,13 @@ def test_png_adam7_interlace_roundtrip():
         np.testing.assert_array_equal(
             decode_png(payload), decode_png(encode_png(img))
         )
+
+
+def test_dedup_clusters_mixed_id_types_raise(spark):
+    from beacon_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, "a")], "id_a long, id_b string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="share a type"):
+        dedup_clusters(pairs)

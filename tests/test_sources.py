@@ -117,3 +117,18 @@ def test_sql_metadata_functions(spark, tmp_path):
     eng.analyze_files()
     stats = eng.sql("SELECT DISTINCT column FROM view_statistics_cache()").collect()
     assert {r.column for r in stats} == {"x"}
+
+
+def test_uri_paths_pass_through():
+    """Object-store URIs must survive path helpers unmangled (a
+    file:-prefixed s3 URI silently breaks Delta DV join keys; joining a
+    URI under datasets_root breaks table resolution)."""
+    from beacon_spark.sources.delta import _file_uri
+    from beacon_spark.sources.paths import resolve_dir
+
+    assert _file_uri("s3://bucket/tbl/f.parquet") == "s3://bucket/tbl/f.parquet"
+    assert _file_uri("/a/b.parquet") == "file:/a/b.parquet"
+    assert _file_uri("file:/a/b.parquet") == "file:/a/b.parquet"
+    assert resolve_dir("s3://bucket/tbl", "/data") == "s3://bucket/tbl"
+    assert resolve_dir("tbl", "/data") == "/data/tbl"
+    assert resolve_dir("/abs/tbl", "/data") == "/abs/tbl"
