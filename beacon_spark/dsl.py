@@ -291,16 +291,22 @@ def compile_query(engine, body: dict[str, Any]) -> DataFrame:
     # the source resolver, which drops provably-dead files via the stats
     # index before the scan (stats.py — the reference's PushdownFilter +
     # file-stats pruning pipeline)
-    from beacon_spark.stats import extract_contains_terms, extract_value_ranges
+    from beacon_spark.stats import (
+        extract_contains_terms,
+        extract_eq_clauses,
+        extract_value_ranges,
+    )
 
     ranges = {}
     terms = {}
+    eqs = {}
     if body.get("filter") is not None:
         ranges = extract_value_ranges(body["filter"])
         terms = extract_contains_terms(body["filter"])
+        eqs = extract_eq_clauses(body["filter"])
 
     df = engine.resolve_from(
-        body.get("from"), pushdown_cols or None, ranges, terms
+        body.get("from"), pushdown_cols or None, ranges, terms, eqs
     )
     df = df.select(*[_select_to_column(s) for s in select])
 

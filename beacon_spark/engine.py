@@ -55,6 +55,24 @@ _EXCLUDE_RE = re.compile(
 )
 
 
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _bitmap_key(v, dt) -> str | None:
+    """DSL eq value → the bitmap index's token string, or None when the
+    combination can't be matched exactly (see _pruned_managed_read)."""
+    if isinstance(dt, T.StringType) and isinstance(v, str):
+        return v
+    if isinstance(dt, _INTEGRAL_TYPES):
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, str) and re.fullmatch(r"-?[1-9]\d*|0", v):
+            return v  # canonical integer string == Spark's cast
+    return None
+
+
 def _bind_placeholders(statement: str, params: list) -> tuple[str, dict]:
     """Rewrite DataFusion-style positional placeholders ``$1..$n``
     (bound via ``with_param_values``, runtime.rs:107-116) to Spark named
@@ -819,17 +837,20 @@ class Engine:
                     mt = ManagedTable(self.spark, c["tables"][table])
                     mt.cluster_by(column)
                     analyze_files(self.datasets_root, mt.files())
-            elif using == "inverted" and self.datasets_root is not None:
-                # real token->posting-file index (managed tables): built
-                # here, consulted by _pruned_managed_read for contains/
-                # LIKE predicates
+            elif using in ("inverted", "bitmap") and self.datasets_root is not None:
+                # real posting-file indexes (managed tables): built here,
+                # consulted by _pruned_managed_read — inverted for
+                # contains/LIKE predicates, bitmap for eq/IN on
+                # low-cardinality columns
                 c = cat._load()
                 if table in c["tables"]:
                     from beacon_spark.managed import ManagedTable
 
-                    ManagedTable(self.spark, c["tables"][table]).build_inverted_index(
-                        column, idx
-                    )
+                    mt = ManagedTable(self.spark, c["tables"][table])
+                    if using == "inverted":
+                        mt.build_inverted_index(column, idx)
+                    else:
+                        mt.build_bitmap_index(column, idx)
             return self._status(status="ok", op="create_index", name=idx)
         if kind == "drop_index":
             cat.drop_index(m.group(1))
@@ -1416,7 +1437,9 @@ class Engine:
             write_output(df, output["format"], output_path, **opts)
         return df
 
-    def _pruned_managed_read(self, name: str, ranges, terms=None) -> "DataFrame | None":
+    def _pruned_managed_read(
+        self, name: str, ranges, terms=None, eqs=None
+    ) -> "DataFrame | None":
         """Index-backed file pruning for managed tables, fail-open:
 
         - btree index + numeric value ranges -> file-stats min/max pruning
@@ -1424,11 +1447,20 @@ class Engine:
           pruning (substring-of-token match: every query piece must have
           a posted token containing it for a file to survive;
           managed.py:inverted_prune)
+        - bitmap index + eq / OR-of-eq clauses -> value-posting pruning
+          (type-gated: string values against string columns, int values
+          against integral columns — representation mismatches would
+          falsely prune; managed.py:bitmap_prune)
 
-        Both prune the FILE LIST before the scan opens; when both apply
-        the survivor set is the intersection. Returns None when no index
-        narrows anything — caller falls back to the registered view."""
-        if (not ranges and not terms) or self.datasets_root is None or self.catalog is None:
+        All prune the FILE LIST before the scan opens; when several
+        apply the survivor set is the intersection. Returns None when no
+        index narrows anything — caller falls back to the registered
+        view."""
+        if (
+            (not ranges and not terms and not eqs)
+            or self.datasets_root is None
+            or self.catalog is None
+        ):
             return None
         try:
             c = self.catalog._load()
@@ -1460,6 +1492,30 @@ class Engine:
                     if hit is not None:
                         keep = set(hit)
                         survivors = [f for f in survivors if f in keep]
+        if eqs:
+            schema = {f.name: f.dataType for f in mt.schema().fields}
+            for iname, d in c.get("indexes", {}).items():
+                if (
+                    d["table"] == name
+                    and d["using"] == "bitmap"
+                    and d["column"] in eqs
+                ):
+                    dt = schema.get(d["column"])
+                    # type gate: only (value, column-type) combinations
+                    # whose stringification matches Spark's
+                    # cast-to-string exactly may prune — anything else
+                    # is dropped (fail-open, never falsely prunes)
+                    clauses = []
+                    for cl in eqs[d["column"]]:
+                        conv = [_bitmap_key(v, dt) for v in cl]
+                        if all(x is not None for x in conv):
+                            clauses.append(conv)
+                    if not clauses:
+                        continue
+                    hit = mt.bitmap_prune(iname, clauses)
+                    if hit is not None:
+                        keep = set(hit)
+                        survivors = [f for f in survivors if f in keep]
         if survivors == files:
             return None
         if not survivors:
@@ -1487,6 +1543,8 @@ class Engine:
                 # incremental: only files new since the last build are
                 # tokenized (build_inverted_index keys postings by file)
                 mt.build_inverted_index(d["column"], iname)
+            elif d["table"] == table and d["using"] == "bitmap":
+                mt.build_bitmap_index(d["column"], iname)
 
     def resolve_from(
         self,
@@ -1494,6 +1552,7 @@ class Engine:
         projection: list[str] | None = None,
         ranges: dict | None = None,
         terms: dict | None = None,
+        eqs: dict | None = None,
     ) -> DataFrame:
         """Resolve a DSL ``from`` (query/from.rs:23-131): named table, or
         ``{"<format>": {"paths": [...], ...}}``. ``projection`` is the
@@ -1506,7 +1565,7 @@ class Engine:
                 raise ValueError("query has no 'from' and engine has no default table")
             spec = self.default_table
         if isinstance(spec, str):
-            pruned = self._pruned_managed_read(spec, ranges, terms)
+            pruned = self._pruned_managed_read(spec, ranges, terms, eqs)
             if pruned is not None:
                 return pruned
             return self.spark.table(spec)

@@ -231,15 +231,13 @@ class ManagedTable:
 
     TOKEN_RE = "[^a-z0-9]+"
 
-    def build_inverted_index(self, column: str, index_name: str) -> int:
-        """Token→posting-file index (the Lance inverted-index role,
-        reference ``beacon-core/src/statement_plan/actions.rs:763-820``):
-        one distributed pass tokenizes ``column`` (lowercase, split on
-        non-alphanumeric), emits DISTINCT (token, file) pairs, and writes
-        them sorted by token — so a probe is a token-range parquet read,
-        not a scan. Incremental: files already in the index keep their
-        postings; only new files are tokenized (cost ∝ appended data).
-        Returns the number of files newly indexed."""
+    def _build_posting_index(self, index_name: str, key_of) -> int:
+        """Shared key→posting-file index builder (inverted + bitmap):
+        ``key_of(scan_df)`` yields a DataFrame of (token, file) pairs for
+        new files; written token-sorted so probes are range reads.
+        Incremental: files already in the index keep their postings; only
+        new files are scanned (cost ∝ appended data). Returns the number
+        of files newly indexed."""
         idx_dir = os.path.join(self.path, "_indexes", index_name)
         files = self.files()
         basenames = {os.path.basename(f) for f in files}
@@ -253,20 +251,7 @@ class ManagedTable:
         new_files = [f for f in files if os.path.basename(f) not in indexed]
         parts = [] if prior is None else [prior]
         if new_files:
-            tokens = (
-                self.spark.read.parquet(*new_files)
-                .select(
-                    F.explode(
-                        F.split(F.lower(F.col(column).cast("string")), self.TOKEN_RE)
-                    ).alias("token"),
-                    F.element_at(
-                        F.split(F.col("_metadata.file_path"), "/"), -1
-                    ).alias("file"),
-                )
-                .filter(F.col("token") != "")
-                .distinct()
-            )
-            parts.append(tokens)
+            parts.append(key_of(self.spark.read.parquet(*new_files)))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -282,6 +267,92 @@ class ManagedTable:
             shutil.rmtree(idx_dir)
         os.replace(tmp, idx_dir)
         return len(new_files)
+
+    def build_inverted_index(self, column: str, index_name: str) -> int:
+        """Token→posting-file index (the Lance inverted-index role,
+        reference ``beacon-core/src/statement_plan/actions.rs:763-820``):
+        one distributed pass tokenizes ``column`` (lowercase, split on
+        non-alphanumeric), emits DISTINCT (token, file) pairs."""
+
+        def key_of(df):
+            return (
+                df.select(
+                    F.explode(
+                        F.split(F.lower(F.col(column).cast("string")), self.TOKEN_RE)
+                    ).alias("token"),
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("file"),
+                )
+                .filter(F.col("token") != "")
+                .distinct()
+            )
+
+        return self._build_posting_index(index_name, key_of)
+
+    def build_bitmap_index(self, column: str, index_name: str) -> int:
+        """Value→posting-file index for low-cardinality columns (the
+        Lance bitmap-index role): DISTINCT (value, file) pairs, value
+        stringified. Probed by equality/IN predicates via
+        :meth:`bitmap_prune`; index size ∝ cardinality × files."""
+
+        def key_of(df):
+            return (
+                df.select(
+                    F.col(column).cast("string").alias("token"),
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("file"),
+                )
+                .filter(F.col("token").isNotNull())
+                .distinct()
+            )
+
+        return self._build_posting_index(index_name, key_of)
+
+    def bitmap_prune(
+        self, index_name: str, clauses: list[list[str]]
+    ) -> list[str] | None:
+        """Files that can satisfy CNF equality clauses on the indexed
+        column: each clause is a list of alternative values (an eq leaf
+        = one value; an OR of eqs on the column = several); a file
+        survives when EVERY clause has at least one posted value.
+        Fail-open (None) when the index is missing/unreadable; the
+        postings read is a token-IN pyarrow scan (value-sorted row
+        groups)."""
+        idx_dir = os.path.join(self.path, "_indexes", index_name)
+        if not os.path.isdir(idx_dir) or not clauses:
+            return None
+        wanted = sorted({v for cl in clauses for v in cl})
+        try:
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(idx_dir, format="parquet").to_table(
+                filter=pads.field("token").isin(wanted)
+            )
+        except Exception:
+            return None
+        posted: dict[str, set] = {}
+        for f, v in zip(
+            tbl.column("file").to_pylist(), tbl.column("token").to_pylist()
+        ):
+            posted.setdefault(f, set()).add(v)
+        keep = {
+            f
+            for f, vs in posted.items()
+            if all(vs & set(cl) for cl in clauses)
+        }
+        try:
+            with open(os.path.join(idx_dir, "_indexed_files.json")) as fh:
+                indexed = set(json.load(fh))
+        except OSError:
+            return None  # no coverage manifest -> can't prune safely
+        return [
+            f
+            for f in self.files()
+            # unindexed files are kept unconditionally (fail-open)
+            if os.path.basename(f) in keep or os.path.basename(f) not in indexed
+        ]
 
     def inverted_prune(
         self, index_name: str, terms: list[str]

@@ -179,6 +179,61 @@ def extract_contains_terms(node: Any) -> dict[str, list[str]]:
     return terms
 
 
+def extract_eq_clauses(node: Any) -> dict[str, list[list]]:
+    """Walk a JSON-DSL filter, extracting CNF equality clauses per column
+    for bitmap-index file pruning: each AND-ed ``eq`` leaf contributes a
+    one-value clause; an OR whose branches are all ``eq`` on the SAME
+    column contributes a clause of alternatives. Any other OR/geometry
+    branch contributes nothing (fail-open). Values stay RAW (str|int) —
+    the prune site stringifies under a column-type gate, because a
+    representation mismatch vs Spark's cast-to-string would FALSELY
+    prune."""
+    clauses: dict[str, list[list]] = {}
+
+    def walk(n: Any) -> None:
+        if not isinstance(n, dict):
+            return
+        if "and" in n:
+            for c in n["and"]:
+                walk(c)
+            return
+        if "or" in n:
+            branches = n["or"]
+            cols = set()
+            vals: list[str] = []
+            for b in branches:
+                if not (
+                    isinstance(b, dict)
+                    and b.get("column")
+                    and _eq_indexable(b.get("eq"))
+                ):
+                    return  # not an eq-disjunction → fail-open
+                cols.add(b["column"])
+                vals.append(b["eq"])
+            if len(cols) == 1 and vals:
+                clauses.setdefault(cols.pop(), []).append(vals)
+            return
+        if "geometry" in n:
+            return
+        col = n.get("column", n.get("for_query_parameter"))
+        if not col:
+            return
+        if _eq_indexable(n.get("eq")):
+            clauses.setdefault(col, []).append([n["eq"]])
+
+    walk(node)
+    return clauses
+
+
+def _eq_indexable(v: Any) -> bool:
+    """Only str and int eq values map unambiguously onto the bitmap
+    index's stringified token column (floats/bools/dates have
+    representation mismatches vs Spark's cast-to-string — a "5" vs
+    "5.0" disagreement would FALSELY prune; the prune site additionally
+    type-gates against the column's dtype)."""
+    return isinstance(v, str) or (isinstance(v, int) and not isinstance(v, bool))
+
+
 def extract_value_ranges(node: Any) -> dict[str, tuple[float | None, float | None]]:
     """Walk a JSON-DSL filter, extracting per-column [lo, hi] ranges from
     AND-ed comparison leaves — the analog of the reference's

@@ -349,3 +349,58 @@ def test_crawler_scheduling(spark, tmp_path):
             raise AssertionError("background sweep never registered later.parquet")
     finally:
         eng.stop_crawler_scheduler()
+
+
+def test_bitmap_index_prunes_files(spark, tmp_path):
+    """CREATE INDEX ... USING bitmap posts (value, file) pairs; eq and
+    OR-of-eq DSL filters then open a strict subset of files. Type-gated:
+    a float eq never prunes (representation mismatch risk)."""
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    # category clustered so each file holds few categories
+    rows = [(i, ["alpha", "beta", "gamma", "delta"][i // 100], float(i))
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "id long, cat string, x double"
+    ).repartitionByRange(4, "id")
+    eng.catalog.create_table("events_t", df)
+    eng.sql("CREATE INDEX cidx ON events_t (cat) USING bitmap")
+
+    mt = eng.catalog.table("events_t")
+    n_files = len(mt.files())
+    assert n_files >= 3
+
+    out = eng.query({
+        "select": ["id"], "from": "events_t",
+        "filter": {"column": "cat", "eq": "delta"},
+    })
+    assert out.count() == 100
+    assert 0 < len(out.inputFiles()) < n_files  # strict subset
+
+    # OR of eqs on the same column -> union of posting files
+    out2 = eng.query({
+        "select": ["id"], "from": "events_t",
+        "filter": {"or": [
+            {"column": "cat", "eq": "alpha"},
+            {"column": "cat", "eq": "delta"},
+        ]},
+    })
+    assert out2.count() == 200
+    assert 0 < len(out2.inputFiles()) < n_files
+
+    # integer eq on an integer-typed bitmap column also prunes
+    eng.sql("CREATE INDEX iidx ON events_t (id) USING bitmap")
+    out3 = eng.query({
+        "select": ["id"], "from": "events_t",
+        "filter": {"column": "id", "eq": 7},
+    })
+    assert out3.count() == 1 and 0 < len(out3.inputFiles()) < n_files
+
+    # DML refresh keeps new rows findable
+    eng.sql("INSERT INTO events_t VALUES (9999, 'epsilon', 1.0)")
+    out4 = eng.query({
+        "select": ["id"], "from": "events_t",
+        "filter": {"column": "cat", "eq": "epsilon"},
+    })
+    assert out4.count() == 1
