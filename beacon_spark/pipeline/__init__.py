@@ -16,6 +16,7 @@ from beacon_spark.pipeline.dedup import (
 )
 from beacon_spark.pipeline.multimodal import (
     audio_stat_features,
+    sample_frames,
     decode_image,
     decode_wav,
     extract_metadata,
@@ -48,6 +49,7 @@ __all__ = [
     "brute_force_topk", "cosine_expr", "cosine_pairs_lsh",
     "lsh_ann_topk", "ivf_ann_topk",
     "token_count_expr", "quality_metrics", "language_id", "fingerprint_expr",
+    "sample_frames",
     "repetition_metrics", "scrub_pii", "quality_filter",
     "extract_metadata", "featurize", "resize_images",
     "decode_image", "decode_wav", "image_stat_features", "audio_stat_features",

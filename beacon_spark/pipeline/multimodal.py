@@ -70,9 +70,58 @@ def sniff_meta(payload: bytes) -> dict:
         meta["mime"] = "audio/wav"
         if len(payload) >= 32:
             meta["sample_rate"] = struct.unpack("<I", payload[24:28])[0]
+    elif payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        meta["mime"] = "image/gif"
+        meta["width"], meta["height"] = struct.unpack("<HH", payload[6:10])
+        # frame count + total duration: block-structure walk (no LZW
+        # work — image data sub-blocks are skipped by length)
+        try:
+            n, dur = _gif_frame_scan(payload)
+            meta["n_frames"] = n
+            meta["duration_ms"] = dur
+        except Exception:
+            meta["n_frames"] = None
     else:
         meta["mime"] = "application/octet-stream"
     return meta
+
+
+def _gif_frame_scan(payload: bytes) -> tuple[int, int]:
+    """Count frames + sum delays by walking the block structure only."""
+    pos = 13
+    packed = payload[10]
+    if packed & 0x80:
+        pos += (2 << (packed & 0x07)) * 3
+    frames = 0
+    dur = 0
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            label = payload[pos]
+            pos += 1
+            first = True
+            while payload[pos]:
+                if label == 0xF9 and first:
+                    dur += struct.unpack_from("<H", payload, pos + 2)[0] * 10
+                    first = False
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            ip = payload[pos + 8]
+            pos += 9
+            if ip & 0x80:
+                pos += (2 << (ip & 0x07)) * 3
+            pos += 1  # lzw min code size
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            frames += 1
+        else:
+            raise ValueError(f"gif: unknown block 0x{b:02x}")
+    return frames, dur
 
 
 def extract_metadata(df: DataFrame, asset_col: str = "asset") -> DataFrame:
@@ -269,3 +318,87 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
     hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_ch, sample_rate, byte_rate, n_ch * 2, 16)
     hdr += b"data" + struct.pack("<I", len(pcm))
     return hdr + pcm
+
+
+# ---------------------------------------------------------------- video/animation
+
+
+def sample_frames(
+    df: DataFrame,
+    n_samples: int = 4,
+    asset_col: str = "asset",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Frame-sample multi-frame assets (GIF decodes for real via
+    pipeline/giflite.py; true video containers need ffmpeg and raise
+    ``DecoderUnavailable`` — skipped with a null frame row so the asset
+    stays visible downstream).
+
+    Each asset emits up to ``n_samples`` frames, evenly spaced across
+    the sequence, re-encoded as single-frame PNG payloads:
+    (id_cols..., frame_idx, frame_ms, width, height, frame_png).
+
+    Scale shape: one mapInPandas pass, payloads stay executor-side, and
+    the output rows carry the (smaller) per-frame PNGs — the exact
+    pattern a real ffmpeg-backed sampler would use with the decode call
+    swapped out."""
+    import numpy as np
+
+    from beacon_spark.pipeline.giflite import decode_gif
+    from beacon_spark.pipeline.pnglite import encode_png
+
+    id_cols = id_cols if id_cols is not None else [
+        f.name for f in df.schema.fields if f.name != asset_col
+    ]
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [
+            T.StructField("frame_idx", T.IntegerType(), True),
+            T.StructField("frame_ms", T.LongType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("frame_png", T.BinaryType(), True),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                ids = tuple(r[c] for c in id_cols)
+                p = r[asset_col]
+                frames = None
+                if p is not None and bytes(p[:6]) in (b"GIF87a", b"GIF89a"):
+                    try:
+                        frames = decode_gif(bytes(p))
+                    except Exception:
+                        frames = None
+                if not frames:
+                    rows.append(ids + (None, None, None, None, None))
+                    continue
+                k = min(n_samples, len(frames))
+                picks = np.linspace(0, len(frames) - 1, k).round().astype(int)
+                t = 0
+                times = []
+                for d, _f in frames:
+                    times.append(t)
+                    t += d
+                for i in sorted(set(picks.tolist())):
+                    delay_ms, canvas = frames[i]
+                    rows.append(
+                        ids
+                        + (
+                            int(i),
+                            int(times[i]),
+                            int(canvas.shape[1]),
+                            int(canvas.shape[0]),
+                            encode_png(canvas),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=id_cols
+                + ["frame_idx", "frame_ms", "width", "height", "frame_png"],
+            )
+
+    return df.mapInPandas(_sample, out_schema)
