@@ -240,7 +240,8 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
         r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(\w+)\s+STORED\s+AS\s+(\w+)\s+"
         r"LOCATION\s+'([^']+)';?\s*$", re.IGNORECASE)),
     ("create_index", re.compile(
-        r"^\s*CREATE\s+INDEX\s+(?:(\w+)\s+)?ON\s+(\w+)\s*\(\s*(\w+)\s*\)"
+        r"^\s*CREATE\s+INDEX\s+(?:(\w+)\s+)?ON\s+(\w+)\s*"
+        r"\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)"
         r"(?:\s+USING\s+(\w+))?;?\s*$", re.IGNORECASE)),
     ("drop_index", re.compile(
         r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
@@ -812,8 +813,14 @@ class Engine:
             return self._status(status="ok", op="create_external_table", name=name)
         if kind == "create_index":
             idx, table, column, using = m.groups()
-            idx = idx or f"{table}_{column}_idx"
+            cols = [c.strip() for c in column.split(",")]
+            column = ",".join(cols)
+            idx = idx or f"{table}_{column.replace(',', '_')}_idx"
             using = (using or "btree").lower()
+            if len(cols) > 1 and using != "btree":
+                raise ValueError(
+                    f"multi-column CREATE INDEX is btree/Z-order only, not {using}"
+                )
             cat.create_index(idx, table, column, using)
             if using == "btree" and self.datasets_root is not None:
                 # the btree role (range pruning) is served by physical
@@ -827,15 +834,17 @@ class Engine:
                     files = resolve_globs(ext["paths"], self.datasets_root)
                     analyze_files(self.datasets_root, files)
                 elif table in c["tables"]:
-                    # managed table: rewrite range-clustered on the index
-                    # column (each file owns a disjoint range), then index
-                    # the new files' min/max — scans skip files via the
-                    # stats index and row groups via parquet footers
+                    # managed table: rewrite clustered on the index
+                    # column(s) — range for one column, Morton/Z-order
+                    # for several (each file a value hyper-rectangle) —
+                    # then index the new files' min/max: scans skip
+                    # files via the stats index and row groups via
+                    # parquet footers
                     from beacon_spark.managed import ManagedTable
                     from beacon_spark.stats import analyze_files
 
                     mt = ManagedTable(self.spark, c["tables"][table])
-                    mt.cluster_by(column)
+                    mt.cluster_by(cols)
                     analyze_files(self.datasets_root, mt.files())
             elif using in ("inverted", "bitmap") and self.datasets_root is not None:
                 # real posting-file indexes (managed tables): built here,
@@ -1477,7 +1486,11 @@ class Engine:
         files = mt.files()
         survivors = files
         if ranges and any(
-            d["table"] == name and d["using"] == "btree" and d["column"] in ranges
+            d["table"] == name
+            and d["using"] == "btree"
+            # multi-column (Z-order) indexes: any member column's range
+            # prunes — files are value hyper-rectangles on all of them
+            and any(col in ranges for col in d["column"].split(","))
             for d in c.get("indexes", {}).values()
         ):
             survivors = prune_files(self.datasets_root, survivors, ranges)

@@ -404,3 +404,50 @@ def test_bitmap_index_prunes_files(spark, tmp_path):
         "filter": {"column": "cat", "eq": "epsilon"},
     })
     assert out4.count() == 1
+
+
+def test_zorder_index_prunes_both_columns(spark, tmp_path):
+    """CREATE INDEX ON t (x, y) USING btree Z-orders the table: a range
+    filter on EITHER column alone opens a strict subset of files —
+    single-column range clustering can only do that for the leading
+    column."""
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    # 40x40 grid, shuffled so input order carries no locality
+    rows = [(i, float(i % 40), float(i // 40)) for i in range(1600)]
+    import random
+
+    random.Random(5).shuffle(rows)
+    df = spark.createDataFrame(rows, "id long, x double, y double").repartition(8)
+    eng.catalog.create_table("grid_t", df)
+    eng.sql("CREATE INDEX gidx ON grid_t (x, y) USING btree")
+
+    mt = eng.catalog.table("grid_t")
+    n_files = len(mt.files())
+    assert n_files >= 4
+
+    qx = eng.query({
+        "select": ["id"], "from": "grid_t",
+        "filter": {"column": "x", "lt": 5.0},
+    })
+    assert qx.count() == 5 * 40
+    assert 0 < len(qx.inputFiles()) < n_files
+
+    qy = eng.query({
+        "select": ["id"], "from": "grid_t",
+        "filter": {"column": "y", "lt": 5.0},
+    })
+    assert qy.count() == 5 * 40
+    assert 0 < len(qy.inputFiles()) < n_files
+
+    # both dims: even tighter
+    qxy = eng.query({
+        "select": ["id"], "from": "grid_t",
+        "filter": {"and": [
+            {"column": "x", "lt": 5.0},
+            {"column": "y", "lt": 5.0},
+        ]},
+    })
+    assert qxy.count() == 25
+    assert len(qxy.inputFiles()) <= len(qx.inputFiles())
