@@ -58,18 +58,34 @@ _EXCLUDE_RE = re.compile(
 _INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
+_DOUBLE_EXACT = 1 << 53
+
+
 def _bitmap_key(v, dt) -> str | None:
     """DSL eq value → the bitmap index's token string, or None when the
-    combination can't be matched exactly (see _pruned_managed_read)."""
+    combination can't be matched exactly (see _pruned_managed_read).
+
+    Two traps this must refuse: (a) strings the DSL coerces into
+    timestamp literals (compile_filter then compares cast-to-timestamp,
+    not exact strings); (b) integers beyond 2^53, where Spark's
+    string-vs-long comparison goes through double and distinct longs
+    collide — exact-string posting matches would falsely prune both."""
     if isinstance(dt, T.StringType) and isinstance(v, str):
+        from beacon_spark.dsl import _parse_iso_timestamp
+
+        if ("T" in v or " " in v) and _parse_iso_timestamp(v) is not None:
+            return None  # DSL renders this as a timestamp literal
         return v
     if isinstance(dt, _INTEGRAL_TYPES):
         if isinstance(v, bool):
             return None
         if isinstance(v, int):
+            # python int → long literal: exact long comparison, any size
             return str(v)
         if isinstance(v, str) and re.fullmatch(r"-?[1-9]\d*|0", v):
-            return v  # canonical integer string == Spark's cast
+            # string literal vs long column: Spark compares via DOUBLE,
+            # so only double-exact magnitudes match exact-string postings
+            return v if abs(int(v)) <= _DOUBLE_EXACT else None
     return None
 
 
@@ -1578,6 +1594,10 @@ class Engine:
                 raise ValueError("query has no 'from' and engine has no default table")
             spec = self.default_table
         if isinstance(spec, str):
+            if self.catalog is not None:
+                # the DSL path must see catalog tables too (sql() does
+                # this in its own preamble)
+                self._register_catalog()
             pruned = self._pruned_managed_read(spec, ranges, terms, eqs)
             if pruned is not None:
                 return pruned

@@ -144,33 +144,51 @@ class ManagedTable:
         else:
             if len(cols) > 4:
                 raise ManagedTableError("Z-order supports at most 4 columns")
-            stats = df.agg(
-                *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(cols)],
-                *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(cols)],
-            ).collect()[0]
             k = len(cols)
-            z = F.lit(0).cast("long")
+            # bits per column capped so the top interleaved position
+            # stays below bit 63 — bit 63 is the long's SIGN bit, and a
+            # set sign bit would flip half the Z space negative,
+            # scrambling the range partitioning (and colliding with the
+            # -1 null sentinel)
+            bits = min(16, 63 // k)  # (bits-1)*k + (k-1) <= 62 < sign bit
+            top = (1 << bits) - 1
+            exprs = []
             for i, c in enumerate(cols):
-                lo = stats[f"__lo_{i}"]
-                hi = stats[f"__hi_{i}"]
-                col = F.col(c).cast("double")
-                try:
-                    lo_f, hi_f = float(lo), float(hi)
-                except (TypeError, ValueError):
+                dt = schema[c].dataType
+                if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                    exprs.append(F.col(c).cast("double"))
+                elif isinstance(dt, T.DateType):
+                    exprs.append(
+                        F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+                    )
+                elif isinstance(dt, T.NumericType):
+                    exprs.append(F.col(c).cast("double"))
+                else:
                     raise ManagedTableError(
                         f"Z-order needs numeric/temporal columns; {c!r} is "
-                        f"{schema[c].dataType.simpleString()}"
-                    ) from None
+                        f"{dt.simpleString()}"
+                    )
+            stats = df.agg(
+                *[F.min(e).alias(f"__lo_{i}") for i, e in enumerate(exprs)],
+                *[F.max(e).alias(f"__hi_{i}") for i, e in enumerate(exprs)],
+            ).collect()[0]
+            z = F.lit(0).cast("long")
+            for i, (c, col) in enumerate(zip(cols, exprs)):
+                lo = stats[f"__lo_{i}"]
+                hi = stats[f"__hi_{i}"]
+                if lo is None or hi is None:
+                    continue  # empty table / all-null column: no signal
+                lo_f, hi_f = float(lo), float(hi)
                 span = (hi_f - lo_f) or 1.0
                 scaled = F.least(
-                    F.lit(65535),
+                    F.lit(top),
                     F.greatest(
                         F.lit(0),
-                        ((col - F.lit(lo_f)) / F.lit(span) * 65535).cast("long"),
+                        ((col - F.lit(lo_f)) / F.lit(span) * top).cast("long"),
                     ),
                 )
                 # interleave: bit b of column i lands at position b*k + i
-                for b in range(16):
+                for b in range(bits):
                     z = z.bitwiseOR(
                         F.shiftleft(
                             F.shiftright(scaled, b).bitwiseAND(F.lit(1)),
@@ -403,8 +421,10 @@ class ManagedTable:
         try:
             with open(os.path.join(idx_dir, "_indexed_files.json")) as fh:
                 indexed = set(json.load(fh))
-        except OSError:
-            return None  # no coverage manifest -> can't prune safely
+        except (OSError, ValueError):
+            # missing OR corrupted coverage manifest -> can't prune
+            # safely (fail-open, never crash the query)
+            return None
         return [
             f
             for f in self.files()
@@ -455,8 +475,10 @@ class ManagedTable:
         try:
             with open(os.path.join(idx_dir, "_indexed_files.json")) as fh:
                 indexed = set(json.load(fh))
-        except OSError:
-            return None  # no coverage manifest -> can't prune safely
+        except (OSError, ValueError):
+            # missing OR corrupted coverage manifest -> can't prune
+            # safely (fail-open, never crash the query)
+            return None
         return [
             f
             for f in self.files()

@@ -22,7 +22,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_gif", "encode_gif"]
+__all__ = ["decode_gif", "encode_gif", "scan_gif_meta"]
 
 
 def _lzw_decode(data: bytes, min_code: int) -> bytes:
@@ -247,3 +247,42 @@ def encode_gif(
         out.append(0)
     out.append(0x3B)
     return bytes(out)
+
+
+def scan_gif_meta(payload: bytes) -> tuple[int, int]:
+    """(n_frames, total duration_ms) by walking the block structure only
+    — no LZW work; the metadata twin of :func:`decode_gif`."""
+    pos = 13
+    packed = payload[10]
+    if packed & 0x80:
+        pos += (2 << (packed & 0x07)) * 3
+    frames = 0
+    dur = 0
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            label = payload[pos]
+            pos += 1
+            first = True
+            while payload[pos]:
+                if label == 0xF9 and first:
+                    dur += struct.unpack_from("<H", payload, pos + 2)[0] * 10
+                    first = False
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            ip = payload[pos + 8]
+            pos += 9
+            if ip & 0x80:
+                pos += (2 << (ip & 0x07)) * 3
+            pos += 1  # lzw min code size
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            frames += 1
+        else:
+            raise ValueError(f"gif: unknown block 0x{b:02x}")
+    return frames, dur

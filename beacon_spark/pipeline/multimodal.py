@@ -76,7 +76,9 @@ def sniff_meta(payload: bytes) -> dict:
         # frame count + total duration: block-structure walk (no LZW
         # work — image data sub-blocks are skipped by length)
         try:
-            n, dur = _gif_frame_scan(payload)
+            from beacon_spark.pipeline.giflite import scan_gif_meta
+
+            n, dur = scan_gif_meta(payload)
             meta["n_frames"] = n
             meta["duration_ms"] = dur
         except Exception:
@@ -84,44 +86,6 @@ def sniff_meta(payload: bytes) -> dict:
     else:
         meta["mime"] = "application/octet-stream"
     return meta
-
-
-def _gif_frame_scan(payload: bytes) -> tuple[int, int]:
-    """Count frames + sum delays by walking the block structure only."""
-    pos = 13
-    packed = payload[10]
-    if packed & 0x80:
-        pos += (2 << (packed & 0x07)) * 3
-    frames = 0
-    dur = 0
-    while pos < len(payload):
-        b = payload[pos]
-        pos += 1
-        if b == 0x3B:
-            break
-        if b == 0x21:
-            label = payload[pos]
-            pos += 1
-            first = True
-            while payload[pos]:
-                if label == 0xF9 and first:
-                    dur += struct.unpack_from("<H", payload, pos + 2)[0] * 10
-                    first = False
-                pos += 1 + payload[pos]
-            pos += 1
-        elif b == 0x2C:
-            ip = payload[pos + 8]
-            pos += 9
-            if ip & 0x80:
-                pos += (2 << (ip & 0x07)) * 3
-            pos += 1  # lzw min code size
-            while payload[pos]:
-                pos += 1 + payload[pos]
-            pos += 1
-            frames += 1
-        else:
-            raise ValueError(f"gif: unknown block 0x{b:02x}")
-    return frames, dur
 
 
 def extract_metadata(df: DataFrame, asset_col: str = "asset") -> DataFrame:

@@ -451,3 +451,43 @@ def test_zorder_index_prunes_both_columns(spark, tmp_path):
     })
     assert qxy.count() == 25
     assert len(qxy.inputFiles()) <= len(qx.inputFiles())
+
+
+def test_zorder_temporal_columns(spark, tmp_path):
+    """Z-order accepts timestamp/date columns (scaled via epoch /
+    datediff) — regression for the float(datetime) crash."""
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    df = spark.range(200).selectExpr(
+        "id",
+        "timestamp_seconds(1600000000 + id * 3600) AS ts",
+        "CAST(id % 50 AS DOUBLE) AS x",
+    )
+    eng.catalog.create_table("ts_t", df)
+    eng.sql("CREATE INDEX tz ON ts_t (ts, x) USING btree")
+    out = eng.query({
+        "select": ["id"], "from": "ts_t",
+        "filter": {"column": "x", "lt": 10.0},
+    })
+    assert out.count() == 40
+
+
+def test_bitmap_gate_rejects_timestampish_strings(spark, tmp_path):
+    """A string eq value the DSL coerces into a timestamp literal must
+    NOT drive exact-string bitmap pruning (would falsely prune)."""
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, "2021-01-01 00:00:00") for i in range(20)],
+        "id long, ts_str string",
+    ).repartition(2)
+    eng.catalog.create_table("tss_t", df)
+    eng.sql("CREATE INDEX tsi ON tss_t (ts_str) USING bitmap")
+    # 'T' variant parses as the same instant; DSL compares as timestamps
+    out = eng.query({
+        "select": ["id"], "from": "tss_t",
+        "filter": {"column": "ts_str", "eq": "2021-01-01T00:00:00"},
+    })
+    assert out.count() == 20  # all rows match; nothing falsely pruned
