@@ -337,7 +337,8 @@ def minhash_lsh_pairs(
     # two joins ∝ candidates; AQE turns them into broadcasts when the
     # candidate set is small. `__hs` holds distinct-shingle hashes, so
     # size/intersect arithmetic equals the string-set version exactly.
-    cand.cache()
+    # (cand itself is consumed exactly once — caching it would only add
+    # a materialization pass.)
     t = base.select("__id", "__hs")
     verified = (
         cand.join(t.select(F.col("__id").alias("id_a"), F.col("__hs").alias("__sha")), "id_a")
