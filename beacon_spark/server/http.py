@@ -294,7 +294,91 @@ class BeaconHttpServer:
                 "required": ["sql"],
             },
         },
+        {
+            "name": "export_query",
+            "description": (
+                "Build a recipe to export a large read-only SELECT as a "
+                "Parquet/Arrow/CSV file for use in a Python script. "
+                "Returns the exact /api/query request plus a ready-to-run "
+                "Python snippet; it does NOT run the query or return "
+                "rows. Prefer this over run_sql when the result is large."
+            ),
+            "inputSchema": {
+                "type": "object",
+                "properties": {
+                    "sql": {"type": "string"},
+                    "format": {"type": "string",
+                               "enum": ["parquet", "arrow", "csv"]},
+                },
+                "required": ["sql"],
+            },
+        },
     ]
+
+    def _mcp_table_tools(self) -> list[dict]:
+        """Per-table tools from the ``mcp`` table extension (the
+        reference builds these from table extensions + presets,
+        beacon-mcp catalog.rs:98-124): ``SET EXTENSION 'mcp' FOR t TO
+        '{"enabled": true, ...}'`` exposes a query tool for t, column
+        glossary + advisory guard rails in the description, optional
+        named presets (``preset`` extension: {"name": "<WHERE>"}) as an
+        enum argument."""
+        eng = self.engine
+        if eng.catalog is None:
+            return []
+        try:
+            cat = eng.catalog._load()
+        except Exception:
+            return []
+        tools = []
+        for table, exts in cat.get("extensions", {}).items():
+            try:
+                mcp = json.loads(exts.get("mcp", "null"))
+            except Exception:
+                continue
+            if not (isinstance(mcp, dict) and mcp.get("enabled")):
+                continue
+            try:
+                presets = json.loads(exts.get("preset", "{}")) or {}
+            except Exception:
+                presets = {}
+            desc = mcp.get("description", f"Query the '{table}' table.")
+            if mcp.get("guardrails"):
+                desc += f"\n\nGuard rails (advisory): {mcp['guardrails']}"
+            cols = mcp.get("exposed_columns")
+            try:
+                schema = eng.sql(f"SELECT * FROM {table} LIMIT 0").schema
+                glossary = [
+                    f"{f.name} ({f.dataType.simpleString()})"
+                    for f in schema.fields
+                    if cols is None or f.name in cols
+                ]
+            except Exception:
+                glossary = list(cols or [])
+            props = {
+                "select": {
+                    "type": "array", "items": {"type": "string"},
+                    "description": "Columns to return. Omit for all. "
+                                   + "; ".join(glossary),
+                },
+                "where": {"type": "string",
+                          "description": "Optional SQL predicate."},
+                "limit": {"type": "integer"},
+            }
+            if presets:
+                props["preset"] = {
+                    "type": "string", "enum": sorted(presets),
+                    "description": "Named predicate preset.",
+                }
+            tools.append({
+                "name": mcp.get("tool_name", f"query_{table}"),
+                "description": desc,
+                "inputSchema": {"type": "object", "properties": props},
+                "x-table": table,
+                "x-columns": cols,
+                "x-presets": presets,
+            })
+        return tools
 
     _READONLY_START_RE = re.compile(
         r"^\s*(SELECT|WITH|SUMMARIZE|EXPLAIN|SHOW|DESCRIBE)\b",
@@ -347,6 +431,48 @@ class BeaconHttpServer:
             rows = eng.sql(sql).limit(limit).collect()
             return json.dumps([r.asDict(recursive=True) for r in rows],
                               default=str)
+        if name == "export_query":
+            # fetch recipe only — the (potentially huge) file never
+            # streams through model context (catalog.rs:221-224)
+            sql = args["sql"]
+            if not self._is_readonly_sql(sql):
+                raise ValueError("export_query is read-only")
+            fmt = args.get("format", "parquet")
+            body = {"sql": sql, "output": {"format": fmt}}
+            snippet = (
+                "import json, urllib.request\n"
+                f"req = urllib.request.Request(\n"
+                f"    'http://<host>:<port>/api/query',\n"
+                f"    data=json.dumps({body!r}).encode(),\n"
+                "    headers={'Content-Type': 'application/json'})\n"
+                f"open('result.{fmt}', 'wb').write("
+                "urllib.request.urlopen(req).read())\n"
+            )
+            return json.dumps({"request": body, "python": snippet})
+        for spec in self._mcp_table_tools():
+            if spec["name"] != name:
+                continue
+            table = spec["x-table"]
+            cols = args.get("select") or spec["x-columns"] or ["*"]
+            if spec["x-columns"] is not None:
+                bad = set(cols) - set(spec["x-columns"]) - {"*"}
+                if bad:
+                    raise ValueError(f"columns not exposed: {sorted(bad)}")
+            preds = []
+            if args.get("preset"):
+                preds.append(spec["x-presets"][args["preset"]])
+            if args.get("where"):
+                if self._WRITE_KEYWORD_RE.search(
+                    re.sub(r"'(?:[^']|'')*'", "''", args["where"])
+                ):
+                    raise ValueError("where predicate is read-only")
+                preds.append(args["where"])
+            sql = f"SELECT {', '.join(cols)} FROM {table}"
+            if preds:
+                sql += " WHERE " + " AND ".join(f"({p})" for p in preds)
+            rows = eng.sql(sql).limit(int(args.get("limit", 100))).collect()
+            return json.dumps([r.asDict(recursive=True) for r in rows],
+                              default=str)
         raise ValueError(f"unknown tool {name!r}")
 
     def _mcp_handle(self, msg: dict):
@@ -376,7 +502,11 @@ class BeaconHttpServer:
         if method == "ping":
             return ok({})
         if method == "tools/list":
-            return ok({"tools": self._MCP_TOOLS})
+            table_tools = [
+                {k: v for k, v in t.items() if not k.startswith("x-")}
+                for t in self._mcp_table_tools()
+            ]
+            return ok({"tools": self._MCP_TOOLS + table_tools})
         if method == "tools/call":
             params = msg.get("params", {})
             try:

@@ -228,8 +228,8 @@ def test_mcp_endpoint(spark, served):
         init = rpc("initialize", {"protocolVersion": "2024-11-05"})
         assert init["result"]["serverInfo"]["name"] == "beacon_spark"
         tools = rpc("tools/list")["result"]["tools"]
-        assert {t["name"] for t in tools} == {
-            "list_tables", "describe_table", "run_sql"}
+        assert {"list_tables", "describe_table", "run_sql",
+                "export_query"} <= {t["name"] for t in tools}
 
         lt = rpc("tools/call", {"name": "list_tables", "arguments": {}})
         listing = json.loads(lt["result"]["content"][0]["text"])
@@ -337,5 +337,64 @@ def test_http_explain_and_metrics(spark, served):
         with urllib.request.urlopen(base + f"/api/query/metrics/{qid}") as r:
             m = json.loads(r.read())
         assert m["rows"] == 1 and m["seconds"] >= 0 and m["plan"]
+    finally:
+        hs.shutdown()
+
+
+def test_mcp_export_and_table_tools(spark, served):
+    """export_query returns a fetch recipe (no data through model
+    context); SET EXTENSION 'mcp' exposes a per-table tool with column
+    scoping + presets (beacon-mcp catalog.rs:98-124)."""
+    import urllib.request
+
+    from beacon_spark.server.http import BeaconHttpServer
+
+    eng, _fs, _p = served
+    eng.sql("SET EXTENSION 'mcp' FOR remobs TO "
+            "'{\"enabled\": true, \"exposed_columns\": [\"id\", \"g\"], "
+            "\"guardrails\": \"limit to 1000 rows\"}'")
+    eng.sql("SET EXTENSION 'preset' FOR remobs TO '{\"evens\": \"g = 0\"}'")
+    hs = BeaconHttpServer(eng, port=0)
+    port = hs.serve_background()
+    base = f"http://127.0.0.1:{port}/mcp"
+    try:
+        def rpc(method, params=None):
+            body = {"jsonrpc": "2.0", "id": 1, "method": method,
+                    "params": params or {}}
+            req = urllib.request.Request(
+                base, data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"}, method="POST")
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        tools = {t["name"]: t for t in rpc("tools/list")["result"]["tools"]}
+        assert "export_query" in tools and "query_remobs" in tools
+        assert "Guard rails" in tools["query_remobs"]["description"]
+        assert "x-table" not in tools["query_remobs"]  # internals stripped
+        assert tools["query_remobs"]["inputSchema"]["properties"]["preset"][
+            "enum"] == ["evens"]
+
+        # export recipe: request body + snippet, no rows
+        r = rpc("tools/call", {"name": "export_query", "arguments": {
+            "sql": "SELECT * FROM remobs", "format": "csv"}})
+        rec = json.loads(r["result"]["content"][0]["text"])
+        assert rec["request"]["output"]["format"] == "csv"
+        assert "/api/query" in rec["python"]
+
+        # per-table tool with preset + where + limit
+        r = rpc("tools/call", {"name": "query_remobs", "arguments": {
+            "select": ["id"], "preset": "evens", "where": "id < 9",
+            "limit": 50}})
+        rows = json.loads(r["result"]["content"][0]["text"])
+        assert sorted(x["id"] for x in rows) == [0, 3, 6]
+
+        # unexposed column -> tool error
+        r = rpc("tools/call", {"name": "query_remobs", "arguments": {
+            "select": ["secret_col"]}})
+        assert r["result"]["isError"] is True
+        # write keywords in where -> rejected
+        r = rpc("tools/call", {"name": "query_remobs", "arguments": {
+            "where": "id IN (SELECT 1) OR EXISTS (DROP TABLE remobs)"}})
+        assert r["result"]["isError"] is True
     finally:
         hs.shutdown()
