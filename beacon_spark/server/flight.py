@@ -103,6 +103,29 @@ class BeaconFlightServer(fl.FlightServerBase):
         endpoint = fl.FlightEndpoint(ticket, [])
         return fl.FlightInfo(schema, descriptor, [endpoint], -1, -1)
 
+    def do_put(self, context, descriptor, reader, writer):
+        """Ingest an Arrow stream into a managed table (the Flight SQL
+        prepared-statement-update role, service.rs:362-380): descriptor
+        path = [table] (or command {"table": …}); the uploaded batches
+        run through the engine's INSERT path, so catalog versioning and
+        index refresh behave exactly as SQL INSERT."""
+        import uuid
+
+        if descriptor.command:
+            name = json.loads(descriptor.command.decode())["table"]
+        elif descriptor.path:
+            name = descriptor.path[0].decode()
+        else:
+            raise fl.FlightServerError("do_put needs a table name")
+        tbl = reader.read_all()
+        df = self.engine.spark.createDataFrame(tbl)
+        tmp = f"__flight_put_{uuid.uuid4().hex}"
+        df.createOrReplaceTempView(tmp)
+        try:
+            self.engine.sql(f"INSERT INTO {name} SELECT * FROM {tmp}")
+        finally:
+            self.engine.spark.catalog.dropTempView(tmp)
+
     def do_action(self, context, action: fl.Action):
         if action.type == "list_tables":
             tables = self.engine.table_names()

@@ -398,3 +398,26 @@ def test_mcp_export_and_table_tools(spark, served):
         assert r["result"]["isError"] is True
     finally:
         hs.shutdown()
+
+
+def test_flight_do_put_ingest(spark, served):
+    """do_put streams Arrow batches into a managed table through the
+    engine's INSERT path (Flight SQL update role, service.rs:362-380)."""
+    import pyarrow as pa
+    import pyarrow.flight as fl
+
+    eng, _server, port = served
+    client = fl.FlightClient(f"grpc://127.0.0.1:{port}")
+    before = eng.sql("SELECT count(*) AS n FROM remobs").collect()[0].n
+
+    t = pa.table({"id": pa.array([900, 901], pa.int64()),
+                  "g": pa.array([0, 1], pa.int64())})
+    desc = fl.FlightDescriptor.for_path("remobs")
+    w, _ = client.do_put(desc, t.schema)
+    w.write_table(t)
+    w.close()
+
+    after = eng.sql("SELECT count(*) AS n FROM remobs").collect()[0].n
+    assert after == before + 2
+    got = eng.sql("SELECT g FROM remobs WHERE id = 900").collect()
+    assert got[0].g == 0
