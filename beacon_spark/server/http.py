@@ -42,6 +42,22 @@ __all__ = ["BeaconHttpServer"]
 
 _ARROW_MIME = "application/vnd.apache.arrow.stream"
 
+_FMT_BY_EXT = {
+    ".parquet": "parquet", ".csv": "csv", ".arrow": "arrow",
+    ".nc": "netcdf", ".h5": "netcdf", ".zarr": "zarr", ".tif": "tiff",
+    ".tiff": "tiff", ".txt": "odv",
+}
+
+
+def _sniff_fmt(path: str) -> str:
+    import os
+
+    ext = os.path.splitext(path.rstrip("/"))[1].lower()
+    fmt = _FMT_BY_EXT.get(ext)
+    if fmt is None:
+        raise ValueError(f"cannot infer dataset format from {path!r}")
+    return fmt
+
 
 class BeaconHttpServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
@@ -117,6 +133,43 @@ class BeaconHttpServer:
                     from beacon_spark.version import VERSION
 
                     self._send_json({"version": VERSION, "engine": "beacon_spark"})
+                elif path == "/api/catalogs":
+                    self._send_json(["beacon"])  # one embedded catalog
+                elif path == "/api/functions":
+                    rows = eng.spark.sql(
+                        "SHOW USER FUNCTIONS"
+                    ).collect()
+                    # registered UDFs + the dialect functions the SQL
+                    # pre-parser compiles away (callable all the same)
+                    self._send_json(sorted(
+                        {r[0] for r in rows}
+                        | {"try_arrow_cast", "date_bin",
+                           "pressure_to_depth_teos_10", "summarize"}
+                    ))
+                elif path == "/api/table-functions":
+                    self._send_json([
+                        "read_parquet", "read_csv", "read_arrow",
+                        "read_netcdf", "read_hdf5", "read_zarr",
+                        "read_atlas", "read_tiff", "read_odv_ascii",
+                        "read_delta", "read_iceberg", "read_geoparquet",
+                        "remote_query",
+                    ])
+                elif path == "/api/dataset-schema":
+                    ds = q.get("dataset")
+                    if not ds:
+                        raise ValueError("dataset-schema needs ?dataset=")
+                    df = eng.sql(f"SELECT * FROM read_parquet('{ds}') LIMIT 0") \
+                        if ds.endswith(".parquet") else eng.resolve_from(
+                            {_sniff_fmt(ds): {"paths": [ds]}}
+                        ).limit(0)
+                    self._send_json(json.loads(df.schema.json()))
+                elif path == "/api/default-table":
+                    self._send_json({"table": eng.default_table})
+                elif path == "/api/default-table-schema":
+                    if eng.default_table is None:
+                        raise ValueError("engine has no default table")
+                    df = eng.sql(f"SELECT * FROM {eng.default_table} LIMIT 0")
+                    self._send_json(json.loads(df.schema.json()))
                 elif path.startswith("/api/query/metrics/"):
                     qid = path.rsplit("/", 1)[1]
                     metrics = outer._metrics.get(qid)

@@ -421,3 +421,28 @@ def test_flight_do_put_ingest(spark, served):
     assert after == before + 2
     got = eng.sql("SELECT g FROM remobs WHERE id = 900").collect()
     assert got[0].g == 0
+
+
+def test_http_remaining_metadata_endpoints(spark, served):
+    import urllib.request
+
+    from beacon_spark.server.http import BeaconHttpServer
+
+    eng, _fs, _p = served
+    hs = BeaconHttpServer(eng, port=0)
+    port = hs.serve_background()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        def get(path):
+            with urllib.request.urlopen(base + path) as r:
+                return json.loads(r.read())
+
+        assert get("/api/catalogs") == ["beacon"]
+        fns = get("/api/functions")
+        assert "st_within_point" in fns and "try_arrow_cast" in fns
+        assert "read_zarr" in get("/api/table-functions")
+        schema = get("/api/dataset-schema?dataset=obs.parquet")
+        assert {f["name"] for f in schema["fields"]} == {"id", "v"}
+        assert get("/api/default-table")["table"] is None
+    finally:
+        hs.shutdown()
