@@ -155,12 +155,19 @@ class ManagedTable:
             exprs = []
             for i, c in enumerate(cols):
                 dt = schema[c].dataType
-                if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                if isinstance(dt, T.TimestampNTZType):
+                    # NTZ has no direct double cast; go through timestamp
+                    exprs.append(F.col(c).cast("timestamp").cast("double"))
+                elif isinstance(dt, T.TimestampType):
                     exprs.append(F.col(c).cast("double"))
                 elif isinstance(dt, T.DateType):
                     exprs.append(
                         F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
                     )
+                elif isinstance(dt, (T.DoubleType, T.FloatType)):
+                    # NaN would poison min/max AND blow up the ANSI
+                    # long cast — map it to null (handled like nulls)
+                    exprs.append(F.nanvl(F.col(c).cast("double"), F.lit(None)))
                 elif isinstance(dt, T.NumericType):
                     exprs.append(F.col(c).cast("double"))
                 else:
@@ -180,12 +187,21 @@ class ManagedTable:
                     continue  # empty table / all-null column: no signal
                 lo_f, hi_f = float(lo), float(hi)
                 span = (hi_f - lo_f) or 1.0
-                scaled = F.least(
-                    F.lit(top),
+                # clamp in DOUBLE before the cast — ANSI mode (Spark 4
+                # default) turns an Infinity/overflow long cast into a
+                # query-killing error. least/greatest SKIP nulls, so
+                # re-null explicitly: a null (or NaN→null) value must
+                # propagate into a null z so the -1 sentinel groups
+                # those rows together.
+                clamped = F.least(
+                    F.lit(float(top)),
                     F.greatest(
-                        F.lit(0),
-                        ((col - F.lit(lo_f)) / F.lit(span) * top).cast("long"),
+                        F.lit(0.0),
+                        (col - F.lit(lo_f)) / F.lit(span) * top,
                     ),
+                ).cast("long")
+                scaled = F.when(col.isNull(), F.lit(None).cast("long")).otherwise(
+                    clamped
                 )
                 # interleave: bit b of column i lands at position b*k + i
                 for b in range(bits):

@@ -42,21 +42,17 @@ __all__ = ["BeaconHttpServer"]
 
 _ARROW_MIME = "application/vnd.apache.arrow.stream"
 
-_FMT_BY_EXT = {
-    ".parquet": "parquet", ".csv": "csv", ".arrow": "arrow",
-    ".nc": "netcdf", ".h5": "netcdf", ".zarr": "zarr", ".tif": "tiff",
-    ".tiff": "tiff", ".txt": "odv",
-}
-
-
 def _sniff_fmt(path: str) -> str:
-    import os
+    """Dataset format from its extension — the ONE mapping list_datasets
+    uses (sources/paths.py:detect_format), so /api/dataset-schema agrees
+    with /api/datasets about every dataset's format."""
+    from beacon_spark.sources.paths import detect_format
 
-    ext = os.path.splitext(path.rstrip("/"))[1].lower()
-    fmt = _FMT_BY_EXT.get(ext)
+    fmt = detect_format(path.rstrip("/"))
     if fmt is None:
         raise ValueError(f"cannot infer dataset format from {path!r}")
-    return fmt
+    # the resolver keys hdf5 through the netcdf reader
+    return {"hdf5": "netcdf"}.get(fmt, fmt)
 
 
 class BeaconHttpServer:
@@ -189,7 +185,7 @@ class BeaconHttpServer:
                         n = int(self.headers.get("Content-Length", 0))
                         req = json.loads(self.rfile.read(n).decode() or "{}")
                         df = (
-                            outer.engine.sql(req["sql"])
+                            outer.engine.sql(req["sql"], params=req.get("params"))
                             if "sql" in req
                             else outer.engine.query(req.get("query", req))
                         )
@@ -380,6 +376,10 @@ class BeaconHttpServer:
         if eng.catalog is None:
             return []
         try:
+            sig = eng.catalog.signature()
+            cached = getattr(self, "_tool_cache", None)
+            if cached is not None and cached[0] == sig:
+                return cached[1]
             cat = eng.catalog._load()
         except Exception:
             return []
@@ -431,6 +431,9 @@ class BeaconHttpServer:
                 "x-columns": cols,
                 "x-presets": presets,
             })
+        # cache on the catalog's change token (like _register_catalog):
+        # per-table LIMIT-0 schema queries shouldn't run per request
+        self._tool_cache = (sig, tools)
         return tools
 
     _READONLY_START_RE = re.compile(
@@ -508,7 +511,12 @@ class BeaconHttpServer:
             table = spec["x-table"]
             cols = args.get("select") or spec["x-columns"] or ["*"]
             if spec["x-columns"] is not None:
-                bad = set(cols) - set(spec["x-columns"]) - {"*"}
+                # "*" means "everything exposed", never a scoping bypass
+                cols = [
+                    c for sel in cols
+                    for c in (spec["x-columns"] if sel == "*" else [sel])
+                ]
+                bad = set(cols) - set(spec["x-columns"])
                 if bad:
                     raise ValueError(f"columns not exposed: {sorted(bad)}")
             preds = []

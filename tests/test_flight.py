@@ -392,6 +392,11 @@ def test_mcp_export_and_table_tools(spark, served):
         r = rpc("tools/call", {"name": "query_remobs", "arguments": {
             "select": ["secret_col"]}})
         assert r["result"]["isError"] is True
+        # '*' expands to the EXPOSED columns only, never a scoping bypass
+        r = rpc("tools/call", {"name": "query_remobs", "arguments": {
+            "select": ["*"], "limit": 1}})
+        rows = json.loads(r["result"]["content"][0]["text"])
+        assert set(rows[0].keys()) == {"id", "g"}
         # write keywords in where -> rejected
         r = rpc("tools/call", {"name": "query_remobs", "arguments": {
             "where": "id IN (SELECT 1) OR EXISTS (DROP TABLE remobs)"}})

@@ -491,3 +491,21 @@ def test_bitmap_gate_rejects_timestampish_strings(spark, tmp_path):
         "filter": {"column": "ts_str", "eq": "2021-01-01T00:00:00"},
     })
     assert out.count() == 20  # all rows match; nothing falsely pruned
+
+
+def test_zorder_handles_nan_and_nulls(spark, tmp_path):
+    """NaN/null values in a clustered double column must not crash the
+    ANSI long cast; they land in the -1 null group together."""
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    df = spark.sql(
+        "SELECT id, "
+        "CASE WHEN id = 3 THEN double('NaN') WHEN id = 4 THEN NULL "
+        "     ELSE CAST(id AS DOUBLE) END AS x, "
+        "CAST(id % 7 AS DOUBLE) AS y "
+        "FROM range(100)"
+    )
+    eng.catalog.create_table("nan_t", df)
+    eng.sql("CREATE INDEX ni ON nan_t (x, y) USING btree")  # must not raise
+    assert eng.sql("SELECT count(*) AS n FROM nan_t").collect()[0].n == 100
