@@ -89,3 +89,22 @@ def test_export_shards_deterministic(spark, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "__shard" in pf.group(1) and "3" in pf.group(1)
+
+
+def test_chunk_documents_reconstructs(spark):
+    """Non-overlapping chunks concatenate back to the original word
+    sequence for arbitrary word counts around the stride boundaries."""
+    rows = [
+        (n, " ".join(f"w{n}_{i}" for i in range(n)))
+        for n in [1, 3, 4, 5, 7, 8, 9, 15, 16, 17, 33]
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, max_words=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n, _text in rows:
+        chunks = sorted(by_doc[n], key=lambda r: r.chunk_id)
+        words = [w for c in chunks for w in c.text.split()]
+        assert words == [f"w{n}_{i}" for i in range(n)], n
+        assert all(c.n_words <= 8 for c in chunks)

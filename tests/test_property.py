@@ -125,3 +125,28 @@ def test_bitshuffle_roundtrip_fuzz(typesize, nbytes_extra, seed):
     rng = np.random.default_rng(seed)
     data = bytes(rng.integers(0, 256, typesize * 8 + nbytes_extra, dtype=np.uint8))
     assert _bitunshuffle_block(_bitshuffle_block(data, typesize), typesize) == data
+
+
+@given(
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_gif_roundtrip_fuzz(n_frames, h, w, n_colors, seed):
+    import numpy as np
+
+    from beacon_spark.pipeline.giflite import decode_gif, encode_gif, scan_gif_meta
+
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    frames = [palette[rng.integers(0, n_colors, (h, w))] for _ in range(n_frames)]
+    delays = [int(d) * 10 for d in rng.integers(0, 300, n_frames)]
+    payload = encode_gif(frames, delays)
+    out = decode_gif(payload)
+    assert [d for d, _ in out] == delays
+    for (_, got), want in zip(out, frames):
+        np.testing.assert_array_equal(got, want)
+    n, dur = scan_gif_meta(payload)
+    assert n == n_frames and dur == sum(delays)
