@@ -189,20 +189,19 @@ class ManagedTable:
                 span = (hi_f - lo_f) or 1.0
                 # clamp in DOUBLE before the cast — ANSI mode (Spark 4
                 # default) turns an Infinity/overflow long cast into a
-                # query-killing error. least/greatest SKIP nulls, so
-                # re-null explicitly: a null (or NaN→null) value must
-                # propagate into a null z so the -1 sentinel groups
-                # those rows together.
-                clamped = F.least(
+                # query-killing error. A null (or NaN→null) value scales
+                # to 0 for THIS column only (least/greatest's null-skip
+                # does exactly that), so the row keeps its interleave
+                # bits on every other clustered column — nulling the
+                # whole z would funnel null-heavy tables into one skewed
+                # bucket with no pruning on the non-null columns.
+                scaled = F.least(
                     F.lit(float(top)),
                     F.greatest(
                         F.lit(0.0),
                         (col - F.lit(lo_f)) / F.lit(span) * top,
                     ),
                 ).cast("long")
-                scaled = F.when(col.isNull(), F.lit(None).cast("long")).otherwise(
-                    clamped
-                )
                 # interleave: bit b of column i lands at position b*k + i
                 for b in range(bits):
                     z = z.bitwiseOR(
@@ -211,7 +210,9 @@ class ManagedTable:
                             b * k + i,
                         )
                     )
-            zc = F.coalesce(z, F.lit(-1))  # nulls sort first, together
+            # z is never null (per-column nulls scaled to 0 above); the
+            # coalesce is belt-and-braces against an all-skipped build
+            zc = F.coalesce(z, F.lit(0))
             clustered = (
                 df.withColumn("__z", zc)
                 .repartitionByRange(n, F.col("__z"))

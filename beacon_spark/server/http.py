@@ -42,17 +42,21 @@ __all__ = ["BeaconHttpServer"]
 
 _ARROW_MIME = "application/vnd.apache.arrow.stream"
 
-def _sniff_fmt(path: str) -> str:
-    """Dataset format from its extension — the ONE mapping list_datasets
-    uses (sources/paths.py:detect_format), so /api/dataset-schema agrees
-    with /api/datasets about every dataset's format."""
+def _sniff_cfg(path: str) -> tuple[str, dict]:
+    """Dataset format + reader config from the extension — the ONE
+    mapping list_datasets uses (sources/paths.py:detect_format), so
+    /api/dataset-schema agrees with /api/datasets about every dataset's
+    format. ``.tsv`` additionally carries its tab delimiter (a bare
+    'csv' would silently mis-split it on commas)."""
     from beacon_spark.sources.paths import detect_format
 
     fmt = detect_format(path.rstrip("/"))
     if fmt is None:
         raise ValueError(f"cannot infer dataset format from {path!r}")
-    # the resolver keys hdf5 through the netcdf reader
-    return {"hdf5": "netcdf"}.get(fmt, fmt)
+    cfg: dict = {"paths": [path]}
+    if fmt == "csv" and path.rstrip("/").lower().endswith(".tsv"):
+        cfg["delimiter"] = "\t"
+    return fmt, cfg
 
 
 class BeaconHttpServer:
@@ -154,10 +158,8 @@ class BeaconHttpServer:
                     ds = q.get("dataset")
                     if not ds:
                         raise ValueError("dataset-schema needs ?dataset=")
-                    df = eng.sql(f"SELECT * FROM read_parquet('{ds}') LIMIT 0") \
-                        if ds.endswith(".parquet") else eng.resolve_from(
-                            {_sniff_fmt(ds): {"paths": [ds]}}
-                        ).limit(0)
+                    fmt, cfg = _sniff_cfg(ds)
+                    df = eng.resolve_from({fmt: cfg}).limit(0)
                     self._send_json(json.loads(df.schema.json()))
                 elif path == "/api/default-table":
                     self._send_json({"table": eng.default_table})
@@ -384,6 +386,7 @@ class BeaconHttpServer:
         except Exception:
             return []
         tools = []
+        complete = True  # only cache fully-resolved specs
         for table, exts in cat.get("extensions", {}).items():
             try:
                 mcp = json.loads(exts.get("mcp", "null"))
@@ -408,6 +411,7 @@ class BeaconHttpServer:
                 ]
             except Exception:
                 glossary = list(cols or [])
+                complete = False
             props = {
                 "select": {
                     "type": "array", "items": {"type": "string"},
@@ -432,8 +436,11 @@ class BeaconHttpServer:
                 "x-presets": presets,
             })
         # cache on the catalog's change token (like _register_catalog):
-        # per-table LIMIT-0 schema queries shouldn't run per request
-        self._tool_cache = (sig, tools)
+        # per-table LIMIT-0 schema queries shouldn't run per request.
+        # A spec degraded by a transient schema failure is NOT cached —
+        # the next request retries instead of pinning the fallback.
+        if complete:
+            self._tool_cache = (sig, tools)
         return tools
 
     _READONLY_START_RE = re.compile(
@@ -519,6 +526,11 @@ class BeaconHttpServer:
                 bad = set(cols) - set(spec["x-columns"])
                 if bad:
                     raise ValueError(f"columns not exposed: {sorted(bad)}")
+            if not cols:
+                raise ValueError(
+                    f"tool {name!r} exposes no columns; fix the mcp "
+                    "extension's exposed_columns"
+                )
             preds = []
             if args.get("preset"):
                 preds.append(spec["x-presets"][args["preset"]])

@@ -495,7 +495,8 @@ def test_bitmap_gate_rejects_timestampish_strings(spark, tmp_path):
 
 def test_zorder_handles_nan_and_nulls(spark, tmp_path):
     """NaN/null values in a clustered double column must not crash the
-    ANSI long cast; they land in the -1 null group together."""
+    ANSI long cast; they scale to 0 for that column only, keeping the
+    row's interleave bits on the other clustered columns."""
     from beacon_spark import Engine
 
     eng = Engine(spark, datasets_root=str(tmp_path))
