@@ -739,9 +739,21 @@ class Engine:
                         try:
                             from beacon_spark.server.remote import RemoteBeacon
 
+                            # token via the secret store (token_secret
+                            # reference); plain "token" accepted for
+                            # catalogs written before that change
+                            token = aroot.get("token")
+                            sname = aroot.get("token_secret")
+                            if sname:
+                                import base64 as _b64
+
+                                sec = cat.get("secrets", {}).get(sname, {})
+                                raw = sec.get("options", {}).get("token")
+                                if raw:
+                                    token = _b64.b64decode(raw).decode()
                             self._remotes[aname] = RemoteBeacon(
                                 aroot["url"],
-                                token=aroot.get("token"),
+                                token=token,
                                 tls=aroot.get("tls", False),
                             )
                         except Exception as e:
@@ -946,9 +958,29 @@ class Engine:
                 c = cat._load()
                 c.setdefault("attachments", {})[name] = {
                     "url": path,
-                    "token": opts.get("token"),
                     "tls": opts.get("tls", "").lower() == "true",
                 }
+                if opts.get("token"):
+                    # the bearer token rides the SECRET store, never the
+                    # attachment entry itself — the reference routes
+                    # remote credentials through its secrets mechanism
+                    # (remote/connection.rs, secrets.rs); a plaintext
+                    # token in the catalog JSON would be readable by
+                    # anything with filesystem access to the lake root
+                    import base64 as _b64
+
+                    sname = f"__attach_{name}"
+                    c.setdefault("secrets", {})[sname] = {
+                        "type": "bearer",
+                        "scope": path,
+                        "persistent": True,
+                        "options": {
+                            "token": _b64.b64encode(
+                                opts["token"].encode()
+                            ).decode()
+                        },
+                    }
+                    c["attachments"][name]["token_secret"] = sname
                 cat._save(c)
                 return self._status(
                     status="ok", op="attach", name=name, remote="true"
@@ -960,7 +992,9 @@ class Engine:
         if kind == "detach":
             name = m.group(1)
             c = cat._load()
-            c.setdefault("attachments", {}).pop(name, None)
+            entry = c.setdefault("attachments", {}).pop(name, None)
+            if isinstance(entry, dict) and entry.get("token_secret"):
+                c.get("secrets", {}).pop(entry["token_secret"], None)
             cat._save(c)
             rb = getattr(self, "_remotes", {}).pop(name, None)
             if rb is not None:

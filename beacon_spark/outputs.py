@@ -20,6 +20,7 @@ file-write is gated.
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -28,9 +29,60 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame
 
 
-def _arrow_batches(df: DataFrame):
-    """Arrow record batches of a DataFrame without a full collect."""
-    return df.toArrow().to_batches(max_chunksize=1 << 16)
+def arrow_schema_of(df: DataFrame) -> pa.Schema:
+    """The Arrow schema ``df``'s batches carry — derived from the Spark
+    schema without running the plan."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(df.schema)
+
+
+def iter_arrow_batches(df: DataFrame, max_chunksize: int = 1 << 15):
+    """Yield Arrow record batches of ``df`` with BOUNDED driver memory.
+
+    ``df.toArrow()`` is a full driver collect; this instead spools the
+    result to a temporary parquet directory written by the EXECUTORS
+    (distributed — the analog of the reference's per-partition
+    RecordBatch streams, ``beacon-core/src/runtime.rs:159-246``), then
+    streams it back file-by-file in partition order, so the driver holds
+    one batch at a time — never the result. Batches are cast back to the
+    DataFrame's Arrow schema so the parquet hop is type-invisible.
+
+    ``$BEACON_SPOOL_DIR`` relocates the spool (on a real cluster it must
+    be storage both executors and driver can reach — an object-store
+    prefix; local temp is only right on local[*]).
+
+    Plans whose schema parquet cannot hold (VOID literal projections,
+    intervals) fall back to a driver-side collect — degenerate schemas,
+    not data paths.
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    target = arrow_schema_of(df)
+    spool = tempfile.mkdtemp(
+        prefix="beacon_spool_", dir=os.environ.get("BEACON_SPOOL_DIR")
+    )
+    try:
+        try:
+            df.write.mode("overwrite").parquet(spool)
+        except Exception:
+            # VOID/interval columns etc.: parquet can't represent them
+            for batch in df.toArrow().to_batches(max_chunksize=max_chunksize):
+                yield batch
+            return
+        # part files sort to partition order, which is result order
+        # (a sorted plan writes range-partitioned parts)
+        for part in sorted(_glob.glob(os.path.join(spool, "part-*"))):
+            pf = pq.ParquetFile(part)
+            for batch in pf.iter_batches(batch_size=max_chunksize):
+                try:
+                    yield batch.cast(target)
+                except Exception:
+                    yield batch
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
 
 
 def write_csv(df: DataFrame, path: str, single: bool = True) -> None:
@@ -46,21 +98,42 @@ def write_csv(df: DataFrame, path: str, single: bool = True) -> None:
         df.write.mode("overwrite").option("header", "true").csv(path)
 
 
+def _first_and_schema(df: DataFrame):
+    """(first batch | None, schema) for a batch-streamed write: the
+    schema comes from the first real batch (self-consistent with the
+    rest of the stream even on the cast-fallback path), or from the
+    Spark schema when the result is empty."""
+    it = iter_arrow_batches(df)
+    first = next(it, None)
+    schema = first.schema if first is not None else arrow_schema_of(df)
+    return first, schema, it
+
+
 def write_parquet(df: DataFrame, path: str, single: bool = True) -> None:
     if single:
-        table = df.toArrow()
-        pq.write_table(table, path, compression="zstd")
+        # batch-streamed single file: bounded driver memory even for a
+        # 100 GB export (the reference streams its COPY the same way,
+        # stream_coalescer.rs:9-16)
+        first, schema, rest = _first_and_schema(df)
+        with pq.ParquetWriter(path, schema, compression="zstd") as w:
+            for batch in ([first] if first is not None else []):
+                w.write_batch(batch)
+            for batch in rest:
+                w.write_batch(batch)
     else:
         df.write.mode("overwrite").parquet(path)
 
 
 def write_arrow(df: DataFrame, path: str, single: bool = True) -> None:
     """ipc/arrow output (zstd Arrow IPC is the reference's default wire
-    format, query/mod.rs:26-27)."""
-    table = df.toArrow()
+    format, query/mod.rs:26-27) — batch-streamed, never a full collect."""
     options = pa_ipc.IpcWriteOptions(compression="zstd")
-    with pa_ipc.new_file(path, table.schema, options=options) as w:
-        w.write_table(table)
+    first, schema, rest = _first_and_schema(df)
+    with pa_ipc.new_file(path, schema, options=options) as w:
+        for batch in ([first] if first is not None else []):
+            w.write_batch(batch)
+        for batch in rest:
+            w.write_batch(batch)
 
 
 def write_geoparquet(
@@ -94,7 +167,6 @@ def write_geoparquet(
         "geometry",
         _wkb(F.col(longitude_column).cast("double"), F.col(latitude_column).cast("double")),
     )
-    table = out.toArrow()
     geo_meta = {
         "version": "1.0.0",
         "primary_column": "geometry",
@@ -102,10 +174,15 @@ def write_geoparquet(
             "geometry": {"encoding": "WKB", "geometry_types": ["Point"]}
         },
     }
-    table = table.replace_schema_metadata(
-        {**(table.schema.metadata or {}), b"geo": json.dumps(geo_meta).encode()}
+    first, schema, rest = _first_and_schema(out)
+    schema = schema.with_metadata(
+        {**(schema.metadata or {}), b"geo": json.dumps(geo_meta).encode()}
     )
-    pq.write_table(table, path, compression="zstd")
+    with pq.ParquetWriter(path, schema, compression="zstd") as w:
+        for batch in ([first] if first is not None else []):
+            w.write_batch(batch)
+        for batch in rest:
+            w.write_batch(batch)
 
 
 # ------------------------------------------------------------ netcdf

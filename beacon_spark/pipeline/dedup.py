@@ -355,7 +355,22 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # the two caches back the RESULT's lineage, so they cannot be
+    # unpersisted here — they'd recompute (twice) at consumption. A
+    # caller done with the result releases them via release_caches();
+    # otherwise they live until LRU eviction / session end (fine for a
+    # one-shot query, wasteful in a long repeated-call session).
+    verified._beacon_cached = (base, stacked)
     return verified
+
+
+def release_caches(result: DataFrame) -> None:
+    """Unpersist the intermediate caches backing a pipeline result
+    (currently: minhash_lsh_pairs' shingle-hash and band-key frames).
+    Call AFTER fully consuming/materializing the result — the caches
+    back its lineage, and a later re-collect would recompute them."""
+    for cached in getattr(result, "_beacon_cached", ()):  # no-op otherwise
+        cached.unpersist()
 
 
 def simhash_expr(text_col: str, bits: int = 64) -> Column:

@@ -13,7 +13,10 @@ pyarrow wheel ships Flight but not the Flight SQL extension):
     statement on the engine and stream the result as Arrow batches.
   - ``get_flight_info(descriptor)`` — command bytes = the same JSON;
     path = ``[table]`` = ``SELECT * FROM table``. Returns the result
-    schema + one endpoint whose ticket re-runs the command.
+    schema + one endpoint whose ticket re-runs the command. Read-only
+    statements only: planning a DDL/DML here would EXECUTE it, and the
+    standard ``get_flight_info → do_get`` flow would then run it twice.
+  - ``do_put(descriptor, stream)`` — ingest into a managed table.
   - ``do_action("list_tables")`` — one JSON body ``{"tables": [...],
     "datasets": [...]}``: the GetTables-style metadata enumeration a
     remote catalog performs once at ATTACH time (catalog.rs:44-49).
@@ -22,11 +25,12 @@ pyarrow wheel ships Flight but not the Flight SQL extension):
     ``ATTACH … WITH ('token' …)``, parser/statement.rs:60).
 
 Scale: federation ships QUERIES in and RESULTS out — table inputs never
-cross the wire. Results materialize on the Spark driver
-(``df.toArrow()``) before streaming, so remote statements should bound
-their result size (LIMIT / aggregation) exactly as any driver collect
-must; the reference's Flight service streams through one channel the
-same way.
+cross the wire. Results stream executor→driver→wire one Arrow batch at
+a time (``outputs.iter_arrow_batches``; the reference streams its
+RecordBatch channels the same way, ``beacon-core/src/runtime.rs:
+159-246``), guarded by per-query row/byte caps: an over-limit stream
+fails with a clean FlightError in the gRPC trailers, never a driver
+OOM.
 """
 
 from __future__ import annotations
@@ -54,25 +58,69 @@ class _BearerAuth(fl.ServerMiddlewareFactory):
 class BeaconFlightServer(fl.FlightServerBase):
     """Serve an :class:`beacon_spark.engine.Engine` over Arrow Flight.
 
-    ``BeaconFlightServer(engine, port=0, token=None)`` — port 0 picks an
-    ephemeral port (see ``.port``). ``serve()`` blocks; ``serve_background()``
-    runs it on a daemon thread and returns once the port is live.
+    ``BeaconFlightServer(engine, port=0, token=None, limits=None)`` —
+    port 0 picks an ephemeral port (see ``.port``). ``serve()`` blocks;
+    ``serve_background()`` runs it on a daemon thread and returns once
+    the port is live.
     """
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
-                 token: str | None = None):
+                 token: str | None = None, limits=None):
+        from beacon_spark.server.limits import QueryLimits
+
         middleware = {"auth": _BearerAuth(token)} if token else None
         super().__init__(f"grpc://{host}:{port}", middleware=middleware)
         self.engine = engine
+        self._limits = limits if limits is not None else QueryLimits()
         self._thread: threading.Thread | None = None
 
-    # ------------------------------------------------------------ helpers
+    # ------------------------------------------------------------ surface
 
-    def _run(self, cmd: dict) -> pa.Table:
-        sql = cmd["sql"]
-        params = cmd.get("params")
-        df = self.engine.sql(sql, params=params)
-        return df.toArrow()
+    def do_get(self, context, ticket: fl.Ticket):
+        from beacon_spark.outputs import arrow_schema_of, iter_arrow_batches
+
+        cmd = json.loads(ticket.ticket.decode())
+        df = self.engine.sql(cmd["sql"], params=cmd.get("params"))
+        schema = arrow_schema_of(df)
+
+        def batches():
+            # DDL/DML status frames and SELECT results ride the same
+            # path; the generator evaluates lazily so execution happens
+            # as the stream is consumed, one batch in memory at a time
+            with self._limits.time_guard(self.engine.spark):
+                yielded = False
+                for b in self._limits.guard_batches(iter_arrow_batches(df)):
+                    # cast-fallback batches may differ from the declared
+                    # schema in metadata-level details; align them
+                    yield b if b.schema == schema else b.cast(schema)
+                    yielded = True
+                if not yielded:
+                    yield pa.RecordBatch.from_pylist([], schema=schema)
+
+        return fl.GeneratorStream(schema, batches())
+
+    def get_flight_info(self, context, descriptor):
+        from beacon_spark.server.guard import is_readonly_sql
+
+        cmd = self._cmd_from_descriptor(descriptor)
+        # planning a statement runs Engine.sql, which EXECUTES DDL/DML to
+        # completion — and the get_flight_info → do_get flow would then
+        # run the command twice. Only read-only statements get an info.
+        if not is_readonly_sql(cmd["sql"]):
+            raise fl.FlightServerError(
+                "get_flight_info is read-only (planning would execute the "
+                "statement; send DDL/DML via do_get directly)"
+            )
+        # schema-only planning: LIMIT 0 keeps it metadata-sized (params
+        # must bind here too, or parameterized commands fail at info time)
+        from beacon_spark.outputs import arrow_schema_of
+
+        schema = arrow_schema_of(
+            self.engine.sql(cmd["sql"], params=cmd.get("params")).limit(0)
+        )
+        ticket = fl.Ticket(json.dumps(cmd).encode())
+        endpoint = fl.FlightEndpoint(ticket, [])
+        return fl.FlightInfo(schema, descriptor, [endpoint], -1, -1)
 
     @staticmethod
     def _cmd_from_descriptor(descriptor: fl.FlightDescriptor) -> dict:
@@ -83,33 +131,19 @@ class BeaconFlightServer(fl.FlightServerBase):
             return {"sql": f"SELECT * FROM {tbl}"}
         raise fl.FlightServerError("descriptor needs a command or a path")
 
-    # ------------------------------------------------------------ surface
-
-    def do_get(self, context, ticket: fl.Ticket):
-        cmd = json.loads(ticket.ticket.decode())
-        return fl.RecordBatchStream(self._run(cmd))
-
-    def get_flight_info(self, context, descriptor):
-        cmd = self._cmd_from_descriptor(descriptor)
-        # schema-only planning: LIMIT 0 keeps it metadata-sized (params
-        # must bind here too, or parameterized commands fail at info time)
-        schema = (
-            self.engine.sql(cmd["sql"], params=cmd.get("params"))
-            .limit(0)
-            .toArrow()
-            .schema
-        )
-        ticket = fl.Ticket(json.dumps(cmd).encode())
-        endpoint = fl.FlightEndpoint(ticket, [])
-        return fl.FlightInfo(schema, descriptor, [endpoint], -1, -1)
-
     def do_put(self, context, descriptor, reader, writer):
         """Ingest an Arrow stream into a managed table (the Flight SQL
         prepared-statement-update role, service.rs:362-380): descriptor
-        path = [table] (or command {"table": …}); the uploaded batches
-        run through the engine's INSERT path, so catalog versioning and
-        index refresh behave exactly as SQL INSERT."""
+        path = [table] (or command {"table": …}). The upload is spooled
+        to a temp parquet file BATCH BY BATCH as it arrives (bounded
+        driver memory, matching do_get's streaming contract), then runs
+        through the engine's INSERT path so catalog versioning and index
+        refresh behave exactly as SQL INSERT."""
+        import os
+        import tempfile
         import uuid
+
+        import pyarrow.parquet as pq
 
         if descriptor.command:
             name = json.loads(descriptor.command.decode())["table"]
@@ -117,14 +151,22 @@ class BeaconFlightServer(fl.FlightServerBase):
             name = descriptor.path[0].decode()
         else:
             raise fl.FlightServerError("do_put needs a table name")
-        tbl = reader.read_all()
-        df = self.engine.spark.createDataFrame(tbl)
-        tmp = f"__flight_put_{uuid.uuid4().hex}"
-        df.createOrReplaceTempView(tmp)
+        fd, spool = tempfile.mkstemp(prefix="beacon_put_", suffix=".parquet")
+        os.close(fd)
         try:
-            self.engine.sql(f"INSERT INTO {name} SELECT * FROM {tmp}")
+            with pq.ParquetWriter(spool, reader.schema) as w:
+                for chunk in reader:
+                    if chunk.data is not None:
+                        w.write_batch(chunk.data)
+            df = self.engine.spark.read.parquet(spool)
+            tmp = f"__flight_put_{uuid.uuid4().hex}"
+            df.createOrReplaceTempView(tmp)
+            try:
+                self.engine.sql(f"INSERT INTO {name} SELECT * FROM {tmp}")
+            finally:
+                self.engine.spark.catalog.dropTempView(tmp)
         finally:
-            self.engine.spark.catalog.dropTempView(tmp)
+            os.unlink(spool)
 
     def do_action(self, context, action: fl.Action):
         if action.type == "list_tables":

@@ -61,12 +61,19 @@ def _sniff_cfg(path: str) -> tuple[str, dict]:
 
 class BeaconHttpServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
-                 token: str | None = None):
+                 token: str | None = None, limits=None):
+        from beacon_spark.server.limits import QueryLimits
+
         self.engine = engine
         self._token = token
+        self._limits = limits if limits is not None else QueryLimits()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1: needed for chunked transfer on streamed Arrow
+            # responses (every non-streamed path sends Content-Length)
+            protocol_version = "HTTP/1.1"
+
             # quiet request logging (stderr noise in tests/servers)
             def log_message(self, *args):
                 pass
@@ -179,6 +186,7 @@ class BeaconHttpServer:
                     self._deny(404, f"no such endpoint: {path}")
 
             def do_POST(self):
+                self._response_started = False  # keep-alive reuses Handler
                 if not self._authed():
                     return
                 u = urlparse(self.path)
@@ -242,28 +250,110 @@ class BeaconHttpServer:
                     if output:
                         # file-output formats come back as a download
                         # (query.rs:20-44: CSV/Parquet/Arrow/ODV/NetCDF/
-                        # GeoParquet)
-                        data, ctype = outer._materialize(df, output)
-                        outer._record(qid, df, None, t0)
-                        self._send(data, ctype, hdr)
+                        # GeoParquet) — written batch-streamed to a temp
+                        # file, then copied to the socket in chunks: the
+                        # result is never held in driver memory
+                        with outer._limits.time_guard(outer.engine.spark):
+                            path, ctype = outer._materialize(df, output)
+                        try:
+                            outer._record(qid, df, None, t0)
+                            self._send_file(path, ctype, hdr)
+                        finally:
+                            import os as _os
+
+                            _os.unlink(path)
                         return
                     if req.get("format") == "json":
-                        rows = [row.asDict(recursive=True) for row in df.collect()]
+                        # row/byte/time-capped (the reference's
+                        # resource_limits contract): over-limit is a clean
+                        # 400, never an unbounded driver collect
+                        rows = outer._limits.collect_rows(df)
                         outer._record(qid, df, len(rows), t0)
+                        # default=str: timestamp/date/Decimal/binary columns
+                        # are common result types and json.dumps has no
+                        # native encoding for them (the MCP paths already
+                        # do this; a TypeError here surfaced as a bogus 400)
                         self._send(
-                            json.dumps(rows).encode(), "application/json", hdr
+                            json.dumps(rows, default=str).encode(),
+                            "application/json", hdr,
                         )
                         return
-                    import pyarrow as pa
-
-                    tbl = df.toArrow()
-                    sink = io.BytesIO()
-                    with pa.ipc.new_stream(sink, tbl.schema) as w:
-                        w.write_table(tbl)
-                    outer._record(qid, df, tbl.num_rows, t0)
-                    self._send(sink.getvalue(), _ARROW_MIME, hdr)
+                    self._send_arrow_stream(df, qid, t0, hdr)
                 except Exception as e:
-                    self._deny(400, str(e))
+                    if getattr(self, "_response_started", False):
+                        # a cap/time trip mid-chunked-stream: the status
+                        # line is long gone — abort the stream so the
+                        # client sees a truncated-transfer error
+                        self.close_connection = True
+                    else:
+                        self._deny(400, str(e))
+
+            def _send_arrow_stream(self, df, qid, t0, hdr) -> None:
+                """Arrow IPC response, chunk-streamed (Transfer-Encoding:
+                chunked): one batch in driver memory at a time, caps
+                enforced per batch. A cap/time trip BEFORE the first
+                chunk is a clean 400; mid-stream it aborts the chunked
+                stream (the client sees a truncated-stream error — the
+                standard failure shape for streamed HTTP)."""
+                import pyarrow as pa
+
+                from beacon_spark.outputs import arrow_schema_of, iter_arrow_batches
+
+                with outer._limits.time_guard(outer.engine.spark):
+                    batches = outer._limits.guard_batches(iter_arrow_batches(df))
+                    first = next(batches, None)
+                    schema = first.schema if first is not None \
+                        else arrow_schema_of(df)
+                    self.send_response(200)
+                    self.send_header("Content-Type", _ARROW_MIME)
+                    self.send_header("Transfer-Encoding", "chunked")
+                    for k, v in hdr.items():
+                        self.send_header(k, v)
+                    self.end_headers()
+                    self._response_started = True
+
+                    def chunk(data: bytes) -> None:
+                        if data:
+                            self.wfile.write(
+                                f"{len(data):X}\r\n".encode() + data + b"\r\n"
+                            )
+
+                    sink = io.BytesIO()
+                    rows = 0
+                    with pa.ipc.new_stream(sink, schema) as w:
+                        for batch in ([first] if first is not None else []):
+                            w.write_batch(batch)
+                            rows += batch.num_rows
+                            chunk(sink.getvalue())
+                            sink.seek(0)
+                            sink.truncate()
+                        for batch in batches:
+                            w.write_batch(batch)
+                            rows += batch.num_rows
+                            chunk(sink.getvalue())
+                            sink.seek(0)
+                            sink.truncate()
+                    chunk(sink.getvalue())
+                    self.wfile.write(b"0\r\n\r\n")
+                    outer._record(qid, df, rows, t0)
+
+            def _send_file(self, path: str, ctype: str,
+                           extra: dict | None = None) -> None:
+                import os as _os
+
+                size = _os.path.getsize(path)
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(size))
+                for k, v in (extra or {}).items():
+                    self.send_header(k, v)
+                self.end_headers()
+                with open(path, "rb") as f:
+                    while True:
+                        buf = f.read(1 << 20)
+                        if not buf:
+                            break
+                        self.wfile.write(buf)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
@@ -298,9 +388,12 @@ class BeaconHttpServer:
         "geoparquet": "application/vnd.apache.parquet",
     }
 
-    def _materialize(self, df, output: dict) -> tuple[bytes, str]:
-        """``{"format": fmt, ...opts}`` → (file bytes, content type) via
-        the engine's output writers (outputs.py / write_output)."""
+    def _materialize(self, df, output: dict) -> tuple[str, str]:
+        """``{"format": fmt, ...opts}`` → (temp file path, content type)
+        via the engine's output writers (outputs.py / write_output). The
+        writers batch-stream, the caller chunk-copies the file to the
+        socket and unlinks it — the result bytes never sit in driver
+        memory."""
         import os
         import tempfile
 
@@ -308,12 +401,14 @@ class BeaconHttpServer:
 
         fmt = output.get("format", "csv").lower()
         opts = {k: v for k, v in output.items() if k != "format"}
-        with tempfile.TemporaryDirectory() as td:
-            path = os.path.join(td, f"result.{fmt}")
+        fd, path = tempfile.mkstemp(prefix="beacon_dl_", suffix=f".{fmt}")
+        os.close(fd)
+        try:
             write_output(df, fmt, path, **opts)
-            with open(path, "rb") as f:
-                data = f.read()
-        return data, self._OUTPUT_MIME.get(fmt, "application/octet-stream")
+        except BaseException:
+            os.unlink(path)
+            raise
+        return path, self._OUTPUT_MIME.get(fmt, "application/octet-stream")
 
     # ------------------------------------------------------------ MCP
 
@@ -443,28 +538,29 @@ class BeaconHttpServer:
             self._tool_cache = (sig, tools)
         return tools
 
-    _READONLY_START_RE = re.compile(
-        r"^\s*(SELECT|WITH|SUMMARIZE|EXPLAIN|SHOW|DESCRIBE)\b",
-        re.IGNORECASE,
-    )
-    # write/DDL/admin keywords that must not appear ANYWHERE outside
-    # string literals — a WITH-prefixed INSERT or an EXPLAIN ANALYZE of
-    # a COPY both start "read-only" but execute writes
-    _WRITE_KEYWORD_RE = re.compile(
-        r"\b(INSERT|UPDATE|DELETE|MERGE|DROP|CREATE|ALTER|TRUNCATE|COPY|"
-        r"VACUUM|ATTACH|DETACH|ANALYZE|GRANT|REVOKE|SET|RUN|REFRESH|"
-        r"OVERWRITE)\b",
-        re.IGNORECASE,
-    )
-
     @classmethod
     def _is_readonly_sql(cls, sql: str) -> bool:
-        if not cls._READONLY_START_RE.match(sql):
-            return False
-        # blank out single-quoted literals ('' escape included) so quoted
-        # text can't false-positive, then scan for write keywords
-        stripped = re.sub(r"'(?:[^']|'')*'", "''", sql)
-        return not cls._WRITE_KEYWORD_RE.search(stripped)
+        from beacon_spark.server.guard import is_readonly_sql
+
+        return is_readonly_sql(sql)
+
+    @staticmethod
+    def _check_where_predicate(pred: str) -> None:
+        """Per-table tool ``where`` arguments must be PLAIN predicates
+        over the (scoped) table: no writes, no subqueries, no federation
+        — a subquery could read other tables or unexposed columns
+        oracle-style, defeating the exposed_columns scoping."""
+        from beacon_spark.server.guard import WRITE_KEYWORD_RE
+
+        if re.search(r"\bremote_query\s*\(", pred, re.IGNORECASE):
+            raise ValueError("where predicate must not use remote_query")
+        stripped = re.sub(r"'(?:[^']|'')*'", "''", pred)
+        if WRITE_KEYWORD_RE.search(stripped):
+            raise ValueError("where predicate is read-only")
+        if re.search(r"\b(SELECT|EXISTS)\b", stripped, re.IGNORECASE):
+            raise ValueError(
+                "where predicate must not contain subqueries"
+            )
 
     def _mcp_tool(self, name: str, args: dict) -> str:
         eng = self.engine
@@ -491,9 +587,8 @@ class BeaconHttpServer:
                     "and free of write/DDL/admin keywords"
                 )
             limit = int(args.get("limit", 100))
-            rows = eng.sql(sql).limit(limit).collect()
-            return json.dumps([r.asDict(recursive=True) for r in rows],
-                              default=str)
+            rows = self._limits.collect_rows(eng.sql(sql).limit(limit))
+            return json.dumps(rows, default=str)
         if name == "export_query":
             # fetch recipe only — the (potentially huge) file never
             # streams through model context (catalog.rs:221-224)
@@ -531,18 +626,27 @@ class BeaconHttpServer:
                     f"tool {name!r} exposes no columns; fix the mcp "
                     "extension's exposed_columns"
                 )
-            preds = []
-            if args.get("preset"):
-                preds.append(spec["x-presets"][args["preset"]])
             if args.get("where"):
-                if self._WRITE_KEYWORD_RE.search(
-                    re.sub(r"'(?:[^']|'')*'", "''", args["where"])
-                ):
-                    raise ValueError("where predicate is read-only")
-                preds.append(args["where"])
-            sql = f"SELECT {', '.join(cols)} FROM {table}"
-            if preds:
-                sql += " WHERE " + " AND ".join(f"({p})" for p in preds)
+                self._check_where_predicate(args["where"])
+            # scoping is STRUCTURAL, not lexical: the user-facing query
+            # runs against an inline subselect projecting only the
+            # exposed columns, so a where predicate referencing an
+            # unexposed column fails ANALYSIS — it cannot leak via
+            # filter-oracle probing. Presets are server-configured
+            # (trusted) and apply on the inner, unscoped table so an
+            # admin may filter on columns the tool does not expose.
+            inner = table
+            if spec["x-presets"] and args.get("preset"):
+                inner = (
+                    f"(SELECT * FROM {table} WHERE "
+                    f"({spec['x-presets'][args['preset']]}))"
+                )
+            if spec["x-columns"] is not None:
+                scoped_cols = ", ".join(spec["x-columns"])
+                inner = f"(SELECT {scoped_cols} FROM {inner} AS __inner)"
+            sql = f"SELECT {', '.join(cols)} FROM {inner} AS __scoped"
+            if args.get("where"):
+                sql += f" WHERE ({args['where']})"
             rows = eng.sql(sql).limit(int(args.get("limit", 100))).collect()
             return json.dumps([r.asDict(recursive=True) for r in rows],
                               default=str)
