@@ -588,8 +588,18 @@ class Engine:
                 f"SELECT * FROM {src}"
             )
             fmt = (fmt or detect_format(target) or "parquet").lower()
-            if self.datasets_root is not None and not _os.path.isabs(target):
-                target = _os.path.join(self.datasets_root, target)
+            from beacon_spark.sources import bytesource as _bs
+
+            if (
+                self.datasets_root is not None
+                and not _os.path.isabs(target)
+                and not _bs.is_uri(target)
+            ):
+                target = (
+                    _bs.join(self.datasets_root, target)
+                    if _bs.is_uri(self.datasets_root)
+                    else _os.path.join(self.datasets_root, target)
+                )
             write_output(df, fmt, target)
             return self._status(status="ok", op="copy_to", name=target)
 
@@ -1583,7 +1593,11 @@ class Engine:
             return None
         if not survivors:
             return self.spark.createDataFrame([], mt.schema())
-        return align_to_schema(self.spark.read.parquet(*survivors), mt.schema())
+        from beacon_spark.sources import bytesource as _bs
+
+        return align_to_schema(
+            self.spark.read.parquet(*_bs.spark_paths(survivors)), mt.schema()
+        )
 
     def _refresh_index_stats(self, table: str) -> None:
         """After DML on an indexed managed table, re-analyze its (new)

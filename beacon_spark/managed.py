@@ -20,12 +20,21 @@ versions — structurally a miniature Delta log:
 
 On a Delta/Iceberg-equipped cluster, swap this for ``delta-spark`` —
 Engine's statement surface stays identical.
+
+Storage: every metadata/manifest/index path goes through the
+object-store byte-source (``sources/bytesource.py``) — the reference's
+managed tables live on ``object_store`` like everything else
+(``beacon-core/src/statement_plan/actions.rs:509-795``), so a table
+root may be ``s3://bucket/lake/t`` as readily as ``/data/lake/t``.
+Data-plane reads/writes hand Spark ``bytesource.spark_path`` forms
+(``s3:// → s3a://``) so the JVM connectors and the Python metadata
+layer see the same store; manifest commits are ``publish_bytes``
+(local: tmp+rename, object store: atomic PUT).
 """
 
 from __future__ import annotations
 
 import json
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from beacon_spark.schema import align_to_schema
+from beacon_spark.sources import bytesource as bs
 
 
 class ManagedTableError(RuntimeError):
@@ -43,16 +53,16 @@ class ManagedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        self.manifest_dir = os.path.join(path, "_manifests")
-        self.data_dir = os.path.join(path, "data")
+        self.manifest_dir = bs.join(path, "_manifests")
+        self.data_dir = bs.join(path, "data")
 
     # ------------------------------------------------------------ manifests
 
     def _manifests(self) -> list[str]:
-        if not os.path.isdir(self.manifest_dir):
+        if not bs.isdir(self.manifest_dir):
             return []
         return sorted(
-            f for f in os.listdir(self.manifest_dir) if f.endswith(".json")
+            f for f in bs.listdir(self.manifest_dir) if f.endswith(".json")
         )
 
     def current_version(self) -> int:
@@ -64,34 +74,33 @@ class ManagedTable:
         if not ms:
             raise ManagedTableError(f"no managed table at {self.path}")
         name = f"v{version:08d}.json" if version is not None else ms[-1]
-        with open(os.path.join(self.manifest_dir, name)) as f:
-            return json.load(f)
+        return json.loads(bs.read_text(bs.join(self.manifest_dir, name)))
 
     def _write_manifest(self, schema: T.StructType, files: list[str]) -> int:
         version = self.current_version() + 1
-        os.makedirs(self.manifest_dir, exist_ok=True)
-        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(
-                {"version": version, "schema": schema.jsonValue(), "files": files}, f
-            )
-        os.replace(tmp, os.path.join(self.manifest_dir, f"v{version:08d}.json"))
+        bs.makedirs(self.manifest_dir)
+        bs.publish_bytes(
+            bs.join(self.manifest_dir, f"v{version:08d}.json"),
+            json.dumps(
+                {"version": version, "schema": schema.jsonValue(), "files": files}
+            ).encode(),
+        )
         return version
 
     def _write_data(self, df: DataFrame) -> list[str]:
-        """One parquet file per partition into data/ under fresh names."""
-        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
-        os.makedirs(self.data_dir, exist_ok=True)
+        """One parquet file per partition into data/ under fresh names.
+        The Spark write targets ``spark_path(staging)``; the renames into
+        data/ are metadata-plane moves on the same store."""
+        staging = bs.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(bs.spark_path(staging))
+        bs.makedirs(self.data_dir)
         out = []
-        for f in sorted(os.listdir(staging)):
+        for f in sorted(bs.listdir(staging)):
             if f.endswith(".parquet"):
                 new = f"part-{uuid.uuid4().hex}.parquet"
-                os.replace(os.path.join(staging, f), os.path.join(self.data_dir, new))
-                out.append(os.path.join("data", new))
-        import shutil
-
-        shutil.rmtree(staging, ignore_errors=True)
+                bs.move(bs.join(staging, f), bs.join(self.data_dir, new))
+                out.append(f"data/{new}")
+        bs.rmtree(staging)
         return out
 
     # ------------------------------------------------------------ operations
@@ -109,7 +118,7 @@ class ManagedTable:
     def files(self, version: int | None = None) -> list[str]:
         """Absolute paths of the version's data files."""
         return [
-            os.path.join(self.path, f) for f in self._read_manifest(version)["files"]
+            bs.join(self.path, f) for f in self._read_manifest(version)["files"]
         ]
 
     def cluster_by(
@@ -225,10 +234,10 @@ class ManagedTable:
     def read(self, version: int | None = None) -> DataFrame:
         m = self._read_manifest(version)
         schema = T.StructType.fromJson(m["schema"])
-        paths = [os.path.join(self.path, f) for f in m["files"]]
+        paths = [bs.join(self.path, f) for f in m["files"]]
         if not paths:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(*paths)
+        df = self.spark.read.parquet(*bs.spark_paths(paths))
         return align_to_schema(df, schema)
 
     def overwrite(self, df: DataFrame) -> int:
@@ -257,7 +266,7 @@ class ManagedTable:
         m = self._read_manifest()
         touched, clean = [], []
         for rel in m["files"]:
-            p = os.path.join(self.path, rel)
+            p = bs.spark_path(bs.join(self.path, rel))
             df = align_to_schema(self.spark.read.parquet(p), schema)
             hit = df.filter(F.expr(predicate)).limit(1).count()
             (touched if hit else clean).append(rel)
@@ -271,7 +280,9 @@ class ManagedTable:
         new_files = list(clean)
         if touched:
             survivors = align_to_schema(
-                self.spark.read.parquet(*[os.path.join(self.path, f) for f in touched]),
+                self.spark.read.parquet(
+                    *bs.spark_paths([bs.join(self.path, f) for f in touched])
+                ),
                 schema,
             ).filter(~F.expr(predicate))
             new_files += self._write_data(survivors)
@@ -285,7 +296,9 @@ class ManagedTable:
         new_files = list(clean)
         if touched:
             df = align_to_schema(
-                self.spark.read.parquet(*[os.path.join(self.path, f) for f in touched]),
+                self.spark.read.parquet(
+                    *bs.spark_paths([bs.join(self.path, f) for f in touched])
+                ),
                 schema,
             )
             cond = F.expr(predicate)
@@ -331,34 +344,34 @@ class ManagedTable:
         Incremental: files already in the index keep their postings; only
         new files are scanned (cost ∝ appended data). Returns the number
         of files newly indexed."""
-        idx_dir = os.path.join(self.path, "_indexes", index_name)
+        idx_dir = bs.join(self.path, "_indexes", index_name)
         files = self.files()
-        basenames = {os.path.basename(f) for f in files}
+        basenames = {bs.basename(f) for f in files}
         prior = None
         indexed: set[str] = set()
-        if os.path.isdir(idx_dir):
-            prior = self.spark.read.parquet(idx_dir)
+        if bs.isdir(idx_dir):
+            prior = self.spark.read.parquet(bs.spark_path(idx_dir))
             # keep postings of files still live in the current manifest
             prior = prior.filter(F.col("file").isin(list(basenames))).cache()
             indexed = {r.file for r in prior.select("file").distinct().collect()}
-        new_files = [f for f in files if os.path.basename(f) not in indexed]
+        new_files = [f for f in files if bs.basename(f) not in indexed]
         parts = [] if prior is None else [prior]
         if new_files:
-            parts.append(key_of(self.spark.read.parquet(*new_files)))
+            parts.append(key_of(self.spark.read.parquet(*bs.spark_paths(new_files))))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         tmp = idx_dir + f".tmp-{uuid.uuid4().hex}"
-        out.sort("token").write.mode("overwrite").parquet(tmp)
+        out.sort("token").write.mode("overwrite").parquet(bs.spark_path(tmp))
         # sidecar: the exact file set this index covers — prune treats
         # files OUTSIDE it as unprunable (fail-open on a stale index)
-        with open(os.path.join(tmp, "_indexed_files.json"), "w") as fh:
-            json.dump(sorted(basenames), fh)
-        import shutil
-
-        if os.path.isdir(idx_dir):
-            shutil.rmtree(idx_dir)
-        os.replace(tmp, idx_dir)
+        bs.write_bytes(
+            bs.join(tmp, "_indexed_files.json"),
+            json.dumps(sorted(basenames)).encode(),
+        )
+        if bs.isdir(idx_dir):
+            bs.rmtree(idx_dir)
+        bs.move(tmp, idx_dir)
         return len(new_files)
 
     def build_inverted_index(self, column: str, index_name: str) -> int:
@@ -413,14 +426,15 @@ class ManagedTable:
         Fail-open (None) when the index is missing/unreadable; the
         postings read is a token-IN pyarrow scan (value-sorted row
         groups)."""
-        idx_dir = os.path.join(self.path, "_indexes", index_name)
-        if not os.path.isdir(idx_dir) or not clauses:
+        idx_dir = bs.join(self.path, "_indexes", index_name)
+        if not bs.isdir(idx_dir) or not clauses:
             return None
         wanted = sorted({v for cl in clauses for v in cl})
         try:
             import pyarrow.dataset as pads
 
-            tbl = pads.dataset(idx_dir, format="parquet").to_table(
+            p, fs = bs.dataset_source(idx_dir)
+            tbl = pads.dataset(p, format="parquet", filesystem=fs).to_table(
                 filter=pads.field("token").isin(wanted)
             )
         except Exception:
@@ -436,8 +450,9 @@ class ManagedTable:
             if all(vs & set(cl) for cl in clauses)
         }
         try:
-            with open(os.path.join(idx_dir, "_indexed_files.json")) as fh:
-                indexed = set(json.load(fh))
+            indexed = set(
+                json.loads(bs.read_text(bs.join(idx_dir, "_indexed_files.json")))
+            )
         except (OSError, ValueError):
             # missing OR corrupted coverage manifest -> can't prune
             # safely (fail-open, never crash the query)
@@ -446,7 +461,7 @@ class ManagedTable:
             f
             for f in self.files()
             # unindexed files are kept unconditionally (fail-open)
-            if os.path.basename(f) in keep or os.path.basename(f) not in indexed
+            if bs.basename(f) in keep or bs.basename(f) not in indexed
         ]
 
     def inverted_prune(
@@ -464,8 +479,8 @@ class ManagedTable:
         filter over the token dictionary, no Spark job."""
         import re as _re
 
-        idx_dir = os.path.join(self.path, "_indexes", index_name)
-        if not os.path.isdir(idx_dir):
+        idx_dir = bs.join(self.path, "_indexes", index_name)
+        if not bs.isdir(idx_dir):
             return None
         pieces = set()
         for t in terms:
@@ -480,7 +495,10 @@ class ManagedTable:
             for p in sorted(pieces):
                 e = pc.match_substring(pads.field("token"), p)
                 expr = e if expr is None else expr | e
-            tbl = pads.dataset(idx_dir, format="parquet").to_table(filter=expr)
+            p, fs = bs.dataset_source(idx_dir)
+            tbl = pads.dataset(p, format="parquet", filesystem=fs).to_table(
+                filter=expr
+            )
         except Exception:
             return None
         seen: dict[str, set] = {}
@@ -490,8 +508,9 @@ class ManagedTable:
             seen.setdefault(f, set()).update(p for p in pieces if p in t)
         keep = {f for f, ps in seen.items() if ps >= pieces}
         try:
-            with open(os.path.join(idx_dir, "_indexed_files.json")) as fh:
-                indexed = set(json.load(fh))
+            indexed = set(
+                json.loads(bs.read_text(bs.join(idx_dir, "_indexed_files.json")))
+            )
         except (OSError, ValueError):
             # missing OR corrupted coverage manifest -> can't prune
             # safely (fail-open, never crash the query)
@@ -500,7 +519,7 @@ class ManagedTable:
             f
             for f in self.files()
             # unindexed files are kept unconditionally (fail-open)
-            if os.path.basename(f) in keep or os.path.basename(f) not in indexed
+            if bs.basename(f) in keep or bs.basename(f) not in indexed
         ]
 
     def vacuum(self, retain_versions: int = 1) -> tuple[int, int]:
@@ -516,23 +535,21 @@ class ManagedTable:
         drop_ms = ms[: -retain_versions] if retain_versions < len(ms) else []
         live: set[str] = set()
         for name in keep_ms:
-            with open(os.path.join(self.manifest_dir, name)) as f:
-                live.update(json.load(f)["files"])
+            live.update(
+                json.loads(bs.read_text(bs.join(self.manifest_dir, name)))["files"]
+            )
         removed_files = 0
-        if os.path.isdir(self.data_dir):
-            for fn in os.listdir(self.data_dir):
-                rel = os.path.join("data", fn)
-                if fn.endswith(".parquet") and rel not in live:
-                    os.remove(os.path.join(self.data_dir, fn))
+        if bs.isdir(self.data_dir):
+            for fn in bs.listdir(self.data_dir):
+                if fn.endswith(".parquet") and f"data/{fn}" not in live:
+                    bs.remove(bs.join(self.data_dir, fn))
                     removed_files += 1
         for name in drop_ms:
-            os.remove(os.path.join(self.manifest_dir, name))
+            bs.remove(bs.join(self.manifest_dir, name))
         return len(drop_ms), removed_files
 
     def drop(self) -> None:
-        import shutil
-
-        shutil.rmtree(self.path, ignore_errors=True)
+        bs.rmtree(self.path)
 
 
 def _parse_type(s: str) -> T.DataType:
@@ -552,9 +569,9 @@ class Catalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        self.dir = os.path.join(root, ".beacon_catalog")
-        self.tables_dir = os.path.join(self.dir, "tables")
-        self.file = os.path.join(self.dir, "catalog.json")
+        self.dir = bs.join(root, ".beacon_catalog")
+        self.tables_dir = bs.join(self.dir, "tables")
+        self.file = bs.join(self.dir, "catalog.json")
 
     _EMPTY = {
         "views": {},
@@ -569,19 +586,19 @@ class Catalog:
 
     def _load(self) -> dict:
         cat = {}
-        if os.path.exists(self.file):
-            with open(self.file) as f:
-                cat = json.load(f)
+        if bs.exists(self.file):
+            cat = json.loads(bs.read_text(self.file))
         for k, v in self._EMPTY.items():
             cat.setdefault(k, dict(v))
         return cat
 
     def _save(self, cat: dict) -> None:
-        os.makedirs(self.dir, exist_ok=True)
-        tmp = self.file + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(cat, f, indent=1)
-        os.replace(tmp, self.file)
+        # "rev" is a monotonic commit counter: the signature() change
+        # token — exact on stores whose mtime granularity (S3: seconds)
+        # would otherwise miss two commits in one tick
+        cat["rev"] = int(cat.get("rev", 0)) + 1
+        bs.makedirs(self.dir)
+        bs.publish_bytes(self.file, json.dumps(cat, indent=1).encode())
 
     # ---- managed tables ----
 
@@ -595,7 +612,7 @@ class Catalog:
         cat = self._load()
         if name in cat["tables"]:
             raise ManagedTableError(f"table {name!r} already exists")
-        path = os.path.join(self.tables_dir, name)
+        path = bs.join(self.tables_dir, name)
         t = ManagedTable(self.spark, path).create(df)
         cat["tables"][name] = path
         self._save(cat)
@@ -687,7 +704,7 @@ class Catalog:
 
     def create_materialized_view(self, name: str, sql: str, df: DataFrame) -> None:
         cat = self._load()
-        path = os.path.join(self.tables_dir, f"_mv_{name}")
+        path = bs.join(self.tables_dir, f"_mv_{name}")
         ManagedTable(self.spark, path).create(df)
         cat["materialized_views"][name] = {"sql": sql, "path": path}
         self._save(cat)
@@ -714,7 +731,7 @@ class Catalog:
     def signature(self) -> tuple | None:
         """Cheap change token so Engine re-registers temp views only when
         the catalog or any table version moved. None = no catalog yet."""
-        if not os.path.exists(self.file):
+        if not bs.exists(self.file):
             return None
         cat = self._load()
         vers = []
@@ -722,7 +739,7 @@ class Catalog:
             vers.append((name, ManagedTable(self.spark, path).current_version()))
         for name, mv in sorted(cat["materialized_views"].items()):
             vers.append((name, ManagedTable(self.spark, mv["path"]).current_version()))
-        return (os.stat(self.file).st_mtime_ns, tuple(vers), tuple(sorted(cat["views"])))
+        return (cat.get("rev", 0), tuple(vers), tuple(sorted(cat["views"])))
 
     def names(self) -> dict:
         cat = self._load()

@@ -296,7 +296,30 @@ def write_netcdf(
 
 
 def write_output(df: DataFrame, fmt: str, path: str, **options) -> None:
-    """The ``output.format`` dispatcher (output.rs:89-120)."""
+    """The ``output.format`` dispatcher (output.rs:89-120).
+
+    ``path`` may be an object-store URI: single-file outputs are written
+    to a local temp file (batch-streamed, bounded memory) and chunk-
+    uploaded through the scheme's filesystem; distributed writes
+    (``single=False``) go straight to ``spark_path(path)``."""
+    from beacon_spark.sources import bytesource as bs
+
+    if bs.is_uri(path) and not path.startswith("file://"):
+        if options.get("single") is False:
+            path = bs.spark_path(path)
+        else:
+            import os as _os
+            import tempfile
+
+            suffix = _os.path.splitext(path)[1] or f".{fmt}"
+            fd, tmp = tempfile.mkstemp(prefix="beacon_out_", suffix=suffix)
+            _os.close(fd)
+            try:
+                write_output(df, fmt, tmp, **options)
+                bs.upload_file(tmp, path)
+            finally:
+                _os.unlink(tmp)
+            return
     fmt = fmt.lower()
     if fmt == "csv":
         write_csv(df, path, options.get("single", True))

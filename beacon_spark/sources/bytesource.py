@@ -51,6 +51,8 @@ __all__ = [
     "read_bytes", "read_text", "open_text", "exists", "isdir", "isfile",
     "listdir", "walk", "join", "basename", "dirname", "glob", "is_uri",
     "local_path", "read_head", "register_scheme",
+    "write_bytes", "publish_bytes", "makedirs", "remove", "rmtree",
+    "move", "mtime", "spark_path", "spark_paths", "dataset_source",
 ]
 
 
@@ -283,6 +285,49 @@ class _LocalFS:
             for p in sorted(_glob.glob(local_path(pattern), recursive=True))
         ]
 
+    # ---- write side (managed tables / catalog / indexes) ----
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with open(local_path(path), "wb") as f:
+            f.write(data)
+
+    def publish_bytes(self, path: str, data: bytes) -> None:
+        """Atomically-visible write: tmp + rename, so concurrent readers
+        see the old or the new content, never a torn file."""
+        p = local_path(path)
+        tmp = f"{p}.tmp-{os.getpid()}-{id(data) & 0xFFFF:x}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, p)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(local_path(path), exist_ok=True)
+
+    def remove(self, path: str) -> None:
+        os.remove(local_path(path))
+
+    def rmtree(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(local_path(path), ignore_errors=True)
+
+    def move(self, src: str, dst: str) -> None:
+        os.replace(local_path(src), local_path(dst))
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(local_path(path))
+
+    def open_output(self, path: str):
+        return open(local_path(path), "wb")
+
+    def spark_path(self, path: str) -> str:
+        return path
+
+    def dataset_source(self, path: str):
+        """(fs_path, pyarrow_filesystem | None) for pyarrow
+        dataset/parquet calls — None means a plain local path."""
+        return local_path(path), None
+
 
 class _ArrowFS:
     """pyarrow.fs-backed operations for object-store URIs.  Full URIs in,
@@ -367,6 +412,76 @@ class _ArrowFS:
                 files.append(posixpath.basename(i.path))
         for d, (dirs, files) in by_dir.items():
             yield d, dirs, files
+
+    # ---- write side (managed tables / catalog / indexes) ----
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with self.fs.open_output_stream(self._p(path)) as f:
+            f.write(data)
+
+    def publish_bytes(self, path: str, data: bytes) -> None:
+        # object-store PUT is already atomic per key (readers see the
+        # old object or the new one, never a torn write) — no tmp+rename
+        self.write_bytes(path, data)
+
+    def makedirs(self, path: str) -> None:
+        self.fs.create_dir(self._p(path), recursive=True)
+
+    def remove(self, path: str) -> None:
+        self.fs.delete_file(self._p(path))
+
+    def rmtree(self, path: str) -> None:
+        try:
+            self.fs.delete_dir(self._p(path))
+        except (OSError, FileNotFoundError):
+            pass
+
+    def move(self, src: str, dst: str) -> None:
+        """Rename a file or directory tree. Stores with a native rename
+        use it; key-value stores fall back to copy+delete per object
+        (the reference's object_store rename does the same under S3)."""
+        from pyarrow import fs as pafs
+
+        try:
+            self.fs.move(self._p(src), self._p(dst))
+            return
+        except (OSError, NotImplementedError):
+            pass
+        info = self.fs.get_file_info(self._p(src))
+        if info.type == pafs.FileType.Directory:
+            sel = pafs.FileSelector(self._p(src), recursive=True)
+            self.fs.create_dir(self._p(dst), recursive=True)
+            for i in self.fs.get_file_info(sel):
+                rel = i.path[len(self._p(src)):].lstrip("/")
+                if i.type == pafs.FileType.Directory:
+                    self.fs.create_dir(f"{self._p(dst)}/{rel}", recursive=True)
+                else:
+                    with self.fs.open_input_stream(i.path) as r, \
+                         self.fs.open_output_stream(f"{self._p(dst)}/{rel}") as w:
+                        w.write(r.read())
+            self.fs.delete_dir(self._p(src))
+        else:
+            with self.fs.open_input_stream(self._p(src)) as r, \
+                 self.fs.open_output_stream(self._p(dst)) as w:
+                w.write(r.read())
+            self.fs.delete_file(self._p(src))
+
+    def mtime(self, path: str) -> float:
+        info = self._info(path)
+        return info.mtime.timestamp() if info.mtime is not None else 0.0
+
+    def open_output(self, path: str):
+        return self.fs.open_output_stream(self._p(path))
+
+    def spark_path(self, path: str) -> str:
+        # Hadoop's S3 connector answers to s3a://; every other scheme
+        # passes through to whatever JVM connector is on the classpath
+        if self.scheme == "s3":
+            return "s3a://" + path[len("s3://"):]
+        return path
+
+    def dataset_source(self, path: str):
+        return self._p(path), self.fs
 
     def glob(self, pattern: str) -> list[str]:
         # longest wildcard-free prefix = the listing root
@@ -465,6 +580,75 @@ def walk(path: str):
 
 def glob(pattern: str) -> list[str]:
     return fs_for(pattern).glob(pattern)
+
+
+def write_bytes(path: str, data: bytes) -> None:
+    fs_for(path).write_bytes(path, data)
+
+
+def publish_bytes(path: str, data: bytes) -> None:
+    """Atomically-VISIBLE write: local = tmp+rename, object store =
+    single PUT (atomic per key). The commit primitive for manifests,
+    catalogs and index swaps."""
+    fs_for(path).publish_bytes(path, data)
+
+
+def makedirs(path: str) -> None:
+    fs_for(path).makedirs(path)
+
+
+def remove(path: str) -> None:
+    fs_for(path).remove(path)
+
+
+def rmtree(path: str) -> None:
+    fs_for(path).rmtree(path)
+
+
+def move(src: str, dst: str) -> None:
+    """Rename src → dst (same store only)."""
+    fs_for(src).move(src, dst)
+
+
+def mtime(path: str) -> float:
+    return fs_for(path).mtime(path)
+
+
+def upload_file(local: str, dst: str, chunk: int = 1 << 20) -> None:
+    """Chunk-copy a local file to ``dst`` (URI or local path) without
+    holding it in memory. Falls back to one write_bytes for filesystems
+    without a streaming writer."""
+    fs = fs_for(dst)
+    writer = getattr(fs, "open_output", None)
+    if writer is None:
+        with open(local, "rb") as r:
+            fs.write_bytes(dst, r.read())
+        return
+    with open(local, "rb") as r, writer(dst) as w:
+        while True:
+            buf = r.read(chunk)
+            if not buf:
+                break
+            w.write(buf)
+
+
+def spark_path(path: str) -> str:
+    """The form of ``path`` the Spark JVM's Hadoop connectors understand
+    (``s3:// → s3a://``; a test scheme maps to its backing store). Use
+    for every path handed to ``spark.read``/``df.write``."""
+    fs = fs_for(path)
+    f = getattr(fs, "spark_path", None)
+    return f(path) if f is not None else path
+
+
+def spark_paths(paths: list[str]) -> list[str]:
+    return [spark_path(p) for p in paths]
+
+
+def dataset_source(path: str):
+    """(fs_path, pyarrow_filesystem | None) for ``pyarrow.dataset`` /
+    ``pyarrow.parquet`` calls (None = plain local path)."""
+    return fs_for(path).dataset_source(path)
 
 
 def read_head(path: str, n: int) -> bytes:

@@ -60,9 +60,22 @@ def expand_parquet_dirs(files: list[str]) -> list[str]:
     files (skipping _SUCCESS/_committed/hidden); plain files pass through.
     Keeps footer-level code (supertype scan, stats collection) working on
     real files while spark.read accepts either form."""
+    from beacon_spark.sources import bytesource as _bs
+
     out: list[str] = []
     for f in files:
-        if os.path.isdir(f):
+        if _bs.is_uri(f):
+            if _bs.isdir(f):
+                out.extend(
+                    sorted(
+                        p
+                        for p in _bs.glob(_bs.join(f, "**", "*.parquet"))
+                        if not _bs.basename(p).startswith(("_", "."))
+                    )
+                )
+            else:
+                out.append(f)
+        elif os.path.isdir(f):
             out.extend(
                 sorted(
                     p
@@ -97,9 +110,30 @@ def detect_format(path: str) -> str | None:
 
 
 def list_datasets(datasets_root: str) -> list[tuple[str, str | None]]:
-    """Walk the datasets root; (relative_path, detected format) per file."""
+    """Walk the datasets root (local dir or object-store URI);
+    (relative_path, detected format) per file."""
+    from beacon_spark.sources import bytesource as _bs
+
+    remote = _bs.is_uri(datasets_root)
+    join = _bs.join if remote else os.path.join
+    root = datasets_root.rstrip("/")
+
+    def rel_of(p: str) -> str:
+        if remote:
+            return p[len(root):].lstrip("/")
+        return os.path.relpath(p, datasets_root)
+
     out: list[tuple[str, str | None]] = []
-    for dirpath, dirnames, filenames in os.walk(datasets_root):
+    # dataset directories already claimed — their contents are chunks/
+    # part-files of ONE dataset, never datasets themselves
+    claimed: list[str] = []
+    for dirpath, dirnames, filenames in (
+        _bs.walk(datasets_root) if remote else os.walk(datasets_root)
+    ):
+        dp = str(dirpath)
+        if any(dp == c or dp.startswith(c + "/") or dp.startswith(c + os.sep)
+               for c in claimed):
+            continue
         # a .zarr store, a Spark-written .parquet directory, or a
         # Hive-partitioned layout (key=value subdirs) is ONE dataset —
         # don't descend into its chunks/part-files (the reference's
@@ -108,18 +142,20 @@ def list_datasets(datasets_root: str) -> list[tuple[str, str | None]]:
             d
             for d in dirnames
             if d.endswith((".zarr", ".parquet")) or _is_hive_partitioned(
-                os.path.join(dirpath, d)
+                join(dp, d)
             )
         ]
         for d in ds_dirs:
-            rel = os.path.relpath(os.path.join(dirpath, d), datasets_root)
+            rel = rel_of(join(dp, d))
             fmt = "zarr" if d.endswith(".zarr") else "parquet"
             out.append((rel, fmt))
-            dirnames.remove(d)
+            if not remote:
+                dirnames.remove(d)  # os.walk: prune descent in place
+            claimed.append(join(dp, d))
         for f in filenames:
             if f.startswith(("_", ".")):  # _SUCCESS, _committed, hidden
                 continue
-            rel = os.path.relpath(os.path.join(dirpath, f), datasets_root)
+            rel = rel_of(join(dp, f))
             out.append((rel, detect_format(rel)))
     return sorted(out)
 
@@ -128,6 +164,20 @@ def _is_hive_partitioned(path: str) -> bool:
     """True when a directory's children are key=value partition dirs
     (ultimately holding parquet) — Spark reads such a root natively with
     partition pruning, so it must register as one dataset."""
+    from beacon_spark.sources import bytesource as _bs
+
+    if _bs.is_uri(path):
+        try:
+            entries = _bs.listdir(path)
+        except (OSError, FileNotFoundError):
+            return False
+        parts = [
+            e for e in entries
+            if "=" in e and _bs.isdir(_bs.join(path, e))
+        ]
+        return bool(parts) and all(
+            e.startswith(("_", ".")) or "=" in e for e in entries
+        )
     try:
         entries = os.listdir(path)
     except OSError:

@@ -21,14 +21,22 @@ row-group pruning inside the surviving files.
 
 from __future__ import annotations
 
-import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from beacon_spark.sources import bytesource as bs
+
 STATS_DIRNAME = ".beacon_stats"
+
+
+def _open_parquet(path: str) -> pq.ParquetFile:
+    """Footer access over local paths AND object-store URIs (ranged
+    reads through the scheme's pyarrow filesystem)."""
+    p, fs = bs.dataset_source(path)
+    return pq.ParquetFile(p if fs is None else fs.open_input_file(p))
 
 _SCHEMA = pa.schema(
     [
@@ -47,7 +55,7 @@ _SCHEMA = pa.schema(
 def _file_stats(path: str) -> list[dict]:
     """Footer-only stats for one parquet file: per-column global min/max
     across row groups."""
-    md = pq.ParquetFile(path).metadata
+    md = _open_parquet(path).metadata
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
     for rg in range(md.num_row_groups):
@@ -67,7 +75,7 @@ def _file_stats(path: str) -> list[dict]:
                 maxs[name] is not None and st.max is not None and st.max > maxs[name]
             ):
                 maxs[name] = st.max
-    mtime = os.path.getmtime(path)
+    mtime = bs.mtime(path)
     out = []
     for name in mins:
         mn, mx = mins[name], maxs[name]
@@ -96,7 +104,7 @@ def _file_stats(path: str) -> list[dict]:
 
 
 def index_path(datasets_root: str) -> str:
-    return os.path.join(datasets_root, STATS_DIRNAME, "index.parquet")
+    return bs.join(datasets_root, STATS_DIRNAME, "index.parquet")
 
 
 def analyze_files(
@@ -107,40 +115,44 @@ def analyze_files(
     """``ANALYZE FILES ['prefix'] [FORCE]`` analog: (re)build the stats
     index for parquet files under the root. Incremental by mtime unless
     ``force``. Returns the number of files (re)analyzed."""
-    import glob as _glob
-
     from beacon_spark.sources.paths import expand_parquet_dirs
 
     if files is None:
         files = sorted(
             f
-            for f in _glob.glob(os.path.join(datasets_root, "**", "*.parquet"), recursive=True)
+            for f in bs.glob(bs.join(datasets_root, "**", "*.parquet"))
             if STATS_DIRNAME not in f
         )
     # directory datasets → part files; dedupe (a dir glob can match both)
-    files = sorted({f for f in expand_parquet_dirs(files) if os.path.isfile(f)})
+    files = sorted({f for f in expand_parquet_dirs(files) if bs.isfile(f)})
     idx_file = index_path(datasets_root)
     existing: dict[str, float] = {}
     rows: list[dict] = []
-    if os.path.exists(idx_file) and not force:
-        prev = pq.read_table(idx_file).to_pylist()
+    if bs.exists(idx_file) and not force:
+        prev = _read_index(idx_file)
         for r in prev:
             existing[r["path"]] = r["mtime"]
-        rows = [r for r in prev if os.path.exists(r["path"])]
+        rows = [r for r in prev if bs.exists(r["path"])]
 
     todo = [
         f
         for f in files
-        if force or f not in existing or os.path.getmtime(f) > existing[f]
+        if force or f not in existing or bs.mtime(f) > existing[f]
     ]
     if todo:
         rows = [r for r in rows if r["path"] not in set(todo)]
         with ThreadPoolExecutor(max_workers=min(32, len(todo))) as ex:
             for stats in ex.map(_file_stats, todo):
                 rows.extend(stats)
-    os.makedirs(os.path.dirname(idx_file), exist_ok=True)
-    pq.write_table(pa.Table.from_pylist(rows, schema=_SCHEMA), idx_file)
+    bs.makedirs(bs.dirname(idx_file))
+    p, fs = bs.dataset_source(idx_file)
+    pq.write_table(pa.Table.from_pylist(rows, schema=_SCHEMA), p, filesystem=fs)
     return len(todo)
+
+
+def _read_index(idx_file: str) -> list[dict]:
+    p, fs = bs.dataset_source(idx_file)
+    return pq.read_table(p, filesystem=fs).to_pylist()
 
 
 # ------------------------------------------------------------ ranges
@@ -286,9 +298,9 @@ def prune_files(
     absent from the index (or with null stats) are kept
     (file-stats/src/scan_pruning.rs — fail-open contract)."""
     idx_file = index_path(datasets_root)
-    if not ranges or not os.path.exists(idx_file):
+    if not ranges or not bs.exists(idx_file):
         return files
-    idx = pq.read_table(idx_file).to_pylist()
+    idx = _read_index(idx_file)
     by_file: dict[str, dict[str, dict]] = {}
     for r in idx:
         by_file.setdefault(r["path"], {})[r["column"]] = r
@@ -318,6 +330,6 @@ def prune_files(
 def statistics_df(spark, datasets_root: str):
     """``view_statistics_cache`` / ``view_dataset_statistics`` analog."""
     idx_file = index_path(datasets_root)
-    if not os.path.exists(idx_file):
+    if not bs.exists(idx_file):
         raise FileNotFoundError("no statistics index; run ANALYZE FILES first")
-    return spark.read.parquet(idx_file)
+    return spark.read.parquet(bs.spark_path(idx_file))
