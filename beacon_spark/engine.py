@@ -1279,11 +1279,57 @@ class Engine:
             raise ValueError(f"no attached remote engine {alias!r}")
         return rb.query(self.spark, sql)
 
+    def _register_remote_datasource(self) -> None:
+        """One-time session setup for the federated-scan DataSource
+        (server/remote_datasource.py): register the format + enable the
+        Python-DS filter-pushdown planner hook."""
+        if getattr(self, "_remote_ds_ready", False):
+            return
+        from beacon_spark.server.remote_datasource import RemoteTableDataSource
+
+        try:
+            self.spark.dataSource.register(RemoteTableDataSource)
+        except Exception:
+            pass  # already registered by another Engine on this session
+        self.spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        self._remote_ds_ready = True
+
+    def _remote_scan_df(self, rb, tbl: str, statement: str) -> DataFrame:
+        """Lazy federated scan of ``alias__tbl`` with pushdown:
+
+        - projection: the DataSource schema is narrowed to the columns
+          the statement's identifiers reference (safe over-approximation
+          — ``*`` or an unparseable statement keeps the full schema), so
+          the remote SELECT lists exactly those columns.
+        - filters: Catalyst pushes supported predicates into the scan
+          via ``pushFilters``; they execute in the remote's WHERE.
+
+        The reference's FederationOptimizerRule does both rewrites at
+        plan time (runtime_builder.rs:814-827); here Spark's own planner
+        does the filter half and statement-time narrowing the column
+        half."""
+        schema = rb.table_schema(tbl)
+        blanked = re.sub(r"'(?:[^']|'')*'", "''", statement)
+        if "*" not in blanked:
+            idents = {w.lower() for w in re.findall(r"\w+", blanked)}
+            narrowed = [f for f in schema.fields if f.name.lower() in idents]
+            if narrowed:
+                from pyspark.sql import types as _T
+
+                schema = _T.StructType(narrowed)
+        return (
+            self.spark.read.format("beacon_remote")
+            .schema(schema)
+            .options(url=rb.location, table=tbl, token=rb._token or "")
+            .load()
+        )
+
     def _resolve_remote(self, statement: str) -> str:
         """SQL surface for attached remotes: ``remote_query('alias',
         'sql')`` pushes the statement down; a bare ``alias__table``
-        reference fetches that table (SELECT *) into a temp view on
-        first use in the statement."""
+        reference becomes a LAZY federated scan (temp view over the
+        beacon_remote DataSource) whose filters/projection push to the
+        remote — never an eager SELECT * fetch."""
         remotes = getattr(self, "_remotes", {})
         if not remotes:
             return statement
@@ -1310,7 +1356,8 @@ class Engine:
                     continue
                 seen.add(tbl)
                 if tbl in rb.list_tables():
-                    rb.fetch_table(self.spark, tbl).createOrReplaceTempView(
+                    self._register_remote_datasource()
+                    self._remote_scan_df(rb, tbl, statement).createOrReplaceTempView(
                         f"{alias}__{tbl}"
                     )
                     self._remote_views = getattr(self, "_remote_views", {})

@@ -13,13 +13,16 @@ pick up new ones), and makes them queryable:
     form of what the reference's federation optimizer does
     automatically (documented divergence: Spark has no federation
     rewrite, so pushdown is by statement, not by plan fragment).
-  - ``SELECT … FROM lake__tbl`` — a referenced remote table is fetched
-    (``SELECT *``) into a temp view on first use per statement. Right
-    for dimension-sized tables; push filters with remote_query for big
-    ones.
+  - ``SELECT … FROM lake__tbl`` — a referenced remote table is a LAZY
+    federated scan (``server/remote_datasource.py``): Catalyst pushes
+    supported filters into the remote ``WHERE`` (Python-DS
+    ``pushFilters``), the schema is narrowed to the statement's
+    referenced columns, and the Arrow batches stream to an EXECUTOR —
+    big remote tables never ride through the driver.
 
-Results stream back as Arrow batches and land as a driver-side
-DataFrame (``spark.createDataFrame(arrow)``)."""
+``remote_query`` results stream back as Arrow batches and land as a
+driver-side DataFrame (``spark.createDataFrame(arrow)``) — bound their
+size with LIMIT/aggregation as with any collect."""
 
 from __future__ import annotations
 
@@ -85,6 +88,20 @@ class RemoteBeacon:
     def query_arrow(self, sql: str):
         ticket = fl.Ticket(json.dumps({"sql": sql}).encode())
         return self._client.do_get(ticket, options=self._opts()).read_all()
+
+    def table_schema(self, table: str):
+        """Spark schema of a remote table — metadata-only
+        (get_flight_info; nothing executes beyond a LIMIT-0 plan)."""
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        if not hasattr(self, "_schemas"):
+            self._schemas = {}
+        if table not in self._schemas:
+            info = self._client.get_flight_info(
+                fl.FlightDescriptor.for_path(table), options=self._opts()
+            )
+            self._schemas[table] = from_arrow_schema(info.schema)
+        return self._schemas[table]
 
     def query(self, spark, sql: str):
         return spark.createDataFrame(self.query_arrow(sql))

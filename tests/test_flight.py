@@ -451,3 +451,67 @@ def test_http_remaining_metadata_endpoints(spark, served):
         assert get("/api/default-table")["table"] is None
     finally:
         hs.shutdown()
+
+
+def test_federated_pushdown(spark, served, tmp_path):
+    """lake__tbl references are LAZY federated scans: Catalyst pushes
+    filters into the remote WHERE via the beacon_remote DataSource's
+    pushFilters, and the statement-time schema narrowing ships only the
+    referenced columns (r4-verdict item 4; reference
+    FederationOptimizerRule, runtime_builder.rs:814-827)."""
+    eng, _server, port = served
+    eng.sql("CREATE TABLE wide AS SELECT id, id * 2 AS a, id * 3 AS b "
+            "FROM range(20)")
+    recorded = []
+    orig = eng.sql
+
+    def rec(sql, **kw):
+        recorded.append(sql)
+        return orig(sql, **kw)
+
+    eng.sql = rec
+    try:
+        client_eng = Engine(spark, datasets_root=str(tmp_path / "fed_client"))
+        client_eng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS fed")
+        out = client_eng.sql(
+            "SELECT a FROM fed__wide WHERE id > 15"
+        ).collect()
+        assert sorted(r.a for r in out) == [32, 34, 36, 38]
+        remote = [s for s in recorded if "wide" in s and "WHERE" in s]
+        assert remote, f"no pushed-down remote statement in {recorded!r}"
+        pushed = remote[-1]
+        # the predicate executed REMOTELY...
+        assert "`id` > 15" in pushed
+        # ...and only the referenced columns crossed the wire
+        assert "`a`" in pushed and "`b`" not in pushed
+    finally:
+        eng.sql = orig
+        client_eng.sql("DETACH fed")
+
+
+def test_federated_scan_unsupported_filter_stays_local(spark, served, tmp_path):
+    """A predicate the remote SQL compiler can't express is evaluated by
+    Spark post-scan — pushFilters yields it back, never drops it."""
+    eng, _server, port = served
+    recorded = []
+    orig = eng.sql
+
+    def rec(sql, **kw):
+        recorded.append(sql)
+        return orig(sql, **kw)
+
+    eng.sql = rec
+    try:
+        client_eng = Engine(spark, datasets_root=str(tmp_path / "fed_client2"))
+        client_eng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS fd2")
+        out = client_eng.sql(
+            "SELECT id FROM fd2__remobs WHERE id % 7 = 1 AND g = 0"
+        ).collect()
+        expect = sorted(i for i in range(20) if i % 7 == 1 and i % 3 == 0)
+        assert sorted(r.id for r in out) == expect
+        pushed = [s for s in recorded if "remobs" in s][-1]
+        assert "`g` = 0" in pushed        # supported -> remote
+        assert "%" not in pushed           # modulo stayed local
+    finally:
+        eng.sql = orig
+        client_eng.sql("DETACH fd2")
