@@ -1,0 +1,346 @@
+"""Users / roles / grants with deny-wins read authorization.
+
+The Spark-side analog of the reference's auth stack
+(``beacon-db/beacon-auth/src/role.rs`` — roles hold grant and deny rule
+sets; ``statement_plan/authz.rs:25-41`` — every read target needs
+``Select``, deny-wins, default-deny; ``statement_plan/mod.rs:58-78`` —
+DDL/DML/statements are gated on the super-user flag).
+
+Model, persisted in the catalog JSON under ``"auth"``:
+
+    auth.users[name]  = {password: "pbkdf2$...", roles: [...],
+                         super_user: bool}
+    auth.roles[name]  = {grants: [rule...], denies: [rule...]}
+    rule              = {privilege: SELECT|INSERT|UPDATE|DELETE|CREATE|
+                         DROP|ALL,
+                         target: null | {"all": true} | {"table": name}
+                                | {"path": glob}}
+    auth.enforce      = bool (default false — grants gate reads only
+                        when enforcement is on, like the reference's
+                        runtime flag; the super-user gate on DDL/DML is
+                        unconditional once a caller identity is given)
+
+Statement surface (mirrors ``parser/statement.rs:141-211``)::
+
+    CREATE USER u WITH PASSWORD 'pw' [SUPERUSER]
+    DROP USER u
+    CREATE ROLE r / DROP ROLE r
+    GRANT ROLE r TO USER u / REVOKE ROLE r FROM USER u
+    GRANT <priv> [ON TABLE t | ON PATH 'glob' | ON ALL] TO ROLE r
+    DENY  <priv> [ON ...] TO ROLE r
+    REVOKE [DENY] <priv> [ON ...] FROM ROLE r
+    SET AUTH ENFORCEMENT ON|OFF
+    SHOW USERS / SHOW ROLES
+
+Identity threading: ``Engine.sql(stmt, user="alice")``. ``user=None``
+is the embedded caller — the implicit super-user, exactly the
+reference's default identity when no auth is configured. Divergences
+(documented): passwords hash with PBKDF2-HMAC-SHA256 (no Argon2 in the
+stdlib), and read targets are resolved lexically against the catalog's
+table names + ``read_*`` path arguments rather than by walking resolved
+TableScans — an over-approximation, so it errs toward denial, never
+toward leaking.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import hashlib
+import re
+import secrets
+
+__all__ = [
+    "AuthError", "run_auth_statement", "authorize", "verify_user",
+    "hash_password", "is_allowed",
+]
+
+PRIVILEGES = {"SELECT", "INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALL"}
+
+
+class AuthError(PermissionError):
+    pass
+
+
+# ------------------------------------------------------------ passwords
+
+def hash_password(pw: str, iterations: int = 100_000) -> str:
+    salt = secrets.token_hex(16)
+    dk = hashlib.pbkdf2_hmac(
+        "sha256", pw.encode(), bytes.fromhex(salt), iterations
+    )
+    return f"pbkdf2${iterations}${salt}${dk.hex()}"
+
+
+def check_password(pw: str, stored: str) -> bool:
+    try:
+        _, iters, salt, want = stored.split("$")
+        dk = hashlib.pbkdf2_hmac(
+            "sha256", pw.encode(), bytes.fromhex(salt), int(iters)
+        )
+        return secrets.compare_digest(dk.hex(), want)
+    except (ValueError, TypeError):
+        return False
+
+
+def verify_user(engine, username: str, pw: str) -> bool:
+    """Transport-side credential check (HTTP Basic → engine identity)."""
+    a = _auth(engine.catalog._load())
+    u = a["users"].get(username)
+    return bool(u) and check_password(pw, u.get("password", ""))
+
+
+# ------------------------------------------------------------ evaluator
+
+def _auth(cat: dict) -> dict:
+    a = cat.setdefault("auth", {})
+    a.setdefault("users", {})
+    a.setdefault("roles", {})
+    a.setdefault("enforce", False)
+    return a
+
+
+def _rule_matches(rule: dict, privilege: str, target: tuple[str, str]) -> bool:
+    if rule["privilege"] not in (privilege, "ALL"):
+        return False
+    t = rule.get("target")
+    if t is None or t.get("all"):
+        return True
+    kind, value = target
+    if "table" in t:
+        return kind == "table" and value == t["table"]
+    if "path" in t:
+        return kind == "path" and fnmatch.fnmatch(value, t["path"])
+    return False
+
+
+def is_allowed(auth: dict, roles: list[str], privilege: str,
+               target: tuple[str, str]) -> bool:
+    """Deny-wins over the user's roles; default-deny (role.rs:322-344)."""
+    matched = [auth["roles"][r] for r in roles if r in auth["roles"]]
+    if any(
+        _rule_matches(rule, privilege, target)
+        for role in matched for rule in role.get("denies", [])
+    ):
+        return False
+    return any(
+        _rule_matches(rule, privilege, target)
+        for role in matched for rule in role.get("grants", [])
+    )
+
+
+# ------------------------------------------------------------ authorize
+
+_READ_FN_ARG_RE = re.compile(
+    r"\bread_\w+\s*\(\s*'((?:[^']|'')*)'", re.IGNORECASE
+)
+
+
+def authorize(engine, statement: str, user: str | None) -> None:
+    """Gate one statement for ``user``. ``None`` = embedded super-user
+    (no checks). Super-user gate is unconditional; read grants are
+    enforced only when ``auth.enforce`` is on (authz.rs:25-41)."""
+    if user is None:
+        return
+    cat = engine.catalog._load() if engine.catalog is not None else {}
+    a = _auth(cat)
+    ident = a["users"].get(user)
+    if ident is None:
+        raise AuthError(f"unknown user {user!r}")
+    if ident.get("super_user"):
+        return
+    from beacon_spark.server.guard import is_readonly_sql
+
+    if not is_readonly_sql(statement):
+        # validate_query_plan's reframed message (mod.rs:63-70)
+        raise AuthError(
+            "operation not permitted: this statement requires super-user "
+            "privileges"
+        )
+    if not a.get("enforce"):
+        return
+    roles = ident.get("roles", [])
+    blanked = re.sub(r"'(?:[^']|'')*'", "''", statement)
+    idents = {w.lower() for w in re.findall(r"\w+", blanked)}
+    names = (
+        list(cat.get("tables", {}))
+        + list(cat.get("external_tables", {}))
+        + list(cat.get("views", {}))
+        + list(cat.get("materialized_views", {}))
+    )
+    for name in names:
+        if name.lower() in idents and not is_allowed(
+            a, roles, "SELECT", ("table", name)
+        ):
+            raise AuthError(f"permission denied: SELECT on table {name!r}")
+    for m in _READ_FN_ARG_RE.finditer(statement):
+        path = m.group(1).replace("''", "'")
+        if not is_allowed(a, roles, "SELECT", ("path", path)):
+            raise AuthError(f"permission denied: SELECT on path {path!r}")
+
+
+# ------------------------------------------------------------ statements
+
+_TARGET = r"(?:\s+ON\s+(?:TABLE\s+(\w+)|PATH\s+'([^']*)'|(ALL)))?"
+_AUTH_RES: list[tuple[str, re.Pattern]] = [
+    ("create_user", re.compile(
+        r"^\s*CREATE\s+USER\s+(\w+)\s+WITH\s+PASSWORD\s+'((?:[^']|'')*)'"
+        r"(\s+SUPERUSER)?;?\s*$", re.IGNORECASE)),
+    ("drop_user", re.compile(r"^\s*DROP\s+USER\s+(\w+);?\s*$", re.IGNORECASE)),
+    ("create_role", re.compile(r"^\s*CREATE\s+ROLE\s+(\w+);?\s*$", re.IGNORECASE)),
+    ("drop_role", re.compile(r"^\s*DROP\s+ROLE\s+(\w+);?\s*$", re.IGNORECASE)),
+    ("grant_role", re.compile(
+        r"^\s*GRANT\s+ROLE\s+(\w+)\s+TO\s+USER\s+(\w+);?\s*$", re.IGNORECASE)),
+    ("revoke_role", re.compile(
+        r"^\s*REVOKE\s+ROLE\s+(\w+)\s+FROM\s+USER\s+(\w+);?\s*$", re.IGNORECASE)),
+    ("grant_priv", re.compile(
+        rf"^\s*GRANT\s+(\w+){_TARGET}\s+TO\s+ROLE\s+(\w+);?\s*$", re.IGNORECASE)),
+    ("deny_priv", re.compile(
+        rf"^\s*DENY\s+(\w+){_TARGET}\s+TO\s+ROLE\s+(\w+);?\s*$", re.IGNORECASE)),
+    ("revoke_priv", re.compile(
+        rf"^\s*REVOKE\s+(DENY\s+)?(\w+){_TARGET}\s+FROM\s+ROLE\s+(\w+);?\s*$",
+        re.IGNORECASE)),
+    ("set_enforce", re.compile(
+        r"^\s*SET\s+AUTH\s+ENFORCEMENT\s+(ON|OFF);?\s*$", re.IGNORECASE)),
+    ("show_users", re.compile(r"^\s*SHOW\s+USERS;?\s*$", re.IGNORECASE)),
+    ("show_roles", re.compile(r"^\s*SHOW\s+ROLES;?\s*$", re.IGNORECASE)),
+]
+
+
+def _parse_target(tbl, path, allkw) -> dict | None:
+    if tbl:
+        return {"table": tbl}
+    if path:
+        return {"path": path}
+    if allkw:
+        return {"all": True}
+    return None
+
+
+def _priv(p: str) -> str:
+    p = p.upper()
+    if p not in PRIVILEGES:
+        raise AuthError(f"unknown privilege {p!r}")
+    return p
+
+
+def run_auth_statement(engine, statement: str, user: str | None):
+    """Execute an auth-management statement; None when ``statement``
+    is not one. Auth DDL itself needs the super-user (the reference
+    routes AuthStatement through the same super-user gate)."""
+    for kind, rx in _AUTH_RES:
+        m = rx.match(statement)
+        if m:
+            break
+    else:
+        return None
+    cat = engine.catalog._load()
+    a = _auth(cat)
+    if user is not None:
+        ident = a["users"].get(user)
+        if ident is None or not ident.get("super_user"):
+            raise AuthError(
+                "operation not permitted: auth management requires "
+                "super-user privileges"
+            )
+
+    def save():
+        engine.catalog._save(cat)
+        engine._cat_sig = None
+
+    if kind == "create_user":
+        name, pw, sup = m.group(1), m.group(2).replace("''", "'"), m.group(3)
+        if name in a["users"]:
+            raise AuthError(f"user {name!r} already exists")
+        a["users"][name] = {
+            "password": hash_password(pw),
+            "roles": [],
+            "super_user": bool(sup),
+        }
+        save()
+        return engine._status(status="ok", op="create_user", name=name)
+    if kind == "drop_user":
+        if a["users"].pop(m.group(1), None) is None:
+            raise AuthError(f"unknown user {m.group(1)!r}")
+        save()
+        return engine._status(status="ok", op="drop_user", name=m.group(1))
+    if kind == "create_role":
+        name = m.group(1)
+        if name in a["roles"]:
+            raise AuthError(f"role {name!r} already exists")
+        a["roles"][name] = {"grants": [], "denies": []}
+        save()
+        return engine._status(status="ok", op="create_role", name=name)
+    if kind == "drop_role":
+        name = m.group(1)
+        if a["roles"].pop(name, None) is None:
+            raise AuthError(f"unknown role {name!r}")
+        for u in a["users"].values():
+            u["roles"] = [r for r in u.get("roles", []) if r != name]
+        save()
+        return engine._status(status="ok", op="drop_role", name=name)
+    if kind == "grant_role":
+        role, uname = m.group(1), m.group(2)
+        if role not in a["roles"]:
+            raise AuthError(f"unknown role {role!r}")
+        if uname not in a["users"]:
+            raise AuthError(f"unknown user {uname!r}")
+        if role not in a["users"][uname]["roles"]:
+            a["users"][uname]["roles"].append(role)
+        save()
+        return engine._status(status="ok", op="grant_role", name=role)
+    if kind == "revoke_role":
+        role, uname = m.group(1), m.group(2)
+        if uname not in a["users"]:
+            raise AuthError(f"unknown user {uname!r}")
+        a["users"][uname]["roles"] = [
+            r for r in a["users"][uname]["roles"] if r != role
+        ]
+        save()
+        return engine._status(status="ok", op="revoke_role", name=role)
+    if kind in ("grant_priv", "deny_priv"):
+        priv, role = _priv(m.group(1)), m.group(5)
+        target = _parse_target(m.group(2), m.group(3), m.group(4))
+        if role not in a["roles"]:
+            raise AuthError(f"unknown role {role!r}")
+        key = "denies" if kind == "deny_priv" else "grants"
+        rule = {"privilege": priv, "target": target}
+        if rule not in a["roles"][role][key]:
+            a["roles"][role][key].append(rule)
+        save()
+        return engine._status(status="ok", op=kind, name=role)
+    if kind == "revoke_priv":
+        deny, priv, role = bool(m.group(1)), _priv(m.group(2)), m.group(6)
+        target = _parse_target(m.group(3), m.group(4), m.group(5))
+        if role not in a["roles"]:
+            raise AuthError(f"unknown role {role!r}")
+        key = "denies" if deny else "grants"
+        rule = {"privilege": priv, "target": target}
+        a["roles"][role][key] = [
+            r for r in a["roles"][role][key] if r != rule
+        ]
+        save()
+        return engine._status(status="ok", op="revoke_priv", name=role)
+    if kind == "set_enforce":
+        a["enforce"] = m.group(1).upper() == "ON"
+        save()
+        return engine._status(
+            status="ok", op="set_auth_enforcement",
+            name="on" if a["enforce"] else "off",
+        )
+    if kind == "show_users":
+        rows = [
+            (n, bool(u.get("super_user")), ",".join(sorted(u.get("roles", []))))
+            for n, u in sorted(a["users"].items())
+        ]
+        return engine.spark.createDataFrame(
+            rows, "user_name string, super_user boolean, roles string"
+        )
+    if kind == "show_roles":
+        rows = [
+            (n, len(r.get("grants", [])), len(r.get("denies", [])))
+            for n, r in sorted(a["roles"].items())
+        ]
+        return engine.spark.createDataFrame(
+            rows, "role_name string, grants int, denies int"
+        )
+    return None

@@ -540,7 +540,8 @@ class Engine:
 
     # ------------------------------------------------------------ sql
 
-    def sql(self, statement: str, params: list | dict | None = None) -> DataFrame:
+    def sql(self, statement: str, params: list | dict | None = None,
+            user: str | None = None) -> DataFrame:
         """Spark SQL with the dialect extensions pre-compiled away.
 
         - ``SUMMARIZE <table|query>`` → one-pass profiling aggregate
@@ -550,8 +551,19 @@ class Engine:
           (runtime.rs:107-116) or a dict for ``:name`` markers
         - ``SELECT * EXCLUDE (...)`` / ``* REPLACE (expr AS col)`` star
           options rewritten onto Spark's ``* EXCEPT`` / ``withColumn``
+        - ``user``: caller identity for RBAC (auth.py). ``None`` = the
+          embedded super-user (the reference's default identity); a
+          named non-super user is gated to read-only statements and,
+          with enforcement on, to its roles' SELECT grants (deny-wins,
+          default-deny — authz.rs:25-41, mod.rs:58-78)
         """
         if self.catalog is not None:
+            from beacon_spark import auth as _auth
+
+            handled = _auth.run_auth_statement(self, statement, user)
+            if handled is not None:
+                return handled
+            _auth.authorize(self, statement, user)
             for kind, rx in _DDL_RES:
                 m = rx.match(statement)
                 if m:

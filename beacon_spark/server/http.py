@@ -87,9 +87,32 @@ class BeaconHttpServer:
                 self.wfile.write(body)
 
             def _authed(self) -> bool:
-                if outer._token is None:
+                """Bearer <token> = the transport super-identity;
+                Basic user:pass = an RBAC identity from the engine's
+                user store (auth.py) — its statements run gated by that
+                user's roles. No header: open only when the server has
+                no token configured (embedded mode)."""
+                self._ident = None  # None = embedded super-user
+                header = self.headers.get("Authorization") or ""
+                if outer._token is not None and header == f"Bearer {outer._token}":
                     return True
-                if self.headers.get("Authorization") == f"Bearer {outer._token}":
+                if header.startswith("Basic "):
+                    import base64
+
+                    from beacon_spark import auth as _auth
+
+                    try:
+                        creds = base64.b64decode(header[6:]).decode()
+                        user, _, pw = creds.partition(":")
+                    except Exception:
+                        user = ""
+                    if user and outer.engine.catalog is not None and \
+                            _auth.verify_user(outer.engine, user, pw):
+                        self._ident = user
+                        return True
+                    self._deny(401, "bad basic credentials")
+                    return False
+                if outer._token is None:
                     return True
                 self._deny(401, "bad or missing bearer token")
                 return False
@@ -215,7 +238,7 @@ class BeaconHttpServer:
                     except Exception as e:
                         self._deny(400, str(e))
                         return
-                    resp = outer._mcp_handle(msg)
+                    resp = outer._mcp_handle(msg, getattr(self, "_ident", None))
                     if resp is None:  # notification: no body
                         self._send(b"", "application/json")
                     else:
@@ -231,7 +254,18 @@ class BeaconHttpServer:
                         raise ValueError("query body must be a JSON object")
                     output = req.get("output")
                     if "sql" in req:
-                        df = outer.engine.sql(req["sql"], params=req.get("params"))
+                        df = outer.engine.sql(
+                            req["sql"], params=req.get("params"),
+                            user=getattr(self, "_ident", None),
+                        )
+                    elif getattr(self, "_ident", None) is not None:
+                        # the JSON DSL has no RBAC hook; a named (non-
+                        # transport-super) identity gets the SQL surface
+                        raise ValueError(
+                            "JSON-DSL queries require the transport "
+                            "super-identity; authenticated users query "
+                            "via SQL"
+                        )
                     else:
                         # the JSON query DSL rides the same endpoint
                         # (query.rs: InnerQuery::Sql | Json); "format"/
@@ -562,7 +596,8 @@ class BeaconHttpServer:
                 "where predicate must not contain subqueries"
             )
 
-    def _mcp_tool(self, name: str, args: dict) -> str:
+    def _mcp_tool(self, name: str, args: dict,
+                  user: str | None = None) -> str:
         eng = self.engine
         if name == "list_tables":
             try:
@@ -587,7 +622,9 @@ class BeaconHttpServer:
                     "and free of write/DDL/admin keywords"
                 )
             limit = int(args.get("limit", 100))
-            rows = self._limits.collect_rows(eng.sql(sql).limit(limit))
+            rows = self._limits.collect_rows(
+                eng.sql(sql, user=user).limit(limit)
+            )
             return json.dumps(rows, default=str)
         if name == "export_query":
             # fetch recipe only — the (potentially huge) file never
@@ -647,14 +684,17 @@ class BeaconHttpServer:
             sql = f"SELECT {', '.join(cols)} FROM {inner} AS __scoped"
             if args.get("where"):
                 sql += f" WHERE ({args['where']})"
-            rows = eng.sql(sql).limit(int(args.get("limit", 100))).collect()
+            rows = eng.sql(sql, user=user).limit(
+                int(args.get("limit", 100))
+            ).collect()
             return json.dumps([r.asDict(recursive=True) for r in rows],
                               default=str)
         raise ValueError(f"unknown tool {name!r}")
 
-    def _mcp_handle(self, msg: dict):
+    def _mcp_handle(self, msg: dict, user: str | None = None):
         """One JSON-RPC 2.0 message → response dict (None for
-        notifications)."""
+        notifications). ``user`` is the transport identity (HTTP Basic →
+        RBAC user; None = transport super)."""
         method = msg.get("method", "")
         mid = msg.get("id")
         if method.startswith("notifications/"):
@@ -688,7 +728,8 @@ class BeaconHttpServer:
             params = msg.get("params", {})
             try:
                 text = self._mcp_tool(
-                    params.get("name", ""), params.get("arguments", {}) or {}
+                    params.get("name", ""), params.get("arguments", {}) or {},
+                    user=user,
                 )
                 return ok({"content": [{"type": "text", "text": text}],
                            "isError": False})

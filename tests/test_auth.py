@@ -1,0 +1,192 @@
+"""RBAC: users/roles/grants with deny-wins read checks + the super-user
+gate (auth.py; reference beacon-db/beacon-auth, statement_plan/
+authz.rs:25-41, parser/statement.rs:141-211, and the non-super-user
+gating tests in runtime.rs:640-1290)."""
+
+import base64
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from beacon_spark.auth import AuthError, check_password, hash_password
+from beacon_spark.engine import Engine
+
+
+@pytest.fixture()
+def aeng(spark, tmp_path):
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE secrets AS SELECT id, id * 7 AS v FROM range(10)")
+    eng.sql("CREATE TABLE public AS SELECT id FROM range(5)")
+    eng.sql("CREATE USER alice WITH PASSWORD 'pw1'")
+    eng.sql("CREATE USER root WITH PASSWORD 'pw0' SUPERUSER")
+    eng.sql("CREATE ROLE readers")
+    eng.sql("GRANT ROLE readers TO USER alice")
+    return eng
+
+
+def test_password_hashing_roundtrip():
+    h = hash_password("s3cret")
+    assert h.startswith("pbkdf2$") and "s3cret" not in h
+    assert check_password("s3cret", h)
+    assert not check_password("wrong", h)
+
+
+def test_super_user_gate_on_ddl_dml(aeng):
+    """Non-super users cannot run DDL/DML/statements — the
+    validate_query_plan gate (mod.rs:58-78); super-users can."""
+    for stmt in [
+        "CREATE TABLE t2 AS SELECT 1 AS x",
+        "INSERT INTO public SELECT 99",
+        "DELETE FROM public WHERE id = 0",
+        "DROP TABLE public",
+        "COPY public TO 'out.parquet'",
+    ]:
+        with pytest.raises(AuthError, match="super-user"):
+            aeng.sql(stmt, user="alice")
+    # nothing leaked through
+    assert aeng.sql("SELECT count(*) AS n FROM public").collect()[0].n == 5
+    # the super-user runs the same statement fine
+    aeng.sql("CREATE TABLE t2 AS SELECT 1 AS x", user="root")
+    assert "t2" in aeng.table_names()
+
+
+def test_auth_ddl_requires_super_user(aeng):
+    with pytest.raises(AuthError, match="super-user"):
+        aeng.sql("CREATE USER mallory WITH PASSWORD 'x'", user="alice")
+    with pytest.raises(AuthError, match="super-user"):
+        aeng.sql("GRANT SELECT ON ALL TO ROLE readers", user="alice")
+    # and SHOW USERS is part of the restricted auth directory
+    with pytest.raises(AuthError, match="super-user"):
+        aeng.sql("SHOW USERS", user="alice")
+    rows = aeng.sql("SHOW USERS", user="root").collect()
+    assert {r.user_name for r in rows} == {"alice", "root"}
+
+
+def test_enforcement_default_deny_and_grants(aeng):
+    # enforcement off (default): reads pass for any known user
+    assert aeng.sql("SELECT count(*) AS n FROM secrets",
+                    user="alice").collect()[0].n == 10
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    # default-deny
+    with pytest.raises(AuthError, match="SELECT on table 'secrets'"):
+        aeng.sql("SELECT * FROM secrets", user="alice")
+    # grant on ONE table opens exactly that table
+    aeng.sql("GRANT SELECT ON TABLE public TO ROLE readers")
+    assert aeng.sql("SELECT count(*) AS n FROM public",
+                    user="alice").collect()[0].n == 5
+    with pytest.raises(AuthError):
+        aeng.sql("SELECT * FROM secrets", user="alice")
+    # ALL target
+    aeng.sql("GRANT SELECT ON ALL TO ROLE readers")
+    assert aeng.sql("SELECT count(*) AS n FROM secrets",
+                    user="alice").collect()[0].n == 10
+    # unknown users stay out regardless
+    with pytest.raises(AuthError, match="unknown user"):
+        aeng.sql("SELECT 1", user="nobody")
+
+
+def test_deny_wins_over_grant(aeng):
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    aeng.sql("GRANT SELECT ON ALL TO ROLE readers")
+    aeng.sql("DENY SELECT ON TABLE secrets TO ROLE readers")
+    assert aeng.sql("SELECT count(*) AS n FROM public",
+                    user="alice").collect()[0].n == 5
+    with pytest.raises(AuthError, match="permission denied"):
+        aeng.sql("SELECT * FROM secrets", user="alice")
+    # revoking the deny restores the grant
+    aeng.sql("REVOKE DENY SELECT ON TABLE secrets FROM ROLE readers")
+    assert aeng.sql("SELECT count(*) AS n FROM secrets",
+                    user="alice").collect()[0].n == 10
+
+
+def test_path_grants_gate_read_functions(aeng, spark, tmp_path):
+    spark.range(6).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "open.parquet"))
+    spark.range(9).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "hidden.parquet"))
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    aeng.sql("GRANT SELECT ON PATH 'open*' TO ROLE readers")
+    n = aeng.sql("SELECT count(*) AS n FROM read_parquet('open.parquet')",
+                 user="alice").collect()[0].n
+    assert n == 6
+    with pytest.raises(AuthError, match="SELECT on path"):
+        aeng.sql("SELECT count(*) AS n FROM read_parquet('hidden.parquet')",
+                 user="alice")
+
+
+def test_drop_role_revokes_membership(aeng):
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    aeng.sql("GRANT SELECT ON ALL TO ROLE readers")
+    assert aeng.sql("SELECT 1 AS x FROM public LIMIT 1",
+                    user="alice").count() == 1
+    aeng.sql("DROP ROLE readers")
+    with pytest.raises(AuthError):
+        aeng.sql("SELECT 1 AS x FROM public LIMIT 1", user="alice")
+    rows = aeng.sql("SHOW USERS").collect()
+    assert next(r for r in rows if r.user_name == "alice").roles == ""
+
+
+def test_auth_persists_across_engines(aeng, spark):
+    eng2 = Engine(spark, datasets_root=aeng.datasets_root)
+    with pytest.raises(AuthError, match="super-user"):
+        eng2.sql("CREATE TABLE nope AS SELECT 1", user="alice")
+    # password hashes (not plaintext) persisted in the catalog
+    raw = open(eng2.catalog.file).read()
+    assert "pw1" not in raw and "pbkdf2$" in raw
+
+
+def test_http_basic_auth_rbac(spark, aeng):
+    from beacon_spark.server.http import BeaconHttpServer
+
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    aeng.sql("GRANT SELECT ON TABLE public TO ROLE readers")
+    hs = BeaconHttpServer(aeng, port=0, token="admintok")
+    port = hs.serve_background()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(obj, auth_header):
+        req = urllib.request.Request(
+            f"{base}/api/query", data=json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": auth_header}, method="POST")
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    basic = "Basic " + base64.b64encode(b"alice:pw1").decode()
+    try:
+        rows = post({"sql": "SELECT count(*) AS n FROM public",
+                     "format": "json"}, basic)
+        assert rows[0]["n"] == 5
+        # denied table -> clean 400 carrying the permission error
+        try:
+            post({"sql": "SELECT * FROM secrets", "format": "json"}, basic)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"permission denied" in e.read()
+        # DDL as the basic user -> denied
+        try:
+            post({"sql": "DROP TABLE public", "format": "json"}, basic)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"super-user" in e.read()
+        # the DSL body has no RBAC hook -> reserved for the transport super
+        try:
+            post({"select": ["id"], "from": "public", "format": "json"}, basic)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # wrong password -> 401
+        bad = "Basic " + base64.b64encode(b"alice:wrong").decode()
+        try:
+            post({"sql": "SELECT 1", "format": "json"}, bad)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        # bearer token remains the transport super-identity
+        rows = post({"sql": "SELECT count(*) AS n FROM secrets",
+                     "format": "json"}, "Bearer admintok")
+        assert rows[0]["n"] == 10
+    finally:
+        hs.shutdown()
