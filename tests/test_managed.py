@@ -510,3 +510,36 @@ def test_zorder_handles_nan_and_nulls(spark, tmp_path):
     eng.catalog.create_table("nan_t", df)
     eng.sql("CREATE INDEX ni ON nan_t (x, y) USING btree")  # must not raise
     assert eng.sql("SELECT count(*) AS n FROM nan_t").collect()[0].n == 100
+
+
+def test_crawler_registers_hive_partitioned_tree(spark, tmp_path):
+    """r4-verdict item 7: the crawler detects key=value directory
+    layouts during discovery and registers them as ONE partitioned
+    external table whose partition columns prune (reference:
+    crawler/discovery.rs hive detection)."""
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    (
+        spark.range(100)
+        .selectExpr("id", "2020 + CAST(id % 3 AS INT) AS year",
+                    "1 + CAST(id % 4 AS INT) AS month")
+        .write.partitionBy("year", "month")
+        .parquet(str(tmp_path / "events_tree"))
+    )
+    eng.sql("CREATE CRAWLER hive_c")
+    report = {(r.path, r.action) for r in eng.sql("RUN CRAWLER hive_c").collect()}
+    assert ("events_tree", "registered as events_tree") in report
+    # ONE table, not one per partition leaf
+    assert sum(1 for p, _ in report if p.startswith("events_tree")) == 1
+
+    df = eng.sql("SELECT * FROM events_tree LIMIT 0")
+    assert {"year", "month"} <= set(df.columns)  # partition columns derived
+    out = eng.sql("SELECT count(*) AS n FROM events_tree WHERE year = 2021")
+    assert out.collect()[0].n == 33
+    # partition PRUNING: the filter lands in the scan's PartitionFilters
+    # (inputFiles() is plan-level and lists all files pre-pruning)
+    plan = (
+        eng.sql("SELECT * FROM events_tree WHERE year = 2021")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "2021" in m[0]
