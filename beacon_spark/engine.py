@@ -1756,10 +1756,23 @@ class Engine:
             if fmt == "iceberg":
                 loc = cfg["paths"][0] if "paths" in cfg else cfg["location"]
                 return self.read_iceberg(loc, cfg.get("snapshot_id"))
-            if fmt in ("icechunk", "bbf"):
-                # icechunk needs the icechunk store library (msgpack+zstd
-                # manifests — absent here); bbf is Beacon's proprietary
-                # container (SURVEY.md §2.1: documented out of scope)
+            if fmt == "icechunk":
+                # repository detection + refs/version resolution are
+                # real (sources/icechunklite.py, mirroring the
+                # reference's repository.rs); array decode gates at the
+                # FlatBuffers layer with a documented finding
+                from beacon_spark.sources.icechunklite import open_icechunk
+                from beacon_spark.sources.paths import resolve_dir
+
+                loc = cfg["paths"][0] if "paths" in cfg else cfg["location"]
+                return open_icechunk(
+                    resolve_dir(loc, self.datasets_root),
+                    branch=cfg.get("branch"), tag=cfg.get("tag"),
+                    snapshot=cfg.get("snapshot"),
+                )
+            if fmt == "bbf":
+                # bbf is Beacon's proprietary container (SURVEY.md §2.1:
+                # documented out of scope)
                 raise NotImplementedError(
                     f"format {fmt!r} is recognized but not supported in this build"
                 )
