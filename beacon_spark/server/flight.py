@@ -44,15 +44,42 @@ import pyarrow.flight as fl
 __all__ = ["BeaconFlightServer"]
 
 
+class _Identity(fl.ServerMiddleware):
+    """Per-call caller identity: None = the transport super-identity
+    (bearer token / open embedded server); a string = an RBAC user from
+    the engine's user store, whose statements run gated by their roles."""
+
+    def __init__(self, user: str | None):
+        self.user = user
+
+
 class _BearerAuth(fl.ServerMiddlewareFactory):
-    def __init__(self, token: str):
-        self._want = f"Bearer {token}"
+    def __init__(self, engine, token: str | None):
+        self._engine = engine
+        self._want = f"Bearer {token}" if token else None
 
     def start_call(self, info, headers):
         got = headers.get("authorization") or headers.get("Authorization") or []
-        if self._want not in got:
-            raise fl.FlightUnauthenticatedError("bad or missing bearer token")
-        return None
+        header = got[0] if got else ""
+        if self._want is not None and header == self._want:
+            return _Identity(None)
+        if header.startswith("Basic "):
+            import base64
+
+            from beacon_spark import auth as _auth
+
+            try:
+                creds = base64.b64decode(header[6:]).decode()
+                user, _, pw = creds.partition(":")
+            except Exception:
+                user = ""
+            if user and self._engine.catalog is not None and \
+                    _auth.verify_user(self._engine, user, pw):
+                return _Identity(user)
+            raise fl.FlightUnauthenticatedError("bad basic credentials")
+        if self._want is None:
+            return _Identity(None)  # open server: embedded super
+        raise fl.FlightUnauthenticatedError("bad or missing bearer token")
 
 
 class BeaconFlightServer(fl.FlightServerBase):
@@ -68,19 +95,33 @@ class BeaconFlightServer(fl.FlightServerBase):
                  token: str | None = None, limits=None):
         from beacon_spark.server.limits import QueryLimits
 
-        middleware = {"auth": _BearerAuth(token)} if token else None
-        super().__init__(f"grpc://{host}:{port}", middleware=middleware)
+        # the auth middleware is always installed: it resolves the
+        # caller identity (bearer/basic/anonymous) for every call
+        super().__init__(
+            f"grpc://{host}:{port}",
+            middleware={"auth": _BearerAuth(engine, token)},
+        )
         self.engine = engine
         self._limits = limits if limits is not None else QueryLimits()
         self._thread: threading.Thread | None = None
 
     # ------------------------------------------------------------ surface
 
+    @staticmethod
+    def _user(context) -> str | None:
+        try:
+            mw = context.get_middleware("auth")
+        except Exception:
+            mw = None
+        return mw.user if mw is not None else None
+
     def do_get(self, context, ticket: fl.Ticket):
         from beacon_spark.outputs import arrow_schema_of, iter_arrow_batches
 
         cmd = json.loads(ticket.ticket.decode())
-        df = self.engine.sql(cmd["sql"], params=cmd.get("params"))
+        df = self.engine.sql(
+            cmd["sql"], params=cmd.get("params"), user=self._user(context)
+        )
         schema = arrow_schema_of(df)
 
         def batches():
@@ -116,7 +157,9 @@ class BeaconFlightServer(fl.FlightServerBase):
         from beacon_spark.outputs import arrow_schema_of
 
         schema = arrow_schema_of(
-            self.engine.sql(cmd["sql"], params=cmd.get("params")).limit(0)
+            self.engine.sql(
+                cmd["sql"], params=cmd.get("params"), user=self._user(context)
+            ).limit(0)
         )
         ticket = fl.Ticket(json.dumps(cmd).encode())
         endpoint = fl.FlightEndpoint(ticket, [])
@@ -162,7 +205,10 @@ class BeaconFlightServer(fl.FlightServerBase):
             tmp = f"__flight_put_{uuid.uuid4().hex}"
             df.createOrReplaceTempView(tmp)
             try:
-                self.engine.sql(f"INSERT INTO {name} SELECT * FROM {tmp}")
+                self.engine.sql(
+                    f"INSERT INTO {name} SELECT * FROM {tmp}",
+                    user=self._user(context),
+                )
             finally:
                 self.engine.spark.catalog.dropTempView(tmp)
         finally:

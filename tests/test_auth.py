@@ -190,3 +190,59 @@ def test_http_basic_auth_rbac(spark, aeng):
         assert rows[0]["n"] == 10
     finally:
         hs.shutdown()
+
+
+def test_flight_basic_auth_rbac(spark, aeng):
+    """Flight calls carry identities too: Basic creds resolve to an RBAC
+    user whose statements are gated; Bearer stays the transport super."""
+    import pyarrow.flight as fl
+
+    from beacon_spark.server import BeaconFlightServer
+
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    aeng.sql("GRANT SELECT ON TABLE public TO ROLE readers")
+    server = BeaconFlightServer(aeng, port=0, token="ftok")
+    port = server.serve_background()
+    try:
+        def client_with(header):
+            c = fl.FlightClient(f"grpc://127.0.0.1:{port}")
+            opts = fl.FlightCallOptions(
+                headers=[(b"authorization", header.encode())])
+            return c, opts
+
+        import base64
+        basic = "Basic " + base64.b64encode(b"alice:pw1").decode()
+        c, opts = client_with(basic)
+        t = c.do_get(fl.Ticket(json.dumps(
+            {"sql": "SELECT count(*) AS n FROM public"}).encode()),
+            options=opts).read_all()
+        assert t.column("n").to_pylist() == [5]
+        # denied table -> clean FlightError carrying the permission error
+        import pyarrow as pa
+        with pytest.raises((fl.FlightError, pa.ArrowException),
+                           match="permission denied"):
+            c.do_get(fl.Ticket(json.dumps(
+                {"sql": "SELECT * FROM secrets"}).encode()),
+                options=opts).read_all()
+        # DDL via do_put as the basic user -> denied
+        tbl = pa.table({"id": pa.array([77], pa.int64())})
+        with pytest.raises((fl.FlightError, pa.ArrowException),
+                           match="super-user"):
+            w, _ = c.do_put(fl.FlightDescriptor.for_path("public"),
+                            tbl.schema, options=opts)
+            w.write_table(tbl)
+            w.close()
+        # wrong password -> unauthenticated
+        c2, opts2 = client_with(
+            "Basic " + base64.b64encode(b"alice:nope").decode())
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            c2.do_get(fl.Ticket(json.dumps({"sql": "SELECT 1"}).encode()),
+                      options=opts2).read_all()
+        # bearer remains the transport super-identity
+        c3, opts3 = client_with("Bearer ftok")
+        t = c3.do_get(fl.Ticket(json.dumps(
+            {"sql": "SELECT count(*) AS n FROM secrets"}).encode()),
+            options=opts3).read_all()
+        assert t.column("n").to_pylist() == [10]
+    finally:
+        server.shutdown()
