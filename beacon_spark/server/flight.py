@@ -103,6 +103,9 @@ class BeaconFlightServer(fl.FlightServerBase):
         )
         self.engine = engine
         self._limits = limits if limits is not None else QueryLimits()
+        from beacon_spark.server.flightsql import FlightSqlHandler
+
+        self._fsql = FlightSqlHandler(engine, self._limits)
         self._thread: threading.Thread | None = None
 
     # ------------------------------------------------------------ surface
@@ -118,6 +121,10 @@ class BeaconFlightServer(fl.FlightServerBase):
     def do_get(self, context, ticket: fl.Ticket):
         from beacon_spark.outputs import arrow_schema_of, iter_arrow_batches
 
+        # FlightSQL tickets (Any-wrapped protobuf) first; legacy JSON else
+        stream = self._fsql.do_get(ticket.ticket, self._user(context))
+        if stream is not None:
+            return stream
         cmd = json.loads(ticket.ticket.decode())
         df = self.engine.sql(
             cmd["sql"], params=cmd.get("params"), user=self._user(context)
@@ -143,6 +150,12 @@ class BeaconFlightServer(fl.FlightServerBase):
     def get_flight_info(self, context, descriptor):
         from beacon_spark.server.guard import is_readonly_sql
 
+        if descriptor.command:
+            info = self._fsql.flight_info(
+                descriptor, descriptor.command, self._user(context)
+            )
+            if info is not None:
+                return info
         cmd = self._cmd_from_descriptor(descriptor)
         # planning a statement runs Engine.sql, which EXECUTES DDL/DML to
         # completion — and the get_flight_info → do_get flow would then
@@ -189,6 +202,17 @@ class BeaconFlightServer(fl.FlightServerBase):
         import pyarrow.parquet as pq
 
         if descriptor.command:
+            upd = self._fsql.do_put(descriptor.command, self._user(context))
+            if upd is not None:
+                # CommandStatementUpdate: drain the (empty) stream and
+                # answer with a DoPutUpdateResult in the app metadata
+                try:
+                    reader.read_all()
+                except Exception:
+                    pass
+                _n, meta = upd
+                writer.write(pa.py_buffer(meta))
+                return
             name = json.loads(descriptor.command.decode())["table"]
         elif descriptor.path:
             name = descriptor.path[0].decode()
@@ -215,6 +239,12 @@ class BeaconFlightServer(fl.FlightServerBase):
             os.unlink(spool)
 
     def do_action(self, context, action: fl.Action):
+        res = self._fsql.action(
+            action.type, action.body.to_pybytes() if action.body else b"",
+            self._user(context),
+        )
+        if res is not None:
+            return res
         if action.type == "list_tables":
             tables = self.engine.table_names()
             try:

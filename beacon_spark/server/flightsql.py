@@ -1,0 +1,387 @@
+"""Flight SQL protocol subset over the plain Flight server.
+
+The reference speaks Flight SQL to JDBC/ADBC clients
+(``beacon-server/src/flight_sql/service.rs:157-476``). The pyarrow
+wheel ships Flight but NOT the FlightSQL extension, so this module
+implements the protocol layer directly: Flight SQL is just Flight
+whose descriptor/ticket bytes are ``google.protobuf.Any``-wrapped
+protobuf messages from the public ``arrow.flight.protocol.sql``
+schema (Apache Arrow ``format/FlightSql.proto``). The messages used
+by the ad-hoc and prepared-statement query flows are tiny — a string
+or a handle — so a from-spec protobuf varint codec (~80 lines)
+covers them without a protobuf dependency.
+
+Supported commands (the surface ADBC's ``adbc_driver_flightsql`` and
+the Arrow JDBC driver use for read paths):
+
+  - ``CommandStatementQuery``      get_flight_info → do_get
+  - ``TicketStatementQuery``       do_get ticket
+  - ``CommandPreparedStatementQuery`` + the
+    ``CreatePreparedStatement`` / ``ClosePreparedStatement`` actions
+    (no bind parameters v1 — a bound do_put errors loudly)
+  - ``CommandGetCatalogs`` / ``CommandGetDbSchemas`` /
+    ``CommandGetTables`` / ``CommandGetTableTypes`` — catalog
+    enumeration with the schemas the Flight SQL spec fixes
+  - ``CommandGetSqlInfo`` — empty result with the spec schema (the
+    reference returns a minimal info set too)
+  - ``CommandStatementUpdate`` via do_put → ``DoPutUpdateResult``
+
+Wire-format pins: the tests assert exact protobuf byte strings for
+the simple messages (deterministic encoding), so the codec is checked
+against the protobuf spec, not just against itself.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+__all__ = ["FlightSqlHandler", "encode_any", "decode_any",
+           "encode_string_msg", "decode_fields", "TYPE_PREFIX"]
+
+TYPE_PREFIX = "type.googleapis.com/arrow.flight.protocol.sql."
+
+
+# ----------------------------------------------------- protobuf codec
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(data: bytes, i: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = data[i]
+        i += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, i
+        shift += 7
+
+
+def _field_bytes(num: int, payload: bytes) -> bytes:
+    return _varint((num << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _field_varint(num: int, value: int) -> bytes:
+    return _varint(num << 3) + _varint(value)
+
+
+def decode_fields(data: bytes) -> dict[int, list]:
+    """field number → values (bytes for length-delimited, int for
+    varint). Unknown wire types are skipped per proto3 rules."""
+    out: dict[int, list] = {}
+    i = 0
+    while i < len(data):
+        tag, i = _read_varint(data, i)
+        num, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, i = _read_varint(data, i)
+        elif wt == 2:
+            ln, i = _read_varint(data, i)
+            v = data[i:i + ln]
+            i += ln
+        elif wt == 5:
+            v = data[i:i + 4]
+            i += 4
+        elif wt == 1:
+            v = data[i:i + 8]
+            i += 8
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wt}")
+        out.setdefault(num, []).append(v)
+    return out
+
+
+def encode_any(type_name: str, payload: bytes) -> bytes:
+    """``google.protobuf.Any`` with an arrow.flight.protocol.sql type."""
+    url = (TYPE_PREFIX + type_name).encode()
+    return _field_bytes(1, url) + _field_bytes(2, payload)
+
+
+def decode_any(data: bytes) -> tuple[str, bytes] | None:
+    """(short type name, payload) for a FlightSQL Any; None when the
+    bytes are not one (e.g. the legacy JSON command shape)."""
+    try:
+        fields = decode_fields(data)
+        url = fields[1][0].decode()
+    except Exception:
+        return None
+    if not url.startswith(TYPE_PREFIX):
+        return None
+    payload = fields.get(2, [b""])[0]
+    return url[len(TYPE_PREFIX):], bytes(payload)
+
+
+def encode_string_msg(field_num: int, s: str) -> bytes:
+    return _field_bytes(field_num, s.encode())
+
+
+# ----------------------------------------------- spec result schemas
+
+_GET_CATALOGS_SCHEMA = pa.schema([pa.field("catalog_name", pa.utf8(), False)])
+_GET_DB_SCHEMAS_SCHEMA = pa.schema([
+    pa.field("catalog_name", pa.utf8()),
+    pa.field("db_schema_name", pa.utf8(), False),
+])
+_GET_TABLES_SCHEMA = pa.schema([
+    pa.field("catalog_name", pa.utf8()),
+    pa.field("db_schema_name", pa.utf8()),
+    pa.field("table_name", pa.utf8(), False),
+    pa.field("table_type", pa.utf8(), False),
+])
+_GET_TABLES_SCHEMA_WITH_SCHEMA = _GET_TABLES_SCHEMA.append(
+    pa.field("table_schema", pa.binary(), False)
+)
+_GET_TABLE_TYPES_SCHEMA = pa.schema([pa.field("table_type", pa.utf8(), False)])
+_SQL_INFO_SCHEMA = pa.schema([
+    pa.field("info_name", pa.uint32(), False),
+    pa.field("value", pa.dense_union([
+        pa.field("string_value", pa.utf8()),
+        pa.field("bool_value", pa.bool_()),
+        pa.field("bigint_value", pa.int64()),
+        pa.field("int32_bitmask", pa.int32()),
+        pa.field("string_list", pa.list_(pa.utf8())),
+        pa.field("int32_to_int32_list_map",
+                 pa.map_(pa.int32(), pa.list_(pa.int32()))),
+    ]), False),
+])
+
+CATALOG_NAME = "beacon"
+DB_SCHEMA_NAME = "default"
+
+
+class FlightSqlHandler:
+    """FlightSQL command handling for :class:`BeaconFlightServer`.
+
+    Each ``handle_*`` returns None when the bytes are not FlightSQL, so
+    the server can fall back to its legacy JSON protocol."""
+
+    def __init__(self, engine, limits):
+        self.engine = engine
+        self.limits = limits
+        self._prepared: dict[bytes, str] = {}
+
+    # ------------------------------------------------------- helpers
+
+    def _table_rows(self, name_filter: bytes | None) -> list[dict]:
+        import fnmatch
+
+        names = self.engine.table_names()
+        if name_filter:
+            pat = name_filter.decode().replace("%", "*").replace("_", "?")
+            names = [n for n in names if fnmatch.fnmatch(n, pat)]
+        return [
+            {"catalog_name": CATALOG_NAME, "db_schema_name": DB_SCHEMA_NAME,
+             "table_name": n, "table_type": "TABLE"}
+            for n in sorted(names)
+        ]
+
+    def _sql_stream(self, sql: str, user):
+        from beacon_spark.outputs import arrow_schema_of, iter_arrow_batches
+
+        import pyarrow.flight as fl
+
+        df = self.engine.sql(sql, user=user)
+        schema = arrow_schema_of(df)
+
+        def batches():
+            with self.limits.time_guard(self.engine.spark):
+                yielded = False
+                for b in self.limits.guard_batches(iter_arrow_batches(df)):
+                    yield b if b.schema == schema else b.cast(schema)
+                    yielded = True
+                if not yielded:
+                    yield pa.RecordBatch.from_pylist([], schema=schema)
+
+        return fl.GeneratorStream(schema, batches())
+
+    def _statement_sql(self, kind: str, payload: bytes) -> str | None:
+        fields = decode_fields(payload)
+        if kind == "CommandStatementQuery":
+            return fields[1][0].decode()
+        if kind == "TicketStatementQuery":
+            # our statement handle IS the query text
+            return fields[1][0].decode()
+        if kind == "CommandPreparedStatementQuery":
+            handle = bytes(fields[1][0])
+            sql = self._prepared.get(handle)
+            if sql is None:
+                raise ValueError("unknown prepared statement handle")
+            return sql
+        return None
+
+    def _metadata_table(self, kind: str, payload: bytes) -> pa.Table | None:
+        if kind == "CommandGetCatalogs":
+            return pa.Table.from_pylist(
+                [{"catalog_name": CATALOG_NAME}], schema=_GET_CATALOGS_SCHEMA
+            )
+        if kind == "CommandGetDbSchemas":
+            return pa.Table.from_pylist(
+                [{"catalog_name": CATALOG_NAME,
+                  "db_schema_name": DB_SCHEMA_NAME}],
+                schema=_GET_DB_SCHEMAS_SCHEMA,
+            )
+        if kind == "CommandGetTables":
+            fields = decode_fields(payload)
+            rows = self._table_rows(fields.get(3, [None])[0])
+            include_schema = bool(fields.get(5, [0])[0])
+            if not include_schema:
+                return pa.Table.from_pylist(rows, schema=_GET_TABLES_SCHEMA)
+            from beacon_spark.outputs import arrow_schema_of
+
+            for r in rows:
+                df = self.engine.sql(
+                    f"SELECT * FROM {r['table_name']} LIMIT 0"
+                )
+                r["table_schema"] = arrow_schema_of(df).serialize().to_pybytes()
+            return pa.Table.from_pylist(
+                rows, schema=_GET_TABLES_SCHEMA_WITH_SCHEMA
+            )
+        if kind == "CommandGetTableTypes":
+            return pa.Table.from_pylist(
+                [{"table_type": "TABLE"}], schema=_GET_TABLE_TYPES_SCHEMA
+            )
+        if kind == "CommandGetSqlInfo":
+            # empty result with the spec schema (pa.Schema.empty_table
+            # can't build an empty dense_union — construct it by hand)
+            union_t = _SQL_INFO_SCHEMA.field("value").type
+            children = [
+                pa.array([], type=union_t.field(i).type)
+                for i in range(union_t.num_fields)
+            ]
+            value = pa.UnionArray.from_dense(
+                pa.array([], pa.int8()), pa.array([], pa.int32()),
+                children, [union_t.field(i).name
+                           for i in range(union_t.num_fields)],
+            )
+            return pa.Table.from_arrays(
+                [pa.array([], pa.uint32()), value],
+                schema=pa.schema([
+                    _SQL_INFO_SCHEMA.field("info_name"),
+                    pa.field("value", value.type, False),
+                ]),
+            )
+        return None
+
+    # ------------------------------------------------------- surface
+
+    def flight_info(self, descriptor, command: bytes, user):
+        """FlightInfo for an Any-wrapped command; None if not FlightSQL."""
+        import pyarrow.flight as fl
+
+        decoded = decode_any(command)
+        if decoded is None:
+            return None
+        kind, payload = decoded
+        meta = self._metadata_table(kind, payload)
+        if meta is not None:
+            ticket = fl.Ticket(command)
+            return fl.FlightInfo(
+                meta.schema, descriptor, [fl.FlightEndpoint(ticket, [])],
+                meta.num_rows, -1,
+            )
+        sql = self._statement_sql(kind, payload)
+        if sql is None:
+            raise fl.FlightServerError(
+                f"unsupported FlightSQL command {kind!r}"
+            )
+        from beacon_spark.server.guard import is_readonly_sql
+
+        if not is_readonly_sql(sql):
+            raise fl.FlightServerError(
+                "get_flight_info is read-only (use CommandStatementUpdate "
+                "via do_put for DML)"
+            )
+        from beacon_spark.outputs import arrow_schema_of
+
+        schema = arrow_schema_of(self.engine.sql(sql, user=user).limit(0))
+        # the ticket re-states the query as a TicketStatementQuery whose
+        # statement_handle is the SQL text (stateless — any server
+        # instance can serve it, the reference's handle works the same)
+        ticket = fl.Ticket(encode_any(
+            "TicketStatementQuery", _field_bytes(1, sql.encode())
+        ))
+        return fl.FlightInfo(
+            schema, descriptor, [fl.FlightEndpoint(ticket, [])], -1, -1
+        )
+
+    def do_get(self, ticket_bytes: bytes, user):
+        """Stream for a FlightSQL ticket; None if not FlightSQL."""
+        decoded = decode_any(ticket_bytes)
+        if decoded is None:
+            return None
+        kind, payload = decoded
+        meta = self._metadata_table(kind, payload)
+        if meta is not None:
+            import pyarrow.flight as fl
+
+            return fl.RecordBatchStream(meta)
+        sql = self._statement_sql(kind, payload)
+        if sql is None:
+            raise ValueError(f"unsupported FlightSQL ticket {kind!r}")
+        return self._sql_stream(sql, user)
+
+    def do_put(self, command: bytes, user):
+        """CommandStatementUpdate → (rows_affected, DoPutUpdateResult
+        app-metadata bytes); None if not FlightSQL."""
+        decoded = decode_any(command)
+        if decoded is None:
+            return None
+        kind, payload = decoded
+        if kind != "CommandStatementUpdate":
+            raise ValueError(
+                f"unsupported FlightSQL do_put command {kind!r} (bind "
+                "parameters are not supported in this build)"
+            )
+        sql = decode_fields(payload)[1][0].decode()
+        result = self.engine.sql(sql, user=user)
+        try:
+            n = result.count()
+        except Exception:
+            n = -1
+        return n, _field_varint(1, max(n, 0))
+
+    def action(self, action_type: str, body: bytes, user):
+        """CreatePreparedStatement / ClosePreparedStatement; None when
+        the action is not FlightSQL."""
+        import hashlib
+
+        from beacon_spark.outputs import arrow_schema_of
+
+        if action_type == "CreatePreparedStatement":
+            decoded = decode_any(body)
+            if decoded is None:
+                raise ValueError("CreatePreparedStatement needs an Any body")
+            _, payload = decoded
+            sql = decode_fields(payload)[1][0].decode()
+            handle = hashlib.sha256(sql.encode()).digest()[:16]
+            self._prepared[handle] = sql
+            from beacon_spark.server.guard import is_readonly_sql
+
+            dataset_schema = b""
+            if is_readonly_sql(sql):
+                schema = arrow_schema_of(
+                    self.engine.sql(sql, user=user).limit(0)
+                )
+                dataset_schema = schema.serialize().to_pybytes()
+            result = (
+                _field_bytes(1, handle)
+                + _field_bytes(2, dataset_schema)
+                + _field_bytes(3, b"")  # no bind parameters v1
+            )
+            return [encode_any("ActionCreatePreparedStatementResult", result)]
+        if action_type == "ClosePreparedStatement":
+            decoded = decode_any(body)
+            if decoded is not None:
+                fields = decode_fields(decoded[1])
+                self._prepared.pop(bytes(fields.get(1, [b""])[0]), None)
+            return []
+        return None
