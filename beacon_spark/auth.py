@@ -36,10 +36,12 @@ Identity threading: ``Engine.sql(stmt, user="alice")``. ``user=None``
 is the embedded caller — the implicit super-user, exactly the
 reference's default identity when no auth is configured. Divergences
 (documented): passwords hash with PBKDF2-HMAC-SHA256 (no Argon2 in the
-stdlib), and read targets are resolved lexically against the catalog's
-table names + ``read_*`` path arguments rather than by walking resolved
-TableScans — an over-approximation, so it errs toward denial, never
-toward leaking.
+stdlib), and SQL read targets are resolved lexically against the
+catalog's table names + ``read_*`` path arguments rather than by
+walking resolved TableScans — an over-approximation, so it errs toward
+denial, never toward leaking. JSON-DSL queries check EXACTLY
+(:func:`authorize_dsl`): the DSL's ``from`` spec names its tables and
+paths.
 """
 
 from __future__ import annotations
@@ -50,8 +52,8 @@ import re
 import secrets
 
 __all__ = [
-    "AuthError", "run_auth_statement", "authorize", "verify_user",
-    "hash_password", "is_allowed",
+    "AuthError", "run_auth_statement", "authorize", "authorize_dsl",
+    "verify_user", "hash_password", "is_allowed",
 ]
 
 PRIVILEGES = {"SELECT", "INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALL"}
@@ -176,6 +178,50 @@ def authorize(engine, statement: str, user: str | None) -> None:
         path = m.group(1).replace("''", "'")
         if not is_allowed(a, roles, "SELECT", ("path", path)):
             raise AuthError(f"permission denied: SELECT on path {path!r}")
+
+
+def authorize_dsl(engine, body: dict, user: str | None) -> None:
+    """Gate a JSON-DSL query body for ``user``. The DSL is read-only by
+    construction, and its ``from`` spec NAMES its targets — so this
+    check is exact, not lexical: a table name checks a table grant,
+    ``{"<fmt>": {"paths": [...]}}`` checks each path. An ``output``
+    block writes files, so it stays super-user-only."""
+    if user is None:
+        return
+    cat = engine.catalog._load() if engine.catalog is not None else {}
+    a = _auth(cat)
+    ident = a["users"].get(user)
+    if ident is None:
+        raise AuthError(f"unknown user {user!r}")
+    if ident.get("super_user"):
+        return
+    if body.get("output"):
+        raise AuthError(
+            "operation not permitted: DSL file output requires super-user "
+            "privileges"
+        )
+    if not a.get("enforce"):
+        return
+    roles = ident.get("roles", [])
+    spec = body.get("from", engine.default_table)
+    if spec is None:
+        return
+    if isinstance(spec, str):
+        if not is_allowed(a, roles, "SELECT", ("table", spec)):
+            raise AuthError(f"permission denied: SELECT on table {spec!r}")
+        return
+    if isinstance(spec, dict):
+        ((_fmt, cfg),) = spec.items()
+        paths = cfg.get("paths") if isinstance(cfg, dict) else None
+        if paths is None and isinstance(cfg, dict) and cfg.get("location"):
+            paths = [cfg["location"]]
+        for p in paths or []:
+            if not is_allowed(a, roles, "SELECT", ("path", str(p))):
+                raise AuthError(f"permission denied: SELECT on path {p!r}")
+        if paths:
+            return
+    # unknown from shape: fail CLOSED, never leak
+    raise AuthError("permission denied: unresolvable DSL from target")
 
 
 # ------------------------------------------------------------ statements

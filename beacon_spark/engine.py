@@ -1550,14 +1550,26 @@ class Engine:
 
     # ------------------------------------------------------------ json dsl
 
-    def query(self, body: dict[str, Any], output_path: str | None = None) -> DataFrame:
+    def query(self, body: dict[str, Any], output_path: str | None = None,
+              user: str | None = None) -> DataFrame:
         """JSON query DSL (or ``{"sql": ...}``) → DataFrame — the two forms
         compile to the same plans (README.md:117-119). An ``output`` block
         (``{"format": ..., ...options}``) plus ``output_path`` writes the
-        result in the requested format (query/output.rs)."""
+        result in the requested format (query/output.rs). ``user`` gates
+        the query through RBAC (auth.authorize_dsl — exact target
+        checks: the DSL's ``from`` names its tables/paths)."""
         body = dict(body)
+        if user is not None and self.catalog is not None:
+            from beacon_spark import auth as _auth
+
+            if "sql" not in body:
+                _auth.authorize_dsl(self, body, user)
         output = body.pop("output", None)
-        df = self.sql(body["sql"]) if "sql" in body else dsl.compile_query(self, body)
+        df = (
+            self.sql(body["sql"], user=user)
+            if "sql" in body
+            else dsl.compile_query(self, body)
+        )
         if output is not None and output_path is not None:
             from beacon_spark.outputs import write_output
 

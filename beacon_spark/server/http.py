@@ -23,10 +23,16 @@ The Spark analog of the reference's axum client API
     reference's cleared super-user flag (server.rs:70-85). Tool
     failures come back as tool-result errors (isError), not protocol
     errors, so a model can read and react.
-  - optional bearer token (same contract as the Flight transport)
+  - auth: optional bearer token (the transport super-identity, same
+    contract as the Flight transport) and/or HTTP Basic credentials
+    resolving to an RBAC user (auth.py) whose statements run gated.
 
-Like the Flight transport, results materialize on the Spark driver and
-stream out — queries in, results out; inputs never cross the wire.
+Queries in, results out; inputs never cross the wire. Results STREAM:
+Arrow responses are chunk-streamed one batch at a time
+(``outputs.iter_arrow_batches`` — executor-spooled, bounded driver
+memory), file downloads are written batch-streamed then chunk-copied
+to the socket, and JSON responses are row/byte/time-capped
+(``server/limits.py``) so one request can never OOM the server.
 """
 
 from __future__ import annotations
@@ -258,14 +264,6 @@ class BeaconHttpServer:
                             req["sql"], params=req.get("params"),
                             user=getattr(self, "_ident", None),
                         )
-                    elif getattr(self, "_ident", None) is not None:
-                        # the JSON DSL has no RBAC hook; a named (non-
-                        # transport-super) identity gets the SQL surface
-                        raise ValueError(
-                            "JSON-DSL queries require the transport "
-                            "super-identity; authenticated users query "
-                            "via SQL"
-                        )
                     else:
                         # the JSON query DSL rides the same endpoint
                         # (query.rs: InnerQuery::Sql | Json); "format"/
@@ -273,7 +271,8 @@ class BeaconHttpServer:
                         body = req.get("query", req)
                         df = outer.engine.query(
                             {k: v for k, v in body.items()
-                             if k not in ("format", "output")}
+                             if k not in ("format", "output")},
+                            user=getattr(self, "_ident", None),
                         )
                     import time as _time
                     import uuid as _uuid

@@ -171,12 +171,17 @@ def test_http_basic_auth_rbac(spark, aeng):
             raise AssertionError("expected HTTPError")
         except urllib.error.HTTPError as e:
             assert e.code == 400 and b"super-user" in e.read()
-        # the DSL body has no RBAC hook -> reserved for the transport super
+        # the DSL names its targets, so RBAC checks them EXACTLY:
+        # a granted table passes, a denied one 400s
+        rows = post({"select": ["id"], "from": "public", "limit": 2,
+                     "format": "json"}, basic)
+        assert len(rows) == 2
         try:
-            post({"select": ["id"], "from": "public", "format": "json"}, basic)
+            post({"select": ["id"], "from": "secrets", "format": "json"},
+                 basic)
             raise AssertionError("expected HTTPError")
         except urllib.error.HTTPError as e:
-            assert e.code == 400
+            assert e.code == 400 and b"permission denied" in e.read()
         # wrong password -> 401
         bad = "Basic " + base64.b64encode(b"alice:wrong").decode()
         try:
