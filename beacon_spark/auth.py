@@ -53,7 +53,7 @@ import secrets
 
 __all__ = [
     "AuthError", "run_auth_statement", "authorize", "authorize_dsl",
-    "verify_user", "hash_password", "is_allowed",
+    "require_super", "verify_user", "hash_password", "is_allowed",
 ]
 
 PRIVILEGES = {"SELECT", "INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALL"}
@@ -132,9 +132,47 @@ def is_allowed(auth: dict, roles: list[str], privilege: str,
 
 # ------------------------------------------------------------ authorize
 
-_READ_FN_ARG_RE = re.compile(
-    r"\bread_\w+\s*\(\s*'((?:[^']|'')*)'", re.IGNORECASE
-)
+_READ_FN_CALL_RE = re.compile(r"\bread_\w+\s*\(([^)]*)\)", re.IGNORECASE)
+_QUOTED_RE = re.compile(r"'((?:[^']|'')*)'")
+# Spark's direct-file scans: ``SELECT … FROM parquet.`/path```,
+# csv.`…`, json.`…`, … — a read target with no catalog name
+_FILE_SCAN_RE = re.compile(r"\b\w+\s*\.\s*`([^`]+)`")
+
+
+def _path_candidates(engine, path: str) -> set[str]:
+    """The spellings a path rule must be checked against: as written,
+    normalized (``./hidden.parquet`` ≡ ``hidden.parquet`` — an alternate
+    spelling must not dodge a DENY), and resolved against the engine's
+    datasets root (the form the reader actually opens)."""
+    import posixpath
+
+    out = {path, posixpath.normpath(path)}
+    root = getattr(engine, "datasets_root", None)
+    if root is not None and not path.startswith("/") and "://" not in path:
+        joined = posixpath.normpath(f"{root}/{path}")
+        out.add(joined)
+        out.add(joined[len(root):].lstrip("/"))
+    return out
+
+
+def _check_path(engine, a: dict, roles: list[str], path: str) -> None:
+    """Deny-wins across every spelling: ANY candidate matching a deny
+    denies; otherwise ANY candidate matching a grant allows."""
+    cands = _path_candidates(engine, path)
+    allowed = False
+    for c in cands:
+        matched = [a["roles"][r] for r in roles if r in a["roles"]]
+        if any(
+            _rule_matches(rule, "SELECT", ("path", c))
+            for role in matched for rule in role.get("denies", [])
+        ):
+            raise AuthError(f"permission denied: SELECT on path {path!r}")
+        allowed = allowed or any(
+            _rule_matches(rule, "SELECT", ("path", c))
+            for role in matched for rule in role.get("grants", [])
+        )
+    if not allowed:
+        raise AuthError(f"permission denied: SELECT on path {path!r}")
 
 
 def authorize(engine, statement: str, user: str | None) -> None:
@@ -174,10 +212,35 @@ def authorize(engine, statement: str, user: str | None) -> None:
             a, roles, "SELECT", ("table", name)
         ):
             raise AuthError(f"permission denied: SELECT on table {name!r}")
-    for m in _READ_FN_ARG_RE.finditer(statement):
-        path = m.group(1).replace("''", "'")
-        if not is_allowed(a, roles, "SELECT", ("path", path)):
-            raise AuthError(f"permission denied: SELECT on path {path!r}")
+    # attached-remote references (alias__tbl) are read targets too —
+    # check them as tables under their full reference name
+    for alias in cat.get("attachments", {}):
+        for w in idents:
+            if w.startswith(f"{alias.lower()}__") and not is_allowed(
+                a, roles, "SELECT", ("table", w)
+            ):
+                raise AuthError(f"permission denied: SELECT on table {w!r}")
+    # every quoted argument of every read_* call (multi-path calls read
+    # ALL their paths), deny-wins across path spellings
+    for call in _READ_FN_CALL_RE.finditer(statement):
+        for lit in _QUOTED_RE.finditer(call.group(1)):
+            _check_path(engine, a, roles, lit.group(1).replace("''", "'"))
+    # Spark's direct-file scans (parquet.`/path`) are path reads with no
+    # catalog name — without this they'd slip past both checks above
+    for m in _FILE_SCAN_RE.finditer(blanked):
+        _check_path(engine, a, roles, m.group(1))
+
+
+def require_super(engine, user: str | None, msg: str) -> None:
+    """Raise unless ``user`` is the embedded caller or a super-user."""
+    if user is None:
+        return
+    a = _auth(engine.catalog._load() if engine.catalog is not None else {})
+    ident = a["users"].get(user)
+    if ident is None:
+        raise AuthError(f"unknown user {user!r}")
+    if not ident.get("super_user"):
+        raise AuthError(msg)
 
 
 def authorize_dsl(engine, body: dict, user: str | None) -> None:

@@ -1564,6 +1564,14 @@ class Engine:
 
             if "sql" not in body:
                 _auth.authorize_dsl(self, body, user)
+            elif body.get("output") or output_path:
+                # the sql branch must gate output blocks exactly like
+                # the DSL branch: file output is a write
+                _auth.require_super(
+                    self, user,
+                    "operation not permitted: query file output requires "
+                    "super-user privileges",
+                )
         output = body.pop("output", None)
         df = (
             self.sql(body["sql"], user=user)

@@ -67,8 +67,23 @@ def iter_arrow_batches(df: DataFrame, max_chunksize: int = 1 << 15):
     try:
         try:
             df.write.mode("overwrite").parquet(spool)
-        except Exception:
-            # VOID/interval columns etc.: parquet can't represent them
+        except Exception as e:
+            # ONLY unsupported-schema failures (VOID literal projections,
+            # intervals) may fall back to a driver-side collect — a
+            # storage/permission failure must surface, not silently
+            # reintroduce the unbounded driver materialization this
+            # iterator exists to remove (e.g. a spool dir executors
+            # cannot reach on a real cluster)
+            msg = str(e).lower()
+            if not ("does not support" in msg or "unsupported" in msg):
+                raise
+            import sys
+
+            print(
+                f"warning: result schema not spoolable ({e}); falling "
+                "back to a driver-side collect",
+                file=sys.stderr,
+            )
             for batch in df.toArrow().to_batches(max_chunksize=max_chunksize):
                 yield batch
             return
@@ -98,6 +113,35 @@ def write_csv(df: DataFrame, path: str, single: bool = True) -> None:
         df.write.mode("overwrite").option("header", "true").csv(path)
 
 
+def guarded_arrow_stream(df: DataFrame, limits):
+    """(schema, guarded batch generator) — the ONE transport streaming
+    core (Flight do_get, FlightSQL streams, HTTP chunked responses):
+    executor-spooled batches, row/byte caps, the time-guard watchdog,
+    schema-aligning casts, and an explicit empty batch for zero-row
+    results so every consumer sees at least the schema."""
+    import pyarrow as _pa
+
+    schema = arrow_schema_of(df)
+
+    def gen():
+        with limits.time_guard(df.sparkSession):
+            yielded = False
+            for b in limits.guard_batches(iter_arrow_batches(df)):
+                yield b if b.schema == schema else b.cast(schema)
+                yielded = True
+            if not yielded:
+                yield _pa.RecordBatch.from_pylist([], schema=schema)
+
+    return schema, gen()
+
+
+def _write_batches(writer, first, rest) -> None:
+    if first is not None:
+        writer.write_batch(first)
+    for batch in rest:
+        writer.write_batch(batch)
+
+
 def _first_and_schema(df: DataFrame):
     """(first batch | None, schema) for a batch-streamed write: the
     schema comes from the first real batch (self-consistent with the
@@ -116,10 +160,7 @@ def write_parquet(df: DataFrame, path: str, single: bool = True) -> None:
         # stream_coalescer.rs:9-16)
         first, schema, rest = _first_and_schema(df)
         with pq.ParquetWriter(path, schema, compression="zstd") as w:
-            for batch in ([first] if first is not None else []):
-                w.write_batch(batch)
-            for batch in rest:
-                w.write_batch(batch)
+            _write_batches(w, first, rest)
     else:
         df.write.mode("overwrite").parquet(path)
 
@@ -130,10 +171,7 @@ def write_arrow(df: DataFrame, path: str, single: bool = True) -> None:
     options = pa_ipc.IpcWriteOptions(compression="zstd")
     first, schema, rest = _first_and_schema(df)
     with pa_ipc.new_file(path, schema, options=options) as w:
-        for batch in ([first] if first is not None else []):
-            w.write_batch(batch)
-        for batch in rest:
-            w.write_batch(batch)
+        _write_batches(w, first, rest)
 
 
 def write_geoparquet(
@@ -179,10 +217,7 @@ def write_geoparquet(
         {**(schema.metadata or {}), b"geo": json.dumps(geo_meta).encode()}
     )
     with pq.ParquetWriter(path, schema, compression="zstd") as w:
-        for batch in ([first] if first is not None else []):
-            w.write_batch(batch)
-        for batch in rest:
-            w.write_batch(batch)
+        _write_batches(w, first, rest)
 
 
 # ------------------------------------------------------------ netcdf

@@ -119,7 +119,7 @@ class BeaconFlightServer(fl.FlightServerBase):
         return mw.user if mw is not None else None
 
     def do_get(self, context, ticket: fl.Ticket):
-        from beacon_spark.outputs import arrow_schema_of, iter_arrow_batches
+        from beacon_spark.outputs import guarded_arrow_stream
 
         # FlightSQL tickets (Any-wrapped protobuf) first; legacy JSON else
         stream = self._fsql.do_get(ticket.ticket, self._user(context))
@@ -129,23 +129,10 @@ class BeaconFlightServer(fl.FlightServerBase):
         df = self.engine.sql(
             cmd["sql"], params=cmd.get("params"), user=self._user(context)
         )
-        schema = arrow_schema_of(df)
-
-        def batches():
-            # DDL/DML status frames and SELECT results ride the same
-            # path; the generator evaluates lazily so execution happens
-            # as the stream is consumed, one batch in memory at a time
-            with self._limits.time_guard(self.engine.spark):
-                yielded = False
-                for b in self._limits.guard_batches(iter_arrow_batches(df)):
-                    # cast-fallback batches may differ from the declared
-                    # schema in metadata-level details; align them
-                    yield b if b.schema == schema else b.cast(schema)
-                    yielded = True
-                if not yielded:
-                    yield pa.RecordBatch.from_pylist([], schema=schema)
-
-        return fl.GeneratorStream(schema, batches())
+        # DDL/DML status frames and SELECT results ride the same path;
+        # the generator evaluates lazily so execution happens as the
+        # stream is consumed, one batch in memory at a time
+        return fl.GeneratorStream(*guarded_arrow_stream(df, self._limits))
 
     def get_flight_info(self, context, descriptor):
         from beacon_spark.server.guard import is_readonly_sql

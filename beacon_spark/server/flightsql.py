@@ -44,6 +44,8 @@ TYPE_PREFIX = "type.googleapis.com/arrow.flight.protocol.sql."
 # ----------------------------------------------------- protobuf codec
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        n &= (1 << 64) - 1  # proto int64: two's complement, 10 bytes
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -185,23 +187,12 @@ class FlightSqlHandler:
         ]
 
     def _sql_stream(self, sql: str, user):
-        from beacon_spark.outputs import arrow_schema_of, iter_arrow_batches
-
         import pyarrow.flight as fl
 
+        from beacon_spark.outputs import guarded_arrow_stream
+
         df = self.engine.sql(sql, user=user)
-        schema = arrow_schema_of(df)
-
-        def batches():
-            with self.limits.time_guard(self.engine.spark):
-                yielded = False
-                for b in self.limits.guard_batches(iter_arrow_batches(df)):
-                    yield b if b.schema == schema else b.cast(schema)
-                    yielded = True
-                if not yielded:
-                    yield pa.RecordBatch.from_pylist([], schema=schema)
-
-        return fl.GeneratorStream(schema, batches())
+        return fl.GeneratorStream(*guarded_arrow_stream(df, self.limits))
 
     def _statement_sql(self, kind: str, payload: bytes) -> str | None:
         fields = decode_fields(payload)
@@ -343,11 +334,18 @@ class FlightSqlHandler:
             )
         sql = decode_fields(payload)[1][0].decode()
         result = self.engine.sql(sql, user=user)
+        # the engine returns a one-row STATUS frame for DML, not the
+        # affected rows — reporting its count() would claim "1 row" for
+        # every statement. The FlightSQL spec's value for "unknown" is
+        # -1; use a real count only when the result carries one.
+        n = -1
         try:
-            n = result.count()
+            rows = result.collect()
+            if len(rows) == 1 and "rows" in result.columns:
+                n = int(rows[0]["rows"])
         except Exception:
-            n = -1
-        return n, _field_varint(1, max(n, 0))
+            pass
+        return n, _field_varint(1, n)
 
     def action(self, action_type: str, body: bytes, user):
         """CreatePreparedStatement / ClosePreparedStatement; None when

@@ -85,6 +85,10 @@ class BeaconHttpServer:
                 pass
 
             def _deny(self, code: int, msg: str) -> None:
+                # the request body may not have been drained (early auth/
+                # route failures) — close so HTTP/1.1 keep-alive cannot
+                # parse stale body bytes as the next request line
+                self.close_connection = True
                 body = json.dumps(msg).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
@@ -223,10 +227,13 @@ class BeaconHttpServer:
                     try:
                         n = int(self.headers.get("Content-Length", 0))
                         req = json.loads(self.rfile.read(n).decode() or "{}")
+                        ident = getattr(self, "_ident", None)
                         df = (
-                            outer.engine.sql(req["sql"], params=req.get("params"))
+                            outer.engine.sql(req["sql"], params=req.get("params"),
+                                             user=ident)
                             if "sql" in req
-                            else outer.engine.query(req.get("query", req))
+                            else outer.engine.query(req.get("query", req),
+                                                    user=ident)
                         )
                         if u.path == "/api/parse-query":
                             # parse/plan succeeded; return the schema
@@ -330,45 +337,42 @@ class BeaconHttpServer:
                 standard failure shape for streamed HTTP)."""
                 import pyarrow as pa
 
-                from beacon_spark.outputs import arrow_schema_of, iter_arrow_batches
+                from beacon_spark.outputs import guarded_arrow_stream
 
-                with outer._limits.time_guard(outer.engine.spark):
-                    batches = outer._limits.guard_batches(iter_arrow_batches(df))
-                    first = next(batches, None)
-                    schema = first.schema if first is not None \
-                        else arrow_schema_of(df)
-                    self.send_response(200)
-                    self.send_header("Content-Type", _ARROW_MIME)
-                    self.send_header("Transfer-Encoding", "chunked")
-                    for k, v in hdr.items():
-                        self.send_header(k, v)
-                    self.end_headers()
-                    self._response_started = True
+                schema, batches = guarded_arrow_stream(df, outer._limits)
+                # pull the first batch BEFORE committing the status line:
+                # a cap/time trip on it stays a clean 400
+                first = next(batches, None)
+                self.send_response(200)
+                self.send_header("Content-Type", _ARROW_MIME)
+                self.send_header("Transfer-Encoding", "chunked")
+                for k, v in hdr.items():
+                    self.send_header(k, v)
+                self.end_headers()
+                self._response_started = True
 
-                    def chunk(data: bytes) -> None:
-                        if data:
-                            self.wfile.write(
-                                f"{len(data):X}\r\n".encode() + data + b"\r\n"
-                            )
+                def chunk(data: bytes) -> None:
+                    if data:
+                        self.wfile.write(
+                            f"{len(data):X}\r\n".encode() + data + b"\r\n"
+                        )
 
-                    sink = io.BytesIO()
-                    rows = 0
-                    with pa.ipc.new_stream(sink, schema) as w:
-                        for batch in ([first] if first is not None else []):
-                            w.write_batch(batch)
-                            rows += batch.num_rows
-                            chunk(sink.getvalue())
-                            sink.seek(0)
-                            sink.truncate()
-                        for batch in batches:
-                            w.write_batch(batch)
-                            rows += batch.num_rows
-                            chunk(sink.getvalue())
-                            sink.seek(0)
-                            sink.truncate()
-                    chunk(sink.getvalue())
-                    self.wfile.write(b"0\r\n\r\n")
-                    outer._record(qid, df, rows, t0)
+                sink = io.BytesIO()
+                rows = 0
+                import itertools as _it
+
+                with pa.ipc.new_stream(sink, schema) as w:
+                    for batch in _it.chain(
+                        [first] if first is not None else [], batches
+                    ):
+                        w.write_batch(batch)
+                        rows += batch.num_rows
+                        chunk(sink.getvalue())
+                        sink.seek(0)
+                        sink.truncate()
+                chunk(sink.getvalue())
+                self.wfile.write(b"0\r\n\r\n")
+                outer._record(qid, df, rows, t0)
 
             def _send_file(self, path: str, ctype: str,
                            extra: dict | None = None) -> None:

@@ -132,7 +132,10 @@ def analyze_files(
         prev = _read_index(idx_file)
         for r in prev:
             existing[r["path"]] = r["mtime"]
-        rows = [r for r in prev if bs.exists(r["path"])]
+        # ONE liveness probe per unique file, not per (file, column)
+        # index row — on an object store each exists() is a HEAD request
+        alive = {p: bs.exists(p) for p in {r["path"] for r in prev}}
+        rows = [r for r in prev if alive[r["path"]]]
 
     todo = [
         f

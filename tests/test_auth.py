@@ -251,3 +251,81 @@ def test_flight_basic_auth_rbac(spark, aeng):
         assert t.column("n").to_pylist() == [10]
     finally:
         server.shutdown()
+
+
+def test_direct_file_scans_are_gated(aeng, spark, tmp_path):
+    """Review fix: SELECT * FROM parquet.`/path` is a path read with no
+    catalog name — it must hit the path grants, not slip past."""
+    p = str(tmp_path / "raw.parquet")
+    spark.range(4).coalesce(1).write.mode("overwrite").parquet(p)
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    with pytest.raises(AuthError, match="permission denied"):
+        aeng.sql(f"SELECT * FROM parquet.`{p}`", user="alice")
+    aeng.sql(f"GRANT SELECT ON PATH '{p}' TO ROLE readers")
+    n = aeng.sql(f"SELECT count(*) AS n FROM parquet.`{p}`",
+                 user="alice").collect()[0].n
+    assert n == 4
+
+
+def test_multi_path_read_fn_checks_every_argument(aeng, spark, tmp_path):
+    spark.range(3).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "open.parquet"))
+    spark.range(5).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "hidden.parquet"))
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    aeng.sql("GRANT SELECT ON PATH 'open*' TO ROLE readers")
+    # the SECOND path argument must be authorized too
+    with pytest.raises(AuthError, match="hidden"):
+        aeng.sql(
+            "SELECT count(*) AS n FROM "
+            "read_parquet('open.parquet', 'hidden.parquet')",
+            user="alice",
+        )
+
+
+def test_deny_not_dodged_by_path_spelling(aeng, spark, tmp_path):
+    spark.range(5).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "hidden.parquet"))
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    aeng.sql("GRANT SELECT ON ALL TO ROLE readers")
+    aeng.sql("DENY SELECT ON PATH 'hidden*' TO ROLE readers")
+    # './hidden.parquet' normalizes to the denied spelling
+    with pytest.raises(AuthError, match="permission denied"):
+        aeng.sql("SELECT count(*) AS n FROM read_parquet('./hidden.parquet')",
+                 user="alice")
+
+
+def test_explain_and_parse_endpoints_thread_identity(spark, aeng):
+    """Review fix: /api/explain-query must not run DDL as the embedded
+    super-user for a Basic-authenticated caller."""
+    from beacon_spark.server.http import BeaconHttpServer
+
+    hs = BeaconHttpServer(aeng, port=0)
+    port = hs.serve_background()
+    base = f"http://127.0.0.1:{port}"
+    basic = "Basic " + base64.b64encode(b"alice:pw1").decode()
+    try:
+        req = urllib.request.Request(
+            f"{base}/api/explain-query",
+            data=json.dumps({"sql": "DROP TABLE secrets"}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": basic}, method="POST")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"super-user" in e.read()
+        # crucially, the table still exists
+        assert aeng.sql("SELECT count(*) AS n FROM secrets").collect()[0].n == 10
+    finally:
+        hs.shutdown()
+
+
+def test_sql_body_output_block_requires_super(aeng, tmp_path):
+    """Review fix: {"sql": ..., "output": ...} must gate file output
+    exactly like the DSL branch does."""
+    with pytest.raises(AuthError, match="super-user"):
+        aeng.query(
+            {"sql": "SELECT 1 AS x", "output": {"format": "csv"}},
+            output_path=str(tmp_path / "o.csv"), user="alice",
+        )
