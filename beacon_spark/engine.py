@@ -254,7 +254,8 @@ def _order_columns(order_clause: str):
 _DDL_RES: list[tuple[str, re.Pattern]] = [
     ("create_external", re.compile(
         r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(\w+)\s+STORED\s+AS\s+(\w+)\s+"
-        r"LOCATION\s+'([^']+)';?\s*$", re.IGNORECASE)),
+        r"LOCATION\s+'([^']+)'(?:\s+OPTIONS\s*\(([^)]*)\))?;?\s*$",
+        re.IGNORECASE)),
     ("create_index", re.compile(
         r"^\s*CREATE\s+INDEX\s+(?:(\w+)\s+)?ON\s+(\w+)\s*"
         r"\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)"
@@ -736,8 +737,19 @@ class Engine:
                 ManagedTable(self.spark, path).read().createOrReplaceTempView(name)
             for name, ext in cat["external_tables"].items():
                 try:
-                    self.resolve_from({ext["format"]: {"paths": ext["paths"]}})\
-                        .createOrReplaceTempView(name)
+                    opts = dict(ext.get("options") or {})
+                    sname = ext.get("password_secret")
+                    if sname:
+                        import base64 as _b64
+
+                        raw = cat.get("secrets", {}).get(sname, {}) \
+                                 .get("options", {}).get("password")
+                        if raw:
+                            opts["password"] = _b64.b64decode(raw).decode()
+                    self.resolve_from(
+                        {ext["format"]: {"paths": ext["paths"],
+                                         "options": opts}}
+                    ).createOrReplaceTempView(name)
                 except Exception as e:
                     # fail-open: a missing optional reader lib (netcdf/zarr)
                     # must not break unrelated statements — but say so
@@ -855,11 +867,38 @@ class Engine:
     def _run_ddl_inner(self, kind: str, m: re.Match) -> DataFrame:
         cat = self.catalog
         if kind == "create_external":
-            name, fmt, loc = m.group(1), m.group(2), m.group(3)
-            # validate format + location eagerly (the reference plans the
-            # listing at CREATE time, actions.rs:221-492)
-            self.resolve_from({fmt.lower(): {"paths": [loc]}})
-            cat.create_external_table(name, fmt, [loc])
+            name, fmt, loc, optstr = m.groups()
+            opts = dict(
+                re.findall(r"'?(\w+)'?\s+'((?:[^']|'')*)'", optstr or "")
+            )
+            opts = {k.lower(): v.replace("''", "'") for k, v in opts.items()}
+            password = opts.pop("password", None)
+            # validate format + location/connection eagerly (the
+            # reference plans the listing at CREATE time,
+            # actions.rs:221-492; sql-databases connects at CREATE)
+            self.resolve_from(
+                {fmt.lower(): {"paths": [loc], "options":
+                               {**opts, **({"password": password}
+                                           if password else {})}}}
+            )
+            cat.create_external_table(name, fmt, [loc], opts)
+            if password:
+                # credentials ride the secret store, never the catalog
+                # entry (same contract as ATTACH tokens / the
+                # reference's EncryptedSecret, sql-databases/secret.rs)
+                import base64 as _b64
+
+                c = cat._load()
+                c.setdefault("secrets", {})[f"__exttbl_{name}"] = {
+                    "type": "password",
+                    "scope": loc,
+                    "persistent": True,
+                    "options": {"password": _b64.b64encode(
+                        password.encode()).decode()},
+                }
+                c["external_tables"][name]["password_secret"] = \
+                    f"__exttbl_{name}"
+                cat._save(c)
             return self._status(status="ok", op="create_external_table", name=name)
         if kind == "create_index":
             idx, table, column, using = m.groups()
@@ -1796,10 +1835,18 @@ class Engine:
                 raise NotImplementedError(
                     f"format {fmt!r} is recognized but not supported in this build"
                 )
-            if fmt in ("postgres", "mysql"):
+            if fmt == "postgres":
+                # from-spec v3 wire-protocol client (sources/pglite.py;
+                # the reference federates via beacon-sql-databases)
+                from beacon_spark.sources.pglite import read_postgres
+
+                loc = cfg["paths"][0] if "paths" in cfg else cfg["location"]
+                return read_postgres(self.spark, loc, cfg.get("options") or {})
+            if fmt == "mysql":
                 raise NotImplementedError(
-                    f"{fmt} federation needs a JDBC driver jar "
-                    "(spark.read.jdbc) — not available in this build"
+                    "mysql federation needs its own wire protocol or a "
+                    "JDBC driver jar — not available in this build "
+                    "(postgres IS supported via the v3-protocol client)"
                 )
             raise ValueError(f"unsupported from format: {fmt}")
         raise ValueError(f"bad from spec: {spec!r}")

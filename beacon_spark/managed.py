@@ -643,10 +643,12 @@ class Catalog:
 
     def drop_external_table(self, name: str) -> bool:
         cat = self._load()
-        hit = cat["external_tables"].pop(name, None) is not None
-        if hit:
+        entry = cat["external_tables"].pop(name, None)
+        if entry is not None:
+            if isinstance(entry, dict) and entry.get("password_secret"):
+                cat.get("secrets", {}).pop(entry["password_secret"], None)
             self._save(cat)
-        return hit
+        return entry is not None
 
     # ---- secondary indexes (Lance btree/bitmap/inverted analog: recorded
     #      metadata; the btree role is served by the file-stats min/max
