@@ -1843,11 +1843,12 @@ class Engine:
                 loc = cfg["paths"][0] if "paths" in cfg else cfg["location"]
                 return read_postgres(self.spark, loc, cfg.get("options") or {})
             if fmt == "mysql":
-                raise NotImplementedError(
-                    "mysql federation needs its own wire protocol or a "
-                    "JDBC driver jar — not available in this build "
-                    "(postgres IS supported via the v3-protocol client)"
-                )
+                # from-spec client/server-protocol client
+                # (sources/mysqllite.py) — same contract as postgres
+                from beacon_spark.sources.mysqllite import read_mysql
+
+                loc = cfg["paths"][0] if "paths" in cfg else cfg["location"]
+                return read_mysql(self.spark, loc, cfg.get("options") or {})
             raise ValueError(f"unsupported from format: {fmt}")
         raise ValueError(f"bad from spec: {spec!r}")
 
