@@ -735,6 +735,7 @@ class Engine:
             cat = self.catalog._load()
             for name, path in cat["tables"].items():
                 ManagedTable(self.spark, path).read().createOrReplaceTempView(name)
+            self._ext_cache = getattr(self, "_ext_cache", {})
             for name, ext in cat["external_tables"].items():
                 try:
                     opts = dict(ext.get("options") or {})
@@ -746,6 +747,29 @@ class Engine:
                                  .get("options", {}).get("password")
                         if raw:
                             opts["password"] = _b64.b64decode(raw).decode()
+                    if ext["format"] in ("postgres", "mysql"):
+                        # remote-DB tables materialize a SNAPSHOT at
+                        # registration; cache it on the entry so an
+                        # unrelated catalog change (any managed-table
+                        # DML bumps the signature) doesn't re-download
+                        # the remote table. The snapshot refreshes when
+                        # the entry changes or the engine restarts —
+                        # documented divergence from the reference's
+                        # always-live federated provider.
+                        import json as _json
+
+                        key = _json.dumps(ext, sort_keys=True)
+                        cached = self._ext_cache.get(name)
+                        if cached is not None and cached[0] == key:
+                            df = cached[1]
+                        else:
+                            df = self.resolve_from(
+                                {ext["format"]: {"paths": ext["paths"],
+                                                 "options": opts}}
+                            )
+                            self._ext_cache[name] = (key, df)
+                        df.createOrReplaceTempView(name)
+                        continue
                     self.resolve_from(
                         {ext["format"]: {"paths": ext["paths"],
                                          "options": opts}}
@@ -868,37 +892,46 @@ class Engine:
         cat = self.catalog
         if kind == "create_external":
             name, fmt, loc, optstr = m.groups()
+            fmt_l = fmt.lower()
             opts = dict(
                 re.findall(r"'?(\w+)'?\s+'((?:[^']|'')*)'", optstr or "")
             )
             opts = {k.lower(): v.replace("''", "'") for k, v in opts.items()}
+            # options are format-scoped and FAIL LOUDLY when a format
+            # would ignore them — a silently-dropped csv delimiter
+            # means silently mis-parsed data
+            allowed = {
+                "postgres": {"host", "port", "user", "password",
+                             "database", "sslmode"},
+                "mysql": {"host", "port", "user", "password", "database"},
+                "csv": {"delimiter"},
+            }.get(fmt_l, set())
+            bad = set(opts) - allowed
+            if bad:
+                raise ValueError(
+                    f"OPTIONS not supported for STORED AS {fmt}: "
+                    f"{sorted(bad)} (supported: {sorted(allowed) or 'none'})"
+                )
             password = opts.pop("password", None)
             # validate format + location/connection eagerly (the
             # reference plans the listing at CREATE time,
-            # actions.rs:221-492; sql-databases connects at CREATE)
-            self.resolve_from(
-                {fmt.lower(): {"paths": [loc], "options":
-                               {**opts, **({"password": password}
-                                           if password else {})}}}
+            # actions.rs:221-492; sql-databases connects at CREATE).
+            # DB formats probe with LIMIT 0 — connect + schema, never a
+            # full download of the remote table just to validate it
+            probe_loc = (
+                f"SELECT * FROM {loc} LIMIT 0"
+                if fmt_l in ("postgres", "mysql")
+                else loc
             )
-            cat.create_external_table(name, fmt, [loc], opts)
-            if password:
-                # credentials ride the secret store, never the catalog
-                # entry (same contract as ATTACH tokens / the
-                # reference's EncryptedSecret, sql-databases/secret.rs)
-                import base64 as _b64
-
-                c = cat._load()
-                c.setdefault("secrets", {})[f"__exttbl_{name}"] = {
-                    "type": "password",
-                    "scope": loc,
-                    "persistent": True,
-                    "options": {"password": _b64.b64encode(
-                        password.encode()).decode()},
-                }
-                c["external_tables"][name]["password_secret"] = \
-                    f"__exttbl_{name}"
-                cat._save(c)
+            self.resolve_from(
+                {fmt_l: {"paths": [probe_loc], "options":
+                         {**opts, **({"password": password}
+                                     if password else {})}}}
+            )
+            # one atomic catalog commit: entry + credential secret
+            # together (reference EncryptedSecret, sql-databases/secret.rs)
+            cat.create_external_table(name, fmt, [loc], opts,
+                                      password=password)
             return self._status(status="ok", op="create_external_table", name=name)
         if kind == "create_index":
             idx, table, column, using = m.groups()
@@ -1785,6 +1818,9 @@ class Engine:
                     if pruned != files:
                         return self.read_parquet(pruned)
                 return self.read_parquet(cfg["paths"])
+            if fmt == "csv" and isinstance(cfg.get("options"), dict) \
+                    and "delimiter" in cfg["options"]:
+                cfg = {**cfg, "delimiter": cfg["options"]["delimiter"]}
             if fmt == "csv":
                 return self.read_csv(cfg["paths"], cfg.get("delimiter"))
             if fmt == "arrow":

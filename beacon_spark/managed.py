@@ -629,16 +629,34 @@ class Catalog:
     #      actions.rs:221-492: a named listing over files in place) ----
 
     def create_external_table(
-        self, name: str, fmt: str, paths: list[str], options: dict | None = None
+        self, name: str, fmt: str, paths: list[str],
+        options: dict | None = None, password: str | None = None,
     ) -> None:
+        """One ATOMIC catalog commit: the table entry and (when given) its
+        password secret + back-reference land in the same _save — a crash
+        can never leave an entry whose credential is missing."""
         cat = self._load()
         if name in cat["external_tables"] or name in cat["tables"]:
             raise ManagedTableError(f"table {name!r} already exists")
-        cat["external_tables"][name] = {
+        entry = {
             "format": fmt.lower(),
             "paths": paths,
             "options": options or {},
         }
+        if password is not None:
+            import base64 as _b64
+
+            sname = f"__exttbl_{name}"
+            cat.setdefault("secrets", {})[sname] = {
+                "type": "password",
+                "scope": paths[0] if paths else "",
+                "persistent": True,
+                "options": {
+                    "password": _b64.b64encode(password.encode()).decode()
+                },
+            }
+            entry["password_secret"] = sname
+        cat["external_tables"][name] = entry
         self._save(cat)
 
     def drop_external_table(self, name: str) -> bool:

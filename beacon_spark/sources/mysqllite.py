@@ -99,9 +99,16 @@ def _lenenc_str(data: bytes, i: int) -> tuple[bytes | None, int]:
     return data[i:i + n], i + n
 
 
-def _parse_value(text: str | None, type_byte: int, charset: int):
-    if text is None:
+def _parse_value(raw: bytes | None, type_byte: int, charset: int):
+    """Decode one text-protocol value from its RAW bytes. Binary-charset
+    columns pass the bytes through untouched — round-tripping a BLOB
+    through a UTF-8 decode would crash on invalid sequences and corrupt
+    any non-ASCII byte."""
+    if raw is None:
         return None
+    if charset == _BINARY_CHARSET and type_byte in (0xFC, 0xFD, 0xFE, 0x0F):
+        return bytes(raw)
+    text = raw.decode()
     if type_byte in (0x01, 0x02, 0x03, 0x08, 0x09):
         return int(text)
     if type_byte in (0x04, 0x05, 0x00, 0xF6):
@@ -114,8 +121,6 @@ def _parse_value(text: str | None, type_byte: int, charset: int):
         import datetime
 
         return datetime.datetime.fromisoformat(text.replace(" ", "T", 1))
-    if type_byte == 0xFC and charset == _BINARY_CHARSET:
-        return text.encode("latin-1")
     return text
 
 
@@ -126,20 +131,32 @@ class MySqlClient:
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._f = self._sock.makefile("rb")
         self._seq = 0
-        self._handshake(user, password or "", database)
+        self._deprecate_eof = True
+        try:
+            self._handshake(user, password or "", database)
+        except BaseException:
+            self._sock.close()  # no fd leak on failed auth/handshake
+            raise
 
     # ------------------------------------------------------ packets
 
     def _read_packet(self) -> bytes:
-        head = self._f.read(4)
-        if len(head) < 4:
-            raise MySqlError("server closed the connection")
-        length = int.from_bytes(head[:3], "little")
-        self._seq = (head[3] + 1) & 0xFF
-        body = self._f.read(length)
-        if len(body) < length:
-            raise MySqlError("truncated packet")
-        return body
+        """One protocol payload, reassembled: a payload >= 16 MiB - 1 is
+        split across packets of length 0xFFFFFF that the client must
+        concatenate (terminated by the first shorter fragment)."""
+        out = b""
+        while True:
+            head = self._f.read(4)
+            if len(head) < 4:
+                raise MySqlError("server closed the connection")
+            length = int.from_bytes(head[:3], "little")
+            self._seq = (head[3] + 1) & 0xFF
+            body = self._f.read(length)
+            if len(body) < length:
+                raise MySqlError("truncated packet")
+            out += body
+            if length < 0xFFFFFF:
+                return out
 
     def _send_packet(self, body: bytes) -> None:
         self._sock.sendall(
@@ -168,6 +185,9 @@ class MySqlClient:
         i += 4  # thread id
         nonce = greet[i:i + 8]
         i += 8 + 1  # auth-plugin-data-part-1 + filler
+        cap_low = struct.unpack_from("<H", greet, i)[0]
+        cap_high = struct.unpack_from("<H", greet, i + 5)[0]
+        server_caps = cap_low | (cap_high << 16)
         i += 2 + 1 + 2 + 2  # cap_low, charset, status, cap_high
         n_auth = greet[i]
         i += 1 + 10  # length + reserved
@@ -175,7 +195,13 @@ class MySqlClient:
         nonce += greet[i:i + max(13, n_auth - 8)].rstrip(b"\x00")[:12]
 
         caps = (_CLIENT_PROTOCOL_41 | _CLIENT_PLUGIN_AUTH |
-                _CLIENT_SECURE_CONNECTION | _CLIENT_DEPRECATE_EOF)
+                _CLIENT_SECURE_CONNECTION)
+        # only request DEPRECATE_EOF when the server offers it — MariaDB
+        # and MySQL < 5.7.5 send classic EOF packets, and advertising
+        # the flag anyway would end every resultset at the column block
+        self._deprecate_eof = bool(server_caps & _CLIENT_DEPRECATE_EOF)
+        if self._deprecate_eof:
+            caps |= _CLIENT_DEPRECATE_EOF
         if database:
             caps |= _CLIENT_CONNECT_WITH_DB
         auth = native_password_scramble(password, nonce)
@@ -229,6 +255,11 @@ class MySqlClient:
             charset = struct.unpack_from("<H", d, i)[0]
             type_byte = d[i + 6]
             columns.append((name, type_byte, charset))
+        if not self._deprecate_eof:
+            # classic protocol: an EOF packet closes the column block
+            eof = self._read_packet()
+            if eof[:1] != b"\xfe":
+                raise MySqlError("expected EOF after column definitions")
         rows: list[list] = []
         while True:
             p = self._read_packet()
@@ -240,9 +271,7 @@ class MySqlClient:
             row = []
             for _name, tb, cs in columns:
                 s, i = _lenenc_str(p, i)
-                row.append(
-                    None if s is None else _parse_value(s.decode(), tb, cs)
-                )
+                row.append(_parse_value(s, tb, cs))
             rows.append(row)
 
     def close(self) -> None:
@@ -258,10 +287,9 @@ def mysql_schema(columns) -> T.StructType:
     fields = []
     for name, tb, cs in columns:
         t = MYSQL_TYPE_TO_SPARK.get(tb, T.StringType())
-        if tb == 0xFC and cs != _BINARY_CHARSET:
-            t = T.StringType()
-        elif tb == 0xFC:
-            t = T.BinaryType()
+        if tb in (0xFC, 0xFD, 0xFE, 0x0F):
+            # charset 63 = binary: BLOB/VARBINARY/BINARY; else TEXT-ish
+            t = T.BinaryType() if cs == _BINARY_CHARSET else T.StringType()
         fields.append(T.StructField(name, t, True))
     return T.StructType(fields)
 

@@ -91,7 +91,14 @@ def _parse_value(text: str | None, oid: int):
                 if t.endswith(suffix):
                     t = t[: -len(suffix)] + suffix + ":00"
             dt = datetime.datetime.fromisoformat(t)
-            return dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            if dt.tzinfo is None:
+                # a tz-less timestamptz is already UTC on the wire;
+                # NEVER let astimezone() guess the OS zone
+                dt = dt.replace(tzinfo=datetime.timezone.utc)
+            # stay tz-AWARE: Spark interprets naive datetimes in the
+            # SESSION timezone, which silently shifts instants whenever
+            # the session isn't UTC; aware datetimes convert correctly
+            return dt
         return datetime.datetime.fromisoformat(t)
     return text
 
@@ -104,7 +111,11 @@ class PgClient:
                  timeout: float = 30.0):
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._buf = b""
-        self._startup(user, password, database or user)
+        try:
+            self._startup(user, password, database or user)
+        except BaseException:
+            self._sock.close()  # no fd leak on failed auth/startup
+            raise
 
     # ------------------------------------------------------ wire I/O
 

@@ -543,3 +543,17 @@ def test_crawler_registers_hive_partitioned_tree(spark, tmp_path):
     )
     m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert m and "2021" in m[0]
+
+
+def test_external_table_options_validated(spark, tmp_path):
+    """OPTIONS are format-scoped and fail LOUDLY when a format would
+    ignore them; csv honors its delimiter option."""
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    (tmp_path / "semi.csv").write_text("a;b\n1;x\n2;y\n")
+    with pytest.raises(ValueError, match="OPTIONS not supported"):
+        eng.sql("CREATE EXTERNAL TABLE p STORED AS PARQUET "
+                "LOCATION 'x.parquet' OPTIONS ('delimiter' ';')")
+    eng.sql("CREATE EXTERNAL TABLE semi STORED AS CSV LOCATION 'semi.csv' "
+            "OPTIONS ('delimiter' ';')")
+    rows = eng.sql("SELECT a, b FROM semi ORDER BY a").collect()
+    assert [(r.a, r.b) for r in rows] == [(1, "x"), (2, "y")]

@@ -25,7 +25,7 @@ NONCE = bytes(range(1, 21))  # 20-byte scramble
 COLS = [("id", 0x08, 0x21), ("name", 0xFD, 0x21), ("v", 0x05, 0x21),
         ("d", 0x0A, 0x21), ("raw", 0xFC, 63)]
 ROWS = [
-    ["1", "alpha", "1.5", "2024-05-06", "\x01\x02"],
+    ["1", "alpha", "1.5", "2024-05-06", "\x01\x02\xff"],
     ["2", "beta", "-0.25", "2024-05-07", None],
     [None, None, None, None, None],
 ]
@@ -44,7 +44,8 @@ def _lenenc_str(s: bytes) -> bytes:
 
 
 class MockMySql(threading.Thread):
-    def __init__(self):
+    def __init__(self, deprecate_eof=True):
+        self.deprecate_eof = deprecate_eof
         super().__init__(daemon=True)
         self._srv = socket.socket()
         self._srv.bind(("127.0.0.1", 0))
@@ -84,7 +85,8 @@ class MockMySql(threading.Thread):
             greet = bytes([10]) + b"9.0-mock\x00"
             greet += struct.pack("<I", 99)
             greet += NONCE[:8] + b"\x00"
-            greet += struct.pack("<HBHH", 0xFFFF, 0x21, 0x0002, 0xFFFF)
+            cap_high = 0xFFFF if self.deprecate_eof else 0xFEFF
+            greet += struct.pack("<HBHH", 0xFFFF, 0x21, 0x0002, cap_high)
             greet += bytes([21]) + b"\x00" * 10
             greet += NONCE[8:] + b"\x00"
             conn.sendall(self._packet(0, greet))
@@ -114,7 +116,8 @@ class MockMySql(threading.Thread):
                         + b"#08S01unknown command"))
                     continue
                 sql = cmd[1:].decode()
-                name = sql.split()[-1].strip("`").lower()
+                m = __import__("re").search(r"(?i)from\s+([\w.]+)", sql)
+                name = (m.group(1) if m else "").strip("`").lower()
                 if name != "obs":
                     conn.sendall(self._packet(
                         1, b"\xff" + struct.pack("<H", 1146)
@@ -132,6 +135,10 @@ class MockMySql(threading.Thread):
                                                      0, 0) + b"\x00\x00"
                     conn.sendall(self._packet(seq, d))
                     seq += 1
+                if not self.deprecate_eof:
+                    # classic protocol: EOF packet closes the column block
+                    conn.sendall(self._packet(seq, b"\xfe\x00\x00\x02\x00"))
+                    seq += 1
                 for row in ROWS:
                     body = b""
                     for v in row:
@@ -141,7 +148,7 @@ class MockMySql(threading.Thread):
                             body += _lenenc_str(v.encode("latin-1"))
                     conn.sendall(self._packet(seq, body))
                     seq += 1
-                # OK-as-EOF terminator (CLIENT_DEPRECATE_EOF)
+                # terminator: OK-as-EOF (DEPRECATE_EOF) or classic EOF
                 conn.sendall(self._packet(seq, b"\xfe\x00\x00\x02\x00"))
         except (ConnectionError, OSError):
             conn.close()
@@ -178,7 +185,7 @@ def test_mysql_client_auth_and_query(my):
     assert [x[0] for x in cols] == ["id", "name", "v", "d", "raw"]
     assert rows[0][0] == 1 and rows[0][2] == 1.5
     assert str(rows[0][3]) == "2024-05-06"
-    assert rows[0][4] == b"\x01\x02"
+    assert rows[0][4] == b"\x01\x02\xff"  # raw bytes, NOT a UTF-8 roundtrip
     assert rows[2] == [None] * 5
 
 
@@ -202,3 +209,20 @@ def test_mysql_external_table_end_to_end(spark, tmp_path, my):
     assert [r.name for r in out] == ["alpha"]
     schema = dict(eng.sql("SELECT * FROM myobs LIMIT 0").dtypes)
     assert schema["id"] == "bigint" and schema["raw"] == "binary"
+
+
+def test_mysql_classic_eof_server():
+    """A server WITHOUT CLIENT_DEPRECATE_EOF (MariaDB, MySQL < 5.7.5)
+    sends classic EOF packets; the client must negotiate down and still
+    read every row instead of silently returning an empty resultset."""
+    srv = MockMySql(deprecate_eof=False)
+    srv.start()
+    try:
+        c = MySqlClient("127.0.0.1", srv.port, user=USER, password=PASSWORD,
+                        database=DB)
+        assert c._deprecate_eof is False  # negotiated down
+        _cols, rows = c.query("SELECT * FROM obs")
+        c.close()
+        assert len(rows) == 3 and rows[0][1] == "alpha"
+    finally:
+        srv.stop()

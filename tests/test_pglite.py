@@ -115,7 +115,8 @@ class MockPg(threading.Thread):
                     continue
                 sql = payload.rstrip(b"\x00").decode()
                 self.queries.append(sql)
-                name = sql.split()[-1].strip('"').lower()
+                m = __import__("re").search(r"(?i)from\s+([\w.]+)", sql)
+                name = (m.group(1) if m else "").strip('"').lower()
                 if name not in TABLE:
                     self._error(conn, f'relation "{name}" does not exist')
                     continue
