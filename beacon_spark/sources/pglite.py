@@ -262,6 +262,13 @@ def read_postgres(spark, table_or_query: str, options: dict) -> "DataFrame":
         if _re.match(r"(?i)^\s*select\b", table_or_query)
         else f'SELECT * FROM {table_or_query}'
     )
+    sslmode = options.get("sslmode", "disable").lower()
+    if sslmode not in ("disable", "prefer", "allow"):
+        # accepted-but-ignored would be a silent security downgrade
+        raise NotImplementedError(
+            f"sslmode={sslmode!r}: TLS is not implemented in this "
+            "client; use sslmode=disable (or tunnel the connection)"
+        )
     client = PgClient(
         host=options.get("host", "127.0.0.1"),
         port=int(options.get("port", 5432)),
