@@ -41,7 +41,10 @@ catalog's table names + ``read_*`` path arguments rather than by
 walking resolved TableScans — an over-approximation, so it errs toward
 denial, never toward leaking. JSON-DSL queries check EXACTLY
 (:func:`authorize_dsl`): the DSL's ``from`` spec names its tables and
-paths.
+paths. Views are DEFINER-rights objects (PostgreSQL semantics): a
+SELECT grant on a view authorizes its whole definition — the
+underlying tables are not re-checked against the caller's roles, so
+grant views deliberately, as the curated projections they are.
 """
 
 from __future__ import annotations
