@@ -101,3 +101,37 @@ def test_cosine_pairs_candidate_exchange_ids_only(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning(id_a" in line:
             assert "__va" not in line and "__vb" not in line
+
+
+def test_federated_scan_filter_fully_pushed(spark, tmp_path):
+    """A predicate the remote compiles must be CONSUMED by pushFilters:
+    the local physical plan over the beacon_remote scan carries no
+    residual Spark-side Filter for it (the remote's WHERE did the work),
+    while an inexpressible predicate leaves a local Filter."""
+    import json
+    import os
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.server import BeaconFlightServer
+
+    root = str(tmp_path / "srv")
+    os.makedirs(root)
+    seng = Engine(spark, datasets_root=root)
+    seng.sql("CREATE TABLE planf AS SELECT id, id % 3 AS g FROM range(50)")
+    server = BeaconFlightServer(seng, port=0)
+    port = server.serve_background()
+    try:
+        ceng = Engine(spark, datasets_root=str(tmp_path / "cli"))
+        ceng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS pln")
+        pushed = ceng.sql("SELECT id FROM pln__planf WHERE id > 40")
+        plan = _plan(pushed)
+        # no Filter NODE above the scan (RuntimeFilters: [] is scan
+        # metadata, not a filter) — fully pushed to the remote
+        assert "- Filter " not in plan and not plan.startswith("Filter"), plan
+        assert pushed.count() == 9
+        residual = ceng.sql("SELECT id FROM pln__planf WHERE id % 7 = 1")
+        plan2 = _plan(residual)
+        assert "- Filter " in plan2  # modulo stays a local post-scan filter
+    finally:
+        ceng.sql("DETACH pln")
+        server.shutdown()
