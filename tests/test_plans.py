@@ -124,14 +124,17 @@ def test_federated_scan_filter_fully_pushed(spark, tmp_path):
         ceng = Engine(spark, datasets_root=str(tmp_path / "cli"))
         ceng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS pln")
         pushed = ceng.sql("SELECT id FROM pln__planf WHERE id > 40")
+        import re as _re
+
         plan = _plan(pushed)
         # no Filter NODE above the scan (RuntimeFilters: [] is scan
-        # metadata, not a filter) — fully pushed to the remote
-        assert "- Filter " not in plan and not plan.startswith("Filter"), plan
+        # metadata, not a filter node) — fully pushed to the remote
+        assert not _re.search(r"\bFilter \(", plan), plan
         assert pushed.count() == 9
         residual = ceng.sql("SELECT id FROM pln__planf WHERE id % 7 = 1")
         plan2 = _plan(residual)
-        assert "- Filter " in plan2  # modulo stays a local post-scan filter
+        # the modulo predicate stays a local post-scan Filter node
+        assert _re.search(r"\bFilter \(", plan2), plan2
     finally:
         ceng.sql("DETACH pln")
         server.shutdown()
