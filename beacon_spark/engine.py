@@ -748,27 +748,41 @@ class Engine:
                         if raw:
                             opts["password"] = _b64.b64decode(raw).decode()
                     if ext["format"] in ("postgres", "mysql"):
-                        # remote-DB tables materialize a SNAPSHOT at
-                        # registration; cache it on the entry so an
-                        # unrelated catalog change (any managed-table
-                        # DML bumps the signature) doesn't re-download
-                        # the remote table. The snapshot refreshes when
-                        # the entry changes or the engine restarts —
-                        # documented divergence from the reference's
-                        # always-live federated provider.
+                        # remote-DB tables are LIVE lazy scans (the
+                        # reference's federated provider): a beacon_sqldb
+                        # DataSource whose filters push into the remote
+                        # WHERE and whose fetch runs on an executor at
+                        # query time. Only the SCHEMA is probed+cached
+                        # per catalog entry — data is never snapshotted.
                         import json as _json
 
                         key = _json.dumps(ext, sort_keys=True)
                         cached = self._ext_cache.get(name)
                         if cached is not None and cached[0] == key:
-                            df = cached[1]
+                            schema = cached[1]
                         else:
-                            df = self.resolve_from(
-                                {ext["format"]: {"paths": ext["paths"],
-                                                 "options": opts}}
+                            if ext["format"] == "postgres":
+                                from beacon_spark.sources.pglite import (
+                                    postgres_table_schema as _probe,
+                                )
+                            else:
+                                from beacon_spark.sources.mysqllite import (
+                                    mysql_table_schema as _probe,
+                                )
+                            schema = _probe(ext["paths"][0], opts)
+                            self._ext_cache[name] = (key, schema)
+                        self._register_remote_datasource()
+                        (
+                            self.spark.read.format("beacon_sqldb")
+                            .schema(schema)
+                            .options(
+                                engine=ext["format"],
+                                table=ext["paths"][0],
+                                **{k: str(v) for k, v in opts.items()},
                             )
-                            self._ext_cache[name] = (key, df)
-                        df.createOrReplaceTempView(name)
+                            .load()
+                            .createOrReplaceTempView(name)
+                        )
                         continue
                     self.resolve_from(
                         {ext["format"]: {"paths": ext["paths"],
@@ -1370,11 +1384,13 @@ class Engine:
         if getattr(self, "_remote_ds_ready", False):
             return
         from beacon_spark.server.remote_datasource import RemoteTableDataSource
+        from beacon_spark.sources.sqldb_datasource import SqlDbDataSource
 
-        try:
-            self.spark.dataSource.register(RemoteTableDataSource)
-        except Exception:
-            pass  # already registered by another Engine on this session
+        for ds in (RemoteTableDataSource, SqlDbDataSource):
+            try:
+                self.spark.dataSource.register(ds)
+            except Exception:
+                pass  # already registered by another Engine on this session
         self.spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         self._remote_ds_ready = True
 

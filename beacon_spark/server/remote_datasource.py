@@ -48,11 +48,23 @@ from pyspark.sql.datasource import (
     StringStartsWith,
 )
 
-__all__ = ["RemoteTableDataSource", "filters_to_sql"]
+__all__ = ["RemoteTableDataSource", "filters_to_sql", "SQL_DIALECTS"]
+
+#: per-dialect identifier quoting + null-safe-equality spelling; string
+#: prefix/suffix/contains ops are Spark-function-based and only valid
+#: against engines that HAVE those functions (spark dialect)
+SQL_DIALECTS = {
+    "spark": {"quote": "`", "eq_null_safe": "<=>", "string_fns": True},
+    "postgres": {"quote": '"', "eq_null_safe": "IS NOT DISTINCT FROM",
+                 "string_fns": False},
+    "mysql": {"quote": "`", "eq_null_safe": "<=>", "string_fns": False},
+}
 
 
-def _quote_ident(parts) -> str:
-    return ".".join("`" + p.replace("`", "``") + "`" for p in parts)
+def _quote_ident(parts, quote: str = "`") -> str:
+    return ".".join(
+        quote + p.replace(quote, quote * 2) + quote for p in parts
+    )
 
 
 def _quote_value(v) -> str | None:
@@ -71,18 +83,19 @@ def _quote_value(v) -> str | None:
     return None
 
 
-def _filter_to_sql(f) -> str | None:
+def _filter_to_sql(f, dialect: str = "spark") -> str | None:
     """One pushed Filter → SQL predicate text, or None if unsupported."""
+    d = SQL_DIALECTS[dialect]
     if isinstance(f, Not):
-        inner = _filter_to_sql(f.child)
+        inner = _filter_to_sql(f.child, dialect)
         return None if inner is None else f"(NOT {inner})"
-    col = _quote_ident(f.attribute)
+    col = _quote_ident(f.attribute, d["quote"])
     if isinstance(f, EqualTo):
         v = _quote_value(f.value)
         return None if v is None else f"({col} = {v})"
     if isinstance(f, EqualNullSafe):
         v = _quote_value(f.value)
-        return None if v is None else f"({col} <=> {v})"
+        return None if v is None else f"({col} {d['eq_null_safe']} {v})"
     if isinstance(f, GreaterThan):
         v = _quote_value(f.value)
         return None if v is None else f"({col} > {v})"
@@ -104,20 +117,20 @@ def _filter_to_sql(f) -> str | None:
         return f"({col} IS NULL)"
     if isinstance(f, IsNotNull):
         return f"({col} IS NOT NULL)"
-    if isinstance(f, StringStartsWith):
-        return f"(startswith({col}, {_quote_value(f.value)}))"
-    if isinstance(f, StringEndsWith):
-        return f"(endswith({col}, {_quote_value(f.value)}))"
-    if isinstance(f, StringContains):
-        return f"(contains({col}, {_quote_value(f.value)}))"
+    if isinstance(f, (StringStartsWith, StringEndsWith, StringContains)):
+        if not d["string_fns"]:
+            return None  # handed back to Spark (LIKE-escaping is dialect soup)
+        fn = {StringStartsWith: "startswith", StringEndsWith: "endswith",
+              StringContains: "contains"}[type(f)]
+        return f"({fn}({col}, {_quote_value(f.value)}))"
     return None
 
 
-def filters_to_sql(filters) -> tuple[list[str], list]:
+def filters_to_sql(filters, dialect: str = "spark") -> tuple[list[str], list]:
     """(pushable predicate texts, unsupported filters to hand back)."""
     preds, rest = [], []
     for f in filters:
-        sql = _filter_to_sql(f)
+        sql = _filter_to_sql(f, dialect)
         if sql is None:
             rest.append(f)
         else:

@@ -18,9 +18,10 @@ driver, no JDBC jar:
     the Spark type), rows of lenenc strings, OK/EOF terminators,
     ERR packets raised with the server's message
 
-Scale note identical to pglite: one connection, driver-side fetch —
-dimension-sized remote tables; push filters into the query text for
-big ones. Passwords ride the secret machinery.
+Scale note identical to pglite: registered ``STORED AS MYSQL`` tables
+are LIVE lazy scans via ``sources/sqldb_datasource.py`` (executor-side
+fetch, predicates pushed to the database); :func:`read_mysql` is the
+direct driver-side form. Passwords ride the secret machinery.
 """
 
 from __future__ import annotations
@@ -31,7 +32,8 @@ import struct
 
 from pyspark.sql import types as T
 
-__all__ = ["MySqlClient", "MySqlError", "read_mysql", "MYSQL_TYPE_TO_SPARK"]
+__all__ = ["MySqlClient", "MySqlError", "read_mysql",
+           "mysql_table_schema", "MYSQL_TYPE_TO_SPARK"]
 
 
 class MySqlError(RuntimeError):
@@ -292,6 +294,22 @@ def mysql_schema(columns) -> T.StructType:
             t = T.BinaryType() if cs == _BINARY_CHARSET else T.StringType()
         fields.append(T.StructField(name, t, True))
     return T.StructType(fields)
+
+
+def mysql_table_schema(table: str, options: dict):
+    """Spark schema of a remote table — one LIMIT-0 round trip."""
+    client = MySqlClient(
+        host=options.get("host", "127.0.0.1"),
+        port=int(options.get("port", 3306)),
+        user=options.get("user", "root"),
+        password=options.get("password"),
+        database=options.get("database"),
+    )
+    try:
+        columns, _ = client.query(f"SELECT * FROM {table} LIMIT 0")
+    finally:
+        client.close()
+    return mysql_schema(columns)
 
 
 def read_mysql(spark, table_or_query: str, options: dict) -> "DataFrame":

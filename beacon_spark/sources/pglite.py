@@ -22,12 +22,14 @@ Implemented surface (what a read-only federated table needs):
     types (bool/int2/int4/int8/float4/float8/numeric/text/varchar/
     date/timestamp(tz)/bytea)
 
-Scale note: the fetch is a single connection reading the whole result
-through the driver — right for dimension-sized remote tables (the
-common join-side use). Push filters/aggregations into ``query`` text
-for big ones; the reference's federation rewrite does the same server
-side. Passwords ride the engine's secret machinery, not the catalog
-entry (same contract as ATTACH tokens).
+Scale note: registered ``STORED AS POSTGRES`` tables are LIVE lazy
+scans through ``sources/sqldb_datasource.py`` — the fetch runs on an
+EXECUTOR at query time with supported predicates pushed into the
+database's WHERE (the reference's federated-provider semantics).
+:func:`read_postgres` here is the direct driver-side form (used for
+LIMIT-0 probes and ad-hoc DSL reads). Passwords ride the engine's
+secret machinery, not the catalog entry (same contract as ATTACH
+tokens).
 """
 
 from __future__ import annotations
@@ -38,7 +40,8 @@ import struct
 
 from pyspark.sql import types as T
 
-__all__ = ["PgClient", "PgError", "read_postgres", "OID_TO_SPARK"]
+__all__ = ["PgClient", "PgError", "read_postgres",
+           "postgres_table_schema", "OID_TO_SPARK"]
 
 
 class PgError(RuntimeError):
@@ -250,6 +253,22 @@ def pg_schema(columns: list[tuple[str, int]]) -> T.StructType:
         T.StructField(name, OID_TO_SPARK.get(oid, T.StringType()), True)
         for name, oid in columns
     ])
+
+
+def postgres_table_schema(table: str, options: dict):
+    """Spark schema of a remote table — one LIMIT-0 round trip."""
+    client = PgClient(
+        host=options.get("host", "127.0.0.1"),
+        port=int(options.get("port", 5432)),
+        user=options.get("user", "postgres"),
+        password=options.get("password"),
+        database=options.get("database"),
+    )
+    try:
+        columns, _ = client.query(f"SELECT * FROM {table} LIMIT 0")
+    finally:
+        client.close()
+    return pg_schema(columns)
 
 
 def read_postgres(spark, table_or_query: str, options: dict) -> "DataFrame":

@@ -11,6 +11,8 @@ import threading
 import pytest
 
 from beacon_spark.engine import Engine
+from test_pglite import apply_where
+
 from beacon_spark.sources.mysqllite import (
     MySqlClient,
     MySqlError,
@@ -123,6 +125,7 @@ class MockMySql(threading.Thread):
                         1, b"\xff" + struct.pack("<H", 1146)
                         + f"#42S02Table '{name}' doesn't exist".encode()))
                     continue
+                rows = apply_where(sql, [c for c, _, _ in COLS], ROWS)
                 seq = 1
                 conn.sendall(self._packet(seq, _lenenc_bytes(len(COLS))))
                 seq += 1
@@ -139,7 +142,7 @@ class MockMySql(threading.Thread):
                     # classic protocol: EOF packet closes the column block
                     conn.sendall(self._packet(seq, b"\xfe\x00\x00\x02\x00"))
                     seq += 1
-                for row in ROWS:
+                for row in rows:
                     body = b""
                     for v in row:
                         if v is None:

@@ -38,6 +38,62 @@ TABLE = {
 }
 
 
+def apply_where(sql: str, colnames: list[str], rows: list[list]):
+    """Evaluate the pushed-down WHERE conjuncts against the fixture's
+    text rows — consumed filters are NOT re-checked by Spark, so the
+    mock must honor them. Unknown conjunct shapes raise (a silent
+    superset would hide wrong pushdown)."""
+    import re as _re
+
+    m = _re.search(r"(?is)\swhere\s+(.*)$", sql)
+    if not m:
+        return rows
+    conjs = _re.findall(r"\(([^()]+)\)", m.group(1))
+
+    def lit_val(txt):
+        txt = txt.strip()
+        if txt.startswith("'"):
+            return txt[1:-1].replace("''", "'")
+        if txt in ("TRUE", "FALSE"):
+            return txt == "TRUE"
+        return float(txt)
+
+    out = []
+    for row in rows:
+        keep = True
+        for c in conjs:
+            c = c.strip()
+            mm = _re.match(r'^["`](\w+)["`]\s*(>=|<=|=|>|<)\s*(.+)$', c)
+            nn = _re.match(r'^["`](\w+)["`]\s+IS\s+(NOT\s+)?NULL$', c, _re.I)
+            if nn:
+                idx = colnames.index(nn.group(1))
+                keep = (row[idx] is None) == (nn.group(2) is None)
+            elif mm:
+                name, op, lit = mm.groups()
+                idx = colnames.index(name)
+                raw = row[idx]
+                if raw is None:
+                    keep = False
+                else:
+                    want = lit_val(lit)
+                    if isinstance(want, bool):
+                        have = raw in ("t", "true", "1", "TRUE")
+                    elif isinstance(want, str):
+                        have = raw
+                    else:
+                        have = float(raw)
+                    keep = {"=": have == want, ">": have > want,
+                            "<": have < want, ">=": have >= want,
+                            "<=": have <= want}[op]
+            else:
+                raise AssertionError(f"mock cannot evaluate conjunct {c!r}")
+            if not keep:
+                break
+        if keep:
+            out.append(row)
+    return out
+
+
 class MockPg(threading.Thread):
     """v3 server: md5 auth then simple-query over the TABLE fixture."""
 
@@ -121,6 +177,7 @@ class MockPg(threading.Thread):
                     self._error(conn, f'relation "{name}" does not exist')
                     continue
                 cols, rows = TABLE[name]
+                rows = apply_where(sql, [c for c, _ in cols], rows)
                 desc = struct.pack("!H", len(cols))
                 for i, (cname, oid) in enumerate(cols):
                     desc += cname.encode() + b"\x00"
@@ -230,3 +287,36 @@ def test_external_postgres_table_end_to_end(spark, tmp_path, pg):
     eng2.sql("DROP TABLE pgobs")
     cat = open(eng2.catalog.file).read()
     assert "__exttbl_pgobs" not in cat
+
+
+def test_pg_table_is_live_and_pushes_filters(spark, tmp_path, pg):
+    """DB external tables are LIVE lazy scans (no snapshot): pushed
+    predicates reach the database's WHERE, and remote changes are
+    visible without re-registration (the reference's federated-provider
+    semantics)."""
+    import re as _re
+
+    eng = Engine(spark, tmp_path and str(tmp_path))
+    eng.sql(
+        f"CREATE EXTERNAL TABLE liveobs STORED AS POSTGRES LOCATION 'obs' "
+        f"OPTIONS ('host' '127.0.0.1', 'port' '{pg.port}', "
+        f"'user' '{USER}', 'password' '{PASSWORD}', 'database' '{DB}')"
+    )
+    out = eng.sql("SELECT name FROM liveobs WHERE v > 0")
+    assert [r.name for r in out.collect()] == ["alpha"]
+    # the predicate executed in the DATABASE: it appears in a recorded
+    # remote statement and the local plan has no Filter node
+    pushed = [q for q in pg.queries if "WHERE" in q and '"v" > 0' in q]
+    assert pushed, pg.queries
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not _re.search(r"\bFilter \(", plan), plan
+    # LIVE: a remote change is visible on the next query, same engine
+    TABLE["obs"][1].append(
+        ["9", "gamma", "7.5", "t", "2024-06-01",
+         "2024-01-03 00:00:00", None])
+    try:
+        names = {r.name for r in
+                 eng.sql("SELECT name FROM liveobs WHERE v > 0").collect()}
+        assert names == {"alpha", "gamma"}
+    finally:
+        TABLE["obs"][1].pop()
