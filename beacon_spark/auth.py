@@ -151,10 +151,22 @@ def _path_candidates(engine, path: str) -> set[str]:
 
     out = {path, posixpath.normpath(path)}
     root = getattr(engine, "datasets_root", None)
-    if root is not None and not path.startswith("/") and "://" not in path:
+    if root is None or "://" in path:
+        return out
+    if not path.startswith("/"):
         joined = posixpath.normpath(f"{root}/{path}")
         out.add(joined)
         out.add(joined[len(root):].lstrip("/"))
+    else:
+        # absolute spelling of a file under the root must also hit
+        # relative-form rules — '/root/data/x.parquet' ≡ 'x.parquet'
+        norm = posixpath.normpath(path)
+        nroot = posixpath.normpath(str(root))
+        if norm == nroot or norm.startswith(nroot.rstrip("/") + "/"):
+            rel = norm[len(nroot):].lstrip("/")
+            if rel:
+                out.add(rel)
+                out.add(f"./{rel}")
     return out
 
 
@@ -282,8 +294,9 @@ def authorize_dsl(engine, body: dict, user: str | None) -> None:
         if paths is None and isinstance(cfg, dict) and cfg.get("location"):
             paths = [cfg["location"]]
         for p in paths or []:
-            if not is_allowed(a, roles, "SELECT", ("path", str(p))):
-                raise AuthError(f"permission denied: SELECT on path {p!r}")
+            # same normalized deny-wins walk as the SQL path — a
+            # './x' or absolute spelling must not dodge a DENY
+            _check_path(engine, a, roles, str(p))
         if paths:
             return
     # unknown from shape: fail CLOSED, never leak

@@ -741,12 +741,12 @@ class Engine:
                     opts = dict(ext.get("options") or {})
                     sname = ext.get("password_secret")
                     if sname:
-                        import base64 as _b64
+                        from beacon_spark.secretbox import default_box
 
                         raw = cat.get("secrets", {}).get(sname, {}) \
                                  .get("options", {}).get("password")
                         if raw:
-                            opts["password"] = _b64.b64decode(raw).decode()
+                            opts["password"] = default_box().decrypt(raw)
                     if ext["format"] in ("postgres", "mysql"):
                         # remote-DB tables are LIVE lazy scans (the
                         # reference's federated provider): a beacon_sqldb
@@ -817,12 +817,14 @@ class Engine:
                             token = aroot.get("token")
                             sname = aroot.get("token_secret")
                             if sname:
-                                import base64 as _b64
+                                from beacon_spark.secretbox import (
+                                    default_box,
+                                )
 
                                 sec = cat.get("secrets", {}).get(sname, {})
                                 raw = sec.get("options", {}).get("token")
                                 if raw:
-                                    token = _b64.b64decode(raw).decode()
+                                    token = default_box().decrypt(raw)
                             self._remotes[aname] = RemoteBeacon(
                                 aroot["url"],
                                 token=token,
@@ -855,13 +857,14 @@ class Engine:
                     import sys
 
                     print(f"warning: attachment {aname!r}: {e}", file=sys.stderr)
-            import base64
+            from beacon_spark.secretbox import default_box
 
             for s in cat.get("secrets", {}).values():
+                box = default_box()
                 self._apply_secret(
                     s,
                     {
-                        k: base64.b64decode(v).decode()
+                        k: box.decrypt(v)
                         for k, v in s.get("options", {}).items()
                     },
                 )
@@ -1072,10 +1075,12 @@ class Engine:
                     # the bearer token rides the SECRET store, never the
                     # attachment entry itself — the reference routes
                     # remote credentials through its secrets mechanism
-                    # (remote/connection.rs, secrets.rs); a plaintext
-                    # token in the catalog JSON would be readable by
-                    # anything with filesystem access to the lake root
-                    import base64 as _b64
+                    # (remote/connection.rs, secrets.rs) as
+                    # EncryptedSecret values; ours are ChaCha20+HMAC
+                    # encrypted under a key held OUTSIDE the lake root
+                    # (secretbox.py), so catalog.json alone is useless
+                    # to a reader with data-directory access
+                    from beacon_spark.secretbox import default_box
 
                     sname = f"__attach_{name}"
                     c.setdefault("secrets", {})[sname] = {
@@ -1083,9 +1088,7 @@ class Engine:
                         "scope": path,
                         "persistent": True,
                         "options": {
-                            "token": _b64.b64encode(
-                                opts["token"].encode()
-                            ).decode()
+                            "token": default_box().encrypt(opts["token"])
                         },
                     }
                     c["attachments"][name]["token_secret"] = sname
@@ -1117,11 +1120,12 @@ class Engine:
             return self._status(status="ok", op="detach", name=name)
         if kind == "create_secret":
             # CREATE [PERSISTENT|TEMPORARY] SECRET n (TYPE t, k 'v', …,
-            # SCOPE 's') — actions.rs:110-220. Persistent secrets go to the
-            # catalog (values base64-obfuscated — the reference encrypts
-            # into its db file; we have no key store, documented
-            # divergence); TEMPORARY/default live only in this Engine.
-            import base64
+            # SCOPE 's') — actions.rs:110-220. Persistent secrets go to
+            # the catalog encrypted (ChaCha20 + HMAC-SHA256, key from
+            # env/keyfile outside the lake root — secretbox.py; the
+            # reference stores EncryptedSecret in its db file);
+            # TEMPORARY/default live only in this Engine.
+            from beacon_spark.secretbox import default_box
 
             modifier = (m.group(1) or "").strip().lower()
             name, body = m.group(2), m.group(3)
@@ -1144,11 +1148,11 @@ class Engine:
             self._apply_secret(entry, params)
             if modifier == "persistent":
                 c = cat._load()
+                box = default_box()
                 c.setdefault("secrets", {})[name] = {
                     **entry,
                     "options": {
-                        k: base64.b64encode(v.encode()).decode()
-                        for k, v in params.items()
+                        k: box.encrypt(v) for k, v in params.items()
                     },
                 }
                 cat._save(c)

@@ -644,7 +644,9 @@ class Catalog:
             "options": options or {},
         }
         if password is not None:
-            import base64 as _b64
+            # encrypted at rest (secretbox.py — key lives outside the
+            # lake root), mirroring the reference's EncryptedSecret
+            from beacon_spark.secretbox import default_box
 
             sname = f"__exttbl_{name}"
             cat.setdefault("secrets", {})[sname] = {
@@ -652,7 +654,7 @@ class Catalog:
                 "scope": paths[0] if paths else "",
                 "persistent": True,
                 "options": {
-                    "password": _b64.b64encode(password.encode()).decode()
+                    "password": default_box().encrypt(password)
                 },
             }
             entry["password_secret"] = sname

@@ -209,7 +209,8 @@ class FlightSqlHandler:
             return sql
         return None
 
-    def _metadata_table(self, kind: str, payload: bytes) -> pa.Table | None:
+    def _metadata_table(self, kind: str, payload: bytes,
+                        user=None) -> pa.Table | None:
         if kind == "CommandGetCatalogs":
             return pa.Table.from_pylist(
                 [{"catalog_name": CATALOG_NAME}], schema=_GET_CATALOGS_SCHEMA
@@ -229,8 +230,10 @@ class FlightSqlHandler:
             from beacon_spark.outputs import arrow_schema_of
 
             for r in rows:
+                # include_schema runs as the Flight caller, not the
+                # embedded super-user — RBAC gates schema enumeration
                 df = self.engine.sql(
-                    f"SELECT * FROM {r['table_name']} LIMIT 0"
+                    f"SELECT * FROM {r['table_name']} LIMIT 0", user=user
                 )
                 r["table_schema"] = arrow_schema_of(df).serialize().to_pybytes()
             return pa.Table.from_pylist(
@@ -272,7 +275,7 @@ class FlightSqlHandler:
         if decoded is None:
             return None
         kind, payload = decoded
-        meta = self._metadata_table(kind, payload)
+        meta = self._metadata_table(kind, payload, user=user)
         if meta is not None:
             ticket = fl.Ticket(command)
             return fl.FlightInfo(
@@ -310,7 +313,7 @@ class FlightSqlHandler:
         if decoded is None:
             return None
         kind, payload = decoded
-        meta = self._metadata_table(kind, payload)
+        meta = self._metadata_table(kind, payload, user=user)
         if meta is not None:
             import pyarrow.flight as fl
 

@@ -167,7 +167,10 @@ class BeaconHttpServer:
                     tbl = q.get("table")
                     if not tbl:
                         raise ValueError("table-schema needs ?table=")
-                    df = eng.sql(f"SELECT * FROM {tbl} LIMIT 0")
+                    ident = getattr(self, "_ident", None)
+                    # schema introspection honors RBAC: a user whose
+                    # grants deny the table can't enumerate its columns
+                    df = eng.sql(f"SELECT * FROM {tbl} LIMIT 0", user=ident)
                     self._send_json(json.loads(df.schema.json()))
                 elif path == "/api/info":
                     from beacon_spark.version import VERSION
@@ -199,6 +202,14 @@ class BeaconHttpServer:
                     if not ds:
                         raise ValueError("dataset-schema needs ?dataset=")
                     fmt, cfg = _sniff_cfg(ds)
+                    from beacon_spark import auth as _auth
+
+                    # path grants gate dataset introspection too — same
+                    # normalized deny-wins walk as a DSL read of it
+                    _auth.authorize_dsl(
+                        eng, {"from": {fmt: cfg}},
+                        getattr(self, "_ident", None),
+                    )
                     df = eng.resolve_from({fmt: cfg}).limit(0)
                     self._send_json(json.loads(df.schema.json()))
                 elif path == "/api/default-table":
@@ -206,7 +217,8 @@ class BeaconHttpServer:
                 elif path == "/api/default-table-schema":
                     if eng.default_table is None:
                         raise ValueError("engine has no default table")
-                    df = eng.sql(f"SELECT * FROM {eng.default_table} LIMIT 0")
+                    df = eng.sql(f"SELECT * FROM {eng.default_table} LIMIT 0",
+                                 user=getattr(self, "_ident", None))
                     self._send_json(json.loads(df.schema.json()))
                 elif path.startswith("/api/query/metrics/"):
                     qid = path.rsplit("/", 1)[1]
@@ -612,7 +624,7 @@ class BeaconHttpServer:
                 "datasets": datasets,
             })
         if name == "describe_table":
-            df = eng.sql(f"SELECT * FROM {args['table']} LIMIT 0")
+            df = eng.sql(f"SELECT * FROM {args['table']} LIMIT 0", user=user)
             return json.dumps(
                 [{"column": f.name, "type": f.dataType.simpleString()}
                  for f in df.schema.fields]

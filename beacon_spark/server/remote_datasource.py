@@ -28,6 +28,7 @@ one result; re-running it per partition would multiply remote work.
 from __future__ import annotations
 
 import datetime
+import math
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -72,7 +73,11 @@ def _quote_value(v) -> str | None:
     (the filter is handed back to Spark)."""
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # repr(nan/inf) is a bare token — invalid SQL in PG/MySQL; hand
+        # non-finite comparisons back to Spark instead
+        return repr(v) if math.isfinite(v) else None
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"

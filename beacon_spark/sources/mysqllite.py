@@ -267,7 +267,16 @@ class MySqlClient:
             p = self._read_packet()
             if p[:1] == b"\xff":
                 raise MySqlError(self._err_text(p))
-            if p[:1] == b"\xfe" and len(p) < 9:  # EOF/OK terminator
+            # terminator detection per the wire spec, not a length-9
+            # heuristic: with CLIENT_DEPRECATE_EOF the resultset ends
+            # with an OK packet (header 0xFE) that may carry a session
+            # info string of any length — only a row whose first lenenc
+            # byte is 0xFE (a >=2^24-byte value, i.e. a max-size
+            # 0xFFFFFF packet) can be confused with it. Classic
+            # protocol keeps the 5-byte EOF (< 9) rule.
+            if p[:1] == b"\xfe" and (
+                len(p) < 0xFFFFFF if self._deprecate_eof else len(p) < 9
+            ):
                 return columns, rows
             i = 0
             row = []

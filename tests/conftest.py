@@ -1,4 +1,14 @@
+import os
+import tempfile
+
 import pytest
+
+# secrets written during tests encrypt under a throwaway key, never the
+# developer's real ~/.beacon_spark/secret.key
+_KEYDIR = tempfile.mkdtemp(prefix="beacon_keys_")
+os.environ.setdefault(
+    "BEACON_SPARK_KEYFILE", os.path.join(_KEYDIR, "secret.key")
+)
 
 
 @pytest.fixture(scope="session")

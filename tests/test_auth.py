@@ -329,3 +329,130 @@ def test_sql_body_output_block_requires_super(aeng, tmp_path):
             {"sql": "SELECT 1 AS x", "output": {"format": "csv"}},
             output_path=str(tmp_path / "o.csv"), user="alice",
         )
+
+
+def test_dsl_path_deny_not_dodged_by_spelling(aeng, spark, tmp_path):
+    """Round-5 review (high): authorize_dsl must run the same normalized
+    deny-wins walk as the SQL path — './x' and absolute spellings must
+    hit a relative DENY."""
+    spark.range(5).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "hidden.parquet"))
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    aeng.sql("GRANT SELECT ON ALL TO ROLE readers")
+    aeng.sql("DENY SELECT ON PATH 'hidden*' TO ROLE readers")
+    for spelling in (
+        "hidden.parquet",
+        "./hidden.parquet",
+        str(tmp_path / "hidden.parquet"),  # absolute
+    ):
+        with pytest.raises(AuthError, match="permission denied"):
+            aeng.query(
+                {"select": ["id"], "from": {"parquet": {"paths": [spelling]}}},
+                user="alice",
+            )
+    # a non-denied path under the same grant still works
+    spark.range(3).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "open.parquet"))
+    rows = aeng.query(
+        {"select": ["id"], "from": {"parquet": {"paths": ["open.parquet"]}}},
+        user="alice",
+    ).collect()
+    assert len(rows) == 3
+
+
+def test_absolute_spelling_hits_relative_deny_in_sql(aeng, spark, tmp_path):
+    """_path_candidates adds the root-stripped relative form for
+    absolute inputs under datasets_root."""
+    spark.range(5).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "hidden.parquet"))
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    aeng.sql("GRANT SELECT ON ALL TO ROLE readers")
+    aeng.sql("DENY SELECT ON PATH 'hidden*' TO ROLE readers")
+    with pytest.raises(AuthError, match="permission denied"):
+        aeng.sql(
+            f"SELECT count(*) AS n FROM read_parquet('{tmp_path}/hidden.parquet')",
+            user="alice",
+        )
+
+
+def test_metadata_endpoints_honor_rbac(spark, aeng, tmp_path):
+    """Round-5 review (medium): schema introspection runs as the
+    authenticated identity, not the embedded super-user — a denied
+    table/path can't be enumerated via /api/table-schema,
+    /api/dataset-schema, or MCP describe_table."""
+    from beacon_spark.server.http import BeaconHttpServer
+
+    spark.range(5).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "hidden.parquet"))
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    aeng.sql("GRANT SELECT ON TABLE public TO ROLE readers")
+    aeng.sql("DENY SELECT ON TABLE secrets TO ROLE readers")
+    aeng.sql("DENY SELECT ON PATH 'hidden*' TO ROLE readers")
+    hs = BeaconHttpServer(aeng, port=0, token="admintok")
+    port = hs.serve_background()
+    base = f"http://127.0.0.1:{port}"
+    basic = "Basic " + base64.b64encode(b"alice:pw1").decode()
+
+    def get(path, auth_header):
+        req = urllib.request.Request(
+            f"{base}{path}", headers={"Authorization": auth_header})
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    try:
+        # granted table: schema visible
+        sch = get("/api/table-schema?table=public", basic)
+        assert any(f["name"] == "id" for f in sch["fields"])
+        # denied table: clean 4xx, no schema leak
+        try:
+            get("/api/table-schema?table=secrets", basic)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"permission denied" in e.read()
+        # denied dataset path: clean 4xx
+        try:
+            get("/api/dataset-schema?dataset=hidden.parquet", basic)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"permission denied" in e.read()
+        # the transport super-identity still introspects everything
+        sch = get("/api/table-schema?table=secrets", "Bearer admintok")
+        assert any(f["name"] == "v" for f in sch["fields"])
+        sch = get("/api/dataset-schema?dataset=hidden.parquet",
+                  "Bearer admintok")
+        assert any(f["name"] == "id" for f in sch["fields"])
+        # MCP describe_table as the restricted identity
+        resp = hs._mcp_handle(
+            {"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+             "params": {"name": "describe_table",
+                        "arguments": {"table": "secrets"}}},
+            "alice",
+        )
+        assert resp.get("error") or resp["result"].get("isError"), resp
+        blob = json.dumps(resp)
+        assert "permission denied" in blob
+    finally:
+        hs.shutdown()
+
+
+def test_flightsql_get_tables_include_schema_honors_rbac(spark, aeng):
+    """CommandGetTables(include_schema=true) runs schema probes as the
+    Flight caller (flightsql.py _metadata_table user threading)."""
+    from beacon_spark.server.flightsql import (
+        FlightSqlHandler, encode_string_msg,
+    )
+    from beacon_spark.server.limits import QueryLimits
+
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    aeng.sql("GRANT SELECT ON TABLE public TO ROLE readers")
+    aeng.sql("DENY SELECT ON TABLE secrets TO ROLE readers")
+    h = FlightSqlHandler(aeng, QueryLimits())
+    payload = encode_string_msg(3, "secrets") + b"\x28\x01"  # include_schema
+    with pytest.raises(AuthError, match="permission denied"):
+        h._metadata_table("CommandGetTables", payload, user="alice")
+    # the granted table's schema is served fine
+    t = h._metadata_table(
+        "CommandGetTables", encode_string_msg(3, "public") + b"\x28\x01",
+        user="alice",
+    )
+    assert t.num_rows == 1

@@ -46,8 +46,9 @@ def _lenenc_str(s: bytes) -> bytes:
 
 
 class MockMySql(threading.Thread):
-    def __init__(self, deprecate_eof=True):
+    def __init__(self, deprecate_eof=True, ok_info=b""):
         self.deprecate_eof = deprecate_eof
+        self.ok_info = ok_info  # session info appended to the OK terminator
         super().__init__(daemon=True)
         self._srv = socket.socket()
         self._srv.bind(("127.0.0.1", 0))
@@ -151,8 +152,12 @@ class MockMySql(threading.Thread):
                             body += _lenenc_str(v.encode("latin-1"))
                     conn.sendall(self._packet(seq, body))
                     seq += 1
-                # terminator: OK-as-EOF (DEPRECATE_EOF) or classic EOF
-                conn.sendall(self._packet(seq, b"\xfe\x00\x00\x02\x00"))
+                # terminator: OK-as-EOF (DEPRECATE_EOF) or classic EOF;
+                # a real OK may carry an info string of any length
+                term = b"\xfe\x00\x00\x02\x00"
+                if self.deprecate_eof:
+                    term += b"\x00\x00" + self.ok_info
+                conn.sendall(self._packet(seq, term))
         except (ConnectionError, OSError):
             conn.close()
 
@@ -226,6 +231,24 @@ def test_mysql_classic_eof_server():
         assert c._deprecate_eof is False  # negotiated down
         _cols, rows = c.query("SELECT * FROM obs")
         c.close()
+        assert len(rows) == 3 and rows[0][1] == "alpha"
+    finally:
+        srv.stop()
+
+
+def test_mysql_long_ok_terminator_with_info_string():
+    """Round-5 review (low): a DEPRECATE_EOF OK terminator carrying a
+    session info string (> 8 bytes total) must end the resultset, not
+    be misparsed as a data row. Spec rule: first byte 0xFE + packet
+    length < 0xFFFFFF = OK terminator."""
+    srv = MockMySql(ok_info=b"Rows matched: 3  Changed: 0  Warnings: 0")
+    srv.start()
+    try:
+        c = MySqlClient("127.0.0.1", srv.port, user=USER, password=PASSWORD,
+                        database=DB)
+        _cols, rows = c.query("SELECT * FROM obs")
+        c.close()
+        # exactly the 3 data rows — no phantom row from the OK packet
         assert len(rows) == 3 and rows[0][1] == "alpha"
     finally:
         srv.stop()

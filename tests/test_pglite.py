@@ -320,3 +320,27 @@ def test_pg_table_is_live_and_pushes_filters(spark, tmp_path, pg):
         assert names == {"alpha", "gamma"}
     finally:
         TABLE["obs"][1].pop()
+
+
+def test_pushed_value_quoting_rejects_nonfinite():
+    """Round-5 review (low): repr(nan/inf) renders bare tokens — invalid
+    SQL in PG/MySQL. Non-finite comparison values must hand the filter
+    back to Spark (None) instead of corrupting the remote query."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from beacon_spark.server.remote_datasource import (
+        _filter_to_sql, _quote_value,
+    )
+
+    assert _quote_value(float("nan")) is None
+    assert _quote_value(float("inf")) is None
+    assert _quote_value(float("-inf")) is None
+    assert _quote_value(1.5) == "1.5"
+    assert _quote_value(True) == "TRUE"
+    # the enclosing filter degrades to un-pushed, not to broken SQL
+    assert _filter_to_sql(
+        GreaterThan(attribute=("v",), value=float("inf")), "postgres"
+    ) is None
+    assert _filter_to_sql(
+        EqualTo(attribute=("v",), value=2.0), "postgres"
+    ) == '("v" = 2.0)'
