@@ -47,17 +47,32 @@ class QueryLimits:
         (bounded driver memory) and raises the moment the row cap is
         passed instead of materializing an unbounded collect."""
         with self.time_guard(df.sparkSession):
-            if self.max_rows is None:
-                return [r.asDict(recursive=True) for r in df.toLocalIterator()]
             rows: list[dict] = []
+            nbytes = 0
             for r in df.toLocalIterator():
-                rows.append(r.asDict(recursive=True))
-                if len(rows) > self.max_rows:
+                d = r.asDict(recursive=True)
+                rows.append(d)
+                if self.max_rows is not None and len(rows) > self.max_rows:
                     raise ResourceLimitExceeded(
                         f"result exceeds the server row limit "
                         f"({self.max_rows}); add a LIMIT or use a file "
                         f"export (output.format)"
                     )
+                if self.max_bytes is not None:
+                    # cheap lower-bound estimate: payload string/bytes
+                    # lengths (the JSON encoding is never smaller), so
+                    # wide-string results can't dodge the byte cap the
+                    # Arrow paths enforce
+                    nbytes += 16 * len(d) + sum(
+                        len(v) for v in d.values()
+                        if isinstance(v, (str, bytes, bytearray))
+                    )
+                    if nbytes > self.max_bytes:
+                        raise ResourceLimitExceeded(
+                            f"result exceeds the server byte limit "
+                            f"({self.max_bytes}); add a LIMIT or use a "
+                            f"file export (output.format)"
+                        )
             return rows
 
     # ------------------------------------------------------------ batches

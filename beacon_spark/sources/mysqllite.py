@@ -234,15 +234,20 @@ class MySqlClient:
 
     # ------------------------------------------------------ queries
 
-    def query(self, sql: str) -> tuple[list[tuple[str, int, int]], list[list]]:
-        """(columns as (name, type_byte, charset), parsed rows)."""
+    def query_stream(self, sql: str):
+        """(columns as (name, type_byte, charset), lazy row generator).
+
+        Rows decode one packet at a time as the server streams the
+        resultset — memory stays O(row), so an executor can scan an
+        arbitrarily large remote table. Drain the generator (or close
+        the connection) before issuing the next query."""
         self._seq = 0
         self._send_packet(b"\x03" + sql.encode())  # COM_QUERY
         first = self._read_packet()
         if first[:1] == b"\xff":
             raise MySqlError(self._err_text(first))
         if first[:1] == b"\x00":  # OK (no resultset: DML)
-            return [], []
+            return [], iter(())
         n_cols, _ = _lenenc(first, 0)
         columns: list[tuple[str, int, int]] = []
         for _ in range(n_cols):
@@ -262,28 +267,35 @@ class MySqlClient:
             eof = self._read_packet()
             if eof[:1] != b"\xfe":
                 raise MySqlError("expected EOF after column definitions")
-        rows: list[list] = []
-        while True:
-            p = self._read_packet()
-            if p[:1] == b"\xff":
-                raise MySqlError(self._err_text(p))
-            # terminator detection per the wire spec, not a length-9
-            # heuristic: with CLIENT_DEPRECATE_EOF the resultset ends
-            # with an OK packet (header 0xFE) that may carry a session
-            # info string of any length — only a row whose first lenenc
-            # byte is 0xFE (a >=2^24-byte value, i.e. a max-size
-            # 0xFFFFFF packet) can be confused with it. Classic
-            # protocol keeps the 5-byte EOF (< 9) rule.
-            if p[:1] == b"\xfe" and (
-                len(p) < 0xFFFFFF if self._deprecate_eof else len(p) < 9
-            ):
-                return columns, rows
-            i = 0
-            row = []
-            for _name, tb, cs in columns:
-                s, i = _lenenc_str(p, i)
-                row.append(_parse_value(s, tb, cs))
-            rows.append(row)
+        def gen():
+            while True:
+                p = self._read_packet()
+                if p[:1] == b"\xff":
+                    raise MySqlError(self._err_text(p))
+                # terminator detection per the wire spec, not a length-9
+                # heuristic: with CLIENT_DEPRECATE_EOF the resultset ends
+                # with an OK packet (header 0xFE) that may carry a session
+                # info string of any length — only a row whose first lenenc
+                # byte is 0xFE (a >=2^24-byte value, i.e. a max-size
+                # 0xFFFFFF packet) can be confused with it. Classic
+                # protocol keeps the 5-byte EOF (< 9) rule.
+                if p[:1] == b"\xfe" and (
+                    len(p) < 0xFFFFFF if self._deprecate_eof else len(p) < 9
+                ):
+                    return
+                i = 0
+                row = []
+                for _name, tb, cs in columns:
+                    s, i = _lenenc_str(p, i)
+                    row.append(_parse_value(s, tb, cs))
+                yield row
+
+        return columns, gen()
+
+    def query(self, sql: str) -> tuple[list[tuple[str, int, int]], list[list]]:
+        """(columns as (name, type_byte, charset), parsed rows)."""
+        columns, rows = self.query_stream(sql)
+        return columns, list(rows)
 
     def close(self) -> None:
         try:

@@ -193,52 +193,94 @@ class PgClient:
 
     # ------------------------------------------------------- queries
 
-    def query(self, sql: str) -> tuple[list[tuple[str, int]], list[list]]:
-        """(columns as (name, oid), rows of parsed python values)."""
+    @staticmethod
+    def _parse_row_description(payload: bytes) -> list[tuple[str, int]]:
+        (n,) = struct.unpack("!H", payload[:2])
+        off = 2
+        columns: list[tuple[str, int]] = []
+        for _ in range(n):
+            end = payload.index(b"\x00", off)
+            name = payload[off:end].decode()
+            # tableoid(4) attnum(2) typoid(4) typlen(2) typmod(4) format(2)
+            (oid,) = struct.unpack("!I", payload[end + 7:end + 11])
+            columns.append((name, oid))
+            off = end + 19
+        return columns
+
+    @staticmethod
+    def _parse_data_row(payload: bytes, columns) -> list:
+        (n,) = struct.unpack("!H", payload[:2])
+        off = 2
+        row = []
+        for i in range(n):
+            (ln,) = struct.unpack("!i", payload[off:off + 4])
+            off += 4
+            if ln < 0:
+                row.append(None)
+            else:
+                text = payload[off:off + ln].decode()
+                off += ln
+                row.append(_parse_value(text, columns[i][1]))
+        return row
+
+    def query_stream(self, sql: str):
+        """(columns as (name, oid), lazy row generator).
+
+        Rows decode one DataRow at a time as the server streams them —
+        memory stays O(row), so an executor can scan an arbitrarily
+        large remote table (the federated read path uses this). The
+        generator must be drained (or the connection closed) before the
+        next query: it owns the protocol state until ReadyForQuery."""
         self._send(b"Q", sql.encode() + b"\x00")
         columns: list[tuple[str, int]] = []
-        rows: list[list] = []
+        first_row: bytes | None = None
         error: str | None = None
-        while True:
+        while True:  # header phase: until the first DataRow or Z
             tag, payload = self._read_msg()
-            if tag == b"T":  # RowDescription
-                (n,) = struct.unpack("!H", payload[:2])
-                off = 2
-                columns = []
-                for _ in range(n):
-                    end = payload.index(b"\x00", off)
-                    name = payload[off:end].decode()
-                    # tableoid(4) attnum(2) typoid(4) typlen(2)
-                    # typmod(4) format(2)
-                    (oid,) = struct.unpack("!I", payload[end + 7:end + 11])
-                    columns.append((name, oid))
-                    off = end + 19
-            elif tag == b"D":  # DataRow
-                (n,) = struct.unpack("!H", payload[:2])
-                off = 2
-                row = []
-                for i in range(n):
-                    (ln,) = struct.unpack("!i", payload[off:off + 4])
-                    off += 4
-                    if ln < 0:
-                        row.append(None)
-                    else:
-                        text = payload[off:off + ln].decode()
-                        off += ln
-                        row.append(_parse_value(text, columns[i][1]))
-                rows.append(row)
-            elif tag == b"C":  # CommandComplete
+            if tag == b"T":
+                columns = self._parse_row_description(payload)
+            elif tag == b"D":
+                first_row = payload
+                break
+            elif tag in (b"C", b"N"):
                 continue
             elif tag == b"E":
                 error = self._error_text(payload)
-            elif tag == b"N":
-                continue
-            elif tag == b"Z":  # ReadyForQuery: the statement is done
+            elif tag == b"Z":
                 if error:
                     raise PgError(error)
-                return columns, rows
+                return columns, iter(())
             else:
                 raise PgError(f"unexpected message {tag!r}")
+
+        def gen():
+            err: str | None = None
+            payload = first_row
+            while True:
+                if payload is not None:
+                    yield self._parse_data_row(payload, columns)
+                tag, payload2 = self._read_msg()
+                if tag == b"D":
+                    payload = payload2
+                    continue
+                payload = None
+                if tag in (b"C", b"N"):
+                    continue
+                if tag == b"E":
+                    err = self._error_text(payload2)
+                    continue
+                if tag == b"Z":
+                    if err:
+                        raise PgError(err)
+                    return
+                raise PgError(f"unexpected message {tag!r}")
+
+        return columns, gen()
+
+    def query(self, sql: str) -> tuple[list[tuple[str, int]], list[list]]:
+        """(columns as (name, oid), rows of parsed python values)."""
+        columns, rows = self.query_stream(sql)
+        return columns, list(rows)
 
     def close(self) -> None:
         try:

@@ -83,11 +83,14 @@ class _SqlDbReader(DataSourceReader):
             kw["port"] = int(kw["port"])
         client = Client(**kw)
         try:
-            _cols, rows = client.query(self.remote_sql())
+            # streamed, not buffered: rows decode one wire packet at a
+            # time, so executor memory is O(row) even when the remote
+            # table is arbitrarily large
+            _cols, rows = client.query_stream(self.remote_sql())
+            for row in rows:
+                yield tuple(row)
         finally:
             client.close()
-        for row in rows:
-            yield tuple(row)
 
 
 class SqlDbDataSource(DataSource):

@@ -312,3 +312,18 @@ def test_attach_token_via_secret_store(spark, tmp_path):
         assert "__attach_lk" not in cat.get("secrets", {})
     finally:
         server.shutdown()
+
+
+def test_collect_rows_enforces_byte_cap(spark):
+    """Round-6 hardening: the JSON path caps bytes too — wide-string
+    rows can't dodge the byte limit the Arrow paths enforce."""
+    import pytest as _pytest
+
+    from beacon_spark.server.limits import QueryLimits, ResourceLimitExceeded
+
+    df = spark.range(200).selectExpr("repeat('x', 10000) AS s")
+    lim = QueryLimits(max_rows=None, max_bytes=100_000)
+    with _pytest.raises(ResourceLimitExceeded, match="byte limit"):
+        lim.collect_rows(df)
+    # under the cap passes
+    assert len(QueryLimits(max_bytes=None).collect_rows(df.limit(3))) == 3

@@ -252,3 +252,17 @@ def test_mysql_long_ok_terminator_with_info_string():
         assert len(rows) == 3 and rows[0][1] == "alpha"
     finally:
         srv.stop()
+
+
+def test_mysql_query_stream_is_lazy_and_reusable(my):
+    import types
+
+    c = MySqlClient("127.0.0.1", my.port, user=USER, password=PASSWORD,
+                    database=DB)
+    cols, rows = c.query_stream("SELECT * FROM obs")
+    assert isinstance(rows, types.GeneratorType)
+    assert next(rows)[1] == "alpha"
+    list(rows)  # drain to ReadyForQuery-equivalent state
+    _c2, rows2 = c.query_stream("SELECT * FROM obs")
+    assert len(list(rows2)) == 3
+    c.close()

@@ -344,3 +344,22 @@ def test_pushed_value_quoting_rejects_nonfinite():
     assert _filter_to_sql(
         EqualTo(attribute=("v",), value=2.0), "postgres"
     ) == '("v" = 2.0)'
+
+
+def test_pg_query_stream_is_lazy_and_reusable(pg):
+    """query_stream decodes rows as the resultset streams (O(row)
+    executor memory on the federated path); after a full drain the
+    connection serves the next query."""
+    import types
+
+    c = PgClient("127.0.0.1", pg.port, user=USER, password=PASSWORD,
+                 database=DB)
+    cols, rows = c.query_stream("SELECT * FROM obs")
+    assert isinstance(rows, types.GeneratorType)
+    first = next(rows)
+    assert first[1] == "alpha"
+    remaining = list(rows)  # drain
+    cols2, rows2 = c.query_stream('SELECT * FROM obs WHERE ("v" > 0)')
+    assert [r[1] for r in rows2] == ["alpha"]
+    c.close()
+    assert len(remaining) >= 1
