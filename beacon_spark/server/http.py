@@ -70,9 +70,12 @@ class BeaconHttpServer:
                  token: str | None = None, limits=None):
         from beacon_spark.server.limits import QueryLimits
 
+        from beacon_spark.server.admin import AdminApi
+
         self.engine = engine
         self._token = token
         self._limits = limits if limits is not None else QueryLimits()
+        self._admin_api = AdminApi(engine)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -144,11 +147,87 @@ class BeaconHttpServer:
                 if not self._authed():
                     return
                 u = urlparse(self.path)
+                if u.path.startswith("/api/admin"):
+                    self._admin()
+                    return
                 q = {k: v[0] for k, v in parse_qs(u.query).items()}
                 try:
                     self._route_get(u.path, q)
                 except Exception as e:
                     self._deny(400, str(e))
+
+            def do_PUT(self):
+                if not self._authed():
+                    return
+                if urlparse(self.path).path.startswith("/api/admin"):
+                    self._admin()
+                    return
+                self._deny(404, f"no such endpoint: {self.path}")
+
+            def do_DELETE(self):
+                if not self._authed():
+                    return
+                if urlparse(self.path).path.startswith("/api/admin"):
+                    self._admin()
+                    return
+                self._deny(404, f"no such endpoint: {self.path}")
+
+            def _admin(self) -> None:
+                """Dispatch /api/admin/* (server/admin.py). Super-user
+                only: the transport identity (bearer token / open
+                embedded server) or a Basic super-user — the reference
+                attaches its basic_auth super-user middleware to this
+                router the same way (admin/mod.rs:33)."""
+                from beacon_spark.server.admin import FileError
+
+                ident = getattr(self, "_ident", None)
+                if ident is not None:
+                    try:
+                        cat = outer.engine.catalog._load()
+                        ok = bool(cat.get("auth", {}).get("users", {})
+                                  .get(ident, {}).get("super_user"))
+                    except Exception:
+                        ok = False
+                    if not ok:
+                        self._deny(
+                            403, "admin endpoints require a super-user "
+                                 "identity")
+                        return
+                u = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                sub = u.path[len("/api/admin"):].lstrip("/")
+                n = int(self.headers.get("Content-Length", 0) or 0)
+                method = self.command
+                # raw-body routes stream straight from the socket; the
+                # rest carry small JSON bodies
+                raw = sub in ("datasets/upload", "datasets/upload/part")
+                body = None
+                if not raw and method in ("POST", "PUT") and n:
+                    body = self.rfile.read(n)
+                try:
+                    status, ctype, payload = outer._admin_api.handle(
+                        method, sub, q, body, rfile=self.rfile, length=n
+                    )
+                except FileError as e:
+                    self._deny(e.status, str(e))
+                    return
+                except Exception as e:
+                    self._deny(400, str(e))
+                    return
+                if isinstance(payload, tuple):  # (total, chunk iterator)
+                    total, chunks = payload
+                    self.send_response(status)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(total))
+                    self.end_headers()
+                    for c in chunks:
+                        self.wfile.write(c)
+                    return
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
 
             def _route_get(self, path: str, q: dict) -> None:
                 eng = outer.engine
@@ -235,6 +314,9 @@ class BeaconHttpServer:
                 if not self._authed():
                     return
                 u = urlparse(self.path)
+                if u.path.startswith("/api/admin"):
+                    self._admin()
+                    return
                 if u.path in ("/api/explain-query", "/api/parse-query"):
                     try:
                         n = int(self.headers.get("Content-Length", 0))

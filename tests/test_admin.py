@@ -1,0 +1,209 @@
+"""Admin endpoints /api/admin/* (server/admin.py; reference
+beacon-server/src/axum/admin/mod.rs:38-64 routes + the files.rs
+path-safety/upload/delete contract)."""
+
+import base64
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from beacon_spark.engine import Engine
+from beacon_spark.server.admin import FileError, validate_dataset_path
+
+
+# ------------------------------------------------------ path safety
+
+def test_validate_dataset_path_gate():
+    assert validate_dataset_path("ctd/cruise42/a.nc") == "ctd/cruise42/a.nc"
+    assert validate_dataset_path(" a.parquet ") == "a.parquet"
+    for bad in ["", "/abs/x", "a/../b", "./a", "..", "a\\b", "a\x00b",
+                "a//b", ".beacon_catalog/catalog.json", "__beacon__/x",
+                "s3://bucket/key"]:
+        with pytest.raises(FileError):
+            validate_dataset_path(bad)
+
+
+# ------------------------------------------------------ HTTP surface
+
+@pytest.fixture()
+def admin_http(spark, tmp_path):
+    from beacon_spark.server.http import BeaconHttpServer
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE USER root WITH PASSWORD 'pw0' SUPERUSER")
+    eng.sql("CREATE USER alice WITH PASSWORD 'pw1'")
+    hs = BeaconHttpServer(eng, port=0, token="tok")
+    port = hs.serve_background()
+    yield eng, f"http://127.0.0.1:{port}", tmp_path
+    hs.shutdown()
+
+
+def _req(base, method, path, auth="Bearer tok", body=None, ctype=None):
+    headers = {"Authorization": auth}
+    if ctype:
+        headers["Content-Type"] = ctype
+    req = urllib.request.Request(f"{base}{path}", data=body,
+                                 headers=headers, method=method)
+    with urllib.request.urlopen(req) as r:
+        raw = r.read()
+        if r.headers.get("Content-Type", "").startswith("application/json"):
+            return r.status, json.loads(raw)
+        return r.status, raw
+
+
+def test_admin_check_and_auth_directory(admin_http):
+    _eng, base, _root = admin_http
+    st, body = _req(base, "GET", "/api/admin/check")
+    assert st == 200 and body["status"] == "available"
+    st, users = _req(base, "GET", "/api/admin/auth/users")
+    assert {u["user_name"] for u in users} >= {"root", "alice"} or \
+        {u[next(iter(u))] for u in users}  # column name per SHOW USERS
+    st, _roles = _req(base, "GET", "/api/admin/auth/roles")
+    assert st == 200
+
+
+def test_admin_requires_super_user(admin_http):
+    _eng, base, _root = admin_http
+    basic_alice = "Basic " + base64.b64encode(b"alice:pw1").decode()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "GET", "/api/admin/check", auth=basic_alice)
+    assert e.value.code == 403
+    # a Basic SUPER-user passes
+    basic_root = "Basic " + base64.b64encode(b"root:pw0").decode()
+    st, body = _req(base, "GET", "/api/admin/check", auth=basic_root)
+    assert st == 200 and body["status"] == "available"
+
+
+def test_dataset_upload_download_delete(admin_http):
+    _eng, base, root = admin_http
+    payload = b"x" * 100_000
+    st, body = _req(base, "POST", "/api/admin/datasets/upload?path=up/a.bin",
+                    body=payload, ctype="application/octet-stream")
+    assert st == 200 and body == {"path": "up/a.bin", "size": len(payload)}
+    assert (root / "up" / "a.bin").read_bytes() == payload
+    # no-overwrite conflict → 409
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "POST", "/api/admin/datasets/upload?path=up/a.bin",
+             body=b"y", ctype="application/octet-stream")
+    assert e.value.code == 409
+    # overwrite=true replaces
+    st, body = _req(
+        base, "POST",
+        "/api/admin/datasets/upload?path=up/a.bin&overwrite=true",
+        body=b"zz", ctype="application/octet-stream")
+    assert body["size"] == 2
+    # download round-trip
+    st, got = _req(base, "GET", "/api/admin/datasets/download?path=up/a.bin")
+    assert got == b"zz"
+    # traversal rejected at the gate
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "GET", "/api/admin/datasets/download?path=../secrets")
+    assert e.value.code == 400
+    # delete
+    st, body = _req(base, "DELETE", "/api/admin/datasets?path=up/a.bin")
+    assert body == {"deleted": "up/a.bin"}
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "GET", "/api/admin/datasets/download?path=up/a.bin")
+    assert e.value.code == 404
+
+
+def test_delete_refuses_datasets_in_use(admin_http, spark):
+    eng, base, root = admin_http
+    spark.range(3).coalesce(1).write.mode("overwrite").parquet(
+        str(root / "obs.parquet"))
+    eng.sql("CREATE EXTERNAL TABLE obs STORED AS PARQUET "
+            "LOCATION 'obs.parquet'")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "DELETE", "/api/admin/datasets?path=obs.parquet")
+    assert e.value.code == 409 and b"external table obs" in e.value.read()
+    eng.sql("DROP TABLE obs")
+    st, body = _req(base, "DELETE", "/api/admin/datasets?path=obs.parquet")
+    assert st == 200
+
+
+def test_chunked_upload_flow(admin_http):
+    _eng, base, root = admin_http
+    st, body = _req(base, "POST",
+                    "/api/admin/datasets/upload/initiate?path=big/f.bin")
+    uid = body["upload_id"]
+    assert body["part_size"] > 0
+    p1, p2 = b"a" * 1000, b"b" * 500
+    st, body = _req(
+        base, "POST",
+        f"/api/admin/datasets/upload/part?upload_id={uid}&part_number=1",
+        body=p1, ctype="application/octet-stream")
+    assert body == {"part": 1, "size": 1000}
+    # out-of-order part → 409
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "POST",
+             f"/api/admin/datasets/upload/part?upload_id={uid}&part_number=3",
+             body=p2, ctype="application/octet-stream")
+    assert e.value.code == 409
+    st, body = _req(
+        base, "POST",
+        f"/api/admin/datasets/upload/part?upload_id={uid}&part_number=2",
+        body=p2, ctype="application/octet-stream")
+    st, body = _req(base, "POST",
+                    f"/api/admin/datasets/upload/complete?upload_id={uid}")
+    assert body == {"path": "big/f.bin", "size": 1500}
+    assert (root / "big" / "f.bin").read_bytes() == p1 + p2
+    # the session is gone
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "POST",
+             f"/api/admin/datasets/upload/complete?upload_id={uid}")
+    assert e.value.code == 404
+    # abort drops a fresh session
+    st, body = _req(base, "POST",
+                    "/api/admin/datasets/upload/initiate?path=big/g.bin")
+    uid2 = body["upload_id"]
+    st, body = _req(base, "DELETE",
+                    f"/api/admin/datasets/upload?upload_id={uid2}")
+    assert body == {"aborted": uid2}
+
+
+def test_crawler_endpoints(admin_http, spark):
+    eng, base, root = admin_http
+    spark.range(4).coalesce(1).write.mode("overwrite").parquet(
+        str(root / "crawl" / "t.parquet"))
+    st, body = _req(base, "POST", "/api/admin/crawlers",
+                    body=json.dumps({"name": "c1", "prefix": "crawl"}).encode(),
+                    ctype="application/json")
+    assert st == 201 and body == {"name": "c1"}
+    st, crawlers = _req(base, "GET", "/api/admin/crawlers")
+    assert any(c["crawler_name"] == "c1" for c in crawlers)
+    st, one = _req(base, "GET", "/api/admin/crawlers/c1")
+    assert one["crawler_name"] == "c1"
+    st, ran = _req(base, "POST", "/api/admin/crawlers/c1/run")
+    assert st == 200
+    st, body = _req(base, "DELETE", "/api/admin/crawlers/c1")
+    assert body == {"dropped": "c1"}
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "GET", "/api/admin/crawlers/c1")
+    assert e.value.code == 404
+
+
+def test_external_table_and_extensions(admin_http, spark):
+    eng, base, root = admin_http
+    spark.range(6).coalesce(1).write.mode("overwrite").parquet(
+        str(root / "ext.parquet"))
+    st, body = _req(
+        base, "POST", "/api/admin/external-tables",
+        body=json.dumps({"name": "extt", "format": "parquet",
+                         "location": "ext.parquet"}).encode(),
+        ctype="application/json")
+    assert st == 201
+    assert eng.sql("SELECT count(*) AS n FROM extt").collect()[0].n == 6
+    # extensions set + read back
+    st, body = _req(
+        base, "PUT", "/api/admin/table-extensions/extt",
+        body=json.dumps({"mcp": {"enabled": True}}).encode(),
+        ctype="application/json")
+    assert body["set"] == ["mcp"]
+    st, exts = _req(base, "GET", "/api/admin/table-extensions/extt")
+    assert json.loads(exts["mcp"]) == {"enabled": True}
+    # retired endpoint answers with an explanation, not a 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "GET", "/api/admin/table-config")
+    assert e.value.code == 410
