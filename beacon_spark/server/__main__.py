@@ -2,49 +2,129 @@
 
 The Spark analog of running the reference's server binary
 (``beacon-server/src/main.rs:71``): one Spark session + Engine serving
-HTTP (/api/* + /mcp) and Arrow Flight simultaneously until interrupted.
+HTTP (/api/* + /api/admin/* + /mcp) and Arrow Flight simultaneously
+until interrupted.
+
+Configuration follows the reference's envconfig pattern
+(``beacon-server/beacon-server-config/src/lib.rs``): every flag has a
+``BEACON_SPARK_*`` environment-variable default, so containerized
+deployments configure the server without a command line. Flags win
+over environment, environment over built-ins.
+
+Reference-config parity notes:
+  - ``--admin-username/--admin-password`` (AdminConfig) seed a
+    SUPERUSER account at startup (idempotent - the password is reset
+    to the configured one, the reference re-seeds the same way).
+  - ``--auth-enforce`` (AuthConfig.enforce) switches on query-time
+    read authorization; off keeps the backwards-compatible
+    super-user-gate-only mode.
+  - ``--crawler-daemon`` (CrawlerConfig) starts the background sweep
+    that runs due crawlers on schedule.
+  - OIDC/JWKS validation is NOT implemented (needs outbound HTTPS to
+    the issuer; documented divergence) - local users + bearer token
+    only.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
+def _env(name: str, default=None):
+    return os.environ.get(f"BEACON_SPARK_{name}", default)
+
+
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="beacon_spark.server",
         description="Serve a beacon_spark Engine over HTTP + Arrow Flight",
     )
-    ap.add_argument("--root", required=True,
-                    help="datasets root (local dir or object-store URI)")
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--http-port", type=int, default=8280)
-    ap.add_argument("--flight-port", type=int, default=50051)
-    ap.add_argument("--token", default=None, help="bearer token (both transports)")
-    ap.add_argument("--master", default="local[*]")
-    ap.add_argument("--max-rows", type=int, default=1_000_000,
+    ap.add_argument("--root", default=_env("ROOT"),
+                    help="datasets root (local dir or object-store URI) "
+                         "[env BEACON_SPARK_ROOT]")
+    ap.add_argument("--host", default=_env("HOST", "127.0.0.1"))
+    ap.add_argument("--http-port", type=int,
+                    default=int(_env("HTTP_PORT", 8280)))
+    ap.add_argument("--flight-port", type=int,
+                    default=int(_env("FLIGHT_PORT", 50051)))
+    ap.add_argument("--token", default=_env("TOKEN"),
+                    help="bearer token (both transports) "
+                         "[env BEACON_SPARK_TOKEN]")
+    ap.add_argument("--master", default=_env("MASTER", "local[*]"))
+    ap.add_argument("--max-rows", type=int,
+                    default=int(_env("MAX_ROWS", 1_000_000)),
                     help="per-query row cap (0 = unlimited)")
-    ap.add_argument("--max-bytes", type=int, default=256 << 20,
+    ap.add_argument("--max-bytes", type=int,
+                    default=int(_env("MAX_BYTES", 256 << 20)),
                     help="per-query byte cap (0 = unlimited)")
-    ap.add_argument("--timeout-seconds", type=float, default=None,
+    ap.add_argument("--timeout-seconds", type=float,
+                    default=float(_env("TIMEOUT_SECONDS", 0)) or None,
                     help="per-query time budget (default: none)")
-    args = ap.parse_args(argv)
+    ap.add_argument("--admin-username", default=_env("ADMIN_USERNAME"),
+                    help="seed this SUPERUSER at startup "
+                         "[env BEACON_SPARK_ADMIN_USERNAME]")
+    ap.add_argument("--admin-password", default=_env("ADMIN_PASSWORD"),
+                    help="[env BEACON_SPARK_ADMIN_PASSWORD]")
+    ap.add_argument("--auth-enforce", action="store_true",
+                    default=_env("AUTH_ENFORCE", "").lower()
+                    in ("1", "true", "yes"),
+                    help="enable query-time read authorization "
+                         "[env BEACON_SPARK_AUTH_ENFORCE]")
+    ap.add_argument("--crawler-daemon", action="store_true",
+                    default=_env("CRAWLER_DAEMON", "").lower()
+                    in ("1", "true", "yes"),
+                    help="run due crawlers on schedule in the background "
+                         "[env BEACON_SPARK_CRAWLER_DAEMON]")
+    ap.add_argument("--crawler-poll-seconds", type=float,
+                    default=float(_env("CRAWLER_POLL_SECONDS", 60)))
+    return ap
 
+
+def launch(args, spark=None):
+    """Build the engine and both servers from parsed ``args`` and start
+    them in the background. → (spark, engine, http_srv, flight_srv).
+    Split from :func:`main` so tests can drive a fully-configured server
+    on ephemeral ports."""
     from beacon_spark.engine import Engine
     from beacon_spark.server.flight import BeaconFlightServer
     from beacon_spark.server.http import BeaconHttpServer
     from beacon_spark.server.limits import QueryLimits
     from beacon_spark.session import get_spark
 
-    spark = get_spark(app_name="beacon_spark_server", master=args.master)
+    if args.root is None:
+        raise SystemExit("--root (or BEACON_SPARK_ROOT) is required")
+    if spark is None:
+        spark = get_spark(app_name="beacon_spark_server", master=args.master)
     engine = Engine(spark, datasets_root=args.root)
+
+    if args.admin_username:
+        if not args.admin_password:
+            raise SystemExit("--admin-username needs --admin-password")
+        from beacon_spark import auth as _auth
+
+        cat = engine.catalog._load()
+        users = cat.setdefault("auth", {}).setdefault("users", {})
+        entry = users.setdefault(args.admin_username, {"roles": []})
+        # idempotent re-seed: password reset to the configured one,
+        # super-user bit always on (the reference seeds AdminConfig
+        # the same way on every boot)
+        entry["password"] = _auth.hash_password(args.admin_password)
+        entry["super_user"] = True
+        cat["auth"].setdefault("roles", {})
+        cat["auth"].setdefault("enforce", False)
+        engine.catalog._save(cat)
+    if args.auth_enforce:
+        engine.sql("SET AUTH ENFORCEMENT ON")
+    if args.crawler_daemon:
+        engine.start_crawler_scheduler(poll_secs=args.crawler_poll_seconds)
+
     limits = QueryLimits(
         max_rows=args.max_rows or None,
         max_bytes=args.max_bytes or None,
         timeout_seconds=args.timeout_seconds,
     )
-
     http_srv = BeaconHttpServer(
         engine, host=args.host, port=args.http_port, token=args.token,
         limits=limits,
@@ -53,10 +133,17 @@ def main(argv: list[str] | None = None) -> int:
         engine, host=args.host, port=args.flight_port, token=args.token,
         limits=limits,
     )
-    hp = http_srv.serve_background()
-    fp = flight_srv.serve_background()
-    print(f"http   : http://{args.host}:{hp}/api/query  (+ /mcp)", flush=True)
-    print(f"flight : grpc://{args.host}:{fp}", flush=True)
+    http_srv.serve_background()
+    flight_srv.serve_background()
+    return spark, engine, http_srv, flight_srv
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark, _engine, http_srv, flight_srv = launch(args)
+    print(f"http   : http://{args.host}:{http_srv.port}/api/query  "
+          f"(+ /api/admin, /mcp)", flush=True)
+    print(f"flight : grpc://{args.host}:{flight_srv.port}", flush=True)
     try:
         flight_srv._thread.join()
     except KeyboardInterrupt:

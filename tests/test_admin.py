@@ -207,3 +207,45 @@ def test_external_table_and_extensions(admin_http, spark):
     with pytest.raises(urllib.error.HTTPError) as e:
         _req(base, "GET", "/api/admin/table-config")
     assert e.value.code == 410
+
+
+def test_launcher_config_seeds_admin_and_enforcement(spark, tmp_path,
+                                                     monkeypatch):
+    """Server launcher parity with the reference's envconfig
+    (beacon-server-config/src/lib.rs AdminConfig/AuthConfig): env-var
+    defaults, SUPERUSER seeding, enforcement switch."""
+    from beacon_spark.server.__main__ import build_parser, launch
+
+    monkeypatch.setenv("BEACON_SPARK_ROOT", str(tmp_path))
+    monkeypatch.setenv("BEACON_SPARK_ADMIN_USERNAME", "boss")
+    monkeypatch.setenv("BEACON_SPARK_ADMIN_PASSWORD", "bosspw")
+    monkeypatch.setenv("BEACON_SPARK_AUTH_ENFORCE", "true")
+    args = build_parser().parse_args(
+        ["--http-port", "0", "--flight-port", "0"])
+    assert args.root == str(tmp_path) and args.auth_enforce
+    sp, eng, hs, fs = launch(args, spark=spark)
+    try:
+        # the seeded admin is a super-user and can run DDL over HTTP Basic
+        basic = "Basic " + base64.b64encode(b"boss:bosspw").decode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{hs.port}/api/query",
+            data=json.dumps({"sql": "CREATE TABLE seeded AS SELECT 1 AS x",
+                             "format": "json"}).encode(),
+            headers={"Authorization": basic,
+                     "Content-Type": "application/json"}, method="POST")
+        urllib.request.urlopen(req).read()
+        assert "seeded" in eng.table_names()
+        # enforcement is on: a plain user starts default-deny
+        assert eng.catalog._load()["auth"]["enforce"] is True
+        # re-launch seeding is idempotent (password reset, still super)
+        sp2, eng2, hs2, fs2 = launch(args, spark=spark)
+        try:
+            from beacon_spark.auth import verify_user
+
+            assert verify_user(eng2, "boss", "bosspw")
+        finally:
+            hs2.shutdown()
+            fs2.shutdown()
+    finally:
+        hs.shutdown()
+        fs.shutdown()
