@@ -233,6 +233,15 @@ class BeaconHttpServer:
                 eng = outer.engine
                 if path == "/api/health":
                     self._send(b"Ok", "text/plain")
+                elif path in ("/", "/console"):
+                    from beacon_spark.server.console import CONSOLE_HTML
+
+                    self._send(CONSOLE_HTML.encode(),
+                               "text/html; charset=utf-8")
+                elif path == "/openapi.json":
+                    from beacon_spark.server.openapi import openapi_doc
+
+                    self._send_json(openapi_doc())
                 elif path in ("/api/datasets", "/api/list-datasets"):
                     rows = eng.list_datasets().collect()
                     self._send_json(

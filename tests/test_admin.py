@@ -249,3 +249,31 @@ def test_launcher_config_seeds_admin_and_enforcement(spark, tmp_path,
     finally:
         hs.shutdown()
         fs.shutdown()
+
+
+def test_console_and_openapi(admin_http):
+    """Built-in console + OpenAPI doc (reference serves /openapi.json +
+    a docs UI, axum/router.rs:61-77). The doc's path inventory must
+    cover every admin route the handler dispatches."""
+    _eng, base, _root = admin_http
+    st, html = _req(base, "GET", "/console")
+    assert b"beacon_spark console" in html and b"/api/query" in html
+    st, html2 = _req(base, "GET", "/")
+    assert html2 == html
+    st, doc = _req(base, "GET", "/openapi.json")
+    assert doc["openapi"].startswith("3.") and doc["info"]["title"]
+    paths = doc["paths"]
+    # client routes present
+    for p in ["/api/query", "/api/tables", "/api/table-schema", "/mcp"]:
+        assert p in paths, p
+    # every admin route exercised by this test file is documented
+    for p in ["/api/admin/check", "/api/admin/crawlers",
+              "/api/admin/crawlers/{name}", "/api/admin/crawlers/{name}/run",
+              "/api/admin/external-tables", "/api/admin/datasets",
+              "/api/admin/datasets/upload", "/api/admin/datasets/download",
+              "/api/admin/datasets/upload/initiate",
+              "/api/admin/datasets/upload/part",
+              "/api/admin/datasets/upload/complete",
+              "/api/admin/table-extensions/{table_name}",
+              "/api/admin/auth/users", "/api/admin/auth/roles"]:
+        assert p in paths, p
