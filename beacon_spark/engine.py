@@ -271,6 +271,14 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
     ("drop_crawler", re.compile(
         r"^\s*DROP\s+CRAWLER\s+(?:IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
     ("show_crawlers", re.compile(r"^\s*SHOW\s+CRAWLERS;?\s*$", re.IGNORECASE)),
+    ("create_stream", re.compile(
+        r"^\s*CREATE\s+STREAM\s+(\w+)\s+ON\s+'([^']*)'\s+INTO\s+(\w+)"
+        r"(?:\s+WITH\s*\(([^)]*)\))?;?\s*$", re.IGNORECASE)),
+    ("run_stream", re.compile(
+        r"^\s*RUN\s+STREAM\s+(\w+);?\s*$", re.IGNORECASE)),
+    ("drop_stream", re.compile(
+        r"^\s*DROP\s+STREAM\s+(IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
+    ("show_streams", re.compile(r"^\s*SHOW\s+STREAMS;?\s*$", re.IGNORECASE)),
     ("show_tables", re.compile(r"^\s*SHOW\s+(TABLES|VIEWS);?\s*$", re.IGNORECASE)),
     ("attach", re.compile(
         r"^\s*ATTACH\s+'([^']+)'\s+AS\s+(\w+)(?:\s+WITH\s*\(([^)]*)\))?;?\s*$",
@@ -1021,6 +1029,43 @@ class Engine:
         if kind == "drop_crawler":
             cat.drop_crawler(m.group(1))
             return self._status(status="ok", op="drop_crawler", name=m.group(1))
+        if kind == "create_stream":
+            # CREATE STREAM s ON 'prefix' INTO table [WITH(...)] — a
+            # streaming-ingestion extension (the reference has no
+            # streaming engine, SURVEY §2.12): exactly-once file→table
+            # ingestion with a Structured Streaming checkpoint
+            from beacon_spark.streaming.ingest import create_stream
+
+            name, prefix, table, optstr = m.groups()
+            opts = dict(
+                re.findall(r"'(\w+)'\s+'((?:[^']|'')*)'", optstr or "")
+            )
+            create_stream(
+                self, name, prefix, table,
+                {k.lower(): v.replace("''", "'") for k, v in opts.items()},
+            )
+            return self._status(status="ok", op="create_stream", name=name)
+        if kind == "run_stream":
+            from beacon_spark.streaming.ingest import run_stream
+
+            return run_stream(self, m.group(1))
+        if kind == "drop_stream":
+            from beacon_spark.streaming.ingest import drop_stream
+
+            dropped = drop_stream(self, m.group(2),
+                                  if_exists=bool(m.group(1)))
+            return self._status(
+                status="ok" if dropped else "noop", op="drop_stream",
+                name=m.group(2),
+            )
+        if kind == "show_streams":
+            from beacon_spark.streaming.ingest import stream_rows
+
+            return self.spark.createDataFrame(
+                stream_rows(self),
+                "stream_name string, prefix string, target_table string, "
+                "format string",
+            )
         if kind == "show_crawlers":
             rows = [
                 (n, d["prefix"], d.get("schedule_secs"))

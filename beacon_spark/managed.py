@@ -580,6 +580,7 @@ class Catalog:
         "external_tables": {},
         "indexes": {},
         "crawlers": {},
+        "streams": {},
         "secrets": {},
         "extensions": {},
     }

@@ -79,6 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "[env BEACON_SPARK_CRAWLER_DAEMON]")
     ap.add_argument("--crawler-poll-seconds", type=float,
                     default=float(_env("CRAWLER_POLL_SECONDS", 60)))
+    ap.add_argument("--cors-origins", default=_env("CORS_ORIGINS"),
+                    help="enable CORS for these origins ('*' or a "
+                         "comma list) [env BEACON_SPARK_CORS_ORIGINS]")
     return ap
 
 
@@ -128,6 +131,8 @@ def launch(args, spark=None):
     http_srv = BeaconHttpServer(
         engine, host=args.host, port=args.http_port, token=args.token,
         limits=limits,
+        cors=({"allowed_origins": args.cors_origins}
+              if args.cors_origins else None),
     )
     flight_srv = BeaconFlightServer(
         engine, host=args.host, port=args.flight_port, token=args.token,

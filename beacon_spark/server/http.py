@@ -65,9 +65,21 @@ def _sniff_cfg(path: str) -> tuple[str, dict]:
     return fmt, cfg
 
 
+#: reference CorsConfig defaults (beacon-server-config/src/lib.rs:135-145)
+_CORS_DEFAULTS = {
+    "allowed_origins": "*",
+    "allowed_methods": "GET, POST, PUT, DELETE, OPTIONS",
+    "allowed_headers": "authorization, content-type",
+    "expose_headers": "x-beacon-query-id",
+    "allowed_credentials": False,
+    "max_age": 3600,
+}
+
+
 class BeaconHttpServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
-                 token: str | None = None, limits=None):
+                 token: str | None = None, limits=None,
+                 cors: dict | None = None):
         from beacon_spark.server.limits import QueryLimits
 
         from beacon_spark.server.admin import AdminApi
@@ -76,6 +88,9 @@ class BeaconHttpServer:
         self._token = token
         self._limits = limits if limits is not None else QueryLimits()
         self._admin_api = AdminApi(engine)
+        # cors=None disables cross-origin headers (embedded default);
+        # cors={} enables the reference's defaults; keys override
+        self._cors = None if cors is None else {**_CORS_DEFAULTS, **cors}
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -86,6 +101,41 @@ class BeaconHttpServer:
             # quiet request logging (stderr noise in tests/servers)
             def log_message(self, *args):
                 pass
+
+            def end_headers(self):
+                # single-point CORS injection: every response path ends
+                # here, so cross-origin headers can't be missed on one
+                # route (reference: tower-http CorsLayer on the whole
+                # router, axum/router.rs)
+                origin = outer._allow_origin(self.headers.get("Origin"))
+                if origin:
+                    self.send_header("Access-Control-Allow-Origin", origin)
+                    self.send_header("Vary", "Origin")
+                    self.send_header(
+                        "Access-Control-Expose-Headers",
+                        outer._cors["expose_headers"],
+                    )
+                    if outer._cors["allowed_credentials"]:
+                        self.send_header(
+                            "Access-Control-Allow-Credentials", "true")
+                super().end_headers()
+
+            def do_OPTIONS(self):
+                """CORS preflight: answered without auth (browsers send
+                preflights credential-less by design)."""
+                origin = outer._allow_origin(self.headers.get("Origin"))
+                if not origin:
+                    self._deny(404, "CORS is not enabled")
+                    return
+                self.send_response(204)
+                self.send_header("Access-Control-Allow-Methods",
+                                 outer._cors["allowed_methods"])
+                self.send_header("Access-Control-Allow-Headers",
+                                 outer._cors["allowed_headers"])
+                self.send_header("Access-Control-Max-Age",
+                                 str(outer._cors["max_age"]))
+                self.send_header("Content-Length", "0")
+                self.end_headers()
 
             def _deny(self, code: int, msg: str) -> None:
                 # the request body may not have been drained (early auth/
@@ -847,6 +897,18 @@ class BeaconHttpServer:
             "jsonrpc": "2.0", "id": mid,
             "error": {"code": -32601, "message": f"unknown method {method!r}"},
         }
+
+    def _allow_origin(self, origin: str | None) -> str | None:
+        """The Access-Control-Allow-Origin value for a request, or None
+        (CORS disabled / origin not allowed / same-origin request)."""
+        if self._cors is None or not origin:
+            return None
+        allowed = self._cors["allowed_origins"]
+        if allowed.strip() == "*":
+            return "*"
+        if origin in {o.strip() for o in allowed.split(",")}:
+            return origin
+        return None
 
     def serve_background(self) -> int:
         self._thread = threading.Thread(

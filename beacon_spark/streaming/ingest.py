@@ -1,0 +1,156 @@
+"""Streaming ingestion: ``CREATE STREAM … INTO table`` + ``RUN STREAM``.
+
+An extension beyond the reference (which has no streaming engine —
+SURVEY §1.1/§2.12; its closest feature is the crawler's scheduled
+re-discovery). Where the crawler REGISTERS new files as external
+tables, a stream INGESTS their rows into a managed table with
+exactly-once file tracking:
+
+  - the source is a Structured Streaming file source over the stream's
+    prefix; the checkpoint (under the catalog's ``streams/`` area)
+    records which files each run has consumed, so a re-RUN ingests only
+    files that appeared since — exactly-once at file granularity, the
+    guarantee Spark's file source + checkpoint gives.
+  - each micro-batch lands through the engine's INSERT path
+    (``foreachBatch``), so catalog versioning and index refresh behave
+    exactly as a SQL INSERT.
+  - ``RUN STREAM`` uses ``Trigger.AvailableNow``: process everything
+    currently visible, then stop — the batch-refresh shape that works
+    under a scheduler; a long-lived continuous trigger would hold the
+    session.
+
+At scale: the file source lists only the prefix (not the lake), batch
+reads are executor-distributed like any scan, and the checkpoint keeps
+re-listing incremental — a 100 TB prefix costs one listing per run,
+not one re-read.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["create_stream", "run_stream", "drop_stream", "stream_rows"]
+
+_SUPPORTED = {"parquet", "csv", "json", "text"}
+
+
+def _checkpoint_dir(engine, name: str) -> str:
+    from beacon_spark.sources import bytesource as bs
+
+    return bs.join(engine.datasets_root, ".beacon_catalog", "streams", name)
+
+
+def create_stream(engine, name: str, prefix: str, table: str,
+                  options: dict) -> None:
+    cat = engine.catalog
+    c = cat._load()
+    if name in c.get("streams", {}):
+        raise ValueError(f"stream {name!r} already exists")
+    if table not in c["tables"]:
+        raise ValueError(
+            f"stream target {table!r} is not a managed table (streams "
+            "ingest through the INSERT path; CREATE TABLE it first)"
+        )
+    fmt = options.get("format", "parquet").lower()
+    if fmt not in _SUPPORTED:
+        raise ValueError(
+            f"unsupported stream format {fmt!r} "
+            f"(supported: {sorted(_SUPPORTED)})"
+        )
+    if not re.fullmatch(r"[\w./*-]+", prefix or ""):
+        raise ValueError(f"bad stream prefix {prefix!r}")
+    from beacon_spark.sources import bytesource as bs
+
+    src = bs.join(engine.datasets_root, prefix)
+    if "*" not in prefix:
+        bs.makedirs(src)  # the file source errors on a missing directory
+    c.setdefault("streams", {})[name] = {
+        "prefix": prefix,
+        "table": table,
+        "format": fmt,
+        "options": {k: v for k, v in options.items() if k != "format"},
+    }
+    cat._save(c)
+
+
+def run_stream(engine, name: str):
+    """Process all currently-available files exactly once; returns the
+    report DataFrame (stream, batches, rows_ingested)."""
+    c = engine.catalog._load()
+    entry = c.get("streams", {}).get(name)
+    if entry is None:
+        raise ValueError(f"unknown stream {name!r}")
+    from beacon_spark.sources import bytesource as bs
+
+    spark = engine.spark
+    table, fmt = entry["table"], entry["format"]
+    # schema comes from the target table: the stream's contract is
+    # "rows that INSERT cleanly", not schema inference per run
+    schema = engine.sql(f"SELECT * FROM {table} LIMIT 0").schema
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+        if entry["options"].get("delimiter"):
+            reader = reader.option("sep", entry["options"]["delimiter"])
+    src = bs.join(engine.datasets_root, entry["prefix"])
+    df = reader.load(bs.spark_path(src))
+
+    totals = {"batches": 0, "rows": 0}
+
+    def _feed(batch_df, batch_id):
+        import uuid
+
+        n = batch_df.count()
+        if n == 0:
+            return
+        # foreachBatch binds batch_df to a CLONED micro-batch session; a
+        # plain temp view would be invisible to the engine's session, so
+        # the hand-off rides a global temp view (SparkContext-wide)
+        tmp = f"__stream_{uuid.uuid4().hex}"
+        batch_df.createOrReplaceGlobalTempView(tmp)
+        try:
+            engine.sql(
+                f"INSERT INTO {table} SELECT * FROM global_temp.{tmp}"
+            )
+        finally:
+            spark.catalog.dropGlobalTempView(tmp)
+        totals["batches"] += 1
+        totals["rows"] += n
+
+    q = (
+        df.writeStream.foreachBatch(_feed)
+        .option("checkpointLocation",
+                bs.spark_path(_checkpoint_dir(engine, name)))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(name, totals["batches"], totals["rows"])],
+        "stream string, batches long, rows_ingested long",
+    )
+
+
+def drop_stream(engine, name: str, if_exists: bool = False) -> bool:
+    cat = engine.catalog
+    c = cat._load()
+    entry = c.get("streams", {}).pop(name, None)
+    if entry is None:
+        if if_exists:
+            return False
+        raise ValueError(f"stream {name!r} does not exist")
+    cat._save(c)
+    from beacon_spark.sources import bytesource as bs
+
+    # dropping the checkpoint forgets the processed-file set (a
+    # re-created stream starts from scratch, like a fresh table)
+    bs.rmtree(_checkpoint_dir(engine, name))
+    return True
+
+
+def stream_rows(engine) -> list[tuple]:
+    c = engine.catalog._load()
+    return [
+        (n, d["prefix"], d["table"], d["format"])
+        for n, d in sorted(c.get("streams", {}).items())
+    ]

@@ -277,3 +277,59 @@ def test_console_and_openapi(admin_http):
               "/api/admin/table-extensions/{table_name}",
               "/api/admin/auth/users", "/api/admin/auth/roles"]:
         assert p in paths, p
+
+
+def test_cors_headers_and_preflight(spark, tmp_path):
+    """CORS parity (reference CorsConfig + router-wide CorsLayer):
+    disabled by default; enabled, every route answers with allow-origin
+    and preflights get methods/headers/max-age without auth."""
+    from beacon_spark.server.http import BeaconHttpServer
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    # default: CORS off — no allow-origin even with an Origin header
+    hs0 = BeaconHttpServer(eng, port=0, token="tok")
+    p0 = hs0.serve_background()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{p0}/api/health",
+            headers={"Authorization": "Bearer tok",
+                     "Origin": "http://evil.example"})
+        with urllib.request.urlopen(req) as r:
+            assert r.headers.get("Access-Control-Allow-Origin") is None
+    finally:
+        hs0.shutdown()
+    hs = BeaconHttpServer(
+        eng, port=0, token="tok",
+        cors={"allowed_origins": "http://ui.example"})
+    port = hs.serve_background()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # allowed origin echoed; expose-headers carried
+        req = urllib.request.Request(
+            f"{base}/api/health",
+            headers={"Authorization": "Bearer tok",
+                     "Origin": "http://ui.example"})
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Access-Control-Allow-Origin"] == \
+                "http://ui.example"
+            assert "x-beacon-query-id" in \
+                r.headers["Access-Control-Expose-Headers"]
+        # disallowed origin: no CORS grant
+        req = urllib.request.Request(
+            f"{base}/api/health",
+            headers={"Authorization": "Bearer tok",
+                     "Origin": "http://evil.example"})
+        with urllib.request.urlopen(req) as r:
+            assert r.headers.get("Access-Control-Allow-Origin") is None
+        # preflight needs no credentials
+        req = urllib.request.Request(
+            f"{base}/api/query", method="OPTIONS",
+            headers={"Origin": "http://ui.example",
+                     "Access-Control-Request-Method": "POST"})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 204
+            assert "POST" in r.headers["Access-Control-Allow-Methods"]
+            assert "authorization" in \
+                r.headers["Access-Control-Allow-Headers"]
+    finally:
+        hs.shutdown()

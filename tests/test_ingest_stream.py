@@ -1,0 +1,112 @@
+"""Streaming ingestion: CREATE/RUN/SHOW/DROP STREAM
+(streaming/ingest.py — an extension beyond the reference, which has no
+streaming engine; the exactly-once contract is Spark's file-source
+checkpoint)."""
+
+import pytest
+
+from beacon_spark.engine import Engine
+
+
+@pytest.fixture()
+def seng(spark, tmp_path):
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE sink AS SELECT id, id * 2 AS v FROM range(0)")
+    return eng
+
+
+def _write_files(spark, dirpath, start, n):
+    (spark.range(start, start + n)
+     .selectExpr("id", "id * 2 AS v")
+     .coalesce(1).write.mode("append").parquet(str(dirpath)))
+
+
+def test_stream_ingests_exactly_once(seng, spark, tmp_path):
+    eng = seng
+    _write_files(spark, tmp_path / "incoming", 0, 5)
+    eng.sql("CREATE STREAM s1 ON 'incoming' INTO sink")
+    rows = eng.sql("SHOW STREAMS").collect()
+    assert [(r.stream_name, r.target_table, r.format) for r in rows] == [
+        ("s1", "sink", "parquet")
+    ]
+    rep = eng.sql("RUN STREAM s1").collect()[0]
+    assert rep.rows_ingested == 5
+    assert eng.sql("SELECT count(*) AS n FROM sink").collect()[0].n == 5
+    # a second run with nothing new ingests nothing (checkpointed)
+    rep = eng.sql("RUN STREAM s1").collect()[0]
+    assert rep.rows_ingested == 0
+    assert eng.sql("SELECT count(*) AS n FROM sink").collect()[0].n == 5
+    # new files → only they are ingested
+    _write_files(spark, tmp_path / "incoming", 100, 3)
+    rep = eng.sql("RUN STREAM s1").collect()[0]
+    assert rep.rows_ingested == 3
+    got = sorted(
+        r.id for r in eng.sql("SELECT id FROM sink").collect()
+    )
+    assert got == [0, 1, 2, 3, 4, 100, 101, 102]
+
+
+def test_stream_rows_query_cleanly(seng, spark, tmp_path):
+    eng = seng
+    _write_files(spark, tmp_path / "inc2", 0, 4)
+    eng.sql("CREATE STREAM s2 ON 'inc2' INTO sink")
+    eng.sql("RUN STREAM s2")
+    # ingested rows behave like any INSERT: visible, typed, indexable
+    assert eng.sql(
+        "SELECT sum(v) AS s FROM sink"
+    ).collect()[0].s == sum(i * 2 for i in range(4))
+
+
+def test_stream_validation_and_drop(seng, spark, tmp_path):
+    eng = seng
+    with pytest.raises(Exception, match="not a managed table"):
+        eng.sql("CREATE STREAM bad ON 'x' INTO missing_table")
+    eng.sql("CREATE STREAM s3 ON 'inc3' INTO sink")
+    with pytest.raises(Exception, match="already exists"):
+        eng.sql("CREATE STREAM s3 ON 'other' INTO sink")
+    with pytest.raises(Exception, match="unsupported stream format"):
+        eng.sql("CREATE STREAM s4 ON 'p' INTO sink WITH ('format' 'xml')")
+    assert eng.sql("DROP STREAM s3").collect()[0].status == "ok"
+    with pytest.raises(Exception, match="does not exist"):
+        eng.sql("DROP STREAM s3")
+    assert eng.sql("DROP STREAM IF EXISTS s3").collect()[0].status == "noop"
+    # unknown stream run
+    with pytest.raises(Exception, match="unknown stream"):
+        eng.sql("RUN STREAM nope")
+
+
+def test_dropped_stream_forgets_checkpoint(seng, spark, tmp_path):
+    eng = seng
+    _write_files(spark, tmp_path / "inc5", 0, 2)
+    eng.sql("CREATE STREAM s5 ON 'inc5' INTO sink")
+    assert eng.sql("RUN STREAM s5").collect()[0].rows_ingested == 2
+    eng.sql("DROP STREAM s5")
+    # recreating starts from scratch: the same files ingest again
+    eng.sql("CREATE STREAM s5 ON 'inc5' INTO sink")
+    assert eng.sql("RUN STREAM s5").collect()[0].rows_ingested == 2
+
+
+def test_csv_stream_with_options(seng, spark, tmp_path):
+    eng = seng
+    (tmp_path / "csvdir").mkdir()
+    (tmp_path / "csvdir" / "a.csv").write_text("id|v\n7|14\n8|16\n")
+    eng.sql("CREATE STREAM sc ON 'csvdir' INTO sink "
+            "WITH ('format' 'csv', 'delimiter' '|')")
+    rep = eng.sql("RUN STREAM sc").collect()[0]
+    assert rep.rows_ingested == 2
+    assert eng.sql(
+        "SELECT max(id) AS m FROM sink"
+    ).collect()[0].m == 8
+
+
+def test_stream_is_super_user_only(seng, spark):
+    from beacon_spark.auth import AuthError
+
+    eng = seng
+    eng.sql("CREATE USER ana WITH PASSWORD 'pw'")
+    for stmt in ["CREATE STREAM sx ON 'p' INTO sink", "RUN STREAM sx",
+                 "DROP STREAM sx"]:
+        with pytest.raises(AuthError, match="super-user"):
+            eng.sql(stmt, user="ana")
+    # SHOW STREAMS is read-only metadata, like SHOW CRAWLERS
+    assert eng.sql("SHOW STREAMS", user="ana").collect() == []
