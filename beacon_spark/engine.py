@@ -652,6 +652,7 @@ class Engine:
             return summarize(self.spark.table(src))
 
         statement = self._resolve_remote(statement)
+        statement = self._rewrite_time_travel(statement)
         statement = self._rewrite_read_fns(statement)
         statement = self._rewrite_metadata_fns(statement)
         statement = self._rewrite_try_arrow_cast(statement)
@@ -690,6 +691,39 @@ class Engine:
             if limit_clause is not None:
                 df = df.limit(int(limit_clause))
         return df
+
+    _VERSION_AS_OF_RE = re.compile(
+        r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.IGNORECASE
+    )
+
+    def _rewrite_time_travel(self, statement: str) -> str:
+        """``FROM <managed_table> VERSION AS OF <n>`` → a snapshot
+        temp view pinned to manifest ``n``.
+
+        The reference's managed tables are versioned Lance datasets
+        (actions.rs:509-795 operate on dataset versions); ours keep
+        every committed COW manifest until VACUUM (managed.py), so any
+        still-retained version is readable. Delta-style spelling, same
+        as our ``read_delta`` time travel. Non-managed names pass
+        through untouched (Spark reports them)."""
+        if self.catalog is None or "version" not in statement.lower():
+            return statement
+        tables = self.catalog._load()["tables"]
+
+        def repl(m: re.Match) -> str:
+            name, ver = m.group(1), int(m.group(2))
+            path = tables.get(name)
+            if path is None:
+                return m.group(0)
+            from beacon_spark.managed import ManagedTable
+
+            view = f"{name}__v{ver}"
+            ManagedTable(self.spark, path).read(
+                version=ver
+            ).createOrReplaceTempView(view)
+            return view
+
+        return _sub_outside_literals(self._VERSION_AS_OF_RE, repl, statement)
 
     def _rewrite_metadata_fns(self, statement: str) -> str:
         """Zero-arg metadata table functions → temp views:

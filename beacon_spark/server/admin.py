@@ -279,31 +279,52 @@ class AdminApi:
 
     # ------------------------------------------------------- file mgmt
 
+    @staticmethod
+    def _publish_file(tmp: str, dst: str) -> None:
+        """Commit a finished local spool to ``dst`` with atomic
+        VISIBILITY: upload to a sibling staging key, then move into
+        place — a crashed upload can never leave a truncated file at
+        the destination name (open_output writes in place on local
+        stores; on object stores the move costs one server-side copy,
+        the price of the same guarantee)."""
+        from beacon_spark.sources import bytesource as bs
+
+        staging = f"{dst}.__upload_{uuid.uuid4().hex}"
+        try:
+            bs.upload_file(tmp, staging)
+            bs.move(staging, dst)
+        except BaseException:
+            try:
+                bs.remove(staging)
+            except Exception:
+                pass
+            raise
+
     def _stream_to(self, dst: str, rfile, length: int,
                    cap: int) -> int:
         """Chunk-copy ``length`` request-body bytes to ``dst`` without
-        buffering the file (413 past ``cap``)."""
-        from beacon_spark.sources import bytesource as bs
+        ever buffering the file (413 past ``cap``): socket → local
+        spool in 1 MiB reads, then a staged atomic publish."""
+        import os
+        import tempfile
 
         if length > cap:
             raise FileError.too_large(cap)
-        fs = bs.fs_for(dst)
-        writer = getattr(fs, "open_output", None)
-        remaining = length
-        if writer is None:
-            # no streaming writer on this store: bounded by the cap check
-            data = rfile.read(length)
-            bs.publish_bytes(dst, data)
-            return len(data)
+        fd, tmp = tempfile.mkstemp(prefix="beacon_up_")
         wrote = 0
-        with writer(dst) as w:
-            while remaining > 0:
-                buf = rfile.read(min(_CHUNK, remaining))
-                if not buf:
-                    break
-                w.write(buf)
-                wrote += len(buf)
-                remaining -= len(buf)
+        try:
+            with os.fdopen(fd, "wb") as w:
+                remaining = length
+                while remaining > 0:
+                    buf = rfile.read(min(_CHUNK, remaining))
+                    if not buf:
+                        break
+                    w.write(buf)
+                    wrote += len(buf)
+                    remaining -= len(buf)
+            self._publish_file(tmp, dst)
+        finally:
+            os.unlink(tmp)
         return wrote
 
     def _upload(self, query: dict, rfile, length: int):
@@ -437,7 +458,7 @@ class AdminApi:
         parent = bs.dirname(dst)
         if parent:
             bs.makedirs(parent)
-        bs.upload_file(sess["spool"], dst)
+        self._publish_file(sess["spool"], dst)
         size = sess["size"]
         self._drop_session(upload_id)
         return self._json(200, {"path": sess["key"], "size": size})
