@@ -279,6 +279,8 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
     ("drop_stream", re.compile(
         r"^\s*DROP\s+STREAM\s+(IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
     ("show_streams", re.compile(r"^\s*SHOW\s+STREAMS;?\s*$", re.IGNORECASE)),
+    ("describe_history", re.compile(
+        r"^\s*DESCRIBE\s+HISTORY\s+(\w+);?\s*$", re.IGNORECASE)),
     ("show_tables", re.compile(r"^\s*SHOW\s+(TABLES|VIEWS);?\s*$", re.IGNORECASE)),
     ("attach", re.compile(
         r"^\s*ATTACH\s+'([^']+)'\s+AS\s+(\w+)(?:\s+WITH\s*\(([^)]*)\))?;?\s*$",
@@ -1100,6 +1102,33 @@ class Engine:
                 "stream_name string, prefix string, target_table string, "
                 "format string",
             )
+        if kind == "describe_history":
+            # DESCRIBE HISTORY t — the version log behind VERSION AS OF
+            # (Delta's DESCRIBE HISTORY shape; the reference's Lance
+            # datasets carry the same per-version metadata)
+            from beacon_spark.managed import ManagedTable
+            from beacon_spark.sources import bytesource as bs
+
+            name = m.group(1)
+            path = cat._load()["tables"].get(name)
+            if path is None:
+                raise ValueError(f"{name!r} is not a managed table")
+            t = ManagedTable(self.spark, path)
+            import datetime as _dt
+
+            rows = []
+            for mf in t._manifests():
+                ver = int(mf[1:9])
+                mani = t._read_manifest(ver)
+                ts = _dt.datetime.fromtimestamp(
+                    bs.mtime(bs.join(t.manifest_dir, mf)),
+                    tz=_dt.timezone.utc,
+                )
+                rows.append((ver, ts, len(mani["files"])))
+            return self.spark.createDataFrame(
+                sorted(rows, reverse=True),
+                "version long, committed_at timestamp, num_files long",
+            )
         if kind == "show_crawlers":
             rows = [
                 (n, d["prefix"], d.get("schedule_secs"))
@@ -1394,6 +1423,12 @@ class Engine:
                 try:
                     self.run_due_crawlers()
                 except Exception:  # never kill the host app from a sweep
+                    pass
+                try:
+                    from beacon_spark.streaming.ingest import run_due_streams
+
+                    run_due_streams(self)
+                except Exception:
                     pass
 
         self._crawler_thread = threading.Thread(

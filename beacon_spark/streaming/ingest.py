@@ -64,11 +64,25 @@ def create_stream(engine, name: str, prefix: str, table: str,
     src = bs.join(engine.datasets_root, prefix)
     if "*" not in prefix:
         bs.makedirs(src)  # the file source errors on a missing directory
+    schedule_secs = None
+    if options.get("schedule"):
+        m = re.fullmatch(r"([0-9]+)\s*([smhd]?)",
+                         str(options["schedule"]).strip())
+        if not m:
+            raise ValueError(
+                f"bad stream schedule {options['schedule']!r} "
+                "(use e.g. '30s', '15m', '4h', '1d')"
+            )
+        schedule_secs = int(m.group(1)) * {
+            "": 1, "s": 1, "m": 60, "h": 3600, "d": 86400
+        }[m.group(2)]
     c.setdefault("streams", {})[name] = {
         "prefix": prefix,
         "table": table,
         "format": fmt,
-        "options": {k: v for k, v in options.items() if k != "format"},
+        "schedule_secs": schedule_secs,
+        "options": {k: v for k, v in options.items()
+                    if k not in ("format", "schedule")},
     }
     cat._save(c)
 
@@ -125,10 +139,36 @@ def run_stream(engine, name: str):
         .start()
     )
     q.awaitTermination()
+    import time as _time
+
+    c2 = engine.catalog._load()
+    if name in c2.get("streams", {}):
+        c2["streams"][name]["last_run"] = _time.time()
+        engine.catalog._save(c2)
     return spark.createDataFrame(
         [(name, totals["batches"], totals["rows"])],
         "stream string, batches long, rows_ingested long",
     )
+
+
+def run_due_streams(engine, now: float | None = None) -> list[tuple]:
+    """Run every stream whose schedule interval has elapsed since its
+    last run (never-run scheduled streams are due immediately; streams
+    without a schedule only run via RUN STREAM) — the streams half of
+    the crawler scheduler sweep."""
+    import time as _time
+
+    now = _time.time() if now is None else now
+    out: list[tuple] = []
+    for name, d in sorted(engine.catalog._load().get("streams", {}).items()):
+        secs = d.get("schedule_secs")
+        if secs is None:
+            continue
+        last = d.get("last_run")
+        if last is not None and now - last < secs:
+            continue
+        out.extend(tuple(r) for r in run_stream(engine, name).collect())
+    return out
 
 
 def drop_stream(engine, name: str, if_exists: bool = False) -> bool:

@@ -110,3 +110,29 @@ def test_stream_is_super_user_only(seng, spark):
             eng.sql(stmt, user="ana")
     # SHOW STREAMS is read-only metadata, like SHOW CRAWLERS
     assert eng.sql("SHOW STREAMS", user="ana").collect() == []
+
+
+def test_scheduled_streams_run_due(seng, spark, tmp_path):
+    """WITH ('schedule' '30s') streams join the crawler scheduler's
+    sweep: due immediately when never run, then not due again until the
+    interval elapses."""
+    from beacon_spark.streaming.ingest import run_due_streams
+
+    eng = seng
+    _write_files(spark, tmp_path / "sched", 0, 3)
+    eng.sql("CREATE STREAM ss ON 'sched' INTO sink WITH ('schedule' '30s')")
+    # unscheduled streams are ignored by the sweep
+    eng.sql("CREATE STREAM manual ON 'sched2' INTO sink")
+    out = run_due_streams(eng)
+    assert [(r[0], r[2]) for r in out] == [("ss", 3)]
+    # within the interval: not due
+    assert run_due_streams(eng) == []
+    # after the interval: due again, but nothing new → zero rows
+    import time
+
+    later = time.time() + 31
+    out = run_due_streams(eng, now=later)
+    assert [(r[0], r[2]) for r in out] == [("ss", 0)]
+    with pytest.raises(Exception, match="bad stream schedule"):
+        eng.sql("CREATE STREAM bad ON 'p' INTO sink "
+                "WITH ('schedule' 'soon')")

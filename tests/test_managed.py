@@ -592,3 +592,19 @@ def test_sql_version_as_of_time_travel(spark, tmp_path):
 
     with _pytest.raises(Exception, match="version|manifest|not"):
         eng.sql("SELECT * FROM tt VERSION AS OF 99").collect()
+
+
+def test_describe_history(spark, tmp_path):
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE h AS SELECT 1 AS x")
+    eng.sql("INSERT INTO h SELECT 2")
+    rows = eng.sql("DESCRIBE HISTORY h").collect()
+    assert [r.version for r in rows] == [2, 1]
+    assert rows[0].num_files >= rows[1].num_files
+    assert rows[0].committed_at is not None
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not a managed table"):
+        eng.sql("DESCRIBE HISTORY nope")
