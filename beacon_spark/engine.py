@@ -697,35 +697,76 @@ class Engine:
     _VERSION_AS_OF_RE = re.compile(
         r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.IGNORECASE
     )
+    _TIMESTAMP_AS_OF_RE = re.compile(
+        r"\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", re.IGNORECASE
+    )
 
     def _rewrite_time_travel(self, statement: str) -> str:
-        """``FROM <managed_table> VERSION AS OF <n>`` → a snapshot
-        temp view pinned to manifest ``n``.
+        """``FROM <managed_table> VERSION AS OF <n>`` (and ``TIMESTAMP
+        AS OF '<ts>'``) → a snapshot temp view pinned to that manifest.
 
         The reference's managed tables are versioned Lance datasets
         (actions.rs:509-795 operate on dataset versions); ours keep
         every committed COW manifest until VACUUM (managed.py), so any
         still-retained version is readable. Delta-style spelling, same
-        as our ``read_delta`` time travel. Non-managed names pass
-        through untouched (Spark reports them)."""
-        if self.catalog is None or "version" not in statement.lower():
+        as our ``read_delta`` time travel. TIMESTAMP AS OF resolves to
+        the newest manifest committed at-or-before the timestamp
+        (manifest mtime — Delta uses the log entry's timestamp the same
+        way). Non-managed names pass through untouched (Spark reports
+        them)."""
+        low = statement.lower()
+        if self.catalog is None or (
+            "version" not in low and "timestamp" not in low
+        ):
             return statement
         tables = self.catalog._load()["tables"]
 
-        def repl(m: re.Match) -> str:
-            name, ver = m.group(1), int(m.group(2))
-            path = tables.get(name)
-            if path is None:
-                return m.group(0)
+        def _pin(name: str, ver: int) -> str:
             from beacon_spark.managed import ManagedTable
 
             view = f"{name}__v{ver}"
-            ManagedTable(self.spark, path).read(
+            ManagedTable(self.spark, tables[name]).read(
                 version=ver
             ).createOrReplaceTempView(view)
             return view
 
-        return _sub_outside_literals(self._VERSION_AS_OF_RE, repl, statement)
+        def repl_version(m: re.Match) -> str:
+            name = m.group(1)
+            if name not in tables:
+                return m.group(0)
+            return _pin(name, int(m.group(2)))
+
+        def repl_timestamp(m: re.Match) -> str:
+            name, ts_text = m.group(1), m.group(2)
+            if name not in tables:
+                return m.group(0)
+            import datetime as _dt
+
+            from beacon_spark.managed import ManagedTable
+            from beacon_spark.sources import bytesource as bs
+
+            ts = _dt.datetime.fromisoformat(ts_text)
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            t = ManagedTable(self.spark, tables[name])
+            best = None
+            for mf in t._manifests():
+                committed = bs.mtime(bs.join(t.manifest_dir, mf))
+                if committed <= ts.timestamp():
+                    best = int(mf[1:9])
+            if best is None:
+                raise ValueError(
+                    f"no version of {name!r} existed at {ts_text!r} "
+                    "(earliest retained commit is later)"
+                )
+            return _pin(name, best)
+
+        statement = _sub_outside_literals(
+            self._VERSION_AS_OF_RE, repl_version, statement
+        )
+        return _sub_outside_literals(
+            self._TIMESTAMP_AS_OF_RE, repl_timestamp, statement
+        )
 
     def _rewrite_metadata_fns(self, statement: str) -> str:
         """Zero-arg metadata table functions → temp views:

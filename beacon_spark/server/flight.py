@@ -189,10 +189,13 @@ class BeaconFlightServer(fl.FlightServerBase):
         import pyarrow.parquet as pq
 
         if descriptor.command:
-            upd = self._fsql.do_put(descriptor.command, self._user(context))
+            upd = self._fsql.do_put(descriptor.command, self._user(context),
+                                    reader=reader)
             if upd is not None:
-                # CommandStatementUpdate: drain the (empty) stream and
-                # answer with a DoPutUpdateResult in the app metadata
+                # CommandStatementUpdate drains the (empty) stream;
+                # CommandPreparedStatementQuery consumed the bound
+                # parameter batch inside the handler. Either way the
+                # result rides the app metadata.
                 try:
                     reader.read_all()
                 except Exception:

@@ -33,6 +33,8 @@ against the protobuf spec, not just against itself.
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 
 __all__ = ["FlightSqlHandler", "encode_any", "decode_any",
@@ -170,6 +172,8 @@ class FlightSqlHandler:
         self.engine = engine
         self.limits = limits
         self._prepared: dict[bytes, str] = {}
+        # handle → positional $1..$n values bound via do_put
+        self._bound: dict[bytes, list] = {}
 
     # ------------------------------------------------------- helpers
 
@@ -186,28 +190,30 @@ class FlightSqlHandler:
             for n in sorted(names)
         ]
 
-    def _sql_stream(self, sql: str, user):
+    def _sql_stream(self, sql: str, user, params=None):
         import pyarrow.flight as fl
 
         from beacon_spark.outputs import guarded_arrow_stream
 
-        df = self.engine.sql(sql, user=user)
+        df = self.engine.sql(sql, params=params, user=user)
         return fl.GeneratorStream(*guarded_arrow_stream(df, self.limits))
 
-    def _statement_sql(self, kind: str, payload: bytes) -> str | None:
+    def _statement_sql(self, kind: str, payload: bytes):
+        """→ (sql, bound-params | None), or (None, None) when the
+        command is not a statement."""
         fields = decode_fields(payload)
         if kind == "CommandStatementQuery":
-            return fields[1][0].decode()
+            return fields[1][0].decode(), None
         if kind == "TicketStatementQuery":
             # our statement handle IS the query text
-            return fields[1][0].decode()
+            return fields[1][0].decode(), None
         if kind == "CommandPreparedStatementQuery":
             handle = bytes(fields[1][0])
             sql = self._prepared.get(handle)
             if sql is None:
                 raise ValueError("unknown prepared statement handle")
-            return sql
-        return None
+            return sql, self._bound.get(handle)
+        return None, None
 
     def _metadata_table(self, kind: str, payload: bytes,
                         user=None) -> pa.Table | None:
@@ -282,7 +288,7 @@ class FlightSqlHandler:
                 meta.schema, descriptor, [fl.FlightEndpoint(ticket, [])],
                 meta.num_rows, -1,
             )
-        sql = self._statement_sql(kind, payload)
+        sql, params = self._statement_sql(kind, payload)
         if sql is None:
             raise fl.FlightServerError(
                 f"unsupported FlightSQL command {kind!r}"
@@ -296,13 +302,20 @@ class FlightSqlHandler:
             )
         from beacon_spark.outputs import arrow_schema_of
 
-        schema = arrow_schema_of(self.engine.sql(sql, user=user).limit(0))
-        # the ticket re-states the query as a TicketStatementQuery whose
-        # statement_handle is the SQL text (stateless — any server
-        # instance can serve it, the reference's handle works the same)
-        ticket = fl.Ticket(encode_any(
-            "TicketStatementQuery", _field_bytes(1, sql.encode())
-        ))
+        schema = arrow_schema_of(
+            self.engine.sql(sql, params=params, user=user).limit(0)
+        )
+        if kind == "CommandPreparedStatementQuery":
+            # the ticket must keep the prepared handle — a re-stated
+            # SQL text would lose the do_put-bound parameters
+            ticket = fl.Ticket(command)
+        else:
+            # re-stated as a TicketStatementQuery whose statement_handle
+            # is the SQL text (stateless — any server instance can serve
+            # it, the reference's handle works the same)
+            ticket = fl.Ticket(encode_any(
+                "TicketStatementQuery", _field_bytes(1, sql.encode())
+            ))
         return fl.FlightInfo(
             schema, descriptor, [fl.FlightEndpoint(ticket, [])], -1, -1
         )
@@ -318,22 +331,43 @@ class FlightSqlHandler:
             import pyarrow.flight as fl
 
             return fl.RecordBatchStream(meta)
-        sql = self._statement_sql(kind, payload)
+        sql, params = self._statement_sql(kind, payload)
         if sql is None:
             raise ValueError(f"unsupported FlightSQL ticket {kind!r}")
-        return self._sql_stream(sql, user)
+        return self._sql_stream(sql, user, params=params)
 
-    def do_put(self, command: bytes, user):
+    def do_put(self, command: bytes, user, reader=None):
         """CommandStatementUpdate → (rows_affected, DoPutUpdateResult
-        app-metadata bytes); None if not FlightSQL."""
+        app-metadata bytes); CommandPreparedStatementQuery → bind the
+        uploaded single-row record batch as positional ``$1..$n``
+        parameters (the ADBC/JDBC bind flow, service.rs:362-380) and
+        answer a DoPutPreparedStatementResult echoing the handle.
+        None if not FlightSQL."""
         decoded = decode_any(command)
         if decoded is None:
             return None
         kind, payload = decoded
+        if kind == "CommandPreparedStatementQuery":
+            handle = bytes(decode_fields(payload)[1][0])
+            if handle not in self._prepared:
+                raise ValueError("unknown prepared statement handle")
+            if reader is None:
+                raise ValueError("parameter bind needs an Arrow stream")
+            table = reader.read_all()
+            if table.num_rows != 1:
+                raise ValueError(
+                    f"parameter bind expects exactly one row of values, "
+                    f"got {table.num_rows} (executemany is not supported)"
+                )
+            self._bound[handle] = [
+                col[0].as_py() for col in table.columns
+            ]
+            return 0, encode_any(
+                "DoPutPreparedStatementResult", _field_bytes(1, handle)
+            )
         if kind != "CommandStatementUpdate":
             raise ValueError(
-                f"unsupported FlightSQL do_put command {kind!r} (bind "
-                "parameters are not supported in this build)"
+                f"unsupported FlightSQL do_put command {kind!r}"
             )
         sql = decode_fields(payload)[1][0].decode()
         result = self.engine.sql(sql, user=user)
@@ -368,7 +402,9 @@ class FlightSqlHandler:
             from beacon_spark.server.guard import is_readonly_sql
 
             dataset_schema = b""
-            if is_readonly_sql(sql):
+            if is_readonly_sql(sql) and not re.search(r"\$\d+", sql):
+                # parameterized statements can't plan before binding —
+                # the spec allows an absent dataset schema at create
                 schema = arrow_schema_of(
                     self.engine.sql(sql, user=user).limit(0)
                 )
@@ -376,13 +412,15 @@ class FlightSqlHandler:
             result = (
                 _field_bytes(1, handle)
                 + _field_bytes(2, dataset_schema)
-                + _field_bytes(3, b"")  # no bind parameters v1
+                + _field_bytes(3, b"")  # parameter schema: unspecified
             )
             return [encode_any("ActionCreatePreparedStatementResult", result)]
         if action_type == "ClosePreparedStatement":
             decoded = decode_any(body)
             if decoded is not None:
                 fields = decode_fields(decoded[1])
-                self._prepared.pop(bytes(fields.get(1, [b""])[0]), None)
+                handle = bytes(fields.get(1, [b""])[0])
+                self._prepared.pop(handle, None)
+                self._bound.pop(handle, None)
             return []
         return None

@@ -167,3 +167,61 @@ def test_ddl_rejected_on_info_path(fsql_server):
     )
     with pytest.raises(Exception, match="read-only"):
         client.get_flight_info(desc)
+
+
+def test_prepared_statement_parameter_bind(fsql_server):
+    """The ADBC/JDBC bind flow (reference service.rs:362-380): create a
+    parameterized prepared statement, do_put a one-row batch binding
+    $1..$n, then execute — the ticket keeps the handle so do_get sees
+    the bound values."""
+    _eng, client = fsql_server
+    body = encode_any(
+        "ActionCreatePreparedStatementRequest",
+        encode_string_msg(
+            1, "SELECT count(*) AS n FROM fsq WHERE g = $1 AND id < $2"),
+    )
+    results = list(client.do_action(fl.Action("CreatePreparedStatement", body)))
+    fields = decode_fields(decode_any(results[0].body.to_pybytes())[1])
+    handle = bytes(fields[1][0])
+    # parameterized: no dataset schema before binding
+    assert bytes(fields[2][0]) == b""
+    desc = _cmd_descriptor(
+        "CommandPreparedStatementQuery",
+        b"\x0a" + bytes([len(handle)]) + handle,
+    )
+    # bind g=1, id<10 via a single-row batch
+    batch = pa.record_batch([pa.array([1]), pa.array([10])],
+                            names=["p1", "p2"])
+    writer, meta_reader = client.do_put(desc, batch.schema)
+    writer.write_batch(batch)
+    writer.done_writing()
+    buf = meta_reader.read()
+    kind, payload = decode_any(buf.to_pybytes())
+    assert kind == "DoPutPreparedStatementResult"
+    assert bytes(decode_fields(payload)[1][0]) == handle
+    writer.close()
+    # execute: rows 1,4,7 are g=1 under id<10 → n=3... (ids 0..29, g=id%3)
+    info = client.get_flight_info(desc)
+    t = client.do_get(info.endpoints[0].ticket).read_all()
+    assert t.column("n").to_pylist() == [
+        sum(1 for i in range(30) if i % 3 == 1 and i < 10)
+    ]
+    # re-bind changes the answer (same handle, fresh values)
+    batch = pa.record_batch([pa.array([0]), pa.array([30])],
+                            names=["p1", "p2"])
+    writer, meta_reader = client.do_put(desc, batch.schema)
+    writer.write_batch(batch)
+    writer.done_writing()
+    meta_reader.read()
+    writer.close()
+    t = client.do_get(client.get_flight_info(desc).endpoints[0].ticket).read_all()
+    assert t.column("n").to_pylist() == [10]
+    # multi-row bind fails loudly
+    bad = pa.record_batch([pa.array([1, 2]), pa.array([3, 4])],
+                          names=["p1", "p2"])
+    with pytest.raises(Exception, match="exactly one row"):
+        writer, meta_reader = client.do_put(desc, bad.schema)
+        writer.write_batch(bad)
+        writer.done_writing()
+        meta_reader.read()
+        writer.close()

@@ -608,3 +608,31 @@ def test_describe_history(spark, tmp_path):
 
     with _pytest.raises(Exception, match="not a managed table"):
         eng.sql("DESCRIBE HISTORY nope")
+
+
+def test_sql_timestamp_as_of(spark, tmp_path):
+    import datetime
+
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE ts AS SELECT 1 AS x")
+    mid = datetime.datetime.now(datetime.timezone.utc)
+    import time as _t
+
+    _t.sleep(1.1)  # manifest mtimes are second-granular on some stores
+    eng.sql("INSERT INTO ts SELECT 2")
+    # at `mid`, only version 1 existed
+    got = [r.x for r in eng.sql(
+        f"SELECT x FROM ts TIMESTAMP AS OF '{mid.isoformat()}' ORDER BY x"
+    ).collect()]
+    assert got == [1]
+    now = datetime.datetime.now(datetime.timezone.utc)
+    got = [r.x for r in eng.sql(
+        f"SELECT x FROM ts TIMESTAMP AS OF '{now.isoformat()}' ORDER BY x"
+    ).collect()]
+    assert got == [1, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no version"):
+        eng.sql("SELECT * FROM ts TIMESTAMP AS OF '1990-01-01T00:00:00+00:00'")
