@@ -34,6 +34,7 @@ do in the reference.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 __all__ = [
@@ -401,13 +402,14 @@ class Connection:
 
     def __init__(self, engine, user: str | None = None,
                  _owns_tmpdir: str | None = None, read_only: bool = False,
-                 auth_enabled: bool = False):
+                 auth_enabled: bool = False, _container: str | None = None):
         self.engine = engine
         self._user = user
         self._result: Result | None = None
         self._tmpdir = _owns_tmpdir
         self._read_only = read_only
         self._auth = auth_enabled
+        self._container = _container
         self._closed = False
 
     # ----------------------------------------------------- internals
@@ -676,6 +678,11 @@ class Connection:
 
     def close(self) -> None:
         self._closed = True
+        if self._container is not None:
+            from beacon_spark.sources.container import close_container
+
+            close_container(self._container)
+            self._container = None
         if self._tmpdir is not None:
             import shutil
 
@@ -706,34 +713,47 @@ def connect(
     """Open an embedded connection (the reference's ``beacondb.connect``).
 
     ``database`` is the lake root holding the catalog; ``":memory:"``
-    backs it with a throwaway directory removed at ``close()``.
-    ``datasets`` overrides where relative read paths resolve (defaults
-    to the lake root, as in the reference). With ``auth=True`` the
-    session runs as ``username`` (RBAC-gated) or anonymous/read-only
-    when none is given.
+    backs it with a throwaway directory removed at ``close()``, and a
+    path ending in ``.db`` opens (creating if absent) a SINGLE-FILE
+    container database — the reference's ``Database::open("beacon.db")``
+    embedded mode (``embedded.rs:66-110``): catalog, managed tables,
+    indexes and secrets all live inside that one file; ``close()``
+    checkpoints it so it can be copied whole. Any other path is a
+    directory lake root. ``datasets`` overrides where relative read
+    paths resolve (defaults to the lake root, as in the reference).
+    With ``auth=True`` the session runs as ``username`` (RBAC-gated) or
+    anonymous/read-only when none is given — auth is a property of how
+    the database was opened, never of the file (embedded.rs:26-30):
+    without it, possession of the file is full control.
     """
     from beacon_spark.engine import Engine
     from beacon_spark.session import get_spark
 
     if spark is None:
         spark = get_spark()
-    tmpdir = None
+    tmpdir = container = None
     root = database
     if database == ":memory:":
         import tempfile
 
         tmpdir = root = tempfile.mkdtemp(prefix="beacon_mem_")
+    elif database.endswith(".db") and not os.path.isdir(database):
+        from beacon_spark.sources.container import container_uri
+
+        container = os.path.abspath(database)
+        root = container_uri(container)
     eng = Engine(spark, datasets_root=datasets or root)
     if not auth:
         return Connection(eng, user=None, _owns_tmpdir=tmpdir,
-                          read_only=read_only)
+                          read_only=read_only, _container=container)
     if username is not None:
         from beacon_spark import auth as _auth
 
         if not _auth.verify_user(eng, username, password or ""):
             raise NotPermittedError(f"bad credentials for user {username!r}")
         return Connection(eng, user=username, _owns_tmpdir=tmpdir,
-                          read_only=read_only, auth_enabled=True)
+                          read_only=read_only, auth_enabled=True,
+                          _container=container)
     # auth on, no credentials: anonymous read-only session
     return Connection(eng, user=None, _owns_tmpdir=tmpdir, read_only=True,
-                      auth_enabled=True)
+                      auth_enabled=True, _container=container)

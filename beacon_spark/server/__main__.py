@@ -98,9 +98,17 @@ def launch(args, spark=None):
 
     if args.root is None:
         raise SystemExit("--root (or BEACON_SPARK_ROOT) is required")
+    root = args.root
+    if root.endswith(".db") and not os.path.isdir(root) and "://" not in root:
+        # a single-file container database served over the network — the
+        # reference's beacon.db behind beacon-server (embedded.rs:28-30:
+        # "a beacon.db governed by a server")
+        from beacon_spark.sources.container import container_uri
+
+        root = container_uri(root)
     if spark is None:
         spark = get_spark(app_name="beacon_spark_server", master=args.master)
-    engine = Engine(spark, datasets_root=args.root)
+    engine = Engine(spark, datasets_root=root)
 
     if args.admin_username:
         if not args.admin_password:

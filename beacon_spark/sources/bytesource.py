@@ -532,6 +532,10 @@ def fs_for(path: str):
     fs = _FS_CACHE.get(key)
     if fs is None:
         factory = _SCHEMES.get(s)
+        if factory is None and s == "bdb":
+            # single-file container databases (beacon.db parity) plug in
+            # as a scheme like any other store
+            from .container import ContainerFS as factory  # noqa: N813
         fs = factory(s, auth) if factory is not None else _ArrowFS(s, auth)
         _FS_CACHE[key] = fs
     return fs

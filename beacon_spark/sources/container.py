@@ -1,0 +1,580 @@
+"""Single-file database container — the ``beacon.db`` embedded mode.
+
+The reference can open a whole lake from ONE file: ``Database::open``
+(``beacon-db/beacon-core/src/embedded.rs:66-110``) mounts a
+``beacon.db``-style container backed by ``beacon_redb_store::RedbStore``
+(``beacon-db/beacon-redb-store/src/lib.rs:1-30``) — a transactional
+key/value index plus a blob heap sharing one file, so "copy it and you
+carry the whole dataset with you".
+
+This is the Spark-first analog, built on the Python stdlib's ``sqlite3``
+in the same role redb plays there: one ``.db`` file holds a
+transactional ``objects(key, size, mtime, data)`` table — the index AND
+the bulk bytes. It plugs into the :mod:`bytesource` facade as the
+``bdb://`` scheme, so the ENTIRE engine — catalog, managed tables,
+manifests, indexes, stats, secrets — runs inside the container with no
+other code changes (the same property the reference gets from
+``object_store``).
+
+URI form: ``bdb:///abs/path/lake.db/inner/key`` — the container path is
+everything up to the first component ending in ``.db``; the rest is the
+object key. Opening a missing file creates it (the embedded-database
+contract: possession of the file is full control, embedded.rs:15-18).
+
+Two planes, mirroring the redb split ("small objects inline, large
+objects in the heap"):
+
+- **Metadata plane** (catalog JSON, manifests, posting indexes read via
+  pyarrow): straight from sqlite. Writes are transactions, so
+  ``publish_bytes`` is atomic-per-key — a stronger commit primitive
+  than S3's PUT. Ranged reads use ``Connection.blobopen`` (incremental
+  blob I/O), so a NetCDF/parquet header walk does NOT pull the whole
+  object.
+- **Data plane** (``spark.read.parquet`` / ``df.write.parquet`` on the
+  JVM, which cannot see inside a sqlite file): an on-demand local
+  shadow. Reads extract the immutable data objects to a disposable
+  cache dir (COW managed tables never mutate a data file, so the cache
+  never goes stale; mutable keys are invalidated on every write/move).
+  Writes hand Spark a staging shadow path; the very next facade op on
+  that subtree absorbs the finished files into the container and
+  deletes the shadow copies.
+
+Scale contract — stated, not hidden: a single-file container is the
+EMBEDDED, single-node mode, exactly as in the reference (RedbStore
+mmaps a local file; a remote executor could not read it there either).
+Multi-node lakes use directory or object-store roots. Within its scope
+the plane split is O(bytes-read-once): extraction streams chunk-wise
+through blobopen, never materializing an object in memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+import posixpath
+import shutil
+import sqlite3
+import tempfile
+import threading
+import time
+from fnmatch import fnmatch
+from urllib.parse import urlparse
+
+SCHEME = "bdb"
+_CHUNK = 1 << 20
+
+_DDL = """
+CREATE TABLE IF NOT EXISTS objects(
+    key   TEXT PRIMARY KEY,
+    size  INTEGER NOT NULL,
+    mtime REAL NOT NULL,
+    data  BLOB NOT NULL
+);
+CREATE TABLE IF NOT EXISTS beacon_meta(k TEXT PRIMARY KEY, v TEXT NOT NULL);
+INSERT OR IGNORE INTO beacon_meta(k, v) VALUES('format', 'beacon-spark-container/1');
+"""
+
+
+class ContainerError(RuntimeError):
+    pass
+
+
+def split_uri(uri: str) -> tuple[str, str]:
+    """``bdb:///a/b/lake.db/x/y`` → (``/a/b/lake.db``, ``x/y``)."""
+    u = urlparse(uri)
+    if u.scheme.lower() != SCHEME:
+        raise ContainerError(f"not a {SCHEME}:// URI: {uri!r}")
+    path = (u.netloc + u.path) if u.netloc else u.path
+    parts = [p for p in path.split("/") if p]
+    for i, p in enumerate(parts):
+        if p.endswith(".db"):
+            return "/" + "/".join(parts[: i + 1]), "/".join(parts[i + 1:])
+    raise ContainerError(
+        f"no container component (a path segment ending in '.db') in {uri!r}"
+    )
+
+
+def container_uri(db_path: str, key: str = "") -> str:
+    base = f"{SCHEME}://{os.path.abspath(db_path)}"
+    return f"{base}/{key.strip('/')}" if key else base
+
+
+class _Container:
+    """One open ``.db`` file: thread-local sqlite connections + shadow dirs."""
+
+    def __init__(self, db_path: str):
+        parent = os.path.dirname(db_path)
+        if parent and not os.path.isdir(parent):
+            raise ContainerError(f"parent directory does not exist: {parent}")
+        self.db_path = db_path
+        self._tls = threading.local()
+        self._lock = threading.Lock()
+        tag = hashlib.sha1(db_path.encode()).hexdigest()[:16]
+        shadow = os.path.join(tempfile.gettempdir(), "beacon-bdb", tag)
+        self.cache_dir = os.path.join(shadow, "cache")
+        self.stage_dir = os.path.join(shadow, "stage")
+        os.makedirs(self.cache_dir, exist_ok=True)
+        os.makedirs(self.stage_dir, exist_ok=True)
+        with self._lock:
+            conn = self._conn()
+            conn.executescript(_DDL)
+            conn.commit()
+
+    def _conn(self) -> sqlite3.Connection:
+        conn = getattr(self._tls, "conn", None)
+        if conn is None:
+            conn = sqlite3.connect(self.db_path, timeout=30.0)
+            conn.execute("PRAGMA journal_mode=WAL")
+            conn.execute("PRAGMA synchronous=NORMAL")
+            self._tls.conn = conn
+        return conn
+
+    # ------------------------------------------------------ object index
+
+    def stat(self, key: str) -> tuple[int, int, float] | None:
+        row = self._conn().execute(
+            "SELECT rowid, size, mtime FROM objects WHERE key = ?", (key,)
+        ).fetchone()
+        return None if row is None else (row[0], row[1], row[2])
+
+    def keys_under(self, prefix: str) -> list[tuple[str, int, float]]:
+        conn = self._conn()
+        if not prefix:
+            rows = conn.execute("SELECT key, size, mtime FROM objects")
+        else:
+            like = prefix.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+            rows = conn.execute(
+                r"SELECT key, size, mtime FROM objects WHERE key LIKE ? ESCAPE '\'",
+                (like + "/%",),
+            )
+        return [(r[0], r[1], r[2]) for r in rows]
+
+    def has_prefix(self, prefix: str) -> bool:
+        like = prefix.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+        row = self._conn().execute(
+            r"SELECT 1 FROM objects WHERE key LIKE ? ESCAPE '\' LIMIT 1",
+            (like + "/%",),
+        ).fetchone()
+        return row is not None
+
+    # ------------------------------------------------------ read plane
+
+    def read_range(self, key: str, offset: int, length: int) -> bytes:
+        st = self.stat(key)
+        if st is None:
+            raise FileNotFoundError(f"{key} in {self.db_path}")
+        rowid, size, _ = st
+        if offset >= size:
+            return b""
+        length = min(length, size - offset)
+        with self._conn().blobopen("objects", "data", rowid, readonly=True) as bl:
+            bl.seek(offset)
+            return bl.read(length)
+
+    def read_bytes(self, key: str) -> bytes:
+        st = self.stat(key)
+        if st is None:
+            raise FileNotFoundError(f"{key} in {self.db_path}")
+        return self.read_range(key, 0, st[1])
+
+    # ------------------------------------------------------ write plane
+
+    def write_from_file(self, key: str, local: str) -> None:
+        """Stream a local file into the container (zeroblob + chunked
+        incremental writes — never the whole object in memory)."""
+        size = os.path.getsize(local)
+        with self._lock:
+            conn = self._conn()
+            with conn:  # one transaction: visible all-or-nothing
+                conn.execute("DELETE FROM objects WHERE key = ?", (key,))
+                conn.execute(
+                    "INSERT INTO objects(key, size, mtime, data) "
+                    "VALUES(?, ?, ?, zeroblob(?))",
+                    (key, size, time.time(), size),
+                )
+                rowid = conn.execute(
+                    "SELECT rowid FROM objects WHERE key = ?", (key,)
+                ).fetchone()[0]
+                with conn.blobopen("objects", "data", rowid) as bl, \
+                        open(local, "rb") as f:
+                    while True:
+                        buf = f.read(_CHUNK)
+                        if not buf:
+                            break
+                        bl.write(buf)
+        self._invalidate(key)
+
+    def write_bytes(self, key: str, data: bytes) -> None:
+        with self._lock:
+            conn = self._conn()
+            with conn:
+                conn.execute(
+                    "INSERT OR REPLACE INTO objects(key, size, mtime, data) "
+                    "VALUES(?, ?, ?, ?)",
+                    (key, len(data), time.time(), sqlite3.Binary(data)),
+                )
+        self._invalidate(key)
+
+    def delete(self, key: str) -> None:
+        with self._lock:
+            conn = self._conn()
+            with conn:
+                conn.execute("DELETE FROM objects WHERE key = ?", (key,))
+        self._invalidate(key)
+
+    def delete_prefix(self, prefix: str) -> None:
+        like = prefix.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+        with self._lock:
+            conn = self._conn()
+            with conn:
+                conn.execute(
+                    r"DELETE FROM objects WHERE key LIKE ? ESCAPE '\'",
+                    (like + "/%",),
+                )
+        shutil.rmtree(os.path.join(self.cache_dir, prefix), ignore_errors=True)
+
+    def rename(self, src: str, dst: str, *, is_dir: bool) -> None:
+        """Key rewrite in ONE transaction — the container's native
+        rename (no copy+delete, unlike S3)."""
+        with self._lock:
+            conn = self._conn()
+            with conn:
+                if is_dir:
+                    like = src.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+                    # clear any keys the rename would collide with
+                    conn.execute(
+                        r"DELETE FROM objects WHERE key IN ("
+                        r"SELECT ? || substr(key, ?) FROM objects "
+                        r"WHERE key LIKE ? ESCAPE '\')",
+                        (dst, len(src) + 1, like + "/%"),
+                    )
+                    conn.execute(
+                        r"UPDATE objects SET key = ? || substr(key, ?) "
+                        r"WHERE key LIKE ? ESCAPE '\'",
+                        (dst, len(src) + 1, like + "/%"),
+                    )
+                else:
+                    conn.execute("DELETE FROM objects WHERE key = ?", (dst,))
+                    conn.execute(
+                        "UPDATE objects SET key = ? WHERE key = ?", (dst, src)
+                    )
+        self._invalidate(src)
+        self._invalidate(dst)
+        for d in (src, dst):
+            shutil.rmtree(os.path.join(self.cache_dir, d), ignore_errors=True)
+
+    # ------------------------------------------------------ shadow planes
+
+    def _invalidate(self, key: str) -> None:
+        p = os.path.join(self.cache_dir, key)
+        if os.path.isfile(p):
+            os.unlink(p)
+
+    def cache_path(self, key: str) -> str:
+        """Extract an object to the local cache (staleness-checked via
+        size+mtime stamped onto the cache file) and return the path."""
+        st = self.stat(key)
+        if st is None:
+            raise FileNotFoundError(f"{key} in {self.db_path}")
+        rowid, size, mtime = st
+        p = os.path.join(self.cache_dir, key)
+        if os.path.isfile(p):
+            s = os.stat(p)
+            if s.st_size == size and abs(s.st_mtime - mtime) < 1e-3:
+                return p
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".extract"
+        with self._conn().blobopen("objects", "data", rowid, readonly=True) as bl, \
+                open(tmp, "wb") as f:
+            remaining = size
+            while remaining > 0:
+                buf = bl.read(min(_CHUNK, remaining))
+                if not buf:
+                    break
+                f.write(buf)
+                remaining -= len(buf)
+        os.utime(tmp, (mtime, mtime))
+        os.replace(tmp, p)
+        return p
+
+    def cache_tree(self, prefix: str) -> str:
+        """Extract every object under ``prefix`` and return the cache
+        dir (for directory-shaped JVM reads, e.g. an index rebuild's
+        ``spark.read.parquet(idx_dir)``)."""
+        for key, _, _ in self.keys_under(prefix):
+            self.cache_path(key)
+        d = os.path.join(self.cache_dir, prefix)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def stage_path(self, key: str) -> str:
+        p = os.path.join(self.stage_dir, key)
+        os.makedirs(os.path.dirname(p) or self.stage_dir, exist_ok=True)
+        return p
+
+    def absorb(self, key_prefix: str) -> None:
+        """Pull any finished Spark-written shadow files under
+        ``key_prefix`` into the container, then drop the shadow copies.
+        Called before every metadata-plane op, so a facade caller never
+        observes the staging window."""
+        root = os.path.join(self.stage_dir, key_prefix) if key_prefix else self.stage_dir
+        if not os.path.isdir(root):
+            if os.path.isfile(root):
+                self.write_from_file(key_prefix, root)
+                os.unlink(root)
+            return
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.startswith("."):  # Hadoop .crc shadows — never data
+                    os.unlink(os.path.join(dirpath, f))
+                    continue
+                local = os.path.join(dirpath, f)
+                key = os.path.relpath(local, self.stage_dir).replace(os.sep, "/")
+                self.write_from_file(key, local)
+                os.unlink(local)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def checkpoint(db_path: str) -> None:
+    """Fold the WAL back into the main file (``wal_checkpoint(TRUNCATE)``)
+    so the container is a SINGLE file on disk — call before copying or
+    shipping it. The reference's redb container has this property at
+    every commit; sqlite in WAL mode has it after a checkpoint."""
+    db_path = os.path.abspath(db_path)
+    with _CONTAINERS_LOCK:
+        c = _CONTAINERS.get(db_path)
+    if c is not None:
+        c._conn().execute("PRAGMA wal_checkpoint(TRUNCATE)")
+
+
+def close_container(db_path: str) -> None:
+    """Checkpoint and drop the process's handle on a container. Safe to
+    call on a container that was never opened."""
+    db_path = os.path.abspath(db_path)
+    with _CONTAINERS_LOCK:
+        c = _CONTAINERS.pop(db_path, None)
+    if c is None:
+        return
+    try:
+        conn = c._conn()
+        conn.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+        conn.close()
+    except sqlite3.Error:
+        pass
+
+
+_CONTAINERS: dict[str, _Container] = {}
+_CONTAINERS_LOCK = threading.Lock()
+
+
+def _container(db_path: str) -> _Container:
+    db_path = os.path.abspath(db_path)
+    with _CONTAINERS_LOCK:
+        c = _CONTAINERS.get(db_path)
+        if c is None:
+            c = _CONTAINERS[db_path] = _Container(db_path)
+        return c
+
+
+class _ContainerByteSource:
+    """Ranged reads straight off the sqlite blob (bytesource.ByteSource
+    duck type) — header walks never extract or materialize the object."""
+
+    def __init__(self, cont: _Container, key: str):
+        self._c = cont
+        self._key = key
+        st = cont.stat(key)
+        if st is None:
+            raise FileNotFoundError(f"{key} in {cont.db_path}")
+        self._size = st[1]
+
+    def size(self) -> int:
+        return self._size
+
+    def read_range(self, offset: int, length: int) -> bytes:
+        return self._c.read_range(self._key, offset, length)
+
+    def close(self) -> None:
+        pass
+
+
+class ContainerFS:
+    """The ``bdb://`` bytesource facade. One instance serves every open
+    container (the facade cache keys on (scheme, authority) and bdb
+    URIs carry the container in the path)."""
+
+    def __init__(self, scheme: str = SCHEME, authority: str = ""):
+        self.scheme, self.authority = scheme, authority
+
+    # -------------------------------------------------- key plumbing
+
+    def _ck(self, uri: str) -> tuple[_Container, str]:
+        db, key = split_uri(uri)
+        cont = _container(db)
+        cont.absorb(key)
+        return cont, key
+
+    # -------------------------------------------------- read side
+
+    def open_buffer(self, uri: str):
+        from . import bytesource as bs
+
+        cont, key = self._ck(uri)
+        return bs.LazyBuf(_ContainerByteSource(cont, key))
+
+    def read_bytes(self, uri: str) -> bytes:
+        cont, key = self._ck(uri)
+        return cont.read_bytes(key)
+
+    def open_text(self, uri: str, **kw):
+        kw.setdefault("encoding", "utf-8")
+        return io.StringIO(self.read_bytes(uri).decode(kw["encoding"]))
+
+    def exists(self, uri: str) -> bool:
+        cont, key = self._ck(uri)
+        if not key:
+            return True
+        return cont.stat(key) is not None or cont.has_prefix(key)
+
+    def isfile(self, uri: str) -> bool:
+        cont, key = self._ck(uri)
+        return bool(key) and cont.stat(key) is not None
+
+    def isdir(self, uri: str) -> bool:
+        cont, key = self._ck(uri)
+        return (not key) or cont.has_prefix(key)
+
+    def listdir(self, uri: str) -> list[str]:
+        cont, key = self._ck(uri)
+        depth = len(key.split("/")) if key else 0
+        names = set()
+        for k, _, _ in cont.keys_under(key):
+            parts = k.split("/")
+            if len(parts) > depth:
+                names.add(parts[depth])
+        return sorted(names)
+
+    def walk(self, uri: str):
+        cont, key = self._ck(uri)
+        db = cont.db_path
+        base = container_uri(db, key).rstrip("/")
+        tree: dict[str, tuple[list[str], list[str]]] = {base: ([], [])}
+        rows = cont.keys_under(key) if key else cont.keys_under("")
+        for k, _, _ in sorted(rows):
+            rel = k[len(key):].lstrip("/") if key else k
+            parts = rel.split("/")
+            cur = base
+            for d in parts[:-1]:
+                nxt = f"{cur}/{d}"
+                dirs, _files = tree.setdefault(cur, ([], []))
+                if d not in dirs:
+                    dirs.append(d)
+                tree.setdefault(nxt, ([], []))
+                cur = nxt
+            tree.setdefault(cur, ([], []))[1].append(parts[-1])
+        for d, (dirs, files) in tree.items():
+            yield d, dirs, files
+
+    def glob(self, pattern: str) -> list[str]:
+        db, keypat = split_uri(pattern)
+        cont = _container(db)
+        cont.absorb("")
+        out = [
+            container_uri(db, k)
+            for k, _, _ in cont.keys_under("")
+            if fnmatch(k, keypat)
+        ]
+        return sorted(out)
+
+    def mtime(self, uri: str) -> float:
+        cont, key = self._ck(uri)
+        st = cont.stat(key)
+        if st is not None:
+            return st[2]
+        rows = cont.keys_under(key)
+        if not rows:
+            raise FileNotFoundError(uri)
+        return max(m for _, _, m in rows)
+
+    # -------------------------------------------------- write side
+
+    def write_bytes(self, uri: str, data: bytes) -> None:
+        cont, key = self._ck(uri)
+        cont.write_bytes(key, data)
+
+    def publish_bytes(self, uri: str, data: bytes) -> None:
+        # a sqlite transaction IS the atomic publish
+        self.write_bytes(uri, data)
+
+    def makedirs(self, uri: str) -> None:
+        split_uri(uri)  # validate; directories are implicit
+
+    def remove(self, uri: str) -> None:
+        cont, key = self._ck(uri)
+        if cont.stat(key) is None:
+            raise FileNotFoundError(uri)
+        cont.delete(key)
+
+    def rmtree(self, uri: str) -> None:
+        cont, key = self._ck(uri)
+        if cont.stat(key) is not None:
+            cont.delete(key)
+        cont.delete_prefix(key)
+        shutil.rmtree(os.path.join(cont.stage_dir, key), ignore_errors=True)
+
+    def move(self, src: str, dst: str) -> None:
+        cont, skey = self._ck(src)
+        dcont, dkey = self._ck(dst)
+        if dcont is not cont:
+            raise ContainerError("move across containers is not supported")
+        if cont.stat(skey) is not None:
+            cont.rename(skey, dkey, is_dir=False)
+        elif cont.has_prefix(skey):
+            cont.rename(skey, dkey, is_dir=True)
+        else:
+            raise FileNotFoundError(src)
+
+    def open_output(self, uri: str):
+        cont, key = self._ck(uri)
+
+        class _Out:
+            def __init__(self):
+                fd, self._tmp = tempfile.mkstemp(prefix="bdb-out-")
+                self._f = os.fdopen(fd, "wb")
+
+            def write(self, b):
+                return self._f.write(b)
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                self.close(commit=exc[0] is None)
+
+            def close(self, commit: bool = True):
+                if self._f.closed:
+                    return
+                self._f.close()
+                try:
+                    if commit:
+                        cont.write_from_file(key, self._tmp)
+                finally:
+                    os.unlink(self._tmp)
+
+        return _Out()
+
+    # -------------------------------------------------- data plane (JVM)
+
+    def spark_path(self, uri: str) -> str:
+        cont, key = self._ck(uri)
+        if cont.stat(key) is not None:
+            return cont.cache_path(key)
+        if cont.has_prefix(key):
+            return cont.cache_tree(key)
+        # a write target: hand Spark a staging shadow; the next facade
+        # op on this subtree absorbs the finished files
+        return cont.stage_path(key)
+
+    def dataset_source(self, uri: str):
+        return self.spark_path(uri), None

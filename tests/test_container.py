@@ -1,0 +1,236 @@
+"""Single-file ``beacon.db`` container databases (``bdb://`` scheme).
+
+Parity target: the reference's embedded mode — ``Database::open``
+(``beacon-core/src/embedded.rs:66-110``) over a one-file
+``beacon_redb_store::RedbStore`` (``beacon-redb-store/src/lib.rs``):
+"copy it and you carry the whole dataset with you". These tests pin
+
+- the store primitives (transactional writes, native rename, ranged
+  reads that never extract the object),
+- the staging absorb that lets the Spark JVM write parquet "into" the
+  container,
+- the full managed workflow (CTAS / DML / time travel / MV) running
+  inside one file, and
+- the headline property: checkpoint, copy the ONE file elsewhere,
+  reopen, everything is there.
+"""
+
+import os
+import shutil
+import sqlite3
+
+import pytest
+
+from beacon_spark.sources import bytesource as bs
+from beacon_spark.sources import container as bc
+
+
+@pytest.fixture()
+def root(tmp_path):
+    yield f"bdb://{tmp_path}/lake.db"
+    bc.close_container(str(tmp_path / "lake.db"))
+
+
+# ------------------------------------------------------------ primitives
+
+
+def test_split_uri_forms(tmp_path):
+    db, key = bc.split_uri(f"bdb://{tmp_path}/lake.db/a/b/c.json")
+    assert db == f"{tmp_path}/lake.db" and key == "a/b/c.json"
+    db, key = bc.split_uri(f"bdb://{tmp_path}/lake.db")
+    assert key == ""
+    with pytest.raises(bc.ContainerError):
+        bc.split_uri(f"bdb://{tmp_path}/no-container-here/x")
+    with pytest.raises(bc.ContainerError):
+        bc.split_uri("s3://bucket/lake.db/x")
+
+
+def test_write_read_list_move_delete(root):
+    bs.publish_bytes(f"{root}/catalog.json", b'{"v":1}')
+    bs.write_bytes(f"{root}/t/data/a.parquet", b"P" * 64)
+    bs.write_bytes(f"{root}/t/data/b.parquet", b"Q" * 32)
+
+    assert bs.read_bytes(f"{root}/catalog.json") == b'{"v":1}'
+    assert bs.listdir(root) == ["catalog.json", "t"]
+    assert bs.listdir(f"{root}/t/data") == ["a.parquet", "b.parquet"]
+    assert bs.isdir(f"{root}/t") and not bs.isfile(f"{root}/t")
+    assert bs.isfile(f"{root}/catalog.json")
+    assert not bs.exists(f"{root}/nope")
+    assert bs.mtime(f"{root}/catalog.json") > 0
+
+    # native rename: a directory move is one key rewrite, not copy+delete
+    bs.move(f"{root}/t", f"{root}/u")
+    assert not bs.exists(f"{root}/t")
+    assert bs.listdir(f"{root}/u/data") == ["a.parquet", "b.parquet"]
+
+    # overwrite via publish is atomic-per-key (a sqlite transaction)
+    bs.publish_bytes(f"{root}/catalog.json", b'{"v":2}')
+    assert bs.read_bytes(f"{root}/catalog.json") == b'{"v":2}'
+
+    bs.remove(f"{root}/u/data/b.parquet")
+    assert bs.listdir(f"{root}/u/data") == ["a.parquet"]
+    bs.rmtree(f"{root}/u")
+    assert not bs.exists(f"{root}/u")
+    with pytest.raises(FileNotFoundError):
+        bs.remove(f"{root}/u/data/b.parquet")
+
+
+def test_walk_and_glob(root):
+    for k in ("m/v1.json", "m/v2.json", "d/x/a.parquet", "top.txt"):
+        bs.write_bytes(f"{root}/{k}", b"x")
+    walked = {d: (tuple(dd), tuple(ff)) for d, dd, ff in bs.walk(root)}
+    assert walked[root.rstrip("/")][1] == ("top.txt",)
+    assert set(walked[root.rstrip("/")][0]) == {"m", "d"}
+    assert walked[f"{root}/m"][1] == ("v1.json", "v2.json")
+    assert bs.glob(f"{root}/m/*.json") == [f"{root}/m/v1.json", f"{root}/m/v2.json"]
+    # same fnmatch semantics as the _ArrowFS glob: * may cross "/"
+    assert bs.glob(f"{root}/*/a.parquet") == [f"{root}/d/x/a.parquet"]
+    assert bs.glob(f"{root}/*.txt") == [f"{root}/top.txt"]
+
+
+def test_ranged_reads_never_extract(root, tmp_path):
+    payload = os.urandom(1 << 20)
+    bs.write_bytes(f"{root}/big.bin", payload)
+    buf = bs.open_buffer(f"{root}/big.bin")
+    assert len(buf) == len(payload)
+    assert bs.read_range(buf, 12345, 100) == payload[12345:12445]
+    assert bs.read_head(f"{root}/big.bin", 16) == payload[:16]
+    # a header walk must not have extracted the object to the cache
+    cont = bc._container(str(tmp_path / "lake.db"))
+    assert not os.path.exists(os.path.join(cont.cache_dir, "big.bin"))
+
+
+def test_open_output_streams_and_commits(root):
+    with bs.fs_for(root).open_output(f"{root}/blob.bin") as w:
+        for _ in range(3):
+            w.write(b"A" * (1 << 20))
+    assert len(bs.read_bytes(f"{root}/blob.bin")) == 3 << 20
+    # an exception inside the context must not publish a torn object
+    class Boom(Exception):
+        pass
+
+    with pytest.raises(Boom):
+        with bs.fs_for(root).open_output(f"{root}/torn.bin") as w:
+            w.write(b"x")
+            raise Boom()
+    assert not bs.exists(f"{root}/torn.bin")
+
+
+def test_staging_absorb_roundtrip(root):
+    # simulate the JVM writing a staging directory through spark_path
+    stage = bs.spark_path(f"{root}/_staging-x")
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, "part-0.parquet"), "wb") as f:
+        f.write(b"PARQUET")
+    with open(os.path.join(stage, ".part-0.parquet.crc"), "wb") as f:
+        f.write(b"junk")
+    with open(os.path.join(stage, "_SUCCESS"), "wb") as f:
+        f.write(b"")
+    # the next facade op sees the finished files as container objects
+    names = bs.listdir(f"{root}/_staging-x")
+    assert "part-0.parquet" in names and ".part-0.parquet.crc" not in names
+    bs.move(f"{root}/_staging-x/part-0.parquet", f"{root}/data/p.parquet")
+    bs.rmtree(f"{root}/_staging-x")
+    assert bs.read_bytes(f"{root}/data/p.parquet") == b"PARQUET"
+    assert not bs.exists(f"{root}/_staging-x")
+    # and the shadow dir is gone
+    cont = bc._container(bc.split_uri(root + "/x")[0])
+    assert not os.path.isdir(os.path.join(cont.stage_dir, "_staging-x"))
+
+
+def test_spark_path_extracts_immutable_objects(root):
+    bs.write_bytes(f"{root}/d/a.bin", b"one")
+    p1 = bs.spark_path(f"{root}/d/a.bin")
+    assert open(p1, "rb").read() == b"one"
+    # cache hit: same object, same path, no re-extract needed
+    assert bs.spark_path(f"{root}/d/a.bin") == p1
+    # a mutation invalidates the cache
+    bs.write_bytes(f"{root}/d/a.bin", b"two!")
+    p2 = bs.spark_path(f"{root}/d/a.bin")
+    assert open(p2, "rb").read() == b"two!"
+    # directory-shaped read extracts the subtree
+    bs.write_bytes(f"{root}/d/b.bin", b"three")
+    d = bs.spark_path(f"{root}/d")
+    assert sorted(os.listdir(d)) == ["a.bin", "b.bin"]
+
+
+def test_container_file_is_sqlite_with_format_tag(root, tmp_path):
+    bs.write_bytes(f"{root}/x", b"x")
+    bc.checkpoint(str(tmp_path / "lake.db"))
+    conn = sqlite3.connect(tmp_path / "lake.db")
+    fmt = conn.execute(
+        "SELECT v FROM beacon_meta WHERE k='format'").fetchone()[0]
+    assert fmt == "beacon-spark-container/1"
+    conn.close()
+
+
+# ------------------------------------------------------------ engine
+
+
+def test_managed_workflow_inside_one_file(spark, root):
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=root)
+    eng.sql("CREATE TABLE obs AS SELECT id, id % 5 AS g, "
+            "CAST(id AS DOUBLE) AS v FROM range(100)")
+    assert bs.exists(f"{root}/.beacon_catalog/catalog.json")
+    assert eng.sql("SELECT count(*) AS n FROM obs").collect()[0].n == 100
+    eng.sql("INSERT INTO obs SELECT 1000 + id, 9 AS g, 0.5 AS v FROM range(10)")
+    eng.sql("UPDATE obs SET v = -1.0 WHERE g = 9")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM obs WHERE v = -1.0").collect()[0].n == 10
+    eng.sql("DELETE FROM obs WHERE g = 9")
+    assert eng.sql("SELECT count(*) AS n FROM obs").collect()[0].n == 100
+
+    mt = eng.catalog.table("obs")
+    assert mt.read(version=1).count() == 100
+    assert mt.read(version=2).count() == 110
+    assert eng.sql(
+        "SELECT count(*) AS n FROM obs VERSION AS OF 2").collect()[0].n == 110
+
+    eng.sql("CREATE MATERIALIZED VIEW mv AS "
+            "SELECT g, count(*) AS n FROM obs GROUP BY g")
+    got = {(r.g, r.n) for r in eng.sql("SELECT * FROM mv").collect()}
+    assert got == {(g, 20) for g in range(5)}
+
+
+def test_copy_one_file_carries_the_lake(spark, tmp_path):
+    """The redb-store contract (lib.rs:8-9): copy the file, carry the
+    dataset. Build a lake, checkpoint, copy the single file to a new
+    home, open THAT — every table and version must be there."""
+    from beacon_spark import client
+
+    src = tmp_path / "origin" / "lake.db"
+    src.parent.mkdir()
+    conn = client.connect(str(src), spark=spark)
+    conn.sql("CREATE TABLE t AS SELECT id, id * 2 AS d FROM range(50)")
+    conn.sql("INSERT INTO t SELECT 100 + id, 0 AS d FROM range(5)")
+    assert int(conn.sql("SELECT count(*) AS n FROM t").arrow()["n"][0].as_py()) == 55
+    conn.close()  # checkpoints: the WAL folds into the main file
+
+    assert sorted(os.listdir(src.parent)) == ["lake.db"] or all(
+        not f.endswith(("-wal", "-shm")) or os.path.getsize(src.parent / f) == 0
+        for f in os.listdir(src.parent)
+    )
+
+    dst = tmp_path / "elsewhere" / "carried.db"
+    dst.parent.mkdir()
+    shutil.copyfile(src, dst)
+
+    conn2 = client.connect(str(dst), spark=spark)
+    try:
+        assert int(conn2.sql("SELECT count(*) AS n FROM t").arrow()["n"][0].as_py()) == 55
+        mt = conn2.engine.catalog.table("t")
+        assert mt.current_version() == 2
+        assert mt.read(version=1).count() == 50
+    finally:
+        conn2.close()
+
+
+def test_client_memory_mode_untouched(spark):
+    from beacon_spark import client
+
+    conn = client.connect(":memory:", spark=spark)
+    conn.sql("CREATE TABLE m AS SELECT 1 AS a")
+    assert int(conn.sql("SELECT * FROM m").arrow()["a"][0].as_py()) == 1
+    conn.close()
