@@ -122,12 +122,17 @@ class _Container:
             conn.commit()
 
     def _conn(self) -> sqlite3.Connection:
+        # per-thread AND per-process: a forked Spark python worker
+        # inherits this object (fork copies thread-locals), and using an
+        # inherited sqlite handle across fork corrupts the database —
+        # the pid guard forces a fresh connection in the child
         conn = getattr(self._tls, "conn", None)
-        if conn is None:
+        if conn is None or getattr(self._tls, "pid", None) != os.getpid():
             conn = sqlite3.connect(self.db_path, timeout=30.0)
             conn.execute("PRAGMA journal_mode=WAL")
             conn.execute("PRAGMA synchronous=NORMAL")
             self._tls.conn = conn
+            self._tls.pid = os.getpid()
         return conn
 
     # ------------------------------------------------------ object index
@@ -283,7 +288,16 @@ class _Container:
             s = os.stat(p)
             if s.st_size == size and abs(s.st_mtime - mtime) < 1e-3:
                 return p
-        os.makedirs(os.path.dirname(p), exist_ok=True)
+        # a parent component may be cached as a FILE (keys 'a' and 'a/b'
+        # can coexist in the container but not on a posix cache)
+        parent = os.path.dirname(p)
+        probe = parent
+        while probe and probe != self.cache_dir:
+            if os.path.isfile(probe):
+                os.unlink(probe)
+                break
+            probe = os.path.dirname(probe)
+        os.makedirs(parent, exist_ok=True)
         tmp = p + ".extract"
         with self._conn().blobopen("objects", "data", rowid, readonly=True) as bl, \
                 open(tmp, "wb") as f:
@@ -324,7 +338,13 @@ class _Container:
                 self.write_from_file(key_prefix, root)
                 os.unlink(root)
             return
-        for dirpath, _dirs, files in os.walk(root):
+        for dirpath, dirs, files in os.walk(root):
+            # Hadoop commits through _temporary/ + rename: files still in
+            # there belong to an in-flight write — absorbing them would
+            # ingest torn part files. They surface at the final path once
+            # the task commit renames them.
+            if "_temporary" in dirs:
+                dirs.remove("_temporary")
             for f in files:
                 if f.startswith("."):  # Hadoop .crc shadows — never data
                     os.unlink(os.path.join(dirpath, f))
@@ -333,7 +353,10 @@ class _Container:
                 key = os.path.relpath(local, self.stage_dir).replace(os.sep, "/")
                 self.write_from_file(key, local)
                 os.unlink(local)
-        shutil.rmtree(root, ignore_errors=True)
+        # drop the shadow tree unless an in-flight _temporary/ still
+        # holds files (they surface via task-commit rename later)
+        if not any(files for _, _, files in os.walk(root)):
+            shutil.rmtree(root, ignore_errors=True)
 
 
 def checkpoint(db_path: str) -> None:
