@@ -211,6 +211,18 @@ def authorize(engine, statement: str, user: str | None) -> None:
             "operation not permitted: this statement requires super-user "
             "privileges"
         )
+    # metadata schemas (beacon.system.*, information_schema.*) are
+    # super-user-only UNCONDITIONALLY — even with enforcement off, the
+    # auth directory and other users' query texts must not be readable
+    # on a default runtime (system_schema/mod.rs:50-66)
+    blanked_stmt = re.sub(r"'(?:[^']|'')*'", "''", statement)
+    if re.search(
+        r"(?<![\w.])(?:beacon\s*\.\s*)?(?:system|information_schema)\s*\.\s*\w",
+        blanked_stmt, re.IGNORECASE,
+    ):
+        raise AuthError(
+            "permission denied: metadata schemas are super-user-only"
+        )
     if not a.get("enforce"):
         return
     roles = ident.get("roles", [])

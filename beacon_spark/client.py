@@ -242,14 +242,36 @@ class Relation:
     def fetchmany(self, size: int = 1):
         return [tuple(r) for r in self._df.limit(size).collect()]
 
+    def _note_metrics(self, rows: int | None, t0: float) -> None:
+        # the embedded runtime records completed queries too
+        # (query_metrics_store.rs: "every query that runs to completion")
+        import time
+        import uuid
+
+        self._conn.engine.record_query_metrics(
+            query_id=str(uuid.uuid4()), query=self._sql or "",
+            username=self._conn._user, result_num_rows=rows,
+            execution_time_ms=int((time.perf_counter() - t0) * 1000),
+        )
+
     def fetchall(self):
+        import time
+
+        t0 = time.perf_counter()
         try:
-            return [tuple(r) for r in self._df.collect()]
+            out = [tuple(r) for r in self._df.collect()]
         except Exception as e:
             raise _wrap_error(e) from e
+        self._note_metrics(len(out), t0)
+        return out
 
     def arrow(self):
-        return Result(self._df).arrow()
+        import time
+
+        t0 = time.perf_counter()
+        tbl = Result(self._df).arrow()
+        self._note_metrics(tbl.num_rows, t0)
+        return tbl
 
     fetch_arrow_table = arrow
     to_arrow_table = arrow

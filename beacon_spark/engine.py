@@ -392,10 +392,34 @@ class Engine:
             pass
         self.catalog = None
         self._session_secrets: dict[str, dict] = {}
+        self._metrics = None
         if datasets_root is not None:
             from beacon_spark.managed import Catalog
 
             self.catalog = Catalog(spark, datasets_root)
+
+    @property
+    def metrics(self):
+        """Per-query metrics persistence (``beacon.system.query_metrics``,
+        the reference's query_metrics_store.rs). Lazy — an engine with no
+        catalog root records nothing."""
+        if self._metrics is None:
+            if self.catalog is None:
+                raise ValueError("query metrics need a datasets_root")
+            from beacon_spark.system_tables import QueryMetricsStore
+
+            self._metrics = QueryMetricsStore(self)
+        return self._metrics
+
+    def record_query_metrics(self, **kw) -> None:
+        """Best-effort transport hook: engines without a catalog (or with
+        a broken store) must never fail the query they are recording."""
+        if self.catalog is None:
+            return
+        try:
+            self.metrics.record(**kw)
+        except Exception:
+            pass
 
     # ------------------------------------------------------------ sources
 
@@ -654,6 +678,7 @@ class Engine:
             return summarize(self.spark.table(src))
 
         statement = self._resolve_remote(statement)
+        statement = self._rewrite_system_tables(statement)
         statement = self._rewrite_time_travel(statement)
         statement = self._rewrite_read_fns(statement)
         statement = self._rewrite_metadata_fns(statement)
@@ -700,6 +725,41 @@ class Engine:
     _TIMESTAMP_AS_OF_RE = re.compile(
         r"\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", re.IGNORECASE
     )
+
+    # (?<![\w.]) so a qualified reference like myattach.system.tbl is
+    # not mistaken for the metadata schema
+    _SYSTEM_TBL_RE = re.compile(
+        r"(?<![\w.])(?:beacon\s*\.\s*)?system\s*\.\s*(\w+)\b", re.IGNORECASE
+    )
+
+    def _rewrite_system_tables(self, statement: str) -> str:
+        """``beacon.system.<t>`` / ``system.<t>`` → a temp view refreshed
+        at reference time (system_schema/mod.rs:44-66: users, roles,
+        file_stats, query_metrics). Super-user-only — the gate is in
+        auth.authorize, unconditional like the reference's
+        is_metadata_schema (mod.rs:50-66)."""
+        if self.catalog is None or "system" not in statement.lower():
+            return statement
+        from beacon_spark.system_tables import SYSTEM_TABLES
+
+        names: list[str] = []
+
+        def sub(m: re.Match) -> str:
+            name = m.group(1).lower()
+            if name not in SYSTEM_TABLES:
+                raise ValueError(
+                    f"unknown system table {name!r}; available: "
+                    + ", ".join(sorted(SYSTEM_TABLES))
+                )
+            names.append(name)
+            return f"__beacon_system_{name}"
+
+        out = _sub_outside_literals(self._SYSTEM_TBL_RE, sub, statement)
+        for name in names:
+            SYSTEM_TABLES[name](self).createOrReplaceTempView(
+                f"__beacon_system_{name}"
+            )
+        return out
 
     def _rewrite_time_travel(self, statement: str) -> str:
         """``FROM <managed_table> VERSION AS OF <n>`` (and ``TIMESTAMP

@@ -190,8 +190,9 @@ class BeaconHttpServer:
                 self.end_headers()
                 self.wfile.write(payload)
 
-            def _send_json(self, obj) -> None:
-                self._send(json.dumps(obj).encode(), "application/json")
+            def _send_json(self, obj, default=None) -> None:
+                self._send(json.dumps(obj, default=default).encode(),
+                           "application/json")
 
             def do_GET(self):
                 if not self._authed():
@@ -361,10 +362,18 @@ class BeaconHttpServer:
                 elif path.startswith("/api/query/metrics/"):
                     qid = path.rsplit("/", 1)[1]
                     metrics = outer._metrics.get(qid)
+                    if metrics is None and outer.engine.catalog is not None:
+                        # evicted from the ring: the persisted
+                        # system.query_metrics row survives restarts
+                        # (Runtime::get_query_metrics, runtime.rs:429-435)
+                        try:
+                            metrics = outer.engine.metrics.read(qid)
+                        except Exception:
+                            metrics = None
                     if metrics is None:
                         self._deny(404, f"no metrics for query {qid!r}")
                     else:
-                        self._send_json(metrics)
+                        self._send_json(metrics, default=str)
                 else:
                     self._deny(404, f"no such endpoint: {path}")
 
@@ -440,6 +449,10 @@ class BeaconHttpServer:
                     qid = str(_uuid.uuid4())
                     t0 = _time.perf_counter()
                     hdr = {"x-beacon-query-id": qid}
+                    # the row beacon.system.query_metrics will persist
+                    self._qtext = req.get("sql") or json.dumps(
+                        req.get("query", req), default=str
+                    )
                     if output:
                         # file-output formats come back as a download
                         # (query.rs:20-44: CSV/Parquet/Arrow/ODV/NetCDF/
@@ -449,7 +462,7 @@ class BeaconHttpServer:
                         with outer._limits.time_guard(outer.engine.spark):
                             path, ctype = outer._materialize(df, output)
                         try:
-                            outer._record(qid, df, None, t0)
+                            outer._record(qid, df, None, t0, getattr(self, '_qtext', None), getattr(self, '_ident', None))
                             self._send_file(path, ctype, hdr)
                         finally:
                             import os as _os
@@ -461,7 +474,7 @@ class BeaconHttpServer:
                         # resource_limits contract): over-limit is a clean
                         # 400, never an unbounded driver collect
                         rows = outer._limits.collect_rows(df)
-                        outer._record(qid, df, len(rows), t0)
+                        outer._record(qid, df, len(rows), t0, getattr(self, '_qtext', None), getattr(self, '_ident', None))
                         # default=str: timestamp/date/Decimal/binary columns
                         # are common result types and json.dumps has no
                         # native encoding for them (the MCP paths already
@@ -525,7 +538,7 @@ class BeaconHttpServer:
                         sink.truncate()
                 chunk(sink.getvalue())
                 self.wfile.write(b"0\r\n\r\n")
-                outer._record(qid, df, rows, t0)
+                outer._record(qid, df, rows, t0, getattr(self, '_qtext', None), getattr(self, '_ident', None))
 
             def _send_file(self, path: str, ctype: str,
                            extra: dict | None = None) -> None:
@@ -552,21 +565,31 @@ class BeaconHttpServer:
         # reference retains these per query, api.rs:193), bounded ring
         self._metrics: dict[str, dict] = {}
 
-    def _record(self, qid: str, df, rows, t0) -> None:
+    def _record(self, qid: str, df, rows, t0, query: str | None = None,
+                username: str | None = None) -> None:
         import time as _time
 
         try:
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception:
             plan = None
+        seconds = round(_time.perf_counter() - t0, 3)
         self._metrics[qid] = {
             "query_id": qid,
             "rows": rows,
-            "seconds": round(_time.perf_counter() - t0, 3),
+            "seconds": seconds,
             "plan": plan,
         }
         while len(self._metrics) > 256:  # bounded
             self._metrics.pop(next(iter(self._metrics)))
+        # persist into beacon.system.query_metrics (query_metrics_store.rs:
+        # every query that runs to completion writes one row)
+        self.engine.record_query_metrics(
+            query_id=qid, query=query or "", username=username,
+            result_num_rows=rows,
+            execution_time_ms=int(seconds * 1000),
+            node_metrics=plan,
+        )
 
     _OUTPUT_MIME = {
         "csv": "text/csv",

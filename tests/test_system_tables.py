@@ -1,0 +1,134 @@
+"""``beacon.system`` schema — runtime introspection as SQL.
+
+Reference: ``beacon-core/src/system_schema/mod.rs`` (users/roles/
+file_stats snapshots, super-user-only unconditionally) and
+``query_metrics_store.rs`` (per-query metrics persisted into the
+internal managed table ``__beacon_query_metrics`` so they survive a
+restart and are queryable like any other table).
+"""
+
+import json
+import time
+
+import pytest
+
+from beacon_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, datasets_root=str(tmp_path))
+
+
+def _record(eng, qid, query="SELECT 1", **kw):
+    eng.metrics.record(query_id=qid, query=query, **kw)
+
+
+def test_query_metrics_persist_and_query(spark, tmp_path):
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    _record(eng, "q-1", "SELECT 1 AS a", result_num_rows=1,
+            execution_time_ms=12, username="alice")
+    _record(eng, "q-2", "SELECT 2", result_num_rows=7)
+
+    rows = eng.sql(
+        "SELECT query_id, username, query, result_num_rows "
+        "FROM beacon.system.query_metrics ORDER BY query_id"
+    ).collect()
+    assert [(r.query_id, r.result_num_rows) for r in rows] == [
+        ("q-1", 1), ("q-2", 7)
+    ]
+    assert rows[0].username == "alice"
+    assert rows[1].username == "beacon-admin"  # embedded default identity
+
+    # the bare `system.` spelling resolves too
+    n = eng.sql(
+        "SELECT count(*) AS n FROM system.query_metrics").collect()[0].n
+    assert n == 2
+
+    # a NEW engine over the same root sees the persisted rows: metrics
+    # survive "restart" (the whole point of the managed-table store)
+    eng2 = Engine(spark, datasets_root=str(tmp_path))
+    got = eng2.sql(
+        "SELECT query_id FROM system.query_metrics ORDER BY query_id"
+    ).collect()
+    assert [r.query_id for r in got] == ["q-1", "q-2"]
+
+    # single-row lookup (Runtime::get_query_metrics)
+    row = eng2.metrics.read("q-1")
+    assert row is not None and row["query"] == "SELECT 1 AS a"
+    assert eng2.metrics.read("missing") is None
+
+    # the internal table stays OUT of user-facing listings
+    assert "__beacon_query_metrics" not in eng2.catalog._load().get("tables", {})
+
+
+def test_metrics_tail_visible_before_flush(eng):
+    # a recorded row is visible through read() before any flush
+    _record(eng, "q-tail", "SELECT 3")
+    assert eng.metrics.read("q-tail")["query"] == "SELECT 3"
+
+
+def test_users_and_roles_tables(eng):
+    eng.sql("CREATE USER carol WITH PASSWORD 'pw'")
+    eng.sql("CREATE ROLE readers")
+    eng.sql("GRANT SELECT ON ALL TO ROLE readers")
+    eng.sql("GRANT ROLE readers TO USER carol")
+
+    users = {r.username: json.loads(r.roles)
+             for r in eng.sql("SELECT * FROM beacon.system.users").collect()}
+    assert users["carol"] == ["readers"]
+    roles = {r.role_name: json.loads(r.grants)
+             for r in eng.sql("SELECT * FROM beacon.system.roles").collect()}
+    assert "readers" in roles and roles["readers"]
+    # never the password hash
+    cols = eng.sql("SELECT * FROM system.users").columns
+    assert "password" not in [c.lower() for c in cols]
+
+
+def test_system_schema_super_user_only(eng):
+    """mod.rs:50-66: metadata schemas deny non-super users even with
+    enforcement OFF."""
+    eng.sql("CREATE USER mallory WITH PASSWORD 'pw'")
+    from beacon_spark.auth import AuthError
+
+    with pytest.raises(AuthError, match="super-user"):
+        eng.sql("SELECT * FROM beacon.system.users", user="mallory")
+    with pytest.raises(AuthError, match="super-user"):
+        eng.sql("SELECT * FROM system.query_metrics", user="mallory")
+    # a string literal mentioning system.x is NOT a reference
+    eng.sql("SELECT 'system.users' AS s", user="mallory").collect()
+
+
+def test_unknown_system_table_lists_available(eng):
+    with pytest.raises(ValueError, match="query_metrics"):
+        eng.sql("SELECT * FROM system.nonsense")
+
+
+def test_qualified_non_system_names_untouched(eng):
+    # myattach.system.tbl must not be rewritten (lookbehind guard)
+    out = eng._rewrite_system_tables("SELECT * FROM myattach.system.tbl")
+    assert out == "SELECT * FROM myattach.system.tbl"
+
+
+def test_http_metrics_fallback_reads_persisted(spark, tmp_path):
+    """/api/query/metrics/{qid} falls back to the persisted table when
+    the in-memory ring no longer holds the id."""
+    import urllib.request
+
+    from beacon_spark.server.http import BeaconHttpServer
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    srv = BeaconHttpServer(eng, port=0)
+    port = srv.serve_background()
+    try:
+        # recorded through the engine (as an earlier server run would);
+        # the server ring knows nothing about it
+        _record(eng, "old-query", "SELECT 42", result_num_rows=1)
+        eng.metrics.flush()
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/query/metrics/old-query"
+        ) as r:
+            body = json.loads(r.read())
+        assert body["query_id"] == "old-query" and body["query"] == "SELECT 42"
+    finally:
+        srv.shutdown()
