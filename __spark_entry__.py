@@ -794,6 +794,45 @@ FROM q
 """
 
 
+def _q_span_dedup(spark, sf_dir):
+    """Span-level exact substring duplication (pipeline/dedup.py:
+    duplicate_spans; Lee et al. 2022): every 13-token sliding window,
+    flagged when its text occurs >= 2 times anywhere in the corpus.
+    Graded in by="text" mode (collision-free, exactly what the SQL
+    oracle computes); pytest pins by="hash" — the 8-byte-key 100 TB
+    path — to identical output."""
+    from beacon_spark.pipeline.dedup import duplicate_spans
+
+    _reg(spark, sf_dir, "documents")
+    return duplicate_spans(
+        spark.table("documents"), n=13, by="text"
+    ).orderBy("doc_id")
+
+
+_SQL_SPAN_DEDUP = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) - 12 AS npos FROM toks WHERE len(t) >= 13
+), spans AS (
+  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS s
+  FROM sized, UNNEST(range(1, npos + 1)) AS u(i)
+), dup AS (
+  SELECT s FROM spans GROUP BY s HAVING count(*) >= 2
+), per_doc AS (
+  SELECT doc_id, count(*) AS dup_spans
+  FROM spans WHERE s IN (SELECT s FROM dup) GROUP BY doc_id
+)
+SELECT z.doc_id,
+       coalesce(p.dup_spans, 0) AS dup_spans,
+       z.npos AS total_spans
+FROM sized z LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def _q_minhash(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-verified (oracle = exact
     Jaccard — holds when LSH recall is 1.0 at this threshold/banding;
@@ -2107,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_oracle.py regardless of the driver's grading cap
         "corpus_split": _q_corpus_split,
         "embedding_quantize": _q_embedding_quantize,
+        "span_dedup": _q_span_dedup,
         # NOTE: the registry is exactly the 50 graded slots (the driver
         # grades the first 50 declared queries). Redundant shapes that
         # used to trail here (count_all, filter_range, filter_multi,
@@ -2173,5 +2213,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": _SQL_MULTIMODAL,
         "corpus_split": _SQL_CORPUS_SPLIT,
         "embedding_quantize": _SQL_EMBEDDING_QUANTIZE,
+        "span_dedup": _SQL_SPAN_DEDUP,
         # rows-only (non-SQL-expressible): simhash_pairs, ann_lsh_topk
     }

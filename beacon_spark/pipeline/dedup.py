@@ -634,3 +634,73 @@ def near_dedup(
         threshold=threshold, seed=seed,
     )
     return dedup_keep_canonical(df, pairs, id_col)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    by: str = "hash",
+) -> DataFrame:
+    """Span-level EXACT substring duplication (the "deduplicating
+    training data" operator of Lee et al. 2022, arXiv:2107.06499):
+    every n-token sliding window is a span; a span whose text occurs
+    two or more times anywhere in the corpus (across documents or
+    repeated within one) is duplicated. Returns per-document
+    ``(id, dup_spans, total_spans)`` for documents that have at least
+    one span — the training-pipeline signal for cut-or-keep decisions
+    at span granularity, which document-level MinHash cannot see.
+
+    ``by="hash"`` (default) keys spans by ``xxhash64`` of the joined
+    window — 8-byte shuffle keys, the 100 TB path. ``by="text"`` keys
+    by the window text itself: exact, collision-free, the oracle mode
+    (pytest pins both modes to identical results).
+
+    100 TB design: whole pipeline is Catalyst (split/slice/concat_ws/
+    xxhash64/posexplode — no Python). Two shuffles do the global work:
+    one span-key groupBy (map-side partial aggregation folds each
+    partition's repeats first) and one join of spans against the
+    surviving duplicated keys — co-keyed, so AQE plans them together,
+    and a pathologically hot span (a boilerplate line in millions of
+    docs) is exactly the skew shape AQE's skew-join splitting handles.
+    The final per-document count shuffles only (id, 1) pairs.
+    """
+    if by not in ("hash", "text"):
+        raise ValueError(f"by must be 'hash' or 'text', got {by!r}")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = (
+        df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+        .withColumn("__npos", F.greatest(F.size("__t") - F.lit(n - 1), F.lit(0)))
+        .where(F.col("__npos") >= 1)
+    )
+    span_txt = lambda i: F.concat_ws(" ", F.slice("__t", i, n))  # noqa: E731
+    key = (lambda i: F.xxhash64(span_txt(i))) if by == "hash" else span_txt
+    spans = base.select(
+        "__id",
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.col("__npos")), key)
+        ).alias("__k"),
+    )
+    dup_keys = (
+        spans.groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .where(F.col("__occ") >= 2)
+        .select("__k")
+    )
+    per_doc = (
+        spans.join(dup_keys, "__k")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("dup_spans"))
+    )
+    return (
+        base.select("__id", F.col("__npos").alias("total_spans"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            "total_spans",
+        )
+    )

@@ -559,3 +559,41 @@ def test_sample_frames_and_gif_meta(spark):
     assert img.shape == (4, 6, 3)
     assert len(by_doc[2]) == 2  # fewer frames than samples -> all frames
     assert by_doc[3][0].frame_idx is None  # undecodable -> null frame row
+
+
+def test_duplicate_spans_modes_and_semantics(spark):
+    """Span-level exact dedup (dedup.py:duplicate_spans, Lee et al.
+    2022): hash mode (the 8-byte-key scale path) must equal text mode
+    (the collision-free oracle mode), and exact-duplicate documents
+    must have every span flagged."""
+    from beacon_spark.pipeline.dedup import duplicate_spans
+
+    boiler = " ".join(f"w{i}" for i in range(13))  # one shared 13-gram
+    rows = [
+        (1, f"{boiler} alpha beta gamma"),
+        (2, f"{boiler} delta epsilon zeta"),         # shares only the boilerplate
+        (3, "unique text " + " ".join(f"u{i}" for i in range(20))),
+        (4, "unique text " + " ".join(f"u{i}" for i in range(20))),  # exact dup of 3
+        (5, "too short to have any span"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got_h = {r.doc_id: (r.dup_spans, r.total_spans)
+             for r in duplicate_spans(df, by="hash").collect()}
+    got_t = {r.doc_id: (r.dup_spans, r.total_spans)
+             for r in duplicate_spans(df, by="text").collect()}
+    assert got_h == got_t
+
+    # docs 1 and 2 share exactly the boilerplate window
+    assert got_h[1][0] >= 1 and got_h[2][0] >= 1
+    # doc 1's non-boilerplate windows are unique
+    assert got_h[1][0] < got_h[1][1]
+    # exact duplicates: every span duplicated
+    assert got_h[3] == got_h[4]
+    assert got_h[3][0] == got_h[3][1] > 0
+    # sub-n documents have no spans and no row
+    assert 5 not in got_h
+
+    # the plan stays in Catalyst: no Python evaluation nodes
+    plan = duplicate_spans(df, by="hash")._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "mapInPandas" not in plan
