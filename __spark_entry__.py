@@ -2100,7 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": _q_string_funcs,
         "domain_funcs": _q_domain_funcs,
         "array_funcs": _q_array_funcs,
-        "conditional_funcs": _q_conditional_funcs,
+        "span_dedup": _q_span_dedup,
         "try_arrow_cast": _q_try_arrow_cast,
         "math_funcs": _q_math_funcs,
         "temporal_funcs": _q_temporal_funcs,
@@ -2142,11 +2142,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_probe": _q_ann_ivf_probe,
         "multimodal_meta": _q_multimodal,
         # round-5 corpus ops — declared AFTER the 50 historical slots so
-        # the long-green graded set keeps its order; oracle-checked by
-        # tests/test_oracle.py regardless of the driver's grading cap
+        # past the driver's 50-slot grading cap; oracle-checked by
+        # tests/test_oracle.py regardless (conditional_funcs ceded its
+        # graded slot to span_dedup in r6 — its family keeps five other
+        # graded queries: string/math/temporal/array/try_arrow_cast)
         "corpus_split": _q_corpus_split,
         "embedding_quantize": _q_embedding_quantize,
-        "span_dedup": _q_span_dedup,
+        "conditional_funcs": _q_conditional_funcs,
         # NOTE: the registry is exactly the 50 graded slots (the driver
         # grades the first 50 declared queries). Redundant shapes that
         # used to trail here (count_all, filter_range, filter_multi,

@@ -223,11 +223,25 @@ def authorize(engine, statement: str, user: str | None) -> None:
         raise AuthError(
             "permission denied: metadata schemas are super-user-only"
         )
+    # internal temp views (__beacon_system_*, __beacon_meta_*, …) are the
+    # rewrite machinery's implementation detail — naming one directly
+    # would read metadata schemas through the back door
+    if re.search(r"(?<![\w.])__beacon\w*", blanked_stmt, re.IGNORECASE):
+        raise AuthError(
+            "permission denied: internal __beacon* names are super-user-only"
+        )
     if not a.get("enforce"):
         return
     roles = ident.get("roles", [])
     blanked = re.sub(r"'(?:[^']|'')*'", "''", statement)
     idents = {w.lower() for w in re.findall(r"\w+", blanked)}
+    # a time-travel snapshot view (<table>__v<n>, left registered by an
+    # earlier super-user query) is a read of its base table — grants and
+    # DENYs on the base name apply to every pinned version of it
+    for w in list(idents):
+        m = re.fullmatch(r"(\w+)__v\d+", w)
+        if m:
+            idents.add(m.group(1))
     names = (
         list(cat.get("tables", {}))
         + list(cat.get("external_tables", {}))
@@ -289,6 +303,13 @@ def authorize_dsl(engine, body: dict, user: str | None) -> None:
         raise AuthError(
             "operation not permitted: DSL file output requires super-user "
             "privileges"
+        )
+    # internal temp views leak metadata regardless of enforcement (same
+    # unconditional gate as the SQL path)
+    spec0 = body.get("from")
+    if isinstance(spec0, str) and spec0.lower().startswith("__beacon"):
+        raise AuthError(
+            "permission denied: internal __beacon* names are super-user-only"
         )
     if not a.get("enforce"):
         return

@@ -635,6 +635,15 @@ class Connection:
 
     def json_query(self, spec: dict[str, Any]) -> Result:
         self._check_open()
+        # the DSL rides the same guard as SQL: an embedded {"sql": …}
+        # statement on a read-only connection must not smuggle DDL/DML
+        if self._read_only and isinstance(spec, dict) and "sql" in spec:
+            from beacon_spark.server.guard import is_readonly_sql
+
+            if not is_readonly_sql(str(spec["sql"])):
+                raise NotPermittedError(
+                    "connection is read-only: statement rejected"
+                )
         try:
             return Result(self.engine.query(spec, user=self._user))
         except Exception as e:

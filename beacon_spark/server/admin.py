@@ -322,6 +322,12 @@ class AdminApi:
                     w.write(buf)
                     wrote += len(buf)
                     remaining -= len(buf)
+            if wrote != length:
+                # a dropped/truncated body must NEVER publish a fragment
+                # at the destination name (the files.rs contract)
+                raise FileError(
+                    f"truncated upload: got {wrote} of {length} bytes"
+                )
             self._publish_file(tmp, dst)
         finally:
             os.unlink(tmp)
@@ -437,8 +443,22 @@ class AdminApi:
         if sess["size"] + length > self.max_upload_bytes:
             raise FileError.too_large(self.max_upload_bytes)
         # each part is buffered (bounded by MAX_PART_BYTES) then appended,
-        # so a failed part can be retried atomically (files.rs contract)
-        data = rfile.read(length)
+        # so a failed part can be retried atomically (files.rs contract);
+        # loop the read — a socket may return short — and reject a
+        # truncated part instead of appending a fragment
+        chunks = []
+        got = 0
+        while got < length:
+            buf = rfile.read(length - got)
+            if not buf:
+                break
+            chunks.append(buf)
+            got += len(buf)
+        if got != length:
+            raise FileError(
+                f"truncated part: got {got} of {length} bytes"
+            )
+        data = b"".join(chunks)
         with open(sess["spool"], "ab") as f:
             f.write(data)
         sess["next_part"] = part + 1

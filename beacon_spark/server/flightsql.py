@@ -387,8 +387,6 @@ class FlightSqlHandler:
     def action(self, action_type: str, body: bytes, user):
         """CreatePreparedStatement / ClosePreparedStatement; None when
         the action is not FlightSQL."""
-        import hashlib
-
         from beacon_spark.outputs import arrow_schema_of
 
         if action_type == "CreatePreparedStatement":
@@ -397,7 +395,13 @@ class FlightSqlHandler:
                 raise ValueError("CreatePreparedStatement needs an Any body")
             _, payload = decoded
             sql = decode_fields(payload)[1][0].decode()
-            handle = hashlib.sha256(sql.encode()).digest()[:16]
+            # per-CREATE handle: handles carry mutable state (the bound
+            # parameters), so two clients preparing the same SQL must
+            # never share one — a deterministic sha256(sql) handle would
+            # cross-contaminate their bindings
+            import uuid as _uuid
+
+            handle = _uuid.uuid4().bytes
             self._prepared[handle] = sql
             from beacon_spark.server.guard import is_readonly_sql
 

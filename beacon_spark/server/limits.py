@@ -34,6 +34,19 @@ class ResourceLimitExceeded(ValueError):
     """A query exceeded the server's row/byte/time budget."""
 
 
+def _payload_bytes(v) -> int:
+    """Lower-bound JSON payload size of a row value, recursively —
+    array<string>/struct/map results carry their bulk below the top
+    level and must count against the byte cap too."""
+    if isinstance(v, (str, bytes, bytearray)):
+        return len(v)
+    if isinstance(v, dict):
+        return sum(_payload_bytes(x) + 4 for x in v.values())
+    if isinstance(v, (list, tuple)):
+        return sum(_payload_bytes(x) + 2 for x in v)
+    return 8
+
+
 @dataclass
 class QueryLimits:
     max_rows: int | None = 1_000_000
@@ -62,11 +75,9 @@ class QueryLimits:
                     # cheap lower-bound estimate: payload string/bytes
                     # lengths (the JSON encoding is never smaller), so
                     # wide-string results can't dodge the byte cap the
-                    # Arrow paths enforce
-                    nbytes += 16 * len(d) + sum(
-                        len(v) for v in d.values()
-                        if isinstance(v, (str, bytes, bytearray))
-                    )
+                    # Arrow paths enforce — recursing into arrays/
+                    # structs/maps, where the wide strings often hide
+                    nbytes += 16 * len(d) + _payload_bytes(d)
                     if nbytes > self.max_bytes:
                         raise ResourceLimitExceeded(
                             f"result exceeds the server byte limit "

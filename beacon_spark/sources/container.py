@@ -116,6 +116,15 @@ class _Container:
         self.stage_dir = os.path.join(shadow, "stage")
         os.makedirs(self.cache_dir, exist_ok=True)
         os.makedirs(self.stage_dir, exist_ok=True)
+        # extraction ledger: key → (size, mtime) stamped on the cache
+        # file when it was extracted. A cache file that no longer
+        # matches its ledger entry was OVERWRITTEN by the JVM and must
+        # be ingested back; a ledger entry whose file is gone was
+        # deleted by the JVM (overwrite-mode clears the dir first).
+        self._extracted: dict[str, tuple[int, float]] = {}
+        # spark_path handouts of EXISTING keys/prefixes, each arming one
+        # reconciliation sweep on the next facade op touching them
+        self._armed: set[str] = set()
         with self._lock:
             conn = self._conn()
             conn.executescript(_DDL)
@@ -238,6 +247,7 @@ class _Container:
                     (like + "/%",),
                 )
         shutil.rmtree(os.path.join(self.cache_dir, prefix), ignore_errors=True)
+        self._forget_subtree(prefix)
 
     def rename(self, src: str, dst: str, *, is_dir: bool) -> None:
         """Key rewrite in ONE transaction — the container's native
@@ -268,10 +278,23 @@ class _Container:
         self._invalidate(dst)
         for d in (src, dst):
             shutil.rmtree(os.path.join(self.cache_dir, d), ignore_errors=True)
+            self._forget_subtree(d)
+
+    def _forget_subtree(self, prefix: str) -> None:
+        """Drop ledger/armed state under ``prefix`` — the cache copies
+        are gone because WE removed them, which must never read as a
+        JVM deletion in the next reconcile sweep."""
+        for k in [k for k in self._extracted
+                  if k == prefix or k.startswith(prefix + "/")]:
+            self._extracted.pop(k, None)
+        for k in [k for k in self._armed
+                  if k == prefix or k.startswith(prefix + "/")]:
+            self._armed.discard(k)
 
     # ------------------------------------------------------ shadow planes
 
     def _invalidate(self, key: str) -> None:
+        self._extracted.pop(key, None)
         p = os.path.join(self.cache_dir, key)
         if os.path.isfile(p):
             os.unlink(p)
@@ -287,6 +310,7 @@ class _Container:
         if os.path.isfile(p):
             s = os.stat(p)
             if s.st_size == size and abs(s.st_mtime - mtime) < 1e-3:
+                self._extracted[key] = (size, mtime)
                 return p
         # a parent component may be cached as a FILE (keys 'a' and 'a/b'
         # can coexist in the container but not on a posix cache)
@@ -310,6 +334,7 @@ class _Container:
                 remaining -= len(buf)
         os.utime(tmp, (mtime, mtime))
         os.replace(tmp, p)
+        self._extracted[key] = (size, mtime)
         return p
 
     def cache_tree(self, prefix: str) -> str:
@@ -327,11 +352,65 @@ class _Container:
         os.makedirs(os.path.dirname(p) or self.stage_dir, exist_ok=True)
         return p
 
+    def reconcile(self, prefix: str) -> None:
+        """Fold JVM writes that landed on the EXTRACTION cache back into
+        the container. ``spark_path`` hands the cache path out for keys
+        that already exist, so an overwrite-shaped JVM write (a
+        re-export, an in-place ``mode("overwrite")``) mutates cache
+        files rather than staging ones. Every such handout arms one
+        sweep: files that differ from their extraction ledger entry are
+        ingested; ledger entries whose file vanished were deleted by
+        the JVM (overwrite clears the target first) and are deleted
+        from the container too."""
+        root = os.path.join(self.cache_dir, prefix) if prefix else self.cache_dir
+        seen: set[str] = set()
+        if os.path.isdir(root):
+            for dirpath, dirs, files in os.walk(root):
+                if "_temporary" in dirs:
+                    dirs.remove("_temporary")
+                for f in files:
+                    if f.startswith("."):
+                        continue
+                    local = os.path.join(dirpath, f)
+                    key = os.path.relpath(local, self.cache_dir).replace(os.sep, "/")
+                    seen.add(key)
+                    st = os.stat(local)
+                    rec = self._extracted.get(key)
+                    if rec and rec[0] == st.st_size and abs(rec[1] - st.st_mtime) < 1e-3:
+                        continue  # untouched read cache
+                    # ingest; write_from_file invalidates the cache copy,
+                    # so the next read re-extracts the fresh object
+                    self.write_from_file(key, local)
+        elif os.path.isfile(root) and prefix:
+            st = os.stat(root)
+            rec = self._extracted.get(prefix)
+            seen.add(prefix)
+            if not (rec and rec[0] == st.st_size
+                    and abs(rec[1] - st.st_mtime) < 1e-3):
+                self.write_from_file(prefix, root)
+        # deletion pass: extracted-then-vanished files under the prefix
+        for key in [k for k in self._extracted
+                    if (not prefix or k == prefix or k.startswith(prefix + "/"))
+                    and k not in seen]:
+            if not os.path.exists(os.path.join(self.cache_dir, key)):
+                self._extracted.pop(key, None)
+                if self.stat(key) is not None:
+                    self.delete(key)
+
+    def _reconcile_armed(self, op_key: str) -> None:
+        for armed in list(self._armed):
+            if (not op_key or not armed or armed == op_key
+                    or armed.startswith(op_key + "/")
+                    or op_key.startswith(armed + "/")):
+                self._armed.discard(armed)
+                self.reconcile(armed)
+
     def absorb(self, key_prefix: str) -> None:
         """Pull any finished Spark-written shadow files under
         ``key_prefix`` into the container, then drop the shadow copies.
         Called before every metadata-plane op, so a facade caller never
         observes the staging window."""
+        self._reconcile_armed(key_prefix)
         root = os.path.join(self.stage_dir, key_prefix) if key_prefix else self.stage_dir
         if not os.path.isdir(root):
             if os.path.isfile(root):
@@ -592,9 +671,13 @@ class ContainerFS:
     def spark_path(self, uri: str) -> str:
         cont, key = self._ck(uri)
         if cont.stat(key) is not None:
-            return cont.cache_path(key)
+            p = cont.cache_path(key)
+            cont._armed.add(key)  # a JVM overwrite here must ingest back
+            return p
         if cont.has_prefix(key):
-            return cont.cache_tree(key)
+            p = cont.cache_tree(key)
+            cont._armed.add(key)
+            return p
         # a write target: hand Spark a staging shadow; the next facade
         # op on this subtree absorbs the finished files
         return cont.stage_path(key)

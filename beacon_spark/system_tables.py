@@ -97,6 +97,10 @@ class QueryMetricsStore:
         self.engine = engine
         self._tail: list[dict] = []
         self._lock = threading.Lock()
+        # serializes the manifest read-modify-write: two request threads
+        # flushing together must not both extend the SAME base manifest
+        # (one part file would fall out of history)
+        self._flush_lock = threading.Lock()
         self._first_ts: float | None = None
 
     # ------------------------------------------------------------ paths
@@ -148,6 +152,10 @@ class QueryMetricsStore:
     def flush(self) -> None:
         """Persist the tail as ONE parquet object via pyarrow — a driver-
         side write, never a Spark job (see module docstring)."""
+        with self._flush_lock:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
         with self._lock:
             tail, self._tail = self._tail, []
             self._first_ts = None
@@ -179,10 +187,9 @@ class QueryMetricsStore:
             bs.upload_file(tmp, bs.join(mt.path, name))
         finally:
             os.unlink(tmp)
-        try:
-            files = mt._read_manifest()["files"]
-        except Exception:
-            files = []
+        # explicit no-manifest check — a TRANSIENT manifest read failure
+        # must surface, not silently reset the table to one part file
+        files = mt._read_manifest()["files"] if mt._manifests() else []
         mt._write_manifest(QUERY_METRICS_SCHEMA, files + [name])
 
     # ------------------------------------------------------------ read

@@ -333,3 +333,29 @@ def test_cors_headers_and_preflight(spark, tmp_path):
                 r.headers["Access-Control-Allow-Headers"]
     finally:
         hs.shutdown()
+
+
+def test_truncated_upload_never_publishes(admin_http):
+    """Review fix: a body shorter than Content-Length (dropped client,
+    truncating proxy) must be a 4xx with NOTHING at the destination —
+    the files.rs no-fragment contract."""
+    import http.client
+    from urllib.parse import urlparse
+
+    _eng, base, root = admin_http
+    u = urlparse(base)
+    conn = http.client.HTTPConnection(u.hostname, u.port)
+    try:
+        conn.putrequest("POST", "/api/admin/datasets/upload?path=trunc/f.bin")
+        conn.putheader("Content-Type", "application/octet-stream")
+        conn.putheader("Content-Length", "1000000")
+        conn.endheaders()
+        conn.send(b"z" * 1000)  # 1 KB of the promised 1 MB, then drop
+        conn.close()
+    except OSError:
+        pass
+    # the server must not have published a fragment
+    import time as _t
+
+    _t.sleep(0.5)
+    assert not (root / "trunc" / "f.bin").exists()

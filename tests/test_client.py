@@ -198,3 +198,19 @@ def test_auth_sessions(spark, tmp_path):
 def test_context_manager(spark, tmp_path):
     with beacondb.connect(str(tmp_path / "cm"), spark=spark) as con:
         assert con.sql("SELECT 42 AS x").fetchone() == (42,)
+
+
+def test_json_query_respects_read_only(spark, tmp_path):
+    """Review fix: an embedded {"sql": ...} spec must not smuggle
+    DDL/DML past a read-only connection."""
+    import beacon_spark.client as beacondb
+
+    admin = beacondb.connect(str(tmp_path), spark=spark)
+    admin.sql("CREATE TABLE priv AS SELECT 1 AS a")
+    ro = beacondb.connect(str(tmp_path), spark=spark, read_only=True)
+    with pytest.raises(beacondb.NotPermittedError):
+        ro.json_query({"sql": "DROP TABLE priv"})
+    # reads still fine
+    assert ro.json_query({"sql": "SELECT * FROM priv"}).arrow().num_rows == 1
+    assert admin.sql("SELECT count(*) AS n FROM priv").fetchall() == [(1,)]
+    ro.close(); admin.close()

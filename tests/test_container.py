@@ -234,3 +234,38 @@ def test_client_memory_mode_untouched(spark):
     conn.sql("CREATE TABLE m AS SELECT 1 AS a")
     assert int(conn.sql("SELECT * FROM m").arrow()["a"][0].as_py()) == 1
     conn.close()
+
+
+def test_jvm_overwrite_of_existing_paths_ingests_back(root, tmp_path):
+    """The overwrite hole: spark_path hands out the extraction cache for
+    EXISTING keys, so an overwrite-shaped JVM write must be ingested
+    back (armed reconcile), including deletions (overwrite clears the
+    target dir first)."""
+    bs.write_bytes(f"{root}/exp/part-a.bin", b"old-a")
+    bs.write_bytes(f"{root}/exp/part-b.bin", b"old-b")
+
+    # simulate: JVM gets the dir, deletes old files, writes new ones
+    d = bs.spark_path(f"{root}/exp")
+    os.unlink(os.path.join(d, "part-a.bin"))
+    os.unlink(os.path.join(d, "part-b.bin"))
+    with open(os.path.join(d, "part-c.bin"), "wb") as f:
+        f.write(b"new-c")
+
+    # the next facade op reconciles: c ingested, a/b deleted
+    assert bs.listdir(f"{root}/exp") == ["part-c.bin"]
+    assert bs.read_bytes(f"{root}/exp/part-c.bin") == b"new-c"
+    assert not bs.exists(f"{root}/exp/part-a.bin")
+
+    # single-file overwrite: re-export to the same key
+    bs.write_bytes(f"{root}/one.bin", b"v1")
+    p = bs.spark_path(f"{root}/one.bin")
+    with open(p, "wb") as f:
+        f.write(b"v2-longer")
+    assert bs.read_bytes(f"{root}/one.bin") == b"v2-longer"
+
+    # a pure READ handout must not churn the container: hand out, touch
+    # nothing, next op leaves bytes identical
+    p2 = bs.spark_path(f"{root}/one.bin")
+    before = bs.mtime(f"{root}/one.bin")
+    assert bs.read_bytes(f"{root}/one.bin") == b"v2-longer"
+    assert bs.mtime(f"{root}/one.bin") == before

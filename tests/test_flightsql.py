@@ -225,3 +225,43 @@ def test_prepared_statement_parameter_bind(fsql_server):
         writer.done_writing()
         meta_reader.read()
         writer.close()
+
+
+def test_prepared_handles_are_per_create(fsql_server):
+    """Review fix: two clients preparing the SAME sql must get distinct
+    handles — handles carry mutable bound-parameter state, so a
+    deterministic sha256(sql) handle would cross-contaminate them."""
+    _eng, client = fsql_server
+    sql = "SELECT count(*) AS n FROM fsq WHERE g = $1 AND id < $2"
+    handles = []
+    for _ in range(2):
+        body = encode_any(
+            "ActionCreatePreparedStatementRequest", encode_string_msg(1, sql)
+        )
+        res = list(client.do_action(fl.Action("CreatePreparedStatement", body)))
+        fields = decode_fields(decode_any(res[0].body.to_pybytes())[1])
+        handles.append(bytes(fields[1][0]))
+    h_a, h_b = handles
+    assert h_a != h_b
+
+    def bind(handle, g, lim):
+        desc = _cmd_descriptor(
+            "CommandPreparedStatementQuery",
+            b"\x0a" + bytes([len(handle)]) + handle,
+        )
+        batch = pa.record_batch([pa.array([g]), pa.array([lim])],
+                                names=["p1", "p2"])
+        writer, meta_reader = client.do_put(desc, batch.schema)
+        writer.write_batch(batch)
+        writer.done_writing()
+        meta_reader.read()
+        writer.close()
+        return desc
+
+    desc_a = bind(h_a, 1, 10)
+    bind(h_b, 0, 30)  # client B's binding must not clobber A's
+    info = client.get_flight_info(desc_a)
+    t = client.do_get(info.endpoints[0].ticket).read_all()
+    assert t.column("n").to_pylist() == [
+        sum(1 for i in range(30) if i % 3 == 1 and i < 10)
+    ]

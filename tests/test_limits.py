@@ -327,3 +327,19 @@ def test_collect_rows_enforces_byte_cap(spark):
         lim.collect_rows(df)
     # under the cap passes
     assert len(QueryLimits(max_bytes=None).collect_rows(df.limit(3))) == 3
+
+
+def test_collect_rows_byte_cap_counts_nested_payloads(spark):
+    """Review fix: array<string>/struct payloads must count against the
+    byte cap — the wide strings often hide below the top level."""
+    import pytest as _pytest
+
+    from beacon_spark.server.limits import QueryLimits, ResourceLimitExceeded
+
+    df = spark.range(50).selectExpr("array(repeat('x', 100000)) AS a")
+    with _pytest.raises(ResourceLimitExceeded, match="byte limit"):
+        QueryLimits(max_rows=None, max_bytes=100_000).collect_rows(df)
+    df2 = spark.range(50).selectExpr(
+        "named_struct('s', repeat('y', 100000)) AS st")
+    with _pytest.raises(ResourceLimitExceeded, match="byte limit"):
+        QueryLimits(max_rows=None, max_bytes=100_000).collect_rows(df2)

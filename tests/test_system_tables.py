@@ -132,3 +132,36 @@ def test_http_metrics_fallback_reads_persisted(spark, tmp_path):
         assert body["query_id"] == "old-query" and body["query"] == "SELECT 42"
     finally:
         srv.shutdown()
+
+
+def test_internal_temp_views_not_readable_by_non_super(eng):
+    """Review fix: after a super-user touches system tables, the
+    backing __beacon_system_* temp views must not be readable by name
+    from a non-super user (unconditional gate, like the schemas)."""
+    from beacon_spark.auth import AuthError
+
+    eng.sql("CREATE USER eve WITH PASSWORD 'pw'")
+    eng.sql("SELECT * FROM beacon.system.users").collect()  # view now exists
+    with pytest.raises(AuthError, match="__beacon"):
+        eng.sql("SELECT * FROM __beacon_system_users", user="eve")
+    # and through the DSL from-spec
+    with pytest.raises(AuthError, match="__beacon"):
+        eng.query({"select": ["username"], "from": "__beacon_system_users"},
+                  user="eve")
+
+
+def test_time_travel_views_carry_base_table_grants(eng):
+    """Review fix: <table>__v<n> snapshot views are reads of the base
+    table — a DENY on the base blocks every pinned version."""
+    from beacon_spark.auth import AuthError
+
+    eng.sql("CREATE TABLE sec AS SELECT 1 AS a")
+    eng.sql("SELECT * FROM sec VERSION AS OF 1").collect()  # view sec__v1
+    eng.sql("CREATE USER frank WITH PASSWORD 'pw'")
+    eng.sql("CREATE ROLE fr")
+    eng.sql("GRANT SELECT ON ALL TO ROLE fr")
+    eng.sql("DENY SELECT ON TABLE sec TO ROLE fr")
+    eng.sql("GRANT ROLE fr TO USER frank")
+    eng.sql("SET AUTH ENFORCEMENT ON")
+    with pytest.raises(AuthError, match="permission denied"):
+        eng.sql("SELECT * FROM sec__v1", user="frank")
