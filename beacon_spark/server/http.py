@@ -527,7 +527,14 @@ class BeaconHttpServer:
                 rows = 0
                 import itertools as _it
 
-                with pa.ipc.new_stream(sink, schema) as w:
+                # the reference's default response is a ZSTD-compressed
+                # Arrow IPC stream (query.rs:23,36 — IPC-level buffer
+                # compression, transparent to any Arrow reader)
+                try:
+                    opts = pa.ipc.IpcWriteOptions(compression="zstd")
+                except Exception:  # codec not built into this pyarrow
+                    opts = pa.ipc.IpcWriteOptions()
+                with pa.ipc.new_stream(sink, schema, options=opts) as w:
                     for batch in _it.chain(
                         [first] if first is not None else [], batches
                     ):
