@@ -304,6 +304,9 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
     ("drop_table", re.compile(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
     ("vacuum", re.compile(
         r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?;?\s*$", re.IGNORECASE)),
+    ("optimize", re.compile(
+        r"^\s*OPTIMIZE\s+(\w+)(?:\s+TARGET\s+SIZE\s+(\d+))?;?\s*$",
+        re.IGNORECASE)),
     ("insert_into", re.compile(
         r"^\s*INSERT\s+INTO\s+(\w+)\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL)),
     ("delete_from", re.compile(
@@ -1430,6 +1433,19 @@ class Engine:
             return self._status(
                 status="ok", op="vacuum", name=name,
                 manifests_removed=str(n_manifests), files_removed=str(n_files),
+            )
+        if kind == "optimize":
+            # OPTIMIZE t [TARGET SIZE <bytes>] — fold the small-file
+            # tail (streaming micro-batches, tiny INSERTs) into
+            # target-sized files; COW, so time travel still crosses the
+            # compaction boundary and VACUUM reclaims the old files
+            name = m.group(1)
+            target = int(m.group(2)) if m.group(2) else 128 << 20
+            before, after = cat.table(name).compact(target)
+            self.spark.catalog.dropTempView(name)  # re-register next use
+            return self._status(
+                status="ok", op="optimize", name=name,
+                files_before=str(before), files_after=str(after),
             )
         if kind == "insert_into":
             name, rest = m.group(1), m.group(2).strip()

@@ -522,6 +522,42 @@ class ManagedTable:
             if bs.basename(f) in keep or bs.basename(f) not in indexed
         ]
 
+    def compact(self, target_file_bytes: int = 128 << 20,
+                small_ratio: float = 0.5) -> tuple[int, int]:
+        """``OPTIMIZE``: fold the small-file tail into target-sized
+        files. Streaming ingestion (CREATE STREAM) and frequent small
+        INSERTs land one parquet file per micro-batch; at scale the
+        table degrades into thousands of tiny files whose open/footer
+        cost dominates the scan. Compaction is INCREMENTAL: only files
+        under ``small_ratio * target_file_bytes`` are rewritten (one
+        coalesced write sized by their total bytes); files already near
+        target size are carried into the new manifest untouched, so the
+        rewrite cost is proportional to the small tail, not the table.
+
+        COW contract: prior manifests keep referencing the original
+        files, so time travel across the compaction boundary still
+        works; VACUUM reclaims the superseded small files later.
+        Returns (files_before, files_after)."""
+        manifest = self._read_manifest()
+        rels = manifest["files"]
+        threshold = int(target_file_bytes * small_ratio)
+        small, keep = [], []
+        for rel in rels:
+            p = bs.join(self.path, rel)
+            (small if bs.size(p) < threshold else keep).append(rel)
+        if len(small) <= 1:
+            return len(rels), len(rels)
+        total = sum(bs.size(bs.join(self.path, rel)) for rel in small)
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        df = self.spark.read.parquet(
+            *bs.spark_paths([bs.join(self.path, rel) for rel in small])
+        ).coalesce(n_out)
+        new = self._write_data(df)
+        self._write_manifest(
+            T.StructType.fromJson(manifest["schema"]), keep + new
+        )
+        return len(rels), len(keep) + len(new)
+
     def vacuum(self, retain_versions: int = 1) -> tuple[int, int]:
         """Reclaim storage: drop manifests older than the newest
         ``retain_versions`` and delete data files no surviving version

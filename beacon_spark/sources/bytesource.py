@@ -317,6 +317,9 @@ class _LocalFS:
     def mtime(self, path: str) -> float:
         return os.path.getmtime(local_path(path))
 
+    def size(self, path: str) -> int:
+        return os.path.getsize(local_path(path))
+
     def open_output(self, path: str):
         return open(local_path(path), "wb")
 
@@ -470,6 +473,9 @@ class _ArrowFS:
         info = self._info(path)
         return info.mtime.timestamp() if info.mtime is not None else 0.0
 
+    def size(self, path: str) -> int:
+        return self._info(path).size
+
     def open_output(self, path: str):
         return self.fs.open_output_stream(self._p(path))
 
@@ -616,6 +622,14 @@ def move(src: str, dst: str) -> None:
 
 def mtime(path: str) -> float:
     return fs_for(path).mtime(path)
+
+
+def size(path: str) -> int:
+    """Object size in bytes (falls back to an open when the store's
+    facade predates the helper)."""
+    fs = fs_for(path)
+    f = getattr(fs, "size", None)
+    return f(path) if f is not None else len(fs.open_buffer(path))
 
 
 def upload_file(local: str, dst: str, chunk: int = 1 << 20) -> None:

@@ -589,6 +589,13 @@ class ContainerFS:
         ]
         return sorted(out)
 
+    def size(self, uri: str) -> int:
+        cont, key = self._ck(uri)
+        st = cont.stat(key)
+        if st is None:
+            raise FileNotFoundError(uri)
+        return st[1]
+
     def mtime(self, uri: str) -> float:
         cont, key = self._ck(uri)
         st = cont.stat(key)

@@ -636,3 +636,40 @@ def test_sql_timestamp_as_of(spark, tmp_path):
 
     with _pytest.raises(Exception, match="no version"):
         eng.sql("SELECT * FROM ts TIMESTAMP AS OF '1990-01-01T00:00:00+00:00'")
+
+
+def test_optimize_compacts_small_file_tail(spark, tmp_path):
+    """OPTIMIZE folds the small-file tail (streaming micro-batches,
+    tiny INSERTs) into target-sized files — incremental, COW-safe."""
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE tl AS SELECT id, id % 5 AS g FROM range(100)")
+    for i in range(5):  # five micro-batch-ish inserts → five+ files
+        eng.sql(f"INSERT INTO tl SELECT {1000 + i} AS id, 9 AS g")
+    mt = eng.catalog.table("tl")
+    files_before = len(mt.files())
+    assert files_before >= 6
+    v_before = mt.current_version()
+
+    row = eng.sql("OPTIMIZE tl").collect()[0]
+    assert row.op == "optimize"
+    assert int(row.files_after) < int(row.files_before) == files_before
+    assert len(mt.files()) == int(row.files_after)
+
+    # data identical, and time travel still crosses the boundary
+    assert eng.sql("SELECT count(*) AS n FROM tl").collect()[0].n == 105
+    assert sorted(
+        r.id for r in eng.sql("SELECT id FROM tl WHERE g = 9").collect()
+    ) == [1000, 1001, 1002, 1003, 1004]
+    assert mt.read(version=v_before).count() == 105
+    assert mt.read(version=1).count() == 100
+
+    # a second OPTIMIZE is a no-op (nothing small left to fold)
+    row2 = eng.sql("OPTIMIZE tl").collect()[0]
+    assert row2.files_before == row2.files_after
+
+    # VACUUM reclaims the superseded small files
+    eng.sql("VACUUM tl")
+    assert len(mt.files()) == int(row.files_after)
+    assert eng.sql("SELECT count(*) AS n FROM tl").collect()[0].n == 105
