@@ -231,14 +231,24 @@ class ManagedTable:
         files = self._write_data(clustered)
         return self._write_manifest(schema, files)
 
+    def _read_files(self, paths: list[str], schema: T.StructType) -> DataFrame:
+        """Scan manifest data files WITH the manifest schema pinned.
+        Schema evolution is metadata-only (alter_add_column), so a
+        version's file set can mix pre- and post-ALTER schemas; a bare
+        ``spark.read.parquet`` infers from ONE footer, and when that
+        footer predates the ALTER the newer files' column values are
+        silently pruned to null. Passing the schema makes the reader
+        clip per file: present columns read, absent ones null-fill."""
+        df = self.spark.read.schema(schema).parquet(*bs.spark_paths(paths))
+        return align_to_schema(df, schema)
+
     def read(self, version: int | None = None) -> DataFrame:
         m = self._read_manifest(version)
         schema = T.StructType.fromJson(m["schema"])
         paths = [bs.join(self.path, f) for f in m["files"]]
         if not paths:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(*bs.spark_paths(paths))
-        return align_to_schema(df, schema)
+        return self._read_files(paths, schema)
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace contents with a new version; prior versions stay readable
@@ -266,8 +276,7 @@ class ManagedTable:
         m = self._read_manifest()
         touched, clean = [], []
         for rel in m["files"]:
-            p = bs.spark_path(bs.join(self.path, rel))
-            df = align_to_schema(self.spark.read.parquet(p), schema)
+            df = self._read_files([bs.join(self.path, rel)], schema)
             hit = df.filter(F.expr(predicate)).limit(1).count()
             (touched if hit else clean).append(rel)
         return touched, clean
@@ -279,11 +288,8 @@ class ManagedTable:
         touched, clean = self._split_files(predicate, schema)
         new_files = list(clean)
         if touched:
-            survivors = align_to_schema(
-                self.spark.read.parquet(
-                    *bs.spark_paths([bs.join(self.path, f) for f in touched])
-                ),
-                schema,
+            survivors = self._read_files(
+                [bs.join(self.path, f) for f in touched], schema
             ).filter(~F.expr(predicate))
             new_files += self._write_data(survivors)
         return self._write_manifest(schema, new_files)
@@ -295,11 +301,8 @@ class ManagedTable:
         touched, clean = self._split_files(predicate, schema)
         new_files = list(clean)
         if touched:
-            df = align_to_schema(
-                self.spark.read.parquet(
-                    *bs.spark_paths([bs.join(self.path, f) for f in touched])
-                ),
-                schema,
+            df = self._read_files(
+                [bs.join(self.path, f) for f in touched], schema
             )
             cond = F.expr(predicate)
             cols = []
@@ -549,8 +552,9 @@ class ManagedTable:
             return len(rels), len(rels)
         total = sum(bs.size(bs.join(self.path, rel)) for rel in small)
         n_out = max(1, -(-total // target_file_bytes))  # ceil
-        df = self.spark.read.parquet(
-            *bs.spark_paths([bs.join(self.path, rel) for rel in small])
+        df = self._read_files(
+            [bs.join(self.path, rel) for rel in small],
+            T.StructType.fromJson(manifest["schema"]),
         ).coalesce(n_out)
         new = self._write_data(df)
         self._write_manifest(

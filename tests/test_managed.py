@@ -673,3 +673,30 @@ def test_optimize_compacts_small_file_tail(spark, tmp_path):
     eng.sql("VACUUM tl")
     assert len(mt.files()) == int(row.files_after)
     assert eng.sql("SELECT count(*) AS n FROM tl").collect()[0].n == 105
+
+
+def test_schema_evolution_reads_keep_new_column_values(spark, tmp_path):
+    """Regression: with mixed pre-/post-ALTER files, a bare
+    spark.read.parquet infers from ONE footer — when that footer
+    predates the ALTER, newer files' column VALUES silently pruned to
+    null. All manifest readers must pin the manifest schema."""
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE ev AS SELECT id FROM range(10)")
+    eng.sql("ALTER TABLE ev ADD COLUMN note STRING")
+    eng.sql("INSERT INTO ev SELECT 100 AS id, 'hello' AS note")
+
+    def note_of_100():
+        return eng.sql("SELECT note FROM ev WHERE id = 100").collect()[0].note
+
+    assert note_of_100() == "hello"           # plain read
+    eng.sql("UPDATE ev SET note = 'x' WHERE id = 1")
+    assert note_of_100() == "hello"           # COW update untouched-file path
+    eng.sql("DELETE FROM ev WHERE id = 2")
+    assert note_of_100() == "hello"           # COW delete survivor path
+    eng.sql("OPTIMIZE ev")
+    assert note_of_100() == "hello"           # compaction path
+    # old rows null-fill, new values persist
+    got = {r.id: r.note for r in eng.sql("SELECT id, note FROM ev").collect()}
+    assert got[100] == "hello" and got[1] == "x" and got[3] is None
