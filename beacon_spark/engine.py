@@ -1997,8 +1997,14 @@ class Engine:
             return self.spark.createDataFrame([], mt.schema())
         from beacon_spark.sources import bytesource as _bs
 
+        # schema pinned: survivors can mix pre-/post-ALTER files (see
+        # ManagedTable._read_files — footer inference would null newer
+        # columns)
         return align_to_schema(
-            self.spark.read.parquet(*_bs.spark_paths(survivors)), mt.schema()
+            self.spark.read.schema(mt.schema()).parquet(
+                *_bs.spark_paths(survivors)
+            ),
+            mt.schema(),
         )
 
     def _refresh_index_stats(self, table: str) -> None:
