@@ -456,3 +456,53 @@ def test_flightsql_get_tables_include_schema_honors_rbac(spark, aeng):
         user="alice",
     )
     assert t.num_rows == 1
+
+
+def test_enforced_server_refuses_unauthenticated_or_uses_anonymous(spark, tmp_path):
+    """With grant enforcement ON, an unauthenticated request must never
+    run as the embedded super-user: it resolves to the provisioned
+    'anonymous' principal (context.rs:12 set_anonymous_user contract)
+    or is refused with a 401."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.server.http import BeaconHttpServer
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE pub AS SELECT 1 AS a")
+    eng.sql("CREATE TABLE hid AS SELECT 2 AS b")
+    eng.sql("SET AUTH ENFORCEMENT ON")
+    srv = BeaconHttpServer(eng, port=0)
+    port = srv.serve_background()
+    base = f"http://127.0.0.1:{port}"
+
+    def q(sql):
+        req = urllib.request.Request(
+            f"{base}/api/query",
+            data=_json.dumps({"sql": sql, "format": "json"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            return _json.loads(r.read())
+
+    try:
+        # no anonymous principal yet: refused outright
+        with pytest.raises(urllib.error.HTTPError) as e:
+            q("SELECT 1 AS x")
+        assert e.value.code == 401
+
+        # provision anonymous with a grant on pub only
+        eng.sql("CREATE USER anonymous WITH PASSWORD ''")
+        eng.sql("CREATE ROLE public_read")
+        eng.sql("GRANT SELECT ON TABLE pub TO ROLE public_read")
+        eng.sql("GRANT ROLE public_read TO USER anonymous")
+
+        assert q("SELECT * FROM pub") == [{"a": 1}]
+        with pytest.raises(urllib.error.HTTPError) as e:
+            q("SELECT * FROM hid")   # not granted → denied
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError):
+            q("DROP TABLE hid")      # anonymous is never super
+    finally:
+        srv.shutdown()
