@@ -272,6 +272,34 @@ def authorize(engine, statement: str, user: str | None) -> None:
         _check_path(engine, a, roles, m.group(1))
 
 
+def resolve_unauthenticated(engine) -> str | None:
+    """Identity for a credential-less call on a token-less server —
+    ONE rule for every transport (HTTP, Flight).
+
+    Enforcement off → ``None`` (the embedded super-user: open server,
+    embedded mode). Enforcement on → the provisioned ``anonymous``
+    principal (``CREATE USER anonymous`` — the reference's
+    ``set_anonymous_user`` contract, beacon-auth/context.rs:12,131-148),
+    or :class:`AuthError` when none exists. A catalog read failure also
+    raises — this gate must fail CLOSED: a transient store error while
+    enforcement is on must never escalate a stranger to embedded super.
+    """
+    if engine.catalog is None:
+        return None
+    try:
+        a = _auth(engine.catalog._load())
+    except Exception as e:  # noqa: BLE001 — any load failure = closed
+        raise AuthError(f"auth state unavailable: {e}") from e
+    if not a.get("enforce"):
+        return None
+    if "anonymous" in a["users"]:
+        return "anonymous"
+    raise AuthError(
+        "authentication required (enforcement is on and no anonymous "
+        "principal exists)"
+    )
+
+
 def require_super(engine, user: str | None, msg: str) -> None:
     """Raise unless ``user`` is the embedded caller or a super-user."""
     if user is None:
@@ -318,8 +346,15 @@ def authorize_dsl(engine, body: dict, user: str | None) -> None:
     if spec is None:
         return
     if isinstance(spec, str):
-        if not is_allowed(a, roles, "SELECT", ("table", spec)):
-            raise AuthError(f"permission denied: SELECT on table {spec!r}")
+        # a time-travel snapshot view (<t>__v<n> of a real catalog
+        # table) is a read of its base table — grants and DENYs on the
+        # base apply, same rule as the SQL path
+        target = spec
+        base = re.fullmatch(r"(\w+)__v\d+", spec)
+        if base and base.group(1) in cat.get("tables", {}):
+            target = base.group(1)
+        if not is_allowed(a, roles, "SELECT", ("table", target)):
+            raise AuthError(f"permission denied: SELECT on table {target!r}")
         return
     if isinstance(spec, dict):
         ((_fmt, cfg),) = spec.items()

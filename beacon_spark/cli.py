@@ -295,9 +295,13 @@ def repl(client: BeaconCliClient, out=None) -> None:
                 elif dot == ".help":
                     print(DOT_HELP, file=out)
                 elif dot == ".tables":
-                    cmd_tables(client, None)
+                    for t in client.tables():
+                        print(t if isinstance(t, str) else json.dumps(t),
+                              file=out)
                 elif dot == ".datasets":
-                    cmd_datasets(client, None)
+                    for d in client.datasets():
+                        print(d if isinstance(d, str) else json.dumps(d),
+                              file=out)
                 elif dot == ".schema" and arg:
                     print(json.dumps(client.table_schema(arg), indent=1),
                           file=out)

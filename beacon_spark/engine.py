@@ -1443,6 +1443,11 @@ class Engine:
             target = int(m.group(2)) if m.group(2) else 128 << 20
             before, after = cat.table(name).compact(target)
             self.spark.catalog.dropTempView(name)  # re-register next use
+            # postings/stats reference file NAMES and inverted/bitmap
+            # pruning is fail-closed — compacted files with no postings
+            # would be falsely pruned (rows silently missing) without
+            # the same refresh every other DML statement does
+            self._refresh_index_stats(name)
             return self._status(
                 status="ok", op="optimize", name=name,
                 files_before=str(before), files_after=str(after),

@@ -78,26 +78,16 @@ class _BearerAuth(fl.ServerMiddlewareFactory):
                 return _Identity(user)
             raise fl.FlightUnauthenticatedError("bad basic credentials")
         if self._want is None:
-            # open server: embedded super ONLY while enforcement is off;
-            # with it on, resolve to the provisioned anonymous principal
-            # or refuse (beacon-auth/context.rs:12,131-148 — same
-            # contract as the HTTP transport)
+            # no credentials on a token-less server: the ONE shared
+            # fail-closed rule (auth.resolve_unauthenticated — embedded
+            # super only while enforcement is off, anonymous principal
+            # or refusal otherwise)
             from beacon_spark import auth as _auth
 
-            cat = self._engine.catalog
             try:
-                enforced = bool(cat and cat._load().get("auth", {}).get("enforce"))
-            except Exception:
-                enforced = False
-            if enforced:
-                a = _auth._auth(cat._load())
-                if "anonymous" in a["users"]:
-                    return _Identity("anonymous")
-                raise fl.FlightUnauthenticatedError(
-                    "authentication required (enforcement is on and no "
-                    "anonymous principal exists)"
-                )
-            return _Identity(None)  # open server: embedded super
+                return _Identity(_auth.resolve_unauthenticated(self._engine))
+            except _auth.AuthError as e:
+                raise fl.FlightUnauthenticatedError(str(e)) from e
         raise fl.FlightUnauthenticatedError("bad or missing bearer token")
 
 

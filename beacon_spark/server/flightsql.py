@@ -403,6 +403,14 @@ class FlightSqlHandler:
 
             handle = _uuid.uuid4().bytes
             self._prepared[handle] = sql
+            # per-create handles no longer dedupe, so clients that die
+            # without ClosePreparedStatement would grow the dict without
+            # bound — evict oldest past a generous cap (dict = insertion
+            # order)
+            while len(self._prepared) > 1024:
+                old = next(iter(self._prepared))
+                self._prepared.pop(old, None)
+                self._bound.pop(old, None)
             from beacon_spark.server.guard import is_readonly_sql
 
             dataset_schema = b""

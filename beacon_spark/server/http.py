@@ -176,24 +176,17 @@ class BeaconHttpServer:
                     self._deny(401, "bad basic credentials")
                     return False
                 if outer._token is None:
-                    # no credentials: embedded-open ONLY while grant
-                    # enforcement is off. With enforcement on, the
-                    # request resolves to the ANONYMOUS principal when
-                    # one is provisioned (CREATE USER anonymous — the
-                    # reference's set_anonymous_user contract,
-                    # beacon-auth/context.rs:12,131-148) and is refused
-                    # otherwise; it must never run as the embedded
-                    # super-user.
-                    if outer._enforced():
-                        from beacon_spark import auth as _auth
+                    # no credentials on a token-less server: ONE shared
+                    # fail-closed rule (auth.resolve_unauthenticated) —
+                    # embedded super only while enforcement is off, the
+                    # anonymous principal or a 401 otherwise
+                    from beacon_spark import auth as _auth
 
-                        a = _auth._auth(outer.engine.catalog._load())
-                        if "anonymous" in a["users"]:
-                            self._ident = "anonymous"
-                            return True
-                        self._deny(401, "authentication required "
-                                        "(enforcement is on and no "
-                                        "anonymous principal exists)")
+                    try:
+                        self._ident = _auth.resolve_unauthenticated(
+                            outer.engine)
+                    except _auth.AuthError as e:
+                        self._deny(401, str(e))
                         return False
                     return True
                 self._deny(401, "bad or missing bearer token")
@@ -946,17 +939,6 @@ class BeaconHttpServer:
             "jsonrpc": "2.0", "id": mid,
             "error": {"code": -32601, "message": f"unknown method {method!r}"},
         }
-
-    def _enforced(self) -> bool:
-        """Whether the engine's RBAC grant enforcement is on."""
-        if self.engine.catalog is None:
-            return False
-        try:
-            return bool(
-                self.engine.catalog._load().get("auth", {}).get("enforce")
-            )
-        except Exception:
-            return False
 
     def _allow_origin(self, origin: str | None) -> str | None:
         """The Access-Control-Allow-Origin value for a request, or None

@@ -156,9 +156,12 @@ class QueryMetricsStore:
             self._flush_locked()
 
     def _flush_locked(self) -> None:
+        # snapshot WITHOUT popping: any failure below (manifest read,
+        # upload, manifest write) leaves the rows buffered for the next
+        # attempt instead of losing them; the flushed prefix is removed
+        # only after the new manifest is committed
         with self._lock:
-            tail, self._tail = self._tail, []
-            self._first_ts = None
+            tail = list(self._tail)
         if not tail:
             return
         import pyarrow as pa
@@ -178,6 +181,11 @@ class QueryMetricsStore:
         table = pa.table(cols, schema=schema)
 
         mt = self._table()
+        # explicit no-manifest check — a TRANSIENT manifest read failure
+        # must surface (leaving the tail buffered), not silently reset
+        # the table to one part file; read BEFORE uploading so a failure
+        # here costs nothing
+        files = mt._read_manifest()["files"] if mt._manifests() else []
         fd, tmp = tempfile.mkstemp(suffix=".parquet")
         os.close(fd)
         try:
@@ -187,10 +195,13 @@ class QueryMetricsStore:
             bs.upload_file(tmp, bs.join(mt.path, name))
         finally:
             os.unlink(tmp)
-        # explicit no-manifest check — a TRANSIENT manifest read failure
-        # must surface, not silently reset the table to one part file
-        files = mt._read_manifest()["files"] if mt._manifests() else []
         mt._write_manifest(QUERY_METRICS_SCHEMA, files + [name])
+        # committed: drop exactly the flushed prefix (appends land at
+        # the end, so rows recorded mid-flush stay for the next one)
+        with self._lock:
+            del self._tail[: len(tail)]
+            if not self._tail:
+                self._first_ts = None
 
     # ------------------------------------------------------------ read
 

@@ -700,3 +700,30 @@ def test_schema_evolution_reads_keep_new_column_values(spark, tmp_path):
     # old rows null-fill, new values persist
     got = {r.id: r.note for r in eng.sql("SELECT id, note FROM ev").collect()}
     assert got[100] == "hello" and got[1] == "x" and got[3] is None
+
+
+def test_optimize_refreshes_posting_indexes(spark, tmp_path):
+    """Regression: inverted/bitmap pruning is fail-closed on file
+    names, so OPTIMIZE must refresh postings like every other DML —
+    otherwise compacted files have no postings and their rows silently
+    vanish from indexed queries."""
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE oidx AS SELECT id, 'plain filler' AS body "
+            "FROM range(50)")
+    for i in range(4):  # small-file tail carrying the needle rows
+        eng.sql(f"INSERT INTO oidx SELECT {100 + i} AS id, "
+                f"'rare zyzzyva mention {i}' AS body")
+    eng.sql("CREATE INDEX ob ON oidx (body) USING inverted")
+
+    def hits():
+        return eng.query({
+            "select": ["id"], "from": "oidx",
+            "filter": {"column": "body", "contains": "zyzzyva"},
+        }).count()
+
+    assert hits() == 4
+    row = eng.sql("OPTIMIZE oidx").collect()[0]
+    assert int(row.files_after) < int(row.files_before)
+    assert hits() == 4  # compacted files must still be posting-visible
