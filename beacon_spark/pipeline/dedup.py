@@ -704,3 +704,173 @@ def duplicate_spans(
             "total_spans",
         )
     )
+
+
+# ------------------------------------------------- incremental dedup
+
+def _fingerprint_frame(
+    df: DataFrame, text_col: str, id_col: str,
+    num_perm: int, bands: int, shingle_n: int, seed: int,
+) -> DataFrame:
+    """(__id, __hs, __bsig) fingerprints — the SAME signature/band-key
+    arithmetic as minhash_lsh_pairs (pinned by a cross-check test), as
+    a reusable frame for the persisted-index workflow. minhash_lsh_pairs
+    keeps its own inline fused form deliberately: its two-cache layout
+    (hashes reused by verify) is tuned for the self-join benchmark."""
+    rows_per_band = num_perm // bands
+    params = _hash_params(num_perm, seed)
+    a_arr = ", ".join(f"{a}L" for a, _ in params)
+    b_arr = ", ".join(f"{b}L" for _, b in params)
+    bands_expr = (
+        f"transform(array(transform(__hs, h -> pmod(h, {_MERSENNE}L))), hm -> "
+        f"transform(array(zip_with(array({a_arr}), array({b_arr}), (a, b) -> "
+        f"aggregate(hm, {_MERSENNE}L, (acc, h) -> least(acc, pmod(h * a + b, {_MERSENNE}L))))), "
+        f"sg -> transform(sequence(0, {bands - 1}), "
+        f"b -> xxhash64(b, slice(sg, b * {rows_per_band} + 1, {rows_per_band}))))[0])[0]"
+    )
+    return (
+        _ensure_parallelism(_min_words_filter(df, text_col, shingle_n))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.expr(
+                f"transform({_shingles_sql(text_col, shingle_n)}, s -> xxhash64(s))"
+            ).alias("__hs"),
+        )
+        .withColumn("__bsig", F.explode(F.expr(bands_expr)))
+    )
+
+
+#: fingerprint-index band files are laid out in this many hash buckets
+INDEX_BUCKETS = 64
+
+
+def fingerprint_index_build(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a corpus's LSH fingerprint index for INCREMENTAL dedup.
+
+    The 100 TB workflow: a historical corpus is fingerprinted ONCE;
+    each new crawl batch dedups against the index without ever
+    re-reading corpus text. Layout under ``path``:
+
+      bands/  (__bucket=<n>/…)  (__bsig long, __id)  — band keys,
+              hash-bucketed by ``pmod(__bsig, INDEX_BUCKETS)`` so a
+              small probe's partition filter prunes whole directories
+      hashes/ (__id, __hs)      — 64-bit shingle hashes per doc, read
+              only for verification of surviving candidate ids
+      meta.json                 — the fingerprint parameters; probes
+              MUST use identical ones, so they are read back rather
+              than trusted to match
+
+    ``mode="append"`` adds a batch's survivors to an existing index
+    (the post-dedup admission step)."""
+    import json as _json
+
+    from beacon_spark.sources import bytesource as bs
+
+    fp = _fingerprint_frame(df, text_col, id_col, num_perm, bands,
+                            shingle_n, seed).cache()
+    (
+        fp.select(
+            "__bsig", "__id",
+            F.pmod("__bsig", F.lit(INDEX_BUCKETS)).alias("__bucket"),
+        )
+        .write.mode(mode).partitionBy("__bucket")
+        .parquet(bs.spark_path(bs.join(path, "bands")))
+    )
+    (
+        fp.select("__id", "__hs").distinct()
+        .write.mode(mode).parquet(bs.spark_path(bs.join(path, "hashes")))
+    )
+    fp.unpersist()
+    if mode == "overwrite" or not bs.exists(bs.join(path, "meta.json")):
+        bs.publish_bytes(
+            bs.join(path, "meta.json"),
+            _json.dumps({
+                "num_perm": num_perm, "bands": bands,
+                "shingle_n": shingle_n, "seed": seed, "version": 1,
+            }).encode(),
+        )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicates of ``new_df`` against a persisted fingerprint
+    index: (new_id, corpus_id, jaccard) pairs at ``threshold``.
+
+    Cost model at scale: the new batch is fingerprinted (one scan of
+    the BATCH, never the corpus); candidate mining joins its band keys
+    against the index's band files (equality on one long — for small
+    batches the bucket filter prunes index directories, for large ones
+    AQE broadcasts the batch side); exact verification joins hash
+    arrays for the candidate ids only. Corpus text is never read.
+    """
+    import json as _json
+
+    from beacon_spark.sources import bytesource as bs
+
+    spark = new_df.sparkSession
+    meta = _json.loads(bs.read_text(bs.join(index_path, "meta.json")))
+    fp = _fingerprint_frame(
+        new_df, text_col, id_col,
+        meta["num_perm"], meta["bands"], meta["shingle_n"], meta["seed"],
+    ).cache()
+
+    idx_bands = spark.read.parquet(
+        bs.spark_path(bs.join(index_path, "bands")))
+    probe_keys = fp.select("__bsig", F.col("__id").alias("new_id"))
+    buckets = [
+        r.b for r in probe_keys.select(
+            F.pmod("__bsig", F.lit(INDEX_BUCKETS)).alias("b")
+        ).distinct().collect()
+    ]
+    if len(buckets) < INDEX_BUCKETS:
+        # partition filter → whole index directories skipped
+        idx_bands = idx_bands.where(F.col("__bucket").isin(buckets))
+    cand = (
+        probe_keys.join(idx_bands, "__bsig")
+        .select("new_id", F.col("__id").alias("corpus_id"))
+        .where(F.col("new_id") != F.col("corpus_id"))
+        .distinct()
+    )
+
+    idx_hashes = spark.read.parquet(
+        bs.spark_path(bs.join(index_path, "hashes")))
+    new_hashes = fp.select(
+        F.col("__id").alias("new_id"), F.col("__hs").alias("__sha")
+    ).distinct()
+    verified = (
+        cand.join(new_hashes, "new_id")
+        .join(
+            idx_hashes.select(
+                F.col("__id").alias("corpus_id"), F.col("__hs").alias("__shb")
+            ),
+            "corpus_id",
+        )
+        .withColumn("__inter", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter")
+                / (F.size("__sha") + F.size("__shb") - F.col("__inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+    verified._beacon_cached = (fp,)
+    return verified

@@ -597,3 +597,65 @@ def test_duplicate_spans_modes_and_semantics(spark):
     # the plan stays in Catalyst: no Python evaluation nodes
     plan = duplicate_spans(df, by="hash")._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan and "mapInPandas" not in plan
+
+
+def test_incremental_dedup_against_persisted_index(spark, tmp_path):
+    """The 100 TB admission workflow: fingerprint the corpus once,
+    dedup each new batch against the index without re-reading corpus
+    text; results match the direct pairwise operator on the union."""
+    from beacon_spark.pipeline.dedup import (dedup_incremental,
+                                             fingerprint_index_build,
+                                             minhash_lsh_pairs,
+                                             release_caches)
+
+    base_text = ("the quick brown fox jumps over the lazy dog and then "
+                 "runs far away into the deep dark forest tonight")
+    corpus = spark.createDataFrame(
+        [(i, base_text.replace("fox", f"fox{i}")) for i in range(10)]
+        + [(50, "completely different content about spark shuffles and "
+                "partition pruning at terabyte scale for the win")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "fpidx")
+    fingerprint_index_build(corpus, idx, num_perm=64, bands=16)
+
+    # batch: one near-dup of doc 3, one exact dup of doc 50, one unique
+    batch = spark.createDataFrame(
+        [(103, base_text.replace("fox", "fox3") + " extra token"),
+         (150, "completely different content about spark shuffles and "
+               "partition pruning at terabyte scale for the win"),
+         (999, "nothing like anything else in this corpus at all truly "
+               "unique snowflake text with many strange words")],
+        "doc_id long, text string",
+    )
+    got = dedup_incremental(batch, idx, threshold=0.5)
+    pairs = {(r.new_id, r.corpus_id) for r in got.collect()}
+    assert (103, 3) in pairs
+    assert (150, 50) in pairs
+    assert not any(n == 999 for n, _ in pairs)
+
+    # exactness: jaccard values equal the direct operator's on the union
+    direct = minhash_lsh_pairs(
+        corpus.union(batch), threshold=0.5, num_perm=64, bands=16)
+    direct_j = {(r.id_a, r.id_b): r.jaccard for r in direct.collect()}
+    for r in got.collect():
+        key = (min(r.new_id, r.corpus_id), max(r.new_id, r.corpus_id))
+        assert direct_j.get(key) == r.jaccard
+    release_caches(got)
+    release_caches(direct)
+
+    # append admits survivors; the next batch now collides with them
+    fingerprint_index_build(
+        spark.createDataFrame([(999, "nothing like anything else in this "
+                                     "corpus at all truly unique snowflake "
+                                     "text with many strange words")],
+                              "doc_id long, text string"),
+        idx, num_perm=64, bands=16, mode="append")
+    got2 = dedup_incremental(
+        spark.createDataFrame(
+            [(1999, "nothing like anything else in this corpus at all "
+                    "truly unique snowflake text with many strange words")],
+            "doc_id long, text string"),
+        idx, threshold=0.5)
+    assert {(r.new_id, r.corpus_id) for r in got2.collect()} == {(1999, 999)}
+    release_caches(got2)
