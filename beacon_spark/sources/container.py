@@ -335,7 +335,50 @@ class _Container:
         os.utime(tmp, (mtime, mtime))
         os.replace(tmp, p)
         self._extracted[key] = (size, mtime)
+        # amortized: a full cache walk only after ~1/8 budget of fresh
+        # extraction, not on every object
+        self._since_prune = getattr(self, "_since_prune", 0) + size
+        if self._since_prune > self.CACHE_BYTES // 8:
+            self._since_prune = 0
+            self._prune_cache()
         return p
+
+    #: extraction-cache budget (bytes); oldest-accessed files evicted past
+    #: it. Overridable via BEACON_SPARK_BDB_CACHE_BYTES.
+    CACHE_BYTES = int(os.environ.get("BEACON_SPARK_BDB_CACHE_BYTES",
+                                     10 << 30))
+
+    def _prune_cache(self) -> None:
+        """Keep the extraction cache under budget: evict least-recently-
+        ACCESSED files that are not armed for reconciliation (an armed
+        subtree may hold JVM writes not yet ingested — never those).
+        Objects re-extract on demand, so eviction only costs a re-read."""
+        entries = []
+        total = 0
+        for dirpath, _dirs, files in os.walk(self.cache_dir):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
+                key = os.path.relpath(p, self.cache_dir).replace(os.sep, "/")
+                entries.append((st.st_atime, st.st_size, key, p))
+                total += st.st_size
+        if total <= self.CACHE_BYTES:
+            return
+        entries.sort()
+        for _atime, sz, key, p in entries:
+            if any(key == a or key.startswith(a + "/") for a in self._armed):
+                continue
+            try:
+                os.unlink(p)
+            except OSError:
+                continue
+            self._extracted.pop(key, None)
+            total -= sz
+            if total <= self.CACHE_BYTES:
+                return
 
     def cache_tree(self, prefix: str) -> str:
         """Extract every object under ``prefix`` and return the cache

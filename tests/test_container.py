@@ -269,3 +269,21 @@ def test_jvm_overwrite_of_existing_paths_ingests_back(root, tmp_path):
     before = bs.mtime(f"{root}/one.bin")
     assert bs.read_bytes(f"{root}/one.bin") == b"v2-longer"
     assert bs.mtime(f"{root}/one.bin") == before
+
+
+def test_cache_eviction_under_budget(root, tmp_path, monkeypatch):
+    """The extraction cache stays under CACHE_BYTES: least-recently-
+    accessed unarmed files evict (and re-extract on demand); armed
+    subtrees never do."""
+    cont = bc._container(str(tmp_path / "lake.db"))
+    monkeypatch.setattr(type(cont), "CACHE_BYTES", 3_000)
+    for i in range(8):
+        bs.write_bytes(f"{root}/d/f{i}.bin", bytes([i]) * 1_000)
+    for i in range(8):
+        bs.spark_path(f"{root}/d/f{i}.bin")  # extract (8 KB total)
+    cont._prune_cache()
+    cached = [f for f in os.listdir(os.path.join(cont.cache_dir, "d"))]
+    assert 0 < len(cached) <= 3
+    # evicted objects re-extract transparently with correct bytes
+    p0 = bs.spark_path(f"{root}/d/f0.bin")
+    assert open(p0, "rb").read() == b"\x00" * 1_000
