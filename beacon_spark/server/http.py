@@ -314,10 +314,54 @@ class BeaconHttpServer:
                     self._send_json({"total": eng.list_datasets().count()})
                 elif path == "/api/tables":
                     self._send_json(eng.table_names())
+                elif path == "/api/tables-with-schema":
+                    # every registered table with its schema fields
+                    # (tables.rs:156-180); tables the identity cannot
+                    # read are silently omitted, as in the reference
+                    ident = getattr(self, "_ident", None)
+                    out = []
+                    for tbl in eng.table_names():
+                        try:
+                            df = eng.sql(
+                                f"SELECT * FROM {tbl} LIMIT 0", user=ident)
+                        except Exception:
+                            continue
+                        out.append({
+                            "table_name": tbl,
+                            "columns": json.loads(df.schema.json())["fields"],
+                        })
+                    self._send_json(out)
+                elif path == "/api/query/available-columns":
+                    # deprecated twin of /api/default-table-schema:
+                    # bare column names of the default table
+                    # (query.rs:364-395)
+                    cols: list = []
+                    if eng.default_table:
+                        try:
+                            df = eng.sql(
+                                f"SELECT * FROM {eng.default_table} LIMIT 0",
+                                user=getattr(self, "_ident", None))
+                            cols = df.columns
+                        except Exception:
+                            cols = []
+                    self._send_json(cols)
+                elif path == "/api/table-extensions":
+                    tbl = q.get("table")
+                    if not tbl or not re.fullmatch(r"[\w.]+", tbl):
+                        raise ValueError("table-extensions needs ?table= "
+                                         "(a bare table identifier)")
+                    ident = getattr(self, "_ident", None)
+                    # readable-table gate first: extensions must not
+                    # leak for tables the identity cannot read
+                    eng.sql(f"SELECT * FROM {tbl} LIMIT 0", user=ident)
+                    cat_d = eng.catalog._load() if eng.catalog else {}
+                    self._send_json(
+                        cat_d.get("extensions", {}).get(tbl, {}))
                 elif path == "/api/table-schema":
                     tbl = q.get("table")
-                    if not tbl:
-                        raise ValueError("table-schema needs ?table=")
+                    if not tbl or not re.fullmatch(r"[\w.]+", tbl):
+                        raise ValueError("table-schema needs ?table= "
+                                         "(a bare table identifier)")
                     ident = getattr(self, "_ident", None)
                     # schema introspection honors RBAC: a user whose
                     # grants deny the table can't enumerate its columns
@@ -397,7 +441,8 @@ class BeaconHttpServer:
                 if u.path.startswith("/api/admin"):
                     self._admin()
                     return
-                if u.path in ("/api/explain-query", "/api/parse-query"):
+                if u.path in ("/api/explain-query", "/api/parse-query",
+                              "/api/explain-analyze-query"):
                     try:
                         n = int(self.headers.get("Content-Length", 0))
                         req = json.loads(self.rfile.read(n).decode() or "{}")
@@ -412,6 +457,14 @@ class BeaconHttpServer:
                         if u.path == "/api/parse-query":
                             # parse/plan succeeded; return the schema
                             self._send_json(json.loads(df.schema.json()))
+                        elif u.path == "/api/explain-analyze-query":
+                            # the query IS executed to collect per-node
+                            # runtime metrics (query.rs:313-320)
+                            with outer._limits.time_guard(outer.engine.spark):
+                                df.count()
+                            plan = (df._jdf.queryExecution()
+                                    .executedPlan().toString())
+                            self._send_json({"plan": plan})
                         else:
                             plan = df._jdf.queryExecution().toString()
                             self._send_json({"plan": plan})

@@ -50,6 +50,12 @@ def openapi_doc() -> dict:
         "/api/parse-query": {"post": _op(
             "Validate a statement and return its result schema",
             tag=q, body=True)},
+        "/api/explain-analyze-query": {"post": _op(
+            "Execute a statement and return its physical plan annotated "
+            "with per-node runtime metrics", tag=q, body=True)},
+        "/api/query/available-columns": {"get": _op(
+            "Column names of the default table (deprecated: use "
+            "/api/default-table-schema)", tag=q)},
         "/api/query/metrics/{query_id}": {"get": _op(
             "Execution metrics for a completed query", tag=q)},
         "/api/health": {"get": _op("Liveness probe", tag=m)},
@@ -59,6 +65,10 @@ def openapi_doc() -> dict:
             tag=m)},
         "/api/total-datasets": {"get": _op("Dataset count", tag=m)},
         "/api/tables": {"get": _op("Catalog table names", tag=m)},
+        "/api/tables-with-schema": {"get": _op(
+            "Every readable table with its schema fields", tag=m)},
+        "/api/table-extensions": {"get": _op(
+            "Extension documents attached to a table", tag=m)},
         "/api/table-schema": {"get": _op(
             "Schema of a catalog table (RBAC-gated)", tag=m,
             params=[("table", True)])},

@@ -359,3 +359,37 @@ def test_truncated_upload_never_publishes(admin_http):
 
     _t.sleep(0.5)
     assert not (root / "trunc" / "f.bin").exists()
+
+
+def test_client_side_metadata_endpoints(admin_http):
+    """Round-6 route parity with the reference client API
+    (client/query.rs:313-395, tables.rs:150-180): explain-analyze,
+    available-columns, tables-with-schema, table-extensions."""
+    eng, base, _root = admin_http
+    eng.sql("CREATE TABLE meta_t AS SELECT id, id * 2 AS d FROM range(7)")
+    eng.sql("SET EXTENSION 'notes' FOR meta_t TO '{\"a\": 1}'")
+
+    st, doc = _req(base, "GET", "/api/tables-with-schema")
+    byname = {t["table_name"]: t for t in doc}
+    assert "meta_t" in byname
+    assert {c["name"] for c in byname["meta_t"]["columns"]} == {"id", "d"}
+
+    st, ext = _req(base, "GET", "/api/table-extensions?table=meta_t")
+    assert json.loads(ext["notes"]) == {"a": 1} if isinstance(
+        ext.get("notes"), str) else ext["notes"] == {"a": 1}
+
+    st, plan = _req(base, "POST", "/api/explain-analyze-query",
+                    body=json.dumps({"sql": "SELECT count(*) AS n FROM "
+                                            "meta_t"}).encode(),
+                    ctype="application/json")
+    assert "plan" in plan and "Aggregate" in plan["plan"]
+
+    # available-columns: [] with no default table configured
+    st, cols = _req(base, "GET", "/api/query/available-columns")
+    assert cols == []
+
+    # the doc advertises the new routes
+    st, oad = _req(base, "GET", "/openapi.json")
+    for p in ("/api/explain-analyze-query", "/api/tables-with-schema",
+              "/api/table-extensions", "/api/query/available-columns"):
+        assert p in oad["paths"], p
