@@ -287,3 +287,64 @@ def test_cache_eviction_under_budget(root, tmp_path, monkeypatch):
     # evicted objects re-extract transparently with correct bytes
     p0 = bs.spark_path(f"{root}/d/f0.bin")
     assert open(p0, "rb").read() == b"\x00" * 1_000
+
+
+def test_container_kv_semantics_property(tmp_path):
+    """Property: an arbitrary op sequence (write/overwrite/remove/move/
+    ranged-read) against the container matches a plain dict model."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = st.sampled_from(["a", "b/c", "b/d", "deep/x/y", "k.json"])
+    payloads = st.binary(min_size=0, max_size=2048)
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("put"), keys, payloads),
+            st.tuples(st.just("del"), keys, st.just(b"")),
+            st.tuples(st.just("mv"), st.tuples(keys, keys), st.just(b"")),
+            st.tuples(st.just("read"), keys, st.just(b"")),
+        ),
+        max_size=30,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(ops)
+    def run(sequence):
+        counter[0] += 1
+        root = f"bdb://{tmp_path}/prop{counter[0]}.db"
+        model: dict[str, bytes] = {}
+        for op, arg, data in sequence:
+            if op == "put":
+                bs.write_bytes(f"{root}/{arg}", data)
+                model[arg] = data
+            elif op == "del":
+                if arg in model:
+                    bs.remove(f"{root}/{arg}")
+                    del model[arg]
+                else:
+                    with pytest.raises(FileNotFoundError):
+                        bs.remove(f"{root}/{arg}")
+            elif op == "mv":
+                src, dst = arg
+                if src in model and src != dst:
+                    bs.move(f"{root}/{src}", f"{root}/{dst}")
+                    model[dst] = model.pop(src)
+            elif op == "read":
+                if arg in model:
+                    assert bs.read_bytes(f"{root}/{arg}") == model[arg]
+                    if model[arg]:
+                        buf = bs.open_buffer(f"{root}/{arg}")
+                        mid = len(model[arg]) // 2
+                        assert bs.read_range(buf, mid, 8) == \
+                            model[arg][mid:mid + 8]
+                else:
+                    assert not bs.isfile(f"{root}/{arg}")
+        # final state agrees
+        for k, v in model.items():
+            assert bs.read_bytes(f"{root}/{k}") == v
+        bc.close_container(f"{tmp_path}/prop{counter[0]}.db")
+
+    run()
