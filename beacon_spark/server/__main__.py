@@ -82,6 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--cors-origins", default=_env("CORS_ORIGINS"),
                     help="enable CORS for these origins ('*' or a "
                          "comma list) [env BEACON_SPARK_CORS_ORIGINS]")
+    ap.add_argument("--disable-sql", action="store_true",
+                    default=str(_env("ENABLE_SQL", "true")).lower()
+                    in ("false", "0", "no"),
+                    help="reject raw SQL on /api/query; the JSON DSL "
+                         "keeps working (the reference's "
+                         "BEACON_ENABLE_SQL=false) "
+                         "[env BEACON_SPARK_ENABLE_SQL]")
     return ap
 
 
@@ -141,6 +148,7 @@ def launch(args, spark=None):
         limits=limits,
         cors=({"allowed_origins": args.cors_origins}
               if args.cors_origins else None),
+        enable_sql=not args.disable_sql,
     )
     flight_srv = BeaconFlightServer(
         engine, host=args.host, port=args.flight_port, token=args.token,

@@ -79,7 +79,7 @@ _CORS_DEFAULTS = {
 class BeaconHttpServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
                  token: str | None = None, limits=None,
-                 cors: dict | None = None):
+                 cors: dict | None = None, enable_sql: bool = True):
         from beacon_spark.server.limits import QueryLimits
 
         from beacon_spark.server.admin import AdminApi
@@ -88,6 +88,10 @@ class BeaconHttpServer:
         self._token = token
         self._limits = limits if limits is not None else QueryLimits()
         self._admin_api = AdminApi(engine)
+        # BEACON_ENABLE_SQL=false parity: the gate is intentionally
+        # narrow — only raw {"sql": …} bodies are rejected; the
+        # structured JSON DSL keeps working (test_sql_disabled.py)
+        self._enable_sql = enable_sql
         # cors=None disables cross-origin headers (embedded default);
         # cors={} enables the reference's defaults; keys override
         self._cors = None if cors is None else {**_CORS_DEFAULTS, **cors}
@@ -493,6 +497,12 @@ class BeaconHttpServer:
                     if not isinstance(req, dict):
                         raise ValueError("query body must be a JSON object")
                     output = req.get("output")
+                    if "sql" in req and not outer._enable_sql:
+                        raise ValueError(
+                            "SQL is disabled on this server "
+                            "(BEACON_SPARK_ENABLE_SQL=false); use the "
+                            "JSON query DSL"
+                        )
                     if "sql" in req:
                         df = outer.engine.sql(
                             req["sql"], params=req.get("params"),

@@ -393,3 +393,38 @@ def test_client_side_metadata_endpoints(admin_http):
     for p in ("/api/explain-analyze-query", "/api/tables-with-schema",
               "/api/table-extensions", "/api/query/available-columns"):
         assert p in oad["paths"], p
+
+
+def test_sql_disabled_gate_is_narrow(spark, tmp_path):
+    """BEACON_ENABLE_SQL=false parity (test_sql_disabled.py): raw SQL
+    on /api/query is a 400, health and the JSON DSL keep working."""
+    import urllib.error
+    import urllib.request
+
+    from beacon_spark.server.http import BeaconHttpServer
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE nsq AS SELECT id FROM range(5)")
+    srv = BeaconHttpServer(eng, port=0, enable_sql=False)
+    port = srv.serve_background()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/api/health") as r:
+            assert r.status == 200
+        body = json.dumps({"sql": "SELECT 1", "format": "json"}).encode()
+        req = urllib.request.Request(
+            f"{base}/api/query", data=body,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400 and b"disabled" in e.value.read()
+        # the structured DSL rides the same endpoint and still works
+        body = json.dumps({"query": {"select": ["id"], "from": "nsq"},
+                           "format": "json"}).encode()
+        req = urllib.request.Request(
+            f"{base}/api/query", data=body,
+            headers={"Content-Type": "application/json"})
+        rows = json.loads(urllib.request.urlopen(req).read())
+        assert len(rows) == 5
+    finally:
+        srv.shutdown()
