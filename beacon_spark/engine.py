@@ -393,9 +393,12 @@ class Engine:
             # idiomatic spark.read.format("beacon_nd") surface is optional;
             # Engine read_netcdf/read_zarr/... remain the primary path
             pass
+        import threading as _threading
+
         self.catalog = None
         self._session_secrets: dict[str, dict] = {}
         self._metrics = None
+        self._reg_lock = _threading.RLock()
         if datasets_root is not None:
             from beacon_spark.managed import Catalog
 
@@ -870,7 +873,19 @@ class Engine:
         """Expose managed tables / views / MVs as temp views so plain
         ``spark.sql`` references resolve — the reference resolves catalog
         objects at plan time (``table_ext.rs:517-631``). Cached on a catalog
-        change token; DML bumps table versions, so stale pins re-register."""
+        change token; DML bumps table versions, so stale pins re-register.
+
+        Thread-safe: concurrent requests (the threaded HTTP server) WAIT
+        on the lock while one registers, then see the fresh signature
+        and return — the reentrancy flag alone would let them skip ahead
+        and resolve against missing views. The flag (checked under the
+        RLock, so only the owning thread can observe it True) still
+        short-circuits the recursive ``self.sql`` calls registration
+        itself makes for views."""
+        with self._reg_lock:
+            self._register_catalog_locked()
+
+    def _register_catalog_locked(self) -> None:
         if getattr(self, "_registering", False):
             return
         sig = self.catalog.signature()

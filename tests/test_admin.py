@@ -428,3 +428,25 @@ def test_sql_disabled_gate_is_narrow(spark, tmp_path):
         assert len(rows) == 5
     finally:
         srv.shutdown()
+
+
+def test_parallel_queries_are_consistent(admin_http):
+    """test_concurrency.py parity: N parallel /api/query calls on the
+    threaded server all see the same catalog state and return
+    identical results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    eng, base, _root = admin_http
+    eng.sql("CREATE TABLE conc AS SELECT id, id % 4 AS g FROM range(400)")
+
+    def one(_i):
+        st, rows = _req(
+            base, "POST", "/api/query",
+            body=json.dumps({"sql": "SELECT g, count(*) AS n FROM conc "
+                                    "GROUP BY g", "format": "json"}).encode(),
+            ctype="application/json")
+        return sorted((r["g"], r["n"]) for r in rows)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(one, range(16)))
+    assert all(r == [(0, 100), (1, 100), (2, 100), (3, 100)] for r in results)
