@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--cors-origins", default=_env("CORS_ORIGINS"),
                     help="enable CORS for these origins ('*' or a "
                          "comma list) [env BEACON_SPARK_CORS_ORIGINS]")
+    ap.add_argument("--enable-sys-info", action="store_true",
+                    default=str(_env("ENABLE_SYS_INFO", "false")).lower()
+                    in ("true", "1", "yes"),
+                    help="include a host resource snapshot in /api/info "
+                         "(the reference's BEACON_ENABLE_SYS_INFO) "
+                         "[env BEACON_SPARK_ENABLE_SYS_INFO]")
     ap.add_argument("--disable-sql", action="store_true",
                     default=str(_env("ENABLE_SQL", "true")).lower()
                     in ("false", "0", "no"),
@@ -149,6 +155,7 @@ def launch(args, spark=None):
         cors=({"allowed_origins": args.cors_origins}
               if args.cors_origins else None),
         enable_sql=not args.disable_sql,
+        sys_info=args.enable_sys_info,
     )
     flight_srv = BeaconFlightServer(
         engine, host=args.host, port=args.flight_port, token=args.token,

@@ -79,7 +79,8 @@ _CORS_DEFAULTS = {
 class BeaconHttpServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
                  token: str | None = None, limits=None,
-                 cors: dict | None = None, enable_sql: bool = True):
+                 cors: dict | None = None, enable_sql: bool = True,
+                 sys_info: bool = False):
         from beacon_spark.server.limits import QueryLimits
 
         from beacon_spark.server.admin import AdminApi
@@ -92,6 +93,7 @@ class BeaconHttpServer:
         # narrow — only raw {"sql": …} bodies are rejected; the
         # structured JSON DSL keeps working (test_sql_disabled.py)
         self._enable_sql = enable_sql
+        self._sys_info = sys_info
         # cors=None disables cross-origin headers (embedded default);
         # cors={} enables the reference's defaults; keys override
         self._cors = None if cors is None else {**_CORS_DEFAULTS, **cors}
@@ -374,7 +376,29 @@ class BeaconHttpServer:
                 elif path == "/api/info":
                     from beacon_spark.version import VERSION
 
-                    self._send_json({"version": VERSION, "engine": "beacon_spark"})
+                    info = {"version": VERSION, "engine": "beacon_spark",
+                            "system_info": None}
+                    if outer._sys_info:
+                        # host snapshot (sys.rs:6-24: present only when
+                        # BEACON_ENABLE_SYS_INFO; application telemetry,
+                        # not engine state)
+                        import os as _os
+
+                        mem = {}
+                        try:
+                            with open("/proc/meminfo") as f:
+                                for line in f:
+                                    k, _, v = line.partition(":")
+                                    if k in ("MemTotal", "MemAvailable"):
+                                        mem[k] = v.strip()
+                        except OSError:
+                            pass
+                        info["system_info"] = {
+                            "cpus": _os.cpu_count(),
+                            "load_avg": list(_os.getloadavg()),
+                            "memory": mem,
+                        }
+                    self._send_json(info)
                 elif path == "/api/catalogs":
                     self._send_json(["beacon"])  # one embedded catalog
                 elif path == "/api/functions":

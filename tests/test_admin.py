@@ -450,3 +450,28 @@ def test_parallel_queries_are_consistent(admin_http):
     with ThreadPoolExecutor(max_workers=8) as ex:
         results = list(ex.map(one, range(16)))
     assert all(r == [(0, 100), (1, 100), (2, 100), (3, 100)] for r in results)
+
+
+def test_info_sys_info_gate(spark, tmp_path):
+    """/api/info includes a host snapshot only when enabled
+    (sys.rs:6-24, BEACON_ENABLE_SYS_INFO)."""
+    import urllib.request
+
+    from beacon_spark.server.http import BeaconHttpServer
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    off = BeaconHttpServer(eng, port=0)
+    p1 = off.serve_background()
+    on = BeaconHttpServer(eng, port=0, sys_info=True)
+    p2 = on.serve_background()
+    try:
+        d1 = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{p1}/api/info").read())
+        assert d1["system_info"] is None and d1["version"]
+        d2 = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{p2}/api/info").read())
+        assert d2["system_info"]["cpus"] >= 1
+        assert "MemTotal" in d2["system_info"]["memory"]
+    finally:
+        off.shutdown()
+        on.shutdown()
