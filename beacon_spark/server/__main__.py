@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--cors-origins", default=_env("CORS_ORIGINS"),
                     help="enable CORS for these origins ('*' or a "
                          "comma list) [env BEACON_SPARK_CORS_ORIGINS]")
+    ap.add_argument("--default-table", default=_env("DEFAULT_TABLE"),
+                    help="table the DSL queries when no from-spec is "
+                         "given (BEACON_DEFAULT_TABLE) "
+                         "[env BEACON_SPARK_DEFAULT_TABLE]")
     ap.add_argument("--enable-sys-info", action="store_true",
                     default=str(_env("ENABLE_SYS_INFO", "false")).lower()
                     in ("true", "1", "yes"),
@@ -121,7 +125,8 @@ def launch(args, spark=None):
         root = container_uri(root)
     if spark is None:
         spark = get_spark(app_name="beacon_spark_server", master=args.master)
-    engine = Engine(spark, datasets_root=root)
+    engine = Engine(spark, datasets_root=root,
+                    default_table=args.default_table)
 
     if args.admin_username:
         if not args.admin_password:
