@@ -521,12 +521,18 @@ def run_auth_statement(engine, statement: str, user: str | None):
             name="on" if a["enforce"] else "off",
         )
     if kind == "show_users":
+        # is_anonymous marks the unauthenticated-caller principal
+        # (context.rs:12; the reference's user listing carries both
+        # is_super_user and is_anonymous flags, test_rbac.py:88-95)
         rows = [
-            (n, bool(u.get("super_user")), ",".join(sorted(u.get("roles", []))))
+            (n, bool(u.get("super_user")), n == "anonymous",
+             ",".join(sorted(u.get("roles", []))))
             for n, u in sorted(a["users"].items())
         ]
         return engine.spark.createDataFrame(
-            rows, "user_name string, super_user boolean, roles string"
+            rows,
+            "user_name string, super_user boolean, is_anonymous boolean, "
+            "roles string",
         )
     if kind == "show_roles":
         rows = [

@@ -369,9 +369,38 @@ def _parse_crawler_schedule(with_opts: str | None) -> int | None:
         re.IGNORECASE,
     )
     if not m:
-        raise ValueError(f"bad crawler WITH options: {with_opts!r}")
+        return None
     n, unit = int(m.group(1)), m.group(2).lower()
     return n * {"": 1, "s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+
+
+def _parse_crawler_opts(with_opts: str | None) -> dict:
+    """The crawler's WITH options: schedule (as above) plus the
+    reference CrawlerDefinition's ``format_filter`` and ``table_naming``
+    (crawler/definition.rs; exercised by test_crawlers_advanced.py):
+
+      WITH ('schedule' '15m', 'formats' 'parquet,csv',
+            'table_naming' 'leaf_prefix')
+    """
+    out: dict = {"schedule_secs": _parse_crawler_schedule(with_opts)}
+    if not with_opts:
+        return out
+    kv = dict(re.findall(r"'(\w+)'\s*[= ]\s*'([^']*)'", with_opts))
+    kv = {k.lower(): v for k, v in kv.items()}
+    if "formats" in kv or "format_filter" in kv:
+        raw = kv.get("formats") or kv.get("format_filter", "")
+        out["format_filter"] = [f.strip().lower()
+                                for f in raw.split(",") if f.strip()]
+    naming = kv.get("table_naming", "file").lower()
+    if naming not in ("file", "leaf_prefix"):
+        raise ValueError(
+            f"table_naming must be 'file' or 'leaf_prefix', got {naming!r}")
+    out["table_naming"] = naming
+    known = {"schedule", "formats", "format_filter", "table_naming"}
+    unknown = set(kv) - known
+    if unknown:
+        raise ValueError(f"bad crawler WITH options: {sorted(unknown)}")
+    return out
 
 
 class Engine:
@@ -1176,8 +1205,12 @@ class Engine:
             )
         if kind == "create_crawler":
             name, prefix, with_opts = m.groups()
-            schedule = _parse_crawler_schedule(with_opts)
-            cat.create_crawler(name, prefix, schedule)
+            opts = _parse_crawler_opts(with_opts)
+            cat.create_crawler(
+                name, prefix, opts.get("schedule_secs"),
+                format_filter=opts.get("format_filter"),
+                table_naming=opts.get("table_naming", "file"),
+            )
             return self._status(status="ok", op="create_crawler", name=name)
         if kind == "run_crawler":
             return self._run_crawler(m.group(1))
@@ -1590,17 +1623,36 @@ class Engine:
             raise ValueError(f"unknown crawler {name!r}")
         if self.datasets_root is None:
             raise ValueError("crawler needs a datasets_root")
-        prefix = crawlers[name]["prefix"]
+        spec = crawlers[name]
+        prefix = spec["prefix"]
+        fmt_filter = spec.get("format_filter")
+        naming = spec.get("table_naming", "file")
         known = self.catalog._load()
         taken = set(known["external_tables"]) | set(known["tables"])
         report = []
+        groups: dict[tuple[str, str], list[str]] = {}
         for rel, fmt in _paths.list_datasets(self.datasets_root):
             if prefix and not rel.startswith(prefix):
                 continue
             if rel.startswith(".beacon"):
                 continue
+            if fmt_filter is not None and (fmt or "") not in fmt_filter:
+                # dropped BEFORE the extension check, so filtered files
+                # are not counted as skipped (test_crawlers_advanced.py:
+                # skipped_files tracks only format mismatches)
+                continue
             if fmt not in ("parquet", "csv", "arrow", "netcdf", "zarr", "odv"):
                 report.append((rel, fmt or "unknown", "skipped"))
+                continue
+            if naming == "leaf_prefix":
+                # one table per leaf directory, holding every file of
+                # that format in it (the reference's leaf_prefix naming:
+                # mixed/part1.parquet + part2.parquet -> table "mixed")
+                import posixpath as _pp
+
+                leaf = _pp.basename(_pp.dirname(rel)) or \
+                    rel.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                groups.setdefault((leaf, fmt), []).append(rel)
                 continue
             tname = re.sub(r"\W+", "_", rel.rsplit(".", 1)[0]).strip("_")
             if tname in taken:
@@ -1609,6 +1661,15 @@ class Engine:
             self.catalog.create_external_table(tname, fmt, [rel])
             taken.add(tname)
             report.append((rel, fmt, f"registered as {tname}"))
+        for (leaf, fmt), rels in sorted(groups.items()):
+            tname = re.sub(r"\W+", "_", leaf).strip("_")
+            if tname in taken:
+                report.append((";".join(sorted(rels)), fmt, "exists"))
+                continue
+            self.catalog.create_external_table(tname, fmt, sorted(rels))
+            taken.add(tname)
+            report.append(
+                (";".join(sorted(rels)), fmt, f"registered as {tname}"))
         import time as _time
 
         self.catalog.touch_crawler(name, _time.time())

@@ -732,7 +732,8 @@ class Catalog:
     #      scheduler so RUN is the sync point) ----
 
     def create_crawler(
-        self, name: str, prefix: str | None, schedule_secs: int | None = None
+        self, name: str, prefix: str | None, schedule_secs: int | None = None,
+        format_filter: list[str] | None = None, table_naming: str = "file",
     ) -> None:
         cat = self._load()
         if name in cat["crawlers"]:
@@ -740,6 +741,8 @@ class Catalog:
         cat["crawlers"][name] = {
             "prefix": prefix or "",
             "schedule_secs": schedule_secs,
+            "format_filter": format_filter,
+            "table_naming": table_naming,
             "last_run": None,
         }
         self._save(cat)

@@ -199,7 +199,10 @@ class AdminApi:
         if len(parts) == 2 and parts[0] == "table-extensions":
             return self._table_extensions(m, parts[1], body)
         if parts == ["auth", "users"] and m == "GET":
-            return self._json(200, self._sql_rows("SHOW USERS"))
+            rows = self._sql_rows("SHOW USERS")
+            for r in rows:  # the reference's field spellings
+                r["is_super_user"] = r.get("super_user", False)
+            return self._json(200, rows)
         if parts == ["auth", "roles"] and m == "GET":
             return self._json(200, self._sql_rows("SHOW ROLES"))
         if parts == ["table-config"] and m == "GET":
@@ -217,10 +220,20 @@ class AdminApi:
     def _create_crawler(self, spec: dict):
         name = _ident(spec.get("name", ""))
         stmt = f"CREATE CRAWLER {name}"
-        if spec.get("prefix"):
-            stmt += f" ON '{_lit(spec['prefix'])}'"
+        if spec.get("prefix") or spec.get("target_prefix"):
+            stmt += f" ON '{_lit(spec.get('prefix') or spec['target_prefix'])}'"
+        opts = []
         if spec.get("schedule"):
-            stmt += f" WITH ('schedule' '{_lit(str(spec['schedule']))}')"
+            opts.append(f"'schedule' '{_lit(str(spec['schedule']))}'")
+        if spec.get("format_filter"):
+            fmts = spec["format_filter"]
+            if isinstance(fmts, str):
+                fmts = [fmts]
+            opts.append(f"'formats' '{_lit(','.join(fmts))}'")
+        if spec.get("table_naming"):
+            opts.append(f"'table_naming' '{_lit(spec['table_naming'])}'")
+        if opts:
+            stmt += f" WITH ({', '.join(opts)})"
         self.engine.sql(stmt)
         return self._json(201, {"name": name})
 

@@ -727,3 +727,36 @@ def test_optimize_refreshes_posting_indexes(spark, tmp_path):
     row = eng.sql("OPTIMIZE oidx").collect()[0]
     assert int(row.files_after) < int(row.files_before)
     assert hits() == 4  # compacted files must still be posting-visible
+
+
+def test_crawler_format_filter_and_leaf_prefix(spark, tmp_path):
+    """CrawlerDefinition parity (test_crawlers_advanced.py:27-79):
+    format_filter drops non-matching files BEFORE the extension check
+    (not counted as skipped), and table_naming=leaf_prefix groups every
+    matching file in a leaf directory into ONE table."""
+    import csv as _csv
+
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    d = tmp_path / "mixed"
+    d.mkdir()
+    spark.range(0, 30).toDF("a").coalesce(1).write.mode(
+        "overwrite").parquet(str(d / "p1.parquet"))
+    spark.range(30, 50).toDF("a").coalesce(1).write.mode(
+        "overwrite").parquet(str(d / "p2.parquet"))
+    with open(d / "junk.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["a"]); w.writerow([999])
+
+    eng.sql("CREATE CRAWLER fmt ON 'mixed' WITH ('formats' 'parquet', "
+            "'table_naming' 'leaf_prefix')")
+    report = eng.sql("RUN CRAWLER fmt").collect()
+    # the csv is dropped silently (not 'skipped'), one table registered
+    assert not any("junk" in r.path for r in report)
+    assert any("registered as mixed" in r.action for r in report)
+    assert eng.sql("SELECT count(*) AS n FROM mixed").collect()[0].n == 50
+
+    # idempotent rerun
+    report2 = eng.sql("RUN CRAWLER fmt").collect()
+    assert all("registered" not in r.action for r in report2)
