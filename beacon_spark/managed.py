@@ -35,6 +35,7 @@ layer see the same store; manifest commits are ``publish_bytes``
 from __future__ import annotations
 
 import json
+import posixpath
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -267,18 +268,34 @@ class ManagedTable:
     def _split_files(
         self, predicate: str, schema: T.StructType
     ) -> tuple[list[str], list[str]]:
-        """Files that may contain matching rows vs provably-clean files —
-        a per-file read.filter(limit 1) existence probe would be exact but
-        costly; parquet row-group pruning makes the probe cheap enough at
-        this scale, so we run it per file (Catalyst prunes row groups).
-        Reads are schema-aligned so predicates may reference columns added
-        by metadata-only ALTER."""
+        """Files that contain matching rows vs provably-clean files —
+        ONE Spark job over the whole file set: scan with the predicate
+        pushed down, group by ``input_file_name()``, collect the
+        distinct touched files. A per-file ``limit(1)`` probe would
+        launch one job per file — a 1,000-file table would pay 1,000
+        job-scheduling round trips where this pays one (parquet
+        footer/row-group pruning still skips non-matching chunks inside
+        the single scan). Reads are schema-pinned so predicates may
+        reference columns added by metadata-only ALTER."""
         m = self._read_manifest()
+        paths = [bs.join(self.path, rel) for rel in m["files"]]
+        if not paths:
+            return [], []
+        # spark_path may differ from the stored rel (object-store
+        # mapping), so match on basename — data files carry unique
+        # uuid names by construction (_write_data)
+        hit_names = {
+            posixpath.basename(r.f) for r in
+            self._read_files(paths, schema)
+            .filter(F.expr(predicate))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
         touched, clean = [], []
         for rel in m["files"]:
-            df = self._read_files([bs.join(self.path, rel)], schema)
-            hit = df.filter(F.expr(predicate)).limit(1).count()
-            (touched if hit else clean).append(rel)
+            name = posixpath.basename(rel)
+            (touched if name in hit_names else clean).append(rel)
         return touched, clean
 
     def delete(self, predicate: str) -> int:
