@@ -286,18 +286,39 @@ def resolve_unauthenticated(engine) -> str | None:
     """
     if engine.catalog is None:
         return None
+    import time as _time
+
+    now = _time.monotonic()
+    cached = getattr(engine, "_unauth_cache", None)
+    if cached is not None and cached[0] > now:
+        ok, val = cached[1]
+        if ok:
+            return val
+        raise AuthError(val)
+
+    def _remember(ok, val):
+        # 2 s TTL: this runs on EVERY credential-less request (health
+        # probes, each Flight call) and a full catalog read per request
+        # is store traffic on the hot path; 2 s bounds the staleness of
+        # an enforcement flip, and failures cache too (still closed)
+        engine._unauth_cache = (now + 2.0, (ok, val))
+
     try:
         a = _auth(engine.catalog._load())
     except Exception as e:  # noqa: BLE001 — any load failure = closed
-        raise AuthError(f"auth state unavailable: {e}") from e
+        msg = f"auth state unavailable: {e}"
+        _remember(False, msg)
+        raise AuthError(msg) from e
     if not a.get("enforce"):
+        _remember(True, None)
         return None
     if "anonymous" in a["users"]:
+        _remember(True, "anonymous")
         return "anonymous"
-    raise AuthError(
-        "authentication required (enforcement is on and no anonymous "
-        "principal exists)"
-    )
+    msg = ("authentication required (enforcement is on and no anonymous "
+           "principal exists)")
+    _remember(False, msg)
+    raise AuthError(msg)
 
 
 def require_super(engine, user: str | None, msg: str) -> None:
@@ -347,14 +368,21 @@ def authorize_dsl(engine, body: dict, user: str | None) -> None:
         return
     if isinstance(spec, str):
         # a time-travel snapshot view (<t>__v<n> of a real catalog
-        # table) is a read of its base table — grants and DENYs on the
-        # base apply, same rule as the SQL path
-        target = spec
+        # table) is a read of its base table — check BOTH names,
+        # deny-wins across them, exactly the SQL path's behavior (a
+        # REAL table literally named t__v1 keeps its own grants/DENYs)
+        targets = {spec}
         base = re.fullmatch(r"(\w+)__v\d+", spec)
         if base and base.group(1) in cat.get("tables", {}):
-            target = base.group(1)
-        if not is_allowed(a, roles, "SELECT", ("table", target)):
-            raise AuthError(f"permission denied: SELECT on table {target!r}")
+            targets.add(base.group(1))
+            if spec not in cat.get("tables", {}):
+                # a pure snapshot view: only the base name is a catalog
+                # object, so only IT carries grants
+                targets.discard(spec)
+        for target in targets:
+            if not is_allowed(a, roles, "SELECT", ("table", target)):
+                raise AuthError(
+                    f"permission denied: SELECT on table {target!r}")
         return
     if isinstance(spec, dict):
         ((_fmt, cfg),) = spec.items()
@@ -439,6 +467,9 @@ def run_auth_statement(engine, statement: str, user: str | None):
     def save():
         engine.catalog._save(cat)
         engine._cat_sig = None
+        # auth changed: the unauthenticated-resolution TTL cache must
+        # not serve a pre-change decision in this process
+        engine.__dict__.pop("_unauth_cache", None)
 
     if kind == "create_user":
         name, pw, sup = m.group(1), m.group(2).replace("''", "'"), m.group(3)

@@ -102,9 +102,10 @@ class BeaconCliClient:
         """Server-side export: the file-download response is written
         to ``path`` as received (never decoded into memory)."""
         if fmt is None:
-            for ext, name in EXPORT_FORMATS.items():
+            # longest suffix first: .geoparquet must not match .parquet
+            for ext in sorted(EXPORT_FORMATS, key=len, reverse=True):
                 if path.lower().endswith(ext):
-                    fmt = name
+                    fmt = EXPORT_FORMATS[ext]
                     break
         if fmt is None:
             raise CliError(

@@ -387,6 +387,9 @@ def _parse_crawler_opts(with_opts: str | None) -> dict:
         return out
     kv = dict(re.findall(r"'(\w+)'\s*[= ]\s*'([^']*)'", with_opts))
     kv = {k.lower(): v for k, v in kv.items()}
+    if "schedule" in kv and out["schedule_secs"] is None:
+        raise ValueError(
+            f"bad crawler schedule {kv['schedule']!r} (want e.g. '15m')")
     if "formats" in kv or "format_filter" in kv:
         raw = kv.get("formats") or kv.get("format_filter", "")
         out["format_filter"] = [f.strip().lower()
@@ -1645,14 +1648,17 @@ class Engine:
                 report.append((rel, fmt or "unknown", "skipped"))
                 continue
             if naming == "leaf_prefix":
-                # one table per leaf directory, holding every file of
-                # that format in it (the reference's leaf_prefix naming:
-                # mixed/part1.parquet + part2.parquet -> table "mixed")
+                # one table per (full) leaf DIRECTORY, holding every
+                # file of that format in it (the reference's leaf_prefix
+                # naming: mixed/part1.parquet + part2.parquet -> table
+                # "mixed"). Grouping keys on the whole dirname so
+                # 2023/obs and 2024/obs never merge; the table NAME is
+                # the leaf, qualified with the full path when two
+                # directories share a leaf name.
                 import posixpath as _pp
 
-                leaf = _pp.basename(_pp.dirname(rel)) or \
-                    rel.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-                groups.setdefault((leaf, fmt), []).append(rel)
+                parent = _pp.dirname(rel)
+                groups.setdefault((parent, fmt), []).append(rel)
                 continue
             tname = re.sub(r"\W+", "_", rel.rsplit(".", 1)[0]).strip("_")
             if tname in taken:
@@ -1661,8 +1667,18 @@ class Engine:
             self.catalog.create_external_table(tname, fmt, [rel])
             taken.add(tname)
             report.append((rel, fmt, f"registered as {tname}"))
-        for (leaf, fmt), rels in sorted(groups.items()):
-            tname = re.sub(r"\W+", "_", leaf).strip("_")
+        leaf_counts: dict[str, int] = {}
+        for (parent, _f) in groups:
+            import posixpath as _pp
+
+            leaf = _pp.basename(parent) or "root"
+            leaf_counts[leaf] = leaf_counts.get(leaf, 0) + 1
+        for (parent, fmt), rels in sorted(groups.items()):
+            import posixpath as _pp
+
+            leaf = _pp.basename(parent) or "root"
+            base_name = leaf if leaf_counts[leaf] == 1 else (parent or "root")
+            tname = re.sub(r"\W+", "_", base_name).strip("_")
             if tname in taken:
                 report.append((";".join(sorted(rels)), fmt, "exists"))
                 continue

@@ -776,6 +776,19 @@ def fingerprint_index_build(
 
     from beacon_spark.sources import bytesource as bs
 
+    meta_path = bs.join(path, "meta.json")
+    if mode == "append" and bs.exists(meta_path):
+        prior = _json.loads(bs.read_text(meta_path))
+        mine = {"num_perm": num_perm, "bands": bands,
+                "shingle_n": shingle_n, "seed": seed}
+        stale = {k: (prior.get(k), v) for k, v in mine.items()
+                 if prior.get(k) != v}
+        if stale:
+            raise ValueError(
+                "fingerprint parameters differ from the existing index's "
+                f"meta.json (index vs append): {stale} — appending with "
+                "different arithmetic silently corrupts probe results"
+            )
     fp = _fingerprint_frame(df, text_col, id_col, num_perm, bands,
                             shingle_n, seed).cache()
     (
@@ -791,9 +804,9 @@ def fingerprint_index_build(
         .write.mode(mode).parquet(bs.spark_path(bs.join(path, "hashes")))
     )
     fp.unpersist()
-    if mode == "overwrite" or not bs.exists(bs.join(path, "meta.json")):
+    if mode == "overwrite" or not bs.exists(meta_path):
         bs.publish_bytes(
-            bs.join(path, "meta.json"),
+            meta_path,
             _json.dumps({
                 "num_perm": num_perm, "bands": bands,
                 "shingle_n": shingle_n, "seed": seed, "version": 1,

@@ -210,6 +210,11 @@ class FlightSqlHandler:
         if kind == "CommandPreparedStatementQuery":
             handle = bytes(fields[1][0])
             sql = self._prepared.get(handle)
+            if sql is not None:
+                # LRU touch: active handles move to the dict's end so
+                # cap eviction (oldest-first) targets abandoned ones,
+                # never a handle a long-lived client still executes
+                self._prepared[handle] = self._prepared.pop(handle)
             if sql is None:
                 raise ValueError("unknown prepared statement handle")
             return sql, self._bound.get(handle)
@@ -351,6 +356,7 @@ class FlightSqlHandler:
             handle = bytes(decode_fields(payload)[1][0])
             if handle not in self._prepared:
                 raise ValueError("unknown prepared statement handle")
+            self._prepared[handle] = self._prepared.pop(handle)  # LRU touch
             if reader is None:
                 raise ValueError("parameter bind needs an Arrow stream")
             table = reader.read_all()

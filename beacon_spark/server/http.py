@@ -393,9 +393,13 @@ class BeaconHttpServer:
                                         mem[k] = v.strip()
                         except OSError:
                             pass
+                        try:
+                            load = list(_os.getloadavg())
+                        except (OSError, AttributeError):
+                            load = None  # not available on all platforms
                         info["system_info"] = {
                             "cpus": _os.cpu_count(),
-                            "load_avg": list(_os.getloadavg()),
+                            "load_avg": load,
                             "memory": mem,
                         }
                     self._send_json(info)
@@ -474,6 +478,14 @@ class BeaconHttpServer:
                     try:
                         n = int(self.headers.get("Content-Length", 0))
                         req = json.loads(self.rfile.read(n).decode() or "{}")
+                        if "sql" in req and not outer._enable_sql:
+                            # same gate as /api/query: a SQL-disabled
+                            # server must not plan (or, for explain-
+                            # analyze, EXECUTE) raw SQL either
+                            raise ValueError(
+                                "SQL is disabled on this server "
+                                "(BEACON_SPARK_ENABLE_SQL=false); use "
+                                "the JSON query DSL")
                         ident = getattr(self, "_ident", None)
                         df = (
                             outer.engine.sql(req["sql"], params=req.get("params"),

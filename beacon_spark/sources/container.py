@@ -311,6 +311,7 @@ class _Container:
             s = os.stat(p)
             if s.st_size == size and abs(s.st_mtime - mtime) < 1e-3:
                 self._extracted[key] = (size, mtime)
+                os.utime(p, (time.time(), s.st_mtime))  # LRU touch
                 return p
         # a parent component may be cached as a FILE (keys 'a' and 'a/b'
         # can coexist in the container but not on a posix cache)
@@ -332,15 +333,19 @@ class _Container:
                     break
                 f.write(buf)
                 remaining -= len(buf)
-        os.utime(tmp, (mtime, mtime))
+        # atime = NOW (the LRU key), mtime = the object's (the
+        # staleness key) — pinning both to the object mtime made "LRU"
+        # oldest-object-first and could evict the file being returned
+        os.utime(tmp, (time.time(), mtime))
         os.replace(tmp, p)
         self._extracted[key] = (size, mtime)
         # amortized: a full cache walk only after ~1/8 budget of fresh
-        # extraction, not on every object
+        # extraction — and BEFORE the caller uses p, never evicting the
+        # file just returned (it carries the newest atime)
         self._since_prune = getattr(self, "_since_prune", 0) + size
         if self._since_prune > self.CACHE_BYTES // 8:
             self._since_prune = 0
-            self._prune_cache()
+            self._prune_cache(keep=key)
         return p
 
     #: extraction-cache budget (bytes); oldest-accessed files evicted past
@@ -348,11 +353,18 @@ class _Container:
     CACHE_BYTES = int(os.environ.get("BEACON_SPARK_BDB_CACHE_BYTES",
                                      10 << 30))
 
-    def _prune_cache(self) -> None:
+    def _prune_cache(self, keep: str | None = None) -> None:
         """Keep the extraction cache under budget: evict least-recently-
         ACCESSED files that are not armed for reconciliation (an armed
         subtree may hold JVM writes not yet ingested — never those).
-        Objects re-extract on demand, so eviction only costs a re-read."""
+        Objects re-extract on demand, so eviction only costs a re-read.
+
+        Armed entries reconcile FIRST: a read-heavy session arms every
+        handout and nothing else may touch those paths again, so
+        without this sweep the whole cache would stay pinned. Reconcile
+        ingests any JVM change and disarms; pure reads disarm unchanged
+        and become evictable."""
+        self._reconcile_armed("")
         entries = []
         total = 0
         for dirpath, _dirs, files in os.walk(self.cache_dir):
@@ -369,6 +381,8 @@ class _Container:
             return
         entries.sort()
         for _atime, sz, key, p in entries:
+            if key == keep:
+                continue
             if any(key == a or key.startswith(a + "/") for a in self._armed):
                 continue
             try:
