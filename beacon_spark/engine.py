@@ -16,6 +16,7 @@ from DataFusion statements (``parser/beacon_parser.rs:33-115``).
 
 from __future__ import annotations
 
+import posixpath
 import re
 from typing import Any
 
@@ -1652,14 +1653,13 @@ class Engine:
                 # file of that format in it (the reference's leaf_prefix
                 # naming: mixed/part1.parquet + part2.parquet -> table
                 # "mixed"). Grouping keys on the whole dirname so
-                # 2023/obs and 2024/obs never merge; the table NAME is
-                # the leaf, qualified with the full path when two
-                # directories share a leaf name.
-                import posixpath as _pp
-
-                parent = _pp.dirname(rel)
-                groups.setdefault((parent, fmt), []).append(rel)
-                continue
+                # 2023/obs and 2024/obs never merge; ROOT-level files
+                # have no directory to group by and keep per-file
+                # naming (falling through below).
+                parent = posixpath.dirname(rel)
+                if parent:
+                    groups.setdefault((parent, fmt), []).append(rel)
+                    continue
             tname = re.sub(r"\W+", "_", rel.rsplit(".", 1)[0]).strip("_")
             if tname in taken:
                 report.append((rel, fmt, "exists"))
@@ -1667,17 +1667,17 @@ class Engine:
             self.catalog.create_external_table(tname, fmt, [rel])
             taken.add(tname)
             report.append((rel, fmt, f"registered as {tname}"))
+        # a leaf name qualifies with its full path only when two
+        # distinct DIRECTORIES share it (a dir holding two formats is
+        # still one directory)
         leaf_counts: dict[str, int] = {}
-        for (parent, _f) in groups:
-            import posixpath as _pp
-
-            leaf = _pp.basename(parent) or "root"
-            leaf_counts[leaf] = leaf_counts.get(leaf, 0) + 1
+        for parent in {p for (p, _f) in groups}:
+            leaf_counts[posixpath.basename(parent)] = (
+                leaf_counts.get(posixpath.basename(parent), 0) + 1
+            )
         for (parent, fmt), rels in sorted(groups.items()):
-            import posixpath as _pp
-
-            leaf = _pp.basename(parent) or "root"
-            base_name = leaf if leaf_counts[leaf] == 1 else (parent or "root")
+            leaf = posixpath.basename(parent)
+            base_name = leaf if leaf_counts[leaf] == 1 else parent
             tname = re.sub(r"\W+", "_", base_name).strip("_")
             if tname in taken:
                 report.append((";".join(sorted(rels)), fmt, "exists"))

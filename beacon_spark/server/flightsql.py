@@ -169,11 +169,17 @@ class FlightSqlHandler:
     the server can fall back to its legacy JSON protocol."""
 
     def __init__(self, engine, limits):
+        import threading
+
         self.engine = engine
         self.limits = limits
         self._prepared: dict[bytes, str] = {}
         # handle → positional $1..$n values bound via do_put
         self._bound: dict[bytes, list] = {}
+        # gRPC handlers run on a thread pool: every read-modify-write
+        # of the handle dicts (LRU touch, cap eviction, close) races
+        # without this
+        self._handles_lock = threading.Lock()
 
     # ------------------------------------------------------- helpers
 
@@ -209,12 +215,13 @@ class FlightSqlHandler:
             return fields[1][0].decode(), None
         if kind == "CommandPreparedStatementQuery":
             handle = bytes(fields[1][0])
-            sql = self._prepared.get(handle)
-            if sql is not None:
-                # LRU touch: active handles move to the dict's end so
-                # cap eviction (oldest-first) targets abandoned ones,
-                # never a handle a long-lived client still executes
-                self._prepared[handle] = self._prepared.pop(handle)
+            with self._handles_lock:
+                sql = self._prepared.get(handle)
+                if sql is not None:
+                    # LRU touch: active handles move to the dict's end
+                    # so cap eviction (oldest-first) targets abandoned
+                    # ones, never a handle a client still executes
+                    self._prepared[handle] = self._prepared.pop(handle)
             if sql is None:
                 raise ValueError("unknown prepared statement handle")
             return sql, self._bound.get(handle)
@@ -354,9 +361,10 @@ class FlightSqlHandler:
         kind, payload = decoded
         if kind == "CommandPreparedStatementQuery":
             handle = bytes(decode_fields(payload)[1][0])
-            if handle not in self._prepared:
-                raise ValueError("unknown prepared statement handle")
-            self._prepared[handle] = self._prepared.pop(handle)  # LRU touch
+            with self._handles_lock:
+                if handle not in self._prepared:
+                    raise ValueError("unknown prepared statement handle")
+                self._prepared[handle] = self._prepared.pop(handle)  # LRU
             if reader is None:
                 raise ValueError("parameter bind needs an Arrow stream")
             table = reader.read_all()
@@ -408,15 +416,16 @@ class FlightSqlHandler:
             import uuid as _uuid
 
             handle = _uuid.uuid4().bytes
-            self._prepared[handle] = sql
-            # per-create handles no longer dedupe, so clients that die
-            # without ClosePreparedStatement would grow the dict without
-            # bound — evict oldest past a generous cap (dict = insertion
-            # order)
-            while len(self._prepared) > 1024:
-                old = next(iter(self._prepared))
-                self._prepared.pop(old, None)
-                self._bound.pop(old, None)
+            with self._handles_lock:
+                self._prepared[handle] = sql
+                # per-create handles no longer dedupe, so clients that
+                # die without ClosePreparedStatement would grow the dict
+                # without bound — evict oldest past a generous cap
+                # (dict = insertion order; LRU touches refresh it)
+                while len(self._prepared) > 1024:
+                    oldest = next(iter(self._prepared))
+                    self._prepared.pop(oldest, None)
+                    self._bound.pop(oldest, None)
             from beacon_spark.server.guard import is_readonly_sql
 
             dataset_schema = b""
@@ -438,7 +447,8 @@ class FlightSqlHandler:
             if decoded is not None:
                 fields = decode_fields(decoded[1])
                 handle = bytes(fields.get(1, [b""])[0])
-                self._prepared.pop(handle, None)
-                self._bound.pop(handle, None)
+                with self._handles_lock:
+                    self._prepared.pop(handle, None)
+                    self._bound.pop(handle, None)
             return []
         return None

@@ -310,9 +310,13 @@ class _Container:
         if os.path.isfile(p):
             s = os.stat(p)
             if s.st_size == size and abs(s.st_mtime - mtime) < 1e-3:
-                self._extracted[key] = (size, mtime)
-                os.utime(p, (time.time(), s.st_mtime))  # LRU touch
-                return p
+                try:
+                    os.utime(p, (time.time(), s.st_mtime))  # LRU touch
+                except OSError:
+                    pass  # concurrently evicted: fall through, re-extract
+                else:
+                    self._extracted[key] = (size, mtime)
+                    return p
         # a parent component may be cached as a FILE (keys 'a' and 'a/b'
         # can coexist in the container but not on a posix cache)
         parent = os.path.dirname(p)
@@ -359,12 +363,20 @@ class _Container:
         subtree may hold JVM writes not yet ingested — never those).
         Objects re-extract on demand, so eviction only costs a re-read.
 
-        Armed entries reconcile FIRST: a read-heavy session arms every
-        handout and nothing else may touch those paths again, so
-        without this sweep the whole cache would stay pinned. Reconcile
-        ingests any JVM change and disarms; pure reads disarm unchanged
-        and become evictable."""
-        self._reconcile_armed("")
+        Armed-entry policy — correctness first:
+
+        - under a PREFIX arm (a directory handout, e.g. an index dir
+          or a dataset tree mid-extraction) nothing is evicted: the
+          JVM may overwrite the whole directory, and overwrite
+          DELETION detection needs the extraction ledger + cache
+          copies intact.
+        - a FILE arm's cache copy MAY be evicted (its ledger entry is
+          dropped, the arm itself stays): single-file overwrites never
+          pre-delete, so a later JVM write simply appears as a
+          ledger-less file and reconciles as changed; a pure read
+          re-extracts. This keeps read-heavy sessions (which arm every
+          file handout) from pinning the cache forever.
+        """
         entries = []
         total = 0
         for dirpath, _dirs, files in os.walk(self.cache_dir):
@@ -379,11 +391,13 @@ class _Container:
                 total += st.st_size
         if total <= self.CACHE_BYTES:
             return
+        prefix_arms = [a for a in self._armed
+                       if os.path.isdir(os.path.join(self.cache_dir, a))]
         entries.sort()
         for _atime, sz, key, p in entries:
             if key == keep:
                 continue
-            if any(key == a or key.startswith(a + "/") for a in self._armed):
+            if any(key == a or key.startswith(a + "/") for a in prefix_arms):
                 continue
             try:
                 os.unlink(p)
@@ -397,7 +411,10 @@ class _Container:
     def cache_tree(self, prefix: str) -> str:
         """Extract every object under ``prefix`` and return the cache
         dir (for directory-shaped JVM reads, e.g. an index rebuild's
-        ``spark.read.parquet(idx_dir)``)."""
+        ``spark.read.parquet(idx_dir)``). The prefix arms FIRST so a
+        prune fired mid-extraction can never evict the tree's earlier
+        files out from under the handout."""
+        self._armed.add(prefix)
         for key, _, _ in self.keys_under(prefix):
             self.cache_path(key)
         d = os.path.join(self.cache_dir, prefix)
