@@ -159,6 +159,112 @@ def _sub_outside_literals(pattern: re.Pattern, repl, statement: str) -> str:
     return "".join(out)
 
 
+#: words that terminate a FROM-list (so a table alias is never confused
+#: with the next clause keyword)
+_SQL_CLAUSE_WORDS = frozenset(
+    "on where group order having qualify window limit union intersect except "
+    "join inner left right full cross natural anti semi lateral using as "
+    "select values tablesample distribute cluster sort offset fetch "
+    "pivot unpivot for when then else end and or not asc desc nulls".split()
+)
+
+_FROM_JOIN_RE = re.compile(r"\b(from|join)\b", re.IGNORECASE)
+_IDENT_RE = re.compile(r"[A-Za-z_][\w.]*")
+
+
+def _table_position_idents(statement: str, spans) -> list[str] | None:
+    """Identifiers in table position (after FROM/JOIN, including
+    comma-separated FROM lists), skipping string literals, subqueries
+    (their inner FROMs are scanned by the same pass) and ``IS [NOT]
+    DISTINCT FROM``. Returns ``None`` when a table position holds
+    something this conservative scan can't classify (``VALUES``, a
+    table-function call, odd syntax) — callers must treat that as
+    "may reference a local table" and fall back."""
+    out: list[str] = []
+    n = len(statement)
+    for m in _FROM_JOIN_RE.finditer(statement):
+        if _in_literal(spans, m.start()):
+            continue
+        if m.group(1).lower() == "from":
+            before = statement[: m.start()].rstrip()
+            if re.search(r"\bdistinct$", before, re.IGNORECASE):
+                continue  # IS [NOT] DISTINCT FROM — an expression, not a scan
+        i = m.end()
+        while True:  # one table ref, then any comma-joined siblings
+            while i < n and statement[i].isspace():
+                i += 1
+            if i >= n:
+                return None
+            if statement[i] == "(":
+                # subquery / parenthesized join: inner FROMs are scanned
+                # by the same outer pass — but a comma-joined sibling
+                # AFTER the closing paren must still be scanned
+                depth, j = 0, i
+                while j < n:
+                    if not _in_literal(spans, j):
+                        if statement[j] == "(":
+                            depth += 1
+                        elif statement[j] == ")":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                    j += 1
+                if j >= n:
+                    return None  # unbalanced — don't guess
+                j += 1
+                while j < n and statement[j].isspace():
+                    j += 1
+                am = _IDENT_RE.match(statement, j)
+                if am is not None and am.group(0).lower() == "as":
+                    j = am.end()
+                    while j < n and statement[j].isspace():
+                        j += 1
+                    am = _IDENT_RE.match(statement, j)
+                    if am is None:
+                        return None
+                    j = am.end()
+                elif am is not None and am.group(0).lower() not in _SQL_CLAUSE_WORDS:
+                    j = am.end()
+                while j < n and statement[j].isspace():
+                    j += 1
+                if j < n and statement[j] == ",":
+                    i = j + 1
+                    continue
+                break
+            im = _IDENT_RE.match(statement, i)
+            if im is None:
+                return None
+            ident = im.group(0)
+            if ident.lower() in _SQL_CLAUSE_WORDS or ident.lower() == "values":
+                return None  # FROM VALUES …, or syntax we don't model
+            i = im.end()
+            j = i
+            while j < n and statement[j].isspace():
+                j += 1
+            if j < n and statement[j] == "(":
+                return None  # table function in table position — local
+            out.append(ident)
+            # optional [AS] alias
+            am = _IDENT_RE.match(statement, j)
+            if am is not None and am.group(0).lower() == "as":
+                j = am.end()
+                while j < n and statement[j].isspace():
+                    j += 1
+                am = _IDENT_RE.match(statement, j)
+                if am is None:
+                    return None
+                j = am.end()
+            elif am is not None and am.group(0).lower() not in _SQL_CLAUSE_WORDS:
+                j = am.end()
+            while j < n and statement[j].isspace():
+                j += 1
+            if j < n and statement[j] == ",":
+                i = j + 1
+                continue
+            break
+    return out
+
+
 def _extract_star_replace(statement: str) -> tuple[str, list[tuple[str, str]]]:
     """``SELECT * REPLACE (expr AS col, ...)`` (DataFusion star options,
     docs/.../sql/index.md:46-48): strip the REPLACE clause and return the
@@ -716,7 +822,7 @@ class Engine:
                 return summarize(self.sql(src))
             return summarize(self.spark.table(src))
 
-        statement = self._resolve_remote(statement)
+        statement = self._resolve_remote(statement, has_params=params is not None)
         statement = self._rewrite_system_tables(statement)
         statement = self._rewrite_time_travel(statement)
         statement = self._rewrite_read_fns(statement)
@@ -1756,12 +1862,15 @@ class Engine:
             .load()
         )
 
-    def _resolve_remote(self, statement: str) -> str:
+    def _resolve_remote(self, statement: str, has_params: bool = False) -> str:
         """SQL surface for attached remotes: ``remote_query('alias',
         'sql')`` pushes the statement down; a bare ``alias__table``
         reference becomes a LAZY federated scan (temp view over the
         beacon_remote DataSource) whose filters/projection push to the
-        remote — never an eager SELECT * fetch."""
+        remote — never an eager SELECT * fetch. A read-only statement
+        whose table references are ALL tables of ONE attached remote is
+        pushed WHOLE as a single remote statement (the
+        FederationOptimizerRule analog — see _federated_pushdown)."""
         remotes = getattr(self, "_remotes", {})
         if not remotes:
             return statement
@@ -1778,6 +1887,10 @@ class Engine:
             return name
 
         statement = _sub_outside_literals(self._REMOTE_QUERY_RE, repl, statement)
+        if not has_params:
+            pushed = self._federated_pushdown(statement, remotes)
+            if pushed is not None:
+                return pushed
         spans = _literal_spans(statement)
         for alias, rb in remotes.items():
             pat = re.compile(rf"\b{re.escape(alias)}__(\w+)\b")
@@ -1797,6 +1910,97 @@ class Engine:
                         f"{alias}__{tbl}"
                     )
         return statement
+
+    #: clauses that REDUCE rows remotely — worth pushing even a
+    #: single-table statement whole (the per-table scan path already
+    #: pushes filters/projection, but not aggregation or top-k)
+    _FED_REDUCE_RE = re.compile(
+        r"\b(group\s+by|order\s+by|limit|distinct)\b", re.IGNORECASE
+    )
+
+    def _federated_pushdown(self, statement: str, remotes) -> str | None:
+        """FederationOptimizerRule analog (reference
+        beacon-core/src/runtime_builder.rs:814-827,
+        statement_plan/query_planner.rs:38-45): when a read-only
+        SELECT/WITH statement's table references are ALL tables of ONE
+        attached remote (or statement-local CTE names), ship the WHOLE
+        statement to that remote as a single lazy ``beacon_remote``
+        scan — the join/aggregation executes remotely and only RESULT
+        rows cross the wire, instead of two full table scans joined
+        locally.
+
+        Applies when the statement references ≥2 distinct remote tables
+        (a cross-table join) or contains a row-reducing clause
+        (GROUP BY / ORDER BY / LIMIT / DISTINCT); plain single-table
+        filter/projection statements keep the existing per-table
+        pushFilters path (plan-pinned in tests/test_plans.py). Returns
+        the rewritten statement, or ``None`` to fall back — any mixed
+        local/remote reference, multi-remote reference, unparseable
+        table position, or remote planning failure falls back safely.
+        """
+        from beacon_spark.server.guard import is_readonly_sql
+
+        if not re.match(r"^\s*(select|with)\b", statement, re.IGNORECASE):
+            return None
+        if not is_readonly_sql(statement):
+            return None
+        spans = _literal_spans(statement)
+        idents = _table_position_idents(statement, spans)
+        if idents is None:
+            return None
+        # names a WITH clause (or window list) defines inside the
+        # statement travel with it — they are not local references
+        ctes = {
+            m.group(1).lower()
+            for m in re.finditer(
+                r"\b(?:with|,)\s*(\w+)\s+as\s*\(", statement, re.IGNORECASE
+            )
+            if not _in_literal(spans, m.start())
+        }
+        refs: list[tuple[str, str]] = []
+        for ident in idents:
+            if ident.lower() in ctes:
+                continue
+            for alias, rb in remotes.items():
+                pre = alias + "__"
+                if ident.startswith(pre) and ident[len(pre):] in rb.list_tables():
+                    refs.append((alias, ident[len(pre):]))
+                    break
+            else:
+                return None  # a local (or unknown-remote) table — bail
+        if not refs:
+            return None
+        aliases = {a for a, _ in refs}
+        if len(aliases) != 1:
+            return None  # tables from two different remotes — join locally
+        alias = next(iter(aliases))
+        rb = remotes[alias]
+        if len({t for _, t in refs}) < 2:
+            blanked = re.sub(r"'(?:[^']|'')*'", "''", statement)
+            if not self._FED_REDUCE_RE.search(blanked):
+                return None
+        pat = re.compile(rf"\b{re.escape(alias)}__(\w+)\b")
+        remote_sql = _sub_outside_literals(
+            pat,
+            lambda m: m.group(1) if m.group(1) in rb.list_tables() else m.group(0),
+            statement,
+        )
+        try:
+            schema = rb.query_schema(remote_sql)  # LIMIT-0 plan, no data
+        except Exception:
+            return None  # the remote can't plan it — per-table fallback
+        self._register_remote_datasource()
+        name = f"__fed_{alias}_{abs(hash(remote_sql)) % 10**10}"
+        (
+            self.spark.read.format("beacon_remote")
+            .schema(schema)
+            .options(url=rb.location, sql=remote_sql, token=rb._token or "")
+            .load()
+            .createOrReplaceTempView(name)
+        )
+        self._remote_views = getattr(self, "_remote_views", {})
+        self._remote_views.setdefault(alias, set()).add(name)
+        return f"SELECT * FROM {name}"
 
     def _rewrite_read_fns(self, statement: str) -> str:
         """Replace ``read_*('glob' [, 'glob'...])`` table functions with

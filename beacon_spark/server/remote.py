@@ -103,6 +103,19 @@ class RemoteBeacon:
             self._schemas[table] = from_arrow_schema(info.schema)
         return self._schemas[table]
 
+    def query_schema(self, sql: str):
+        """Spark schema of an arbitrary read-only statement — metadata
+        only (get_flight_info plans ``LIMIT 0`` on the remote; nothing
+        executes). Used by the federation pushdown to type the lazy
+        DataSource over a whole pushed join/agg subtree."""
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        info = self._client.get_flight_info(
+            fl.FlightDescriptor.for_command(json.dumps({"sql": sql}).encode()),
+            options=self._opts(),
+        )
+        return from_arrow_schema(info.schema)
+
     def query(self, spark, sql: str):
         return spark.createDataFrame(self.query_arrow(sql))
 

@@ -147,7 +147,13 @@ class _RemoteReader(DataSourceReader):
     def __init__(self, schema, options):
         self._url = options["url"]
         self._token = options.get("token") or None
-        self._table = options["table"]
+        # either a bare remote table (per-table federated scan) or a whole
+        # pushed statement (federation pushdown of a join/agg subtree —
+        # the engine's _federated_pushdown rewrote alias__t refs away)
+        self._table = options.get("table")
+        self._sql = options.get("sql")
+        if not self._table and not self._sql:
+            raise ValueError("beacon_remote needs a 'table' or 'sql' option")
         self._columns = [f.name for f in schema.fields]
         self._preds: list[str] = []
 
@@ -156,8 +162,13 @@ class _RemoteReader(DataSourceReader):
         yield from rest
 
     def remote_sql(self) -> str:
+        if self._sql and not self._preds:
+            # whole-statement pushdown: ship it verbatim — wrapping in a
+            # subquery would only obscure the remote's own plan cache
+            return self._sql
+        base = self._table if self._table else f"({self._sql}) AS __fed_push"
         cols = ", ".join(_quote_ident((c,)) for c in self._columns) or "*"
-        sql = f"SELECT {cols} FROM {self._table}"
+        sql = f"SELECT {cols} FROM {base}"
         if self._preds:
             sql += " WHERE " + " AND ".join(self._preds)
         return sql

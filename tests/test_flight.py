@@ -515,3 +515,137 @@ def test_federated_scan_unsupported_filter_stays_local(spark, served, tmp_path):
     finally:
         eng.sql = orig
         client_eng.sql("DETACH fd2")
+
+
+def test_federated_join_pushed_whole_single_remote_call(spark, served, tmp_path):
+    """FederationOptimizerRule analog (runtime_builder.rs:814-827): a
+    join + aggregation over TWO tables of the SAME attached remote is
+    shipped as ONE remote statement — the remote executes the join and
+    only result rows cross the wire; the local plan has no Join node."""
+    eng, _server, port = served
+    eng.sql("CREATE TABLE fjnames AS "
+            "SELECT id % 3 AS g, char(ascii('a') + id % 3) AS nm FROM range(3)")
+    recorded = []
+    orig = eng.sql
+
+    def rec(sql, **kw):
+        recorded.append(sql)
+        return orig(sql, **kw)
+
+    eng.sql = rec
+    try:
+        ceng = Engine(spark, datasets_root=str(tmp_path / "fedj"))
+        ceng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS fj")
+        df = ceng.sql(
+            "SELECT n.nm AS nm, count(*) AS c FROM fj__remobs r "
+            "JOIN fj__fjnames n ON r.g = n.g GROUP BY n.nm ORDER BY nm"
+        )
+        rows = df.collect()
+        # remobs: 20 rows, g = id%3 -> 7/7/6 per group
+        assert [(r.nm, r.c) for r in rows] == [("a", 7), ("b", 7), ("c", 6)]
+        # the remote saw exactly ONE distinct statement containing the
+        # JOIN (planning + fetch reuse the same pushed SQL)...
+        joins = {s for s in recorded if "JOIN" in s.upper() and "remobs" in s}
+        assert len(joins) == 1, recorded
+        (pushed,) = joins
+        assert "fj__" not in pushed and "GROUP BY" in pushed.upper()
+        # ...and NO bare per-table scan of either side ran
+        bare = [s for s in recorded
+                if "JOIN" not in s.upper()
+                and ("remobs" in s or "fjnames" in s)
+                and s.strip().upper().startswith("SELECT")]
+        assert not bare, bare
+        # transferred rows = result rows: the local plan joins nothing
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan
+    finally:
+        eng.sql = orig
+        ceng.sql("DETACH fj")
+        eng.sql("DROP TABLE fjnames")
+
+
+def test_federated_single_table_agg_pushed_whole(spark, served, tmp_path):
+    """A single-table GROUP BY over a remote table also pushes WHOLE
+    (row reduction belongs on the remote), while a plain filter/projection
+    statement keeps the per-table pushFilters path."""
+    eng, _server, port = served
+    recorded = []
+    orig = eng.sql
+
+    def rec(sql, **kw):
+        recorded.append(sql)
+        return orig(sql, **kw)
+
+    eng.sql = rec
+    try:
+        ceng = Engine(spark, datasets_root=str(tmp_path / "feda"))
+        ceng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS fa")
+        out = ceng.sql(
+            "SELECT g, count(*) AS c FROM fa__remobs GROUP BY g ORDER BY g"
+        ).collect()
+        assert [(r.g, r.c) for r in out] == [(0, 7), (1, 7), (2, 6)]
+        aggs = {s for s in recorded if "GROUP BY" in s.upper() and "remobs" in s}
+        assert len(aggs) == 1, recorded
+        assert "fa__" not in next(iter(aggs))
+    finally:
+        eng.sql = orig
+        ceng.sql("DETACH fa")
+
+
+def test_federated_mixed_local_remote_falls_back(spark, served, tmp_path):
+    """A statement mixing a remote table with a LOCAL one must NOT push
+    whole (the remote does not have the local table — and might have a
+    same-named different one): the join runs locally over a lazy
+    per-table remote scan, and the answer is right."""
+    eng, _server, port = served
+    recorded = []
+    orig = eng.sql
+
+    def rec(sql, **kw):
+        recorded.append(sql)
+        return orig(sql, **kw)
+
+    eng.sql = rec
+    try:
+        ceng = Engine(spark, datasets_root=str(tmp_path / "fedm"))
+        ceng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS fm")
+        ceng.sql("CREATE TABLE mloc AS SELECT id % 3 AS g, id AS li FROM range(6)")
+        out = ceng.sql(
+            "SELECT count(*) AS c FROM fm__remobs r JOIN mloc ON r.g = mloc.g"
+        ).collect()
+        # per-g remote counts 7/7/6, local has 2 rows per g
+        assert out[0].c == 2 * (7 + 7 + 6)
+        # the remote never saw a JOIN (it ran locally)
+        assert not [s for s in recorded if "JOIN" in s.upper() and "remobs" in s]
+    finally:
+        eng.sql = orig
+        ceng.sql("DROP TABLE mloc")
+        ceng.sql("DETACH fm")
+
+
+def test_federated_two_remotes_fall_back(spark, served, tmp_path):
+    """Tables from TWO different attached remotes (even if they are the
+    same endpoint under two aliases) join locally — whole-statement
+    pushdown only fires for a single remote."""
+    eng, _server, port = served
+    recorded = []
+    orig = eng.sql
+
+    def rec(sql, **kw):
+        recorded.append(sql)
+        return orig(sql, **kw)
+
+    eng.sql = rec
+    try:
+        ceng = Engine(spark, datasets_root=str(tmp_path / "fed2"))
+        ceng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS ra")
+        ceng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS rb")
+        out = ceng.sql(
+            "SELECT count(*) AS c FROM ra__remobs a JOIN rb__remobs b ON a.id = b.id"
+        ).collect()
+        assert out[0].c == 20
+        assert not [s for s in recorded if "JOIN" in s.upper() and "remobs" in s]
+    finally:
+        eng.sql = orig
+        ceng.sql("DETACH ra")
+        ceng.sql("DETACH rb")
