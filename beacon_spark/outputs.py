@@ -101,16 +101,42 @@ def iter_arrow_batches(df: DataFrame, max_chunksize: int = 1 << 15):
 
 
 def write_csv(df: DataFrame, path: str, single: bool = True) -> None:
-    if single:
-        import csv as _csv
-
-        with open(path, "w", newline="", encoding="utf-8") as f:
-            w = _csv.writer(f)
-            w.writerow(df.columns)
-            for row in df.toLocalIterator():
-                w.writerow(["" if v is None else v for v in row])
-    else:
+    """csv output. ``single=True`` batch-streams Arrow batches through
+    pyarrow's C++ CSV writer (the reference's COPY-TO stream,
+    runtime.rs:192-246) — bounded driver memory AND vectorized encode;
+    the old row-at-a-time ``csv.writer`` loop survives only as the
+    fallback for types Arrow's CSV writer can't render (binary, nested)."""
+    if not single:
         df.write.mode("overwrite").option("header", "true").csv(path)
+        return
+    from pyarrow import csv as pa_csv
+
+    first, schema, rest = _first_and_schema(df)
+    try:
+        w = pa_csv.CSVWriter(path, schema)
+    except pa.lib.ArrowError:
+        _write_csv_rows(df, path, first, rest)
+        return
+    with w:
+        _write_batches(w, first, rest)
+
+
+def _write_csv_rows(df: DataFrame, path: str, first, rest) -> None:
+    """Row-loop fallback for schemas Arrow CSV can't encode — renders
+    python values like the pre-Arrow writer did (None → empty field)."""
+    import csv as _csv
+
+    def batches():
+        if first is not None:
+            yield first
+        yield from rest
+
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = _csv.writer(f)
+        w.writerow(df.columns)
+        for batch in batches():
+            for row in zip(*(c.to_pylist() for c in batch.columns)):
+                w.writerow(["" if v is None else v for v in row])
 
 
 def guarded_arrow_stream(df: DataFrame, limits):
@@ -275,12 +301,30 @@ def write_netcdf(
     NetCDF output (output.rs:102-112) — written with the self-contained
     NetCDF3 classic writer (sources/netcdf3.py), so no native library is
     needed. Timestamps become CF "microseconds since 1970-01-01" doubles;
-    object/string grids become fixed-width char arrays."""
+    object/string grids become fixed-width char arrays.
+
+    The FLAT variant streams: executor-spooled parquet sizes the ``obs``
+    dimension from file metadata, then each variable's values stream
+    through ``FlatStreamWriter`` chunk by chunk — the driver never holds
+    the result (the reference streams COPY TO, runtime.rs:192-246). The
+    nd variant genuinely needs the dense grid and stays a collect."""
+    if not dimension_columns:
+        _write_netcdf_flat_streamed(df, path)
+        return
+    _write_netcdf_table(df.toArrow(), path, dimension_columns)
+
+
+def _write_netcdf_table(
+    table: pa.Table,
+    path: str,
+    dimension_columns: list[str] | None = None,
+) -> None:
+    """In-memory NetCDF write over a materialized Arrow table: the nd
+    re-grid path, and the flat fallback for schemas parquet can't spool."""
     from beacon_spark.sources.netcdf3 import write_netcdf3
 
     # CF-normalize at the ARROW level first: tz/decimal columns become
     # numerics with CF units attrs (pandas would hand us object arrays)
-    table = df.toArrow()
     cols, cf_attrs = [], {}
     for name in table.column_names:
         c = table.column(name)
@@ -325,6 +369,160 @@ def write_netcdf(
         for name in table.column_names:
             variables[name] = (("obs",), to_np(table.column(name)))
     write_netcdf3(path, dims, variables, var_attrs)
+
+
+#: CF attribute + arrow cast chain applied to temporal/decimal columns
+def _cf_cast(col: pa.ChunkedArray | pa.Array, ftype: pa.DataType):
+    if pa.types.is_timestamp(ftype):
+        return col.cast(pa.timestamp("us")).cast(pa.int64()).cast(pa.float64())
+    if pa.types.is_date(ftype):
+        return col.cast(pa.date32()).cast(pa.int32()).cast(pa.float64())
+    if pa.types.is_decimal(ftype):
+        return col.cast(pa.float64())
+    return col
+
+
+def _nc_chunk(col, ftype: pa.DataType, t: int, width: int | None) -> np.ndarray:
+    """One Arrow column chunk → the numpy values FlatStreamWriter expects
+    for nc_type ``t`` — same value mapping as the in-memory path
+    (``to_np`` + ``_nc_type_for``): None → ""/NaN, int64 → int32 clipped."""
+    try:
+        col = col.cast(ftype)
+    except Exception:
+        pass  # parquet round-trip kept an equivalent type
+    col = _cf_cast(col, ftype)
+    if t == 2:
+        vals = ["" if v is None else v for v in col.to_pylist()]
+        if not vals:
+            return np.empty((0, width), "S1")
+        enc = np.char.encode(np.asarray(vals, dtype="U"), "utf-8").astype(f"S{width}")
+        return np.frombuffer(enc.tobytes(), "S1").reshape(-1, width)
+    arr = col.to_pandas().to_numpy()
+    if t == 6:
+        if arr.dtype == object:
+            arr = np.asarray(
+                [np.nan if v is None else float(v) for v in arr], np.float64
+            )
+        return arr.astype(np.float64)
+    if t == 5:
+        return arr.astype(np.float32)
+    if t == 4:
+        return arr.astype(np.int64).clip(-(2**31), 2**31 - 1).astype(np.int32)
+    if t == 3:
+        return arr.astype(np.int16)
+    return arr.astype(np.int8)  # t == 1 (byte / bool)
+
+
+def _write_netcdf_flat_streamed(
+    df: DataFrame, path: str, max_chunksize: int = 1 << 15
+) -> None:
+    """Flat NetCDF with BOUNDED driver memory: spool once to parquet
+    (written by the executors), size ``obs`` from parquet row counts,
+    decide each variable's nc type from the Arrow schema + parquet null
+    statistics (an int column with nulls becomes a NaN-filled double,
+    exactly like the in-memory path), take string widths from a
+    column-pruned metadata pass, then stream every variable's values
+    sequentially through FlatStreamWriter. Schemas parquet can't hold
+    (VOID, intervals) fall back to the materialized writer."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    target = arrow_schema_of(df)
+    spool = tempfile.mkdtemp(
+        prefix="beacon_ncspool_", dir=os.environ.get("BEACON_SPOOL_DIR")
+    )
+    try:
+        try:
+            df.write.mode("overwrite").parquet(spool)
+        except Exception as e:
+            msg = str(e).lower()
+            if not ("does not support" in msg or "unsupported" in msg):
+                raise
+            _write_netcdf_table(df.toArrow(), path)
+            return
+        parts = sorted(_glob.glob(os.path.join(spool, "part-*")))
+        pfs = [pq.ParquetFile(p) for p in parts]
+        nrows = sum(pf.metadata.num_rows for pf in pfs)
+
+        def has_nulls(name: str) -> bool:
+            """True unless parquet statistics PROVE the column null-free
+            (unknown stats choose the value-safe NaN-double encoding)."""
+            for pf in pfs:
+                md = pf.metadata
+                try:
+                    idx = [
+                        md.schema.column(i).path for i in range(len(md.schema))
+                    ].index(name)
+                except ValueError:
+                    return True
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx).statistics
+                    if st is None or st.null_count is None:
+                        return True
+                    if st.null_count:
+                        return True
+            return False
+
+        _INT_T = {"int8": 1, "uint8": 1, "int16": 3, "int32": 4}
+        specs: list[tuple[str, int, int | None]] = []
+        var_attrs: dict[str, dict] = {}
+        for field in target:
+            name, ft = field.name, field.type
+            if pa.types.is_string(ft) or pa.types.is_large_string(ft):
+                width = 1
+                for pf in pfs:
+                    for b in pf.iter_batches(columns=[name], batch_size=1 << 16):
+                        m = pc.max(
+                            pc.binary_length(b.column(0).cast(pa.large_binary()))
+                        ).as_py()
+                        if m:
+                            width = max(width, m)
+                specs.append((name, 2, width))
+            elif pa.types.is_timestamp(ft):
+                specs.append((name, 6, None))
+                var_attrs[name] = {"units": "microseconds since 1970-01-01"}
+            elif pa.types.is_date(ft):
+                specs.append((name, 6, None))
+                var_attrs[name] = {"units": "days since 1970-01-01"}
+            elif (
+                pa.types.is_decimal(ft)
+                or pa.types.is_float64(ft)
+                or pa.types.is_float16(ft)
+            ):
+                specs.append((name, 6, None))
+            elif pa.types.is_float32(ft):
+                specs.append((name, 5, None))
+            elif pa.types.is_boolean(ft):
+                specs.append((name, 6 if has_nulls(name) else 1, None))
+            elif pa.types.is_integer(ft):
+                t = _INT_T.get(str(ft), 4)  # 64-bit / unsigned narrow to int
+                specs.append((name, 6 if has_nulls(name) else t, None))
+            else:
+                raise ValueError(
+                    f"netcdf flat output does not support column {name!r} "
+                    f"of type {ft}"
+                )
+
+        from beacon_spark.sources.netcdf3 import FlatStreamWriter
+
+        w = FlatStreamWriter(path, nrows, specs, var_attrs)
+        try:
+            for name, t, width in specs:
+                ft = target.field(name).type
+                for pf in pfs:
+                    for b in pf.iter_batches(
+                        columns=[name], batch_size=max_chunksize
+                    ):
+                        w.write_values(name, _nc_chunk(b.column(0), ft, t, width))
+        except BaseException:
+            w._f.close()  # don't mask the real error with close()'s check
+            raise
+        w.close()
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
 
 
 # ------------------------------------------------------------ dispatcher

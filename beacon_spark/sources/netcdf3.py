@@ -394,3 +394,111 @@ def write_netcdf3(
     with open(path, "wb") as f:
         for p in w.parts:
             f.write(p)
+
+
+class FlatStreamWriter:
+    """Streaming CDF-2 writer for FLAT (record-oriented) output: one
+    ``obs`` dimension of a row count known up front, every variable 1-D
+    over it (strings get a per-variable ``_strlen`` dim). Because all
+    sizes are known, the full header is written first and each
+    variable's values then stream in declaration order, chunk by chunk —
+    the file layout is byte-identical to ``write_netcdf3``'s, but the
+    caller never materializes a whole column, let alone the table
+    (the reference streams COPY TO the same way, runtime.rs:192-246).
+
+    ``columns``: ``[(name, nc_type, char_width_or_None), ...]``.
+    Call ``write_values(name, np_chunk)`` with chunks IN ORDER per
+    variable, all of variable *i* before any of variable *i+1*; char
+    chunks must be ``S1`` arrays shaped ``(rows, width)``.
+    """
+
+    def __init__(self, path, nrows: int, columns, var_attrs=None,
+                 global_attrs=None):
+        dims: dict[str, int] = {"obs": int(nrows)}
+        dim_names = ["obs"]
+        prepared = []  # (name, dnames, nc_type, total_value_count)
+        for name, t, width in columns:
+            if t == 2:
+                strdim = f"_strlen_{name}"
+                dims[strdim] = int(width)
+                dim_names.append(strdim)
+                prepared.append((name, ("obs", strdim), 2, nrows * width))
+            else:
+                prepared.append((name, ("obs",), t, nrows))
+        dim_index = {d: i for i, d in enumerate(dim_names)}
+
+        w = _Writer()
+        w.raw(_MAGIC + bytes([2]))
+        w.u4(0)  # numrecs (all dims fixed — obs is sized, not unlimited)
+        w.u4(_NC_DIMENSION)
+        w.u4(len(dim_names))
+        for d in dim_names:
+            w.name(d)
+            w.u4(int(dims[d]))
+        w.attrs(global_attrs or {})
+        w.u4(_NC_VARIABLE)
+        w.u4(len(prepared))
+
+        def var_header(writer, nm, dnames, t, nvals, begin):
+            writer.name(nm)
+            writer.u4(len(dnames))
+            for d in dnames:
+                writer.u4(dim_index[d])
+            writer.attrs((var_attrs or {}).get(nm, {}))
+            writer.u4(t)
+            vsize = nvals * _TYPES[t].itemsize
+            writer.u4(vsize + _pad4(vsize))
+            writer.raw(struct.pack(">q", begin))
+
+        probe = _Writer()
+        for nm, dn, t, nv in prepared:
+            var_header(probe, nm, dn, t, nv, 0)
+        off = w.size() + probe.size()
+        begins = []
+        for nm, dn, t, nv in prepared:
+            begins.append(off)
+            vsize = nv * _TYPES[t].itemsize
+            off += vsize + _pad4(vsize)
+        for (nm, dn, t, nv), begin in zip(prepared, begins):
+            var_header(w, nm, dn, t, nv, begin)
+
+        self._f = open(path, "wb")
+        for p in w.parts:
+            self._f.write(p)
+        self._order = [(nm, t, nv) for nm, _dn, t, nv in prepared]
+        self._idx = 0
+        self._written = 0
+
+    def write_values(self, name: str, arr: np.ndarray) -> None:
+        nm, t, nv = self._order[self._idx]
+        if name != nm:
+            raise ValueError(
+                f"out-of-order write: expected {nm!r}, got {name!r}"
+            )
+        arr = np.ascontiguousarray(arr, _TYPES[t])
+        if self._written + arr.size > nv:
+            raise ValueError(f"variable {nm!r} overflows its declared size")
+        self._f.write(arr.tobytes())
+        self._written += arr.size
+        if self._written == nv:
+            vsize = nv * _TYPES[t].itemsize
+            self._f.write(b"\x00" * _pad4(vsize))
+            self._idx += 1
+            self._written = 0
+
+    def close(self) -> None:
+        if self._written:
+            raise ValueError(
+                f"variable {self._order[self._idx][0]!r} incomplete at close"
+            )
+        for nm, _t, nv in self._order[self._idx:]:
+            if nv:  # zero-count vars (nrows == 0) legitimately skip writes
+                raise ValueError(f"variable {nm!r} never written")
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._f.close()
+        return False

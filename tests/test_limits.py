@@ -4,6 +4,7 @@ reference: beacon-db/beacon-core/tests/resource_limits.rs and the
 RecordBatch streaming in beacon-core/src/runtime.rs:159-246)."""
 
 import json
+import numpy as np
 import urllib.error
 import urllib.request
 
@@ -164,6 +165,23 @@ def test_export_path_never_full_collects(spark, tmp_path, monkeypatch):
 
     with pa_ipc.open_file(a) as r:
         assert r.read_all().num_rows == 1000
+    # r6-verdict items 1/2: single-file CSV and flat NetCDF stream too
+    from beacon_spark.outputs import write_csv, write_netcdf
+
+    c = str(tmp_path / "out.csv")
+    write_csv(df, c, single=True)
+    import csv as _csv
+
+    with open(c) as f:
+        rows = list(_csv.DictReader(f))
+    assert len(rows) == 1000 and rows[5] == {"id": "5", "v": "2.5"}
+    n = str(tmp_path / "out.nc")
+    write_netcdf(df, n)
+    from beacon_spark.sources.netcdf3 import read_netcdf3
+
+    _dims, variables, _va, _ga = read_netcdf3(n)
+    assert len(np.asarray(variables["id"][1])) == 1000
+    assert float(np.asarray(variables["v"][1])[5]) == 2.5
 
 
 def test_iter_arrow_batches_preserves_order_and_types(spark):
