@@ -190,6 +190,21 @@ def _check_path(engine, a: dict, roles: list[str], path: str) -> None:
         raise AuthError(f"permission denied: SELECT on path {path!r}")
 
 
+def _resolve_ident(engine, a: dict, user: str) -> dict | None:
+    """Directory user, else an EXTERNAL principal (OIDC/IdP-verified
+    bearer identity the transport recorded on the engine): the IdP owns
+    the user, the token's role names map onto the local role/grant
+    model, and external principals are NEVER super-users (reference
+    oidc.rs:1-8 — the provider holds no user directory)."""
+    ident = a["users"].get(user)
+    if ident is not None:
+        return ident
+    ext = getattr(engine, "_external_principals", {}).get(user)
+    if ext is not None:
+        return {"roles": list(ext), "super_user": False}
+    return None
+
+
 def authorize(engine, statement: str, user: str | None) -> None:
     """Gate one statement for ``user``. ``None`` = embedded super-user
     (no checks). Super-user gate is unconditional; read grants are
@@ -198,7 +213,7 @@ def authorize(engine, statement: str, user: str | None) -> None:
         return
     cat = engine.catalog._load() if engine.catalog is not None else {}
     a = _auth(cat)
-    ident = a["users"].get(user)
+    ident = _resolve_ident(engine, a, user)
     if ident is None:
         raise AuthError(f"unknown user {user!r}")
     if ident.get("super_user"):
@@ -326,7 +341,7 @@ def require_super(engine, user: str | None, msg: str) -> None:
     if user is None:
         return
     a = _auth(engine.catalog._load() if engine.catalog is not None else {})
-    ident = a["users"].get(user)
+    ident = _resolve_ident(engine, a, user)
     if ident is None:
         raise AuthError(f"unknown user {user!r}")
     if not ident.get("super_user"):
@@ -343,7 +358,7 @@ def authorize_dsl(engine, body: dict, user: str | None) -> None:
         return
     cat = engine.catalog._load() if engine.catalog is not None else {}
     a = _auth(cat)
-    ident = a["users"].get(user)
+    ident = _resolve_ident(engine, a, user)
     if ident is None:
         raise AuthError(f"unknown user {user!r}")
     if ident.get("super_user"):

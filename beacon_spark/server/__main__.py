@@ -20,9 +20,12 @@ Reference-config parity notes:
     super-user-gate-only mode.
   - ``--crawler-daemon`` (CrawlerConfig) starts the background sweep
     that runs due crawlers on schedule.
-  - OIDC/JWKS validation is NOT implemented (needs outbound HTTPS to
-    the issuer; documented divergence) - local users + bearer token
-    only.
+  - ``--oidc-issuer/--oidc-jwks`` (OidcConfig) turn on offline
+    OIDC bearer-JWT validation (server/oidc.py, RFC 7515/7517 RS256):
+    the JWKS is a CONFIGURED local document rather than a fetched URL
+    (outbound HTTPS is a deployment concern; discovery documents can be
+    mirrored next to the config), tokens map to external principals
+    whose roles ride the local grant model.
 """
 
 from __future__ import annotations
@@ -92,6 +95,20 @@ def build_parser() -> argparse.ArgumentParser:
                     help="include a host resource snapshot in /api/info "
                          "(the reference's BEACON_ENABLE_SYS_INFO) "
                          "[env BEACON_SPARK_ENABLE_SYS_INFO]")
+    ap.add_argument("--oidc-issuer", default=_env("OIDC_ISSUER"),
+                    help="expected iss claim; enables OIDC bearer-JWT "
+                         "auth with --oidc-jwks "
+                         "[env BEACON_SPARK_OIDC_ISSUER]")
+    ap.add_argument("--oidc-jwks", default=_env("OIDC_JWKS"),
+                    help="path to the issuer's JWKS JSON document "
+                         "[env BEACON_SPARK_OIDC_JWKS]")
+    ap.add_argument("--oidc-audience", default=_env("OIDC_AUDIENCE"),
+                    help="expected aud claim (default: not checked)")
+    ap.add_argument("--oidc-username-claim",
+                    default=_env("OIDC_USERNAME_CLAIM",
+                                 "preferred_username"))
+    ap.add_argument("--oidc-roles-claim",
+                    default=_env("OIDC_ROLES_CLAIM", "realm_access.roles"))
     ap.add_argument("--disable-sql", action="store_true",
                     default=str(_env("ENABLE_SQL", "true")).lower()
                     in ("false", "0", "no"),
@@ -149,6 +166,20 @@ def launch(args, spark=None):
     if args.crawler_daemon:
         engine.start_crawler_scheduler(poll_secs=args.crawler_poll_seconds)
 
+    oidc = None
+    if args.oidc_issuer or args.oidc_jwks:
+        if not (args.oidc_issuer and args.oidc_jwks):
+            raise SystemExit("--oidc-issuer and --oidc-jwks go together")
+        from beacon_spark.server.oidc import OidcValidator
+
+        oidc = OidcValidator(
+            issuer=args.oidc_issuer,
+            jwks=args.oidc_jwks,
+            audience=args.oidc_audience,
+            username_claim=args.oidc_username_claim,
+            roles_claim=args.oidc_roles_claim,
+        )
+
     limits = QueryLimits(
         max_rows=args.max_rows or None,
         max_bytes=args.max_bytes or None,
@@ -161,10 +192,11 @@ def launch(args, spark=None):
               if args.cors_origins else None),
         enable_sql=not args.disable_sql,
         sys_info=args.enable_sys_info,
+        oidc=oidc,
     )
     flight_srv = BeaconFlightServer(
         engine, host=args.host, port=args.flight_port, token=args.token,
-        limits=limits,
+        limits=limits, oidc=oidc,
     )
     http_srv.serve_background()
     flight_srv.serve_background()

@@ -54,15 +54,30 @@ class _Identity(fl.ServerMiddleware):
 
 
 class _BearerAuth(fl.ServerMiddlewareFactory):
-    def __init__(self, engine, token: str | None):
+    def __init__(self, engine, token: str | None, oidc=None):
         self._engine = engine
         self._want = f"Bearer {token}" if token else None
+        self._oidc = oidc  # OidcValidator | None (server/oidc.py)
 
     def start_call(self, info, headers):
         got = headers.get("authorization") or headers.get("Authorization") or []
         header = got[0] if got else ""
         if self._want is not None and header == self._want:
             return _Identity(None)
+        if self._oidc is not None and header.startswith("Bearer "):
+            # OIDC bearer JWT → external principal (see server/oidc.py);
+            # invalid tokens 401, never fall through to anonymous
+            from beacon_spark.server.oidc import OidcError
+
+            try:
+                ident = self._oidc.verify(header[7:])
+            except OidcError as e:
+                raise fl.FlightUnauthenticatedError("bad bearer token") from e
+            ep = getattr(self._engine, "_external_principals", None)
+            if ep is None:
+                ep = self._engine._external_principals = {}
+            ep[ident.username] = list(ident.roles)
+            return _Identity(ident.username)
         if header.startswith("Basic "):
             import base64
 
@@ -101,14 +116,14 @@ class BeaconFlightServer(fl.FlightServerBase):
     """
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
-                 token: str | None = None, limits=None):
+                 token: str | None = None, limits=None, oidc=None):
         from beacon_spark.server.limits import QueryLimits
 
         # the auth middleware is always installed: it resolves the
         # caller identity (bearer/basic/anonymous) for every call
         super().__init__(
             f"grpc://{host}:{port}",
-            middleware={"auth": _BearerAuth(engine, token)},
+            middleware={"auth": _BearerAuth(engine, token, oidc=oidc)},
         )
         self.engine = engine
         self._limits = limits if limits is not None else QueryLimits()

@@ -80,13 +80,14 @@ class BeaconHttpServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
                  token: str | None = None, limits=None,
                  cors: dict | None = None, enable_sql: bool = True,
-                 sys_info: bool = False):
+                 sys_info: bool = False, oidc=None):
         from beacon_spark.server.limits import QueryLimits
 
         from beacon_spark.server.admin import AdminApi
 
         self.engine = engine
         self._token = token
+        self._oidc = oidc  # OidcValidator | None (server/oidc.py)
         self._limits = limits if limits is not None else QueryLimits()
         self._admin_api = AdminApi(engine)
         # BEACON_ENABLE_SQL=false parity: the gate is intentionally
@@ -164,6 +165,26 @@ class BeaconHttpServer:
                 self._ident = None  # None = embedded super-user
                 header = self.headers.get("Authorization") or ""
                 if outer._token is not None and header == f"Bearer {outer._token}":
+                    return True
+                if outer._oidc is not None and header.startswith("Bearer "):
+                    # OIDC bearer JWT: offline JWS verify, then the
+                    # token's roles become an EXTERNAL principal (the
+                    # IdP owns the user; auth.py maps the role names
+                    # onto the local grant model). A presented-but-
+                    # invalid token is ALWAYS a 401 — it never falls
+                    # through to the anonymous path.
+                    from beacon_spark.server.oidc import OidcError
+
+                    try:
+                        ident = outer._oidc.verify(header[7:])
+                    except OidcError:
+                        self._deny(401, "bad bearer token")
+                        return False
+                    ep = getattr(outer.engine, "_external_principals", None)
+                    if ep is None:
+                        ep = outer.engine._external_principals = {}
+                    ep[ident.username] = list(ident.roles)
+                    self._ident = ident.username
                     return True
                 if header.startswith("Basic "):
                     import base64

@@ -1,0 +1,279 @@
+"""Offline OIDC bearer-JWT validation (server/oidc.py; reference:
+beacon-db/beacon-auth/src/oidc.rs:1-140 + beacon-server-config
+OidcConfig). Keys are generated locally; nothing touches the network —
+the verification math itself is RFC 7515/8017 pure Python."""
+
+import base64
+import json
+import time
+
+import pytest
+
+from beacon_spark.server.oidc import Authenticated, OidcError, OidcValidator
+
+cryptography = pytest.importorskip("cryptography")
+
+from cryptography.hazmat.primitives import hashes  # noqa: E402
+from cryptography.hazmat.primitives.asymmetric import padding, rsa  # noqa: E402
+
+ISS = "https://idp.example.test/realms/lake"
+AUD = "beacon-api"
+
+
+def _b64u(b: bytes) -> str:
+    return base64.urlsafe_b64encode(b).rstrip(b"=").decode()
+
+
+def _uint_b64(i: int) -> str:
+    return _b64u(i.to_bytes((i.bit_length() + 7) // 8, "big"))
+
+
+@pytest.fixture(scope="module")
+def keypair():
+    priv = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    other = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    return priv, other
+
+
+@pytest.fixture(scope="module")
+def jwks(keypair):
+    priv, _other = keypair
+    nums = priv.public_key().public_numbers()
+    return {
+        "keys": [
+            {"kty": "RSA", "kid": "k1", "use": "sig", "alg": "RS256",
+             "n": _uint_b64(nums.n), "e": _uint_b64(nums.e)},
+            {"kty": "oct", "kid": "sym1", "k": _b64u(b"secret")},
+        ]
+    }
+
+
+def mint(priv, claims, kid="k1", alg="RS256", drop_kid=False):
+    header = {"alg": alg, "typ": "JWT"}
+    if not drop_kid:
+        header["kid"] = kid
+    h = _b64u(json.dumps(header).encode())
+    p = _b64u(json.dumps(claims).encode())
+    si = f"{h}.{p}".encode()
+    if alg == "HS256":
+        import hashlib
+        import hmac as _hmac
+
+        sig = _hmac.new(b"whatever", si, hashlib.sha256).digest()
+    else:
+        sig = priv.sign(si, padding.PKCS1v15(), hashes.SHA256())
+    return f"{h}.{p}.{_b64u(sig)}"
+
+
+def _claims(**over):
+    base = {
+        "iss": ISS, "aud": AUD, "exp": time.time() + 600,
+        "preferred_username": "alice",
+        "realm_access": {"roles": ["readers", "writers"]},
+    }
+    base.update(over)
+    return base
+
+
+@pytest.fixture(scope="module")
+def validator(jwks):
+    return OidcValidator(issuer=ISS, jwks=jwks, audience=AUD)
+
+
+def test_valid_token_resolves_principal(keypair, validator):
+    priv, _ = keypair
+    out = validator.verify(mint(priv, _claims()))
+    assert out == Authenticated(username="alice",
+                                roles=["readers", "writers"])
+
+
+def test_space_delimited_roles_and_custom_claims(keypair, jwks):
+    priv, _ = keypair
+    v = OidcValidator(issuer=ISS, jwks=jwks, audience=None,
+                      username_claim="sub", roles_claim="scope")
+    out = v.verify(mint(priv, _claims(sub="svc-1", scope="a b c")))
+    assert out.username == "svc-1" and out.roles == ["a", "b", "c"]
+
+
+def test_wrong_key_refused(keypair, validator):
+    _, other = keypair
+    with pytest.raises(OidcError, match="signature"):
+        validator.verify(mint(other, _claims()))
+
+
+def test_tampered_payload_refused(keypair, validator):
+    priv, _ = keypair
+    tok = mint(priv, _claims())
+    h, p, s = tok.split(".")
+    evil = _b64u(json.dumps(_claims(preferred_username="mallory")).encode())
+    with pytest.raises(OidcError):
+        validator.verify(f"{h}.{evil}.{s}")
+
+
+def test_temporal_claims(keypair, validator):
+    priv, _ = keypair
+    with pytest.raises(OidcError, match="expired"):
+        validator.verify(mint(priv, _claims(exp=time.time() - 120)))
+    # inside leeway: fine
+    validator.verify(mint(priv, _claims(exp=time.time() - 10)))
+    with pytest.raises(OidcError, match="no exp"):
+        validator.verify(mint(priv, _claims(exp=None)))
+    with pytest.raises(OidcError, match="not yet valid"):
+        validator.verify(mint(priv, _claims(nbf=time.time() + 600)))
+
+
+def test_issuer_and_audience(keypair, jwks):
+    priv, _ = keypair
+    v = OidcValidator(issuer=ISS, jwks=jwks, audience=AUD)
+    with pytest.raises(OidcError, match="issuer"):
+        v.verify(mint(priv, _claims(iss="https://evil.test")))
+    with pytest.raises(OidcError, match="audience"):
+        v.verify(mint(priv, _claims(aud="other-api")))
+    # aud may be a list containing the expected audience
+    v.verify(mint(priv, _claims(aud=["x", AUD])))
+    # no audience configured → aud not checked
+    OidcValidator(issuer=ISS, jwks=jwks).verify(
+        mint(priv, _claims(aud="other-api")))
+
+
+def test_alg_confusion_rejected(keypair, validator):
+    """HS256 'signed' with public material and alg=none are refused
+    outright — never verified against the RSA key."""
+    priv, _ = keypair
+    with pytest.raises(OidcError, match="alg"):
+        validator.verify(mint(priv, _claims(), alg="HS256"))
+    h = _b64u(json.dumps({"alg": "none", "kid": "k1"}).encode())
+    p = _b64u(json.dumps(_claims()).encode())
+    with pytest.raises(OidcError, match="alg"):
+        validator.verify(f"{h}.{p}.")
+
+
+def test_kid_handling(keypair, validator):
+    priv, _ = keypair
+    with pytest.raises(OidcError, match="kid"):
+        validator.verify(mint(priv, _claims(), drop_kid=True))
+    with pytest.raises(OidcError, match="no signing key"):
+        validator.verify(mint(priv, _claims(), kid="unknown"))
+    # the symmetric JWK can never satisfy an RS256 token
+    with pytest.raises(OidcError, match="not an RSA key"):
+        validator.verify(mint(priv, _claims(), kid="sym1"))
+
+
+def test_jwks_file_reload(keypair, jwks, tmp_path):
+    """A rotated JWKS file is picked up (the offline analog of the
+    reference's TTL-cached re-fetch)."""
+    import os
+
+    priv, other = keypair
+    p = str(tmp_path / "jwks.json")
+    with open(p, "w") as f:
+        json.dump(jwks, f)
+    v = OidcValidator(issuer=ISS, jwks=p, audience=AUD)
+    v.verify(mint(priv, _claims()))
+    nums = other.public_key().public_numbers()
+    rotated = {"keys": [{"kty": "RSA", "kid": "k1", "use": "sig",
+                         "n": _uint_b64(nums.n), "e": _uint_b64(nums.e)}]}
+    with open(p, "w") as f:
+        json.dump(rotated, f)
+    os.utime(p, (time.time() + 5, time.time() + 5))
+    with pytest.raises(OidcError, match="signature"):
+        v.verify(mint(priv, _claims()))  # old key no longer in the set
+    v.verify(mint(other, _claims()))
+
+
+# ------------------------------------------------------------ transport
+
+
+@pytest.fixture()
+def oidc_http(spark, tmp_path, keypair, jwks):
+    import os
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.server.http import BeaconHttpServer
+
+    root = str(tmp_path / "oidcroot")
+    os.makedirs(root)
+    eng = Engine(spark, datasets_root=root)
+    eng.sql("CREATE TABLE pub AS SELECT id FROM range(5)")
+    eng.sql("CREATE TABLE sec AS SELECT id FROM range(5)")
+    eng.sql("CREATE ROLE readers")
+    eng.sql("GRANT SELECT ON TABLE pub TO ROLE readers")
+    eng.sql("SET AUTH ENFORCEMENT ON")
+    v = OidcValidator(issuer=ISS, jwks=jwks, audience=AUD)
+    hs = BeaconHttpServer(eng, port=0, oidc=v)
+    port = hs.serve_background()
+    yield eng, f"http://127.0.0.1:{port}"
+    hs.shutdown()
+
+
+def _post(base, obj, token=None):
+    import urllib.request
+
+    headers = {"Content-Type": "application/json"}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    req = urllib.request.Request(f"{base}/api/query",
+                                 data=json.dumps(obj).encode(),
+                                 headers=headers, method="POST")
+    return urllib.request.urlopen(req)
+
+
+def test_http_oidc_external_principal(oidc_http, keypair):
+    """A verified token's roles ride the LOCAL grant model: granted
+    table readable, ungranted denied, DDL refused (external principals
+    are never super-users), garbage tokens 401."""
+    import urllib.error
+
+    _eng, base = oidc_http
+    priv, _ = keypair
+    tok = mint(priv, _claims())
+
+    with _post(base, {"sql": "SELECT count(*) AS c FROM pub",
+                      "format": "json"}, tok) as r:
+        assert json.loads(r.read())[0]["c"] == 5
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base, {"sql": "SELECT * FROM sec", "format": "json"}, tok)
+    assert ei.value.code in (400, 403)
+    assert b"permission denied" in ei.value.read()
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base, {"sql": "CREATE TABLE t2 AS SELECT 1 AS x"}, tok)
+    assert ei.value.code in (400, 403)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base, {"sql": "SELECT 1"}, "garbage.token.here")
+    assert ei.value.code == 401
+
+
+def test_flight_oidc_external_principal(spark, tmp_path, keypair, jwks):
+    import os
+
+    import pyarrow.flight as fl
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.server.flight import BeaconFlightServer
+
+    root = str(tmp_path / "oidcfl")
+    os.makedirs(root)
+    eng = Engine(spark, datasets_root=root)
+    eng.sql("CREATE TABLE fpub AS SELECT id FROM range(3)")
+    eng.sql("CREATE ROLE readers")
+    eng.sql("GRANT SELECT ON TABLE fpub TO ROLE readers")
+    eng.sql("SET AUTH ENFORCEMENT ON")
+    v = OidcValidator(issuer=ISS, jwks=jwks, audience=AUD)
+    server = BeaconFlightServer(eng, port=0, oidc=v)
+    port = server.serve_background()
+    try:
+        priv, _ = keypair
+        client = fl.FlightClient(f"grpc://127.0.0.1:{port}")
+        opts = fl.FlightCallOptions(headers=[
+            (b"authorization", f"Bearer {mint(priv, _claims())}".encode())])
+        out = client.do_get(
+            fl.Ticket(json.dumps({"sql": "SELECT count(*) AS c FROM fpub"})
+                      .encode()), options=opts).read_all()
+        assert out.column("c").to_pylist() == [3]
+        bad = fl.FlightCallOptions(headers=[
+            (b"authorization", b"Bearer not.a.jwt")])
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            client.do_get(fl.Ticket(json.dumps({"sql": "SELECT 1"}).encode()),
+                          options=bad).read_all()
+    finally:
+        server.shutdown()
