@@ -1,0 +1,204 @@
+"""Scale-regression guards: fixed job-count / metadata-op budgets.
+
+The round-6 COW-probe bug (one Spark job PER FILE on UPDATE/DELETE) was
+found by reading plans, not by a test; these pin the budgets so an
+accidental per-file loop can't come back. Each op runs against the
+accounting ``mock://`` store at N=64 and N=256 data files (both above
+Spark's parallel-partition-discovery threshold, so the one bounded
+listing job appears on both sides) and must spend IDENTICAL Spark job
+counts and metadata-plane op counts — anything
+O(files) on the driver/metadata path is a regression the diff will
+show as a changed budget (reference contract: actions.rs DML plans one
+scan regardless of fragment count).
+"""
+
+import uuid
+from collections import Counter
+from urllib.parse import urlparse
+
+import pytest
+
+from beacon_spark.engine import Engine
+from beacon_spark.sources import bytesource as bs
+
+
+class BudgetStoreFS(bs._ArrowFS):
+    root_dir: str = ""
+    ops = Counter()  # class-level: survives per-call instantiation
+
+    def __init__(self, scheme, authority):
+        from pyarrow import fs as pafs
+
+        self.scheme, self.authority = scheme, authority
+        self.fs = pafs.SubTreeFileSystem(self.root_dir, pafs.LocalFileSystem())
+        self._root = ""
+
+    def spark_path(self, uri: str) -> str:
+        BudgetStoreFS.ops["spark_path"] += 1
+        return self.root_dir + urlparse(uri).path
+
+    def _count(name):
+        def wrapper(self, *a, **kw):
+            BudgetStoreFS.ops[name] += 1
+            return getattr(bs._ArrowFS, name)(self, *a, **kw)
+
+        wrapper.__name__ = name
+        return wrapper
+
+    for _m in ("read_bytes", "write_bytes", "publish_bytes", "listdir",
+               "makedirs", "move", "remove", "rmtree", "isdir", "exists"):
+        locals()[_m] = _count(_m)
+    del _m, _count
+
+
+@pytest.fixture()
+def budget_root(tmp_path, spark):
+    store_dir = tmp_path / "bstore"
+    store_dir.mkdir()
+    BudgetStoreFS.root_dir = str(store_dir)
+    BudgetStoreFS.ops = Counter()
+    bs.register_scheme("bmock", BudgetStoreFS)
+    # keep file listing driver-side at every N so job counts compare OUR
+    # code, not Spark's parallel-discovery regime change at 32 paths
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "100000")
+    yield "bmock://lake"
+    if old is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, old)
+    bs._SCHEMES.pop("bmock", None)
+    bs._FS_CACHE.clear()
+
+
+def _measure(spark, fn):
+    """(spark job count, metadata op Counter) spent by ``fn``."""
+    sc = spark.sparkContext
+    gid = f"budget-{uuid.uuid4().hex[:8]}"
+    before = Counter(BudgetStoreFS.ops)
+    sc.setJobGroup(gid, "budget probe")
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = len(sc.statusTracker().getJobIdsForGroup(gid))
+    delta = Counter(BudgetStoreFS.ops)
+    delta.subtract(before)
+    return jobs, +delta
+
+
+def _mk_table(eng, name: str, nfiles: int) -> None:
+    """A managed table whose current version holds ``nfiles`` parquet
+    fragments (one CTAS over a repartitioned source)."""
+    eng.sql(f"CREATE TABLE {name} AS "
+            f"SELECT id, id % 16 AS g, CAST(id AS DOUBLE) AS v "
+            f"FROM (SELECT /*+ REPARTITION({nfiles}) */ id "
+            f"      FROM range({nfiles * 50}))")
+
+
+def _budgets_for(spark, budget_root, op, nfiles, prep=None):
+    # one lake root PER SIZE: budgets must reflect this table's file
+    # count, not catalog neighbors resolved alongside it
+    eng = Engine(spark, datasets_root=f"{budget_root}/n{nfiles}")
+    name = f"t{nfiles}_{uuid.uuid4().hex[:6]}"
+    _mk_table(eng, name, nfiles)
+    if prep is not None:
+        prep(eng, name)
+    return _measure(spark, lambda: op(eng, name))
+
+
+def _assert_same_budget(spark, budget_root, op, prep=None, label=""):
+    ja, opsa = _budgets_for(spark, budget_root, op, 64, prep)
+    jb, opsb = _budgets_for(spark, budget_root, op, 256, prep)
+    assert ja == jb, (
+        f"{label}: Spark job count scales with file count "
+        f"(N=64 → {ja} jobs, N=256 → {jb} jobs)"
+    )
+    for k in ("listdir", "read_bytes", "isdir", "exists"):
+        assert opsa[k] == opsb[k], (
+            f"{label}: metadata op {k} scales with file count "
+            f"(N=64 → {opsa[k]}, N=256 → {opsb[k]}); full deltas "
+            f"{dict(opsa)} vs {dict(opsb)}"
+        )
+    return ja, opsa
+
+
+def test_update_budget_fixed(spark, budget_root):
+    """UPDATE touching a single id must cost the same jobs/metadata ops
+    on a 4-file and a 64-file table (the r6 one-job touched-file probe,
+    managed.py:274-299)."""
+    jobs, _ = _assert_same_budget(
+        spark, budget_root,
+        lambda eng, name: eng.sql(f"UPDATE {name} SET v = -1 WHERE id = 7"),
+        label="UPDATE",
+    )
+    assert jobs <= 5, f"UPDATE spends {jobs} jobs — expected a small constant"
+
+
+def test_delete_budget_fixed(spark, budget_root):
+    _assert_same_budget(
+        spark, budget_root,
+        lambda eng, name: eng.sql(f"DELETE FROM {name} WHERE id = 7"),
+        label="DELETE",
+    )
+
+
+def test_optimize_budget_fixed(spark, budget_root):
+    """OPTIMIZE reads all fragments (inherent, one distributed scan) but
+    must not spend driver jobs or metadata ops per file."""
+    _assert_same_budget(
+        spark, budget_root,
+        lambda eng, name: eng.sql(f"OPTIMIZE {name}"),
+        label="OPTIMIZE",
+    )
+
+
+def test_pruned_read_budget_fixed(spark, budget_root):
+    """A btree-indexed point read plans the same number of jobs and
+    metadata ops whatever the fragment count — pruning happens from the
+    index metadata, not by touching files."""
+
+    def prep(eng, name):
+        eng.sql(f"CREATE INDEX idx_{name} ON {name} (id)")
+
+    _assert_same_budget(
+        spark, budget_root,
+        lambda eng, name: eng.sql(
+            f"SELECT count(*) AS c FROM {name} WHERE id = 7").collect(),
+        prep=prep,
+        label="pruned read",
+    )
+
+
+def test_crawler_resweep_budget(spark, budget_root, tmp_path):
+    """The FIRST crawler sweep legitimately reads each new dataset once
+    (schema registration is per-discovery work); the invariant that must
+    hold at scale is the STEADY STATE: a re-sweep that discovers nothing
+    new spends a flat, dataset-count-independent budget — the daily
+    sweep over a 100 TB lake must not re-read footers."""
+
+    def run(nfiles):
+        eng = Engine(spark, datasets_root=budget_root)
+        fs = bs.fs_for(budget_root)
+        sub = f"crawl{nfiles}"
+        df = spark.range(10).selectExpr("id")
+        for i in range(nfiles):
+            df.coalesce(1).write.mode("overwrite").parquet(
+                fs.spark_path(f"{budget_root}/{sub}/ds{i}.parquet"))
+        eng.sql(f"CREATE CRAWLER c_{sub} ON '{sub}'")
+        eng.sql(f"RUN CRAWLER c_{sub}")  # discovery sweep: O(new) reads
+        return _measure(spark, lambda: eng.sql(f"RUN CRAWLER c_{sub}"))
+
+    ja, opsa = run(8)
+    jb, opsb = run(48)
+    assert ja == jb, f"crawler re-sweep jobs scale: {ja} vs {jb}"
+    # the listing CALL count must not be per-dataset (one tree walk)
+    assert opsb["listdir"] <= opsa["listdir"] + 2, (
+        f"crawler listdir calls scale with dataset count: "
+        f"{opsa['listdir']} vs {opsb['listdir']}"
+    )
+    assert opsb["read_bytes"] == opsa["read_bytes"], (
+        f"crawler re-sweep reads bytes per dataset: {opsa['read_bytes']} "
+        f"vs {opsb['read_bytes']}"
+    )
