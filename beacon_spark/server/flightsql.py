@@ -24,6 +24,12 @@ the Arrow JDBC driver use for read paths):
     enumeration with the schemas the Flight SQL spec fixes
   - ``CommandGetSqlInfo`` — empty result with the spec schema (the
     reference returns a minimal info set too)
+  - ``CommandGetPrimaryKeys`` / ``GetImportedKeys`` / ``GetExportedKeys``
+    / ``GetCrossReference`` — empty results with the spec schemas (the
+    engine has no key constraints; answering beats erroring the
+    client's whole metadata probe — DataGrip/ADBC issue these on
+    connect) and ``CommandGetXdbcTypeInfo`` with the engine's SQL type
+    set as java.sql.Types descriptors
   - ``CommandStatementUpdate`` via do_put → ``DoPutUpdateResult``
 
 Wire-format pins: the tests assert exact protobuf byte strings for
@@ -158,6 +164,65 @@ _SQL_INFO_SCHEMA = pa.schema([
     ]), False),
 ])
 
+#: CommandGetPrimaryKeys result schema (FlightSql.proto) — beacon has
+#: no key constraints, so the result is always empty, but returning the
+#: SPEC SCHEMA instead of an unknown-command error keeps DataGrip/ADBC
+#: metadata probes from failing the whole connection
+_GET_PRIMARY_KEYS_SCHEMA = pa.schema([
+    pa.field("catalog_name", pa.utf8()),
+    pa.field("db_schema_name", pa.utf8()),
+    pa.field("table_name", pa.utf8(), False),
+    pa.field("column_name", pa.utf8(), False),
+    pa.field("key_sequence", pa.int32(), False),
+    pa.field("key_name", pa.utf8()),
+])
+#: shared by CommandGetImportedKeys / ExportedKeys / CrossReference
+_GET_KEYS_SCHEMA = pa.schema([
+    pa.field("pk_catalog_name", pa.utf8()),
+    pa.field("pk_db_schema_name", pa.utf8()),
+    pa.field("pk_table_name", pa.utf8(), False),
+    pa.field("pk_column_name", pa.utf8(), False),
+    pa.field("fk_catalog_name", pa.utf8()),
+    pa.field("fk_db_schema_name", pa.utf8()),
+    pa.field("fk_table_name", pa.utf8(), False),
+    pa.field("fk_column_name", pa.utf8(), False),
+    pa.field("key_sequence", pa.int32(), False),
+    pa.field("fk_key_name", pa.utf8()),
+    pa.field("pk_key_name", pa.utf8()),
+    pa.field("update_rule", pa.uint8(), False),
+    pa.field("delete_rule", pa.uint8(), False),
+])
+_GET_XDBC_TYPE_INFO_SCHEMA = pa.schema([
+    pa.field("type_name", pa.utf8(), False),
+    pa.field("data_type", pa.int32(), False),
+    pa.field("column_size", pa.int32()),
+    pa.field("literal_prefix", pa.utf8()),
+    pa.field("literal_suffix", pa.utf8()),
+    pa.field("create_params", pa.list_(pa.field("item", pa.utf8(), False))),
+    pa.field("nullable", pa.int32(), False),
+    pa.field("case_sensitive", pa.bool_(), False),
+    pa.field("searchable", pa.int32(), False),
+    pa.field("unsigned_attribute", pa.bool_()),
+    pa.field("fixed_prec_scale", pa.bool_(), False),
+    pa.field("auto_increment", pa.bool_()),
+    pa.field("local_type_name", pa.utf8()),
+    pa.field("minimum_scale", pa.int32()),
+    pa.field("maximum_scale", pa.int32()),
+    pa.field("sql_data_type", pa.int32(), False),
+    pa.field("datetime_subcode", pa.int32()),
+    pa.field("num_prec_radix", pa.int32()),
+    pa.field("interval_precision", pa.int32()),
+])
+
+#: the engine's SQL types as XDBC type descriptors (java.sql.Types
+#: codes; typeNoNulls=1, searchable=3) — what a JDBC/ADBC client needs
+#: to map result metadata without guessing
+_XDBC_TYPES = [
+    ("BOOLEAN", 16), ("TINYINT", -6), ("SMALLINT", 5), ("INTEGER", 4),
+    ("BIGINT", -5), ("FLOAT", 6), ("DOUBLE", 8), ("DECIMAL", 3),
+    ("VARCHAR", 12), ("BINARY", -2), ("DATE", 91), ("TIMESTAMP", 93),
+]
+
 CATALOG_NAME = "beacon"
 DB_SCHEMA_NAME = "default"
 
@@ -261,6 +326,36 @@ class FlightSqlHandler:
             return pa.Table.from_pylist(
                 [{"table_type": "TABLE"}], schema=_GET_TABLE_TYPES_SCHEMA
             )
+        if kind == "CommandGetPrimaryKeys":
+            # no key constraints in the engine: empty result, spec schema
+            return _GET_PRIMARY_KEYS_SCHEMA.empty_table()
+        if kind in ("CommandGetImportedKeys", "CommandGetExportedKeys",
+                    "CommandGetCrossReference"):
+            return _GET_KEYS_SCHEMA.empty_table()
+        if kind == "CommandGetXdbcTypeInfo":
+            fields = decode_fields(payload)
+            rows = [
+                {"type_name": name, "data_type": code, "column_size": None,
+                 "literal_prefix": "'" if code == 12 else None,
+                 "literal_suffix": "'" if code == 12 else None,
+                 "create_params": None, "nullable": 1,
+                 "case_sensitive": code == 12, "searchable": 3,
+                 "unsigned_attribute": None, "fixed_prec_scale": False,
+                 "auto_increment": False, "local_type_name": name,
+                 "minimum_scale": None, "maximum_scale": None,
+                 "sql_data_type": code, "datetime_subcode": None,
+                 "num_prec_radix": 10 if code in (3, 4, 5, -5, -6, 6, 8)
+                 else None, "interval_precision": None}
+                for name, code in _XDBC_TYPES
+            ]
+            if fields.get(1):  # optional int32 data_type filter
+                want = fields[1][0]
+                # proto int32 negatives ride as 64-bit two's complement
+                if want >= (1 << 63):
+                    want -= 1 << 64
+                rows = [r for r in rows if r["data_type"] == want]
+            return pa.Table.from_pylist(rows,
+                                        schema=_GET_XDBC_TYPE_INFO_SCHEMA)
         if kind == "CommandGetSqlInfo":
             # empty result with the spec schema (pa.Schema.empty_table
             # can't build an empty dense_union — construct it by hand)

@@ -265,3 +265,54 @@ def test_prepared_handles_are_per_create(fsql_server):
     assert t.column("n").to_pylist() == [
         sum(1 for i in range(30) if i % 3 == 1 and i < 10)
     ]
+
+
+def test_key_and_type_info_commands(fsql_server):
+    """The metadata commands DataGrip/ADBC issue on connect must answer
+    with the FlightSql.proto spec schemas instead of erroring the whole
+    session: key enumerations are empty (no constraints in the engine),
+    GetXdbcTypeInfo describes the SQL type set (r6-verdict item 6)."""
+    _eng, client = fsql_server
+    from beacon_spark.server.flightsql import _field_varint
+
+    # primary keys on any table: zero rows, six spec columns
+    info = client.get_flight_info(
+        _cmd_descriptor("CommandGetPrimaryKeys", b"\x1a\x03fsq"))
+    t = client.do_get(info.endpoints[0].ticket).read_all()
+    assert t.num_rows == 0
+    assert t.schema.names == ["catalog_name", "db_schema_name",
+                              "table_name", "column_name", "key_sequence",
+                              "key_name"]
+    assert info.schema == t.schema  # info advertises the same schema
+
+    for kind in ("CommandGetImportedKeys", "CommandGetExportedKeys",
+                 "CommandGetCrossReference"):
+        info = client.get_flight_info(_cmd_descriptor(kind, b""))
+        t = client.do_get(info.endpoints[0].ticket).read_all()
+        assert t.num_rows == 0
+        assert t.schema.names[:4] == ["pk_catalog_name", "pk_db_schema_name",
+                                      "pk_table_name", "pk_column_name"]
+        assert t.schema.field("update_rule").type == pa.uint8()
+
+    # type info: the engine's SQL types with java.sql.Types codes
+    info = client.get_flight_info(
+        _cmd_descriptor("CommandGetXdbcTypeInfo", b""))
+    t = client.do_get(info.endpoints[0].ticket).read_all()
+    names = t.column("type_name").to_pylist()
+    assert "VARCHAR" in names and "BIGINT" in names and "TIMESTAMP" in names
+    codes = dict(zip(names, t.column("data_type").to_pylist()))
+    assert codes["VARCHAR"] == 12 and codes["BIGINT"] == -5
+    assert t.schema.field("create_params").type == pa.list_(
+        pa.field("item", pa.utf8(), False))
+
+    # optional data_type filter (proto field 1, varint int32)
+    info = client.get_flight_info(_cmd_descriptor(
+        "CommandGetXdbcTypeInfo", _field_varint(1, 12)))
+    t = client.do_get(info.endpoints[0].ticket).read_all()
+    assert t.column("type_name").to_pylist() == ["VARCHAR"]
+
+    # negative code filter rides as 64-bit two's complement varint
+    info = client.get_flight_info(_cmd_descriptor(
+        "CommandGetXdbcTypeInfo", _field_varint(1, -5)))
+    t = client.do_get(info.endpoints[0].ticket).read_all()
+    assert t.column("type_name").to_pylist() == ["BIGINT"]
