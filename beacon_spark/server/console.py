@@ -5,7 +5,11 @@ interactive API docs at ``/swagger`` (``axum/router.rs:61-77``). This
 is the self-contained analog: one dependency-free HTML page (no CDN —
 servers run offline) that lists tables/datasets, runs SQL through
 ``POST /api/query`` with the caller's credentials, and renders rows.
-The API reference itself is ``GET /openapi.json`` (openapi.py)."""
+The Admin panel drives the ``/api/admin/*`` router (admin.py — crawler
+CRUD + run, dataset upload/delete, user/role listing), covering the
+reference web UI's admin workflows without a SPA toolchain
+(docs/connect/web-admin-ui.md). The API reference itself is
+``GET /openapi.json`` (openapi.py)."""
 
 from __future__ import annotations
 
@@ -50,6 +54,8 @@ CONSOLE_HTML = """<!doctype html>
   <h2>Datasets</h2><ul id="datasets"></ul>
   <h2>Docs</h2>
   <ul><li onclick="location='/openapi.json'">openapi.json</li></ul>
+  <h2>Admin</h2>
+  <ul><li onclick="showAdmin()">open admin panel</li></ul>
 </aside>
 <main>
   <textarea id="sql" spellcheck="false"
@@ -59,6 +65,33 @@ CONSOLE_HTML = """<!doctype html>
     <span id="status"></span>
   </div>
   <div id="out"></div>
+  <div id="admin" style="display:none; flex:1; overflow:auto">
+    <p>
+      <label>Authorization header (Bearer …/Basic user:pass):
+        <input id="adm-auth" size="34" placeholder="(none)"></label>
+    </p>
+    <h2>Crawlers</h2>
+    <div id="adm-crawlers"></div>
+    <form onsubmit="return admCreateCrawler(this)">
+      <input name="name" placeholder="crawler name" required>
+      <input name="prefix" placeholder="prefix (optional)">
+      <button>Create crawler</button>
+    </form>
+    <h2>Datasets</h2>
+    <form onsubmit="return admUpload(this)">
+      <input name="path" placeholder="dest path, e.g. up/data.parquet"
+             required>
+      <input name="file" type="file" required>
+      <button>Upload</button>
+    </form>
+    <form onsubmit="return admDeleteDataset(this)">
+      <input name="path" placeholder="dataset path to delete" required>
+      <button>Delete dataset</button>
+    </form>
+    <h2>Users</h2><div id="adm-users"></div>
+    <h2>Roles</h2><div id="adm-roles"></div>
+    <div id="adm-status" class="err"></div>
+  </div>
 </main>
 <script>
 "use strict";
@@ -108,6 +141,87 @@ async function run() {
 $("sql").addEventListener("keydown", (e) => {
   if ((e.ctrlKey || e.metaKey) && e.key === "Enter") run();
 });
+/* ---------------- admin panel (drives /api/admin/*, admin.py) ----- */
+function admHeaders(extra) {
+  const h = Object.assign({}, extra || {});
+  const a = $("adm-auth").value.trim();
+  if (a) h["Authorization"] = a;
+  return h;
+}
+async function adm(path, opts) {
+  opts = opts || {};
+  opts.headers = admHeaders(opts.headers);
+  try {
+    $("adm-status").textContent = "";
+    return await api(path, opts);
+  } catch (e) {
+    $("adm-status").textContent = e.message;
+    throw e;
+  }
+}
+function renderInto(id, rows) {
+  const el = $(id);
+  if (!Array.isArray(rows) || !rows.length) {
+    el.innerHTML = "<p>(none)</p>"; return []; }
+  const cols = Object.keys(rows[0]);
+  let h = "<table><thead><tr>" +
+    cols.map(c => "<th>" + esc(c) + "</th>").join("") +
+    "</tr></thead><tbody>";
+  for (const row of rows)
+    h += "<tr>" + cols.map(c => "<td>" + esc(row[c]) + "</td>").join("") +
+         "</tr>";
+  el.innerHTML = h + "</tbody></table>";
+  return rows;
+}
+async function showAdmin() {
+  $("out").style.display = "none";
+  $("admin").style.display = "block";
+  await admRefresh();
+}
+async function admRefresh() {
+  try {
+    const crawlers = await adm("/api/admin/crawlers");
+    renderInto("adm-crawlers", crawlers);
+    for (const c of crawlers) {
+      const b = document.createElement("button");
+      b.textContent = "run " + c.crawler_name;
+      b.onclick = () => adm("/api/admin/crawlers/" +
+        encodeURIComponent(c.crawler_name) + "/run", {method: "POST"})
+        .then(admRefresh);
+      $("adm-crawlers").appendChild(b);
+      const d = document.createElement("button");
+      d.textContent = "delete " + c.crawler_name;
+      d.onclick = () => adm("/api/admin/crawlers/" +
+        encodeURIComponent(c.crawler_name), {method: "DELETE"})
+        .then(admRefresh);
+      $("adm-crawlers").appendChild(d);
+    }
+    renderInto("adm-users", await adm("/api/admin/auth/users"));
+    renderInto("adm-roles", await adm("/api/admin/auth/roles"));
+  } catch {}
+}
+function admCreateCrawler(f) {
+  const spec = {name: f.name.value};
+  if (f.prefix.value) spec.prefix = f.prefix.value;
+  adm("/api/admin/crawlers", {
+    method: "POST", headers: {"Content-Type": "application/json"},
+    body: JSON.stringify(spec),
+  }).then(admRefresh);
+  return false;
+}
+function admUpload(f) {
+  const file = f.file.files[0];
+  if (!file) return false;
+  adm("/api/admin/datasets/upload?path=" +
+      encodeURIComponent(f.path.value),
+      {method: "POST", body: file}).then(admRefresh);
+  return false;
+}
+function admDeleteDataset(f) {
+  adm("/api/admin/datasets?path=" + encodeURIComponent(f.path.value),
+      {method: "DELETE"}).then(admRefresh);
+  return false;
+}
 function li(parent, text, onclick) {
   const el = document.createElement("li");
   el.textContent = text; el.title = text; el.onclick = onclick;

@@ -475,3 +475,62 @@ def test_info_sys_info_gate(spark, tmp_path):
     finally:
         off.shutdown()
         on.shutdown()
+
+
+def test_console_drives_admin_endpoints(admin_http, spark):
+    """r6-verdict item 7: the built-in console's Admin panel covers the
+    reference web UI's admin workflows. Pin (a) the HTML actually wires
+    every admin route it claims, and (b) each route answers the exact
+    request shape the console's JS sends."""
+    _eng, base, _root = admin_http
+    st, html = _req(base, "GET", "/console")
+    assert st == 200
+    page = html.decode()
+    for needle in ("/api/admin/crawlers", "/api/admin/auth/users",
+                   "/api/admin/auth/roles", "/api/admin/datasets/upload",
+                   "/api/admin/datasets?path=", "admCreateCrawler",
+                   "admUpload", "admDeleteDataset", "showAdmin"):
+        assert needle in page, f"console lost its admin wiring: {needle}"
+
+    # (b) the console's request shapes, end to end:
+    # dataset upload (raw body, ?path=)
+    spark.range(4).coalesce(1).write.parquet(str(_root / "seed.parquet"))
+    import glob
+
+    part = glob.glob(str(_root / "seed.parquet/part-*.parquet"))[0]
+    st, out = _req(base, "POST",
+                   "/api/admin/datasets/upload?path=up/console.parquet",
+                   body=open(part, "rb").read())
+    assert st == 200 and out["path"] == "up/console.parquet"
+    # crawler create (JSON body), list, run, delete — console order
+    st, _ = _req(base, "POST", "/api/admin/crawlers",
+                 body=json.dumps({"name": "conscrawl",
+                                  "prefix": "up"}).encode(),
+                 ctype="application/json")
+    assert st in (200, 201)
+    st, crawlers = _req(base, "GET", "/api/admin/crawlers")
+    assert any(c["crawler_name"] == "conscrawl" for c in crawlers)
+    st, report = _req(base, "POST", "/api/admin/crawlers/conscrawl/run")
+    assert st == 200
+    assert any("console.parquet" in str(r) for r in report)
+    st, _ = _req(base, "DELETE", "/api/admin/crawlers/conscrawl")
+    assert st == 200
+    # users/roles listings (rendered in the panel)
+    st, users = _req(base, "GET", "/api/admin/auth/users")
+    assert st == 200 and any(u["is_super_user"] for u in users)
+    st, _roles = _req(base, "GET", "/api/admin/auth/roles")
+    assert st == 200
+    # dataset delete (?path=) — a path no crawler/table depends on
+    # (deleting the crawled one correctly 409s with its dependents)
+    st, _ = _req(base, "POST",
+                 "/api/admin/datasets/upload?path=up2/console2.parquet",
+                 body=open(part, "rb").read())
+    assert st == 200
+    st, _ = _req(base, "DELETE",
+                 "/api/admin/datasets?path=up2/console2.parquet")
+    assert st == 200
+    import urllib.error as _ue
+
+    with pytest.raises(_ue.HTTPError) as ei:
+        _req(base, "DELETE", "/api/admin/datasets?path=up/console.parquet")
+    assert ei.value.code == 409  # in use by the crawler-registered table
