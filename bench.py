@@ -71,14 +71,24 @@ def main() -> None:
 
     Engine(spark)
 
+    # best-of-2 WITHIN one process (r6-verdict item 9): the recorded
+    # r6 number showed a phantom 19% regression that an interleaved A/B
+    # proved was first-run machine state (post-test-suite page cache /
+    # JIT), not code. Two passes over the same list keeps the artifact
+    # comparable across rounds while shedding that noise; per-query
+    # value = min of the two runs.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    for run in (1, 2):
+        for name in BENCH_QUERIES:
+            fn = queries[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            elapsed = round(time.perf_counter() - t0, 3)
+            prev = timings.get(name)
+            timings[name] = elapsed if prev is None else min(prev, elapsed)
+            print(f"  run{run} {name}: {elapsed:.3f}s ({n} rows)",
+                  file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -90,6 +100,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "cpus": cpus,
+                "runs": 2,  # per-query best-of-2 in one process
             }
         )
     )
