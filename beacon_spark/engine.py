@@ -1224,6 +1224,7 @@ class Engine:
                              "database", "sslmode"},
                 "mysql": {"host", "port", "user", "password", "database"},
                 "csv": {"delimiter"},
+                "remote": {"token", "tls"},
             }.get(fmt_l, set())
             bad = set(opts) - allowed
             if bad:
@@ -1232,6 +1233,10 @@ class Engine:
                     f"{sorted(bad)} (supported: {sorted(allowed) or 'none'})"
                 )
             password = opts.pop("password", None)
+            if fmt_l == "remote":
+                # the bearer token is a credential: it rides the same
+                # encrypted password-secret slot the DB formats use
+                password = opts.pop("token", None) or password
             # validate format + location/connection eagerly (the
             # reference plans the listing at CREATE time,
             # actions.rs:221-492; sql-databases connects at CREATE).
@@ -1862,6 +1867,39 @@ class Engine:
             .load()
         )
 
+    def _remote_table_df(self, url: str, opts: dict) -> DataFrame:
+        """One remote table as a lazy federated scan — the STORED AS
+        REMOTE external-table body (resolve_from). The connection is
+        cached per (endpoint, token) so catalog re-registration doesn't
+        reconnect; the token may arrive as ``token`` (CREATE-time
+        probe) or ``password`` (the encrypted secret slot it is stored
+        in)."""
+        from beacon_spark.server.remote import RemoteBeacon, parse_remote_url
+
+        base, _, tbl = url.rpartition("/")
+        if parse_remote_url(base) is None or not tbl:
+            raise ValueError(
+                "STORED AS REMOTE location must be "
+                "'beacon://host:port/<table>'"
+            )
+        token = opts.get("token") or opts.get("password") or None
+        tls = str(opts.get("tls", "")).lower() == "true"
+        cache = self._remote_tbl_conns = getattr(
+            self, "_remote_tbl_conns", {})
+        key = (base, token, tls)
+        rb = cache.get(key)
+        if rb is None:
+            rb = cache[key] = RemoteBeacon(base, token=token, tls=tls)
+        if tbl not in rb.list_tables():
+            raise ValueError(f"remote engine has no table {tbl!r}")
+        self._register_remote_datasource()
+        return (
+            self.spark.read.format("beacon_remote")
+            .schema(rb.table_schema(tbl))
+            .options(url=rb.location, table=tbl, token=token or "")
+            .load()
+        )
+
     def _resolve_remote(self, statement: str, has_params: bool = False) -> str:
         """SQL surface for attached remotes: ``remote_query('alias',
         'sql')`` pushes the statement down; a bare ``alias__table``
@@ -2429,6 +2467,16 @@ class Engine:
                 raise NotImplementedError(
                     f"format {fmt!r} is recognized but not supported in this build"
                 )
+            if fmt == "remote":
+                # one-table Beacon-to-Beacon federation: CREATE EXTERNAL
+                # TABLE … STORED AS REMOTE LOCATION
+                # 'beacon://host:port/<table>' (the reference's remote
+                # provider; contract: integration-tests/
+                # test_remote_federation.py). A lazy beacon_remote
+                # DataSource scan: filters push into the remote WHERE,
+                # Arrow batches stream to an executor.
+                loc = cfg["paths"][0] if "paths" in cfg else cfg["location"]
+                return self._remote_table_df(loc, cfg.get("options") or {})
             if fmt == "postgres":
                 # from-spec v3 wire-protocol client (sources/pglite.py;
                 # the reference federates via beacon-sql-databases)

@@ -9,10 +9,12 @@ pick up new ones), and makes them queryable:
 
   - ``remote_query('lake', 'SELECT …')`` pushes the WHOLE statement to
     the remote — joins/aggregations between remote tables execute
-    remotely, only the result crosses the wire. This is the explicit
-    form of what the reference's federation optimizer does
-    automatically (documented divergence: Spark has no federation
-    rewrite, so pushdown is by statement, not by plan fragment).
+    remotely, only the result crosses the wire.
+  - the engine ALSO does this automatically (the
+    FederationOptimizerRule analog, engine._federated_pushdown): a
+    read-only statement whose table references all belong to one
+    attached remote ships whole as a single lazy scan — see
+    engine.py for the fallback rules.
   - ``SELECT … FROM lake__tbl`` — a referenced remote table is a LAZY
     federated scan (``server/remote_datasource.py``): Catalyst pushes
     supported filters into the remote ``WHERE`` (Python-DS

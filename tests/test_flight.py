@@ -649,3 +649,51 @@ def test_federated_two_remotes_fall_back(spark, served, tmp_path):
         eng.sql = orig
         ceng.sql("DETACH ra")
         ceng.sql("DETACH rb")
+
+
+def test_stored_as_remote_external_table(spark, served, tmp_path):
+    """CREATE EXTERNAL TABLE … STORED AS REMOTE LOCATION
+    'beacon://host:port/<table>' — one-table federation (reference
+    contract: integration-tests/test_remote_federation.py): count,
+    filter pushdown into the remote WHERE, join with a local source,
+    and persistence across engine instances."""
+    eng, _server, port = served
+    recorded = []
+    orig = eng.sql
+
+    def rec(sql, **kw):
+        recorded.append(sql)
+        return orig(sql, **kw)
+
+    eng.sql = rec
+    try:
+        root = str(tmp_path / "sar_client")
+        ceng = Engine(spark, datasets_root=root)
+        ceng.sql("CREATE EXTERNAL TABLE remote_obs STORED AS REMOTE "
+                 f"LOCATION 'beacon://127.0.0.1:{port}/remobs'")
+        assert ceng.sql("SELECT count(*) AS n FROM remote_obs") \
+            .collect()[0].n == 20
+        out = ceng.sql(
+            "SELECT count(*) AS n FROM remote_obs WHERE id > 15").collect()
+        assert out[0].n == 4
+        pushed = [s for s in recorded if "remobs" in s and "WHERE" in s]
+        assert pushed and "`id` > 15" in pushed[-1]  # remote-side filter
+        # join with a local source in one statement
+        ceng.sql("CREATE TABLE locj AS SELECT id FROM range(5)")
+        tot = ceng.sql("SELECT count(*) AS n FROM remote_obs r "
+                       "JOIN locj ON r.id = locj.id").collect()
+        assert tot[0].n == 5
+        # a fresh engine over the same catalog re-registers it
+        c2 = Engine(spark, datasets_root=root)
+        assert c2.sql("SELECT count(*) AS n FROM remote_obs") \
+            .collect()[0].n == 20
+        # unknown remote table fails at CREATE time, not first query
+        import pytest as _pt
+
+        with _pt.raises(Exception, match="no table"):
+            ceng.sql("CREATE EXTERNAL TABLE nope STORED AS REMOTE "
+                     f"LOCATION 'beacon://127.0.0.1:{port}/ghost'")
+        ceng.sql("DROP TABLE remote_obs")
+        ceng.sql("DROP TABLE locj")
+    finally:
+        eng.sql = orig
