@@ -109,16 +109,27 @@ def write_csv(df: DataFrame, path: str, single: bool = True) -> None:
     if not single:
         df.write.mode("overwrite").option("header", "true").csv(path)
         return
+    import csv as _csv
+    import io
+
     from pyarrow import csv as pa_csv
 
     first, schema, rest = _first_and_schema(df)
-    try:
-        w = pa_csv.CSVWriter(path, schema)
+    try:  # schema probe: can Arrow CSV encode these types at all?
+        pa_csv.CSVWriter(io.BytesIO(), schema).close()
     except pa.lib.ArrowError:
         _write_csv_rows(df, path, first, rest)
         return
-    with w:
-        _write_batches(w, first, rest)
+    # header row hand-written with MINIMAL quoting — pyarrow always
+    # quotes string cells including column names, but the contract
+    # (and the reference's arrow-rs writer) quotes only when needed
+    hdr = io.StringIO()
+    _csv.writer(hdr, lineterminator="\n").writerow(df.columns)
+    with open(path, "wb") as f:
+        f.write(hdr.getvalue().encode("utf-8"))
+        opts = pa_csv.WriteOptions(include_header=False)
+        with pa_csv.CSVWriter(f, schema, write_options=opts) as w:
+            _write_batches(w, first, rest)
 
 
 def _write_csv_rows(df: DataFrame, path: str, first, rest) -> None:
