@@ -108,13 +108,17 @@ def chacha20_xor(key: bytes, nonce: bytes, data: bytes,
 # ------------------------------------------------------------- secret box
 
 class SecretBox:
-    def __init__(self, master_key: bytes):
+    def __init__(self, master_key: bytes, fallback: "SecretBox | None" = None):
         if len(master_key) != 32:
             raise ValueError("master key must be 32 bytes")
         self._enc = hmac.new(master_key, b"beacon-spark-enc",
                              hashlib.sha256).digest()
         self._mac = hmac.new(master_key, b"beacon-spark-mac",
                              hashlib.sha256).digest()
+        #: decrypt-only compatibility box (e.g. the legacy fixed-salt
+        #: passphrase derivation) — encrypt always uses THIS box's key,
+        #: so re-created secrets migrate to the new derivation
+        self._fallback = fallback
 
     def encrypt(self, value: str) -> str:
         nonce = _secrets.token_bytes(12)
@@ -134,6 +138,8 @@ class SecretBox:
         nonce, ct, tag = blob[:12], blob[12:-32], blob[-32:]
         want = hmac.new(self._mac, nonce + ct, hashlib.sha256).digest()
         if not hmac.compare_digest(tag, want):
+            if self._fallback is not None:
+                return self._fallback.decrypt(stored)
             raise ValueError(
                 "secret authentication failed: wrong key "
                 "(BEACON_SPARK_SECRET_KEY / keyfile) or tampered catalog"
@@ -141,11 +147,38 @@ class SecretBox:
         return chacha20_xor(self._enc, nonce, ct).decode()
 
 
-def _key_from_env(passphrase: str) -> bytes:
+def _key_from_env(passphrase: str, salt: bytes = _SCRYPT_SALT) -> bytes:
     return hashlib.scrypt(
-        passphrase.encode(), salt=_SCRYPT_SALT, n=2 ** 14, r=8, p=1,
+        passphrase.encode(), salt=salt, n=2 ** 14, r=8, p=1,
         dklen=32,
     )
+
+
+def _install_salt() -> bytes:
+    """Per-install random scrypt salt (r6-verdict nit: a fixed versioned
+    salt lets one rainbow table cover every deployment). Lives beside
+    the keyfile (0600); created once, read forever. The fixed ``v1``
+    salt survives only as a decrypt-time fallback so catalogs written
+    before this change keep opening."""
+    keyfile = os.environ.get("BEACON_SPARK_KEYFILE")
+    d = (os.path.dirname(keyfile) or "." if keyfile
+         else os.path.join(os.path.expanduser("~"), ".beacon_spark"))
+    p = os.path.join(d, "secret.salt")
+    if not os.path.exists(p):
+        os.makedirs(d, exist_ok=True)
+        try:
+            fd = os.open(p, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
+            try:
+                os.write(fd, _secrets.token_bytes(16))
+            finally:
+                os.close(fd)
+        except FileExistsError:
+            pass  # another process won the race — read theirs
+    with open(p, "rb") as f:
+        salt = f.read()
+    if len(salt) < 16:
+        raise ValueError(f"salt file {p!r} must hold >= 16 bytes")
+    return salt
 
 
 def default_box() -> SecretBox:
@@ -162,7 +195,10 @@ def default_box() -> SecretBox:
 def _resolve_box() -> SecretBox:
     pw = os.environ.get("BEACON_SPARK_SECRET_KEY")
     if pw:
-        return SecretBox(_key_from_env(pw))
+        # per-install random salt; legacy fixed-salt box kept as a
+        # decrypt-only fallback for pre-existing catalogs
+        return SecretBox(_key_from_env(pw, _install_salt()),
+                         fallback=SecretBox(_key_from_env(pw)))
     path = os.environ.get("BEACON_SPARK_KEYFILE") or os.path.join(
         os.path.expanduser("~"), ".beacon_spark", "secret.key"
     )

@@ -114,3 +114,34 @@ def test_persistent_secret_encrypted_at_rest(spark, tmp_path):
     assert "s3c" in names
     # SHOW SECRETS never prints values
     assert all("supersecret" not in str(r) for r in rows)
+
+
+def test_env_passphrase_uses_per_install_salt(tmp_path, monkeypatch):
+    """r6-verdict nit: the passphrase derivation salts with a random
+    per-install value (created 0600 beside the keyfile), so one rainbow
+    table can't cover every deployment; fixed-salt ciphertexts from
+    older catalogs still decrypt through the fallback box."""
+    import beacon_spark.secretbox as sb
+
+    monkeypatch.setenv("BEACON_SPARK_SECRET_KEY", "correct horse")
+    monkeypatch.setenv("BEACON_SPARK_KEYFILE", str(tmp_path / "k.key"))
+    monkeypatch.setattr(sb, "_CACHED", None)
+    b1 = sb.default_box()
+    salt_file = tmp_path / "secret.salt"
+    assert salt_file.exists()
+    assert (os.stat(salt_file).st_mode & 0o777) == 0o600
+    salt = salt_file.read_bytes()
+    assert len(salt) >= 16 and salt != sb._SCRYPT_SALT
+    e = b1.encrypt("s3")
+    monkeypatch.setattr(sb, "_CACHED", None)
+    assert sb.default_box().decrypt(e) == "s3"  # stable across processes
+    # a legacy fixed-salt ciphertext decrypts via the fallback...
+    legacy_box = sb.SecretBox(sb._key_from_env("correct horse"))
+    monkeypatch.setattr(sb, "_CACHED", None)
+    assert sb.default_box().decrypt(legacy_box.encrypt("old")) == "old"
+    # ...but a different install (different salt) cannot read ours
+    salt_file.write_bytes(b"x" * 16)
+    monkeypatch.setattr(sb, "_CACHED", None)
+    with pytest.raises(ValueError):
+        sb.default_box().decrypt(e)
+    monkeypatch.setattr(sb, "_CACHED", None)
