@@ -2077,6 +2077,39 @@ SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_custkey <= 200
 # =====================================================================
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """Semantic deduplication (pipeline/dedup.py: semdedup — SemDeDup,
+    Abbas et al. 2023): k-means cells over the embeddings table, greedy
+    within-cell cosine pruning at 0.97. Not SQL-expressible (k-means +
+    iterative greedy), so this is a rows-only slot; the operator's
+    semantics are pinned in tests/test_pipeline.py (planted duplicates
+    dropped, distinct vectors kept, deterministic keep set)."""
+    from beacon_spark.pipeline.dedup import semdedup
+
+    _reg(spark, sf_dir, "embeddings")
+    return (
+        semdedup(spark.table("embeddings"), n_cells=8, threshold=0.97)
+        .orderBy("vec_id")
+    )
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Greedy first-fit-decreasing sequence packing (pipeline/corpus.py:
+    pack_sequences) over the documents table with a chars/4 token proxy.
+    Rows-only slot (per-partition greedy is not SQL); the packing
+    invariants (budget respected, every doc exactly once, oversize docs
+    alone) are pinned in tests/test_corpus.py."""
+    from beacon_spark.pipeline.corpus import pack_sequences
+
+    _reg(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id", (F.col("n_chars") / 4).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, max_tokens=2048, n_bins_partitions=8
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: CORRECTNESS_r01 graded exactly the first 50
     # declared queries and stopped, so the registry is ordered
@@ -2149,6 +2182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _q_corpus_split,
         "embedding_quantize": _q_embedding_quantize,
         "conditional_funcs": _q_conditional_funcs,
+        "semantic_dedup": _q_semantic_dedup,
+        "pack_sequences": _q_pack_sequences,
         # NOTE: the registry is exactly the 50 graded slots (the driver
         # grades the first 50 declared queries). Redundant shapes that
         # used to trail here (count_all, filter_range, filter_multi,

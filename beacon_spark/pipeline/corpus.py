@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
-    "chunk_documents", "decontaminate", "export_shards",
+    "chunk_documents", "decontaminate", "export_shards", "pack_sequences",
     "split_corpus", "sample_deterministic", "quantize_embeddings",
 ]
 
@@ -235,3 +235,83 @@ def export_shards(
     )
     out.write.mode(mode).partitionBy("__shard").parquet(path)
     return n_shards
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_bins_partitions: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-budget
+    training sequences of at most ``max_tokens`` tokens (first-fit
+    decreasing), the step between "shuffled documents" and "batches an
+    LM trainer consumes" — unpacked short documents waste the context
+    window as padding.
+
+    Scale shape: documents are hash-partitioned once by a seeded id
+    hash (deterministic, independent of input partitioning), then each
+    partition packs ITS documents via applyInPandas — packing is
+    embarrassingly parallel across partitions and O(n log n) in each.
+    Sequence ids are globally unique (``<partition>-<k>``). A document
+    longer than ``max_tokens`` gets a sequence of its own (truncation
+    is chunk_documents' job, upstream).
+
+    Returns ``(id_col, n_tokens, seq_id, seq_tokens)`` — seq_tokens is
+    the filled budget of that sequence, for packing-efficiency audits:
+    ``avg(seq_tokens) / max_tokens`` is the utilization.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    nparts = n_bins_partitions or df.sparkSession.sparkContext.defaultParallelism
+
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("seq_id", T.StringType()),
+        T.StructField("seq_tokens", T.LongType()),
+    ])
+
+    def _pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(key[0])
+        # first-fit DECREASING: sort by tokens desc (id asc tiebreak)
+        pdf = pdf.sort_values(
+            ["__t", "id"], ascending=[False, True]).reset_index(drop=True)
+        remaining: list[int] = []  # budget left per open bin
+        filled: list[int] = []     # tokens actually placed per bin
+        assign: list[int] = []
+        for t in pdf["__t"]:
+            t = int(t)
+            for b, rem in enumerate(remaining):
+                if rem >= t:
+                    remaining[b] = rem - t
+                    filled[b] += t
+                    assign.append(b)
+                    break
+            else:  # new bin (an oversize doc fills one alone)
+                remaining.append(max(max_tokens - t, 0))
+                filled.append(t)
+                assign.append(len(remaining) - 1)
+        return pd.DataFrame({
+            "id": pdf["id"].astype("int64"),
+            "n_tokens": pdf["__t"].astype("int64"),
+            "seq_id": [f"{part}-{b}" for b in assign],
+            "seq_tokens": [int(filled[b]) for b in assign],
+        })
+
+    packed = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(tokens_col).cast("long").alias("__t"),
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                   F.lit(nparts)).cast("int").alias("__p"),
+        )
+        .groupBy("__p")
+        .applyInPandas(_pack, schema=out_schema)
+        .withColumnRenamed("id", id_col)
+    )
+    return packed

@@ -887,3 +887,78 @@ def dedup_incremental(
     )
     verified._beacon_cached = (fp,)
     return verified
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    sample_n: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then inside
+    each cluster drop items whose cosine similarity to an earlier-kept
+    item exceeds ``threshold`` — semantic near-duplicates that MinHash
+    (lexical) misses. Returns ``(id, cell, keep)``.
+
+    Scale shape: the coarse quantizer trains on a bounded driver-side
+    sample (similarity.ivf_train_centroids); the full-corpus cell
+    assignment is one Catalyst/pandas-UDF pass with the centroid matrix
+    broadcast; the quadratic part runs per-cell via applyInPandas, so
+    the all-pairs cost is c x (n/c)^2 << n^2 — size ``n_cells`` so a
+    cell's vectors fit one executor (the published recipe uses ~10k
+    clusters at web scale, and one matmul per cell is BLAS-bound).
+    Greedy keep order is ascending id — deterministic across runs and
+    cluster counts.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from beacon_spark.pipeline.similarity import (
+        assign_cells,
+        ivf_train_centroids,
+    )
+
+    centroids = ivf_train_centroids(
+        df, n_cells=n_cells, vec_col=vec_col, id_col=id_col,
+        sample_n=sample_n, seed=seed,
+    )
+    with_cell = (
+        df.withColumn("cell", assign_cells(df, centroids, vec_col))
+        .select(F.col(id_col).alias("id"),
+                F.col(vec_col).alias("__v"), "cell")
+    )
+
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("keep", T.BooleanType()),
+    ])
+
+    def _dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        v = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        sims = v @ v.T
+        n = len(pdf)
+        keep = np.ones(n, dtype=bool)
+        for i in range(n):
+            if not keep[i]:
+                continue
+            # everything later and too-close to a KEPT item goes
+            close = sims[i, i + 1:] >= threshold
+            keep[i + 1:] &= ~close
+        return pd.DataFrame({
+            "id": pdf["id"].astype("int64"),
+            "cell": pdf["cell"].astype("int32"),
+            "keep": keep,
+        })
+
+    return (
+        with_cell.groupBy("cell")
+        .applyInPandas(_dedup_cell, schema=out_schema)
+        .withColumnRenamed("id", id_col)
+    )

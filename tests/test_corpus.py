@@ -176,3 +176,41 @@ def test_quantize_embeddings_roundtrip_error(spark):
     assert max(abs(q) for q in by_id[2].embedding_q) == 127
     # all-zero vector: quantizes to zeros without dividing by zero
     assert by_id[3].embedding_q == [0, 0, 0, 0]
+
+
+def test_pack_sequences_invariants(spark):
+    """pack_sequences (pipeline/corpus.py): every document lands in
+    exactly one sequence, no sequence exceeds the budget (except a
+    singleton oversize doc), seq_tokens equals the member sum, and the
+    assignment is deterministic."""
+    from beacon_spark.pipeline.corpus import pack_sequences
+
+    rows = [(i, 100 + (i * 37) % 900) for i in range(200)]
+    rows.append((1000, 5000))  # oversize: alone in its sequence
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    out = pack_sequences(df, max_tokens=2048, n_bins_partitions=4).collect()
+    assert len(out) == 201  # every doc exactly once
+    assert len({r.doc_id for r in out}) == 201
+
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for r in out:
+        seqs[r.seq_id].append(r)
+    for sid, members in seqs.items():
+        total = sum(m.n_tokens for m in members)
+        assert all(m.seq_tokens == total for m in members), sid
+        if len(members) > 1:
+            assert total <= 2048, (sid, total)
+    # the oversize doc is alone
+    (big,) = [r for r in out if r.doc_id == 1000]
+    assert len(seqs[big.seq_id]) == 1 and big.seq_tokens == 5000
+    # first-fit-decreasing should fill bins well on uniform-ish sizes
+    multi = [sum(m.n_tokens for m in ms) for ms in seqs.values()
+             if len(ms) > 1]
+    assert multi and sum(multi) / (len(multi) * 2048) > 0.7
+    # deterministic across runs
+    out2 = pack_sequences(df, max_tokens=2048, n_bins_partitions=4).collect()
+    assert {(r.doc_id, r.seq_id) for r in out2} == {
+        (r.doc_id, r.seq_id) for r in out}

@@ -659,3 +659,37 @@ def test_incremental_dedup_against_persisted_index(spark, tmp_path):
         idx, threshold=0.5)
     assert {(r.new_id, r.corpus_id) for r in got2.collect()} == {(1999, 999)}
     release_caches(got2)
+
+
+def test_semdedup_drops_planted_semantic_duplicates(spark):
+    """SemDeDup (pipeline/dedup.py: semdedup, arXiv:2303.09540): planted
+    near-identical embeddings collapse to the smallest id; distinct
+    vectors survive; the keep set is deterministic across runs."""
+    import numpy as np
+
+    from beacon_spark.pipeline.dedup import semdedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # ids 100..104: near-copies of base[0] (tiny jitter, cos > 0.999)
+    for j in range(5):
+        v = base[0] + rng.randn(16).astype("float32") * 1e-3
+        rows.append((100 + j, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = semdedup(df, n_cells=4, threshold=0.99, sample_n=64).collect()
+    keep = {r.vec_id for r in out if r.keep}
+    drop = {r.vec_id for r in out if not r.keep}
+    assert len(out) == 45
+    # the original id-0 vector survives; every planted copy is dropped
+    assert 0 in keep
+    assert {100, 101, 102, 103, 104} <= drop
+    # the 39 other base vectors are random 16-dim — none collide
+    assert {i for i in range(1, 40)} <= keep
+    # deterministic
+    out2 = semdedup(df, n_cells=4, threshold=0.99, sample_n=64).collect()
+    assert {(r.vec_id, r.keep) for r in out2} == {
+        (r.vec_id, r.keep) for r in out}
