@@ -1027,10 +1027,38 @@ class Engine:
     def _register_catalog_locked(self) -> None:
         if getattr(self, "_registering", False):
             return
+        from beacon_spark.managed import ManagedTable
+
+        dirty = getattr(self, "_dirty_tables", None)
+        if dirty:
+            # manifest-only DML through THIS engine: refresh just the
+            # mutated tables/MVs (plus a cheap re-plan of plain views,
+            # which may pin pre-mutation file lists) — never the
+            # O(tables) full pass
+            self._registering = True
+            try:
+                c = self.catalog._load()
+                snapshot = sorted(dirty)
+                for name in snapshot:
+                    if name in c["tables"]:
+                        ManagedTable(self.spark, c["tables"][name]).read() \
+                            .createOrReplaceTempView(name)
+                    elif name in c["materialized_views"]:
+                        ManagedTable(
+                            self.spark, c["materialized_views"][name]["path"]
+                        ).read().createOrReplaceTempView(name)
+                # only what we registered: a concurrent DML's mark between
+                # the snapshot and here must survive for the next pass
+                dirty.difference_update(snapshot)
+                for vname, view_sql in c["views"].items():
+                    self.sql(view_sql).createOrReplaceTempView(vname)
+                # note_table_version bumped rev: adopt the new signature
+                self._cat_sig = self.catalog.signature()
+            finally:
+                self._registering = False
         sig = self.catalog.signature()
         if sig is None or sig == getattr(self, "_cat_sig", object()):
             return
-        from beacon_spark.managed import ManagedTable
 
         self._registering = True
         try:
@@ -1196,6 +1224,15 @@ class Engine:
             if k in keymap:
                 conf.set(prefix + keymap[k], v)
 
+    #: statement kinds that mutate MANIFESTS, not the catalog structure —
+    #: these record themselves via note_table_version (one small catalog
+    #: write) and re-register only their own temp view, instead of
+    #: invalidating the whole catalog registration (O(tables) at scale)
+    _MANIFEST_ONLY_KINDS = frozenset({
+        "vacuum", "optimize", "insert_into", "delete_from", "update",
+        "alter_add", "alter_drop", "refresh",
+    })
+
     def _run_ddl(self, kind: str, m: re.Match) -> DataFrame:
         """Dialect DDL/DML → Catalog ops (statement enum parser/statement.rs:8-30,
         lowering actions.rs:221-795). Always returns a small status frame."""
@@ -1205,7 +1242,16 @@ class Engine:
         finally:
             # invalidate AFTER the mutation: nested self.sql() calls during
             # the DDL re-register and would otherwise cache a pre-mutation pin
-            self._cat_sig = None
+            if kind in self._MANIFEST_ONLY_KINDS:
+                name = m.group(1)
+                try:
+                    cat.note_table_version(name)
+                    self._dirty_tables = getattr(self, "_dirty_tables", set())
+                    self._dirty_tables.add(name)
+                except Exception:
+                    self._cat_sig = None  # fall back to the full pass
+            else:
+                self._cat_sig = None
 
     def _run_ddl_inner(self, kind: str, m: re.Match) -> DataFrame:
         cat = self.catalog

@@ -813,16 +813,38 @@ class Catalog:
 
     def signature(self) -> tuple | None:
         """Cheap change token so Engine re-registers temp views only when
-        the catalog or any table version moved. None = no catalog yet."""
+        the catalog or any table version moved. None = no catalog yet.
+
+        ONE catalog read — no per-table manifest listing. Structural DDL
+        writes the catalog (rev bumps in _save); manifest-only DML
+        records itself via note_table_version (also a catalog write), so
+        rev alone captures every mutation made through the engine. This
+        is what keeps a 1,000-table lake from paying 1,000 object-store
+        LISTs on EVERY statement just to learn nothing changed. (A
+        mutation that bypasses the engine's SQL surface must call
+        note_table_version itself, or registered views pin stale file
+        lists until the next structural catalog write.)"""
         if not bs.exists(self.file):
             return None
         cat = self._load()
-        vers = []
-        for name, path in sorted(cat["tables"].items()):
-            vers.append((name, ManagedTable(self.spark, path).current_version()))
-        for name, mv in sorted(cat["materialized_views"].items()):
-            vers.append((name, ManagedTable(self.spark, mv["path"]).current_version()))
-        return (cat.get("rev", 0), tuple(vers), tuple(sorted(cat["views"])))
+        return (
+            cat.get("rev", 0),
+            tuple(sorted(cat.get("table_versions", {}).items())),
+            tuple(sorted(cat["tables"])),
+            tuple(sorted(cat["materialized_views"])),
+            tuple(sorted(cat["views"])),
+        )
+
+    def note_table_version(self, name: str, version: int | None = None) -> None:
+        """Record a manifest-level mutation (INSERT/UPDATE/DELETE/
+        OPTIMIZE/ALTER/REFRESH) in the catalog so ``signature()`` sees
+        it without listing manifests. The recorded value only needs to
+        CHANGE, not match the manifest version exactly."""
+        cat = self._load()
+        vers = cat.setdefault("table_versions", {})
+        vers[name] = (int(version) if version is not None
+                      else int(vers.get(name, 0)) + 1)
+        self._save(cat)
 
     def names(self) -> dict:
         cat = self._load()

@@ -202,3 +202,36 @@ def test_crawler_resweep_budget(spark, budget_root, tmp_path):
         f"crawler re-sweep reads bytes per dataset: {opsa['read_bytes']} "
         f"vs {opsb['read_bytes']}"
     )
+
+
+def test_statement_overhead_independent_of_table_count(spark, budget_root):
+    """signature() is ONE catalog read (no per-table manifest LISTs) and
+    DML re-registers only its own table: a SELECT, and an INSERT
+    followed by a SELECT, spend identical metadata ops whether the
+    catalog holds 3 or 24 tables. Before this pin, EVERY statement paid
+    one listdir per catalog table just to compute the change token."""
+
+    def run(ntables):
+        eng = Engine(spark, datasets_root=f"{budget_root}/cat{ntables}")
+        for i in range(ntables):
+            eng.sql(f"CREATE TABLE ct{i} AS SELECT id FROM range(10)")
+        eng.sql("SELECT count(*) FROM ct0").collect()  # settle registration
+        jq, opsq = _measure(
+            spark,
+            lambda: eng.sql("SELECT count(*) AS c FROM ct0").collect())
+        jd, opsd = _measure(
+            spark,
+            lambda: (eng.sql("INSERT INTO ct0 SELECT id FROM range(5)"),
+                     eng.sql("SELECT count(*) AS c FROM ct0").collect()))
+        return (jq, opsq), (jd, opsd)
+
+    (qa, da) = run(3)
+    (qb, db) = run(24)
+    for k in ("listdir", "read_bytes", "isdir", "exists"):
+        assert qa[1][k] == qb[1][k], (
+            f"SELECT metadata op {k} scales with catalog size: "
+            f"{qa[1][k]} vs {qb[1][k]}")
+        assert da[1][k] == db[1][k], (
+            f"INSERT+SELECT metadata op {k} scales with catalog size: "
+            f"{da[1][k]} vs {db[1][k]}")
+    assert qa[0] == qb[0] and da[0] == db[0]
