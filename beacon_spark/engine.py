@@ -824,6 +824,7 @@ class Engine:
 
         statement = self._resolve_remote(statement, has_params=params is not None)
         statement = self._rewrite_system_tables(statement)
+        statement = self._rewrite_information_schema(statement)
         statement = self._rewrite_time_travel(statement)
         statement = self._rewrite_read_fns(statement)
         statement = self._rewrite_metadata_fns(statement)
@@ -905,6 +906,70 @@ class Engine:
                 f"__beacon_system_{name}"
             )
         return out
+
+    _INFO_SCHEMA_RE = re.compile(
+        r"\binformation_schema\s*\.\s*(tables|columns)\b", re.IGNORECASE
+    )
+
+    def _rewrite_information_schema(self, statement: str) -> str:
+        """``information_schema.tables`` / ``.columns`` → temp views
+        snapshotted at reference time — the reference engine exposes
+        DataFusion's information_schema and its Python dialect reflects
+        through it (beacon-db-py/sqlalchemy.py:143-193). Spark has no
+        session information_schema, so the views are built from the
+        catalog: every managed/external table and (materialized) view,
+        schema 'public' / catalog 'beacon' like the reference's
+        defaults. Super-user-only — the same unconditional
+        auth.authorize gate that covers beacon.system.*."""
+        if self.catalog is None or "information_schema" not in statement.lower():
+            return statement
+        spans = _literal_spans(statement)
+        wanted = {
+            m.group(1).lower()
+            for m in self._INFO_SCHEMA_RE.finditer(statement)
+            if not _in_literal(spans, m.start())
+        }
+        if not wanted:
+            return statement
+        self._register_catalog()
+        cat = self.catalog._load()
+        entries = (
+            [(n, "BASE TABLE") for n in cat["tables"]]
+            + [(n, "BASE TABLE") for n in cat["external_tables"]]
+            + [(n, "VIEW") for n in cat["views"]]
+            + [(n, "VIEW") for n in cat["materialized_views"]]
+        )
+        if "tables" in wanted:
+            self.spark.createDataFrame(
+                [("beacon", "public", n, t) for n, t in sorted(entries)],
+                "table_catalog string, table_schema string, "
+                "table_name string, table_type string",
+            ).createOrReplaceTempView("__beacon_infoschema_tables")
+        if "columns" in wanted:
+            rows = []
+            for n, _t in sorted(entries):
+                try:
+                    fields = self.spark.table(n).schema.fields
+                except Exception:
+                    continue  # e.g. an external table whose lib is absent
+                rows.extend(
+                    ("beacon", "public", n, f.name, i + 1,
+                     f.dataType.simpleString(),
+                     "YES" if f.nullable else "NO")
+                    for i, f in enumerate(fields)
+                )
+            self.spark.createDataFrame(
+                rows,
+                "table_catalog string, table_schema string, "
+                "table_name string, column_name string, "
+                "ordinal_position int, data_type string, "
+                "is_nullable string",
+            ).createOrReplaceTempView("__beacon_infoschema_columns")
+        return _sub_outside_literals(
+            self._INFO_SCHEMA_RE,
+            lambda m: f"__beacon_infoschema_{m.group(1).lower()}",
+            statement,
+        )
 
     def _rewrite_time_travel(self, statement: str) -> str:
         """``FROM <managed_table> VERSION AS OF <n>`` (and ``TIMESTAMP

@@ -17,8 +17,11 @@ Spark SQL metadata:
 
 Reflection uses ``SHOW TABLES`` (engine.py show_tables: table_name +
 table_type) and ``DESCRIBE <table>`` (name, spark type, comment) rather
-than information_schema, which Spark SQL does not expose for our
-catalog. The engine is autocommit; PEP 249 commit/rollback are no-ops.
+than ``information_schema`` — the engine DOES expose
+information_schema.tables/columns (engine._rewrite_information_schema),
+but those are super-user-only metadata schemas, while SHOW/DESCRIBE
+reflect for any principal. The engine is autocommit; PEP 249
+commit/rollback are no-ops.
 
 sqlalchemy is an OPTIONAL dependency: the reflection/connect-args logic
 lives in plain functions (testable without it); only the dialect class

@@ -165,3 +165,44 @@ def test_time_travel_views_carry_base_table_grants(eng):
     eng.sql("SET AUTH ENFORCEMENT ON")
     with pytest.raises(AuthError, match="permission denied"):
         eng.sql("SELECT * FROM sec__v1", user="frank")
+
+
+def test_information_schema_tables_and_columns(spark, tmp_path):
+    """information_schema.tables/.columns — the reference exposes
+    DataFusion's and reflects through it (beacon-db-py/sqlalchemy.py);
+    ours snapshots the catalog at reference time. Super-user-only, same
+    gate as beacon.system.*."""
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path / "isch"))
+    eng.sql("CREATE TABLE ist AS SELECT id, CAST(id AS DOUBLE) AS v "
+            "FROM range(4)")
+    eng.sql("CREATE VIEW isv AS SELECT id FROM ist")
+    rows = eng.sql(
+        "SELECT table_name, table_type FROM information_schema.tables "
+        "ORDER BY table_name"
+    ).collect()
+    assert [(r.table_name, r.table_type) for r in rows] == [
+        ("ist", "BASE TABLE"), ("isv", "VIEW")]
+    cols = eng.sql(
+        "SELECT table_name, column_name, ordinal_position, data_type, "
+        "is_nullable FROM information_schema.columns "
+        "WHERE table_name = 'ist' ORDER BY ordinal_position"
+    ).collect()
+    assert [(c.column_name, c.ordinal_position, c.data_type) for c in cols] \
+        == [("id", 1, "bigint"), ("v", 2, "double")]
+    assert all(c.is_nullable in ("YES", "NO") for c in cols)
+    # joins/filters over it are plain SQL
+    n = eng.sql(
+        "SELECT count(*) AS c FROM information_schema.columns "
+        "WHERE table_name = 'isv'").collect()[0].c
+    assert n == 1
+
+    # the metadata gate: a non-super user is refused unconditionally
+    import pytest as _pt
+
+    from beacon_spark import auth as _auth
+
+    eng.sql("CREATE USER pleb WITH PASSWORD 'x'")
+    with _pt.raises(_auth.AuthError, match="metadata schemas"):
+        eng.sql("SELECT * FROM information_schema.tables", user="pleb")
