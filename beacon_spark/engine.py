@@ -1131,6 +1131,7 @@ class Engine:
             for name, path in cat["tables"].items():
                 ManagedTable(self.spark, path).read().createOrReplaceTempView(name)
             self._ext_cache = getattr(self, "_ext_cache", {})
+            remote_ext: dict[str, tuple] = {}
             for name, ext in cat["external_tables"].items():
                 try:
                     opts = dict(ext.get("options") or {})
@@ -1179,6 +1180,16 @@ class Engine:
                             .createOrReplaceTempView(name)
                         )
                         continue
+                    if ext["format"] == "remote":
+                        # registry for the federation pushdown: a join
+                        # of same-endpoint STORED AS REMOTE tables ships
+                        # whole (token decrypted above)
+                        remote_ext[name] = (
+                            ext["paths"][0],
+                            opts.get("token") or opts.get("password")
+                            or None,
+                            str(opts.get("tls", "")).lower() == "true",
+                        )
                     self.resolve_from(
                         {ext["format"]: {"paths": ext["paths"],
                                          "options": opts}}
@@ -1192,6 +1203,7 @@ class Engine:
                         f"warning: external table {name!r} not registered: {e}",
                         file=sys.stderr,
                     )
+            self._remote_ext = remote_ext
             for name, mv in cat["materialized_views"].items():
                 ManagedTable(self.spark, mv["path"]).read().createOrReplaceTempView(name)
             for name, view_sql in cat["views"].items():
@@ -1598,7 +1610,10 @@ class Engine:
                 rb.close()
             # drop materialized remote views — a stale temp view would
             # keep serving data from a connection the user detached
-            for v in getattr(self, "_remote_views", {}).pop(name, set()):
+            # (federated-pushdown views too: they may reference this
+            # endpoint, and re-running the statement re-derives them)
+            views = getattr(self, "_remote_views", {})
+            for v in views.pop(name, set()) | views.pop("__federated__", set()):
                 try:
                     self.spark.catalog.dropTempView(v)
                 except Exception:
@@ -2021,7 +2036,7 @@ class Engine:
         pushed WHOLE as a single remote statement (the
         FederationOptimizerRule analog — see _federated_pushdown)."""
         remotes = getattr(self, "_remotes", {})
-        if not remotes:
+        if not remotes and not getattr(self, "_remote_ext", None):
             return statement
 
         def repl(m: re.Match) -> str:
@@ -2062,9 +2077,13 @@ class Engine:
 
     #: clauses that REDUCE rows remotely — worth pushing even a
     #: single-table statement whole (the per-table scan path already
-    #: pushes filters/projection, but not aggregation or top-k)
+    #: pushes filters/projection, but not aggregation or top-k); a
+    #: global aggregate with no GROUP BY is the maximal reducer
     _FED_REDUCE_RE = re.compile(
-        r"\b(group\s+by|order\s+by|limit|distinct)\b", re.IGNORECASE
+        r"\b(group\s+by|order\s+by|limit|distinct)\b"
+        r"|\b(count|sum|avg|min|max|approx_count_distinct|stddev|"
+        r"variance|corr|first|last|percentile(?:_approx)?)\s*\(",
+        re.IGNORECASE,
     )
 
     def _federated_pushdown(self, statement: str, remotes) -> str | None:
@@ -2082,9 +2101,14 @@ class Engine:
         (a cross-table join) or contains a row-reducing clause
         (GROUP BY / ORDER BY / LIMIT / DISTINCT); plain single-table
         filter/projection statements keep the existing per-table
-        pushFilters path (plan-pinned in tests/test_plans.py). Returns
+        pushFilters path (plan-pinned in tests/test_plans.py).
+
+        Remote references group by ENDPOINT (grpc location + token):
+        ATTACH aliases and STORED AS REMOTE external tables of the same
+        server+principal push together — including two aliases of one
+        endpoint, and ext-table joins with no ATTACH at all. Returns
         the rewritten statement, or ``None`` to fall back — any mixed
-        local/remote reference, multi-remote reference, unparseable
+        local/remote reference, multi-endpoint reference, unparseable
         table position, or remote planning failure falls back safely.
         """
         from beacon_spark.server.guard import is_readonly_sql
@@ -2106,40 +2130,72 @@ class Engine:
             )
             if not _in_literal(spans, m.start())
         }
-        refs: list[tuple[str, str]] = []
+        # endpoint key = (grpc location, token): ATTACH aliases and
+        # STORED AS REMOTE external tables of the SAME server+principal
+        # group together — two aliases to one endpoint still push
+        rext = self._remote_ext_endpoints()
+        refs: list[tuple[tuple, str]] = []  # (endpoint_key, remote table)
         for ident in idents:
             if ident.lower() in ctes:
                 continue
-            for alias, rb in remotes.items():
-                pre = alias + "__"
-                if ident.startswith(pre) and ident[len(pre):] in rb.list_tables():
-                    refs.append((alias, ident[len(pre):]))
-                    break
+            hit = None
+            if ident in rext:
+                key, tbl = rext[ident]
+                hit = (key, tbl)
             else:
+                for alias, rb in remotes.items():
+                    pre = alias + "__"
+                    if ident.startswith(pre) and \
+                            ident[len(pre):] in rb.list_tables():
+                        hit = ((rb.location, rb._token), ident[len(pre):])
+                        break
+            if hit is None:
                 return None  # a local (or unknown-remote) table — bail
+            refs.append(hit)
         if not refs:
             return None
-        aliases = {a for a, _ in refs}
-        if len(aliases) != 1:
-            return None  # tables from two different remotes — join locally
-        alias = next(iter(aliases))
-        rb = remotes[alias]
+        keys = {k for k, _ in refs}
+        if len(keys) != 1:
+            return None  # two different endpoints/principals — join locally
+        key = keys.pop()
+        rb = next(
+            (r for r in remotes.values() if (r.location, r._token) == key),
+            None,
+        )
+        if rb is None:
+            rb = self._remote_conn(*key)
+        if any(tbl not in rb.list_tables() for _, tbl in refs):
+            return None
         if len({t for _, t in refs}) < 2:
             blanked = re.sub(r"'(?:[^']|'')*'", "''", statement)
             if not self._FED_REDUCE_RE.search(blanked):
                 return None
-        pat = re.compile(rf"\b{re.escape(alias)}__(\w+)\b")
-        remote_sql = _sub_outside_literals(
-            pat,
-            lambda m: m.group(1) if m.group(1) in rb.list_tables() else m.group(0),
-            statement,
-        )
+        remote_sql = statement
+        for alias, arb in remotes.items():
+            if (arb.location, arb._token) != key:
+                continue
+            pat = re.compile(rf"\b{re.escape(alias)}__(\w+)\b")
+            remote_sql = _sub_outside_literals(
+                pat,
+                lambda m, _r=arb: (
+                    m.group(1) if m.group(1) in _r.list_tables()
+                    else m.group(0)
+                ),
+                remote_sql,
+            )
+        for name, (ekey, tbl) in rext.items():
+            if ekey == key:
+                remote_sql = _sub_outside_literals(
+                    re.compile(rf"\b{re.escape(name)}\b"),
+                    lambda m, _t=tbl: _t,
+                    remote_sql,
+                )
         try:
             schema = rb.query_schema(remote_sql)  # LIMIT-0 plan, no data
         except Exception:
             return None  # the remote can't plan it — per-table fallback
         self._register_remote_datasource()
-        name = f"__fed_{alias}_{abs(hash(remote_sql)) % 10**10}"
+        name = f"__fed_{abs(hash((key, remote_sql))) % 10**10}"
         (
             self.spark.read.format("beacon_remote")
             .schema(schema)
@@ -2148,8 +2204,38 @@ class Engine:
             .createOrReplaceTempView(name)
         )
         self._remote_views = getattr(self, "_remote_views", {})
-        self._remote_views.setdefault(alias, set()).add(name)
+        self._remote_views.setdefault("__federated__", set()).add(name)
         return f"SELECT * FROM {name}"
+
+    def _remote_ext_endpoints(self) -> dict:
+        """STORED AS REMOTE external tables → {name: ((location, token),
+        remote_table)} — populated from the registry _register_catalog
+        maintains (tokens already decrypted there)."""
+        from beacon_spark.server.remote import parse_remote_url
+
+        out = {}
+        for name, (url, token, tls) in getattr(
+                self, "_remote_ext", {}).items():
+            base, _, tbl = url.rpartition("/")
+            loc = parse_remote_url(base)
+            if loc is None or not tbl:
+                continue
+            if tls and loc.startswith("grpc://"):
+                loc = "grpc+tls://" + loc[len("grpc://"):]
+            out[name] = ((loc, token), tbl)
+        return out
+
+    def _remote_conn(self, location: str, token: str | None):
+        """Cached RemoteBeacon per (endpoint, principal) for federated
+        pushdown over STORED AS REMOTE tables with no ATTACH."""
+        cache = self._fed_conns = getattr(self, "_fed_conns", {})
+        rb = cache.get((location, token))
+        if rb is None:
+            from beacon_spark.server.remote import RemoteBeacon
+
+            rb = cache[(location, token)] = RemoteBeacon(
+                location, token=token)
+        return rb
 
     def _rewrite_read_fns(self, statement: str) -> str:
         """Replace ``read_*('glob' [, 'glob'...])`` table functions with

@@ -623,10 +623,14 @@ def test_federated_mixed_local_remote_falls_back(spark, served, tmp_path):
         ceng.sql("DETACH fm")
 
 
-def test_federated_two_remotes_fall_back(spark, served, tmp_path):
-    """Tables from TWO different attached remotes (even if they are the
-    same endpoint under two aliases) join locally — whole-statement
-    pushdown only fires for a single remote."""
+def test_federated_endpoint_keying(spark, served, tmp_path):
+    """Remote refs group by ENDPOINT, not alias: two aliases of ONE
+    server still push the join whole; tables on two DIFFERENT servers
+    join locally."""
+    import os
+
+    from beacon_spark.server import BeaconFlightServer
+
     eng, _server, port = served
     recorded = []
     orig = eng.sql
@@ -636,19 +640,77 @@ def test_federated_two_remotes_fall_back(spark, served, tmp_path):
         return orig(sql, **kw)
 
     eng.sql = rec
+    # a second, genuinely different server
+    root2 = str(tmp_path / "srv2")
+    os.makedirs(root2)
+    eng2 = Engine(spark, datasets_root=root2)
+    eng2.sql("CREATE TABLE other AS SELECT id FROM range(20)")
+    srv2 = BeaconFlightServer(eng2, port=0)
+    port2 = srv2.serve_background()
     try:
         ceng = Engine(spark, datasets_root=str(tmp_path / "fed2"))
         ceng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS ra")
         ceng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS rb")
+        ceng.sql(f"ATTACH 'grpc://127.0.0.1:{port2}' AS rc")
+        # same endpoint under two aliases → ONE pushed remote JOIN
         out = ceng.sql(
-            "SELECT count(*) AS c FROM ra__remobs a JOIN rb__remobs b ON a.id = b.id"
+            "SELECT count(*) AS c FROM ra__remobs a JOIN rb__remobs b "
+            "ON a.id = b.id"
         ).collect()
         assert out[0].c == 20
-        assert not [s for s in recorded if "JOIN" in s.upper() and "remobs" in s]
+        joins = {s for s in recorded if "JOIN" in s.upper() and "remobs" in s}
+        assert len(joins) == 1 and "ra__" not in next(iter(joins))
+        # two DIFFERENT servers → local join, no remote JOIN anywhere
+        recorded.clear()
+        out = ceng.sql(
+            "SELECT count(*) AS c FROM ra__remobs a JOIN rc__other o "
+            "ON a.id = o.id"
+        ).collect()
+        assert out[0].c == 20
+        assert not [s for s in recorded if "JOIN" in s.upper()]
     finally:
         eng.sql = orig
         ceng.sql("DETACH ra")
         ceng.sql("DETACH rb")
+        ceng.sql("DETACH rc")
+        srv2.shutdown()
+
+
+def test_stored_as_remote_join_pushes_whole(spark, served, tmp_path):
+    """Two STORED AS REMOTE tables of the same endpoint — no ATTACH at
+    all — still ship their join as ONE remote statement."""
+    eng, _server, port = served
+    eng.sql("CREATE TABLE sarj AS SELECT id % 3 AS g, id AS x FROM range(9)")
+    recorded = []
+    orig = eng.sql
+
+    def rec(sql, **kw):
+        recorded.append(sql)
+        return orig(sql, **kw)
+
+    eng.sql = rec
+    try:
+        ceng = Engine(spark, datasets_root=str(tmp_path / "sarj_cli"))
+        ceng.sql("CREATE EXTERNAL TABLE robs STORED AS REMOTE "
+                 f"LOCATION 'beacon://127.0.0.1:{port}/remobs'")
+        ceng.sql("CREATE EXTERNAL TABLE rj STORED AS REMOTE "
+                 f"LOCATION 'beacon://127.0.0.1:{port}/sarj'")
+        recorded.clear()
+        out = ceng.sql(
+            "SELECT count(*) AS c FROM robs r JOIN rj ON r.g = rj.g"
+        ).collect()
+        # remobs g counts 7/7/6; sarj has 3 rows per g → 3*(7+7+6)
+        assert out[0].c == 60
+        joins = {s for s in recorded if "JOIN" in s.upper() and "remobs" in s}
+        assert len(joins) == 1, recorded
+        pushed = next(iter(joins))
+        assert "robs" not in pushed and " rj " not in f" {pushed} "
+        assert "sarj" in pushed
+        ceng.sql("DROP TABLE robs")
+        ceng.sql("DROP TABLE rj")
+    finally:
+        eng.sql = orig
+        eng.sql("DROP TABLE sarj")
 
 
 def test_stored_as_remote_external_table(spark, served, tmp_path):
@@ -676,8 +738,18 @@ def test_stored_as_remote_external_table(spark, served, tmp_path):
         out = ceng.sql(
             "SELECT count(*) AS n FROM remote_obs WHERE id > 15").collect()
         assert out[0].n == 4
+        # the aggregate triggers WHOLE-statement pushdown: the remote
+        # ran the count, only one row crossed the wire
         pushed = [s for s in recorded if "remobs" in s and "WHERE" in s]
-        assert pushed and "`id` > 15" in pushed[-1]  # remote-side filter
+        assert pushed and pushed[-1] == \
+            "SELECT count(*) AS n FROM remobs WHERE id > 15"
+        # a plain filter/projection scan keeps the per-table
+        # pushFilters path (predicate compiled into the remote WHERE)
+        recorded.clear()
+        rows = ceng.sql("SELECT id FROM remote_obs WHERE id > 17").collect()
+        assert sorted(r.id for r in rows) == [18, 19]
+        pf = [s for s in recorded if "remobs" in s and "`id` > 17" in s]
+        assert pf, recorded
         # join with a local source in one statement
         ceng.sql("CREATE TABLE locj AS SELECT id FROM range(5)")
         tot = ceng.sql("SELECT count(*) AS n FROM remote_obs r "
