@@ -190,19 +190,34 @@ def _check_path(engine, a: dict, roles: list[str], path: str) -> None:
         raise AuthError(f"permission denied: SELECT on path {path!r}")
 
 
+class ExternalPrincipal(str):
+    """A username authenticated by an EXTERNAL IdP (OIDC bearer token):
+    the roles ride ON the principal (snapshotted from the verified
+    token), and the local user directory NEVER resolves it — a token
+    whose username claim collides with a local user (even a super-user)
+    must not inherit that user's local privileges, and a directory
+    lookup keyed by the bare name would do exactly that. str subclass,
+    so grants/metrics/logging treat it as the plain username."""
+
+    __slots__ = ("roles",)
+
+    def __new__(cls, name: str, roles=()):
+        self = super().__new__(cls, name)
+        self.roles = list(roles)
+        return self
+
+
 def _resolve_ident(engine, a: dict, user: str) -> dict | None:
-    """Directory user, else an EXTERNAL principal (OIDC/IdP-verified
-    bearer identity the transport recorded on the engine): the IdP owns
-    the user, the token's role names map onto the local role/grant
-    model, and external principals are NEVER super-users (reference
-    oidc.rs:1-8 — the provider holds no user directory)."""
-    ident = a["users"].get(user)
-    if ident is not None:
-        return ident
-    ext = getattr(engine, "_external_principals", {}).get(user)
-    if ext is not None:
-        return {"roles": list(ext), "super_user": False}
-    return None
+    """Directory user, or an EXTERNAL principal (OIDC/IdP-verified):
+    the IdP owns the user, the token's role names map onto the local
+    role/grant model, and external principals are NEVER super-users
+    (reference oidc.rs:1-8 — the provider holds no user directory).
+    The two populations never cross-resolve: an external principal is
+    answered from its token roles even when a directory user shares
+    the name, and a directory user never picks up token roles."""
+    if isinstance(user, ExternalPrincipal):
+        return {"roles": list(user.roles), "super_user": False}
+    return a["users"].get(user)
 
 
 def authorize(engine, statement: str, user: str | None) -> None:
@@ -472,7 +487,7 @@ def run_auth_statement(engine, statement: str, user: str | None):
     cat = engine.catalog._load()
     a = _auth(cat)
     if user is not None:
-        ident = a["users"].get(user)
+        ident = _resolve_ident(engine, a, user)
         if ident is None or not ident.get("super_user"):
             raise AuthError(
                 "operation not permitted: auth management requires "

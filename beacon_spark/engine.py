@@ -1117,8 +1117,12 @@ class Engine:
                 dirty.difference_update(snapshot)
                 for vname, view_sql in c["views"].items():
                     self.sql(view_sql).createOrReplaceTempView(vname)
-                # note_table_version bumped rev: adopt the new signature
-                self._cat_sig = self.catalog.signature()
+                # adopt only OUR OWN note's post-write signature — the
+                # current live signature may already include a concurrent
+                # writer's change, and adopting it here would silently
+                # swallow that change (the check below must still see a
+                # mismatch and run the full pass for it)
+                self._cat_sig = getattr(self, "_noted_sig", None)
             finally:
                 self._registering = False
         sig = self.catalog.signature()
@@ -1315,20 +1319,27 @@ class Engine:
         lowering actions.rs:221-795). Always returns a small status frame."""
         cat = self.catalog
         try:
-            return self._run_ddl_inner(kind, m)
-        finally:
-            # invalidate AFTER the mutation: nested self.sql() calls during
-            # the DDL re-register and would otherwise cache a pre-mutation pin
-            if kind in self._MANIFEST_ONLY_KINDS:
-                name = m.group(1)
-                try:
-                    cat.note_table_version(name)
-                    self._dirty_tables = getattr(self, "_dirty_tables", set())
-                    self._dirty_tables.add(name)
-                except Exception:
-                    self._cat_sig = None  # fall back to the full pass
-            else:
-                self._cat_sig = None
+            out = self._run_ddl_inner(kind, m)
+        except BaseException:
+            # failed statement: state unknown — force the full re-check,
+            # but never note a version (a failed DELETE on a missing
+            # table must not write phantom catalog entries or make every
+            # other engine re-register for nothing)
+            self._cat_sig = None
+            raise
+        # invalidate AFTER the mutation: nested self.sql() calls during
+        # the DDL re-register and would otherwise cache a pre-mutation pin
+        if kind in self._MANIFEST_ONLY_KINDS:
+            name = m.group(1)
+            try:
+                self._noted_sig = cat.note_table_version(name)
+                self._dirty_tables = getattr(self, "_dirty_tables", set())
+                self._dirty_tables.add(name)
+            except Exception:
+                self._cat_sig = None  # fall back to the full pass
+        else:
+            self._cat_sig = None
+        return out
 
     def _run_ddl_inner(self, kind: str, m: re.Match) -> DataFrame:
         cat = self.catalog
@@ -2126,7 +2137,11 @@ class Engine:
         ctes = {
             m.group(1).lower()
             for m in re.finditer(
-                r"\b(?:with|,)\s*(\w+)\s+as\s*\(", statement, re.IGNORECASE
+                # NB: a plain \b before ',' never matches after ')', so
+                # the comma alternative is spelled without it — second
+                # and later CTEs (`), b AS (`) must be recognized too
+                r"(?:\bwith\s+|,\s*)(\w+)\s+as\s*\(",
+                statement, re.IGNORECASE,
             )
             if not _in_literal(spans, m.start())
         }
@@ -2170,26 +2185,31 @@ class Engine:
             blanked = re.sub(r"'(?:[^']|'')*'", "''", statement)
             if not self._FED_REDUCE_RE.search(blanked):
                 return None
-        remote_sql = statement
-        for alias, arb in remotes.items():
-            if (arb.location, arb._token) != key:
-                continue
-            pat = re.compile(rf"\b{re.escape(alias)}__(\w+)\b")
-            remote_sql = _sub_outside_literals(
-                pat,
-                lambda m, _r=arb: (
-                    m.group(1) if m.group(1) in _r.list_tables()
-                    else m.group(0)
-                ),
-                remote_sql,
-            )
-        for name, (ekey, tbl) in rext.items():
-            if ekey == key:
-                remote_sql = _sub_outside_literals(
-                    re.compile(rf"\b{re.escape(name)}\b"),
-                    lambda m, _t=tbl: _t,
-                    remote_sql,
-                )
+        # ONE substitution pass over the original statement — sequential
+        # per-name passes would chain (x→y, then a later y→z rule
+        # renames the fresh y), silently querying the wrong remote table
+        alias_names = [a for a, r in remotes.items()
+                       if (r.location, r._token) == key]
+        ext_map = {n: t for n, (k, t) in rext.items() if k == key}
+        parts = []
+        if alias_names:
+            parts.append(
+                r"\b(?P<al>" + "|".join(map(re.escape, sorted(alias_names)))
+                + r")__(?P<at>\w+)\b")
+        if ext_map:
+            parts.append(
+                r"\b(?P<ext>" + "|".join(map(re.escape, sorted(ext_map)))
+                + r")\b")
+        pat = re.compile("|".join(parts))
+
+        def _sub(m: re.Match) -> str:
+            gd = m.groupdict()
+            if gd.get("ext"):
+                return ext_map[gd["ext"]]
+            t = gd.get("at")
+            return t if t and t in rb.list_tables() else m.group(0)
+
+        remote_sql = _sub_outside_literals(pat, _sub, statement)
         try:
             schema = rb.query_schema(remote_sql)  # LIMIT-0 plan, no data
         except Exception:

@@ -679,6 +679,7 @@ class Catalog:
     def drop_table(self, name: str) -> None:
         cat = self._load()
         path = cat["tables"].pop(name, None)
+        cat.get("table_versions", {}).pop(name, None)
         self._save(cat)
         if path:
             ManagedTable(self.spark, path).drop()
@@ -826,7 +827,10 @@ class Catalog:
         lists until the next structural catalog write.)"""
         if not bs.exists(self.file):
             return None
-        cat = self._load()
+        return self._sig_of(self._load())
+
+    @staticmethod
+    def _sig_of(cat: dict) -> tuple:
         return (
             cat.get("rev", 0),
             tuple(sorted(cat.get("table_versions", {}).items())),
@@ -835,16 +839,26 @@ class Catalog:
             tuple(sorted(cat["views"])),
         )
 
-    def note_table_version(self, name: str, version: int | None = None) -> None:
+    def note_table_version(self, name: str, version: int | None = None) -> tuple:
         """Record a manifest-level mutation (INSERT/UPDATE/DELETE/
         OPTIMIZE/ALTER/REFRESH) in the catalog so ``signature()`` sees
         it without listing manifests. The recorded value only needs to
-        CHANGE, not match the manifest version exactly."""
+        CHANGE, not match the manifest version exactly. Returns the
+        signature of the document AS WRITTEN, so the caller can adopt
+        exactly its own write — a concurrent writer's later change
+        still mismatches and forces a full re-registration.
+
+        Like every catalog write here, this is last-writer-wins on
+        catalog.json — the engine assumes one catalog-writing process
+        per lake (the reference's beacon-server owns its catalog the
+        same way); concurrent multi-process DDL was already unguarded
+        before DML started writing the file."""
         cat = self._load()
         vers = cat.setdefault("table_versions", {})
         vers[name] = (int(version) if version is not None
                       else int(vers.get(name, 0)) + 1)
         self._save(cat)
+        return self._sig_of(cat)
 
     def names(self) -> dict:
         cat = self._load()

@@ -115,9 +115,22 @@ def write_csv(df: DataFrame, path: str, single: bool = True) -> None:
     from pyarrow import csv as pa_csv
 
     first, schema, rest = _first_and_schema(df)
-    try:  # schema probe: can Arrow CSV encode these types at all?
-        pa_csv.CSVWriter(io.BytesIO(), schema).close()
-    except pa.lib.ArrowError:
+
+    def _arrow_csv_encodable(t: pa.DataType) -> bool:
+        # binary passes CSVWriter CONSTRUCTION but fails on the first
+        # non-UTF8 batch — treat it (and nested types) as row-loop work
+        return not (
+            pa.types.is_binary(t) or pa.types.is_large_binary(t)
+            or pa.types.is_fixed_size_binary(t) or pa.types.is_nested(t)
+        )
+
+    probe_ok = all(_arrow_csv_encodable(f.type) for f in schema)
+    if probe_ok:
+        try:  # schema probe: can Arrow CSV encode these types at all?
+            pa_csv.CSVWriter(io.BytesIO(), schema).close()
+        except pa.ArrowException:
+            probe_ok = False
+    if not probe_ok:
         _write_csv_rows(df, path, first, rest)
         return
     # header row hand-written with MINIMAL quoting — pyarrow always

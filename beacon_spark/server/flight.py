@@ -73,11 +73,9 @@ class _BearerAuth(fl.ServerMiddlewareFactory):
                 ident = self._oidc.verify(header[7:])
             except OidcError as e:
                 raise fl.FlightUnauthenticatedError("bad bearer token") from e
-            ep = getattr(self._engine, "_external_principals", None)
-            if ep is None:
-                ep = self._engine._external_principals = {}
-            ep[ident.username] = list(ident.roles)
-            return _Identity(ident.username)
+            from beacon_spark.auth import ExternalPrincipal
+
+            return _Identity(ExternalPrincipal(ident.username, ident.roles))
         if header.startswith("Basic "):
             import base64
 

@@ -180,11 +180,10 @@ class BeaconHttpServer:
                     except OidcError:
                         self._deny(401, "bad bearer token")
                         return False
-                    ep = getattr(outer.engine, "_external_principals", None)
-                    if ep is None:
-                        ep = outer.engine._external_principals = {}
-                    ep[ident.username] = list(ident.roles)
-                    self._ident = ident.username
+                    from beacon_spark.auth import ExternalPrincipal
+
+                    self._ident = ExternalPrincipal(
+                        ident.username, ident.roles)
                     return True
                 if header.startswith("Basic "):
                     import base64

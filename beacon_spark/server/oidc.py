@@ -161,7 +161,21 @@ class OidcValidator:
     # ------------------------------------------------------------ verify
 
     def verify(self, token: str, now: float | None = None) -> Authenticated:
-        """Full validation → the authenticated principal, or OidcError."""
+        """Full validation → the authenticated principal, or OidcError.
+
+        EVERY failure mode surfaces as OidcError — the transports map it
+        to a 401; any other exception type would escape their handler
+        and turn a malformed token into a 500 (non-ascii segments,
+        non-object header/payload JSON, wrong claim types)."""
+        try:
+            return self._verify(token, now)
+        except OidcError:
+            raise
+        except Exception as e:  # malformed in a way the checks missed
+            raise OidcError(
+                f"malformed token ({type(e).__name__})") from None
+
+    def _verify(self, token: str, now: float | None) -> Authenticated:
         parts = token.split(".")
         if len(parts) != 3:
             raise OidcError("not a JWS compact token")

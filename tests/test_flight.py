@@ -769,3 +769,77 @@ def test_stored_as_remote_external_table(spark, served, tmp_path):
         ceng.sql("DROP TABLE locj")
     finally:
         eng.sql = orig
+
+
+def test_federated_multi_cte_pushes(spark, served, tmp_path):
+    """code-review r7 finding: the comma CTE alternative never matched
+    after ')', so `WITH a AS (...), b AS (...)` statements silently
+    stopped pushing — pin the two-CTE all-remote shape."""
+    eng, _server, port = served
+    recorded = []
+    orig = eng.sql
+
+    def rec(sql, **kw):
+        recorded.append(sql)
+        return orig(sql, **kw)
+
+    eng.sql = rec
+    try:
+        ceng = Engine(spark, datasets_root=str(tmp_path / "fcte"))
+        ceng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS fc")
+        out = ceng.sql(
+            "WITH a AS (SELECT id, g FROM fc__remobs WHERE id < 10), "
+            "b AS (SELECT g, count(*) AS c FROM fc__remobs GROUP BY g) "
+            "SELECT count(*) AS n FROM a JOIN b ON a.g = b.g"
+        ).collect()
+        assert out[0].n == 10
+        pushed = {s for s in recorded if "WITH" in s.upper() and "remobs" in s}
+        assert len(pushed) == 1, recorded  # the whole multi-CTE body shipped
+        assert "fc__" not in next(iter(pushed))
+    finally:
+        eng.sql = orig
+        ceng.sql("DETACH fc")
+
+
+def test_federated_ext_rewrite_does_not_chain(spark, served, tmp_path):
+    """code-review r7 finding: sequential name substitution chained
+    (x→y then y→z). With ext tables x→/sarly and sarly-as-a-name also
+    remote, `SELECT FROM x` must query the remote table x POINTS AT,
+    never a twice-renamed one."""
+    import beacon_spark.server.remote as rem
+
+    eng, _server, port = served
+    # two remote tables with different row counts
+    eng.sql("CREATE TABLE chain_y AS SELECT id FROM range(7)")
+    eng.sql("CREATE TABLE chain_z AS SELECT id FROM range(3)")
+    pushed = []
+    orig_qs = rem.RemoteBeacon.query_schema
+
+    def spy(self, sql):
+        pushed.append(sql)
+        return orig_qs(self, sql)
+
+    rem.RemoteBeacon.query_schema = spy
+    try:
+        ceng = Engine(spark, datasets_root=str(tmp_path / "fchain"))
+        # ext 'x' → remote chain_y; ext 'chain_y' → remote chain_z
+        ceng.sql("CREATE EXTERNAL TABLE x STORED AS REMOTE "
+                 f"LOCATION 'beacon://127.0.0.1:{port}/chain_y'")
+        ceng.sql("CREATE EXTERNAL TABLE chain_y STORED AS REMOTE "
+                 f"LOCATION 'beacon://127.0.0.1:{port}/chain_z'")
+        # (executing in this suite would be misleading: both engines
+        # share one SparkSession, so the client's ext view 'chain_y'
+        # shadows the server's table of the same name — a test-only
+        # collision. The pushed SQL is the contract.)
+        pushed.clear()
+        ceng.sql("SELECT count(*) AS c FROM x")
+        assert pushed == ["SELECT count(*) AS c FROM chain_y"], pushed
+        pushed.clear()
+        ceng.sql("SELECT count(*) AS c FROM chain_y")
+        assert pushed == ["SELECT count(*) AS c FROM chain_z"], pushed
+        ceng.sql("DROP TABLE x")
+        ceng.sql("DROP TABLE chain_y")
+    finally:
+        rem.RemoteBeacon.query_schema = orig_qs
+        eng.sql("DROP TABLE chain_y")
+        eng.sql("DROP TABLE chain_z")

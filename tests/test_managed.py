@@ -760,3 +760,50 @@ def test_crawler_format_filter_and_leaf_prefix(spark, tmp_path):
     # idempotent rerun
     report2 = eng.sql("RUN CRAWLER fmt").collect()
     assert all("registered" not in r.action for r in report2)
+
+
+def test_failed_dml_writes_nothing_to_catalog(spark, tmp_path):
+    """code-review r7 finding: a failed DML must not note a phantom
+    table version (catalog junk + a pointless full re-registration for
+    every other engine)."""
+    import json as _json
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.sources import bytesource as bs
+
+    root = str(tmp_path / "faildml")
+    eng = Engine(spark, datasets_root=root)
+    eng.sql("CREATE TABLE ok AS SELECT id FROM range(3)")
+    cat_file = eng.catalog.file
+    before = _json.loads(bs.read_text(cat_file))
+    with pytest.raises(Exception):
+        eng.sql("DELETE FROM nosuch WHERE id = 1")
+    after = _json.loads(bs.read_text(cat_file))
+    assert "nosuch" not in after.get("table_versions", {})
+    assert after.get("rev") == before.get("rev")
+    # DROP cleans up the version entry too
+    eng.sql("INSERT INTO ok SELECT id FROM range(2)")
+    assert "ok" in _json.loads(bs.read_text(cat_file))["table_versions"]
+    eng.sql("DROP TABLE ok")
+    assert "ok" not in _json.loads(
+        bs.read_text(cat_file)).get("table_versions", {})
+
+
+def test_concurrent_engine_changes_not_swallowed_by_dml_path(spark, tmp_path):
+    """code-review r7 finding: after a DML, the targeted re-registration
+    must adopt only ITS OWN catalog write — a concurrent engine's
+    CREATE TABLE/INSERT in between still triggers the full pass."""
+    from beacon_spark.engine import Engine
+
+    root = str(tmp_path / "twoeng")
+    a = Engine(spark, datasets_root=root)
+    b = Engine(spark, datasets_root=root)
+    a.sql("CREATE TABLE t1 AS SELECT id FROM range(3)")
+    a.sql("SELECT count(*) FROM t1").collect()
+    # A mutates t1 (dirty path armed), then B changes the catalog
+    a.sql("INSERT INTO t1 SELECT id FROM range(2)")
+    b.sql("CREATE TABLE t2 AS SELECT id FROM range(4)")
+    b.sql("INSERT INTO t2 SELECT id FROM range(1)")
+    # A's next statements see BOTH its own DML and B's changes
+    assert a.sql("SELECT count(*) AS c FROM t1").collect()[0].c == 5
+    assert a.sql("SELECT count(*) AS c FROM t2").collect()[0].c == 5

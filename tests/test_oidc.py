@@ -277,3 +277,52 @@ def test_flight_oidc_external_principal(spark, tmp_path, keypair, jwks):
                           options=bad).read_all()
     finally:
         server.shutdown()
+
+
+def test_token_username_collision_never_inherits_local_privileges(
+        oidc_http, keypair):
+    """code-review r7 finding: a token whose username claim collides
+    with a LOCAL super-user must not inherit that user's directory
+    privileges — external principals resolve from token roles only."""
+    import urllib.error
+
+    eng, base = oidc_http
+    priv, _ = keypair
+    eng.sql("CREATE USER boss WITH PASSWORD 'pw' SUPERUSER")
+    # IdP-signed token claiming to be 'boss', with NO roles
+    tok = mint(priv, _claims(preferred_username="boss",
+                             realm_access={"roles": []}))
+    # DDL refused: the external 'boss' is not a super-user
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base, {"sql": "CREATE TABLE boom AS SELECT 1 AS x"}, tok)
+    assert ei.value.code in (400, 403)
+    # and with enforcement on + no roles, the granted table is refused too
+    with pytest.raises(urllib.error.HTTPError):
+        _post(base, {"sql": "SELECT * FROM pub", "format": "json"}, tok)
+    # the real boss over HTTP Basic still has directory privileges
+    import base64 as _b64
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"{base}/api/query",
+        data=json.dumps({"sql": "SELECT count(*) AS c FROM sec",
+                         "format": "json"}).encode(),
+        headers={"Content-Type": "application/json",
+                 "Authorization": "Basic "
+                 + _b64.b64encode(b"boss:pw").decode()},
+        method="POST")
+    assert json.loads(urllib.request.urlopen(req).read())[0]["c"] == 5
+
+
+def test_malformed_tokens_always_401(oidc_http, validator):
+    """code-review r7 finding: malformed tokens (non-ascii segments,
+    non-object header JSON) must map to OidcError → 401, never a 500."""
+    import urllib.error
+
+    _eng, base = oidc_http
+    for bad in ("é.x.y", "W10.W10.AA", "..", "a.b.c"):
+        with pytest.raises(OidcError):
+            validator.verify(bad)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, {"sql": "SELECT 1"}, bad)
+        assert ei.value.code == 401, bad

@@ -140,3 +140,22 @@ def test_netcdf_timestamp_cf(spark, tmp_path):
     row = eng.sql("SELECT ts, v FROM read_netcdf('ts.nc')").collect()[0]
     assert str(row.ts).startswith("2021-03-04 05:06:07.123456")  # CF decode is tz-aware UTC
     assert row.v == 1.5
+
+
+def test_csv_binary_and_nested_fall_back_to_row_loop(spark, tmp_path):
+    """code-review r7 finding: binary passes Arrow CSVWriter
+    CONSTRUCTION but fails mid-write; nested types fail construction —
+    both must take the row-loop fallback and produce a full file."""
+    from beacon_spark.outputs import write_csv
+
+    df = spark.sql(
+        "SELECT id, unhex('DEADBEEF') AS b, array(id, id * 2) AS a "
+        "FROM range(3)")
+    p = str(tmp_path / "binfall.csv")
+    write_csv(df, p, single=True)
+    import csv as _csv
+
+    with open(p) as f:
+        rows = list(_csv.DictReader(f))
+    assert len(rows) == 3
+    assert rows[1]["id"] == "1" and rows[1]["a"].startswith("[1")
