@@ -172,15 +172,20 @@ _FROM_JOIN_RE = re.compile(r"\b(from|join)\b", re.IGNORECASE)
 _IDENT_RE = re.compile(r"[A-Za-z_][\w.]*")
 
 
-def _table_position_idents(statement: str, spans) -> list[str] | None:
-    """Identifiers in table position (after FROM/JOIN, including
-    comma-separated FROM lists), skipping string literals, subqueries
-    (their inner FROMs are scanned by the same pass) and ``IS [NOT]
-    DISTINCT FROM``. Returns ``None`` when a table position holds
-    something this conservative scan can't classify (``VALUES``, a
-    table-function call, odd syntax) — callers must treat that as
-    "may reference a local table" and fall back."""
-    out: list[str] = []
+def _table_position_idents(
+    statement: str, spans
+) -> list[tuple[str, int, int]] | None:
+    """``(identifier, start, end)`` triples in table position (after
+    FROM/JOIN, including comma-separated FROM lists), skipping string
+    literals, subqueries (their inner FROMs are scanned by the same
+    pass) and ``IS [NOT] DISTINCT FROM``. Returns ``None`` when a table
+    position holds something this conservative scan can't classify
+    (``VALUES``, a table-function call, odd syntax) — callers must
+    treat that as "may reference a local table" and fall back. The
+    spans let ``_federated_pushdown`` substitute remote names ONLY at
+    table positions, never at a column/alias that merely shares the
+    name."""
+    out: list[tuple[str, int, int]] = []
     n = len(statement)
     for m in _FROM_JOIN_RE.finditer(statement):
         if _in_literal(spans, m.start()):
@@ -243,7 +248,7 @@ def _table_position_idents(statement: str, spans) -> list[str] | None:
                 j += 1
             if j < n and statement[j] == "(":
                 return None  # table function in table position — local
-            out.append(ident)
+            out.append((ident, im.start(), im.end()))
             # optional [AS] alias
             am = _IDENT_RE.match(statement, j)
             if am is not None and am.group(0).lower() == "as":
@@ -2150,7 +2155,7 @@ class Engine:
         # group together — two aliases to one endpoint still push
         rext = self._remote_ext_endpoints()
         refs: list[tuple[tuple, str]] = []  # (endpoint_key, remote table)
-        for ident in idents:
+        for ident, _s, _e in idents:
             if ident.lower() in ctes:
                 continue
             hit = None
@@ -2185,31 +2190,51 @@ class Engine:
             blanked = re.sub(r"'(?:[^']|'')*'", "''", statement)
             if not self._FED_REDUCE_RE.search(blanked):
                 return None
-        # ONE substitution pass over the original statement — sequential
-        # per-name passes would chain (x→y, then a later y→z rule
-        # renames the fresh y), silently querying the wrong remote table
-        alias_names = [a for a, r in remotes.items()
-                       if (r.location, r._token) == key]
+        # Span-based substitution over the ORIGINAL statement: remote
+        # names are swapped in ONLY at the table-position spans the
+        # scanner identified, plus qualified column prefixes
+        # (``lake__t.col`` → ``t.col``). A column or SELECT alias that
+        # merely shares an ext-table's name is left untouched — a
+        # statement-wide \b-regex used to rename those too, and when the
+        # renamed text was coincidentally valid on the remote the query
+        # silently returned wrong data. All edits are computed against
+        # the original text, so per-name passes can never chain
+        # (x→y then y→z).
+        alias_names = sorted(a for a, r in remotes.items()
+                             if (r.location, r._token) == key)
         ext_map = {n: t for n, (k, t) in rext.items() if k == key}
-        parts = []
-        if alias_names:
-            parts.append(
-                r"\b(?P<al>" + "|".join(map(re.escape, sorted(alias_names)))
-                + r")__(?P<at>\w+)\b")
-        if ext_map:
-            parts.append(
-                r"\b(?P<ext>" + "|".join(map(re.escape, sorted(ext_map)))
-                + r")\b")
-        pat = re.compile("|".join(parts))
+        remote_tables = rb.list_tables()
 
-        def _sub(m: re.Match) -> str:
-            gd = m.groupdict()
-            if gd.get("ext"):
-                return ext_map[gd["ext"]]
-            t = gd.get("at")
-            return t if t and t in rb.list_tables() else m.group(0)
+        def _remote_name(ident: str) -> str | None:
+            if ident in ext_map:
+                return ext_map[ident]
+            for a in alias_names:
+                pre = a + "__"
+                if ident.startswith(pre) and ident[len(pre):] in remote_tables:
+                    return ident[len(pre):]
+            return None
 
-        remote_sql = _sub_outside_literals(pat, _sub, statement)
+        edits: list[tuple[int, int, str]] = []
+        renamed: set[str] = set()
+        for ident, s, e in idents:
+            t = _remote_name(ident)
+            if t is not None and t != ident:
+                edits.append((s, e, t))
+                renamed.add(ident)
+        if renamed:
+            qpat = re.compile(
+                r"\b(" + "|".join(map(re.escape, sorted(renamed)))
+                + r")(?=\s*\.)")
+            taken = [(s, e) for s, e, _ in edits]
+            for m in qpat.finditer(statement):
+                if _in_literal(spans, m.start()):
+                    continue
+                if any(s <= m.start() < e for s, e in taken):
+                    continue
+                edits.append((m.start(), m.end(), _remote_name(m.group(1))))
+        remote_sql = statement
+        for s, e, t in sorted(edits, reverse=True):
+            remote_sql = remote_sql[:s] + t + remote_sql[e:]
         try:
             schema = rb.query_schema(remote_sql)  # LIMIT-0 plan, no data
         except Exception:

@@ -34,8 +34,11 @@ layer see the same store; manifest commits are ``publish_bytes``
 
 from __future__ import annotations
 
+import contextlib
 import json
+import os
 import posixpath
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -848,17 +851,84 @@ class Catalog:
         exactly its own write — a concurrent writer's later change
         still mismatches and forces a full re-registration.
 
-        Like every catalog write here, this is last-writer-wins on
-        catalog.json — the engine assumes one catalog-writing process
-        per lake (the reference's beacon-server owns its catalog the
-        same way); concurrent multi-process DDL was already unguarded
-        before DML started writing the file."""
-        cat = self._load()
-        vers = cat.setdefault("table_versions", {})
-        vers[name] = (int(version) if version is not None
-                      else int(vers.get(name, 0)) + 1)
-        self._save(cat)
-        return self._sig_of(cat)
+        Because this runs on EVERY DML, its read-modify-write goes
+        through ``_mutate``: a local lock file serializes concurrent
+        engines, and a write-verify retry re-applies the version bump
+        onto a concurrently-changed document instead of last-writer-wins
+        erasing it (ADVICE r7: a DML's catalog save must never silently
+        drop a concurrent CREATE TABLE)."""
+        def apply(cat: dict) -> None:
+            vers = cat.setdefault("table_versions", {})
+            vers[name] = (int(version) if version is not None
+                          else int(vers.get(name, 0)) + 1)
+
+        return self._sig_of(self._mutate(apply))
+
+    @contextlib.contextmanager
+    def _write_lock(self, timeout: float = 10.0):
+        """Cross-process mutex for catalog read-modify-write cycles.
+        Local roots take an O_CREAT|O_EXCL lock file (the portable
+        advisory lock); object-store roots have no create-if-absent
+        primitive in the byte-source facade, so there the lock is a
+        no-op and ``_mutate``'s write-verify retry is the (narrowed-
+        window) guard. A stale lock older than ``timeout`` (a crashed
+        writer) is broken rather than wedging the lake."""
+        if not bs.is_local(self.dir):
+            yield
+            return
+        bs.makedirs(self.dir)
+        lock = os.path.join(self.dir, "catalog.lock")
+        deadline = time.monotonic() + timeout
+        fd = None
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > timeout:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    continue  # holder released between check and stat
+                if time.monotonic() > deadline:
+                    break  # proceed unlocked — write-verify still guards
+                time.sleep(0.005)
+        try:
+            yield
+        finally:
+            if fd is not None:
+                os.close(fd)
+                with contextlib.suppress(OSError):
+                    os.unlink(lock)
+
+    def _mutate(self, fn) -> dict:
+        """Serialized, merge-on-conflict read-modify-write: load →
+        ``fn(cat)`` → save under the local lock file, then VERIFY the
+        document on disk is the one written. If a concurrent engine
+        interleaved (object stores have no lock), reload ITS document
+        and re-apply ``fn`` so both writers' changes land — merged, not
+        last-writer-wins. Returns the document as written."""
+        with self._write_lock():
+            cat: dict = {}
+            for _ in range(8):
+                cat = self._load()
+                base_rev = int(cat.get("rev", 0))
+                fn(cat)
+                # pre-save check: a lock-less writer (object store, or a
+                # process that bypassed the facade) may have committed
+                # while fn ran — saving now would erase it and the
+                # post-save verify could NOT tell (it compares disk to
+                # our own doc). Re-load cheaply and restart on its doc.
+                if bs.exists(self.file) and \
+                        int(self._load().get("rev", 0)) != base_rev:
+                    continue
+                self._save(cat)
+                chk = self._load()
+                if json.dumps(chk, sort_keys=True) == \
+                        json.dumps(cat, sort_keys=True):
+                    return cat
+            return cat  # pathological contention: every pass merged
 
     def names(self) -> dict:
         cat = self._load()

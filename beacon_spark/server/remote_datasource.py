@@ -174,6 +174,14 @@ class _RemoteReader(DataSourceReader):
         return sql
 
     def partitions(self):
+        # CONTRACT (pinned in tests/test_flight.py): exactly ONE
+        # partition, always. The remote executes one statement and
+        # streams one result; a single partition both avoids re-running
+        # the statement per partition AND preserves the remote's row
+        # order — which is what makes a whole-pushed ORDER BY statement
+        # (rewritten locally to `SELECT * FROM __fed_x`) come back
+        # ordered. Splitting this scan would silently break pushed
+        # ORDER BY semantics.
         return [InputPartition(0)]
 
     def read(self, partition):

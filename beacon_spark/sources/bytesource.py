@@ -80,6 +80,13 @@ def _is_local(path: str) -> bool:
     return s is None or s == "file"
 
 
+def is_local(path: str) -> bool:
+    """True when ``path`` is on the local filesystem (no scheme or
+    ``file://``) — callers use this to pick primitives object stores
+    lack (O_EXCL lock files, os-level renames)."""
+    return _is_local(path)
+
+
 # ------------------------------------------------------- byte sources
 
 class ByteSource:

@@ -843,3 +843,134 @@ def test_federated_ext_rewrite_does_not_chain(spark, served, tmp_path):
         rem.RemoteBeacon.query_schema = orig_qs
         eng.sql("DROP TABLE chain_y")
         eng.sql("DROP TABLE chain_z")
+
+
+def test_federated_sub_only_at_table_positions(spark, served, tmp_path):
+    """ADVICE r7: remote-name substitution must fire ONLY at table
+    positions. An ext table named like a remote COLUMN (`g` here, a
+    column of remobs) used to be renamed everywhere by a statement-wide
+    \\b-regex, turning `GROUP BY g` into `GROUP BY remobs` — wrong data
+    whenever the renamed text was coincidentally valid remotely."""
+    import beacon_spark.server.remote as rem
+
+    _eng, _server, port = served
+    pushed = []
+    orig_qs = rem.RemoteBeacon.query_schema
+
+    def spy(self, sql):
+        pushed.append(sql)
+        return orig_qs(self, sql)
+
+    rem.RemoteBeacon.query_schema = spy
+    try:
+        ceng = Engine(spark, datasets_root=str(tmp_path / "fedcol"))
+        ceng.sql("CREATE EXTERNAL TABLE g STORED AS REMOTE "
+                 f"LOCATION 'beacon://127.0.0.1:{port}/remobs'")
+        pushed.clear()
+        rows = ceng.sql(
+            "SELECT g, count(*) AS n FROM g GROUP BY g ORDER BY g"
+        ).collect()
+        assert pushed == [
+            "SELECT g, count(*) AS n FROM remobs GROUP BY g ORDER BY g"
+        ], pushed
+        assert [r.g for r in rows] == [0, 1, 2]
+        assert sum(r.n for r in rows) == 20
+        ceng.sql("DROP TABLE g")
+    finally:
+        rem.RemoteBeacon.query_schema = orig_qs
+
+
+def test_federated_sub_renames_qualified_prefixes(spark, served, tmp_path):
+    """`lake__remobs.g` column references must be rewritten to
+    `remobs.g` alongside the table-position rename (ADVICE r7 follow-up:
+    span-based substitution still has to cover qualified prefixes)."""
+    import beacon_spark.server.remote as rem
+
+    _eng, _server, port = served
+    pushed = []
+    orig_qs = rem.RemoteBeacon.query_schema
+
+    def spy(self, sql):
+        pushed.append(sql)
+        return orig_qs(self, sql)
+
+    rem.RemoteBeacon.query_schema = spy
+    try:
+        ceng = Engine(spark, datasets_root=str(tmp_path / "fedqual"))
+        ceng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS lake")
+        pushed.clear()
+        rows = ceng.sql(
+            "SELECT lake__remobs.g AS g, count(*) AS n FROM lake__remobs "
+            "GROUP BY lake__remobs.g ORDER BY g"
+        ).collect()
+        assert pushed == [
+            "SELECT remobs.g AS g, count(*) AS n FROM remobs "
+            "GROUP BY remobs.g ORDER BY g"
+        ], pushed
+        assert [r.g for r in rows] == [0, 1, 2]
+        ceng.sql("DETACH lake")
+    finally:
+        rem.RemoteBeacon.query_schema = orig_qs
+
+
+def test_federated_quoted_and_dotted_fall_back(spark, served, tmp_path):
+    """VERDICT r7 item 6: backtick-quoted and dotted table spellings in
+    table position must FALL BACK to the per-table path (never
+    mis-push): the conservative scanner returns None for the quoted
+    form, and a dotted ident never matches a remote name."""
+    import beacon_spark.server.remote as rem
+
+    _eng, _server, port = served
+    pushed = []
+    orig_qs = rem.RemoteBeacon.query_schema
+
+    def spy(self, sql):
+        pushed.append(sql)
+        return orig_qs(self, sql)
+
+    rem.RemoteBeacon.query_schema = spy
+    try:
+        ceng = Engine(spark, datasets_root=str(tmp_path / "fedq"))
+        ceng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS lake")
+        pushed.clear()
+        # backtick-quoted: whole-statement pushdown must not engage
+        # (query_schema never called); the per-table lazy scan still
+        # answers the query correctly
+        rows = ceng.sql(
+            "SELECT count(*) AS c FROM `lake__remobs`").collect()
+        assert rows[0].c == 20
+        assert pushed == [], pushed
+        # dotted spelling resolves to no remote table — falls back
+        # (errors locally as an unknown table rather than mis-pushing)
+        pushed.clear()
+        try:
+            ceng.sql("SELECT count(*) AS c FROM nosuchdb.lake__remobs"
+                     ).collect()
+        except Exception:
+            pass
+        assert pushed == [], pushed
+        ceng.sql("DETACH lake")
+    finally:
+        rem.RemoteBeacon.query_schema = orig_qs
+
+
+def test_federated_order_by_preserved_single_partition(spark, served, tmp_path):
+    """ADVICE r7: a whole-pushed ORDER BY statement is rewritten locally
+    to `SELECT * FROM __fed_x`, so result order rides on _RemoteReader's
+    single-partition contract. Pin both: partitions() == [one], and the
+    end-to-end rows come back in remote order."""
+    from beacon_spark.server.remote_datasource import _RemoteReader
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    _eng, _server, port = served
+    reader = _RemoteReader(
+        StructType([StructField("id", LongType())]),
+        {"url": f"grpc://127.0.0.1:{port}", "sql": "SELECT 1 AS id"},
+    )
+    assert len(reader.partitions()) == 1
+    ceng = Engine(spark, datasets_root=str(tmp_path / "fedord"))
+    ceng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS lake")
+    rows = ceng.sql(
+        "SELECT id FROM lake__remobs ORDER BY id DESC LIMIT 5").collect()
+    assert [r.id for r in rows] == [19, 18, 17, 16, 15]
+    ceng.sql("DETACH lake")

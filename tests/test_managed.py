@@ -807,3 +807,61 @@ def test_concurrent_engine_changes_not_swallowed_by_dml_path(spark, tmp_path):
     # A's next statements see BOTH its own DML and B's changes
     assert a.sql("SELECT count(*) AS c FROM t1").collect()[0].c == 5
     assert a.sql("SELECT count(*) AS c FROM t2").collect()[0].c == 5
+
+
+def test_catalog_mutate_merges_concurrent_writer(spark, tmp_path):
+    """ADVICE r7: note_table_version's read-modify-write must not
+    last-writer-wins erase a concurrent engine's catalog commit. A
+    lock-ignoring writer (an object-store peer) lands a CREATE TABLE
+    between our load and save: _mutate's pre-save rev check restarts
+    on the fresh document, so BOTH changes survive."""
+    import json as j
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.sources import bytesource as bs
+
+    root = str(tmp_path / "cmerge")
+    eng = Engine(spark, datasets_root=root)
+    eng.sql("CREATE TABLE t1 AS SELECT id FROM range(3)")
+    cat = eng.catalog
+    fired = {"n": 0}
+
+    def apply(doc):
+        if fired["n"] == 0:  # simulate the concurrent commit mid-RMW
+            fired["n"] += 1
+            d = j.loads(bs.read_text(cat.file))
+            d["tables"]["ghost"] = str(tmp_path / "ghost")
+            d["rev"] = int(d.get("rev", 0)) + 1
+            bs.publish_bytes(cat.file, j.dumps(d).encode())
+        doc.setdefault("table_versions", {})["t1"] = 99
+
+    cat._mutate(apply)
+    final = j.loads(bs.read_text(cat.file))
+    assert final["tables"].get("ghost") == str(tmp_path / "ghost")
+    assert final["table_versions"]["t1"] == 99
+    assert fired["n"] == 1
+
+
+def test_catalog_write_lock_serializes_dml_bumps(spark, tmp_path):
+    """Two engines bumping table_versions concurrently: the local lock
+    file serializes the read-modify-write cycles, so no bump is lost
+    (each name ends at exactly its writer's count)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from beacon_spark.managed import Catalog
+
+    root = str(tmp_path / "clock")
+    a = Catalog(spark, root)
+    b = Catalog(spark, root)
+
+    def bump(catalog, name, n):
+        for _ in range(n):
+            catalog.note_table_version(name)
+
+    with ThreadPoolExecutor(2) as ex:
+        fa = ex.submit(bump, a, "ta", 20)
+        fb = ex.submit(bump, b, "tb", 20)
+        fa.result()
+        fb.result()
+    doc = a._load()
+    assert doc["table_versions"] == {"ta": 20, "tb": 20}
