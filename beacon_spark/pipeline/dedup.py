@@ -889,6 +889,44 @@ def dedup_incremental(
     return verified
 
 
+def _semdedup_keep(v, threshold: float, block_rows: int = 2048):
+    """Greedy SemDeDup keep mask over row-normalized vectors ``v``
+    (ascending-id order): row j is dropped iff its cosine similarity to
+    an EARLIER KEPT row is >= threshold. Evaluated in id-ascending
+    blocks — ``block @ kept.T`` in sub-chunks of the kept set — so peak
+    memory is O(block_rows x kept_chunk), never the dense n x n matrix
+    (VERDICT r7: at ~1e5 rows per cell the dense float64 matrix is
+    ~80 GB; the blocked walk is a few MB and BLAS-bound on the same
+    flop count, minus the early-exit savings). Semantics are
+    byte-identical to the dense pass (pinned in tests/test_pipeline.py).
+    """
+    import numpy as np
+
+    n = len(v)
+    keep = np.ones(n, dtype=bool)
+    kept_idx: list = []  # indices (into v) kept from earlier blocks
+    kept_chunk = max(block_rows, 4096)
+    for start in range(0, n, block_rows):
+        blk = v[start:start + block_rows]
+        alive = np.ones(len(blk), dtype=bool)
+        # vs earlier-kept rows, sub-chunked along the kept axis
+        for ks in range(0, len(kept_idx), kept_chunk):
+            if not alive.any():
+                break
+            kmat = v[kept_idx[ks:ks + kept_chunk]]
+            alive &= ~((blk @ kmat.T) >= threshold).any(axis=1)
+        # within-block greedy (small dense matrix, block_rows^2 max)
+        if alive.any():
+            sb = blk @ blk.T
+            for i in range(len(blk)):
+                if not alive[i]:
+                    continue
+                alive[i + 1:] &= ~(sb[i, i + 1:] >= threshold)
+        keep[start:start + block_rows] = alive
+        kept_idx.extend((start + np.nonzero(alive)[0]).tolist())
+    return keep
+
+
 def semdedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -897,6 +935,8 @@ def semdedup(
     threshold: float = 0.95,
     sample_n: int = 4096,
     seed: int = 42,
+    block_rows: int = 2048,
+    max_cell_rows: int = 1_000_000,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then inside
@@ -909,10 +949,15 @@ def semdedup(
     assignment is one Catalyst/pandas-UDF pass with the centroid matrix
     broadcast; the quadratic part runs per-cell via applyInPandas, so
     the all-pairs cost is c x (n/c)^2 << n^2 — size ``n_cells`` so a
-    cell's vectors fit one executor (the published recipe uses ~10k
-    clusters at web scale, and one matmul per cell is BLAS-bound).
-    Greedy keep order is ascending id — deterministic across runs and
-    cluster counts.
+    cell's row count stays near n/c (the published recipe uses ~10k
+    clusters at web scale). Within a cell the similarity walk is
+    BLOCKED (``_semdedup_keep``): memory is O(block_rows x chunk), not
+    the dense (n/c)^2 matrix, so a skewed cell degrades to slow, never
+    to executor OOM. Cells larger than ``max_cell_rows`` additionally
+    log a loud warning (k-means cells skew; re-train with more cells
+    rather than eating the quadratic time). Greedy keep order is
+    ascending id — deterministic across runs, cluster counts and block
+    sizes.
     """
     import numpy as np
     import pandas as pd
@@ -940,17 +985,19 @@ def semdedup(
 
     def _dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)
+        if len(pdf) > max_cell_rows:
+            import logging
+
+            logging.getLogger("beacon_spark.semdedup").warning(
+                "semdedup cell %s holds %d rows (> max_cell_rows=%d): "
+                "the blocked walk stays memory-bounded but quadratic "
+                "time will hurt — re-train with more n_cells",
+                pdf["cell"].iloc[0] if len(pdf) else "?",
+                len(pdf), max_cell_rows,
+            )
         v = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
         v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        sims = v @ v.T
-        n = len(pdf)
-        keep = np.ones(n, dtype=bool)
-        for i in range(n):
-            if not keep[i]:
-                continue
-            # everything later and too-close to a KEPT item goes
-            close = sims[i, i + 1:] >= threshold
-            keep[i + 1:] &= ~close
+        keep = _semdedup_keep(v, threshold, block_rows)
         return pd.DataFrame({
             "id": pdf["id"].astype("int64"),
             "cell": pdf["cell"].astype("int32"),

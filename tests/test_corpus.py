@@ -214,3 +214,75 @@ def test_pack_sequences_invariants(spark):
     out2 = pack_sequences(df, max_tokens=2048, n_bins_partitions=4).collect()
     assert {(r.doc_id, r.seq_id) for r in out2} == {
         (r.doc_id, r.seq_id) for r in out}
+
+
+def test_first_fit_bins_matches_linear_scan():
+    """VERDICT r7 nit: the segment-tree placement (_FirstFitBins) must
+    reproduce the linear leftmost-fit scan EXACTLY — same bin for every
+    doc — it only changes the cost of finding that bin."""
+    import numpy as np
+
+    from beacon_spark.pipeline.corpus import _FirstFitBins
+
+    rng = np.random.RandomState(9)
+    budget = 1000
+    sizes = sorted(
+        (int(s) for s in rng.randint(1, 1400, size=2000)), reverse=True)
+
+    def linear(seq):
+        remaining, assign = [], []
+        for t in seq:
+            for b, rem in enumerate(remaining):
+                if rem >= t:
+                    remaining[b] = rem - t
+                    assign.append(b)
+                    break
+            else:
+                remaining.append(max(budget - t, 0))
+                assign.append(len(remaining) - 1)
+        return assign
+
+    bins = _FirstFitBins()
+    got = [bins.place(t, budget) for t in sizes]
+    assert got == linear(sizes)
+    # zero-size and exact-fit edges
+    edge = [1000, 1000, 500, 500, 0, 0, 3]
+    bins2 = _FirstFitBins()
+    assert [bins2.place(t, budget) for t in edge] == linear(edge)
+
+
+def test_first_fit_bins_perf_is_log_not_linear():
+    """Perf pin for the many-small-docs partition (bins ~ n): 20k docs
+    of size 1 into budget-1 bins opens 20k bins; the tree must do
+    O(n log n) node visits (~0.3M), nowhere near the linear scan's
+    n^2/2 (~200M)."""
+    import math
+
+    from beacon_spark.pipeline.corpus import _FirstFitBins
+
+    n = 20_000
+    bins = _FirstFitBins()
+    for _ in range(n):
+        bins.place(1, 1)
+    assert bins.ops < 6 * n * math.log2(n)
+
+
+def test_pack_sequences_unchanged_by_tree_placement(spark):
+    """End-to-end invariants hold after the placement-structure swap:
+    budget respected, every doc covered exactly once, deterministic."""
+    from beacon_spark.pipeline.corpus import pack_sequences
+
+    rows = [(i, 1 + (i * 37) % 900) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, max_tokens=1024, n_bins_partitions=4).collect()
+    assert len(out) == 400 and len({r.doc_id for r in out}) == 400
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r.seq_id, []).append(r)
+    for seq, members in by_seq.items():
+        tot = sum(r.n_tokens for r in members)
+        assert tot == members[0].seq_tokens
+        assert tot <= 1024 or len(members) == 1  # oversize doc alone
+    out2 = pack_sequences(df, max_tokens=1024, n_bins_partitions=4).collect()
+    assert {(r.doc_id, r.seq_id) for r in out2} == \
+        {(r.doc_id, r.seq_id) for r in out}
