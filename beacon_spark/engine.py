@@ -1099,6 +1099,13 @@ class Engine:
             return
         from beacon_spark.managed import ManagedTable
 
+        # a failed/structural statement explicitly demanded the FULL
+        # pass (_force_full): the dirty fast path must not adopt a later
+        # successful DML's _noted_sig over that demand, or a partially-
+        # mutated table that never entered the dirty set keeps serving a
+        # stale pinned file list (ADVICE r7). Cleared only when the full
+        # pass below actually completes.
+        force_full = getattr(self, "_force_full", False)
         dirty = getattr(self, "_dirty_tables", None)
         if dirty:
             # manifest-only DML through THIS engine: refresh just the
@@ -1126,12 +1133,15 @@ class Engine:
                 # current live signature may already include a concurrent
                 # writer's change, and adopting it here would silently
                 # swallow that change (the check below must still see a
-                # mismatch and run the full pass for it)
-                self._cat_sig = getattr(self, "_noted_sig", None)
+                # mismatch and run the full pass for it). Never adopt
+                # over a pending force-full demand.
+                if not force_full:
+                    self._cat_sig = getattr(self, "_noted_sig", None)
             finally:
                 self._registering = False
         sig = self.catalog.signature()
-        if sig is None or sig == getattr(self, "_cat_sig", object()):
+        if sig is None or (not force_full
+                           and sig == getattr(self, "_cat_sig", object())):
             return
 
         self._registering = True
@@ -1285,6 +1295,7 @@ class Engine:
                     },
                 )
             self._cat_sig = sig
+            self._force_full = False  # the demanded full pass ran
         finally:
             self._registering = False
 
@@ -1329,8 +1340,11 @@ class Engine:
             # failed statement: state unknown — force the full re-check,
             # but never note a version (a failed DELETE on a missing
             # table must not write phantom catalog entries or make every
-            # other engine re-register for nothing)
+            # other engine re-register for nothing). _force_full makes
+            # the demand survive a later successful DML's dirty-path
+            # signature adoption (ADVICE r7).
             self._cat_sig = None
+            self._force_full = True
             raise
         # invalidate AFTER the mutation: nested self.sql() calls during
         # the DDL re-register and would otherwise cache a pre-mutation pin
@@ -1342,8 +1356,10 @@ class Engine:
                 self._dirty_tables.add(name)
             except Exception:
                 self._cat_sig = None  # fall back to the full pass
+                self._force_full = True
         else:
             self._cat_sig = None
+            self._force_full = True
         return out
 
     def _run_ddl_inner(self, kind: str, m: re.Match) -> DataFrame:

@@ -133,16 +133,48 @@ def write_csv(df: DataFrame, path: str, single: bool = True) -> None:
     if not probe_ok:
         _write_csv_rows(df, path, first, rest)
         return
-    # header row hand-written with MINIMAL quoting — pyarrow always
-    # quotes string cells including column names, but the contract
-    # (and the reference's arrow-rs writer) quotes only when needed
+    # MINIMAL quoting throughout (ADVICE r7): pyarrow's CSV writer
+    # always quotes string cells — even its "needed" style means
+    # "rendering COULD contain quotes", i.e. every string — but the
+    # contract (reference arrow-rs writer, QuoteStyle::Necessary)
+    # quotes only cells containing the delimiter/quote/CR/LF. Render
+    # each batch with Arrow compute kernels instead: cast non-string
+    # columns to text (byte-identical to the CSV writer's number/date/
+    # bool rendering, verified in tests), quote only the string cells
+    # that need it, join element-wise — all C++-side, no per-row Python.
     hdr = io.StringIO()
     _csv.writer(hdr, lineterminator="\n").writerow(df.columns)
     with open(path, "wb") as f:
         f.write(hdr.getvalue().encode("utf-8"))
-        opts = pa_csv.WriteOptions(include_header=False)
-        with pa_csv.CSVWriter(f, schema, write_options=opts) as w:
-            _write_batches(w, first, rest)
+        if first is not None:
+            f.write(_render_csv_batch(first))
+        for batch in rest:
+            f.write(_render_csv_batch(batch))
+
+
+def _render_csv_batch(batch: pa.RecordBatch) -> bytes:
+    """One record batch → minimally-quoted CSV bytes, vectorized."""
+    import pyarrow.compute as pc
+
+    if batch.num_rows == 0:
+        return b""
+    cols = []
+    for i in range(batch.num_columns):
+        col = batch.column(i)
+        if not (pa.types.is_string(col.type)
+                or pa.types.is_large_string(col.type)):
+            col = pc.cast(col, pa.string())
+        col = pc.fill_null(col, "")
+        needs = pc.match_substring_regex(col, r'["\r\n,]')
+        quoted = pc.binary_join_element_wise(
+            '"', pc.replace_substring(col, '"', '""'), '"', "")
+        cols.append(pc.if_else(needs, quoted, col))
+    lines = (cols[0] if len(cols) == 1
+             else pc.binary_join_element_wise(*cols, ","))
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays([0, len(lines)], lines), "\n"
+    )[0].as_py()
+    return (joined + "\n").encode("utf-8")
 
 
 def _write_csv_rows(df: DataFrame, path: str, first, rest) -> None:

@@ -865,3 +865,35 @@ def test_catalog_write_lock_serializes_dml_bumps(spark, tmp_path):
         fb.result()
     doc = a._load()
     assert doc["table_versions"] == {"ta": 20, "tb": 20}
+
+
+def test_failed_dml_full_pass_survives_later_successful_dml(spark, tmp_path):
+    """ADVICE r7: a failed DML demands a full re-registration
+    (_cat_sig=None). If a SUCCESSFUL DML runs before the next
+    statement, the dirty fast path used to adopt its signature and
+    silently drop that demand — a table mutated outside the engine's
+    notice kept serving a stale pinned file list. _force_full must
+    survive the dirty path."""
+    from beacon_spark.engine import Engine
+    from beacon_spark.managed import ManagedTable
+
+    root = str(tmp_path / "ffull")
+    eng = Engine(spark, datasets_root=root)
+    eng.sql("CREATE TABLE t1 AS SELECT id FROM range(3)")
+    eng.sql("CREATE TABLE t2 AS SELECT id FROM range(4)")
+    # pin both views
+    assert eng.sql("SELECT count(*) AS c FROM t2").collect()[0].c == 4
+    # an out-of-band writer appends to t2 WITHOUT noting the catalog
+    # (simulates the partial mutation the failed statement left behind)
+    path = eng.catalog._load()["tables"]["t2"]
+    ManagedTable(spark, path).insert(spark.range(2).selectExpr("id"))
+    # a failed DML demands the full pass...
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        eng.sql("DELETE FROM no_such_table WHERE id = 1")
+    # ...then a successful DML takes the dirty fast path
+    eng.sql("INSERT INTO t1 SELECT id FROM range(1)")
+    # the next statement must see t2's out-of-band rows (full pass ran)
+    assert eng.sql("SELECT count(*) AS c FROM t2").collect()[0].c == 6
+    assert eng.sql("SELECT count(*) AS c FROM t1").collect()[0].c == 4

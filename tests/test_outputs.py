@@ -159,3 +159,54 @@ def test_csv_binary_and_nested_fall_back_to_row_loop(spark, tmp_path):
         rows = list(_csv.DictReader(f))
     assert len(rows) == 3
     assert rows[1]["id"] == "1" and rows[1]["a"].startswith("[1")
+
+
+def test_csv_body_minimally_quoted(spark, tmp_path):
+    """ADVICE r7: data rows (not just the header) follow the minimal-
+    quoting contract of the reference's arrow-rs writer — plain strings
+    unquoted, strings containing the delimiter/quote/newline quoted."""
+    from beacon_spark.outputs import write_csv
+
+    df = spark.createDataFrame(
+        [(1, "plain", 'with,comma'), (2, "also_plain", 'has "quote"')],
+        "id long, a string, b string",
+    ).orderBy("id")
+    p = str(tmp_path / "minq.csv")
+    write_csv(df, p, single=True)
+    raw = open(p, encoding="utf-8").read().splitlines()
+    assert raw[0] == "id,a,b"
+    assert raw[1] == '1,plain,"with,comma"'
+    assert raw[2] == '2,also_plain,"has ""quote"""'
+
+
+def test_csv_cast_render_matches_arrow_csv_writer():
+    """The vectorized minimal-quoting path renders non-string cells via
+    pc.cast; pin that cast output is byte-identical to pyarrow's CSV
+    writer for every non-string type the engine emits (int, float incl.
+    inf, bool, timestamp, date, decimal, nulls)."""
+    import datetime
+    import decimal
+    import io
+
+    import pyarrow as pa
+    from pyarrow import csv as pa_csv
+
+    from beacon_spark.outputs import _render_csv_batch
+
+    t = pa.table({
+        "i": pa.array([1, None, -3], pa.int64()),
+        "f": pa.array([1.5, float("inf"), None], pa.float64()),
+        "b": pa.array([True, None, False]),
+        "ts": pa.array([datetime.datetime(2021, 3, 4, 5, 6, 7, 123456),
+                        None, datetime.datetime(2020, 1, 1)],
+                       pa.timestamp("us")),
+        "d": pa.array([datetime.date(2021, 3, 4), None,
+                       datetime.date(2020, 1, 1)]),
+        "dec": pa.array([decimal.Decimal("1.23"), None,
+                         decimal.Decimal("-0.07")], pa.decimal128(10, 2)),
+    })
+    buf = io.BytesIO()
+    pa_csv.write_csv(t, buf, write_options=pa_csv.WriteOptions(
+        include_header=False))
+    ours = b"".join(_render_csv_batch(b) for b in t.to_batches())
+    assert ours == buf.getvalue()  # no strings here: must match exactly
