@@ -363,11 +363,15 @@ def write_netcdf(
     dimension from file metadata, then each variable's values stream
     through ``FlatStreamWriter`` chunk by chunk — the driver never holds
     the result (the reference streams COPY TO, runtime.rs:192-246). The
-    nd variant genuinely needs the dense grid and stays a collect."""
+    ND variant streams too: coordinates are learned from a column-pruned
+    scan of the same spool (the reference's UniqueValuesExec
+    side-channel, unique_values.rs:1-13), then ONE variable's dense grid
+    at a time is scattered and written through ``GridStreamWriter`` —
+    peak driver memory is one grid, not row-table + every grid."""
     if not dimension_columns:
         _write_netcdf_flat_streamed(df, path)
         return
-    _write_netcdf_table(df.toArrow(), path, dimension_columns)
+    _write_netcdf_nd_streamed(df, path, dimension_columns)
 
 
 def _write_netcdf_table(
@@ -577,6 +581,191 @@ def _write_netcdf_flat_streamed(
             w._f.close()  # don't mask the real error with close()'s check
             raise
         w.close()
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+
+
+def _write_netcdf_nd_streamed(
+    df: DataFrame,
+    path: str,
+    dimension_columns: list[str],
+    max_chunksize: int = 1 << 15,
+) -> None:
+    """nd (re-gridded) NetCDF with BOUNDED driver memory (VERDICT r7
+    item 3): spool once to executor-written parquet, learn each
+    dimension's sorted distinct coordinates from a column-pruned scan,
+    then materialize ONE VARIABLE'S dense grid at a time — scatter that
+    variable's values batch-by-batch and stream the grid out through
+    ``GridStreamWriter``. Peak driver memory is one grid (the output's
+    own size per variable), never the whole row table plus every grid.
+    Value semantics match the in-memory ``regrid`` path exactly:
+    numerics/temporals → NaN-filled doubles, strings/other → char grids
+    with "" for absent cells, coords sorted ascending. Schemas parquet
+    can't spool fall back to the materialized writer."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from beacon_spark.sources.netcdf3 import (
+        GridStreamWriter,
+        _nc_type_for,
+    )
+
+    target = arrow_schema_of(df)
+    spool = tempfile.mkdtemp(
+        prefix="beacon_ncspool_", dir=os.environ.get("BEACON_SPOOL_DIR")
+    )
+    try:
+        try:
+            df.write.mode("overwrite").parquet(spool)
+        except Exception as e:
+            msg = str(e).lower()
+            if not ("does not support" in msg or "unsupported" in msg):
+                raise
+            _write_netcdf_table(df.toArrow(), path, dimension_columns)
+            return
+        parts = sorted(_glob.glob(os.path.join(spool, "part-*")))
+        pfs = [pq.ParquetFile(p) for p in parts]
+
+        def batches(cols):
+            for pf in pfs:
+                yield from pf.iter_batches(
+                    columns=cols, batch_size=max_chunksize)
+
+        def cf_col(batch, pos, name):
+            """One batch column, CF-normalized like the in-memory path
+            (timestamps/dates/decimals → numeric doubles)."""
+            col = batch.column(pos)
+            ft = target.field(name).type
+            try:
+                col = col.cast(ft)
+            except Exception:
+                pass  # parquet round-trip kept an equivalent type
+            return _cf_cast(col, ft)
+
+        # ---- pass 1: per-dimension sorted distinct coords (the
+        # UniqueValuesExec side-channel) — dims are small by definition
+        cf_attrs: dict[str, dict] = {}
+        for field in target:
+            if pa.types.is_timestamp(field.type):
+                cf_attrs[field.name] = {
+                    "units": "microseconds since 1970-01-01"}
+            elif pa.types.is_date(field.type):
+                cf_attrs[field.name] = {"units": "days since 1970-01-01"}
+        coords: dict[str, list] = {}
+        for dim in dimension_columns:
+            vals: set = set()
+            for b in batches([dim]):
+                vals.update(cf_col(b, 0, dim).to_pylist())
+            coords[dim] = sorted(vals)
+        lookups = [
+            {v: i for i, v in enumerate(coords[d])}
+            for d in dimension_columns
+        ]
+        shape = tuple(len(coords[d]) for d in dimension_columns)
+        cells = int(np.prod(shape)) if shape else 0
+
+        def is_numeric(ft: pa.DataType) -> bool:
+            # timestamps/dates/decimals count: _cf_cast turns them into
+            # float64 before the grid
+            return (pa.types.is_integer(ft) or pa.types.is_floating(ft)
+                    or pa.types.is_decimal(ft)
+                    or pa.types.is_timestamp(ft) or pa.types.is_date(ft))
+
+        # ---- specs in write_netcdf3's declaration order: coord vars
+        # first (native types, int64 narrowed like _nc_type_for), then
+        # value vars (numeric → double grid, everything else → char)
+        value_cols = [f.name for f in target
+                      if f.name not in dimension_columns]
+        specs: list[tuple] = []   # (name, dnames, t, width)
+        coord_data: dict[str, np.ndarray] = {}
+        for dim in dimension_columns:
+            arr = np.asarray(coords[dim])
+            if arr.dtype.kind in ("U", "S", "O"):
+                enc = np.char.encode(
+                    np.asarray(["" if v is None else str(v)
+                                for v in coords[dim]], dtype="U"), "utf-8")
+                width = max(1, int(enc.dtype.itemsize))
+                specs.append((dim, (dim,), 2, width))
+                coord_data[dim] = np.frombuffer(
+                    enc.astype(f"S{width}").tobytes(), "S1"
+                ).reshape(-1, width)
+            else:
+                t, arr = _nc_type_for(arr)
+                specs.append((dim, (dim,), t, None))
+                coord_data[dim] = arr
+        widths: dict[str, int] = {}
+        for name in value_cols:
+            ft = target.field(name).type
+            if is_numeric(ft):
+                specs.append((name, tuple(dimension_columns), 6, None))
+            else:
+                w = 1
+                for b in batches([name]):
+                    col = b.column(0)
+                    if pa.types.is_string(col.type) \
+                            or pa.types.is_large_string(col.type):
+                        m = pc.max(pc.binary_length(
+                            col.cast(pa.large_binary()))).as_py()
+                    else:
+                        m = max((len(str(v).encode("utf-8"))
+                                 for v in col.to_pylist()
+                                 if v is not None), default=0)
+                    w = max(w, m or 0)
+                widths[name] = w
+                specs.append((name, tuple(dimension_columns), 2, w))
+
+        var_attrs = {k: v for k, v in cf_attrs.items()
+                     if k in dimension_columns or k in value_cols}
+        writer = GridStreamWriter(
+            path, {d: len(coords[d]) for d in dimension_columns},
+            specs, var_attrs)
+        with writer:
+            for dim in dimension_columns:
+                if len(coord_data[dim]):
+                    writer.write_values(dim, coord_data[dim])
+            read_cols = list(dimension_columns)
+            for name in value_cols:
+                ft = target.field(name).type
+                numeric = is_numeric(ft)
+                # ONE variable's dense grid — the bounded peak
+                if numeric:
+                    grid = np.full(cells, np.nan, dtype=np.float64)
+                else:
+                    grid = np.full(cells, "", dtype=object)
+                for b in batches(read_cols + [name]):
+                    if b.num_rows == 0:
+                        continue
+                    idx = np.zeros(
+                        (len(dimension_columns), b.num_rows), np.int64)
+                    for k, dim in enumerate(dimension_columns):
+                        lk = lookups[k]
+                        idx[k] = [lk[v]
+                                  for v in cf_col(b, k, dim).to_pylist()]
+                    flat = np.ravel_multi_index(tuple(idx), shape)
+                    col = cf_col(b, len(read_cols), name)
+                    if numeric:
+                        grid[flat] = pc.cast(col, pa.float64()).to_numpy(
+                            zero_copy_only=False)
+                    else:
+                        grid[flat] = ["" if v is None else str(v)
+                                      for v in col.to_pylist()]
+                if numeric:
+                    for i in range(0, cells, 1 << 20):
+                        writer.write_values(name, grid[i:i + (1 << 20)])
+                else:
+                    w = widths[name]
+                    for i in range(0, cells, 1 << 18):
+                        chunk = grid[i:i + (1 << 18)]
+                        if not len(chunk):
+                            continue
+                        enc = np.char.encode(
+                            chunk.astype("U"), "utf-8").astype(f"S{w}")
+                        writer.write_values(name, np.frombuffer(
+                            enc.tobytes(), "S1").reshape(-1, w))
+                del grid
     finally:
         shutil.rmtree(spool, ignore_errors=True)
 

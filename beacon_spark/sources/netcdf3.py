@@ -396,35 +396,41 @@ def write_netcdf3(
             f.write(p)
 
 
-class FlatStreamWriter:
-    """Streaming CDF-2 writer for FLAT (record-oriented) output: one
-    ``obs`` dimension of a row count known up front, every variable 1-D
-    over it (strings get a per-variable ``_strlen`` dim). Because all
-    sizes are known, the full header is written first and each
-    variable's values then stream in declaration order, chunk by chunk —
-    the file layout is byte-identical to ``write_netcdf3``'s, but the
-    caller never materializes a whole column, let alone the table
-    (the reference streams COPY TO the same way, runtime.rs:192-246).
+class GridStreamWriter:
+    """Streaming CDF-2 writer over ARBITRARY named dimensions (the nd
+    re-grid output, and the base class of ``FlatStreamWriter``): the
+    dim sizes and every variable's dim tuple are known up front, so the
+    full header is written first and each variable's values then stream
+    in declaration order, chunk by chunk — the file layout is
+    byte-identical to ``write_netcdf3``'s, but the caller holds at most
+    one variable's values at a time instead of the whole table + every
+    grid (the reference learns dims while streaming the same way:
+    output.rs:106-112 + unique_values.rs:1-13).
 
-    ``columns``: ``[(name, nc_type, char_width_or_None), ...]``.
-    Call ``write_values(name, np_chunk)`` with chunks IN ORDER per
-    variable, all of variable *i* before any of variable *i+1*; char
-    chunks must be ``S1`` arrays shaped ``(rows, width)``.
+    ``columns``: ``[(name, dim_names_tuple, nc_type,
+    char_width_or_None), ...]`` — char variables get a per-variable
+    ``_strlen_<name>`` dim appended, matching ``write_netcdf3``. Call
+    ``write_values(name, np_chunk)`` with chunks IN ORDER per variable,
+    all of variable *i* before any of variable *i+1*; char chunks must
+    be ``S1`` arrays shaped ``(rows, width)``.
     """
 
-    def __init__(self, path, nrows: int, columns, var_attrs=None,
+    def __init__(self, path, dims, columns, var_attrs=None,
                  global_attrs=None):
-        dims: dict[str, int] = {"obs": int(nrows)}
-        dim_names = ["obs"]
+        dims = {d: int(n) for d, n in dims.items()}
+        dim_names = list(dims)
         prepared = []  # (name, dnames, nc_type, total_value_count)
-        for name, t, width in columns:
+        for name, dnames, t, width in columns:
+            nvals = 1
+            for d in dnames:
+                nvals *= dims[d]
             if t == 2:
                 strdim = f"_strlen_{name}"
                 dims[strdim] = int(width)
                 dim_names.append(strdim)
-                prepared.append((name, ("obs", strdim), 2, nrows * width))
-            else:
-                prepared.append((name, ("obs",), t, nrows))
+                dnames = (*dnames, strdim)
+                nvals *= int(width)
+            prepared.append((name, tuple(dnames), t, nvals))
         dim_index = {d: i for i, d in enumerate(dim_names)}
 
         w = _Writer()
@@ -502,3 +508,21 @@ class FlatStreamWriter:
     def __exit__(self, *exc):
         self._f.close()
         return False
+
+
+class FlatStreamWriter(GridStreamWriter):
+    """Streaming CDF-2 writer for FLAT (record-oriented) output: the
+    one-``obs``-dimension special case of ``GridStreamWriter`` (every
+    variable 1-D over a row count known up front; strings get a
+    per-variable ``_strlen`` dim). ``columns``:
+    ``[(name, nc_type, char_width_or_None), ...]``."""
+
+    def __init__(self, path, nrows: int, columns, var_attrs=None,
+                 global_attrs=None):
+        super().__init__(
+            path,
+            {"obs": int(nrows)},
+            [(name, ("obs",), t, width) for name, t, width in columns],
+            var_attrs,
+            global_attrs,
+        )

@@ -182,6 +182,16 @@ def test_export_path_never_full_collects(spark, tmp_path, monkeypatch):
     _dims, variables, _va, _ga = read_netcdf3(n)
     assert len(np.asarray(variables["id"][1])) == 1000
     assert float(np.asarray(variables["v"][1])[5]) == 2.5
+    # r7-verdict item 3: the ND re-grid path streams too — spy active
+    gdf = spark.range(100).selectExpr(
+        "CAST(id % 10 AS INT) AS x", "CAST(id DIV 10 AS INT) AS y",
+        "id * 1.5 AS val")
+    g = str(tmp_path / "grid.nc")
+    write_netcdf(gdf, g, dimension_columns=["x", "y"])
+    dims_g, vars_g, _va, _ga = read_netcdf3(g)
+    assert dims_g["x"] == 10 and dims_g["y"] == 10
+    arr = np.asarray(vars_g["val"][1])
+    assert arr.shape == (10, 10) and float(arr[3][2]) == 23 * 1.5
 
 
 def test_iter_arrow_batches_preserves_order_and_types(spark):

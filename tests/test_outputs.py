@@ -210,3 +210,31 @@ def test_csv_cast_render_matches_arrow_csv_writer():
         include_header=False))
     ours = b"".join(_render_csv_batch(b) for b in t.to_batches())
     assert ours == buf.getvalue()  # no strings here: must match exactly
+
+
+def test_ndnetcdf_streamed_matches_in_memory_writer_bytes(spark, tmp_path):
+    """VERDICT r7 item 3: the streamed nd re-grid path must produce the
+    SAME FILE as the materialized writer — numeric + string + timestamp
+    variables, sparse cells (NaN / "" fills), multi-dim — so the memory
+    fix cannot have changed the format or value mapping."""
+    from beacon_spark.outputs import (
+        _write_netcdf_nd_streamed,
+        _write_netcdf_table,
+    )
+
+    df = spark.sql("""
+        SELECT CAST(id % 4 AS INT) AS t, CAST(id DIV 4 AS INT) AS depth,
+               id * 1.5 AS v,
+               CASE WHEN id % 3 = 0 THEN NULL
+                    ELSE concat('tag,', id) END AS label,
+               timestamp'2024-01-02 03:04:05' +
+                   make_interval(0,0,0,0,0,0,id) AS ts
+        FROM range(14)
+    """)  # 14 rows over a 4 x 4 grid: 2 cells stay absent
+    p_stream = str(tmp_path / "stream.nc")
+    p_mem = str(tmp_path / "mem.nc")
+    _write_netcdf_nd_streamed(df, p_stream, ["t", "depth"])
+    _write_netcdf_table(df.toArrow(), p_mem, ["t", "depth"])
+    a = open(p_stream, "rb").read()
+    b = open(p_mem, "rb").read()
+    assert a == b
