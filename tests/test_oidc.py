@@ -326,3 +326,69 @@ def test_malformed_tokens_always_401(oidc_http, validator):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(base, {"sql": "SELECT 1"}, bad)
         assert ei.value.code == 401, bad
+
+
+def test_reference_claim_vectors():
+    """VERDICT r7 item 5: pin claim-path/role-extraction parity against
+    the EXACT vectors in the reference's oidc.rs unit tests
+    (beacon-db/beacon-auth/src/oidc.rs:180-240) — dotted paths, arrays
+    vs space-delimited strings, non-object descent, ill-typed claims."""
+    from beacon_spark.server.oidc import _claim_at, _roles_from
+
+    claims = {
+        "preferred_username": "alice",
+        "realm_access": {"roles": ["reader", "writer"]},
+    }
+    assert _claim_at(claims, "preferred_username") == "alice"
+    assert _roles_from(_claim_at(claims, "realm_access.roles")) == \
+        ["reader", "writer"]
+    assert _claim_at(claims, "missing.path") is None
+    # array / space-delimited / ill-typed
+    assert _roles_from(["a", "b"]) == ["a", "b"]
+    assert _roles_from("a b c") == ["a", "b", "c"]
+    assert _roles_from(42) == []
+    # descent through a scalar / an array / trailing empty segment
+    c2 = {"user": "alice", "roles": ["reader"]}
+    assert _claim_at(c2, "user.name") is None
+    assert _claim_at(c2, "roles.reader") is None
+    assert _claim_at(c2, "user.") is None
+    # absent or ill-typed roles claim → zero privileges, never an error
+    assert _claim_at({"preferred_username": "alice"},
+                     "realm_access.roles") is None
+    assert _roles_from({"nested": "obj"}) == []
+    assert _roles_from(None) == []
+    # non-string array elements skipped, not stringified
+    assert _roles_from(["reader", 7, "writer"]) == ["reader", "writer"]
+    # whitespace runs collapse
+    assert _roles_from("  reader   writer ") == ["reader", "writer"]
+
+
+def test_groups_claim_azp_and_aud_array_token_shape(keypair, jwks):
+    """Tokens shaped like common IdP output (groups claim at the top
+    level, azp present, aud as an ARRAY) resolve the principal and the
+    roles end-to-end — the reference validates aud membership the same
+    way (jsonwebtoken set_audience) and maps any configured claim."""
+    priv, _ = keypair
+    v = OidcValidator(issuer=ISS, jwks=jwks, audience=AUD,
+                      username_claim="sub", roles_claim="groups")
+    tok = mint(priv, {
+        "iss": ISS, "aud": [AUD, "account"], "azp": "beacon-console",
+        "exp": time.time() + 600, "sub": "svc-reader",
+        "groups": ["lake-readers", "lake-admins"],
+    })
+    out = v.verify(tok)
+    assert out == Authenticated(username="svc-reader",
+                                roles=["lake-readers", "lake-admins"])
+    # same shape but the audience list misses ours → refused
+    bad = mint(priv, {
+        "iss": ISS, "aud": ["account"], "azp": "beacon-console",
+        "exp": time.time() + 600, "sub": "svc-reader", "groups": [],
+    })
+    with pytest.raises(OidcError):
+        v.verify(bad)
+    # scope-style space-delimited roles claim
+    v2 = OidcValidator(issuer=ISS, jwks=jwks, audience=None,
+                       username_claim="sub", roles_claim="scope")
+    tok2 = mint(priv, {"iss": ISS, "exp": time.time() + 600,
+                       "sub": "bob", "scope": "read write admin"})
+    assert v2.verify(tok2).roles == ["read", "write", "admin"]

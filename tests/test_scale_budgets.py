@@ -235,3 +235,69 @@ def test_statement_overhead_independent_of_table_count(spark, budget_root):
             f"INSERT+SELECT metadata op {k} scales with catalog size: "
             f"{da[1][k]} vs {db[1][k]}")
     assert qa[0] == qb[0] and da[0] == db[0]
+
+
+def test_federated_pushdown_remote_call_budget(spark, tmp_path):
+    """VERDICT r7 item 7: one schema plan (get_flight_info/query_schema)
+    + one do_get per pushed statement — never per-row/per-partition
+    re-planning — and the (endpoint, principal) connection cache is hit
+    across repeated statements. Pinned at two statement counts: the
+    per-statement budget must not grow with history."""
+    from beacon_spark.engine import Engine
+    from beacon_spark.server import BeaconFlightServer
+    import beacon_spark.server.remote as rem
+
+    root = str(tmp_path / "fedbudget")
+    eng = Engine(spark, datasets_root=root)
+    eng.sql("CREATE TABLE fb AS SELECT id, id % 3 AS g FROM range(30)")
+    server = BeaconFlightServer(eng, port=0)
+    port = server.serve_background()
+    counts = {"schema": 0, "do_get": 0, "conns": 0}
+    orig_qs = rem.RemoteBeacon.query_schema
+    orig_dg = BeaconFlightServer.do_get
+    orig_init = rem.RemoteBeacon.__init__
+
+    def spy_qs(self, sql):
+        counts["schema"] += 1
+        return orig_qs(self, sql)
+
+    def spy_dg(self, context, ticket):
+        counts["do_get"] += 1
+        return orig_dg(self, context, ticket)
+
+    def spy_init(self, *a, **kw):
+        counts["conns"] += 1
+        return orig_init(self, *a, **kw)
+
+    rem.RemoteBeacon.query_schema = spy_qs
+    BeaconFlightServer.do_get = spy_dg
+    rem.RemoteBeacon.__init__ = spy_init
+    try:
+        ceng = Engine(spark, datasets_root=str(tmp_path / "fbc"))
+        ceng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS lake")
+        conns_after_attach = counts["conns"]
+
+        def run_n(n):
+            before = dict(counts)
+            for _ in range(n):
+                rows = ceng.sql(
+                    "SELECT g, count(*) AS n FROM lake__fb GROUP BY g"
+                ).collect()
+                assert len(rows) == 3
+            return {k: counts[k] - before[k] for k in counts}
+
+        d2 = run_n(2)
+        d4 = run_n(4)
+        # exactly one plan + one fetch per statement, at both counts
+        assert d2["schema"] == 2 and d4["schema"] == 4
+        assert d2["do_get"] == 2 and d4["do_get"] == 4
+        # no new connections after ATTACH — the cache is hit throughout
+        assert d2["conns"] == 0 and d4["conns"] == 0
+        assert counts["conns"] == conns_after_attach
+        ceng.sql("DETACH lake")
+    finally:
+        rem.RemoteBeacon.query_schema = orig_qs
+        BeaconFlightServer.do_get = orig_dg
+        rem.RemoteBeacon.__init__ = orig_init
+        server.shutdown()
+        eng.sql("DROP TABLE fb")
