@@ -413,6 +413,9 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
         r"^\s*SHOW\s+EXTENSIONS\s+FOR\s+([\w.]+);?\s*$", re.IGNORECASE)),
     ("create_table_as", re.compile(
         r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL)),
+    ("create_table_schema", re.compile(
+        r"^\s*CREATE\s+TABLE\s+(\w+)\s*\((.+)\)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL)),
     ("drop_table", re.compile(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
     ("vacuum", re.compile(
         r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?;?\s*$", re.IGNORECASE)),
@@ -422,7 +425,8 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
     ("insert_into", re.compile(
         r"^\s*INSERT\s+INTO\s+(\w+)\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL)),
     ("delete_from", re.compile(
-        r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL)),
+        r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?;?\s*$",
+        re.IGNORECASE | re.DOTALL)),
     ("update", re.compile(
         r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?;?\s*$",
         re.IGNORECASE | re.DOTALL)),
@@ -431,6 +435,9 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
         re.IGNORECASE)),
     ("alter_drop", re.compile(
         r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+);?\s*$", re.IGNORECASE)),
+    ("alter_rename", re.compile(
+        r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+);?\s*$",
+        re.IGNORECASE)),
     ("create_mview", re.compile(
         r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(.*?);?\s*$",
         re.IGNORECASE | re.DOTALL)),
@@ -1327,7 +1334,7 @@ class Engine:
     #: invalidating the whole catalog registration (O(tables) at scale)
     _MANIFEST_ONLY_KINDS = frozenset({
         "vacuum", "optimize", "insert_into", "delete_from", "update",
-        "alter_add", "alter_drop", "refresh",
+        "alter_add", "alter_drop", "alter_rename", "refresh",
     })
 
     def _run_ddl(self, kind: str, m: re.Match) -> DataFrame:
@@ -1742,6 +1749,33 @@ class Engine:
             name, src = m.group(1), m.group(2)
             cat.create_table(name, self.sql(src))
             return self._status(status="ok", op="create_table", name=name)
+        if kind == "create_table_schema":
+            # CREATE TABLE t (id BIGINT, name VARCHAR) — an EMPTY managed
+            # table with an explicit schema (the reference's default
+            # Lance-backed CREATE, actions.rs:221-360; contract:
+            # integration-tests/test_lance_tables.py). Dialect types the
+            # reference accepts bare (VARCHAR/TEXT) map to Spark string.
+            from beacon_spark.managed import _parse_type as _managed_parse_type
+
+            name, collist = m.group(1), m.group(2)
+            fields = []
+            for item in _split_top_level(collist):
+                cm = re.match(
+                    r"^\s*(\w+)\s+(.+?)(?:\s+NOT\s+NULL)?\s*$",
+                    item, re.IGNORECASE | re.DOTALL)
+                if not cm:
+                    raise ValueError(f"bad column definition: {item!r}")
+                cname, ctype = cm.group(1), cm.group(2).strip()
+                ctype = re.sub(
+                    r"(?i)^(?:varchar|char|text|string)(?:\s*\(\d+\))?$",
+                    "string", ctype)
+                fields.append(
+                    T.StructField(cname, _managed_parse_type(ctype), True))
+            cat.create_table(
+                name,
+                self.spark.createDataFrame([], T.StructType(fields)),
+            )
+            return self._status(status="ok", op="create_table", name=name)
         if kind == "drop_table":
             name = m.group(1)
             if not cat.drop_external_table(name):
@@ -1787,7 +1821,8 @@ class Engine:
             self._refresh_index_stats(name)
             return self._status(status="ok", op="insert", name=name, version=str(version))
         if kind == "delete_from":
-            name, pred = m.group(1), m.group(2)
+            # no WHERE = delete every row (test_lance_tables.py:89-91)
+            name, pred = m.group(1), m.group(2) or "true"
             version = cat.table(name).delete(pred)
             self._refresh_index_stats(name)
             return self._status(status="ok", op="delete", name=name, version=str(version))
@@ -1808,6 +1843,10 @@ class Engine:
             name, col = m.group(1), m.group(2)
             cat.table(name).alter_drop_column(col)
             return self._status(status="ok", op="alter_drop", name=name)
+        if kind == "alter_rename":
+            name, old, new = m.group(1), m.group(2), m.group(3)
+            cat.table(name).alter_rename_column(old, new)
+            return self._status(status="ok", op="alter_rename", name=name)
         if kind == "create_view":
             replace, name, src = bool(m.group(1)), m.group(2), m.group(3)
             self.sql(src)  # validate eagerly, as the reference plans the view body

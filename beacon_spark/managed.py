@@ -80,14 +80,30 @@ class ManagedTable:
         name = f"v{version:08d}.json" if version is not None else ms[-1]
         return json.loads(bs.read_text(bs.join(self.manifest_dir, name)))
 
-    def _write_manifest(self, schema: T.StructType, files: list[str]) -> int:
+    def _write_manifest(
+        self,
+        schema: T.StructType,
+        files: list[str],
+        aliases: dict | None = None,
+    ) -> int:
+        """``aliases`` = the RENAME COLUMN physical-name map
+        ({logical: [retired physical names…]}); None carries the
+        current manifest's map forward (every non-ALTER mutation must,
+        or renamed columns would lose their old files' data)."""
+        if aliases is None:
+            try:
+                aliases = self._read_manifest().get("aliases") or {}
+            except ManagedTableError:
+                aliases = {}
         version = self.current_version() + 1
         bs.makedirs(self.manifest_dir)
+        doc = {"version": version, "schema": schema.jsonValue(),
+               "files": files}
+        if aliases:
+            doc["aliases"] = aliases
         bs.publish_bytes(
             bs.join(self.manifest_dir, f"v{version:08d}.json"),
-            json.dumps(
-                {"version": version, "schema": schema.jsonValue(), "files": files}
-            ).encode(),
+            json.dumps(doc).encode(),
         )
         return version
 
@@ -233,18 +249,57 @@ class ManagedTable:
                 .drop("__z")
             )
         files = self._write_data(clustered)
-        return self._write_manifest(schema, files)
+        # full rewrite through the logical frame: every new file carries
+        # logical names, so retired rename aliases are cleared
+        return self._write_manifest(schema, files, aliases={})
 
-    def _read_files(self, paths: list[str], schema: T.StructType) -> DataFrame:
+    def _read_files(
+        self,
+        paths: list[str],
+        schema: T.StructType,
+        aliases: dict | None = None,
+    ) -> DataFrame:
         """Scan manifest data files WITH the manifest schema pinned.
-        Schema evolution is metadata-only (alter_add_column), so a
-        version's file set can mix pre- and post-ALTER schemas; a bare
-        ``spark.read.parquet`` infers from ONE footer, and when that
-        footer predates the ALTER the newer files' column values are
-        silently pruned to null. Passing the schema makes the reader
-        clip per file: present columns read, absent ones null-fill."""
-        df = self.spark.read.schema(schema).parquet(*bs.spark_paths(paths))
-        return align_to_schema(df, schema)
+        Schema evolution is metadata-only (alter_add_column /
+        alter_rename_column), so a version's file set can mix pre- and
+        post-ALTER schemas; a bare ``spark.read.parquet`` infers from
+        ONE footer, and when that footer predates the ALTER the newer
+        files' column values are silently pruned to null. Passing the
+        schema makes the reader clip per file: present columns read,
+        absent ones null-fill.
+
+        ``aliases`` (manifest ``"aliases"``: {logical: [old physical
+        names…]}) is the RENAME COLUMN read path: old files carry the
+        retired physical name, new files the logical one — the read
+        schema includes both and the logical column COALESCEs across
+        them (a file holds data under exactly one of the names, by
+        construction). Metadata-only, no rewrite — the Lance/Delta
+        column-mapping shape, not a 100 TB file rewrite per rename."""
+        aliases = {
+            k: [a for a in v if a not in schema.fieldNames()]
+            for k, v in (aliases or {}).items()
+            if k in schema.fieldNames()
+        }
+        if not any(aliases.values()):
+            df = self.spark.read.schema(schema).parquet(
+                *bs.spark_paths(paths))
+            return align_to_schema(df, schema)
+        by_name = {f.name: f for f in schema.fields}
+        read_schema = T.StructType(list(schema.fields) + [
+            T.StructField(a, by_name[logical].dataType, True)
+            for logical, olds in aliases.items() for a in olds
+        ])
+        df = self.spark.read.schema(read_schema).parquet(
+            *bs.spark_paths(paths))
+        cols = []
+        for f in schema.fields:
+            olds = aliases.get(f.name)
+            if olds:
+                cols.append(F.coalesce(F.col(f.name), *[
+                    F.col(a) for a in olds]).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        return align_to_schema(df.select(*cols), schema)
 
     def read(self, version: int | None = None) -> DataFrame:
         m = self._read_manifest(version)
@@ -252,7 +307,7 @@ class ManagedTable:
         paths = [bs.join(self.path, f) for f in m["files"]]
         if not paths:
             return self.spark.createDataFrame([], schema)
-        return self._read_files(paths, schema)
+        return self._read_files(paths, schema, m.get("aliases"))
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace contents with a new version; prior versions stay readable
@@ -260,7 +315,8 @@ class ManagedTable:
         m = self._read_manifest()
         schema = T.StructType.fromJson(m["schema"])
         files = self._write_data(align_to_schema(df, schema))
-        return self._write_manifest(schema, files)
+        # no old file survives an overwrite — rename aliases clear
+        return self._write_manifest(schema, files, aliases={})
 
     def insert(self, df: DataFrame) -> int:
         m = self._read_manifest()
@@ -289,7 +345,7 @@ class ManagedTable:
         # uuid names by construction (_write_data)
         hit_names = {
             posixpath.basename(r.f) for r in
-            self._read_files(paths, schema)
+            self._read_files(paths, schema, m.get("aliases"))
             .filter(F.expr(predicate))
             .select(F.input_file_name().alias("f"))
             .distinct()
@@ -309,7 +365,8 @@ class ManagedTable:
         new_files = list(clean)
         if touched:
             survivors = self._read_files(
-                [bs.join(self.path, f) for f in touched], schema
+                [bs.join(self.path, f) for f in touched], schema,
+                m.get("aliases"),
             ).filter(~F.expr(predicate))
             new_files += self._write_data(survivors)
         return self._write_manifest(schema, new_files)
@@ -322,7 +379,8 @@ class ManagedTable:
         new_files = list(clean)
         if touched:
             df = self._read_files(
-                [bs.join(self.path, f) for f in touched], schema
+                [bs.join(self.path, f) for f in touched], schema,
+                m.get("aliases"),
             )
             cond = F.expr(predicate)
             cols = []
@@ -345,8 +403,45 @@ class ManagedTable:
         schema = T.StructType.fromJson(m["schema"])
         if name in [f.name for f in schema.fields]:
             raise ManagedTableError(f"column {name} already exists")
+        aliases = m.get("aliases") or {}
+        if any(name in olds for olds in aliases.values()):
+            # data files still carry this physical name for a RENAMED
+            # column — a new logical column with the same name would
+            # silently resurrect their values. Refuse loudly.
+            raise ManagedTableError(
+                f"column name {name!r} is still carried by data files of "
+                f"a renamed column; OPTIMIZE the table first"
+            )
         schema = schema.add(T.StructField(name, _parse_type(spark_type), True))
         return self._write_manifest(schema, m["files"])
+
+    def alter_rename_column(self, old: str, new: str) -> int:
+        """Metadata-only RENAME COLUMN (Lance applies renames without a
+        rebuild — actions.rs ALTER path; test contract:
+        integration-tests/test_lance_tables.py:93-114): the manifest
+        schema swaps the name and records the retired physical name in
+        ``aliases``, so readers COALESCE old files' column into the new
+        name. No data rewrite — at 100 TB a rename stays O(1)."""
+        m = self._read_manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ManagedTableError(f"no column {old}")
+        if new in names:
+            raise ManagedTableError(f"column {new} already exists")
+        aliases = dict(m.get("aliases") or {})
+        if any(new in olds for olds in aliases.values()):
+            raise ManagedTableError(
+                f"column name {new!r} is still carried by data files of "
+                f"a previously renamed column; OPTIMIZE the table first"
+            )
+        fields = [
+            T.StructField(new, f.dataType, f.nullable) if f.name == old
+            else f
+            for f in schema.fields
+        ]
+        aliases[new] = aliases.pop(old, []) + [old]
+        return self._write_manifest(T.StructType(fields), m["files"], aliases)
 
     def alter_drop_column(self, name: str) -> int:
         m = self._read_manifest()
@@ -354,7 +449,9 @@ class ManagedTable:
         fields = [f for f in schema.fields if f.name != name]
         if len(fields) == len(schema.fields):
             raise ManagedTableError(f"no column {name}")
-        return self._write_manifest(T.StructType(fields), m["files"])
+        aliases = {k: v for k, v in (m.get("aliases") or {}).items()
+                   if k != name}
+        return self._write_manifest(T.StructType(fields), m["files"], aliases)
 
     # --------------------------------------------------- inverted index
 
@@ -575,6 +672,7 @@ class ManagedTable:
         df = self._read_files(
             [bs.join(self.path, rel) for rel in small],
             T.StructType.fromJson(manifest["schema"]),
+            manifest.get("aliases"),
         ).coalesce(n_out)
         new = self._write_data(df)
         self._write_manifest(

@@ -897,3 +897,86 @@ def test_failed_dml_full_pass_survives_later_successful_dml(spark, tmp_path):
     # the next statement must see t2's out-of-band rows (full pass ran)
     assert eng.sql("SELECT count(*) AS c FROM t2").collect()[0].c == 6
     assert eng.sql("SELECT count(*) AS c FROM t1").collect()[0].c == 4
+
+
+def test_create_table_explicit_schema_and_lance_contract(spark, tmp_path):
+    """Reference contract (integration-tests/test_lance_tables.py):
+    plain CREATE TABLE with an explicit schema (bare VARCHAR accepted),
+    INSERT VALUES, UPDATE WHERE leaves other rows, DELETE without WHERE
+    empties the table."""
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path / "lance"))
+    eng.sql("CREATE TABLE mt (id BIGINT, name VARCHAR)")
+    eng.sql("INSERT INTO mt VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    eng.sql("UPDATE mt SET name = 'Z' WHERE id = 2")
+    rows = {r.id: r.name for r in eng.sql("SELECT id, name FROM mt").collect()}
+    assert rows == {1: "a", 2: "Z", 3: "c"}
+    eng.sql("UPDATE mt SET name = 'all'")
+    assert eng.sql("SELECT count(DISTINCT name) n FROM mt").collect()[0].n == 1
+    eng.sql("DELETE FROM mt WHERE id = 1")
+    assert eng.sql("SELECT min(id) m FROM mt").collect()[0].m == 2
+    eng.sql("DELETE FROM mt")
+    assert eng.sql("SELECT count(*) c FROM mt").collect()[0].c == 0
+
+
+def test_alter_rename_column_preserves_data(spark, tmp_path):
+    """Lance schema-evolution contract (test_lance_tables.py:93-114):
+    ADD COLUMN null-fills, a populated column survives RENAME (metadata
+    only — readers coalesce the retired physical name, no file
+    rewrite), chained renames keep working across mixed-schema files,
+    DROP removes it."""
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path / "ren"))
+    eng.sql("CREATE TABLE rt (id BIGINT, name VARCHAR)")
+    eng.sql("INSERT INTO rt VALUES (1, 'a'), (2, 'b')")
+    eng.sql("ALTER TABLE rt ADD COLUMN score DOUBLE")
+    assert eng.sql(
+        "SELECT count(*) c FROM rt WHERE score IS NULL").collect()[0].c == 2
+    eng.sql("UPDATE rt SET score = 9.5 WHERE id = 1")
+    before_files = set(eng.catalog.table("rt").files())
+    eng.sql("ALTER TABLE rt RENAME COLUMN score TO rating")
+    # metadata-only: the data files are untouched
+    assert set(eng.catalog.table("rt").files()) == before_files
+    cols = {f.name for f in eng.sql("SELECT * FROM rt").schema.fields}
+    assert "rating" in cols and "score" not in cols
+    assert eng.sql(
+        "SELECT rating FROM rt WHERE id = 1").collect()[0].rating == 9.5
+    # original column renamed: pre-rename files still serve their data
+    eng.sql("ALTER TABLE rt RENAME COLUMN name TO label")
+    vals = {r.id: r.label for r in eng.sql("SELECT id, label FROM rt").collect()}
+    assert vals == {1: "a", 2: "b"}
+    # chained rename
+    eng.sql("ALTER TABLE rt RENAME COLUMN label TO tag")
+    vals = {r.id: r.tag for r in eng.sql("SELECT id, tag FROM rt").collect()}
+    assert vals == {1: "a", 2: "b"}
+    # predicates/DML on the renamed column work (split_files reads aliases)
+    eng.sql("DELETE FROM rt WHERE tag = 'a'")
+    assert eng.sql("SELECT count(*) c FROM rt").collect()[0].c == 1
+    eng.sql("ALTER TABLE rt DROP COLUMN rating")
+    assert "rating" not in {
+        f.name for f in eng.sql("SELECT * FROM rt").schema.fields}
+
+
+def test_alter_add_refuses_resurrecting_retired_name(spark, tmp_path):
+    """A retired physical name still carried by data files must not be
+    re-added as a fresh logical column (old values would silently
+    resurrect); the engine refuses loudly until a full rewrite clears
+    the alias."""
+    import pytest as _pytest
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.managed import ManagedTableError
+
+    eng = Engine(spark, datasets_root=str(tmp_path / "res"))
+    eng.sql("CREATE TABLE zt (id BIGINT, name VARCHAR)")
+    eng.sql("INSERT INTO zt VALUES (1, 'a')")
+    eng.sql("ALTER TABLE zt RENAME COLUMN name TO label")
+    with _pytest.raises(ManagedTableError, match="OPTIMIZE"):
+        eng.catalog.table("zt").alter_add_column("name", "string")
+    # a full clustering rewrite clears the aliases; the name frees up
+    eng.catalog.table("zt").cluster_by("id")
+    eng.catalog.table("zt").alter_add_column("name", "string")
+    vals = eng.sql("SELECT id, label, name FROM zt").collect()[0]
+    assert vals.label == "a" and vals.name is None
