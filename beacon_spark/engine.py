@@ -32,7 +32,9 @@ from beacon_spark.sources.nd import read_nd
 
 _READ_FN_RE = re.compile(
     r"\bread_(geoparquet|parquet|csv|arrow|netcdf|zarr|hdf5|odv_ascii|odv|delta|iceberg|tiff|atlas)\s*\("
-    r"\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\)",
+    # bare 'a', 'b' argument lists AND the reference's bracketed form
+    # read_parquet(['a', 'b']) (integration-tests/test_etl_pipeline.py)
+    r"\s*(?:\[\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\]|('[^']*'(?:\s*,\s*'[^']*')*))\s*\)",
     re.IGNORECASE,
 )
 _TRY_ARROW_CAST_RE = re.compile(
@@ -1766,9 +1768,6 @@ class Engine:
                 if not cm:
                     raise ValueError(f"bad column definition: {item!r}")
                 cname, ctype = cm.group(1), cm.group(2).strip()
-                ctype = re.sub(
-                    r"(?i)^(?:varchar|char|text|string)(?:\s*\(\d+\))?$",
-                    "string", ctype)
                 fields.append(
                     T.StructField(cname, _managed_parse_type(ctype), True))
             cat.create_table(
@@ -2344,7 +2343,8 @@ class Engine:
 
         def repl(m: re.Match) -> str:
             fmt = m.group(1).lower()
-            globs = [g.strip()[1:-1] for g in m.group(2).split(",")]
+            arglist = m.group(2) if m.group(2) is not None else m.group(3)
+            globs = [g.strip()[1:-1] for g in arglist.split(",")]
             df = {
                 "parquet": self.read_parquet,
                 "csv": self.read_csv,

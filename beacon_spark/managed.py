@@ -711,8 +711,16 @@ class ManagedTable:
 
 
 def _parse_type(s: str) -> T.DataType:
+    """Spark type from a dialect type string. The reference accepts the
+    bare DataFusion spellings VARCHAR/CHAR/TEXT (no length) — Spark
+    requires a length on VARCHAR/CHAR, so those normalize to string
+    (the same Utf8 the reference maps them to)."""
+    import re as _re
+
     from pyspark.sql.types import _parse_datatype_string
 
+    s = _re.sub(r"(?i)^\s*(?:varchar|char|text)(?:\s*\(\s*\d+\s*\))?\s*$",
+                "string", s)
     return _parse_datatype_string(s)
 
 

@@ -980,3 +980,53 @@ def test_alter_add_refuses_resurrecting_retired_name(spark, tmp_path):
     eng.catalog.table("zt").alter_add_column("name", "string")
     vals = eng.sql("SELECT id, label, name FROM zt").collect()[0]
     assert vals.label == "a" and vals.name is None
+
+
+def test_full_etl_pipeline_contract(spark, tmp_path, sf_small):
+    """The reference's end-to-end ETL flow
+    (integration-tests/test_etl_pipeline.py): CTAS over a cross-format
+    join with BRACKETED read lists, ALTER ADD COLUMN with bare VARCHAR,
+    category UPDATEs, cleanse DELETE, aggregated mart CTAS."""
+    from beacon_spark.engine import Engine
+
+    root = str(tmp_path / "etl")
+    import os
+    import shutil
+
+    os.makedirs(root)
+    shutil.copy(f"{sf_small}/orders.parquet", f"{root}/orders.parquet")
+    with open(f"{root}/prio.csv", "w") as f:
+        f.write("o_orderpriority,label\n1-URGENT,hot\n2-HIGH,hot\n"
+                "3-MEDIUM,mid\n4-NOT SPECIFIED,meh\n5-LOW,cold\n")
+    eng = Engine(spark, datasets_root=root)
+    eng.sql(
+        "CREATE TABLE etl_staging AS "
+        "SELECT o.o_orderkey AS id, o.o_totalprice AS price, "
+        "       o.o_orderpriority AS prio, s.label AS label "
+        "FROM read_parquet(['*.parquet']) o "
+        "JOIN read_csv(['prio.csv']) s "
+        "ON o.o_orderpriority = s.o_orderpriority")
+    total = eng.sql("SELECT count(*) c FROM etl_staging").collect()[0].c
+    assert total > 0
+    assert eng.sql("SELECT count(*) c FROM etl_staging "
+                   "WHERE label IS NULL").collect()[0].c == 0
+    eng.sql("ALTER TABLE etl_staging ADD COLUMN price_band VARCHAR")
+    eng.sql("UPDATE etl_staging SET price_band = 'big' WHERE price > 100000")
+    eng.sql("UPDATE etl_staging SET price_band = 'small' "
+            "WHERE price <= 100000")
+    assert eng.sql("SELECT count(*) c FROM etl_staging "
+                   "WHERE price_band IS NULL").collect()[0].c == 0
+    eng.sql("DELETE FROM etl_staging WHERE label = 'cold'")
+    assert eng.sql("SELECT count(*) c FROM etl_staging "
+                   "WHERE label = 'cold'").collect()[0].c == 0
+    eng.sql(
+        "CREATE TABLE etl_summary AS "
+        "SELECT label, price_band, count(*) AS n, avg(price) AS avg_price "
+        "FROM etl_staging GROUP BY label, price_band")
+    rows = eng.sql("SELECT label, price_band, n, avg_price FROM etl_summary "
+                   "ORDER BY label, price_band").collect()
+    remaining = eng.sql("SELECT count(*) c FROM etl_staging").collect()[0].c
+    assert sum(r.n for r in rows) == remaining
+    assert all(r.avg_price > 100000 for r in rows if r.price_band == "big")
+    eng.sql("DROP TABLE IF EXISTS etl_summary")
+    eng.sql("DROP TABLE IF EXISTS etl_staging")
