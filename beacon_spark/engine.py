@@ -1820,8 +1820,15 @@ class Engine:
             self._refresh_index_stats(name)
             return self._status(status="ok", op="insert", name=name, version=str(version))
         if kind == "delete_from":
-            # no WHERE = delete every row (test_lance_tables.py:89-91)
-            name, pred = m.group(1), m.group(2) or "true"
+            # no WHERE = delete every row (test_lance_tables.py:89-91);
+            # a present-but-empty predicate ("DELETE FROM t WHERE ") is
+            # an error, not delete-all — only a truly absent clause
+            # defaults
+            name, pred = m.group(1), m.group(2)
+            if pred is None:
+                pred = "true"
+            elif not pred.strip():
+                raise ValueError("DELETE: empty WHERE predicate")
             version = cat.table(name).delete(pred)
             self._refresh_index_stats(name)
             return self._status(status="ok", op="delete", name=name, version=str(version))
@@ -2271,6 +2278,11 @@ class Engine:
         edits: list[tuple[int, int, str]] = []
         renamed: set[str] = set()
         for ident, s, e in idents:
+            if ident.lower() in ctes:
+                # a statement-local CTE shadows any same-named remote
+                # table; renaming its FROM reference (but not its WITH
+                # definition) would silently read the wrong table
+                continue
             t = _remote_name(ident)
             if t is not None and t != ident:
                 edits.append((s, e, t))
@@ -2458,8 +2470,28 @@ class Engine:
                 f" * {stride} + {origin})"
             )
 
+        def rename_agg(spark_name: str, arity=(1,)):
+            # DataFusion aggregate names Spark spells differently —
+            # aggregates can't be SQL UDFs, so the SQL path renames at
+            # macro time (function-reference.md inherits all DataFusion
+            # aggregates: APPROX_PERCENTILE_CONT / APPROX_DISTINCT /
+            # APPROX_MEDIAN)
+            def render(args: list[str]) -> str:
+                if len(args) not in arity:
+                    raise ValueError(
+                        f"{spark_name}: got {len(args)} args, want {arity}")
+                return f"{spark_name}({', '.join(a.strip() for a in args)})"
+
+            return render
+
         expand("pressure_to_depth_teos_10", render_depth)
         expand("date_bin", render_date_bin)
+        expand("approx_percentile_cont", rename_agg("approx_percentile", (2,)))
+        expand("approx_distinct", rename_agg("approx_count_distinct"))
+        expand(
+            "approx_median",
+            lambda args: f"approx_percentile({args[0].strip()}, 0.5)",
+        )
         return statement
 
     def _rewrite_qualify(self, statement: str) -> str:

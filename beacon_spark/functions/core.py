@@ -92,9 +92,11 @@ def register_functions(spark: SparkSession) -> None:
     if getattr(spark, "_beacon_fns_registered", False):
         return
     from beacon_spark.functions import geo
+    from beacon_spark.functions.compat import register_compat_functions
     from beacon_spark.functions.domain import register_domain_functions
     from beacon_spark.functions.st import register_st_functions
 
+    register_compat_functions(spark)
     register_domain_functions(spark)
     register_st_functions(spark)
     spark.udf.register("st_geojson_as_wkt", geo.st_geojson_as_wkt_udf())

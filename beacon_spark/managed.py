@@ -53,6 +53,20 @@ class ManagedTableError(RuntimeError):
     pass
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Row count from the parquet footer (works on local paths and
+    object-store URIs via ranged reads). Fail-open: unreadable → assume
+    non-empty so the file is kept."""
+    try:
+        import pyarrow.parquet as pq
+
+        p, fs = bs.dataset_source(path)
+        f = pq.ParquetFile(p if fs is None else fs.open_input_file(p))
+        return f.metadata.num_rows
+    except Exception:
+        return -1
+
+
 class ManagedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -85,22 +99,51 @@ class ManagedTable:
         schema: T.StructType,
         files: list[str],
         aliases: dict | None = None,
+        alias_files: dict | None = None,
     ) -> int:
         """``aliases`` = the RENAME COLUMN physical-name map
         ({logical: [retired physical names…]}); None carries the
         current manifest's map forward (every non-ALTER mutation must,
-        or renamed columns would lose their old files' data)."""
-        if aliases is None:
+        or renamed columns would lose their old files' data).
+        ``alias_files`` ({retired physical name: [rel files that may
+        still carry it]}) is recorded at rename time and PRUNED here to
+        the surviving file set — once every carrying file has been
+        rewritten (OPTIMIZE with a large-enough target, overwrite, a
+        full UPDATE) the retired name drops out of ``aliases`` and is
+        reusable again, instead of being blocked forever."""
+        if aliases is None or alias_files is None:
             try:
-                aliases = self._read_manifest().get("aliases") or {}
+                m = self._read_manifest()
             except ManagedTableError:
-                aliases = {}
+                m = {}
+            if aliases is None:
+                aliases = m.get("aliases") or {}
+            if alias_files is None:
+                alias_files = m.get("alias_files") or {}
+        fset = set(files)
+        alias_files = {a: [f for f in carr if f in fset]
+                       for a, carr in alias_files.items()}
+        # a retired name whose every carrying file is gone is dead;
+        # pre-alias_files manifests recorded no carrier list for it, so
+        # an UNKNOWN name stays conservatively (its files can't be told
+        # apart from rewritten ones)
+        dead = {a for a, carr in alias_files.items() if not carr}
+        aliases = {
+            k: kept
+            for k, v in aliases.items()
+            if (kept := [a for a in v if a not in dead])
+        }
+        referenced = {a for v in aliases.values() for a in v}
+        alias_files = {a: c for a, c in alias_files.items()
+                       if c and a in referenced}
         version = self.current_version() + 1
         bs.makedirs(self.manifest_dir)
         doc = {"version": version, "schema": schema.jsonValue(),
                "files": files}
         if aliases:
             doc["aliases"] = aliases
+        if alias_files:
+            doc["alias_files"] = alias_files
         bs.publish_bytes(
             bs.join(self.manifest_dir, f"v{version:08d}.json"),
             json.dumps(doc).encode(),
@@ -117,8 +160,15 @@ class ManagedTable:
         out = []
         for f in sorted(bs.listdir(staging)):
             if f.endswith(".parquet"):
+                src = bs.join(staging, f)
+                if _parquet_num_rows(src) == 0:
+                    # zero-row parts (empty-schema CREATE, delete-all
+                    # survivors, empty partitions) carry nothing but a
+                    # schema header; keeping them bloats file lists and
+                    # pins rename alias_files carriers forever
+                    continue
                 new = f"part-{uuid.uuid4().hex}.parquet"
-                bs.move(bs.join(staging, f), bs.join(self.data_dir, new))
+                bs.move(src, bs.join(self.data_dir, new))
                 out.append(f"data/{new}")
         bs.rmtree(staging)
         return out
@@ -251,7 +301,7 @@ class ManagedTable:
         files = self._write_data(clustered)
         # full rewrite through the logical frame: every new file carries
         # logical names, so retired rename aliases are cleared
-        return self._write_manifest(schema, files, aliases={})
+        return self._write_manifest(schema, files, aliases={}, alias_files={})
 
     def _read_files(
         self,
@@ -316,13 +366,15 @@ class ManagedTable:
         schema = T.StructType.fromJson(m["schema"])
         files = self._write_data(align_to_schema(df, schema))
         # no old file survives an overwrite — rename aliases clear
-        return self._write_manifest(schema, files, aliases={})
+        return self._write_manifest(schema, files, aliases={}, alias_files={})
 
     def insert(self, df: DataFrame) -> int:
         m = self._read_manifest()
         schema = T.StructType.fromJson(m["schema"])
         files = self._write_data(align_to_schema(df, schema))
-        return self._write_manifest(schema, m["files"] + files)
+        return self._write_manifest(
+            schema, m["files"] + files,
+            m.get("aliases") or {}, m.get("alias_files") or {})
 
     def _split_files(
         self, predicate: str, schema: T.StructType
@@ -369,7 +421,9 @@ class ManagedTable:
                 m.get("aliases"),
             ).filter(~F.expr(predicate))
             new_files += self._write_data(survivors)
-        return self._write_manifest(schema, new_files)
+        return self._write_manifest(
+            schema, new_files,
+            m.get("aliases") or {}, m.get("alias_files") or {})
 
     def update(self, assignments: dict[str, str], predicate: str | None) -> int:
         m = self._read_manifest()
@@ -395,7 +449,9 @@ class ManagedTable:
                 else:
                     cols.append(F.col(fld.name))
             new_files += self._write_data(align_to_schema(df.select(*cols), schema))
-        return self._write_manifest(schema, new_files)
+        return self._write_manifest(
+            schema, new_files,
+            m.get("aliases") or {}, m.get("alias_files") or {})
 
     def alter_add_column(self, name: str, spark_type: str) -> int:
         """Metadata-only schema evolution: readers NULL-fill via align."""
@@ -413,7 +469,9 @@ class ManagedTable:
                 f"a renamed column; OPTIMIZE the table first"
             )
         schema = schema.add(T.StructField(name, _parse_type(spark_type), True))
-        return self._write_manifest(schema, m["files"])
+        return self._write_manifest(
+            schema, m["files"],
+            m.get("aliases") or {}, m.get("alias_files") or {})
 
     def alter_rename_column(self, old: str, new: str) -> int:
         """Metadata-only RENAME COLUMN (Lance applies renames without a
@@ -441,7 +499,13 @@ class ManagedTable:
             for f in schema.fields
         ]
         aliases[new] = aliases.pop(old, []) + [old]
-        return self._write_manifest(T.StructType(fields), m["files"], aliases)
+        # every CURRENT file may still carry the retired physical name;
+        # _write_manifest prunes this list as rewrites replace them, and
+        # the alias dies with its last carrier
+        alias_files = dict(m.get("alias_files") or {})
+        alias_files[old] = list(m["files"])
+        return self._write_manifest(
+            T.StructType(fields), m["files"], aliases, alias_files)
 
     def alter_drop_column(self, name: str) -> int:
         m = self._read_manifest()
@@ -451,7 +515,9 @@ class ManagedTable:
             raise ManagedTableError(f"no column {name}")
         aliases = {k: v for k, v in (m.get("aliases") or {}).items()
                    if k != name}
-        return self._write_manifest(T.StructType(fields), m["files"], aliases)
+        return self._write_manifest(
+            T.StructType(fields), m["files"], aliases,
+            m.get("alias_files") or {})
 
     # --------------------------------------------------- inverted index
 
@@ -676,7 +742,8 @@ class ManagedTable:
         ).coalesce(n_out)
         new = self._write_data(df)
         self._write_manifest(
-            T.StructType.fromJson(manifest["schema"]), keep + new
+            T.StructType.fromJson(manifest["schema"]), keep + new,
+            manifest.get("aliases") or {}, manifest.get("alias_files") or {},
         )
         return len(rels), len(keep) + len(new)
 
@@ -983,7 +1050,10 @@ class Catalog:
             yield
             return
         bs.makedirs(self.dir)
-        lock = os.path.join(self.dir, "catalog.lock")
+        # os-level primitives need a plain path — a file:// root would
+        # make every os.open fail FileNotFoundError and DML would never
+        # bump the catalog rev (lost invalidation for other engines)
+        lock = os.path.join(bs.local_path(self.dir), "catalog.lock")
         deadline = time.monotonic() + timeout
         fd = None
         while True:
@@ -993,10 +1063,17 @@ class Catalog:
             except FileExistsError:
                 try:
                     if time.time() - os.path.getmtime(lock) > timeout:
-                        os.unlink(lock)
+                        # break the stale lock via atomic rename so only
+                        # ONE waiter wins — a bare unlink lets a second
+                        # waiter delete the winner's FRESH lock and both
+                        # proceed as holders
+                        broken = f"{lock}.stale.{os.getpid()}"
+                        os.rename(lock, broken)
+                        with contextlib.suppress(OSError):
+                            os.unlink(broken)
                         continue
                 except OSError:
-                    continue  # holder released between check and stat
+                    pass  # holder released / raced — fall through to wait
                 if time.monotonic() > deadline:
                     break  # proceed unlocked — write-verify still guards
                 time.sleep(0.005)

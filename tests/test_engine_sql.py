@@ -281,3 +281,26 @@ def test_rewrites_literal_with_quote_escape(eng):
         "FROM read_parquet('region.parquet') ORDER BY r_regionkey LIMIT 1"
     ).collect()
     assert out[0].s == "it's read_csv(a)"
+
+
+def test_approx_aggregate_name_macros(spark, sf_small):
+    """DataFusion aggregate spellings (function-reference.md inherits
+    them all): APPROX_PERCENTILE_CONT / APPROX_DISTINCT / APPROX_MEDIAN
+    rename to Spark's aggregates in the SQL path."""
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=sf_small)
+    row = eng.sql(
+        "SELECT approx_percentile_cont(l_quantity, 0.5) AS p50, "
+        "approx_distinct(l_orderkey) AS nd, "
+        "approx_median(l_quantity) AS med "
+        "FROM read_parquet('lineitem.parquet')"
+    ).collect()[0]
+    exact = eng.sql(
+        "SELECT percentile(l_quantity, 0.5) AS p50, "
+        "count(DISTINCT l_orderkey) AS nd "
+        "FROM read_parquet('lineitem.parquet')"
+    ).collect()[0]
+    assert abs(row.p50 - exact.p50) <= 2
+    assert abs(row.nd - exact.nd) / exact.nd < 0.15  # HLL default rsd 5%
+    assert row.med == row.p50

@@ -974,3 +974,25 @@ def test_federated_order_by_preserved_single_partition(spark, served, tmp_path):
         "SELECT id FROM lake__remobs ORDER BY id DESC LIMIT 5").collect()
     assert [r.id for r in rows] == [19, 18, 17, 16, 15]
     ceng.sql("DETACH lake")
+
+
+def test_federated_cte_shadowing_remote_name_not_rewritten(spark, served, tmp_path):
+    """A statement-local CTE whose name collides with a remote table
+    spelling must NOT be renamed at its FROM reference: the refs scanner
+    already skips CTE names, and the span-substitution loop must skip
+    them too, or the pushed statement reads the remote table where the
+    (filtered) CTE was meant — silently wrong results."""
+    eng, _server, port = served
+    eng.sql("CREATE TABLE wide AS SELECT id, id * 2 AS a FROM range(20)")
+    client_eng = Engine(spark, datasets_root=str(tmp_path / "fedcte"))
+    client_eng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS fz")
+    try:
+        out = client_eng.sql(
+            "WITH fz__remobs AS (SELECT id FROM fz__wide WHERE id > 15) "
+            "SELECT count(*) AS c FROM fz__remobs"
+        ).collect()
+        # remobs itself has 20 rows: the old statement-wide rewrite sent
+        # the outer FROM to the remote table and answered 20
+        assert out[0].c == 4
+    finally:
+        client_eng.sql("DETACH fz")

@@ -66,3 +66,86 @@ def test_summarize_contract(spark):
     # source column order preserved
     assert [r.column_name for r in summarize(df).collect()] == [
         "temperature", "depth", "platform"]
+
+
+class TestDataFusionCompat:
+    """DataFusion names from the reference's function-reference.md that
+    Spark spells differently (functions/compat.py); values pinned, the
+    integer pair cross-checked against DuckDB where it shares them."""
+
+    def _one(self, spark, expr):
+        from beacon_spark.functions.core import register_functions
+
+        register_functions(spark)
+        return spark.sql(f"SELECT {expr} AS x").collect()[0].x
+
+    def test_expression_tier(self, spark):
+        import datetime
+
+        assert self._one(spark, "today()") == datetime.date.today()
+        assert self._one(spark, "strpos('hello', 'l')") == 3
+        assert self._one(spark, "strpos('hello', 'zz')") == 0
+        assert self._one(spark, "substr_index('a.b.c', '.', 2)") == "a.b"
+        assert self._one(spark, "to_hex(255)") == "ff"
+        assert self._one(
+            spark, "datetrunc('year', timestamp '2024-03-05 10:11:12')"
+        ) == datetime.datetime(2024, 1, 1)
+        assert self._one(
+            spark, "to_unixtime(to_timestamp_seconds(1700000000))"
+        ) == 1700000000
+        assert self._one(
+            spark, "to_timestamp_millis(1000)"
+        ) == self._one(spark, "to_timestamp_seconds(1)")
+        assert self._one(
+            spark, "to_timestamp_micros(1000000)"
+        ) == self._one(spark, "to_timestamp_seconds(1)")
+        # nanos floor to micros, exactly, incl. pre-1970
+        assert self._one(
+            spark, "to_timestamp_nanos(1500)"
+        ) == self._one(spark, "to_timestamp_micros(1)")
+        assert self._one(
+            spark, "to_timestamp_nanos(-1500)"
+        ) == self._one(spark, "to_timestamp_micros(-2)")
+
+    def test_to_local_time_strips_zone(self, spark):
+        from pyspark.sql import types as T
+
+        from beacon_spark.functions.core import register_functions
+
+        register_functions(spark)
+        df = spark.sql(
+            "SELECT to_local_time(timestamp '2024-01-01 10:00:00') AS x")
+        assert isinstance(df.schema["x"].dataType, T.TimestampNTZType)
+        assert str(df.collect()[0].x) == "2024-01-01 10:00:00"
+
+    def test_time_type_enabled(self, spark):
+        import datetime
+
+        assert self._one(spark, "make_time(10, 11, 12)") == \
+            datetime.time(10, 11, 12)
+        assert self._one(spark, "to_time('23:59:01')") == \
+            datetime.time(23, 59, 1)
+
+    def test_regexp_match_postgres_semantics(self, spark):
+        # no capture groups -> whole first match; groups -> the groups;
+        # no match -> NULL
+        assert self._one(spark, "regexp_match('abcd', 'b.')") == ["bc"]
+        assert self._one(
+            spark, r"regexp_match('k=v', '(\\w+)=(\\w+)')") == ["k", "v"]
+        assert self._one(spark, "regexp_match('abc', 'z')") is None
+
+    def test_gcd_lcm(self, spark):
+        import duckdb
+
+        from beacon_spark.functions.core import register_functions
+
+        register_functions(spark)
+        cases = [(12, 8), (0, 5), (-12, 18), (270, 192)]
+        for a, b in cases:
+            want_g = duckdb.sql(f"SELECT gcd({a}, {b})").fetchone()[0]
+            want_l = duckdb.sql(f"SELECT lcm({a}, {b})").fetchone()[0]
+            got = spark.sql(
+                f"SELECT gcd({a}, {b}) AS g, lcm({a}, {b}) AS l"
+            ).collect()[0]
+            assert (got.g, got.l) == (want_g, want_l), (a, b)
+        assert self._one(spark, "gcd(NULL, 3)") is None

@@ -1030,3 +1030,95 @@ def test_full_etl_pipeline_contract(spark, tmp_path, sf_small):
     assert all(r.avg_price > 100000 for r in rows if r.price_band == "big")
     eng.sql("DROP TABLE IF EXISTS etl_summary")
     eng.sql("DROP TABLE IF EXISTS etl_staging")
+
+
+def test_retired_name_frees_after_all_carriers_rewritten(spark, tmp_path):
+    """The rename alias dies with its LAST carrying file: _write_manifest
+    prunes the recorded carrier list on every COW rewrite, so a retired
+    physical name becomes reusable once no surviving data file predates
+    the rename — previously the alias (and the ADD COLUMN refusal) was
+    carried forward forever, even by a full OPTIMIZE rewrite."""
+    import pytest as _pytest
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.managed import ManagedTableError
+
+    eng = Engine(spark, datasets_root=str(tmp_path / "carriers"))
+    eng.sql("CREATE TABLE ft (id BIGINT, name VARCHAR)")
+    eng.sql("INSERT INTO ft VALUES (1, 'a')")
+    eng.sql("INSERT INTO ft VALUES (2, 'b')")
+    eng.sql("ALTER TABLE ft RENAME COLUMN name TO label")
+    t = eng.catalog.table("ft")
+    with _pytest.raises(ManagedTableError, match="OPTIMIZE"):
+        t.alter_add_column("name", "string")
+    # a partial rewrite (only id=1's file) keeps the alias: the other
+    # pre-rename file still carries the retired physical name
+    eng.sql("UPDATE ft SET label = 'x' WHERE id = 1")
+    with _pytest.raises(ManagedTableError, match="OPTIMIZE"):
+        t.alter_add_column("name", "string")
+    assert eng.sql(
+        "SELECT label FROM ft WHERE id = 2").collect()[0].label == "b"
+    # rewriting the last carrier frees the name
+    eng.sql("UPDATE ft SET label = 'y' WHERE id = 2")
+    m = t._read_manifest()
+    assert "aliases" not in m and "alias_files" not in m
+    t.alter_add_column("name", "string")
+    row = eng.sql("SELECT label, name FROM ft WHERE id = 1").collect()[0]
+    assert row.label == "x" and row.name is None
+
+
+def test_optimize_full_rewrite_frees_retired_name(spark, tmp_path):
+    """The guard's own remedy works: OPTIMIZE with a target large enough
+    to fold every small file rewrites all pre-rename carriers, and the
+    retired name becomes addable again."""
+    import pytest as _pytest
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.managed import ManagedTableError
+
+    eng = Engine(spark, datasets_root=str(tmp_path / "optfree"))
+    eng.sql("CREATE TABLE ot (id BIGINT, name VARCHAR)")
+    eng.sql("INSERT INTO ot VALUES (1, 'a')")
+    eng.sql("INSERT INTO ot VALUES (2, 'b')")
+    eng.sql("ALTER TABLE ot RENAME COLUMN name TO label")
+    t = eng.catalog.table("ot")
+    with _pytest.raises(ManagedTableError, match="OPTIMIZE"):
+        t.alter_add_column("name", "string")
+    t.compact(target_file_bytes=1 << 30)
+    assert "aliases" not in t._read_manifest()
+    t.alter_add_column("name", "string")
+    vals = {r.id: r.label for r in eng.sql(
+        "SELECT id, label FROM ot").collect()}
+    assert vals == {1: "a", 2: "b"}
+
+
+def test_delete_empty_where_is_refused(spark, tmp_path):
+    """`DELETE FROM t WHERE ` (present-but-empty predicate) must error,
+    not silently coerce to delete-everything — only a truly ABSENT
+    WHERE clause means delete all rows."""
+    import pytest as _pytest
+
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path / "delempty"))
+    eng.sql("CREATE TABLE et (id BIGINT)")
+    eng.sql("INSERT INTO et VALUES (1), (2)")
+    for stmt in ("DELETE FROM et WHERE ", "DELETE FROM et WHERE ;"):
+        with _pytest.raises(Exception, match="empty WHERE"):
+            eng.sql(stmt)
+    assert eng.sql("SELECT count(*) c FROM et").collect()[0].c == 2
+
+
+def test_catalog_dml_note_on_file_scheme_root(spark, tmp_path):
+    """A `file://`-scheme lake root is local: the DML catalog note must
+    take the lock via the PLAIN path (os.open can't open a URI) and
+    bump the rev — previously every note raised FileNotFoundError and
+    other engines never saw DML invalidations."""
+    from beacon_spark.managed import Catalog
+
+    cat = Catalog(spark, "file://" + str(tmp_path / "fsroot"))
+    sig1 = cat.note_table_version("t")
+    assert cat._load()["table_versions"]["t"] == 1
+    sig2 = cat.note_table_version("t")
+    assert sig2 != sig1
+    assert cat._load()["table_versions"]["t"] == 2
