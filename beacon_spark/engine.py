@@ -16,6 +16,7 @@ from DataFusion statements (``parser/beacon_parser.rs:33-115``).
 
 from __future__ import annotations
 
+import json
 import posixpath
 import re
 from typing import Any
@@ -418,7 +419,7 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
     ("create_table_schema", re.compile(
         r"^\s*CREATE\s+TABLE\s+(\w+)\s*\((.+)\)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL)),
-    ("drop_table", re.compile(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
+    ("drop_table", re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
     ("vacuum", re.compile(
         r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?;?\s*$", re.IGNORECASE)),
     ("optimize", re.compile(
@@ -1339,6 +1340,18 @@ class Engine:
         "alter_add", "alter_drop", "alter_rename", "refresh",
     })
 
+    def _table_columns_for_extension(self, table: str) -> list[str]:
+        """The table's live column names for extension validation
+        (extensions.rs table_schema: errors ``table '<name>' not
+        found`` when the name is not a registered table)."""
+        try:
+            return [
+                f.name
+                for f in self.sql(f"SELECT * FROM {table} LIMIT 0").schema
+            ]
+        except Exception:
+            raise ValueError(f"table '{table}' not found") from None
+
     def _run_ddl(self, kind: str, m: re.Match) -> DataFrame:
         """Dialect DDL/DML → Catalog ops (statement enum parser/statement.rs:8-30,
         lowering actions.rs:221-795). Always returns a small status frame."""
@@ -1728,25 +1741,45 @@ class Engine:
                 "name string, type string, scope string, persistent boolean, option_keys string",
             )
         if kind == "set_extension":
-            # SET EXTENSION '<kind>' FOR <table> TO '<json>' (statement.rs)
+            # SET EXTENSION '<kind>' FOR <table> TO '<json>' (statement.rs;
+            # typed contract + strict validation = extensions.rs:1-460:
+            # unknown kind/key/ill-shaped value/missing column REJECTED)
+            from beacon_spark import extensions as _ext
+
             ext_kind, table, payload = m.group(1), m.group(2), m.group(3)
+            doc = _ext.parse_kind(
+                ext_kind, payload.replace("''", "'"),
+                self._table_columns_for_extension(table))
             c = cat._load()
-            c.setdefault("extensions", {}).setdefault(table, {})[ext_kind] = (
-                payload.replace("''", "'")
-            )
+            c.setdefault("extensions", {}).setdefault(
+                table, {})[ext_kind.lower()] = json.dumps(doc)
             cat._save(c)
             return self._status(status="ok", op="set_extension", name=table)
         if kind == "drop_extension":
+            from beacon_spark import extensions as _ext
+
             ext_kind, table = m.group(1), m.group(2)
+            self._table_columns_for_extension(table)  # table must exist
             c = cat._load()
-            c.setdefault("extensions", {}).get(table, {}).pop(ext_kind, None)
+            c.setdefault("extensions", {}).get(table, {}).pop(
+                _ext.drop_kind_name(ext_kind), None)
             cat._save(c)
             return self._status(status="ok", op="drop_extension", name=table)
         if kind == "show_extensions":
+            # ONE row, one Utf8 'extensions' column holding the whole
+            # JSON document (show_extensions_arrow_schema, pinned by the
+            # reference's table_extensions_sql_round_trip test)
             table = m.group(1)
+            self._table_columns_for_extension(table)  # table must exist
             c = cat._load()
-            rows = sorted(c.get("extensions", {}).get(table, {}).items())
-            return self.spark.createDataFrame(rows, "kind string, value string")
+            doc = {}
+            for k, v in sorted(c.get("extensions", {}).get(table, {}).items()):
+                try:
+                    doc[k] = json.loads(v)
+                except Exception:
+                    doc[k] = v  # legacy free-form payloads stay readable
+            return self.spark.createDataFrame(
+                [(json.dumps(doc),)], "extensions string")
         if kind == "create_table_as":
             name, src = m.group(1), m.group(2)
             cat.create_table(name, self.sql(src))
@@ -1776,9 +1809,20 @@ class Engine:
             )
             return self._status(status="ok", op="create_table", name=name)
         if kind == "drop_table":
-            name = m.group(1)
+            # DROP TABLE removes an external table, a managed table, OR
+            # a view/MV — the reference has no separate DROP VIEW
+            # (docs server/view.md; actions.rs:37-43 deregisters any
+            # provider) and errors on a missing name unless IF EXISTS
+            if_exists, name = bool(m.group(1)), m.group(2)
+            names = cat.names()
             if not cat.drop_external_table(name):
-                cat.drop_table(name)
+                if name in names["tables"]:
+                    cat.drop_table(name)
+                elif (name in names["views"]
+                      or name in names["materialized_views"]):
+                    cat.drop_view(name)
+                elif not if_exists:
+                    raise ValueError(f"Table '{name}' does not exist")
             self.spark.catalog.dropTempView(name)
             return self._status(status="ok", op="drop_table", name=name)
         if kind == "vacuum":

@@ -840,18 +840,26 @@ class BeaconHttpServer:
                 continue
             if not (isinstance(mcp, dict) and mcp.get("enabled")):
                 continue
+            from beacon_spark import extensions as _ext
+
             try:
-                presets = json.loads(exts.get("preset", "{}")) or {}
+                presets = _ext.preset_where_map(
+                    json.loads(exts.get("preset", "{}")) or {})
             except Exception:
                 presets = {}
             desc = mcp.get("description", f"Query the '{table}' table.")
             if mcp.get("guardrails"):
                 desc += f"\n\nGuard rails (advisory): {mcp['guardrails']}"
-            cols = mcp.get("exposed_columns")
+            # typed exposed_columns entries may carry descriptions
+            # (extensions.rs ExposedColumn::Documented)
+            cols = (_ext.exposed_column_names(mcp)
+                    if isinstance(mcp, dict) else None)
+            col_docs = _ext.exposed_column_docs(mcp)
             try:
                 schema = eng.sql(f"SELECT * FROM {table} LIMIT 0").schema
                 glossary = [
                     f"{f.name} ({f.dataType.simpleString()})"
+                    + (f": {col_docs[f.name]}" if f.name in col_docs else "")
                     for f in schema.fields
                     if cols is None or f.name in cols
                 ]

@@ -367,7 +367,7 @@ def test_client_side_metadata_endpoints(admin_http):
     available-columns, tables-with-schema, table-extensions."""
     eng, base, _root = admin_http
     eng.sql("CREATE TABLE meta_t AS SELECT id, id * 2 AS d FROM range(7)")
-    eng.sql("SET EXTENSION 'notes' FOR meta_t TO '{\"a\": 1}'")
+    eng.sql("SET EXTENSION 'mcp' FOR meta_t TO '{\"title\": \"Meta\"}'")
 
     st, doc = _req(base, "GET", "/api/tables-with-schema")
     byname = {t["table_name"]: t for t in doc}
@@ -375,8 +375,9 @@ def test_client_side_metadata_endpoints(admin_http):
     assert {c["name"] for c in byname["meta_t"]["columns"]} == {"id", "d"}
 
     st, ext = _req(base, "GET", "/api/table-extensions?table=meta_t")
-    assert json.loads(ext["notes"]) == {"a": 1} if isinstance(
-        ext.get("notes"), str) else ext["notes"] == {"a": 1}
+    got = json.loads(ext["mcp"]) if isinstance(ext.get("mcp"), str) \
+        else ext["mcp"]
+    assert got == {"title": "Meta"}
 
     st, plan = _req(base, "POST", "/api/explain-analyze-query",
                     body=json.dumps({"sql": "SELECT count(*) AS n FROM "

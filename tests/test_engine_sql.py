@@ -131,17 +131,49 @@ def test_secrets_lifecycle(spark, tmp_path):
 
 
 def test_extensions_lifecycle(spark, tmp_path):
+    """Typed extension contract (extensions.rs:1-460 + the reference's
+    table_extensions_sql_round_trip): strict validation at SET time,
+    SHOW EXTENSIONS = ONE row with the whole JSON document, unknown
+    kinds/keys/columns and missing tables rejected loudly."""
+    import json as _json
+
+    import pytest as _p
+
     from beacon_spark import Engine
 
     eng = Engine(spark, datasets_root=str(tmp_path))
-    eng.sql("""SET EXTENSION 'mcp' FOR orders TO '{"expose": true}'""")
-    eng.sql("""SET EXTENSION 'preset' FOR orders TO '{"cols": ["a"]}'""")
-    rows = {r["kind"]: r["value"] for r in
-            eng.sql("SHOW EXTENSIONS FOR orders").collect()}
-    assert rows == {"mcp": '{"expose": true}', "preset": '{"cols": ["a"]}'}
-    eng.sql("DROP EXTENSION 'mcp' FOR orders")
-    assert eng.sql("SHOW EXTENSIONS FOR orders").count() == 1
-    assert eng.sql("SHOW EXTENSIONS FOR unknown_table").count() == 0
+    eng.sql("CREATE TABLE ext (lat BIGINT, depth BIGINT)")
+    eng.sql("""SET EXTENSION 'preset' FOR ext TO '{"presets":[{"name":"shallow","filters":[{"column":"depth","op":"<=","value":10}]}]}'""")
+    eng.sql("""SET EXTENSION 'mcp' FOR ext TO '{"enabled": true, "exposed_columns": ["lat", {"name": "depth", "description": "meters"}]}'""")
+    rows = eng.sql("SHOW EXTENSIONS FOR ext").collect()
+    assert len(rows) == 1  # one row, one JSON document
+    doc = _json.loads(rows[0].extensions)
+    assert doc["preset"]["presets"][0]["name"] == "shallow"
+    assert doc["mcp"]["enabled"] is True
+    # strict: unknown kind, unknown key, ghost column, bad op all refuse
+    with _p.raises(Exception, match="unknown extension kind"):
+        eng.sql("""SET EXTENSION 'notes' FOR ext TO '{"a": 1}'""")
+    with _p.raises(Exception, match="unknown field"):
+        eng.sql("""SET EXTENSION 'mcp' FOR ext TO '{"expose": true}'""")
+    with _p.raises(Exception, match="does not exist in the table schema"):
+        eng.sql("""SET EXTENSION 'preset' FOR ext TO '{"presets":[{"name":"x","filters":[{"column":"ghost","op":"=","value":1}]}]}'""")
+    with _p.raises(Exception, match="not one of"):
+        eng.sql("""SET EXTENSION 'preset' FOR ext TO '{"presets":[{"name":"x","filters":[{"column":"lat","op":"~","value":1}]}]}'""")
+    with _p.raises(Exception, match="two-element"):
+        eng.sql("""SET EXTENSION 'preset' FOR ext TO '{"presets":[{"name":"x","filters":[{"column":"lat","op":"between","value":[1]}]}]}'""")
+    with _p.raises(Exception, match="tool_name"):
+        eng.sql("""SET EXTENSION 'mcp' FOR ext TO '{"tool_name": "has space"}'""")
+    with _p.raises(Exception, match="not found"):
+        eng.sql("""SET EXTENSION 'mcp' FOR unknown_table TO '{"enabled": true}'""")
+    # DROP removes the kind; the document empties out
+    eng.sql("DROP EXTENSION 'preset' FOR ext")
+    doc = _json.loads(
+        eng.sql("SHOW EXTENSIONS FOR ext").collect()[0].extensions)
+    assert "preset" not in doc and "mcp" in doc
+    with _p.raises(Exception, match="unknown extension kind"):
+        eng.sql("DROP EXTENSION 'bogus' FOR ext")
+    with _p.raises(Exception, match="not found"):
+        eng.sql("SHOW EXTENSIONS FOR unknown_table")
 
 
 def test_copy_to(spark, tmp_path, sf_small):

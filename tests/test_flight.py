@@ -352,8 +352,11 @@ def test_mcp_export_and_table_tools(spark, served):
     eng, _fs, _p = served
     eng.sql("SET EXTENSION 'mcp' FOR remobs TO "
             "'{\"enabled\": true, \"exposed_columns\": [\"id\", \"g\"], "
-            "\"guardrails\": \"limit to 1000 rows\"}'")
-    eng.sql("SET EXTENSION 'preset' FOR remobs TO '{\"evens\": \"g = 0\"}'")
+            "\"guardrails\": {\"note\": \"limit to 1000 rows\"}}'")
+    eng.sql("SET EXTENSION 'preset' FOR remobs TO "
+            "'{\"presets\": [{\"name\": \"evens\", "
+            "\"filters\": [{\"column\": \"g\", \"op\": \"=\", "
+            "\"value\": 0}]}]}'")
     hs = BeaconHttpServer(eng, port=0)
     port = hs.serve_background()
     base = f"http://127.0.0.1:{port}/mcp"

@@ -1122,3 +1122,26 @@ def test_catalog_dml_note_on_file_scheme_root(spark, tmp_path):
     sig2 = cat.note_table_version("t")
     assert sig2 != sig1
     assert cat._load()["table_versions"]["t"] == 2
+
+
+def test_drop_table_covers_views_and_errors_on_missing(spark, tmp_path):
+    """Reference contract (docs server/view.md, actions.rs:37-43):
+    DROP TABLE removes a view too — there is no separate DROP VIEW in
+    the reference — and a missing name errors unless IF EXISTS."""
+    import pytest as _pytest
+
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path / "dropv"))
+    eng.sql("CREATE TABLE bt (id BIGINT)")
+    eng.sql("INSERT INTO bt VALUES (1), (2)")
+    eng.sql("CREATE VIEW v1 AS SELECT id FROM bt WHERE id > 1")
+    assert eng.sql("SELECT count(*) c FROM v1").collect()[0].c == 1
+    eng.sql("DROP TABLE v1")
+    assert "v1" not in eng.catalog.names()["views"]
+    with _pytest.raises(Exception, match="does not exist"):
+        eng.sql("DROP TABLE v1")
+    eng.sql("DROP TABLE IF EXISTS v1")  # silent with the clause
+    eng.sql("DROP TABLE bt")
+    with _pytest.raises(Exception, match="does not exist"):
+        eng.sql("DROP TABLE bt")
