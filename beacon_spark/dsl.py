@@ -144,6 +144,32 @@ def collect_columns(item: Any, out: list[str]) -> None:
             collect_columns(a, out)
 
 
+def _output_to_source(select: list[Any]) -> dict[str, str | None]:
+    """Map each select item's OUTPUT name to the source column it passes
+    through, or None when it isn't a plain (possibly renamed) column —
+    function/value items, and output names claimed by two different
+    sources, can't drive file pruning."""
+    out: dict[str, str | None] = {}
+
+    def put(name: str, src: str | None) -> None:
+        if name in out and out[name] != src:
+            out[name] = None
+        else:
+            out[name] = src
+
+    for item in select:
+        if isinstance(item, str):
+            put(item, item)
+        elif isinstance(item, dict):
+            name = item.get("alias")
+            if "column" in item or "column_name" in item:
+                src = item.get("column", item.get("column_name"))
+                put(name or src, src)
+            elif name:
+                put(name, None)
+    return out
+
+
 # ---------------------------------------------------------------- filter
 
 
@@ -169,17 +195,27 @@ def compile_filter(node: Any, schema: T.StructType) -> Column:
             expr = expr | compile_filter(child, schema)
         return expr
 
+    def _null_target(key: str) -> str:
+        payload = node[key]
+        if not (isinstance(payload, dict) and isinstance(payload.get("column"), str)):
+            raise DslError(f"{key} takes {{'column': name}}, got: {payload!r}")
+        return payload["column"]
+
     for key in ("is_not_null", "skip_fill_values", "skip_missing"):
         if key in node:
-            return _col(node[key]["column"]).isNotNull()
+            return _col(_null_target(key)).isNotNull()
     if "is_null" in node:
-        return _col(node["is_null"]["column"]).isNull()
+        return _col(_null_target("is_null")).isNull()
 
     # GeoJSON spatial filter (query/filter/geo_json.rs:1-55): rewritten onto
     # the st_* functions exactly as the reference does.
-    if "geometry" in node and "longitude_column" in node:
+    if "geometry" in node and ("longitude_column" in node or "latitude_column" in node):
         import json as _json
 
+        if "longitude_column" not in node or "latitude_column" not in node:
+            raise DslError(
+                "geometry filter needs both longitude_column and latitude_column"
+            )
         return F.call_function(
             "st_within_point",
             F.call_function("st_geojson_as_wkt", F.lit(_json.dumps(node["geometry"]))),
@@ -248,23 +284,57 @@ def _sort_exprs(sort_by: list[Any]) -> list[Column]:
     return out
 
 
-def apply_distinct_on(df: DataFrame, on: list[Column], select: list[Column]) -> DataFrame:
-    """DISTINCT ON (DataFusion ``distinct_on`` with no sort): one arbitrary
-    row per distinct on-value. We make the choice deterministic by ordering
-    on the ON expressions themselves (query/compiler.rs:63-77).
+def apply_distinct_on(
+    df: DataFrame,
+    on: list[Column],
+    select: list[Column],
+    sort_by: list[Any] | None = None,
+) -> DataFrame:
+    """DISTINCT ON (DataFusion ``distinct_on``, query/compiler.rs:63-77):
+    one row per distinct on-value. The reference's distinct_on carries no
+    sort exprs (arbitrary row per group); we refine deterministically —
+    with a query ``sort_by``, the kept row is the sort-first row per group
+    and the output keeps that order (Postgres DISTINCT ON semantics, a
+    strict refinement of "arbitrary"); otherwise order on the ON values.
 
     Plan: single shuffle on the ON keys (window + row_number), then project.
+    Every intermediate column gets a unique internal name so user columns
+    named like another select's alias (or literally ``__rn``) can't
+    collide or be clobbered; output names are restored at the end.
     """
     from pyspark.sql import Window
 
-    tagged = df.select(*on, *select)
-    on_names = tagged.columns[: len(on)]
-    sel_names = tagged.columns[len(on):]
-    w = Window.partitionBy(*on_names).orderBy(*on_names)
-    return (
-        tagged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*sel_names)
+    # output names as a plain (possibly duplicate-named) projection sees them
+    out_names = df.select(*on, *select).columns
+    n_on = len(on)
+    sort_items = list(sort_by or [])
+    tagged = df.select(
+        *[c.alias(f"__dsl_on_{i}") for i, c in enumerate(on)],
+        *[c.alias(f"__dsl_sel_{i}") for i, c in enumerate(select)],
+        # carry the sort columns (they resolve against the projected df,
+        # query/mod.rs:333-344) so the window can pick the sort-first row
+        *[
+            _col(next(iter(item.values()))).alias(f"__dsl_srt_{i}")
+            for i, item in enumerate(sort_items)
+        ],
+    )
+    if sort_items:
+        order = _sort_exprs(
+            [{next(iter(it)): f"__dsl_srt_{i}"} for i, it in enumerate(sort_items)]
+        )
+    else:
+        order = [F.col(f"__dsl_on_{i}") for i in range(n_on)]
+    w = Window.partitionBy(*[F.col(f"__dsl_on_{i}") for i in range(n_on)]).orderBy(*order)
+    kept = tagged.withColumn("__dsl_rn", F.row_number().over(w)).filter(
+        F.col("__dsl_rn") == 1
+    )
+    if sort_items:
+        kept = kept.orderBy(*order)
+    return kept.select(
+        *[
+            F.col(f"__dsl_sel_{i}").alias(out_names[n_on + i])
+            for i in range(len(select))
+        ]
     )
 
 
@@ -278,7 +348,6 @@ def compile_query(engine, body: dict[str, Any]) -> DataFrame:
     project → filter → legacy filters → sort → distinct_on → offset/limit,
     matching the reference exactly (filters see the projected schema).
     """
-    body = dict(body)
     select = body.get("select", body.get("query_parameters"))
     if not select:
         raise DslError("query body needs a non-empty select")
@@ -290,20 +359,36 @@ def compile_query(engine, body: dict[str, Any]) -> DataFrame:
     # planner-side file pruning: AND-ed numeric ranges from the filter reach
     # the source resolver, which drops provably-dead files via the stats
     # index before the scan (stats.py — the reference's PushdownFilter +
-    # file-stats pruning pipeline)
+    # file-stats pruning pipeline). The filter applies AFTER projection, so
+    # its names are OUTPUT names — translate them back to source columns
+    # before pruning (an alias shadowing a different source column must not
+    # prune against that source's stats), dropping untranslatable names.
     from beacon_spark.stats import (
         extract_contains_terms,
         extract_eq_clauses,
         extract_value_ranges,
     )
 
-    ranges = {}
-    terms = {}
-    eqs = {}
-    if body.get("filter") is not None:
-        ranges = extract_value_ranges(body["filter"])
-        terms = extract_contains_terms(body["filter"])
-        eqs = extract_eq_clauses(body["filter"])
+    prune_filter = {
+        "and": ([body["filter"]] if body.get("filter") is not None else [])
+        + list(body.get("filters") or [])
+    }
+    src_of = _output_to_source(select)
+    ranges = {
+        src_of[c]: r
+        for c, r in extract_value_ranges(prune_filter).items()
+        if src_of.get(c)
+    }
+    terms = {
+        src_of[c]: t
+        for c, t in extract_contains_terms(prune_filter).items()
+        if src_of.get(c)
+    }
+    eqs = {
+        src_of[c]: e
+        for c, e in extract_eq_clauses(prune_filter).items()
+        if src_of.get(c)
+    }
 
     df = engine.resolve_from(
         body.get("from"), pushdown_cols or None, ranges, terms, eqs
@@ -315,16 +400,22 @@ def compile_query(engine, body: dict[str, Any]) -> DataFrame:
     for legacy in body.get("filters") or []:
         df = df.filter(compile_filter(legacy, df.schema))
 
-    if body.get("sort_by"):
-        df = df.orderBy(*_sort_exprs(body["sort_by"]))
-
+    sort_by = body.get("sort_by")
+    if sort_by:
+        _sort_exprs(sort_by)  # validate even when distinct consumes it
     if body.get("distinct"):
+        # the sort feeds the distinct (which row is kept + output order)
+        # instead of a wasted pre-shuffle global sort — the window's
+        # exchange would destroy it (query/compiler.rs:59-76 sorts before
+        # distinct_on, whose aggregate likewise keeps no input order)
         d = body["distinct"]
         on = [_select_to_column(s) for s in d["on"]]
         sel = [_select_to_column(s) for s in d["select"]]
-        df = apply_distinct_on(df, on, sel)
+        df = apply_distinct_on(df, on, sel, sort_by)
+    elif sort_by:
+        df = df.orderBy(*_sort_exprs(sort_by))
 
-    offset = body.get("offset") or 0
+    offset = int(body.get("offset") or 0)
     if offset:
         df = df.offset(offset)
     if body.get("limit") is not None:

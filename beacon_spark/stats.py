@@ -21,6 +21,7 @@ row-group pruning inside the surviving files.
 
 from __future__ import annotations
 
+import math
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
@@ -257,6 +258,18 @@ def extract_value_ranges(node: Any) -> dict[str, tuple[float | None, float | Non
     contribute nothing (fail-open)."""
     ranges: dict[str, tuple[float | None, float | None]] = {}
 
+    # Fractional bounds widen conservatively (floor the lo, ceil the hi):
+    # the executed predicate truncates fractionals into integer columns
+    # (dsl._coerce_number, filter/mod.rs:94-113), so `gt_eq: 10.4` runs as
+    # `col >= 10` — pruning with the raw 10.4 would drop a file whose max
+    # is exactly 10 even though its rows match. Widening is harmless for
+    # float columns (strictly looser) and correct for integer ones.
+    def _widen_lo(v: float) -> float:
+        return math.floor(v)
+
+    def _widen_hi(v: float) -> float:
+        return math.ceil(v)
+
     def merge(col: str, lo: float | None, hi: float | None) -> None:
         cur = ranges.get(col, (None, None))
         nlo = cur[0] if lo is None else (lo if cur[0] is None else max(cur[0], lo))
@@ -286,7 +299,7 @@ def extract_value_ranges(node: Any) -> dict[str, tuple[float | None, float | Non
         }.items():
             if op in ops and isinstance(ops[op], (int, float)) and not isinstance(ops[op], bool):
                 v = float(ops[op])
-                merge(col, v if lo else None, v if hi else None)
+                merge(col, _widen_lo(v) if lo else None, _widen_hi(v) if hi else None)
 
     walk(node)
     return {c: r for c, r in ranges.items() if r != (None, None)}

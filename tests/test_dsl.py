@@ -154,3 +154,73 @@ def test_sql_and_json_same_result(eng, spark):
     b = rows(spark.sql(
         "SELECT depth, temperature FROM obs WHERE depth BETWEEN 0 AND 60 ORDER BY depth"))
     assert a == b
+
+
+# ---- round-8 review regressions ----
+
+
+def test_distinct_on_sort_picks_and_orders(spark):
+    """sort_by feeds the distinct: the kept row per group is the
+    sort-first row, and the output keeps that order (a deterministic
+    refinement of the reference's arbitrary-row distinct_on)."""
+    spark.createDataFrame(
+        [("a", 1), ("a", 9), ("b", 5), ("b", 2)], "k string, v int"
+    ).createOrReplaceTempView("dsv")
+    eng = Engine(spark, default_table="dsv")
+    got = eng.query({
+        "select": ["k", "v"],
+        "sort_by": [{"desc": "v"}],
+        "distinct": {"on": ["k"], "select": ["k", "v"]},
+        "limit": 2,
+    }).collect()
+    assert [tuple(r) for r in got] == [("a", 9), ("b", 5)]
+
+
+def test_distinct_on_preserves_user_rn_column(spark):
+    """A user column literally named __rn must survive intact (the
+    window's row-number lives on an internal unique name)."""
+    spark.createDataFrame(
+        [(1, 100), (1, 50), (2, 300)], "k int, __rn int"
+    ).createOrReplaceTempView("drn")
+    eng = Engine(spark, default_table="drn")
+    got = eng.query({
+        "select": ["k", "__rn"],
+        "sort_by": [{"desc": "__rn"}],
+        "distinct": {"on": ["k"], "select": ["k", "__rn"]},
+    }).collect()
+    assert sorted(tuple(r) for r in got) == [(1, 100), (2, 300)]
+
+
+def test_distinct_on_alias_shadowing_select_column(spark):
+    """An ON expression aliased to the same name as a select column must
+    not raise AMBIGUOUS_REFERENCE (positional internal names)."""
+    spark.createDataFrame(
+        [("x", 1), ("X", 2), ("y", 3)], "b string, a int"
+    ).createOrReplaceTempView("damb")
+    eng = Engine(spark, default_table="damb")
+    got = eng.query({
+        "select": ["b", "a"],
+        "distinct": {"on": [{"function": "upper", "args": ["b"], "alias": "b"}],
+                     "select": ["b", "a"]},
+    })
+    assert got.columns == ["b", "a"]
+    assert got.count() == 2  # upper(b) has two distinct values
+
+
+def test_offset_accepts_json_float(eng):
+    got = eng.query({"select": ["depth"], "sort_by": [{"asc": "depth"}],
+                     "offset": 1.0, "limit": 1}).collect()
+    assert [r[0] for r in got] == [50]
+
+
+def test_geometry_missing_latitude_is_dsl_error(eng):
+    with pytest.raises(DslError, match="latitude_column"):
+        eng.query({"select": ["depth"], "filter": {
+            "geometry": {"type": "Point", "coordinates": [0, 0]},
+            "longitude_column": "depth"}}).collect()
+
+
+def test_null_checks_reject_string_payload(eng):
+    with pytest.raises(DslError, match="is_not_null"):
+        eng.query({"select": ["depth"],
+                   "filter": {"is_not_null": "depth"}}).collect()

@@ -88,3 +88,63 @@ def test_sql_analyze_and_pruned_query(spark, lake):
 
     stats = eng.view_statistics()
     assert stats.filter("column = 'x'").count() == 3
+
+
+def test_prune_respects_select_alias_shadowing(spark, lake):
+    """A select alias that shadows a DIFFERENT source column must not
+    prune against that source's stats: the filter applies post-projection,
+    so `x AS y` + filter on y constrains source x, not source y."""
+    eng = Engine(spark, datasets_root=lake)
+    eng.sql("ANALYZE FILES").collect()
+    got = eng.query({
+        "select": [{"column": "x", "alias": "y"}],
+        "filter": {"column": "y", "gt_eq": 25},
+        "from": {"parquet": {"paths": ["*.parquet"]}},
+        "sort_by": [{"asc": "y"}],
+    })
+    # source y's stats max out at 2.0 — pruning on them would empty the
+    # result; the correct translation prunes on x (keeps only f2)
+    assert [r.y for r in got.collect()] == [25, 26, 27, 28, 29]
+    assert [f.rsplit("/", 1)[-1] for f in got.inputFiles()] == ["f2.parquet"]
+
+
+def test_prune_fractional_bound_is_conservative(spark, lake):
+    """`gt_eq: 9.4` executes as x >= 9 on an integer column (pinned
+    truncation), so the prune bound must floor to 9 — a file whose max
+    is exactly 9 still holds matching rows."""
+    eng = Engine(spark, datasets_root=lake)
+    eng.sql("ANALYZE FILES").collect()
+    got = eng.query({
+        "select": ["x"],
+        "filter": {"column": "x", "gt_eq": 9.4, "lt_eq": 10.6},
+        "from": {"parquet": {"paths": ["*.parquet"]}},
+        "sort_by": [{"asc": "x"}],
+    })
+    assert [r.x for r in got.collect()] == [9, 10]
+    # widened range [9, 11] keeps f0 (max 9) and f1 (min 10), drops f2
+    assert sorted(f.rsplit("/", 1)[-1] for f in got.inputFiles()) == [
+        "f0.parquet", "f1.parquet"]
+
+
+def test_prune_covers_legacy_filters_list(spark, lake):
+    """The legacy flat `filters` list drives file pruning like `filter`."""
+    eng = Engine(spark, datasets_root=lake)
+    eng.sql("ANALYZE FILES").collect()
+    got = eng.query({
+        "select": ["x"],
+        "filters": [{"column": "x", "gt_eq": 12, "lt_eq": 15}],
+        "from": {"parquet": {"paths": ["*.parquet"]}},
+    })
+    assert [f.rsplit("/", 1)[-1] for f in got.inputFiles()] == ["f1.parquet"]
+    assert got.count() == 4
+
+
+def test_extract_value_ranges_widens_fractional_bounds():
+    r = extract_value_ranges({"and": [
+        {"column": "a", "gt_eq": 10.4, "lt_eq": 20.6},
+        {"column": "b", "eq": 3.5},
+        {"column": "c", "gt": -10.4},
+    ]})
+    assert r["a"] == (10.0, 21.0)
+    assert r["b"] == (3.0, 4.0)
+    assert r["c"] == (-11.0, None)
