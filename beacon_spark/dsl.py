@@ -374,21 +374,30 @@ def compile_query(engine, body: dict[str, Any]) -> DataFrame:
         + list(body.get("filters") or [])
     }
     src_of = _output_to_source(select)
-    ranges = {
-        src_of[c]: r
-        for c, r in extract_value_ranges(prune_filter).items()
-        if src_of.get(c)
-    }
-    terms = {
-        src_of[c]: t
-        for c, t in extract_contains_terms(prune_filter).items()
-        if src_of.get(c)
-    }
-    eqs = {
-        src_of[c]: e
-        for c, e in extract_eq_clauses(prune_filter).items()
-        if src_of.get(c)
-    }
+
+    def _to_source(name: str) -> str | None:
+        # a name no select output claims resolves against the SOURCE
+        # (Spark's ResolveMissingReferences lets filters reach through the
+        # projection), so it prunes as itself; a claimed name prunes as
+        # the column it passes through, or not at all (None)
+        return src_of.get(name, name)
+
+    ranges: dict[str, tuple] = {}
+    for c, (lo, hi) in extract_value_ranges(prune_filter).items():
+        if src := _to_source(c):
+            plo, phi = ranges.get(src, (None, None))
+            ranges[src] = (  # two outputs of one source: intersect (AND)
+                plo if lo is None else (lo if plo is None else max(plo, lo)),
+                phi if hi is None else (hi if phi is None else min(phi, hi)),
+            )
+    terms: dict[str, list] = {}
+    for c, t in extract_contains_terms(prune_filter).items():
+        if src := _to_source(c):
+            terms.setdefault(src, []).extend(t)
+    eqs: dict[str, list] = {}
+    for c, e in extract_eq_clauses(prune_filter).items():
+        if src := _to_source(c):
+            eqs.setdefault(src, []).extend(e)
 
     df = engine.resolve_from(
         body.get("from"), pushdown_cols or None, ranges, terms, eqs
@@ -401,8 +410,7 @@ def compile_query(engine, body: dict[str, Any]) -> DataFrame:
         df = df.filter(compile_filter(legacy, df.schema))
 
     sort_by = body.get("sort_by")
-    if sort_by:
-        _sort_exprs(sort_by)  # validate even when distinct consumes it
+    sort_exprs = _sort_exprs(sort_by) if sort_by else []
     if body.get("distinct"):
         # the sort feeds the distinct (which row is kept + output order)
         # instead of a wasted pre-shuffle global sort — the window's
@@ -412,8 +420,8 @@ def compile_query(engine, body: dict[str, Any]) -> DataFrame:
         on = [_select_to_column(s) for s in d["on"]]
         sel = [_select_to_column(s) for s in d["select"]]
         df = apply_distinct_on(df, on, sel, sort_by)
-    elif sort_by:
-        df = df.orderBy(*_sort_exprs(sort_by))
+    elif sort_exprs:
+        df = df.orderBy(*sort_exprs)
 
     offset = int(body.get("offset") or 0)
     if offset:

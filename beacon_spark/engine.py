@@ -1349,8 +1349,18 @@ class Engine:
                 f.name
                 for f in self.sql(f"SELECT * FROM {table} LIMIT 0").schema
             ]
-        except Exception:
-            raise ValueError(f"table '{table}' not found") from None
+        except Exception as e:
+            # only rewrite genuine name-resolution failures; a registered
+            # view whose underlying SQL is broken (or an external table
+            # whose credentials fail) must surface its REAL error, not a
+            # misleading "not found"
+            msg = str(e)
+            unresolved = ("TABLE_OR_VIEW_NOT_FOUND" in msg
+                          or "cannot be found" in msg)
+            if (unresolved and f"`{table}`" in msg) or (
+                    "PARSE_SYNTAX_ERROR" in msg):
+                raise ValueError(f"table '{table}' not found") from None
+            raise
 
     def _run_ddl(self, kind: str, m: re.Match) -> DataFrame:
         """Dialect DDL/DML → Catalog ops (statement enum parser/statement.rs:8-30,
@@ -1761,8 +1771,15 @@ class Engine:
             ext_kind, table = m.group(1), m.group(2)
             self._table_columns_for_extension(table)  # table must exist
             c = cat._load()
-            c.setdefault("extensions", {}).get(table, {}).pop(
-                _ext.drop_kind_name(ext_kind), None)
+            stored = c.setdefault("extensions", {}).get(table, {})
+            k = ext_kind.lower()
+            if k in stored:
+                # a stored entry always drops — including legacy free-form
+                # kinds written before the typed contract, which SHOW keeps
+                # readable and must therefore stay removable
+                stored.pop(k)
+            else:
+                _ext.drop_kind_name(ext_kind)  # unknown + absent → error
             cat._save(c)
             return self._status(status="ok", op="drop_extension", name=table)
         if kind == "show_extensions":

@@ -137,15 +137,35 @@ def validate_preset(doc, columns: list[str] | None) -> dict:
             if "value" not in f:
                 raise ExtensionError(f"preset '{pname}': filter needs 'value'")
             v = f["value"]
-            if op == "between" and not (isinstance(v, list) and len(v) == 2):
-                raise ExtensionError(
-                    f"preset '{pname}' filter on '{f['column']}' uses "
-                    "'between' but value is not a two-element array")
-            if op == "in" and not (isinstance(v, list) and v):
-                raise ExtensionError(
-                    f"preset '{pname}' filter on '{f['column']}' uses "
-                    "'in' but value is not a non-empty array")
+            where = f"preset '{pname}' filter on '{f['column']}'"
+            if op == "between":
+                if not (isinstance(v, list) and len(v) == 2):
+                    raise ExtensionError(
+                        f"{where} uses 'between' but value is not a "
+                        "two-element array")
+                for x in v:
+                    _ensure_scalar(x, where)
+            elif op == "in":
+                if not (isinstance(v, list) and v):
+                    raise ExtensionError(
+                        f"{where} uses 'in' but value is not a "
+                        "non-empty array")
+                for x in v:
+                    _ensure_scalar(x, where)
+            else:
+                # scalar comparisons: the value must render as ONE SQL
+                # literal at use time — rejecting arrays/objects/null
+                # HERE keeps the "no silent switch-off" promise (a bad
+                # value would otherwise throw in preset_where_map and
+                # blank every preset for the table)
+                _ensure_scalar(v, where)
     return doc
+
+
+def _ensure_scalar(v, ctx: str) -> None:
+    if v is None or not isinstance(v, (str, int, float, bool)):
+        raise ExtensionError(
+            f"{ctx}: value {v!r} is not a scalar (string/number/boolean)")
 
 
 _VALIDATORS = {"mcp": validate_mcp, "preset": validate_preset}
@@ -179,19 +199,34 @@ def drop_kind_name(kind: str) -> str:
 
 def exposed_column_names(mcp: dict) -> list[str] | None:
     """Names of the curated exposed columns (entries may be documented
-    objects); None = expose everything."""
+    objects); None = expose everything. Tolerant of legacy pre-typed
+    payloads (stored unvalidated): malformed entries are skipped, never
+    raised — one bad stored doc must not break the whole tools listing."""
     cols = mcp.get("exposed_columns")
-    if cols is None:
+    if not isinstance(cols, list):
         return None
-    return [c["name"] if isinstance(c, dict) else c for c in cols]
+    out = []
+    for c in cols:
+        if isinstance(c, str):
+            out.append(c)
+        elif isinstance(c, dict) and isinstance(c.get("name"), str):
+            out.append(c["name"])
+    return out
 
 
 def exposed_column_docs(mcp: dict) -> dict[str, str]:
-    """{column: description} for the documented entries."""
+    """{column: description} for the documented entries (legacy-tolerant,
+    same contract as :func:`exposed_column_names`)."""
+    cols = mcp.get("exposed_columns")
+    if not isinstance(cols, list):
+        return {}
     return {
         c["name"]: c["description"]
-        for c in (mcp.get("exposed_columns") or [])
-        if isinstance(c, dict) and c.get("description")
+        for c in cols
+        if isinstance(c, dict)
+        and isinstance(c.get("name"), str)
+        and isinstance(c.get("description"), str)
+        and c["description"]
     }
 
 
@@ -212,7 +247,11 @@ def preset_where_sql(preset: dict) -> str:
     (docs server/extensions.md; PresetOp::as_sql)."""
     parts = []
     for f in preset["filters"]:
-        col, op, v = f["column"], f["op"], f["value"]
+        op, v = f["op"], f["value"]
+        # backtick-quote like dsl._col: DSL column names are FLAT — a dot
+        # is part of the name, never struct access — so 'obs.flag' must
+        # not parse as a qualified reference
+        col = "`" + f["column"].replace("`", "``") + "`"
         if op == "between":
             parts.append(
                 f"{col} BETWEEN {_sql_literal(v[0])} AND {_sql_literal(v[1])}")

@@ -856,6 +856,10 @@ class Catalog:
         cat = self._load()
         path = cat["tables"].pop(name, None)
         cat.get("table_versions", {}).pop(name, None)
+        # a dropped table's extensions go with it: a later table reusing
+        # the name must not inherit mcp/preset docs validated against the
+        # OLD schema (extensions-require-an-existing-table invariant)
+        cat.get("extensions", {}).pop(name, None)
         self._save(cat)
         if path:
             ManagedTable(self.spark, path).drop()
@@ -902,6 +906,7 @@ class Catalog:
         if entry is not None:
             if isinstance(entry, dict) and entry.get("password_secret"):
                 cat.get("secrets", {}).pop(entry["password_secret"], None)
+            cat.get("extensions", {}).pop(name, None)
             self._save(cat)
         return entry is not None
 
@@ -984,6 +989,7 @@ class Catalog:
         cat = self._load()
         cat["views"].pop(name, None)
         mv = cat["materialized_views"].pop(name, None)
+        cat.get("extensions", {}).pop(name, None)
         self._save(cat)
         if mv:
             ManagedTable(self.spark, mv["path"]).drop()

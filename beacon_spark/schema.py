@@ -144,11 +144,14 @@ def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
     existing = {f.name: f.dataType for f in df.schema.fields}
     cols = []
     for field in target.fields:
+        # column names are FLAT — a dot is part of the name (attribute
+        # columns "<var>.<attr>"), never struct access — so quote always
+        ref = F.col("`" + field.name.replace("`", "``") + "`")
         if field.name in existing:
             if existing[field.name] == field.dataType:
-                cols.append(F.col(field.name))
+                cols.append(ref)
             else:
-                cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+                cols.append(ref.cast(field.dataType).alias(field.name))
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     return df.select(*cols)

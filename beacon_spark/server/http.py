@@ -852,8 +852,7 @@ class BeaconHttpServer:
                 desc += f"\n\nGuard rails (advisory): {mcp['guardrails']}"
             # typed exposed_columns entries may carry descriptions
             # (extensions.rs ExposedColumn::Documented)
-            cols = (_ext.exposed_column_names(mcp)
-                    if isinstance(mcp, dict) else None)
+            cols = _ext.exposed_column_names(mcp)
             col_docs = _ext.exposed_column_docs(mcp)
             try:
                 schema = eng.sql(f"SELECT * FROM {table} LIMIT 0").schema

@@ -336,3 +336,87 @@ def test_approx_aggregate_name_macros(spark, sf_small):
     assert abs(row.p50 - exact.p50) <= 2
     assert abs(row.nd - exact.nd) / exact.nd < 0.15  # HLL default rsd 5%
     assert row.med == row.p50
+
+
+def test_extensions_round8_review_fixes(spark, tmp_path):
+    """Round-8 review regressions: scalar-value validation, legacy-kind
+    DROP, DROP TABLE purging extensions, real errors not masked as
+    'not found'."""
+    import json as _json
+
+    import pytest as _p
+
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE extb (lat BIGINT, depth BIGINT)")
+
+    # non-scalar values for scalar/between/in ops refuse at SET time —
+    # they could never render as ONE SQL literal at use time
+    with _p.raises(Exception, match="not a scalar"):
+        eng.sql("""SET EXTENSION 'preset' FOR extb TO '{"presets":[{"name":"x","filters":[{"column":"lat","op":"=","value":[1,2]}]}]}'""")
+    with _p.raises(Exception, match="not a scalar"):
+        eng.sql("""SET EXTENSION 'preset' FOR extb TO '{"presets":[{"name":"x","filters":[{"column":"lat","op":"=","value":null}]}]}'""")
+    with _p.raises(Exception, match="not a scalar"):
+        eng.sql("""SET EXTENSION 'preset' FOR extb TO '{"presets":[{"name":"x","filters":[{"column":"lat","op":"in","value":[1,[2]]}]}]}'""")
+
+    # a legacy free-form kind stored by a pre-typed engine stays
+    # removable (SHOW keeps it readable, so DROP must reach it too)
+    c = eng.catalog._load()
+    c.setdefault("extensions", {}).setdefault("extb", {})["notes"] = '"free"'
+    eng.catalog._save(c)
+    doc = _json.loads(
+        eng.sql("SHOW EXTENSIONS FOR extb").collect()[0].extensions)
+    assert doc["notes"] == "free"
+    eng.sql("DROP EXTENSION 'notes' FOR extb")
+    doc = _json.loads(
+        eng.sql("SHOW EXTENSIONS FOR extb").collect()[0].extensions)
+    assert "notes" not in doc
+    # unknown AND absent still errors
+    with _p.raises(Exception, match="unknown extension kind"):
+        eng.sql("DROP EXTENSION 'bogus' FOR extb")
+
+    # DROP TABLE takes the table's extensions with it: a recreated table
+    # must not inherit docs validated against the OLD schema
+    eng.sql("""SET EXTENSION 'mcp' FOR extb TO '{"enabled": true, "exposed_columns": ["lat"]}'""")
+    eng.sql("DROP TABLE extb")
+    eng.sql("CREATE TABLE extb (other STRING)")
+    doc = _json.loads(
+        eng.sql("SHOW EXTENSIONS FOR extb").collect()[0].extensions)
+    assert doc == {}
+
+    # a registered view whose underlying table is gone surfaces the REAL
+    # resolution error (naming the missing inner table), not a bogus
+    # "table '<view>' not found"
+    eng.sql("CREATE TABLE inner_t (a BIGINT)")
+    eng.sql("CREATE VIEW broken_v AS SELECT * FROM inner_t")
+    eng.sql("DROP TABLE inner_t")
+    with _p.raises(Exception, match="inner_t"):
+        eng.sql("""SET EXTENSION 'mcp' FOR broken_v TO '{"enabled": true}'""")
+
+
+def test_preset_where_sql_quotes_flat_dotted_columns():
+    """DSL column names are flat — 'obs.flag' is ONE column, so the
+    generated predicate must backtick-quote it (and values render as
+    single literals)."""
+    from beacon_spark.extensions import (
+        exposed_column_docs,
+        exposed_column_names,
+        preset_where_sql,
+    )
+
+    sql = preset_where_sql({"name": "p", "filters": [
+        {"column": "obs.flag", "op": "=", "value": 1},
+        {"column": "depth", "op": "between", "value": [0, 10]},
+        {"column": "kind", "op": "in", "value": ["a", "b"]},
+    ]})
+    assert sql == ("`obs.flag` = 1 AND `depth` BETWEEN 0 AND 10 "
+                   "AND `kind` IN ('a', 'b')")
+
+    # legacy-tolerant readers: malformed stored entries are skipped,
+    # never raised (one bad doc must not break the whole tools listing)
+    bad = {"exposed_columns": [{"description": "d"}, "ok", 7,
+                               {"name": "x", "description": "m"}]}
+    assert exposed_column_names(bad) == ["ok", "x"]
+    assert exposed_column_docs(bad) == {"x": "m"}
+    assert exposed_column_names({"exposed_columns": "junk"}) is None

@@ -1145,3 +1145,16 @@ def test_drop_table_covers_views_and_errors_on_missing(spark, tmp_path):
     eng.sql("DROP TABLE bt")
     with _pytest.raises(Exception, match="does not exist"):
         eng.sql("DROP TABLE bt")
+
+
+def test_managed_table_flat_dotted_column_roundtrip(spark, tmp_path):
+    """Flat dotted column names ('<var>.<attr>' attribute columns) survive
+    the managed write → align_to_schema read path (quoted refs, never
+    struct access)."""
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE dotc AS SELECT * FROM VALUES (1, 5), (0, 20) "
+            "AS t(`o.flag`, depth)")
+    got = eng.sql("SELECT * FROM dotc WHERE `o.flag` = 1").collect()
+    assert [tuple(r) for r in got] == [(1, 5)]

@@ -148,3 +148,33 @@ def test_extract_value_ranges_widens_fractional_bounds():
     assert r["a"] == (10.0, 21.0)
     assert r["b"] == (3.0, 4.0)
     assert r["c"] == (-11.0, None)
+
+
+def test_prune_filter_on_nonselected_column(spark, lake):
+    """A filter column no select output claims resolves against the
+    source (Spark lets filters reach through the projection), so it
+    still prunes as itself."""
+    eng = Engine(spark, datasets_root=lake)
+    eng.sql("ANALYZE FILES").collect()
+    got = eng.query({
+        "select": ["y"],
+        "filter": {"column": "x", "gt_eq": 12, "lt_eq": 15},
+        "from": {"parquet": {"paths": ["*.parquet"]}},
+    })
+    assert [f.rsplit("/", 1)[-1] for f in got.inputFiles()] == ["f1.parquet"]
+    assert got.count() == 4
+
+
+def test_prune_intersects_two_outputs_of_one_source(spark, lake):
+    """Two select outputs passing through one source column intersect
+    their range constraints (AND), keeping full pruning power."""
+    eng = Engine(spark, datasets_root=lake)
+    eng.sql("ANALYZE FILES").collect()
+    got = eng.query({
+        "select": ["x", {"column": "x", "alias": "x2"}],
+        "filter": {"and": [{"column": "x", "gt_eq": 10},
+                           {"column": "x2", "lt_eq": 15}]},
+        "from": {"parquet": {"paths": ["*.parquet"]}},
+    })
+    assert [f.rsplit("/", 1)[-1] for f in got.inputFiles()] == ["f1.parquet"]
+    assert got.count() == 6
