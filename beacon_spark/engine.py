@@ -2346,6 +2346,12 @@ class Engine:
                 continue
             t = _remote_name(ident)
             if t is not None and t != ident:
+                if t.lower() in ctes:
+                    # the rename TARGET collides with a statement-local
+                    # CTE name: on the remote, `FROM <t>` would resolve
+                    # to the shipped CTE instead of the remote table —
+                    # silently wrong results. Join locally instead.
+                    return None
                 edits.append((s, e, t))
                 renamed.add(ident)
         if renamed:
@@ -2547,12 +2553,20 @@ class Engine:
 
         expand("pressure_to_depth_teos_10", render_depth)
         expand("date_bin", render_date_bin)
-        expand("approx_percentile_cont", rename_agg("approx_percentile", (2,)))
+        # approx_percentile_cont's optional 3rd arg is the t-digest
+        # centroid count — Spark's approx_percentile 3rd arg (accuracy)
+        # plays the same precision-knob role, so it passes through
+        expand("approx_percentile_cont",
+               rename_agg("approx_percentile", (2, 3)))
         expand("approx_distinct", rename_agg("approx_count_distinct"))
-        expand(
-            "approx_median",
-            lambda args: f"approx_percentile({args[0].strip()}, 0.5)",
-        )
+
+        def render_approx_median(args: list[str]) -> str:
+            if len(args) != 1:
+                raise ValueError(
+                    f"approx_median: got {len(args)} args, want (1,)")
+            return f"approx_percentile({args[0].strip()}, 0.5)"
+
+        expand("approx_median", render_approx_median)
         return statement
 
     def _rewrite_qualify(self, statement: str) -> str:

@@ -70,15 +70,30 @@ _SQL_UDFS = [
 
 def _regexp_match_udf():
     @pandas_udf(T.ArrayType(T.StringType()))
-    def regexp_match(s: pd.Series, pattern: pd.Series) -> pd.Series:
-        cache: dict[str, re.Pattern] = {}
+    def regexp_match(
+        s: pd.Series, pattern: pd.Series, flags: pd.Series
+    ) -> pd.Series:
+        cache: dict[tuple, re.Pattern] = {}
 
-        def one(text, pat):
+        def one(text, pat, fl):
             if text is None or pat is None:
                 return None
-            rx = cache.get(pat)
+            key = (pat, fl)
+            rx = cache.get(key)
             if rx is None:
-                rx = cache[pat] = re.compile(pat)
+                # Postgres/DataFusion flag chars map onto inline regex
+                # flags ('i' case-insensitive, 'm' multiline, 's'
+                # dot-matches-newline, 'x' verbose, 'U' swap-greed —
+                # python has no U; reject unknowns loudly)
+                eff = pat
+                if fl:
+                    bad = set(fl) - set("imsx")
+                    if bad:
+                        raise ValueError(
+                            f"regexp_match: unsupported flag(s) "
+                            f"{''.join(sorted(bad))!r}")
+                    eff = f"(?{fl})" + pat
+                rx = cache[key] = re.compile(eff)
             m = rx.search(text)
             if m is None:
                 return None
@@ -86,7 +101,8 @@ def _regexp_match_udf():
             # the whole match — always as a list
             return list(m.groups()) if rx.groups else [m.group(0)]
 
-        return pd.Series([one(t, p) for t, p in zip(s, pattern)])
+        return pd.Series(
+            [one(t, p, f) for t, p, f in zip(s, pattern, flags)])
 
     return regexp_match
 
@@ -127,6 +143,15 @@ def register_compat_functions(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.timeType.enabled", "true")
     for s in _SQL_UDFS:
         spark.sql(s)
-    spark.udf.register("regexp_match", _regexp_match_udf())
+    # the documented DataFusion signature is regexp_match(str, regexp
+    # [, flags]) — the optional arg rides a SQL-UDF DEFAULT over the
+    # 3-arg pandas implementation
+    spark.udf.register("__regexp_match_impl", _regexp_match_udf())
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION regexp_match(
+               s STRING, pattern STRING, flags STRING DEFAULT '')
+           RETURNS ARRAY<STRING>
+           RETURN __regexp_match_impl(s, pattern, flags)"""
+    )
     spark.udf.register("gcd", _gcd_udf())
     spark.udf.register("lcm", _lcm_udf())

@@ -61,8 +61,8 @@ def _parquet_num_rows(path: str) -> int:
         import pyarrow.parquet as pq
 
         p, fs = bs.dataset_source(path)
-        f = pq.ParquetFile(p if fs is None else fs.open_input_file(p))
-        return f.metadata.num_rows
+        with pq.ParquetFile(p if fs is None else fs.open_input_file(p)) as f:
+            return f.metadata.num_rows
     except Exception:
         return -1
 
@@ -100,6 +100,7 @@ class ManagedTable:
         files: list[str],
         aliases: dict | None = None,
         alias_files: dict | None = None,
+        retired: list | None = None,
     ) -> int:
         """``aliases`` = the RENAME COLUMN physical-name map
         ({logical: [retired physical names…]}); None carries the
@@ -110,8 +111,13 @@ class ManagedTable:
         the surviving file set — once every carrying file has been
         rewritten (OPTIMIZE with a large-enough target, overwrite, a
         full UPDATE) the retired name drops out of ``aliases`` and is
-        reusable again, instead of being blocked forever."""
-        if aliases is None or alias_files is None:
+        reusable again, instead of being blocked forever.
+        ``retired`` = physical names of DROPPED columns (and their
+        rename aliases) that data files may still carry: ADD/RENAME
+        refuse these names while any carrier survives, else old files'
+        values would silently resurrect into the new column. Pruned
+        with its carriers like aliases."""
+        if aliases is None or alias_files is None or retired is None:
             try:
                 m = self._read_manifest()
             except ManagedTableError:
@@ -120,6 +126,8 @@ class ManagedTable:
                 aliases = m.get("aliases") or {}
             if alias_files is None:
                 alias_files = m.get("alias_files") or {}
+            if retired is None:
+                retired = m.get("retired") or []
         fset = set(files)
         alias_files = {a: [f for f in carr if f in fset]
                        for a, carr in alias_files.items()}
@@ -133,7 +141,8 @@ class ManagedTable:
             for k, v in aliases.items()
             if (kept := [a for a in v if a not in dead])
         }
-        referenced = {a for v in aliases.values() for a in v}
+        retired = sorted(r for r in retired if alias_files.get(r))
+        referenced = {a for v in aliases.values() for a in v} | set(retired)
         alias_files = {a: c for a, c in alias_files.items()
                        if c and a in referenced}
         version = self.current_version() + 1
@@ -144,6 +153,8 @@ class ManagedTable:
             doc["aliases"] = aliases
         if alias_files:
             doc["alias_files"] = alias_files
+        if retired:
+            doc["retired"] = retired
         bs.publish_bytes(
             bs.join(self.manifest_dir, f"v{version:08d}.json"),
             json.dumps(doc).encode(),
@@ -300,8 +311,10 @@ class ManagedTable:
             )
         files = self._write_data(clustered)
         # full rewrite through the logical frame: every new file carries
-        # logical names, so retired rename aliases are cleared
-        return self._write_manifest(schema, files, aliases={}, alias_files={})
+        # logical names, so retired rename aliases (and dropped-column
+        # tombstones) are cleared
+        return self._write_manifest(
+            schema, files, aliases={}, alias_files={}, retired=[])
 
     def _read_files(
         self,
@@ -365,8 +378,10 @@ class ManagedTable:
         m = self._read_manifest()
         schema = T.StructType.fromJson(m["schema"])
         files = self._write_data(align_to_schema(df, schema))
-        # no old file survives an overwrite — rename aliases clear
-        return self._write_manifest(schema, files, aliases={}, alias_files={})
+        # no old file survives an overwrite — rename aliases and
+        # dropped-column tombstones clear
+        return self._write_manifest(
+            schema, files, aliases={}, alias_files={}, retired=[])
 
     def insert(self, df: DataFrame) -> int:
         m = self._read_manifest()
@@ -374,7 +389,8 @@ class ManagedTable:
         files = self._write_data(align_to_schema(df, schema))
         return self._write_manifest(
             schema, m["files"] + files,
-            m.get("aliases") or {}, m.get("alias_files") or {})
+            m.get("aliases") or {}, m.get("alias_files") or {},
+            m.get("retired") or [])
 
     def _split_files(
         self, predicate: str, schema: T.StructType
@@ -423,7 +439,8 @@ class ManagedTable:
             new_files += self._write_data(survivors)
         return self._write_manifest(
             schema, new_files,
-            m.get("aliases") or {}, m.get("alias_files") or {})
+            m.get("aliases") or {}, m.get("alias_files") or {},
+            m.get("retired") or [])
 
     def update(self, assignments: dict[str, str], predicate: str | None) -> int:
         m = self._read_manifest()
@@ -451,7 +468,8 @@ class ManagedTable:
             new_files += self._write_data(align_to_schema(df.select(*cols), schema))
         return self._write_manifest(
             schema, new_files,
-            m.get("aliases") or {}, m.get("alias_files") or {})
+            m.get("aliases") or {}, m.get("alias_files") or {},
+            m.get("retired") or [])
 
     def alter_add_column(self, name: str, spark_type: str) -> int:
         """Metadata-only schema evolution: readers NULL-fill via align."""
@@ -460,18 +478,20 @@ class ManagedTable:
         if name in [f.name for f in schema.fields]:
             raise ManagedTableError(f"column {name} already exists")
         aliases = m.get("aliases") or {}
-        if any(name in olds for olds in aliases.values()):
-            # data files still carry this physical name for a RENAMED
-            # column — a new logical column with the same name would
-            # silently resurrect their values. Refuse loudly.
+        if any(name in olds for olds in aliases.values()) or \
+                name in (m.get("retired") or []):
+            # data files still carry this physical name for a RENAMED or
+            # DROPPED column — a new logical column with the same name
+            # would silently resurrect their values. Refuse loudly.
             raise ManagedTableError(
                 f"column name {name!r} is still carried by data files of "
-                f"a renamed column; OPTIMIZE the table first"
+                f"a renamed or dropped column; OPTIMIZE the table first"
             )
         schema = schema.add(T.StructField(name, _parse_type(spark_type), True))
         return self._write_manifest(
             schema, m["files"],
-            m.get("aliases") or {}, m.get("alias_files") or {})
+            m.get("aliases") or {}, m.get("alias_files") or {},
+            m.get("retired") or [])
 
     def alter_rename_column(self, old: str, new: str) -> int:
         """Metadata-only RENAME COLUMN (Lance applies renames without a
@@ -488,10 +508,12 @@ class ManagedTable:
         if new in names:
             raise ManagedTableError(f"column {new} already exists")
         aliases = dict(m.get("aliases") or {})
-        if any(new in olds for olds in aliases.values()):
+        if any(new in olds for olds in aliases.values()) or \
+                new in (m.get("retired") or []):
             raise ManagedTableError(
                 f"column name {new!r} is still carried by data files of "
-                f"a previously renamed column; OPTIMIZE the table first"
+                f"a previously renamed or dropped column; OPTIMIZE the "
+                f"table first"
             )
         fields = [
             T.StructField(new, f.dataType, f.nullable) if f.name == old
@@ -505,19 +527,31 @@ class ManagedTable:
         alias_files = dict(m.get("alias_files") or {})
         alias_files[old] = list(m["files"])
         return self._write_manifest(
-            T.StructType(fields), m["files"], aliases, alias_files)
+            T.StructType(fields), m["files"], aliases, alias_files,
+            m.get("retired") or [])
 
     def alter_drop_column(self, name: str) -> int:
+        """Metadata-only DROP COLUMN. Data files still carry the dropped
+        column's physical name (and, if it had been renamed, its retired
+        aliases) — all of those move to the manifest's ``retired`` set so
+        a later ADD/RENAME cannot reuse them and silently resurrect the
+        old files' values. Each frees when its last carrier is
+        rewritten, same lifecycle as rename aliases."""
         m = self._read_manifest()
         schema = T.StructType.fromJson(m["schema"])
         fields = [f for f in schema.fields if f.name != name]
         if len(fields) == len(schema.fields):
             raise ManagedTableError(f"no column {name}")
-        aliases = {k: v for k, v in (m.get("aliases") or {}).items()
-                   if k != name}
+        aliases = dict(m.get("aliases") or {})
+        olds = aliases.pop(name, [])
+        alias_files = dict(m.get("alias_files") or {})
+        # conservative carrier list for the column's own physical name:
+        # every current file may still hold it
+        alias_files.setdefault(name, list(m["files"]))
+        retired = set(m.get("retired") or []) | {name} | set(olds)
         return self._write_manifest(
-            T.StructType(fields), m["files"], aliases,
-            m.get("alias_files") or {})
+            T.StructType(fields), m["files"], aliases, alias_files,
+            sorted(retired))
 
     # --------------------------------------------------- inverted index
 
@@ -744,6 +778,7 @@ class ManagedTable:
         self._write_manifest(
             T.StructType.fromJson(manifest["schema"]), keep + new,
             manifest.get("aliases") or {}, manifest.get("alias_files") or {},
+            manifest.get("retired") or [],
         )
         return len(rels), len(keep) + len(new)
 
@@ -1075,9 +1110,22 @@ class Catalog:
                         # proceed as holders
                         broken = f"{lock}.stale.{os.getpid()}"
                         os.rename(lock, broken)
-                        with contextlib.suppress(OSError):
-                            os.unlink(broken)
-                        continue
+                        # RE-VERIFY after the rename: between our
+                        # staleness check and the rename, another
+                        # breaker may have already broken the stale
+                        # lock AND created its own fresh one — renaming
+                        # that away would mint a second holder. A fresh
+                        # capture is put back (best effort); only a
+                        # still-stale capture authorizes proceeding.
+                        if time.time() - os.path.getmtime(broken) > timeout:
+                            with contextlib.suppress(OSError):
+                                os.unlink(broken)
+                            continue
+                        try:
+                            os.rename(broken, lock)
+                        except OSError:
+                            with contextlib.suppress(OSError):
+                                os.unlink(broken)
                 except OSError:
                     pass  # holder released / raced — fall through to wait
                 if time.monotonic() > deadline:

@@ -336,6 +336,20 @@ def test_approx_aggregate_name_macros(spark, sf_small):
     assert abs(row.p50 - exact.p50) <= 2
     assert abs(row.nd - exact.nd) / exact.nd < 0.15  # HLL default rsd 5%
     assert row.med == row.p50
+    # documented optional 3rd arg (t-digest centroids → Spark accuracy)
+    row3 = eng.sql(
+        "SELECT approx_percentile_cont(l_quantity, 0.5, 100) AS p50 "
+        "FROM read_parquet('lineitem.parquet')"
+    ).collect()[0]
+    assert abs(row3.p50 - exact.p50) <= 2
+    # clean arity errors, not raw IndexError / silent arg drops
+    import pytest as _p
+
+    with _p.raises(ValueError, match="approx_median"):
+        eng.sql("SELECT approx_median() FROM read_parquet('lineitem.parquet')")
+    with _p.raises(ValueError, match="approx_median"):
+        eng.sql("SELECT approx_median(l_quantity, l_orderkey) "
+                "FROM read_parquet('lineitem.parquet')")
 
 
 def test_extensions_round8_review_fixes(spark, tmp_path):

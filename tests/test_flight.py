@@ -999,3 +999,25 @@ def test_federated_cte_shadowing_remote_name_not_rewritten(spark, served, tmp_pa
         assert out[0].c == 4
     finally:
         client_eng.sql("DETACH fz")
+
+
+def test_federated_rename_target_shadowed_by_cte_bails(spark, served, tmp_path):
+    """code-review r8 finding, the inverse of the shadowing case: when a
+    remote reference's RENAME TARGET collides with a statement-local CTE
+    name, the pushed statement's `FROM <target>` would resolve to the
+    shipped CTE on the remote — wrong results. Pushdown must bail and
+    join locally."""
+    eng, _server, port = served
+    eng.sql("CREATE TABLE wide2 AS SELECT id, id * 2 AS a FROM range(20)")
+    client_eng = Engine(spark, datasets_root=str(tmp_path / "fedcte2"))
+    client_eng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS fy")
+    try:
+        out = client_eng.sql(
+            "WITH wide2 AS (SELECT 1 AS id) "
+            "SELECT count(*) AS c FROM fy__wide2"
+        ).collect()
+        # fy__wide2 is the 20-row REMOTE table; a whole-pushed rewrite to
+        # bare `wide2` would read the 1-row CTE instead
+        assert out[0].c == 20
+    finally:
+        client_eng.sql("DETACH fy")

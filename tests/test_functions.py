@@ -134,6 +134,17 @@ class TestDataFusionCompat:
             spark, r"regexp_match('k=v', '(\\w+)=(\\w+)')") == ["k", "v"]
         assert self._one(spark, "regexp_match('abc', 'z')") is None
 
+    def test_regexp_match_optional_flags(self, spark):
+        # DataFusion signature: regexp_match(str, regexp[, flags])
+        assert self._one(spark, "regexp_match('ABC', 'abc')") is None
+        assert self._one(spark, "regexp_match('ABC', 'abc', 'i')") == ["ABC"]
+        assert self._one(
+            spark, r"regexp_match('a\nxb', '^xb', 'm')") == ["xb"]
+        import pytest as _p
+
+        with _p.raises(Exception, match="unsupported flag"):
+            self._one(spark, "regexp_match('a', 'a', 'q')")
+
     def test_gcd_lcm(self, spark):
         import duckdb
 

@@ -1158,3 +1158,60 @@ def test_managed_table_flat_dotted_column_roundtrip(spark, tmp_path):
             "AS t(`o.flag`, depth)")
     got = eng.sql("SELECT * FROM dotc WHERE `o.flag` = 1").collect()
     assert [tuple(r) for r in got] == [(1, 5)]
+
+
+def test_alter_drop_column_retires_physical_names(spark, tmp_path):
+    """DROP COLUMN is metadata-only, so data files still carry the
+    column (and any retired rename aliases). Re-adding those names must
+    be refused until every carrier is rewritten — else old files'
+    values silently resurrect into the 'new' column."""
+    import pytest as _pytest
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.managed import ManagedTableError
+
+    eng = Engine(spark, datasets_root=str(tmp_path / "dropres"))
+    eng.sql("CREATE TABLE dt (id BIGINT, name VARCHAR)")
+    eng.sql("INSERT INTO dt VALUES (1, 'a')")
+    eng.sql("ALTER TABLE dt RENAME COLUMN name TO label")
+    eng.sql("ALTER TABLE dt DROP COLUMN label")
+    t = eng.catalog.table("dt")
+    # BOTH the dropped logical's physical name and its retired rename
+    # alias stay blocked while the pre-drop file survives
+    with _pytest.raises(ManagedTableError, match="OPTIMIZE"):
+        t.alter_add_column("label", "string")
+    with _pytest.raises(ManagedTableError, match="OPTIMIZE"):
+        t.alter_add_column("name", "string")
+    with _pytest.raises(ManagedTableError, match="OPTIMIZE"):
+        t.alter_rename_column("id", "name")
+    # a full rewrite clears the tombstones; re-added columns NULL-fill
+    t.cluster_by("id")
+    t.alter_add_column("name", "string")
+    t.alter_add_column("label", "string")
+    row = eng.sql("SELECT id, name, label FROM dt").collect()[0]
+    assert row.id == 1 and row.name is None and row.label is None
+
+
+def test_alter_drop_then_add_same_name_does_not_resurrect(spark, tmp_path):
+    import pytest as _pytest
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.managed import ManagedTableError
+
+    eng = Engine(spark, datasets_root=str(tmp_path / "dropadd"))
+    eng.sql("CREATE TABLE da (id BIGINT, v VARCHAR)")
+    eng.sql("INSERT INTO da VALUES (1, 'old')")
+    eng.sql("ALTER TABLE da DROP COLUMN v")
+    t = eng.catalog.table("da")
+    with _pytest.raises(ManagedTableError, match="OPTIMIZE"):
+        t.alter_add_column("v", "string")
+    # rewriting the carrier (full-row UPDATE) frees the name
+    eng.sql("UPDATE da SET id = id WHERE id = 1")
+    m = t._read_manifest()
+    assert "retired" not in m and "alias_files" not in m
+    t.alter_add_column("v", "string")
+    assert eng.sql("SELECT v FROM da").collect()[0].v is None
+    # an empty table's DROP leaves nothing retired (no carriers)
+    eng.sql("CREATE TABLE emp (a BIGINT, b VARCHAR)")
+    eng.sql("ALTER TABLE emp DROP COLUMN b")
+    eng.catalog.table("emp").alter_add_column("b", "string")
