@@ -19,6 +19,7 @@ file-write is gated.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 
@@ -37,30 +38,26 @@ def arrow_schema_of(df: DataFrame) -> pa.Schema:
     return to_arrow_schema(df.schema)
 
 
-def iter_arrow_batches(df: DataFrame, max_chunksize: int = 1 << 15):
-    """Yield Arrow record batches of ``df`` with BOUNDED driver memory.
-
-    ``df.toArrow()`` is a full driver collect; this instead spools the
-    result to a temporary parquet directory written by the EXECUTORS
-    (distributed — the analog of the reference's per-partition
-    RecordBatch streams, ``beacon-core/src/runtime.rs:159-246``), then
-    streams it back file-by-file in partition order, so the driver holds
-    one batch at a time — never the result. Batches are cast back to the
-    DataFrame's Arrow schema so the parquet hop is type-invisible.
+@contextlib.contextmanager
+def _parquet_spool(df: DataFrame):
+    """Executor-written parquet spool (the analog of the reference's
+    per-partition RecordBatch streams, ``beacon-core/src/runtime.rs:
+    159-246``): yields the part ``ParquetFile`` handles in partition
+    order — which is result order (a sorted plan writes range-
+    partitioned parts) — or ``None`` when the schema is one parquet
+    cannot hold (VOID literal projections, intervals), signalling the
+    caller to fall back to a driver-side materialization. Any OTHER
+    write failure surfaces: a storage/permission error must not silently
+    reintroduce the unbounded driver collect the spool exists to remove.
 
     ``$BEACON_SPOOL_DIR`` relocates the spool (on a real cluster it must
     be storage both executors and driver can reach — an object-store
-    prefix; local temp is only right on local[*]).
-
-    Plans whose schema parquet cannot hold (VOID literal projections,
-    intervals) fall back to a driver-side collect — degenerate schemas,
-    not data paths.
-    """
+    prefix; local temp is only right on local[*]). The directory is
+    removed on exit."""
     import glob as _glob
     import shutil
     import tempfile
 
-    target = arrow_schema_of(df)
     spool = tempfile.mkdtemp(
         prefix="beacon_spool_", dir=os.environ.get("BEACON_SPOOL_DIR")
     )
@@ -68,36 +65,45 @@ def iter_arrow_batches(df: DataFrame, max_chunksize: int = 1 << 15):
         try:
             df.write.mode("overwrite").parquet(spool)
         except Exception as e:
-            # ONLY unsupported-schema failures (VOID literal projections,
-            # intervals) may fall back to a driver-side collect — a
-            # storage/permission failure must surface, not silently
-            # reintroduce the unbounded driver materialization this
-            # iterator exists to remove (e.g. a spool dir executors
-            # cannot reach on a real cluster)
             msg = str(e).lower()
             if not ("does not support" in msg or "unsupported" in msg):
                 raise
+            yield None
+            return
+        parts = sorted(_glob.glob(os.path.join(spool, "part-*")))
+        yield [pq.ParquetFile(p) for p in parts]
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+
+
+def iter_arrow_batches(df: DataFrame, max_chunksize: int = 1 << 15):
+    """Yield Arrow record batches of ``df`` with BOUNDED driver memory.
+
+    ``df.toArrow()`` is a full driver collect; this instead streams the
+    executor-written parquet spool back file-by-file, so the driver
+    holds one batch at a time — never the result. Batches are cast back
+    to the DataFrame's Arrow schema so the parquet hop is
+    type-invisible. Unspoolable schemas fall back to a driver-side
+    collect — degenerate schemas, not data paths.
+    """
+    target = arrow_schema_of(df)
+    with _parquet_spool(df) as pfs:
+        if pfs is None:
             import sys
 
             print(
-                f"warning: result schema not spoolable ({e}); falling "
-                "back to a driver-side collect",
+                "warning: result schema not spoolable; falling back to "
+                "a driver-side collect",
                 file=sys.stderr,
             )
-            for batch in df.toArrow().to_batches(max_chunksize=max_chunksize):
-                yield batch
+            yield from df.toArrow().to_batches(max_chunksize=max_chunksize)
             return
-        # part files sort to partition order, which is result order
-        # (a sorted plan writes range-partitioned parts)
-        for part in sorted(_glob.glob(os.path.join(spool, "part-*"))):
-            pf = pq.ParquetFile(part)
+        for pf in pfs:
             for batch in pf.iter_batches(batch_size=max_chunksize):
                 try:
                     yield batch.cast(target)
                 except Exception:
                     yield batch
-    finally:
-        shutil.rmtree(spool, ignore_errors=True)
 
 
 def write_csv(df: DataFrame, path: str, single: bool = True) -> None:
@@ -249,7 +255,16 @@ def write_parquet(df: DataFrame, path: str, single: bool = True) -> None:
 
 def write_arrow(df: DataFrame, path: str, single: bool = True) -> None:
     """ipc/arrow output (zstd Arrow IPC is the reference's default wire
-    format, query/mod.rs:26-27) — batch-streamed, never a full collect."""
+    format, query/mod.rs:26-27) — batch-streamed, never a full collect.
+    Arrow IPC is the DOWNLOAD format: always one streamed file; Spark
+    has no distributed IPC sink, so ``single=False`` refuses loudly
+    instead of silently writing a single local file (or opening an
+    object-store URI as a local path)."""
+    if not single:
+        raise ValueError(
+            "ipc/arrow output is written as a single streamed file; "
+            "use parquet for distributed multi-file export"
+        )
     options = pa_ipc.IpcWriteOptions(compression="zstd")
     first, schema, rest = _first_and_schema(df)
     with pa_ipc.new_file(path, schema, options=options) as w:
@@ -305,6 +320,21 @@ def write_geoparquet(
 # ------------------------------------------------------------ netcdf
 
 
+def _checked_dim_values(dim: str, vals):
+    """A grid axis cannot hold NULL/NaN: sorted() would TypeError on
+    None-vs-number, and NaN != NaN breaks the scatter lookup — fail with
+    an actionable message instead of a cryptic mid-stream crash."""
+    import math as _math
+
+    for v in vals:
+        if v is None or (isinstance(v, float) and _math.isnan(v)):
+            raise ValueError(
+                f"ndnetcdf dimension column {dim!r} contains NULL/NaN "
+                "values; filter them out or fill them before re-gridding"
+            )
+    return vals
+
+
 def regrid(
     table: pa.Table, dimension_columns: list[str]
 ) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
@@ -319,7 +349,8 @@ def regrid(
     coords: dict[str, np.ndarray] = {}
     indexers: list[dict] = []
     for dim in dimension_columns:
-        vals = sorted(set(table.column(dim).to_pylist()))
+        vals = sorted(_checked_dim_values(
+            dim, set(table.column(dim).to_pylist())))
         coords[dim] = np.asarray(vals)
         indexers.append({v: i for i, v in enumerate(vals)})
 
@@ -384,20 +415,19 @@ def _write_netcdf_table(
     from beacon_spark.sources.netcdf3 import write_netcdf3
 
     # CF-normalize at the ARROW level first: tz/decimal columns become
-    # numerics with CF units attrs (pandas would hand us object arrays)
+    # numerics with CF units attrs (pandas would hand us object arrays).
+    # Cast chain = _cf_cast, the SAME one the streamed writers use — the
+    # streamed paths are pinned byte-identical to this writer, so the
+    # chain must live in exactly one place.
     cols, cf_attrs = [], {}
     for name in table.column_names:
         c = table.column(name)
         t = c.type
         if pa.types.is_timestamp(t):
-            c = c.cast(pa.timestamp("us")).cast(pa.int64()).cast(pa.float64())
             cf_attrs[name] = {"units": "microseconds since 1970-01-01"}
         elif pa.types.is_date(t):
-            c = c.cast(pa.date32()).cast(pa.int32()).cast(pa.float64())
             cf_attrs[name] = {"units": "days since 1970-01-01"}
-        elif pa.types.is_decimal(t):
-            c = c.cast(pa.float64())
-        cols.append(c)
+        cols.append(_cf_cast(c, t))
     table = pa.table(dict(zip(table.column_names, cols)))
 
     def to_np(col) -> np.ndarray:
@@ -484,27 +514,13 @@ def _write_netcdf_flat_streamed(
     column-pruned metadata pass, then stream every variable's values
     sequentially through FlatStreamWriter. Schemas parquet can't hold
     (VOID, intervals) fall back to the materialized writer."""
-    import glob as _glob
-    import shutil
-    import tempfile
-
     import pyarrow.compute as pc
 
     target = arrow_schema_of(df)
-    spool = tempfile.mkdtemp(
-        prefix="beacon_ncspool_", dir=os.environ.get("BEACON_SPOOL_DIR")
-    )
-    try:
-        try:
-            df.write.mode("overwrite").parquet(spool)
-        except Exception as e:
-            msg = str(e).lower()
-            if not ("does not support" in msg or "unsupported" in msg):
-                raise
+    with _parquet_spool(df) as pfs:
+        if pfs is None:
             _write_netcdf_table(df.toArrow(), path)
             return
-        parts = sorted(_glob.glob(os.path.join(spool, "part-*")))
-        pfs = [pq.ParquetFile(p) for p in parts]
         nrows = sum(pf.metadata.num_rows for pf in pfs)
 
         def has_nulls(name: str) -> bool:
@@ -581,8 +597,6 @@ def _write_netcdf_flat_streamed(
             w._f.close()  # don't mask the real error with close()'s check
             raise
         w.close()
-    finally:
-        shutil.rmtree(spool, ignore_errors=True)
 
 
 def _write_netcdf_nd_streamed(
@@ -602,10 +616,6 @@ def _write_netcdf_nd_streamed(
     numerics/temporals → NaN-filled doubles, strings/other → char grids
     with "" for absent cells, coords sorted ascending. Schemas parquet
     can't spool fall back to the materialized writer."""
-    import glob as _glob
-    import shutil
-    import tempfile
-
     import pyarrow.compute as pc
 
     from beacon_spark.sources.netcdf3 import (
@@ -614,20 +624,10 @@ def _write_netcdf_nd_streamed(
     )
 
     target = arrow_schema_of(df)
-    spool = tempfile.mkdtemp(
-        prefix="beacon_ncspool_", dir=os.environ.get("BEACON_SPOOL_DIR")
-    )
-    try:
-        try:
-            df.write.mode("overwrite").parquet(spool)
-        except Exception as e:
-            msg = str(e).lower()
-            if not ("does not support" in msg or "unsupported" in msg):
-                raise
+    with _parquet_spool(df) as pfs:
+        if pfs is None:
             _write_netcdf_table(df.toArrow(), path, dimension_columns)
             return
-        parts = sorted(_glob.glob(os.path.join(spool, "part-*")))
-        pfs = [pq.ParquetFile(p) for p in parts]
 
         def batches(cols):
             for pf in pfs:
@@ -659,11 +659,14 @@ def _write_netcdf_nd_streamed(
             vals: set = set()
             for b in batches([dim]):
                 vals.update(cf_col(b, 0, dim).to_pylist())
-            coords[dim] = sorted(vals)
+            coords[dim] = sorted(_checked_dim_values(dim, vals))
         lookups = [
             {v: i for i, v in enumerate(coords[d])}
             for d in dimension_columns
         ]
+        # numeric axes index VECTORIZED in the scatter pass (sorted
+        # coords + np.searchsorted); non-numeric fall back to the dict
+        coord_arrs = [np.asarray(coords[d]) for d in dimension_columns]
         shape = tuple(len(coords[d]) for d in dimension_columns)
         cells = int(np.prod(shape)) if shape else 0
 
@@ -741,9 +744,17 @@ def _write_netcdf_nd_streamed(
                     idx = np.zeros(
                         (len(dimension_columns), b.num_rows), np.int64)
                     for k, dim in enumerate(dimension_columns):
-                        lk = lookups[k]
-                        idx[k] = [lk[v]
-                                  for v in cf_col(b, k, dim).to_pylist()]
+                        col = cf_col(b, k, dim)
+                        ca = coord_arrs[k]
+                        if ca.dtype.kind in "ifu":
+                            # every value exists in the sorted axis, so
+                            # searchsorted IS the exact index — no
+                            # per-row Python lookup
+                            idx[k] = np.searchsorted(
+                                ca, col.to_numpy(zero_copy_only=False))
+                        else:
+                            lk = lookups[k]
+                            idx[k] = [lk[v] for v in col.to_pylist()]
                     flat = np.ravel_multi_index(tuple(idx), shape)
                     col = cf_col(b, len(read_cols), name)
                     if numeric:
@@ -766,8 +777,6 @@ def _write_netcdf_nd_streamed(
                         writer.write_values(name, np.frombuffer(
                             enc.tobytes(), "S1").reshape(-1, w))
                 del grid
-    finally:
-        shutil.rmtree(spool, ignore_errors=True)
 
 
 # ------------------------------------------------------------ dispatcher
@@ -802,10 +811,20 @@ def write_output(df: DataFrame, fmt: str, path: str, **options) -> None:
     if fmt == "csv":
         write_csv(df, path, options.get("single", True))
     elif fmt in ("ipc", "arrow"):
-        write_arrow(df, path)
+        write_arrow(df, path, options.get("single", True))
     elif fmt == "parquet":
         write_parquet(df, path, options.get("single", True))
-    elif fmt in ("netcdf", "hdf5", "h5"):
+    elif fmt in ("hdf5", "h5"):
+        # the reference aliases hdf5/h5 to netcdf because it writes
+        # NetCDF-4, which IS an HDF5 container (output.rs:99-101); this
+        # engine writes NetCDF-3 classic, which is NOT — delivering CDF
+        # bytes under an hdf5 name would be silent divergence
+        raise ValueError(
+            "hdf5 output is not supported: this engine writes NetCDF-3 "
+            "classic (not the HDF5-based NetCDF-4 the reference emits); "
+            "use format 'netcdf' and read it with any NetCDF library"
+        )
+    elif fmt == "netcdf":
         write_netcdf(df, path)
     elif fmt == "ndnetcdf":
         write_netcdf(df, path, options["dimension_columns"])

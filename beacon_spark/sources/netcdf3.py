@@ -118,6 +118,8 @@ class _Nc3Var:
         if not self.raw_shape:
             raw = _bs.read_range(self.buf, self.begin, self.dtype.itemsize)
             return np.frombuffer(raw, self.dtype, 1)
+        if hi <= lo:
+            return np.empty((0,) + self.raw_shape[1:], self.dtype)
         if self.stride == per_rec:  # contiguous (non-record) layout
             raw = _bs.read_range(self.buf, self.begin + lo * per_rec,
                                  (hi - lo) * per_rec)
@@ -125,8 +127,6 @@ class _Nc3Var:
                 (hi - lo,) + self.raw_shape[1:])
         # interleaved records: one read of the covering window, then
         # per-record extraction from the local bytes
-        if hi <= lo:
-            return np.empty((0,) + self.raw_shape[1:], self.dtype)
         win_lo = self.begin + lo * self.stride
         raw = _bs.read_range(self.buf, win_lo,
                              (hi - lo - 1) * self.stride + per_rec)
@@ -151,6 +151,13 @@ class _Nc3Var:
         lead = idx[0] if idx else slice(None)
         if isinstance(lead, slice):
             lo, hi, step = lead.indices(self.shape[0])
+            if step < 0:
+                # read the ascending covering window once, then apply the
+                # exact reversed selection locally — lead.indices gives
+                # (start, stop, step) walking DOWN from lo past hi
+                win_lo, win_hi = hi + 1, lo + 1
+                arr = self._decode_char(self._read_lead(win_lo, win_hi))
+                return arr[(slice(lo - win_lo, None, step),) + idx[1:]]
         else:
             if lead < 0:
                 lead += self.shape[0]
@@ -223,10 +230,28 @@ def read_netcdf3(path: str) -> tuple[dict, dict, dict, dict]:
             var_meta.append((nm, dimids, attrs, nc_type, vsize, begin))
 
     rec_dim = next((i for i, (_, sz) in enumerate(dims) if sz == 0), None)
-    # actual record count: prefer header numrecs, else derive from file size
     rec_vars = [m for m in var_meta if rec_dim is not None and rec_dim in m[1]]
-    if rec_dim is not None and (numrecs == 0xFFFFFFFF) and rec_vars:
+
+    def _unpadded_rec_bytes(m) -> int:
+        """Per-record byte size of a record variable WITHOUT the 4-byte
+        rounding the header's vsize carries. The classic spec's special
+        case: with exactly ONE record variable of type byte/char/short,
+        records are packed UNPADDED on disk (netcdf-c NC_begins), so the
+        padded vsize must not be used as the stride."""
+        nm, dimids, _a, nc_type, _v, _b = m
+        inner = 1
+        for i in dimids:
+            if i != rec_dim:
+                inner *= dims[i][1]
+        return inner * _TYPES[nc_type].itemsize
+
+    # actual record stride: sum of padded vsizes when variables
+    # interleave; the UNPADDED single-variable size in the special case
+    if len(rec_vars) == 1:
+        recsize = _unpadded_rec_bytes(rec_vars[0])
+    else:
         recsize = sum(m[4] for m in rec_vars)
+    if rec_dim is not None and (numrecs == 0xFFFFFFFF) and rec_vars:
         first = min(m[5] for m in rec_vars)
         numrecs = (len(buf) - first) // recsize if recsize else 0
 
@@ -236,12 +261,11 @@ def read_netcdf3(path: str) -> tuple[dict, dict, dict, dict]:
     variables: dict[str, tuple[tuple[str, ...], np.ndarray]] = {}
     var_attrs: dict[str, dict] = {}
 
-    recsize = sum(m[4] for m in rec_vars)
     for nm, dimids, attrs, nc_type, vsize, begin in var_meta:
         dnames = tuple(dims[i][0] for i in dimids)
         raw_shape = tuple(dim_sizes[d] for d in dnames)
         is_rec = rec_dim is not None and rec_dim in dimids
-        stride = (recsize if len(rec_vars) > 1 else vsize) if is_rec else None
+        stride = recsize if is_rec else None
         arr = _Nc3Var(buf, begin, nc_type, raw_shape, stride)
         if arr.char:
             dnames = dnames[:-1]  # char length axis collapses (CF)
@@ -255,6 +279,19 @@ def read_netcdf3(path: str) -> tuple[dict, dict, dict, dict]:
 
 
 # ---------------------------------------------------------------- writer
+
+
+def _check_vsize(name: str, vsize: int) -> None:
+    """The classic header's vsize is a 32-bit field: one variable is
+    capped at 4 GiB (CDF-2 widens OFFSETS, not vsize). Fail with an
+    actionable message instead of struct.error deep in the header
+    write."""
+    if vsize + _pad4(vsize) > 0xFFFFFFFF:
+        raise ValueError(
+            f"variable {name!r} holds {vsize} bytes — over the NetCDF3 "
+            "classic 4 GiB per-variable limit; export as parquet/arrow "
+            "or split the result"
+        )
 
 
 def _nc_type_for(arr: np.ndarray) -> tuple[int, np.ndarray]:
@@ -370,6 +407,7 @@ def write_netcdf3(
         writer.attrs(var_attrs.get(nm, {}))
         writer.u4(t)
         vsize = data.size * _TYPES[t].itemsize
+        _check_vsize(nm, vsize)
         writer.u4(vsize + _pad4(vsize))
         writer.raw(struct.pack(">q", begin))
 
@@ -453,6 +491,7 @@ class GridStreamWriter:
             writer.attrs((var_attrs or {}).get(nm, {}))
             writer.u4(t)
             vsize = nvals * _TYPES[t].itemsize
+            _check_vsize(nm, vsize)
             writer.u4(vsize + _pad4(vsize))
             writer.raw(struct.pack(">q", begin))
 
@@ -505,8 +544,14 @@ class GridStreamWriter:
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
-        self._f.close()
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            # a clean exit must run close()'s completeness validation —
+            # an under-written variable would otherwise yield a silently
+            # truncated file
+            self.close()
+        else:
+            self._f.close()  # don't mask the in-flight error
         return False
 
 

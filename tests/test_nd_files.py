@@ -454,3 +454,78 @@ def test_netcdf3_hypothesis_roundtrip():
                 assert var_attrs["v"]["units"] == attrs["units"]
 
     prop()
+
+
+def _cdf1_single_short_recvar() -> bytes:
+    """Hand-built CDF-1 file: ONE record variable 'v' of type short over
+    (unlimited, 3) — the classic spec's special case: records are packed
+    UNPADDED (6 bytes each) while the header's vsize field carries the
+    padded value 8, exactly what netcdf-c writes."""
+    import struct
+
+    def name(s):
+        b = s.encode()
+        return struct.pack(">I", len(b)) + b + b"\x00" * ((4 - len(b) % 4) % 4)
+
+    hdr = b"CDF\x01"
+    hdr += struct.pack(">I", 4)                   # numrecs = 4
+    hdr += struct.pack(">II", 0x0A, 2)            # dim_list: 2 dims
+    hdr += name("rec") + struct.pack(">I", 0)     # unlimited
+    hdr += name("x") + struct.pack(">I", 3)
+    hdr += struct.pack(">II", 0, 0)               # no global attrs
+    hdr += struct.pack(">II", 0x0B, 1)            # var_list: 1 var
+    var = name("v")
+    var += struct.pack(">I", 2)                   # 2 dims
+    var += struct.pack(">II", 0, 1)               # dimids: rec, x
+    var += struct.pack(">II", 0, 0)               # no attrs
+    var += struct.pack(">I", 3)                   # NC_SHORT
+    var += struct.pack(">I", 8)                   # vsize PADDED (6 -> 8)
+    begin = len(hdr) + len(var) + 4
+    var += struct.pack(">I", begin)               # CDF-1: 32-bit begin
+    data = b"".join(
+        struct.pack(">3h", 10 * r, 10 * r + 1, 10 * r + 2) for r in range(4)
+    )  # 4 records x 6 bytes, UNPADDED back-to-back
+    return hdr + var + data
+
+
+def test_netcdf3_single_short_record_var_unpadded(tmp_path):
+    p = str(tmp_path / "rec.nc")
+    with open(p, "wb") as f:
+        f.write(_cdf1_single_short_recvar())
+    dims, variables, _va, _ga = read_netcdf3(p)
+    assert dims == {"rec": 4, "x": 3}
+    _dn, v = variables["v"]
+    got = np.asarray(v[:])
+    expect = np.array([[0, 1, 2], [10, 11, 12], [20, 21, 22], [30, 31, 32]])
+    assert (got == expect).all(), got
+    assert (np.asarray(v[1]) == [10, 11, 12]).all()
+
+
+def test_netcdf3_negative_step_slice(nc_file):
+    _d, variables, _va, _ga = read_netcdf3(nc_file)
+    _dn, v = variables["qc"]
+    assert np.asarray(v[::-1]).tolist() == [3, 2, 1]
+    assert np.asarray(v[2:0:-1]).tolist() == [3, 2]
+    assert np.asarray(v[0:3:-1]).tolist() == []  # empty negative slice
+    _dn2, t = variables["temperature"]
+    assert np.asarray(t[::-1])[0].tolist() == [2.0, 2.5]
+
+
+def test_netcdf3_vsize_over_4gib_clear_error(tmp_path):
+    from beacon_spark.sources.netcdf3 import GridStreamWriter
+
+    with pytest.raises(ValueError, match="4 GiB"):
+        GridStreamWriter(
+            str(tmp_path / "big.nc"), {"obs": 600_000_000},
+            [("v", ("obs",), 6, None)])
+
+
+def test_gridstreamwriter_exit_validates_completeness(tmp_path):
+    from beacon_spark.sources.netcdf3 import GridStreamWriter
+
+    with pytest.raises(ValueError, match="incomplete|never written"):
+        with GridStreamWriter(
+            str(tmp_path / "short.nc"), {"obs": 4},
+            [("v", ("obs",), 6, None)],
+        ) as w:
+            w.write_values("v", np.array([1.0, 2.0]))  # 2 of 4

@@ -238,3 +238,35 @@ def test_ndnetcdf_streamed_matches_in_memory_writer_bytes(spark, tmp_path):
     a = open(p_stream, "rb").read()
     b = open(p_mem, "rb").read()
     assert a == b
+
+
+def test_ndnetcdf_null_dimension_value_clear_error(spark, tmp_path):
+    import pytest as _p
+
+    from beacon_spark.outputs import write_output
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (None, 3.0, 6.0)], "lat double, lon double, v double")
+    with _p.raises(ValueError, match="NULL/NaN"):
+        write_output(df, "ndnetcdf", str(tmp_path / "g.nc"),
+                     dimension_columns=["lat", "lon"])
+    nan = float("nan")
+    df2 = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (nan, 3.0, 6.0)], "lat double, lon double, v double")
+    with _p.raises(ValueError, match="NULL/NaN"):
+        write_output(df2, "ndnetcdf", str(tmp_path / "g2.nc"),
+                     dimension_columns=["lat", "lon"])
+
+
+def test_hdf5_format_and_arrow_multifile_refuse_loudly(spark, tmp_path):
+    import pytest as _p
+
+    from beacon_spark.outputs import write_output
+
+    df = spark.createDataFrame([(1,)], "a bigint")
+    # reference aliases hdf5/h5 to its NetCDF-4 (HDF5) writer; ours emits
+    # NetCDF-3 classic, which is NOT HDF5 — silent divergence refused
+    with _p.raises(ValueError, match="hdf5"):
+        write_output(df, "hdf5", str(tmp_path / "x.h5"))
+    with _p.raises(ValueError, match="single streamed file"):
+        write_output(df, "arrow", str(tmp_path / "x.arrow"), single=False)
