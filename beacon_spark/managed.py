@@ -101,6 +101,7 @@ class ManagedTable:
         aliases: dict | None = None,
         alias_files: dict | None = None,
         retired: list | None = None,
+        stream_batches: dict | None = None,
     ) -> int:
         """``aliases`` = the RENAME COLUMN physical-name map
         ({logical: [retired physical names…]}); None carries the
@@ -117,7 +118,8 @@ class ManagedTable:
         refuse these names while any carrier survives, else old files'
         values would silently resurrect into the new column. Pruned
         with its carriers like aliases."""
-        if aliases is None or alias_files is None or retired is None:
+        if (aliases is None or alias_files is None or retired is None
+                or stream_batches is None):
             try:
                 m = self._read_manifest()
             except ManagedTableError:
@@ -128,6 +130,8 @@ class ManagedTable:
                 alias_files = m.get("alias_files") or {}
             if retired is None:
                 retired = m.get("retired") or []
+            if stream_batches is None:
+                stream_batches = m.get("stream_batches") or {}
         fset = set(files)
         alias_files = {a: [f for f in carr if f in fset]
                        for a, carr in alias_files.items()}
@@ -155,6 +159,11 @@ class ManagedTable:
             doc["alias_files"] = alias_files
         if retired:
             doc["retired"] = retired
+        if stream_batches:
+            # per-stream last-applied micro-batch ids: the idempotency
+            # markers that make streaming ingestion exactly-once (they
+            # commit ATOMICALLY with the data they mark — ingest.py)
+            doc["stream_batches"] = stream_batches
         bs.publish_bytes(
             bs.join(self.manifest_dir, f"v{version:08d}.json"),
             json.dumps(doc).encode(),
@@ -379,18 +388,34 @@ class ManagedTable:
         schema = T.StructType.fromJson(m["schema"])
         files = self._write_data(align_to_schema(df, schema))
         # no old file survives an overwrite — rename aliases and
-        # dropped-column tombstones clear
+        # dropped-column tombstones clear; stream markers persist (an
+        # overwrite doesn't un-apply ingested batches)
         return self._write_manifest(
-            schema, files, aliases={}, alias_files={}, retired=[])
+            schema, files, aliases={}, alias_files={}, retired=[],
+            stream_batches=m.get("stream_batches") or {})
 
-    def insert(self, df: DataFrame) -> int:
+    def insert(self, df: DataFrame,
+               stream_marker: tuple[str, int] | None = None) -> int:
+        """Append rows. ``stream_marker`` = (stream name, micro-batch id)
+        makes the append IDEMPOTENT for streaming replays: the marker
+        commits in the same manifest write as the data, so a crash
+        between data commit and checkpoint commit leaves proof the batch
+        landed — the replay sees marker >= batch_id and no-ops instead
+        of double-ingesting (foreachBatch alone is at-least-once)."""
         m = self._read_manifest()
+        markers = dict(m.get("stream_batches") or {})
+        if stream_marker is not None:
+            s, bid = stream_marker
+            prev = markers.get(s)
+            if prev is not None and int(prev) >= int(bid):
+                return self.current_version()  # replayed batch — no-op
+            markers[s] = int(bid)
         schema = T.StructType.fromJson(m["schema"])
         files = self._write_data(align_to_schema(df, schema))
         return self._write_manifest(
             schema, m["files"] + files,
             m.get("aliases") or {}, m.get("alias_files") or {},
-            m.get("retired") or [])
+            m.get("retired") or [], markers)
 
     def _split_files(
         self, predicate: str, schema: T.StructType
@@ -440,7 +465,7 @@ class ManagedTable:
         return self._write_manifest(
             schema, new_files,
             m.get("aliases") or {}, m.get("alias_files") or {},
-            m.get("retired") or [])
+            m.get("retired") or [], m.get("stream_batches") or {})
 
     def update(self, assignments: dict[str, str], predicate: str | None) -> int:
         m = self._read_manifest()
@@ -469,7 +494,7 @@ class ManagedTable:
         return self._write_manifest(
             schema, new_files,
             m.get("aliases") or {}, m.get("alias_files") or {},
-            m.get("retired") or [])
+            m.get("retired") or [], m.get("stream_batches") or {})
 
     def alter_add_column(self, name: str, spark_type: str) -> int:
         """Metadata-only schema evolution: readers NULL-fill via align."""
@@ -491,7 +516,7 @@ class ManagedTable:
         return self._write_manifest(
             schema, m["files"],
             m.get("aliases") or {}, m.get("alias_files") or {},
-            m.get("retired") or [])
+            m.get("retired") or [], m.get("stream_batches") or {})
 
     def alter_rename_column(self, old: str, new: str) -> int:
         """Metadata-only RENAME COLUMN (Lance applies renames without a
@@ -528,7 +553,7 @@ class ManagedTable:
         alias_files[old] = list(m["files"])
         return self._write_manifest(
             T.StructType(fields), m["files"], aliases, alias_files,
-            m.get("retired") or [])
+            m.get("retired") or [], m.get("stream_batches") or {})
 
     def alter_drop_column(self, name: str) -> int:
         """Metadata-only DROP COLUMN. Data files still carry the dropped
@@ -551,7 +576,7 @@ class ManagedTable:
         retired = set(m.get("retired") or []) | {name} | set(olds)
         return self._write_manifest(
             T.StructType(fields), m["files"], aliases, alias_files,
-            sorted(retired))
+            sorted(retired), m.get("stream_batches") or {})
 
     # --------------------------------------------------- inverted index
 
@@ -779,6 +804,7 @@ class ManagedTable:
             T.StructType.fromJson(manifest["schema"]), keep + new,
             manifest.get("aliases") or {}, manifest.get("alias_files") or {},
             manifest.get("retired") or [],
+            manifest.get("stream_batches") or {},
         )
         return len(rels), len(keep) + len(new)
 

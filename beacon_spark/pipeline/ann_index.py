@@ -21,13 +21,13 @@ O(n_cells x dim) codegen blowup of ``ivf_cell_expr``).
 from __future__ import annotations
 
 import json
-import os
 from typing import Any
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from beacon_spark.sources import bytesource as bs
 from beacon_spark.pipeline.similarity import (
     _CODEGEN_LIMIT,  # noqa: F401  (re-export: tests pin the threshold here)
     _hyperplanes,
@@ -84,21 +84,23 @@ def ann_build(
     else:
         raise ValueError(f"unknown ANN index method {method!r} (ivf|lsh)")
 
-    meta.update({"vec_col": vec_col, "id_col": id_col, "version": 1})
+    # record the id column's Spark type so an all-miss probe's empty
+    # frame matches a hitting probe's schema exactly (string ids etc.)
+    id_type = dict(df.dtypes).get(id_col, "bigint")
+    meta.update({"vec_col": vec_col, "id_col": id_col,
+                 "id_type": id_type, "version": 1})
     (
         df.withColumn("__cell", cell)
         .write.mode("overwrite")
         .partitionBy("__cell")
-        .parquet(path)
+        .parquet(bs.spark_path(path))
     )
-    with open(os.path.join(path, META_FILE), "w") as fh:
-        json.dump(meta, fh)
+    bs.publish_bytes(bs.join(path, META_FILE), json.dumps(meta).encode())
     return meta
 
 
 def _load_meta(path: str) -> dict[str, Any]:
-    with open(os.path.join(path, META_FILE)) as fh:
-        return json.load(fh)
+    return json.loads(bs.read_text(bs.join(path, META_FILE)))
 
 
 def _probe_cells(meta: dict[str, Any], query: list[float], nprobe: int) -> list[int]:
@@ -137,15 +139,19 @@ def ann_probe(
     corpus). Exact cosine + TakeOrdered within the probed cells."""
     meta = _load_meta(path)
     cells = _probe_cells(meta, query, nprobe)
+    # bytesource isdir/join cover object-store URIs too — raw os.path
+    # calls on an s3:// index would silently prune EVERY cell
     dirs = [
-        os.path.join(path, f"__cell={c}")
+        bs.join(path, f"__cell={c}")
         for c in cells
-        if os.path.isdir(os.path.join(path, f"__cell={c}"))
+        if bs.isdir(bs.join(path, f"__cell={c}"))
     ]
     if not dirs:
-        schema = f"{meta['id_col']} long, cosine double"
-        return spark.createDataFrame([], schema)
-    df = spark.read.option("basePath", path).parquet(*dirs)
+        idc = meta["id_col"].replace("`", "``")
+        return spark.createDataFrame(
+            [], f"`{idc}` {meta.get('id_type', 'bigint')}, cosine double")
+    df = spark.read.option("basePath", bs.spark_path(path)).parquet(
+        *bs.spark_paths(dirs))
     return (
         df.select(
             F.col(meta["id_col"]),

@@ -278,7 +278,14 @@ def ivf_train_centroids(
         ],
         dtype=np.float64,
     )
+    if sample.size == 0:
+        raise ValueError(
+            f"ivf_train_centroids: no vectors in column {vec_col!r} "
+            "(empty corpus cannot train a quantizer)")
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    # fewer sample rows than requested cells: clamp (every row its own
+    # cell) instead of numpy's opaque Cannot-take-a-larger-sample error
+    n_cells = min(int(n_cells), len(sample))
     rng = np.random.RandomState(seed)
     cent = sample[rng.choice(len(sample), size=n_cells, replace=False)]
     for _ in range(iters):

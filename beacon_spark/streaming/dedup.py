@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from beacon_spark.streaming.windows import _ensure_timestamp
+from beacon_spark.streaming.windows import _ensure_timestamp, file_stream_reader
 
 
 def dedup_key_expr(text_col: str = "text"):
@@ -49,14 +49,8 @@ def stream_dedup_exact(
     With ``ts_col`` the state is watermark-bounded
     (``dropDuplicatesWithinWatermark``); without, whole-stream exact
     (``dropDuplicates`` — state unbounded, batch-replay/testing use)."""
-    import os
-
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema).format("parquet")
-    if os.path.isfile(path):
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
-    df = reader.load(path).withColumn("__key", dedup_key_expr(text_col))
+    df = file_stream_reader(spark, path).withColumn(
+        "__key", dedup_key_expr(text_col))
     if ts_col is not None:
         df = _ensure_timestamp(df, ts_col).withWatermark(ts_col, watermark)
         deduped = df.dropDuplicatesWithinWatermark(["__key"])
@@ -84,16 +78,8 @@ def stream_dedup_stateful(
     ``applyInPandasWithState`` grouped by content hash; state = the
     first-seen id + a duplicate counter, emitted once per key per batch
     so downstream sees (key, first_id, n_dups_so_far)."""
-    import os
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema).format("parquet")
-    if os.path.isfile(path):
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
 
     out_schema = T.StructType(
         [
@@ -111,11 +97,14 @@ def stream_dedup_stateful(
 
     def update(key, pdfs, state: GroupState):
         first_id, n_seen = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
-            for _, row in pdf.sort_values(id_col).iterrows():
-                if first_id is None:
-                    first_id = int(row[id_col])
-                n_seen += 1
+        # concat the group's Arrow chunks BEFORE taking the minimum:
+        # a per-chunk sort would record the first id of the first CHUNK,
+        # not the batch's deterministic minimum
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            batch_min = int(pdf[id_col].min())
+            first_id = batch_min if first_id is None else min(first_id, batch_min)
+            n_seen += len(pdf)
         state.update((first_id, n_seen))
         yield pd.DataFrame(
             {
@@ -126,7 +115,7 @@ def stream_dedup_stateful(
         )
 
     stream = (
-        reader.load(path)
+        file_stream_reader(spark, path)
         .withColumn("__key", dedup_key_expr(text_col))
         .groupBy("__key")
         .applyInPandasWithState(

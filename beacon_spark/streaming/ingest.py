@@ -57,7 +57,10 @@ def create_stream(engine, name: str, prefix: str, table: str,
             f"unsupported stream format {fmt!r} "
             f"(supported: {sorted(_SUPPORTED)})"
         )
-    if not re.fullmatch(r"[\w./*-]+", prefix or ""):
+    if not re.fullmatch(r"[\w./*-]+", prefix or "") or prefix.startswith("/") \
+            or ".." in prefix.split("/"):
+        # the prefix must stay INSIDE the datasets root: '..' segments
+        # and absolute paths would escape it
         raise ValueError(f"bad stream prefix {prefix!r}")
     from beacon_spark.sources import bytesource as bs
 
@@ -76,10 +79,16 @@ def create_stream(engine, name: str, prefix: str, table: str,
         schedule_secs = int(m.group(1)) * {
             "": 1, "s": 1, "m": 60, "h": 3600, "d": 86400
         }[m.group(2)]
+    import uuid as _uuid
+
     c.setdefault("streams", {})[name] = {
         "prefix": prefix,
         "table": table,
         "format": fmt,
+        # idempotency-marker key, unique PER CREATION: a dropped and
+        # re-created stream restarts batch ids at 0 and must re-ingest,
+        # so its markers must not collide with the old incarnation's
+        "marker": f"{name}-{_uuid.uuid4().hex[:12]}",
         "schedule_secs": schedule_secs,
         "options": {k: v for k, v in options.items()
                     if k not in ("format", "schedule")},
@@ -112,24 +121,41 @@ def run_stream(engine, name: str):
     totals = {"batches": 0, "rows": 0}
 
     def _feed(batch_df, batch_id):
-        import uuid
-
-        n = batch_df.count()
-        if n == 0:
-            return
-        # foreachBatch binds batch_df to a CLONED micro-batch session; a
-        # plain temp view would be invisible to the engine's session, so
-        # the hand-off rides a global temp view (SparkContext-wide)
-        tmp = f"__stream_{uuid.uuid4().hex}"
-        batch_df.createOrReplaceGlobalTempView(tmp)
+        # foreachBatch alone is AT-LEAST-once: a crash between the data
+        # commit and Spark's checkpoint commit replays the batch. The
+        # (stream, batch_id) marker commits in the SAME manifest write
+        # as the rows (ManagedTable.insert), so the replay proves the
+        # batch already landed and no-ops — exactly-once end to end.
+        batch_df.persist()
         try:
-            engine.sql(
-                f"INSERT INTO {table} SELECT * FROM global_temp.{tmp}"
+            n = batch_df.count()
+            if n == 0:
+                return
+            mt = engine.catalog.table(table)
+            names = [f.name for f in mt.schema().fields]
+            before = mt.current_version()
+            version = mt.insert(
+                batch_df.toDF(*names[: len(batch_df.columns)]),
+                stream_marker=(entry.get("marker", name), int(batch_id)),
             )
+            if version == before:
+                return  # replayed batch — already applied
+            # mirror the engine's SQL-INSERT bookkeeping (index/stats
+            # refresh + targeted catalog invalidation)
+            engine._refresh_index_stats(table)
+            try:
+                engine._noted_sig = engine.catalog.note_table_version(
+                    table, version)
+                engine._dirty_tables = getattr(
+                    engine, "_dirty_tables", set())
+                engine._dirty_tables.add(table)
+            except Exception:
+                engine._cat_sig = None
+                engine._force_full = True
+            totals["batches"] += 1
+            totals["rows"] += n
         finally:
-            spark.catalog.dropGlobalTempView(tmp)
-        totals["batches"] += 1
-        totals["rows"] += n
+            batch_df.unpersist()
 
     q = (
         df.writeStream.foreachBatch(_feed)
@@ -167,7 +193,14 @@ def run_due_streams(engine, now: float | None = None) -> list[tuple]:
         last = d.get("last_run")
         if last is not None and now - last < secs:
             continue
-        out.extend(tuple(r) for r in run_stream(engine, name).collect())
+        try:
+            out.extend(tuple(r) for r in run_stream(engine, name).collect())
+        except Exception as e:
+            # one permanently-failing stream must not starve every later
+            # stream in the sweep; it retries next sweep, the rest run now
+            import sys
+
+            print(f"warning: stream {name!r} failed: {e}", file=sys.stderr)
     return out
 
 

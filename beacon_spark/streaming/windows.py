@@ -12,20 +12,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-# the events fixture stores ns timestamps, which Spark reads as long under
-# the nanosAsLong flag (session.py); the stream rebuilds µs timestamps.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+
+def file_stream_reader(spark: SparkSession, path: str):
+    """readStream over a parquet file/directory: schema from the parquet
+    footer (readStream needs one explicitly; the footer tracks whatever
+    physical type the fixture carries — ns-as-long under nanosAsLong,
+    µs TIMESTAMP_NTZ, …). A single-file path narrows a directory stream
+    with a glob filter, since file sources need a directory."""
+    import os
+
+    reader = spark.readStream.schema(
+        spark.read.parquet(path).schema).format("parquet")
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.load(path)
 
 
 def _ensure_timestamp(df: DataFrame, ts_col: str) -> DataFrame:
@@ -124,19 +126,8 @@ def stream_events(
     batch of files drive the streaming query to completion synchronously
     (the local smoke path; production swaps source/sink, the plan is the
     same)."""
-    import os
-
-    # readStream needs an explicit schema — take it from the parquet
-    # footer so the stream tracks whatever physical type the fixture
-    # carries (ns-as-long under nanosAsLong, µs TIMESTAMP_NTZ, …)
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema).format("parquet")
-    if os.path.isfile(path):
-        # file-stream sources need a directory; narrow with a glob filter
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
     stream = (
-        _ensure_timestamp(reader.load(path), "ts")
+        _ensure_timestamp(file_stream_reader(spark, path), "ts")
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -170,27 +161,23 @@ def stream_user_state(
     built-in windows can't express (counters, CDC merge, custom
     sessionization); Arrow-batched per group, state is a tiny tuple.
     """
-    import os
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    reader = spark.readStream.schema(spark.read.parquet(path).schema).format("parquet")
-    if os.path.isfile(path):
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
 
     out_schema = "user_id bigint, n_events bigint, sum_value double, last_type string"
     state_schema = "n bigint, total double, last string"
 
     def update(key, pdfs, state: GroupState):
         n, total, last = state.get if state.exists else (0, 0.0, None)
-        for pdf in pdfs:
+        # the group may arrive as MULTIPLE Arrow chunks (maxRecordsPerBatch);
+        # sorting per chunk would take 'last' from the last CHUNK, not the
+        # latest-ts event of the batch — concat first, sort once
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values("ts")
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
-            if len(pdf):
-                last = pdf["event_type"].iloc[-1]
+            last = pdf["event_type"].iloc[-1]
         state.update((n, total, last))
         yield pd.DataFrame(
             {
@@ -202,7 +189,7 @@ def stream_user_state(
         )
 
     stream = (
-        _ensure_timestamp(reader.load(path), "ts")
+        _ensure_timestamp(file_stream_reader(spark, path), "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout

@@ -214,3 +214,47 @@ def test_guarded_assignment_tiers_agree(spark, monkeypatch):
     ]
     assert cells_catalyst == cells_pandas
     assert buckets_catalyst == buckets_pandas
+
+
+def test_ann_build_clamps_small_sample(spark, tmp_path):
+    """Default n_cells larger than the corpus: clamp instead of numpy's
+    opaque Cannot-take-a-larger-sample error."""
+    from beacon_spark.pipeline.ann_index import ann_build, ann_probe
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    meta = ann_build(df, str(tmp_path / "tiny_idx"), n_cells=16)
+    assert meta["n_cells"] == 16  # requested; centroids clamp to sample
+    assert len(meta["centroids"]) == 5
+    got = ann_probe(spark, str(tmp_path / "tiny_idx"), [1.0, 1.0], k=2)
+    assert got.count() == 2
+
+
+def test_ann_probe_all_miss_keeps_id_schema(spark, tmp_path):
+    """A probe whose cells all miss returns an EMPTY frame with the real
+    id column type (recorded in the meta at build time), so unions with
+    hitting probes don't schema-clash on string ids."""
+    import json
+    import os
+
+    from beacon_spark.pipeline.ann_index import META_FILE, ann_build, ann_probe
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "doc string, embedding array<double>")
+    path = str(tmp_path / "sidx")
+    ann_build(df, path, n_cells=2, id_col="doc")
+    hit = ann_probe(spark, path, [1.0, 0.0], k=1)
+    assert dict(hit.dtypes)["doc"] == "string"
+    # an index whose cell dirs are gone (simulated all-miss) keeps the
+    # same schema on the empty path
+    empty_dir = str(tmp_path / "emptyidx")
+    os.makedirs(empty_dir)
+    with open(os.path.join(path, META_FILE)) as fh:
+        meta = json.load(fh)
+    with open(os.path.join(empty_dir, META_FILE), "w") as fh:
+        json.dump(meta, fh)
+    miss = ann_probe(spark, empty_dir, [1.0, 0.0], k=1)
+    assert miss.count() == 0
+    assert dict(miss.dtypes) == dict(hit.dtypes)

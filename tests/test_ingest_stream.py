@@ -136,3 +136,49 @@ def test_scheduled_streams_run_due(seng, spark, tmp_path):
     with pytest.raises(Exception, match="bad stream schedule"):
         eng.sql("CREATE STREAM bad ON 'p' INTO sink "
                 "WITH ('schedule' 'soon')")
+
+
+def test_insert_marker_makes_replay_idempotent(seng, spark):
+    """The (stream, batch_id) marker commits atomically with the rows:
+    a foreachBatch replay after a crash-between-commit-and-checkpoint
+    must no-op instead of double-ingesting."""
+    eng = seng
+    mt = eng.catalog.table("sink")
+    df = spark.range(3).selectExpr("id", "id * 2 AS v")
+    v1 = mt.insert(df, stream_marker=("s-abc", 0))
+    assert mt._read_manifest().get("stream_batches") == {"s-abc": 0}
+    # replay of the same batch: same version back, no new rows
+    assert mt.insert(df, stream_marker=("s-abc", 0)) == v1
+    assert spark.read.parquet(mt.data_dir).count() == 3
+    # markers survive unrelated DML (carried through every manifest write)
+    eng.sql("UPDATE sink SET v = v + 1 WHERE id = 0")
+    assert mt.insert(df, stream_marker=("s-abc", 0)) == mt.current_version()
+    assert mt.read().count() == 3
+    # the NEXT batch lands normally (reading through the manifest —
+    # the engine-side invalidation is _feed's job, pinned separately)
+    v2 = mt.insert(df, stream_marker=("s-abc", 1))
+    assert v2 > v1
+    assert mt.read().count() == 6
+
+
+def test_stream_prefix_rejects_traversal(seng):
+    import pytest as _p
+
+    for bad in ("../outside", "a/../../b", "/etc/spool"):
+        with _p.raises(ValueError, match="bad stream prefix"):
+            seng.sql(f"CREATE STREAM sx ON '{bad}' INTO sink")
+
+
+def test_failing_stream_does_not_starve_later_streams(seng, spark, tmp_path):
+    """One permanently-failing scheduled stream must not block
+    alphabetically-later streams in the scheduler sweep."""
+    from beacon_spark.streaming.ingest import run_due_streams
+
+    eng = seng
+    # 'aaa' has a glob prefix whose directory never appears → load fails
+    eng.sql("CREATE STREAM aaa ON 'ghost/*.parquet' INTO sink WITH ('schedule' '1s')")
+    _write_files(spark, tmp_path / "ok", 0, 2)
+    eng.sql("CREATE STREAM bbb ON 'ok' INTO sink WITH ('schedule' '1s')")
+    out = run_due_streams(eng, now=9e9)
+    assert ("bbb", 1, 2) in [(r[0], r[1], r[2]) for r in out]
+    assert eng.sql("SELECT count(*) AS n FROM sink").collect()[0].n == 2

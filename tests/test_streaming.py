@@ -127,3 +127,47 @@ def test_sliding_window_semantics(spark, sf_small):
         .count()
     )
     assert {r.window_start: r.n_events for r in first}[start] == direct
+
+
+def test_stateful_ops_handle_multi_chunk_groups(spark, tmp_path):
+    """applyInPandasWithState hands a large group to `update` as MULTIPLE
+    Arrow chunks: last_type must be the latest-ts event of the whole
+    batch (not of the last chunk) and first_id the global minimum."""
+    import pandas as pd
+
+    from beacon_spark.streaming.dedup import stream_dedup_stateful
+    from beacon_spark.streaming.windows import stream_user_state
+
+    # one user, rows ordered ts DESCENDING so the max-ts event sits in
+    # the FIRST chunk once the batch splits
+    pdf = pd.DataFrame({
+        "event_id": [9, 5, 4, 3, 2],
+        "ts": [5_000_000_000, 4_000_000_000, 3_000_000_000,
+               2_000_000_000, 1_000_000_000],
+        "user_id": [7, 7, 7, 7, 7],
+        "event_type": ["latest", "b", "c", "d", "e"],
+        "value": [1.0, 1.0, 1.0, 1.0, 1.0],
+    })
+    p = str(tmp_path / "chunked.parquet")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(p)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        q = stream_user_state(spark, p, query_name="chunked_state")
+        q.processAllAvailable(); q.stop()
+        row = spark.sql("SELECT * FROM chunked_state").collect()[0]
+        assert row.n_events == 5 and row.last_type == "latest"
+
+        # same-text docs → one key group of 5 rows split across chunks;
+        # first_id must be the global minimum event id
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [9, 5, 4, 3, 2],
+                          "text": ["same text"] * 5})
+        ).coalesce(1).write.parquet(str(tmp_path / "dup.parquet"))
+        q2 = stream_dedup_stateful(
+            spark, str(tmp_path / "dup.parquet"), query_name="chunked_dedup")
+        q2.processAllAvailable(); q2.stop()
+        r = spark.sql("SELECT * FROM chunked_dedup").collect()[0]
+        assert r.first_id == 2 and r.n_dups == 4
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
