@@ -87,11 +87,20 @@ def check_password(pw: str, stored: str) -> bool:
         return False
 
 
+_DUMMY_HASH = hash_password("beacon-dummy-timing-pad")
+
+
 def verify_user(engine, username: str, pw: str) -> bool:
-    """Transport-side credential check (HTTP Basic → engine identity)."""
+    """Transport-side credential check (HTTP Basic → engine identity).
+    Unknown usernames still pay the full PBKDF2 cost against a dummy
+    hash — an early return would be a remote timing oracle enumerating
+    valid usernames."""
     a = _auth(engine.catalog._load())
     u = a["users"].get(username)
-    return bool(u) and check_password(pw, u.get("password", ""))
+    if not u:
+        check_password(pw, _DUMMY_HASH)
+        return False
+    return check_password(pw, u.get("password", ""))
 
 
 # ------------------------------------------------------------ evaluator
@@ -135,10 +144,10 @@ def is_allowed(auth: dict, roles: list[str], privilege: str,
 
 # ------------------------------------------------------------ authorize
 
-_READ_FN_CALL_RE = re.compile(r"\bread_\w+\s*\(([^)]*)\)", re.IGNORECASE)
-_QUOTED_RE = re.compile(r"'((?:[^']|'')*)'")
 # Spark's direct-file scans: ``SELECT … FROM parquet.`/path```,
-# csv.`…`, json.`…`, … — a read target with no catalog name
+# csv.`…`, json.`…`, … — a read target with no catalog name. Runs on
+# scrub_sql output, where comments are ONE space — a /*comment*/ between
+# the format word and the dot can't break adjacency.
 _FILE_SCAN_RE = re.compile(r"\b\w+\s*\.\s*`([^`]+)`")
 
 
@@ -172,8 +181,22 @@ def _path_candidates(engine, path: str) -> set[str]:
 
 def _check_path(engine, a: dict, roles: list[str], path: str) -> None:
     """Deny-wins across every spelling: ANY candidate matching a deny
-    denies; otherwise ANY candidate matching a grant allows."""
+    denies; otherwise ANY candidate matching a grant allows. A path
+    containing glob metacharacters additionally checks every CONCRETE
+    file the engine will expand it to — a char-class spelling like
+    ``[s]ecret/x`` must not dodge a deny aimed at ``secret/*`` (the
+    rules match text; the reader matches files)."""
     cands = _path_candidates(engine, path)
+    if any(ch in path for ch in "*?["):
+        from beacon_spark.sources.paths import resolve_globs
+
+        try:
+            resolved = resolve_globs(
+                path, getattr(engine, "datasets_root", None))
+        except Exception:
+            resolved = []  # nothing matches → the read itself will fail
+        for rp in resolved:
+            cands |= _path_candidates(engine, rp)
     allowed = False
     for c in cands:
         matched = [a["roles"][r] for r in roles if r in a["roles"]]
@@ -244,8 +267,13 @@ def authorize(engine, statement: str, user: str | None) -> None:
     # metadata schemas (beacon.system.*, information_schema.*) are
     # super-user-only UNCONDITIONALLY — even with enforcement off, the
     # auth directory and other users' query texts must not be readable
-    # on a default runtime (system_schema/mod.rs:50-66)
-    blanked_stmt = re.sub(r"'(?:[^']|'')*'", "''", statement)
+    # on a default runtime (system_schema/mod.rs:50-66). scrub_sql is
+    # the lexer-accurate blanking (backslash escapes, comments) shared
+    # with the read-only gate — a desynced regex here let references
+    # hide inside fake literals.
+    from beacon_spark.server.guard import scrub_sql
+
+    blanked_stmt = scrub_sql(statement)
     if re.search(
         r"(?<![\w.])(?:beacon\s*\.\s*)?(?:system|information_schema)\s*\.\s*\w",
         blanked_stmt, re.IGNORECASE,
@@ -263,7 +291,7 @@ def authorize(engine, statement: str, user: str | None) -> None:
     if not a.get("enforce"):
         return
     roles = ident.get("roles", [])
-    blanked = re.sub(r"'(?:[^']|'')*'", "''", statement)
+    blanked = blanked_stmt
     idents = {w.lower() for w in re.findall(r"\w+", blanked)}
     # a time-travel snapshot view (<table>__v<n>, left registered by an
     # earlier super-user query) is a read of its base table — grants and
@@ -292,10 +320,20 @@ def authorize(engine, statement: str, user: str | None) -> None:
             ):
                 raise AuthError(f"permission denied: SELECT on table {w!r}")
     # every quoted argument of every read_* call (multi-path calls read
-    # ALL their paths), deny-wins across path spellings
-    for call in _READ_FN_CALL_RE.finditer(statement):
-        for lit in _QUOTED_RE.finditer(call.group(1)):
-            _check_path(engine, a, roles, lit.group(1).replace("''", "'"))
+    # ALL their paths), deny-wins across path spellings. The extraction
+    # MIRRORS the engine's rewrite exactly — same regex, same
+    # literal-span skip, same raw (unescaped) path text — so auth checks
+    # precisely the paths the engine will read; a looser regex here once
+    # let a ')' inside a quoted glob hide the whole arg list.
+    from beacon_spark.engine import _READ_FN_RE, _in_literal, _literal_spans
+
+    spans = _literal_spans(statement)
+    for call in _READ_FN_RE.finditer(statement):
+        if _in_literal(spans, call.start()):
+            continue
+        arglist = call.group(2) if call.group(2) is not None else call.group(3)
+        for g in arglist.split(","):
+            _check_path(engine, a, roles, g.strip()[1:-1])
     # Spark's direct-file scans (parquet.`/path`) are path reads with no
     # catalog name — without this they'd slip past both checks above
     for m in _FILE_SCAN_RE.finditer(blanked):
@@ -393,7 +431,12 @@ def authorize_dsl(engine, body: dict, user: str | None) -> None:
     if not a.get("enforce"):
         return
     roles = ident.get("roles", [])
-    spec = body.get("from", engine.default_table)
+    # an EXPLICIT "from": null is the same read as an absent key — both
+    # make resolve_from fall back to the engine's default table, so both
+    # must check it (an early return here was a grant bypass)
+    spec = body.get("from")
+    if spec is None:
+        spec = engine.default_table
     if spec is None:
         return
     if isinstance(spec, str):
@@ -419,6 +462,10 @@ def authorize_dsl(engine, body: dict, user: str | None) -> None:
         paths = cfg.get("paths") if isinstance(cfg, dict) else None
         if paths is None and isinstance(cfg, dict) and cfg.get("location"):
             paths = [cfg["location"]]
+        if isinstance(paths, str):
+            # the engine accepts a bare string (resolve_globs wraps it);
+            # iterating it here would authorize per CHARACTER
+            paths = [paths]
         for p in paths or []:
             # same normalized deny-wins walk as the SQL path — a
             # './x' or absolute spelling must not dodge a DENY

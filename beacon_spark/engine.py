@@ -119,27 +119,15 @@ def _bind_placeholders(statement: str, params: list) -> tuple[str, dict]:
 
 
 def _literal_spans(statement: str) -> list[tuple[int, int]]:
-    """(start, end) spans of single-quoted string literals, honoring the
-    SQL ``''`` escape. Used so dialect rewrites never fire on text that is
-    merely *quoted* (e.g. the literal ``'read_parquet(x)'``) — the same
-    scan ``_bind_placeholders`` already does for ``$n`` markers."""
-    spans: list[tuple[int, int]] = []
-    i, n = 0, len(statement)
-    while i < n:
-        if statement[i] == "'":
-            j = i + 1
-            while j < n:
-                if statement[j] == "'":
-                    if j + 1 < n and statement[j + 1] == "'":
-                        j += 2
-                        continue
-                    break
-                j += 1
-            spans.append((i, min(j, n - 1) + 1))
-            i = j + 1
-        else:
-            i += 1
-    return spans
+    """(start, end) spans of NON-CODE text: string literals (single- and
+    double-quoted, honoring Spark's ``\\x`` backslash escapes and the SQL
+    ``''`` doubling), comments, and backtick identifiers — the ONE
+    lexer-accurate scan (server/guard.py) shared with the auth gates, so
+    dialect rewrites never fire on text that is merely *quoted* and the
+    two layers can never desync on where a literal ends."""
+    from beacon_spark.server.guard import sql_noncode_spans
+
+    return sql_noncode_spans(statement)
 
 
 def _in_literal(spans: list[tuple[int, int]], pos: int) -> bool:
@@ -2193,7 +2181,11 @@ class Engine:
             pushed = self._federated_pushdown(statement, remotes)
             if pushed is not None:
                 return pushed
-        spans = _literal_spans(statement)
+        # a BACKTICKED `alias__tbl` is still a reference that needs its
+        # lazy view registered — skip only literals/comments here
+        from beacon_spark.server.guard import sql_noncode_spans
+
+        spans = sql_noncode_spans(statement, include_idents=False)
         for alias, rb in remotes.items():
             pat = re.compile(rf"\b{re.escape(alias)}__(\w+)\b")
             seen: set[str] = set()

@@ -127,11 +127,21 @@ class SecretBox:
         return _MAGIC + base64.b64encode(nonce + ct + tag).decode()
 
     def decrypt(self, stored: str) -> str:
-        """Decrypt an ``enc:v1:`` value; legacy bare-base64 values from
-        pre-encryption catalogs decode transparently (obfuscated-only —
-        re-created secrets get real encryption)."""
+        """Decrypt an ``enc:v1:`` value. Legacy bare-base64 values from
+        pre-encryption catalogs decode only when
+        ``BEACON_SPARK_ALLOW_LEGACY_SECRETS=1``: accepting them silently
+        would let anyone who can edit catalog.json DOWNGRADE a MAC'd
+        secret to attacker-chosen plaintext (e.g. repoint a remote
+        table's credentials), defeating the tamper check the enc:v1
+        format exists to provide."""
         if not stored.startswith(_MAGIC):
-            return base64.b64decode(stored).decode()
+            if os.environ.get("BEACON_SPARK_ALLOW_LEGACY_SECRETS") == "1":
+                return base64.b64decode(stored).decode()
+            raise ValueError(
+                "unauthenticated legacy secret value refused (set "
+                "BEACON_SPARK_ALLOW_LEGACY_SECRETS=1 to migrate an old "
+                "catalog, then re-create the secret to re-encrypt it)"
+            )
         blob = base64.b64decode(stored[len(_MAGIC):])
         if len(blob) < 12 + 32:
             raise ValueError("corrupt encrypted secret")
@@ -174,11 +184,7 @@ def _install_salt() -> bytes:
                 os.close(fd)
         except FileExistsError:
             pass  # another process won the race — read theirs
-    with open(p, "rb") as f:
-        salt = f.read()
-    if len(salt) < 16:
-        raise ValueError(f"salt file {p!r} must hold >= 16 bytes")
-    return salt
+    return _read_fully(p, 16)
 
 
 def default_box() -> SecretBox:
@@ -204,13 +210,28 @@ def _resolve_box() -> SecretBox:
     )
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
         try:
-            os.write(fd, _secrets.token_bytes(32))
-        finally:
-            os.close(fd)
-    with open(path, "rb") as f:
-        key = f.read()
-    if len(key) < 32:
-        raise ValueError(f"keyfile {path!r} must hold >= 32 bytes")
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
+            try:
+                os.write(fd, _secrets.token_bytes(32))
+            finally:
+                os.close(fd)
+        except FileExistsError:
+            pass  # another process won the cold-start race — read theirs
+    key = _read_fully(path, 32)
     return SecretBox(key[:32])
+
+
+def _read_fully(path: str, want: int) -> bytes:
+    """Read a just-created key/salt file, tolerating the racer that won
+    O_EXCL still being between create and write — retry briefly on a
+    short read instead of crashing engine init."""
+    import time as _time
+
+    for _ in range(100):
+        with open(path, "rb") as f:
+            data = f.read()
+        if len(data) >= want:
+            return data
+        _time.sleep(0.01)
+    raise ValueError(f"key file {path!r} must hold >= {want} bytes")

@@ -128,9 +128,14 @@ class OidcValidator:
     def _load_jwks_file(self) -> dict:
         import os
 
+        # stat BEFORE reading: a rotation landing between read and stat
+        # would cache the OLD keys under the NEW mtime and never reload
+        # (tokens signed by the new key would 401 forever); stat-first
+        # at worst reloads once more on the next call
+        mtime = os.path.getmtime(self._jwks_path)
         with open(self._jwks_path, "rb") as f:
             doc = json.load(f)
-        self._jwks_mtime = os.path.getmtime(self._jwks_path)
+        self._jwks_mtime = mtime
         return doc
 
     def _keys(self) -> list[dict]:

@@ -506,3 +506,106 @@ def test_enforced_server_refuses_unauthenticated_or_uses_anonymous(spark, tmp_pa
             q("DROP TABLE hid")      # anonymous is never super
     finally:
         srv.shutdown()
+
+
+# ---- round-8 security review regressions ----
+
+
+def test_write_keywords_not_smuggled_via_backslash_literal(aeng):
+    """Spark's default lexer treats backslash as an escape inside string
+    literals; a blanking regex that only knew the '' doubling desynced
+    on '\\'' and let write keywords ride inside a fake 'literal'."""
+    atk = ("WITH a AS (SELECT '\\'') INSERT OVERWRITE DIRECTORY "
+           "'/tmp/pwn' USING parquet SELECT 1")
+    with pytest.raises(AuthError, match="super-user"):
+        aeng.sql(atk, user="alice")
+    # references can't hide inside a desynced fake literal either
+    with pytest.raises(AuthError, match="metadata schemas"):
+        aeng.sql("SELECT '\\'', information_schema.tables.x", user="alice")
+
+
+def test_read_fn_paren_inside_glob_still_checked(aeng, spark, tmp_path):
+    """A ')' inside a quoted glob must not truncate the auth-side
+    argument capture: the engine's own regex consumes the whole quoted
+    literal and reads the file, so auth must check the same path."""
+    (tmp_path / "sec").mkdir()
+    spark.range(3).write.parquet(str(tmp_path / "sec" / "x).parquet"))
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    aeng.sql("GRANT SELECT ON TABLE public TO ROLE readers")
+    with pytest.raises(AuthError, match="permission denied"):
+        aeng.sql("SELECT * FROM read_parquet('sec/x).parquet')",
+                 user="alice")
+
+
+def test_file_scan_comment_between_tokens_still_gated(aeng, spark, tmp_path):
+    """Spark's lexer allows comments between any tokens: parquet/**/.`p`
+    is a direct-file scan and must hit the path check."""
+    spark.range(3).write.parquet(str(tmp_path / "gsec.parquet"))
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    aeng.sql("GRANT SELECT ON TABLE public TO ROLE readers")
+    with pytest.raises(AuthError, match="permission denied"):
+        aeng.sql("SELECT * FROM parquet/**/.`gsec.parquet`", user="alice")
+
+
+def test_glob_metacharacters_cannot_dodge_path_deny(aeng, spark, tmp_path):
+    """A char-class spelling ([s]ecret/x) fnmatch-misses a deny aimed at
+    secret/* while the engine expands it to exactly that file — the
+    check must also cover the RESOLVED paths."""
+    (tmp_path / "secretd").mkdir()
+    spark.range(3).write.parquet(str(tmp_path / "secretd" / "x.parquet"))
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    aeng.sql("GRANT SELECT ON PATH '*' TO ROLE readers")
+    aeng.sql("DENY SELECT ON PATH 'secretd/*' TO ROLE readers")
+    with pytest.raises(AuthError, match="permission denied"):
+        aeng.sql("SELECT * FROM read_parquet('[s]ecretd/x.parquet/*')",
+                 user="alice")
+    # DSL path too
+    with pytest.raises(AuthError, match="permission denied"):
+        aeng.query({"select": ["id"], "from": {
+            "parquet": {"paths": ["[s]ecretd/x.parquet/*"]}}}, user="alice")
+
+
+def test_dsl_explicit_null_from_checks_default_table(spark, tmp_path):
+    """An explicit "from": null falls back to the engine's default table
+    exactly like an absent key — it must be checked, not waved through."""
+    eng = Engine(spark, datasets_root=str(tmp_path / "dflt"))
+    eng.sql("CREATE TABLE sensitive AS SELECT id FROM range(5)")
+    eng.default_table = "sensitive"
+    eng.sql("CREATE USER bob WITH PASSWORD 'pw'")
+    eng.sql("CREATE ROLE r1")
+    eng.sql("GRANT ROLE r1 TO USER bob")
+    eng.sql("SET AUTH ENFORCEMENT ON")
+    with pytest.raises(AuthError, match="permission denied"):
+        eng.query({"select": ["id"], "from": None}, user="bob")
+    with pytest.raises(AuthError, match="permission denied"):
+        eng.query({"select": ["id"]}, user="bob")
+
+
+def test_dsl_string_paths_checked_as_one_path(aeng, spark, tmp_path):
+    """A bare-string DSL paths value is ONE path (the engine wraps it);
+    authorizing it character-by-character let denies slip."""
+    spark.range(3).write.parquet(str(tmp_path / "sfile.parquet"))
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    aeng.sql("GRANT SELECT ON PATH '*' TO ROLE readers")
+    aeng.sql("DENY SELECT ON PATH 'sfile.parquet*' TO ROLE readers")
+    with pytest.raises(AuthError, match="permission denied"):
+        aeng.query({"select": ["id"], "from": {
+            "parquet": {"paths": "sfile.parquet/*"}}}, user="alice")
+
+
+def test_verify_user_unknown_name_constant_cost(aeng):
+    """Unknown usernames pay the same PBKDF2 cost as real ones (timing
+    oracle) — pinned behaviorally: both return False/True correctly."""
+    import time
+
+    from beacon_spark.auth import verify_user
+
+    assert verify_user(aeng, "alice", "pw1")
+    t0 = time.perf_counter()
+    assert not verify_user(aeng, "ghost-user", "pw1")
+    ghost = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    assert not verify_user(aeng, "alice", "wrong")
+    real = time.perf_counter() - t0
+    # both paths hash; the unknown-user path must not be near-zero
+    assert ghost > real / 10

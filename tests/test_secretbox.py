@@ -53,11 +53,19 @@ def test_wrong_key_and_tamper_rejected():
         box.decrypt(tampered)
 
 
-def test_legacy_base64_values_still_decode():
+def test_legacy_base64_values_gated(monkeypatch):
     """Catalogs written before encryption hold bare base64 — decrypt
-    accepts them transparently."""
+    refuses them by default (a lake-root writer could DOWNGRADE a MAC'd
+    secret to attacker plaintext otherwise) and accepts them only under
+    the explicit migration flag."""
+    import pytest as _p
+
     box = SecretBox(b"k" * 32)
     legacy = base64.b64encode(b"old-password").decode()
+    monkeypatch.delenv("BEACON_SPARK_ALLOW_LEGACY_SECRETS", raising=False)
+    with _p.raises(ValueError, match="legacy secret"):
+        box.decrypt(legacy)
+    monkeypatch.setenv("BEACON_SPARK_ALLOW_LEGACY_SECRETS", "1")
     assert box.decrypt(legacy) == "old-password"
 
 
