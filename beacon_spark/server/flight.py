@@ -62,7 +62,10 @@ class _BearerAuth(fl.ServerMiddlewareFactory):
     def start_call(self, info, headers):
         got = headers.get("authorization") or headers.get("Authorization") or []
         header = got[0] if got else ""
-        if self._want is not None and header == self._want:
+        import hmac as _hmac
+
+        if self._want is not None and _hmac.compare_digest(
+                header, self._want):
             return _Identity(None)
         if self._oidc is not None and header.startswith("Bearer "):
             # OIDC bearer JWT → external principal (see server/oidc.py);
@@ -136,9 +139,15 @@ class BeaconFlightServer(fl.FlightServerBase):
     def _user(context) -> str | None:
         try:
             mw = context.get_middleware("auth")
-        except Exception:
-            mw = None
-        return mw.user if mw is not None else None
+        except Exception as e:
+            # FAIL CLOSED: None means the embedded SUPER-user downstream,
+            # so an auth-middleware resolution failure must abort the
+            # call, never silently escalate it
+            raise fl.FlightUnauthenticatedError(
+                f"auth middleware unavailable: {e}") from e
+        if mw is None:
+            raise fl.FlightUnauthenticatedError("auth middleware missing")
+        return mw.user
 
     def do_get(self, context, ticket: fl.Ticket):
         from beacon_spark.outputs import guarded_arrow_stream

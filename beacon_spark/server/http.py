@@ -164,7 +164,10 @@ class BeaconHttpServer:
                 no token configured (embedded mode)."""
                 self._ident = None  # None = embedded super-user
                 header = self.headers.get("Authorization") or ""
-                if outer._token is not None and header == f"Bearer {outer._token}":
+                import hmac as _hmac
+
+                if outer._token is not None and _hmac.compare_digest(
+                        header, f"Bearer {outer._token}"):
                     return True
                 if outer._oidc is not None and header.startswith("Bearer "):
                     # OIDC bearer JWT: offline JWS verify, then the
@@ -271,10 +274,17 @@ class BeaconHttpServer:
 
                 ident = getattr(self, "_ident", None)
                 if ident is not None:
+                    # _resolve_ident, NOT a raw directory lookup: an OIDC
+                    # ExternalPrincipal whose username collides with a
+                    # local super-user must not inherit that user's
+                    # privileges (external principals are never super)
                     try:
+                        from beacon_spark import auth as _auth_mod
+
                         cat = outer.engine.catalog._load()
-                        ok = bool(cat.get("auth", {}).get("users", {})
-                                  .get(ident, {}).get("super_user"))
+                        rec = _auth_mod._resolve_ident(
+                            outer.engine, _auth_mod._auth(cat), ident)
+                        ok = bool(rec and rec.get("super_user"))
                     except Exception:
                         ok = False
                     if not ok:
@@ -468,6 +478,21 @@ class BeaconHttpServer:
                                  user=getattr(self, "_ident", None))
                     self._send_json(json.loads(df.schema.json()))
                 elif path.startswith("/api/query/metrics/"):
+                    # same unconditional gate as beacon.system.
+                    # query_metrics: other users' query TEXTS are
+                    # super-user-only (auth.authorize's metadata-schema
+                    # rule) — this endpoint serves the identical rows
+                    ident = getattr(self, "_ident", None)
+                    if ident is not None:
+                        from beacon_spark import auth as _auth_mod
+
+                        try:
+                            _auth_mod.require_super(
+                                outer.engine, ident,
+                                "query metrics are super-user-only")
+                        except _auth_mod.AuthError as e:
+                            self._deny(403, str(e))
+                            return
                     qid = path.rsplit("/", 1)[1]
                     metrics = outer._metrics.get(qid)
                     if metrics is None and outer.engine.catalog is not None:
@@ -507,13 +532,26 @@ class BeaconHttpServer:
                                 "(BEACON_SPARK_ENABLE_SQL=false); use "
                                 "the JSON query DSL")
                         ident = getattr(self, "_ident", None)
-                        df = (
-                            outer.engine.sql(req["sql"], params=req.get("params"),
-                                             user=ident)
-                            if "sql" in req
-                            else outer.engine.query(req.get("query", req),
-                                                    user=ident)
-                        )
+                        if "sql" in req:
+                            from beacon_spark.server.guard import (
+                                is_readonly_sql,
+                            )
+
+                            if not is_readonly_sql(req["sql"]):
+                                # engine.sql executes DDL/DML EAGERLY — a
+                                # plan/parse endpoint must never mutate,
+                                # even for the transport super-identity
+                                # (flight.py get_flight_info guards the
+                                # identical pattern)
+                                raise ValueError(
+                                    "only read-only SELECT statements "
+                                    "can be planned here")
+                            df = outer.engine.sql(
+                                req["sql"], params=req.get("params"),
+                                user=ident)
+                        else:
+                            df = outer.engine.query(
+                                req.get("query", req), user=ident)
                         if u.path == "/api/parse-query":
                             # parse/plan succeeded; return the schema
                             self._send_json(json.loads(df.schema.json()))
@@ -719,7 +757,12 @@ class BeaconHttpServer:
             "plan": plan,
         }
         while len(self._metrics) > 256:  # bounded
-            self._metrics.pop(next(iter(self._metrics)))
+            try:
+                # concurrent handler threads may race on the same oldest
+                # key — a double-pop must not 400 a successful query
+                self._metrics.pop(next(iter(self._metrics)), None)
+            except (StopIteration, RuntimeError):
+                break
         # persist into beacon.system.query_metrics (query_metrics_store.rs:
         # every query that runs to completion writes one row)
         self.engine.record_query_metrics(
@@ -908,11 +951,14 @@ class BeaconHttpServer:
         over the (scoped) table: no writes, no subqueries, no federation
         — a subquery could read other tables or unexposed columns
         oracle-style, defeating the exposed_columns scoping."""
-        from beacon_spark.server.guard import WRITE_KEYWORD_RE
+        from beacon_spark.server.guard import WRITE_KEYWORD_RE, scrub_sql
 
         if re.search(r"\bremote_query\s*\(", pred, re.IGNORECASE):
             raise ValueError("where predicate must not use remote_query")
-        stripped = re.sub(r"'(?:[^']|'')*'", "''", pred)
+        # scrub_sql = the lexer-accurate blanking (backslash escapes,
+        # comments) — a regex knowing only '' desyncs on '\'' and lets
+        # a subquery hide inside a fake literal
+        stripped = scrub_sql(pred)
         if WRITE_KEYWORD_RE.search(stripped):
             raise ValueError("where predicate is read-only")
         if re.search(r"\b(SELECT|EXISTS)\b", stripped, re.IGNORECASE):
@@ -982,6 +1028,20 @@ class BeaconHttpServer:
                 bad = set(cols) - set(spec["x-columns"])
                 if bad:
                     raise ValueError(f"columns not exposed: {sorted(bad)}")
+            elif cols != ["*"]:
+                # no exposed_columns list: select entries must still be
+                # REAL columns of the table — raw interpolation would be
+                # a select-list injection (subqueries, `* FROM other --`)
+                # bypassing the where-predicate bans and any preset filter
+                live = {
+                    f.name
+                    for f in eng.sql(
+                        f"SELECT * FROM {table} LIMIT 0", user=user
+                    ).schema.fields
+                }
+                bad = [c for c in cols if c != "*" and c not in live]
+                if bad:
+                    raise ValueError(f"unknown column(s): {sorted(bad)}")
             if not cols:
                 raise ValueError(
                     f"tool {name!r} exposes no columns; fix the mcp "
@@ -1003,16 +1063,22 @@ class BeaconHttpServer:
                     f"({spec['x-presets'][args['preset']]}))"
                 )
             if spec["x-columns"] is not None:
-                scoped_cols = ", ".join(spec["x-columns"])
+                scoped_cols = ", ".join(
+                    "`" + c.replace("`", "``") + "`"
+                    for c in spec["x-columns"])
                 inner = f"(SELECT {scoped_cols} FROM {inner} AS __inner)"
-            sql = f"SELECT {', '.join(cols)} FROM {inner} AS __scoped"
+            quoted = [
+                "*" if c == "*" else "`" + c.replace("`", "``") + "`"
+                for c in cols
+            ]
+            sql = f"SELECT {', '.join(quoted)} FROM {inner} AS __scoped"
             if args.get("where"):
                 sql += f" WHERE ({args['where']})"
-            rows = eng.sql(sql, user=user).limit(
-                int(args.get("limit", 100))
-            ).collect()
-            return json.dumps([r.asDict(recursive=True) for r in rows],
-                              default=str)
+            # same row/byte/time caps as run_sql — a giant caller limit
+            # must not turn into an unbounded driver collect
+            df = eng.sql(sql, user=user).limit(int(args.get("limit", 100)))
+            rows = self._limits.collect_rows(df)  # row/byte/time capped
+            return json.dumps(rows, default=str)
         raise ValueError(f"unknown tool {name!r}")
 
     def _mcp_handle(self, msg: dict, user: str | None = None):

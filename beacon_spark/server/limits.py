@@ -120,17 +120,26 @@ class QueryLimits:
             return
         tag = f"beacon-limit-{uuid.uuid4().hex}"
         fired = threading.Event()
+        done = threading.Event()
 
-        def _cancel() -> None:
+        def _watchdog() -> None:
+            if done.wait(self.timeout_seconds):
+                return
             fired.set()
-            try:
-                spark.interruptTag(tag)
-            except Exception:
-                pass
+            # interruptTag only cancels jobs RUNNING at that instant; a
+            # query that is a sequence of short jobs (toLocalIterator
+            # consumption) would sail on if the interrupt landed in an
+            # inter-job gap — keep interrupting until the block exits
+            while not done.is_set():
+                try:
+                    spark.interruptTag(tag)
+                except Exception:
+                    pass
+                done.wait(0.25)
 
-        timer = threading.Timer(self.timeout_seconds, _cancel)
+        watchdog = threading.Thread(target=_watchdog, daemon=True)
         spark.addTag(tag)
-        timer.start()
+        watchdog.start()
         try:
             yield
         except Exception as e:
@@ -141,7 +150,7 @@ class QueryLimits:
                 ) from e
             raise
         finally:
-            timer.cancel()
+            done.set()
             try:
                 spark.removeTag(tag)
             except Exception:

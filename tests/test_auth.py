@@ -314,7 +314,10 @@ def test_explain_and_parse_endpoints_thread_identity(spark, aeng):
             urllib.request.urlopen(req)
             raise AssertionError("expected HTTPError")
         except urllib.error.HTTPError as e:
-            assert e.code == 400 and b"super-user" in e.read()
+            # r8 hardening: the read-only gate now refuses DDL on the
+            # plan endpoints for EVERY identity (super included) before
+            # RBAC even looks at it
+            assert e.code == 400 and b"read-only" in e.read()
         # crucially, the table still exists
         assert aeng.sql("SELECT count(*) AS n FROM secrets").collect()[0].n == 10
     finally:

@@ -371,3 +371,93 @@ def test_collect_rows_byte_cap_counts_nested_payloads(spark):
         "named_struct('s', repeat('y', 100000)) AS st")
     with _pytest.raises(ResourceLimitExceeded, match="byte limit"):
         QueryLimits(max_rows=None, max_bytes=100_000).collect_rows(df2)
+
+
+def test_mcp_tool_injection_and_caps_closed(spark, tmp_path):
+    """Round-8 transport review: per-table MCP tools must (a) reject
+    select-list injection even WITHOUT exposed_columns, (b) reject
+    subqueries hidden in a backslash-desynced 'literal', (c) route
+    through the row caps."""
+    import os
+
+    from beacon_spark.server.http import BeaconHttpServer
+
+    root = str(tmp_path / "r2")
+    os.makedirs(root)
+    eng = Engine(spark, datasets_root=root)
+    eng.sql("CREATE TABLE opn AS SELECT id, id * 2 AS v FROM range(300)")
+    eng.sql("CREATE TABLE hid AS SELECT 42 AS secret FROM range(1)")
+    eng.sql("""SET EXTENSION 'mcp' FOR opn TO '{"enabled": true}'""")
+    hs = BeaconHttpServer(eng, port=0, limits=QueryLimits(max_rows=100))
+    port = hs.serve_background()
+    base = f"http://127.0.0.1:{port}/mcp"
+    try:
+        def call(args):
+            body = {"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+                    "params": {"name": "query_opn", "arguments": args}}
+            req = urllib.request.Request(
+                base, data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"}, method="POST")
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())["result"]
+
+        # normal use works (no exposed_columns: all real columns)
+        r = call({"select": ["id"], "where": "id < 3"})
+        assert not r["isError"]
+        assert len(json.loads(r["content"][0]["text"])) == 3
+        # select-list injection: not a real column -> refused
+        r = call({"select": ["(SELECT secret FROM hid LIMIT 1)"]})
+        assert r["isError"] and "unknown column" in r["content"][0]["text"]
+        r = call({"select": ["* FROM hid --"]})
+        assert r["isError"]
+        # subquery hidden behind a backslash-quote fake literal
+        r = call({"where":
+                  "v = '\\'' OR (SELECT secret FROM hid LIMIT 1) = id -- '"})
+        assert r["isError"]
+        # a giant limit argument hits the server row cap, not an
+        # unbounded driver collect
+        r = call({"limit": 2_000_000_000})
+        assert r["isError"] and "row limit" in r["content"][0]["text"]
+    finally:
+        hs.shutdown()
+
+
+def test_query_metrics_endpoint_super_only(spark, tmp_path):
+    """Query texts are super-user-only (the beacon.system gate); the
+    /api/query/metrics/{qid} endpoint serves the same rows and must
+    carry the same gate."""
+    import base64
+    import os
+
+    from beacon_spark.server.http import BeaconHttpServer
+
+    root = str(tmp_path / "r3")
+    os.makedirs(root)
+    eng = Engine(spark, datasets_root=root)
+    eng.sql("CREATE TABLE qm AS SELECT id FROM range(3)")
+    eng.sql("CREATE USER low WITH PASSWORD 'pw'")
+    hs = BeaconHttpServer(eng, port=0)
+    port = hs.serve_background()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/api/query", data=json.dumps(
+                {"sql": "SELECT * FROM qm", "format": "json"}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req) as r:
+            qid = r.headers["x-beacon-query-id"]
+        basic = "Basic " + base64.b64encode(b"low:pw").decode()
+        req = urllib.request.Request(
+            f"{base}/api/query/metrics/{qid}",
+            headers={"Authorization": basic})
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 403")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+        # the open embedded identity still reads them
+        with urllib.request.urlopen(
+                f"{base}/api/query/metrics/{qid}") as r:
+            assert json.loads(r.read())["query_id"] == qid
+    finally:
+        hs.shutdown()

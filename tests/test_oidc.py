@@ -392,3 +392,32 @@ def test_groups_claim_azp_and_aud_array_token_shape(keypair, jwks):
     tok2 = mint(priv, {"iss": ISS, "exp": time.time() + 600,
                        "sub": "bob", "scope": "read write admin"})
     assert v2.verify(tok2).roles == ["read", "write", "admin"]
+
+
+def test_admin_api_refuses_external_principal_name_collision(
+        oidc_http, keypair):
+    """Round-8 transport review: the ADMIN router must resolve identities
+    via _resolve_ident too — an IdP token whose username collides with a
+    local super-user must NOT reach /api/admin/*."""
+    import urllib.error
+    import urllib.request
+
+    eng, base = oidc_http
+    priv, _ = keypair
+    eng.sql("CREATE USER chief WITH PASSWORD 'pw' SUPERUSER")
+    tok = mint(priv, _claims(preferred_username="chief",
+                             realm_access={"roles": ["readers"]}))
+    req = urllib.request.Request(
+        f"{base}/api/admin/auth/users",
+        headers={"Authorization": f"Bearer {tok}"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 403
+    # the real directory super-user over Basic still passes
+    import base64 as _b64
+
+    req = urllib.request.Request(
+        f"{base}/api/admin/auth/users",
+        headers={"Authorization": "Basic "
+                 + _b64.b64encode(b"chief:pw").decode()})
+    assert urllib.request.urlopen(req).status == 200
