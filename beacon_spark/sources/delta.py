@@ -69,6 +69,7 @@ class _Snapshot:
     configuration: dict = field(default_factory=dict)
     min_reader: int = 1
     reader_features: list[str] = field(default_factory=list)
+    writer_features: list[str] = field(default_factory=list)
 
 
 def _log_dir(location: str) -> str:
@@ -94,6 +95,7 @@ def _apply_action(snap: _Snapshot, action: dict) -> None:
         p = action["protocol"]
         snap.min_reader = p.get("minReaderVersion", 1)
         snap.reader_features = p.get("readerFeatures", []) or []
+        snap.writer_features = p.get("writerFeatures", []) or []
     elif "add" in action:
         a = action["add"]
         snap.adds[a["path"]] = a.get("partitionValues", {}) or {}
@@ -118,7 +120,8 @@ def _unmap(v):
 def _read_checkpoint(snap: _Snapshot, path: str) -> None:
     """A checkpoint parquet is the flattened action list at its version —
     one row per action, struct columns add/remove/metaData/protocol."""
-    tbl = pq.read_table(path)
+    p, fs = _bs.dataset_source(path)
+    tbl = pq.read_table(p, filesystem=fs)
     cols = set(tbl.column_names)
     for row in tbl.to_pylist():
         for key in ("protocol", "metaData", "add", "remove"):
@@ -137,10 +140,29 @@ def _snapshot(location: str, version_as_of: int | None = None) -> _Snapshot:
     commits = _list_commits(log)
     start = 0
     last_cp = _bs.join(log, "_last_checkpoint")
+    cp_version = parts = None
     if version_as_of is None and _bs.exists(last_cp):
         cp = json.loads(_bs.read_text(last_cp))
         cp_version = cp["version"]
         parts = cp.get("parts")
+    elif version_as_of is not None:
+        # time travel still replays from a checkpoint BASE (the newest
+        # one at or before the target) — pre-checkpoint JSON commits may
+        # have been cleaned up by log retention, and replaying from 0
+        # without them silently drops their files (or finds no metaData)
+        best: tuple[int, int | None] | None = None
+        for name in _bs.listdir(log):
+            m = re.match(
+                r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$",
+                name)
+            if not m:
+                continue
+            v = int(m.group(1))
+            if v <= version_as_of and (best is None or v > best[0]):
+                best = (v, int(m.group(3)) if m.group(3) else None)
+        if best is not None:
+            cp_version, parts = best
+    if cp_version is not None:
         if parts:
             # multi-part checkpoint: <v>.checkpoint.<i>.<n>.parquet, all
             # parts together hold the action list (Delta protocol §
@@ -176,6 +198,15 @@ def _snapshot(location: str, version_as_of: int | None = None) -> _Snapshot:
         )
     if snap.schema is None:
         raise ValueError(f"Delta log has no metaData action: {location}")
+    # the Delta spec REQUIRES readers to refuse tables whose protocol
+    # lists reader features they do not implement — scanning anyway
+    # returns wrong data (e.g. typeWidening) or misleading errors
+    unsupported = set(snap.reader_features) - _SUPPORTED_READER_FEATURES
+    if unsupported:
+        raise NotImplementedError(
+            f"Delta reader feature(s) {sorted(unsupported)} not "
+            f"supported by this reader: {location}"
+        )
     cm = snap.configuration.get("delta.columnMapping.mode", "none")
     if cm not in ("none", "name", "id"):
         raise NotImplementedError(f"Delta column mapping mode {cm!r} not supported")
@@ -189,6 +220,15 @@ def _snapshot(location: str, version_as_of: int | None = None) -> _Snapshot:
             f"Delta column mapping mode {cm!r} without physicalName metadata"
         )
     return snap
+
+
+#: reader features this module actually implements (deletionVectors,
+#: columnMapping) or that need nothing from a reader (timestampNtz is a
+#: plain Spark type; vacuumProtocolCheck constrains VACUUM, not reads)
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors", "columnMapping", "timestampNtz",
+    "vacuumProtocolCheck",
+}
 
 
 def _phys_name(f: T.StructField) -> str:
@@ -261,14 +301,19 @@ def read_delta(
         key = tuple(
             pvals.get(phys_of.get(c, c), pvals.get(c)) for c in part_cols
         )
-        groups.setdefault(key, []).append(_bs.join(location, path))
+        groups.setdefault(key, []).append(_bs.join(location, _unquote(path)))
 
     types = {f.name: f.dataType for f in snap.schema.fields}
     out_cols = [f.name for f in snap.schema.fields]
     with_dv = bool(snap.dvs)
     parts = []
-    for key, files in sorted(groups.items()):
-        df = spark.read.schema(data_schema).parquet(*files)
+    # None-safe group order (a NULL partition value must not TypeError
+    # against a string one); deterministic plan shape either way
+    for key, files in sorted(
+        groups.items(),
+        key=lambda kv: [(v is None, v or "") for v in kv[0]],
+    ):
+        df = spark.read.schema(data_schema).parquet(*_bs.spark_paths(files))
         if cm != "none":
             df = df.select(
                 *[
@@ -292,12 +337,9 @@ def read_delta(
                 F.col("_metadata.row_index").alias("__dv_pos"),
             )
         for c, v in zip(part_cols, key):
-            df = df.withColumn(
-                c,
-                F.lit(v).cast(types[c])
-                if v is not None
-                else F.lit(None).cast(types[c]),
-            )
+            # F.lit(None) is just the null literal — one expression
+            # covers both cases
+            df = df.withColumn(c, F.lit(v).cast(types[c]))
         parts.append(
             df.select(out_cols + (["__dv_fp", "__dv_pos"] if with_dv else []))
         )
@@ -318,7 +360,7 @@ def read_delta(
             # metadata-sized DVs: expand on the driver, broadcast an
             # anti-join — pure JVM, no Python in the scan
             deleted = [
-                (_file_uri(_bs.join(location, path)), int(idx))
+                (_file_uri(_bs.join(location, _unquote(path))), int(idx))
                 for path, desc in snap.dvs.items()
                 for idx in decode_dv_descriptor(desc, location)
             ]
@@ -340,7 +382,8 @@ def read_delta(
             import pandas as pd
 
             blobs = {
-                _file_uri(_bs.join(location, path)): read_dv_blob(desc, location)
+                _file_uri(_bs.join(location, _unquote(path))):
+                    read_dv_blob(desc, location)
                 for path, desc in snap.dvs.items()
             }
             bc = spark.sparkContext.broadcast(blobs)
@@ -392,11 +435,21 @@ _DV_EXPAND_LIMIT = 1_000_000
 def _file_uri(path: str) -> str:
     """Path → the URI form Spark reports in _metadata.file_path (Hadoop
     Path.toString). Local paths get the single-slash ``file:`` scheme;
-    real object-store URIs (s3://…) pass through unchanged — prefixing
-    them with ``file:`` would silently break the DV anti-join keys."""
+    object-store URIs take the SPARK form (s3:// → s3a://) because that
+    is the scheme the JVM scan saw — the raw form would silently break
+    the DV anti-join keys."""
     if _bs.is_uri(path) and not path.startswith("file:"):
-        return path
+        return _bs.spark_path(path)
     return "file:" + os.path.abspath(re.sub(r"^file:/*", "/", path))
+
+
+def _unquote(rel: str) -> str:
+    """Delta ``add.path`` values are percent-encoded per the protocol
+    (a partition dir ``p=a b`` is stored ``p=a%20b``) — decode at every
+    filesystem boundary."""
+    from urllib.parse import unquote
+
+    return unquote(rel)
 
 
 def read_delta_schema(
@@ -543,11 +596,16 @@ def delta_delete_rows(location: str, deletes: dict[str, list[int]]) -> int:
     actions: list[dict] = [
         {"commitInfo": {"timestamp": now, "operation": "DELETE"}},
         {
+            # MERGE with the table's existing features — replacing them
+            # would strip e.g. columnMapping from the protocol and leave
+            # an on-disk table real readers refuse or misread
             "protocol": {
-                "minReaderVersion": 3,
+                "minReaderVersion": max(3, snap.min_reader),
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
+                "readerFeatures": sorted(
+                    set(snap.reader_features) | {"deletionVectors"}),
+                "writerFeatures": sorted(
+                    set(snap.writer_features) | {"deletionVectors"}),
             }
         },
     ]
@@ -568,7 +626,8 @@ def delta_delete_rows(location: str, deletes: dict[str, list[int]]) -> int:
                 "add": {
                     "path": rel,
                     "partitionValues": snap.adds[rel],
-                    "size": os.path.getsize(os.path.join(location, rel)),
+                    "size": os.path.getsize(
+                        os.path.join(location, _unquote(rel))),
                     "modificationTime": now,
                     "dataChange": True,
                     "deletionVector": desc,

@@ -262,7 +262,15 @@ def read_iceberg(
     files, pos_deletes, eq_deletes = _snapshot_files(location, md, snapshot_id)
     if not files:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*[p for p, _s in files])
+    # absolutize local paths BEFORE the JVM sees them: Spark resolves
+    # relative paths against ITS OWN cwd (not Python's), so a relative
+    # table location would otherwise desync _fp_key from
+    # _metadata.file_path and the delete joins would match nothing
+    files = [
+        (p if _bs.is_uri(p) else os.path.abspath(p), s) for p, s in files
+    ]
+    df = spark.read.schema(schema).parquet(
+        *_bs.spark_paths([p for p, _s in files]))
     if pos_deletes or eq_deletes:
         from pyspark.sql import functions as F
 
@@ -271,8 +279,11 @@ def read_iceberg(
         # compare equal for local files; real URIs pass through unchanged
         def _fp_key(p: str) -> str:
             if _bs.is_uri(p) and not p.startswith("file:"):
-                return p
-            return "file:" + re.sub(r"^file:/*", "/", p)
+                return _bs.spark_path(p)  # the scheme the JVM scan saw
+            # absolutize: a relative table location must still produce
+            # the abs URI Spark reports in _metadata.file_path, or the
+            # seq/delete joins silently never match (= deletes ignored)
+            return "file:" + os.path.abspath(re.sub(r"^file:/*", "/", p))
 
         # metadata-sized (one row per data file): data sequence numbers
         # ride a broadcast join, never a shuffle of the data
@@ -288,21 +299,37 @@ def read_iceberg(
         if pos_deletes:
             # spec: a positional delete applies to data files with
             # data_seq <= del_seq (same-snapshot deletes DO apply).
-            # file_path values get the same normalization as _fp_key:
-            # real URIs pass through, local paths become "file:<abs>"
+            # file_path values first RE-ROOT onto this table location —
+            # the SQL twin of _localize, so a relocated/relative-read
+            # table's recorded absolute paths still match (a silent
+            # mismatch here means deleted rows come back) — then get the
+            # same normalization as _fp_key: real URIs pass through,
+            # local paths become "file:<abs>"
+            fp = F.col("file_path")
+            if not _bs.is_uri(location):
+                loc_abs = os.path.abspath(location).rstrip("/")
+                marker = "/" + os.path.basename(loc_abs) + "/"
+                mk = marker.replace("\\", "\\\\").replace("'", "\\'")
+                fp = F.when(
+                    F.expr(f"locate('{mk}', file_path)") > 0,
+                    F.concat(
+                        F.lit(loc_abs + "/"),
+                        F.expr(
+                            f"substring(file_path, locate('{mk}', "
+                            f"file_path) + {len(marker)})"),
+                    ),
+                ).otherwise(fp)
             norm_fp = F.when(
-                F.col("file_path").rlike("^[a-z0-9+.-]+://")
-                & ~F.col("file_path").startswith("file:"),
-                F.col("file_path"),
+                fp.rlike("^[a-z0-9+.-]+://") & ~fp.startswith("file:"),
+                fp,
             ).otherwise(
-                F.concat(
-                    F.lit("file:"),
-                    F.regexp_replace("file_path", "^file:/*", "/"),
-                )
+                F.concat(F.lit("file:"), F.regexp_replace(fp, "^file:/*", "/"))
             )
             dels = None
             for path, dseq in pos_deletes:
-                d = spark.read.parquet(path).select(
+                d = spark.read.parquet(_bs.spark_path(
+                    path if _bs.is_uri(path) else os.path.abspath(path)
+                )).select(
                     norm_fp.alias("__dfp"),
                     F.col("pos").alias("__dpos"),
                     F.lit(int(dseq)).alias("__del_seq"),
@@ -318,7 +345,8 @@ def read_iceberg(
         for path, eq_ids, dseq in eq_deletes:
             id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
             cols = [id_to_name[i] for i in eq_ids] if eq_ids else None
-            dels = spark.read.parquet(path)
+            dels = spark.read.parquet(_bs.spark_path(
+                path if _bs.is_uri(path) else os.path.abspath(path)))
             cols = cols or dels.columns
             # null-safe equality per Iceberg equality-delete semantics;
             # spec: applies only to data files with data_seq strictly
@@ -376,8 +404,28 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "content", "type": "int"},
         {"name": "added_snapshot_id", "type": "long"},
+        # v2 sequence numbers are load-bearing for delete application —
+        # re-encoding a real table's prior entries must NOT drop them
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "min_sequence_number", "type": ["null", "long"]},
     ],
 }
+
+
+def _carry_manifest_entry(e: dict) -> dict:
+    """A prior manifest-list entry (any engine's richer v1/v2 schema)
+    re-encoded onto _MANIFEST_LIST_SCHEMA: known fields carried, absent
+    ones defaulted (v1 has no content/sequence_number) — a raw re-encode
+    raised KeyError on v1 entries and silently dropped v2 sequence
+    numbers, demoting delete application to surrogate ordering."""
+    return {
+        "manifest_path": e["manifest_path"],
+        "manifest_length": int(e.get("manifest_length", 0) or 0),
+        "content": int(e.get("content", 0) or 0),
+        "added_snapshot_id": int(e.get("added_snapshot_id", 0) or 0),
+        "sequence_number": e.get("sequence_number"),
+        "min_sequence_number": e.get("min_sequence_number"),
+    }
 
 
 def _spark_to_ice_schema(schema: T.StructType) -> dict:
@@ -499,13 +547,15 @@ def write_iceberg_deletes(
     write_avro(
         mlist,
         _MANIFEST_LIST_SCHEMA,
-        prev_manifests
+        [_carry_manifest_entry(e) for e in prev_manifests]
         + [
             {
                 "manifest_path": manifest,
                 "manifest_length": os.path.getsize(manifest),
                 "content": 1,
                 "added_snapshot_id": snap_id,
+                "sequence_number": None,
+                "min_sequence_number": None,
             }
         ],
     )
@@ -595,13 +645,15 @@ def write_iceberg(df: DataFrame, location: str, mode: str = "overwrite") -> int:
     write_avro(
         mlist,
         _MANIFEST_LIST_SCHEMA,
-        prev_manifests
+        [_carry_manifest_entry(e) for e in prev_manifests]
         + [
             {
                 "manifest_path": manifest,
                 "manifest_length": os.path.getsize(manifest),
                 "content": 0,
                 "added_snapshot_id": snap_id,
+                "sequence_number": None,
+                "min_sequence_number": None,
             }
         ],
     )

@@ -470,3 +470,79 @@ def test_column_mapping_pushdown_plan(spark, tmp_path):
     read_schema = _re.search(r"ReadSchema: ([^\n]*)", plan).group(1)
     assert "col-aa" in read_schema and "col-bb" not in read_schema
     assert df.count() == 9
+
+
+def test_null_partition_value_readable(spark, tmp_path):
+    """A NULL partition value (__HIVE_DEFAULT_PARTITION__) must not
+    TypeError against string keys when grouping files for the scan."""
+    loc = str(tmp_path / "nullpart")
+    df = spark.createDataFrame([("a", 1), (None, 2)], "p string, v int")
+    write_delta(df, loc, partition_by=["p"])
+    got = sorted(
+        ((r.p, r.v) for r in read_delta(spark, loc).collect()),
+        key=lambda t: (t[0] is None, t[0] or ""),
+    )
+    assert got == [("a", 1), (None, 2)]
+
+
+def test_percent_encoded_add_path(spark, tmp_path):
+    """add.path values are percent-encoded per the Delta protocol; the
+    reader must decode them at the filesystem boundary."""
+    loc = str(tmp_path / "encpath")
+    df = spark.createDataFrame([("a b", 1), ("c", 2)], "p string, v int")
+    write_delta(df, loc, partition_by=["p"])
+    # our writer stores raw paths; simulate a protocol-conformant writer
+    # by percent-encoding the space in the logged path
+    import glob as _glob
+    import json as _json
+    import urllib.parse
+
+    commit = sorted(_glob.glob(f"{loc}/_delta_log/*.json"))[-1]
+    lines = []
+    for line in open(commit):
+        a = _json.loads(line)
+        if "add" in a:
+            a["add"]["path"] = urllib.parse.quote(a["add"]["path"], safe="/=")
+        lines.append(_json.dumps(a))
+    open(commit, "w").write("\n".join(lines) + "\n")
+    got = sorted((r.p, r.v) for r in read_delta(spark, loc).collect())
+    assert got == [("a b", 1), ("c", 2)]
+
+
+def test_unsupported_reader_feature_refused(spark, tmp_path):
+    """The Delta spec requires readers to refuse unknown readerFeatures
+    (scanning a typeWidening table anyway returns wrong data)."""
+    loc = str(tmp_path / "feat")
+    write_delta(spark.range(3), loc)
+    import json as _json
+
+    commit = f"{loc}/_delta_log/{1:020d}.json"
+    with open(commit, "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["typeWidening"]}}) + "\n")
+    with pytest.raises(NotImplementedError, match="typeWidening"):
+        read_delta(spark, loc)
+
+
+def test_version_as_of_replays_from_checkpoint_base(spark, tmp_path):
+    """Time travel must use the newest checkpoint at or before the
+    target version — pre-checkpoint commits may be retention-cleaned."""
+    import pyarrow.parquet as pq
+
+    from beacon_spark.sources.delta import _snapshot
+
+    loc = str(tmp_path / "cpbase")
+    write_delta(spark.range(3), loc)                      # v0
+    write_delta(spark.range(5), loc, mode="append")       # v1
+    snap = _snapshot(loc)
+    log = os.path.join(loc, "_delta_log")
+    pq.write_table(
+        _checkpoint_table(_checkpoint_rows(snap)),
+        os.path.join(log, f"{snap.version:020d}.checkpoint.parquet"),
+    )
+    write_delta(spark.range(7), loc, mode="append")       # v2
+    # retention-clean the pre-checkpoint commits
+    for v in (0, 1):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    assert read_delta(spark, loc, version_as_of=2).count() == 15

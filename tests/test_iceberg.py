@@ -112,6 +112,7 @@ def test_unknown_content_rejected(spark, ice_dir):
     entries.append({
         "manifest_path": bad, "manifest_length": _os.path.getsize(bad),
         "content": 1, "added_snapshot_id": 99,
+        "sequence_number": None, "min_sequence_number": None,
     })
     _wa(mlist, _MANIFEST_LIST_SCHEMA, entries)
     with pytest.raises(ValueError, match="unknown iceberg file content"):
@@ -223,3 +224,31 @@ def test_deletes_respect_sequence_order(spark, tmp_path):
     write_iceberg_deletes(spark, loc, pos=[(snap3_file, 0)])
     ids2 = sorted(r.id for r in read_iceberg(spark, loc).collect())
     assert len(ids2) == 9 and 100 not in ids2 and 101 in ids2
+
+
+def test_deletes_apply_with_relative_table_location(spark, tmp_path,
+                                                    monkeypatch):
+    """A RELATIVE table location must still produce delete-join keys that
+    match _metadata.file_path's absolute URIs — a mismatch silently
+    returned deleted rows (the anti-join removed nothing)."""
+    import os as _os
+    import shutil as _shutil
+
+    from beacon_spark.sources.iceberg import write_iceberg_deletes
+
+    loc = str(tmp_path / "ice_orig")
+    write_iceberg(spark.range(0, 10).coalesce(1), loc)
+    data_files = [
+        _os.path.join(r, n)
+        for r, _, ns in _os.walk(_os.path.join(loc, "data"))
+        for n in ns if n.endswith(".parquet")
+    ]
+    write_iceberg_deletes(spark, loc, pos=[(data_files[0], 0)])
+    # relocate (same basename — _localize re-roots on it), then read
+    # through a RELATIVE location: re-rooted paths localize to relative
+    # file names, which must still match _metadata.file_path's abs URIs
+    _os.makedirs(str(tmp_path / "sub"))
+    _shutil.move(loc, str(tmp_path / "sub" / "ice_orig"))
+    monkeypatch.chdir(str(tmp_path / "sub"))
+    ids = sorted(r.id for r in read_iceberg(spark, "ice_orig").collect())
+    assert len(ids) == 9 and 0 not in ids
