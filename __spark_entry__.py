@@ -729,10 +729,14 @@ _SQL_CORPUS_SPLIT = """
 WITH b AS (
   SELECT n_chars,
          (
-           (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 1)) - 1) * 4096
-         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 2, 1)) - 1) * 256
-         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 3, 1)) - 1) * 16
-         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 4, 1)) - 1)
+           (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 1)) - 1) * 268435456::BIGINT
+         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 2, 1)) - 1) * 16777216::BIGINT
+         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 3, 1)) - 1) * 1048576::BIGINT
+         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 4, 1)) - 1) * 65536::BIGINT
+         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 5, 1)) - 1) * 4096::BIGINT
+         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 6, 1)) - 1) * 256::BIGINT
+         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 7, 1)) - 1) * 16::BIGINT
+         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 8, 1)) - 1) * 1::BIGINT
          ) % 10000 AS bucket
   FROM documents
 )
@@ -862,8 +866,9 @@ def _q_text_quality(spark, sf_dir):
 
 
 def _stop_hits_sql(col: str, words: list[str]) -> str:
+    # word-boundary regex counts, mirroring pipeline/text.py exactly
     parts = [
-        f"(length({col}) - length(replace({col}, ' {w} ', ''))) / {len(w) + 2}"
+        f"len(regexp_extract_all({col}, '\\b{w}\\b'))"
         for w in words
     ]
     return "(" + " + ".join(parts) + ")"
@@ -871,7 +876,7 @@ def _stop_hits_sql(col: str, words: list[str]) -> str:
 
 _SQL_TEXT_QUALITY = f"""
 WITH base AS (
-  SELECT doc_id, text, ' ' || text || ' ' AS padded,
+  SELECT doc_id, text, text AS padded,
     length(text) AS n_chars,
     CASE WHEN length(trim(text)) = 0 THEN 0
          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
@@ -910,7 +915,7 @@ def _lang_sql() -> str:
         f"WHEN s_{l} > 0 AND s_{l} = {g} THEN '{l}'" for l in langs
     )
     return f"""
-WITH base AS (SELECT doc_id, ' ' || text || ' ' AS padded FROM documents),
+WITH base AS (SELECT doc_id, text AS padded FROM documents),
 scored AS (SELECT doc_id, {score_cols} FROM base)
 SELECT doc_id, CASE {case} ELSE 'und' END AS lang_pred FROM scored
 """

@@ -43,9 +43,12 @@ def _bucket_expr(id_col: str, seed: int, hash_fn: str) -> F.Column:
     if hash_fn == "xxhash64":
         return F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
     if hash_fn == "md5":
+        # 8 hex chars = 2^32 values: pmod 10000 bias ~2e-6. FOUR chars
+        # (65536 values) skewed buckets 0-5535 to 7/6 the mass of the
+        # rest — a requested 1% split actually got 0.92%.
         h = f"md5(concat(cast({id_col} as string), ':', {seed}))"
         return F.expr(
-            f"pmod(cast(conv(substr({h}, 1, 4), 16, 10) as int), 10000)"
+            f"pmod(cast(conv(substr({h}, 1, 8), 16, 10) as bigint), 10000)"
         )
     raise ValueError("hash_fn must be xxhash64|md5")
 
@@ -139,9 +142,12 @@ def chunk_documents(
     if not 0 <= overlap < max_words:
         raise ValueError("need 0 <= overlap < max_words")
     stride = max_words - overlap
+    # starts stop at size - overlap: a start past that point yields a
+    # chunk fully CONTAINED in its predecessor (duplicate training text
+    # whenever the previous chunk already reached the document end)
     chunks = (
         f"transform(array(split(trim({text_col}), '\\\\s+')), ws -> "
-        f"transform(sequence(1, greatest(size(ws), 1), {stride}), "
+        f"transform(sequence(1, greatest(size(ws) - {overlap}, 1), {stride}), "
         f"s -> array_join(slice(ws, s, {max_words}), ' ')))[0]"
     )
     return (
@@ -205,8 +211,11 @@ def decontaminate(
         ).select(
             id_col, F.coalesce(F.col("__f"), F.lit(False)).alias("contaminated")
         )
+    # NO forced broadcast: the contaminated-id set is unbounded (one
+    # boilerplate eval paragraph can taint tens of millions of training
+    # docs) — let AQE pick broadcast only when it actually fits
     return train.join(
-        F.broadcast(contaminated), train[id_col] == F.col("__cid"), "left_anti"
+        contaminated, train[id_col] == F.col("__cid"), "left_anti"
     )
 
 
@@ -326,7 +335,8 @@ def pack_sequences(
     nparts = n_bins_partitions or df.sparkSession.sparkContext.defaultParallelism
 
     out_schema = T.StructType([
-        T.StructField("id", T.LongType()),
+        # the id keeps ITS OWN type — hardcoding long crashed string ids
+        T.StructField("id", df.schema[id_col].dataType),
         T.StructField("n_tokens", T.LongType()),
         T.StructField("seq_id", T.StringType()),
         T.StructField("seq_tokens", T.LongType()),
@@ -349,7 +359,7 @@ def pack_sequences(
                 filled[b] += t
             assign.append(b)
         return pd.DataFrame({
-            "id": pdf["id"].astype("int64"),
+            "id": pdf["id"],
             "n_tokens": pdf["__t"].astype("int64"),
             "seq_id": [f"{part}-{b}" for b in assign],
             "seq_tokens": [int(filled[b]) for b in assign],

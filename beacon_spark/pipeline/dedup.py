@@ -278,6 +278,13 @@ def minhash_lsh_pairs(
     verified with *exact* shingle Jaccard, so the output contains no false
     positives — matching an exact-Jaccard oracle whenever recall holds.
     """
+    if not (1 <= bands <= num_perm and num_perm % bands == 0):
+        # bands > num_perm makes every band key CONSTANT (an O(n^2)
+        # cross join at corpus scale); a non-divisor silently discards
+        # trailing permutations and bends the recall curve
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm} "
+            f"(1 <= bands <= num_perm)")
     rows_per_band = num_perm // bands
     params = _hash_params(num_perm, seed)
     a_arr = ", ".join(f"{a}L" for a, _ in params)
@@ -451,11 +458,13 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn("hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    out._beacon_cached = (sigs,)  # release_caches(result) frees the scan
+    return out
 
 
 # ---------------------------------------------------------------- clusters
@@ -495,6 +504,18 @@ def dedup_clusters(
         pairs.schema[id_b].dataType,
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
     )
+
+    def _long_safe(dt) -> bool:
+        # DecimalType casts to long by TRUNCATION: a fractional or
+        # oversized decimal id would silently merge distinct documents
+        # and return ids that match nothing — route those through the
+        # hashed path like strings
+        if isinstance(dt, T.DecimalType):
+            return dt.scale == 0 and dt.precision <= 18
+        return True
+
+    numeric = numeric and _long_safe(pairs.schema[id_a].dataType) \
+        and _long_safe(pairs.schema[id_b].dataType)
     if not numeric:
         return _dedup_clusters_hashed(pairs, id_a, id_b, max_iterations)
     edges = (
@@ -633,7 +654,11 @@ def near_dedup(
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
         threshold=threshold, seed=seed,
     )
-    return dedup_keep_canonical(df, pairs, id_col)
+    out = dedup_keep_canonical(df, pairs, id_col)
+    # forward the LSH caches so release_caches(result) can free them in
+    # a long repeated-call session
+    out._beacon_cached = getattr(pairs, "_beacon_cached", ())
+    return out
 
 
 def duplicate_spans(
@@ -717,6 +742,13 @@ def _fingerprint_frame(
     a reusable frame for the persisted-index workflow. minhash_lsh_pairs
     keeps its own inline fused form deliberately: its two-cache layout
     (hashes reused by verify) is tuned for the self-join benchmark."""
+    if not (1 <= bands <= num_perm and num_perm % bands == 0):
+        # bands > num_perm makes every band key CONSTANT (an O(n^2)
+        # cross join at corpus scale); a non-divisor silently discards
+        # trailing permutations and bends the recall curve
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm} "
+            f"(1 <= bands <= num_perm)")
     rows_per_band = num_perm // bands
     params = _hash_params(num_perm, seed)
     a_arr = ", ".join(f"{a}L" for a, _ in params)
@@ -800,7 +832,7 @@ def fingerprint_index_build(
         .parquet(bs.spark_path(bs.join(path, "bands")))
     )
     (
-        fp.select("__id", "__hs").distinct()
+        fp.select("__id", "__hs").dropDuplicates(["__id"])
         .write.mode(mode).parquet(bs.spark_path(bs.join(path, "hashes")))
     )
     fp.unpersist()
@@ -978,7 +1010,9 @@ def semdedup(
     )
 
     out_schema = T.StructType([
-        T.StructField("id", T.LongType()),
+        # the id keeps ITS OWN type — hardcoding long crashed string ids
+        # inside applyInPandas with an opaque executor error
+        T.StructField("id", df.schema[id_col].dataType),
         T.StructField("cell", T.IntegerType()),
         T.StructField("keep", T.BooleanType()),
     ])
@@ -999,7 +1033,7 @@ def semdedup(
         v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         keep = _semdedup_keep(v, threshold, block_rows)
         return pd.DataFrame({
-            "id": pdf["id"].astype("int64"),
+            "id": pdf["id"],
             "cell": pdf["cell"].astype("int32"),
             "keep": keep,
         })

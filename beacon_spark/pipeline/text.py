@@ -40,9 +40,11 @@ def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     n_chars = F.length(t)
     n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
     n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    # word-boundary regexp counts: the old space-split trick missed
+    # markers adjacent to punctuation/newlines and shared-space repeats
+    # (' the the ' counted 2 of 3), systematically deflating the ratio
     stop_hits = sum(
-        (F.size(F.split(F.concat(F.lit(" "), t, F.lit(" ")), f" {w} ")) - 1)
-        for w in LANG_MARKERS["en"]
+        F.regexp_count(t, F.lit(rf"\b{w}\b")) for w in LANG_MARKERS["en"]
     )
     mean_word_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
     return df.select(
@@ -60,9 +62,9 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Stopword-marker language ID: argmax of per-language marker hits,
     'und' (undetermined) when nothing matches. greatest()/chained CASE —
     fully codegen'd, SQL-portable."""
-    t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    t = F.col(text_col)
     scores = {
-        lang: sum((F.size(F.split(t, f" {w} ")) - 1) for w in words)
+        lang: sum(F.regexp_count(t, F.lit(rf"\b{w}\b")) for w in words)
         for lang, words in LANG_MARKERS.items()
     }
     best = F.greatest(*scores.values())
@@ -182,7 +184,11 @@ def scrub_pii(
     counts = []
     for kind in kinds:
         pat, token = _PII_PATTERNS[kind]
-        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
+        # count against the ORIGINAL text: counting the partially-
+        # scrubbed value made n_<kind> depend on the kinds order and
+        # double-counted spans (an email inside a URL hit both)
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}"))
         cur = F.regexp_replace(cur, pat, token)
     keep = [F.col(c) for c in df.columns if c != out_col]
     return df.select(*keep, *counts, cur.alias(out_col))

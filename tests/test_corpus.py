@@ -28,14 +28,24 @@ def test_chunk_documents_overlap_and_short(spark):
     )
     out = chunk_documents(df, max_words=4, overlap=2)
     rows = {(r.doc_id, r.chunk_id): r.text.split() for r in out.collect()}
-    # stride 2: starts at word 0, 2, 4, 6
+    # stride 2, starts stop at size - overlap = 5: a start at word 6
+    # would emit words[6:7], a strict SUBSTRING of chunk 2 (duplicate
+    # training text) — r8 review fix
     assert rows[(1, 0)] == words[0:4]
     assert rows[(1, 1)] == words[2:6]
     assert rows[(1, 2)] == words[4:7]
-    assert rows[(1, 3)] == words[6:7]
+    assert (1, 3) not in rows
     assert rows[(2, 0)] == ["solo"]
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, max_words=4, overlap=4)
+    # every chunk past the first contributes NEW trailing words
+    out2 = chunk_documents(df, max_words=4, overlap=1)
+    texts = [r.text.split() for r in
+             out2.filter("doc_id = 1").orderBy("chunk_id").collect()]
+    for t in texts:
+        assert len(" ".join(t).split()) > 0
+    # full coverage: the union of chunks is the whole document
+    assert sorted({w for t in texts for w in t}) == sorted(words)
 
 
 def test_chunk_documents_no_python_in_plan(spark):

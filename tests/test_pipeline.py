@@ -776,3 +776,69 @@ def test_semdedup_keep_memory_is_blocked_not_dense():
     tracemalloc.stop()
     dense_bytes = 3000 * 3000 * 8
     assert peak < dense_bytes / 4, f"peak {peak} ~ dense {dense_bytes}"
+
+
+def test_dedup_clusters_decimal_ids_route_hashed(spark):
+    """Fractional decimal ids must NOT cast-truncate to long (two
+    distinct documents would silently merge and returned ids would
+    match nothing) — they take the hashed path like strings."""
+    from decimal import Decimal
+
+    from beacon_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(Decimal("10.1"), Decimal("10.9")),
+         (Decimal("20.3"), Decimal("30.5"))],
+        "id_a decimal(10,1), id_b decimal(10,1)")
+    out = dedup_clusters(pairs).collect()
+    ids = {str(r.doc_id) for r in out}
+    assert ids == {"10.1", "10.9", "20.3", "30.5"}
+    clusters = {}
+    for r in out:
+        clusters.setdefault(str(r.cluster_id), set()).add(str(r.doc_id))
+    assert {frozenset(v) for v in clusters.values()} == {
+        frozenset({"10.1", "10.9"}), frozenset({"20.3", "30.5"})}
+
+
+def test_minhash_bands_validated(spark):
+    from beacon_spark.pipeline.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    import pytest as _p
+
+    with _p.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(df, num_perm=64, bands=65)
+    with _p.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(df, num_perm=64, bands=24)
+
+
+def test_pack_and_semdedup_accept_string_ids(spark):
+    from beacon_spark.pipeline.corpus import pack_sequences
+    from beacon_spark.pipeline.dedup import semdedup
+
+    df = spark.createDataFrame(
+        [(f"doc-{i}", 10 + i) for i in range(6)],
+        "doc_id string, n_tokens long")
+    packed = pack_sequences(df, max_tokens=64)
+    assert dict(packed.dtypes)["doc_id"] == "string"
+    assert packed.count() == 6
+
+    vecs = spark.createDataFrame(
+        [(f"v-{i}", [1.0, 0.0] if i < 3 else [0.0, 1.0]) for i in range(6)],
+        "doc_id string, embedding array<double>")
+    out = semdedup(vecs, id_col="doc_id", n_cells=2, threshold=0.99)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert out.count() == 6 and out.filter("keep").count() == 2
+
+
+def test_md5_bucket_unbiased(spark):
+    """8 hex chars: a 1% bucket slice gets ~1%, not the 0.92% the 4-char
+    modulo bias produced."""
+    from beacon_spark.pipeline.corpus import split_corpus
+
+    df = spark.range(60_000).selectExpr("id AS doc_id")
+    out = split_corpus(df, hash_fn="md5")  # 98/1/1 default
+    counts = {r.split: r.n for r in out.groupBy("split").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert abs(counts["validation"] / 60_000 - 0.01) < 0.002
+    assert abs(counts["test"] / 60_000 - 0.01) < 0.002
