@@ -53,8 +53,13 @@ class BeaconCliClient:
                  password: str | None = None, token: str | None = None,
                  timeout: float = 60.0):
         # localhost → 127.0.0.1 (README: avoids the Windows IPv6-first
-        # 2s stall against IPv4-only servers)
-        self.url = url.replace("//localhost", "//127.0.0.1").rstrip("/")
+        # 2s stall against IPv4-only servers). Exact-host only — a bare
+        # substring replace corrupted hosts merely STARTING with it
+        # (localhost.run → 127.0.0.1.run)
+        import re as _re
+
+        self.url = _re.sub(
+            r"//localhost(?=[:/]|$)", "//127.0.0.1", url).rstrip("/")
         self.timeout = timeout
         self._headers: dict[str, str] = {}
         if token:
@@ -66,7 +71,12 @@ class BeaconCliClient:
 
     # ------------------------------------------------------------ http
 
-    def _request(self, path: str, body: dict | None = None) -> bytes:
+    def _request(self, path: str, body: dict | None = None,
+                 sink=None) -> bytes | int:
+        """POST/GET ``path``; returns the body bytes, or — when ``sink``
+        (a writable binary file) is given — streams the response into it
+        chunk by chunk and returns the byte count, so a multi-GB export
+        never sits in CLI memory."""
         data = json.dumps(body).encode() if body is not None else None
         req = urllib.request.Request(
             self.url + path, data=data,
@@ -74,7 +84,15 @@ class BeaconCliClient:
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                return r.read()
+                if sink is None:
+                    return r.read()
+                total = 0
+                while True:
+                    chunk = r.read(1 << 20)
+                    if not chunk:
+                        return total
+                    sink.write(chunk)
+                    total += len(chunk)
         except urllib.error.HTTPError as e:
             try:
                 msg = json.loads(e.read().decode())
@@ -111,12 +129,11 @@ class BeaconCliClient:
             raise CliError(
                 f"cannot infer export format from {path!r}; use --format"
             )
-        raw = self._request(
-            "/api/query", {"sql": sql, "output": {"format": fmt}}
-        )
         with open(path, "wb") as f:
-            f.write(raw)
-        return len(raw)
+            return self._request(
+                "/api/query", {"sql": sql, "output": {"format": fmt}},
+                sink=f,
+            )
 
     def tables(self) -> list:
         return self._get_json("/api/tables")

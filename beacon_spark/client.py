@@ -110,28 +110,26 @@ def _wrap_error(e: BaseException) -> Error:
 
 
 def _qmark_to_dollar(sql: str) -> str:
-    """``?`` placeholders → ``$1..$n`` (outside string literals); ``$n``
-    passes through untouched, matching the reference's paramstyle note."""
+    """``?`` placeholders → ``$1..$n``; ``$n`` passes through untouched,
+    matching the reference's paramstyle note. Placeholders are resolved
+    with the SAME lexer as every other gate (server/guard.py), so a
+    ``?`` inside a double-quoted string, backtick identifier, or comment
+    is never rewritten (a single-quote-only scan corrupted those)."""
+    from beacon_spark.server.guard import sql_noncode_spans
+
+    spans = sql_noncode_spans(sql)
+
+    def in_noncode(pos: int) -> bool:
+        return any(a <= pos < b for a, b in spans)
+
     out: list[str] = []
     n = 0
-    in_lit = False
-    i = 0
-    while i < len(sql):
-        ch = sql[i]
-        if ch == "'":
-            # '' inside a literal is an escaped quote, not a boundary
-            if in_lit and sql[i + 1:i + 2] == "'":
-                out.append("''")
-                i += 2
-                continue
-            in_lit = not in_lit
-            out.append(ch)
-        elif ch == "?" and not in_lit:
+    for i, ch in enumerate(sql):
+        if ch == "?" and not in_noncode(i):
             n += 1
             out.append(f"${n}")
         else:
             out.append(ch)
-        i += 1
     return "".join(out)
 
 
@@ -208,8 +206,13 @@ class Result:
 
         from beacon_spark.outputs import arrow_schema_of, iter_arrow_batches
 
+        schema = arrow_schema_of(self._df)
+        # the spool may yield an uncast batch on cast-unfriendly schemas
+        # (iter_arrow_batches' fallback) — align like record_batch does
         return pa.Table.from_batches(
-            iter_arrow_batches(self._df), schema=arrow_schema_of(self._df)
+            (b if b.schema == schema else b.cast(schema)
+             for b in iter_arrow_batches(self._df)),
+            schema=schema,
         )
 
     def df(self):
@@ -459,7 +462,9 @@ class Connection:
     def execute(self, query: str, parameters=None) -> "Connection":
         sql_text = _qmark_to_dollar(query) if parameters else query
         df = self._engine_sql(
-            sql_text, params=list(parameters) if parameters else None
+            sql_text,
+            params=(parameters if isinstance(parameters, dict)
+                    else list(parameters)) if parameters else None
         )
         self._result = Result(df)
         return self
@@ -512,6 +517,8 @@ class Connection:
         fn = function if function.startswith("read_") else f"read_{function}"
         if fn == "read_odv_ascii":
             fn = "read_odv"
+        elif fn == "read_hdf5":
+            fn = "read_netcdf"  # engine.py maps hdf5 onto the nd reader
         target = getattr(self.engine, fn, None)
         if target is None:
             raise NotSupportedError(f"unknown table function {function!r}")
@@ -613,11 +620,14 @@ class Connection:
                tls: bool = False, **_ignored) -> None:
         opts = []
         if token:
-            opts.append(f"'token' '{token}'")
+            # SQL-escape: a token containing a quote would otherwise
+            # break the engine's ATTACH parse (or truncate the token)
+            opts.append(f"'token' '{token.replace(chr(39), chr(39) * 2)}'")
         if tls:
             opts.append("'tls' 'true'")
         with_clause = f" WITH ({', '.join(opts)})" if opts else ""
-        self._engine_sql(f"ATTACH '{url}' AS {name}{with_clause}")
+        url_q = url.replace("'", "''")
+        self._engine_sql(f"ATTACH '{url_q}' AS {name}{with_clause}")
 
     def detach(self, name: str) -> bool:
         try:
@@ -664,6 +674,14 @@ class Connection:
                    token: str | None = None) -> "Connection":
         from beacon_spark import auth as _auth
 
+        if token is not None:
+            # bearer tokens are a TRANSPORT credential (HTTP/Flight);
+            # the embedded client has no validator for them — silently
+            # returning an anonymous session granted the wrong identity
+            raise NotSupportedError(
+                "token auth is not supported by the embedded client; "
+                "connect with username/password, or use the HTTP/Flight "
+                "transports for bearer tokens")
         if username is None:
             return self.as_anonymous()
         if not _auth.verify_user(self.engine, username, password or ""):

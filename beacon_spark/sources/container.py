@@ -49,6 +49,7 @@ through blobopen, never materializing an object in memory.
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import io
 import os
@@ -58,6 +59,7 @@ import sqlite3
 import tempfile
 import threading
 import time
+import uuid
 from fnmatch import fnmatch
 from urllib.parse import urlparse
 
@@ -110,12 +112,35 @@ class _Container:
         self.db_path = db_path
         self._tls = threading.local()
         self._lock = threading.Lock()
-        tag = hashlib.sha1(db_path.encode()).hexdigest()[:16]
+        # serializes reconcile/absorb sweeps (REENTRANT: absorb calls
+        # _reconcile_armed) — two concurrent facade ops double-ingesting
+        # the same stage file crashed the second's unlink
+        self._stage_lock = threading.RLock()
+        # the shadow dirs are scoped to the CONTAINER INSTANCE, not just
+        # its path: copying a different .db over the same path (the
+        # module's stated portability workflow) must not serve the old
+        # container's phantom cache files — or worse, reconcile them
+        # back INTO the new container
+        with self._lock:
+            conn = self._conn()
+            conn.executescript(_DDL)
+            conn.execute(
+                "INSERT OR IGNORE INTO beacon_meta(k, v) "
+                "VALUES('instance_id', ?)", (uuid.uuid4().hex,))
+            conn.commit()
+            instance = conn.execute(
+                "SELECT v FROM beacon_meta WHERE k = 'instance_id'"
+            ).fetchone()[0]
+        tag = hashlib.sha1(
+            f"{db_path}:{instance}".encode()).hexdigest()[:16]
         shadow = os.path.join(tempfile.gettempdir(), "beacon-bdb", tag)
         self.cache_dir = os.path.join(shadow, "cache")
         self.stage_dir = os.path.join(shadow, "stage")
         os.makedirs(self.cache_dir, exist_ok=True)
         os.makedirs(self.stage_dir, exist_ok=True)
+        # cache paths handed to the JVM this session: lazy DataFrames
+        # may execute ANY time later, so these are never pruned
+        self._pinned: set[str] = set()
         # extraction ledger: key → (size, mtime) stamped on the cache
         # file when it was extracted. A cache file that no longer
         # matches its ledger entry was OVERWRITTEN by the JVM and must
@@ -125,10 +150,6 @@ class _Container:
         # spark_path handouts of EXISTING keys/prefixes, each arming one
         # reconciliation sweep on the next facade op touching them
         self._armed: set[str] = set()
-        with self._lock:
-            conn = self._conn()
-            conn.executescript(_DDL)
-            conn.commit()
 
     def _conn(self) -> sqlite3.Connection:
         # per-thread AND per-process: a forked Spark python worker
@@ -175,16 +196,22 @@ class _Container:
     # ------------------------------------------------------ read plane
 
     def read_range(self, key: str, offset: int, length: int) -> bytes:
-        st = self.stat(key)
-        if st is None:
-            raise FileNotFoundError(f"{key} in {self.db_path}")
-        rowid, size, _ = st
-        if offset >= size:
-            return b""
-        length = min(length, size - offset)
-        with self._conn().blobopen("objects", "data", rowid, readonly=True) as bl:
-            bl.seek(offset)
-            return bl.read(length)
+        # stat + blobopen under the WRITE lock: write_from_file's
+        # DELETE+INSERT mints a new rowid, so an unlocked read could
+        # open a deleted row (OperationalError) — or, after rowid
+        # reuse, silently read another object's bytes
+        with self._lock:
+            st = self.stat(key)
+            if st is None:
+                raise FileNotFoundError(f"{key} in {self.db_path}")
+            rowid, size, _ = st
+            if offset >= size:
+                return b""
+            length = min(length, size - offset)
+            with self._conn().blobopen(
+                    "objects", "data", rowid, readonly=True) as bl:
+                bl.seek(offset)
+                return bl.read(length)
 
     def read_bytes(self, key: str) -> bytes:
         st = self.stat(key)
@@ -301,7 +328,13 @@ class _Container:
 
     def cache_path(self, key: str) -> str:
         """Extract an object to the local cache (staleness-checked via
-        size+mtime stamped onto the cache file) and return the path."""
+        size+mtime stamped onto the cache file) and return the path.
+        Runs under the write lock: the rowid must not dangle across a
+        concurrent DELETE+INSERT of the same key."""
+        with self._lock:
+            return self._cache_path_locked(key)
+
+    def _cache_path_locked(self, key: str) -> str:
         st = self.stat(key)
         if st is None:
             raise FileNotFoundError(f"{key} in {self.db_path}")
@@ -399,6 +432,12 @@ class _Container:
                 continue
             if any(key == a or key.startswith(a + "/") for a in prefix_arms):
                 continue
+            if any(key == pin or key.startswith(pin + "/")
+                   for pin in self._pinned):
+                # the JVM holds this path inside a LAZY DataFrame — it
+                # cannot re-extract, so eviction = FileNotFoundException
+                # at collect time
+                continue
             try:
                 os.unlink(p)
             except OSError:
@@ -407,6 +446,15 @@ class _Container:
             total -= sz
             if total <= self.CACHE_BYTES:
                 return
+        if total > self.CACHE_BYTES:
+            import logging
+
+            logging.getLogger("beacon_spark.container").warning(
+                "bdb cache exceeds its budget (%d > %d bytes): the "
+                "overage is pinned by spark_path handouts this session "
+                "(lazy DataFrames may still read them)",
+                total, self.CACHE_BYTES,
+            )
 
     def cache_tree(self, prefix: str) -> str:
         """Extract every object under ``prefix`` and return the cache
@@ -472,12 +520,13 @@ class _Container:
                     self.delete(key)
 
     def _reconcile_armed(self, op_key: str) -> None:
-        for armed in list(self._armed):
-            if (not op_key or not armed or armed == op_key
-                    or armed.startswith(op_key + "/")
-                    or op_key.startswith(armed + "/")):
-                self._armed.discard(armed)
-                self.reconcile(armed)
+        with self._stage_lock:
+            for armed in list(self._armed):
+                if (not op_key or not armed or armed == op_key
+                        or armed.startswith(op_key + "/")
+                        or op_key.startswith(armed + "/")):
+                    self._armed.discard(armed)
+                    self.reconcile(armed)
 
     def absorb(self, key_prefix: str) -> None:
         """Pull any finished Spark-written shadow files under
@@ -485,31 +534,44 @@ class _Container:
         Called before every metadata-plane op, so a facade caller never
         observes the staging window."""
         self._reconcile_armed(key_prefix)
-        root = os.path.join(self.stage_dir, key_prefix) if key_prefix else self.stage_dir
-        if not os.path.isdir(root):
-            if os.path.isfile(root):
-                self.write_from_file(key_prefix, root)
-                os.unlink(root)
-            return
-        for dirpath, dirs, files in os.walk(root):
-            # Hadoop commits through _temporary/ + rename: files still in
-            # there belong to an in-flight write — absorbing them would
-            # ingest torn part files. They surface at the final path once
-            # the task commit renames them.
-            if "_temporary" in dirs:
-                dirs.remove("_temporary")
-            for f in files:
-                if f.startswith("."):  # Hadoop .crc shadows — never data
-                    os.unlink(os.path.join(dirpath, f))
-                    continue
-                local = os.path.join(dirpath, f)
-                key = os.path.relpath(local, self.stage_dir).replace(os.sep, "/")
-                self.write_from_file(key, local)
-                os.unlink(local)
-        # drop the shadow tree unless an in-flight _temporary/ still
-        # holds files (they surface via task-commit rename later)
-        if not any(files for _, _, files in os.walk(root)):
-            shutil.rmtree(root, ignore_errors=True)
+        # the stage sweep is serialized: two concurrent facade ops
+        # walking the same tree double-ingested files and crashed the
+        # loser's unlink; vanished files are tolerated regardless
+        with self._stage_lock:
+            root = (os.path.join(self.stage_dir, key_prefix)
+                    if key_prefix else self.stage_dir)
+            if not os.path.isdir(root):
+                if os.path.isfile(root):
+                    self.write_from_file(key_prefix, root)
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(root)
+                return
+            for dirpath, dirs, files in os.walk(root):
+                # Hadoop commits through _temporary/ + rename: files
+                # still in there belong to an in-flight write —
+                # absorbing them would ingest torn part files. They
+                # surface at the final path once the task commit
+                # renames them.
+                if "_temporary" in dirs:
+                    dirs.remove("_temporary")
+                for f in files:
+                    local = os.path.join(dirpath, f)
+                    if f.startswith("."):  # Hadoop .crc shadows
+                        with contextlib.suppress(FileNotFoundError):
+                            os.unlink(local)
+                        continue
+                    key = os.path.relpath(
+                        local, self.stage_dir).replace(os.sep, "/")
+                    try:
+                        self.write_from_file(key, local)
+                    except FileNotFoundError:
+                        continue  # a racing sweep already ingested it
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(local)
+            # drop the shadow tree unless an in-flight _temporary/
+            # still holds files (they surface via task-commit rename)
+            if not any(files for _, _, files in os.walk(root)):
+                shutil.rmtree(root, ignore_errors=True)
 
 
 def checkpoint(db_path: str) -> None:
@@ -754,10 +816,12 @@ class ContainerFS:
         if cont.stat(key) is not None:
             p = cont.cache_path(key)
             cont._armed.add(key)  # a JVM overwrite here must ingest back
+            cont._pinned.add(key)  # lazy DataFrames read this path LATER
             return p
         if cont.has_prefix(key):
             p = cont.cache_tree(key)
             cont._armed.add(key)
+            cont._pinned.add(key)
             return p
         # a write target: hand Spark a staging shadow; the next facade
         # op on this subtree absorbs the finished files

@@ -214,3 +214,37 @@ def test_json_query_respects_read_only(spark, tmp_path):
     assert ro.json_query({"sql": "SELECT * FROM priv"}).arrow().num_rows == 1
     assert admin.sql("SELECT count(*) AS n FROM priv").fetchall() == [(1,)]
     ro.close(); admin.close()
+
+
+def test_read_hdf5_alias_and_qmark_lexer(spark, tmp_path):
+    """Round-8 review: read_hdf5 resolves (the engine maps hdf5 onto the
+    nd reader); '?' inside double-quoted literals/backticks/comments is
+    never rewritten to a placeholder."""
+    import beacon_spark.client as bc
+
+    con = bc.connect(str(tmp_path), spark=spark)
+    con.execute("CREATE TABLE qm AS SELECT id FROM range(3)")
+    # ? inside a double-quoted string literal + a comment stays put
+    rows = con.execute(
+        'SELECT "ready?" AS q, ? AS x FROM qm -- trailing?', [7]
+    ).fetchall()
+    assert rows[0] == ("ready?", 7)
+    assert "read_hdf5" in [f for f in con.table_functions()]
+    # the alias resolves instead of NotSupportedError (no .nc fixture
+    # needed: a missing file must raise an ENGINE error, not 'unknown
+    # table function')
+    import pytest as _p
+
+    with _p.raises(Exception) as ei:
+        con.read_hdf5("nope.h5")
+    assert "unknown table function" not in str(ei.value)
+
+
+def test_connect_as_token_refuses_loudly(spark, tmp_path):
+    import beacon_spark.client as bc
+
+    con = bc.connect(str(tmp_path), spark=spark)
+    import pytest as _p
+
+    with _p.raises(bc.NotSupportedError, match="token"):
+        con.connect_as(token="some-bearer")

@@ -280,13 +280,21 @@ def test_cache_eviction_under_budget(root, tmp_path, monkeypatch):
     for i in range(8):
         bs.write_bytes(f"{root}/d/f{i}.bin", bytes([i]) * 1_000)
     for i in range(8):
-        bs.spark_path(f"{root}/d/f{i}.bin")  # extract (8 KB total)
+        cont.cache_path(f"d/f{i}.bin")  # plain extraction (8 KB total)
     cont._prune_cache()
     cached = [f for f in os.listdir(os.path.join(cont.cache_dir, "d"))]
     assert 0 < len(cached) <= 3
     # evicted objects re-extract transparently with correct bytes
     p0 = bs.spark_path(f"{root}/d/f0.bin")
     assert open(p0, "rb").read() == b"\x00" * 1_000
+    # spark_path handouts PIN their files: a lazy DataFrame may read the
+    # handed-out path any time later, so pruning never evicts it (the
+    # budget bounds only re-extractable plain reads)
+    p7 = bs.spark_path(f"{root}/d/f7.bin")
+    for i in range(1, 7):
+        cont.cache_path(f"d/f{i}.bin")
+    cont._prune_cache()
+    assert os.path.exists(p7) and os.path.exists(p0)
 
 
 def test_container_kv_semantics_property(tmp_path):
@@ -348,3 +356,25 @@ def test_container_kv_semantics_property(tmp_path):
         bc.close_container(f"{tmp_path}/prop{counter[0]}.db")
 
     run()
+
+
+def test_replaced_container_gets_fresh_shadow(tmp_path):
+    """Copying a DIFFERENT .db over the same path must not serve the old
+    container's cache files (phantom reads) nor reconcile them back into
+    the new container — the shadow dir is keyed by container instance."""
+    import shutil
+
+    a = str(tmp_path / "lake.db")
+    b = str(tmp_path / "other.db")
+    bs.write_bytes(f"bdb://{a}/d/x.bin", b"AAAA")
+    ca = bc._container(a)
+    pa_ = bs.spark_path(f"bdb://{a}/d/x.bin")
+    assert open(pa_, "rb").read() == b"AAAA"
+    bs.write_bytes(f"bdb://{b}/d/y.bin", b"BBBB")
+    bc.close_container(a)
+    bc.close_container(b)
+    shutil.copy(b, a)  # the portability workflow: replace the file
+    cb = bc._container(a)
+    assert cb.cache_dir != ca.cache_dir  # fresh shadow for the new instance
+    assert cb.stat("d/x.bin") is None    # old object NOT resurrected
+    assert bs.read_bytes(f"bdb://{a}/d/y.bin") == b"BBBB"
