@@ -666,6 +666,22 @@ def spark_path(path: str) -> str:
     return f(path) if f is not None else path
 
 
+def spark_uri_form(path: str) -> str:
+    """Like :func:`spark_path`, but WITHOUT constructing a filesystem
+    for well-known object-store schemes — _ArrowFS construction resolves
+    the bucket over the network, which a pure JOIN-KEY normalization
+    (Delta/Iceberg delete keys vs ``_metadata.file_path``) must never
+    need. The s3→s3a rewrite is textual; REGISTERED schemes (local
+    factories: bdb containers, test stores) delegate to their fs;
+    everything else passes through like _ArrowFS.spark_path would."""
+    if path.startswith("s3://"):
+        return "s3a://" + path[len("s3://"):]
+    s = _scheme(path)
+    if s is not None and s in _SCHEMES:
+        return spark_path(path)
+    return path
+
+
 def spark_paths(paths: list[str]) -> list[str]:
     return [spark_path(p) for p in paths]
 

@@ -439,7 +439,7 @@ def _file_uri(path: str) -> str:
     is the scheme the JVM scan saw — the raw form would silently break
     the DV anti-join keys."""
     if _bs.is_uri(path) and not path.startswith("file:"):
-        return _bs.spark_path(path)
+        return _bs.spark_uri_form(path)  # textual for s3 — NO network
     return "file:" + os.path.abspath(re.sub(r"^file:/*", "/", path))
 
 

@@ -279,7 +279,9 @@ def read_iceberg(
         # compare equal for local files; real URIs pass through unchanged
         def _fp_key(p: str) -> str:
             if _bs.is_uri(p) and not p.startswith("file:"):
-                return _bs.spark_path(p)  # the scheme the JVM scan saw
+                # textual scheme mapping — a key normalization must not
+                # resolve the bucket over the network
+                return _bs.spark_uri_form(p)
             # absolutize: a relative table location must still produce
             # the abs URI Spark reports in _metadata.file_path, or the
             # seq/delete joins silently never match (= deletes ignored)

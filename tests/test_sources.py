@@ -126,7 +126,12 @@ def test_uri_paths_pass_through():
     from beacon_spark.sources.delta import _file_uri
     from beacon_spark.sources.paths import resolve_dir
 
-    assert _file_uri("s3://bucket/tbl/f.parquet") == "s3://bucket/tbl/f.parquet"
+    # the JVM scans s3 through the s3a connector, so that is the scheme
+    # _metadata.file_path reports — the join key must match it (and the
+    # mapping must be TEXTUAL: resolving the bucket over the network
+    # inside a key normalization broke offline runs)
+    assert _file_uri("s3://bucket/tbl/f.parquet") == "s3a://bucket/tbl/f.parquet"
+    assert _file_uri("gs://bucket/tbl/f.parquet") == "gs://bucket/tbl/f.parquet"
     assert _file_uri("/a/b.parquet") == "file:/a/b.parquet"
     assert _file_uri("file:/a/b.parquet") == "file:/a/b.parquet"
     assert resolve_dir("s3://bucket/tbl", "/data") == "s3://bucket/tbl"
