@@ -880,7 +880,12 @@ class Hdf5Reader(Hdf5File):
                 continue
         return out
 
-    def _read_group(self, name: str, addr: int) -> Group:
+    def _read_group(self, name: str, addr: int,
+                    _seen: set[int] | None = None) -> Group:
+        # HDF5 allows a group hard-linked to an ancestor; following such
+        # a cycle unconditionally recursed forever on a VALID file
+        seen = _seen if _seen is not None else set()
+        seen.add(addr)
         msgs, attrs, links = self._object_attrs_and_links(addr)
         g = Group(name, addr, attrs, {}, {})
         for ln in sorted(links, key=lambda x: x.name):
@@ -888,8 +893,8 @@ class Hdf5Reader(Hdf5File):
             types = {t for t, _, _ in cmsgs}
             if 0x03 in types and 0x08 in types:  # datatype + layout = dataset
                 g.datasets[ln.name] = self._read_dataset(ln.name, ln.addr, cmsgs)
-            else:
-                g.groups[ln.name] = self._read_group(ln.name, ln.addr)
+            elif ln.addr not in seen:
+                g.groups[ln.name] = self._read_group(ln.name, ln.addr, seen)
         return g
 
     def _read_dataset(self, name: str, addr: int, msgs) -> Dataset:
@@ -979,6 +984,9 @@ class Hdf5Reader(Hdf5File):
             if lay.addr == UNDEF:
                 fill = np.frombuffer((ds.fill or b"\x00" * itemsize)[:itemsize], npdt)[0]
                 return np.full(tuple(hi - lo for lo, hi in region), fill, npdt)
+            if not region:  # 0-rank scalar: one element at the address
+                raw = bytes(self.buf[lay.addr : lay.addr + itemsize])
+                return np.frombuffer(raw, npdt).reshape(())
             row = int(np.prod(ds.shape[1:], dtype=np.int64)) * itemsize
             lo0, hi0 = region[0]
             raw = bytes(self.buf[lay.addr + lo0 * row : lay.addr + hi0 * row])

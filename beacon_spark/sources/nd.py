@@ -525,6 +525,25 @@ def read_nd(
         for lo in range(0, n, rows_per_task):
             tasks.append((f, rjson, lo, min(lo + rows_per_task, n)))
 
+    # widen the ARROW batch types to what Spark's ArrowUtils accepts
+    # (it rejects unsigned ints outright): the BATCHES must match the
+    # widened Spark schema, not just the schema declaration — a uint8
+    # TIFF band crashed at read time otherwise
+    def _spark_safe(t: pa.DataType) -> pa.DataType:
+        if pa.types.is_uint8(t):
+            return pa.int16()
+        if pa.types.is_uint16(t):
+            return pa.int32()
+        if pa.types.is_uint32(t):
+            return pa.int64()
+        if pa.types.is_uint64(t):
+            return pa.decimal128(20, 0)
+        if pa.types.is_timestamp(t) and t.unit == "ns":
+            return pa.timestamp("us", t.tz)
+        return t
+
+    sample_schema = pa.schema(
+        [pa.field(f.name, _spark_safe(f.type)) for f in sample_schema])
     spark_schema = _arrow_to_spark_schema(sample_schema)
     if not tasks:
         # every chunk provably outside the requested coordinate ranges

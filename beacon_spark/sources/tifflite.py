@@ -86,9 +86,13 @@ def _read_ifd(buf: bytes, bo: str, off: int, big: bool) -> tuple[dict, int]:
         if typ == 2:  # ascii
             raw = buf[data_off : data_off + count]
             tags[name] = raw.split(b"\x00", 1)[0].decode("latin-1")
-        elif typ in (5, 10):  # rational
-            vals = _bs.unpack_from(bo + "II" * count, buf, data_off)
-            tags[name] = [vals[i] / max(vals[i + 1], 1) for i in range(0, 2 * count, 2)]
+        elif typ in (5, 10):  # rational / SIGNED rational
+            rfmt = "ii" if typ == 10 else "II"
+            vals = _bs.unpack_from(bo + rfmt * count, buf, data_off)
+            tags[name] = [
+                vals[i] / (vals[i + 1] if vals[i + 1] else 1)
+                for i in range(0, 2 * count, 2)
+            ]
         else:
             vals = _bs.unpack_from(bo + fmt * count, buf, data_off)
             tags[name] = list(vals) if count > 1 else vals[0]
@@ -309,7 +313,12 @@ def open_tiff(path: str, overview: int | None = None) -> GridDataset:
     dt = _dtype(bo, sfmt, bits)
 
     def undiff(a: np.ndarray) -> np.ndarray:
-        return np.cumsum(a, axis=-1, dtype=a.dtype) if predictor == 2 else a
+        """Predictor-2 horizontal differencing undo on a chunk shaped
+        (rows, width, samples): per TIFF 6.0 the delta is PER COMPONENT
+        (out[i] = in[i] - in[i-spp]), so the cumsum runs along the
+        width axis — a flat cumsum across the interleaved row mixed
+        channels on every multi-sample chunky image."""
+        return np.cumsum(a, axis=1, dtype=a.dtype) if predictor == 2 else a
 
     def as_list(v):
         return v if isinstance(v, list) else [v]
@@ -327,9 +336,7 @@ def open_tiff(path: str, overview: int | None = None) -> GridDataset:
             ty, tx = divmod(rest, tiles_x)
             raw = _decompress(buf[o : o + c], comp)
             arr = np.frombuffer(raw, dtype=dt)[: th * tw * chunk_samples]
-            arr = undiff(arr.reshape(th, tw * chunk_samples)).reshape(
-                th, tw, chunk_samples
-            )
+            arr = undiff(arr.reshape(th, tw, chunk_samples))
             y0, x0 = ty * th, tx * tw
             ys, xs = min(th, h - y0), min(tw, w - x0)
             if planar == 1:
@@ -348,9 +355,7 @@ def open_tiff(path: str, overview: int | None = None) -> GridDataset:
             ys = min(rps, h - y0)
             raw = _decompress(buf[o : o + c], comp)
             arr = np.frombuffer(raw, dtype=dt)[: ys * w * chunk_samples]
-            arr = undiff(arr.reshape(ys, w * chunk_samples)).reshape(
-                ys, w, chunk_samples
-            )
+            arr = undiff(arr.reshape(ys, w, chunk_samples))
             if planar == 1:
                 for s in range(spp):
                     data[s, y0 : y0 + ys, :] = arr[:, :, s]

@@ -112,15 +112,32 @@ class ZarrLazyArray:
         for i, s in enumerate(self.shape):
             if i < len(idx):
                 it = idx[i]
-                out.append(slice(it, it + 1) if isinstance(it, int) else
-                           slice(*it.indices(s)))
+                if isinstance(it, int):
+                    if it < 0:
+                        it += s  # numpy semantics, not silent fill
+                    if not 0 <= it < s:
+                        raise IndexError(
+                            f"index {idx[i]} out of range for axis {i} "
+                            f"(size {s})")
+                    out.append(slice(it, it + 1))
+                else:
+                    lo, hi, step = it.indices(s)
+                    if step != 1:
+                        # mirror _H5Lazy: stepped reads silently returned
+                        # step-1 data before — callers fall back to numpy
+                        raise NotImplementedError(
+                            "zarr lazy arrays support step-1 slices only"
+                        )
+                    out.append(slice(lo, hi))
             else:
                 out.append(slice(0, s))
         return tuple(out)
 
     def _chunk_path(self, idx: tuple[int, ...]) -> str:
         if self.version == 2:
-            key = ".".join(str(i) for i in idx) or "0"
+            key = self.sep.join(str(i) for i in idx) or "0"
+            if self.sep == "/":
+                return _bs.join(self.adir, *key.split("/"))
             return _bs.join(self.adir, key)
         if self.key_name == "v2":
             key = self.sep.join(str(i) for i in idx) or "0"
@@ -202,10 +219,11 @@ def _read_array_v3(adir: str, meta: dict) -> tuple[tuple[str, ...], ZarrLazyArra
     shape = tuple(meta["shape"])
     dt = _V3_DTYPES[meta["data_type"]]
     chunk_shape = tuple(meta["chunk_grid"]["configuration"]["chunk_shape"])
-    sep = meta.get("chunk_key_encoding", {}).get("configuration", {}).get(
-        "separator", "/"
-    )
     key_name = meta.get("chunk_key_encoding", {}).get("name", "default")
+    # spec defaults: '/' for the 'default' encoding, '.' for 'v2'
+    sep = meta.get("chunk_key_encoding", {}).get("configuration", {}).get(
+        "separator", "." if key_name == "v2" else "/"
+    )
     codecs = meta.get("codecs", [{"name": "bytes"}])
     fill = meta.get("fill_value", 0)
     arr = ZarrLazyArray(adir, shape, chunk_shape, dt, fill, 3,
@@ -222,7 +240,14 @@ def _read_array_v2(adir: str, meta: dict, attrs: dict) -> tuple[tuple[str, ...],
     fill = meta.get("fill_value", 0)
     if meta.get("order", "C") != "C":
         raise ValueError("zarr v2 F-order arrays need the 'zarr' package")
-    arr = ZarrLazyArray(adir, shape, chunk_shape, dt, fill, 2, comp=comp)
+    if meta.get("filters"):
+        # a numcodecs filter chain (delta/shuffle/...) runs BEFORE the
+        # compressor; skipping it would reinterpret filtered bytes as
+        # values — silently wrong data, so refuse loudly
+        raise ValueError(
+            f"zarr v2 filters {meta['filters']!r} need the 'zarr' package")
+    arr = ZarrLazyArray(adir, shape, chunk_shape, dt, fill, 2, comp=comp,
+                        sep=meta.get("dimension_separator", "."))
     dims = tuple(
         attrs.get("_ARRAY_DIMENSIONS") or [f"dim_{i}" for i in range(len(shape))]
     )
@@ -336,10 +361,15 @@ def write_zarr_store(
                 json.dump(global_attrs, f)
 
     for name, (dnames, arr) in variables.items():
-        arr = np.ascontiguousarray(arr)
+        orig = np.asarray(arr)
+        # keep 0-d arrays 0-d: ascontiguousarray promotes them to (1,),
+        # which wrote shape [1] against dimension_names [] and fabricated
+        # a phantom dim on re-read (scalars changed shape on round-trip)
+        arr = np.ascontiguousarray(orig).reshape(orig.shape)
         adir = os.path.join(path, name)
         os.makedirs(adir, exist_ok=True)
-        cshape = tuple((chunk_shapes or {}).get(name) or arr.shape or (1,))
+        cs = (chunk_shapes or {}).get(name)
+        cshape = tuple(cs) if cs else tuple(arr.shape)
         attrs = dict(var_attrs.get(name, {}))
         if version == 3:
             codecs: list[dict] = [{"name": "bytes", "configuration": {"endian": "little"}}]
@@ -385,7 +415,7 @@ def write_zarr_store(
             with open(os.path.join(adir, ".zattrs"), "w") as f:
                 json.dump({"_ARRAY_DIMENSIONS": list(dnames), **attrs}, f)
 
-        grid = [max(1, -(-s // c)) for s, c in zip(arr.shape, cshape)] or [1]
+        grid = [max(1, -(-s // c)) for s, c in zip(arr.shape, cshape)]
         for idx in itertools.product(*(range(g) for g in grid)):
             full = np.zeros(cshape, arr.dtype)
             slices = tuple(slice(i * c, min((i + 1) * c, s))
@@ -395,9 +425,14 @@ def write_zarr_store(
             raw = full.astype(arr.dtype.newbyteorder("<"), copy=False).tobytes()
             enc = _encode_chunk(raw, codec, arr.dtype.itemsize)
             if version == 3:
-                cdir = os.path.join(adir, "c", *[str(i) for i in idx[:-1]]) if idx else os.path.join(adir, "c")
-                os.makedirs(cdir, exist_ok=True)
-                with open(os.path.join(cdir, str(idx[-1]) if idx else "0"), "wb") as f:
+                if idx:
+                    cdir = os.path.join(
+                        adir, "c", *[str(i) for i in idx[:-1]])
+                    os.makedirs(cdir, exist_ok=True)
+                    target = os.path.join(cdir, str(idx[-1]))
+                else:
+                    target = os.path.join(adir, "c")  # 0-d: key is "c"
+                with open(target, "wb") as f:
                     f.write(enc)
             else:
                 key = ".".join(str(i) for i in idx) or "0"

@@ -529,3 +529,71 @@ def test_gridstreamwriter_exit_validates_completeness(tmp_path):
             [("v", ("obs",), 6, None)],
         ) as w:
             w.write_values("v", np.array([1.0, 2.0]))  # 2 of 4
+
+
+def test_zarr_v2_nested_dimension_separator(tmp_path):
+    """zarr v2 stores with dimension_separator='/' keep chunks in nested
+    dirs — ignoring the key silently read every chunk as fill."""
+    import shutil
+
+    from beacon_spark.sources.zarrlite import read_zarr_store, write_zarr_store
+
+    p = write_zarr_store(
+        str(tmp_path / "nested"),
+        {"m": (("a", "b"), np.arange(6).reshape(2, 3))},
+        version=2, chunk_shapes={"m": (1, 2)})
+    meta = json.loads(open(os.path.join(p, "m", ".zarray")).read())
+    meta["dimension_separator"] = "/"
+    json.dump(meta, open(os.path.join(p, "m", ".zarray"), "w"))
+    for f in list(os.listdir(os.path.join(p, "m"))):
+        if "." in f and not f.startswith("."):
+            parts = f.split(".")
+            nd = os.path.join(p, "m", *parts[:-1])
+            os.makedirs(nd, exist_ok=True)
+            shutil.move(os.path.join(p, "m", f), os.path.join(nd, parts[-1]))
+    _, variables, _, _ = read_zarr_store(p)
+    assert np.asarray(variables["m"][1][:, :]).tolist() == [[0, 1, 2], [3, 4, 5]]
+
+
+def test_zarr_v2_filters_refused_loudly(tmp_path):
+    from beacon_spark.sources.zarrlite import read_zarr_store, write_zarr_store
+
+    p = write_zarr_store(str(tmp_path / "filt"),
+                         {"v": (("x",), np.arange(4))}, version=2)
+    meta = json.loads(open(os.path.join(p, "v", ".zarray")).read())
+    meta["filters"] = [{"id": "delta", "dtype": "<i8"}]
+    json.dump(meta, open(os.path.join(p, "v", ".zarray"), "w"))
+    with pytest.raises(ValueError, match="filters"):
+        read_zarr_store(p)
+
+
+def test_zarr_lazy_indexing_semantics(tmp_path):
+    """Negative indexes resolve numpy-style (not silent fill), OOB
+    raises, and stepped slices refuse instead of returning step-1 data."""
+    from beacon_spark.sources.zarrlite import read_zarr_store, write_zarr_store
+
+    p = write_zarr_store(str(tmp_path / "idx"),
+                         {"v": (("x",), np.arange(10))},
+                         chunk_shapes={"v": (4,)})
+    _, variables, _, _ = read_zarr_store(p)
+    _dn, a = variables["v"]
+    assert int(np.asarray(a[-1])) == 9
+    with pytest.raises(IndexError):
+        a[10]
+    with pytest.raises(NotImplementedError, match="step"):
+        a[::2]
+
+
+def test_zarr_scalar_roundtrip_both_versions(tmp_path):
+    """0-d variables keep their shape across a write/read round-trip
+    (the writer used to promote them to shape (1,) over a phantom dim)."""
+    from beacon_spark.sources.zarrlite import read_zarr_store, write_zarr_store
+
+    for v in (2, 3):
+        p = write_zarr_store(str(tmp_path / f"sc{v}"),
+                             {"s": ((), np.float64(4.25)),
+                              "v": (("x",), np.arange(3))}, version=v)
+        _, variables, _, _ = read_zarr_store(p)
+        dn, a = variables["s"]
+        assert dn == () and a.shape == ()
+        assert float(np.asarray(a[()])) == 4.25

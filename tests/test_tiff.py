@@ -164,3 +164,76 @@ def test_cog_overview_chain(tmp_path):
     assert lon_o1[1] - lon_o1[0] == pytest.approx(2 * (lon_full[1] - lon_full[0]))
     with pytest.raises(IndexError):
         open_tiff(str(tmp_path / "c.tif"), overview=5)
+
+
+def _predictor2_rgb_tiff(path):
+    """Hand-built little-endian TIFF: 2x2 RGB uint8, one uncompressed
+    strip, predictor=2 — per TIFF 6.0, differencing is PER COMPONENT."""
+    import struct
+
+    pixels = np.array(
+        [[(10, 20, 30), (11, 21, 31)],
+         [(50, 60, 70), (52, 63, 74)]], dtype=np.uint8)
+    diff = pixels.astype(np.int16).copy()
+    diff[:, 1:, :] -= pixels[:, :-1, :].astype(np.int16)
+    data = (diff % 256).astype(np.uint8).tobytes()
+
+    entries = []  # (tag, type, count, value-bytes or offset placeholder)
+    def entry(tag, typ, count, packed):
+        entries.append(struct.pack("<HHI", tag, typ, count) + packed)
+
+    # layout: header(8) + ifd; data and bits array appended after
+    n = 12
+    ifd_size = 2 + n * 12 + 4
+    bits_off = 8 + ifd_size
+    data_off = bits_off + 6
+    entry(256, 3, 1, struct.pack("<HH", 2, 0))        # width
+    entry(257, 3, 1, struct.pack("<HH", 2, 0))        # height
+    entry(258, 3, 3, struct.pack("<I", bits_off))     # bits 8,8,8
+    entry(259, 3, 1, struct.pack("<HH", 1, 0))        # no compression
+    entry(262, 3, 1, struct.pack("<HH", 2, 0))        # RGB
+    entry(273, 4, 1, struct.pack("<I", data_off))     # strip offset
+    entry(277, 3, 1, struct.pack("<HH", 3, 0))        # spp
+    entry(278, 3, 1, struct.pack("<HH", 2, 0))        # rows/strip
+    entry(279, 4, 1, struct.pack("<I", len(data)))    # byte count
+    entry(284, 3, 1, struct.pack("<HH", 1, 0))        # chunky
+    entry(317, 3, 1, struct.pack("<HH", 2, 0))        # predictor 2
+    entry(339, 3, 1, struct.pack("<HH", 1, 0))        # unsigned int
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", 8))
+        f.write(struct.pack("<H", n))
+        for e in sorted(entries):
+            f.write(e)
+        f.write(struct.pack("<I", 0))
+        f.write(struct.pack("<HHH", 8, 8, 8))
+        f.write(data)
+    return pixels
+
+
+def test_predictor2_chunky_rgb_per_component(tmp_path):
+    """Round-8 review: predictor-2 undo must cumsum PER COMPONENT — a
+    flat cumsum across the interleaved row mixed channels on every
+    multi-sample chunky image."""
+    p = str(tmp_path / "pred2.tif")
+    pixels = _predictor2_rgb_tiff(p)
+    ds = open_tiff(p)
+    for b in range(3):
+        got = np.asarray(ds.variables[f"band.{b}"][1])
+        assert np.array_equal(got, pixels[:, :, b]), (b, got)
+
+
+def test_uint8_band_reads_through_spark(spark, tmp_path):
+    """Spark's ArrowUtils rejects unsigned Arrow types: the nd scan must
+    widen uint batches (uint8 -> smallint) or a plain uint8 TIFF crashes
+    at read time."""
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    write_tiff(str(tmp_path / "u8.tif"),
+               [np.arange(6, dtype=np.uint8).reshape(2, 3)],
+               compression="none")
+    df = eng.sql("SELECT `band.0` FROM read_tiff('u8.tif')")
+    assert dict(df.dtypes)["band.0"] == "smallint"
+    got = eng.sql("SELECT count(*) AS n, sum(`band.0`) AS s "
+                  "FROM read_tiff('u8.tif')").collect()[0]
+    assert (got.n, got.s) == (6, 15)
