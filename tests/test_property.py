@@ -150,3 +150,48 @@ def test_gif_roundtrip_fuzz(n_frames, h, w, n_colors, seed):
         np.testing.assert_array_equal(got, want)
     n, dur = scan_gif_meta(payload)
     assert n == n_frames and dur == sum(delays)
+
+
+@settings(max_examples=60, deadline=None)
+@given(content=st.text(
+    alphabet=st.sampled_from(list("ab'\\-/*; \nINSERT?`\"x0")), max_size=24))
+def test_sql_lexer_matches_spark_string_parsing(spark, content):
+    """The shared SQL lexer (guard._lex) backs the read-only gate, the
+    auth reference checks, and every dialect rewrite — a desync from
+    Spark's REAL string parsing was the round-8 write-smuggle bypass.
+    Property: for arbitrary content, a Spark-escaped literal embedding
+    it (a) evaluates back to the content and (b) is seen by our lexer
+    as exactly one literal span ending where Spark ends it (the 'END'
+    sentinel stays code and write keywords inside the literal stay
+    hidden)."""
+    from beacon_spark.server.guard import is_readonly_sql, scrub_sql
+
+    lit = "'" + content.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    stmt = f"SELECT {lit} AS v, 'END' AS e"
+    row = spark.sql(stmt).collect()[0]
+    assert row.v == content and row.e == "END"  # escaping ground truth
+    scrubbed = scrub_sql(stmt)
+    # the sentinel column survives as CODE — the lexer closed the first
+    # literal exactly where Spark did
+    assert scrubbed.endswith(" AS v, '' AS e")
+    assert scrubbed.startswith("SELECT '")
+    # write keywords inside the literal never reach the keyword scan
+    assert is_readonly_sql(stmt)
+
+
+@settings(max_examples=40, deadline=None)
+@given(content=st.text(
+    alphabet=st.sampled_from(list("ab' -;\nDROPx")), max_size=16))
+def test_sql_lexer_doubled_quote_escape(spark, content):
+    """Same property for the SQL '' doubling escape (backslash-free
+    content, where both escapes are valid Spark spellings)."""
+    from beacon_spark.server.guard import scrub_sql
+
+    assume_ok = "\\" not in content
+    if not assume_ok:
+        return
+    lit = "'" + content.replace("'", "''") + "'"
+    stmt = f"SELECT {lit} AS v, 'END' AS e"
+    row = spark.sql(stmt).collect()[0]
+    assert row.v == content and row.e == "END"
+    assert scrub_sql(stmt).endswith(" AS v, '' AS e")
