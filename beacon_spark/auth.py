@@ -193,8 +193,16 @@ def _check_path(engine, a: dict, roles: list[str], path: str) -> None:
         try:
             resolved = resolve_globs(
                 path, getattr(engine, "datasets_root", None))
-        except Exception:
+        except FileNotFoundError:
             resolved = []  # nothing matches → the read itself will fail
+        except Exception as exc:
+            # fail CLOSED: a transient listing/storage error must not
+            # skip the concrete-file deny check this expansion exists
+            # for (a char-class spelling dodging a deny on secret/*)
+            raise AuthError(
+                f"permission denied: SELECT on path {path!r} "
+                f"(glob expansion failed: {exc})"
+            )
         for rp in resolved:
             cands |= _path_candidates(engine, rp)
     allowed = False

@@ -96,17 +96,23 @@ def _bitmap_key(v, dt) -> str | None:
 def _bind_placeholders(statement: str, params: list) -> tuple[str, dict]:
     """Rewrite DataFusion-style positional placeholders ``$1..$n``
     (bound via ``with_param_values``, runtime.rs:107-116) to Spark named
-    parameter markers, skipping single-quoted string literals."""
+    parameter markers. Non-code text (string literals honoring ``\\``
+    escapes and ``''`` doubling, comments, quoted identifiers) is
+    located with the ONE shared lexer (server/guard.py), exactly like
+    client._qmark_to_dollar — a private quote toggle here would desync
+    from the gates on ``'\\''`` and rewrite $n inside literal data."""
     args = {f"__p{i + 1}": v for i, v in enumerate(params)}
+    spans = _literal_spans(statement)
     out: list[str] = []
-    i, n, in_str = 0, len(statement), False
+    i, n = 0, len(statement)
     while i < n:
         ch = statement[i]
-        if ch == "'":
-            in_str = not in_str
-            out.append(ch)
-            i += 1
-        elif ch == "$" and not in_str and i + 1 < n and statement[i + 1].isdigit():
+        if (
+            ch == "$"
+            and i + 1 < n
+            and statement[i + 1].isdigit()
+            and not _in_literal(spans, i + 1)
+        ):
             j = i + 1
             while j < n and statement[j].isdigit():
                 j += 1

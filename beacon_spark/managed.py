@@ -145,7 +145,14 @@ class ManagedTable:
             for k, v in aliases.items()
             if (kept := [a for a in v if a not in dead])
         }
-        retired = sorted(r for r in retired if alias_files.get(r))
+        # mirror the alias rule: an entry that exists and pruned to []
+        # is dead (every carrier rewritten); a name with NO entry is
+        # UNKNOWN (older/foreign writer recorded no carriers) and stays
+        # conservatively — freeing it would re-open the ADD COLUMN
+        # silent-resurrection path the retired set exists to block
+        retired = sorted(
+            r for r in retired if r not in alias_files or alias_files[r]
+        )
         referenced = {a for v in aliases.values() for a in v} | set(retired)
         alias_files = {a: c for a, c in alias_files.items()
                        if c and a in referenced}

