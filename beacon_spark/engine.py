@@ -156,6 +156,53 @@ def _sub_outside_literals(pattern: re.Pattern, repl, statement: str) -> str:
     return "".join(out)
 
 
+def _noncode_blanked(s: str) -> str:
+    """LENGTH-PRESERVING scrub: every character the shared lexer marks
+    as non-code (string literals, comments, backtick identifiers)
+    becomes a space. Keyword/paren position scans run on the scrub and
+    slice the ORIGINAL text by the same offsets — the ONE lexer decides
+    what is code, so these scans can never desync from Spark on
+    ``\\'`` escapes or comments the way private quote-toggles did."""
+    out = list(s)
+    for a, b in _literal_spans(s):
+        for i in range(a, min(b, len(s))):
+            out[i] = " "
+    return "".join(out)
+
+
+def _top_level_blanked(s: str) -> str:
+    """:func:`_noncode_blanked` plus the INTERIOR of every parenthesized
+    group → spaces (the parens themselves survive). Scans for TOP-LEVEL
+    keywords and commas (ORDER BY / LIMIT / WHERE splits, SET-list
+    commas) run here: anything nested — a subquery's LIMIT, a function
+    argument's comma — is invisible by construction."""
+    out = list(_noncode_blanked(s))
+    depth = 0
+    for i, ch in enumerate(out):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth > 0 and ch != " ":
+            out[i] = " "
+    return "".join(out)
+
+
+def _matching_paren_end(blanked: str, start: int) -> int:
+    """``start`` = index just after an opening '(' in ``blanked`` (a
+    :func:`_noncode_blanked` scrub, so literal/comment parens are
+    already spaces). Returns the index just after the matching ')', or
+    -1 when unbalanced."""
+    depth, i, n = 1, start, len(blanked)
+    while i < n and depth:
+        if blanked[i] == "(":
+            depth += 1
+        elif blanked[i] == ")":
+            depth -= 1
+        i += 1
+    return i if depth == 0 else -1
+
+
 #: words that terminate a FROM-list (so a table alias is never confused
 #: with the next clause keyword)
 _SQL_CLAUSE_WORDS = frozenset(
@@ -278,19 +325,12 @@ def _extract_star_replace(statement: str) -> tuple[str, list[tuple[str, str]]]:
     )
     if not m:
         return statement, []
-    # find the matching close paren
-    depth, in_str, i = 1, False, m.end()
-    while i < len(statement) and depth:
-        ch = statement[i]
-        if ch == "'":
-            in_str = not in_str
-        elif not in_str:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-        i += 1
-    if depth:
+    # find the matching close paren on the shared-lexer scrub (a ')'
+    # inside a replacement expression's string literal must not end
+    # the REPLACE list early)
+    blanked = _noncode_blanked(statement)
+    i = _matching_paren_end(blanked, m.end())
+    if i < 0:
         return statement, []
     inner = statement[m.end():i - 1]
     replaces: list[tuple[str, str]] = []
@@ -302,38 +342,39 @@ def _extract_star_replace(statement: str) -> tuple[str, list[tuple[str, str]]]:
     return m.group(1) + statement[i:], replaces
 def _split_order_limit(statement: str) -> tuple[str, str | None, str | None, str | None]:
     """Peel a TOP-LEVEL trailing ``ORDER BY … [LIMIT n] [OFFSET n]`` off a
-    statement (paren-depth-0 scan, so subquery ORDER BYs are untouched).
-    Returns (core, order_clause, limit, offset)."""
+    statement. Positions come from the :func:`_top_level_blanked` scrub
+    (shared lexer + paren interiors blanked), so subquery ORDER BYs,
+    literals containing ``order by``/``LIMIT``, comments, and backslash
+    escapes can never mislead the split; extraction slices the original
+    text by the scrub's offsets. Returns (core, order_clause, limit,
+    offset)."""
     s = statement.rstrip().rstrip(";")
-    depth = 0
-    quote = None
-    lowered = s.lower()
+    blanked = _top_level_blanked(s)
     order_at = -1
-    for i, ch in enumerate(s):
-        if quote:
-            if ch == quote:
-                quote = None
-            continue
-        if ch in "'\"":
-            quote = ch
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif depth == 0 and lowered.startswith("order", i) and re.match(
-            r"order\s+by\b", lowered[i:]
-        ):
-            order_at = i
+    for m in re.finditer(r"\border\s+by\b", blanked, re.IGNORECASE):
+        order_at = m.start()
     if order_at < 0:
         return statement, None, None, None
-    tail = s[order_at:]
     m = re.match(
         r"(?is)^ORDER\s+BY\s+(.*?)(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?\s*$",
-        tail,
+        blanked[order_at:],
     )
     if not m:
         return statement, None, None, None
-    return s[:order_at].rstrip(), m.group(1).strip(), m.group(2), m.group(3)
+    a, b = m.span(1)
+    order_clause = s[order_at + a:order_at + b].strip()
+    return s[:order_at].rstrip(), order_clause, m.group(2), m.group(3)
+
+
+def _split_top_level_where(rest: str) -> tuple[str, str | None]:
+    """Split ``<body> [WHERE <pred>]`` at the first TOP-LEVEL WHERE —
+    one inside a string literal (``SET msg = ' WHERE …'``) or a
+    subquery (``SET a = (SELECT … WHERE …)``) never splits. Returns
+    (body, pred-or-None)."""
+    m = re.search(r"\bWHERE\b", _top_level_blanked(rest), re.IGNORECASE)
+    if m is None:
+        return rest, None
+    return rest[: m.start()].rstrip(), rest[m.end():]
 
 
 def _order_columns(order_clause: str):
@@ -425,7 +466,10 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
         r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?;?\s*$",
         re.IGNORECASE | re.DOTALL)),
     ("update", re.compile(
-        r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?;?\s*$",
+        # SET-list/WHERE split happens lexer-aware in the handler — a
+        # regex-lazy "(?:\s+WHERE…)?" here bound the first WHERE even
+        # inside a SET string literal
+        r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?);?\s*$",
         re.IGNORECASE | re.DOTALL)),
     ("alter_add", re.compile(
         r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?);?\s*$",
@@ -450,27 +494,19 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
 
 
 def _split_top_level(s: str) -> list[str]:
-    """Split on commas not nested in parens/quotes (UPDATE SET lists)."""
-    parts, depth, cur, quote = [], 0, [], None
-    for ch in s:
-        if quote:
-            cur.append(ch)
-            if ch == quote:
-                quote = None
-            continue
-        if ch in "'\"":
-            quote = ch
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-            continue
-        cur.append(ch)
-    if cur:
-        parts.append("".join(cur))
+    """Split on TOP-LEVEL commas (UPDATE SET lists, macro/secret
+    argument lists): commas inside parens, string literals, comments,
+    or backtick identifiers never split — positions come from the
+    :func:`_top_level_blanked` scrub of the shared lexer, so a
+    ``\\'``-escaped quote can't desync the split the way the old
+    private quote-toggle could."""
+    blanked = _top_level_blanked(s)
+    parts, last = [], 0
+    for i, ch in enumerate(blanked):
+        if ch == ",":
+            parts.append(s[last:i])
+            last = i + 1
+    parts.append(s[last:])
     return [p for p in (p.strip() for p in parts) if p]
 
 
@@ -1864,7 +1900,12 @@ class Engine:
         if kind == "insert_into":
             name, rest = m.group(1), m.group(2).strip()
             cols = None
-            mcols = re.match(r"^\(\s*([\w\s,]+?)\s*\)\s*(.*)$", rest, re.DOTALL)
+            # a leading paren group is a COLUMN LIST only when it is not
+            # itself a query ("INSERT INTO t (SELECT …)" is a
+            # parenthesized source, Postgres-style) and a source follows
+            mcols = re.match(
+                r"^\(\s*(?!(?:SELECT|VALUES|WITH|TABLE)\b)([\w\s,]+?)\s*\)\s*(.+)$",
+                rest, re.DOTALL | re.IGNORECASE)
             if mcols:
                 cols = [c.strip() for c in mcols.group(1).split(",")]
                 rest = mcols.group(2)
@@ -1888,7 +1929,10 @@ class Engine:
             self._refresh_index_stats(name)
             return self._status(status="ok", op="delete", name=name, version=str(version))
         if kind == "update":
-            name, sets, pred = m.group(1), m.group(2), m.group(3)
+            name = m.group(1)
+            sets, pred = _split_top_level_where(m.group(2))
+            if pred is not None and not pred.strip():
+                raise ValueError("UPDATE: empty WHERE predicate")
             assignments = {}
             for part in _split_top_level(sets):
                 lhs, _, rhs = part.partition("=")
@@ -2109,8 +2153,10 @@ class Engine:
         plan time (runtime_builder.rs:814-827); here Spark's own planner
         does the filter half and statement-time narrowing the column
         half."""
+        from beacon_spark.server.guard import scrub_sql
+
         schema = rb.table_schema(tbl)
-        blanked = re.sub(r"'(?:[^']|'')*'", "''", statement)
+        blanked = scrub_sql(statement)
         if "*" not in blanked:
             idents = {w.lower() for w in re.findall(r"\w+", blanked)}
             narrowed = [f for f in schema.fields if f.name.lower() in idents]
@@ -2307,8 +2353,9 @@ class Engine:
         if any(tbl not in rb.list_tables() for _, tbl in refs):
             return None
         if len({t for _, t in refs}) < 2:
-            blanked = re.sub(r"'(?:[^']|'')*'", "''", statement)
-            if not self._FED_REDUCE_RE.search(blanked):
+            from beacon_spark.server.guard import scrub_sql
+
+            if not self._FED_REDUCE_RE.search(scrub_sql(statement)):
                 return None
         # Span-based substitution over the ORIGINAL statement: remote
         # names are swapped in ONLY at the table-position spans the
@@ -2421,7 +2468,9 @@ class Engine:
         def repl(m: re.Match) -> str:
             fmt = m.group(1).lower()
             arglist = m.group(2) if m.group(2) is not None else m.group(3)
-            globs = [g.strip()[1:-1] for g in arglist.split(",")]
+            # each glob is one quoted string — a comma INSIDE a quoted
+            # path (a legal filename character) must not split it
+            globs = re.findall(r"'([^']*)'", arglist)
             df = {
                 "parquet": self.read_parquet,
                 "csv": self.read_csv,
@@ -2444,28 +2493,34 @@ class Engine:
         return _sub_outside_literals(_READ_FN_RE, repl, statement)
 
     def _rewrite_try_arrow_cast(self, statement: str) -> str:
-        """try_arrow_cast(expr, 'ArrowType') → try_cast(expr AS sparktype)."""
+        """try_arrow_cast(expr, 'ArrowType') → try_cast(expr AS sparktype).
+
+        Paren matching and the expr/type split run on the shared-lexer
+        scrub: a ``)`` inside a string literal can't end the argument
+        list early, and a comma inside the expr (or a parametrized type
+        like ``Decimal128(10, 2)``) can't split in the wrong place —
+        the TYPE is the last top-level argument, whole."""
         out = []
         pos = 0
-        spans = _literal_spans(statement)
-        for m in _TRY_ARROW_CAST_RE.finditer(statement):
-            if _in_literal(spans, m.start()):
-                continue
+        blanked = _noncode_blanked(statement)
+        for m in _TRY_ARROW_CAST_RE.finditer(blanked):
+            if m.start() < pos:
+                continue  # nested inside an already-consumed call
             start = m.end()  # after the open paren
-            depth = 1
-            i = start
-            while i < len(statement) and depth:
-                if statement[i] == "(":
-                    depth += 1
-                elif statement[i] == ")":
-                    depth -= 1
-                i += 1
-            inner = statement[start : i - 1]
-            expr, _, type_lit = inner.rpartition(",")
-            type_name = type_lit.strip().strip("'\"")
+            i = _matching_paren_end(blanked, start)
+            if i < 0:
+                raise ValueError("try_arrow_cast: unbalanced parentheses")
+            inner = statement[start:i - 1]
+            args = _split_top_level(inner)
+            if len(args) < 2:
+                raise ValueError(
+                    f"try_arrow_cast takes (expr, 'ArrowType'): {inner!r}")
+            # a nested try_arrow_cast inside the expr rewrites too
+            expr = self._rewrite_try_arrow_cast(", ".join(args[:-1]))
+            type_name = args[-1].strip().strip("'\"")
             spark_type = _arrow_name_to_spark(type_name)
-            out.append(statement[pos : m.start()])
-            out.append(f"try_cast({expr.strip()} AS {spark_type})")
+            out.append(statement[pos:m.start()])
+            out.append(f"try_cast({expr} AS {spark_type})")
             pos = i
         out.append(statement[pos:])
         return "".join(out)
@@ -2485,21 +2540,18 @@ class Engine:
             nonlocal statement
             rx = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
             while True:
-                spans = _literal_spans(statement)
-                m = rx.search(statement)
-                while m and _in_literal(spans, m.start()):
-                    m = rx.search(statement, m.end())
+                # search + paren-match on the shared-lexer scrub: a
+                # macro name or a ')' inside a string literal can
+                # neither trigger an expansion nor end one early
+                blanked = _noncode_blanked(statement)
+                m = rx.search(blanked)
                 if not m:
                     return
                 start = m.end()
-                depth, i = 1, start
-                while i < len(statement) and depth:
-                    if statement[i] == "(":
-                        depth += 1
-                    elif statement[i] == ")":
-                        depth -= 1
-                    i += 1
-                args = _split_top_level(statement[start : i - 1])
+                i = _matching_paren_end(blanked, start)
+                if i < 0:
+                    raise ValueError(f"{name}: unbalanced parentheses")
+                args = _split_top_level(statement[start:i - 1])
                 statement = statement[: m.start()] + render(args) + statement[i:]
 
         def render_depth(args: list[str]) -> str:
@@ -2589,21 +2641,15 @@ class Engine:
             return statement
         inner = statement[: m.start()].rstrip()
         rest = statement[m.end():].strip().rstrip(";")
-        # predicate runs until an ORDER BY / LIMIT / OFFSET at paren depth 0
-        # (an ORDER BY inside OVER(...) belongs to the predicate)
-        split_at = None
-        depth = 0
-        for km in re.finditer(
-            r"[()]|\b(ORDER\s+BY|LIMIT|OFFSET)\b", rest, re.IGNORECASE
-        ):
-            tok = km.group(0)
-            if tok == "(":
-                depth += 1
-            elif tok == ")":
-                depth -= 1
-            elif depth == 0:
-                split_at = km.start()
-                break
+        # predicate runs until an ORDER BY / LIMIT / OFFSET at paren
+        # depth 0 — found on the shared-lexer scrub, so an ORDER BY
+        # inside OVER(...) and a 'LIMIT' inside a string literal both
+        # belong to the predicate
+        km = re.search(
+            r"\b(ORDER\s+BY|LIMIT|OFFSET)\b",
+            _top_level_blanked(rest), re.IGNORECASE,
+        )
+        split_at = km.start() if km else None
         pred = rest[:split_at].strip() if split_at is not None else rest
         tail = " " + rest[split_at:] if split_at is not None else ""
         return (

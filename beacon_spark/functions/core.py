@@ -7,6 +7,8 @@ geo functions (geo.py) need pandas UDFs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -34,7 +36,9 @@ def _arrow_name_to_spark(name: str) -> str:
     if key.startswith("timestamp"):
         return "timestamp"
     if key.startswith("decimal"):
-        return key
+        # Arrow spells parametrized decimals Decimal128(p, s) /
+        # Decimal256(p, s); Spark's type name is decimal(p, s)
+        return re.sub(r"^decimal(?:128|256)", "decimal", key)
     if key.startswith("duration") or key.startswith("interval"):
         return "interval day to second"
     # already a spark name? pass through — try_cast validates

@@ -481,3 +481,166 @@ def test_positional_params_comment_not_bound(eng):
         params=[5],
     ).collect()
     assert out[0].v == 5
+
+
+# ---------------------------------------------------------------- r9 sweep:
+# engine.py lexical-core review — every scanner that splits/peels SQL text
+# now runs on the shared guard lexer's scrub; these pin the traps the old
+# private quote-toggles fell into.
+
+
+def test_update_set_literal_containing_where(spark, tmp_path):
+    """The SET-list/WHERE split is lexer-aware: a ' WHERE ' inside a SET
+    string literal is data, not the predicate boundary (the old lazy
+    regex bound the FIRST ' WHERE ' — this statement mis-parsed)."""
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE uw (id BIGINT, msg VARCHAR)")
+    eng.sql("INSERT INTO uw VALUES (1, 'a'), (2, 'b')")
+    eng.sql("UPDATE uw SET msg = ' WHERE 1=1' WHERE id = 1")
+    rows = {r.id: r.msg for r in eng.sql("SELECT id, msg FROM uw").collect()}
+    assert rows == {1: " WHERE 1=1", 2: "b"}
+
+
+def test_update_set_subquery_where_not_split(spark, tmp_path):
+    """A WHERE inside a parenthesized group in the SET rhs is nested —
+    only the top-level WHERE is the predicate boundary."""
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE uq (id BIGINT, v BIGINT)")
+    eng.sql("INSERT INTO uq VALUES (1, 0), (2, 0)")
+    eng.sql("UPDATE uq SET v = (CASE WHEN id > 0 THEN 9 ELSE 0 END) "
+            "WHERE id = 2")
+    rows = {r.id: r.v for r in eng.sql("SELECT id, v FROM uq").collect()}
+    assert rows == {1: 0, 2: 9}
+
+
+def test_update_empty_where_errors(spark, tmp_path):
+    """UPDATE with a present-but-empty WHERE errors instead of silently
+    updating every row (mirrors the DELETE rule)."""
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE ue (id BIGINT)")
+    eng.sql("INSERT INTO ue VALUES (1)")
+    with pytest.raises(ValueError, match="empty WHERE"):
+        eng.sql("UPDATE ue SET id = 2 WHERE ")
+
+
+def test_update_set_list_comma_in_literal(spark, tmp_path):
+    """The SET-list comma split is lexer-aware: a comma (and an
+    escaped quote) inside a string value stays in one assignment."""
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE uc (id BIGINT, a VARCHAR, b BIGINT)")
+    eng.sql("INSERT INTO uc VALUES (1, '', 0)")
+    eng.sql("UPDATE uc SET a = 'x, \\' y', b = 2 WHERE id = 1")
+    r = eng.sql("SELECT a, b FROM uc").collect()[0]
+    assert r.a == "x, ' y" and r.b == 2
+
+
+def test_insert_parenthesized_select_source(spark, tmp_path):
+    """INSERT INTO t (SELECT …) — the paren group is a source query,
+    not a column list (the old column-list regex swallowed it)."""
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE ip (id BIGINT)")
+    eng.sql("INSERT INTO ip (SELECT 7)")
+    assert eng.sql("SELECT id FROM ip").collect()[0].id == 7
+
+
+def test_try_arrow_cast_parametrized_decimal(eng):
+    """try_arrow_cast with Decimal128(p, s): the comma inside the TYPE
+    must not split the argument list (the old rpartition did), and the
+    Arrow spelling maps onto Spark's decimal(p, s)."""
+    df = eng.sql(
+        "SELECT try_arrow_cast(o_totalprice, 'Decimal128(12, 2)') AS d "
+        "FROM read_parquet('orders.parquet') LIMIT 1"
+    )
+    assert df.schema["d"].dataType.simpleString() == "decimal(12,2)"
+    assert df.collect()[0].d is not None
+
+
+def test_try_arrow_cast_literal_paren_in_expr(eng):
+    """A ')' inside a string literal in the expr must not end the
+    argument scan early."""
+    r = eng.sql(
+        "SELECT try_arrow_cast(concat(r_name, ':)'), 'Utf8') AS s "
+        "FROM read_parquet('region.parquet') ORDER BY r_regionkey LIMIT 1"
+    ).collect()[0]
+    assert r.s.endswith(":)")
+
+
+def test_try_arrow_cast_nested(eng):
+    r = eng.sql(
+        "SELECT try_arrow_cast(try_arrow_cast(r_regionkey, 'Utf8'), 'Int64') "
+        "AS v FROM read_parquet('region.parquet') ORDER BY r_regionkey LIMIT 1"
+    ).collect()[0]
+    assert r.v == 0
+
+
+def test_read_fn_comma_in_glob_path(spark, tmp_path):
+    """A comma is a legal filename character: read_parquet('a,b.parquet')
+    is ONE path (the old split(',') sheared it into two)."""
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    spark.range(4).write.parquet(str(tmp_path / "a,b.parquet"))
+    assert eng.sql(
+        "SELECT count(*) AS n FROM read_parquet('a,b.parquet')"
+    ).collect()[0].n == 4
+
+
+def test_qualify_literal_containing_limit(eng):
+    """A 'LIMIT' inside a string literal in the QUALIFY predicate is
+    data — the pred/tail split must not cut there."""
+    out = eng.sql(
+        """
+        SELECT o_custkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC) AS rn
+        FROM read_parquet('orders.parquet')
+        QUALIFY rn = 1 AND CAST(o_custkey AS STRING) != 'LIMIT'
+        ORDER BY o_custkey LIMIT 5
+        """
+    ).collect()
+    assert len(out) == 5 and all(r.rn == 1 for r in out)
+
+
+def test_replace_order_by_with_literal_traps(eng):
+    """* REPLACE + trailing ORDER BY/LIMIT: an ' ORDER BY ' inside a
+    WHERE string literal (with a backslash-escaped quote before it)
+    must not be peeled as the statement's ordering."""
+    out = eng.sql(
+        "SELECT * REPLACE (r_regionkey * 2 AS r_regionkey) "
+        "FROM read_parquet('region.parquet') "
+        "WHERE r_name != '\\' ORDER BY junk ' "
+        "ORDER BY r_regionkey DESC LIMIT 3"
+    ).collect()
+    assert [r.r_regionkey for r in out] == [8, 6, 4]
+
+
+def test_replace_expr_literal_paren(eng):
+    """* REPLACE with a ')' inside a replacement expression's literal:
+    the REPLACE list's close paren is found by the lexer, not by the
+    first ')' character."""
+    out = eng.sql(
+        "SELECT * REPLACE (concat(r_name, ')') AS r_name) "
+        "FROM read_parquet('region.parquet') ORDER BY r_regionkey LIMIT 1"
+    ).collect()[0]
+    assert out.r_name.endswith(")")
+
+
+def test_replace_order_by_trailing_comment(eng):
+    """A trailing line comment after LIMIT must not break the ORDER BY
+    peel (comments are non-code to the shared lexer)."""
+    out = eng.sql(
+        "SELECT * REPLACE (r_regionkey + 1 AS r_regionkey) "
+        "FROM read_parquet('region.parquet') "
+        "ORDER BY r_regionkey LIMIT 2 -- note: peeled tail"
+    ).collect()
+    assert [r.r_regionkey for r in out] == [1, 2]
