@@ -195,3 +195,198 @@ def test_sql_lexer_doubled_quote_escape(spark, content):
     row = spark.sql(stmt).collect()[0]
     assert row.v == content and row.e == "END"
     assert scrub_sql(stmt).endswith(" AS v, '' AS e")
+
+
+# ---------------------------------------------------------------- r9:
+# statement-position scanners vs Spark's REAL parse. These scanners gate
+# federated pushdown and the * REPLACE tail peel — a desync means silently
+# wrong remote data, so (like the lexer above) they are pinned against
+# Spark's own analysis on generated statements full of lexical traps.
+
+_SCAN_TABLES = ("tbl_pa", "tbl_pb", "tbl_pc")
+
+
+def _scan_views(spark):
+    import re as _re
+
+    for t in _SCAN_TABLES:
+        spark.range(4).selectExpr(
+            "id AS c1", "id * 2 AS c2"
+        ).createOrReplaceTempView(t)
+
+    def real_tables(stmt):
+        plan = spark.sql(stmt)._jdf.queryExecution().analyzed().toString()
+        return {m.group(1) for m in _re.finditer(r"View \(`(\w+)`", plan)}
+
+    return real_tables
+
+
+@st.composite
+def _table_position_stmt(draw):
+    """A valid SELECT whose referenced tables are known by construction,
+    salted with the traps the scanner must not trip on: literals
+    containing ' FROM x ' (with backslash-escaped quotes), comments,
+    IS [NOT] DISTINCT FROM, EXTRACT(day FROM …), subquery sources,
+    comma FROM-lists, CTEs."""
+    used = set()
+    aliases = []
+    srcs = []
+    for k in range(draw(st.integers(1, 2))):
+        t = draw(st.sampled_from(_SCAN_TABLES))
+        used.add(t)
+        alias = f"s{k}"
+        aliases.append(alias)
+        kind = draw(st.sampled_from(["bare", "as", "subquery"]))
+        if kind == "bare":
+            srcs.append(f"{t} {alias}")
+        elif kind == "as":
+            srcs.append(f"{t} AS {alias}")
+        else:
+            srcs.append(f"(SELECT c1, c2 FROM {t}) {alias}")
+    if len(srcs) == 2 and draw(st.booleans()):
+        frm = f"{srcs[0]} JOIN {srcs[1]} ON s0.c1 = s1.c1"
+    else:
+        frm = ", ".join(srcs)
+    prefix = ""
+    if draw(st.booleans()):
+        t = draw(st.sampled_from(_SCAN_TABLES))
+        used.add(t)
+        prefix = f"WITH w AS (SELECT c1 AS wc FROM {t}) "
+        if draw(st.booleans()):
+            frm += ", w"
+    sel = ["s0.c1"]
+    if draw(st.booleans()):
+        sel.append("extract(day FROM DATE'2024-01-02') AS d")
+    comment = draw(st.sampled_from(
+        ["", " -- from tbl_zz join qq\n", " /* join tbl_zz */ "]))
+    where = draw(st.sampled_from([
+        "",
+        " WHERE s0.c2 IS NOT DISTINCT FROM 2",
+        " WHERE CAST(s0.c2 AS STRING) != ' FROM tbl_zz x '",
+        " WHERE CAST(s0.c2 AS STRING) != '\\' from tbl_zz '",
+        " WHERE s0.c1 IN (SELECT c1 FROM tbl_pc)",
+    ]))
+    if "tbl_pc" in where:
+        used.add("tbl_pc")
+    stmt = f"{prefix}SELECT {', '.join(sel)}{comment} FROM {frm}{where}"
+    return stmt, used
+
+
+@settings(max_examples=50, deadline=None)
+@given(data=_table_position_stmt())
+def test_table_position_idents_vs_spark(spark, data):
+    """_table_position_idents feeds federated name substitution. Pinned
+    properties, per generated statement:
+
+    1. SOUND SPANS — every reported span slices to its identifier;
+    2. COMPLETE — every table Spark's analyzer resolves is reported
+       (or the scanner returns None, the safe fallback). A missed local
+       table would let pushdown ship a statement that silently reads a
+       same-named REMOTE table;
+    3. SUBSTITUTION-SAFE — rewriting exactly the reported spans of one
+       table to another changes Spark's resolution accordingly (no
+       stale references left, no column/alias positions touched)."""
+    from beacon_spark.engine import _literal_spans, _table_position_idents
+
+    stmt, used = data
+    real_tables = _scan_views(spark)
+    assert real_tables(stmt) == used  # generator sanity
+    got = _table_position_idents(stmt, _literal_spans(stmt))
+    if got is None:
+        return  # conservative fallback — always safe
+    names = {ident.lower() for ident, _, _ in got}
+    for ident, s, e in got:
+        assert stmt[s:e] == ident
+    assert used <= names, f"scanner missed tables in: {stmt!r}"
+    target = next(iter(used))
+    repl = "tbl_pb" if target != "tbl_pb" else "tbl_pa"
+    edits = sorted(
+        [(s, e) for ident, s, e in got if ident.lower() == target],
+        reverse=True,
+    )
+    new_stmt = stmt
+    for s, e in edits:
+        new_stmt = new_stmt[:s] + repl + new_stmt[e:]
+    assert target not in real_tables(new_stmt), (
+        f"substituting {target}->{repl} left a live reference: {new_stmt!r}"
+    )
+
+
+@st.composite
+def _order_limit_stmt(draw):
+    lit = draw(st.sampled_from([
+        "''", "' ORDER BY zz '", "'LIMIT 5'", "'\\' order by x '",
+        "'a''b ORDER BY c'",
+    ]))
+    inner = draw(st.sampled_from(
+        ["tbl_pa", "(SELECT c1, c2 FROM tbl_pa ORDER BY c2 DESC LIMIT 3)"]))
+    core = f"SELECT c1, c2 FROM {inner} t WHERE CAST(c2 AS STRING) != {lit}"
+    has_order = draw(st.booleans())
+    stmt = core
+    lim = off = None
+    if has_order:
+        stmt += " ORDER BY c1 DESC"
+        if draw(st.booleans()):
+            lim = draw(st.integers(1, 3))
+            stmt += f" LIMIT {lim}"
+            if draw(st.booleans()):
+                off = draw(st.integers(0, 2))
+                stmt += f" OFFSET {off}"
+    stmt += draw(st.sampled_from(["", " -- order by trailing", ";"]))
+    return stmt, has_order
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=_order_limit_stmt())
+def test_split_order_limit_vs_spark(spark, data):
+    """_split_order_limit peels the * REPLACE ordering tail. Property:
+    the peel fires exactly when a TOP-LEVEL ORDER BY exists (literals,
+    subquery tails, and trailing comments never trigger it), and
+    re-assembling core + peeled pieces evaluates to the same rows as
+    the original statement."""
+    from beacon_spark.engine import _split_order_limit
+
+    stmt, has_order = data
+    _scan_views(spark)
+    core, oc, lim, off = _split_order_limit(stmt)
+    if not has_order:
+        assert (core, oc, lim, off) == (stmt, None, None, None)
+        return
+    assert oc is not None, f"missed top-level ORDER BY in: {stmt!r}"
+    rebuilt = f"{core} ORDER BY {oc}"
+    if lim is not None:
+        rebuilt += f" LIMIT {lim}"
+    if off is not None:
+        rebuilt += f" OFFSET {off}"
+    want = [tuple(r) for r in spark.sql(stmt).collect()]
+    got = [tuple(r) for r in spark.sql(rebuilt).collect()]
+    assert got == want, f"peel changed semantics: {stmt!r} -> {rebuilt!r}"
+
+
+_SPLIT_ITEMS = [
+    "f(a, b)",
+    "'x,y'",
+    "'a''b,c'",
+    "(1, 2)",
+    "c1 + 1",
+    "'esc\\',q'",
+    "`we,ird`",
+    "g(h(i, 'j,k'), l)",
+    "x /* c,d */",
+]
+
+
+@settings(max_examples=60, deadline=None)
+@given(items=st.lists(st.sampled_from(_SPLIT_ITEMS), min_size=1, max_size=5))
+def test_split_top_level_reconstruction(items):
+    """_split_top_level splits UPDATE SET lists and macro args: joining
+    comma-free-at-top-level items and splitting returns exactly the
+    items — commas inside literals (incl. backslash-escaped quotes and
+    '' doubling), nested calls, parens, backtick identifiers, and
+    block comments never split. (A LINE comment correctly swallows a
+    same-line separator — that's Spark's lexing too, so it's excluded
+    from the rotation.)"""
+    from beacon_spark.engine import _split_top_level
+
+    s = ", ".join(items)
+    assert _split_top_level(s) == [i.strip() for i in items]
