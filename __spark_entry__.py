@@ -2258,3 +2258,153 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _SQL_SPAN_DEDUP,
         # rows-only (non-SQL-expressible): simhash_pairs, ann_lsh_topk
     }
+
+
+# =====================================================================
+# nd-format bench queries (bench.py-only — not graded slots)
+# =====================================================================
+# The reference is a climate data lake whose defining workload is
+# netcdf/zarr/tiff subsetting (benchmarks/harness/queries.py:35-96 run
+# on obs-style data; the docs lead with zarr/netcdf). These three give
+# the custom Python DataSource read path a per-round perf trendline
+# like the relational queries have. Fixtures are derived from the
+# driver tables ONCE per (version, sf) into the temp dir; the timed
+# body is the READ (+ slice/agg), never the build — best-of-2 in
+# bench.py means the recorded number is always the warm-fixture read.
+
+def _nd_bench_root(spark, sf_dir):
+    import os
+    import tempfile
+
+    import numpy as np
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    root = os.path.join(tempfile.gettempdir(), f"beacon_nd_bench_v1_sf{sf}")
+    done = os.path.join(root, "_COMPLETE")
+    if os.path.exists(done):
+        return root
+    import shutil
+
+    from beacon_spark.sources.netcdf3 import write_netcdf3
+    from beacon_spark.sources.tifflite import write_tiff
+    from beacon_spark.sources.zarrlite import write_zarr_store
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+
+    # --- zarr: a (time, cell) float64 grid seeded from lineitem prices,
+    # blosc-compressed v2 chunks — the store the slice query prunes
+    vals = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_extendedprice").limit(600_000)
+        .toPandas()["l_extendedprice"].to_numpy(np.float64)
+    )
+    t_n, c_n = 1200, 2000
+    grid = np.resize(vals, t_n * c_n).reshape(t_n, c_n)
+    write_zarr_store(
+        os.path.join(root, "grid.zarr"),
+        {
+            "time": (("time",), np.arange(t_n, dtype=np.float64)),
+            "cell": (("cell",), np.arange(c_n, dtype=np.float64)),
+            "price": (("time", "cell"), grid),
+        },
+        version=2,
+        codec="blosc",
+        chunk_shapes={"price": (150, 500), "time": (t_n,), "cell": (c_n,)},
+    )
+
+    # --- ragged netcdf: EVERY order grouped per customer (CF contiguous
+    # ragged, rowSize + sample_dimension) — the flatten-at-scale read
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+        .toPandas()
+    )
+    counts = pdf.groupby("o_custkey", sort=True).size()
+    write_netcdf3(
+        os.path.join(root, "profiles.nc"),
+        {"profile": len(counts), "obs": len(pdf)},
+        {
+            "custkey": (("profile",),
+                        counts.index.to_numpy().astype(np.int64)),
+            "rowSize": (("profile",), counts.to_numpy().astype(np.int32)),
+            "orderkey": (("obs",),
+                         pdf["o_orderkey"].to_numpy().astype(np.int64)),
+            "totalprice": (("obs",),
+                           pdf["o_totalprice"].to_numpy().astype(np.float64)),
+        },
+        {"rowSize": {"sample_dimension": "obs"}},
+        {},
+    )
+
+    # --- tiff: a deflate GeoTIFF raster seeded from the same prices —
+    # the full-decode + window-filter read
+    h, w = 1000, 1500
+    band = np.resize(vals, h * w).reshape(h, w)
+    write_tiff(
+        os.path.join(root, "raster.tif"), [band],
+        pixel_scale=(0.1, 0.1), tiepoint=(0, 0, -180.0, 50.0), epsg=4326,
+        compression="deflate", rows_per_strip=64,
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return root
+
+
+def _q_nd_zarr_slice(spark, sf_dir):
+    """Coordinate-sliced zarr read: a time-window box over the middle
+    third of a 1200x2000 blosc v2 grid — chunk-grid pruning + decode +
+    flatten + aggregate (the reference's PushdownFilter path)."""
+    import os
+
+    from beacon_spark.sources.nd import read_nd
+
+    root = _nd_bench_root(spark, sf_dir)
+    df = read_nd(
+        spark, "zarr", os.path.join(root, "grid.zarr"),
+        ranges={"time": (400.0, 799.0)},
+    )
+    return df.groupBy((F.col("time") % 50).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+    )
+
+
+def _q_nd_netcdf_ragged_agg(spark, sf_dir):
+    """Ragged-netcdf scan + aggregate: CF contiguous profiles flattened
+    to one row per observation, then a per-customer rollup."""
+    import os
+
+    from beacon_spark.sources.nd import read_nd
+
+    root = _nd_bench_root(spark, sf_dir)
+    df = read_nd(spark, "netcdf", os.path.join(root, "profiles.nc"))
+    return df.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("totalprice"), 2).alias("total"),
+    )
+
+
+def _q_nd_tiff_window(spark, sf_dir):
+    """GeoTIFF window read: a lat-band window pushed into the planner
+    (coord_region prunes rows on the y dim via the geo.lat coordinate;
+    the lazy band decodes only the covering deflate strips) + a
+    residual filter + aggregate over the surviving pixels."""
+    import os
+
+    from beacon_spark.sources.nd import read_nd
+
+    root = _nd_bench_root(spark, sf_dir)
+    df = read_nd(
+        spark, "tiff", os.path.join(root, "raster.tif"),
+        ranges={"geo.lat": (-20.0, 20.0)},
+    )
+    return (
+        df.filter((F.col("`geo.lat`") <= 20.0) & (F.col("`geo.lat`") >= -20.0))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("`band.0`"), 2).alias("sum_v"),
+            F.round(F.min("`geo.lon`"), 1).alias("min_lon"),
+        )
+    )

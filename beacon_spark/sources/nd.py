@@ -440,28 +440,37 @@ def coord_region(
     if not grid or not ranges:
         return region
     for gi, dim in enumerate(grid):
-        spec = ranges.get(dim)
-        if spec is None or dim not in ds.variables:
-            continue
-        dims_of, coord = ds.variables[dim]
-        if dims_of != (dim,):
-            continue
-        vals, _ = decode_cf(
-            np.ascontiguousarray(np.asarray(coord)), ds.var_attrs.get(dim, {})
-        )
-        if isinstance(vals, np.ma.MaskedArray) or vals.dtype.kind not in "iuf":
-            continue
-        lo, hi = spec
-        mask = np.ones(len(vals), bool)
-        if lo is not None:
-            mask &= vals >= lo
-        if hi is not None:
-            mask &= vals <= hi
-        if not mask.any():
-            return None
-        i0 = int(np.argmax(mask))
-        i1 = len(mask) - int(np.argmax(mask[::-1]))
-        region[gi] = (i0, i1)
+        for key, spec in ranges.items():
+            # a range constrains this dim when its key names the dim's
+            # own coordinate variable OR any other 1-D variable lying on
+            # the dim (CF coords often carry names unrelated to their
+            # dimension — a GeoTIFF's geo.lat rides dim y); several keys
+            # on one dim intersect their hulls
+            if spec is None or key not in ds.variables:
+                continue
+            dims_of, coord = ds.variables[key]
+            if dims_of != (dim,):
+                continue
+            vals, _ = decode_cf(
+                np.ascontiguousarray(np.asarray(coord)),
+                ds.var_attrs.get(key, {}),
+            )
+            if isinstance(vals, np.ma.MaskedArray) or vals.dtype.kind not in "iuf":
+                continue
+            lo, hi = spec
+            mask = np.ones(len(vals), bool)
+            if lo is not None:
+                mask &= vals >= lo
+            if hi is not None:
+                mask &= vals <= hi
+            if not mask.any():
+                return None
+            i0 = int(np.argmax(mask))
+            i1 = len(mask) - int(np.argmax(mask[::-1]))
+            c0, c1 = region[gi]
+            region[gi] = (max(c0, i0), min(c1, i1))
+            if region[gi][0] >= region[gi][1]:
+                return None
     return region
 
 

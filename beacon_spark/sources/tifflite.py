@@ -261,6 +261,147 @@ def tiff_overviews(path: str) -> list[tuple[int, int]]:
     ]
 
 
+#: strip/tile decode counter (cache misses) — tests pin chunk-pruning
+#: behavior on it, like zarrlite.CHUNK_READS
+CHUNK_DECODES = 0
+
+
+class _TiffImage:
+    """Shared strip/tile decoder for one IFD: bands hold a reference and
+    pull decoded chunks on demand. A small FIFO cache means a chunky
+    multi-sample image decodes each strip once even when several bands
+    read the same region; a contiguous row walk never re-decodes.
+    Opening a TIFF therefore touches ONLY the header/IFD bytes — data
+    chunks are ranged reads at slice time (the COG read contract,
+    reference beacon-arrow-tiff reader.rs)."""
+
+    _CACHE_CAP = 64
+
+    def __init__(self, buf, h, w, spp, planar, comp, dt, undiff,
+                 offs, cnts, tiled, tw=0, th=0, rps=0):
+        self.buf, self.h, self.w, self.spp = buf, h, w, spp
+        self.planar, self.comp, self.dt, self.undiff = planar, comp, dt, undiff
+        self.offs, self.cnts, self.tiled = offs, cnts, tiled
+        self.tw, self.th, self.rps = tw, th, rps
+        self.chunk_samples = spp if planar == 1 else 1
+        if tiled:
+            self.tiles_x = (w + tw - 1) // tw
+            self.tiles_y = (h + th - 1) // th
+        else:
+            self.strips_per_plane = (h + (rps or h) - 1) // (rps or h)
+        self.out_dtype = dt.newbyteorder("=")
+        self._cache: dict[int, np.ndarray] = {}
+
+    def _chunk(self, i: int, rows: int, cols: int) -> np.ndarray:
+        """Decoded chunk ``i`` shaped (rows, cols, chunk_samples)."""
+        got = self._cache.get(i)
+        if got is not None:
+            return got
+        global CHUNK_DECODES
+        CHUNK_DECODES += 1
+        o, c = self.offs[i], self.cnts[i]
+        raw = _decompress(self.buf[o:o + c], self.comp)
+        arr = np.frombuffer(raw, dtype=self.dt)[: rows * cols * self.chunk_samples]
+        arr = self.undiff(arr.reshape(rows, cols, self.chunk_samples))
+        if len(self._cache) >= self._CACHE_CAP:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[i] = arr
+        return arr
+
+    def read_band(self, s: int, ys: slice, xs: slice) -> np.ndarray:
+        """Band ``s`` over the (y, x) box — decodes only intersecting
+        strips/tiles."""
+        y0, y1 = ys.start, ys.stop
+        x0, x1 = xs.start, xs.stop
+        out = np.empty((y1 - y0, x1 - x0), dtype=self.out_dtype)
+        if y1 <= y0 or x1 <= x0:
+            return out
+        if self.tiled:
+            plane_base = (s * self.tiles_x * self.tiles_y
+                          if self.planar == 2 else 0)
+            samp = s if self.planar == 1 else 0
+            for ty in range(y0 // self.th, -(-y1 // self.th)):
+                cy0 = ty * self.th
+                rows = min(self.th, self.h - cy0)
+                for tx in range(x0 // self.tw, -(-x1 // self.tw)):
+                    cx0 = tx * self.tw
+                    cols = min(self.tw, self.w - cx0)
+                    # tiles are padded to full (th, tw); decode full,
+                    # then clip to the image and the requested box
+                    arr = self._chunk(
+                        plane_base + ty * self.tiles_x + tx, self.th, self.tw)
+                    gy0, gy1 = max(y0, cy0), min(y1, cy0 + rows)
+                    gx0, gx1 = max(x0, cx0), min(x1, cx0 + cols)
+                    if gy0 >= gy1 or gx0 >= gx1:
+                        continue
+                    out[gy0 - y0:gy1 - y0, gx0 - x0:gx1 - x0] = arr[
+                        gy0 - cy0:gy1 - cy0, gx0 - cx0:gx1 - cx0, samp]
+        else:
+            rps = self.rps or self.h
+            plane_base = (s * self.strips_per_plane
+                          if self.planar == 2 else 0)
+            samp = s if self.planar == 1 else 0
+            for si in range(y0 // rps, -(-y1 // rps)):
+                cy0 = si * rps
+                rows = min(rps, self.h - cy0)
+                arr = self._chunk(plane_base + si, rows, self.w)
+                gy0, gy1 = max(y0, cy0), min(y1, cy0 + rows)
+                out[gy0 - y0:gy1 - y0, :] = arr[
+                    gy0 - cy0:gy1 - cy0, x0:x1, samp]
+        return out
+
+
+class _TiffLazyBand:
+    """Chunk-on-demand TIFF band (the nd model's lazy-array protocol,
+    like ZarrLazyArray / hdf5's _H5Lazy): basic-slice ``__getitem__``
+    decodes only the strips/tiles intersecting the selection;
+    ``np.asarray`` reads everything."""
+
+    def __init__(self, img: _TiffImage, sample: int):
+        self.img, self.sample = img, sample
+        self.shape = (img.h, img.w)
+        self.dtype = img.out_dtype
+        self.ndim = 2
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def _norm(self, idx) -> tuple[slice, slice]:
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        if idx == (Ellipsis,):
+            idx = ()
+        out = []
+        for i, s in enumerate(self.shape):
+            if i < len(idx):
+                it = idx[i]
+                if isinstance(it, int):
+                    if it < 0:
+                        it += s
+                    if not 0 <= it < s:
+                        raise IndexError(
+                            f"index {idx[i]} out of range for axis {i} "
+                            f"(size {s})")
+                    out.append(slice(it, it + 1))
+                else:
+                    lo, hi, step = it.indices(s)
+                    if step != 1:
+                        raise NotImplementedError(
+                            "tiff lazy bands support step-1 slices only")
+                    out.append(slice(lo, hi))
+            else:
+                out.append(slice(0, s))
+        return tuple(out)
+
+    def __getitem__(self, idx) -> np.ndarray:
+        ys, xs = self._norm(idx)
+        return self.img.read_band(self.sample, ys, xs)
+
+    def __array__(self, dtype=None, copy=None) -> np.ndarray:
+        full = self[(slice(None), slice(None))]
+        return full.astype(dtype) if dtype is not None else full
+
+
 def open_tiff(path: str, overview: int | None = None) -> GridDataset:
     """Parse a (Geo)TIFF into the shared nd model: dims (y, x), variables
     ``band.<i>`` (+ ``geo.lon``/``geo.lat`` when georeferenced) and scalar
@@ -323,44 +464,16 @@ def open_tiff(path: str, overview: int | None = None) -> GridDataset:
     def as_list(v):
         return v if isinstance(v, list) else [v]
 
-    planes = spp if planar == 2 else 1
-    chunk_samples = spp if planar == 1 else 1
     if "tile_offsets" in t:
         tw, th = int(t["tile_width"]), int(t["tile_length"])
         offs, cnts = as_list(t["tile_offsets"]), as_list(t["tile_byte_counts"])
-        tiles_x = (w + tw - 1) // tw
-        tiles_y = (h + th - 1) // th
-        data = np.zeros((spp, h, w), dtype=dt.newbyteorder("="))
-        for i, (o, c) in enumerate(zip(offs, cnts)):
-            plane, rest = divmod(i, tiles_x * tiles_y)
-            ty, tx = divmod(rest, tiles_x)
-            raw = _decompress(buf[o : o + c], comp)
-            arr = np.frombuffer(raw, dtype=dt)[: th * tw * chunk_samples]
-            arr = undiff(arr.reshape(th, tw, chunk_samples))
-            y0, x0 = ty * th, tx * tw
-            ys, xs = min(th, h - y0), min(tw, w - x0)
-            if planar == 1:
-                for s in range(spp):
-                    data[s, y0 : y0 + ys, x0 : x0 + xs] = arr[:ys, :xs, s]
-            else:
-                data[plane, y0 : y0 + ys, x0 : x0 + xs] = arr[:ys, :xs, 0]
+        img = _TiffImage(buf, h, w, spp, planar, comp, dt, undiff,
+                         offs, cnts, tiled=True, tw=tw, th=th)
     else:
         rps = int(t.get("rows_per_strip", h))
         offs, cnts = as_list(t["strip_offsets"]), as_list(t["strip_byte_counts"])
-        strips_per_plane = (h + rps - 1) // rps
-        data = np.zeros((spp, h, w), dtype=dt.newbyteorder("="))
-        for i, (o, c) in enumerate(zip(offs, cnts)):
-            plane, si = divmod(i, strips_per_plane)
-            y0 = si * rps
-            ys = min(rps, h - y0)
-            raw = _decompress(buf[o : o + c], comp)
-            arr = np.frombuffer(raw, dtype=dt)[: ys * w * chunk_samples]
-            arr = undiff(arr.reshape(ys, w, chunk_samples))
-            if planar == 1:
-                for s in range(spp):
-                    data[s, y0 : y0 + ys, :] = arr[:, :, s]
-            else:
-                data[plane, y0 : y0 + ys, :] = arr[:, :, 0]
+        img = _TiffImage(buf, h, w, spp, planar, comp, dt, undiff,
+                         offs, cnts, tiled=False, rps=rps)
 
     nodata = None
     if "gdal_nodata" in t:
@@ -373,12 +486,12 @@ def open_tiff(path: str, overview: int | None = None) -> GridDataset:
     variables: dict[str, tuple[tuple[str, ...], np.ndarray]] = {}
     var_attrs: dict[str, dict] = {}
     for s in range(spp):
-        variables[f"band.{s}"] = (("y", "x"), data[s])
+        variables[f"band.{s}"] = (("y", "x"), _TiffLazyBand(img, s))
         if nodata is not None:
             # GDAL_NODATA → NULL via the shared CF fill handling (a mask
             # here would be stripped by broadcast_to in flatten)
             var_attrs[f"band.{s}"] = {
-                "_FillValue": np.array(nodata).astype(data.dtype).item()
+                "_FillValue": np.array(nodata).astype(img.out_dtype).item()
             }
 
     def scalar(name, value):

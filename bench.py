@@ -37,6 +37,13 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "sim_topk",
     "text_quality",
+    # nd-format read path (r9): the data-lake workload the reference
+    # leads with — zarr coordinate slice, ragged-netcdf flatten+agg,
+    # tiff window. Fixtures build once per (version, sf) in the temp
+    # dir; best-of-2 records the warm-fixture READ time.
+    "nd_zarr_slice",
+    "nd_netcdf_ragged_agg",
+    "nd_tiff_window",
 ]
 
 

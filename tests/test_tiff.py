@@ -237,3 +237,130 @@ def test_uint8_band_reads_through_spark(spark, tmp_path):
     got = eng.sql("SELECT count(*) AS n, sum(`band.0`) AS s "
                   "FROM read_tiff('u8.tif')").collect()[0]
     assert (got.n, got.s) == (6, 15)
+
+
+# ---------------------------------------------------------------- r9: lazy
+# strip/tile decode + coordinate-name range pushdown
+
+
+def _tiled_tiff(path, band, tw, th):
+    """Minimal classic little-endian TILED float64 TIFF (the strip-only
+    writer can't produce one): full-tile padding per TIFF 6.0."""
+    import struct
+
+    h, w = band.shape
+    tiles_y, tiles_x = -(-h // th), -(-w // tw)
+    payloads = []
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            tile = np.zeros((th, tw), dtype="<f8")
+            ys = min(th, h - ty * th)
+            xs = min(tw, w - tx * tw)
+            tile[:ys, :xs] = band[ty * th:ty * th + ys, tx * tw:tx * tw + xs]
+            payloads.append(tile.tobytes())
+    n = len(payloads)
+    # header + IFD with 10 tags, then offset arrays, then tile data
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 64), (259, 3, 1, 1),
+        (262, 3, 1, 1), (277, 3, 1, 1), (339, 3, 1, 3),
+        (322, 3, 1, tw), (323, 3, 1, th),
+    ]
+    ifd_off = 8
+    ifd_size = 2 + (len(tags) + 2) * 12 + 4
+    arr_off = ifd_off + ifd_size
+    data_off = arr_off + 8 * n
+    offs = []
+    pos = data_off
+    for p in payloads:
+        offs.append(pos)
+        pos += len(p)
+    out = [struct.pack("<2sHI", b"II", 42, ifd_off)]
+    entries = []
+    for tid, typ, cnt, val in tags:
+        entries.append(struct.pack("<HHI4s", tid, typ, cnt,
+                                   struct.pack("<I", val)))
+    entries.append(struct.pack("<HHII", 324, 4, n, arr_off))          # offsets
+    entries.append(struct.pack("<HHII", 325, 4, n, arr_off + 4 * n))  # counts
+    entries.sort(key=lambda e: struct.unpack_from("<H", e)[0])
+    out.append(struct.pack("<H", len(entries)))
+    out.extend(entries)
+    out.append(struct.pack("<I", 0))
+    out.append(struct.pack(f"<{n}I", *offs))
+    out.append(struct.pack(f"<{n}I", *(len(p) for p in payloads)))
+    out.extend(payloads)
+    with open(path, "wb") as f:
+        f.write(b"".join(out))
+
+
+def test_tiled_tiff_reads_correctly(tmp_path):
+    """The tile assembly path: a 10x13 image over 4x5 tiles (padded edge
+    tiles) reassembles exactly, lazily."""
+    band = np.arange(130, dtype=np.float64).reshape(10, 13)
+    p = str(tmp_path / "tiled.tif")
+    _tiled_tiff(p, band, tw=5, th=4)
+    ds = open_tiff(p)
+    assert np.array_equal(np.asarray(ds.variables["band.0"][1]), band)
+    # a window slice touches only intersecting tiles
+    import beacon_spark.sources.tifflite as tl
+
+    ds2 = open_tiff(p)
+    before = tl.CHUNK_DECODES
+    got = ds2.variables["band.0"][1][0:4, 0:5]
+    assert np.array_equal(got, band[0:4, 0:5])
+    assert tl.CHUNK_DECODES - before == 1  # one tile of nine
+
+
+def test_lazy_open_decodes_nothing(tmp_path):
+    """Opening a TIFF touches only header/IFD bytes; slicing a row band
+    decodes only the covering strips (the COG read contract)."""
+    import beacon_spark.sources.tifflite as tl
+
+    band = np.arange(1000, dtype=np.float64).reshape(100, 10)
+    write_tiff(str(tmp_path / "lz.tif"), [band], rows_per_strip=10)
+    before = tl.CHUNK_DECODES
+    ds = open_tiff(str(tmp_path / "lz.tif"))
+    assert tl.CHUNK_DECODES == before  # open = metadata only
+    got = ds.variables["band.0"][1][20:40, :]
+    assert np.array_equal(got, band[20:40, :])
+    assert tl.CHUNK_DECODES - before == 2  # strips 2..3 of 10
+
+
+def test_coordinate_pruning_tiff_actually_prunes(spark, tmp_path):
+    """ranges keyed by the COORDINATE name (geo.lat on dim y) prune the
+    planned region — pinned via flatten row counts, not just the
+    residual-filtered result."""
+    from beacon_spark.sources.nd import coord_region
+
+    band = np.arange(100, dtype=np.float32).reshape(10, 10)
+    p = str(tmp_path / "pr.tif")
+    write_tiff(p, [band], pixel_scale=(1.0, 1.0),
+               tiepoint=(0, 0, 0.0, 50.0), epsg=4326)
+    ds = open_tiff(p)
+    # lat 50..41 descending; [46, 49] keeps rows 1..4 (lat 49,48,47,46)
+    region = coord_region(ds, None, {"geo.lat": (46.0, 49.0)})
+    assert region == [(1, 5), (0, 10)]
+    # two keys on one dim intersect hulls
+    region2 = coord_region(
+        ds, None, {"geo.lat": (None, 49.0), "geo.lon": (3.0, None)})
+    assert region2 == [(1, 10), (3, 10)]
+    # empty intersection -> None (zero tasks planned)
+    assert coord_region(ds, None, {"geo.lat": (100.0, 200.0)}) is None
+
+
+def test_read_nd_tiff_window_e2e(spark, tmp_path):
+    """End-to-end: read_nd with a geo.lat range returns exactly the
+    window rows (pruned region + residual semantics)."""
+    from beacon_spark.sources.nd import read_nd
+
+    band = np.arange(100, dtype=np.float64).reshape(10, 10)
+    p = str(tmp_path / "win.tif")
+    write_tiff(p, [band], pixel_scale=(1.0, 1.0),
+               tiepoint=(0, 0, 0.0, 50.0), epsg=4326)
+    df = read_nd(spark, "tiff", p, ranges={"geo.lat": (46.0, 49.0)})
+    pdf = df.toPandas()
+    assert len(pdf) == 40
+    assert sorted(pdf["geo.lat"].unique()) == [46.0, 47.0, 48.0, 49.0]
+    want = band[1:5, :].reshape(-1)
+    got = pdf.sort_values(["geo.lat", "geo.lon"], ascending=[False, True])[
+        "band.0"].to_numpy()
+    np.testing.assert_array_equal(got, want)
