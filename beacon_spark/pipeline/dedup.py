@@ -685,11 +685,13 @@ def duplicate_spans(
     100 TB design: whole pipeline is Catalyst (split/slice/concat_ws/
     xxhash64/posexplode — no Python). Two shuffles do the global work:
     one span-key groupBy (map-side partial aggregation folds each
-    partition's repeats first) and one join of spans against the
-    surviving duplicated keys — co-keyed, so AQE plans them together,
-    and a pathologically hot span (a boilerplate line in millions of
-    docs) is exactly the skew shape AQE's skew-join splitting handles.
-    The final per-document count shuffles only (id, 1) pairs.
+    partition's repeats first) and one SALTED join of spans against the
+    surviving duplicated keys — a pathologically hot span (a
+    boilerplate line in millions of docs) fans across 16 deterministic
+    salt keys instead of one straggler task (AQE's skew split can't
+    reach this join: the keys side is an aggregate, which the
+    OptimizeSkewedJoin pattern doesn't match). The final per-document
+    count shuffles only (id, 1) pairs.
     """
     if by not in ("hash", "text"):
         raise ValueError(f"by must be 'hash' or 'text', got {by!r}")
@@ -715,8 +717,24 @@ def duplicate_spans(
         .where(F.col("__occ") >= 2)
         .select("__k")
     )
+    # SALTED key join: AQE's OptimizeSkewedJoin cannot split this join
+    # (the dup-keys child is Sort←Agg←ShuffleRead, which its SMJ
+    # pattern does not match), so a mega-hot span key — boilerplate in
+    # millions of docs — would otherwise pin its whole row set on ONE
+    # task. Salting spreads it deterministically: each span rides salt
+    # pmod(xxhash64(__id), S); the (keys-only, already tiny) duplicated
+    # set is replicated S ways, so every span still matches exactly
+    # once and the hot key fans across S shuffle keys. Pinned in
+    # test_scale_budgets.py with a planted mega-hot key.
+    salt_n = 16
+    salted = spans.withColumn(
+        "__s", F.pmod(F.xxhash64("__id"), F.lit(salt_n)).cast("int"))
+    dup_salted = dup_keys.select(
+        "__k",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))).alias("__s"),
+    )
     per_doc = (
-        spans.join(dup_keys, "__k")
+        salted.join(dup_salted, ["__k", "__s"])
         .groupBy("__id")
         .agg(F.count(F.lit(1)).alias("dup_spans"))
     )

@@ -301,3 +301,127 @@ def test_federated_pushdown_remote_call_budget(spark, tmp_path):
         rem.RemoteBeacon.__init__ = orig_init
         server.shutdown()
         eng.sql("DROP TABLE fb")
+
+
+# ---------------------------------------------------------------- r9: AQE
+# skew-split pins for the band/span self-joins. At 100 TB a boilerplate-
+# heavy corpus makes one band or span key hot; session.py enables AQE
+# skew-join, but nothing pinned that OUR join shapes (cached inputs,
+# residual id-inequality, trailing distinct) remain splittable. These
+# plant a hot key and assert the executed plan shows the split.
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _skew_confs(spark):
+    """Test-scale AQE skew thresholds (+ forced SMJ — a broadcast join
+    has no skew problem and would mask the property being pinned)."""
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # test-scale bytes: shuffle blocks are lz4-compressed, so a
+        # hot partition of (long, long) rows measures just a few KB
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100b",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+    }
+    old = {}
+    for k, v in conf.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _final_plan(df) -> str:
+    df.rdd.getNumPartitions()  # materialize -> AQE final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    return plan
+
+
+def test_minhash_hot_band_key_splits_under_aqe(spark):
+    """A boilerplate clique shares ONE band signature (identical text,
+    bands=1): the candidate self-join's hot partition is split by AQE
+    (SortMergeJoin(skew=true)) instead of landing on one straggler
+    task, and the verified pairs stay exactly the boilerplate clique.
+    Pins that the join SHAPE (cached inputs, id-inequality residual,
+    trailing distinct) stays AQE-splittable."""
+    from pyspark.sql import functions as F
+
+    from beacon_spark.pipeline.dedup import minhash_lsh_pairs
+
+    n_hot, n_uniq = 600, 80
+    boiler = " ".join(f"w{j}" for j in range(12))
+    docs = spark.range(n_hot + n_uniq).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n_hot, F.lit(boiler)).otherwise(
+            F.concat_ws(" ", *[
+                F.concat(F.lit(f"u{j}x"), F.col("id")) for j in range(12)
+            ])
+        ).alias("text"),
+    )
+    with _skew_confs(spark):
+        pairs = minhash_lsh_pairs(
+            docs, threshold=0.5, num_perm=8, bands=1)
+        plan = _final_plan(pairs)
+        assert "skew=true" in plan, plan[:800]
+        assert pairs.count() == n_hot * (n_hot - 1) // 2
+
+
+def test_span_dedup_hot_span_key_salted(spark):
+    """A boilerplate passage repeated across a large doc clique makes
+    ONE span key hot. AQE's OptimizeSkewedJoin cannot split this join
+    (the dup-keys child is an aggregate, which its SMJ pattern does not
+    match — verified in r9), so the operator salts: the join keys must
+    include the salt column (the hot key fans across 16 shuffle keys
+    instead of one straggler task) and every boilerplate doc reports
+    its span duplicated."""
+    from pyspark.sql import functions as F
+
+    from beacon_spark.pipeline.dedup import duplicate_spans
+
+    n_hot, n_uniq = 400, 80
+    # exactly 13 tokens -> ONE span per hot doc: a single hot span key
+    boiler = " ".join(f"b{j}" for j in range(13))
+    docs = spark.range(n_hot + n_uniq).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n_hot, F.lit(boiler)).otherwise(
+            F.concat_ws(" ", *[
+                F.concat(F.lit(f"v{j}x"), F.col("id")) for j in range(14)
+            ])
+        ).alias("text"),
+    )
+    with _skew_confs(spark):
+        out = duplicate_spans(docs, n=13)
+        plan = _final_plan(out)
+        # the spans-vs-dup-keys join shuffles on (__k, __s): the salt
+        # IS in the join keys, so a hot __k cannot own one partition
+        import re
+
+        m = re.search(r"Join.*__k#\d+L?, __s#\d+", plan)
+        assert m, plan[:1200]
+        hot = out.filter(F.col("doc_id") < n_hot).collect()
+        assert len(hot) == n_hot
+        assert all(r.dup_spans == r.total_spans == 1 for r in hot)
+
+
+def test_span_dedup_salt_distributes_hot_key(spark):
+    """The salt actually spreads the hot key: the planted clique's span
+    rows land on >1 salt value (deterministic pmod(xxhash64(id), 16))."""
+    from pyspark.sql import functions as F
+
+    n = spark.range(400).select(
+        F.pmod(F.xxhash64("id"), F.lit(16)).alias("s")
+    ).select(F.countDistinct("s").alias("d")).collect()[0].d
+    assert n == 16
