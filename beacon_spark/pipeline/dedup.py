@@ -1003,11 +1003,22 @@ def semdedup(
     clusters at web scale). Within a cell the similarity walk is
     BLOCKED (``_semdedup_keep``): memory is O(block_rows x chunk), not
     the dense (n/c)^2 matrix, so a skewed cell degrades to slow, never
-    to executor OOM. Cells larger than ``max_cell_rows`` additionally
-    log a loud warning (k-means cells skew; re-train with more cells
-    rather than eating the quadratic time). Greedy keep order is
-    ascending id — deterministic across runs, cluster counts and block
-    sizes.
+    to executor OOM.
+
+    MEGA-CELL AUTO-SPLIT: a cell larger than ``max_cell_rows`` (k-means
+    cells skew) is re-clustered — a sub-quantizer trains on the cell's
+    own rows and the walk runs per (cell, sub-cell) on SEPARATE tasks,
+    bounding per-task quadratic time instead of eating (n_hot)^2 on one
+    straggler. Splitting is the SemDeDup clustering approximation
+    applied one level deeper (equivalent to having trained with more
+    cells): a near-duplicate pair the sub-quantizer separates is NOT
+    compared, exactly as pairs separated by the top-level quantizer
+    never are. Identical vectors always co-locate (assignment is a
+    deterministic function of the vector), so exact clones still dedup
+    to one keeper. Costs one tiny per-cell count aggregate per call and
+    one bounded sample collect per oversized cell. Greedy keep order
+    stays ascending id within each group — deterministic across runs,
+    cluster counts and block sizes.
     """
     import numpy as np
     import pandas as pd
@@ -1027,6 +1038,52 @@ def semdedup(
                 F.col(vec_col).alias("__v"), "cell")
     )
 
+    # mega-cell auto-split: one n_cells-row aggregate finds skewed
+    # cells; each gets a sub-quantizer trained on its own rows
+    sizes = {r["cell"]: r["count"]
+             for r in with_cell.groupBy("cell").count().collect()}
+    sub_map: dict[int, np.ndarray] = {}
+    for c, cnt in sorted(sizes.items()):
+        if cnt <= max_cell_rows:
+            continue
+        n_sub = int(np.ceil(cnt / max_cell_rows)) + 1
+        import logging
+
+        logging.getLogger("beacon_spark.semdedup").warning(
+            "semdedup cell %s holds %d rows (> max_cell_rows=%d): "
+            "auto-splitting into %d sub-cells (the SemDeDup clustering "
+            "approximation one level deeper)", c, cnt, max_cell_rows,
+            n_sub,
+        )
+        sub_map[int(c)] = ivf_train_centroids(
+            with_cell.where(F.col("cell") == int(c)),
+            n_cells=n_sub, vec_col="__v", id_col="id",
+            sample_n=sample_n, seed=seed + 1009 + int(c),
+        )
+    if sub_map:
+        bc_sub = df.sparkSession.sparkContext.broadcast(sub_map)
+
+        @F.pandas_udf("int")
+        def _subcell(cell, v):
+            out = np.zeros(len(cell), dtype="int32")
+            cells = cell.to_numpy()
+            for c in np.unique(cells):
+                cent = bc_sub.value.get(int(c))
+                if cent is None:
+                    continue
+                idx = np.nonzero(cells == c)[0]
+                mat = np.vstack(v.iloc[idx].to_numpy()).astype(np.float64)
+                mat /= np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                out[idx] = np.argmax(mat @ cent.T, axis=1)
+            return pd.Series(out)
+
+        with_cell = with_cell.withColumn(
+            "__sub", _subcell(F.col("cell"),
+                              F.col("__v").cast("array<double>")))
+    else:
+        with_cell = with_cell.withColumn("__sub", F.lit(0))
+
     out_schema = T.StructType([
         # the id keeps ITS OWN type — hardcoding long crashed string ids
         # inside applyInPandas with an opaque executor error
@@ -1041,9 +1098,11 @@ def semdedup(
             import logging
 
             logging.getLogger("beacon_spark.semdedup").warning(
-                "semdedup cell %s holds %d rows (> max_cell_rows=%d): "
-                "the blocked walk stays memory-bounded but quadratic "
-                "time will hurt — re-train with more n_cells",
+                "semdedup group (cell %s) still holds %d rows "
+                "(> max_cell_rows=%d) AFTER auto-split — the "
+                "sub-quantizer could not separate these rows (e.g. an "
+                "identical-vector army); the blocked walk stays "
+                "memory-bounded but quadratic time will hurt",
                 pdf["cell"].iloc[0] if len(pdf) else "?",
                 len(pdf), max_cell_rows,
             )
@@ -1057,7 +1116,7 @@ def semdedup(
         })
 
     return (
-        with_cell.groupBy("cell")
+        with_cell.groupBy("cell", "__sub")
         .applyInPandas(_dedup_cell, schema=out_schema)
         .withColumnRenamed("id", id_col)
     )

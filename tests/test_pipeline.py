@@ -842,3 +842,53 @@ def test_md5_bucket_unbiased(spark):
               .withColumnRenamed("count", "n").collect()}
     assert abs(counts["validation"] / 60_000 - 0.01) < 0.002
     assert abs(counts["test"] / 60_000 - 0.01) < 0.002
+
+
+def test_semdedup_mega_cell_auto_split(spark, caplog):
+    """r9: a cell over max_cell_rows is auto-split — a sub-quantizer
+    trains on the cell's own rows and the quadratic walk runs per
+    (cell, sub-cell) group, bounding per-task time. Exact clones always
+    co-locate (assignment is a deterministic function of the vector),
+    so every planted clone army still collapses to one keeper; distinct
+    vectors survive; the whole thing stays deterministic."""
+    import logging
+
+    import numpy as np
+
+    from beacon_spark.pipeline.dedup import semdedup
+
+    rng = np.random.RandomState(11)
+    rows = []
+    # 40 clone armies of 20 identical vectors (ids g*1000 + j)
+    bases = rng.randn(40, 64)
+    for g, b in enumerate(bases):
+        u = (b / np.linalg.norm(b)).tolist()
+        for j in range(20):
+            rows.append((g * 1000 + j, u))
+    # 200 distinct vectors (64-dim randoms: pairwise cos << 0.99)
+    for i, b in enumerate(rng.randn(200, 64)):
+        rows.append((90_000 + i, (b / np.linalg.norm(b)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    with caplog.at_level(logging.WARNING, logger="beacon_spark.semdedup"):
+        out = semdedup(
+            df, n_cells=1, threshold=0.99, sample_n=256,
+            max_cell_rows=200,
+        ).collect()
+    # the driver decided to split the 1000-row cell
+    split_msgs = [r for r in caplog.records if "auto-splitting" in r.msg]
+    assert split_msgs, "mega-cell auto-split did not engage"
+    assert len(out) == 40 * 20 + 200
+    keep = {r.vec_id for r in out if r.keep}
+    # one keeper per clone army (the smallest id), every copy dropped
+    for g in range(40):
+        army = {g * 1000 + j for j in range(20)}
+        assert army & keep == {g * 1000}, f"army {g}"
+    # distinct vectors all survive
+    assert {90_000 + i for i in range(200)} <= keep
+    # deterministic across runs
+    out2 = semdedup(
+        df, n_cells=1, threshold=0.99, sample_n=256, max_cell_rows=200,
+    ).collect()
+    assert {(r.vec_id, r.keep) for r in out2} == {
+        (r.vec_id, r.keep) for r in out}
