@@ -488,7 +488,7 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
     ("refresh", re.compile(
         r"^\s*REFRESH\s+(?:MATERIALIZED\s+VIEW\s+|TABLE\s+)?(\w+);?\s*$", re.IGNORECASE)),
     ("drop_view", re.compile(
-        r"^\s*DROP\s+(?:MATERIALIZED\s+)?VIEW\s+(?:IF\s+EXISTS\s+)?(\w+);?\s*$",
+        r"^\s*DROP\s+(?:MATERIALIZED\s+)?VIEW\s+(IF\s+EXISTS\s+)?(\w+);?\s*$",
         re.IGNORECASE)),
 ]
 
@@ -1695,6 +1695,8 @@ class Engine:
         if kind == "detach":
             name = m.group(1)
             c = cat._load()
+            if name not in c.get("attachments", {}):
+                raise ValueError(f"no attachment {name!r}")
             entry = c.setdefault("attachments", {}).pop(name, None)
             if isinstance(entry, dict) and entry.get("token_secret"):
                 c.get("secrets", {}).pop(entry["token_secret"], None)
@@ -1968,7 +1970,15 @@ class Engine:
                 cat.refresh_materialized_view(name, self.sql(mv_sql))
             return self._status(status="ok", op="refresh", name=name)
         if kind == "drop_view":
-            name = m.group(1)
+            # errors on a missing name unless IF EXISTS — mirroring
+            # drop_table (silent success hid typos before)
+            if_exists, name = bool(m.group(1)), m.group(2)
+            names = cat.names()
+            if (name not in names["views"]
+                    and name not in names["materialized_views"]):
+                if not if_exists:
+                    raise ValueError(f"View '{name}' does not exist")
+                return self._status(status="noop", op="drop_view", name=name)
             cat.drop_view(name)
             self.spark.catalog.dropTempView(name)
             return self._status(status="ok", op="drop_view", name=name)
@@ -2045,7 +2055,10 @@ class Engine:
         fmt_filter = spec.get("format_filter")
         naming = spec.get("table_naming", "file")
         known = self.catalog._load()
-        taken = set(known["external_tables"]) | set(known["tables"])
+        # every catalog category: a crawler must never auto-register a
+        # name that would shadow (or be shadowed by) a view/MV
+        taken = (set(known["external_tables"]) | set(known["tables"])
+                 | set(known["views"]) | set(known["materialized_views"]))
         report = []
         groups: dict[tuple[str, str], list[str]] = {}
         for rel, fmt in _paths.list_datasets(self.datasets_root):
@@ -2630,15 +2643,42 @@ class Engine:
               (SELECT __orig.*, (p) AS __q FROM (SELECT ...) __orig) __f
             WHERE __q [tail]
 
+        A QUALIFY nested in a CTE body or subquery rewrites too: the
+        enclosing paren group's body is rewritten recursively (innermost
+        first), so ``WITH a AS (… QUALIFY rn=1) SELECT …`` works.
+
         Limitation: a window in the predicate may only reference columns
         the inner select exposes (true for alias-style and self-contained
         QUALIFY, the documented uses)."""
-        spans = _literal_spans(statement)
-        m = _QUALIFY_RE.search(statement)
-        while m and _in_literal(spans, m.start()):
-            m = _QUALIFY_RE.search(statement, m.end())
+        blanked = _noncode_blanked(statement)
+        m = _QUALIFY_RE.search(blanked)
         if not m:
             return statement
+        depth = blanked[:m.start()].count("(") - blanked[:m.start()].count(")")
+        if depth > 0:
+            # rewrite the ENCLOSING paren group's body on its own, then
+            # re-scan the whole statement (each pass consumes one
+            # QUALIFY keyword, so this terminates)
+            bal = 0
+            open_idx = -1
+            for i in range(m.start() - 1, -1, -1):
+                ch = blanked[i]
+                if ch == ")":
+                    bal += 1
+                elif ch == "(":
+                    if bal == 0:
+                        open_idx = i
+                        break
+                    bal -= 1
+            if open_idx < 0:
+                return statement  # unbalanced — don't guess
+            end = _matching_paren_end(blanked, open_idx + 1)
+            if end < 0:
+                return statement
+            inner_sql = self._rewrite_qualify(statement[open_idx + 1:end - 1])
+            return self._rewrite_qualify(
+                statement[:open_idx + 1] + inner_sql + statement[end - 1:]
+            )
         inner = statement[: m.start()].rstrip()
         rest = statement[m.end():].strip().rstrip(";")
         # predicate runs until an ORDER BY / LIMIT / OFFSET at paren

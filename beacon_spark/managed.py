@@ -910,10 +910,28 @@ class Catalog:
             raise ManagedTableError(f"unknown managed table {name!r}")
         return ManagedTable(self.spark, cat["tables"][name])
 
+    def _assert_name_free(self, cat: dict, name: str,
+                          replace_in: str | None = None) -> None:
+        """Catalog names are ONE namespace (the reference's DataFusion
+        session registers every provider by bare name): without this, a
+        view created over an existing managed table would silently
+        shadow it at re-registration time (views register last), making
+        INSERT and SELECT disagree about what <name> is. ``replace_in``
+        exempts same-category replacement (CREATE OR REPLACE VIEW)."""
+        kinds = {"tables": "managed table",
+                 "external_tables": "external table",
+                 "views": "view",
+                 "materialized_views": "materialized view"}
+        for c, label in kinds.items():
+            if c == replace_in:
+                continue
+            if name in cat.get(c, {}):
+                raise ManagedTableError(
+                    f"name {name!r} already exists as a {label}")
+
     def create_table(self, name: str, df: DataFrame) -> ManagedTable:
         cat = self._load()
-        if name in cat["tables"]:
-            raise ManagedTableError(f"table {name!r} already exists")
+        self._assert_name_free(cat, name)
         path = bs.join(self.tables_dir, name)
         t = ManagedTable(self.spark, path).create(df)
         cat["tables"][name] = path
@@ -943,8 +961,7 @@ class Catalog:
         password secret + back-reference land in the same _save — a crash
         can never leave an entry whose credential is missing."""
         cat = self._load()
-        if name in cat["external_tables"] or name in cat["tables"]:
-            raise ManagedTableError(f"table {name!r} already exists")
+        self._assert_name_free(cat, name)
         entry = {
             "format": fmt.lower(),
             "paths": paths,
@@ -1030,6 +1047,8 @@ class Catalog:
 
     def create_view(self, name: str, sql: str, replace: bool = False) -> None:
         cat = self._load()
+        self._assert_name_free(
+            cat, name, replace_in="views" if replace else None)
         if name in cat["views"] and not replace:
             raise ManagedTableError(f"view {name!r} already exists")
         cat["views"][name] = sql
@@ -1037,6 +1056,7 @@ class Catalog:
 
     def create_materialized_view(self, name: str, sql: str, df: DataFrame) -> None:
         cat = self._load()
+        self._assert_name_free(cat, name)
         path = bs.join(self.tables_dir, f"_mv_{name}")
         ManagedTable(self.spark, path).create(df)
         cat["materialized_views"][name] = {"sql": sql, "path": path}

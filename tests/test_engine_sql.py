@@ -644,3 +644,37 @@ def test_replace_order_by_trailing_comment(eng):
         "ORDER BY r_regionkey LIMIT 2 -- note: peeled tail"
     ).collect()
     assert [r.r_regionkey for r in out] == [1, 2]
+
+
+def test_qualify_inside_cte(eng):
+    """QUALIFY nested in a CTE body rewrites too (the rewrite recurses
+    into paren groups; a flat first-occurrence split mangled this)."""
+    out = eng.sql(
+        """
+        WITH best AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC) AS rn
+            FROM read_parquet('orders.parquet')
+            QUALIFY rn = 1
+        )
+        SELECT o_custkey, o_orderkey FROM best ORDER BY o_custkey LIMIT 10
+        """
+    ).collect()
+    assert len(out) == 10
+    assert [r.o_custkey for r in out] == sorted({r.o_custkey for r in out})
+
+
+def test_qualify_in_from_subquery(eng):
+    out = eng.sql(
+        """
+        SELECT count(*) AS n FROM (
+            SELECT o_custkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderkey) AS rn
+            FROM read_parquet('orders.parquet')
+            QUALIFY rn = 1
+        ) t
+        """
+    ).collect()
+    assert out[0].n > 0

@@ -1259,3 +1259,68 @@ def test_retired_name_with_unknown_carriers_stays_retired(spark, tmp_path):
     # IS safe — every surviving file was just rewritten
     t.cluster_by("id")
     t.alter_add_column("name", "string")
+
+
+def test_catalog_names_are_one_namespace(spark, tmp_path):
+    """r9 review: catalog names are ONE namespace — a view over an
+    existing managed table would silently shadow it at re-registration
+    (views register last), making INSERT and SELECT disagree about what
+    the name is. Every create path refuses cross-category collisions;
+    OR REPLACE still replaces same-category."""
+    import pytest as _pytest
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.managed import ManagedTableError
+
+    eng = Engine(spark, datasets_root=str(tmp_path / "ns"))
+    eng.sql("CREATE TABLE nt AS SELECT 1 AS x")
+    eng.sql("CREATE VIEW nv AS SELECT 2 AS x")
+    eng.sql("CREATE MATERIALIZED VIEW nm AS SELECT 3 AS x")
+    spark.range(1).write.parquet(str(tmp_path / "ns" / "ne.parquet"))
+    eng.sql("CREATE EXTERNAL TABLE ne STORED AS PARQUET LOCATION 'ne.parquet'")
+
+    with _pytest.raises(ManagedTableError, match="already exists as a"):
+        eng.sql("CREATE VIEW nt AS SELECT 9 AS x")
+    with _pytest.raises(ManagedTableError, match="already exists as a"):
+        eng.sql("CREATE OR REPLACE VIEW nt AS SELECT 9 AS x")
+    with _pytest.raises(ManagedTableError, match="already exists as a"):
+        eng.sql("CREATE TABLE nv AS SELECT 9 AS x")
+    with _pytest.raises(ManagedTableError, match="already exists as a"):
+        eng.sql("CREATE TABLE nm (x BIGINT)")
+    with _pytest.raises(ManagedTableError, match="already exists as a"):
+        eng.sql("CREATE MATERIALIZED VIEW ne AS SELECT 9 AS x")
+    with _pytest.raises(ManagedTableError, match="already exists as a"):
+        eng.sql("CREATE EXTERNAL TABLE nv STORED AS PARQUET "
+                "LOCATION 'ne.parquet'")
+    # same-category OR REPLACE still works
+    eng.sql("CREATE OR REPLACE VIEW nv AS SELECT 22 AS x")
+    assert eng.sql("SELECT x FROM nv").collect()[0].x == 22
+    # after the refusals, the originals still answer
+    assert eng.sql("SELECT x FROM nt").collect()[0].x == 1
+    assert eng.sql("SELECT x FROM nm").collect()[0].x == 3
+
+
+def test_drop_view_missing_errors_unless_if_exists(spark, tmp_path):
+    """DROP VIEW on a missing name errors (a typo was silent success
+    before); IF EXISTS is a noop."""
+    import pytest as _pytest
+
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path / "dv"))
+    with _pytest.raises(ValueError, match="does not exist"):
+        eng.sql("DROP VIEW nope")
+    st = eng.sql("DROP VIEW IF EXISTS nope").collect()[0]
+    assert st.status == "noop"
+    eng.sql("CREATE VIEW v1 AS SELECT 1 AS x")
+    assert eng.sql("DROP VIEW v1").collect()[0].status == "ok"
+
+
+def test_detach_unknown_errors(spark, tmp_path):
+    import pytest as _pytest
+
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path / "dt"))
+    with _pytest.raises(ValueError, match="no attachment"):
+        eng.sql("DETACH ghost")
