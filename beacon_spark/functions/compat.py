@@ -8,11 +8,18 @@ unchanged:
 
   expression tier (Spark SQL UDFs — inlined into the plan, codegen'd):
     today, to_local_time, datetrunc, strpos, substr_index, to_hex,
-    to_unixtime, to_timestamp_seconds / _millis / _micros / _nanos
+    to_unixtime, to_timestamp_seconds / _millis / _micros / _nanos,
+    iszero
   pandas tier (Arrow-batched; semantics need a real regex/bigint lib):
     regexp_match (Postgres first-match capture-group semantics),
     gcd, lcm (exact big-int arithmetic; numpy would silently wrap
     an int64 lcm overflow where DataFusion errors)
+  builtin OVERRIDES (variadic python UDFs — same Spark name, DIFFERENT
+  contract in DataFusion, reference semantics win):
+    encode/decode (binary hex|base64|escape, not charsets),
+    to_char + date_format (chrono strftime patterns, not Java),
+    regexp_like (optional flags), regexp_instr (n-th OCCURRENCE from a
+    start offset, not a capture-group index)
   builtins unlocked by config:
     to_time / make_time / CAST(… AS TIME) exist in Spark 4.1 behind
     ``spark.sql.timeType.enabled``; registration flips it on so the
@@ -27,6 +34,7 @@ FUNCTION refuses the replacement, so numeric truncation stays spelled
 
 from __future__ import annotations
 
+import functools
 import math
 import re
 
@@ -65,7 +73,133 @@ _SQL_UDFS = [
     # 2^53 ns ≈ 1970-04-16)
     """CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_nanos(n BIGINT)
        RETURNS TIMESTAMP RETURN timestamp_micros((n - pmod(n, 1000)) div 1000)""",
+    # DataFusion iszero: true for +0.0/-0.0, false otherwise (NaN -> false)
+    """CREATE OR REPLACE TEMPORARY FUNCTION iszero(x DOUBLE)
+       RETURNS BOOLEAN RETURN x = CAST(0.0 AS DOUBLE)""",
 ]
+
+
+@functools.lru_cache(maxsize=256)
+def _compile_df_regex(pattern: str, flags: str) -> re.Pattern:
+    """Postgres/DataFusion flag chars → inline python flags ('g' is a
+    caller concern — it selects all-matches, not a regex mode)."""
+    fl = (flags or "").replace("g", "")
+    bad = set(fl) - set("imsx")
+    if bad:
+        raise ValueError(
+            f"unsupported regexp flag(s) {''.join(sorted(bad))!r}")
+    return re.compile((f"(?{fl})" if fl else "") + pattern)
+
+
+def _df_encode(data, fmt=None):
+    """DataFusion/Postgres binary encode: hex | base64 | escape.
+    OVERRIDES Spark's charset encode — the reference inherits
+    DataFusion, where encode IS the binary-to-text function."""
+    if data is None or fmt is None:
+        return None
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    f = str(fmt).lower()
+    if f == "hex":
+        return data.hex()
+    if f == "base64":
+        import base64
+
+        return base64.b64encode(data).decode("ascii")
+    if f == "escape":
+        out = []
+        for b in data:
+            if b == 0x5C:
+                out.append("\\\\")
+            elif 0x20 <= b <= 0x7E:
+                out.append(chr(b))
+            else:
+                out.append(f"\\{b:03o}")
+        return "".join(out)
+    raise ValueError(
+        f"encode: format must be 'hex', 'base64' or 'escape', got {fmt!r}")
+
+
+def _df_decode(text, fmt=None):
+    if text is None or fmt is None:
+        return None
+    if isinstance(text, (bytes, bytearray)):
+        text = bytes(text).decode("ascii")
+    f = str(fmt).lower()
+    if f == "hex":
+        return bytes.fromhex(text)
+    if f == "base64":
+        import base64
+
+        return base64.b64decode(text)
+    if f == "escape":
+        out = bytearray()
+        i, n = 0, len(text)
+        while i < n:
+            ch = text[i]
+            if ch == "\\":
+                if text[i:i + 2] == "\\\\":
+                    out.append(0x5C)
+                    i += 2
+                else:
+                    out.append(int(text[i + 1:i + 4], 8))
+                    i += 4
+            else:
+                out.append(ord(ch))
+                i += 1
+        return bytes(out)
+    raise ValueError(
+        f"decode: format must be 'hex', 'base64' or 'escape', got {fmt!r}")
+
+
+def _df_to_char(value, fmt=None):
+    """DataFusion to_char / date_format: chrono strftime patterns
+    (%Y-%m-%d …). OVERRIDES Spark's Java-pattern date_format — the
+    reference treats date_format as an alias for to_char. Chrono's %f
+    is 9-digit nanoseconds (python's is 6-digit micro), translated
+    explicitly; other directives are C-strftime-compatible."""
+    import datetime as _dt
+
+    if value is None or fmt is None:
+        return None
+    f = str(fmt)
+    if isinstance(value, (_dt.datetime, _dt.time)):
+        nanos = f"{value.microsecond * 1000:09d}"
+        f = f.replace("%.f", "." + nanos).replace("%f", nanos)
+    if isinstance(value, (_dt.datetime, _dt.date, _dt.time)):
+        return value.strftime(f)
+    raise ValueError(
+        f"to_char: unsupported value type {type(value).__name__}")
+
+
+def _df_regexp_like(s, pattern=None, flags=None):
+    if s is None or pattern is None:
+        return None
+    return _compile_df_regex(pattern, flags or "").search(s) is not None
+
+
+def _df_regexp_instr(s, pattern=None, start=None, n=None, flags=None,
+                     subexpr=None):
+    """DataFusion regexp_instr: 1-based position of the n-th MATCH of
+    ``pattern`` in ``s`` searching from ``start`` (Spark's builtin third
+    argument is a capture-group index — different contract). 0 when
+    absent; ``subexpr`` selects a capture group's position."""
+    if s is None or pattern is None:
+        return None
+    start = 1 if start is None else int(start)
+    n = 1 if n is None else int(n)
+    if start < 1 or n < 1:
+        raise ValueError("regexp_instr: start and n must be >= 1")
+    rx = _compile_df_regex(pattern, flags or "")
+    seen = 0
+    for m in rx.finditer(s, start - 1):
+        seen += 1
+        if seen == n:
+            if subexpr:
+                g = m.start(int(subexpr))
+                return 0 if g < 0 else g + 1
+            return m.start() + 1
+    return 0
 
 
 def _regexp_match_udf():
@@ -155,3 +289,15 @@ def register_compat_functions(spark: SparkSession) -> None:
     )
     spark.udf.register("gcd", _gcd_udf())
     spark.udf.register("lcm", _lcm_udf())
+    # DataFusion-semantics overrides of same-named Spark builtins
+    # (udf.register CAN replace builtins; CREATE TEMPORARY FUNCTION
+    # refuses). Python UDFs are deliberately VARIADIC so the optional
+    # trailing arguments keep working; these are cold-path scalar
+    # compat functions, not the relational hot path (which is pinned
+    # Python-free in tests/test_plans.py).
+    spark.udf.register("encode", _df_encode, "string")
+    spark.udf.register("decode", _df_decode, "binary")
+    spark.udf.register("to_char", _df_to_char, "string")
+    spark.udf.register("date_format", _df_to_char, "string")
+    spark.udf.register("regexp_like", _df_regexp_like, "boolean")
+    spark.udf.register("regexp_instr", _df_regexp_instr, "long")

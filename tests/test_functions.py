@@ -202,3 +202,54 @@ def test_time_type_conf_does_not_change_non_time_plans(spark, sf_dir):
             spark.conf.unset("spark.sql.timeType.enabled")
         else:
             spark.conf.set("spark.sql.timeType.enabled", prev)
+
+
+def test_datafusion_builtin_overrides(spark):
+    """r9: the residual DataFusion-name gaps from the reference's
+    function-reference.md — iszero, binary encode/decode, chrono-pattern
+    to_char/date_format, occurrence-based regexp_instr, flagged
+    regexp_like. Same-named Spark builtins carry DIFFERENT contracts
+    (charset encode, Java-pattern date_format, group-index
+    regexp_instr), so the compat tier overrides them; DuckDB
+    cross-checks where it shares the semantics."""
+    import duckdb
+
+    from beacon_spark.functions.core import register_functions
+
+    register_functions(spark)
+
+    def one(expr):
+        return spark.sql(f"SELECT {expr} AS v").collect()[0].v
+
+    assert one("iszero(0.0)") is True
+    assert one("iszero(-0.0)") is True
+    assert one("iszero(double('nan'))") is False
+    assert one("iszero(CAST(NULL AS DOUBLE))") is None
+
+    assert one("encode(X'6869', 'hex')") == "6869"
+    assert one("encode('hi', 'base64')") == "aGk="
+    assert one("encode(X'5C0A41', 'escape')") == "\\\\\\012A"
+    assert bytes(one("decode('6869', 'hex')")) == b"hi"
+    assert bytes(one("decode('aGk=', 'base64')")) == b"hi"
+    assert bytes(one(r"decode('\\\\\\012A', 'escape')")) == b"\\\nA"
+
+    # chrono/strftime patterns — DuckDB's strftime is the oracle
+    for fmt in ("%Y-%m-%d", "%d/%m/%Y %H:%M:%S", "%B %Y", "%j"):
+        want = duckdb.sql(
+            f"SELECT strftime(TIMESTAMP '2024-03-05 07:08:09', '{fmt}')"
+        ).fetchone()[0]
+        assert one(
+            f"to_char(TIMESTAMP '2024-03-05 07:08:09', '{fmt}')") == want
+        assert one(
+            f"date_format(TIMESTAMP '2024-03-05 07:08:09', '{fmt}')") == want
+    # chrono %f = 9-digit nanoseconds (python's 6-digit micro translated)
+    assert one("to_char(TIMESTAMP '2024-01-01 00:00:00.123456', "
+               "'%H:%M:%S%.f')") == "00:00:00.123456000"
+
+    assert one("regexp_like('abc', 'B', 'i')") is True
+    assert one("regexp_like('abc', 'B')") is False
+    assert one("regexp_instr('aXbXc', 'X')") == 2
+    assert one("regexp_instr('aXbXc', 'X', 3)") == 4  # search from pos 3
+    assert one("regexp_instr('aXbXc', 'X', 1, 2)") == 4  # 2nd occurrence
+    assert one("regexp_instr('aXbXc', 'Z')") == 0
+    assert one("regexp_instr('xAB', '(A)(B)', 1, 1, '', 2)") == 3
