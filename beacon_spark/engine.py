@@ -1084,25 +1084,42 @@ class Engine:
         )
 
     def _rewrite_metadata_fns(self, statement: str) -> str:
-        """Zero-arg metadata table functions → temp views:
-        ``list_datasets()`` (file_formats/list_datasets.rs) and
-        ``view_statistics_cache()`` / ``view_dataset_statistics()``
-        (beacon-functions/src/metadata/*)."""
+        """Metadata table functions → temp views:
+        ``list_datasets()`` (file_formats/list_datasets.rs),
+        ``view_statistics_cache()`` / bare ``view_dataset_statistics()``
+        (the whole index), ``view_dataset_statistics('<path>')``
+        (per-column stats of one file, computed on demand when
+        uncached) and ``view_external_table_statistics('<table>')``
+        (cache coverage per file) — beacon-functions/src/metadata/* and
+        table-functions-utility.md:52-117."""
 
         def repl(m: re.Match) -> str:
-            fn = m.group(1).lower()
+            fn, arg = m.group(1).lower(), m.group(2)
             if fn == "list_datasets":
                 df = self.list_datasets()
+            elif fn == "view_external_table_statistics":
+                from beacon_spark.stats import external_table_statistics_df
+
+                if arg is None:
+                    raise ValueError(
+                        "view_external_table_statistics takes a table name")
+                df = external_table_statistics_df(self.spark, self, arg)
+            elif fn == "view_dataset_statistics" and arg is not None:
+                from beacon_spark.stats import dataset_statistics_df
+
+                df = dataset_statistics_df(self.spark, self, arg)
             else:
                 df = self.view_statistics()
-            name = f"__beacon_meta_{fn}"
+            name = f"__beacon_meta_{fn}" + (
+                f"_{abs(hash(arg)) % 10**8}" if arg else "")
             df.createOrReplaceTempView(name)
             return name
 
         return _sub_outside_literals(
             re.compile(
-                r"\b(list_datasets|view_statistics_cache|view_dataset_statistics)"
-                r"\s*\(\s*\)",
+                r"\b(list_datasets|view_statistics_cache"
+                r"|view_dataset_statistics|view_external_table_statistics)"
+                r"\s*\(\s*(?:'([^']*)')?\s*\)",
                 re.IGNORECASE,
             ),
             repl,

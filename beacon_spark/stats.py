@@ -349,3 +349,129 @@ def statistics_df(spark, datasets_root: str):
     if not bs.exists(idx_file):
         raise FileNotFoundError("no statistics index; run ANALYZE FILES first")
     return spark.read.parquet(bs.spark_path(idx_file))
+
+
+def _stats_rows_for_file(f: str, cached: list[dict]) -> list[tuple]:
+    """(column_name, data_type, min_value, max_value, is_exact) rows for
+    ONE parquet file — from the cache rows when given, else straight
+    from the footer (the reference computes on demand when the cache
+    holds nothing — table-functions-utility.md:70-89)."""
+    from beacon_spark.sources.tabular import _arrow_to_spark_schema
+
+    schema = _arrow_to_spark_schema(_open_parquet(f).schema_arrow)
+    types = {fld.name: fld.dataType.simpleString() for fld in schema.fields}
+    rows = cached or _file_stats(f)
+    return [
+        (r["column"], types.get(r["column"]),
+         r["min_str"], r["max_str"], True)
+        for r in rows
+    ]
+
+
+def dataset_statistics_df(spark, engine, path: str):
+    """``view_dataset_statistics('<path>')``: per-column min/max of one
+    file — from the stats cache when present, computed ON DEMAND
+    otherwise. Parquet reads footers only; other formats run one
+    aggregate scan through their reader (exact by construction)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from beacon_spark.sources.paths import (
+        detect_format,
+        expand_parquet_dirs,
+        resolve_globs,
+    )
+
+    out_schema = T.StructType([
+        T.StructField("column_name", T.StringType()),
+        T.StructField("data_type", T.StringType()),
+        T.StructField("min_value", T.StringType()),
+        T.StructField("max_value", T.StringType()),
+        T.StructField("is_exact", T.BooleanType()),
+    ])
+    root = engine.datasets_root
+    fmt = detect_format(path)
+    rows: list[tuple] = []
+    if fmt == "parquet":
+        files = sorted({
+            p for p in expand_parquet_dirs(resolve_globs(path, root))
+            if bs.isfile(p)
+        })
+        idx_file = index_path(root) if root else None
+        by_file: dict[str, list[dict]] = {}
+        if idx_file and bs.exists(idx_file):
+            for r in _read_index(idx_file):
+                by_file.setdefault(r["path"], []).append(r)
+        for f in files:
+            rows.extend(_stats_rows_for_file(f, by_file.get(f, [])))
+    else:
+        # non-parquet: one aggregate scan through the format's reader
+        df = engine.resolve_from({fmt: {"paths": [path]}})
+        cols = [
+            fld for fld in df.schema.fields
+            if isinstance(fld.dataType, (T.NumericType, T.StringType,
+                                         T.DateType, T.TimestampType,
+                                         T.TimestampNTZType,
+                                         T.BooleanType))
+        ]
+        aggs = []
+        for fld in cols:
+            aggs.append(F.min(F.col(f"`{fld.name}`")).cast("string")
+                        .alias(f"__mn_{fld.name}"))
+            aggs.append(F.max(F.col(f"`{fld.name}`")).cast("string")
+                        .alias(f"__mx_{fld.name}"))
+        agg = df.agg(*aggs).collect()[0] if aggs else None
+        for fld in df.schema.fields:
+            known = any(fld.name == c.name for c in cols)
+            rows.append((
+                fld.name, fld.dataType.simpleString(),
+                agg[f"__mn_{fld.name}"] if known else None,
+                agg[f"__mx_{fld.name}"] if known else None,
+                known,
+            ))
+    return spark.createDataFrame(rows, out_schema)
+
+
+def external_table_statistics_df(spark, engine, table: str):
+    """``view_external_table_statistics('<t>')``: one row per cached
+    (file, column) under the external table; a file the cache does not
+    know appears ONCE with NULL column fields and cached=false — the
+    doc's 'find files with no cached statistics' query shape."""
+    from pyspark.sql import types as T
+
+    from beacon_spark.sources.paths import expand_parquet_dirs, resolve_globs
+
+    cat = engine.catalog._load()
+    ext = cat["external_tables"].get(table)
+    if ext is None:
+        raise ValueError(f"unknown external table {table!r}")
+    files = sorted({
+        p for p in expand_parquet_dirs(
+            resolve_globs(ext["paths"], engine.datasets_root))
+        if bs.isfile(p)
+    })
+    idx_file = index_path(engine.datasets_root)
+    by_file: dict[str, list[dict]] = {}
+    if bs.exists(idx_file):
+        for r in _read_index(idx_file):
+            by_file.setdefault(r["path"], []).append(r)
+    out_schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("file_size", T.LongType()),
+        T.StructField("cached", T.BooleanType()),
+        T.StructField("column_name", T.StringType()),
+        T.StructField("data_type", T.StringType()),
+        T.StructField("min_value", T.StringType()),
+        T.StructField("max_value", T.StringType()),
+        T.StructField("is_exact", T.BooleanType()),
+    ])
+    rows: list[tuple] = []
+    for f in files:
+        size = int(bs.size(f))
+        cached = by_file.get(f)
+        if not cached:
+            rows.append((f, size, False, None, None, None, None, None))
+            continue
+        for c in _stats_rows_for_file(f, cached):
+            rows.append((f, size, True) + c)
+    return spark.createDataFrame(rows, out_schema)

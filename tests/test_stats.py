@@ -178,3 +178,92 @@ def test_prune_intersects_two_outputs_of_one_source(spark, lake):
     })
     assert [f.rsplit("/", 1)[-1] for f in got.inputFiles()] == ["f1.parquet"]
     assert got.count() == 6
+
+
+def test_view_dataset_statistics_with_path(spark, tmp_path):
+    """r9: view_dataset_statistics('<path>') — per-column stats of one
+    file (table-functions-utility.md:70-89): cached rows when ANALYZE
+    ran, computed on demand from the footer otherwise."""
+    from beacon_spark.engine import Engine
+
+    root = tmp_path / "vds"
+    root.mkdir()
+    spark.range(10).selectExpr(
+        "id AS a", "CAST(id * 2.5 AS DOUBLE) AS b"
+    ).coalesce(1).write.parquet(str(root / "t.parquet"))
+    eng = Engine(spark, datasets_root=str(root))
+    # no ANALYZE yet -> computed on demand
+    rows = {r.column_name: r for r in eng.sql(
+        "SELECT * FROM view_dataset_statistics('t.parquet')").collect()}
+    assert rows["a"].min_value == "0" and rows["a"].max_value == "9"
+    assert rows["a"].data_type == "bigint" and rows["a"].is_exact
+    assert rows["b"].data_type == "double"
+    assert float(rows["b"].max_value) == 22.5
+    # after ANALYZE the cached path answers identically
+    eng.sql("ANALYZE FILES")
+    rows2 = {r.column_name: (r.min_value, r.max_value) for r in eng.sql(
+        "SELECT * FROM view_dataset_statistics('t.parquet')").collect()}
+    assert rows2 == {
+        k: (v.min_value, v.max_value) for k, v in rows.items()}
+
+
+def test_view_dataset_statistics_nonparquet_on_demand(spark, tmp_path):
+    """A non-parquet file computes stats through its reader (one
+    aggregate scan) — exact, with the flattened nd columns."""
+    import numpy as np
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.sources.zarrlite import write_zarr_store
+
+    root = tmp_path / "vdz"
+    root.mkdir()
+    write_zarr_store(
+        str(root / "g.zarr"),
+        {"t": (("t",), np.arange(5.0)),
+         "v": (("t",), np.arange(5.0) * 10)},
+        version=2, codec=None,
+    )
+    eng = Engine(spark, datasets_root=str(root))
+    rows = {r.column_name: r for r in eng.sql(
+        "SELECT * FROM view_dataset_statistics('g.zarr')").collect()}
+    assert float(rows["v"].min_value) == 0.0
+    assert float(rows["v"].max_value) == 40.0
+    assert rows["t"].is_exact
+
+
+def test_view_external_table_statistics(spark, tmp_path):
+    """r9: view_external_table_statistics('<t>') — cache coverage per
+    file; uncached files appear once with cached=false (the doc's
+    'find files with no cached statistics' shape)."""
+    from beacon_spark.engine import Engine
+
+    root = tmp_path / "vets"
+    root.mkdir()
+    spark.range(5).selectExpr("id AS x").coalesce(1).write.parquet(
+        str(root / "f1.parquet"))
+    eng = Engine(spark, datasets_root=str(root))
+    eng.sql("CREATE EXTERNAL TABLE et STORED AS PARQUET "
+            "LOCATION 'f1.parquet'")
+    eng.sql("ANALYZE FILES")
+    # add a SECOND file after the analyze -> it has no cached stats
+    spark.range(5).selectExpr("id AS x").coalesce(1).write.parquet(
+        str(root / "f2.parquet"))
+    eng2 = Engine(spark, datasets_root=str(root))
+    eng2.sql("DROP TABLE et")
+    eng2.sql("CREATE EXTERNAL TABLE et STORED AS PARQUET "
+             "LOCATION '*.parquet'")
+    out = eng2.sql(
+        "SELECT * FROM view_external_table_statistics('et')").collect()
+    cached = {r.path for r in out if r.cached}
+    uncached = [r for r in out if not r.cached]
+    assert any("f1.parquet" in p for p in cached)
+    assert len(uncached) == 1 and "f2.parquet" in uncached[0].path
+    assert uncached[0].column_name is None
+    assert all(r.file_size > 0 for r in out)
+    x_rows = [r for r in out if r.column_name == "x"]
+    assert x_rows and all(
+        r.min_value == "0" and r.max_value == "4" for r in x_rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown external table"):
+        eng2.sql("SELECT * FROM view_external_table_statistics('ghost')")
