@@ -403,8 +403,11 @@ def _order_columns(order_clause: str):
 # of spark.sql exactly as BeaconParser tries custom statements first
 _DDL_RES: list[tuple[str, re.Pattern]] = [
     ("create_external", re.compile(
-        r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(\w+)\s+STORED\s+AS\s+(\w+)\s+"
-        r"LOCATION\s+'([^']+)'(?:\s+OPTIONS\s*\(([^)]*)\))?;?\s*$",
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?EXTERNAL\s+TABLE\s+"
+        r"(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+STORED\s+AS\s+(\w+)\s+"
+        r"LOCATION\s+'([^']+)'"
+        r"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?"
+        r"(?:\s+OPTIONS\s*\(([^)]*)\))?;?\s*$",
         re.IGNORECASE)),
     ("create_index", re.compile(
         r"^\s*CREATE\s+INDEX\s+(?:(\w+)\s+)?ON\s+(\w+)\s*"
@@ -1444,7 +1447,15 @@ class Engine:
     def _run_ddl_inner(self, kind: str, m: re.Match) -> DataFrame:
         cat = self.catalog
         if kind == "create_external":
-            name, fmt, loc, optstr = m.groups()
+            replace, if_not_exists, name, fmt, loc, partby, optstr = m.groups()
+            if replace and if_not_exists:
+                raise ValueError(
+                    "CREATE EXTERNAL TABLE: OR REPLACE and IF NOT EXISTS "
+                    "cannot be combined")
+            if if_not_exists and name in cat._load()["external_tables"]:
+                # reference contract (create-table.md): skip, no error
+                return self._status(
+                    status="noop", op="create_external_table", name=name)
             fmt_l = fmt.lower()
             opts = dict(
                 re.findall(r"'?(\w+)'?\s+'((?:[^']|'')*)'", optstr or "")
@@ -1481,15 +1492,31 @@ class Engine:
                 if fmt_l in ("postgres", "mysql")
                 else loc
             )
-            self.resolve_from(
+            probe_df = self.resolve_from(
                 {fmt_l: {"paths": [probe_loc], "options":
                          {**opts, **({"password": password}
                                      if password else {})}}}
             )
+            part_cols = None
+            if partby:
+                # PARTITIONED BY (create-table.md): declared hive-style
+                # partition columns. Spark's directory scan discovers
+                # and prunes them natively; the declaration is VALIDATED
+                # against the probed schema so a typo'd column errors at
+                # CREATE, not silently never-prunes at query time.
+                part_cols = [c.strip() for c in partby.split(",") if c.strip()]
+                have = {c.lower() for c in probe_df.columns}
+                missing = [c for c in part_cols if c.lower() not in have]
+                if missing:
+                    raise ValueError(
+                        f"PARTITIONED BY column(s) {missing} not present "
+                        f"in the table (have: {sorted(have)})")
             # one atomic catalog commit: entry + credential secret
             # together (reference EncryptedSecret, sql-databases/secret.rs)
             cat.create_external_table(name, fmt, [loc], opts,
-                                      password=password)
+                                      password=password,
+                                      partitioned_by=part_cols,
+                                      replace=bool(replace))
             return self._status(status="ok", op="create_external_table", name=name)
         if kind == "create_index":
             idx, table, column, using = m.groups()

@@ -956,17 +956,27 @@ class Catalog:
     def create_external_table(
         self, name: str, fmt: str, paths: list[str],
         options: dict | None = None, password: str | None = None,
+        partitioned_by: list[str] | None = None, replace: bool = False,
     ) -> None:
         """One ATOMIC catalog commit: the table entry and (when given) its
         password secret + back-reference land in the same _save — a crash
-        can never leave an entry whose credential is missing."""
+        can never leave an entry whose credential is missing. ``replace``
+        = CREATE OR REPLACE: the previous definition (and its credential
+        secret) leaves in the SAME commit the new one lands in."""
         cat = self._load()
-        self._assert_name_free(cat, name)
+        self._assert_name_free(
+            cat, name, replace_in="external_tables" if replace else None)
+        if replace:
+            prev = cat["external_tables"].pop(name, None)
+            if isinstance(prev, dict) and prev.get("password_secret"):
+                cat.get("secrets", {}).pop(prev["password_secret"], None)
         entry = {
             "format": fmt.lower(),
             "paths": paths,
             "options": options or {},
         }
+        if partitioned_by:
+            entry["partitioned_by"] = list(partitioned_by)
         if password is not None:
             # encrypted at rest (secretbox.py — key lives outside the
             # lake root), mirroring the reference's EncryptedSecret

@@ -1324,3 +1324,66 @@ def test_detach_unknown_errors(spark, tmp_path):
     eng = Engine(spark, datasets_root=str(tmp_path / "dt"))
     with _pytest.raises(ValueError, match="no attachment"):
         eng.sql("DETACH ghost")
+
+
+def test_create_external_or_replace_if_not_exists_partitioned(spark, tmp_path):
+    """r9: CREATE [OR REPLACE] EXTERNAL TABLE [IF NOT EXISTS] ...
+    [PARTITIONED BY (...)] (reference create-table.md). IF NOT EXISTS
+    skips silently; OR REPLACE swaps the definition in one catalog
+    commit; PARTITIONED BY validates against the probed schema and the
+    hive-partition columns answer queries (pruning is Spark-native)."""
+    import pytest as _pytest
+
+    from beacon_spark.engine import Engine
+
+    root = tmp_path / "cep"
+    (root / "obs" / "year=2023").mkdir(parents=True)
+    (root / "obs" / "year=2024").mkdir(parents=True)
+    spark.range(3).selectExpr("id AS v").write.mode("overwrite").parquet(
+        str(root / "obs" / "year=2023"))
+    spark.range(4).selectExpr("id AS v").write.mode("overwrite").parquet(
+        str(root / "obs" / "year=2024"))
+    eng = Engine(spark, datasets_root=str(root))
+    eng.sql("CREATE EXTERNAL TABLE obs STORED AS PARQUET LOCATION 'obs/' "
+            "PARTITIONED BY (year)")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM obs WHERE year = 2024").collect()[0].n == 4
+    # IF NOT EXISTS: silent noop, definition unchanged
+    st = eng.sql("CREATE EXTERNAL TABLE IF NOT EXISTS obs STORED AS PARQUET "
+                 "LOCATION 'obs/year=2023'").collect()[0]
+    assert st.status == "noop"
+    assert eng.sql("SELECT count(*) AS n FROM obs").collect()[0].n == 7
+    # plain CREATE on an existing name still errors
+    with _pytest.raises(Exception, match="already exists"):
+        eng.sql("CREATE EXTERNAL TABLE obs STORED AS PARQUET "
+                "LOCATION 'obs/'")
+    # OR REPLACE narrows the definition to one partition directory
+    eng.sql("CREATE OR REPLACE EXTERNAL TABLE obs STORED AS PARQUET "
+            "LOCATION 'obs/year=2023'")
+    assert eng.sql("SELECT count(*) AS n FROM obs").collect()[0].n == 3
+    # combining the modifiers is an error
+    with _pytest.raises(ValueError, match="cannot be combined"):
+        eng.sql("CREATE OR REPLACE EXTERNAL TABLE IF NOT EXISTS obs "
+                "STORED AS PARQUET LOCATION 'obs/'")
+    # a typo'd partition column errors at CREATE time
+    with _pytest.raises(ValueError, match="PARTITIONED BY column"):
+        eng.sql("CREATE EXTERNAL TABLE obs2 STORED AS PARQUET "
+                "LOCATION 'obs/' PARTITIONED BY (yeer)")
+
+
+def test_create_external_or_replace_swaps_secret(spark, tmp_path):
+    """OR REPLACE drops the previous definition's credential secret in
+    the same commit the new entry lands in (no orphaned secrets)."""
+    from beacon_spark.engine import Engine
+
+    root = tmp_path / "ces"
+    root.mkdir()
+    spark.range(2).write.parquet(str(root / "p.parquet"))
+    eng = Engine(spark, datasets_root=str(root))
+    eng.sql("CREATE EXTERNAL TABLE pt STORED AS PARQUET "
+            "LOCATION 'p.parquet'")
+    eng.sql("CREATE OR REPLACE EXTERNAL TABLE pt STORED AS PARQUET "
+            "LOCATION 'p.parquet'")
+    c = eng.catalog._load()
+    assert "pt" in c["external_tables"]
+    assert not [s for s in c.get("secrets", {}) if s.startswith("__exttbl_pt")]
