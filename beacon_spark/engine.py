@@ -453,9 +453,10 @@ _DDL_RES: list[tuple[str, re.Pattern]] = [
     ("show_extensions", re.compile(
         r"^\s*SHOW\s+EXTENSIONS\s+FOR\s+([\w.]+);?\s*$", re.IGNORECASE)),
     ("create_table_as", re.compile(
-        r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(.*?);?\s*$", re.IGNORECASE | re.DOTALL)),
+        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.*?);?\s*$",
+        re.IGNORECASE | re.DOTALL)),
     ("create_table_schema", re.compile(
-        r"^\s*CREATE\s+TABLE\s+(\w+)\s*\((.+)\)\s*;?\s*$",
+        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.+)\)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL)),
     ("drop_table", re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+);?\s*$", re.IGNORECASE)),
     ("vacuum", re.compile(
@@ -1874,7 +1875,11 @@ class Engine:
             return self.spark.createDataFrame(
                 [(json.dumps(doc),)], "extensions string")
         if kind == "create_table_as":
-            name, src = m.group(1), m.group(2)
+            if_not_exists, name, src = m.groups()
+            if if_not_exists and name in cat._load()["tables"]:
+                # managed-tables.md: IF NOT EXISTS does nothing, no error
+                return self._status(status="noop", op="create_table",
+                                    name=name)
             cat.create_table(name, self.sql(src))
             return self._status(status="ok", op="create_table", name=name)
         if kind == "create_table_schema":
@@ -1885,7 +1890,10 @@ class Engine:
             # reference accepts bare (VARCHAR/TEXT) map to Spark string.
             from beacon_spark.managed import _parse_type as _managed_parse_type
 
-            name, collist = m.group(1), m.group(2)
+            if_not_exists, name, collist = m.groups()
+            if if_not_exists and name in cat._load()["tables"]:
+                return self._status(status="noop", op="create_table",
+                                    name=name)
             fields = []
             for item in _split_top_level(collist):
                 cm = re.match(
@@ -2008,10 +2016,20 @@ class Engine:
             cat.create_materialized_view(name, src, self.sql(src))
             return self._status(status="ok", op="create_mview", name=name)
         if kind == "refresh":
+            # the reference's REFRESH error contract
+            # (create-materialized-view.md): unknown name vs
+            # known-but-not-an-MV give distinct, clear errors
             name = m.group(1)
             mv_sql = cat.mv_sql(name)
-            if mv_sql is not None:
-                cat.refresh_materialized_view(name, self.sql(mv_sql))
+            if mv_sql is None:
+                names = cat.names()
+                if any(name in names[k] for k in
+                       ("tables", "external_tables", "views")):
+                    raise ValueError(
+                        f"Object '{name}' is not a materialized view")
+                raise ValueError(
+                    f"Materialized view '{name}' does not exist")
+            cat.refresh_materialized_view(name, self.sql(mv_sql))
             return self._status(status="ok", op="refresh", name=name)
         if kind == "drop_view":
             # errors on a missing name unless IF EXISTS — mirroring

@@ -1387,3 +1387,46 @@ def test_create_external_or_replace_swaps_secret(spark, tmp_path):
     c = eng.catalog._load()
     assert "pt" in c["external_tables"]
     assert not [s for s in c.get("secrets", {}) if s.startswith("__exttbl_pt")]
+
+
+def test_create_table_if_not_exists(spark, tmp_path):
+    """managed-tables.md: CREATE TABLE IF NOT EXISTS does nothing when
+    the table exists (both schema and CTAS forms); plain CREATE still
+    errors."""
+    import pytest as _pytest
+
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path / "cine"))
+    eng.sql("CREATE TABLE m (id BIGINT, name VARCHAR)")
+    eng.sql("INSERT INTO m VALUES (1, 'a')")
+    assert eng.sql("CREATE TABLE IF NOT EXISTS m (id BIGINT)") \
+        .collect()[0].status == "noop"
+    assert eng.sql("CREATE TABLE IF NOT EXISTS m AS SELECT 9 AS id") \
+        .collect()[0].status == "noop"
+    # untouched
+    assert eng.sql("SELECT id, name FROM m").collect()[0].name == "a"
+    with _pytest.raises(Exception, match="already exists"):
+        eng.sql("CREATE TABLE m (id BIGINT)")
+    # fresh name still creates
+    eng.sql("CREATE TABLE IF NOT EXISTS m2 AS SELECT 5 AS v")
+    assert eng.sql("SELECT v FROM m2").collect()[0].v == 5
+
+
+def test_refresh_error_contract(spark, tmp_path):
+    """create-materialized-view.md errors: unknown name vs
+    known-but-not-an-MV give the reference's distinct messages."""
+    import pytest as _pytest
+
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path / "rerr"))
+    eng.sql("CREATE TABLE orders_t AS SELECT 1 AS x")
+    with _pytest.raises(ValueError,
+                        match="Materialized view 'unknown_view' does not"):
+        eng.sql("REFRESH unknown_view")
+    with _pytest.raises(ValueError,
+                        match="Object 'orders_t' is not a materialized"):
+        eng.sql("REFRESH orders_t")
+    eng.sql("CREATE MATERIALIZED VIEW mv1 AS SELECT x FROM orders_t")
+    assert eng.sql("REFRESH mv1").collect()[0].status == "ok"
