@@ -180,6 +180,39 @@ def _column_type(schema: T.StructType, name: str) -> T.DataType | None:
     return None
 
 
+def filter_column_names(node: Any) -> set[str] | None:
+    """Every column a filter node references, or ``None`` when any part
+    of the shape is not fully understood — callers must then SKIP
+    projection pushdown (fail-open: an under-approximated column set
+    would make the scan drop a column the filter needs). Mirrors
+    :func:`compile_filter`'s grammar exactly."""
+    if not isinstance(node, dict):
+        return None
+    if "and" in node or "or" in node:
+        out: set[str] = set()
+        for child in node.get("and") or node.get("or") or []:
+            sub = filter_column_names(child)
+            if sub is None:
+                return None
+            out |= sub
+        return out
+    for key in ("is_not_null", "skip_fill_values", "skip_missing", "is_null"):
+        if key in node:
+            payload = node[key]
+            if isinstance(payload, dict) and isinstance(
+                    payload.get("column"), str):
+                return {payload["column"]}
+            return None
+    if "geometry" in node:
+        lon = node.get("longitude_column")
+        lat = node.get("latitude_column")
+        if isinstance(lon, str) and isinstance(lat, str):
+            return {lon, lat}
+        return None
+    name = node.get("column", node.get("for_query_parameter"))
+    return {name} if isinstance(name, str) else None
+
+
 def compile_filter(node: Any, schema: T.StructType) -> Column:
     if not isinstance(node, dict):
         raise DslError(f"bad filter node: {node!r}")
@@ -399,8 +432,27 @@ def compile_query(engine, body: dict[str, Any]) -> DataFrame:
         if src := _to_source(c):
             eqs.setdefault(src, []).extend(e)
 
+    # scan projection = select columns + every filter column (translated
+    # to SOURCE names). Any filter shape the collector doesn't fully
+    # understand disables the pushdown — an under-approximation would
+    # drop a column the filter needs (fail-open, like the pruning path).
+    scan_cols: list[str] | None = list(pushdown_cols)
+    if any("*" in c for c in scan_cols):
+        scan_cols = None  # star select: the scan keeps every column
+    for f in (() if scan_cols is None else
+              ([body["filter"]] if body.get("filter") is not None else [])
+              + list(body.get("filters") or [])):
+        sub = filter_column_names(f)
+        if sub is None:
+            scan_cols = None
+            break
+        for c in sub:
+            src = _to_source(c)
+            if src is not None:
+                scan_cols.append(src)
+
     df = engine.resolve_from(
-        body.get("from"), pushdown_cols or None, ranges, terms, eqs
+        body.get("from"), scan_cols or None, ranges, terms, eqs
     )
     df = df.select(*[_select_to_column(s) for s in select])
 

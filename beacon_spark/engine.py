@@ -631,14 +631,18 @@ class Engine:
 
         return read_odv(self.spark, paths, self.datasets_root)
 
-    def read_netcdf(self, paths, dimensions=None, ranges=None) -> DataFrame:
+    def read_netcdf(self, paths, dimensions=None, ranges=None,
+                    columns=None) -> DataFrame:
         return read_nd(
-            self.spark, "netcdf", paths, self.datasets_root, dimensions, ranges=ranges
+            self.spark, "netcdf", paths, self.datasets_root, dimensions,
+            ranges=ranges, columns=columns
         )
 
-    def read_zarr(self, paths, dimensions=None, ranges=None) -> DataFrame:
+    def read_zarr(self, paths, dimensions=None, ranges=None,
+                  columns=None) -> DataFrame:
         return read_nd(
-            self.spark, "zarr", paths, self.datasets_root, dimensions, ranges=ranges
+            self.spark, "zarr", paths, self.datasets_root, dimensions,
+            ranges=ranges, columns=columns
         )
 
     def read_geoparquet(self, paths, keep_wkb: bool = False) -> DataFrame:
@@ -666,9 +670,11 @@ class Engine:
 
         return read_iceberg_schema(self.spark, location, self.datasets_root)
 
-    def read_tiff(self, paths, dimensions=None, ranges=None) -> DataFrame:
+    def read_tiff(self, paths, dimensions=None, ranges=None,
+                  columns=None) -> DataFrame:
         return read_nd(
-            self.spark, "tiff", paths, self.datasets_root, dimensions, ranges=ranges
+            self.spark, "tiff", paths, self.datasets_root, dimensions,
+            ranges=ranges, columns=columns
         )
 
     def read_tiff_schema(self, paths) -> DataFrame:
@@ -676,7 +682,8 @@ class Engine:
 
         return _schema_df(self.spark, self.read_tiff(paths).schema)
 
-    def read_atlas(self, paths, dimensions=None, ranges=None) -> DataFrame:
+    def read_atlas(self, paths, dimensions=None, ranges=None,
+                   columns=None) -> DataFrame:
         """Atlas array stores (read_atlas table function,
         beacon-arrow-atlas/): paths address ``atlas.json`` markers (exact
         or glob). Each marker's datasets expand to per-dataset scan units
@@ -699,9 +706,11 @@ class Engine:
                 for mk in markers
                 for n in atlaslite.list_datasets(mk)
             ]
-            df = read_nd(self.spark, "atlas", units, None, dimensions, ranges=ranges)
+            df = read_nd(self.spark, "atlas", units, None, dimensions,
+                         ranges=ranges, columns=columns)
             return df.limit(0)
-        return read_nd(self.spark, "atlas", units, None, dimensions, ranges=ranges)
+        return read_nd(self.spark, "atlas", units, None, dimensions,
+                       ranges=ranges, columns=columns)
 
     def read_atlas_schema(self, paths) -> DataFrame:
         from beacon_spark.sources.tabular import _schema_df
@@ -2971,21 +2980,41 @@ class Engine:
                 return self.read_csv(cfg["paths"], cfg.get("delimiter"))
             if fmt == "arrow":
                 return self.read_arrow(cfg["paths"])
+            # nd projection pushdown: the scan flattens and ships ONLY
+            # the select+filter column set (None = all). Range/term/eq
+            # keys join the set (they are source columns by
+            # construction), and every dotted name also contributes its
+            # prefixes — "temperature.units" needs variable
+            # "temperature"'s attrs, and tiff's "geo.lat" IS a variable.
+            nd_cols = None
+            if projection is not None:
+                cols = set(projection)
+                for extra in (ranges or {}), (terms or {}), (eqs or {}):
+                    cols |= set(extra)
+                for c in list(cols):
+                    parts = c.split(".")
+                    for i in range(1, len(parts)):
+                        cols.add(".".join(parts[:i]))
+                nd_cols = sorted(cols)
             if fmt in ("netcdf", "hdf5"):
                 return self.read_netcdf(
-                    cfg["paths"], cfg.get("dimensions"), ranges=ranges
+                    cfg["paths"], cfg.get("dimensions"), ranges=ranges,
+                    columns=nd_cols,
                 )
             if fmt == "zarr":
                 return self.read_zarr(
-                    cfg["paths"], cfg.get("dimensions"), ranges=ranges
+                    cfg["paths"], cfg.get("dimensions"), ranges=ranges,
+                    columns=nd_cols,
                 )
             if fmt == "tiff":
                 return self.read_tiff(
-                    cfg["paths"], cfg.get("dimensions"), ranges=ranges
+                    cfg["paths"], cfg.get("dimensions"), ranges=ranges,
+                    columns=nd_cols,
                 )
             if fmt == "atlas":
                 return self.read_atlas(
-                    cfg["paths"], cfg.get("dimensions"), ranges=ranges
+                    cfg["paths"], cfg.get("dimensions"), ranges=ranges,
+                    columns=nd_cols,
                 )
             if fmt == "odv":
                 return self.read_odv(cfg["paths"])

@@ -482,9 +482,16 @@ def read_nd(
     dimensions: list[str] | None = None,
     rows_per_task: int = 1_000_000,
     ranges: dict[str, tuple[float | None, float | None]] | None = None,
+    columns: list[str] | None = None,
 ):
     """Distributed nd read: plan (file, region, row-chunk) tasks, flatten
     per task.
+
+    ``columns`` = projection pushdown (the DSL's select+filter column
+    set): only the named variables flatten and ship through the Arrow
+    boundary — on a wide store the python-worker transfer is the scan's
+    dominant cost. None = every variable (SQL read_* table functions,
+    where Catalyst prunes after the scan).
 
     Planning learns each file's grid size and coordinate hulls from
     *metadata + coordinate variables only* (lazy openers touch no data
@@ -524,7 +531,8 @@ def read_nd(
     if files:
         # 1-row sample (O(1) element reads on lazy variables) so constant
         # attribute columns carry their value type, not null
-        sample_schema = opener(files[0]).flatten(dimensions, row_range=(0, 1)).schema
+        sample_schema = opener(files[0]).flatten(
+            dimensions, columns=columns, row_range=(0, 1)).schema
 
     tasks: list[tuple[str, str, int, int]] = []
     for f, region, n in plans:
@@ -577,7 +585,8 @@ def read_nd(
                 ds = opener(row["path"])
                 region = [tuple(r) for r in _json.loads(row["region"])]
                 table = ds.flatten(
-                    dimensions, row_range=(row["lo"], row["hi"]), region=region
+                    dimensions, columns=columns,
+                    row_range=(row["lo"], row["hi"]), region=region,
                 )
                 # align to the sample schema: null-fill missing columns,
                 # cast mismatched types (multi-file supertype safety)

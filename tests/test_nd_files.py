@@ -597,3 +597,44 @@ def test_zarr_scalar_roundtrip_both_versions(tmp_path):
         dn, a = variables["s"]
         assert dn == () and a.shape == ()
         assert float(np.asarray(a[()])) == 4.25
+
+
+def test_nd_projection_pushdown(spark, tmp_path):
+    """r9: the DSL's projection reaches the nd scan (resolve_from's
+    projection parameter was accepted and silently ignored before) —
+    only the select+filter variables flatten and ship; a filter column
+    absent from the select still scans (reach-through); results match
+    the unprojected query."""
+    from beacon_spark.engine import Engine
+    from beacon_spark.sources.nd import read_nd
+    from beacon_spark.sources.zarrlite import write_zarr_store
+
+    root = str(tmp_path / "proj.zarr")
+    write_zarr_store(
+        root,
+        {
+            "t": (("t",), np.arange(6.0)),
+            "a": (("t",), np.arange(6.0) * 2),
+            "b": (("t",), np.arange(6.0) * 3),
+            "c": (("t",), np.arange(6.0) * 4),
+        },
+        version=2, codec=None,
+    )
+    # read_nd-level: the scanned frame holds exactly the named variables
+    df = read_nd(spark, "zarr", root, columns=["t", "a"])
+    assert set(df.columns) == {"t", "a"}
+    # DSL-level: select a, filter on t (not selected) — reach-through
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    out = eng.query({
+        "select": [{"column": "a", "alias": "doubled"}],
+        "filter": {"column": "t", "gt_eq": 3.0},
+        "from": {"zarr": {"paths": ["proj.zarr"]}},
+    })
+    vals = sorted(r.doubled for r in out.collect())
+    assert vals == [6.0, 8.0, 10.0]
+    # attribute and star selects stay fail-open
+    out2 = eng.query({
+        "select": ["t", "a", "b", "c"],
+        "from": {"zarr": {"paths": ["proj.zarr"]}},
+    })
+    assert out2.count() == 6
