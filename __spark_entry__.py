@@ -2368,6 +2368,7 @@ def _q_nd_zarr_slice(spark, sf_dir):
     df = read_nd(
         spark, "zarr", os.path.join(root, "grid.zarr"),
         ranges={"time": (400.0, 799.0)},
+        columns=["time", "price"],  # the projected read the DSL drives
     )
     return df.groupBy((F.col("time") % 50).cast("long").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -2383,7 +2384,8 @@ def _q_nd_netcdf_ragged_agg(spark, sf_dir):
     from beacon_spark.sources.nd import read_nd
 
     root = _nd_bench_root(spark, sf_dir)
-    df = read_nd(spark, "netcdf", os.path.join(root, "profiles.nc"))
+    df = read_nd(spark, "netcdf", os.path.join(root, "profiles.nc"),
+                 columns=["custkey", "totalprice"])
     return df.groupBy("custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("totalprice"), 2).alias("total"),
@@ -2403,6 +2405,7 @@ def _q_nd_tiff_window(spark, sf_dir):
     df = read_nd(
         spark, "tiff", os.path.join(root, "raster.tif"),
         ranges={"geo.lat": (-20.0, 20.0)},
+        columns=["band.0", "geo.lat", "geo.lon"],
     )
     return (
         df.filter((F.col("`geo.lat`") <= 20.0) & (F.col("`geo.lat`") >= -20.0))
