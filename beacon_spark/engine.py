@@ -2701,6 +2701,41 @@ class Engine:
             return f"approx_percentile({args[0].strip()}, 0.5)"
 
         expand("approx_median", render_approx_median)
+
+        # DataFusion array functions are POLYMORPHIC (the element type
+        # rides through), so they rename at macro time rather than as
+        # typed SQL UDFs. array_element/list_extract map onto
+        # try_element_at — DataFusion returns NULL out of bounds, and
+        # Spark 4's ANSI-default element_at would error instead.
+        # (DataFusion's end-exclusive range() is NOT renamed: Spark's
+        # range() table function owns the name in FROM position —
+        # generate_series covers the documented inclusive form.)
+        def render_array_length(args: list[str]) -> str:
+            if len(args) == 1:
+                return f"size({args[0].strip()})"
+            if len(args) == 2:
+                # dimension argument: 1-D arrays only — other dims NULL
+                return (f"(CASE WHEN ({args[1].strip()}) = 1 "
+                        f"THEN size({args[0].strip()}) END)")
+            raise ValueError(
+                f"array_length: got {len(args)} args, want 1 or 2")
+
+        def render_array_concat(args: list[str]) -> str:
+            if len(args) < 2:
+                raise ValueError("array_concat takes 2+ arrays")
+            return f"concat({', '.join(a.strip() for a in args)})"
+
+        expand("array_length", render_array_length)
+        expand("array_has", rename_agg("array_contains", (2,)))
+        expand("array_element", rename_agg("try_element_at", (2,)))
+        expand("list_extract", rename_agg("try_element_at", (2,)))
+        expand("array_dims",
+               lambda args: f"array(size({args[0].strip()}))")
+        expand("generate_series", rename_agg("sequence", (2, 3)))
+        expand("array_to_string", rename_agg("array_join", (2, 3)))
+        expand("array_concat", render_array_concat)
+        expand("arrow_typeof",
+               lambda args: f"__arrow_typename(typeof({args[0].strip()}))")
         return statement
 
     def _rewrite_qualify(self, statement: str) -> str:

@@ -76,6 +76,32 @@ _SQL_UDFS = [
     # DataFusion iszero: true for +0.0/-0.0, false otherwise (NaN -> false)
     """CREATE OR REPLACE TEMPORARY FUNCTION iszero(x DOUBLE)
        RETURNS BOOLEAN RETURN x = CAST(0.0 AS DOUBLE)""",
+    # Postgres/DataFusion string_to_array: LITERAL delimiter (Spark's
+    # split takes a regex — \Q..\E quotes it); optional 3rd arg maps
+    # matching elements to NULL
+    """CREATE OR REPLACE TEMPORARY FUNCTION string_to_array(
+           s STRING, d STRING, n STRING DEFAULT NULL)
+       RETURNS ARRAY<STRING>
+       RETURN transform(
+           split(s, concat('\\\\Q', d, '\\\\E')),
+           x -> CASE WHEN n IS NOT NULL AND x = n THEN NULL ELSE x END)""",
+    # spark typeof() names -> Arrow names, for the arrow_typeof macro
+    """CREATE OR REPLACE TEMPORARY FUNCTION __arrow_typename(t STRING)
+       RETURNS STRING RETURN CASE
+           WHEN t = 'bigint' THEN 'Int64'
+           WHEN t = 'int' THEN 'Int32'
+           WHEN t = 'smallint' THEN 'Int16'
+           WHEN t = 'tinyint' THEN 'Int8'
+           WHEN t = 'double' THEN 'Float64'
+           WHEN t = 'float' THEN 'Float32'
+           WHEN t = 'string' THEN 'Utf8'
+           WHEN t = 'boolean' THEN 'Boolean'
+           WHEN t = 'date' THEN 'Date32'
+           WHEN t = 'binary' THEN 'Binary'
+           WHEN t = 'timestamp' THEN 'Timestamp(Microsecond, Some("UTC"))'
+           WHEN t = 'timestamp_ntz' THEN 'Timestamp(Microsecond, None)'
+           WHEN t LIKE 'decimal%' THEN concat('Decimal128', substr(t, 8))
+           ELSE t END""",
 ]
 
 

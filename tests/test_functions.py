@@ -253,3 +253,40 @@ def test_datafusion_builtin_overrides(spark):
     assert one("regexp_instr('aXbXc', 'X', 1, 2)") == 4  # 2nd occurrence
     assert one("regexp_instr('aXbXc', 'Z')") == 0
     assert one("regexp_instr('xAB', '(A)(B)', 1, 1, '', 2)") == 3
+
+
+def test_datafusion_array_function_renames(spark, sf_dir):
+    """r9: DataFusion's array functions are polymorphic, so they rename
+    at macro time (engine._rewrite_macros) onto Spark's spellings:
+    array_length/size, array_has/array_contains, array_element +
+    list_extract/try_element_at (NULL out of bounds — Spark 4's
+    ANSI-default element_at would error), array_dims,
+    generate_series/sequence, array_to_string/array_join,
+    array_concat/concat, string_to_array (literal delimiter, optional
+    NULL mapping), arrow_typeof via typeof + an Arrow-name map.
+    range() is deliberately NOT renamed — Spark's range() table
+    function owns the name in FROM position."""
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=sf_dir)
+
+    def one(expr):
+        return eng.sql(f"SELECT {expr} AS v").collect()[0].v
+
+    assert one("array_length(array(1,2,3))") == 3
+    assert one("array_length(array(1,2), 2)") is None
+    assert one("array_has(array(1,2), 1)") is True
+    assert one("array_element(array(10,20), 2)") == 20
+    assert one("array_element(array(10,20), 9)") is None
+    assert one("list_extract(array('x','y'), 1)") == "x"
+    assert one("array_dims(array(1,2))") == [2]
+    assert one("generate_series(1, 3)") == [1, 2, 3]
+    assert one("generate_series(0, 4, 2)") == [0, 2, 4]
+    assert one("array_to_string(array('a','b'), '-')") == "a-b"
+    assert one("string_to_array('a.b', '.')") == ["a", "b"]  # literal dot
+    assert one("string_to_array('a-b-x', '-', 'x')") == ["a", "b", None]
+    assert one("array_concat(array(1), array(2,3))") == [1, 2, 3]
+    assert one("arrow_typeof(CAST(1 AS BIGINT))") == "Int64"
+    assert one("arrow_typeof(CAST(1 AS DECIMAL(10,2)))") == "Decimal128(10,2)"
+    # Spark's range() table function is untouched
+    assert eng.sql("SELECT count(*) AS n FROM range(5)").collect()[0].n == 5
