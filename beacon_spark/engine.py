@@ -2584,6 +2584,8 @@ class Engine:
         list early, and a comma inside the expr (or a parametrized type
         like ``Decimal128(10, 2)``) can't split in the wrong place —
         the TYPE is the last top-level argument, whole."""
+        if "try_arrow_cast" not in statement.lower():
+            return statement
         out = []
         pos = 0
         blanked = _noncode_blanked(statement)
@@ -2622,6 +2624,8 @@ class Engine:
 
         def expand(name: str, render) -> None:
             nonlocal statement
+            if name not in statement.lower():
+                return  # cheap guard: skip the lexer pass entirely
             rx = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
             while True:
                 # search + paren-match on the shared-lexer scrub: a
