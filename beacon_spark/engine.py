@@ -34,8 +34,11 @@ from beacon_spark.sources.nd import read_nd
 _READ_FN_RE = re.compile(
     r"\bread_(geoparquet|parquet|csv|arrow|netcdf|zarr|hdf5|odv_ascii|odv|delta|iceberg|tiff|atlas)\s*\("
     # bare 'a', 'b' argument lists AND the reference's bracketed form
-    # read_parquet(['a', 'b']) (integration-tests/test_etl_pipeline.py)
-    r"\s*(?:\[\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\]|('[^']*'(?:\s*,\s*'[^']*')*))\s*\)",
+    # read_parquet(['a', 'b']) (integration-tests/test_etl_pipeline.py);
+    # a trailing option tail after a bracketed list — quoted strings or
+    # bare ints — carries read_csv's (delimiter, infer_records)
+    r"\s*(?:\[\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\]|('[^']*'(?:\s*,\s*'[^']*')*))"
+    r"((?:\s*,\s*(?:'[^']*'|\d+))*)\s*\)",
     re.IGNORECASE,
 )
 _TRY_ARROW_CAST_RE = re.compile(
@@ -620,8 +623,10 @@ class Engine:
     def read_parquet(self, paths, merge: str = "supertype") -> DataFrame:
         return tabular.read_parquet(self.spark, paths, self.datasets_root, merge)
 
-    def read_csv(self, paths, delimiter: str | None = None) -> DataFrame:
-        return tabular.read_csv(self.spark, paths, self.datasets_root, delimiter)
+    def read_csv(self, paths, delimiter: str | None = None,
+                 infer_records: int | None = None) -> DataFrame:
+        return tabular.read_csv(self.spark, paths, self.datasets_root,
+                                delimiter, infer_records)
 
     def read_arrow(self, paths) -> DataFrame:
         return tabular.read_arrow(self.spark, paths, self.datasets_root)
@@ -2551,10 +2556,43 @@ class Engine:
 
         def repl(m: re.Match) -> str:
             fmt = m.group(1).lower()
-            arglist = m.group(2) if m.group(2) is not None else m.group(3)
+            bracketed = m.group(2) is not None
+            arglist = m.group(2) if bracketed else m.group(3)
+            tail = m.group(4) or ""
             # each glob is one quoted string — a comma INSIDE a quoted
             # path (a legal filename character) must not split it
             globs = re.findall(r"'([^']*)'", arglist)
+            extras = re.findall(r"'([^']*)'|(\d+)", tail)
+            if fmt == "csv":
+                # read_csv(paths[, delimiter[, infer_records]])
+                # (table-functions.md): in the BARE form only the first
+                # string is the path list; trailing strings/ints are the
+                # options
+                if not bracketed and len(globs) > 1:
+                    extras = [(g, "") for g in globs[1:]] + extras
+                    globs = globs[:1]
+                delimiter = None
+                infer_records = None
+                for s, n in extras:
+                    if n:
+                        infer_records = int(n)
+                    elif delimiter is None:
+                        # the raw SQL text of '\t' is backslash+t — decode
+                        # the common escapes the way Spark's lexer would
+                        delimiter = {"\\t": "\t", "\\n": "\n",
+                                     "\\r": "\r", "\\\\": "\\"}.get(s, s)
+                    else:
+                        raise ValueError(
+                            f"read_csv: unexpected argument {s!r}")
+                df = self.read_csv(globs, delimiter,
+                                   infer_records=infer_records)
+                name = f"__beacon_read_{abs(hash((fmt, tuple(globs), delimiter, infer_records))) % 10**10}"
+                df.createOrReplaceTempView(name)
+                return name
+            if extras:
+                raise ValueError(
+                    f"read_{fmt} takes only path arguments, got extras: "
+                    f"{tail.strip()!r}")
             df = {
                 "parquet": self.read_parquet,
                 "csv": self.read_csv,

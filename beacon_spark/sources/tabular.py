@@ -175,16 +175,31 @@ def read_csv(
     infer_records: int | None = None,
 ) -> DataFrame:
     """``read_csv(globs[, delimiter, infer_records])``
-    (table-functions.md:171-186). Spark's CSV inference is a single
-    distributed pass over all files (sampling controlled by samplingRatio),
-    which already produces one harmonized schema."""
+    (table-functions.md:171-186). Without ``infer_records``, Spark's CSV
+    inference is a single distributed pass over all files producing one
+    harmonized schema. With it, the schema is inferred from only the
+    first N data rows (the reference samples ``infer_records`` rows,
+    default 128000) and APPLIED to the full scan — at 100 TB the full
+    inference pass is itself a full read, so bounding it matters;
+    later rows that don't parse as the sampled type become NULL
+    (PERMISSIVE), exactly the sampling trade the reference makes."""
     files = resolve_globs(paths, datasets_root)
-    reader = (
-        spark.read.option("header", "true")
-        .option("inferSchema", "true")
-        .option("sep", delimiter or ",")
+    sep = delimiter or ","
+    base = spark.read.option("header", "true").option("sep", sep)
+    if infer_records is None:
+        return base.option("inferSchema", "true").csv(files)
+    # sample-limited inference: header + N lines of the first file,
+    # through Spark's OWN csv inference (type conventions identical to
+    # the unbounded path), then the schema pins the full scan
+    sample = (
+        spark.read.text(files[0]).limit(int(infer_records) + 1)
+        .rdd.map(lambda r: r.value)
     )
-    return reader.csv(files)
+    schema = (
+        spark.read.option("header", "true").option("sep", sep)
+        .option("inferSchema", "true").csv(sample).schema
+    )
+    return base.schema(schema).csv(files)
 
 
 def read_csv_schema(

@@ -137,3 +137,41 @@ def test_uri_paths_pass_through():
     assert resolve_dir("s3://bucket/tbl", "/data") == "s3://bucket/tbl"
     assert resolve_dir("tbl", "/data") == "/data/tbl"
     assert resolve_dir("/abs/tbl", "/data") == "/abs/tbl"
+
+
+def test_read_csv_sql_delimiter_and_infer_records(spark, tmp_path):
+    """r9: read_csv's 2nd/3rd SQL arguments (table-functions.md) — the
+    delimiter was previously swallowed as a glob path and infer_records
+    was a dead parameter. '\\t' decodes to a real tab; infer_records
+    bounds the inference sample (rows past it that don't parse as the
+    sampled type become NULL instead of re-typing the column)."""
+    from beacon_spark.engine import Engine
+
+    (tmp_path / "d").mkdir()
+    with open(tmp_path / "d" / "t.tsv", "w") as f:
+        f.write("a\tb\n1\t x\n2\ty\n")
+    eng = Engine(spark, datasets_root=str(tmp_path / "d"))
+    rows = eng.sql(
+        "SELECT a, b FROM read_csv('t.tsv', '\\t') ORDER BY a").collect()
+    assert [r.a for r in rows] == [1, 2]
+    # bracketed form with both options
+    rows2 = eng.sql(
+        "SELECT count(*) AS n FROM read_csv(['t.tsv'], '\\t', 500)"
+    ).collect()
+    assert rows2[0].n == 2
+    # infer_records bounds the sample: with only the first data row
+    # sampled, column a infers int; the later non-int row nulls out
+    with open(tmp_path / "d" / "m.csv", "w") as f:
+        f.write("a\n1\nnot_an_int\n")
+    full = eng.sql("SELECT a FROM read_csv('m.csv')")
+    assert dict(full.dtypes)["a"] == "string"  # full inference: string
+    sampled = eng.sql("SELECT a FROM read_csv('m.csv', ',', 1)")
+    assert dict(sampled.dtypes)["a"] in ("int", "bigint")
+    vals = [r.a for r in sampled.collect()]
+    assert 1 in vals and None in vals
+    # non-csv formats refuse trailing options
+    import pytest as _pytest
+
+    spark.range(2).write.parquet(str(tmp_path / "d" / "p.parquet"))
+    with _pytest.raises(ValueError, match="only path arguments"):
+        eng.sql("SELECT * FROM read_parquet(['p.parquet'], 'x')")
