@@ -35,10 +35,11 @@ _READ_FN_RE = re.compile(
     r"\bread_(geoparquet|parquet|csv|arrow|netcdf|zarr|hdf5|odv_ascii|odv|delta|iceberg|tiff|atlas)\s*\("
     # bare 'a', 'b' argument lists AND the reference's bracketed form
     # read_parquet(['a', 'b']) (integration-tests/test_etl_pipeline.py);
-    # a trailing option tail after a bracketed list — quoted strings or
-    # bare ints — carries read_csv's (delimiter, infer_records)
+    # a trailing option tail — quoted strings, bare ints, or a bracketed
+    # list — carries read_csv's (delimiter, infer_records) and the nd
+    # readers' dimensions list
     r"\s*(?:\[\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\]|('[^']*'(?:\s*,\s*'[^']*')*))"
-    r"((?:\s*,\s*(?:'[^']*'|\d+))*)\s*\)",
+    r"((?:\s*,\s*(?:'[^']*'|\d+|\[\s*'[^']*'(?:\s*,\s*'[^']*')*\s*\]))*)\s*\)",
     re.IGNORECASE,
 )
 _TRY_ARROW_CAST_RE = re.compile(
@@ -2562,7 +2563,18 @@ class Engine:
             # each glob is one quoted string — a comma INSIDE a quoted
             # path (a legal filename character) must not split it
             globs = re.findall(r"'([^']*)'", arglist)
+            # a bracketed tail list = the nd readers' DIMENSIONS
+            # (read_netcdf(['…'], ['time', 'pressure']))
+            dims_m = re.search(r"\[(.*?)\]", tail)
+            dims = (re.findall(r"'([^']*)'", dims_m.group(1))
+                    if dims_m else None)
+            if dims_m:
+                tail = tail[:dims_m.start()] + tail[dims_m.end():]
             extras = re.findall(r"'([^']*)'|(\d+)", tail)
+            if dims is not None and fmt not in (
+                    "netcdf", "hdf5", "zarr", "tiff", "atlas"):
+                raise ValueError(
+                    f"read_{fmt} takes no dimensions list")
             if fmt == "csv":
                 # read_csv(paths[, delimiter[, infer_records]])
                 # (table-functions.md): in the BARE form only the first
@@ -2593,22 +2605,32 @@ class Engine:
                 raise ValueError(
                     f"read_{fmt} takes only path arguments, got extras: "
                     f"{tail.strip()!r}")
-            df = {
-                "parquet": self.read_parquet,
-                "csv": self.read_csv,
-                "arrow": self.read_arrow,
-                "netcdf": self.read_netcdf,
-                "zarr": self.read_zarr,
-                "hdf5": self.read_netcdf,
-                "odv": self.read_odv,
-                "odv_ascii": self.read_odv,
-                "delta": lambda gs: self.read_delta(gs[0]),
-                "iceberg": lambda gs: self.read_iceberg(gs[0]),
-                "tiff": self.read_tiff,
-                "atlas": self.read_atlas,
-                "geoparquet": self.read_geoparquet,
-            }[fmt](globs)
-            name = f"__beacon_read_{abs(hash((fmt, tuple(globs)))) % 10**10}"
+            if dims is not None:
+                df = {
+                    "netcdf": self.read_netcdf,
+                    "hdf5": self.read_netcdf,
+                    "zarr": self.read_zarr,
+                    "tiff": self.read_tiff,
+                    "atlas": self.read_atlas,
+                }[fmt](globs, dims)
+            else:
+                df = {
+                    "parquet": self.read_parquet,
+                    "csv": self.read_csv,
+                    "arrow": self.read_arrow,
+                    "netcdf": self.read_netcdf,
+                    "zarr": self.read_zarr,
+                    "hdf5": self.read_netcdf,
+                    "odv": self.read_odv,
+                    "odv_ascii": self.read_odv,
+                    "delta": lambda gs: self.read_delta(gs[0]),
+                    "iceberg": lambda gs: self.read_iceberg(gs[0]),
+                    "tiff": self.read_tiff,
+                    "atlas": self.read_atlas,
+                    "geoparquet": self.read_geoparquet,
+                }[fmt](globs)
+            name = (f"__beacon_read_"
+                    f"{abs(hash((fmt, tuple(globs), tuple(dims or ())))) % 10**10}")
             df.createOrReplaceTempView(name)
             return name
 

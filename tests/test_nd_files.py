@@ -638,3 +638,37 @@ def test_nd_projection_pushdown(spark, tmp_path):
         "from": {"zarr": {"paths": ["proj.zarr"]}},
     })
     assert out2.count() == 6
+
+
+def test_read_netcdf_sql_dimensions_argument(spark, tmp_path):
+    """r9: read_netcdf(['paths'], ['dims']) — the reference's optional
+    second bracketed list selects the grid dimensions; previously the
+    SQL rewrite refused the syntax outright."""
+    from beacon_spark.engine import Engine
+    from beacon_spark.sources.netcdf3 import write_netcdf3
+
+    root = tmp_path / "dimsql"
+    root.mkdir()
+    write_netcdf3(
+        str(root / "g.nc"),
+        {"t": 3, "x": 4},
+        {
+            "t": (("t",), np.arange(3.0)),
+            "x": (("x",), np.arange(4.0)),
+            "temp": (("t", "x"), np.arange(12.0).reshape(3, 4)),
+            "flag": (("t",), np.array([1, 0, 1], dtype=np.int32)),
+        },
+        {}, {},
+    )
+    eng = Engine(spark, datasets_root=str(root))
+    # full grid: 12 rows over (t, x)
+    assert eng.sql(
+        "SELECT count(*) AS n FROM read_netcdf('g.nc')").collect()[0].n == 12
+    # dimensions ['t']: variables on (t,) only — 3 rows, temp dropped
+    df = eng.sql("SELECT * FROM read_netcdf(['g.nc'], ['t'])")
+    assert df.count() == 3
+    assert "flag" in df.columns and "temp" not in df.columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no dimensions list"):
+        eng.sql("SELECT * FROM read_parquet(['g.nc'], ['t'])")
