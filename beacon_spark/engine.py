@@ -661,10 +661,12 @@ class Engine:
 
         return read_geoparquet_schema(self.spark, paths, self.datasets_root)
 
-    def read_delta(self, location, version_as_of: int | None = None) -> DataFrame:
+    def read_delta(self, location, version_as_of: int | None = None,
+                   timestamp_as_of: str | None = None) -> DataFrame:
         from beacon_spark.sources.delta import read_delta
 
-        return read_delta(self.spark, location, self.datasets_root, version_as_of)
+        return read_delta(self.spark, location, self.datasets_root,
+                          version_as_of, timestamp_as_of)
 
     def read_iceberg(self, location, snapshot_id: int | None = None) -> DataFrame:
         from beacon_spark.sources.iceberg import read_iceberg
@@ -2601,6 +2603,28 @@ class Engine:
                 name = f"__beacon_read_{abs(hash((fmt, tuple(globs), delimiter, infer_records))) % 10**10}"
                 df.createOrReplaceTempView(name)
                 return name
+            if fmt in ("delta", "iceberg"):
+                # read_delta(location[, version_or_timestamp]) /
+                # read_iceberg(location[, snapshot_id]) — the second
+                # argument used to be silently DROPPED (quoted form) so
+                # time travel read the latest version instead
+                tt = globs[1] if len(globs) > 1 else None
+                for s, n_ in extras:
+                    tt = n_ or s
+                if fmt == "delta":
+                    if tt is None:
+                        df = self.read_delta(globs[0])
+                    elif re.fullmatch(r"\d+", str(tt)):
+                        df = self.read_delta(globs[0], int(tt))
+                    else:
+                        df = self.read_delta(globs[0], timestamp_as_of=tt)
+                else:
+                    df = self.read_iceberg(
+                        globs[0], int(tt) if tt is not None else None)
+                name = (f"__beacon_read_"
+                        f"{abs(hash((fmt, tuple(globs), str(tt)))) % 10**10}")
+                df.createOrReplaceTempView(name)
+                return name
             if extras:
                 raise ValueError(
                     f"read_{fmt} takes only path arguments, got extras: "
@@ -3119,7 +3143,8 @@ class Engine:
                 return self.read_odv(cfg["paths"])
             if fmt == "delta":
                 loc = cfg["paths"][0] if "paths" in cfg else cfg["location"]
-                return self.read_delta(loc, cfg.get("version_as_of"))
+                return self.read_delta(loc, cfg.get("version_as_of"),
+                                       cfg.get("timestamp_as_of"))
             if fmt == "geoparquet":
                 return self.read_geoparquet(cfg["paths"])
             if fmt == "iceberg":

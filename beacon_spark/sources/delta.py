@@ -257,13 +257,49 @@ def _physical_type(dt: T.DataType) -> T.DataType:
     return dt
 
 
+def _version_at_timestamp(location: str, ts_text: str) -> int:
+    """Last committed version at-or-before an RFC-3339 timestamp —
+    Delta's timestamp time travel (read_delta's second argument,
+    table-functions.md). Commit time = commitInfo.timestamp (ms), with
+    the commit file's modification time as the spec'd fallback."""
+    import datetime as _dt
+
+    ts = _dt.datetime.fromisoformat(ts_text.replace("Z", "+00:00"))
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
+    target_ms = ts.timestamp() * 1000.0
+    best = None
+    for v, path in _list_commits(_log_dir(location)):
+        commit_ms = None
+        with _bs.open_text(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    commit_ms = a["commitInfo"].get("timestamp")
+                    break
+        if commit_ms is None:
+            commit_ms = _bs.mtime(path) * 1000.0
+        if commit_ms <= target_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no Delta version existed at {ts_text!r} "
+            "(earliest retained commit is later)")
+    return best
+
+
 def read_delta(
     spark: SparkSession,
     location: str,
     datasets_root: str | None = None,
     version_as_of: int | None = None,
+    timestamp_as_of: str | None = None,
 ) -> DataFrame:
-    """``read_delta(location)`` (table-functions.md; beacon-delta/src/).
+    """``read_delta(location[, version_or_timestamp])``
+    (table-functions.md; beacon-delta/src/).
 
     Log replay → live file list → one vectorized parquet scan per
     partition-value group with the partition columns attached as typed
@@ -271,6 +307,11 @@ def read_delta(
     from beacon_spark.sources.paths import resolve_dir
 
     location = resolve_dir(location, datasets_root)
+    if timestamp_as_of is not None:
+        if version_as_of is not None:
+            raise ValueError(
+                "read_delta: give a version OR a timestamp, not both")
+        version_as_of = _version_at_timestamp(location, timestamp_as_of)
     snap = _snapshot(location, version_as_of)
     cm = snap.configuration.get("delta.columnMapping.mode", "none")
     # under column mapping the parquet files, add.partitionValues keys,

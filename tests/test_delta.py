@@ -546,3 +546,40 @@ def test_version_as_of_replays_from_checkpoint_base(spark, tmp_path):
     for v in (0, 1):
         os.unlink(os.path.join(log, f"{v:020d}.json"))
     assert read_delta(spark, loc, version_as_of=2).count() == 15
+
+
+def test_read_delta_sql_time_travel_args(spark, tmp_path):
+    """r9: read_delta's SQL second argument (table-functions.md) — an
+    integer is a version, any other string an RFC-3339 timestamp
+    resolved to the last commit at-or-before it. The quoted form was
+    previously swallowed as a glob and SILENTLY dropped (time travel
+    read the latest version)."""
+    import time as _time
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.sources.delta import write_delta
+
+    root = tmp_path / "dtt"
+    root.mkdir()
+    eng = Engine(spark, datasets_root=str(root))
+    loc = str(root / "t")
+    write_delta(spark.range(3).selectExpr("id AS v"), loc, mode="overwrite")
+    _time.sleep(0.05)
+    import datetime as _dt
+
+    between = _dt.datetime.now(_dt.timezone.utc).isoformat()
+    _time.sleep(0.05)
+    write_delta(spark.range(10).selectExpr("id AS v"), loc, mode="overwrite")
+
+    assert eng.sql("SELECT count(*) AS n FROM read_delta('t')") \
+        .collect()[0].n == 10
+    assert eng.sql("SELECT count(*) AS n FROM read_delta('t', 0)") \
+        .collect()[0].n == 3
+    got = eng.sql(
+        f"SELECT count(*) AS n FROM read_delta('t', '{between}')"
+    ).collect()[0].n
+    assert got == 3, "timestamp time travel must pin the older version"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no Delta version existed"):
+        eng.sql("SELECT * FROM read_delta('t', '1990-01-01T00:00:00Z')")
