@@ -86,6 +86,50 @@ class NDReader(DataSourceReader):
         self.dimensions = dimensions
         self.rows_per_task = rows_per_task
         self.spark_schema = schema
+        self._ranges = None
+
+    def pushFilters(self, filters):
+        """WHERE-clause chunk pruning, the reference's 'predicate
+        pushdown is automatic' contract (beacon-arrow-zarr
+        datafusion/source.rs): numeric comparisons on 1-D coordinate
+        variables tighten the planned region hull (coord_region).
+        EVERY filter is yielded back unsupported, so Spark re-evaluates
+        them post-scan — pruning can only SHRINK the region, never
+        change results (fail-open by construction). Strict bounds are
+        widened to inclusive hulls for the same reason."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ranges: dict[str, tuple] = {}
+
+        def tighten(col, lo=None, hi=None):
+            plo, phi = ranges.get(col, (None, None))
+            if lo is not None:
+                plo = lo if plo is None else max(plo, lo)
+            if hi is not None:
+                phi = hi if phi is None else min(phi, hi)
+            ranges[col] = (plo, phi)
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            v = getattr(f, "value", None)
+            if (not attr or len(attr) != 1 or isinstance(v, bool)
+                    or not isinstance(v, (int, float))):
+                continue
+            col = attr[0]
+            if isinstance(f, EqualTo):
+                tighten(col, float(v), float(v))
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                tighten(col, lo=float(v))
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                tighten(col, hi=float(v))
+        self._ranges = ranges or None
+        yield from filters
 
     def partitions(self):
         import numpy as np
@@ -96,7 +140,7 @@ class NDReader(DataSourceReader):
         parts: list[NDPartition] = []
         for f in self.files:
             ds = opener(f)  # lazy: metadata + coordinate vars only
-            region = coord_region(ds, self.dimensions, None)
+            region = coord_region(ds, self.dimensions, self._ranges)
             if region is None:
                 continue
             n = int(np.prod([hi - lo for lo, hi in region])) if region else 1
@@ -145,4 +189,6 @@ def register_nd_datasource(spark) -> None:
     if getattr(spark, "_beacon_nd_ds_registered", False):
         return
     spark.dataSource.register(BeaconNDDataSource)
+    # WHERE-clause chunk pruning rides the Python-DS pushFilters hook
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark._beacon_nd_ds_registered = True

@@ -73,3 +73,47 @@ def test_format_read_tiff(spark, tmp_path):
 
     total = df.agg(F.sum(F.col("`band.0`"))).collect()[0][0]
     assert total == float(band.sum())
+
+
+def test_nd_datasource_where_pushdown_prunes_partitions(spark, tmp_path):
+    """r9: the reference's 'predicate pushdown is automatic' for the
+    SQL/DataFrame surface — a WHERE on a coordinate variable reaches
+    NDReader.pushFilters and shrinks the PLANNED partitions (chunk-grid
+    pruning), while every filter is handed back to Spark so results
+    stay exact."""
+    import numpy as np
+
+    from beacon_spark.sources.nd_datasource import register_nd_datasource
+    from beacon_spark.sources.zarrlite import write_zarr_store
+
+    root = str(tmp_path / "push.zarr")
+    write_zarr_store(
+        root,
+        {
+            "t": (("t",), np.arange(40.0)),
+            "v": (("t",), np.arange(40.0) * 2),
+        },
+        version=2, codec=None,
+        chunk_shapes={"v": (5,), "t": (40,)},
+    )
+    register_nd_datasource(spark)
+
+    def load():
+        return (
+            spark.read.format("beacon_nd")
+            .option("fmt", "zarr").option("rows_per_task", "5")
+            .load(root)
+        )
+
+    full = load()
+    assert full.rdd.getNumPartitions() == 8  # 40 rows / 5 per task
+    sliced = load().filter("t >= 10 AND t <= 19")
+    # the planned region shrank to 10 rows -> 2 partitions
+    assert sliced.rdd.getNumPartitions() == 2
+    rows = sliced.orderBy("t").collect()
+    assert [r.t for r in rows] == [float(x) for x in range(10, 20)]
+    assert rows[0].v == 20.0
+    # strict bounds widen to inclusive hulls; the residual filter
+    # restores exactness
+    strict = load().filter("t > 10 AND t < 12")
+    assert [r.t for r in strict.collect()] == [11.0]
