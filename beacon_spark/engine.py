@@ -2552,6 +2552,97 @@ class Engine:
                 location, token=token)
         return rb
 
+    def _nd_sql_columns(self, fmt, globs, dims, statement) -> list | None:
+        """Referenced-variable set for SQL nd projection, FAIL-OPEN.
+
+        Spark's Python DataSource has no column-pruning hook (the
+        reader receives the full schema even under a narrow SELECT —
+        verified on 4.1), so decode projection must be derived from
+        the statement itself. A store variable is droppable only when
+        its name appears NOWHERE in the statement as an identifier
+        token — over-inclusion merely decodes extra columns, and any
+        shape that could reference columns namelessly (``*`` anywhere,
+        NATURAL joins) disables projection outright. Dotted tokens
+        split into parts so an alias-qualified ``t.time`` keeps
+        ``time`` and a backquoted ``\\`geo.lat\\``` keeps itself AND
+        its variable; attribute columns (``var.attr``) ride flatten's
+        variable-level filter the same way."""
+        blanked = _noncode_blanked(statement)
+        if "*" in blanked or re.search(r"\bnatural\b", blanked, re.I):
+            return None
+        tokens: set[str] = set()
+
+        def add(tok: str) -> None:
+            tokens.add(tok.lower())
+            for part in tok.split("."):
+                if part:
+                    tokens.add(part.lower())
+
+        for t in re.findall(r"[A-Za-z_]\w*(?:\.\w+)*", blanked):
+            add(t)
+        # backtick identifiers are non-code to the lexer scrub — pull
+        # them from the ORIGINAL text (`` = an escaped backtick)
+        for bq in re.findall(r"`((?:[^`]|``)+)`", statement):
+            add(bq.replace("``", "`"))
+        from beacon_spark.sources.nd import _OPENERS
+        from beacon_spark.sources.paths import resolve_globs
+
+        sample = resolve_globs(globs, self.datasets_root)[0]
+        if fmt == "atlas":
+            from beacon_spark.sources.atlaslite import (
+                DATASET_SEP,
+                list_datasets,
+            )
+
+            if DATASET_SEP not in sample:
+                names = list_datasets(sample)
+                if not names:
+                    return None
+                sample = f"{sample}{DATASET_SEP}{names[0]}"
+        variables = list(_OPENERS[fmt](sample).variables)
+        cols = [v for v in variables if v.lower() in tokens]
+        if not cols or len(cols) == len(variables):
+            # nothing referenced (count(1)-style) or everything is —
+            # either way the full flatten is the right plan
+            return None
+        return cols
+
+    def _register_nd_view(self, fmt, globs, dims, statement) -> str:
+        """Temp view over ``spark.read.format("beacon_nd")`` for a SQL
+        ``read_netcdf/zarr/tiff/atlas/hdf5`` call: WHERE comparisons
+        reach NDReader.pushFilters (chunk-grid pruning + atlas dataset
+        stats pruning at plan time) and the statement's referenced
+        variables bound what decodes — the same pruned plan the DSL
+        and DataFrame surfaces already get."""
+        from beacon_spark.sources.nd_datasource import register_nd_datasource
+
+        register_nd_datasource(self.spark)
+        try:
+            cols = self._nd_sql_columns(fmt, globs, dims, statement)
+        except Exception:
+            cols = None  # projection is an optimization, never a gate
+        reader = (
+            self.spark.read.format("beacon_nd")
+            .option("fmt", fmt)
+            .option("paths", json.dumps(list(globs)))
+        )
+        if self.datasets_root:
+            reader = reader.option("datasets_root", self.datasets_root)
+        if dims:
+            reader = reader.option("dimensions", ",".join(dims))
+        if cols is not None:
+            reader = reader.option("columns", json.dumps(cols))
+        rpt = self.spark.conf.get("spark.beacon.nd.rowsPerTask", None)
+        if rpt:
+            reader = reader.option("rows_per_task", rpt)
+        df = reader.load()
+        name = (
+            f"__beacon_read_"
+            f"{abs(hash((fmt, tuple(globs), tuple(dims or ()), tuple(cols or ()), rpt))) % 10**10}"
+        )
+        df.createOrReplaceTempView(name)
+        return name
+
     def _rewrite_read_fns(self, statement: str) -> str:
         """Replace ``read_*('glob' [, 'glob'...])`` table functions with
         temp views backed by the matching reader (the reference registers
@@ -2629,6 +2720,23 @@ class Engine:
                 raise ValueError(
                     f"read_{fmt} takes only path arguments, got extras: "
                     f"{tail.strip()!r}")
+            if fmt in ("netcdf", "hdf5", "zarr", "tiff", "atlas"):
+                # SQL surface of the nd readers rides the beacon_nd
+                # DataSource so a WHERE on a coordinate variable drives
+                # chunk-grid pruning at plan time (pushFilters →
+                # coord_region) and the statement's referenced-variable
+                # set drives decode projection — the reference's
+                # 'predicate pushdown is automatic' SQL contract
+                # (docs/docs/2.0.0-rc2/sql/table-functions.md:79-83,
+                # beacon-arrow-zarr/src/datafusion/source.rs:165-305).
+                # Any failure falls back to the eager read_nd plan
+                # (full-store scan, residual Spark filter — correct,
+                # just unpruned).
+                try:
+                    return self._register_nd_view(
+                        fmt, globs, dims, statement)
+                except Exception:
+                    pass
             if dims is not None:
                 df = {
                     "netcdf": self.read_netcdf,

@@ -45,10 +45,18 @@ class BeaconNDDataSource(DataSource):
     def _files(self) -> list[str]:
         from beacon_spark.sources.paths import resolve_globs
 
-        path = self.options.get("path")
-        if not path:
-            raise ValueError("beacon_nd: a load() path or path option is required")
-        return resolve_globs([path], self.options.get("datasets_root"))
+        paths_json = self.options.get("paths")
+        if paths_json:
+            # the engine's SQL table functions take a LIST of globs —
+            # ships here JSON-encoded (load() accepts only one string)
+            paths = json.loads(paths_json)
+        else:
+            path = self.options.get("path")
+            if not path:
+                raise ValueError(
+                    "beacon_nd: a load() path or path/paths option is required")
+            paths = [path]
+        return resolve_globs(paths, self.options.get("datasets_root"))
 
     def _fmt(self) -> str:
         return (self.options.get("fmt") or "netcdf").lower()
@@ -57,6 +65,30 @@ class BeaconNDDataSource(DataSource):
         dims = self.options.get("dimensions")
         return [d.strip() for d in dims.split(",")] if dims else None
 
+    def _columns(self) -> list[str] | None:
+        """Variable projection (JSON list): only the named variables
+        flatten and ship through the Arrow boundary. Spark's Python
+        DataSource has no column-pruning hook (reader() receives the
+        FULL schema even under a narrow SELECT — verified on 4.1), so
+        the caller passes the referenced-variable set explicitly; the
+        engine's SQL rewrite derives it fail-open from the statement."""
+        cols = self.options.get("columns")
+        return json.loads(cols) if cols else None
+
+    def _sample_file(self, files: list[str]) -> str:
+        # an atlas path addresses the store MARKER; scan units are
+        # marker::dataset (atlaslite.DATASET_SEP) — sample the first
+        if self._fmt() == "atlas":
+            from beacon_spark.sources.atlaslite import DATASET_SEP, list_datasets
+
+            if DATASET_SEP not in files[0]:
+                names = list_datasets(files[0])
+                if not names:
+                    raise FileNotFoundError(
+                        f"beacon_nd: atlas store {files[0]!r} has no datasets")
+                return f"{files[0]}{DATASET_SEP}{names[0]}"
+        return files[0]
+
     def schema(self):
         from beacon_spark.sources.nd import _OPENERS
         from beacon_spark.sources.tabular import _arrow_to_spark_schema
@@ -64,8 +96,8 @@ class BeaconNDDataSource(DataSource):
         files = self._files()
         if not files:
             raise FileNotFoundError("beacon_nd: no files matched")
-        sample = _OPENERS[self._fmt()](files[0]).flatten(
-            self._dimensions(), row_range=(0, 1)
+        sample = _OPENERS[self._fmt()](self._sample_file(files)).flatten(
+            self._dimensions(), columns=self._columns(), row_range=(0, 1)
         )
         return _arrow_to_spark_schema(sample.schema)
 
@@ -76,16 +108,19 @@ class BeaconNDDataSource(DataSource):
             self._dimensions(),
             int(self.options.get("rows_per_task", 1_000_000)),
             schema,
+            self._columns(),
         )
 
 
 class NDReader(DataSourceReader):
-    def __init__(self, fmt, files, dimensions, rows_per_task, schema):
+    def __init__(self, fmt, files, dimensions, rows_per_task, schema,
+                 columns=None):
         self.fmt = fmt
         self.files = files
         self.dimensions = dimensions
         self.rows_per_task = rows_per_task
         self.spark_schema = schema
+        self.columns = columns
         self._ranges = None
 
     def pushFilters(self, filters):
@@ -131,16 +166,50 @@ class NDReader(DataSourceReader):
         self._ranges = ranges or None
         yield from filters
 
+    def _scan_units(self) -> list[str]:
+        """File paths → per-file scan units. Atlas markers expand to
+        marker::dataset units AFTER stats pruning against the pushed
+        WHERE ranges (the format's headline capability, the reference's
+        pruning.rs) — datasets whose column stats cannot match are
+        dropped before any array data is read."""
+        if self.fmt != "atlas":
+            return self.files
+        from beacon_spark.sources.atlaslite import DATASET_SEP, prune_datasets
+
+        units: list[str] = []
+        for f in self.files:
+            if DATASET_SEP in f:
+                units.append(f)
+                continue
+            units.extend(
+                f"{f}{DATASET_SEP}{n}" for n in prune_datasets(f, self._ranges)
+            )
+        return units
+
     def partitions(self):
+        from concurrent.futures import ThreadPoolExecutor
+
         import numpy as np
 
         from beacon_spark.sources.nd import _OPENERS, coord_region
 
         opener = _OPENERS[self.fmt]
-        parts: list[NDPartition] = []
-        for f in self.files:
+
+        def plan(f: str):
             ds = opener(f)  # lazy: metadata + coordinate vars only
-            region = coord_region(ds, self.dimensions, self._ranges)
+            return f, coord_region(ds, self.dimensions, self._ranges)
+
+        units = self._scan_units()
+        if len(units) > 8:
+            # metadata opens are I/O-bound; planning runs on the driver's
+            # Python worker (no SparkSession here — read_nd's cluster-
+            # distributed planning isn't reachable), so thread it
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                plans = list(pool.map(plan, units))
+        else:
+            plans = [plan(f) for f in units]
+        parts: list[NDPartition] = []
+        for f, region in plans:
             if region is None:
                 continue
             n = int(np.prod([hi - lo for lo, hi in region])) if region else 1
@@ -162,6 +231,7 @@ class NDReader(DataSourceReader):
         region = [tuple(r) for r in json.loads(partition.region_json)]
         table = ds.flatten(
             self.dimensions,
+            columns=self.columns,
             row_range=(partition.lo, partition.hi),
             region=region,
         )
