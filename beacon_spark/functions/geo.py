@@ -235,6 +235,16 @@ _WKB_NAMES = {
 }
 
 
+def fmt_coord(v: float) -> str:
+    """Shortest value-exact coordinate text: the compact ``%g`` form
+    when it round-trips, else the full ``repr``. ``%g`` alone (6
+    significant digits) corrupted every decoded geometry coordinate
+    with more precision — a lon of -122.419416 came back -122.419,
+    ~40 m off (r10 sweep, caught by the WKB round-trip property test)."""
+    s = f"{v:g}"
+    return s if float(s) == v else repr(v)
+
+
 def wkb_to_wkt(buf: bytes) -> str:
     """ISO/OGC WKB → WKT for the 7 standard 2-D geometry types (+ Z/M
     flags, both byte orders). Pure Python — used by read_geoparquet to
@@ -260,7 +270,7 @@ def wkb_to_wkt(buf: bytes) -> str:
 
         def coords(o: int) -> tuple[str, int]:
             vals = struct.unpack_from(bo + f"{ndim}d", buf, o)
-            return " ".join(f"{v:g}" for v in vals), o + 8 * ndim
+            return " ".join(fmt_coord(v) for v in vals), o + 8 * ndim
 
         def ring(o: int) -> tuple[str, int]:
             (n,) = struct.unpack_from(bo + "I", buf, o)

@@ -294,7 +294,26 @@ def _point_in_polys(g: Geom, x: float, y: float) -> bool:
                     break
         if inside:
             return True
+    # polygons nested in a GEOMETRYCOLLECTION count too — the top-level
+    # Geom has polys=None, so without the recursion a collection-wrapped
+    # polygon was invisible to every point-in-polygon path
+    for c in g.geoms or []:
+        if _point_in_polys(c, x, y):
+            return True
     return False
+
+
+def _point_coords(g: Geom) -> np.ndarray:
+    """Coordinates of the POINT/MULTIPOINT parts only (recursing into
+    collections) — polygon/line vertices are boundary, not members."""
+    parts = []
+    if g.pts is not None and len(g.pts):
+        parts.append(g.pts)
+    for c in g.geoms or []:
+        sub = _point_coords(c)
+        if len(sub):
+            parts.append(sub)
+    return np.vstack(parts) if parts else np.zeros((0, 2))
 
 
 def _seg_orients(sa: np.ndarray, sb: np.ndarray):
@@ -358,29 +377,52 @@ def geom_intersects(a: Geom, b: Geom) -> bool:
         or aymax < bymin or bymax < aymin
     ):
         return False
-    # any point of one inside/on the other
+    # any point of one inside the other's polygon interiors (recurses
+    # into collection-nested polygons)
     for g1, g2 in ((a, b), (b, a)):
-        if g2.polys:
-            for p in g1.all_coords():
-                if _point_in_polys(g2, p[0], p[1]):
-                    return True
+        for p in g1.all_coords():
+            if _point_in_polys(g2, p[0], p[1]):
+                return True
     sa, sb = a.segments(), b.segments()
     if _segs_intersect(sa, sb):
         return True
-    # pure point geometries: coordinate equality
-    if a.pts is not None and b.pts is not None and len(a.pts) and len(b.pts):
+    # a point geometry lying ON the other's lines/boundary: points have
+    # no segments, so the segment-pair grid can never see them — test
+    # point-to-segment distance == 0 (exact; touching counts, PostGIS
+    # ST_Intersects semantics)
+    pa, pb = _point_coords(a), _point_coords(b)
+    for pts, segs in ((pa, sb), (pb, sa)):
+        if len(pts) and len(segs):
+            d = _pt_seg_dist(
+                pts[:, 0][:, None], pts[:, 1][:, None],
+                segs[:, 0][None, :], segs[:, 1][None, :],
+                segs[:, 2][None, :], segs[:, 3][None, :],
+            )
+            if float(d.min()) == 0.0:
+                return True
+    # point vs point parts: coordinate equality (collections included)
+    if len(pa) and len(pb):
         return bool(
-            (np.abs(a.pts[:, None, :] - b.pts[None, :, :]).sum(axis=2) == 0).any()
+            (np.abs(pa[:, None, :] - pb[None, :, :]).sum(axis=2) == 0).any()
         )
     return False
 
 
 def geom_contains(a: Geom, b: Geom) -> bool:
     """a contains b: every vertex of b inside a (not in holes) and no
-    boundary crossing. Point-in-point = equality."""
+    boundary crossing. Point-in-point = equality. Closed-set ST_Covers
+    semantics throughout: boundary touching stays contained (so a line
+    contains its own endpoints, unlike strict ST_Contains)."""
+    bc = b.all_coords()
+    if b.empty or not len(bc):
+        # PostGIS: nothing contains an empty geometry
+        return False
     if a.polys:
-        for p in b.all_coords():
-            if not _point_in_polys(a, p[0], p[1]):
+        for p in bc:
+            if not (
+                _point_in_polys(a, p[0], p[1])
+                or _on_any_segment(a.segments(), p[0], p[1])
+            ):
                 return False
         # a concave a can hold all of b's vertices while an edge of b
         # exits and re-enters — a *proper* boundary crossing disqualifies
@@ -391,12 +433,27 @@ def geom_contains(a: Geom, b: Geom) -> bool:
         if _segs_cross_properly(a.segments(), b.segments()):
             return False
         return True
+    if a.lines and b.pts is not None and len(b.pts):
+        # line container, point members: every point ON some segment
+        sa = a.segments()
+        return all(_on_any_segment(sa, p[0], p[1]) for p in b.pts)
     if a.pts is not None and b.pts is not None and len(b.pts):
         return all(
             any(float(q[0]) == float(p[0]) and float(q[1]) == float(p[1]) for q in a.pts)
             for p in b.pts
         )
     return False
+
+
+def _on_any_segment(segs: np.ndarray, x: float, y: float) -> bool:
+    if not len(segs):
+        return False
+    d = _pt_seg_dist(
+        np.array([x])[:, None], np.array([y])[:, None],
+        segs[:, 0][None, :], segs[:, 1][None, :],
+        segs[:, 2][None, :], segs[:, 3][None, :],
+    )
+    return float(d.min()) == 0.0
 
 
 def _pt_seg_dist(px, py, sx1, sy1, sx2, sy2):
@@ -630,7 +687,9 @@ _I = T.IntegerType()
 
 
 def _fmt(v: float) -> str:
-    return f"{v:g}"
+    from beacon_spark.functions.geo import fmt_coord
+
+    return fmt_coord(v)
 
 
 def register_st_functions(spark) -> None:
@@ -640,8 +699,10 @@ def register_st_functions(spark) -> None:
     # regex literals inside SQL strings need doubled backslashes (Spark
     # processes backslash escapes in string literals by default)
     num_sql = _NUM.replace("\\", "\\\\")
-    px = f"POINT\\\\s*\\\\(\\\\s*({num_sql})"
-    py = f"POINT\\\\s*\\\\(\\\\s*{num_sql}\\\\s+({num_sql})"
+    # anchored: 'MULTIPOINT (3 4)' contains the substring 'POINT (3' —
+    # unanchored, st_x returned 3.0 for a multipoint instead of NULL
+    px = f"^\\\\s*POINT\\\\s*\\\\(\\\\s*({num_sql})"
+    py = f"^\\\\s*POINT\\\\s*\\\\(\\\\s*{num_sql}\\\\s+({num_sql})"
     type_case = (
         "CASE upper(regexp_extract(g, '^\\\\s*([A-Za-z]+)', 1)) "
         "WHEN 'POINT' THEN 'ST_Point' WHEN 'LINESTRING' THEN 'ST_LineString' "
@@ -656,10 +717,12 @@ def register_st_functions(spark) -> None:
            RETURNS STRING RETURN concat('POINT (', CAST(x AS STRING), ' ', CAST(y AS STRING), ')')""",
         """CREATE OR REPLACE TEMPORARY FUNCTION st_makepoint(x DOUBLE, y DOUBLE)
            RETURNS STRING RETURN concat('POINT (', CAST(x AS STRING), ' ', CAST(y AS STRING), ')')""",
+        # try_cast: a non-POINT input extracts '' and ANSI CAST would
+        # THROW the whole query; NULL is the PostGIS-adjacent answer
         f"""CREATE OR REPLACE TEMPORARY FUNCTION st_x(g STRING) RETURNS DOUBLE
-           RETURN CAST(regexp_extract(g, '{px}', 1) AS DOUBLE)""",
+           RETURN try_cast(regexp_extract(g, '{px}', 1) AS DOUBLE)""",
         f"""CREATE OR REPLACE TEMPORARY FUNCTION st_y(g STRING) RETURNS DOUBLE
-           RETURN CAST(regexp_extract(g, '{py}', 1) AS DOUBLE)""",
+           RETURN try_cast(regexp_extract(g, '{py}', 1) AS DOUBLE)""",
         f"""CREATE OR REPLACE TEMPORARY FUNCTION st_geometrytype(g STRING)
            RETURNS STRING RETURN {type_case}""",
         """CREATE OR REPLACE TEMPORARY FUNCTION st_isempty(g STRING)
@@ -667,10 +730,10 @@ def register_st_functions(spark) -> None:
         # planar point-point distance without parsing overhead
         f"""CREATE OR REPLACE TEMPORARY FUNCTION st_point_distance(a STRING, b STRING)
            RETURNS DOUBLE RETURN sqrt(
-             power(CAST(regexp_extract(a, '{px}', 1) AS DOUBLE)
-                   - CAST(regexp_extract(b, '{px}', 1) AS DOUBLE), 2)
-             + power(CAST(regexp_extract(a, '{py}', 1) AS DOUBLE)
-                     - CAST(regexp_extract(b, '{py}', 1) AS DOUBLE), 2))""",
+             power(try_cast(regexp_extract(a, '{px}', 1) AS DOUBLE)
+                   - try_cast(regexp_extract(b, '{px}', 1) AS DOUBLE), 2)
+             + power(try_cast(regexp_extract(a, '{py}', 1) AS DOUBLE)
+                     - try_cast(regexp_extract(b, '{py}', 1) AS DOUBLE), 2))""",
     ]
     for s in sqls:
         spark.sql(s)
@@ -688,6 +751,8 @@ def register_st_functions(spark) -> None:
 
     def _envelope(w):
         xmin, ymin, xmax, ymax = _parsed(w).bounds()
+        if math.isnan(xmin):
+            return "POLYGON EMPTY"
         return (
             f"POLYGON (({_fmt(xmin)} {_fmt(ymin)}, {_fmt(xmax)} {_fmt(ymin)}, "
             f"{_fmt(xmax)} {_fmt(ymax)}, {_fmt(xmin)} {_fmt(ymax)}, "
@@ -698,6 +763,8 @@ def register_st_functions(spark) -> None:
 
     def _centroid(w):
         cx, cy = geom_centroid(_parsed(w))
+        if math.isnan(cx):
+            return "POINT EMPTY"
         return f"POINT ({_fmt(cx)} {_fmt(cy)})"
 
     reg("st_centroid", _u1(_centroid, _S))
@@ -799,7 +866,11 @@ def register_st_functions(spark) -> None:
     def _translate(g: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
         def tr(w, ddx, ddy):
             return _COORD_RE.sub(
-                lambda m: f"{float(m.group(1)) + ddx:g} {float(m.group(2)) + ddy:g}", w
+                lambda m: (
+                    f"{_fmt(float(m.group(1)) + ddx)} "
+                    f"{_fmt(float(m.group(2)) + ddy)}"
+                ),
+                w,
             )
 
         return pd.Series(
