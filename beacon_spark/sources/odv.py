@@ -139,12 +139,16 @@ def read_odv_table(path: str) -> pa.Table:
     declared, header_row = parse_header(header_lines)
     cols = resolve_columns(declared, header_row)
 
-    pdf = pd.read_csv(
-        path, sep="\t", comment=None, skiprows=len(header_lines), header=None,
-        names=[f"c{i}" for i in range(len(cols))], dtype=str,
-        na_values=[""], keep_default_na=False, engine="c",
-        quoting=3,
-    )
+    # body reads through the byte-source too: a raw-path read_csv broke
+    # object-store URIs (header opened fine, body 404'd) and decoded the
+    # body strict-utf-8 while the header tolerated bad bytes
+    with _bs.open_text(path, errors="replace") as body:
+        pdf = pd.read_csv(
+            body, sep="\t", comment=None, skiprows=len(header_lines),
+            header=None, names=[f"c{i}" for i in range(len(cols))], dtype=str,
+            na_values=[""], keep_default_na=False, engine="c",
+            quoting=3,
+        )
     # drop any stray comment lines inside the body
     if len(pdf):
         pdf = pdf[~pdf["c0"].astype(str).str.startswith("//")]
@@ -196,18 +200,24 @@ def odv_schema(path: str) -> pa.Schema:
                 break
     declared, header_row = parse_header(header_lines)
     cols = resolve_columns(declared, header_row)
-    fields = [pa.field(c.name, c.dtype, True) for c in cols]
+    # mirror read_odv_table's naming exactly: DATA columns dedupe by
+    # suffixing, METADATA columns colliding with an existing name are
+    # SKIPPED (suffixing them here declared a column the table never
+    # emits — read_odv then null-filled a phantom column)
+    seen: set[str] = set()
+    out: list[pa.Field] = []
     for c in cols:
-        for k, v in c.metadata.items():
-            fields.append(pa.field(f"{c.name}.{k}", pa.string(), True))
-    # dedupe (repeated labels get suffixes at read; schema keeps first)
-    seen, out = set(), []
-    for f_ in fields:
-        name = f_.name
+        name = c.name
         while name in seen:
             name = name + "_"
         seen.add(name)
-        out.append(pa.field(name, f_.type, True))
+        out.append(pa.field(name, c.dtype, True))
+    for c in cols:
+        for k in c.metadata:
+            col = f"{c.name}.{k}"
+            if col not in seen:
+                seen.add(col)
+                out.append(pa.field(col, pa.string(), True))
     return pa.schema(out)
 
 
@@ -317,5 +327,15 @@ def write_odv(
                 elif hasattr(v, "isoformat"):
                     vals.append(v.isoformat(timespec="milliseconds"))
                 else:
-                    vals.append(str(v))
+                    # the format has no quoting: a tab/newline inside a
+                    # string value would shift every later column / split
+                    # the row — replace with spaces (lossy but documented;
+                    # the alternative is a corrupt spreadsheet)
+                    s = str(v)
+                    if "\t" in s or "\n" in s or "\r" in s:
+                        s = (s.replace("\t", " ")
+                             .replace("\r\n", " ")
+                             .replace("\n", " ")
+                             .replace("\r", " "))
+                    vals.append(s)
             out.write("\t".join(vals) + "\n")

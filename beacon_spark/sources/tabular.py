@@ -138,7 +138,8 @@ def read_parquet(
     # columns are derived and partition pruning works; plain files/dirs
     # take the footer-scan supertype path
     hive = [f for f in resolved if _is_hive_partitioned(f)]
-    files = expand_parquet_dirs([f for f in resolved if f not in hive])
+    hive_set = set(hive)  # membership by set: resolved can be 100k files
+    files = expand_parquet_dirs([f for f in resolved if f not in hive_set])
     parts: list[DataFrame] = [
         spark.read.option("mergeSchema", "true").parquet(h) for h in hive
     ]
@@ -214,12 +215,27 @@ def read_csv_schema(
 # ---------------------------------------------------------------- arrow ipc
 
 
+def _ipc_source(path: str):
+    """Path → what pyarrow.ipc can open: the raw path for local files
+    (mmap), whole-object bytes for object-store URIs (pa_ipc.open_file
+    took only raw paths before, so every remote .arrow read failed while
+    parquet/csv/nd happily read the same store)."""
+    from beacon_spark.sources import bytesource as _bs
+
+    if _bs.is_uri(path):
+        return pa.BufferReader(_bs.read_bytes(path))
+    return path
+
+
 def _ipc_schema(path: str) -> pa.Schema:
+    src = _ipc_source(path)
     try:
-        with pa_ipc.open_file(path) as r:
+        with pa_ipc.open_file(src) as r:
             return r.schema
     except pa.ArrowInvalid:
-        with pa_ipc.open_stream(path) as r:
+        if hasattr(src, "seek"):
+            src.seek(0)
+        with pa_ipc.open_stream(src) as r:
             return r.schema
 
 
@@ -254,11 +270,14 @@ def read_arrow(
 
         for b in batches:
             for path in b.column("path").to_pylist():
+                src = _ipc_source(path)
                 try:
-                    reader = pa_ipc.open_file(path)
-                    table = reader.read_all()
+                    with pa_ipc.open_file(src) as reader:
+                        table = reader.read_all()
                 except pa.ArrowInvalid:
-                    with pa_ipc.open_stream(path) as r:
+                    if hasattr(src, "seek"):
+                        src.seek(0)
+                    with pa_ipc.open_stream(src) as r:
                         table = r.read_all()
                 # align to the target schema: missing → null, cast the rest
                 cols = []

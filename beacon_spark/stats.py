@@ -82,12 +82,17 @@ def _file_stats(path: str) -> list[dict]:
         mn, mx = mins[name], maxs[name]
 
         def as_num(v):
-            try:
-                return float(v)
-            except (TypeError, ValueError):
-                if hasattr(v, "timestamp"):
-                    return v.timestamp()
+            # numeric/timestamp stats ONLY: parquet string stats are
+            # LEXICAL min/max ("9" > "10"), so float()ing a
+            # numeric-looking string inverted the interval and a numeric
+            # WHERE could FALSELY prune a file whose rows match
+            if v is None or isinstance(v, bool) or isinstance(v, str):
                 return None
+            if isinstance(v, (int, float)):
+                return float(v)
+            if hasattr(v, "timestamp"):
+                return v.timestamp()
+            return None
 
         out.append(
             {
@@ -134,8 +139,11 @@ def analyze_files(
         for r in prev:
             existing[r["path"]] = r["mtime"]
         # ONE liveness probe per unique file, not per (file, column)
-        # index row — on an object store each exists() is a HEAD request
-        alive = {p: bs.exists(p) for p in {r["path"] for r in prev}}
+        # index row — on an object store each exists() is a HEAD request,
+        # so probe them concurrently too
+        uniq = sorted({r["path"] for r in prev})
+        with ThreadPoolExecutor(max_workers=min(32, max(1, len(uniq)))) as ex:
+            alive = dict(zip(uniq, ex.map(bs.exists, uniq)))
         rows = [r for r in prev if alive[r["path"]]]
 
     todo = [
@@ -144,7 +152,8 @@ def analyze_files(
         if force or f not in existing or bs.mtime(f) > existing[f]
     ]
     if todo:
-        rows = [r for r in rows if r["path"] not in set(todo)]
+        todo_set = set(todo)  # hoisted: the comprehension re-built it per row
+        rows = [r for r in rows if r["path"] not in todo_set]
         with ThreadPoolExecutor(max_workers=min(32, len(todo))) as ex:
             for stats in ex.map(_file_stats, todo):
                 rows.extend(stats)
@@ -403,7 +412,13 @@ def dataset_statistics_df(spark, engine, path: str):
             for r in _read_index(idx_file):
                 by_file.setdefault(r["path"], []).append(r)
         for f in files:
-            rows.extend(_stats_rows_for_file(f, by_file.get(f, [])))
+            cached = by_file.get(f, [])
+            if cached and bs.mtime(f) > cached[0]["mtime"]:
+                # the file changed since ANALYZE — serving the cache rows
+                # as is_exact=true would report stale min/max; recompute
+                # on demand (footer-only, same cost as the uncached path)
+                cached = []
+            rows.extend(_stats_rows_for_file(f, cached))
     else:
         # non-parquet: one aggregate scan through the format's reader
         df = engine.resolve_from({fmt: {"paths": [path]}})

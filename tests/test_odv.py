@@ -83,3 +83,60 @@ def test_odv_writer_roundtrip(spark, tmp_path):
     rows = sorted((r.Cruise, r.Latitude, r.Longitude, r.Depth)
                   for r in back.select("Cruise", "Latitude", "Longitude", "Depth").collect())
     assert rows == [("c1", 10.5, -4.25, 100), ("c2", 11.5, -3.5, None)]
+
+
+def test_odv_writer_sanitizes_tabs_newlines(spark, tmp_path):
+    """r10 sweep: the format has no quoting — a tab/newline inside a
+    string value shifted every later column / split the row. The writer
+    replaces them with spaces (documented lossy) so the file stays
+    rectangular."""
+    from beacon_spark.sources.odv import write_odv
+
+    df = spark.createDataFrame(
+        [("a\tb\nc", 1.5), ("plain", 2.5)],
+        "Cruise string, Latitude double",
+    )
+    out = str(tmp_path / "tabs.txt")
+    write_odv(df, out, latitude_column="Latitude")
+    eng = Engine(spark)
+    back = eng.read_odv(out)
+    rows = sorted((r.Cruise, r.Latitude) for r in back.collect())
+    assert rows == [("a b c", 1.5), ("plain", 2.5)]
+
+
+def test_odv_body_bad_utf8_tolerated(tmp_path):
+    """r10 sweep: the header was decoded errors='replace' but the body
+    went through a raw-path read_csv (strict utf-8) — one bad byte in
+    the data crashed the task. Both now ride the byte-source."""
+    p = tmp_path / "bad.txt"
+    body = (
+        b"//<DataVariable>label=\"Temp [C]\" value_type=\"DOUBLE\" "
+        b"qf_schema=\"\" comment=\"\"</DataVariable>\n"
+        b"Cruise\tTemp [C]\n"
+        b"c\xff1\t3.5\n"
+    )
+    p.write_bytes(body)
+    t = read_odv_table(str(p))
+    assert t.num_rows == 1
+    assert t.column("Temp").to_pylist() == [3.5]
+
+
+def test_odv_schema_matches_table_on_metadata_collision(tmp_path):
+    """r10 sweep: a data column literally named '<var>.units' collides
+    with the metadata constant — schema and table must agree (the
+    schema used to declare a suffixed phantom column the table never
+    emits)."""
+    from beacon_spark.sources.odv import odv_schema
+
+    p = tmp_path / "coll.txt"
+    p.write_text(
+        '//<DataVariable>label="Temp [C]" value_type="DOUBLE" '
+        'qf_schema="" comment=""</DataVariable>\n'
+        '//<DataVariable>label="Temp.units" value_type="INDEXED_TEXT" '
+        'qf_schema="" comment=""</DataVariable>\n'
+        "Cruise\tTemp [C]\tTemp.units\n"
+        "c1\t3.5\tK\n"
+    )
+    t = read_odv_table(str(p))
+    s = odv_schema(str(p))
+    assert t.column_names == [f.name for f in s]

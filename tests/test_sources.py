@@ -175,3 +175,22 @@ def test_read_csv_sql_delimiter_and_infer_records(spark, tmp_path):
     spark.range(2).write.parquet(str(tmp_path / "d" / "p.parquet"))
     with _pytest.raises(ValueError, match="only path arguments"):
         eng.sql("SELECT * FROM read_parquet(['p.parquet'], 'x')")
+
+
+def test_read_arrow_through_file_uri(spark, tmp_path):
+    """r10 sweep: pa_ipc.open_file took only raw paths, so read_arrow
+    failed on any byte-source URI while parquet/csv/nd read the same
+    store fine. Both the schema pass and the executor scan now resolve
+    through the byte-source."""
+    import pyarrow as pa
+    import pyarrow.ipc as pa_ipc
+
+    from beacon_spark.sources.tabular import read_arrow
+
+    p = tmp_path / "t.arrow"
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    with pa_ipc.new_file(str(p), t.schema) as w:
+        w.write_table(t)
+    df = read_arrow(spark, f"file://{p}")
+    rows = sorted((r.a, r.b) for r in df.collect())
+    assert rows == [(1, "x"), (2, "y"), (3, "z")]

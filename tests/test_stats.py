@@ -267,3 +267,48 @@ def test_view_external_table_statistics(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown external table"):
         eng2.sql("SELECT * FROM view_external_table_statistics('ghost')")
+
+
+def test_string_columns_never_numeric_pruned(tmp_path):
+    """r10 sweep: parquet string stats are LEXICAL min/max — in a file
+    holding '9' and '10' the lexical interval is ['10','9']; float()ing
+    it gave (10.0, 9.0) and a numeric WHERE col >= 9.5 falsely pruned
+    the file even though row '10' matches. String stats now carry no
+    numeric interval (fail-open)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beacon_spark.stats import analyze_files, prune_files
+
+    root = str(tmp_path)
+    f = f"{root}/s.parquet"
+    pq.write_table(pa.table({"v": ["9", "10"]}), f)
+    analyze_files(root)
+    kept = prune_files(root, [f], {"v": (9.5, None)})
+    assert kept == [f]
+
+
+def test_dataset_statistics_recomputes_after_rewrite(spark, tmp_path):
+    """r10 sweep: view_dataset_statistics served stale cache rows as
+    is_exact=true after the file was rewritten; an mtime mismatch now
+    recomputes from the footer."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beacon_spark import Engine
+    from beacon_spark.stats import analyze_files, dataset_statistics_df
+
+    root = str(tmp_path)
+    f = f"{root}/d.parquet"
+    pq.write_table(pa.table({"x": [1, 2, 3]}), f)
+    analyze_files(root)
+    time.sleep(0.01)
+    pq.write_table(pa.table({"x": [100, 200]}), f)
+    os.utime(f)  # ensure mtime moves even on coarse filesystems
+    eng = Engine(spark, datasets_root=root)
+    rows = {r.column_name: (r.min_value, r.max_value)
+            for r in dataset_statistics_df(spark, eng, "d.parquet").collect()}
+    assert rows["x"] == ("100", "200")
