@@ -698,9 +698,15 @@ class BeaconHttpServer:
 
                 # the reference's default response is a ZSTD-compressed
                 # Arrow IPC stream (query.rs:23,36 — IPC-level buffer
-                # compression, transparent to any Arrow reader)
+                # compression, transparent to any Arrow reader). Clients
+                # without a zstd codec (the dependency-free JS client)
+                # opt out per request: x-beacon-ipc-compression: none
+                want = (self.headers.get(
+                    "x-beacon-ipc-compression") or "zstd").lower()
                 try:
-                    opts = pa.ipc.IpcWriteOptions(compression="zstd")
+                    opts = (pa.ipc.IpcWriteOptions()
+                            if want in ("none", "identity")
+                            else pa.ipc.IpcWriteOptions(compression="zstd"))
                 except Exception:  # codec not built into this pyarrow
                     opts = pa.ipc.IpcWriteOptions()
                 with pa.ipc.new_stream(sink, schema, options=opts) as w:

@@ -1,0 +1,49 @@
+import assert from "node:assert/strict";
+import { readFileSync } from "node:fs";
+import { dirname, join } from "node:path";
+import { test } from "node:test";
+import { fileURLToPath } from "node:url";
+
+import { ArrowStreamParser, rowsFromTable, tableFromIPC } from "../src/arrow.mjs";
+
+const FIX = join(dirname(fileURLToPath(import.meta.url)), "fixtures");
+
+test("decodes a pyarrow-written mixed-type multi-batch stream", () => {
+  const t = tableFromIPC(readFileSync(join(FIX, "mixed.arrows")));
+  assert.equal(t.numRows, 3);
+  assert.equal(t.batches.length, 2);
+  const rows = rowsFromTable(t);
+  assert.deepEqual(rows[0].i32, 1);
+  assert.equal(rows[1].i32, null);
+  assert.equal(rows[0].i64, 2n ** 60n); // beyond 2^53 stays BigInt
+  assert.equal(rows[1].i64, -5); // safe range becomes Number
+  assert.equal(rows[2].f, -2.25);
+  assert.equal(rows[2].s, "héllo");
+  assert.equal(rows[1].s, null);
+  assert.equal(rows[0].b, true);
+  assert.equal(rows[2].b, null);
+  assert.equal(rows[0].ts.getTime(), 1000); // 1e6 us = 1000 ms
+  assert.equal(rows[1].d.getTime(), 86_400_000);
+  assert.equal(rows[0].dec, 12.34);
+  assert.equal(rows[2].dec, -0.01);
+});
+
+test("zero-row stream still carries the schema", () => {
+  const t = tableFromIPC(readFileSync(join(FIX, "empty.arrows")));
+  assert.equal(t.numRows, 0);
+  assert.deepEqual(t.schema.fields.map((f) => f.name), ["x"]);
+  assert.deepEqual(rowsFromTable(t), []);
+});
+
+test("incremental parser yields batches as bytes arrive", () => {
+  const bytes = readFileSync(join(FIX, "mixed.arrows"));
+  const parser = new ArrowStreamParser();
+  let got = 0;
+  // feed one byte at a time — the parser must never mis-frame
+  for (let i = 0; i < bytes.length; i++) {
+    parser.push(bytes.subarray(i, i + 1));
+    got += parser.drain().length;
+  }
+  assert.equal(got, 2);
+  assert.ok(parser.schema);
+});
