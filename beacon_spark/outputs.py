@@ -70,7 +70,17 @@ def _parquet_spool(df: DataFrame):
                 raise
             yield None
             return
-        parts = sorted(_glob.glob(os.path.join(spool, "part-*")))
+        # numeric part index, not lexicographic: past 100k partitions
+        # Spark's part numbering grows a digit ("part-100000" sorts
+        # BEFORE "part-99999" as text) and a sorted export would
+        # interleave its result order
+        def _part_no(p: str):
+            import re as _re
+
+            m = _re.search(r"part-(\d+)", os.path.basename(p))
+            return (int(m.group(1)) if m else 1 << 62, p)
+
+        parts = sorted(_glob.glob(os.path.join(spool, "part-*")), key=_part_no)
         yield [pq.ParquetFile(p) for p in parts]
     finally:
         shutil.rmtree(spool, ignore_errors=True)
@@ -543,6 +553,30 @@ def _write_netcdf_flat_streamed(
             return False
 
         _INT_T = {"int8": 1, "uint8": 1, "int16": 3, "int32": 4}
+
+        def int32_range_proved(name: str) -> bool:
+            """True when parquet stats PROVE every value fits int32 —
+            the gate for narrowing int64 (NetCDF3 classic has no 64-bit
+            int). Unknown stats choose the value-safe double encoding;
+            the old unconditional narrow CLIPPED values beyond ±2^31."""
+            lo, hi = -(2**31), 2**31 - 1
+            for pf in pfs:
+                md = pf.metadata
+                try:
+                    idx = [
+                        md.schema.column(i).path for i in range(len(md.schema))
+                    ].index(name)
+                except ValueError:
+                    return False
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx).statistics
+                    if (st is None or not st.has_min_max
+                            or st.min is None or st.max is None):
+                        return False
+                    if st.min < lo or st.max > hi:
+                        return False
+            return True
+
         specs: list[tuple[str, int, int | None]] = []
         var_attrs: dict[str, dict] = {}
         for field in target:
@@ -574,7 +608,9 @@ def _write_netcdf_flat_streamed(
             elif pa.types.is_boolean(ft):
                 specs.append((name, 6 if has_nulls(name) else 1, None))
             elif pa.types.is_integer(ft):
-                t = _INT_T.get(str(ft), 4)  # 64-bit / unsigned narrow to int
+                t = _INT_T.get(str(ft))
+                if t is None:  # int64: narrow only when stats prove it fits
+                    t = 4 if int32_range_proved(name) else 6
                 specs.append((name, 6 if has_nulls(name) else t, None))
             else:
                 raise ValueError(

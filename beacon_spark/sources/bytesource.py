@@ -33,7 +33,6 @@ ranges).
 
 from __future__ import annotations
 
-import fnmatch as _fnmatch
 import glob as _glob
 import io
 import mmap as _mmap
@@ -196,7 +195,12 @@ class LazyBuf:
         if isinstance(key, slice):
             start, stop, step = key.indices(self._size)
             if step != 1:
-                return self.read_range(start, max(0, stop - start))[::step]
+                # negative steps run start→stop DOWNWARD: the covering
+                # byte range is [stop+1, start+1) — the old stop-start
+                # length was negative there and silently returned b""
+                lo, hi = (stop + 1, start + 1) if step < 0 else (start, stop)
+                data = self.read_range(lo, max(0, hi - lo))
+                return data[start - lo::step]
             return self.read_range(start, max(0, stop - start))
         if key < 0:
             key += self._size
@@ -244,6 +248,41 @@ def read_range(buf, offset: int, length: int) -> bytes:
     if isinstance(buf, LazyBuf):
         return buf.read_range(offset, length)
     return bytes(buf[offset: offset + length])
+
+
+def _glob_regex(pattern: str):
+    """Compile a glob pattern with glob.glob's (recursive=True)
+    semantics: ``*``/``?`` match within ONE path segment, ``**`` spans
+    directories, ``[...]`` character classes pass through."""
+    import re as _re
+
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "*":
+            if pattern[i: i + 2] == "**":
+                i += 2
+                if i < len(pattern) and pattern[i] == "/":
+                    out.append("(?:.*/)?")  # '**/' also matches zero dirs
+                    i += 1
+                else:
+                    out.append(".*")
+                continue
+            out.append("[^/]*")
+        elif c == "?":
+            out.append("[^/]")
+        elif c == "[":
+            j = pattern.find("]", i + 1)
+            if j < 0:
+                out.append(_re.escape(c))
+            else:
+                out.append(pattern[i: j + 1])
+                i = j
+        else:
+            out.append(_re.escape(c))
+        i += 1
+    return _re.compile("".join(out) + r"\Z")
 
 
 # ------------------------------------------------------- filesystems
@@ -301,8 +340,13 @@ class _LocalFS:
     def publish_bytes(self, path: str, data: bytes) -> None:
         """Atomically-visible write: tmp + rename, so concurrent readers
         see the old or the new content, never a torn file."""
+        import uuid
+
         p = local_path(path)
-        tmp = f"{p}.tmp-{os.getpid()}-{id(data) & 0xFFFF:x}"
+        # uuid, not id(data): two threads publishing to the same path
+        # could collide on a recycled id and rename each other's partial
+        # tmp file
+        tmp = f"{p}.tmp-{os.getpid()}-{uuid.uuid4().hex[:12]}"
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, p)
@@ -513,11 +557,16 @@ class _ArrowFS:
         except (OSError, FileNotFoundError):
             return []
         want = u.path.lstrip("/")
+        # glob semantics, NOT fnmatch: fnmatch's '*' crosses '/', so
+        # 's3://b/data/*.parquet' silently matched data/sub/x.parquet —
+        # a remote glob returned files a local glob never would (wrong
+        # input set). '*'/'?' stay within one path segment; '**' spans.
+        rx = _glob_regex(want)
         out = []
         for i in infos:
             uri = self._uri(i.path)
             rel = urlparse(uri).path.lstrip("/")
-            if _fnmatch.fnmatch(rel, want):
+            if rx.match(rel):
                 out.append(uri)
         return sorted(out)
 

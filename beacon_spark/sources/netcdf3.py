@@ -302,8 +302,16 @@ def _nc_type_for(arr: np.ndarray) -> tuple[int, np.ndarray]:
     if name in _NC_TYPE_OF:
         t = _NC_TYPE_OF[name]
     elif kind.kind in ("i", "u"):
-        t, arr = 4, arr.astype(np.int64).clip(-(2**31), 2**31 - 1).astype(np.int32)
-        # int64 narrowed: NetCDF3 classic has no 64-bit integer type
+        # NetCDF3 classic has no 64-bit integer type. Narrow to int32
+        # only when every value FITS — clipping silently corrupted any
+        # value beyond ±2^31 (an orderkey at SF100 crosses it); wider
+        # values write as float64 (exact to 2^53, the value-safe choice)
+        if arr.size and (
+            arr.min() < -(2**31) or arr.max() > 2**31 - 1
+        ):
+            t, arr = 6, arr.astype(np.float64)
+        else:
+            t, arr = 4, arr.astype(np.int32)
     else:
         t, arr = 6, arr.astype(np.float64)
     return t, arr

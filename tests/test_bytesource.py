@@ -231,3 +231,51 @@ def test_glob_through_file_uri(tmp_path):
         (tmp_path / f"f{i}.nc").write_bytes(b"x")
     got = resolve_globs("file://" + str(tmp_path) + "/*.nc")
     assert len(got) == 3 and all(g.startswith("file://") for g in got)
+
+
+def test_lazybuf_negative_step_slices(tmp_path):
+    """r10 sweep: a negative-step slice computed a negative covering
+    length and silently returned b'' — now it matches bytes slicing."""
+    data = bytes(range(256)) * 4
+    p = str(tmp_path / "neg.bin")
+    with open(p, "wb") as f:
+        f.write(data)
+    buf = bs.LazyBuf(bs.FileByteSource(p))
+    for sl in [slice(20, 5, -2), slice(None, None, -1), slice(100, None, -3),
+               slice(5, 20, 2), slice(None, None, 4), slice(3, 3, -1)]:
+        assert buf[sl] == data[sl], sl
+
+
+def test_remote_glob_matches_local_glob_semantics(tmp_path):
+    """r10 sweep: the object-store glob used fnmatch, whose '*' crosses
+    '/', so 'data/*.parquet' matched data/sub/x.parquet remotely but not
+    locally — a silently different input set. Differential pin: the
+    remote matcher must agree with glob.glob on a real tree."""
+    import glob as stdglob
+    import os
+
+    from beacon_spark.sources.bytesource import _glob_regex
+
+    files = [
+        "data/a.parquet", "data/b.csv", "data/sub/c.parquet",
+        "data/sub/deep/d.parquet", "logs/e.parquet", "data/ab.parquet",
+    ]
+    for f in files:
+        p = tmp_path / f
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"x")
+    patterns = [
+        "data/*.parquet", "data/**/*.parquet", "**/*.parquet",
+        "data/?.parquet", "data/[ab].parquet", "*/*.parquet",
+        "data/sub/*.parquet",
+    ]
+    root = str(tmp_path)
+    for pat in patterns:
+        local = {
+            os.path.relpath(m, root)
+            for m in stdglob.glob(os.path.join(root, pat), recursive=True)
+            if os.path.isfile(m)
+        }
+        rx = _glob_regex(pat)
+        remote = {f for f in files if rx.match(f)}
+        assert remote == local, (pat, remote, local)

@@ -270,3 +270,35 @@ def test_hdf5_format_and_arrow_multifile_refuse_loudly(spark, tmp_path):
         write_output(df, "hdf5", str(tmp_path / "x.h5"))
     with _p.raises(ValueError, match="single streamed file"):
         write_output(df, "arrow", str(tmp_path / "x.arrow"), single=False)
+
+
+def test_netcdf_flat_int64_beyond_int32_not_clipped(spark, tmp_path):
+    """r10 sweep: int64 columns were unconditionally narrowed to int32
+    with a CLIP — any value beyond ±2^31 (an orderkey at SF100) was
+    silently corrupted. Out-of-range int64 now writes as float64 (exact
+    to 2^53); in-range int64 still narrows to exact int32."""
+    from beacon_spark.outputs import write_netcdf
+    from beacon_spark.sources.nd import read_nd
+
+    big = 5_000_000_000  # > 2^31
+    df = spark.createDataFrame(
+        [(big, 7), (big + 1, 8)], "big long, small long")
+    p = str(tmp_path / "big.nc")
+    write_netcdf(df, p)
+    back = read_nd(spark, "netcdf", [p])
+    rows = sorted((int(r.big), int(r.small)) for r in back.collect())
+    assert rows == [(big, 7), (big + 1, 8)]
+
+
+def test_netcdf_regrid_int64_beyond_int32_coords(tmp_path):
+    """Same guarantee for the in-memory/_nc_type_for path (nd coord
+    axes): values survive, no wrap/clip."""
+    import numpy as np
+
+    from beacon_spark.sources.netcdf3 import _nc_type_for
+
+    t, arr = _nc_type_for(np.array([5_000_000_000, 1], dtype=np.int64))
+    assert t == 6 and arr.dtype == np.float64
+    assert arr[0] == 5_000_000_000.0
+    t, arr = _nc_type_for(np.array([1, 2], dtype=np.int64))
+    assert t == 4 and arr.dtype == np.int32
