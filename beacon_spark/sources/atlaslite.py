@@ -136,12 +136,18 @@ def prune_datasets(
             st = stats.get(col)
             if st is None or st.get("min") is None or st.get("max") is None:
                 continue
-            if lo is not None and st["max"] < lo:
-                ok = False
-                break
-            if hi is not None and st["min"] > hi:
-                ok = False
-                break
+            try:
+                if lo is not None and st["max"] < lo:
+                    ok = False
+                    break
+                if hi is not None and st["min"] > hi:
+                    ok = False
+                    break
+            except TypeError:
+                # a hand-written registry can carry non-numeric stats —
+                # pruning is an optimization, so unorderable stats keep
+                # the dataset (fail-open) instead of failing the scan
+                continue
         if ok:
             kept.append(name)
     return sorted(kept)
@@ -187,6 +193,13 @@ def open_atlas(path: str):
         variables[aname] = (adims, arr)
         var_attrs[aname] = dict(spec.get("array_attrs", {}).get(aname, {}))
         for d, s in zip(adims, shape):
+            if dims.get(d, s) != s:
+                # last-wins here surfaced later as a cryptic broadcast
+                # error mid-flatten — fail at open with the real cause
+                raise ValueError(
+                    f"{marker}::{ds_name}: dimension {d!r} has "
+                    f"conflicting sizes {dims[d]} and {s} across arrays"
+                )
             dims[d] = s
     return GridDataset(dims, variables, var_attrs, dict(spec.get("attrs", {})))
 

@@ -224,7 +224,16 @@ class QueryMetricsStore:
         with self._lock:
             for r in reversed(self._tail):
                 if r["query_id"] == query_id:
-                    return dict(r)
+                    out = dict(r)
+                    # the persisted path answers a datetime; the tail
+                    # must not leak its internal float epoch (the same
+                    # query's metrics changed shape after a flush)
+                    from datetime import datetime, timezone
+
+                    out["finished_at"] = datetime.fromtimestamp(
+                        out["finished_at"], tz=timezone.utc
+                    ).replace(tzinfo=None)
+                    return out
         mt = self._table()
         if not mt._manifests():
             return None

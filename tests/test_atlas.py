@@ -138,3 +138,44 @@ def test_string_arrays_roundtrip(tmp_path):
     )
     ds = open_atlas(f"{marker}{DATASET_SEP}d")
     assert list(np.asarray(ds.variables["name"][1])) == ["alpha", "beta", "gamma"]
+
+
+def test_prune_fail_open_on_unorderable_stats(tmp_path):
+    """r10 sweep: a hand-written registry with string stats crashed the
+    prune (str < float TypeError) — pruning is an optimization and must
+    fail open instead of failing the scan."""
+    import json
+
+    marker = str(tmp_path / "bad.atlas")
+    import os
+
+    os.makedirs(marker)
+    p = os.path.join(marker, "atlas.json")
+    with open(p, "w") as f:
+        json.dump({"atlas": 1, "datasets": {"d": {
+            "arrays": {}, "attrs": {}, "array_attrs": {},
+            "stats": {"time": {"min": "a", "max": "z",
+                               "null_count": 0, "row_count": 1}},
+        }}}, f)
+    from beacon_spark.sources.atlaslite import prune_datasets
+
+    assert prune_datasets(p, {"time": (5.0, None)}) == ["d"]
+
+
+def test_open_atlas_conflicting_dim_sizes_fails_loud(tmp_path):
+    """r10 sweep: two arrays declaring the same dim with different sizes
+    used to open fine and crash mid-flatten with a broadcast error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from beacon_spark.sources.atlaslite import open_atlas, write_atlas_store
+
+    marker = write_atlas_store(
+        str(tmp_path / "conf.atlas"),
+        {"d": {"variables": {
+            "a": (("t",), np.arange(4.0)),
+            "b": (("t",), np.arange(6.0)),
+        }, "attrs": {}, "array_attrs": {}}},
+    )
+    with _pytest.raises(ValueError, match="conflicting sizes"):
+        open_atlas(f"{marker}::d")

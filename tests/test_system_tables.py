@@ -206,3 +206,23 @@ def test_information_schema_tables_and_columns(spark, tmp_path):
     eng.sql("CREATE USER pleb WITH PASSWORD 'x'")
     with _pt.raises(_auth.AuthError, match="metadata schemas"):
         eng.sql("SELECT * FROM information_schema.tables", user="pleb")
+
+
+def test_metrics_read_shape_stable_across_flush(spark, tmp_path):
+    """r10 sweep: read() answered finished_at as a raw float epoch from
+    the unflushed tail but as a datetime after a flush — the same
+    query's metrics changed shape mid-session."""
+    import datetime
+
+    from beacon_spark import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.record_query_metrics(query_id="q-tail", query="SELECT 1",
+                             result_num_rows=1)
+    before = eng.metrics.read("q-tail")
+    assert isinstance(before["finished_at"], datetime.datetime)
+    eng.metrics.flush()
+    after = eng.metrics.read("q-tail")
+    assert isinstance(after["finished_at"], datetime.datetime)
+    assert abs((after["finished_at"] - before["finished_at"])
+               .total_seconds()) < 1.0
