@@ -1,8 +1,12 @@
 /**
  * RFC 4180 CSV parsing for the CSV query path. All values come back as
- * strings — the server's CSV output carries no type information
- * (same contract as the reference SDK's csv fallback,
- * beacon-clients/beacon-ts/src/csv.ts).
+ * strings — the server's CSV output carries no type information.
+ *
+ * Implementation: an index-scanning tokenizer. Each field is consumed
+ * in one of two modes — a quoted field scans quote-to-quote (doubled
+ * quotes collapse), an unquoted field slices straight to the next
+ * delimiter/newline — so unquoted content is substringed, never
+ * accumulated character by character.
  */
 
 /**
@@ -12,19 +16,20 @@
  */
 export function parseCsv(text) {
   const rows = parseCsvRows(text);
+  if (rows.length === 0) return [];
   const header = rows[0];
-  if (!header) return [];
-  return rows.slice(1).map((cells) => {
+  const out = new Array(rows.length - 1);
+  for (let r = 1; r < rows.length; r++) {
     /** @type {Record<string, string>} */
     const obj = {};
-    for (let i = 0; i < header.length; i++) obj[header[i]] = cells[i] ?? "";
-    return obj;
-  });
+    for (let c = 0; c < header.length; c++) obj[header[c]] = rows[r][c] ?? "";
+    out[r - 1] = obj;
+  }
+  return out;
 }
 
 /**
- * Parse CSV text into a 2-D array of cell strings. Handles quoted
- * fields, doubled-quote escapes, and separators/newlines inside quotes.
+ * Parse CSV text into a 2-D array of cell strings.
  * @param {string} text
  * @returns {string[][]}
  */
@@ -33,48 +38,55 @@ export function parseCsvRows(text) {
   const rows = [];
   /** @type {string[]} */
   let row = [];
-  let field = "";
-  let inQuotes = false;
-  let sawContent = false;
-
-  for (let i = 0; i < text.length; i++) {
-    const c = text[i];
-    if (inQuotes) {
-      if (c === '"') {
-        if (text[i + 1] === '"') {
-          field += '"';
-          i++;
-        } else {
-          inQuotes = false;
+  const n = text.length;
+  let i = 0;
+  while (i < n) {
+    let value;
+    if (text[i] === '"') {
+      // quoted field: hop quote to quote; "" is a literal quote
+      const parts = [];
+      i++;
+      for (;;) {
+        const q = text.indexOf('"', i);
+        if (q < 0) {
+          parts.push(text.slice(i));
+          i = n;
+          break;
         }
-      } else {
-        field += c;
+        parts.push(text.slice(i, q));
+        if (text[q + 1] === '"') {
+          parts.push('"');
+          i = q + 2;
+        } else {
+          i = q + 1;
+          break;
+        }
+      }
+      value = parts.join("");
+    } else {
+      // unquoted field: slice to the next delimiter or line end
+      let j = i;
+      while (j < n && text[j] !== "," && text[j] !== "\n" && text[j] !== "\r") j++;
+      value = text.slice(i, j);
+      i = j;
+    }
+    row.push(value);
+    // consume the terminator after the field
+    if (i < n && text[i] === ",") {
+      i++;
+      if (i === n) {
+        // a trailing comma means one final empty field
+        row.push("");
       }
       continue;
     }
-    if (c === '"') {
-      inQuotes = true;
-      sawContent = true;
-    } else if (c === ",") {
-      row.push(field);
-      field = "";
-      sawContent = true;
-    } else if (c === "\r") {
-      // part of CRLF; the \n ends the row
-    } else if (c === "\n") {
-      row.push(field);
+    if (i < n) {
+      if (text[i] === "\r") i++;
+      if (i < n && text[i] === "\n") i++;
       rows.push(row);
       row = [];
-      field = "";
-      sawContent = false;
-    } else {
-      field += c;
-      sawContent = true;
     }
   }
-  if (sawContent || field !== "" || row.length > 0) {
-    row.push(field);
-    rows.push(row);
-  }
+  if (row.length && !(row.length === 1 && row[0] === "")) rows.push(row);
   return rows;
 }
