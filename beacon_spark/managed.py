@@ -53,6 +53,14 @@ class ManagedTableError(RuntimeError):
     pass
 
 
+class ManifestConflict(ManagedTableError):
+    """A concurrent writer committed this version number first. Appends
+    retry against the new base (insert's loop); rewrites surface the
+    conflict loudly — their survivors were computed from a snapshot the
+    winner may have invalidated (Delta's ConcurrentModificationException
+    contract)."""
+
+
 def _parquet_num_rows(path: str) -> int:
     """Row count from the parquet footer (works on local paths and
     object-store URIs via ranged reads). Fail-open: unreadable → assume
@@ -102,6 +110,7 @@ class ManagedTable:
         alias_files: dict | None = None,
         retired: list | None = None,
         stream_batches: dict | None = None,
+        base_version: int | None = None,
     ) -> int:
         """``aliases`` = the RENAME COLUMN physical-name map
         ({logical: [retired physical names…]}); None carries the
@@ -156,7 +165,13 @@ class ManagedTable:
         referenced = {a for v in aliases.values() for a in v} | set(retired)
         alias_files = {a: c for a, c in alias_files.items()
                        if c and a in referenced}
-        version = self.current_version() + 1
+        # the conditional claim must be on the version the writer READ:
+        # recomputing current_version() here gave a stale-base writer a
+        # fresh number, so it never collided — it just committed a file
+        # list missing every concurrent writer's files (the lost-update
+        # this mechanism exists to stop)
+        version = (base_version if base_version is not None
+                   else self.current_version()) + 1
         bs.makedirs(self.manifest_dir)
         doc = {"version": version, "schema": schema.jsonValue(),
                "files": files}
@@ -171,11 +186,50 @@ class ManagedTable:
             # markers that make streaming ingestion exactly-once (they
             # commit ATOMICALLY with the data they mark — ingest.py)
             doc["stream_batches"] = stream_batches
-        bs.publish_bytes(
-            bs.join(self.manifest_dir, f"v{version:08d}.json"),
-            json.dumps(doc).encode(),
-        )
+        self._commit_manifest(version, json.dumps(doc).encode())
         return version
+
+    def _commit_manifest(self, version: int, payload: bytes) -> None:
+        """Put-if-absent commit of ONE version number (the Delta-log
+        concurrency primitive): two writers that both read vN race for
+        v(N+1); exactly one wins, the loser gets :class:`ManifestConflict`
+        instead of silently replacing the winner's manifest and orphaning
+        its data files (the old unconditional publish was a lost-update).
+        Local stores claim the name atomically via ``os.link``; the
+        byte-source facade has no conditional PUT for object stores, so
+        there an exists-check + write-back verify narrows the window
+        (same compromise as Catalog._mutate)."""
+        target = bs.join(self.manifest_dir, f"v{version:08d}.json")
+        if bs.is_local(target):
+            p = bs.local_path(target)
+            tmp = f"{p}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            try:
+                os.link(tmp, p)  # atomic claim + full-file visibility
+            except FileExistsError:
+                raise ManifestConflict(
+                    f"{self.path}: version {version} was committed by a "
+                    f"concurrent writer"
+                ) from None
+            finally:
+                with contextlib.suppress(OSError):
+                    os.unlink(tmp)
+            return
+        if bs.exists(target):
+            raise ManifestConflict(
+                f"{self.path}: version {version} was committed by a "
+                f"concurrent writer"
+            )
+        bs.publish_bytes(target, payload)
+        try:
+            if bs.read_bytes(target) != payload:
+                raise ManifestConflict(
+                    f"{self.path}: version {version} was overwritten by a "
+                    f"concurrent writer"
+                )
+        except OSError:
+            pass  # verify is best-effort; the write itself succeeded
 
     def _write_data(self, df: DataFrame) -> list[str]:
         """One parquet file per partition into data/ under fresh names.
@@ -206,7 +260,7 @@ class ManagedTable:
         if self._manifests():
             raise ManagedTableError(f"table already exists at {self.path}")
         files = self._write_data(df)
-        self._write_manifest(df.schema, files)
+        self._write_manifest(df.schema, files, base_version=0)
         return self
 
     def schema(self) -> T.StructType:
@@ -330,7 +384,8 @@ class ManagedTable:
         # logical names, so retired rename aliases (and dropped-column
         # tombstones) are cleared
         return self._write_manifest(
-            schema, files, aliases={}, alias_files={}, retired=[])
+            schema, files, aliases={}, alias_files={}, retired=[],
+            base_version=m["version"])
 
     def _read_files(
         self,
@@ -399,7 +454,8 @@ class ManagedTable:
         # overwrite doesn't un-apply ingested batches)
         return self._write_manifest(
             schema, files, aliases={}, alias_files={}, retired=[],
-            stream_batches=m.get("stream_batches") or {})
+            stream_batches=m.get("stream_batches") or {},
+            base_version=m["version"])
 
     def insert(self, df: DataFrame,
                stream_marker: tuple[str, int] | None = None) -> int:
@@ -409,20 +465,43 @@ class ManagedTable:
         between data commit and checkpoint commit leaves proof the batch
         landed — the replay sees marker >= batch_id and no-ops instead
         of double-ingesting (foreachBatch alone is at-least-once)."""
-        m = self._read_manifest()
-        markers = dict(m.get("stream_batches") or {})
-        if stream_marker is not None:
-            s, bid = stream_marker
-            prev = markers.get(s)
-            if prev is not None and int(prev) >= int(bid):
-                return self.current_version()  # replayed batch — no-op
-            markers[s] = int(bid)
-        schema = T.StructType.fromJson(m["schema"])
-        files = self._write_data(align_to_schema(df, schema))
-        return self._write_manifest(
-            schema, m["files"] + files,
-            m.get("aliases") or {}, m.get("alias_files") or {},
-            m.get("retired") or [], markers)
+        files: list[str] | None = None
+        schema_json: dict | None = None
+        for _ in range(8):
+            m = self._read_manifest()
+            markers = dict(m.get("stream_batches") or {})
+            if stream_marker is not None:
+                s, bid = stream_marker
+                prev = markers.get(s)
+                if prev is not None and int(prev) >= int(bid):
+                    return self.current_version()  # replayed batch — no-op
+                markers[s] = int(bid)
+            if files is None:
+                schema_json = m["schema"]
+                files = self._write_data(
+                    align_to_schema(df, T.StructType.fromJson(schema_json)))
+            elif m["schema"] != schema_json:
+                # a concurrent ALTER changed the schema our files were
+                # written against — merging blind could mis-bind renamed
+                # columns; surface it instead
+                raise ManifestConflict(
+                    f"{self.path}: schema changed concurrently during "
+                    f"INSERT; retry the statement"
+                )
+            try:
+                # appends are retryable: on conflict, re-read the winner's
+                # manifest and append the SAME data files to its file list
+                # (the pre-conflict behavior silently dropped the loser)
+                return self._write_manifest(
+                    T.StructType.fromJson(m["schema"]), m["files"] + files,
+                    m.get("aliases") or {}, m.get("alias_files") or {},
+                    m.get("retired") or [], markers,
+                    base_version=m["version"])
+            except ManifestConflict:
+                continue
+        raise ManifestConflict(
+            f"{self.path}: INSERT lost the commit race 8 times; retry"
+        )
 
     def _split_files(
         self, predicate: str, schema: T.StructType
@@ -472,7 +551,8 @@ class ManagedTable:
         return self._write_manifest(
             schema, new_files,
             m.get("aliases") or {}, m.get("alias_files") or {},
-            m.get("retired") or [], m.get("stream_batches") or {})
+            m.get("retired") or [], m.get("stream_batches") or {},
+            base_version=m["version"])
 
     def update(self, assignments: dict[str, str], predicate: str | None) -> int:
         m = self._read_manifest()
@@ -501,7 +581,8 @@ class ManagedTable:
         return self._write_manifest(
             schema, new_files,
             m.get("aliases") or {}, m.get("alias_files") or {},
-            m.get("retired") or [], m.get("stream_batches") or {})
+            m.get("retired") or [], m.get("stream_batches") or {},
+            base_version=m["version"])
 
     def alter_add_column(self, name: str, spark_type: str) -> int:
         """Metadata-only schema evolution: readers NULL-fill via align."""
@@ -523,7 +604,8 @@ class ManagedTable:
         return self._write_manifest(
             schema, m["files"],
             m.get("aliases") or {}, m.get("alias_files") or {},
-            m.get("retired") or [], m.get("stream_batches") or {})
+            m.get("retired") or [], m.get("stream_batches") or {},
+            base_version=m["version"])
 
     def alter_rename_column(self, old: str, new: str) -> int:
         """Metadata-only RENAME COLUMN (Lance applies renames without a
@@ -560,7 +642,8 @@ class ManagedTable:
         alias_files[old] = list(m["files"])
         return self._write_manifest(
             T.StructType(fields), m["files"], aliases, alias_files,
-            m.get("retired") or [], m.get("stream_batches") or {})
+            m.get("retired") or [], m.get("stream_batches") or {},
+            base_version=m["version"])
 
     def alter_drop_column(self, name: str) -> int:
         """Metadata-only DROP COLUMN. Data files still carry the dropped
@@ -583,7 +666,8 @@ class ManagedTable:
         retired = set(m.get("retired") or []) | {name} | set(olds)
         return self._write_manifest(
             T.StructType(fields), m["files"], aliases, alias_files,
-            sorted(retired), m.get("stream_batches") or {})
+            sorted(retired), m.get("stream_batches") or {},
+            base_version=m["version"])
 
     # --------------------------------------------------- inverted index
 
@@ -812,6 +896,7 @@ class ManagedTable:
             manifest.get("aliases") or {}, manifest.get("alias_files") or {},
             manifest.get("retired") or [],
             manifest.get("stream_batches") or {},
+            base_version=manifest["version"],
         )
         return len(rels), len(keep) + len(new)
 

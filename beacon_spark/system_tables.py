@@ -185,7 +185,9 @@ class QueryMetricsStore:
         # must surface (leaving the tail buffered), not silently reset
         # the table to one part file; read BEFORE uploading so a failure
         # here costs nothing
-        files = mt._read_manifest()["files"] if mt._manifests() else []
+        has = mt._manifests()
+        base = mt._read_manifest()["version"] if has else 0
+        files = mt._read_manifest()["files"] if has else []
         fd, tmp = tempfile.mkstemp(suffix=".parquet")
         os.close(fd)
         try:
@@ -195,7 +197,22 @@ class QueryMetricsStore:
             bs.upload_file(tmp, bs.join(mt.path, name))
         finally:
             os.unlink(tmp)
-        mt._write_manifest(QUERY_METRICS_SCHEMA, files + [name])
+        from beacon_spark.managed import ManifestConflict
+
+        for _ in range(8):
+            try:
+                mt._write_manifest(QUERY_METRICS_SCHEMA, files + [name],
+                                   base_version=base)
+                break
+            except ManifestConflict:
+                # an append is retryable: re-read the winner's file list
+                # and add the same part to it
+                has = mt._manifests()
+                base = mt._read_manifest()["version"] if has else 0
+                files = mt._read_manifest()["files"] if has else []
+        else:
+            raise ManifestConflict(
+                f"{mt.path}: metrics flush lost the commit race repeatedly")
         # committed: drop exactly the flushed prefix (appends land at
         # the end, so rows recorded mid-flush stay for the next one)
         with self._lock:

@@ -1,6 +1,8 @@
 """Managed tables + views/MVs (reference: statement_plan/actions.rs:509-795,
 table_dml.rs / materialized_view.rs integration tests)."""
 
+import json
+
 import pytest
 
 from beacon_spark.engine import Engine
@@ -1430,3 +1432,52 @@ def test_refresh_error_contract(spark, tmp_path):
         eng.sql("REFRESH orders_t")
     eng.sql("CREATE MATERIALIZED VIEW mv1 AS SELECT x FROM orders_t")
     assert eng.sql("REFRESH mv1").collect()[0].status == "ok"
+
+
+def test_concurrent_inserts_never_lose_rows(spark, tmp_path):
+    """r10 sweep (lost-update): manifest commits were unconditional
+    publishes — two writers that both read vN both published v(N+1) and
+    the loser's rows silently vanished. Commits are now put-if-absent
+    (os.link claim); appends retry against the winner's base, so every
+    concurrent INSERT lands."""
+    import threading
+
+    from beacon_spark.managed import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "race"))
+    t.create(spark.createDataFrame([(0,)], "v int"))
+    errs = []
+
+    def ins(k):
+        try:
+            t.insert(spark.createDataFrame([(k,)] * 10, "v int"))
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=ins, args=(k,)) for k in range(1, 5)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert t.read().count() == 1 + 4 * 10
+    # every version number is distinct and contiguous
+    assert t.current_version() == 5
+
+
+def test_manifest_conflict_is_loud_for_rewrites(spark, tmp_path):
+    """A rewrite (delete/update) that loses the race must surface the
+    conflict, not silently clobber the winner."""
+    import pytest as _pytest
+
+    from beacon_spark.managed import ManagedTable, ManifestConflict
+
+    t = ManagedTable(spark, str(tmp_path / "rw"))
+    t.create(spark.createDataFrame([(1,), (2,)], "v int"))
+    # simulate a concurrent winner claiming the next version number
+    nxt = t.current_version() + 1
+    payload = b'{"stale": true}'
+    t._commit_manifest(nxt, b'{"version": %d, "schema": %s, "files": []}'
+                       % (nxt, json.dumps(t.schema().jsonValue()).encode()))
+    with _pytest.raises(ManifestConflict):
+        t._commit_manifest(nxt, payload)
