@@ -698,7 +698,11 @@ class ManagedTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         tmp = idx_dir + f".tmp-{uuid.uuid4().hex}"
-        out.sort("token").write.mode("overwrite").parquet(bs.spark_path(tmp))
+        try:
+            out.sort("token").write.mode("overwrite").parquet(bs.spark_path(tmp))
+        finally:
+            if prior is not None:
+                prior.unpersist()  # the build's cache must not outlive it
         # sidecar: the exact file set this index covers — prune treats
         # files OUTSIDE it as unprunable (fail-open on a stale index)
         bs.write_bytes(
@@ -1015,24 +1019,36 @@ class Catalog:
                     f"name {name!r} already exists as a {label}")
 
     def create_table(self, name: str, df: DataFrame) -> ManagedTable:
-        cat = self._load()
-        self._assert_name_free(cat, name)
+        # DDL catalog commits go through _mutate (lock + merge-on-
+        # conflict): a plain load->save raced concurrent DDL and the
+        # last writer silently erased the other's entry
+        self._assert_name_free(self._load(), name)
         path = bs.join(self.tables_dir, name)
         t = ManagedTable(self.spark, path).create(df)
-        cat["tables"][name] = path
-        self._save(cat)
+
+        def apply(cat: dict) -> None:
+            self._assert_name_free(cat, name)
+            cat["tables"][name] = path
+
+        self._mutate(apply)
         return t
 
     def drop_table(self, name: str) -> None:
-        cat = self._load()
-        path = cat["tables"].pop(name, None)
-        cat.get("table_versions", {}).pop(name, None)
-        # a dropped table's extensions go with it: a later table reusing
-        # the name must not inherit mcp/preset docs validated against the
-        # OLD schema (extensions-require-an-existing-table invariant)
-        cat.get("extensions", {}).pop(name, None)
-        self._save(cat)
-        if path:
+        dropped: list[str] = []
+
+        def apply(cat: dict) -> None:
+            path = cat["tables"].pop(name, None)
+            cat.get("table_versions", {}).pop(name, None)
+            # a dropped table's extensions go with it: a later table
+            # reusing the name must not inherit mcp/preset docs validated
+            # against the OLD schema
+            cat.get("extensions", {}).pop(name, None)
+            dropped.clear()
+            if path:
+                dropped.append(path)
+
+        self._mutate(apply)
+        for path in dropped:
             ManagedTable(self.spark, path).drop()
 
     # ---- external tables (CREATE EXTERNAL TABLE ... STORED AS ... LOCATION,
@@ -1048,13 +1064,6 @@ class Catalog:
         can never leave an entry whose credential is missing. ``replace``
         = CREATE OR REPLACE: the previous definition (and its credential
         secret) leaves in the SAME commit the new one lands in."""
-        cat = self._load()
-        self._assert_name_free(
-            cat, name, replace_in="external_tables" if replace else None)
-        if replace:
-            prev = cat["external_tables"].pop(name, None)
-            if isinstance(prev, dict) and prev.get("password_secret"):
-                cat.get("secrets", {}).pop(prev["password_secret"], None)
         entry = {
             "format": fmt.lower(),
             "paths": paths,
@@ -1062,13 +1071,14 @@ class Catalog:
         }
         if partitioned_by:
             entry["partitioned_by"] = list(partitioned_by)
+        sname = f"__exttbl_{name}"
+        secret_entry = None
         if password is not None:
             # encrypted at rest (secretbox.py — key lives outside the
             # lake root), mirroring the reference's EncryptedSecret
             from beacon_spark.secretbox import default_box
 
-            sname = f"__exttbl_{name}"
-            cat.setdefault("secrets", {})[sname] = {
+            secret_entry = {
                 "type": "password",
                 "scope": paths[0] if paths else "",
                 "persistent": True,
@@ -1077,34 +1087,52 @@ class Catalog:
                 },
             }
             entry["password_secret"] = sname
-        cat["external_tables"][name] = entry
-        self._save(cat)
+
+        def apply(cat: dict) -> None:
+            self._assert_name_free(
+                cat, name, replace_in="external_tables" if replace else None)
+            if replace:
+                prev = cat["external_tables"].pop(name, None)
+                if isinstance(prev, dict) and prev.get("password_secret"):
+                    cat.get("secrets", {}).pop(prev["password_secret"], None)
+            if password is not None:
+                cat.setdefault("secrets", {})[sname] = secret_entry
+            cat["external_tables"][name] = entry
+
+        self._mutate(apply)
 
     def drop_external_table(self, name: str) -> bool:
-        cat = self._load()
-        entry = cat["external_tables"].pop(name, None)
-        if entry is not None:
-            if isinstance(entry, dict) and entry.get("password_secret"):
-                cat.get("secrets", {}).pop(entry["password_secret"], None)
-            cat.get("extensions", {}).pop(name, None)
-            self._save(cat)
-        return entry is not None
+        found: list[bool] = []
+
+        def apply(cat: dict) -> None:
+            entry = cat["external_tables"].pop(name, None)
+            found.clear()
+            found.append(entry is not None)
+            if entry is not None:
+                if isinstance(entry, dict) and entry.get("password_secret"):
+                    cat.get("secrets", {}).pop(entry["password_secret"], None)
+                cat.get("extensions", {}).pop(name, None)
+
+        if name not in self._load()["external_tables"]:
+            return False
+        self._mutate(apply)
+        return bool(found and found[0])
 
     # ---- secondary indexes (Lance btree/bitmap/inverted analog: recorded
     #      metadata; the btree role is served by the file-stats min/max
     #      index, actions.rs:763-820) ----
 
     def create_index(self, name: str, table: str, column: str, using: str) -> None:
-        cat = self._load()
-        if name in cat["indexes"]:
-            raise ManagedTableError(f"index {name!r} already exists")
-        cat["indexes"][name] = {"table": table, "column": column, "using": using}
-        self._save(cat)
+        def apply(cat: dict) -> None:
+            if name in cat["indexes"]:
+                raise ManagedTableError(f"index {name!r} already exists")
+            cat["indexes"][name] = {
+                "table": table, "column": column, "using": using}
+
+        self._mutate(apply)
 
     def drop_index(self, name: str) -> None:
-        cat = self._load()
-        cat["indexes"].pop(name, None)
-        self._save(cat)
+        self._mutate(lambda cat: cat["indexes"].pop(name, None))
 
     # ---- crawlers (scheduled re-discovery of new files -> auto-registered
     #      external tables, beacon-core/src/crawler/*; embedded mode has no
@@ -1114,48 +1142,53 @@ class Catalog:
         self, name: str, prefix: str | None, schedule_secs: int | None = None,
         format_filter: list[str] | None = None, table_naming: str = "file",
     ) -> None:
-        cat = self._load()
-        if name in cat["crawlers"]:
-            raise ManagedTableError(f"crawler {name!r} already exists")
-        cat["crawlers"][name] = {
-            "prefix": prefix or "",
-            "schedule_secs": schedule_secs,
-            "format_filter": format_filter,
-            "table_naming": table_naming,
-            "last_run": None,
-        }
-        self._save(cat)
+        def apply(cat: dict) -> None:
+            if name in cat["crawlers"]:
+                raise ManagedTableError(f"crawler {name!r} already exists")
+            cat["crawlers"][name] = {
+                "prefix": prefix or "",
+                "schedule_secs": schedule_secs,
+                "format_filter": format_filter,
+                "table_naming": table_naming,
+                "last_run": None,
+            }
+
+        self._mutate(apply)
 
     def touch_crawler(self, name: str, when: float) -> None:
         """Record a crawl's completion time (drives run_due scheduling)."""
-        cat = self._load()
-        if name in cat["crawlers"]:
-            cat["crawlers"][name]["last_run"] = when
-            self._save(cat)
+        def apply(cat: dict) -> None:
+            if name in cat["crawlers"]:
+                cat["crawlers"][name]["last_run"] = when
+
+        if name in self._load()["crawlers"]:
+            self._mutate(apply)
 
     def drop_crawler(self, name: str) -> None:
-        cat = self._load()
-        cat["crawlers"].pop(name, None)
-        self._save(cat)
+        self._mutate(lambda cat: cat["crawlers"].pop(name, None))
 
     # ---- views ----
 
     def create_view(self, name: str, sql: str, replace: bool = False) -> None:
-        cat = self._load()
-        self._assert_name_free(
-            cat, name, replace_in="views" if replace else None)
-        if name in cat["views"] and not replace:
-            raise ManagedTableError(f"view {name!r} already exists")
-        cat["views"][name] = sql
-        self._save(cat)
+        def apply(cat: dict) -> None:
+            self._assert_name_free(
+                cat, name, replace_in="views" if replace else None)
+            if name in cat["views"] and not replace:
+                raise ManagedTableError(f"view {name!r} already exists")
+            cat["views"][name] = sql
+
+        self._mutate(apply)
 
     def create_materialized_view(self, name: str, sql: str, df: DataFrame) -> None:
-        cat = self._load()
-        self._assert_name_free(cat, name)
+        self._assert_name_free(self._load(), name)
         path = bs.join(self.tables_dir, f"_mv_{name}")
         ManagedTable(self.spark, path).create(df)
-        cat["materialized_views"][name] = {"sql": sql, "path": path}
-        self._save(cat)
+
+        def apply(cat: dict) -> None:
+            self._assert_name_free(cat, name)
+            cat["materialized_views"][name] = {"sql": sql, "path": path}
+
+        self._mutate(apply)
 
     def refresh_materialized_view(self, name: str, df: DataFrame) -> None:
         cat = self._load()
@@ -1169,13 +1202,19 @@ class Catalog:
         return mv["sql"] if mv else None
 
     def drop_view(self, name: str) -> None:
-        cat = self._load()
-        cat["views"].pop(name, None)
-        mv = cat["materialized_views"].pop(name, None)
-        cat.get("extensions", {}).pop(name, None)
-        self._save(cat)
-        if mv:
-            ManagedTable(self.spark, mv["path"]).drop()
+        mv_paths: list[str] = []
+
+        def apply(cat: dict) -> None:
+            cat["views"].pop(name, None)
+            mv = cat["materialized_views"].pop(name, None)
+            cat.get("extensions", {}).pop(name, None)
+            mv_paths.clear()
+            if mv:
+                mv_paths.append(mv["path"])
+
+        self._mutate(apply)
+        for p_ in mv_paths:
+            ManagedTable(self.spark, p_).drop()
 
     def signature(self) -> tuple | None:
         """Cheap change token so Engine re-registers temp views only when

@@ -1481,3 +1481,32 @@ def test_manifest_conflict_is_loud_for_rewrites(spark, tmp_path):
                        % (nxt, json.dumps(t.schema().jsonValue()).encode()))
     with _pytest.raises(ManifestConflict):
         t._commit_manifest(nxt, payload)
+
+
+def test_concurrent_ddl_never_loses_entries(spark, tmp_path):
+    """r10 sweep: Catalog DDL used plain load->save, so two concurrent
+    CREATEs last-writer-wins erased each other's entry; every catalog
+    mutation now rides _mutate (lock + merge-on-conflict)."""
+    import threading
+
+    from beacon_spark.managed import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    errs = []
+
+    def mk(i):
+        try:
+            cat.create_view(f"view_{i}", f"SELECT {i} AS x")
+            cat.create_crawler(f"crawl_{i}", prefix=f"p{i}")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=mk, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    names = cat.names()
+    assert names["views"] == [f"view_{i}" for i in range(6)]
+    assert names["crawlers"] == [f"crawl_{i}" for i in range(6)]
