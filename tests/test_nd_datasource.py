@@ -307,3 +307,33 @@ def test_sql_atlas_stats_pruning(nd_engine, tmp_path):
         assert pruned.agg({"temp": "min"}).collect()[0][0] == 20.0
     finally:
         spark.conf.unset("spark.beacon.nd.rowsPerTask")
+
+
+def test_sql_tiff_dotted_coordinate_pushdown(nd_engine, tmp_path):
+    """The tiff reader's coordinate columns carry dotted names
+    (`geo.lat`); Spark's filter pushdown must deliver them as ONE
+    attribute (backquoted identifier), not a split struct path — pinned
+    here because a ColumnPath change would silently disable lat-band
+    pruning on the SQL surface (fail-open: results stay right, the
+    full raster decodes)."""
+    import numpy as np
+
+    from beacon_spark.sources.tifflite import write_tiff
+
+    p = str(tmp_path / "lat.tif")
+    band = np.arange(40 * 6, dtype=np.float32).reshape(40, 6)
+    write_tiff(p, [band], pixel_scale=(1.0, 1.0), tiepoint=(0, 0, 0.0, 40.0))
+    spark = nd_engine.spark
+    spark.conf.set("spark.beacon.nd.rowsPerTask", "24")
+    try:
+        full = nd_engine.sql(
+            f"SELECT `band.0`, `geo.lat` FROM read_tiff('{p}')")
+        assert full.rdd.getNumPartitions() == 10  # 240 px / 24 per task
+        sliced = nd_engine.sql(
+            f"SELECT `band.0`, `geo.lat` FROM read_tiff('{p}') "
+            "WHERE `geo.lat` >= 35")
+        assert sliced.rdd.getNumPartitions() == 2
+        rows = sliced.collect()
+        assert len(rows) == 36 and all(r["geo.lat"] >= 35 for r in rows)
+    finally:
+        spark.conf.unset("spark.beacon.nd.rowsPerTask")
