@@ -550,7 +550,17 @@ def run_auth_statement(engine, statement: str, user: str | None):
             )
 
     def save():
-        engine.catalog._save(cat)
+        # commit through _mutate (lock + merge-on-conflict): a raw
+        # whole-document save here erased concurrent non-auth catalog
+        # commits (CREATE TABLE etc.). The auth SECTION replaces
+        # wholesale — auth DDL is serialized admin activity, and the
+        # merge protects the rest of the catalog.
+        auth_doc = cat.get("auth")
+
+        def apply(doc: dict) -> None:
+            doc["auth"] = auth_doc
+
+        engine.catalog._mutate(apply)
         engine._cat_sig = None
         # auth changed: the unauthenticated-resolution TTL cache must
         # not serve a pre-change decision in this process

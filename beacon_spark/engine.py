@@ -1720,11 +1720,11 @@ class Engine:
                 rb.list_tables()  # eager validation, like the reference
                 self._remotes = getattr(self, "_remotes", {})
                 self._remotes[name] = rb
-                c = cat._load()
-                c.setdefault("attachments", {})[name] = {
+                att_entry = {
                     "url": path,
                     "tls": opts.get("tls", "").lower() == "true",
                 }
+                att_secret = None
                 if opts.get("token"):
                     # the bearer token rides the SECRET store, never the
                     # attachment entry itself — the reference routes
@@ -1737,32 +1737,43 @@ class Engine:
                     from beacon_spark.secretbox import default_box
 
                     sname = f"__attach_{name}"
-                    c.setdefault("secrets", {})[sname] = {
+                    att_secret = (sname, {
                         "type": "bearer",
                         "scope": path,
                         "persistent": True,
                         "options": {
                             "token": default_box().encrypt(opts["token"])
                         },
-                    }
-                    c["attachments"][name]["token_secret"] = sname
-                cat._save(c)
+                    })
+                    att_entry["token_secret"] = sname
+
+                def apply_attach(doc: dict) -> None:
+                    # rides _mutate: a raw load->save raced concurrent
+                    # catalog commits last-writer-wins
+                    doc.setdefault("attachments", {})[name] = att_entry
+                    if att_secret is not None:
+                        doc.setdefault("secrets", {})[att_secret[0]] = \
+                            att_secret[1]
+
+                cat._mutate(apply_attach)
                 return self._status(
                     status="ok", op="attach", name=name, remote="true"
                 )
-            c = cat._load()
-            c.setdefault("attachments", {})[name] = path
-            cat._save(c)
+            cat._mutate(
+                lambda doc: doc.setdefault("attachments", {})
+                .__setitem__(name, path))
             return self._status(status="ok", op="attach", name=name)
         if kind == "detach":
             name = m.group(1)
-            c = cat._load()
-            if name not in c.get("attachments", {}):
+            if name not in cat._load().get("attachments", {}):
                 raise ValueError(f"no attachment {name!r}")
-            entry = c.setdefault("attachments", {}).pop(name, None)
-            if isinstance(entry, dict) and entry.get("token_secret"):
-                c.get("secrets", {}).pop(entry["token_secret"], None)
-            cat._save(c)
+
+            def apply_detach(doc: dict) -> None:
+                entry = doc.setdefault("attachments", {}).pop(name, None)
+                if isinstance(entry, dict) and entry.get("token_secret"):
+                    doc.get("secrets", {}).pop(entry["token_secret"], None)
+
+            cat._mutate(apply_detach)
             rb = getattr(self, "_remotes", {}).pop(name, None)
             if rb is not None:
                 rb.close()
@@ -1806,27 +1817,28 @@ class Engine:
             entry = {"type": stype, "scope": scope, "persistent": modifier == "persistent"}
             self._apply_secret(entry, params)
             if modifier == "persistent":
-                c = cat._load()
                 box = default_box()
-                c.setdefault("secrets", {})[name] = {
+                sec_doc = {
                     **entry,
                     "options": {
                         k: box.encrypt(v) for k, v in params.items()
                     },
                 }
-                cat._save(c)
+                cat._mutate(
+                    lambda d: d.setdefault("secrets", {})
+                    .__setitem__(name, sec_doc))
             else:
                 self._session_secrets[name] = {**entry, "options": params}
             return self._status(status="ok", op="create_secret", name=name)
         if kind == "drop_secret":
             if_exists, name = bool(m.group(1)), m.group(2)
-            c = cat._load()
-            found = name in self._session_secrets or name in c.get("secrets", {})
+            found = (name in self._session_secrets
+                     or name in cat._load().get("secrets", {}))
             if not found and not if_exists:
                 raise ValueError(f"secret {name!r} does not exist")
             self._session_secrets.pop(name, None)
-            c.setdefault("secrets", {}).pop(name, None)
-            cat._save(c)
+            cat._mutate(
+                lambda d: d.setdefault("secrets", {}).pop(name, None))
             return self._status(status="ok", op="drop_secret", name=name)
         if kind == "show_secrets":
             # values never shown (the reference stores them encrypted)
@@ -1854,27 +1866,30 @@ class Engine:
             doc = _ext.parse_kind(
                 ext_kind, payload.replace("''", "'"),
                 self._table_columns_for_extension(table))
-            c = cat._load()
-            c.setdefault("extensions", {}).setdefault(
-                table, {})[ext_kind.lower()] = json.dumps(doc)
-            cat._save(c)
+            payload_json = json.dumps(doc)
+            cat._mutate(
+                lambda d: d.setdefault("extensions", {})
+                .setdefault(table, {})
+                .__setitem__(ext_kind.lower(), payload_json))
             return self._status(status="ok", op="set_extension", name=table)
         if kind == "drop_extension":
             from beacon_spark import extensions as _ext
 
             ext_kind, table = m.group(1), m.group(2)
             self._table_columns_for_extension(table)  # table must exist
-            c = cat._load()
-            stored = c.setdefault("extensions", {}).get(table, {})
             k = ext_kind.lower()
-            if k in stored:
-                # a stored entry always drops — including legacy free-form
-                # kinds written before the typed contract, which SHOW keeps
-                # readable and must therefore stay removable
-                stored.pop(k)
-            else:
-                _ext.drop_kind_name(ext_kind)  # unknown + absent → error
-            cat._save(c)
+
+            def apply_dropext(d: dict) -> None:
+                stored = d.setdefault("extensions", {}).get(table, {})
+                if k in stored:
+                    # a stored entry always drops — including legacy
+                    # free-form kinds written before the typed contract,
+                    # which SHOW keeps readable and must stay removable
+                    stored.pop(k)
+                else:
+                    _ext.drop_kind_name(ext_kind)  # unknown + absent → error
+
+            cat._mutate(apply_dropext)
             return self._status(status="ok", op="drop_extension", name=table)
         if kind == "show_extensions":
             # ONE row, one Utf8 'extensions' column holding the whole

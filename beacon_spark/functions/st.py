@@ -418,10 +418,11 @@ def geom_contains(a: Geom, b: Geom) -> bool:
         # PostGIS: nothing contains an empty geometry
         return False
     if a.polys:
+        sa = a.segments()  # hoisted: rebuilt per b-vertex before
         for p in bc:
             if not (
                 _point_in_polys(a, p[0], p[1])
-                or _on_any_segment(a.segments(), p[0], p[1])
+                or _on_any_segment(sa, p[0], p[1])
             ):
                 return False
         # a concave a can hold all of b's vertices while an edge of b
@@ -430,7 +431,7 @@ def geom_contains(a: Geom, b: Geom) -> bool:
         # closed-set ST_Covers semantics. Remaining approximation: a b
         # edge threading exactly through a vertex of a is counted as
         # touching, not crossing.
-        if _segs_cross_properly(a.segments(), b.segments()):
+        if _segs_cross_properly(sa, b.segments()):
             return False
         return True
     if a.lines and b.pts is not None and len(b.pts):

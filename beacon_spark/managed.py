@@ -100,7 +100,15 @@ class ManagedTable:
         if not ms:
             raise ManagedTableError(f"no managed table at {self.path}")
         name = f"v{version:08d}.json" if version is not None else ms[-1]
-        return json.loads(bs.read_text(bs.join(self.manifest_dir, name)))
+        for _ in range(20):
+            body = bs.read_text(bs.join(self.manifest_dir, name))
+            if body:
+                return json.loads(body)
+            # the no-hardlink commit fallback claims the name empty for
+            # an instant before the atomic replace — wait it out
+            time.sleep(0.01)
+        raise ManagedTableError(
+            f"{self.path}: manifest {name} stayed empty (crashed writer?)")
 
     def _write_manifest(
         self,
@@ -212,6 +220,21 @@ class ManagedTable:
                     f"{self.path}: version {version} was committed by a "
                     f"concurrent writer"
                 ) from None
+            except OSError:
+                # filesystem without hard links (SMB/some FUSE mounts):
+                # claim the name with O_EXCL, then make the content
+                # visible atomically via replace — a reader in the tiny
+                # claim window sees an empty manifest, which
+                # _read_manifest treats as not-yet-committed
+                try:
+                    os.close(os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                except FileExistsError:
+                    raise ManifestConflict(
+                        f"{self.path}: version {version} was committed by "
+                        f"a concurrent writer"
+                    ) from None
+                os.replace(tmp, p)
+                return
             finally:
                 with contextlib.suppress(OSError):
                     os.unlink(tmp)

@@ -150,17 +150,22 @@ def launch(args, spark=None):
             raise SystemExit("--admin-username needs --admin-password")
         from beacon_spark import auth as _auth
 
-        cat = engine.catalog._load()
-        users = cat.setdefault("auth", {}).setdefault("users", {})
-        entry = users.setdefault(args.admin_username, {"roles": []})
-        # idempotent re-seed: password reset to the configured one,
-        # super-user bit always on (the reference seeds AdminConfig
-        # the same way on every boot)
-        entry["password"] = _auth.hash_password(args.admin_password)
-        entry["super_user"] = True
-        cat["auth"].setdefault("roles", {})
-        cat["auth"].setdefault("enforce", False)
-        engine.catalog._save(cat)
+        pw_hash = _auth.hash_password(args.admin_password)
+
+        def seed(doc: dict) -> None:
+            auth_doc = doc.setdefault("auth", {})
+            seeded = auth_doc.setdefault("users", {})
+            e = seeded.setdefault(args.admin_username, {"roles": []})
+            # idempotent re-seed: password reset to the configured one,
+            # super-user bit always on (the reference seeds AdminConfig
+            # the same way on every boot). Rides _mutate so boot-time
+            # seeding can't erase a concurrent engine's catalog commit.
+            e["password"] = pw_hash
+            e["super_user"] = True
+            auth_doc.setdefault("roles", {})
+            auth_doc.setdefault("enforce", False)
+
+        engine.catalog._mutate(seed)
     if args.auth_enforce:
         engine.sql("SET AUTH ENFORCEMENT ON")
     if args.crawler_daemon:

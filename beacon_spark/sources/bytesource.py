@@ -273,11 +273,22 @@ def _glob_regex(pattern: str):
         elif c == "?":
             out.append("[^/]")
         elif c == "[":
-            j = pattern.find("]", i + 1)
+            # glob character classes: ']' first in the class is literal,
+            # '!' negates (regex wants '^'); an unterminated '[' is a
+            # literal bracket — matching fnmatch/glob exactly
+            j = i + 1
+            if j < len(pattern) and pattern[j] == "!":
+                j += 1
+            if j < len(pattern) and pattern[j] == "]":
+                j += 1
+            j = pattern.find("]", j)
             if j < 0:
                 out.append(_re.escape(c))
             else:
-                out.append(pattern[i: j + 1])
+                body = pattern[i + 1: j]
+                if body.startswith("!"):
+                    body = "^" + body[1:]
+                out.append(f"[{body}]")
                 i = j
         else:
             out.append(_re.escape(c))

@@ -227,8 +227,55 @@ def _ipc_source(path: str):
     return path
 
 
+class _LazyBufFile:
+    """Seekable file facade over a LazyBuf — schema probes read only
+    the bytes pyarrow actually touches (ranged GETs), not the object."""
+
+    def __init__(self, buf):
+        self._buf = buf
+        self._pos = 0
+
+    def read(self, n=-1):
+        from beacon_spark.sources import bytesource as _bs
+
+        if n is None or n < 0:
+            n = len(self._buf) - self._pos
+        # bs.read_range handles both buffer kinds (LazyBuf ranged GETs,
+        # local file:// mmap slices)
+        out = _bs.read_range(self._buf, self._pos, n)
+        self._pos += len(out)
+        return out
+
+    def seek(self, off, whence=0):
+        base = (0, self._pos, len(self._buf))[whence]
+        self._pos = max(0, base + off if whence else off)
+        return self._pos
+
+    def tell(self):
+        return self._pos
+
+    def seekable(self):
+        return True
+
+    def readable(self):
+        return True
+
+    @property
+    def closed(self):  # pyarrow probes the ATTRIBUTE; a method is truthy
+        return False
+
+    def close(self):
+        pass
+
+
 def _ipc_schema(path: str) -> pa.Schema:
-    src = _ipc_source(path)
+    from beacon_spark.sources import bytesource as _bs
+
+    # driver-side schema probe: a whole-object read here doubled the
+    # egress of every remote .arrow query (the executor scan fetches
+    # the object again) — ranged reads pull only the header messages
+    src = (_LazyBufFile(_bs.open_buffer(path)) if _bs.is_uri(path)
+           else path)
     try:
         with pa_ipc.open_file(src) as r:
             return r.schema

@@ -85,10 +85,14 @@ def _file_stats(path: str) -> list[dict]:
             # numeric/timestamp stats ONLY: parquet string stats are
             # LEXICAL min/max ("9" > "10"), so float()ing a
             # numeric-looking string inverted the interval and a numeric
-            # WHERE could FALSELY prune a file whose rows match
+            # WHERE could FALSELY prune a file whose rows match.
+            # decimal.Decimal is genuinely numeric (totally ordered,
+            # float() monotone) and must keep its interval
+            import decimal
+
             if v is None or isinstance(v, bool) or isinstance(v, str):
                 return None
-            if isinstance(v, (int, float)):
+            if isinstance(v, (int, float, decimal.Decimal)):
                 return float(v)
             if hasattr(v, "timestamp"):
                 return v.timestamp()

@@ -46,7 +46,7 @@ def create_stream(engine, name: str, prefix: str, table: str,
     c = cat._load()
     if name in c.get("streams", {}):
         raise ValueError(f"stream {name!r} already exists")
-    if table not in c["tables"]:
+    if table not in c["tables"]:  # pre-check on a snapshot; re-checked in apply
         raise ValueError(
             f"stream target {table!r} is not a managed table (streams "
             "ingest through the INSERT path; CREATE TABLE it first)"
@@ -81,7 +81,7 @@ def create_stream(engine, name: str, prefix: str, table: str,
         }[m.group(2)]
     import uuid as _uuid
 
-    c.setdefault("streams", {})[name] = {
+    entry = {
         "prefix": prefix,
         "table": table,
         "format": fmt,
@@ -93,7 +93,15 @@ def create_stream(engine, name: str, prefix: str, table: str,
         "options": {k: v for k, v in options.items()
                     if k not in ("format", "schedule")},
     }
-    cat._save(c)
+
+    def apply(cat_doc: dict) -> None:
+        # commit rides _mutate (lock + merge-on-conflict) — a raw
+        # load->save here raced concurrent DDL last-writer-wins
+        if name in cat_doc.get("streams", {}):
+            raise ValueError(f"stream {name!r} already exists")
+        cat_doc.setdefault("streams", {})[name] = entry
+
+    cat._mutate(apply)
 
 
 def run_stream(engine, name: str):
@@ -167,10 +175,14 @@ def run_stream(engine, name: str):
     q.awaitTermination()
     import time as _time
 
-    c2 = engine.catalog._load()
-    if name in c2.get("streams", {}):
-        c2["streams"][name]["last_run"] = _time.time()
-        engine.catalog._save(c2)
+    now = _time.time()
+
+    def touch(cat_doc: dict) -> None:
+        if name in cat_doc.get("streams", {}):
+            cat_doc["streams"][name]["last_run"] = now
+
+    if name in engine.catalog._load().get("streams", {}):
+        engine.catalog._mutate(touch)
     return spark.createDataFrame(
         [(name, totals["batches"], totals["rows"])],
         "stream string, batches long, rows_ingested long",
@@ -206,13 +218,11 @@ def run_due_streams(engine, now: float | None = None) -> list[tuple]:
 
 def drop_stream(engine, name: str, if_exists: bool = False) -> bool:
     cat = engine.catalog
-    c = cat._load()
-    entry = c.get("streams", {}).pop(name, None)
-    if entry is None:
+    if name not in cat._load().get("streams", {}):
         if if_exists:
             return False
         raise ValueError(f"stream {name!r} does not exist")
-    cat._save(c)
+    cat._mutate(lambda d: d.get("streams", {}).pop(name, None))
     from beacon_spark.sources import bytesource as bs
 
     # dropping the checkpoint forgets the processed-file set (a

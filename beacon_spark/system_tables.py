@@ -243,13 +243,15 @@ class QueryMetricsStore:
                 if r["query_id"] == query_id:
                     out = dict(r)
                     # the persisted path answers a datetime; the tail
-                    # must not leak its internal float epoch (the same
-                    # query's metrics changed shape after a flush)
-                    from datetime import datetime, timezone
+                    # must not leak its internal float epoch. LOCAL-tz
+                    # naive, because that is how Spark's collect()
+                    # renders the stored timestamp — a UTC conversion
+                    # here shifted the value across a flush on non-UTC
+                    # drivers (the instability this fix is for)
+                    from datetime import datetime
 
                     out["finished_at"] = datetime.fromtimestamp(
-                        out["finished_at"], tz=timezone.utc
-                    ).replace(tzinfo=None)
+                        out["finished_at"])
                     return out
         mt = self._table()
         if not mt._manifests():

@@ -141,7 +141,10 @@ function decodeField(fb, fieldPos) {
       };
       break;
     case T.Date:
-      type = { kind: "date", unit: fb.scalar(tpos, 0, fb.i16, 0) }; // 0=day 1=ms
+      // Schema.fbs: Date.unit DEFAULT = MILLISECOND (1) — a date64
+      // writer omits the field, so defaulting to 0 (DAY) mis-decoded
+      // every date64 column; date32 writers spell unit=0 explicitly
+      type = { kind: "date", unit: fb.scalar(tpos, 0, fb.i16, 1) };
       break;
     case T.Timestamp:
       type = {

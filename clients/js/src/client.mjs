@@ -108,11 +108,12 @@ export class BeaconClient {
   queryRaw(query, format, signal) {
     const body = typeof query === "string" ? { sql: query } : { ...query };
     if (format !== undefined) body.output = { format };
+    // the client-level timeoutMs governs (reference contract); callers
+    // running long queries construct the client with {timeoutMs: 0}
     return this.http.fetchRaw("POST", "/api/query", {
       json: body,
       signal,
       headers: format === undefined ? IPC_PLAIN : undefined,
-      timeoutMs: 0,
     });
   }
 
@@ -194,7 +195,10 @@ export class BeaconClient {
 
   /** One dataset file's schema (`GET /api/dataset-schema`). */
   datasetSchema(file) {
-    return this.http.fetchJson("GET", "/api/dataset-schema", { query: { file } });
+    // the server's parameter is `dataset` (openapi.json confirms)
+    return this.http.fetchJson("GET", "/api/dataset-schema", {
+      query: { dataset: file },
+    });
   }
 
   /** Total dataset count (the server answers `{total: N}`). */

@@ -47,3 +47,12 @@ test("incremental parser yields batches as bytes arrive", () => {
   assert.equal(got, 2);
   assert.ok(parser.schema);
 });
+
+test("date64 decodes with the MILLISECOND schema default", () => {
+  // Schema.fbs Date.unit default = MILLISECOND: a date64 writer omits
+  // the field, so a DAY default mis-decoded every date64 column
+  const t = tableFromIPC(readFileSync(join(FIX, "dates.arrows")));
+  const rows = rowsFromTable(t);
+  assert.equal(rows[1].d64.getTime(), 86_400_000);
+  assert.equal(rows[1].d32.getTime(), 86_400_000);
+});

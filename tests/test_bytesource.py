@@ -267,7 +267,7 @@ def test_remote_glob_matches_local_glob_semantics(tmp_path):
     patterns = [
         "data/*.parquet", "data/**/*.parquet", "**/*.parquet",
         "data/?.parquet", "data/[ab].parquet", "*/*.parquet",
-        "data/sub/*.parquet",
+        "data/sub/*.parquet", "data/[!a].parquet",
     ]
     root = str(tmp_path)
     for pat in patterns:

@@ -312,3 +312,24 @@ def test_dataset_statistics_recomputes_after_rewrite(spark, tmp_path):
     rows = {r.column_name: (r.min_value, r.max_value)
             for r in dataset_statistics_df(spark, eng, "d.parquet").collect()}
     assert rows["x"] == ("100", "200")
+
+
+def test_decimal_columns_keep_numeric_stats(tmp_path):
+    """r10 review: the string-stats fix over-rejected decimal.Decimal
+    (parquet DECIMAL stats) — decimals are genuinely numeric and must
+    keep their pruning interval."""
+    from decimal import Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beacon_spark.stats import analyze_files, prune_files
+
+    root = str(tmp_path)
+    f = f"{root}/dec.parquet"
+    pq.write_table(pa.table({"p": pa.array(
+        [Decimal("10.50"), Decimal("20.25")], pa.decimal128(10, 2))}), f)
+    analyze_files(root)
+    # disjoint range prunes; overlapping range keeps
+    assert prune_files(root, [f], {"p": (100.0, None)}) == []
+    assert prune_files(root, [f], {"p": (15.0, None)}) == [f]
