@@ -382,6 +382,13 @@ def compile_query(engine, body: dict[str, Any]) -> DataFrame:
     matching the reference exactly (filters see the projected schema).
     """
     select = body.get("select", body.get("query_parameters"))
+    if not select and isinstance(body.get("distinct"), dict):
+        # the reference's builder emits `select: []` alongside a
+        # distinct clause (the projection lives in distinct.select,
+        # defaulting to distinct.on) — an empty top-level select is
+        # legal in that shape
+        d = body["distinct"]
+        select = d.get("select") or d.get("on") or []
     if not select:
         raise DslError("query body needs a non-empty select")
 

@@ -719,8 +719,11 @@ class BeaconHttpServer:
                         sink.seek(0)
                         sink.truncate()
                 chunk(sink.getvalue())
-                self.wfile.write(b"0\r\n\r\n")
+                # record BEFORE the terminating chunk: a client that
+                # fetches /api/query/metrics/{id} the instant the body
+                # ends raced the (post-EOF) record and got a 404
                 outer._record(qid, df, rows, t0, getattr(self, '_qtext', None), getattr(self, '_ident', None))
+                self.wfile.write(b"0\r\n\r\n")
 
             def _send_file(self, path: str, ctype: str,
                            extra: dict | None = None) -> None:

@@ -104,3 +104,28 @@ test("parseQuery validates without executing", { skip }, async () => {
 test("admin check with credentials", { skip }, async () => {
   await client().admin.check();
 });
+
+test("per-route metadata coverage: schemas, metrics, explain", { skip }, async () => {
+  const c = client();
+  // table schema of a registered name needs one; use a dataset instead
+  const ds = await c.datasetSchema("lineitem.parquet");
+  assert.ok(ds && typeof ds === "object");
+  // explain without executing
+  const plan = await c.explainQuery("SELECT 1 AS n");
+  assert.ok(plan !== undefined);
+  // metrics round-trip: run a query, fetch its recorded metrics by id
+  const { queryId } = await c.query("SELECT 42 AS v");
+  assert.ok(queryId);
+  const m = await c.queryMetrics(queryId);
+  assert.equal(m.query_id, queryId);
+});
+
+test("builder distinct + output build shapes", { skip }, async () => {
+  const pq = process.env.BEACON_PARQUET;
+  const rows = await client()
+    .from({ parquet: { paths: [pq] } })
+    .distinct(["l_returnflag"])
+    .toArray();
+  assert.ok(rows.length >= 1 && rows.length <= 3);
+  for (const r of rows) assert.ok(typeof r.l_returnflag === "string");
+});
