@@ -119,19 +119,33 @@ def super_type(a: T.DataType, b: T.DataType) -> T.DataType:
 def super_schema(schemas: list[T.StructType]) -> T.StructType:
     """Field-name union of schemas, types widened, all fields nullable.
 
-    Field order: first-seen order across the input schemas (order-independent
-    in the *type* result, mirroring super_typing.rs:543's property test).
-    """
+    Field order: first-seen order across the input schemas. The TYPE
+    result is order-independent (mirroring super_typing.rs:543's
+    property test): each column's distinct types fold in a CANONICAL
+    order, not listing order — the lattice is partial, so a raw
+    left-to-right fold made both the widened type and whether the
+    merge errors at all depend on which file the lister happened to
+    return first (``[boolean, binary, string]`` errored at
+    boolean⊔binary while ``[binary, string, boolean]`` reached string
+    — caught by tests/test_schema_property.py)."""
     order: list[str] = []
-    merged: dict[str, T.DataType] = {}
+    merged: dict[str, list[T.DataType]] = {}
     for schema in schemas:
         for field in schema.fields:
             if field.name not in merged:
                 order.append(field.name)
-                merged[field.name] = field.dataType
-            else:
-                merged[field.name] = super_type(merged[field.name], field.dataType)
-    return T.StructType([T.StructField(n, merged[n], True) for n in order])
+                merged[field.name] = [field.dataType]
+            elif field.dataType not in merged[field.name]:
+                merged[field.name].append(field.dataType)
+
+    def join_all(types: list[T.DataType]) -> T.DataType:
+        out, *rest = sorted(types, key=lambda t: t.simpleString())
+        for t in rest:
+            out = super_type(out, t)
+        return out
+
+    return T.StructType(
+        [T.StructField(n, join_all(merged[n]), True) for n in order])
 
 
 def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
