@@ -870,9 +870,10 @@ def _q_text_quality(spark, sf_dir):
 
 
 def _stop_hits_sql(col: str, words: list[str]) -> str:
-    # word-boundary regex counts, mirroring pipeline/text.py exactly
+    # word-boundary case-insensitive regex counts, mirroring
+    # pipeline/text.py exactly
     parts = [
-        f"len(regexp_extract_all({col}, '\\b{w}\\b'))"
+        f"len(regexp_extract_all({col}, '(?i)\\b{w}\\b'))"
         for w in words
     ]
     return "(" + " + ".join(parts) + ")"

@@ -73,6 +73,10 @@ def ann_build(
         }
     elif method == "lsh":
         sample = df.select(vec_col).first()
+        if sample is None or sample[0] is None:
+            raise ValueError(
+                f"no vectors in column {vec_col!r} (empty corpus cannot "
+                "build an LSH index)")
         dim = len(sample[0])
         planes = _hyperplanes(dim, n_planes, seed)
         cell = assign_buckets(df, planes, vec_col)

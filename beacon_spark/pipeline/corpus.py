@@ -204,8 +204,11 @@ def decontaminate(
         .distinct()
     )
     if mode == "flag":
+        # NO forced broadcast (same reasoning as the remove branch
+        # below): the contaminated-id set is unbounded, and flag mode
+        # broadcast exactly the frame remove mode refuses to
         return train.select(id_col).distinct().join(
-            F.broadcast(contaminated.withColumn("__f", F.lit(True))),
+            contaminated.withColumn("__f", F.lit(True)),
             F.col(id_col) == F.col("__cid"),
             "left",
         ).select(

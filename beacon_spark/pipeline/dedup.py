@@ -91,7 +91,11 @@ def ngram_jaccard_pairs(
     t = _ensure_parallelism(_min_words_filter(df, text_col, n)).select(
         F.col(id_col).alias("__id"), shingles_expr(text_col, n).alias("__sh")
     )
-    e = t.select("__id", F.explode("__sh").alias("__s"))
+    # cached: the explode (the dominant cost per this docstring) feeds
+    # the hot-shingle aggregate, BOTH sides of the self-join, and the
+    # sizes aggregate — uncached it re-runs split+distinct+explode up
+    # to 4× over the corpus (release_caches(result) frees it)
+    e = t.select("__id", F.explode("__sh").alias("__s")).cache()
     if max_shingle_df is not None:
         hot = (
             e.groupBy("__s")
@@ -111,7 +115,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    return (
+    out = (
         pairs.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__nsh", "__na"), "id_a")
         .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__nsh", "__nb"), "id_b")
         .withColumn(
@@ -123,6 +127,8 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out._beacon_cached = (e,)  # release_caches(result) frees the explode
+    return out
 
 
 def _min_words_filter(df: DataFrame, text_col: str, n: int) -> DataFrame:
@@ -420,6 +426,16 @@ def simhash_pairs(
     candidates come from ``bands`` equi-joins (one shuffle each on a
     16-bit key), then exact hamming verification via bit_count(xor).
     """
+    if max_hamming >= bands:
+        # the pigeonhole guarantee only holds for d < bands: with
+        # max_hamming >= bands a qualifying pair can differ in one bit
+        # per chunk, share NO chunk, and silently vanish from the output
+        raise ValueError(
+            f"simhash_pairs: max_hamming ({max_hamming}) must be < bands "
+            f"({bands}) or recall silently drops; raise bands"
+        )
+    if 64 % bands:
+        raise ValueError(f"simhash_pairs: bands ({bands}) must divide 64")
     sigs = (
         _ensure_parallelism(df)
         .select(F.col(id_col).alias("__id"), simhash_expr(text_col).alias("__sig"))
@@ -840,7 +856,19 @@ def fingerprint_index_build(
                 "different arithmetic silently corrupts probe results"
             )
     fp = _fingerprint_frame(df, text_col, id_col, num_perm, bands,
-                            shingle_n, seed).cache()
+                            shingle_n, seed)
+    if mode == "append" and bs.exists(bs.join(path, "hashes")):
+        # cross-batch id guard: dropDuplicates below only dedups WITHIN
+        # the batch — appending an id already in the index left two
+        # hashes/ rows per corpus_id, and dedup_incremental's verify
+        # join then emitted every pair twice
+        existing = df.sparkSession.read.parquet(
+            bs.spark_path(bs.join(path, "hashes"))).select("__id")
+        # localCheckpoint (eager) severs the lineage on hashes/ BEFORE
+        # the append below writes into it — a cached plan could re-read
+        # the directory mid-append on cache eviction
+        fp = fp.join(existing, "__id", "left_anti").localCheckpoint()
+    fp = fp.cache()
     (
         fp.select(
             "__bsig", "__id",
@@ -1036,6 +1064,11 @@ def semdedup(
         df.withColumn("cell", assign_cells(df, centroids, vec_col))
         .select(F.col(id_col).alias("id"),
                 F.col(vec_col).alias("__v"), "cell")
+        # cached: the assignment (a pandas UDF over every embedding) is
+        # consumed by the sizes aggregate, each mega-cell's sub-trainer,
+        # and the final applyInPandas — uncached that is 2+k full
+        # embedding-scan passes (release_caches(result) frees it)
+        .cache()
     )
 
     # mega-cell auto-split: one n_cells-row aggregate finds skewed
@@ -1115,8 +1148,10 @@ def semdedup(
             "keep": keep,
         })
 
-    return (
+    out = (
         with_cell.groupBy("cell", "__sub")
         .applyInPandas(_dedup_cell, schema=out_schema)
         .withColumnRenamed("id", id_col)
     )
+    out._beacon_cached = (with_cell,)  # release_caches(result) frees it
+    return out

@@ -68,8 +68,18 @@ def sniff_meta(payload: bytes) -> dict:
         meta["n_frames"] = 1
     elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         meta["mime"] = "audio/wav"
-        if len(payload) >= 32:
-            meta["sample_rate"] = struct.unpack("<I", payload[24:28])[0]
+        # walk the chunk list for 'fmt ' — a fixed [24:28] read assumed
+        # canonical chunk order and reported garbage sample rates for
+        # files whose first chunk is JUNK/LIST (common from editors)
+        off = 12
+        while off + 8 <= len(payload):
+            cid = payload[off:off + 4]
+            (clen,) = struct.unpack("<I", payload[off + 4:off + 8])
+            if cid == b"fmt " and off + 16 <= len(payload):
+                meta["sample_rate"] = struct.unpack(
+                    "<I", payload[off + 12:off + 16])[0]
+                break
+            off += 8 + clen + (clen & 1)  # chunks are word-aligned
     elif payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
         meta["mime"] = "image/gif"
         meta["width"], meta["height"] = struct.unpack("<HH", payload[6:10])
@@ -149,6 +159,11 @@ def resize_images(
             out = pdf.copy()
 
             def one(p):
+                if p is None:
+                    # a null asset passes through like any undecodable
+                    # payload — decode_image(None) raised TypeError
+                    # PAST the except clause and killed the whole job
+                    return None
                 try:
                     return encode_png(resize_nearest(decode_image(p), size))
                 except (DecoderUnavailable, ValueError, NotImplementedError):

@@ -199,6 +199,12 @@ def cosine_pairs_lsh(
     ~bands * n^2 / 2^planes instead of n^2 — this is the scale path; the
     brute-force theta join exists only as its tiny-N oracle."""
     sample = df.select(vec_col).first()
+    if sample is None or sample[0] is None:
+        # the IVF path raises the same way; without this the len() below
+        # failed with an undiagnosable NoneType TypeError
+        raise ValueError(
+            f"no vectors in column {vec_col!r} (empty corpus cannot "
+            "plan hyperplane buckets)")
     dim = len(sample[0])
     bands = [
         assign_buckets(
@@ -289,7 +295,11 @@ def ivf_train_centroids(
     rng = np.random.RandomState(seed)
     cent = sample[rng.choice(len(sample), size=n_cells, replace=False)]
     for _ in range(iters):
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # ||s-c||^2 = ||s||^2 - 2 s·c + ||c||^2; for the ARGMIN over c
+        # the ||s||^2 term is constant per row, so one (n × k) BLAS
+        # matmul suffices — the broadcasted (n, k, d) difference tensor
+        # was ~100 GB at 4096×4096×768 float64
+        d = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sample @ cent.T)
         assign = d.argmin(axis=1)
         for c in range(n_cells):
             members = sample[assign == c]

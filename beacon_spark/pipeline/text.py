@@ -43,8 +43,10 @@ def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     # word-boundary regexp counts: the old space-split trick missed
     # markers adjacent to punctuation/newlines and shared-space repeats
     # (' the the ' counted 2 of 3), systematically deflating the ratio
+    # (?i): sentence-initial markers ('The cat…') count too — the
+    # case-sensitive pattern systematically deflated prose ratios
     stop_hits = sum(
-        F.regexp_count(t, F.lit(rf"\b{w}\b")) for w in LANG_MARKERS["en"]
+        F.regexp_count(t, F.lit(rf"(?i)\b{w}\b")) for w in LANG_MARKERS["en"]
     )
     mean_word_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
     return df.select(
@@ -64,7 +66,8 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     fully codegen'd, SQL-portable."""
     t = F.col(text_col)
     scores = {
-        lang: sum(F.regexp_count(t, F.lit(rf"\b{w}\b")) for w in words)
+        # (?i): a doc whose markers are all sentence-initial scored 0
+        lang: sum(F.regexp_count(t, F.lit(rf"(?i)\b{w}\b")) for w in words)
         for lang, words in LANG_MARKERS.items()
     }
     best = F.greatest(*scores.values())

@@ -77,10 +77,22 @@ def test_minhash_matches_exact_on_planted(docs):
 
 
 def test_simhash_planted_pair(docs):
+    # bands must exceed max_hamming for the pigeonhole guarantee —
+    # the old call (max_hamming=10, bands=4) was exactly the silent
+    # recall-loss shape simhash_pairs now refuses
     pairs = {(r.id_a, r.id_b): r.hamming for r in
-             simhash_pairs(docs, max_hamming=10).collect()}
+             simhash_pairs(docs, max_hamming=10, bands=16).collect()}
     assert pairs[(0, 1)] == 0
     assert (0, 2) in pairs
+
+
+def test_simhash_refuses_recall_losing_banding(docs):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be < bands"):
+        simhash_pairs(docs, max_hamming=4, bands=4)
+    with _pytest.raises(ValueError, match="divide 64"):
+        simhash_pairs(docs, max_hamming=2, bands=5)
 
 
 @pytest.fixture(scope="module")
@@ -892,3 +904,57 @@ def test_semdedup_mega_cell_auto_split(spark, caplog):
     ).collect()
     assert {(r.vec_id, r.keep) for r in out2} == {
         (r.vec_id, r.keep) for r in out}
+
+
+def test_resize_images_null_asset_passes_through(spark):
+    """r10 pipeline review: a NULL asset killed the whole job
+    (decode_image(None) TypeError escaped the except clause)."""
+    from beacon_spark.pipeline.multimodal import resize_images
+    from beacon_spark.pipeline.pnglite import encode_png
+
+    import numpy as np
+
+    img = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [("a", bytearray(img)), ("b", None)], "doc_id string, asset binary")
+    rows = {r.doc_id: r.asset for r in resize_images(df, (2, 2)).collect()}
+    assert rows["b"] is None
+    assert rows["a"] is not None and bytes(rows["a"])[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_sniff_meta_wav_noncanonical_chunk_order():
+    """r10 pipeline review: the WAV sample rate was read at a fixed
+    offset; a JUNK chunk before 'fmt ' yielded garbage."""
+    import struct
+
+    from beacon_spark.pipeline.multimodal import sniff_meta
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    junk = b"JUNK" + struct.pack("<I", 6) + b"\x00" * 6
+    body = junk + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert sniff_meta(wav)["sample_rate"] == 44100
+
+
+def test_fingerprint_index_append_same_ids_no_duplicate_pairs(spark, tmp_path):
+    """r10 pipeline review: re-appending a batch whose ids are already
+    indexed doubled every pair dedup_incremental emits."""
+    from beacon_spark.pipeline.dedup import (
+        dedup_incremental,
+        fingerprint_index_build,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3 + str(i))
+         for i in range(6)],
+        "doc_id long, text string")
+    path = str(tmp_path / "fpidx")
+    fingerprint_index_build(corpus, path)
+    # crash-retry shape: the same batch appended again
+    fingerprint_index_build(corpus, path, mode="append")
+    probe = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog " * 3 + "0")],
+        "doc_id long, text string")
+    pairs = dedup_incremental(probe, path, threshold=0.3).collect()
+    keys = [(r.new_id, r.corpus_id) for r in pairs]
+    assert len(keys) == len(set(keys)), keys
