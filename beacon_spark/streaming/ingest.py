@@ -99,6 +99,14 @@ def create_stream(engine, name: str, prefix: str, table: str,
         # load->save here raced concurrent DDL last-writer-wins
         if name in cat_doc.get("streams", {}):
             raise ValueError(f"stream {name!r} already exists")
+        if table not in cat_doc["tables"]:
+            # re-checked on the MERGED doc: a concurrent DROP TABLE
+            # between the snapshot check and this commit would
+            # otherwise mint a stream over a nonexistent table
+            raise ValueError(
+                f"stream target {table!r} is not a managed table "
+                "(streams ingest through the INSERT path; CREATE TABLE "
+                "it first)")
         cat_doc.setdefault("streams", {})[name] = entry
 
     cat._mutate(apply)
@@ -120,7 +128,10 @@ def run_stream(engine, name: str):
     schema = engine.sql(f"SELECT * FROM {table} LIMIT 0").schema
     reader = spark.readStream.format(fmt).schema(schema)
     if fmt == "csv":
-        reader = reader.option("header", "true")
+        # a stored 'header' 'false' used to be silently ignored — the
+        # first data row of every headerless file was eaten as a header
+        reader = reader.option(
+            "header", str(entry["options"].get("header", "true")).lower())
         if entry["options"].get("delimiter"):
             reader = reader.option("sep", entry["options"]["delimiter"])
     src = bs.join(engine.datasets_root, entry["prefix"])
@@ -141,25 +152,43 @@ def run_stream(engine, name: str):
                 return
             mt = engine.catalog.table(table)
             names = [f.name for f in mt.schema().fields]
-            before = mt.current_version()
-            version = mt.insert(
-                batch_df.toDF(*names[: len(batch_df.columns)]),
-                stream_marker=(entry.get("marker", name), int(batch_id)),
-            )
-            if version == before:
-                return  # replayed batch — already applied
+            marker_key = entry.get("marker", name)
+            # replay detection on the MARKER itself, not a pre-read
+            # version (a concurrent INSERT bumping the version made a
+            # replayed batch look freshly applied and over-report)
+            prev = (mt._read_manifest().get("stream_batches")
+                    or {}).get(marker_key)
+            replay = prev is not None and int(prev) >= int(batch_id)
+            if replay:
+                version = mt.current_version()
+            else:
+                version = mt.insert(
+                    batch_df.toDF(*names[: len(batch_df.columns)]),
+                    stream_marker=(marker_key, int(batch_id)),
+                )
             # mirror the engine's SQL-INSERT bookkeeping (index/stats
-            # refresh + targeted catalog invalidation)
+            # refresh + targeted catalog invalidation) — ALSO on replay:
+            # the crash-recovery run (commit landed, checkpoint didn't)
+            # is exactly the one that must heal a stale engine, and the
+            # old early-return skipped the healing.
+            # The shared marks ride the registration lock: this runs on
+            # the scheduler's daemon thread, and an unlocked set.add
+            # raced the user thread's sorted(dirty) iteration (and both
+            # threads could each mint their own _dirty_tables set,
+            # silently dropping one thread's mark).
             engine._refresh_index_stats(table)
-            try:
-                engine._noted_sig = engine.catalog.note_table_version(
-                    table, version)
-                engine._dirty_tables = getattr(
-                    engine, "_dirty_tables", set())
-                engine._dirty_tables.add(table)
-            except Exception:
-                engine._cat_sig = None
-                engine._force_full = True
+            with engine._reg_lock:
+                try:
+                    engine._noted_sig = engine.catalog.note_table_version(
+                        table, version)
+                    engine._dirty_tables = getattr(
+                        engine, "_dirty_tables", set())
+                    engine._dirty_tables.add(table)
+                except Exception:
+                    engine._cat_sig = None
+                    engine._force_full = True
+            if replay:
+                return  # already applied: bookkeeping done, no re-count
             totals["batches"] += 1
             totals["rows"] += n
         finally:

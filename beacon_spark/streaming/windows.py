@@ -14,20 +14,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def file_stream_reader(spark: SparkSession, path: str):
+def file_stream_reader(spark: SparkSession, path: str,
+                       max_files_per_trigger: int | None = None):
     """readStream over a parquet file/directory: schema from the parquet
     footer (readStream needs one explicitly; the footer tracks whatever
     physical type the fixture carries — ns-as-long under nanosAsLong,
     µs TIMESTAMP_NTZ, …). A single-file path narrows a directory stream
     with a glob filter, since file sources need a directory."""
-    import os
+    from beacon_spark.sources import bytesource as bs
 
     reader = spark.readStream.schema(
-        spark.read.parquet(path).schema).format("parquet")
-    if os.path.isfile(path):
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
-    return reader.load(path)
+        spark.read.parquet(bs.spark_path(path)).schema).format("parquet")
+    if max_files_per_trigger:
+        # bound the micro-batch: tests use 1 to exercise cross-batch
+        # state; production caps per-batch memory with it
+        reader = reader.option(
+            "maxFilesPerTrigger", str(int(max_files_per_trigger)))
+    if bs.isfile(path):
+        # byte-source helpers, not os.path: an object-store URI is never
+        # an os.path file, and Spark needs the s3:// → s3a:// mapping
+        reader = reader.option("pathGlobFilter", bs.basename(path))
+        path = bs.dirname(path)
+    return reader.load(bs.spark_path(path))
 
 
 def _ensure_timestamp(df: DataFrame, ts_col: str) -> DataFrame:
@@ -154,6 +162,7 @@ def stream_user_state(
     spark: SparkSession,
     path: str,
     query_name: str = "user_state_stream",
+    max_files_per_trigger: int | None = None,
 ):
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user running (event count, value sum, last event type), state
@@ -165,20 +174,29 @@ def stream_user_state(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "user_id bigint, n_events bigint, sum_value double, last_type string"
-    state_schema = "n bigint, total double, last string"
+    state_schema = "n bigint, total double, last string, last_us bigint"
 
     def update(key, pdfs, state: GroupState):
-        n, total, last = state.get if state.exists else (0, 0.0, None)
+        n, total, last, last_us = (
+            state.get if state.exists else (0, 0.0, None, None))
         # the group may arrive as MULTIPLE Arrow chunks (maxRecordsPerBatch);
         # sorting per chunk would take 'last' from the last CHUNK, not the
-        # latest-ts event of the batch — concat first, sort once
+        # latest-ts event of the batch — concat first, sort once (STABLE,
+        # or tied timestamps pick a nondeterministic winner)
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf):
-            pdf = pdf.sort_values("ts")
+            pdf = pdf.sort_values("ts", kind="stable")
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
-            last = pdf["event_type"].iloc[-1]
-        state.update((n, total, last))
+            # 'last' means latest EVENT TIME across the whole stream:
+            # the state carries its timestamp, so a later micro-batch
+            # of late (older-ts) events no longer overwrites it — the
+            # in-batch concat/sort defended exactly this semantics
+            batch_us = int(pd.Timestamp(pdf["ts"].iloc[-1]).value // 1000)
+            if last_us is None or batch_us >= last_us:
+                last = pdf["event_type"].iloc[-1]
+                last_us = batch_us
+        state.update((n, total, last, last_us))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -188,8 +206,10 @@ def stream_user_state(
             }
         )
 
+    src = _ensure_timestamp(
+        file_stream_reader(spark, path, max_files_per_trigger), "ts")
     stream = (
-        _ensure_timestamp(file_stream_reader(spark, path), "ts")
+        src
         .groupBy("user_id")
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout

@@ -171,3 +171,37 @@ def test_stateful_ops_handle_multi_chunk_groups(spark, tmp_path):
         assert r.first_id == 2 and r.n_dups == 4
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_user_state_late_batch_keeps_latest_event(spark, tmp_path):
+    """r10 streaming review: a later micro-batch of LATE (older-ts)
+    events overwrote 'last_type'; the state now carries the event time
+    and only a genuinely newer event replaces it. maxFilesPerTrigger=1
+    forces the two files into two micro-batches of one run (the file
+    source processes oldest-mtime first)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beacon_spark.streaming import windows as W
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "user_id": [42], "ts": pa.array([10_000_000], pa.timestamp("us")),
+        "value": [1.0], "event_type": ["purchase"],
+    }), str(d / "b1.parquet"))
+    time.sleep(1.1)  # distinct mtimes order the micro-batches
+    pq.write_table(pa.table({
+        "user_id": [42], "ts": pa.array([5_000_000], pa.timestamp("us")),
+        "value": [2.0], "event_type": ["view"],
+    }), str(d / "b2.parquet"))
+    q = W.stream_user_state(spark, str(d), query_name="u_late",
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    rows = spark.table("u_late").collect()
+    final = {r.n_events: r for r in rows}
+    assert 2 in final, rows  # two micro-batches reached the state
+    assert final[2].last_type == "purchase"
+    assert final[2].sum_value == 3.0
