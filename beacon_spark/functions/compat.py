@@ -83,7 +83,13 @@ _SQL_UDFS = [
            s STRING, d STRING, n STRING DEFAULT NULL)
        RETURNS ARRAY<STRING>
        RETURN transform(
-           split(s, concat('\\\\Q', d, '\\\\E')),
+           CASE
+             -- Postgres: NULL delimiter splits into single characters,
+             -- empty delimiter returns the whole string as one element
+             WHEN d IS NULL THEN split(s, '')
+             WHEN d = '' THEN array(s)
+             ELSE split(s, concat('\\\\Q', d, '\\\\E'))
+           END,
            x -> CASE WHEN n IS NOT NULL AND x = n THEN NULL ELSE x END)""",
     # spark typeof() names -> Arrow names, for the arrow_typeof macro
     """CREATE OR REPLACE TEMPORARY FUNCTION __arrow_typename(t STRING)
@@ -189,9 +195,16 @@ def _df_to_char(value, fmt=None):
     if value is None or fmt is None:
         return None
     f = str(fmt)
+    # protect literal %% BEFORE the %f substitution: '%%f' means a
+    # literal '%f', and naive replace minted an invalid directive that
+    # made strftime silently return ''
+    f = f.replace("%%", "\x00")
     if isinstance(value, (_dt.datetime, _dt.time)):
         nanos = f"{value.microsecond * 1000:09d}"
-        f = f.replace("%.f", "." + nanos).replace("%f", nanos)
+    else:
+        nanos = "0" * 9  # chrono renders 9-digit nanos for dates too
+    f = f.replace("%.f", "." + nanos).replace("%f", nanos)
+    f = f.replace("\x00", "%%")
     if isinstance(value, (_dt.datetime, _dt.date, _dt.time)):
         return value.strftime(f)
     raise ValueError(

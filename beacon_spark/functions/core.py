@@ -106,7 +106,11 @@ def register_functions(spark: SparkSession) -> None:
     spark.udf.register("st_geojson_as_wkt", geo.st_geojson_as_wkt_udf())
     spark.udf.register("st_within_point", geo.st_within_point_udf())
     spark.udf.register(
-        "cast_int8_as_char", lambda c: None if c is None else chr(c), T.StringType()
+        "cast_int8_as_char",
+        # match F.char: out-of-range codes give '' — chr(-1) raised and
+        # killed the query on any negative byte
+        lambda c: None if c is None else (chr(c) if 0 <= c <= 0x10FFFF else ""),
+        T.StringType()
     )
     spark.udf.register(
         "beacon_version",

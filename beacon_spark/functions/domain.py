@@ -162,7 +162,10 @@ def register_domain_functions(spark: SparkSession) -> None:
         "map_units",
         lambda u, t, v: (
             None
-            if v is None
+            # NULL unit/target gives NULL like the Column builder's
+            # F.when(u == t, ...) — Python's None == None made
+            # map_units(NULL, NULL, v) answer v through SQL only
+            if v is None or u is None or t is None
             else (
                 float(v)
                 if u == t

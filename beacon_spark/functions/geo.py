@@ -67,9 +67,18 @@ def geojson_to_wkt(geojson: str | dict) -> str:
 _NUM = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
 
 
+_NUM_RE = re.compile(_NUM)
+
+
 def _parse_ring(text: str) -> np.ndarray:
-    pts = re.findall(rf"({_NUM})\s+({_NUM})", text)
-    return np.array(pts, dtype=np.float64)
+    # first two numbers per comma-separated point (Z/M-safe — pairing
+    # the flat list minted phantom vertices at the z/m values)
+    pts = [
+        (float(ns[0]), float(ns[1]))
+        for part in text.split(",")
+        if len(ns := _NUM_RE.findall(part)) >= 2
+    ]
+    return np.array(pts, dtype=np.float64).reshape(-1, 2)
 
 
 def parse_wkt_polygons(wkt: str) -> list[list[np.ndarray]]:
@@ -215,9 +224,13 @@ def st_within_point_udf():
         lo = pd.to_numeric(lon, errors="coerce").to_numpy(dtype=np.float64, na_value=np.nan)
         la = pd.to_numeric(lat, errors="coerce").to_numpy(dtype=np.float64, na_value=np.nan)
         if wkt.nunique(dropna=False) == 1:
+            # a NULL geometry contains nothing — the constant path used
+            # to hand None to the parser and crash the whole query
+            if w is None:
+                return pd.Series(np.zeros(len(wkt), dtype=bool))
             return pd.Series(st_within_point_py(w, lo, la))
         out = np.zeros(len(wkt), dtype=bool)
-        for g, idx in wkt.groupby(wkt).groups.items():
+        for g, idx in wkt.dropna().groupby(wkt).groups.items():
             ii = np.asarray(idx)
             out[ii] = st_within_point_py(g, lo[ii], la[ii])
         return pd.Series(out)
@@ -267,6 +280,15 @@ def wkb_to_wkt(buf: bytes) -> str:
         name = _WKB_NAMES.get(base)
         if name is None:
             raise ValueError(f"unsupported WKB geometry code {code}")
+        # carry the dimensionality designator: emitting Z/M values
+        # inline WITHOUT it made every downstream parse see phantom
+        # 2-D vertices at the (z, m) coordinates
+        if flags == 1:
+            name += " Z"
+        elif flags == 2:
+            name += " M"
+        elif flags == 3:
+            name += " ZM"
 
         def coords(o: int) -> tuple[str, int]:
             vals = struct.unpack_from(bo + f"{ndim}d", buf, o)
@@ -302,8 +324,10 @@ def wkb_to_wkt(buf: bytes) -> str:
         for _ in range(n):
             child, off = parse(off)
             if base in (4, 5, 6):
-                # strip child's "TYPE " prefix per WKT multi syntax
-                parts.append(child.split(" ", 1)[1])
+                # strip the child's "TYPE [ZM ]" prefix per WKT multi
+                # syntax (the parent already carries the designator)
+                parts.append(re.sub(
+                    r"^[A-Z]+\s+(?:ZM\s+|Z\s+|M\s+)?", "", child, count=1))
             else:
                 parts.append(child)
         return f"{name} ({', '.join(parts)})", off

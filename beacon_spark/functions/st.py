@@ -113,8 +113,19 @@ def _close(r: np.ndarray) -> np.ndarray:
     return r
 
 
+_NUM_RE = re.compile(_NUM)
+
+
 def _coords(text: str) -> np.ndarray:
-    return np.array(_COORD_RE.findall(text), dtype=np.float64).reshape(-1, 2)
+    """Comma-separated point list → (n, 2) XY. Each point contributes
+    its FIRST TWO numbers: pairing the flat number list turned every
+    Z/M/ZM point into phantom 2-D vertices at the (z, m) values."""
+    pts = []
+    for part in text.split(","):
+        nums = _NUM_RE.findall(part)
+        if len(nums) >= 2:
+            pts.append((float(nums[0]), float(nums[1])))
+    return np.array(pts, dtype=np.float64).reshape(-1, 2)
 
 
 def _split_groups(body: str) -> list[str]:
@@ -138,7 +149,7 @@ def _inner(s: str) -> str:
 
 def parse_wkt(wkt: str) -> Geom:
     s = wkt.strip()
-    m = re.match(r"([A-Za-z]+)\s*(Z|M|ZM)?\s*(.*)", s, re.S)
+    m = re.match(r"([A-Za-z]+)\s*(ZM|Z|M)?\s*(.*)", s, re.S)
     if not m:
         raise ValueError(f"bad WKT: {wkt[:40]!r}")
     kind = m.group(1).upper()
@@ -270,6 +281,40 @@ def geom_centroid(g: Geom) -> tuple[float, float]:
             sw += float(w.sum())
         if sw > 0:
             return (sx / sw, sy / sw)
+    if g.geoms:
+        # PostGIS: a collection's centroid comes from its HIGHEST-
+        # dimension components only, weighted by area/length/count —
+        # the unweighted all-vertex mean below put two unequal
+        # polygons' centroid far from the area-weighted one
+        def _dim(c: Geom) -> int:
+            if c.polys:
+                return 2
+            if c.lines:
+                return 1
+            if c.pts is not None and len(c.pts):
+                return 0
+            if c.geoms:
+                return max((_dim(x) for x in c.geoms), default=-1)
+            return -1
+
+        top = max((_dim(c) for c in g.geoms), default=-1)
+        if top >= 0:
+            sx = sy = sw = 0.0
+            for c in g.geoms:
+                if _dim(c) != top:
+                    continue
+                cx, cy = geom_centroid(c)
+                if math.isnan(cx):
+                    continue
+                w = (geom_area(c) if top == 2
+                     else geom_length(c) if top == 1
+                     else float(len(c.pts)))
+                if w > 0:
+                    sx += cx * w
+                    sy += cy * w
+                    sw += w
+            if sw > 0:
+                return (sx / sw, sy / sw)
     c = g.all_coords()
     if len(c):
         return (float(c[:, 0].mean()), float(c[:, 1].mean()))
@@ -434,15 +479,31 @@ def geom_contains(a: Geom, b: Geom) -> bool:
         if _segs_cross_properly(sa, b.segments()):
             return False
         return True
-    if a.lines and b.pts is not None and len(b.pts):
-        # line container, point members: every point ON some segment
+    if a.lines:
+        # line container: every vertex of b on a's segments, plus b's
+        # segment MIDPOINTS (a chord between two points on different
+        # parts of a polyline is not contained — the vertex test alone
+        # called any line-in-line containment false before)
         sa = a.segments()
-        return all(_on_any_segment(sa, p[0], p[1]) for p in b.pts)
+        if not all(_on_any_segment(sa, p[0], p[1]) for p in bc):
+            return False
+        sb = b.segments()
+        mids = ((sb[:, 0] + sb[:, 2]) / 2, (sb[:, 1] + sb[:, 3]) / 2)
+        return all(
+            _on_any_segment(sa, mids[0][i], mids[1][i])
+            for i in range(len(sb))
+        )
     if a.pts is not None and b.pts is not None and len(b.pts):
         return all(
             any(float(q[0]) == float(p[0]) and float(q[1]) == float(p[1]) for q in a.pts)
             for p in b.pts
         )
+    if a.geoms:
+        # collection container (approximation, documented): b is
+        # contained when SOME child contains it whole — a b straddling
+        # two touching children reports false negative; previously any
+        # collection container was unconditionally false
+        return any(geom_contains(c, b) for c in a.geoms)
     return False
 
 

@@ -105,7 +105,7 @@ def test_wkb_to_wkt_shapes():
     )
     # Z-flagged point (ISO code 1001)
     ptz = b"\x01\xe9\x03\x00\x00" + struct.pack("<3d", 1, 2, 3)
-    assert wkb_to_wkt(ptz) == "POINT (1 2 3)"
+    assert wkb_to_wkt(ptz) == "POINT Z (1 2 3)"
 
 
 def test_geoparquet_roundtrip(spark, tmp_path):

@@ -300,3 +300,69 @@ def test_st_x_null_on_non_point(spark):
         "st_y('LINESTRING (0 0, 2 2)') AS ly, st_x('POINT (3.5 4)') AS px"
     ).collect()[0]
     assert r.mx is None and r.ly is None and r.px == 3.5
+
+
+# r10 functions-review regression pins
+
+
+def test_line_contains_line_and_chord_rejected():
+    a = parse_wkt("LINESTRING (0 0, 10 0)")
+    assert geom_contains(a, parse_wkt("LINESTRING (1 0, 2 0)"))
+    bent = parse_wkt("LINESTRING (0 0, 5 5, 10 0)")
+    # a chord between two on-line points is NOT contained
+    assert not geom_contains(bent, parse_wkt("LINESTRING (0 0, 10 0)"))
+
+
+def test_collection_container_contains():
+    gc = parse_wkt(
+        "GEOMETRYCOLLECTION (POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0)))")
+    assert geom_contains(gc, parse_wkt("POINT (5 5)"))
+    assert not geom_contains(gc, parse_wkt("POINT (50 5)"))
+
+
+def test_zm_coordinates_no_phantom_vertices():
+    import numpy as np
+
+    g = parse_wkt("POINT ZM (1 2 3 4)")
+    np.testing.assert_array_equal(g.pts, [[1.0, 2.0]])
+    g = parse_wkt("LINESTRING Z (1 2 9, 4 5 9)")
+    np.testing.assert_array_equal(g.lines[0], [[1.0, 2.0], [4.0, 5.0]])
+
+
+def test_zm_wkb_roundtrip_designator():
+    import struct
+
+    from beacon_spark.functions.geo import wkb_to_wkt
+
+    wkb = struct.pack("<BI4d", 1, 3001, 1.0, 2.0, 3.0, 4.0)  # ZM point
+    w = wkb_to_wkt(wkb)
+    assert w.startswith("POINT ZM")
+    assert parse_wkt(w).pts.tolist() == [[1.0, 2.0]]
+
+
+def test_collection_centroid_area_weighted():
+    from beacon_spark.functions.st import geom_centroid
+
+    gc = parse_wkt(
+        "GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), "
+        "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10)))")
+    cx, cy = geom_centroid(gc)
+    # areas 4 and 1 -> (4*1 + 1*10.5)/5 = 2.9
+    assert abs(cx - 2.9) < 1e-9 and abs(cy - 2.9) < 1e-9
+
+
+def test_st_within_point_null_geometry(spark):
+    from beacon_spark.functions.core import register_functions
+
+    register_functions(spark)
+    r = spark.sql(
+        "SELECT st_within_point(CAST(NULL AS STRING), 1.0, 2.0) AS a, "
+        "cast_int8_as_char(CAST(-1 AS TINYINT)) AS c, "
+        "map_units(CAST(NULL AS STRING), CAST(NULL AS STRING), 5.0) AS m, "
+        "to_char(TIMESTAMP '2020-01-02 03:04:05', '%Y %%f') AS f, "
+        "string_to_array('abc', CAST(NULL AS STRING)) AS s1, "
+        "string_to_array('abc', '') AS s2"
+    ).collect()[0]
+    assert r.a is False and r.c == "" and r.m is None
+    assert r.f == "2020 %f"
+    assert r.s1 == ["a", "b", "c"] and r.s2 == ["abc"]
