@@ -742,6 +742,20 @@ def spark_uri_form(path: str) -> str:
     return path
 
 
+def spark_file_uri(path: str) -> str:
+    """Path → the URI form Spark reports in ``_metadata.file_path``
+    (Hadoop Path.toString): local paths get the single-slash ``file:``
+    scheme + abspath; object-store URIs take the SPARK textual form
+    (s3:// → s3a://, no network). The ONE normalization both the Delta
+    DV keys and the Iceberg delete keys ride — two hand-rolled copies
+    had already drifted once."""
+    import re as _re
+
+    if is_uri(path) and not path.startswith("file:"):
+        return spark_uri_form(path)
+    return "file:" + os.path.abspath(_re.sub(r"^file:/*", "/", path))
+
+
 def spark_paths(paths: list[str]) -> list[str]:
     return [spark_path(p) for p in paths]
 

@@ -121,10 +121,21 @@ def _read_checkpoint(snap: _Snapshot, path: str) -> None:
     """A checkpoint parquet is the flattened action list at its version —
     one row per action, struct columns add/remove/metaData/protocol."""
     p, fs = _bs.dataset_source(path)
-    tbl = pq.read_table(p, filesystem=fs)
+    f = pq.ParquetFile(p if fs is None else fs.open_input_file(p))
+    # project the action columns only: checkpoints carry per-file stats
+    # JSON this pass never reads, and to_pylist of the full table built
+    # gigabytes of dead Python objects on large tables.
+    # NOTE: checkpoint `remove` entries are VACUUM tombstones, NOT
+    # logical removes — the checkpoint's add set IS the live file set.
+    # Applying them popped a live remove-then-re-added file (the
+    # standard DV DELETE pattern) whenever the tombstone row followed
+    # the add row, silently dropping every row of that file.
+    want = [c for c in ("protocol", "metaData", "add")
+            if c in f.schema_arrow.names]
+    tbl = f.read(columns=want)
     cols = set(tbl.column_names)
     for row in tbl.to_pylist():
-        for key in ("protocol", "metaData", "add", "remove"):
+        for key in ("protocol", "metaData", "add"):
             if key in cols and row.get(key) is not None:
                 action = {
                     k: _unmap(v) for k, v in row[key].items()
@@ -342,7 +353,7 @@ def read_delta(
         key = tuple(
             pvals.get(phys_of.get(c, c), pvals.get(c)) for c in part_cols
         )
-        groups.setdefault(key, []).append(_bs.join(location, _unquote(path)))
+        groups.setdefault(key, []).append(_resolve_add(location, path))
 
     types = {f.name: f.dataType for f in snap.schema.fields}
     out_cols = [f.name for f in snap.schema.fields]
@@ -401,7 +412,7 @@ def read_delta(
             # metadata-sized DVs: expand on the driver, broadcast an
             # anti-join — pure JVM, no Python in the scan
             deleted = [
-                (_file_uri(_bs.join(location, _unquote(path))), int(idx))
+                (_file_uri(_resolve_add(location, path)), int(idx))
                 for path, desc in snap.dvs.items()
                 for idx in decode_dv_descriptor(desc, location)
             ]
@@ -423,7 +434,7 @@ def read_delta(
             import pandas as pd
 
             blobs = {
-                _file_uri(_bs.join(location, _unquote(path))):
+                _file_uri(_resolve_add(location, path)):
                     read_dv_blob(desc, location)
                 for path, desc in snap.dvs.items()
             }
@@ -479,9 +490,22 @@ def _file_uri(path: str) -> str:
     object-store URIs take the SPARK form (s3:// → s3a://) because that
     is the scheme the JVM scan saw — the raw form would silently break
     the DV anti-join keys."""
-    if _bs.is_uri(path) and not path.startswith("file:"):
-        return _bs.spark_uri_form(path)  # textual for s3 — NO network
-    return "file:" + os.path.abspath(re.sub(r"^file:/*", "/", path))
+    return _bs.spark_file_uri(path)
+
+
+def _resolve_add(location: str, path: str) -> str:
+    """``add.path`` → absolute path/URI: percent-decoded; ABSOLUTE
+    entries (shallow clones, external-location files — legal per the
+    protocol) pass through verbatim (joining them under the table root
+    minted garbage like 's3://b/t/s3://other/f'); relative entries join
+    under the table root and local results ABSOLUTIZE so the JVM (which
+    resolves against ITS OWN cwd, not Python's) and the DV keys agree —
+    the desync iceberg.py had already fixed for itself."""
+    rel = _unquote(path)
+    if _bs.is_uri(rel) or os.path.isabs(rel):
+        return rel
+    full = _bs.join(location, rel)
+    return full if _bs.is_uri(full) else os.path.abspath(full)
 
 
 def _unquote(rel: str) -> str:
@@ -668,7 +692,7 @@ def delta_delete_rows(location: str, deletes: dict[str, list[int]]) -> int:
                     "path": rel,
                     "partitionValues": snap.adds[rel],
                     "size": os.path.getsize(
-                        os.path.join(location, _unquote(rel))),
+                        _bs.local_path(_resolve_add(location, rel))),
                     "modificationTime": now,
                     "dataChange": True,
                     "deletionVector": desc,

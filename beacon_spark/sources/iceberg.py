@@ -189,6 +189,10 @@ def _snapshot_files(
     data_seq <= del_seq; equality deletes to data_seq < del_seq)."""
     snaps = md.get("snapshots", [])
     if not snaps:
+        if snapshot_id is not None:
+            # a typo'd snapshot on an empty table must not masquerade
+            # as a legitimate 0-row result
+            raise ValueError(f"snapshot {snapshot_id} not found")
         return [], [], []
     if snapshot_id is None:
         snapshot_id = md.get("current-snapshot-id")
@@ -277,15 +281,9 @@ def read_iceberg(
         # normalize to "file:<abs>" (Hadoop Path.toString) so driver-side
         # manifest paths, delete-file path values, and _metadata.file_path
         # compare equal for local files; real URIs pass through unchanged
-        def _fp_key(p: str) -> str:
-            if _bs.is_uri(p) and not p.startswith("file:"):
-                # textual scheme mapping — a key normalization must not
-                # resolve the bucket over the network
-                return _bs.spark_uri_form(p)
-            # absolutize: a relative table location must still produce
-            # the abs URI Spark reports in _metadata.file_path, or the
-            # seq/delete joins silently never match (= deletes ignored)
-            return "file:" + os.path.abspath(re.sub(r"^file:/*", "/", p))
+        # the ONE Hadoop-Path normalization, shared with the Delta DV
+        # keys (two hand-rolled copies had already drifted once)
+        _fp_key = _bs.spark_file_uri
 
         # metadata-sized (one row per data file): data sequence numbers
         # ride a broadcast join, never a shuffle of the data
@@ -308,19 +306,23 @@ def read_iceberg(
             # same normalization as _fp_key: real URIs pass through,
             # local paths become "file:<abs>"
             fp = F.col("file_path")
-            if not _bs.is_uri(location):
-                loc_abs = os.path.abspath(location).rstrip("/")
-                marker = "/" + os.path.basename(loc_abs) + "/"
-                mk = marker.replace("\\", "\\\\").replace("'", "\\'")
-                fp = F.when(
-                    F.expr(f"locate('{mk}', file_path)") > 0,
-                    F.concat(
-                        F.lit(loc_abs + "/"),
-                        F.expr(
-                            f"substring(file_path, locate('{mk}', "
-                            f"file_path) + {len(marker)})"),
-                    ),
-                ).otherwise(fp)
+            # re-root for URI locations TOO: a table relocated to an
+            # object store recorded file:/old/... paths the old
+            # local-only branch never re-rooted — its deletes then
+            # silently applied to zero rows
+            loc_abs = (location.rstrip("/") if _bs.is_uri(location)
+                       else os.path.abspath(location).rstrip("/"))
+            marker = "/" + loc_abs.rstrip("/").split("/")[-1] + "/"
+            mk = marker.replace("\\", "\\\\").replace("'", "\\'")
+            fp = F.when(
+                F.expr(f"locate('{mk}', file_path)") > 0,
+                F.concat(
+                    F.lit(loc_abs + "/"),
+                    F.expr(
+                        f"substring(file_path, locate('{mk}', "
+                        f"file_path) + {len(marker)})"),
+                ),
+            ).otherwise(fp)
             norm_fp = F.when(
                 fp.rlike("^[a-z0-9+.-]+://") & ~fp.startswith("file:"),
                 fp,
@@ -344,8 +346,26 @@ def read_iceberg(
                 & (df["__data_seq"] <= dels["__del_seq"]),
                 "left_anti",
             )
+        def _field_ids(fields, prefix=""):
+            out = {}
+            for fld in fields:
+                nm = prefix + fld["name"]
+                out[fld["id"]] = nm
+                t = fld.get("type")
+                if isinstance(t, dict) and t.get("type") == "struct":
+                    out.update(_field_ids(t["fields"], nm + "."))
+            return out
+
+        id_to_name = _field_ids(ice_schema["fields"])  # loop-invariant
         for path, eq_ids, dseq in eq_deletes:
-            id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
+            missing = [i for i in (eq_ids or []) if i not in id_to_name]
+            if missing:
+                # an equality delete against a since-dropped column used
+                # to die with a bare KeyError
+                raise ValueError(
+                    f"{location}: equality delete {path} references field "
+                    f"ids {missing} absent from the current schema "
+                    f"(dropped column?) — unsupported")
             cols = [id_to_name[i] for i in eq_ids] if eq_ids else None
             dels = spark.read.parquet(_bs.spark_path(
                 path if _bs.is_uri(path) else os.path.abspath(path)))

@@ -583,3 +583,60 @@ def test_read_delta_sql_time_travel_args(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no Delta version existed"):
         eng.sql("SELECT * FROM read_delta('t', '1990-01-01T00:00:00Z')")
+
+
+def test_checkpoint_remove_tombstones_do_not_drop_live_files(spark, delta_dir):
+    """r10 delta review (silent row loss): checkpoint `remove` entries
+    are VACUUM tombstones — applying them as logical removes dropped a
+    live remove-then-re-added file whenever the tombstone row followed
+    the add row in the checkpoint parquet (the standard DV DELETE
+    commit shape)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beacon_spark.sources.delta import _snapshot
+
+    df = spark.range(10).select(F.col("id"))
+    write_delta(df, delta_dir)
+    snap = _snapshot(delta_dir)
+    log = os.path.join(delta_dir, "_delta_log")
+    rows = _checkpoint_rows(snap)
+    live = list(snap.adds)[0]
+    # retained tombstone for a LIVE path, AFTER its add row
+    mss = pa.map_(pa.string(), pa.string())
+    cp_schema = pa.schema(list(_checkpoint_table(
+        _checkpoint_rows(snap)).schema) + [
+        pa.field("remove", pa.struct([
+            pa.field("path", pa.string()),
+            pa.field("deletionTimestamp", pa.int64()),
+            pa.field("dataChange", pa.bool_())])),
+    ])
+    tbl_rows = [dict(r, remove=None) for r in rows] + [{
+        "protocol": None, "metaData": None, "add": None,
+        "remove": {"path": live, "deletionTimestamp": 0,
+                   "dataChange": False},
+    }]
+    base = _checkpoint_table([
+        {k: v for k, v in r.items() if k != "remove"} for r in tbl_rows
+    ])
+    rem = pa.array([r["remove"] for r in tbl_rows], cp_schema.field("remove").type)
+    cp = base.append_column(cp_schema.field("remove"), rem)
+    v = snap.version
+    pq.write_table(cp, os.path.join(log, f"{v:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": v, "size": cp.num_rows}, f)
+    for fn in list(os.listdir(log)):
+        if fn.endswith(".json") and not fn.startswith("_"):
+            os.remove(os.path.join(log, fn))
+    assert read_delta(spark, delta_dir).count() == 10  # no rows lost
+
+
+def test_absolute_add_path_used_verbatim(spark, delta_dir, tmp_path):
+    """r10 delta review: absolute add.path entries (shallow clones) were
+    joined under the table root, minting garbage paths."""
+    from beacon_spark.sources.delta import _resolve_add
+
+    assert _resolve_add("/lake/t", "part-0.parquet") == "/lake/t/part-0.parquet"
+    assert _resolve_add("/lake/t", "s3://other/f.parquet") == "s3://other/f.parquet"
+    assert _resolve_add("s3://b/t", "/abs/f.parquet") == "/abs/f.parquet"
+    assert _resolve_add("s3://b/t", "part-0.parquet") == "s3://b/t/part-0.parquet"
