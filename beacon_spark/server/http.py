@@ -167,7 +167,10 @@ class BeaconHttpServer:
                 import hmac as _hmac
 
                 if outer._token is not None and _hmac.compare_digest(
-                        header, f"Bearer {outer._token}"):
+                        header.encode("latin-1", "replace"),
+                        f"Bearer {outer._token}".encode()):
+                    # byte-wise: compare_digest raises TypeError on a
+                    # non-ASCII header string and crashed the handler
                     return True
                 if outer._oidc is not None and header.startswith("Bearer "):
                     # OIDC bearer JWT: offline JWS verify, then the
@@ -204,6 +207,14 @@ class BeaconHttpServer:
                         return True
                     self._deny(401, "bad basic credentials")
                     return False
+                if header:
+                    # SOME credential was presented and nothing above
+                    # accepted it — a presented-but-invalid token must
+                    # be a 401 everywhere, not only when OIDC is
+                    # configured (it used to fall through to the
+                    # embedded super-user on token-less servers)
+                    self._deny(401, "unrecognized credentials")
+                    return False
                 if outer._token is None:
                     # no credentials on a token-less server: ONE shared
                     # fail-closed rule (auth.resolve_unauthenticated) —
@@ -223,6 +234,7 @@ class BeaconHttpServer:
 
             def _send(self, payload: bytes, ctype: str,
                       extra: dict | None = None) -> None:
+                self._response_started = True
                 self.send_response(200)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(payload)))
@@ -236,6 +248,11 @@ class BeaconHttpServer:
                            "application/json")
 
             def do_GET(self):
+                # per-REQUEST reset: handler instances live per keep-alive
+                # CONNECTION, so a prior request's response-started mark
+                # would make a clean pre-response error on the next
+                # request abort instead of answering 400
+                self._response_started = False
                 if not self._authed():
                     return
                 u = urlparse(self.path)
@@ -249,6 +266,11 @@ class BeaconHttpServer:
                     self._deny(400, str(e))
 
             def do_PUT(self):
+                # per-REQUEST reset: handler instances live per keep-alive
+                # CONNECTION, so a prior request's response-started mark
+                # would make a clean pre-response error on the next
+                # request abort instead of answering 400
+                self._response_started = False
                 if not self._authed():
                     return
                 if urlparse(self.path).path.startswith("/api/admin"):
@@ -257,6 +279,11 @@ class BeaconHttpServer:
                 self._deny(404, f"no such endpoint: {self.path}")
 
             def do_DELETE(self):
+                # per-REQUEST reset: handler instances live per keep-alive
+                # CONNECTION, so a prior request's response-started mark
+                # would make a clean pre-response error on the next
+                # request abort instead of answering 400
+                self._response_started = False
                 if not self._authed():
                     return
                 if urlparse(self.path).path.startswith("/api/admin"):
@@ -570,15 +597,27 @@ class BeaconHttpServer:
                         self._deny(400, str(e))
                     return
                 if u.path == "/mcp":
-                    n = int(self.headers.get("Content-Length", 0))
                     try:
+                        n = int(self.headers.get("Content-Length", 0))
                         msg = json.loads(self.rfile.read(n).decode() or "{}")
+                        # a JSON-RPC batch array / bare literal used to
+                        # escape the try as AttributeError and reset the
+                        # connection with no HTTP response at all
+                        if not isinstance(msg, dict):
+                            raise ValueError(
+                                "MCP body must be one JSON-RPC object "
+                                "(batches are not supported)")
                     except Exception as e:
                         self._deny(400, str(e))
                         return
                     resp = outer._mcp_handle(msg, getattr(self, "_ident", None))
-                    if resp is None:  # notification: no body
-                        self._send(b"", "application/json")
+                    if resp is None:
+                        # notification: the streamable-HTTP spec says 202
+                        # Accepted with NO body (a 200 application/json
+                        # with an empty payload broke conforming clients)
+                        self.send_response(202)
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
                     else:
                         self._send_json(resp)
                     return
@@ -591,6 +630,21 @@ class BeaconHttpServer:
                     if not isinstance(req, dict):
                         raise ValueError("query body must be a JSON object")
                     output = req.get("output")
+                    if output is not None:
+                        ident = getattr(self, "_ident", None)
+                        if ident is not None and \
+                                outer.engine.catalog is not None:
+                            # same gate engine.query applies: file
+                            # output is a write and super-user-only —
+                            # the handler strips 'output' before
+                            # authorize_dsl can see it, so it must
+                            # enforce the policy itself
+                            from beacon_spark import auth as _auth
+
+                            _auth.require_super(
+                                outer.engine, ident,
+                                "operation not permitted: query file "
+                                "output requires super-user privileges")
                     if "sql" in req and not outer._enable_sql:
                         raise ValueError(
                             "SQL is disabled on this server "
@@ -730,6 +784,10 @@ class BeaconHttpServer:
                 import os as _os
 
                 size = _os.path.getsize(path)
+                # mid-body failures must abort, not inject a second 400
+                # response into the stream the client is parsing as file
+                # content (the Arrow path already marked this)
+                self._response_started = True
                 self.send_response(200)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(size))
@@ -988,7 +1046,14 @@ class BeaconHttpServer:
                 "datasets": datasets,
             })
         if name == "describe_table":
-            df = eng.sql(f"SELECT * FROM {args['table']} LIMIT 0", user=user)
+            tbl = str(args.get("table") or "")
+            if not re.fullmatch(r"[\w.]+", tbl):
+                # same identifier gate as /api/table-schema: unvalidated
+                # interpolation let remote_query('...', '<write>') ride
+                # the strictly-read-only MCP surface
+                raise ValueError(
+                    "describe_table needs a bare table identifier")
+            df = eng.sql(f"SELECT * FROM {tbl} LIMIT 0", user=user)
             return json.dumps(
                 [{"column": f.name, "type": f.dataType.simpleString()}
                  for f in df.schema.fields]
@@ -1118,9 +1183,27 @@ class BeaconHttpServer:
         if method == "ping":
             return ok({})
         if method == "tools/list":
+            raw = self._mcp_table_tools()
+            if user is not None:
+                # the glossary embeds column names/types of mcp-enabled
+                # tables; an identity whose grants DENY the table gets
+                # the same answer /api/table-schema gives it — nothing
+                from beacon_spark import auth as _auth
+
+                def _readable(tool) -> bool:
+                    tbl = tool.get("x-table", "")
+                    try:
+                        _auth.authorize(
+                            self.engine, f"SELECT * FROM {tbl} LIMIT 0",
+                            user)
+                        return True
+                    except Exception:
+                        return False
+
+                raw = [t for t in raw if _readable(t)]
             table_tools = [
                 {k: v for k, v in t.items() if not k.startswith("x-")}
-                for t in self._mcp_table_tools()
+                for t in raw
             ]
             return ok({"tools": self._MCP_TOOLS + table_tools})
         if method == "tools/call":

@@ -535,3 +535,88 @@ def test_console_drives_admin_endpoints(admin_http, spark):
     with pytest.raises(_ue.HTTPError) as ei:
         _req(base, "DELETE", "/api/admin/datasets?path=up/console.parquet")
     assert ei.value.code == 409  # in use by the crawler-registered table
+
+
+def test_mcp_describe_table_rejects_injection(admin_http):
+    """r10 transport review: describe_table interpolated its argument
+    unvalidated — remote_query('...', '<write>') rode the strictly
+    read-only MCP surface."""
+    eng, base, _root = admin_http
+    st, body = _req(base, "POST", "/mcp", body=json.dumps({
+        "jsonrpc": "2.0", "id": 1, "method": "tools/call",
+        "params": {"name": "describe_table",
+                   "arguments": {"table": "remote_query('x', 'DROP TABLE t')"}},
+    }).encode(), ctype="application/json")
+    assert st == 200
+    res = body["result"]
+    assert res["isError"] is True
+    assert "bare table identifier" in res["content"][0]["text"]
+
+
+def test_output_download_requires_super(admin_http):
+    """r10 transport review: the handler stripped 'output' before
+    authorize_dsl could see it, so non-super users downloaded files
+    bypassing the deliberate super-user-only gate."""
+    import base64
+
+    eng, base, _root = admin_http
+    eng.sql("CREATE TABLE ot (v INT)")
+    eng.sql("INSERT INTO ot VALUES (1)")
+    eng.sql("SET AUTH ENFORCEMENT ON")
+    try:
+        alice = "Basic " + base64.b64encode(b"alice:pw1").decode()
+        payload = json.dumps({
+            "sql": "SELECT * FROM ot", "output": {"format": "csv"},
+        }).encode()
+        try:
+            _req(base, "POST", "/api/query", auth=alice, body=payload,
+                 ctype="application/json")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "super-user" in e.read().decode()
+        root_h = "Basic " + base64.b64encode(b"root:pw0").decode()
+        st, _ = _req(base, "POST", "/api/query", auth=root_h, body=payload,
+                     ctype="application/json")
+        assert st == 200
+    finally:
+        eng.sql("SET AUTH ENFORCEMENT OFF")
+
+
+def test_mcp_batch_body_is_clean_400(admin_http):
+    """r10 transport review: a JSON-RPC batch array escaped the parse
+    try as AttributeError and reset the connection with no response."""
+    eng, base, _root = admin_http
+    try:
+        _req(base, "POST", "/mcp", body=b"[]", ctype="application/json")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400 and "object" in e.read().decode()
+
+
+def test_invalid_bearer_on_tokenless_server_is_401(spark, tmp_path):
+    """r10 transport review: a presented-but-invalid bearer on a
+    token-less server fell through to the embedded super-user."""
+    import json as _json
+    import urllib.request
+
+    from beacon_spark import Engine
+    from beacon_spark.server.http import BeaconHttpServer
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    hs = BeaconHttpServer(eng, port=0)  # NO token, NO oidc
+    port = hs.serve_background()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/tables",
+            headers={"Authorization": "Bearer garbage"})
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        # credential-less requests keep working (embedded super)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/health") as r:
+            assert r.status == 200
+    finally:
+        hs.shutdown()
