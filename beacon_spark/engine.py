@@ -2599,6 +2599,12 @@ class Engine:
         # them from the ORIGINAL text (`` = an escaped backtick)
         for bq in re.findall(r"`((?:[^`]|``)+)`", statement):
             add(bq.replace("``", "`"))
+        # under spark.sql.ansi.doubleQuotedIdentifiers=true, "var" is an
+        # identifier the scrub blanked as a string literal — harvest
+        # double-quoted spans too; over-inclusion only keeps an extra
+        # variable decoded, so this is safe when they really are strings
+        for dq in re.findall(r'"((?:[^"]|"")+)"', statement):
+            add(dq.replace('""', '"'))
         from beacon_spark.sources.nd import _OPENERS
         from beacon_spark.sources.paths import resolve_globs
 

@@ -95,20 +95,52 @@ class ManagedTable:
         ms = self._manifests()
         return int(ms[-1][1:-5]) if ms else 0
 
-    def _read_manifest(self, version: int | None = None) -> dict:
+    #: an empty manifest claim older than this is treated as abandoned
+    #: (writer crashed between the O_EXCL claim and the atomic replace)
+    #: and reclaimed by the next reader. Generous on purpose: a LIVE
+    #: writer pausing this long mid-commit, then waking inside the
+    #: stat-to-replace window of a new committer, is the only way the
+    #: reclaim could lose a commit — and the publish-side re-check in
+    #: _commit_manifest closes even that.
+    ABANDONED_CLAIM_SECS = 60.0
+
+    def _read_manifest(self, version: int | None = None,
+                       _reclaimed: bool = False) -> dict:
         ms = self._manifests()
         if not ms:
             raise ManagedTableError(f"no managed table at {self.path}")
         name = f"v{version:08d}.json" if version is not None else ms[-1]
+        target = bs.join(self.manifest_dir, name)
         for _ in range(20):
-            body = bs.read_text(bs.join(self.manifest_dir, name))
+            body = bs.read_text(target)
             if body:
                 return json.loads(body)
             # the no-hardlink commit fallback claims the name empty for
             # an instant before the atomic replace — wait it out
             time.sleep(0.01)
+        # still empty after 200ms: either a slow writer or a crashed one.
+        # A claim past ABANDONED_CLAIM_SECS is abandoned — reclaim it so
+        # the table heals instead of erroring on every read forever.
+        if not _reclaimed and bs.is_local(target):
+            p = bs.local_path(target)
+            try:
+                stale = (os.path.getsize(p) == 0 and
+                         time.time() - os.path.getmtime(p)
+                         > self.ABANDONED_CLAIM_SECS)
+            except OSError:
+                stale = True  # vanished underneath us — re-resolve
+            if stale:
+                with contextlib.suppress(OSError):
+                    os.unlink(p)
+                if version is not None:
+                    raise ManagedTableError(
+                        f"{self.path}: version {version} was claimed but "
+                        f"never committed (crashed writer); the abandoned "
+                        f"claim has been reclaimed")
+                return self._read_manifest(None, _reclaimed=True)
         raise ManagedTableError(
-            f"{self.path}: manifest {name} stayed empty (crashed writer?)")
+            f"{self.path}: manifest {name} stayed empty (crashed writer?) "
+            f"— if the writer is known dead, delete {target} to repair")
 
     def _write_manifest(
         self,
@@ -233,6 +265,21 @@ class ManagedTable:
                         f"{self.path}: version {version} was committed by "
                         f"a concurrent writer"
                     ) from None
+                # a reader may have reclaimed our claim as abandoned (see
+                # _read_manifest) if we stalled past the reclaim age, and
+                # a NEW writer may have committed this version since — a
+                # blind replace here would clobber that commit. Publish
+                # only if our empty claim is still in place.
+                try:
+                    if os.stat(p).st_size:
+                        raise ManifestConflict(
+                            f"{self.path}: version {version} was committed "
+                            f"by a concurrent writer after our claim was "
+                            f"reclaimed as abandoned")
+                except FileNotFoundError:
+                    raise ManifestConflict(
+                        f"{self.path}: claim for version {version} was "
+                        f"reclaimed as abandoned before publish") from None
                 os.replace(tmp, p)
                 return
             finally:

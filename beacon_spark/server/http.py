@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import io
 import json
+import logging
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -775,8 +776,16 @@ class BeaconHttpServer:
                 chunk(sink.getvalue())
                 # record BEFORE the terminating chunk: a client that
                 # fetches /api/query/metrics/{id} the instant the body
-                # ends raced the (post-EOF) record and got a 404
-                outer._record(qid, df, rows, t0, getattr(self, '_qtext', None), getattr(self, '_ident', None))
+                # ends raced the (post-EOF) record and got a 404.
+                # A metrics bookkeeping failure must never truncate an
+                # otherwise-complete Arrow stream, though.
+                try:
+                    outer._record(qid, df, rows, t0,
+                                  getattr(self, '_qtext', None),
+                                  getattr(self, '_ident', None))
+                except Exception:
+                    logging.getLogger("beacon_spark.server").exception(
+                        "query-metrics record failed for %s", qid)
                 self.wfile.write(b"0\r\n\r\n")
 
             def _send_file(self, path: str, ctype: str,

@@ -169,6 +169,14 @@ def stream_user_state(
     carried across micro-batches. This is the pattern for operators the
     built-in windows can't express (counters, CDC merge, custom
     sessionization); Arrow-batched per group, state is a tiny tuple.
+
+    .. warning:: **checkpoint compatibility** — the state schema gained a
+       fourth field (``last_us``, the latest event-time in µs) when the
+       late-batch fix landed; a stream resuming from a checkpoint written
+       by the earlier 3-field state will fail (or misbind) state
+       deserialization. When upgrading across that change, start from a
+       fresh checkpoint directory or pass a new ``query_name`` so Spark
+       derives a new checkpoint location.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -336,6 +336,14 @@ function decodeRecordBatch(fb, rbPos, body, schema) {
     const take = BUFFERS_PER_KIND(field.type);
     const bufs = buffers.slice(bi, bi + take);
     bi += take;
+    if (Object.prototype.hasOwnProperty.call(columns, field.name)) {
+      // columns are keyed by name: a duplicate (SELECT 1 AS x, 2 AS x)
+      // would silently overwrite the earlier column's values — refuse
+      throw new Error(
+        `arrow: duplicate column name ${JSON.stringify(field.name)} in ` +
+        "result — alias the columns distinctly"
+      );
+    }
     columns[field.name] = field.type.kind === "null"
       ? new Array(node.length).fill(null)
       : decodeColumn(field, node, bufs);
@@ -438,7 +446,16 @@ export function tableFromIPC(bytes) {
   if (!p.schema) throw new Error("arrow: no schema message in stream");
   /** @type {Record<string, any[]>} */
   const columns = {};
-  for (const f of p.schema.fields) columns[f.name] = [];
+  for (const f of p.schema.fields) {
+    if (Object.prototype.hasOwnProperty.call(columns, f.name)) {
+      // also guard the zero-batch path (schema-only stream)
+      throw new Error(
+        `arrow: duplicate column name ${JSON.stringify(f.name)} in ` +
+        "result — alias the columns distinctly"
+      );
+    }
+    columns[f.name] = [];
+  }
   let numRows = 0;
   for (const b of batches) {
     numRows += b.numRows;

@@ -5,13 +5,16 @@
  * (`col("depth").gte(0)`), the query shape mirrors
  * `from(...).where(...).orderBy(...).take(...)`.
  *
+ * Example — recent warm surface casts from a parquet dataset, newest
+ * first, keeping the two measured columns:
+ *
  * ```js
- * const { rows } = await beacon
- *   .from({ netcdf: { paths: ["argo.nc"] } })
- *   .select("TEMP", column("PSAL", "salinity"))
- *   .where((x) => x.depth.gte(0).and(x.depth.lte(100)))
- *   .orderByDescending("TEMP")
- *   .take(100)
+ * const { rows } = await client
+ *   .from({ parquet: { paths: ["casts/2026/*.parquet"] } })
+ *   .select(column("sea_temp", "t"), "pressure_dbar")
+ *   .where((c) => c.pressure_dbar.lt(10).and(c.sea_temp.gt(18)))
+ *   .orderByDescending("cast_time")
+ *   .take(25)
  *   .execute();
  * ```
  */

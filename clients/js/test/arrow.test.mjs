@@ -56,3 +56,12 @@ test("date64 decodes with the MILLISECOND schema default", () => {
   assert.equal(rows[1].d64.getTime(), 86_400_000);
   assert.equal(rows[1].d32.getTime(), 86_400_000);
 });
+
+test("duplicate column names throw instead of silently overwriting", () => {
+  // ADVICE r10: columns are keyed by name — SELECT 1 AS x, 2 AS x lost
+  // the first column's data with no error
+  assert.throws(
+    () => tableFromIPC(readFileSync(join(FIX, "dupnames.arrows"))),
+    /duplicate column name "x"/,
+  );
+});

@@ -1510,3 +1510,95 @@ def test_concurrent_ddl_never_loses_entries(spark, tmp_path):
     names = cat.names()
     assert names["views"] == [f"view_{i}" for i in range(6)]
     assert names["crawlers"] == [f"crawl_{i}" for i in range(6)]
+
+
+def test_abandoned_empty_claim_is_reclaimed(spark, tmp_path):
+    """ADVICE r10: a writer crash between the no-hardlink O_EXCL claim
+    and os.replace left a permanently empty vNNNNNNNN.json — every later
+    read spun 200ms then raised, bricking the table until manual repair.
+    An empty claim older than ABANDONED_CLAIM_SECS is now reclaimed and
+    the read self-heals to the last committed version."""
+    import os as _os
+    import time as _t
+
+    from beacon_spark import managed as m
+    from beacon_spark.managed import ManagedTable, ManagedTableError
+
+    t = ManagedTable(spark, str(tmp_path / "ab"))
+    t.create(spark.createDataFrame([(1,), (2,)], "v int"))
+    v = t.current_version()
+    claim = _os.path.join(str(tmp_path / "ab"), "_manifests",
+                          f"v{v + 1:08d}.json")
+    open(claim, "wb").close()  # the crashed writer's empty claim
+
+    # FRESH claim (mtime now): NOT reclaimed — loud error with the
+    # manual-repair hint, and the file survives (a live writer may
+    # still be mid-commit)
+    with pytest.raises(ManagedTableError, match="stayed empty"):
+        t._read_manifest()
+    assert _os.path.exists(claim)
+
+    # age the claim past the reclaim threshold: the next read reclaims
+    # it and self-heals to the committed version
+    old = _t.time() - m.ManagedTable.ABANDONED_CLAIM_SECS - 10
+    _os.utime(claim, (old, old))
+    assert t.read().count() == 2
+    assert not _os.path.exists(claim)
+    assert t.current_version() == v
+
+    # an EXPLICIT version read of an abandoned claim raises the
+    # never-committed message (and reclaims)
+    open(claim, "wb").close()
+    _os.utime(claim, (old, old))
+    with pytest.raises(ManagedTableError, match="never committed"):
+        t._read_manifest(v + 1)
+    assert not _os.path.exists(claim)
+
+
+def test_fallback_publish_rechecks_claim(spark, tmp_path, monkeypatch):
+    """The no-hardlink publish must not blind-replace: if the claim was
+    reclaimed (and possibly re-committed by a NEW writer) while this
+    writer stalled, os.replace would clobber that commit. The publish
+    re-checks the claim and raises ManifestConflict instead."""
+    import os as _os
+
+    from beacon_spark.managed import ManagedTable, ManifestConflict
+
+    t = ManagedTable(spark, str(tmp_path / "fb"))
+    t.create(spark.createDataFrame([(1,)], "v int"))
+    nxt = t.current_version() + 1
+
+    real_open = _os.open
+
+    def no_link(*a, **k):
+        raise OSError("filesystem without hard links")
+
+    # claim vanished (reclaimed) between O_EXCL and publish
+    def open_then_unlink(path, flags, *a, **k):
+        fd = real_open(path, flags, *a, **k)
+        if flags & _os.O_EXCL:
+            _os.unlink(path)
+        return fd
+
+    monkeypatch.setattr(_os, "link", no_link)
+    monkeypatch.setattr(_os, "open", open_then_unlink)
+    with pytest.raises(ManifestConflict, match="reclaimed"):
+        t._commit_manifest(nxt, b'{"x": 1}')
+    monkeypatch.setattr(_os, "open", real_open)
+
+    # claim re-committed by a new writer between O_EXCL and publish
+    def open_then_recommit(path, flags, *a, **k):
+        fd = real_open(path, flags, *a, **k)
+        if flags & _os.O_EXCL:
+            with open(path, "wb") as f:
+                f.write(b'{"winner": true}')
+        return fd
+
+    monkeypatch.setattr(_os, "open", open_then_recommit)
+    with pytest.raises(ManifestConflict, match="committed"):
+        t._commit_manifest(nxt, b'{"x": 2}')
+    monkeypatch.setattr(_os, "open", real_open)
+    # the winner's manifest survived intact
+    with open(_os.path.join(str(tmp_path / "fb"), "_manifests",
+                            f"v{nxt:08d}.json"), "rb") as f:
+        assert f.read() == b'{"winner": true}'

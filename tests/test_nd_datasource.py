@@ -337,3 +337,31 @@ def test_sql_tiff_dotted_coordinate_pushdown(nd_engine, tmp_path):
         assert len(rows) == 36 and all(r["geo.lat"] >= 35 for r in rows)
     finally:
         spark.conf.unset("spark.beacon.nd.rowsPerTask")
+
+
+def test_sql_double_quoted_identifiers_survive_projection(
+        nd_engine, zarr_store):
+    """ADVICE r10: with spark.sql.ansi.doubleQuotedIdentifiers=true a
+    variable referenced only as "var" was scrubbed as a string literal
+    and dropped from the projection — the query failed with an
+    unresolved-column error. Double-quoted spans are now harvested as
+    candidate identifier tokens (over-inclusion is safe)."""
+    spark = nd_engine.spark
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    try:
+        df = nd_engine.sql(
+            f'SELECT sum("v") AS s FROM read_zarr(\'{zarr_store}\') '
+            f'WHERE "t" >= 0'
+        )
+        assert df.collect()[0].s == sum(range(40)) * 2.0
+        # w is still unreferenced — projection stays narrow
+        scan = [
+            ln for ln in
+            df._jdf.queryExecution().executedPlan().toString().split("\n")
+            if "BatchScan beacon_nd" in ln
+        ]
+        assert scan and "w#" not in scan[0]
+    finally:
+        spark.conf.unset("spark.sql.ansi.doubleQuotedIdentifiers")
+        spark.conf.unset("spark.sql.ansi.enabled")
