@@ -382,19 +382,8 @@ class BeaconHttpServer:
                     # every registered table with its schema fields
                     # (tables.rs:156-180); tables the identity cannot
                     # read are silently omitted, as in the reference
-                    ident = getattr(self, "_ident", None)
-                    out = []
-                    for tbl in eng.table_names():
-                        try:
-                            df = eng.sql(
-                                f"SELECT * FROM {tbl} LIMIT 0", user=ident)
-                        except Exception:
-                            continue
-                        out.append({
-                            "table_name": tbl,
-                            "columns": json.loads(df.schema.json())["fields"],
-                        })
-                    self._send_json(out)
+                    self._send_json(outer._tables_with_schema(
+                        getattr(self, "_ident", None)))
                 elif path == "/api/query/available-columns":
                     # deprecated twin of /api/default-table-schema:
                     # bare column names of the default table
@@ -733,19 +722,33 @@ class BeaconHttpServer:
                 # pull the first batch BEFORE committing the status line:
                 # a cap/time trip on it stays a clean 400
                 first = next(batches, None)
+                # chunked Transfer-Encoding is an HTTP/1.1 construct: a
+                # 1.0 client would parse the chunk-size lines as body
+                # bytes and corrupt the Arrow stream. For 1.0 requests,
+                # close-delimit instead (Connection: close, no length,
+                # body ends at EOF) — still one batch in memory at a time
+                chunked = self.request_version == "HTTP/1.1"
                 self.send_response(200)
                 self.send_header("Content-Type", _ARROW_MIME)
-                self.send_header("Transfer-Encoding", "chunked")
+                if chunked:
+                    self.send_header("Transfer-Encoding", "chunked")
+                else:
+                    self.send_header("Connection", "close")
+                    self.close_connection = True
                 for k, v in hdr.items():
                     self.send_header(k, v)
                 self.end_headers()
                 self._response_started = True
 
                 def chunk(data: bytes) -> None:
-                    if data:
+                    if not data:
+                        return
+                    if chunked:
                         self.wfile.write(
                             f"{len(data):X}\r\n".encode() + data + b"\r\n"
                         )
+                    else:
+                        self.wfile.write(data)
 
                 sink = io.BytesIO()
                 rows = 0
@@ -786,7 +789,8 @@ class BeaconHttpServer:
                 except Exception:
                     logging.getLogger("beacon_spark.server").exception(
                         "query-metrics record failed for %s", qid)
-                self.wfile.write(b"0\r\n\r\n")
+                if chunked:
+                    self.wfile.write(b"0\r\n\r\n")
 
             def _send_file(self, path: str, ctype: str,
                            extra: dict | None = None) -> None:
@@ -930,6 +934,45 @@ class BeaconHttpServer:
             },
         },
     ]
+
+    def _tables_with_schema(self, ident) -> list[dict]:
+        """`/api/tables-with-schema` payload, cached per (catalog
+        signature, identity) — polling admin UIs hit this route every
+        few seconds and a LIMIT-0 analysis per table per poll is pure
+        waste when nothing changed. Same invalidation token as
+        `_mcp_table_tools`; identity is part of the key because tables
+        the caller cannot read are omitted from the payload."""
+        eng = self.engine
+        sig = None
+        if eng.catalog is not None:
+            try:
+                sig = eng.catalog.signature()
+            except Exception:
+                sig = None
+        # ident is None (embedded super), a plain username str, or an
+        # ExternalPrincipal (str subclass carrying roles)
+        ikey = (str(ident) if ident is not None else None,
+                tuple(getattr(ident, "roles", ()) or ()))
+        cache = getattr(self, "_tws_cache", None)
+        if sig is not None and cache is not None and cache[0] == sig \
+                and ikey in cache[1]:
+            return cache[1][ikey]
+        out = []
+        for tbl in eng.table_names():
+            try:
+                df = eng.sql(f"SELECT * FROM {tbl} LIMIT 0", user=ident)
+            except Exception:
+                continue
+            out.append({
+                "table_name": tbl,
+                "columns": json.loads(df.schema.json())["fields"],
+            })
+        if sig is not None:
+            if cache is None or cache[0] != sig:
+                cache = (sig, {})
+                self._tws_cache = cache
+            cache[1][ikey] = out
+        return out
 
     def _mcp_table_tools(self) -> list[dict]:
         """Per-table tools from the ``mcp`` table extension (the

@@ -620,3 +620,72 @@ def test_invalid_bearer_on_tokenless_server_is_401(spark, tmp_path):
             assert r.status == 200
     finally:
         hs.shutdown()
+
+
+def test_http10_arrow_stream_is_not_chunked(admin_http):
+    """Deferred r10 item: chunked Transfer-Encoding is HTTP/1.1-only —
+    a 1.0 client parses chunk-size lines as body bytes and corrupts the
+    Arrow stream. For HTTP/1.0 requests the Arrow response must be
+    close-delimited (Connection: close, no Transfer-Encoding) and the
+    raw body must be a valid IPC stream."""
+    import socket
+    from urllib.parse import urlparse
+
+    import pyarrow as pa
+
+    eng, base, _root = admin_http
+    eng.sql("CREATE TABLE h10_t AS SELECT id FROM range(5)")
+    u = urlparse(base)
+    body = json.dumps({"sql": "SELECT id FROM h10_t ORDER BY id"}).encode()
+    req = (
+        b"POST /api/query HTTP/1.0\r\n"
+        b"Host: x\r\nAuthorization: Bearer tok\r\n"
+        b"Content-Type: application/json\r\n"
+        b"x-beacon-ipc-compression: none\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    with socket.create_connection((u.hostname, u.port), timeout=30) as s:
+        s.sendall(req)
+        raw = b""
+        while True:
+            got = s.recv(65536)
+            if not got:
+                break  # close-delimited: body ends at EOF
+            raw += got
+    head, _, payload = raw.partition(b"\r\n\r\n")
+    headers = head.decode("latin-1").lower()
+    assert " 200 " in headers.splitlines()[0]
+    assert "transfer-encoding" not in headers
+    assert "connection: close" in headers
+    # the raw (unframed) body is a decodable Arrow IPC stream
+    tbl = pa.ipc.open_stream(payload).read_all()
+    assert tbl.column("id").to_pylist() == [0, 1, 2, 3, 4]
+
+
+def test_tables_with_schema_is_cached_per_signature(admin_http):
+    """Deferred r10 item: polling admin UIs hit /api/tables-with-schema
+    every few seconds; the payload is now cached keyed by (catalog
+    signature, identity) — no per-table LIMIT-0 analysis when nothing
+    changed — and any DDL (rev bump) invalidates it."""
+    eng, base, _root = admin_http
+    eng.sql("CREATE TABLE tws_a AS SELECT 1 AS x")
+
+    st, doc = _req(base, "GET", "/api/tables-with-schema")
+    assert st == 200 and "tws_a" in {t["table_name"] for t in doc}
+
+    # second poll with no catalog change: served from cache — the
+    # engine's sql() must not run at all
+    real_sql = eng.sql
+    calls = []
+    eng.sql = lambda *a, **k: (calls.append(a), real_sql(*a, **k))[1]
+    try:
+        st, doc2 = _req(base, "GET", "/api/tables-with-schema")
+        assert st == 200 and doc2 == doc
+        assert calls == []
+        # DDL bumps the catalog signature -> cache invalidates
+        real_sql("CREATE TABLE tws_b AS SELECT 2 AS y")
+        st, doc3 = _req(base, "GET", "/api/tables-with-schema")
+        assert "tws_b" in {t["table_name"] for t in doc3}
+        assert calls  # recomputed
+    finally:
+        eng.sql = real_sql
