@@ -235,10 +235,11 @@ class ManagedTable:
         v(N+1); exactly one wins, the loser gets :class:`ManifestConflict`
         instead of silently replacing the winner's manifest and orphaning
         its data files (the old unconditional publish was a lost-update).
-        Local stores claim the name atomically via ``os.link``; the
-        byte-source facade has no conditional PUT for object stores, so
-        there an exists-check + write-back verify narrows the window
-        (same compromise as Catalog._mutate)."""
+        Local stores claim the name atomically via ``os.link``; remote
+        stores ride ``bs.publish_if_absent`` — NATIVE-conditional where
+        the store has the primitive (the bdb container's sqlite
+        INSERT), exists-check + write-back verify elsewhere (same
+        compromise as Catalog._mutate)."""
         target = bs.join(self.manifest_dir, f"v{version:08d}.json")
         if bs.is_local(target):
             p = bs.local_path(target)
@@ -286,20 +287,14 @@ class ManagedTable:
                 with contextlib.suppress(OSError):
                     os.unlink(tmp)
             return
-        if bs.exists(target):
+        # bs.publish_if_absent is NATIVE-conditional for the bdb
+        # container (one sqlite INSERT, atomic across processes) and
+        # exists+put+verify for object stores without a conditional PUT
+        if not bs.publish_if_absent(target, payload):
             raise ManifestConflict(
                 f"{self.path}: version {version} was committed by a "
                 f"concurrent writer"
             )
-        bs.publish_bytes(target, payload)
-        try:
-            if bs.read_bytes(target) != payload:
-                raise ManifestConflict(
-                    f"{self.path}: version {version} was overwritten by a "
-                    f"concurrent writer"
-                )
-        except OSError:
-            pass  # verify is best-effort; the write itself succeeded
 
     def _write_data(self, df: DataFrame) -> list[str]:
         """One parquet file per partition into data/ under fresh names.

@@ -670,6 +670,28 @@ def publish_bytes(path: str, data: bytes) -> None:
     fs_for(path).publish_bytes(path, data)
 
 
+def publish_if_absent(path: str, data: bytes) -> bool:
+    """Conditional put: write only if the key does not exist; True =
+    this writer won the key. Stores with a native primitive use it
+    (the bdb container's sqlite INSERT is atomic across processes);
+    everything else narrows the window with exists + put + read-back
+    verify — the same compromise _commit_manifest documented inline
+    before this helper existed."""
+    fs = fs_for(path)
+    native = getattr(fs, "publish_if_absent", None)
+    if native is not None:
+        return native(path, data)
+    if fs.exists(path):
+        return False
+    fs.publish_bytes(path, data)
+    try:
+        if fs.read_bytes(path) != data:
+            return False
+    except OSError:
+        pass  # verify is best-effort; the write itself succeeded
+    return True
+
+
 def makedirs(path: str) -> None:
     fs_for(path).makedirs(path)
 

@@ -60,7 +60,6 @@ import tempfile
 import threading
 import time
 import uuid
-from fnmatch import fnmatch
 from urllib.parse import urlparse
 
 SCHEME = "bdb"
@@ -195,29 +194,48 @@ class _Container:
 
     # ------------------------------------------------------ read plane
 
-    def read_range(self, key: str, offset: int, length: int) -> bytes:
+    @contextlib.contextmanager
+    def _read_snapshot(self):
+        """WAL read transaction: stat + blobopen must observe ONE
+        database state. The in-process write lock already serializes
+        threads, but ANOTHER PROCESS's DELETE+INSERT of the same key
+        between stat and blobopen would dangle the rowid
+        (OperationalError) — or, after rowid reuse, silently serve a
+        different object's bytes. BEGIN pins the snapshot at the first
+        read, so the rowid stays valid for the whole block."""
+        conn = self._conn()
+        conn.execute("BEGIN")
+        try:
+            yield conn
+        finally:
+            with contextlib.suppress(sqlite3.Error):
+                conn.execute("COMMIT")
+
+    def read_range(self, key: str, offset: int,
+                   length: int | None) -> bytes:
         # stat + blobopen under the WRITE lock: write_from_file's
         # DELETE+INSERT mints a new rowid, so an unlocked read could
         # open a deleted row (OperationalError) — or, after rowid
-        # reuse, silently read another object's bytes
-        with self._lock:
+        # reuse, silently read another object's bytes.
+        # length=None = "to the end", resolved INSIDE the snapshot —
+        # a caller-supplied size from an earlier stat would mix two
+        # database states and tear the read.
+        with self._lock, self._read_snapshot() as conn:
             st = self.stat(key)
             if st is None:
                 raise FileNotFoundError(f"{key} in {self.db_path}")
             rowid, size, _ = st
             if offset >= size:
                 return b""
-            length = min(length, size - offset)
-            with self._conn().blobopen(
+            length = (size - offset if length is None
+                      else min(length, size - offset))
+            with conn.blobopen(
                     "objects", "data", rowid, readonly=True) as bl:
                 bl.seek(offset)
                 return bl.read(length)
 
     def read_bytes(self, key: str) -> bytes:
-        st = self.stat(key)
-        if st is None:
-            raise FileNotFoundError(f"{key} in {self.db_path}")
-        return self.read_range(key, 0, st[1])
+        return self.read_range(key, 0, None)
 
     # ------------------------------------------------------ write plane
 
@@ -256,6 +274,28 @@ class _Container:
                     (key, len(data), time.time(), sqlite3.Binary(data)),
                 )
         self._invalidate(key)
+
+    def write_bytes_if_absent(self, key: str, data: bytes) -> bool:
+        """TRUE conditional put — the transactional primitive the
+        object-store facade can only approximate with exists+verify.
+        Two writers (threads OR processes) racing for one key: the
+        sqlite INSERT commits exactly one; the loser gets False. This
+        is what makes manifest/catalog commits inside a ``bdb://``
+        container genuinely lost-update-free (redb's serialized write
+        transactions give the reference the same property,
+        beacon-redb-store/src/lib.rs:1-30)."""
+        with self._lock:
+            conn = self._conn()
+            with conn:
+                cur = conn.execute(
+                    "INSERT OR IGNORE INTO objects(key, size, mtime, data) "
+                    "VALUES(?, ?, ?, ?)",
+                    (key, len(data), time.time(), sqlite3.Binary(data)),
+                )
+                won = cur.rowcount == 1
+        if won:
+            self._invalidate(key)
+        return won
 
     def delete(self, key: str) -> None:
         with self._lock:
@@ -335,6 +375,13 @@ class _Container:
             return self._cache_path_locked(key)
 
     def _cache_path_locked(self, key: str) -> str:
+        # the whole stat -> extract region rides ONE read snapshot so a
+        # concurrent process's DELETE+INSERT can't dangle the rowid
+        # between the stat and the blob read
+        with self._read_snapshot() as snap:
+            return self._extract_in_snapshot(snap, key)
+
+    def _extract_in_snapshot(self, snap, key: str) -> str:
         st = self.stat(key)
         if st is None:
             raise FileNotFoundError(f"{key} in {self.db_path}")
@@ -360,8 +407,14 @@ class _Container:
                 break
             probe = os.path.dirname(probe)
         os.makedirs(parent, exist_ok=True)
-        tmp = p + ".extract"
-        with self._conn().blobopen("objects", "data", rowid, readonly=True) as bl, \
+        # UNIQUE tmp name: two processes share the cache dir (the shadow
+        # tag is per container FILE), and a fixed '.extract' suffix let
+        # their truncating opens interleave — the winner's os.replace
+        # published a corrupt cache file the JVM then read. Each writer
+        # now extracts to its own name; last replace wins with a whole
+        # file either way.
+        tmp = f"{p}.extract-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        with snap.blobopen("objects", "data", rowid, readonly=True) as bl, \
                 open(tmp, "wb") as f:
             remaining = size
             while remaining > 0:
@@ -430,6 +483,17 @@ class _Container:
         for _atime, sz, key, p in entries:
             if key == keep:
                 continue
+            if ".extract-" in os.path.basename(p):
+                # extraction tmp: an ORPHAN (crashed process) is
+                # reclaimable, but a live extraction in another process
+                # is not — age-gate so we never unlink a tmp mid-write
+                if _atime < time.time() - 300:
+                    with contextlib.suppress(OSError):
+                        os.unlink(p)
+                    total -= sz
+                    if total <= self.CACHE_BYTES:
+                        return
+                continue
             if any(key == a or key.startswith(a + "/") for a in prefix_arms):
                 continue
             if any(key == pin or key.startswith(pin + "/")
@@ -493,10 +557,17 @@ class _Container:
                 for f in files:
                     if f.startswith("."):
                         continue
+                    if ".extract-" in f:
+                        # orphaned extraction tmp (crashed process) —
+                        # never ingest it as an object
+                        continue
                     local = os.path.join(dirpath, f)
                     key = os.path.relpath(local, self.cache_dir).replace(os.sep, "/")
                     seen.add(key)
-                    st = os.stat(local)
+                    try:
+                        st = os.stat(local)
+                    except OSError:
+                        continue  # vanished mid-walk (concurrent prune)
                     rec = self._extracted.get(key)
                     if rec and rec[0] == st.st_size and abs(rec[1] - st.st_mtime) < 1e-3:
                         continue  # untouched read cache
@@ -579,17 +650,26 @@ def checkpoint(db_path: str) -> None:
     so the container is a SINGLE file on disk — call before copying or
     shipping it. The reference's redb container has this property at
     every commit; sqlite in WAL mode has it after a checkpoint."""
-    db_path = os.path.abspath(db_path)
+    db_path = os.path.realpath(db_path)
     with _CONTAINERS_LOCK:
         c = _CONTAINERS.get(db_path)
     if c is not None:
         c._conn().execute("PRAGMA wal_checkpoint(TRUNCATE)")
+    elif os.path.isfile(db_path):
+        # not open in THIS process — a -wal sidecar left by another
+        # process would otherwise silently survive the "checkpoint
+        # before shipping" call and the copied .db would miss commits
+        conn = sqlite3.connect(db_path, timeout=30.0)
+        try:
+            conn.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+        finally:
+            conn.close()
 
 
 def close_container(db_path: str) -> None:
     """Checkpoint and drop the process's handle on a container. Safe to
     call on a container that was never opened."""
-    db_path = os.path.abspath(db_path)
+    db_path = os.path.realpath(db_path)
     with _CONTAINERS_LOCK:
         c = _CONTAINERS.pop(db_path, None)
     if c is None:
@@ -607,7 +687,10 @@ _CONTAINERS_LOCK = threading.Lock()
 
 
 def _container(db_path: str) -> _Container:
-    db_path = os.path.abspath(db_path)
+    # realpath, not abspath: the same file reached via a symlink must
+    # map to the SAME instance, or two in-process handles race each
+    # other with independent locks/ledgers
+    db_path = os.path.realpath(db_path)
     with _CONTAINERS_LOCK:
         c = _CONTAINERS.get(db_path)
         if c is None:
@@ -715,13 +798,20 @@ class ContainerFS:
             yield d, dirs, files
 
     def glob(self, pattern: str) -> list[str]:
+        # glob semantics, NOT fnmatch: fnmatch's '*' crosses '/', so
+        # 'lake.db/data/*.parquet' silently matched data/sub/x.parquet —
+        # the same wrong-input-set bug fixed for remote stores in
+        # bytesource._glob_regex; share that translation
+        from .bytesource import _glob_regex
+
         db, keypat = split_uri(pattern)
         cont = _container(db)
         cont.absorb("")
+        rx = _glob_regex(keypat)
         out = [
             container_uri(db, k)
             for k, _, _ in cont.keys_under("")
-            if fnmatch(k, keypat)
+            if rx.match(k)
         ]
         return sorted(out)
 
@@ -751,6 +841,10 @@ class ContainerFS:
     def publish_bytes(self, uri: str, data: bytes) -> None:
         # a sqlite transaction IS the atomic publish
         self.write_bytes(uri, data)
+
+    def publish_if_absent(self, uri: str, data: bytes) -> bool:
+        cont, key = self._ck(uri)
+        return cont.write_bytes_if_absent(key, data)
 
     def makedirs(self, uri: str) -> None:
         split_uri(uri)  # validate; directories are implicit

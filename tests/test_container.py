@@ -83,8 +83,12 @@ def test_walk_and_glob(root):
     assert set(walked[root.rstrip("/")][0]) == {"m", "d"}
     assert walked[f"{root}/m"][1] == ("v1.json", "v2.json")
     assert bs.glob(f"{root}/m/*.json") == [f"{root}/m/v1.json", f"{root}/m/v2.json"]
-    # same fnmatch semantics as the _ArrowFS glob: * may cross "/"
-    assert bs.glob(f"{root}/*/a.parquet") == [f"{root}/d/x/a.parquet"]
+    # glob.glob semantics, SAME as the r10-fixed _ArrowFS glob: '*'
+    # stays within one path segment (fnmatch's crossed '/' and returned
+    # files a local glob never would), '**' spans directories
+    assert bs.glob(f"{root}/*/a.parquet") == []
+    assert bs.glob(f"{root}/*/*/a.parquet") == [f"{root}/d/x/a.parquet"]
+    assert bs.glob(f"{root}/**/a.parquet") == [f"{root}/d/x/a.parquet"]
     assert bs.glob(f"{root}/*.txt") == [f"{root}/top.txt"]
 
 
@@ -378,3 +382,211 @@ def test_replaced_container_gets_fresh_shadow(tmp_path):
     assert cb.cache_dir != ca.cache_dir  # fresh shadow for the new instance
     assert cb.stat("d/x.bin") is None    # old object NOT resurrected
     assert bs.read_bytes(f"bdb://{a}/d/y.bin") == b"BBBB"
+
+
+# ------------------------------------------ r11 decoder-review findings
+
+
+def test_publish_if_absent_threads_one_winner(root):
+    """The container's conditional put is a real transactional
+    primitive: N threads racing for one key — exactly one INSERT
+    commits, every loser sees False, and the winner's payload is what
+    the key holds."""
+    import threading
+
+    wins = []
+
+    def go(i):
+        if bs.publish_if_absent(f"{root}/m/v1.json", b"payload-%d" % i):
+            wins.append(i)
+
+    ths = [threading.Thread(target=go, args=(i,)) for i in range(8)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    assert len(wins) == 1
+    assert bs.read_bytes(f"{root}/m/v1.json") == b"payload-%d" % wins[0]
+
+
+def test_publish_if_absent_processes_one_winner(tmp_path):
+    """Cross-PROCESS conditional put: the sqlite INSERT is atomic
+    across processes publishing into one bdb:// file — the concurrency
+    class where file-backed stores silently lose updates."""
+    import subprocess
+    import sys
+
+    db = tmp_path / "race.db"
+    script = (
+        "import sys\n"
+        "from beacon_spark.sources import bytesource as bs\n"
+        "won = bs.publish_if_absent(sys.argv[1], sys.argv[2].encode())\n"
+        "print('WON' if won else 'LOST')\n"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script,
+             f"bdb://{db}/manifest/v1.json", f"writer-{i}"],
+            stdout=subprocess.PIPE, cwd="/root/repo")
+        for i in range(4)
+    ]
+    outs = [p.communicate()[0].decode().strip() for p in procs]
+    assert all(p.returncode == 0 for p in procs)
+    assert sorted(outs).count("WON") == 1, outs
+    winner = outs.index("WON")
+    assert bs.read_bytes(f"bdb://{db}/manifest/v1.json") == \
+        f"writer-{winner}".encode()
+    bc.close_container(str(db))
+
+
+def test_cross_process_reads_never_tear(tmp_path):
+    """r11 review F1: stat -> blobopen now rides one WAL read snapshot,
+    so another PROCESS's DELETE+INSERT of the same key can't dangle the
+    rowid mid-read (OperationalError) or serve another object's bytes
+    after rowid reuse. A writer process flips the key between two
+    different-sized payloads while we hammer reads: every read must be
+    exactly one of the two payloads."""
+    import subprocess
+    import sys
+    import time as _t
+
+    db = tmp_path / "rw.db"
+    a, b = b"A" * 70_000, b"B" * 130_000
+    bs.write_bytes(f"bdb://{db}/obj.bin", a)
+    writer = (
+        "import sys, time\n"
+        "from beacon_spark.sources import container as bc\n"
+        "c = bc._container(sys.argv[1])\n"
+        "a, b = b'A' * 70_000, b'B' * 130_000\n"
+        "t0 = time.time()\n"
+        "i = 0\n"
+        "while time.time() - t0 < 3.0:\n"
+        "    c.write_bytes('obj.bin', a if i % 2 else b)\n"
+        "    i += 1\n"
+    )
+    p = subprocess.Popen([sys.executable, "-c", writer, str(db)],
+                         cwd="/root/repo")
+    cont = bc._container(str(db))
+    deadline = _t.time() + 2.5
+    n = 0
+    while _t.time() < deadline:
+        got = cont.read_bytes("obj.bin")
+        assert got in (a, b), (len(got), got[:8], got[-8:])
+        head = cont.read_range("obj.bin", 0, 16)
+        assert head in (a[:16], b[:16])
+        n += 1
+    p.wait(timeout=30)
+    assert n > 50  # the loop really hammered
+    bc.close_container(str(db))
+
+
+def test_concurrent_extraction_from_two_processes(tmp_path):
+    """r11 review F2: extraction tmp names are unique per writer — two
+    processes extracting the same object into the SHARED shadow cache
+    no longer interleave truncating writes into one '.extract' file
+    (the winner used to publish a corrupt cache copy straight to the
+    JVM). Both extractions must yield the exact object bytes."""
+    import subprocess
+    import sys
+
+    db = tmp_path / "ex.db"
+    payload = os.urandom(3 << 20)
+    bs.write_bytes(f"bdb://{db}/data/big.parquet", payload)
+    script = (
+        "import sys\n"
+        "from beacon_spark.sources import container as bc\n"
+        "c = bc._container(sys.argv[1])\n"
+        "for _ in range(10):\n"
+        "    p = c.cache_path('data/big.parquet')\n"
+        "    got = open(p, 'rb').read()\n"
+        "    assert len(got) == (3 << 20), len(got)\n"
+        "    c._invalidate('data/big.parquet')\n"
+        "print('OK')\n"
+    )
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(db)],
+                              stdout=subprocess.PIPE, cwd="/root/repo")
+             for _ in range(3)]
+    outs = [p.communicate()[0].decode().strip() for p in procs]
+    assert outs == ["OK"] * 3 and all(p.returncode == 0 for p in procs)
+    # and THIS process still extracts the exact bytes
+    cont = bc._container(str(db))
+    with open(cont.cache_path("data/big.parquet"), "rb") as f:
+        assert f.read() == payload
+    bc.close_container(str(db))
+
+
+def test_checkpoint_without_open_handle(tmp_path):
+    """r11 review F5: checkpoint() of a container this process never
+    opened must still fold the -wal sidecar in — otherwise 'checkpoint
+    before shipping' silently did nothing and the copied .db missed
+    every commit still in the WAL."""
+    import subprocess
+    import sys
+
+    db = tmp_path / "ship.db"
+    # another process writes and exits WITHOUT closing/checkpointing
+    script = (
+        "import os, sys\n"
+        "from beacon_spark.sources import bytesource as bs\n"
+        "bs.write_bytes(f'bdb://{sys.argv[1]}/k.json', b'shipped')\n"
+        # skip interpreter teardown: a clean exit closes the last sqlite
+        # handle, which auto-checkpoints — the crashed-writer shape we
+        # are simulating leaves the WAL behind
+        "os._exit(0)\n"
+    )
+    subprocess.run([sys.executable, "-c", script, str(db)],
+                   check=True, cwd="/root/repo")
+    wal = str(db) + "-wal"
+    assert os.path.exists(wal) and os.path.getsize(wal) > 0
+    bc.checkpoint(str(db))
+    assert os.path.getsize(wal) == 0 if os.path.exists(wal) else True
+    # the bare .db alone (copied elsewhere) carries the commit
+    dst = tmp_path / "copy.db"
+    shutil.copyfile(db, dst)
+    assert bs.read_bytes(f"bdb://{dst}/k.json") == b"shipped"
+    bc.close_container(str(dst))
+
+
+def test_symlinked_container_is_one_instance(tmp_path):
+    """r11 review F7: the same file reached via a symlink maps to the
+    SAME in-process instance (realpath keying) — two instances would
+    race each other with independent locks and ledgers."""
+    db = tmp_path / "real.db"
+    bs.write_bytes(f"bdb://{db}/x", b"1")
+    link = tmp_path / "alias.db"
+    os.symlink(db, link)
+    assert bc._container(str(link)) is bc._container(str(db))
+    assert bs.read_bytes(f"bdb://{link}/x") == b"1"
+    bc.close_container(str(db))
+
+
+def test_managed_table_commits_in_container_are_conditional(spark, tmp_path):
+    """Manifest commits inside a bdb:// container ride the container's
+    NATIVE conditional put: concurrent INSERTs from multiple threads
+    into one container-backed managed table never lose rows (the same
+    contract test_concurrent_inserts_never_lose_rows pins for local
+    manifests, here across the sqlite commit path)."""
+    import threading
+
+    from beacon_spark.managed import ManagedTable
+
+    root = f"bdb://{tmp_path}/lake.db/t1"
+    t = ManagedTable(spark, root)
+    t.create(spark.createDataFrame([(0,)], "v int"))
+    errs = []
+
+    def ins(k):
+        try:
+            t.insert(spark.createDataFrame([(k,)] * 5, "v int"))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ths = [threading.Thread(target=ins, args=(k,)) for k in range(1, 5)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errs, errs
+    assert t.read().count() == 1 + 4 * 5
+    assert t.current_version() == 5
+    bc.close_container(str(tmp_path / "lake.db"))
