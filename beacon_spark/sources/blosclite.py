@@ -102,6 +102,11 @@ def _blosclz_decompress(data: bytes, out_size: int) -> bytes:
             ref -= 1
             if ref < 0:
                 raise ValueError("blosclz: match before output start")
+            if ref >= len(out):
+                # a forward reference is malformed; the overlap loop
+                # below would IndexError, which the split-trial caller
+                # does not treat as a failed decode attempt
+                raise ValueError("blosclz: match past output end")
             if ref + length <= len(out):
                 out += bytes(out[ref: ref + length])
             else:  # overlapping copy (incl. distance-1 RLE)
@@ -274,7 +279,10 @@ def _decode_block(buf: bytes, off: int, out_size: int, typesize: int, cname: str
                 pos += cb
                 parts.append(raw if cb == neblock else _inner_decompress(cname, raw, neblock))
             return b"".join(parts)
-        except (ValueError, OSError) as e:  # wrong split guess -> strict decode fails
+        except (ValueError, OSError, IndexError, struct.error) as e:
+            # wrong split guess -> strict decode fails; Index/struct
+            # errors from walking garbage offsets count as failures of
+            # THIS trial, not a crash of the whole decode
             last_err = e
     raise ValueError(f"blosc block decode failed: {last_err}")
 
@@ -288,12 +296,16 @@ def blosc_decode(frame: bytes) -> bytes:
     if cbytes > len(frame):
         raise ValueError("blosc header cbytes exceeds buffer")
     if flags & _FLAG_MEMCPY:
+        if len(frame) < 16 + nbytes:
+            raise ValueError("blosc memcpy frame shorter than nbytes")
         return bytes(frame[16: 16 + nbytes])
     cname = BLOSC_CODECS.get((flags >> 5) & 0x7)
     if cname is None:
         raise ValueError(f"unknown blosc inner codec id {(flags >> 5) & 0x7}")
     if nbytes == 0:
         return b""
+    if blocksize == 0:
+        raise ValueError("blosc header blocksize is 0 with nonzero nbytes")
     nblocks = -(-nbytes // blocksize)
     bstarts = struct.unpack_from(f"<{nblocks}I", frame, 16)
     out = bytearray()
@@ -322,6 +334,11 @@ def blosc_encode(
     raw, as the reference implementation does."""
     if cname not in _CODEC_IDS:
         raise ValueError(f"unsupported blosc inner codec {cname!r}")
+    if not 0 < typesize <= 255:
+        # c-blosc caps typesize at 255 (wider elements store with
+        # typesize 1, no shuffle); `typesize & 0xFF` below would
+        # otherwise silently wrap 256 -> 0 in the header
+        typesize, shuffle = 1, False
     nbytes = len(data)
     if blocksize is None:
         blocksize = min(max(nbytes, 1), 1 << 18)

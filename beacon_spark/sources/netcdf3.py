@@ -38,7 +38,7 @@ _TYPES = {
     6: np.dtype(">f8"),  # NC_DOUBLE
 }
 _NC_TYPE_OF = {
-    "int8": 1, "uint8": 1, "bool": 1,
+    "int8": 1, "bool": 1,
     "int16": 3, "int32": 4,
     "float32": 5, "float64": 6,
 }
@@ -70,7 +70,9 @@ class _Reader:
 
     def name(self) -> str:
         n = self.u4()
-        s = self.b[self.o : self.o + n].decode("utf-8")
+        # "replace", not strict: a malformed name must surface as a
+        # mangled column, not a crash that hides the rest of the file
+        s = self.b[self.o : self.o + n].decode("utf-8", "replace")
         self.o += n + _pad4(n)
         return s
 
@@ -188,6 +190,11 @@ def read_netcdf3(path: str) -> tuple[dict, dict, dict, dict]:
     # header itself is tiny either way
     buf = _bs.open_buffer(path)
     if buf[:3] != _MAGIC or buf[3] not in (1, 2):
+        if buf[:3] == _MAGIC and buf[3] == 5:
+            raise ValueError(
+                f"{path}: CDF-5 (64-bit data) NetCDF — only CDF-1/CDF-2 "
+                f"classic is supported without the optional netCDF4 package"
+            )
         raise ValueError(
             f"{path}: not a NetCDF3 classic file (NetCDF4/HDF5 needs the "
             f"optional netCDF4 package)"
@@ -197,14 +204,29 @@ def read_netcdf3(path: str) -> tuple[dict, dict, dict, dict]:
     r.o = 4
     numrecs = r.u4()  # 0xFFFFFFFF = STREAMING; treated as computed below
 
+    def _check_tag(tag: int, n: int, expected: int, what: str) -> None:
+        """The spec allows exactly two shapes per list: ABSENT
+        (ZERO ZERO) or (expected_tag, count). Anything else is a
+        corrupt header — silently reading it as 'no {what}' would
+        serve an EMPTY dataset from a damaged file."""
+        if tag == expected:
+            return
+        if tag == 0 and n == 0:
+            return
+        raise ValueError(
+            f"{path}: corrupt NetCDF3 header — expected {what} list tag, "
+            f"got tag={tag:#x} count={n}")
+
     dims: list[tuple[str, int]] = []
     tag, n = r.u4(), r.u4()
+    _check_tag(tag, n, _NC_DIMENSION, "dimension")
     if tag == _NC_DIMENSION:
         for _ in range(n):
             dims.append((r.name(), r.u4()))
 
     def read_attrs() -> dict:
         tag, n = r.u4(), r.u4()
+        _check_tag(tag, n, _NC_ATTRIBUTE, "attribute")
         out = {}
         if tag == _NC_ATTRIBUTE:
             for _ in range(n):
@@ -217,6 +239,7 @@ def read_netcdf3(path: str) -> tuple[dict, dict, dict, dict]:
     global_attrs = read_attrs()
 
     tag, nvars = r.u4(), r.u4()
+    _check_tag(tag, nvars, _NC_VARIABLE, "variable")
     var_meta = []
     if tag == _NC_VARIABLE:
         for _ in range(nvars):
@@ -251,9 +274,14 @@ def read_netcdf3(path: str) -> tuple[dict, dict, dict, dict]:
         recsize = _unpadded_rec_bytes(rec_vars[0])
     else:
         recsize = sum(m[4] for m in rec_vars)
-    if rec_dim is not None and (numrecs == 0xFFFFFFFF) and rec_vars:
-        first = min(m[5] for m in rec_vars)
-        numrecs = (len(buf) - first) // recsize if recsize else 0
+    if rec_dim is not None and numrecs == 0xFFFFFFFF:
+        if rec_vars:
+            first = min(m[5] for m in rec_vars)
+            numrecs = (len(buf) - first) // recsize if recsize else 0
+        else:
+            # STREAMING sentinel with no record variables: nothing was
+            # ever appended — the record dim is empty, not 2^32-1 long
+            numrecs = 0
 
     dim_sizes = {
         name: (numrecs if sz == 0 else sz) for name, sz in dims
@@ -301,6 +329,14 @@ def _nc_type_for(arr: np.ndarray) -> tuple[int, np.ndarray]:
     name = kind.name
     if name in _NC_TYPE_OF:
         t = _NC_TYPE_OF[name]
+    elif name == "uint8":
+        # NC_BYTE is SIGNED: a straight uint8 cast wraps 200 -> -56
+        # (silent value corruption). Keep byte when every value fits,
+        # else widen to short — value-exact either way.
+        if arr.size and int(arr.max()) > 127:
+            t, arr = 3, arr.astype(np.int16)
+        else:
+            t, arr = 1, arr.astype(np.int8)
     elif kind.kind in ("i", "u"):
         # NetCDF3 classic has no 64-bit integer type. Narrow to int32
         # only when every value FITS — clipping silently corrupted any

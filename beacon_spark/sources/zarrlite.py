@@ -48,6 +48,56 @@ _V3_DTYPES = {
 }
 
 
+def _parse_fill(fill, dtype: np.dtype):
+    """Spec fill-value forms beyond plain numbers: the JSON strings
+    "NaN"/"Infinity"/"-Infinity" for floats, "0x…" raw-bit patterns,
+    and null. np.full crashed on every one of them — a store written
+    with fill_value "NaN" (xarray's default for float arrays) could
+    not be read at all."""
+    if fill is None:
+        return b"" if dtype.kind in ("S", "U") else 0
+    if isinstance(fill, str):
+        if fill == "NaN":
+            return np.nan
+        if fill == "Infinity":
+            return np.inf
+        if fill == "-Infinity":
+            return -np.inf
+        if fill.startswith("0x"):
+            raw = bytes.fromhex(fill[2:])
+            if len(raw) == dtype.itemsize:
+                return np.frombuffer(raw, dtype.newbyteorder(">"))[0]
+        if dtype.kind in ("S", "U"):
+            return fill
+        raise ValueError(f"unsupported zarr fill_value {fill!r}")
+    return fill
+
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the checksum
+    the v3 ``crc32c`` codec appends. Table-driven Python — slow per
+    byte, but the codec is opt-in (our writer never emits it) and
+    correctness beats speed for an integrity check; stores that need
+    fast verified reads should ship zstd-only chains."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    tbl = _CRC32C_TABLE
+    for b in data:
+        crc = tbl[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
 def _decompress(data: bytes, codecs: list[dict], out_size: int) -> tuple[bytes, str]:
     """Apply the decode side of a v3 codec chain; returns (bytes, endian).
     ``out_size`` is the decoded chunk's byte count (known from the chunk
@@ -72,7 +122,16 @@ def _decompress(data: bytes, codecs: list[dict], out_size: int) -> tuple[bytes, 
         elif name == "bytes":
             endian = codec.get("configuration", {}).get("endian", "little")
         elif name == "crc32c":
-            data = data[:-4]  # checksum suffix
+            body, trailer = data[:-4], data[-4:]
+            want = int.from_bytes(trailer, "little")
+            got = _crc32c(body)
+            if got != want:
+                # stripping without verifying silently served corrupt
+                # chunks — the whole point of the codec is the check
+                raise ValueError(
+                    f"zarr chunk crc32c mismatch: stored {want:#010x}, "
+                    f"computed {got:#010x}")
+            data = body
         else:
             raise ValueError(
                 f"zarr codec {name!r} needs the 'zarr' package (not installed)"
@@ -184,7 +243,7 @@ class ZarrLazyArray:
     def __getitem__(self, idx) -> np.ndarray:
         sel = self._norm(idx)
         out_shape = tuple(s.stop - s.start for s in sel)
-        out = np.full(out_shape, 0 if self.fill is None else self.fill, self.dtype)
+        out = np.full(out_shape, _parse_fill(self.fill, self.dtype), self.dtype)
         if 0 in out_shape:
             return out
         # chunk index hull per dim — only intersecting chunks are touched
@@ -196,8 +255,11 @@ class ZarrLazyArray:
             p = self._chunk_path(cidx)
             try:
                 raw = _bs.read_bytes(p)  # one GET; no exists() pre-flight
-            except (FileNotFoundError, OSError):
+            except FileNotFoundError:
                 continue  # missing chunk = fill value (per spec)
+            # NOT the broad OSError: a transient permission/IO/network
+            # failure must surface loudly, not silently read as a
+            # chunk's worth of fill values
             chunk = self._decode_chunk(raw)
             # intersection of this chunk with the selection, both frames
             src, dst = [], []
@@ -217,7 +279,12 @@ class ZarrLazyArray:
 
 def _read_array_v3(adir: str, meta: dict) -> tuple[tuple[str, ...], ZarrLazyArray, dict]:
     shape = tuple(meta["shape"])
-    dt = _V3_DTYPES[meta["data_type"]]
+    try:
+        dt = _V3_DTYPES[meta["data_type"]]
+    except KeyError:
+        raise ValueError(
+            f"{adir}: zarr v3 data_type {meta.get('data_type')!r} needs "
+            f"the 'zarr' package (not installed)") from None
     chunk_shape = tuple(meta["chunk_grid"]["configuration"]["chunk_shape"])
     key_name = meta.get("chunk_key_encoding", {}).get("name", "default")
     # spec defaults: '/' for the 'default' encoding, '.' for 'v2'

@@ -203,3 +203,55 @@ def test_zarr_blosc_sql_e2e(spark, tmp_path):
         "SELECT t, sst FROM read_zarr('obs.zarr') WHERE sst > 10 ORDER BY t"
     ).collect()
     assert [(r.t, r.sst) for r in rows] == [(0, 10.5), (1, 11.0), (2, 12.25)]
+
+
+# -------------------------------------------- r11 decoder-review findings
+
+
+def test_malformed_frames_raise_valueerror():
+    """r11 review: garbage inside a frame must fail as ValueError from
+    every path — IndexError/struct.error escaping the split-trial loop
+    crashed the decode instead of failing the trial."""
+    import struct as _struct
+
+    # blocksize 0 with nonzero nbytes: used to ZeroDivisionError
+    hdr = bytearray(16)
+    hdr[0], hdr[1], hdr[2], hdr[3] = 2, 1, 0, 1
+    _struct.pack_into("<III", hdr, 4, 100, 0, 16)
+    with pytest.raises(ValueError):
+        blosc_decode(bytes(hdr))
+
+    # memcpy frame shorter than its claimed nbytes
+    hdr2 = bytearray(16)
+    hdr2[0], hdr2[1], hdr2[2], hdr2[3] = 2, 1, 0x2, 1
+    _struct.pack_into("<III", hdr2, 4, 1000, 1000, 16)
+    with pytest.raises(ValueError):
+        blosc_decode(bytes(hdr2) + b"xy")
+
+    # block offsets pointing at garbage: ValueError, never IndexError
+    good = blosc_encode(bytes(range(256)) * 64, typesize=4, cname="blosclz")
+    bad = bytearray(good)
+    _struct.pack_into("<I", bad, 16, len(good) - 2)  # offset near EOF
+    with pytest.raises(ValueError):
+        blosc_decode(bytes(bad))
+
+
+def test_blosclz_forward_reference_is_valueerror():
+    """A match reference past the produced output must raise ValueError
+    (it used to IndexError out of the overlap loop)."""
+    from beacon_spark.sources.blosclite import _blosclz_decompress
+
+    # literal run of 1 ('A'), then match ctrl with huge distance
+    stream = bytes([0, ord("A"), (1 << 5) | 31, 255])
+    with pytest.raises(ValueError):
+        _blosclz_decompress(stream, 64)
+
+
+def test_encode_wide_typesize_does_not_wrap():
+    """typesize 256 stored as `& 0xFF` wrote 0 into the header and
+    produced undecodable shuffle frames; wide elements now store with
+    typesize 1 / no shuffle."""
+    data = bytes(range(256)) * 8
+    frame = blosc_encode(data, typesize=256, cname="zlib", shuffle=True)
+    assert frame[3] == 1  # header typesize
+    assert blosc_decode(frame) == data

@@ -577,7 +577,7 @@ def test_zarr_lazy_indexing_semantics(tmp_path):
                          chunk_shapes={"v": (4,)})
     _, variables, _, _ = read_zarr_store(p)
     _dn, a = variables["v"]
-    assert int(np.asarray(a[-1])) == 9
+    assert np.asarray(a[-1]).reshape(-1)[0] == 9
     with pytest.raises(IndexError):
         a[10]
     with pytest.raises(NotImplementedError, match="step"):
@@ -672,3 +672,161 @@ def test_read_netcdf_sql_dimensions_argument(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no dimensions list"):
         eng.sql("SELECT * FROM read_parquet(['g.nc'], ['t'])")
+
+
+# -------------------------------------------- r11 decoder-review findings
+
+
+def test_netcdf3_uint8_values_survive(tmp_path):
+    """r11 review N1: uint8 -> NC_BYTE cast wrapped 200 to -56 (NC_BYTE
+    is signed) — silent value corruption. uint8 now keeps byte only
+    when every value fits; wider values ride NC_SHORT, value-exact."""
+    p = str(tmp_path / "u8.nc")
+    vals = np.array([0, 1, 127, 128, 200, 255], dtype=np.uint8)
+    small = np.array([0, 5, 127], dtype=np.uint8)
+    write_netcdf3(
+        p, dims={"n": 6, "m": 3},
+        variables={"big": (("n",), vals), "small": (("m",), small)},
+    )
+    _, variables, _, _ = read_netcdf3(p)
+    assert np.asarray(variables["big"][1]).tolist() == [0, 1, 127, 128, 200, 255]
+    assert np.asarray(variables["big"][1]).dtype.itemsize == 2  # widened
+    assert np.asarray(variables["small"][1]).tolist() == [0, 5, 127]
+    assert np.asarray(variables["small"][1]).dtype.itemsize == 1  # kept byte
+
+
+def test_netcdf3_corrupt_header_tag_is_loud(tmp_path):
+    """r11 review N2: a corrupt list tag used to read as 'no dims /
+    no vars' and served an EMPTY dataset from a damaged file; it must
+    raise instead."""
+    p = str(tmp_path / "ok.nc")
+    write_netcdf3(p, dims={"n": 2},
+                  variables={"v": (("n",), np.array([1.0, 2.0]))})
+    raw = bytearray(open(p, "rb").read())
+    # dim-list tag lives right after magic(4) + numrecs(4)
+    raw[8:12] = (0xDEAD).to_bytes(4, "big")
+    bad = str(tmp_path / "bad.nc")
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="corrupt NetCDF3 header"):
+        read_netcdf3(bad)
+    # ABSENT (ZERO ZERO) is still legal: tag 0 count 0
+    raw2 = bytearray(open(p, "rb").read())
+    assert raw2[8:12] == (0x0A).to_bytes(4, "big")
+
+
+def test_netcdf3_streaming_sentinel_without_record_vars(tmp_path):
+    """r11 review N3: numrecs=0xFFFFFFFF (STREAMING) with a record dim
+    but no record variables must size the record dim 0, not 2^32-1."""
+    import struct as _struct
+
+    p = str(tmp_path / "s.nc")
+    # handcraft: CDF-1, numrecs=STREAMING, one UNLIMITED dim, no vars
+    b = b"CDF\x01" + b"\xff\xff\xff\xff"
+    b += _struct.pack(">II", 0x0A, 1)           # dim list, 1 dim
+    b += _struct.pack(">I", 4) + b"time"        # name
+    b += _struct.pack(">I", 0)                  # size 0 = UNLIMITED
+    b += _struct.pack(">II", 0, 0)              # global attrs ABSENT
+    b += _struct.pack(">II", 0, 0)              # var list ABSENT
+    open(p, "wb").write(b)
+    dims, variables, _, _ = read_netcdf3(p)
+    assert dims["time"] == 0 and variables == {}
+
+
+def test_netcdf3_cdf5_clear_error(tmp_path):
+    """r11 review N5: CDF-5 magic gets its own actionable message."""
+    p = str(tmp_path / "c5.nc")
+    open(p, "wb").write(b"CDF\x05" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="CDF-5"):
+        read_netcdf3(p)
+
+
+def test_zarr_special_float_fill_values(tmp_path):
+    """r11 review Z1: v2/v3 stores may carry fill_value "NaN" /
+    "Infinity" / "-Infinity" (xarray's default for float arrays) or a
+    "0x…" bit pattern; np.full crashed on all of them, making such
+    stores unreadable. Missing chunks must materialize the parsed
+    fill."""
+    import json as _json
+
+    root = str(tmp_path / "f.zarr")
+    write_zarr_store = __import__(
+        "beacon_spark.sources.zarrlite", fromlist=["write_zarr_store"]
+    ).write_zarr_store
+    write_zarr_store(
+        root,
+        {"v": (("x",), np.arange(8.0))},
+        version=2, codec=None, chunk_shapes={"v": (4,)},
+    )
+    # rewrite metadata with a string fill and drop the second chunk
+    zarray = os.path.join(root, "v", ".zarray")
+    meta = _json.loads(open(zarray).read())
+    meta["fill_value"] = "NaN"
+    open(zarray, "w").write(_json.dumps(meta))
+    os.unlink(os.path.join(root, "v", "1"))
+    _, variables, _, _ = read_zarr_store_helper(root)
+    got = np.asarray(variables["v"][1])
+    assert got[:4].tolist() == [0.0, 1.0, 2.0, 3.0]
+    assert np.isnan(got[4:]).all()
+
+
+def read_zarr_store_helper(root):
+    from beacon_spark.sources.zarrlite import read_zarr_store
+
+    return read_zarr_store(root)
+
+
+def test_zarr_crc32c_verified(tmp_path):
+    """r11 review Z11: the v3 crc32c codec trailer is now VERIFIED —
+    stripping it without checking served corrupt chunks silently."""
+    import json as _json
+
+    from beacon_spark.sources.zarrlite import _crc32c
+
+    # known-answer: CRC-32C("123456789") = 0xE3069283
+    assert _crc32c(b"123456789") == 0xE3069283
+
+    root = str(tmp_path / "c.zarr")
+    from beacon_spark.sources.zarrlite import write_zarr_store
+
+    write_zarr_store(root, {"v": (("x",), np.arange(4, dtype=np.int32))},
+                     version=3, codec=None)
+    # append a crc32c trailer to the chunk + declare the codec
+    zj = os.path.join(root, "v", "zarr.json")
+    meta = _json.loads(open(zj).read())
+    meta["codecs"] = meta["codecs"] + [{"name": "crc32c"}]
+    open(zj, "w").write(_json.dumps(meta))
+    chunk = os.path.join(root, "v", "c", "0")
+    raw = open(chunk, "rb").read()
+    open(chunk, "wb").write(raw + _crc32c(raw).to_bytes(4, "little"))
+    _, variables, _, _ = read_zarr_store_helper(root)
+    assert np.asarray(variables["v"][1]).tolist() == [0, 1, 2, 3]
+    # corrupt one byte: the read must fail loudly, not serve garbage
+    bad = bytearray(raw + _crc32c(raw).to_bytes(4, "little"))
+    bad[0] ^= 0xFF
+    open(chunk, "wb").write(bytes(bad))
+    with pytest.raises(ValueError, match="crc32c mismatch"):
+        np.asarray(read_zarr_store_helper(root)[1]["v"][1])
+
+
+def test_zarr_io_errors_not_swallowed_as_fill(tmp_path, monkeypatch):
+    """r11 review Z3: only FileNotFoundError means missing-chunk=fill;
+    a transient IO/permission error must surface, not fabricate fill
+    values."""
+    from beacon_spark.sources import bytesource as _bsrc
+    from beacon_spark.sources.zarrlite import read_zarr_store, write_zarr_store
+
+    root = str(tmp_path / "e.zarr")
+    write_zarr_store(root, {"v": (("x",), np.arange(4.0))},
+                     version=2, codec=None)
+    _, variables, _, _ = read_zarr_store(root)
+
+    real = _bsrc.read_bytes
+
+    def flaky(path):
+        if path.endswith("/0"):
+            raise PermissionError(13, "transient denial", path)
+        return real(path)
+
+    monkeypatch.setattr(_bsrc, "read_bytes", flaky)
+    with pytest.raises(PermissionError):
+        np.asarray(variables["v"][1])
