@@ -216,6 +216,8 @@ def parse_datatype(body: bytes, pos: int = 0) -> tuple[Datatype, int]:
         return Datatype(cls, size, dt), p
     if cls == 1:  # float
         big = bool(bits0 & 0x01)
+        if size not in (2, 4, 8):
+            raise _unsupported(f"float size {size}")  # long double etc.
         dt = np.dtype((">" if big else "<") + {2: "f2", 4: "f4", 8: "f8"}[size])
         p += 12
         return Datatype(cls, size, dt), p
@@ -228,7 +230,7 @@ def parse_datatype(body: bytes, pos: int = 0) -> tuple[Datatype, int]:
         for _ in range(nmembers):
             if version == 1:
                 end = body.index(b"\x00", p)
-                name = body[p:end].decode()
+                name = body[p:end].decode("utf-8", "replace")
                 p += ((end - p) // 8 + 1) * 8  # padded to 8
                 offset = _upk("<I", body, p)[0]
                 p += 4
@@ -238,14 +240,14 @@ def parse_datatype(body: bytes, pos: int = 0) -> tuple[Datatype, int]:
                 mdt, p = parse_datatype(body, p)
             elif version == 2:
                 end = body.index(b"\x00", p)
-                name = body[p:end].decode()
+                name = body[p:end].decode("utf-8", "replace")
                 p += ((end - p) // 8 + 1) * 8
                 offset = _upk("<I", body, p)[0]
                 p += 4
                 mdt, p = parse_datatype(body, p)
             else:  # version 3: name not padded, compact offset
                 end = body.index(b"\x00", p)
-                name = body[p:end].decode()
+                name = body[p:end].decode("utf-8", "replace")
                 p = end + 1
                 nbytes = max(1, (int(size).bit_length() + 7) // 8)
                 offset = int.from_bytes(body[p: p + nbytes], "little")
@@ -270,6 +272,11 @@ def parse_dataspace(body: bytes) -> tuple[int, ...]:
         pos = 8
     elif ver == 2:
         flags = body[2]
+        if body[3] == 2:
+            # NULL dataspace (h5py.Empty attributes): ZERO elements.
+            # Treating it as a scalar made decode_values read one
+            # element from an empty buffer and crash the whole file.
+            return (0,)
         pos = 4
     else:
         raise _unsupported(f"dataspace v{ver}")
@@ -525,6 +532,29 @@ def parse_filters(body: bytes) -> list[Filter]:
     return out
 
 
+def _fletcher32(data: bytes) -> int:
+    """H5_checksum_fletcher32 (H5checksum.c): big-endian 16-bit words,
+    a trailing odd byte contributes ``byte << 8``, end-around-carry
+    folding (so a sum ≡ 0 mod 65535 folds to 0xFFFF, not 0). Vectorized
+    in blocks: for a block of k words starting from (s1, s2),
+    s2' = s2 + k*s1 + Σ (k-i)·w_i and s1' = s1 + Σ w_i."""
+    words = np.frombuffer(data[: len(data) // 2 * 2], ">u2").astype(np.uint64)
+    if len(data) % 2:
+        words = np.concatenate([words, np.array([data[-1] << 8], np.uint64)])
+    s1 = s2 = 0
+    blk = 1 << 20  # keeps the weighted sum far inside uint64
+    for i in range(0, len(words), blk):
+        w = words[i: i + blk]
+        k = len(w)
+        s2 += k * s1 + int((w * np.arange(k, 0, -1, dtype=np.uint64)).sum())
+        s1 += int(w.sum())
+    while s1 > 0xFFFF:
+        s1 = (s1 & 0xFFFF) + (s1 >> 16)
+    while s2 > 0xFFFF:
+        s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    return (s2 << 16) | s1
+
+
 def apply_filters(raw: bytes, filters: list[Filter], mask: int, itemsize: int) -> bytes:
     data = raw
     for i, flt in enumerate(reversed(filters)):
@@ -539,8 +569,16 @@ def apply_filters(raw: bytes, filters: list[Filter], mask: int, itemsize: int) -
                 nel = len(data) // t
                 body_arr = np.frombuffer(data[: nel * t], "u1")
                 data = body_arr.reshape(t, nel).T.reshape(-1).tobytes() + data[nel * t:]
-        elif flt.fid == 3:  # fletcher32 checksum suffix
-            data = data[:-4]
+        elif flt.fid == 3:  # fletcher32 checksum suffix — VERIFIED:
+            # stripping without checking silently served corrupt chunks
+            body, trailer = data[:-4], data[-4:]
+            want = int.from_bytes(trailer, "little")
+            got = _fletcher32(body)
+            if got != want:
+                raise Hdf5Error(
+                    f"fletcher32 mismatch: stored {want:#010x}, "
+                    f"computed {got:#010x} (corrupt chunk)")
+            data = body
         else:
             raise _unsupported(f"filter id {flt.fid} (szip/blosc need plugins)")
     return data
@@ -823,14 +861,18 @@ class Hdf5Reader(Hdf5File):
         msgs = self.messages(addr)
         attrs: dict = {}
         links: list[Link] = []
-        parts: dict[int, bytes] = {t: b for t, b, _ in msgs if t in (0x11,)}
         for t, body, _ in msgs:
             if t == 0x0C:
                 try:
                     name, val = parse_attribute(self, body)
                     attrs[name] = val
-                except Hdf5Error:
-                    pass  # exotic attribute types: skip, don't fail the file
+                except (Hdf5Error, ValueError, IndexError, struct.error):
+                    # exotic/malformed attribute: skip, don't fail the
+                    # file. The broad catch matters: Hdf5Error subclasses
+                    # ValueError, so catching only it let a plain
+                    # ValueError (e.g. a short value buffer) crash the
+                    # whole read over one bad attribute
+                    pass
             elif t == 0x06:
                 ln = parse_link_msg(body)
                 if ln is not None:
@@ -876,8 +918,8 @@ class Hdf5Reader(Hdf5File):
                 body = heap.get(hid)
                 name, val = parse_attribute(self, body)
                 out[name] = val
-            except Hdf5Error:
-                continue
+            except (Hdf5Error, ValueError, IndexError, struct.error):
+                continue  # same skip-don't-fail contract as inline attrs
         return out
 
     def _read_group(self, name: str, addr: int,
