@@ -63,55 +63,25 @@ def geojson_to_wkt(geojson: str | dict) -> str:
 
 
 # ---------------------------------------------------------------- wkt parsing
-
-_NUM = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
-
-
-_NUM_RE = re.compile(_NUM)
-
-
-def _parse_ring(text: str) -> np.ndarray:
-    # first two numbers per comma-separated point (Z/M-safe — pairing
-    # the flat list minted phantom vertices at the z/m values)
-    pts = [
-        (float(ns[0]), float(ns[1]))
-        for part in text.split(",")
-        if len(ns := _NUM_RE.findall(part)) >= 2
-    ]
-    return np.array(pts, dtype=np.float64).reshape(-1, 2)
+#
+# ONE parser for both geometry modules: functions/_wkt.py (the r10
+# duplicate stacks drifted — the Z/M phantom-vertex fix had to be
+# applied twice; this wrapper keeps st_within_point's polygon-list
+# currency while the text handling lives in the shared leaf).
 
 
 def parse_wkt_polygons(wkt: str) -> list[list[np.ndarray]]:
     """WKT → list of polygons, each a list of rings (first = shell, rest =
     holes). Supports POLYGON and MULTIPOLYGON; POINT degenerates to a
     zero-area polygon (point-equality)."""
-    s = wkt.strip()
-    upper = s.upper()
-    if upper.startswith("MULTIPOLYGON"):
-        body = s[s.index("(") + 1 : s.rindex(")")]
-        polys = []
-        depth = 0
-        start = None
-        for i, ch in enumerate(body):
-            if ch == "(":
-                if depth == 0:
-                    start = i
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    polys.append(body[start + 1 : i])
-        return [[_parse_ring(r) for r in re.findall(r"\(([^()]*)\)", "(" + p + ")")]
-                for p in polys]
-    if upper.startswith("POLYGON"):
-        body = s[s.index("(") + 1 : s.rindex(")")]
-        rings = re.findall(r"\(([^()]*)\)", body)
-        if not rings:
-            rings = [body]
-        return [[_parse_ring(r) for r in rings]]
-    if upper.startswith("POINT"):
-        ring = _parse_ring(s)
-        return [[ring]]
+    from beacon_spark.functions._wkt import parse_wkt
+
+    g = parse_wkt(wkt)
+    if g.polys is not None:
+        if g.polys or g.empty:
+            return list(g.polys)
+    if g.kind == "POINT" and g.pts is not None and len(g.pts):
+        return [[g.pts[:1]]]
     raise ValueError(f"unsupported WKT geometry: {wkt[:40]}...")
 
 
@@ -125,8 +95,15 @@ def _points_in_ring(ring: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarra
     x1, y1 = ring[:-1, 0][:, None], ring[:-1, 1][:, None]
     x2, y2 = ring[1:, 0][:, None], ring[1:, 1][:, None]
     cond = (y1 <= y[None, :]) != (y2 <= y[None, :])
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xin = x1 + (y[None, :] - y1) * (x2 - x1) / (y2 - y1)
+    # explicit mask: horizontal segments (dy == 0) never satisfy cond,
+    # so their quotient is dead — masking the denominator keeps REAL
+    # overflow warnings audible instead of blanket-silencing the op
+    dy = y2 - y1
+    denom = np.where(dy == 0.0, np.inf, dy)
+    # extreme-coordinate arithmetic may still saturate to inf (over) or
+    # produce inf/inf (invalid) — both land only in cond-masked cells
+    with np.errstate(over="ignore", invalid="ignore"):
+        xin = x1 + (y[None, :] - y1) * (x2 - x1) / denom
     crossings = (cond & (x[None, :] < xin)).sum(axis=0)
     return (crossings % 2).astype(bool)
 

@@ -38,167 +38,23 @@ from pyspark.sql import types as T
 from beacon_spark.functions.geo import geojson_to_wkt, wkb_to_wkt
 
 # ------------------------------------------------------------------ parsing
-
-_NUM = r"[-+]?(?:\d*\.\d+|\d+\.?)(?:[eE][-+]?\d+)?"
-_COORD_RE = re.compile(rf"({_NUM})\s+({_NUM})")
-
-
-class Geom:
-    """Parsed WKT: ``kind`` + list of parts.
-
-    POINT/MULTIPOINT          -> pts: (n,2) array
-    LINESTRING/MULTILINESTRING-> lines: list[(n,2)]
-    POLYGON/MULTIPOLYGON      -> polys: list[list[(n,2)]] (shell+holes)
-    GEOMETRYCOLLECTION        -> geoms: list[Geom]
-    """
-
-    __slots__ = ("kind", "pts", "lines", "polys", "geoms", "empty")
-
-    def __init__(self, kind):
-        self.kind = kind
-        self.pts = None
-        self.lines = None
-        self.polys = None
-        self.geoms = None
-        self.empty = False
-
-    # -- derived -------------------------------------------------------
-    def all_coords(self) -> np.ndarray:
-        if self.empty:
-            return np.zeros((0, 2))
-        if self.pts is not None:
-            return self.pts
-        if self.lines is not None:
-            return np.vstack(self.lines) if self.lines else np.zeros((0, 2))
-        if self.polys is not None:
-            rings = [r for p in self.polys for r in p]
-            return np.vstack(rings) if rings else np.zeros((0, 2))
-        return (
-            np.vstack([g.all_coords() for g in self.geoms])
-            if self.geoms
-            else np.zeros((0, 2))
-        )
-
-    def bounds(self):
-        c = self.all_coords()
-        if not len(c):
-            return (math.nan,) * 4
-        return (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
-
-    def segments(self) -> np.ndarray:
-        """All boundary segments as (m, 4) [x1 y1 x2 y2] — polygons use
-        closed rings, linestrings their runs, points contribute none."""
-        segs = []
-        if self.lines:
-            for ln in self.lines:
-                if len(ln) > 1:
-                    segs.append(np.hstack([ln[:-1], ln[1:]]))
-        if self.polys:
-            for rings in self.polys:
-                for r in rings:
-                    rc = _close(r)
-                    if len(rc) > 1:
-                        segs.append(np.hstack([rc[:-1], rc[1:]]))
-        if self.geoms:
-            for g in self.geoms:
-                s = g.segments()
-                if len(s):
-                    segs.append(s)
-        return np.vstack(segs) if segs else np.zeros((0, 4))
-
-
-def _close(r: np.ndarray) -> np.ndarray:
-    if len(r) and not np.array_equal(r[0], r[-1]):
-        return np.vstack([r, r[:1]])
-    return r
-
-
-_NUM_RE = re.compile(_NUM)
-
-
-def _coords(text: str) -> np.ndarray:
-    """Comma-separated point list → (n, 2) XY. Each point contributes
-    its FIRST TWO numbers: pairing the flat number list turned every
-    Z/M/ZM point into phantom 2-D vertices at the (z, m) values."""
-    pts = []
-    for part in text.split(","):
-        nums = _NUM_RE.findall(part)
-        if len(nums) >= 2:
-            pts.append((float(nums[0]), float(nums[1])))
-    return np.array(pts, dtype=np.float64).reshape(-1, 2)
-
-
-def _split_groups(body: str) -> list[str]:
-    """Split a parenthesized body at top-level commas."""
-    parts, depth, start = [], 0, 0
-    for i, ch in enumerate(body):
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            parts.append(body[start:i])
-            start = i + 1
-    parts.append(body[start:])
-    return parts
-
-
-def _inner(s: str) -> str:
-    return s[s.index("(") + 1 : s.rindex(")")]
-
-
-def parse_wkt(wkt: str) -> Geom:
-    s = wkt.strip()
-    m = re.match(r"([A-Za-z]+)\s*(ZM|Z|M)?\s*(.*)", s, re.S)
-    if not m:
-        raise ValueError(f"bad WKT: {wkt[:40]!r}")
-    kind = m.group(1).upper()
-    rest = m.group(3).strip()
-    g = Geom(kind)
-    if rest.upper() == "EMPTY" or not rest:
-        g.empty = True
-        if kind in ("POINT", "MULTIPOINT"):
-            g.pts = np.zeros((0, 2))
-        elif kind in ("LINESTRING", "MULTILINESTRING"):
-            g.lines = []
-        elif kind in ("POLYGON", "MULTIPOLYGON"):
-            g.polys = []
-        else:
-            g.geoms = []
-        return g
-    body = _inner(rest)
-    if kind == "POINT":
-        g.pts = _coords(body)
-    elif kind == "MULTIPOINT":
-        g.pts = _coords(body)
-    elif kind == "LINESTRING":
-        g.lines = [_coords(body)]
-    elif kind == "MULTILINESTRING":
-        g.lines = [_coords(p) for p in _split_groups(body)]
-    elif kind == "POLYGON":
-        g.polys = [[_coords(p) for p in _split_groups(body)]]
-    elif kind == "MULTIPOLYGON":
-        g.polys = [
-            [_coords(r) for r in _split_groups(_inner(p.strip()))]
-            for p in _split_groups(body)
-        ]
-    elif kind == "GEOMETRYCOLLECTION":
-        g.geoms = [parse_wkt(p.strip()) for p in _split_groups(body)]
-    else:
-        raise ValueError(f"unsupported WKT type {kind}")
-    return g
-
-
-_PARSE_CACHE: dict[str, Geom] = {}
-
-
-def _parsed(wkt: str) -> Geom:
-    g = _PARSE_CACHE.get(wkt)
-    if g is None:
-        if len(_PARSE_CACHE) > 4096:
-            _PARSE_CACHE.clear()
-        g = _PARSE_CACHE[wkt] = parse_wkt(wkt)
-    return g
+#
+# The parser lives in the shared leaf module functions/_wkt.py (one
+# parser for st.py AND geo.py — two stacks drifted once, r10's Z/M fix
+# had to land twice). Re-exported here because the public import path
+# for the suite is `from beacon_spark.functions.st import parse_wkt`.
+from beacon_spark.functions._wkt import (  # noqa: F401
+    _COORD_RE,
+    _NUM,
+    _NUM_RE,
+    Geom,
+    _close,
+    _coords,
+    _inner,
+    _parsed,
+    _split_groups,
+    parse_wkt,
+)
 
 
 # ------------------------------------------------------------------ measures
@@ -507,6 +363,73 @@ def geom_contains(a: Geom, b: Geom) -> bool:
     return False
 
 
+def _bulk_in_polys(g: Geom, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized polygon-interior test over ARRAYS of points: shell
+    minus holes per polygon, OR across polygons, recursing into
+    collection-nested polygons — the bulk twin of _point_in_polys."""
+    from beacon_spark.functions.geo import _points_in_ring
+
+    res = np.zeros(len(x), dtype=bool)
+    for rings in g.polys or []:
+        if not rings:
+            continue
+        shell = _points_in_ring(_close(rings[0]), x, y)
+        for h in rings[1:]:
+            shell &= ~_points_in_ring(_close(h), x, y)
+        res |= shell
+    for c in g.geoms or []:
+        res |= _bulk_in_polys(c, x, y)
+    return res
+
+
+def bulk_point_predicate(g: Geom, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Closed-set point-in-geometry over ARRAYS of points: interior of
+    any polygon, ON any boundary/line segment, or equal to any point
+    part. For a single-point operand this is exactly what
+    geom_contains(g, point) / geom_intersects(point, g) compute — the
+    bulk kernel the ST_* fast path rides so a billion-row geo filter
+    does numpy passes per Arrow batch instead of a Python loop per row.
+    Point blocks are sized so the (points × vertices) matrices stay
+    ~32 MB regardless of polygon complexity."""
+    n = len(x)
+    out = np.zeros(n, dtype=bool)
+    if g.empty or n == 0:
+        return out
+    xmin, ymin, xmax, ymax = g.bounds()
+    if math.isnan(xmin):
+        return out
+    cand = (x >= xmin) & (x <= xmax) & (y >= ymin) & (y <= ymax)
+    if not cand.any():
+        return out
+    cx, cy = x[cand], y[cand]
+    segs = g.segments()
+    pts = _point_coords(g)
+    nvert = max(len(g.all_coords()) + len(segs) + len(pts), 1)
+    blk = max(1024, 4_000_000 // nvert)
+    res = np.zeros(len(cx), dtype=bool)
+    for i in range(0, len(cx), blk):
+        bx, by = cx[i: i + blk], cy[i: i + blk]
+        r = _bulk_in_polys(g, bx, by)
+        todo = ~r
+        if len(segs) and todo.any():
+            d = _pt_seg_dist(
+                bx[todo][:, None], by[todo][:, None],
+                segs[:, 0][None, :], segs[:, 1][None, :],
+                segs[:, 2][None, :], segs[:, 3][None, :],
+            )
+            r[np.flatnonzero(todo)[d.min(axis=1) == 0.0]] = True
+            todo = ~r
+        if len(pts) and todo.any():
+            eq = (
+                (bx[todo][:, None] == pts[None, :, 0])
+                & (by[todo][:, None] == pts[None, :, 1])
+            ).any(axis=1)
+            r[np.flatnonzero(todo)[eq]] = True
+        res[i: i + blk] = r
+    out[cand] = res
+    return out
+
+
 def _on_any_segment(segs: np.ndarray, x: float, y: float) -> bool:
     if not len(segs):
         return False
@@ -742,6 +665,69 @@ def _u2(fn, rettype):
     return _udf
 
 
+_POINT_RX = re.compile(
+    rf"^\s*POINT\s*\(\s*({_NUM})\s+({_NUM})\s*\)\s*$", re.I)
+
+
+def _extract_point_coords(s: pd.Series):
+    """(x, y, notnull) when EVERY non-null entry is a plain 2-D POINT;
+    None otherwise (the caller falls back to the scalar path). The
+    extraction is pandas C-speed — no Python per row."""
+    notnull = s.notna().to_numpy()
+    if not notnull.any():
+        return None
+    try:
+        ext = s.str.extract(_POINT_RX)
+    except AttributeError:
+        return None  # non-string column
+    x = pd.to_numeric(ext[0], errors="coerce").to_numpy(np.float64)
+    y = pd.to_numeric(ext[1], errors="coerce").to_numpy(np.float64)
+    ok = ~(np.isnan(x) | np.isnan(y))
+    if not ok[notnull].all():
+        return None
+    return x, y, notnull
+
+
+def _u2_geom_point(pred, geom_side):
+    """Binary geometry predicate with a BULK fast path: when the
+    container/geometry side is one constant WKT (the plan shape every
+    region filter produces) and the other side is a column of plain
+    POINTs, the whole Arrow batch runs through bulk_point_predicate —
+    numpy crossing/segment/equality passes over vertex arrays instead
+    of a Python call per row. ``geom_side``: 0 = a is the geometry,
+    1 = b is, None = symmetric (intersects — try both)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BooleanType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a):
+            sides = ((a, b), (b, a)) if geom_side is None else (
+                ((a, b),) if geom_side == 0 else ((b, a),))
+            for gs, ps in sides:
+                if gs.nunique(dropna=False) != 1 or gs.iloc[0] is None:
+                    continue
+                pt = _extract_point_coords(ps)
+                if pt is None:
+                    continue
+                x, y, notnull = pt
+                try:
+                    g = _parsed(gs.iloc[0])
+                except ValueError:
+                    break  # scalar path raises the same error per row
+                res = bulk_point_predicate(
+                    g, np.where(notnull, x, 0.0), np.where(notnull, y, 0.0))
+                out = pd.Series(list(res), dtype=object)
+                out[~notnull] = None
+                return out
+        out = [
+            None if (x is None or y is None) else pred(x, y)
+            for x, y in zip(a, b)
+        ]
+        return pd.Series(out, dtype=object)
+
+    return _udf
+
+
 _D = T.DoubleType()
 _S = T.StringType()
 _B = T.BooleanType()
@@ -895,9 +881,12 @@ def register_st_functions(spark) -> None:
     reg("st_buffer", _u2(_buffer, _S))
 
     reg("st_distance", _u2(lambda a, b: geom_distance(_parsed(a), _parsed(b)), _D))
-    reg("st_intersects", _u2(lambda a, b: geom_intersects(_parsed(a), _parsed(b)), _B))
-    reg("st_contains", _u2(lambda a, b: geom_contains(_parsed(a), _parsed(b)), _B))
-    reg("st_within", _u2(lambda a, b: geom_contains(_parsed(b), _parsed(a)), _B))
+    reg("st_intersects", _u2_geom_point(
+        lambda a, b: geom_intersects(_parsed(a), _parsed(b)), None))
+    reg("st_contains", _u2_geom_point(
+        lambda a, b: geom_contains(_parsed(a), _parsed(b)), 0))
+    reg("st_within", _u2_geom_point(
+        lambda a, b: geom_contains(_parsed(b), _parsed(a)), 1))
 
     def _dsphere(a, b):
         ga, gb = _parsed(a), _parsed(b)
