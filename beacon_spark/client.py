@@ -427,9 +427,11 @@ class Connection:
 
     def __init__(self, engine, user: str | None = None,
                  _owns_tmpdir: str | None = None, read_only: bool = False,
-                 auth_enabled: bool = False, _container: str | None = None):
+                 auth_enabled: bool = False, _container: str | None = None,
+                 _anon: bool = False):
         self.engine = engine
         self._user = user
+        self._anon = _anon
         self._result: Result | None = None
         self._tmpdir = _owns_tmpdir
         self._read_only = read_only
@@ -690,9 +692,19 @@ class Connection:
 
     def as_anonymous(self) -> "Connection":
         """Anonymous = read-only, no grants (the reference's
-        anonymous-session contract)."""
-        return Connection(self.engine, user=None, read_only=True,
-                          auth_enabled=self._auth)
+        anonymous-session contract). The identity comes from the SAME
+        fail-closed rule every transport uses: with enforcement on,
+        the provisioned ``anonymous`` principal (deny-wins grants
+        apply) or a refusal — ``user=None`` would have run reads as
+        the embedded SUPER-user, bypassing RBAC entirely."""
+        from beacon_spark import auth as _auth
+
+        try:
+            ident = _auth.resolve_unauthenticated(self.engine)
+        except _auth.AuthError as e:
+            raise NotPermittedError(str(e)) from e
+        return Connection(self.engine, user=ident, read_only=True,
+                          auth_enabled=self._auth, _anon=True)
 
     def whoami(self) -> dict[str, Any]:
         if self._user is None:
@@ -708,7 +720,7 @@ class Connection:
             "user": self._user,
             "super_user": bool(ident.get("super_user")),
             "roles": list(ident.get("roles", [])),
-            "anonymous": False,
+            "anonymous": self._anon,
         }
 
     @property
@@ -803,6 +815,15 @@ def connect(
         return Connection(eng, user=username, _owns_tmpdir=tmpdir,
                           read_only=read_only, auth_enabled=True,
                           _container=container)
-    # auth on, no credentials: anonymous read-only session
-    return Connection(eng, user=None, _owns_tmpdir=tmpdir, read_only=True,
-                      auth_enabled=True, _container=container)
+    # auth on, no credentials: anonymous read-only session — resolved
+    # through the shared fail-closed rule (enforcement on => the
+    # provisioned anonymous principal with its deny-wins grants, or a
+    # refusal; user=None here would read as the embedded super-user)
+    from beacon_spark import auth as _auth
+
+    try:
+        ident = _auth.resolve_unauthenticated(eng)
+    except _auth.AuthError as e:
+        raise NotPermittedError(str(e)) from e
+    return Connection(eng, user=ident, _owns_tmpdir=tmpdir, read_only=True,
+                      auth_enabled=True, _container=container, _anon=True)

@@ -65,7 +65,12 @@ class _BearerAuth(fl.ServerMiddlewareFactory):
         import hmac as _hmac
 
         if self._want is not None and _hmac.compare_digest(
-                header, self._want):
+                header.encode("latin-1", "replace")
+                if isinstance(header, str) else header,
+                self._want.encode()):
+            # byte-wise: compare_digest raises TypeError on a non-ASCII
+            # header string and crashed the call (same crash the HTTP
+            # transport fixed in r10)
             return _Identity(None)
         if self._oidc is not None and header.startswith("Bearer "):
             # OIDC bearer JWT → external principal (see server/oidc.py);
@@ -93,6 +98,13 @@ class _BearerAuth(fl.ServerMiddlewareFactory):
                     _auth.verify_user(self._engine, user, pw):
                 return _Identity(user)
             raise fl.FlightUnauthenticatedError("bad basic credentials")
+        if header:
+            # SOME credential was presented and nothing above accepted
+            # it — refuse HERE. Falling through to the unauthenticated
+            # rule let an invalid Bearer on a token-less server resolve
+            # to the embedded super-user (the exact hole the HTTP
+            # transport closed in r10; the Flight surface had it too).
+            raise fl.FlightUnauthenticatedError("unrecognized credentials")
         if self._want is None:
             # no credentials on a token-less server: the ONE shared
             # fail-closed rule (auth.resolve_unauthenticated — embedded
@@ -197,11 +209,22 @@ class BeaconFlightServer(fl.FlightServerBase):
         return fl.FlightInfo(schema, descriptor, [endpoint], -1, -1)
 
     @staticmethod
-    def _cmd_from_descriptor(descriptor: fl.FlightDescriptor) -> dict:
+    def _table_ident(raw: str) -> str:
+        """Same bare-identifier gate as the HTTP/MCP table routes:
+        a path/table name interpolates into SQL, so anything beyond
+        ``[\\w.]`` could smuggle arbitrary statement text."""
+        import re as _re
+
+        if not _re.fullmatch(r"[\w.]+", raw):
+            raise fl.FlightServerError(
+                f"table name must be a bare identifier, got {raw!r}")
+        return raw
+
+    def _cmd_from_descriptor(self, descriptor: fl.FlightDescriptor) -> dict:
         if descriptor.command:
             return json.loads(descriptor.command.decode())
         if descriptor.path:
-            tbl = descriptor.path[0].decode()
+            tbl = self._table_ident(descriptor.path[0].decode())
             return {"sql": f"SELECT * FROM {tbl}"}
         raise fl.FlightServerError("descriptor needs a command or a path")
 
@@ -234,9 +257,10 @@ class BeaconFlightServer(fl.FlightServerBase):
                 _n, meta = upd
                 writer.write(pa.py_buffer(meta))
                 return
-            name = json.loads(descriptor.command.decode())["table"]
+            name = self._table_ident(
+                str(json.loads(descriptor.command.decode())["table"]))
         elif descriptor.path:
-            name = descriptor.path[0].decode()
+            name = self._table_ident(descriptor.path[0].decode())
         else:
             raise fl.FlightServerError("do_put needs a table name")
         fd, spool = tempfile.mkstemp(prefix="beacon_put_", suffix=".parquet")

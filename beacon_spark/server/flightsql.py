@@ -74,6 +74,8 @@ def _read_varint(data: bytes, i: int) -> tuple[int, int]:
         if not b & 0x80:
             return n, i
         shift += 7
+        if shift > 70:  # proto caps varints at 10 bytes; reject garbage
+            raise ValueError("protobuf varint longer than 10 bytes")
 
 
 def _field_bytes(num: int, payload: bytes) -> bytes:
@@ -312,15 +314,25 @@ class FlightSqlHandler:
                 return pa.Table.from_pylist(rows, schema=_GET_TABLES_SCHEMA)
             from beacon_spark.outputs import arrow_schema_of
 
+            readable = []
             for r in rows:
                 # include_schema runs as the Flight caller, not the
-                # embedded super-user — RBAC gates schema enumeration
-                df = self.engine.sql(
-                    f"SELECT * FROM {r['table_name']} LIMIT 0", user=user
-                )
-                r["table_schema"] = arrow_schema_of(df).serialize().to_pybytes()
+                # embedded super-user — RBAC gates schema enumeration.
+                # A table the caller CANNOT read is OMITTED (the HTTP
+                # tables-with-schema contract): one denied table used
+                # to fail the client's whole metadata probe.
+                try:
+                    df = self.engine.sql(
+                        f"SELECT * FROM {r['table_name']} LIMIT 0",
+                        user=user,
+                    )
+                except Exception:
+                    continue
+                r["table_schema"] = (
+                    arrow_schema_of(df).serialize().to_pybytes())
+                readable.append(r)
             return pa.Table.from_pylist(
-                rows, schema=_GET_TABLES_SCHEMA_WITH_SCHEMA
+                readable, schema=_GET_TABLES_SCHEMA_WITH_SCHEMA
             )
         if kind == "CommandGetTableTypes":
             return pa.Table.from_pylist(
@@ -468,9 +480,13 @@ class FlightSqlHandler:
                     f"parameter bind expects exactly one row of values, "
                     f"got {table.num_rows} (executemany is not supported)"
                 )
-            self._bound[handle] = [
-                col[0].as_py() for col in table.columns
-            ]
+            vals = [col[0].as_py() for col in table.columns]
+            with self._handles_lock:
+                # under the lock: an eviction racing this write would
+                # otherwise leave an orphan binding for a dead handle
+                if handle not in self._prepared:
+                    raise ValueError("prepared statement handle was closed")
+                self._bound[handle] = vals
             return 0, encode_any(
                 "DoPutPreparedStatementResult", _field_bytes(1, handle)
             )

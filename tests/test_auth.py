@@ -451,8 +451,11 @@ def test_flightsql_get_tables_include_schema_honors_rbac(spark, aeng):
     aeng.sql("DENY SELECT ON TABLE secrets TO ROLE readers")
     h = FlightSqlHandler(aeng, QueryLimits())
     payload = encode_string_msg(3, "secrets") + b"\x28\x01"  # include_schema
-    with pytest.raises(AuthError, match="permission denied"):
-        h._metadata_table("CommandGetTables", payload, user="alice")
+    # r11: a denied table is OMITTED from the result (the HTTP
+    # tables-with-schema contract) instead of failing the caller's
+    # whole metadata probe with an AuthError
+    t = h._metadata_table("CommandGetTables", payload, user="alice")
+    assert t.num_rows == 0
     # the granted table's schema is served fine
     t = h._metadata_table(
         "CommandGetTables", encode_string_msg(3, "public") + b"\x28\x01",

@@ -1021,3 +1021,128 @@ def test_federated_rename_target_shadowed_by_cte_bails(spark, served, tmp_path):
         assert out[0].c == 20
     finally:
         client_eng.sql("DETACH fy")
+
+
+# -------------------------------------------- r11 transport-review findings
+
+
+def test_flight_invalid_credentials_never_fall_through(spark, served):
+    """r11 review FL1: a presented-but-invalid credential on a
+    TOKEN-LESS Flight server used to fall through to the
+    unauthenticated rule and resolve to the embedded super-user — the
+    exact hole the HTTP transport closed in r10. Any unrecognized
+    credential is now refused outright; non-ASCII Authorization bytes
+    must not crash compare_digest either."""
+    import pyarrow.flight as fl
+
+    _eng, _server, port = served  # token-less server
+    for bad in ["Bearer not-a-real-token", "Negotiate blob"]:
+        client = fl.FlightClient(f"grpc://127.0.0.1:{port}")
+        opts = fl.FlightCallOptions(
+            headers=[(b"authorization", bad.encode())])
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            client.do_get(
+                fl.Ticket(json.dumps({"sql": "SELECT 1 AS x"}).encode()),
+                options=opts,
+            ).read_all()
+    # non-ASCII header bytes must not crash compare_digest on a
+    # TOKEN-CONFIGURED server either (gRPC clients can't even send
+    # these, so pin the middleware directly)
+    from beacon_spark.server.flight import _BearerAuth
+
+    mw = _BearerAuth(_eng, token="sekrit")
+    with pytest.raises(fl.FlightUnauthenticatedError):
+        mw.start_call(None, {"authorization": ["Bearer caf\u00e9-\u2603"]})
+
+
+def test_flight_table_names_are_identifier_gated(spark, served):
+    """r11 review FL2/FL3: path-descriptor table names and do_put
+    targets interpolate into SQL — anything beyond a bare identifier
+    must be refused (same gate as the HTTP/MCP table routes)."""
+    import pyarrow as pa
+    import pyarrow.flight as fl
+
+    _eng, _server, port = served
+    client = fl.FlightClient(f"grpc://127.0.0.1:{port}")
+    evil = "remobs WHERE 1=0); DROP TABLE remobs; --"
+    with pytest.raises(fl.FlightError, match="bare identifier"):
+        client.get_flight_info(fl.FlightDescriptor.for_path(evil))
+    schema = pa.schema([("id", pa.int64()), ("g", pa.int64())])
+    with pytest.raises(fl.FlightError, match="bare identifier"):
+        w, _ = client.do_put(fl.FlightDescriptor.for_path(evil), schema)
+        w.write_table(pa.table({"id": [99], "g": [0]}))
+        w.close()
+    # the legit path still works end-to-end
+    info = client.get_flight_info(fl.FlightDescriptor.for_path("remobs"))
+    assert client.do_get(info.endpoints[0].ticket).read_all().num_rows == 20
+
+
+def test_flightsql_get_tables_skips_unreadable(spark, tmp_path):
+    """r11 review FS7: CommandGetTables include_schema=true omits
+    tables the caller cannot read instead of failing the whole
+    metadata probe over one denied table."""
+    import base64
+
+    import pyarrow.flight as fl
+
+    from beacon_spark.server import BeaconFlightServer
+    from beacon_spark.server.flightsql import (
+        _GET_TABLES_SCHEMA_WITH_SCHEMA,
+        _field_varint,
+        encode_any,
+        encode_string_msg,
+    )
+
+    root = str(tmp_path / "fsql_root")
+    import os as _os
+
+    _os.makedirs(root)
+    eng = Engine(spark, datasets_root=root)
+    eng.sql("CREATE TABLE pub AS SELECT 1 AS x")
+    eng.sql("CREATE TABLE sec AS SELECT 2 AS y")
+    eng.sql("CREATE USER carol WITH PASSWORD 'pw'")
+    eng.sql("CREATE ROLE fsql_readers")
+    eng.sql("GRANT SELECT ON TABLE pub TO ROLE fsql_readers")
+    eng.sql("GRANT ROLE fsql_readers TO USER carol")
+    eng.sql("SET AUTH ENFORCEMENT ON")
+    server = BeaconFlightServer(eng, port=0)
+    port = server.serve_background()
+    try:
+        client = fl.FlightClient(f"grpc://127.0.0.1:{port}")
+        basic = b"Basic " + base64.b64encode(b"carol:pw")
+        opts = fl.FlightCallOptions(headers=[(b"authorization", basic)])
+        cmd = encode_any("CommandGetTables", _field_varint(5, 1))
+        info = client.get_flight_info(
+            fl.FlightDescriptor.for_command(cmd), options=opts)
+        t = client.do_get(info.endpoints[0].ticket, options=opts).read_all()
+        names = t.column("table_name").to_pylist()
+        assert "pub" in names and "sec" not in names
+        assert t.schema.equals(_GET_TABLES_SCHEMA_WITH_SCHEMA)
+    finally:
+        server.shutdown()
+
+
+def test_client_anonymous_rides_rbac(spark, tmp_path):
+    """r11 review C1: as_anonymous()/connect(auth=True) resolved to
+    user=None — the embedded SUPER-user — so 'anonymous read-only'
+    could read RBAC-denied tables. The identity now rides
+    resolve_unauthenticated: the provisioned anonymous principal with
+    its deny-wins grants, or a refusal when none exists."""
+    import beacon_spark.client as beacondb
+
+    con = beacondb.connect(str(tmp_path / "lake"), spark=spark)
+    con.sql("CREATE TABLE open_t AS SELECT 1 AS x")
+    con.sql("CREATE TABLE closed_t AS SELECT 2 AS y")
+    con.sql("CREATE USER anonymous WITH PASSWORD ''")
+    con.sql("CREATE ROLE anon_read")
+    con.sql("GRANT SELECT ON TABLE open_t TO ROLE anon_read")
+    con.sql("GRANT ROLE anon_read TO USER anonymous")
+    con.sql("SET AUTH ENFORCEMENT ON")
+
+    anon = con.as_anonymous()
+    assert anon.whoami()["anonymous"] is True
+    assert anon.sql("SELECT * FROM open_t").fetchall() == [(1,)]
+    with pytest.raises(beacondb.Error):
+        anon.sql("SELECT * FROM closed_t").fetchall()
+    with pytest.raises(beacondb.NotPermittedError):
+        anon.sql("DROP TABLE open_t").fetchall()
