@@ -254,9 +254,21 @@ class BeaconHttpServer:
                 # would make a clean pre-response error on the next
                 # request abort instead of answering 400
                 self._response_started = False
+                u = urlparse(self.path)
+                if u.path == "/admin" or u.path.startswith("/admin/"):
+                    # the SPA's static assets carry no data and must load
+                    # BEFORE the in-browser login (web-admin-ui.md's
+                    # login-screen flow) — same no-auth contract as /console
+                    from beacon_spark.server.webadmin import admin_asset
+
+                    asset = admin_asset(u.path)
+                    if asset is None:
+                        self._deny(404, "no such admin asset")
+                    else:
+                        self._send(asset[0], asset[1])
+                    return
                 if not self._authed():
                     return
-                u = urlparse(self.path)
                 if u.path.startswith("/api/admin"):
                     self._admin()
                     return

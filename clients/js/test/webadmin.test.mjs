@@ -1,0 +1,240 @@
+/**
+ * The /admin SPA's application logic against a LIVE server, run under
+ * node with a ~100-line DOM stub (no browser in the test container):
+ * boot -> login (bearer) -> query workbench run -> tables page with
+ * schemas -> users & roles. Skipped without BEACON_URL (the pytest
+ * bridge in tests/test_js_client.py provides it).
+ */
+
+import assert from "node:assert/strict";
+import { test } from "node:test";
+
+const URL_ = process.env.BEACON_URL;
+const TOKEN = process.env.BEACON_TOKEN || "";
+const TABLE = process.env.BEACON_TABLE || "jsweb_t";
+const skip = URL_ ? false : "BEACON_URL not set (pytest bridge provides it)";
+
+// ------------------------------------------------------------- DOM stub
+
+class FakeNode {
+  constructor(tag) {
+    this.tagName = (tag || "").toUpperCase();
+    this.childNodes = [];
+    this.attrs = {};
+    this.listeners = {};
+    this.dataset = {};
+    this._classes = new Set();
+    this.value = "";
+    this.textContentOwn = null;
+  }
+
+  get classList() {
+    const s = this._classes;
+    return {
+      add: (c) => s.add(c),
+      remove: (c) => s.delete(c),
+      contains: (c) => s.has(c),
+      toggle: (c, force) => {
+        const on = force !== undefined ? force : !s.has(c);
+        on ? s.add(c) : s.delete(c);
+        return on;
+      },
+    };
+  }
+
+  set className(v) {
+    this._classes = new Set(String(v).split(/\s+/).filter(Boolean));
+  }
+
+  get className() {
+    return [...this._classes].join(" ");
+  }
+
+  setAttribute(k, v) { this.attrs[k] = String(v); }
+  getAttribute(k) { return this.attrs[k] ?? null; }
+  addEventListener(type, fn) { (this.listeners[type] ??= []).push(fn); }
+  dispatch(type, ev = {}) {
+    for (const fn of this.listeners[type] ?? []) fn({ preventDefault() {}, ...ev });
+  }
+  append(...nodes) {
+    for (const n of nodes) {
+      if (Array.isArray(n)) {  // the real DOM throws here too
+        throw new TypeError("append: parameter is not a Node or string");
+      }
+      this.childNodes.push(n);
+    }
+  }
+  after() {}
+  remove() {}
+  click() { this.dispatch("click", { target: this }); }
+  replaceChildren(...nodes) {
+    for (const n of nodes) {
+      if (Array.isArray(n)) {
+        throw new TypeError("replaceChildren: parameter is not a Node or string");
+      }
+    }
+    this.childNodes = nodes;
+  }
+  querySelectorAll() { return []; }
+
+  get textContent() {
+    if (this.textContentOwn !== null) return this.textContentOwn;
+    return this.childNodes.map((c) =>
+      c instanceof FakeNode ? c.textContent : String(c.nodeValue ?? c)
+    ).join("");
+  }
+
+  set textContent(v) { this.textContentOwn = String(v); }
+
+  /** Depth-first search for the first node matching pred. */
+  find(pred) {
+    if (pred(this)) return this;
+    for (const c of this.childNodes) {
+      if (c instanceof FakeNode) {
+        const hit = c.find(pred);
+        if (hit) return hit;
+      }
+    }
+    return null;
+  }
+}
+
+class FakeText extends FakeNode {
+  constructor(v) { super("#text"); this.nodeValue = v; }
+  get textContent() { return String(this.nodeValue); }
+}
+
+function makeStorage() {
+  const m = new Map();
+  return {
+    getItem: (k) => (m.has(k) ? m.get(k) : null),
+    setItem: (k, v) => m.set(k, String(v)),
+    removeItem: (k) => m.delete(k),
+  };
+}
+
+function installDom() {
+  const byId = {};
+  for (const id of ["login", "app", "login-form", "login-user",
+                    "login-pass", "login-token", "login-error",
+                    "theme-toggle", "logout", "view", "nav"]) {
+    byId[id] = new FakeNode("div");
+    byId[id].attrs.id = id;
+  }
+  byId["login"].classList.add("hidden");
+  const navLinks = ["/query", "/tables", "/datasets", "/crawlers",
+                    "/auth", "/server"].map((h) => {
+    const a = new FakeNode("a");
+    a.setAttribute("href", `#${h}`);
+    return a;
+  });
+  const body = new FakeNode("body");
+  globalThis.Node = FakeNode;
+  globalThis.document = {
+    body,
+    getElementById: (id) => byId[id],
+    createElement: (t) => new FakeNode(t),
+    createTextNode: (v) => new FakeText(v),
+    querySelectorAll: (sel) => (sel === "#nav a" ? navLinks : []),
+  };
+  globalThis.window = {
+    location: { origin: URL_, hash: "" },
+    addEventListener: (t, fn) => {
+      (globalThis.window._listeners ??= {})[t] ??= [];
+      globalThis.window._listeners[t].push(fn);
+    },
+    confirm: () => true,
+    prompt: () => null,
+  };
+  globalThis.localStorage = makeStorage();
+  globalThis.sessionStorage = makeStorage();
+  return byId;
+}
+
+async function settle(ms = 50) {
+  await new Promise((r) => setTimeout(r, ms));
+}
+
+async function waitFor(pred, what, tries = 100) {
+  for (let i = 0; i < tries; i++) {
+    if (pred()) return;
+    await settle(50);
+  }
+  assert.fail(`timed out waiting for ${what}`);
+}
+
+function go(hash) {
+  globalThis.window.location.hash = hash;
+  for (const fn of globalThis.window._listeners?.hashchange ?? []) fn();
+}
+
+// ------------------------------------------------------------------ tests
+
+test("admin SPA drives the live server end-to-end", { skip }, async () => {
+  const dom = installDom();
+  await import("../web/app.mjs");
+  await settle();
+
+  // boot with no saved credentials: login visible
+  assert.ok(!dom["login"].classList.contains("hidden"), "login shown");
+
+  // sign in with the bearer token (validated via /api/admin/check)
+  dom["login-token"].value = TOKEN;
+  dom["login-form"].dispatch("submit");
+  await waitFor(() => dom["app"] &&
+    !dom["app"].classList.contains("hidden"), "login to succeed");
+  assert.equal(dom["login-error"].textContent || "", "");
+
+  // default route = query workbench; run a statement through the
+  // workbench's own Run handler (Arrow decode path)
+  await waitFor(() => dom["view"].find(
+    (n) => n.tagName === "TEXTAREA"), "workbench to render");
+  const sql = dom["view"].find((n) => n.tagName === "TEXTAREA");
+  sql.value = "SELECT 6 * 7 AS answer";
+  const runBtn = dom["view"].find(
+    (n) => n.tagName === "BUTTON" && n.textContent === "Run");
+  runBtn.dispatch("click");
+  await waitFor(() => dom["view"].textContent.includes("42"),
+    "query result to render");
+  assert.ok(dom["view"].textContent.includes("answer"));
+  assert.ok(dom["view"].textContent.includes("1 rows"));
+
+  // explain renders a plan
+  dom["view"].find((n) => n.tagName === "BUTTON" &&
+    n.textContent === "Explain").dispatch("click");
+  await waitFor(() => dom["view"].find((n) => n._classes?.has("plan")),
+    "plan to render");
+
+  // tables page lists the fixture table with its columns
+  go("#/tables");
+  await waitFor(() => dom["view"].textContent.includes(TABLE),
+    "tables page");
+  assert.ok(dom["view"].textContent.includes("columns"));
+
+  // users & roles page answers from /api/admin/auth/*
+  go("#/auth");
+  await waitFor(() => dom["view"].textContent.includes("Roles"),
+    "auth page");
+
+  // server page shows info + functions
+  go("#/server");
+  await waitFor(() => dom["view"].textContent.includes("Functions"),
+    "server page");
+
+  // sign out returns to the login screen
+  dom["logout"].dispatch("click");
+  assert.ok(!dom["login"].classList.contains("hidden"));
+  assert.equal(globalThis.localStorage.getItem("beacon-admin-credentials"),
+    null);
+});
+
+test("admin SPA login rejects bad credentials", { skip }, async () => {
+  // fresh DOM, fresh storage; module is already imported and its
+  // handlers bind to getElementById lookups at import time — so this
+  // test reuses the first import's bindings via a second submit on the
+  // SAME dom is not possible. Instead, hit the check endpoint directly
+  // through the SDK as the login handler does.
+  const { BeaconClient } = await import("../src/client.mjs");
+  const bad = new BeaconClient({ url: URL_, token: "wrong-token" });
+  await assert.rejects(() => bad.admin.check());
+});

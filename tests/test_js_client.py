@@ -64,3 +64,32 @@ def test_node_integration_suite(live_server):
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "# skipped 0" in proc.stdout, proc.stdout
+
+
+def test_node_webadmin_spa_suite(live_server):
+    """r11 verdict #4: the /admin SPA (clients/js/web) against the live
+    server — login via /api/admin/check, workbench run (Arrow decode),
+    explain, tables page with schemas, auth + server pages — driven
+    under node with a strict DOM stub (throws on non-Node children,
+    like the real DOM)."""
+    import json
+    import urllib.request
+
+    # a fixture table for the tables page
+    req = urllib.request.Request(
+        f"{live_server}/api/query",
+        data=json.dumps({"sql": "CREATE TABLE IF NOT EXISTS jsweb_t AS "
+                                "SELECT id, id * 2 AS v FROM range(9)",
+                         "format": "json"}).encode(),
+        headers={"Authorization": "Bearer tok",
+                 "Content-Type": "application/json"}, method="POST")
+    urllib.request.urlopen(req).read()
+
+    env = dict(os.environ, BEACON_URL=live_server, BEACON_TOKEN="tok",
+               BEACON_TABLE="jsweb_t")
+    proc = subprocess.run(
+        ["node", "--test", "test/webadmin.test.mjs"],
+        cwd=JS_DIR, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "# skipped 0" in proc.stdout, proc.stdout
