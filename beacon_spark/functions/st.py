@@ -181,27 +181,9 @@ def geom_centroid(g: Geom) -> tuple[float, float]:
 
 
 def _point_in_polys(g: Geom, x: float, y: float) -> bool:
-    from beacon_spark.functions.geo import _points_in_ring
-
-    xa, ya = np.array([x]), np.array([y])
-    for rings in g.polys or []:
-        if not rings:
-            continue
-        inside = _points_in_ring(_close(rings[0]), xa, ya)[0]
-        if inside:
-            for h in rings[1:]:
-                if _points_in_ring(_close(h), xa, ya)[0]:
-                    inside = False
-                    break
-        if inside:
-            return True
-    # polygons nested in a GEOMETRYCOLLECTION count too — the top-level
-    # Geom has polys=None, so without the recursion a collection-wrapped
-    # polygon was invisible to every point-in-polygon path
-    for c in g.geoms or []:
-        if _point_in_polys(c, x, y):
-            return True
-    return False
+    """Single-point view of _bulk_in_polys (collection-nested polygons
+    included) — one implementation, no scalar/bulk drift."""
+    return bool(_bulk_in_polys(g, np.array([x]), np.array([y]))[0])
 
 
 def _point_coords(g: Geom) -> np.ndarray:
@@ -279,11 +261,12 @@ def geom_intersects(a: Geom, b: Geom) -> bool:
     ):
         return False
     # any point of one inside the other's polygon interiors (recurses
-    # into collection-nested polygons)
+    # into collection-nested polygons) — one numpy pass over ALL
+    # vertices instead of a Python call per vertex
     for g1, g2 in ((a, b), (b, a)):
-        for p in g1.all_coords():
-            if _point_in_polys(g2, p[0], p[1]):
-                return True
+        c = g1.all_coords()
+        if len(c) and _bulk_in_polys(g2, c[:, 0], c[:, 1]).any():
+            return True
     sa, sb = a.segments(), b.segments()
     if _segs_intersect(sa, sb):
         return True
@@ -319,13 +302,21 @@ def geom_contains(a: Geom, b: Geom) -> bool:
         # PostGIS: nothing contains an empty geometry
         return False
     if a.polys:
-        sa = a.segments()  # hoisted: rebuilt per b-vertex before
-        for p in bc:
-            if not (
-                _point_in_polys(a, p[0], p[1])
-                or _on_any_segment(sa, p[0], p[1])
-            ):
-                return False
+        sa = a.segments()
+        # every b vertex inside-or-on-boundary, ONE numpy pass over the
+        # vertex array (the r10-deferred bulk path; the per-vertex
+        # Python loop was the largest remaining per-row cost)
+        inside = _bulk_in_polys(a, bc[:, 0], bc[:, 1])
+        todo = ~inside
+        if todo.any() and len(sa):
+            d = _pt_seg_dist(
+                bc[todo, 0][:, None], bc[todo, 1][:, None],
+                sa[:, 0][None, :], sa[:, 1][None, :],
+                sa[:, 2][None, :], sa[:, 3][None, :],
+            )
+            inside[np.flatnonzero(todo)[d.min(axis=1) == 0.0]] = True
+        if not inside.all():
+            return False
         # a concave a can hold all of b's vertices while an edge of b
         # exits and re-enters — a *proper* boundary crossing disqualifies
         # containment. Touching (shared vertices/edges) stays allowed:
@@ -339,16 +330,22 @@ def geom_contains(a: Geom, b: Geom) -> bool:
         # line container: every vertex of b on a's segments, plus b's
         # segment MIDPOINTS (a chord between two points on different
         # parts of a polyline is not contained — the vertex test alone
-        # called any line-in-line containment false before)
+        # called any line-in-line containment false before). Both
+        # tests are one vectorized points-by-segments distance pass.
         sa = a.segments()
-        if not all(_on_any_segment(sa, p[0], p[1]) for p in bc):
+        if not len(sa):
             return False
         sb = b.segments()
-        mids = ((sb[:, 0] + sb[:, 2]) / 2, (sb[:, 1] + sb[:, 3]) / 2)
-        return all(
-            _on_any_segment(sa, mids[0][i], mids[1][i])
-            for i in range(len(sb))
+        px = bc[:, 0] if not len(sb) else np.concatenate(
+            [bc[:, 0], (sb[:, 0] + sb[:, 2]) / 2])
+        py = bc[:, 1] if not len(sb) else np.concatenate(
+            [bc[:, 1], (sb[:, 1] + sb[:, 3]) / 2])
+        d = _pt_seg_dist(
+            px[:, None], py[:, None],
+            sa[:, 0][None, :], sa[:, 1][None, :],
+            sa[:, 2][None, :], sa[:, 3][None, :],
         )
+        return bool((d.min(axis=1) == 0.0).all())
     if a.pts is not None and b.pts is not None and len(b.pts):
         return all(
             any(float(q[0]) == float(p[0]) and float(q[1]) == float(p[1]) for q in a.pts)
