@@ -183,8 +183,16 @@ def open_atlas(path: str):
     for aname, aspec in spec["arrays"].items():
         shape = tuple(aspec["shape"])
         adims = tuple(aspec["dims"])
+        rel = str(aspec["path"])
+        # the registry is data, not trusted code: an array path must
+        # stay INSIDE the store (a crafted '../../…' entry would read
+        # arbitrary files into the scan as array bytes)
+        if rel.startswith(("/", "\\")) or ".." in rel.split("/"):
+            raise ValueError(
+                f"{marker}::{ds_name}: array path {rel!r} escapes the "
+                f"store root")
         arr = AtlasLazyArray(
-            _bs.join(root, aspec["path"]),
+            _bs.join(root, rel),
             shape,
             np.dtype(aspec["dtype"]),
             aspec.get("fill_value"),
@@ -192,6 +200,11 @@ def open_atlas(path: str):
         )
         variables[aname] = (adims, arr)
         var_attrs[aname] = dict(spec.get("array_attrs", {}).get(aname, {}))
+        if aspec.get("fill_value") is not None:
+            # registry fill sentinels ride the SAME CF fill handling as
+            # every other nd source (_FillValue -> NULL in flatten) —
+            # ignoring them leaked the sentinel values through as data
+            var_attrs[aname].setdefault("_FillValue", aspec["fill_value"])
         for d, s in zip(adims, shape):
             if dims.get(d, s) != s:
                 # last-wins here surfaced later as a cryptic broadcast

@@ -163,11 +163,14 @@ def _lzw_decode(raw: bytes) -> bytes:
             raise ValueError("corrupt LZW stream")
         out += entry
         prev = entry
-        # early change (libtiff convention): the encoder's table runs one
-        # entry ahead of the decoder's, so the decoder widens at 2^n - 2
-        # (510/1022/2046) to stay code-aligned with an encoder that
-        # widens at 2^n - 1
-        if len(table) == (1 << code_bits) - 2 and code_bits < 12:
+        # TIFF early change (libtiff convention): the decoder widens ONE
+        # entry before the table is full — at 2^n - 1 (511/1023/2047).
+        # The old threshold of 2^n - 2 was self-consistent with our own
+        # encoder but rejected every real libtiff/GDAL stream as
+        # "corrupt" — caught by decoding the reference's
+        # synthetic_lzw_stripped_f32.tif fixture, which a matching-pair
+        # roundtrip test can never catch.
+        if len(table) == (1 << code_bits) - 1 and code_bits < 12:
             code_bits += 1
     return bytes(out)
 
@@ -201,7 +204,10 @@ def _lzw_encode(data: bytes) -> bytes:
         table[wc] = next_code
         next_code += 1
         w = c
-        if next_code == (1 << code_bits) - 1 and code_bits < 12:
+        # pairs with the decoder's 2^n - 1 early change: the decoder's
+        # table lags one entry behind next_code, so the encoder widens
+        # when next_code hits 2^n (512/1024/2048)
+        if next_code == (1 << code_bits) and code_bits < 12:
             code_bits += 1
         if next_code == 4094:  # reset before the 12-bit table fills
             emit(table[w])

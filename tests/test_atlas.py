@@ -179,3 +179,55 @@ def test_open_atlas_conflicting_dim_sizes_fails_loud(tmp_path):
     )
     with _pytest.raises(ValueError, match="conflicting sizes"):
         open_atlas(f"{marker}::d")
+
+
+# -------------------------------------------- r11 decoder-review findings
+
+
+def test_registry_paths_cannot_escape_store(tmp_path):
+    """r11 review A5: the registry is data, not trusted code — an array
+    path of '../../…' (or absolute) must be refused, not read arbitrary
+    files into the scan as array bytes."""
+    import json as _json
+
+    import pytest as _pytest
+
+    secret = tmp_path / "secret.bin"
+    secret.write_bytes(b"\x00" * 80)
+    marker = write_atlas_store(
+        str(tmp_path / "esc.atlas"),
+        {"d": {"variables": {"v": (("t",), np.arange(10.0))},
+               "attrs": {}, "array_attrs": {}}},
+    )
+    reg = _json.loads(open(marker).read())
+    for bad in ("../secret.bin", "/etc/hostname", "a/../../secret.bin"):
+        reg["datasets"]["d"]["arrays"]["v"]["path"] = bad
+        open(marker, "w").write(_json.dumps(reg))
+        with _pytest.raises(ValueError, match="escapes the store root"):
+            open_atlas(f"{marker}::d")
+
+
+def test_registry_fill_value_becomes_null(spark, tmp_path):
+    """r11 review A9: a non-null registry fill_value was silently
+    ignored — sentinel values leaked through as data. It now rides the
+    shared CF _FillValue handling: sentinels read as NULL."""
+    import json as _json
+
+    marker = write_atlas_store(
+        str(tmp_path / "fv.atlas"),
+        {"d": {"variables": {
+            "time": (("t",), np.arange(6.0)),
+            "v": (("t",), np.array([1.0, -999.0, 3.0, -999.0, 5.0, 6.0])),
+        }, "attrs": {}, "array_attrs": {}}},
+    )
+    reg = _json.loads(open(marker).read())
+    reg["datasets"]["d"]["arrays"]["v"]["fill_value"] = -999.0
+    open(marker, "w").write(_json.dumps(reg))
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    rows = eng.sql(
+        f"SELECT time, v FROM read_atlas('{marker}') ORDER BY time"
+    ).collect()
+    got = [r.v for r in rows]
+    assert got == [1.0, None, 3.0, None, 5.0, 6.0]

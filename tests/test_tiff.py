@@ -2,6 +2,8 @@
 flattening, matching the reference's raster-as-nd-dataset model
 (beacon-arrow-tiff/src/reader.rs)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -364,3 +366,58 @@ def test_read_nd_tiff_window_e2e(spark, tmp_path):
     got = pdf.sort_values(["geo.lat", "geo.lon"], ascending=[False, True])[
         "band.0"].to_numpy()
     np.testing.assert_array_equal(got, want)
+
+
+# -------------------------------------------- r11 decoder-review findings
+
+
+REF_TIFFS = ("/root/reference/beacon-db/beacon-file-formats/"
+             "beacon-arrow-tiff/test-files")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TIFFS),
+                    reason="reference fixtures not available")
+def test_real_gdal_lzw_file_decodes():
+    """r11 review: the LZW decoder's early-change threshold was 2^n - 2
+    — self-consistent with our own encoder (every roundtrip passed) but
+    it rejected every REAL libtiff/GDAL stream as 'corrupt LZW stream'.
+    The reference's synthetic_lzw_stripped_f32.tif (8 LZW strips,
+    float32, nodata) is the external validation a matching-pair
+    roundtrip can never provide."""
+    ds = open_tiff(f"{REF_TIFFS}/synthetic_lzw_stripped_f32.tif")
+    assert ds.dims == {"y": 48, "x": 64}
+    a = np.asarray(ds.variables["band.0"][1]).astype(np.float64)
+    valid = a[a > -1e38]
+    assert valid.min() == 15.0 and valid.max() == 19.0
+    assert int((a <= -1e38).sum()) == 64  # the nodata block
+    # tiepoint/pixel-scale coordinate formula against the real tags
+    lon = np.asarray(ds.variables["geo.lon"][1])
+    lat = np.asarray(ds.variables["geo.lat"][1])
+    assert lon[0] == 3849000.0 and lon[1] - lon[0] == 1000.0
+    assert lat[0] == 3399000.0 and lat[1] - lat[0] == -1000.0
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TIFFS),
+                    reason="reference fixtures not available")
+def test_real_deflate_geotiff_decodes():
+    """The reference's test.tif: EPSG 4326, float32, 380x1287."""
+    ds = open_tiff(f"{REF_TIFFS}/test.tif")
+    assert ds.dims == {"y": 380, "x": 1287}
+    assert np.asarray(ds.variables["geo.epsg"][1]).item() == 4326
+    a = np.asarray(ds.variables["band.0"][1])
+    assert a.shape == (380, 1287) and a.dtype == np.float32
+    valid = a[a < 1e19]  # geo.nodata = 1.00000002e+20
+    assert 10.0 < float(valid.min()) and float(valid.max()) < 40.0
+
+
+def test_lzw_width_changes_roundtrip():
+    """Deep-table roundtrip crossing the 9->10->11->12 bit widenings
+    and the 4094 reset, under the REAL libtiff early-change points
+    (decoder 2^n - 1, encoder 2^n)."""
+    from beacon_spark.sources.tifflite import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(7)
+    for data in (bytes(rng.integers(0, 4, 200_000).astype(np.uint8)),
+                 bytes(rng.integers(0, 256, 60_000).astype(np.uint8)),
+                 b"A" * 100_000, b"", b"\x00"):
+        assert _lzw_decode(_lzw_encode(data)) == data
