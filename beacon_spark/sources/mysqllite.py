@@ -118,10 +118,14 @@ def _parse_value(raw: bytes | None, type_byte: int, charset: int):
     if type_byte == 0x0A:
         import datetime
 
+        if text.startswith("0000-00-00"):
+            return None  # MySQL zero date = "no value" (connector contract)
         return datetime.date.fromisoformat(text)
     if type_byte in (0x0C, 0x07):
         import datetime
 
+        if text.startswith("0000-00-00"):
+            return None  # zero datetime, ditto
         return datetime.datetime.fromisoformat(text.replace(" ", "T", 1))
     return text
 
@@ -193,8 +197,13 @@ class MySqlClient:
         i += 2 + 1 + 2 + 2  # cap_low, charset, status, cap_high
         n_auth = greet[i]
         i += 1 + 10  # length + reserved
-        # part 2 is 13 bytes incl. trailing NUL; the scramble is 20 total
-        nonce += greet[i:i + max(13, n_auth - 8)].rstrip(b"\x00")[:12]
+        # part 2 is max(13, n_auth - 8) bytes INCLUDING the trailing NUL;
+        # take the scramble bytes by EXACT length (n_auth - 8 - 1 = 12
+        # for native auth). rstrip(b"\\x00") here ate legitimate 0x00
+        # scramble bytes — a random nonce ends in 0x00 one connect in
+        # 256, and every such connect failed auth with Access denied.
+        nonce += greet[i:i + max(12, n_auth - 9)]
+        nonce = nonce[:20]
 
         caps = (_CLIENT_PROTOCOL_41 | _CLIENT_PLUGIN_AUTH |
                 _CLIENT_SECURE_CONNECTION)
@@ -224,7 +233,12 @@ class MySqlClient:
                     f"unsupported auth plugin {plugin!r} (supported: "
                     "mysql_native_password)"
                 )
-            new_nonce = resp[end + 1:].rstrip(b"\x00")
+            # the switch payload is the 20-byte scramble + ONE trailing
+            # NUL — strip exactly that, not every trailing zero (same
+            # legitimate-0x00-scramble-byte hazard as the greeting)
+            new_nonce = resp[end + 1:]
+            if new_nonce.endswith(b"\x00"):
+                new_nonce = new_nonce[:-1]
             self._send_packet(native_password_scramble(password, new_nonce))
             resp = self._read_packet()
         if resp[:1] == b"\xff":
@@ -338,7 +352,8 @@ def read_mysql(spark, table_or_query: str, options: dict) -> "DataFrame":
 
     sql = (
         table_or_query
-        if _re.match(r"(?i)^\s*select\b", table_or_query)
+        if _re.match(r"(?i)^\s*(select|with|values|table)\b",
+                     table_or_query)  # CTE/VALUES heads are queries too
         else f"SELECT * FROM {table_or_query}"
     )
     client = MySqlClient(

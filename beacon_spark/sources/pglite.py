@@ -155,7 +155,10 @@ class PgClient:
 
     def _startup(self, user: str, password: str | None, database: str) -> None:
         body = struct.pack("!I", 196608)  # protocol 3.0
-        for k, v in (("user", user), ("database", database)):
+        # client_encoding=UTF8: the SERVER transcodes result text, so a
+        # latin1 database doesn't crash the strict UTF-8 row decode
+        for k, v in (("user", user), ("database", database),
+                     ("client_encoding", "UTF8")):
             body += k.encode() + b"\x00" + v.encode() + b"\x00"
         body += b"\x00"
         self._sock.sendall(struct.pack("!I", len(body) + 4) + body)
@@ -320,7 +323,8 @@ def read_postgres(spark, table_or_query: str, options: dict) -> "DataFrame":
 
     sql = (
         table_or_query
-        if _re.match(r"(?i)^\s*select\b", table_or_query)
+        if _re.match(r"(?i)^\s*(select|with|values|table)\b",
+                     table_or_query)  # CTE/VALUES heads are queries too
         else f'SELECT * FROM {table_or_query}'
     )
     sslmode = options.get("sslmode", "disable").lower()

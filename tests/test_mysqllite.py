@@ -46,9 +46,10 @@ def _lenenc_str(s: bytes) -> bytes:
 
 
 class MockMySql(threading.Thread):
-    def __init__(self, deprecate_eof=True, ok_info=b""):
+    def __init__(self, deprecate_eof=True, ok_info=b"", nonce=None):
         self.deprecate_eof = deprecate_eof
         self.ok_info = ok_info  # session info appended to the OK terminator
+        self.nonce = nonce if nonce is not None else NONCE
         super().__init__(daemon=True)
         self._srv = socket.socket()
         self._srv.bind(("127.0.0.1", 0))
@@ -87,11 +88,11 @@ class MockMySql(threading.Thread):
             # caps high, auth data len, reserved(10), part 2 (12+NUL)
             greet = bytes([10]) + b"9.0-mock\x00"
             greet += struct.pack("<I", 99)
-            greet += NONCE[:8] + b"\x00"
+            greet += self.nonce[:8] + b"\x00"
             cap_high = 0xFFFF if self.deprecate_eof else 0xFEFF
             greet += struct.pack("<HBHH", 0xFFFF, 0x21, 0x0002, cap_high)
             greet += bytes([21]) + b"\x00" * 10
-            greet += NONCE[8:] + b"\x00"
+            greet += self.nonce[8:] + b"\x00"
             conn.sendall(self._packet(0, greet))
             _seq, resp = self._read_packet(f)
             # HandshakeResponse41: caps(4) maxpkt(4) charset(1) 23x
@@ -101,7 +102,7 @@ class MockMySql(threading.Thread):
             i = end + 1
             alen = resp[i]
             auth = resp[i + 1:i + 1 + alen]
-            want = native_password_scramble(PASSWORD, NONCE)
+            want = native_password_scramble(PASSWORD, self.nonce)
             if user != USER or auth != want:
                 conn.sendall(self._packet(2, b"\xff" + struct.pack("<H", 1045)
                                           + b"#28000Access denied"))
@@ -266,3 +267,35 @@ def test_mysql_query_stream_is_lazy_and_reusable(my):
     _c2, rows2 = c.query_stream("SELECT * FROM obs")
     assert len(list(rows2)) == 3
     c.close()
+
+
+# -------------------------------------------- r11 decoder-review findings
+
+
+def test_auth_with_trailing_zero_scramble_bytes():
+    """r11 review M1: the client rstripped ALL trailing 0x00 from the
+    scramble — but scramble bytes are random, so one connect in ~256
+    carried a legitimate trailing zero and failed auth with Access
+    denied. The nonce is now taken by exact length."""
+    nonce = bytes(range(1, 19)) + b"\x00\x00"  # last TWO bytes are zero
+    srv = MockMySql(nonce=nonce)
+    srv.start()
+    try:
+        c = MySqlClient("127.0.0.1", srv.port, user=USER,
+                        password=PASSWORD, database=DB)
+        cols, rows = c.query("SELECT * FROM obs")
+        assert len(rows) == 3
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_zero_dates_read_as_null():
+    """r11 review M8: MySQL zero dates ('0000-00-00') crashed
+    fromisoformat; they mean 'no value' and read as NULL, the standard
+    connector contract."""
+    from beacon_spark.sources.mysqllite import _parse_value
+
+    assert _parse_value(b"0000-00-00", 0x0A, 0x21) is None
+    assert _parse_value(b"0000-00-00 00:00:00", 0x0C, 0x21) is None
+    assert str(_parse_value(b"2024-05-06", 0x0A, 0x21)) == "2024-05-06"
