@@ -722,9 +722,12 @@ def test_admin_spa_static_serving(admin_http):
         elif ref.endswith(".css"):
             assert ctype.startswith("text/css")
 
-    # the app's SDK import (and the SDK's own relative imports) resolve
+    # the app's SDK import (and the SDK's own relative imports) resolve;
+    # app.mjs imports './src/<mod>.mjs' which the browser resolves
+    # against /admin/app.mjs -> /admin/src/<mod>.mjs
     _st, _ct, app = get("/admin/app.mjs")
-    sdk_refs = _re.findall(r'from "(/admin/src/[^"]+)"', app.decode())
+    sdk_refs = [f"/admin/src/{m}" for m in
+                _re.findall(r'from "\./src/([a-z0-9-]+\.mjs)"', app.decode())]
     assert sdk_refs
     seen = set()
     queue = list(sdk_refs)
