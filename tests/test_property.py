@@ -390,3 +390,31 @@ def test_split_top_level_reconstruction(items):
 
     s = ", ".join(items)
     assert _split_top_level(s) == [i.strip() for i in items]
+
+
+def test_remote_query_guard_and_engine_rewrite_stay_paired(spark, tmp_path):
+    """r11 guard review: the read-only gate refuses remote_query by a
+    raw-text `remote_query\\s*\\(` scan, and the engine's rewrite uses
+    the SAME adjacency shape — so a spelling the gate misses (comment
+    between name and paren) must ALSO not be rewritten by the engine:
+    it reaches Spark as an unknown function and fails loudly, never
+    executing the remote payload. This pin keeps the pair from
+    drifting apart (a looser engine regex + the current gate would be
+    a write-through-read-only hole)."""
+    import pytest as _pytest
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.server.guard import is_readonly_sql
+
+    plain = "SELECT * FROM remote_query('r', 'DROP TABLE t')"
+    sneaky = "SELECT * FROM remote_query/*c*/('r', 'DROP TABLE t')"
+    assert not is_readonly_sql(plain)
+    # the gate misses the comment form — the engine must too
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    with _pytest.raises(Exception) as e:
+        eng.sql(sneaky)
+    msg = str(e.value).lower()
+    assert ("could not resolve" in msg or "unresolved" in msg
+            or "cannot be resolved" in msg or "not found" in msg), msg
+    # and a literal containing the call shape is refused fail-closed
+    assert not is_readonly_sql("SELECT 'remote_query(x)' AS s")
