@@ -68,9 +68,20 @@ def _quote_ident(parts, quote: str = "`") -> str:
     )
 
 
-def _quote_value(v) -> str | None:
+def _quote_value(v, dialect: str = "spark") -> str | None:
     """SQL literal for a pushed comparison value; None = not expressible
-    (the filter is handed back to Spark)."""
+    (the filter is handed back to Spark).
+
+    String escaping is DIALECT-AWARE because the remote's lexer is:
+    Spark and MySQL treat backslash as a live escape inside single
+    quotes, so ''-doubling alone desyncs on a value ending in ``\\`` —
+    the escaped closing quote swallows the next predicate's text into
+    the string and re-opens CODE at an attacker-chosen point (a
+    filter-value SQL injection into the remote statement, reachable
+    from a read-only caller pushing filters through a federated scan).
+    PostgreSQL (standard_conforming_strings, the default since 9.1)
+    treats backslash literally, where doubling \\ would corrupt the
+    value instead."""
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, float):
@@ -80,7 +91,11 @@ def _quote_value(v) -> str | None:
     if isinstance(v, int):
         return repr(v)
     if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
+        if dialect in ("spark", "mysql"):
+            body = v.replace("\\", "\\\\").replace("'", "''")
+        else:  # postgres
+            body = v.replace("'", "''")
+        return "'" + body + "'"
     if isinstance(v, datetime.datetime):
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(v, datetime.date):
@@ -96,25 +111,25 @@ def _filter_to_sql(f, dialect: str = "spark") -> str | None:
         return None if inner is None else f"(NOT {inner})"
     col = _quote_ident(f.attribute, d["quote"])
     if isinstance(f, EqualTo):
-        v = _quote_value(f.value)
+        v = _quote_value(f.value, dialect)
         return None if v is None else f"({col} = {v})"
     if isinstance(f, EqualNullSafe):
-        v = _quote_value(f.value)
+        v = _quote_value(f.value, dialect)
         return None if v is None else f"({col} {d['eq_null_safe']} {v})"
     if isinstance(f, GreaterThan):
-        v = _quote_value(f.value)
+        v = _quote_value(f.value, dialect)
         return None if v is None else f"({col} > {v})"
     if isinstance(f, GreaterThanOrEqual):
-        v = _quote_value(f.value)
+        v = _quote_value(f.value, dialect)
         return None if v is None else f"({col} >= {v})"
     if isinstance(f, LessThan):
-        v = _quote_value(f.value)
+        v = _quote_value(f.value, dialect)
         return None if v is None else f"({col} < {v})"
     if isinstance(f, LessThanOrEqual):
-        v = _quote_value(f.value)
+        v = _quote_value(f.value, dialect)
         return None if v is None else f"({col} <= {v})"
     if isinstance(f, In):
-        vs = [_quote_value(v) for v in f.values]
+        vs = [_quote_value(v, dialect) for v in f.values]
         if not vs or any(v is None for v in vs):
             return None
         return f"({col} IN ({', '.join(vs)}))"
@@ -127,7 +142,7 @@ def _filter_to_sql(f, dialect: str = "spark") -> str | None:
             return None  # handed back to Spark (LIKE-escaping is dialect soup)
         fn = {StringStartsWith: "startswith", StringEndsWith: "endswith",
               StringContains: "contains"}[type(f)]
-        return f"({fn}({col}, {_quote_value(f.value)}))"
+        return f"({fn}({col}, {_quote_value(f.value, dialect)}))"
     return None
 
 

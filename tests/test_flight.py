@@ -1146,3 +1146,42 @@ def test_client_anonymous_rides_rbac(spark, tmp_path):
         anon.sql("SELECT * FROM closed_t").fetchall()
     with pytest.raises(beacondb.NotPermittedError):
         anon.sql("DROP TABLE open_t").fetchall()
+
+
+def test_pushed_string_values_escape_per_dialect(spark, served, tmp_path):
+    """r11 review: pushed filter VALUES are dialect-escaped. ''-doubling
+    alone desyncs Spark/MySQL lexers on a value ending in a backslash —
+    the escaped closing quote swallows the next predicate into the
+    string and re-opens code at an attacker-chosen point (filter-value
+    SQL injection into the remote statement from a read-only caller).
+    Values with backslashes and quotes must round-trip exactly."""
+    from beacon_spark.server.remote_datasource import _quote_value
+
+    # unit pins per dialect
+    assert _quote_value("x\\", "spark") == "'x\\\\'"
+    assert _quote_value("a'b", "spark") == "'a''b'"
+    assert _quote_value("x\\", "mysql") == "'x\\\\'"
+    assert _quote_value("x\\", "postgres") == "'x\\'"  # PG: literal backslash
+    assert _quote_value("a'b", "postgres") == "'a''b'"
+
+    # end-to-end through a live federated scan: the nasty values behave
+    # as VALUES, never as statement text
+    eng, _server, port = served
+    eng.sql("CREATE TABLE nasty AS SELECT * FROM VALUES "
+            "(1, 'plain'), (2, 'x\\\\'), (3, 'a''b'), "
+            "(4, 'tail\\\\') AS t(id, s)")
+    client_eng = Engine(spark, datasets_root=str(tmp_path / "nasty_client"))
+    client_eng.sql(f"ATTACH 'grpc://127.0.0.1:{port}' AS fed2")
+    try:
+        got = client_eng.sql(
+            "SELECT id FROM fed2__nasty WHERE s = 'x\\\\' OR s = 'a''b'"
+        ).collect()
+        assert sorted(r.id for r in got) == [2, 3]
+        # two predicates where the first value ends in a backslash: the
+        # injection shape — the second predicate must stay a predicate
+        got2 = client_eng.sql(
+            "SELECT id FROM fed2__nasty WHERE s != 'x\\\\' AND id < 4"
+        ).collect()
+        assert sorted(r.id for r in got2) == [1, 3]
+    finally:
+        client_eng.sql("DETACH fed2")
