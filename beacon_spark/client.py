@@ -622,8 +622,10 @@ class Connection:
                tls: bool = False, **_ignored) -> None:
         opts = []
         if token:
-            # SQL-escape: a token containing a quote would otherwise
-            # break the engine's ATTACH parse (or truncate the token)
+            # ENGINE-dialect escape (''-doubling): ATTACH is parsed by
+            # the engine's option grammar, where backslash is literal —
+            # NOT by Spark's lexer (guard.sql_string_literal is for
+            # Spark-lexed splices)
             opts.append(f"'token' '{token.replace(chr(39), chr(39) * 2)}'")
         if tls:
             opts.append("'tls' 'true'")

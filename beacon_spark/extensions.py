@@ -238,7 +238,12 @@ def _sql_literal(v) -> str:
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
+        # Spark-lexer-safe: preset filters are the MCP table tools'
+        # NARROWING guard — a trailing backslash with ''-doubling alone
+        # desynced the literal and silently widened what the tool serves
+        from beacon_spark.server.guard import sql_string_literal
+
+        return sql_string_literal(v)
     raise ExtensionError(f"unsupported preset filter value {v!r}")
 
 

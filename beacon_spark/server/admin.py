@@ -522,7 +522,11 @@ def _ident(name: str) -> str:
 
 
 def _lit(text: str) -> str:
-    """SQL string-literal escape for values spliced into statements."""
+    """ENGINE-dialect string-literal escape (body only; callers wrap in
+    quotes). These values land in ATTACH/CREATE CRAWLER/SET EXTENSION
+    statements parsed by the ENGINE's option grammar, whose ONLY escape
+    is ''-doubling — backslash is a literal character there (unlike
+    Spark-lexed SQL, where guard.sql_string_literal applies)."""
     if "\x00" in text:
         raise FileError.invalid("NUL in literal")
     return text.replace("'", "''")

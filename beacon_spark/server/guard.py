@@ -29,8 +29,19 @@ import re
 
 __all__ = [
     "is_readonly_sql", "scrub_sql", "sql_noncode_spans",
+    "sql_string_literal",
     "READONLY_START_RE", "WRITE_KEYWORD_RE",
 ]
+
+
+def sql_string_literal(value: str) -> str:
+    """Spark-lexer-safe single-quoted literal. ``''``-doubling alone is
+    NOT enough: Spark treats backslash as a live escape inside single
+    quotes, so a value ending in ``\\`` turns the closing quote into an
+    escaped character — the literal swallows the following statement
+    text and re-opens code at an attacker-influenced point. Every
+    value spliced into engine-executed SQL must come through here."""
+    return "'" + value.replace("\\", "\\\\").replace("'", "''") + "'"
 
 READONLY_START_RE = re.compile(
     r"^\s*(SELECT|WITH|SUMMARIZE|EXPLAIN|SHOW|DESCRIBE)\b",

@@ -678,3 +678,30 @@ def test_qualify_in_from_subquery(eng):
         """
     ).collect()
     assert out[0].n > 0
+
+
+def test_preset_values_are_spark_lexer_safe(spark, tmp_path):
+    """r11 review: preset filters are the MCP table tools' NARROWING
+    guard, and their WHERE text is Spark-lexed — a string value ending
+    in a backslash with ''-doubling alone desynced the literal (the
+    escaped closing quote swallowed the following predicate) and
+    silently widened what the tool serves. The rendered predicate must
+    evaluate the value AS a value."""
+    from beacon_spark.extensions import preset_where_sql
+
+    pred = preset_where_sql({
+        "name": "p",
+        "filters": [
+            {"column": "s", "op": "=", "value": "x\\"},
+            {"column": "v", "op": "<=", "value": 1},
+        ],
+    })
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE pres_t AS SELECT * FROM VALUES "
+            "('x\\\\', 1), ('y', 1), ('x\\\\', 9) AS t(s, v)")
+    rows = eng.sql(f"SELECT * FROM pres_t WHERE {pred}").collect()
+    # exactly the backslash row within the v<=1 guard — the second
+    # predicate stayed a predicate
+    assert len(rows) == 1 and rows[0].s == "x\\" and rows[0].v == 1
