@@ -29,7 +29,7 @@ import re
 
 __all__ = [
     "is_readonly_sql", "scrub_sql", "sql_noncode_spans",
-    "sql_string_literal",
+    "sql_string_literal", "sql_is_closed",
     "READONLY_START_RE", "WRITE_KEYWORD_RE",
 ]
 
@@ -153,6 +153,23 @@ def scrub_sql(sql: str, blank_literals: bool = True) -> str:
         else:
             out.append(sql[s:e])
     return "".join(out)
+
+
+def sql_is_closed(sql: str) -> bool:
+    """True when ``sql`` ends in CODE state — no open literal, comment,
+    or backtick identifier. A fragment ending inside an open construct
+    is DANGEROUS to splice into a larger statement: the open literal
+    (or a trailing ``--``) swallows the template text that follows and
+    re-opens code at a point the fragment author chose — gates that
+    splice caller fragments must refuse it. Decided by the SAME lexer
+    as every other gate, via a sentinel: append a marker and check it
+    lexes as code (hand-rolled closure rules desync on '' / \\\\' tails)."""
+    marker = "__beacon_closed_probe__"
+    probe = sql + marker
+    for kind, s, e in _lex(probe):
+        if kind == "code" and marker in probe[s:e]:
+            return True
+    return False
 
 
 def is_readonly_sql(sql: str) -> bool:

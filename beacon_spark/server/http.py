@@ -1082,10 +1082,20 @@ class BeaconHttpServer:
         over the (scoped) table: no writes, no subqueries, no federation
         — a subquery could read other tables or unexposed columns
         oracle-style, defeating the exposed_columns scoping."""
-        from beacon_spark.server.guard import WRITE_KEYWORD_RE, scrub_sql
+        from beacon_spark.server.guard import (
+            WRITE_KEYWORD_RE,
+            scrub_sql,
+            sql_is_closed,
+        )
 
         if re.search(r"\bremote_query\s*\(", pred, re.IGNORECASE):
             raise ValueError("where predicate must not use remote_query")
+        if not sql_is_closed(pred):
+            # a fragment ending inside an open literal/comment would
+            # swallow whatever template text is spliced after it and
+            # re-open code at a caller-chosen point
+            raise ValueError(
+                "where predicate has an unterminated literal or comment")
         # scrub_sql = the lexer-accurate blanking (backslash escapes,
         # comments) — a regex knowing only '' desyncs on '\'' and lets
         # a subquery hide inside a fake literal

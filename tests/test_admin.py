@@ -749,3 +749,36 @@ def test_admin_spa_static_serving(admin_http):
         with pytest.raises(urllib.error.HTTPError) as e:
             get(bad)
         assert e.value.code == 404, bad
+
+
+def test_mcp_where_refuses_unterminated_fragments(admin_http):
+    """r11 guard hardening: a table-tool where fragment ending inside an
+    open literal/comment would swallow spliced template text and
+    re-open code at a caller-chosen point — refused up front by the
+    shared-lexer closure probe."""
+    from beacon_spark.server.http import BeaconHttpServer as _S  # noqa: F401
+
+    eng, base, _root = admin_http
+    eng.sql("CREATE TABLE gt AS SELECT id, 'a' AS s FROM range(5)")
+    eng.sql("SET EXTENSION 'mcp' FOR gt TO '{\"enabled\": true}'")
+
+    def call(where):
+        req = urllib.request.Request(
+            f"{base}/mcp",
+            data=json.dumps({"jsonrpc": "2.0", "id": 1,
+                             "method": "tools/call",
+                             "params": {"name": "query_gt",
+                                        "arguments": {"where": where}}}
+                            ).encode(),
+            headers={"Authorization": "Bearer tok",
+                     "Content-Type": "application/json"}, method="POST")
+        return json.loads(urllib.request.urlopen(req).read())["result"]
+
+    ok = call("id < 3")
+    assert not ok.get("isError") and len(json.loads(
+        ok["content"][0]["text"])) == 3
+    for bad in ("s = 'x", "s = 'x\\'", "id > 1 --", "id > 1 /* c",
+                "`id > 1"):
+        res = call(bad)
+        assert res.get("isError"), bad
+        assert "unterminated" in res["content"][0]["text"], bad
