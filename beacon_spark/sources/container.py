@@ -54,13 +54,13 @@ import hashlib
 import io
 import os
 import posixpath
+import re
 import shutil
 import sqlite3
 import tempfile
 import threading
 import time
 import uuid
-from urllib.parse import urlparse
 
 SCHEME = "bdb"
 _CHUNK = 1 << 20
@@ -82,11 +82,16 @@ class ContainerError(RuntimeError):
 
 
 def split_uri(uri: str) -> tuple[str, str]:
-    """``bdb:///a/b/lake.db/x/y`` → (``/a/b/lake.db``, ``x/y``)."""
-    u = urlparse(uri)
-    if u.scheme.lower() != SCHEME:
+    """``bdb:///a/b/lake.db/x/y`` → (``/a/b/lake.db``, ``x/y``).
+
+    Parsed by hand, NOT urlparse: keys and glob patterns are plain
+    object names, and urlparse would eat everything after a ``?``
+    (query separator) or ``#`` (fragment) — a ``?.txt`` glob silently
+    matched nothing."""
+    m = re.match(rf"{SCHEME}://", uri, re.IGNORECASE)
+    if not m:
         raise ContainerError(f"not a {SCHEME}:// URI: {uri!r}")
-    path = (u.netloc + u.path) if u.netloc else u.path
+    path = uri[m.end():]
     parts = [p for p in path.split("/") if p]
     for i, p in enumerate(parts):
         if p.endswith(".db"):
@@ -363,7 +368,10 @@ class _Container:
     def _invalidate(self, key: str) -> None:
         self._extracted.pop(key, None)
         p = os.path.join(self.cache_dir, key)
-        if os.path.isfile(p):
+        # missing_ok: the cache dir is SHARED across processes, and two
+        # writers invalidating the same key race between the existence
+        # check and the unlink — losing that race is success, not error
+        with contextlib.suppress(FileNotFoundError):
             os.unlink(p)
 
     def cache_path(self, key: str) -> str:

@@ -489,21 +489,37 @@ def test_concurrent_extraction_from_two_processes(tmp_path):
     import subprocess
     import sys
 
+    import hashlib as _hashlib
+
     db = tmp_path / "ex.db"
     payload = os.urandom(3 << 20)
+    digest = _hashlib.sha256(payload).hexdigest()
     bs.write_bytes(f"bdb://{db}/data/big.parquet", payload)
+    # each process repeatedly invalidates + re-extracts the SHARED cache
+    # entry; a successful open must always see the EXACT bytes (the old
+    # fixed '.extract' tmp produced interleaved garbage here). A
+    # FileNotFoundError is legal — another process invalidated between
+    # handout and open, which the immutable-data contract normally
+    # precludes; this test violates it on purpose to force concurrency.
     script = (
-        "import sys\n"
+        "import sys, hashlib\n"
         "from beacon_spark.sources import container as bc\n"
         "c = bc._container(sys.argv[1])\n"
-        "for _ in range(10):\n"
+        "seen = 0\n"
+        "for _ in range(12):\n"
         "    p = c.cache_path('data/big.parquet')\n"
-        "    got = open(p, 'rb').read()\n"
-        "    assert len(got) == (3 << 20), len(got)\n"
+        "    try:\n"
+        "        got = open(p, 'rb').read()\n"
+        "    except FileNotFoundError:\n"
+        "        continue\n"
+        "    assert hashlib.sha256(got).hexdigest() == sys.argv[2], len(got)\n"
+        "    seen += 1\n"
         "    c._invalidate('data/big.parquet')\n"
+        "assert seen, 'never observed a successful read'\n"
         "print('OK')\n"
     )
-    procs = [subprocess.Popen([sys.executable, "-c", script, str(db)],
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(db),
+                               digest],
                               stdout=subprocess.PIPE, cwd="/root/repo")
              for _ in range(3)]
     outs = [p.communicate()[0].decode().strip() for p in procs]
@@ -590,3 +606,35 @@ def test_managed_table_commits_in_container_are_conditional(spark, tmp_path):
     assert t.read().count() == 1 + 4 * 5
     assert t.current_version() == 5
     bc.close_container(str(tmp_path / "lake.db"))
+
+
+def test_container_glob_matches_local_glob_semantics(tmp_path):
+    """r11 F3 differential pin: bdb:// glob must return exactly what
+    glob.glob(recursive=True) returns over a mirrored local tree —
+    '*' stays within one path segment, '**' spans, classes translate."""
+    import glob as pyglob
+
+    keys = ["a.txt", "ab.txt", "d/a.txt", "d/e/a.txt", "d/e/f.bin",
+            "x1/y.txt", "x2/y.txt", "top"]
+    db = tmp_path / "g.db"
+    local = tmp_path / "mirror"
+    for k in keys:
+        bs.write_bytes(f"bdb://{db}/{k}", b"x")
+        p = local / k
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"x")
+    pats = ["*.txt", "*/a.txt", "**/a.txt", "d/**/*.bin", "x[12]/y.txt",
+            "x[!1]/y.txt", "?.txt", "**", "d/*"]
+    for pat in pats:
+        want = sorted(
+            p.replace(str(local) + "/", "")
+            for p in pyglob.glob(f"{local}/{pat}", recursive=True)
+            if not p.endswith(str(local))
+        )
+        # glob.glob lists dirs too; the container has only objects
+        want = [w for w in want if w in keys]
+        got = sorted(
+            u.split(".db/", 1)[1] for u in bs.glob(f"bdb://{db}/{pat}")
+        )
+        assert got == want, (pat, got, want)
+    bc.close_container(str(db))
