@@ -71,6 +71,9 @@ def _read_ifd(buf: bytes, bo: str, off: int, big: bool) -> tuple[dict, int]:
         off += 2
         esize, slot, cfmt = 12, 4, "HHI"
     tags: dict[str, object] = {}
+    if off + (8 if big else 2) + n * esize > len(buf):
+        raise ValueError(
+            f"TIFF IFD at {off} declares {n} entries past end of file")
     for _ in range(n):
         tag, typ, count = _bs.unpack_from(bo + cfmt, buf, off)
         name = _TAGS.get(tag)
@@ -83,6 +86,13 @@ def _read_ifd(buf: bytes, bo: str, off: int, big: bool) -> tuple[dict, int]:
             data_off = off + esize - slot
         else:
             (data_off,) = _bs.unpack_from(bo + ("Q" if big else "I"), buf, off + esize - slot)
+        if data_off + nbytes > len(buf):
+            # a flipped count field can claim gigabytes (and the struct
+            # format string `fmt * count` would try to BUILD them) — a
+            # tag's value must lie inside the file
+            raise ValueError(
+                f"TIFF tag {tag} claims {nbytes} value bytes past end "
+                f"of file")
         if typ == 2:  # ascii
             raw = buf[data_off : data_off + count]
             tags[name] = raw.split(b"\x00", 1)[0].decode("latin-1")

@@ -421,3 +421,35 @@ def test_lzw_width_changes_roundtrip():
                  bytes(rng.integers(0, 256, 60_000).astype(np.uint8)),
                  b"A" * 100_000, b"", b"\x00"):
         assert _lzw_decode(_lzw_encode(data)) == data
+
+
+def test_corrupt_ifd_counts_fail_fast(tmp_path):
+    """r11 fuzz finding: a flipped tag-count field claimed gigabytes of
+    value bytes — `fmt * count` tried to BUILD a multi-GB struct format
+    string and the open hung. Tag values (and IFD entry tables) must
+    lie inside the file; corruption fails loudly in O(1)."""
+    import struct as _struct
+    import time as _time
+
+    p = str(tmp_path / "ok.tif")
+    write_tiff(p, [np.arange(64, dtype=np.float32).reshape(8, 8)],
+               compression="lzw")
+    raw = bytearray(open(p, "rb").read())
+    # first IFD at 8: entry 0 starts at 10; count field is bytes 4..8
+    # of an entry — blow up the FIRST entry's count
+    entry0 = 10
+    _struct.pack_into("<I", raw, entry0 + 4, 0xFFFFFFFE)
+    bad = str(tmp_path / "bad.tif")
+    open(bad, "wb").write(bytes(raw))
+    t0 = _time.time()
+    with pytest.raises(ValueError, match="past end of file"):
+        open_tiff(bad)
+    assert _time.time() - t0 < 1.0
+
+    # absurd IFD entry COUNT also fails fast
+    raw2 = bytearray(open(p, "rb").read())
+    _struct.pack_into("<H", raw2, 8, 0xFFFF)
+    bad2 = str(tmp_path / "bad2.tif")
+    open(bad2, "wb").write(bytes(raw2))
+    with pytest.raises(ValueError, match="past end of file"):
+        open_tiff(bad2)
