@@ -279,3 +279,56 @@ def test_remote_glob_matches_local_glob_semantics(tmp_path):
         rx = _glob_regex(pat)
         remote = {f for f in files if rx.match(f)}
         assert remote == local, (pat, remote, local)
+
+
+def test_glob_regex_hypothesis_differential(tmp_path):
+    """r11: property form of the glob differential — random trees and
+    random patterns; _glob_regex must agree with CPython's glob.glob
+    (recursive=True) on every (tree, pattern) pair. Catches any drift
+    in the segment/**/class translation that hand-picked examples
+    miss."""
+    import glob as stdglob
+    import os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from beacon_spark.sources.bytesource import _glob_regex
+
+    name = st.text(alphabet=list("abc1"), min_size=1, max_size=3)
+    relpath = st.lists(name, min_size=1, max_size=3).map("/".join)
+    seg = st.sampled_from(["*", "**", "?", "a", "b", "c1", "[ab]",
+                           "[!a]", "a*", "*1"])
+    pattern = st.lists(seg, min_size=1, max_size=3).map("/".join)
+
+    trees = st.lists(relpath, min_size=1, max_size=6, unique=True)
+
+    case_n = [0]
+
+    @settings(max_examples=120, deadline=None)
+    @given(files=trees, pat=pattern)
+    def check(files, pat):
+        case_n[0] += 1
+        root = tmp_path / f"case{case_n[0]}"
+        # files whose path is a PREFIX dir of another can't coexist on
+        # a filesystem; drop conflicters deterministically
+        keep = []
+        for f in sorted(files):
+            if not any(k == f or k.startswith(f + "/") or
+                       f.startswith(k + "/") for k in keep):
+                keep.append(f)
+        for f in keep:
+            p = root / f
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_bytes(b"x")
+        want = {
+            os.path.relpath(m, root)
+            for m in stdglob.glob(os.path.join(str(root), pat),
+                                  recursive=True)
+            if os.path.isfile(m)
+        }
+        rx = _glob_regex(pat)
+        got = {f for f in keep if rx.match(f)}
+        assert got == want, (pat, sorted(keep), got, want)
+
+    check()
