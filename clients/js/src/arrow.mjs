@@ -203,6 +203,30 @@ function looseBigInt(v) {
 function decodeColumn(field, node, bufs) {
   const { type } = field;
   const n = node.length;
+  // bound the allocation by what the buffers can actually hold: a
+  // corrupt length field otherwise makes `new Array(n)` allocate
+  // gigabytes before any bounds-checked read ever throws (heap OOM
+  // kills the tab/process instead of surfacing a decode error)
+  if (!Number.isSafeInteger(n) || n < 0) {
+    throw new Error(`arrow: invalid field node length ${n}`);
+  }
+  const need =
+    type.kind === "null" ? 0
+    : (type.kind === "utf8" || type.kind === "binary")
+      ? (type.large ? 8 : 4) * (n + 1)              // offsets buffer
+    : type.kind === "bool" ? Math.ceil(n / 8)
+    : type.kind === "int" ? (type.bitWidth / 8) * n
+    : type.kind === "float" ? (type.precision === 2 ? 8 : 4) * n
+    : type.kind === "decimal" ? 16 * n
+    : type.kind === "date" ? (type.unit === 0 ? 4 : 8) * n
+    : type.kind === "timestamp" ? 8 * n
+    : type.kind === "time" ? (type.bitWidth === 64 ? 8 : 4) * n
+    : 0;
+  if (need > 0 && (bufs[1]?.length ?? 0) < need) {
+    throw new Error(
+      `arrow: field ${JSON.stringify(field.name)} declares ${n} values ` +
+      `but its buffer holds ${bufs[1]?.length ?? 0} bytes (< ${need})`);
+  }
   const validity = bufs[0];
   const isValid = node.nullCount > 0 && validity.length > 0
     ? (i) => validAt(validity, i)
@@ -273,6 +297,12 @@ function decodeColumn(field, node, bufs) {
       : (i) => new Date(Number(dv.getBigInt64(8 * i, true)));
   } else if (type.kind === "decimal") {
     if (type.bitWidth !== 128) throw new Error("arrow: only decimal128 supported");
+    if (type.scale < 0 || type.scale > 76) {
+      // decimal128 holds at most 38 digits; a corrupt scale field would
+      // otherwise make `10n ** scale` compute an astronomically large
+      // BigInt (multi-second stall per value)
+      throw new Error(`arrow: invalid decimal scale ${type.scale}`);
+    }
     const scale = BigInt(type.scale);
     get = (i) => {
       const lo = dv.getBigUint64(16 * i, true);
@@ -324,6 +354,9 @@ function decodeRecordBatch(fb, rbPos, body, schema) {
     buffers.push(body.subarray(off, off + len));
   }
   const nRows = Number(fb.scalar(rbPos, 0, fb.i64, 0n));
+  if (!Number.isSafeInteger(nRows) || nRows < 0) {
+    throw new Error(`arrow: invalid record batch length ${nRows}`);
+  }
 
   const BUFFERS_PER_KIND = (t) =>
     t.kind === "null" ? 0 : (t.kind === "utf8" || t.kind === "binary") ? 3 : 2;
@@ -343,6 +376,14 @@ function decodeRecordBatch(fb, rbPos, body, schema) {
         `arrow: duplicate column name ${JSON.stringify(field.name)} in ` +
         "result — alias the columns distinctly"
       );
+    }
+    if (node.length !== nRows) {
+      // top-level columns of a flat schema carry exactly the batch's
+      // row count; a mismatch is corruption (and an unchecked huge
+      // node.length is an allocation bomb for null columns)
+      throw new Error(
+        `arrow: field ${JSON.stringify(field.name)} node length ` +
+        `${node.length} != batch length ${nRows}`);
     }
     columns[field.name] = field.type.kind === "null"
       ? new Array(node.length).fill(null)

@@ -65,3 +65,28 @@ test("duplicate column names throw instead of silently overwriting", () => {
     /duplicate column name "x"/,
   );
 });
+
+test("corrupt length/scale fields throw instead of allocating", () => {
+  // r11 fuzz findings: a flipped length field made `new Array(n)`
+  // allocate gigabytes (heap OOM killed the tab before any bounds-
+  // checked read threw), and a flipped decimal scale stalled seconds
+  // per value computing 10n ** scale. Allocation is now bounded by
+  // what the buffers hold; scale is bounded by decimal128's digits.
+  const data = readFileSync(join(FIX, "mixed.arrows"));
+  let threw = 0;
+  // flip every byte of the first 200 positions, one at a time: none
+  // may take > 1s or die on a non-Error
+  for (let pos = 0; pos < Math.min(200, data.length); pos++) {
+    const m = Buffer.from(data);
+    m[pos] ^= 0xff;
+    const t0 = Date.now();
+    try {
+      tableFromIPC(new Uint8Array(m));
+    } catch (e) {
+      assert.ok(e instanceof Error, `non-Error at ${pos}`);
+      threw++;
+    }
+    assert.ok(Date.now() - t0 < 1000, `slow decode at byte ${pos}`);
+  }
+  assert.ok(threw > 0); // corruption is actually detected, not ignored
+});
