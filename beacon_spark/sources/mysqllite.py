@@ -161,6 +161,10 @@ class MySqlClient:
             if len(body) < length:
                 raise MySqlError("truncated packet")
             out += body
+            if len(out) > (1 << 30):
+                # a hostile/corrupt stream of max-size fragments would
+                # otherwise reassemble without bound in executor memory
+                raise MySqlError("protocol payload exceeds 1 GiB")
             if length < 0xFFFFFF:
                 return out
 

@@ -139,6 +139,10 @@ class PgClient:
         head = self._recv_exact(5)
         tag = head[:1]
         (length,) = struct.unpack("!I", head[1:5])
+        if not 4 <= length <= (1 << 30):
+            # PostgreSQL's own wire limit is 1 GiB; a corrupt/hostile
+            # length would otherwise buffer unbounded bytes in memory
+            raise PgError(f"invalid message length {length}")
         return tag, self._recv_exact(length - 4)
 
     @staticmethod
