@@ -25,9 +25,13 @@ import numpy as np
 __all__ = ["decode_gif", "encode_gif", "scan_gif_meta"]
 
 
-def _lzw_decode(data: bytes, min_code: int) -> bytes:
+def _lzw_decode(data: bytes, min_code: int,
+                max_out: int | None = None) -> bytes:
     """GIF-variant LZW: LSB-first bit packing, clear/EOI codes,
-    variable width min_code+1 .. 12."""
+    variable width min_code+1 .. 12. ``max_out`` stops decoding once
+    the frame's declared pixel count is produced — LZW output grows
+    ~O(n^2) in the input, so an unbounded decode let one hostile frame
+    materialize hundreds of MB before the post-hoc truncation."""
     clear = 1 << min_code
     eoi = clear + 1
     width = min_code + 1
@@ -64,6 +68,8 @@ def _lzw_decode(data: bytes, min_code: int) -> bytes:
                 raise ValueError("gif: LZW code out of range")
             out += entry
             prev = entry
+            if max_out is not None and len(out) >= max_out:
+                return bytes(out[:max_out])
             if len(table) == (1 << width) and width < 12:
                 width += 1
     return bytes(out)
@@ -182,8 +188,12 @@ def decode_gif(payload: bytes) -> list[tuple[int, np.ndarray]]:
             comp += payload[pos + 1: pos + 1 + ln]
             pos += 1 + ln
         pos += 1
+        if w * h > (1 << 28):
+            raise ValueError(
+                f"gif frame {w}x{h} exceeds the decoder's budget")
         idx = np.frombuffer(
-            _lzw_decode(bytes(comp), min_code)[: w * h], np.uint8
+            _lzw_decode(bytes(comp), min_code, max_out=w * h)[: w * h],
+            np.uint8,
         ).reshape(h, w)
         if ipacked & 0x40:
             idx = _deinterlace(idx)

@@ -104,9 +104,25 @@ def decode_png(payload: bytes) -> np.ndarray:
     if nch is None:
         raise ValueError(f"bad PNG color type {color_type}")
 
-    raw = zlib.decompress(bytes(idat))
     bpp = nch * (bit_depth // 8)  # filter unit, bytes
     stride = width * bpp
+    # bound decode work by the DECLARED dimensions before any allocation:
+    # at corpus scale one hostile asset must become a per-asset error
+    # (the pipeline wrappers null it out), never an executor OOM —
+    # a ~50 KB zlib bomb otherwise inflates ~1000x, and a forged IHDR
+    # can claim 2^31 x 2^31 pixels
+    expected = height * (stride + 1) + 8 * height  # + interlace slack
+    if expected > (1 << 29):
+        raise ValueError(
+            f"PNG dimensions {width}x{height}x{nch} exceed the decoder's "
+            f"512 MiB budget")
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected)
+    if dec.unconsumed_tail:
+        raise ValueError(
+            "PNG IDAT inflates past its declared dimensions "
+            "(decompression bomb)")
+    raw += dec.flush()
     if interlace:
         out = np.zeros((height, stride), dtype=np.uint8)
         out_px = out.reshape(height, width, bpp)

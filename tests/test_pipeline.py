@@ -958,3 +958,63 @@ def test_fingerprint_index_append_same_ids_no_duplicate_pairs(spark, tmp_path):
     pairs = dedup_incremental(probe, path, threshold=0.3).collect()
     keys = [(r.new_id, r.corpus_id) for r in pairs]
     assert len(keys) == len(set(keys)), keys
+
+
+def test_codec_bombs_fail_as_per_asset_errors():
+    """r11 fuzz program: at corpus scale one hostile asset must become
+    a per-asset error (the pipeline wrappers null it out), never an
+    executor OOM. A ~50 KB zlib bomb PNG inflated ~1000x before this
+    bound; a forged IHDR could claim 2^31 x 2^31 pixels; GIF LZW output
+    grows ~O(n^2) in its input and materialized fully before the
+    post-hoc pixel truncation."""
+    import struct
+    import time
+    import zlib
+
+    import pytest as _pytest
+
+    from beacon_spark.pipeline.giflite import _lzw_decode
+    from beacon_spark.pipeline.pnglite import decode_png, encode_png
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    # zlib bomb: tiny IDAT inflating to ~1 GB against an 8x8 header
+    bomb_idat = zlib.compress(b"\x00" * (1 << 30), 9)
+    assert len(bomb_idat) < (1 << 21)
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", bomb_idat) + chunk(b"IEND", b""))
+    t0 = time.time()
+    with _pytest.raises(ValueError, match="decompression bomb"):
+        decode_png(png)
+    assert time.time() - t0 < 10
+
+    # forged IHDR dimensions: refuse before allocating
+    huge = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB",
+                                         2**30, 2**30, 8, 6, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="budget"):
+        decode_png(huge)
+    # the pipeline feature wrapper turns both into None (per-asset
+    # null), not a task death
+    from beacon_spark.pipeline.multimodal import image_stat_features
+
+    assert image_stat_features(png) is None
+    assert image_stat_features(huge) is None
+
+    # GIF LZW: a large stream stops producing at the frame's declared
+    # pixel count instead of materializing everything first
+    import numpy as np
+
+    from beacon_spark.pipeline.giflite import _lzw_encode
+
+    ok = encode_png(np.zeros((4, 4, 3), np.uint8))
+    assert decode_png(ok).shape == (4, 4, 3)  # legit decode still works
+    big = _lzw_encode(bytes(200_000), 2)
+    out = _lzw_decode(big, 2, max_out=1000)
+    assert len(out) == 1000
+    assert _lzw_decode(big, 2)[:1000] == out  # same prefix, full decode
