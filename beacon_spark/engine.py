@@ -819,8 +819,10 @@ class Engine:
         m = _EXPLAIN_ANALYZE_RE.match(statement)
         if m:
             # EXPLAIN ANALYZE <q> (runtime.rs:444-509): execute fully, then
-            # surface the executed plan with its runtime metrics
-            inner = self.sql(m.group(1))
+            # surface the executed plan with its runtime metrics. params
+            # ride through — the reference binds placeholders before the
+            # analyze wrapper, so `EXPLAIN ANALYZE … WHERE x = $1` works
+            inner = self.sql(m.group(1), params=params)
             inner.count()
             plan = inner._jdf.queryExecution().executedPlan().toString()
             return self.spark.createDataFrame(
@@ -921,7 +923,16 @@ class Engine:
         if replaces:
             from pyspark.sql import functions as F
 
+            have = {c.lower() for c in df.columns}
             for expr_s, name in replaces:
+                # REPLACE is a binder-checked rewrite of an EXISTING
+                # output column (DataFusion/DuckDB error on an unknown
+                # name); withColumn would silently APPEND a new column
+                if name.lower() not in have:
+                    raise ValueError(
+                        f"* REPLACE: column {name!r} is not in the "
+                        f"result (have: {sorted(df.columns)})"
+                    )
                 df = df.withColumn(name, F.expr(expr_s))
             if order_clause:
                 df = df.orderBy(*_order_columns(order_clause))
@@ -1759,6 +1770,18 @@ class Engine:
                 return self._status(
                     status="ok", op="attach", name=name, remote="true"
                 )
+            # local lake root: validate eagerly like the remote branch
+            # (the reference connects/enumerates at ATTACH time,
+            # remote/connection.rs:57) — a typo'd path otherwise lands
+            # in the catalog and every later registration just warns
+            import os as _os
+
+            from beacon_spark.sources import bytesource as _bs
+
+            if not (_os.path.isdir(path) if not _bs.is_uri(path)
+                    else _bs.exists(path)):
+                raise ValueError(
+                    f"ATTACH: lake root {path!r} does not exist")
             cat._mutate(
                 lambda doc: doc.setdefault("attachments", {})
                 .__setitem__(name, path))

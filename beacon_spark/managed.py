@@ -622,6 +622,18 @@ class ManagedTable:
     def update(self, assignments: dict[str, str], predicate: str | None) -> int:
         m = self._read_manifest()
         schema = T.StructType.fromJson(m["schema"])
+        # bind assignment targets to schema columns EAGERLY, resolving
+        # case-insensitively like Spark's analyzer — an unknown (or
+        # merely differently-cased) target used to be silently skipped,
+        # so `UPDATE t SET typo = 5` reported ok and changed nothing
+        by_lower = {f.name.lower(): f.name for f in schema.fields}
+        unknown = [k for k in assignments if k.lower() not in by_lower]
+        if unknown:
+            raise ManagedTableError(
+                f"UPDATE: unknown column(s) {sorted(unknown)} "
+                f"(have: {sorted(by_lower.values())})"
+            )
+        assignments = {by_lower[k.lower()]: v for k, v in assignments.items()}
         predicate = predicate or "true"
         touched, clean = self._split_files(predicate, schema)
         new_files = list(clean)
@@ -752,8 +764,12 @@ class ManagedTable:
         indexed: set[str] = set()
         if bs.isdir(idx_dir):
             prior = self.spark.read.parquet(bs.spark_path(idx_dir))
-            # keep postings of files still live in the current manifest
-            prior = prior.filter(F.col("file").isin(list(basenames))).cache()
+            # keep postings of files still live in the current manifest —
+            # as a broadcast semi-join, not isin(): a 100k-file table
+            # would inline 100k string literals into the plan
+            live = self.spark.createDataFrame(
+                [(b,) for b in sorted(basenames)], "file string")
+            prior = prior.join(F.broadcast(live), "file", "left_semi").cache()
             indexed = {r.file for r in prior.select("file").distinct().collect()}
         new_files = [f for f in files if bs.basename(f) not in indexed]
         parts = [] if prior is None else [prior]
@@ -946,13 +962,16 @@ class ManagedTable:
         manifest = self._read_manifest()
         rels = manifest["files"]
         threshold = int(target_file_bytes * small_ratio)
-        small, keep = [], []
+        small, keep, total = [], [], 0
         for rel in rels:
-            p = bs.join(self.path, rel)
-            (small if bs.size(p) < threshold else keep).append(rel)
+            sz = bs.size(bs.join(self.path, rel))  # one stat per file
+            if sz < threshold:
+                small.append(rel)
+                total += sz
+            else:
+                keep.append(rel)
         if len(small) <= 1:
             return len(rels), len(rels)
-        total = sum(bs.size(bs.join(self.path, rel)) for rel in small)
         n_out = max(1, -(-total // target_file_bytes))  # ceil
         df = self._read_files(
             [bs.join(self.path, rel) for rel in small],
@@ -969,12 +988,28 @@ class ManagedTable:
         )
         return len(rels), len(keep) + len(new)
 
+    #: crashed-writer staging dirs younger than this survive VACUUM —
+    #: a live 100 TB write can legitimately stage for hours (Delta's
+    #: VACUUM retention plays the same role for its tombstoned files)
+    STAGING_GRACE_SECS = 7 * 24 * 3600.0
+
     def vacuum(self, retain_versions: int = 1) -> tuple[int, int]:
         """Reclaim storage: drop manifests older than the newest
         ``retain_versions`` and delete data files no surviving version
         references. Time travel shortens accordingly (the same contract
         as Delta VACUUM / Lance cleanup). Returns (manifests_removed,
-        files_removed)."""
+        files_removed).
+
+        Concurrent-writer safety: a data file is deleted only when it is
+        BOTH unreferenced and older than the newest manifest — an
+        in-flight INSERT moves its files into ``data/`` BEFORE its
+        manifest commit, so "unreferenced" alone would let VACUUM delete
+        files the about-to-win commit references (the table would then
+        serve file-not-found forever). Files newer than the latest
+        commit are left for a later VACUUM, by which time they are
+        either referenced or provably abandoned. Crashed writers'
+        ``_staging-*`` dirs are reclaimed after :data:`STAGING_GRACE_SECS`.
+        """
         if retain_versions < 1:
             raise ManagedTableError("VACUUM must retain at least 1 version")
         ms = self._manifests()
@@ -985,14 +1020,34 @@ class ManagedTable:
             live.update(
                 json.loads(bs.read_text(bs.join(self.manifest_dir, name)))["files"]
             )
+        newest_commit = max(
+            (bs.mtime(bs.join(self.manifest_dir, name)) for name in ms),
+            default=float("inf"),
+        )
         removed_files = 0
         if bs.isdir(self.data_dir):
             for fn in bs.listdir(self.data_dir):
                 if fn.endswith(".parquet") and f"data/{fn}" not in live:
-                    bs.remove(bs.join(self.data_dir, fn))
+                    p = bs.join(self.data_dir, fn)
+                    try:
+                        in_flight = bs.mtime(p) >= newest_commit
+                    except OSError:
+                        continue  # vanished — another vacuum got it
+                    if in_flight:
+                        continue
+                    bs.remove(p)
                     removed_files += 1
         for name in drop_ms:
             bs.remove(bs.join(self.manifest_dir, name))
+        # abandoned staging dirs (writer crashed between _write_data's
+        # Spark write and the moves): old enough = reclaimable
+        now = time.time()
+        for fn in bs.listdir(self.path) if bs.isdir(self.path) else []:
+            if fn.startswith("_staging-"):
+                p = bs.join(self.path, fn)
+                with contextlib.suppress(OSError):
+                    if now - bs.mtime(p) > self.STAGING_GRACE_SECS:
+                        bs.rmtree(p)
         return len(drop_ms), removed_files
 
     def drop(self) -> None:
@@ -1083,10 +1138,23 @@ class Catalog:
                 raise ManagedTableError(
                     f"name {name!r} already exists as a {label}")
 
+    @staticmethod
+    def _check_name(name: str) -> None:
+        """Catalog names become PATH COMPONENTS under tables_dir. The
+        SQL surface only admits ``\\w+``, but the embedded API is public:
+        a name like ``../x`` would escape the lake root (the same class
+        as the atlas registry path escape fixed in r11)."""
+        import re as _re
+
+        if not _re.fullmatch(r"\w+", name or ""):
+            raise ManagedTableError(
+                f"bad table name {name!r} (letters/digits/underscore only)")
+
     def create_table(self, name: str, df: DataFrame) -> ManagedTable:
         # DDL catalog commits go through _mutate (lock + merge-on-
         # conflict): a plain load->save raced concurrent DDL and the
         # last writer silently erased the other's entry
+        self._check_name(name)
         self._assert_name_free(self._load(), name)
         path = bs.join(self.tables_dir, name)
         t = ManagedTable(self.spark, path).create(df)
@@ -1245,6 +1313,7 @@ class Catalog:
         self._mutate(apply)
 
     def create_materialized_view(self, name: str, sql: str, df: DataFrame) -> None:
+        self._check_name(name)
         self._assert_name_free(self._load(), name)
         path = bs.join(self.tables_dir, f"_mv_{name}")
         ManagedTable(self.spark, path).create(df)

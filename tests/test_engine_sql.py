@@ -76,6 +76,37 @@ def test_explain_analyze(spark, sf_dir):
     assert "HashAggregate" in text or "Scan" in text
 
 
+def test_explain_analyze_binds_params(spark, sf_dir):
+    """EXPLAIN ANALYZE threads $n params to the inner statement — they
+    used to be dropped, so the placeholder reached Spark unbound."""
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=sf_dir)
+    out = eng.sql(
+        "EXPLAIN ANALYZE SELECT count(*) FROM read_parquet('orders.parquet') "
+        "WHERE o_orderkey < $1",
+        params=[100],
+    ).collect()
+    assert any("Scan" in r.plan or "Aggregate" in r.plan for r in out)
+
+
+def test_attach_missing_local_root_errors(spark, tmp_path):
+    """ATTACH of a nonexistent local lake root fails eagerly (the
+    reference validates at ATTACH time) instead of landing a broken
+    entry in the catalog that only warns at registration."""
+    import pytest as _pt
+
+    from beacon_spark.engine import Engine
+
+    root = tmp_path / "mine2"
+    root.mkdir()
+    mine = Engine(spark, datasets_root=str(root))
+    with _pt.raises(ValueError, match="does not exist"):
+        mine.sql(f"ATTACH '{tmp_path / 'no_such_root'}' AS ghost")
+    cat = mine.catalog._load()
+    assert "ghost" not in cat.get("attachments", {})
+
+
 def test_date_bin_macro(spark, sf_dir):
     from beacon_spark.engine import Engine
 
@@ -263,6 +294,24 @@ def test_star_replace_order_by_sorts_replaced_values(eng):
         "ORDER BY r_regionkey DESC"
     )
     assert [r.r_regionkey for r in df2.collect()] == [4, 3, 2, 1, 0]
+
+
+def test_star_replace_unknown_column_errors(eng):
+    """REPLACE binds to an EXISTING output column (DataFusion/DuckDB
+    binder error on an unknown name) — withColumn silently APPENDED a
+    new column instead, changing the result shape with no error."""
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="REPLACE.*nope"):
+        eng.sql(
+            "SELECT * REPLACE (1 AS nope) FROM read_parquet('region.parquet')"
+        )
+    # case-insensitive like Spark's resolver: R_NAME binds to r_name
+    df = eng.sql(
+        "SELECT * REPLACE (upper(r_name) AS R_NAME) "
+        "FROM read_parquet('region.parquet')"
+    )
+    assert all(r.R_NAME == r.R_NAME.upper() for r in df.collect())
 
 
 def test_star_exclude_replace_compose(eng):

@@ -1602,3 +1602,84 @@ def test_fallback_publish_rechecks_claim(spark, tmp_path, monkeypatch):
     with open(_os.path.join(str(tmp_path / "fb"), "_manifests",
                             f"v{nxt:08d}.json"), "rb") as f:
         assert f.read() == b'{"winner": true}'
+
+
+def test_update_unknown_column_errors(eng):
+    """UPDATE of a nonexistent (or differently-cased) column binds
+    eagerly: the unknown target used to be silently SKIPPED, so the
+    statement reported ok and changed nothing."""
+    eng.sql("CREATE TABLE upd_t AS SELECT * FROM VALUES (1, 10.0) AS v(id, temp)")
+    with pytest.raises(Exception, match="unknown column.*typo"):
+        eng.sql("UPDATE upd_t SET typo = 5")
+    # case-insensitive binding like Spark's analyzer: TEMP -> temp
+    eng.sql("UPDATE upd_t SET TEMP = 42.0 WHERE id = 1")
+    assert eng.sql("SELECT temp FROM upd_t").collect()[0].temp == 42.0
+
+
+def test_vacuum_spares_inflight_writer_files(spark, tmp_path):
+    """A data file moved into data/ by a not-yet-committed INSERT is
+    unreferenced but IN FLIGHT — vacuum deleting it would make the
+    about-to-win commit reference a dead file. Only files older than
+    the newest manifest are reclaimable."""
+    import os
+    import time as _time
+
+    from beacon_spark.managed import ManagedTable
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE vt AS SELECT * FROM VALUES (1), (2) AS v(id)")
+    path = eng.catalog._load()["tables"]["vt"]
+    t = ManagedTable(spark, path)
+    # an older version becomes reclaimable (vacuum has real work)...
+    eng.sql("DELETE FROM vt WHERE id = 2")
+    # ...then the in-flight writer's parquet lands in data/ AFTER the
+    # latest commit, with no manifest referencing it yet
+    _time.sleep(0.02)
+    inflight = os.path.join(path, "data", "part-inflight.parquet")
+    df = spark.createDataFrame([(3,)], "id int")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.mode("overwrite").parquet(td + "/w")
+        src = next(f for f in os.listdir(td + "/w") if f.endswith(".parquet"))
+        os.replace(td + "/w/" + src, inflight)
+    eng.sql("VACUUM vt RETAIN 1 VERSIONS")
+    assert os.path.exists(inflight)  # spared: newer than the last commit
+    # a later commit supersedes it; now it is provably abandoned
+    _time.sleep(0.02)
+    eng.sql("INSERT INTO vt VALUES (4)")
+    eng.sql("VACUUM vt RETAIN 1 VERSIONS")
+    assert not os.path.exists(inflight)
+
+
+def test_vacuum_reclaims_stale_staging_dirs(spark, tmp_path, monkeypatch):
+    import os
+
+    from beacon_spark.managed import ManagedTable
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE st AS SELECT 1 AS id")
+    path = eng.catalog._load()["tables"]["st"]
+    stale = os.path.join(path, "_staging-deadbeef")
+    os.makedirs(stale)
+    fresh = os.path.join(path, "_staging-cafe")
+    os.makedirs(fresh)
+    old = __import__("time").time() - 10.0
+    os.utime(stale, (old, old))
+    monkeypatch.setattr(ManagedTable, "STAGING_GRACE_SECS", 5.0)
+    eng.sql("VACUUM st")
+    assert not os.path.exists(stale)   # crashed writer, past grace
+    assert os.path.exists(fresh)       # possibly live — spared
+
+
+def test_catalog_rejects_path_escaping_names(spark, tmp_path):
+    """Embedded Catalog API: names become path components — '../x'
+    must not escape the lake root (the SQL surface gates \\w+ already)."""
+    from beacon_spark.managed import ManagedTableError
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ManagedTableError, match="bad table name"):
+        eng.catalog.create_table("../evil", df)
+    with pytest.raises(ManagedTableError, match="bad table name"):
+        eng.catalog.create_materialized_view("a/b", "SELECT 1", df)
