@@ -129,11 +129,26 @@ class BeaconCliClient:
             raise CliError(
                 f"cannot infer export format from {path!r}; use --format"
             )
-        with open(path, "wb") as f:
-            return self._request(
-                "/api/query", {"sql": sql, "output": {"format": fmt}},
-                sink=f,
-            )
+        # spool to a sibling temp name and rename on success: a failed
+        # query (or a connection dropped mid-stream) must never leave a
+        # truncated file at the destination — especially not TRUNCATE an
+        # existing good export the user is replacing
+        import os
+        import uuid as _uuid
+
+        tmp = f"{path}.__export_{_uuid.uuid4().hex[:8]}"
+        try:
+            with open(tmp, "wb") as f:
+                n = self._request(
+                    "/api/query", {"sql": sql, "output": {"format": fmt}},
+                    sink=f,
+                )
+            os.replace(tmp, path)
+            return n
+        except BaseException:
+            with __import__("contextlib").suppress(OSError):
+                os.unlink(tmp)
+            raise
 
     def tables(self) -> list:
         return self._get_json("/api/tables")

@@ -125,11 +125,22 @@ def validate_dataset_path(raw: str) -> str:
 
 
 class AdminApi:
+    #: a chunked-upload session idle this long is abandoned: its spool
+    #: is reclaimed at the next initiate (the error contract already
+    #: says "unknown or expired upload session")
+    SESSION_TTL_SECS = 24 * 3600.0
+
     def __init__(self, engine, max_upload_bytes: int = 8 << 30):
+        import threading
+
         self.engine = engine
         self.max_upload_bytes = max_upload_bytes
-        # upload_id -> {"key", "overwrite", "spool", "next_part", "size"}
+        # upload_id -> {"key", "overwrite", "spool", "next_part", "size",
+        # "ts"} — guarded by _uploads_lock: the HTTP server is threaded,
+        # and an unlocked initiate/part/abort interleave could leak a
+        # spool or append to a dropped session's file
         self._uploads: dict[str, dict] = {}
+        self._uploads_lock = threading.Lock()
 
     # ------------------------------------------------------------ util
 
@@ -415,11 +426,25 @@ class AdminApi:
 
     # -------------------------------------------------- chunked upload
 
+    def _sweep_expired(self) -> None:
+        """Reclaim abandoned sessions (client initiated then vanished):
+        without this, every orphaned upload pins a spool file and a dict
+        entry forever."""
+        import time
+
+        cutoff = time.monotonic() - self.SESSION_TTL_SECS
+        with self._uploads_lock:
+            dead = [i for i, s in self._uploads.items() if s["ts"] < cutoff]
+        for i in dead:
+            self._drop_session(i)
+
     def _initiate_upload(self, query: dict):
         import tempfile
+        import time
 
         from beacon_spark.sources import bytesource as bs
 
+        self._sweep_expired()
         key = validate_dataset_path(query.get("path", ""))
         overwrite = query.get("overwrite", "").lower() == "true"
         if bs.exists(self._abs(key)) and not overwrite:
@@ -429,16 +454,22 @@ class AdminApi:
         import os
 
         os.close(fd)
-        self._uploads[upload_id] = {
-            "key": key, "overwrite": overwrite, "spool": spool,
-            "next_part": 1, "size": 0,
-        }
+        with self._uploads_lock:
+            self._uploads[upload_id] = {
+                "key": key, "overwrite": overwrite, "spool": spool,
+                "next_part": 1, "size": 0, "ts": time.monotonic(),
+            }
         return self._json(200, {"upload_id": upload_id,
                                 "part_size": PART_SIZE})
 
     def _session(self, query: dict) -> tuple[str, dict]:
+        import time
+
         upload_id = query.get("upload_id", "")
-        sess = self._uploads.get(upload_id)
+        with self._uploads_lock:
+            sess = self._uploads.get(upload_id)
+            if sess is not None:
+                sess["ts"] = time.monotonic()  # activity defers expiry
         if sess is None:
             raise FileError.unknown_upload(upload_id or "<missing>")
         return upload_id, sess
@@ -504,7 +535,8 @@ class AdminApi:
     def _drop_session(self, upload_id: str) -> None:
         import os
 
-        sess = self._uploads.pop(upload_id, None)
+        with self._uploads_lock:
+            sess = self._uploads.pop(upload_id, None)
         if sess is not None:
             try:
                 os.unlink(sess["spool"])

@@ -782,3 +782,36 @@ def test_mcp_where_refuses_unterminated_fragments(admin_http):
         res = call(bad)
         assert res.get("isError"), bad
         assert "unterminated" in res["content"][0]["text"], bad
+
+
+def test_abandoned_upload_sessions_expire(admin_http):
+    """An initiated-then-abandoned chunked upload must not pin its
+    spool file and session entry forever — the next initiate past the
+    TTL sweeps it (the 404 contract already says 'unknown or expired')."""
+    import os
+
+    from beacon_spark.server.admin import AdminApi
+
+    _eng, base, root = admin_http
+    st, body = _req(base, "POST",
+                    "/api/admin/datasets/upload/initiate?path=zz/a.bin")
+    uid = body["upload_id"]
+    # find the live AdminApi on the server and age the session
+    import gc
+
+    apis = [o for o in gc.get_objects() if isinstance(o, AdminApi)
+            and uid in o._uploads]
+    assert apis, "server AdminApi not found"
+    api = apis[0]
+    spool = api._uploads[uid]["spool"]
+    assert os.path.exists(spool)
+    api._uploads[uid]["ts"] -= api.SESSION_TTL_SECS + 1
+    # a later initiate sweeps the expired session and its spool
+    _req(base, "POST", "/api/admin/datasets/upload/initiate?path=zz/b.bin")
+    assert uid not in api._uploads
+    assert not os.path.exists(spool)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "POST",
+             f"/api/admin/datasets/upload/part?upload_id={uid}&part_number=1",
+             body=b"x", ctype="application/octet-stream")
+    assert e.value.code == 404

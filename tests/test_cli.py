@@ -117,3 +117,23 @@ def test_connect_refused_is_clean():
     c = BeaconCliClient("http://127.0.0.1:9")  # discard port: refused
     with pytest.raises(CliError, match="could not connect"):
         c.tables()
+
+
+def test_failed_export_never_clobbers_destination(served, tmp_path):
+    """A failed export must not truncate an existing good file at the
+    destination (the old open('wb')-first order did) nor leave a
+    fragment behind."""
+    import os
+
+    _eng, url, _root = served
+    dest = tmp_path / "out.parquet"
+    dest.write_bytes(b"precious previous export")
+    c = BeaconCliClient(url)
+    with pytest.raises(CliError):
+        c.export("SELECT * FROM no_such_table_xyz", str(dest))
+    assert dest.read_bytes() == b"precious previous export"
+    leftovers = [f for f in os.listdir(tmp_path) if "__export_" in f]
+    assert leftovers == []
+    # and a good export still lands
+    n = c.export("SELECT * FROM clit", str(dest))
+    assert n > 0 and dest.stat().st_size == n
