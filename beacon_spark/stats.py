@@ -95,6 +95,14 @@ def _file_stats(path: str) -> list[dict]:
             if isinstance(v, (int, float, decimal.Decimal)):
                 return float(v)
             if hasattr(v, "timestamp"):
+                import datetime as _dt
+
+                # parquet stats hand back NAIVE datetimes holding the
+                # UTC wall time (Spark writes isAdjustedToUTC micros);
+                # bare .timestamp() would read them in the DRIVER's
+                # local zone, skewing every interval by the UTC offset
+                if getattr(v, "tzinfo", None) is None:
+                    v = v.replace(tzinfo=_dt.timezone.utc)
                 return v.timestamp()
             return None
 

@@ -333,3 +333,38 @@ def test_decimal_columns_keep_numeric_stats(tmp_path):
     # disjoint range prunes; overlapping range keeps
     assert prune_files(root, [f], {"p": (100.0, None)}) == []
     assert prune_files(root, [f], {"p": (15.0, None)}) == [f]
+
+
+def test_timestamp_stats_are_utc_not_driver_local():
+    """Parquet stats return NAIVE datetimes holding UTC wall time; the
+    numeric interval must read them as UTC — a bare .timestamp() on a
+    non-UTC driver skewed every timestamp interval by the UTC offset."""
+    import datetime as dt
+    import os
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beacon_spark.stats import _file_stats
+
+    ts = dt.datetime(2024, 6, 1, 12, 0, 0)  # naive = UTC wall time
+    t = pa.table({"t": pa.array([ts], pa.timestamp("us"))})
+    with tempfile.TemporaryDirectory() as td:
+        f = os.path.join(td, "x.parquet")
+        pq.write_table(t, f)
+        old_tz = os.environ.get("TZ")
+        os.environ["TZ"] = "America/New_York"  # UTC-4/-5
+        time.tzset()
+        try:
+            rows = {r["column"]: r for r in _file_stats(f)}
+        finally:
+            if old_tz is None:
+                os.environ.pop("TZ", None)
+            else:
+                os.environ["TZ"] = old_tz
+            time.tzset()
+    want = ts.replace(tzinfo=dt.timezone.utc).timestamp()
+    assert rows["t"]["min_num"] == want
+    assert rows["t"]["max_num"] == want
