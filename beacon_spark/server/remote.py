@@ -62,12 +62,22 @@ class RemoteBeacon:
         self._client = fl.FlightClient(loc)
         self._tables: list[str] | None = None
 
-    def _opts(self) -> fl.FlightCallOptions | None:
-        if self._token is None:
+    #: cap on METADATA calls (list_tables / schema probes). These run
+    #: inside _register_catalog — without a deadline, one hung remote
+    #: endpoint blocks EVERY engine statement for the OS TCP timeout.
+    #: Data-plane do_get stays uncapped: a big result may stream for
+    #: longer than any fixed deadline.
+    METADATA_TIMEOUT_SECS = 30.0
+
+    def _opts(self, timeout: float | None = None) -> fl.FlightCallOptions | None:
+        headers = ([(b"authorization", f"Bearer {self._token}".encode())]
+                   if self._token is not None else [])
+        if timeout is None and not headers:
             return None
-        return fl.FlightCallOptions(
-            headers=[(b"authorization", f"Bearer {self._token}".encode())]
-        )
+        kw = {"headers": headers}
+        if timeout is not None:
+            kw["timeout"] = timeout
+        return fl.FlightCallOptions(**kw)
 
     # ------------------------------------------------------------ metadata
 
@@ -75,7 +85,8 @@ class RemoteBeacon:
         if self._tables is None:
             res = list(
                 self._client.do_action(
-                    fl.Action("list_tables", b""), options=self._opts()
+                    fl.Action("list_tables", b""),
+                    options=self._opts(self.METADATA_TIMEOUT_SECS),
                 )
             )
             body = json.loads(res[0].body.to_pybytes().decode())
@@ -100,7 +111,8 @@ class RemoteBeacon:
             self._schemas = {}
         if table not in self._schemas:
             info = self._client.get_flight_info(
-                fl.FlightDescriptor.for_path(table), options=self._opts()
+                fl.FlightDescriptor.for_path(table),
+                options=self._opts(self.METADATA_TIMEOUT_SECS),
             )
             self._schemas[table] = from_arrow_schema(info.schema)
         return self._schemas[table]
@@ -114,7 +126,7 @@ class RemoteBeacon:
 
         info = self._client.get_flight_info(
             fl.FlightDescriptor.for_command(json.dumps({"sql": sql}).encode()),
-            options=self._opts(),
+            options=self._opts(self.METADATA_TIMEOUT_SECS),
         )
         return from_arrow_schema(info.schema)
 

@@ -1185,3 +1185,48 @@ def test_pushed_string_values_escape_per_dialect(spark, served, tmp_path):
         assert sorted(r.id for r in got2) == [1, 3]
     finally:
         client_eng.sql("DETACH fed2")
+
+
+def test_remote_metadata_calls_carry_deadline():
+    """A hung remote endpoint (accepts TCP, never answers) must fail a
+    metadata call within the deadline instead of blocking every engine
+    statement for the OS TCP timeout — list_tables runs inside
+    _register_catalog."""
+    import socket
+    import threading
+    import time as _time
+
+    from beacon_spark.server.remote import RemoteBeacon
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def hang():
+        conns = []
+        srv.settimeout(0.2)
+        while not stop.is_set():
+            try:
+                c, _ = srv.accept()
+                conns.append(c)  # accept and say nothing
+            except OSError:
+                pass
+        for c in conns:
+            c.close()
+
+    t = threading.Thread(target=hang, daemon=True)
+    t.start()
+    try:
+        rb = RemoteBeacon(f"grpc://127.0.0.1:{port}")
+        rb.METADATA_TIMEOUT_SECS = 2.0
+        t0 = _time.monotonic()
+        with pytest.raises(Exception):
+            rb.list_tables()
+        assert _time.monotonic() - t0 < 15.0
+        rb.close()
+    finally:
+        stop.set()
+        t.join(timeout=2)
+        srv.close()
