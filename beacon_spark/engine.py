@@ -61,6 +61,18 @@ _ANALYZE_RE = re.compile(
 _EXCLUDE_RE = re.compile(
     r"(\*\s+)EXCLUDE\s*(\(([^)]*)\)|(\w+))", re.IGNORECASE
 )
+# `FROM t WHERE (flag)`: Spark's non-reserved-keyword mode parses this
+# as table alias `WHERE` with column list `(flag)` — the WHERE clause
+# is SILENTLY swallowed and the query returns unfiltered rows (arity
+# permitting; otherwise a baffling ASSIGNMENT_ARITY_MISMATCH). The
+# reference's DataFusion dialect filters. Parens around a lone
+# identifier never change expression semantics, so dropping them
+# (`WHERE flag`) is a safe disambiguation — the alias parse needs the
+# paren list. Multi-identifier lists are left alone: `(a, b) IN (…)`
+# is a row-value predicate. Found by the DSL↔SQL↔DuckDB differential.
+_WHERE_PAREN_IDENT_RE = re.compile(
+    r"(?i)\b(WHERE\s*)\(\s*([A-Za-z_]\w*)\s*\)"
+)
 
 
 _INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
@@ -899,6 +911,9 @@ class Engine:
         statement = self._rewrite_try_arrow_cast(statement)
         statement = self._rewrite_macros(statement)
         statement = self._rewrite_qualify(statement)
+        statement = _sub_outside_literals(
+            _WHERE_PAREN_IDENT_RE, r"\1\2", statement
+        )
         statement = _sub_outside_literals(
             _EXCLUDE_RE,
             lambda m: f"{m.group(1)}EXCEPT ({m.group(3) or m.group(4)})",

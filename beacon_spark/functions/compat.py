@@ -44,8 +44,11 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 _SQL_UDFS = [
+    # bare niladic form: works in BOTH keyword modes (under
+    # ansi.enforceReservedKeywords, `current_date()` with parens is a
+    # parse error), so a user session with stricter confs still loads
     """CREATE OR REPLACE TEMPORARY FUNCTION today()
-       RETURNS DATE RETURN current_date()""",
+       RETURNS DATE RETURN current_date""",
     # Timestamp(tz) -> wall-clock Timestamp(no tz) in the session zone
     """CREATE OR REPLACE TEMPORARY FUNCTION to_local_time(ts TIMESTAMP)
        RETURNS TIMESTAMP_NTZ RETURN CAST(ts AS TIMESTAMP_NTZ)""",

@@ -45,6 +45,14 @@ def get_spark(
         # parquet ns-timestamps (Beacon's native unit) read as long; readers
         # rebuild µs timestamps explicitly (documented divergence, SURVEY §1.2)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NOTE on reserved keywords: Spark's default non-reserved mode
+        # parses `FROM t WHERE (flag)` as table alias `WHERE(flag)`,
+        # SILENTLY swallowing the WHERE clause (found by the
+        # DSL↔SQL↔DuckDB differential). enforceReservedKeywords=true
+        # fixes that but reserves words like `column` that the
+        # reference's metadata contract uses as identifiers — so the
+        # engine disambiguates the dangerous spelling textually instead
+        # (engine._rewrite_where_paren_ident).
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

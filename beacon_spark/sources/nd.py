@@ -92,7 +92,26 @@ def decode_cf(values: np.ndarray, attrs: dict) -> tuple[np.ndarray, pa.DataType 
     time_spec = _parse_cf_epoch(str(attrs.get("units", "")))
     if time_spec is not None and np.issubdtype(out.dtype, np.number):
         per_unit, epoch_ns = time_spec
-        ns = (out.astype(np.float64) * per_unit + epoch_ns).astype("int64")
+        # EXACT integer math where possible: `float64(v) * per_unit`
+        # rounds past 2^53 ns — a µs-unit variable at a modern epoch
+        # came out ±128 ns off, and the ns→µs safe-cast then CRASHED
+        # the read ("would lose data"). Integer values (and the integer
+        # part of floats) multiply in int64; only a genuine fractional
+        # part rides float, where its magnitude keeps it exact.
+        if np.issubdtype(out.dtype, np.integer):
+            ns = out.astype(np.int64) * np.int64(per_unit) + np.int64(epoch_ns)
+        else:
+            f = out.astype(np.float64)
+            ip = np.floor(f)
+            with np.errstate(invalid="ignore"):
+                ns = (
+                    ip.astype(np.int64) * np.int64(per_unit)
+                    + np.rint((f - ip) * per_unit).astype(np.int64)
+                    + np.int64(epoch_ns)
+                )
+        # Spark timestamps are µs; sub-µs input floors to the boundary
+        # (truncation beats failing the whole scan on one ns value)
+        ns -= np.mod(ns, 1000)
         if mask is not None:
             ns = np.where(mask, np.int64(0), ns)
         arr = ns.view("datetime64[ns]")

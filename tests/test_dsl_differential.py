@@ -1,0 +1,200 @@
+"""DSL↔SQL↔DuckDB differential over random filter trees.
+
+The JSON DSL and the SQL surface compile to the same plans
+(reference README.md:117-119; our dsl.py mirrors filter/mod.rs's
+pinned semantics). This property test generates random filter trees,
+renders each one BOTH as a DSL body and as the equivalent SQL WHERE
+(replicating the pinned coercions: fractionals truncate into integer
+columns, ISO strings with a time part become timestamp literals,
+empty and ⇒ TRUE, empty or ⇒ FALSE), and requires all three
+evaluators to agree row-for-row:
+
+  1. engine.query({...})           — the DSL compiler
+  2. engine.sql("SELECT ... WHERE") — the SQL path (read_fn rewrite)
+  3. DuckDB on the same parquet     — an independent engine
+
+A disagreement localizes a bug in dsl.compile_filter, the SQL rewrite
+machinery, or the rendering contract itself.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from beacon_spark.engine import Engine
+
+ORDERS = "orders.parquet"
+
+INT_COLS = ["o_orderkey", "o_custkey"]
+FLOAT_COLS = ["o_totalprice"]
+STR_COLS = ["o_orderstatus", "o_orderpriority"]
+TS_COL = "o_orderdate"
+
+_OPS = ["eq", "neq", "gt", "gt_eq", "lt", "lt_eq"]
+_SQL_OP = {"eq": "=", "neq": "<>", "gt": ">", "gt_eq": ">=",
+           "lt": "<", "lt_eq": "<="}
+
+# value pools chosen to straddle the sf0.001 data (o_orderkey 1..6000,
+# o_custkey 1..150, o_totalprice ~1k..500k) so filters select real rows
+_INT_VALS = st.one_of(
+    st.integers(min_value=-5, max_value=6000),
+    st.floats(min_value=0.2, max_value=5999.7,
+              allow_nan=False, allow_infinity=False),
+)
+_FLOAT_VALS = st.floats(min_value=500.0, max_value=400000.0,
+                        allow_nan=False, allow_infinity=False)
+_STR_VALS = st.sampled_from(
+    ["O", "F", "P", "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+     "5-LOW", "x'y", "", "URGENT"])
+_TS_VALS = st.sampled_from(
+    ["2023-03-01T00:00:00", "2023-06-15T12:30:00", "2024-01-01T00:00:00"])
+
+
+def _num_leaf(draw):
+    col = draw(st.sampled_from(INT_COLS + FLOAT_COLS))
+    op = draw(st.sampled_from(_OPS))
+    v = draw(_INT_VALS if col in INT_COLS else _FLOAT_VALS)
+    return {"column": col, op: v}
+
+
+def _between_leaf(draw):
+    col = draw(st.sampled_from(INT_COLS + FLOAT_COLS))
+    pool = _INT_VALS if col in INT_COLS else _FLOAT_VALS
+    a, b = draw(pool), draw(pool)
+    return {"column": col, "gt_eq": a, "lt_eq": b}
+
+
+def _str_leaf(draw):
+    col = draw(st.sampled_from(STR_COLS))
+    kind = draw(st.sampled_from(["eq", "neq", "contains", "like"]))
+    if kind == "like":
+        pat = draw(st.sampled_from(["%URGENT%", "_-%", "%GH", "O", "%'%"]))
+        return {"column": col, "like": pat}
+    return {"column": col, kind: draw(_STR_VALS)}
+
+
+def _ts_leaf(draw):
+    op = draw(st.sampled_from(_OPS))
+    return {"column": TS_COL, op: draw(_TS_VALS)}
+
+
+def _null_leaf(draw):
+    col = draw(st.sampled_from(INT_COLS + STR_COLS))
+    key = draw(st.sampled_from(["is_null", "is_not_null"]))
+    return {key: {"column": col}}
+
+
+@st.composite
+def filter_trees(draw, depth: int = 0):
+    if depth >= 2 or draw(st.integers(0, 3)) > 0:
+        kind = draw(st.sampled_from(
+            ["num", "num", "between", "str", "ts", "null"]))
+        return {
+            "num": _num_leaf, "between": _between_leaf, "str": _str_leaf,
+            "ts": _ts_leaf, "null": _null_leaf,
+        }[kind](draw)
+    key = draw(st.sampled_from(["and", "or"]))
+    n = draw(st.integers(0, 3))
+    return {key: [draw(filter_trees(depth=depth + 1)) for _ in range(n)]}
+
+
+def _is_iso_ts(v: str) -> bool:
+    """Mirror dsl._comparison_value: a string is a timestamp literal
+    only when fromisoformat parses it AND it carries a time part."""
+    import datetime as _dt
+
+    try:
+        _dt.datetime.fromisoformat(v)
+    except ValueError:
+        return False
+    return "T" in v or " " in v
+
+
+def _sql_lit_str(v: str) -> str:
+    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_of(node) -> str:
+    """Render a filter tree to SQL with the DSL's pinned semantics."""
+    if "and" in node:
+        kids = [_sql_of(c) for c in node["and"]]
+        return "(" + (" AND ".join(kids) if kids else "true") + ")"
+    if "or" in node:
+        kids = [_sql_of(c) for c in node["or"]]
+        return "(" + (" OR ".join(kids) if kids else "false") + ")"
+    if "is_null" in node:
+        return f"({node['is_null']['column']} IS NULL)"
+    if "is_not_null" in node:
+        return f"({node['is_not_null']['column']} IS NOT NULL)"
+    col = node["column"]
+    if "contains" in node:
+        return f"(contains({col}, {_sql_lit_str(node['contains'])}))"
+    if "like" in node:
+        return f"({col} LIKE {_sql_lit_str(node['like'])})"
+    parts = []
+    for op, sql_op in _SQL_OP.items():
+        if op not in node:
+            continue
+        v = node[op]
+        if isinstance(v, str) and _is_iso_ts(v):
+            lit = f"TIMESTAMP '{v.replace('T', ' ')}'"
+        elif isinstance(v, str):
+            lit = _sql_lit_str(v)
+        elif isinstance(v, bool):
+            lit = "true" if v else "false"
+        elif col in INT_COLS:
+            # the DSL truncates fractionals into integer columns
+            # (filter/mod.rs:94-113, dsl._coerce_number)
+            lit = str(math.trunc(v))
+        else:
+            lit = repr(float(v))
+        parts.append(f"{col} {sql_op} {lit}")
+    return "(" + " AND ".join(parts) + ")"
+
+
+def _duck_sql(where: str, path: str) -> list:
+    # Spark lexes backslash escapes in literals; DuckDB is standard-
+    # conforming (backslash literal) — double the backslashes back out
+    dsql = where.replace("\\\\", "\x00").replace("\\'", "''") \
+                .replace("\x00", "\\")
+    con = duckdb.connect()
+    try:
+        return sorted(r[0] for r in con.execute(
+            f"SELECT o_orderkey FROM read_parquet('{path}') "
+            f"WHERE {dsql}").fetchall())
+    finally:
+        con.close()
+
+
+@pytest.fixture(scope="module")
+def deng(spark, sf_small):
+    return Engine(spark, datasets_root=sf_small)
+
+
+@settings(max_examples=20, deadline=None)
+@given(tree=filter_trees())
+def test_dsl_sql_duckdb_agree_on_random_filters(deng, sf_small, tree):
+    where = _sql_of(tree)
+    dsl_rows = sorted(
+        r.o_orderkey
+        for r in deng.query({
+            "select": ["o_orderkey"],
+            "from": {"parquet": {"paths": [ORDERS]}},
+            "filter": tree,
+        }).collect()
+    )
+    sql_rows = sorted(
+        r.o_orderkey
+        for r in deng.sql(
+            f"SELECT o_orderkey FROM read_parquet('{ORDERS}') "
+            f"WHERE {where}"
+        ).collect()
+    )
+    duck_rows = _duck_sql(where, f"{sf_small}/{ORDERS}")
+    assert dsl_rows == sql_rows, f"DSL != SQL for {tree!r} / {where}"
+    assert sql_rows == duck_rows, f"Spark != DuckDB for {where}"

@@ -754,3 +754,26 @@ def test_preset_values_are_spark_lexer_safe(spark, tmp_path):
     # exactly the backslash row within the v<=1 guard — the second
     # predicate stayed a predicate
     assert len(rows) == 1 and rows[0].s == "x\\" and rows[0].v == 1
+
+
+def test_where_paren_single_identifier_filters(spark, tmp_path):
+    """`FROM t WHERE (flag)` must FILTER: stock Spark parses it as table
+    alias `WHERE(flag)` and SILENTLY swallows the clause (all rows come
+    back; with mismatched arity, a baffling ASSIGNMENT_ARITY_MISMATCH).
+    The engine drops the semantically-redundant parens so the clause
+    parses. Found by the DSL-vs-SQL-vs-DuckDB differential."""
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.createDataFrame(
+        [(True, 1), (False, 2), (True, 3)], "flag boolean, id int"
+    ).createOrReplaceTempView("wp_t")
+    rows = eng.sql("SELECT id FROM wp_t WHERE (flag)").collect()
+    assert sorted(r.id for r in rows) == [1, 3]
+    # constant folds too, and literals containing the shape are immune
+    assert eng.sql("SELECT id FROM wp_t WHERE (true)").count() == 3
+    assert eng.sql("SELECT id FROM wp_t WHERE (false)").count() == 0
+    r = eng.sql(
+        "SELECT 'x WHERE (flag) y' AS s FROM wp_t WHERE (flag) LIMIT 1"
+    ).collect()
+    assert r[0].s == "x WHERE (flag) y"

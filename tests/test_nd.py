@@ -171,3 +171,33 @@ def test_ragged_netcdf3_roundtrip(tmp_path):
     t = back.flatten(attribute_columns=False)
     assert t.column("platform").to_pylist() == [10, 10, 20, 20, 20, 30]
     assert t.column("pressure").to_pylist() == [5, 10, 5, 10, 15, 5]
+
+
+def test_cf_time_decode_is_exact_at_modern_epochs():
+    """float64(v) * ns_per_unit rounds past 2^53 ns: a µs-unit variable
+    at a modern epoch decoded ±128 ns off and the ns→µs safe-cast then
+    CRASHED the read ('would lose data'). Integer inputs (and integral
+    floats) must decode exactly; genuine sub-µs floors to the boundary
+    instead of failing the scan."""
+    import numpy as np
+
+    from beacon_spark.sources.nd import _to_arrow, decode_cf
+
+    for dt in (np.int64, np.float64):
+        vals = np.array([1700000000000001, 1700000000000003], dtype=dt)
+        arr, t = decode_cf(vals, {"units": "microseconds since 1970-01-01"})
+        out = _to_arrow(np.ascontiguousarray(arr), t).to_pylist()
+        assert out[0].isoformat() == "2023-11-14T22:13:20.000001"
+        assert out[1].isoformat() == "2023-11-14T22:13:20.000003"
+    # ns-resolution input floors to the µs boundary (Spark has no ns)
+    vals = np.array([1700000000000000500], dtype=np.int64)
+    arr, t = decode_cf(vals, {"units": "nanoseconds since 1970-01-01"})
+    out = _to_arrow(np.ascontiguousarray(arr), t).to_pylist()
+    assert out[0].isoformat() == "2023-11-14T22:13:20"
+    # seconds stay exact and _FillValue still masks to NULL
+    vals = np.array([1700000000, -999], dtype=np.int64)
+    arr, t = decode_cf(
+        vals, {"units": "seconds since 1970-01-01", "_FillValue": -999})
+    out = _to_arrow(arr, t).to_pylist()
+    assert out == [__import__("datetime").datetime(2023, 11, 14, 22, 13, 20),
+                   None]
