@@ -213,19 +213,28 @@ def filter_column_names(node: Any) -> set[str] | None:
     return {name} if isinstance(name, str) else None
 
 
-def compile_filter(node: Any, schema: T.StructType) -> Column:
+def compile_filter(node: Any, schema: T.StructType,
+                   source_schema: T.StructType | None = None) -> Column:
+    """``source_schema``: the PRE-projection schema. Filters apply after
+    projection and name OUTPUT columns, but Spark's resolver lets them
+    reach through to source columns the select dropped — the type-aware
+    literal coercion must see those columns' types too, or the same
+    filter silently changes semantics depending on the select list
+    (``eq: 1.5`` on an unselected int column stopped truncating; found
+    by the DSL↔SQL↔DuckDB differential). Lookup order mirrors Spark's:
+    output schema first, source schema only for names the output lacks."""
     if not isinstance(node, dict):
         raise DslError(f"bad filter node: {node!r}")
 
     if "and" in node:
         expr = F.lit(True)
         for child in node["and"]:
-            expr = expr & compile_filter(child, schema)
+            expr = expr & compile_filter(child, schema, source_schema)
         return expr
     if "or" in node:
         expr = F.lit(False)
         for child in node["or"]:
-            expr = expr | compile_filter(child, schema)
+            expr = expr | compile_filter(child, schema, source_schema)
         return expr
 
     def _null_target(key: str) -> str:
@@ -270,6 +279,8 @@ def compile_filter(node: Any, schema: T.StructType) -> Column:
         raise DslError(f"comparison leaf with no operator: {node!r}")
 
     dtype = _column_type(schema, name)
+    if dtype is None and source_schema is not None:
+        dtype = _column_type(source_schema, name)
     col = _col(name)
     if "gt_eq" in ops and "lt_eq" in ops:
         expr = col.between(
@@ -461,12 +472,13 @@ def compile_query(engine, body: dict[str, Any]) -> DataFrame:
     df = engine.resolve_from(
         body.get("from"), scan_cols or None, ranges, terms, eqs
     )
+    src_schema = df.schema  # pre-projection: reach-through coercion types
     df = df.select(*[_select_to_column(s) for s in select])
 
     if body.get("filter") is not None:
-        df = df.filter(compile_filter(body["filter"], df.schema))
+        df = df.filter(compile_filter(body["filter"], df.schema, src_schema))
     for legacy in body.get("filters") or []:
-        df = df.filter(compile_filter(legacy, df.schema))
+        df = df.filter(compile_filter(legacy, df.schema, src_schema))
 
     sort_by = body.get("sort_by")
     sort_exprs = _sort_exprs(sort_by) if sort_by else []

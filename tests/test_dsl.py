@@ -224,3 +224,26 @@ def test_null_checks_reject_string_payload(eng):
     with pytest.raises(DslError, match="is_not_null"):
         eng.query({"select": ["depth"],
                    "filter": {"is_not_null": "depth"}}).collect()
+
+
+def test_filter_coercion_reaches_through_projection(spark, sf_small):
+    """Literal coercion must see the SOURCE column's type even when the
+    select list drops the filtered column: `eq: 1.5` on an int column
+    truncates to `= 1` (the pinned reference semantics) whether or not
+    the column is projected. It silently stopped truncating for
+    unselected columns — found by the DSL↔SQL↔DuckDB differential."""
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=sf_small)
+    selected = eng.query({
+        "select": ["o_orderkey", "o_custkey"],
+        "from": {"parquet": {"paths": ["orders.parquet"]}},
+        "filter": {"column": "o_custkey", "eq": 1.5},
+    }).count()
+    unselected = eng.query({
+        "select": ["o_orderkey"],
+        "from": {"parquet": {"paths": ["orders.parquet"]}},
+        "filter": {"column": "o_custkey", "eq": 1.5},
+    }).count()
+    assert selected == unselected
+    assert selected > 0  # truncated to = 1, which has rows at sf0.001

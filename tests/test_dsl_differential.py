@@ -198,3 +198,59 @@ def test_dsl_sql_duckdb_agree_on_random_filters(deng, sf_small, tree):
     duck_rows = _duck_sql(where, f"{sf_small}/{ORDERS}")
     assert dsl_rows == sql_rows, f"DSL != SQL for {tree!r} / {where}"
     assert sql_rows == duck_rows, f"Spark != DuckDB for {where}"
+
+
+_SORT_COLS = ["o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate"]
+
+
+@st.composite
+def order_bodies(draw):
+    keys = draw(st.lists(
+        st.tuples(st.sampled_from(["asc", "desc"]),
+                  st.sampled_from(_SORT_COLS)),
+        min_size=0, max_size=2, unique_by=lambda t: t[1]))
+    offset = draw(st.integers(0, 40))
+    limit = draw(st.integers(1, 60))
+    flt = draw(filter_trees())
+    return keys, offset, limit, flt
+
+
+@settings(max_examples=15, deadline=None)
+@given(body=order_bodies())
+def test_dsl_sql_duckdb_agree_on_sort_and_pagination(deng, sf_small, body):
+    """sort_by (nulls-last both directions, the DSL pin) + offset/limit
+    must paginate identically through the DSL, the SQL surface, and
+    DuckDB. o_orderkey is appended as the final key so the total order
+    is unique and the page is deterministic."""
+    keys, offset, limit, flt = body
+    where = _sql_of(flt)
+    order_sql = ", ".join(
+        [f"{c} {d.upper()} NULLS LAST" for d, c in keys]
+        + ["o_orderkey ASC NULLS LAST"])
+    sql = (f"SELECT o_orderkey FROM read_parquet('{ORDERS}') "
+           f"WHERE {where} ORDER BY {order_sql} "
+           f"LIMIT {limit} OFFSET {offset}")
+    sql_rows = [r.o_orderkey for r in deng.sql(sql).collect()]
+    dsl_rows = [
+        r.o_orderkey
+        for r in deng.query({
+            "select": ["o_orderkey"] + sorted({c for _d, c in keys}),
+            "from": {"parquet": {"paths": [ORDERS]}},
+            "filter": flt,
+            "sort_by": [{d: c} for d, c in keys] + [{"asc": "o_orderkey"}],
+            "offset": offset,
+            "limit": limit,
+        }).collect()
+    ]
+    dsql = (f"SELECT o_orderkey FROM read_parquet('{sf_small}/{ORDERS}') "
+            f"WHERE {where} ORDER BY {order_sql} "
+            f"LIMIT {limit} OFFSET {offset}")
+    con = duckdb.connect()
+    try:
+        duck_rows = [r[0] for r in con.execute(
+            dsql.replace("\\\\", "\x00").replace("\\'", "''")
+                .replace("\x00", "\\")).fetchall()]
+    finally:
+        con.close()
+    assert dsl_rows == sql_rows, f"DSL != SQL for {keys} {flt!r}"
+    assert sql_rows == duck_rows, f"Spark != DuckDB for {sql}"
