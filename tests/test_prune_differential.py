@@ -133,3 +133,63 @@ def test_pruned_reads_match_full_scan(pruned_table, flt):
     finally:
         con.close()
     assert got == want, f"pruned read lost/invented rows for {flt!r}"
+
+
+# =====================================================================
+# Model-based DML differential: after a random INSERT/DELETE/UPDATE/
+# OPTIMIZE sequence, EVERY retained version must read back exactly the
+# model's snapshot (the manifest machinery is the transactional core —
+# a COW bug here is silent history corruption).
+# =====================================================================
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=st.lists(
+    st.one_of(
+        st.tuples(st.just("insert"), st.integers(1, 5)),
+        st.tuples(st.just("delete_mod"), st.integers(2, 7)),
+        st.tuples(st.just("update_add"), st.integers(1, 9)),
+        st.tuples(st.just("optimize"), st.just(0)),
+    ),
+    min_size=1, max_size=6,
+))
+def test_dml_history_matches_model(spark, tmp_path_factory, ops):
+    import itertools
+
+    eng = Engine(spark, datasets_root=str(
+        tmp_path_factory.mktemp("dml-model")))
+    from beacon_spark.managed import ManagedTable
+
+    eng.sql("CREATE TABLE mt AS SELECT id, CAST(id AS DOUBLE) AS v "
+            "FROM range(0, 20)")
+    mt = ManagedTable(spark, eng.catalog._load()["tables"]["mt"])
+    model = {i: float(i) for i in range(20)}  # id -> v
+    # keyed by the ACTUAL committed version: a no-op OPTIMIZE (nothing
+    # small enough to fold) correctly commits no new manifest
+    history = {mt.current_version(): dict(model)}
+    next_id = itertools.count(1000)
+    for kind, arg in ops:
+        if kind == "insert":
+            ids = [next(next_id) for _ in range(arg)]
+            vals = ", ".join(f"({i}, CAST({i} AS DOUBLE))" for i in ids)
+            eng.sql(f"INSERT INTO mt VALUES {vals}")
+            model.update({i: float(i) for i in ids})
+        elif kind == "delete_mod":
+            eng.sql(f"DELETE FROM mt WHERE id % {arg} = 0")
+            model = {i: v for i, v in model.items() if i % arg != 0}
+        elif kind == "update_add":
+            eng.sql(f"UPDATE mt SET v = v + {arg} WHERE id % 3 = 1")
+            model = {i: (v + arg if i % 3 == 1 else v)
+                     for i, v in model.items()}
+        else:
+            eng.sql("OPTIMIZE mt")
+            model = dict(model)  # compaction: contents unchanged
+        history[mt.current_version()] = dict(model)
+    # latest read matches the final model
+    got = {r.id: r.v for r in eng.sql("SELECT * FROM mt").collect()}
+    assert got == history[max(history)]
+    # EVERY retained version matches its snapshot (COW time travel)
+    for ver, snap in sorted(history.items()):
+        rows = eng.sql(
+            f"SELECT * FROM mt VERSION AS OF {ver}").collect()
+        assert {r.id: r.v for r in rows} == snap, f"version {ver} diverged"
