@@ -120,12 +120,23 @@ def _select_to_column(item: Any) -> Column:
         raise DslError(f"bad select item: {item!r}")
     alias = item.get("alias")
     if "column" in item or "column_name" in item:
-        col = _col(item.get("column", item.get("column_name")))
+        name = item.get("column", item.get("column_name"))
+        if not isinstance(name, str):
+            raise DslError(f"select column must be a string, got: {name!r}")
+        col = _col(name)
     elif "function" in item:
-        args = [_select_to_column(a) for a in item.get("args", [])]
+        if not isinstance(item["function"], str):
+            raise DslError(
+                f"select function must be a name, got: {item['function']!r}")
+        args = item.get("args", [])
+        if not isinstance(args, list):
+            raise DslError(f"function args must be a list, got: {args!r}")
+        args = [_select_to_column(a) for a in args]
         col = F.call_function(item["function"], *args)
     elif "value" in item:
         v = item["value"]
+        if isinstance(v, dict):
+            raise DslError(f"select value must be a literal, got: {v!r}")
         col = F.lit(v)
     else:
         raise DslError(f"bad select item: {item!r}")
@@ -134,13 +145,18 @@ def _select_to_column(item: Any) -> Column:
 
 def collect_columns(item: Any, out: list[str]) -> None:
     """Referenced column names of a select item (for pushdown projection,
-    query/mod.rs:163-178)."""
+    query/mod.rs:163-178). Non-string column payloads are skipped — the
+    projection set must stay hashable strings (a malformed
+    ``{"column": [1]}`` once leaked a LIST into a dict lookup); the
+    select compiler rejects the item with a clear error anyway."""
     if isinstance(item, str):
         out.append(item)
     elif isinstance(item, dict):
-        if "column" in item or "column_name" in item:
-            out.append(item.get("column", item.get("column_name")))
-        for a in item.get("args", []) or []:
+        name = item.get("column", item.get("column_name"))
+        if isinstance(name, str):
+            out.append(name)
+        args = item.get("args")
+        for a in args if isinstance(args, list) else []:
             collect_columns(a, out)
 
 
@@ -162,9 +178,14 @@ def _output_to_source(select: list[Any]) -> dict[str, str | None]:
             put(item, item)
         elif isinstance(item, dict):
             name = item.get("alias")
+            if not isinstance(name, str):
+                name = None  # malformed alias: no pruning claim
             if "column" in item or "column_name" in item:
                 src = item.get("column", item.get("column_name"))
-                put(name or src, src)
+                if isinstance(src, str):
+                    put(name or src, src)
+                elif name:
+                    put(name, None)
             elif name:
                 put(name, None)
     return out
@@ -318,6 +339,8 @@ def _sort_exprs(sort_by: list[Any]) -> list[Column]:
         if not isinstance(item, dict) or len(item) != 1:
             raise DslError(f"bad sort item: {item!r}")
         (kind, colname), = item.items()
+        if not isinstance(colname, str):
+            raise DslError(f"sort column must be a string, got: {colname!r}")
         kind = kind.lower()
         if kind == "asc":
             out.append(_col(colname).asc_nulls_last())
@@ -402,6 +425,31 @@ def compile_query(engine, body: dict[str, Any]) -> DataFrame:
         select = d.get("select") or d.get("on") or []
     if not select:
         raise DslError("query body needs a non-empty select")
+    # shape gates: hostile/malformed bodies must fail as DslError, not
+    # leak raw TypeErrors ("'bool' object is not iterable") from deep
+    # inside the compiler — found by fuzzing the query surface
+    if not isinstance(select, list):
+        raise DslError(f"select must be a list, got: {select!r}")
+    if body.get("filters") is not None and not isinstance(
+            body["filters"], list):
+        raise DslError(f"filters must be a list, got: {body['filters']!r}")
+    if body.get("sort_by") is not None and not isinstance(
+            body["sort_by"], list):
+        raise DslError(f"sort_by must be a list, got: {body['sort_by']!r}")
+    if body.get("distinct") is not None:
+        d = body["distinct"]
+        if not isinstance(d, dict) or not isinstance(d.get("on"), list):
+            raise DslError(
+                "distinct takes {'on': [...], 'select': [...]}, got: "
+                f"{d!r}")
+        if d.get("select") is not None and not isinstance(d["select"], list):
+            raise DslError(f"distinct.select must be a list, got: "
+                           f"{d['select']!r}")
+    for key in ("limit", "offset"):
+        v = body.get(key)
+        if v is not None and (isinstance(v, bool)
+                              or not isinstance(v, (int, float, str))):
+            raise DslError(f"{key} must be a number, got: {v!r}")
 
     pushdown_cols: list[str] = []
     for item in select:

@@ -3247,6 +3247,10 @@ class Engine:
                 return pruned
             return self.spark.table(spec)
         if isinstance(spec, dict):
+            if len(spec) != 1 or not isinstance(next(iter(spec)), str):
+                raise ValueError(
+                    "from spec must be one {'<format>': {...}} entry, "
+                    f"got: {spec!r}")
             ((fmt, cfg),) = spec.items()
             fmt = fmt.lower()
             if fmt == "parquet":

@@ -247,3 +247,33 @@ def test_filter_coercion_reaches_through_projection(spark, sf_small):
     }).count()
     assert selected == unselected
     assert selected > 0  # truncated to = 1, which has rows at sf0.001
+
+
+def test_hostile_bodies_fail_as_dsl_errors(spark, sf_small):
+    """Malformed query bodies must fail with DslError/ValueError (clean
+    400s on the transports), never raw TypeErrors from deep inside the
+    compiler — shapes found by fuzzing the query surface."""
+    from beacon_spark.dsl import DslError
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=sf_small)
+    frm = {"parquet": {"paths": ["orders.parquet"]}}
+    shapes = [
+        {"select": True, "from": frm},
+        {"select": 1, "from": frm},
+        {"select": ["o_orderkey"], "filters": {}, "from": frm},
+        {"select": ["o_orderkey"], "sort_by": {"asc": 1}, "from": frm},
+        {"select": ["o_orderkey"], "sort_by": [{"asc": []}], "from": frm},
+        {"select": ["o_orderkey"], "distinct": True, "from": frm},
+        {"select": ["o_orderkey"], "distinct": {"on": 1}, "from": frm},
+        {"select": ["o_orderkey"], "limit": [], "from": frm},
+        {"select": ["o_orderkey"], "offset": {}, "from": frm},
+        {"select": [{"column": [1]}], "from": frm},
+        {"select": [{"function": 1}], "from": frm},
+        {"select": [{"function": "upper", "args": 1}], "from": frm},
+        {"select": [{"value": {"a": 1}, "alias": "v"}], "from": frm},
+        {"select": ["o_orderkey"], "from": {"a": {}, "b": {}}},
+    ]
+    for body in shapes:
+        with pytest.raises((DslError, ValueError)):
+            eng.query(dict(body))
