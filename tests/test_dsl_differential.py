@@ -254,3 +254,43 @@ def test_dsl_sql_duckdb_agree_on_sort_and_pagination(deng, sf_small, body):
         con.close()
     assert dsl_rows == sql_rows, f"DSL != SQL for {keys} {flt!r}"
     assert sql_rows == duck_rows, f"Spark != DuckDB for {sql}"
+
+
+# =====================================================================
+# date_bin macro differential vs DuckDB's time_bucket: same floor
+# semantics, including PRE-ORIGIN timestamps where a truncate-vs-floor
+# confusion in the macro arithmetic would bin to the wrong side.
+# =====================================================================
+
+_BIN_UNITS = [("minute", 1), ("minute", 15), ("hour", 1), ("hour", 6),
+              ("day", 1), ("day", 7), ("second", 30)]
+_BIN_TS = st.datetimes(
+    min_value=__import__("datetime").datetime(1965, 1, 1),
+    max_value=__import__("datetime").datetime(2030, 12, 31),
+)
+_BIN_ORIGINS = st.sampled_from(
+    ["1970-01-01 00:00:00", "2000-01-03 00:30:00", "1969-12-25 06:00:00"])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    unit=st.sampled_from(_BIN_UNITS),
+    ts=_BIN_TS,
+    origin=_BIN_ORIGINS,
+)
+def test_date_bin_matches_duckdb_time_bucket(deng, unit, ts, origin):
+    uname, n = unit
+    ts_s = ts.replace(microsecond=0).isoformat(sep=" ")
+    ours = deng.sql(
+        f"SELECT date_bin(INTERVAL '{n} {uname}s', "
+        f"TIMESTAMP '{ts_s}', TIMESTAMP '{origin}') AS b"
+    ).collect()[0].b
+    con = duckdb.connect()
+    try:
+        want = con.execute(
+            f"SELECT time_bucket(INTERVAL '{n} {uname}s', "
+            f"TIMESTAMP '{ts_s}', TIMESTAMP '{origin}')"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert ours == want, f"date_bin({n} {uname}, {ts_s}, {origin})"
