@@ -102,3 +102,65 @@ def test_nd_sql_pruned_scan_matches_truth(nd_world, where):
     finally:
         con.close()
     assert got == want, f"pruned nd scan diverged for WHERE {where}"
+
+
+# =====================================================================
+# Same window differential over the NETCDF reader: its lazy record-
+# variable striding (netcdf3.py read_region) differs from zarr's chunk
+# store, so the region math gets a second, format-specific workout.
+# =====================================================================
+
+
+@pytest.fixture(scope="module")
+def nc_world(spark, tmp_path_factory):
+    import pandas as pd
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.sources.netcdf3 import write_netcdf3
+
+    root = tmp_path_factory.mktemp("ncprune")
+    path = str(root / "grid.nc")
+    t = np.arange(NT, dtype=np.float64)
+    lat = np.arange(NLAT, dtype=np.float64) * 2.5 - 10.0
+    temp = (t[:, None] * 100 + lat[None, :]).astype(np.float64)
+    write_netcdf3(
+        path,
+        dims={"t": NT, "lat": NLAT},
+        variables={
+            "t": (("t",), t),
+            "lat": (("lat",), lat),
+            "temp": (("t", "lat"), temp),
+        },
+    )
+    tt, ll = np.meshgrid(t, lat, indexing="ij")
+    truth = pd.DataFrame({
+        "t": tt.ravel(), "lat": ll.ravel(), "temp": temp.ravel(),
+    })
+    truth_pq = str(root / "truth.parquet")
+    truth.to_parquet(truth_pq)
+    return Engine(spark, datasets_root=str(root)), "grid.nc", truth_pq
+
+
+@settings(max_examples=12, deadline=None)
+@given(where=nd_wheres())
+def test_netcdf_sql_pruned_scan_matches_truth(nc_world, where):
+    import duckdb
+
+    eng, rel, truth_pq = nc_world
+    got = sorted(
+        (r.t, r.lat, r.temp)
+        for r in eng.sql(
+            f"SELECT t, lat, temp FROM read_netcdf('{rel}') WHERE {where}"
+        ).collect()
+    )
+    con = duckdb.connect()
+    try:
+        want = sorted(
+            tuple(r) for r in con.execute(
+                f"SELECT t, lat, temp FROM read_parquet('{truth_pq}') "
+                f"WHERE {where}"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want, f"pruned netcdf scan diverged for WHERE {where}"
