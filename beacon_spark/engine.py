@@ -2697,7 +2697,7 @@ class Engine:
         df = reader.load()
         name = (
             f"__beacon_read_"
-            f"{abs(hash((fmt, tuple(globs), tuple(dims or ()), tuple(cols or ()), rpt))) % 10**10}"
+            f"{abs(hash((self.datasets_root, fmt, tuple(globs), tuple(dims or ()), tuple(cols or ()), rpt))) % 10**10}"
         )
         df.createOrReplaceTempView(name)
         return name
@@ -2750,7 +2750,7 @@ class Engine:
                             f"read_csv: unexpected argument {s!r}")
                 df = self.read_csv(globs, delimiter,
                                    infer_records=infer_records)
-                name = f"__beacon_read_{abs(hash((fmt, tuple(globs), delimiter, infer_records))) % 10**10}"
+                name = (f"__beacon_read_{abs(hash((self.datasets_root, fmt, tuple(globs), delimiter, infer_records))) % 10**10}")
                 df.createOrReplaceTempView(name)
                 return name
             if fmt in ("delta", "iceberg"):
@@ -2772,7 +2772,7 @@ class Engine:
                     df = self.read_iceberg(
                         globs[0], int(tt) if tt is not None else None)
                 name = (f"__beacon_read_"
-                        f"{abs(hash((fmt, tuple(globs), str(tt)))) % 10**10}")
+                        f"{abs(hash((self.datasets_root, fmt, tuple(globs), str(tt)))) % 10**10}")
                 df.createOrReplaceTempView(name)
                 return name
             if extras:
@@ -2821,7 +2821,7 @@ class Engine:
                     "geoparquet": self.read_geoparquet,
                 }[fmt](globs)
             name = (f"__beacon_read_"
-                    f"{abs(hash((fmt, tuple(globs), tuple(dims or ())))) % 10**10}")
+                    f"{abs(hash((self.datasets_root, fmt, tuple(globs), tuple(dims or ())))) % 10**10}")
             df.createOrReplaceTempView(name)
             return name
 

@@ -777,3 +777,28 @@ def test_where_paren_single_identifier_filters(spark, tmp_path):
         "SELECT 'x WHERE (flag) y' AS s FROM wp_t WHERE (flag) LIMIT 1"
     ).collect()
     assert r[0].s == "x WHERE (flag) y"
+
+
+def test_read_fn_views_keyed_by_engine_root(spark, tmp_path):
+    """Two engines with DIFFERENT roots resolving the same RELATIVE glob
+    must not collide on the rewrite's temp-view name — the name hash
+    includes the datasets root."""
+    import pytest as _pt
+
+    from beacon_spark.engine import Engine
+
+    for sub, vals in (("ra", [1, 2]), ("rb", [7, 8, 9])):
+        d = tmp_path / sub
+        d.mkdir()
+        spark.createDataFrame([(v,) for v in vals], "x int") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(str(d / "t.parquet"))
+    ea = Engine(spark, datasets_root=str(tmp_path / "ra"))
+    eb = Engine(spark, datasets_root=str(tmp_path / "rb"))
+    sa = ea._rewrite_read_fns("SELECT * FROM read_parquet('t.parquet')")
+    sb = eb._rewrite_read_fns("SELECT * FROM read_parquet('t.parquet')")
+    assert sa != sb  # distinct view names per root
+    assert ea.sql("SELECT count(*) AS n FROM read_parquet('t.parquet')"
+                  ).collect()[0].n == 2
+    assert eb.sql("SELECT count(*) AS n FROM read_parquet('t.parquet')"
+                  ).collect()[0].n == 3
