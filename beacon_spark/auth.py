@@ -305,7 +305,7 @@ def authorize(engine, statement: str, user: str | None) -> None:
     # earlier super-user query) is a read of its base table — grants and
     # DENYs on the base name apply to every pinned version of it
     for w in list(idents):
-        m = re.fullmatch(r"(\w+)__v\d+", w)
+        m = re.fullmatch(r"(\w+?)__v\d+(?:_\d+)?", w)
         if m:
             idents.add(m.group(1))
     names = (
@@ -453,7 +453,7 @@ def authorize_dsl(engine, body: dict, user: str | None) -> None:
         # deny-wins across them, exactly the SQL path's behavior (a
         # REAL table literally named t__v1 keeps its own grants/DENYs)
         targets = {spec}
-        base = re.fullmatch(r"(\w+)__v\d+", spec)
+        base = re.fullmatch(r"(\w+?)__v\d+(?:_\d+)?", spec)
         if base and base.group(1) in cat.get("tables", {}):
             targets.add(base.group(1))
             if spec not in cat.get("tables", {}):

@@ -970,6 +970,15 @@ class Engine:
         r"(?<![\w.])(?:beacon\s*\.\s*)?system\s*\.\s*(\w+)\b", re.IGNORECASE
     )
 
+
+    @property
+    def _view_tag(self) -> str:
+        """Short per-root tag appended to engine-scoped temp-view names:
+        temp views are SESSION-global, so two engines with different
+        roots on one SparkSession must not share a name (the same race
+        the read_* rewrite closes by hashing the root)."""
+        return f"{abs(hash(self.datasets_root)) % 10**8}"
+
     def _rewrite_system_tables(self, statement: str) -> str:
         """``beacon.system.<t>`` / ``system.<t>`` → a temp view refreshed
         at reference time (system_schema/mod.rs:44-66: users, roles,
@@ -990,12 +999,12 @@ class Engine:
                     + ", ".join(sorted(SYSTEM_TABLES))
                 )
             names.append(name)
-            return f"__beacon_system_{name}"
+            return f"__beacon_system_{name}_{self._view_tag}"
 
         out = _sub_outside_literals(self._SYSTEM_TBL_RE, sub, statement)
         for name in names:
             SYSTEM_TABLES[name](self).createOrReplaceTempView(
-                f"__beacon_system_{name}"
+                f"__beacon_system_{name}_{self._view_tag}"
             )
         return out
 
@@ -1086,7 +1095,7 @@ class Engine:
         def _pin(name: str, ver: int) -> str:
             from beacon_spark.managed import ManagedTable
 
-            view = f"{name}__v{ver}"
+            view = f"{name}__v{ver}_{self._view_tag}"
             ManagedTable(self.spark, tables[name]).read(
                 version=ver
             ).createOrReplaceTempView(view)
@@ -1157,7 +1166,7 @@ class Engine:
                 df = dataset_statistics_df(self.spark, self, arg)
             else:
                 df = self.view_statistics()
-            name = f"__beacon_meta_{fn}" + (
+            name = f"__beacon_meta_{fn}_{self._view_tag}" + (
                 f"_{abs(hash(arg)) % 10**8}" if arg else "")
             df.createOrReplaceTempView(name)
             return name

@@ -802,3 +802,26 @@ def test_read_fn_views_keyed_by_engine_root(spark, tmp_path):
                   ).collect()[0].n == 2
     assert eb.sql("SELECT count(*) AS n FROM read_parquet('t.parquet')"
                   ).collect()[0].n == 3
+
+
+def test_engine_scoped_views_keyed_by_root(spark, tmp_path):
+    """Metadata-fn, system-table, and time-travel temp views are
+    engine-scoped but session-global: two engines with different roots
+    must get DISTINCT view names (same family as the read_* fix)."""
+    from beacon_spark.engine import Engine
+
+    ra, rb = tmp_path / "va", tmp_path / "vb"
+    ra.mkdir(), rb.mkdir()
+    spark.range(2).coalesce(1).write.parquet(str(ra / "x.parquet"))
+    spark.range(5).coalesce(1).write.parquet(str(rb / "x.parquet"))
+    ea, eb = Engine(spark, datasets_root=str(ra)), \
+        Engine(spark, datasets_root=str(rb))
+    na = ea.sql("SELECT count(*) AS n FROM list_datasets()").collect()[0].n
+    nb = eb.sql("SELECT count(*) AS n FROM list_datasets()").collect()[0].n
+    assert (na, nb) == (1, 1)
+    assert ea._view_tag != eb._view_tag
+    # time travel: same table name + version in both roots, distinct data
+    ea.sql("CREATE TABLE tt AS SELECT 1 AS a")
+    eb.sql("CREATE TABLE tt AS SELECT 2 AS a, 3 AS b")
+    assert ea.sql("SELECT * FROM tt VERSION AS OF 1").collect()[0].a == 1
+    assert eb.sql("SELECT * FROM tt VERSION AS OF 1").collect()[0].a == 2
