@@ -445,11 +445,23 @@ def compile_query(engine, body: dict[str, Any]) -> DataFrame:
         if d.get("select") is not None and not isinstance(d["select"], list):
             raise DslError(f"distinct.select must be a list, got: "
                            f"{d['select']!r}")
+    # convert limit/offset HERE so the consumer's int() can never raise
+    # a raw ValueError ("abc") or silently truncate (10.7): ints pass,
+    # integral floats convert, everything else (bool/str/fractional) is
+    # a DslError
     for key in ("limit", "offset"):
         v = body.get(key)
-        if v is not None and (isinstance(v, bool)
-                              or not isinstance(v, (int, float, str))):
-            raise DslError(f"{key} must be a number, got: {v!r}")
+        if v is None:
+            continue
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise DslError(f"{key} must be an integer, got: {v!r}")
+        if isinstance(v, float):
+            if not v.is_integer():
+                raise DslError(f"{key} must be an integer, got: {v!r}")
+            v = int(v)
+        if v < 0:
+            raise DslError(f"{key} must be non-negative, got: {v!r}")
+        body = {**body, key: v}
 
     pushdown_cols: list[str] = []
     for item in select:

@@ -911,8 +911,14 @@ class Engine:
         statement = self._rewrite_try_arrow_cast(statement)
         statement = self._rewrite_macros(statement)
         statement = self._rewrite_qualify(statement)
+        # Explicit spaces in the replacement: `WHERE(flag)` (no space —
+        # \s* matches empty) must become `WHERE flag`, not the fused
+        # token `WHEREflag` (an alias parse again); and `WHERE (a)IN(…)`
+        # must become `WHERE a IN(…)`, not `WHERE aIN(…)`.
         statement = _sub_outside_literals(
-            _WHERE_PAREN_IDENT_RE, r"\1\2", statement
+            _WHERE_PAREN_IDENT_RE,
+            lambda m: f"{m.group(1).rstrip()} {m.group(2)} ",
+            statement,
         )
         statement = _sub_outside_literals(
             _EXCLUDE_RE,

@@ -633,6 +633,17 @@ class ManagedTable:
                 f"UPDATE: unknown column(s) {sorted(unknown)} "
                 f"(have: {sorted(by_lower.values())})"
             )
+        # Spark's analyzer errors on duplicate assignment targets; two
+        # targets differing only by case would otherwise collapse to one
+        # assignment, last-writer-wins, silently
+        seen: dict[str, str] = {}
+        for k in assignments:
+            prior = seen.setdefault(k.lower(), k)
+            if prior != k:
+                raise ManagedTableError(
+                    f"UPDATE: duplicate assignment target "
+                    f"{prior!r} / {k!r}"
+                )
         assignments = {by_lower[k.lower()]: v for k, v in assignments.items()}
         predicate = predicate or "true"
         touched, clean = self._split_files(predicate, schema)
@@ -1020,9 +1031,14 @@ class ManagedTable:
             live.update(
                 json.loads(bs.read_text(bs.join(self.manifest_dir, name)))["files"]
             )
+        # default=0.0, NOT inf: with zero manifests (pre-first-commit
+        # window / misuse) `mtime >= inf` would be False for every file
+        # and VACUUM would delete an in-flight INSERT's data — the exact
+        # race the guard exists for. 0.0 treats everything as in-flight,
+        # failing safe.
         newest_commit = max(
             (bs.mtime(bs.join(self.manifest_dir, name)) for name in ms),
-            default=float("inf"),
+            default=0.0,
         )
         removed_files = 0
         if bs.isdir(self.data_dir):

@@ -277,3 +277,25 @@ def test_hostile_bodies_fail_as_dsl_errors(spark, sf_small):
     for body in shapes:
         with pytest.raises((DslError, ValueError)):
             eng.query(dict(body))
+
+
+def test_limit_offset_validated_in_gate(spark, sf_small):
+    """limit/offset are converted INSIDE the shape gate: "abc" must be a
+    DslError (not a raw ValueError from a later int()), 10.7 must error
+    (int() would silently truncate), bools and negatives are rejected,
+    and integral floats (JSON 10.0) are accepted."""
+    from beacon_spark.dsl import DslError
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=sf_small)
+    frm = {"parquet": {"paths": ["orders.parquet"]}}
+    for bad in ("abc", "10", 10.7, True, -1, -0.5):
+        for key in ("limit", "offset"):
+            with pytest.raises(DslError):
+                eng.query({"select": ["o_orderkey"], key: bad, "from": frm})
+    assert eng.query(
+        {"select": ["o_orderkey"], "limit": 3.0, "from": frm}
+    ).count() == 3
+    assert eng.query(
+        {"select": ["o_orderkey"], "limit": 2, "offset": 1.0, "from": frm}
+    ).count() == 2

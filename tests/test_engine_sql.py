@@ -777,6 +777,20 @@ def test_where_paren_single_identifier_filters(spark, tmp_path):
         "SELECT 'x WHERE (flag) y' AS s FROM wp_t WHERE (flag) LIMIT 1"
     ).collect()
     assert r[0].s == "x WHERE (flag) y"
+    # no-space spelling: WHERE(flag) must become `WHERE flag`, not the
+    # fused alias token `WHEREflag` (which would silently drop the
+    # filter again)
+    rows = eng.sql("SELECT id FROM wp_t WHERE(flag)").collect()
+    assert sorted(r.id for r in rows) == [1, 3]
+    # identifier immediately followed by an operator keyword: the
+    # rewrite must keep a space so `(a)IN(...)` / `(x)or(y)` stay
+    # separate tokens
+    rows = eng.sql("SELECT id FROM wp_t WHERE (id)IN(1, 2)").collect()
+    assert sorted(r.id for r in rows) == [1, 2]
+    rows = eng.sql(
+        "SELECT id FROM wp_t WHERE (flag)or(id = 2)"
+    ).collect()
+    assert sorted(r.id for r in rows) == [1, 2, 3]
 
 
 def test_read_fn_views_keyed_by_engine_root(spark, tmp_path):

@@ -1616,6 +1616,45 @@ def test_update_unknown_column_errors(eng):
     assert eng.sql("SELECT temp FROM upd_t").collect()[0].temp == 42.0
 
 
+def test_update_case_colliding_targets_error(eng):
+    """Two assignment targets differing only by case must error like
+    Spark's duplicate-assignment analysis — they used to collapse into
+    ONE assignment (last writer wins) silently."""
+    from beacon_spark.managed import ManagedTable, ManagedTableError
+
+    eng.sql("CREATE TABLE updc_t AS SELECT * FROM VALUES (1, 10.0) AS v(id, temp)")
+    path = eng.catalog._load()["tables"]["updc_t"]
+    t = ManagedTable(eng.spark, path)
+    with pytest.raises(ManagedTableError, match="duplicate assignment"):
+        t.update({"TEMP": "1.0", "temp": "2.0"}, None)
+    # nothing changed
+    assert eng.sql("SELECT temp FROM updc_t").collect()[0].temp == 10.0
+
+
+def test_vacuum_zero_manifests_spares_all_files(spark, tmp_path):
+    """With ZERO manifests (pre-first-commit window / misuse) every data
+    file must be treated as in-flight — the old default=inf made
+    `mtime >= inf` False and deleted them all, inverting the fail-safe."""
+    import os
+
+    from beacon_spark.managed import ManagedTable
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE vz AS SELECT * FROM VALUES (1), (2) AS v(id)")
+    path = eng.catalog._load()["tables"]["vz"]
+    mdir = os.path.join(path, "_manifests")
+    for fn in os.listdir(mdir):
+        os.remove(os.path.join(mdir, fn))
+    data = [f for f in os.listdir(os.path.join(path, "data"))
+            if f.endswith(".parquet")]
+    assert data  # the table had committed files
+    t = ManagedTable(spark, path)
+    t.vacuum(retain_versions=1)
+    survivors = [f for f in os.listdir(os.path.join(path, "data"))
+                 if f.endswith(".parquet")]
+    assert sorted(survivors) == sorted(data)
+
+
 def test_vacuum_spares_inflight_writer_files(spark, tmp_path):
     """A data file moved into data/ by a not-yet-committed INSERT is
     unreferenced but IN FLIGHT — vacuum deleting it would make the
