@@ -1,0 +1,272 @@
+"""Grammar-based random-query differential vs DuckDB: joins, GROUP
+BY/HAVING (+ ROLLUP), window functions (+ QUALIFY), and set ops.
+
+Extends the filter/pagination net (test_dsl_differential.py) to the
+highest-traffic relational shapes, mirroring the reference's own
+equivalence method (integration-tests/test_queries_parquet.py:31 and
+test_sql_features.py:13-61 window/CTE/HAVING shapes): hypothesis
+generates a query spec, renders it to ONE ANSI-SQL text executed by
+BOTH the engine's SQL surface (read_parquet rewrite → Spark) and
+DuckDB on the same parquet, and the result multisets must agree.
+
+These shapes are pure-Catalyst on our side, so a disagreement
+localizes to the engine's rewrite machinery (read_fn views, QUALIFY
+rewrite, WHERE disambiguation) or to a semantics divergence worth
+pinning — exactly where r11's three silent-wrong-results bugs lived.
+
+Floats compare rounded to 3 decimals (sum/avg accumulate in a
+different order on each engine; the values differ in low-order bits
+only).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from beacon_spark.engine import Engine
+
+pytestmark = pytest.mark.usefixtures("sf_small")
+
+
+@pytest.fixture(scope="module")
+def qeng(spark, sf_small):
+    return Engine(spark, datasets_root=sf_small)
+
+
+def _canon(rows):
+    """Order-insensitive canonical form: tuples sorted by a type-tagged
+    string key (None last), floats rounded so both engines' summation
+    orders collapse to the same value."""
+    canon = []
+    for r in rows:
+        canon.append(tuple(
+            round(v, 3) if isinstance(v, float) else v for v in r))
+
+    def key(row):
+        return tuple(
+            (2, "") if v is None else (1, f"{v:+021.3f}")
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+            else (0, str(v))
+            for v in row
+        )
+
+    return sorted(canon, key=key)
+
+
+def _run_both(qeng, sf_small, template: str):
+    """Execute one SQL template on the engine and on DuckDB; return the
+    canonicalized row lists."""
+    import duckdb
+
+    esql = template.format(
+        orders="read_parquet('orders.parquet')",
+        customer="read_parquet('customer.parquet')",
+        nation="read_parquet('nation.parquet')",
+        lineitem="read_parquet('lineitem.parquet')",
+    )
+    dsql = template.format(
+        orders=f"read_parquet('{sf_small}/orders.parquet')",
+        customer=f"read_parquet('{sf_small}/customer.parquet')",
+        nation=f"read_parquet('{sf_small}/nation.parquet')",
+        lineitem=f"read_parquet('{sf_small}/lineitem.parquet')",
+    )
+    spark_rows = [tuple(r) for r in qeng.sql(esql).collect()]
+    con = duckdb.connect()
+    try:
+        duck_rows = con.execute(dsql).fetchall()
+    finally:
+        con.close()
+    return _canon(spark_rows), _canon(duck_rows)
+
+
+# ---------------------------------------------------------------------
+# WHERE leaves — simple, shared text on both engines (no backslashes)
+# ---------------------------------------------------------------------
+
+_ORDER_LEAVES = st.sampled_from([
+    None,
+    "o_totalprice > 150000",
+    "o_totalprice <= 80000.5",
+    "o_orderstatus = 'O'",
+    "o_orderstatus <> 'F'",
+    "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+    "o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'",
+    "o_orderdate < TIMESTAMP '1996-01-01 00:00:00'",
+    "o_orderdate >= TIMESTAMP '2023-06-01 00:00:00'",  # selects nothing
+    "o_custkey % 7 = 3",
+])
+_CUST_LEAVES = st.sampled_from([
+    None,
+    "c_acctbal > 0",
+    "c_acctbal BETWEEN -500 AND 5000",
+    "c_mktsegment = 'BUILDING'",
+    "c_nationkey < 12",
+])
+
+
+# ---------------------------------------------------------------------
+# Shape A: 2-3 table join + GROUP BY [ROLLUP] + aggregates + HAVING
+# ---------------------------------------------------------------------
+
+_DIMS = ["c_mktsegment", "o_orderstatus", "c_nationkey"]
+_AGGS = [
+    "count(*) AS cnt",
+    "count(o_orderkey) AS cnt_o",
+    "count(DISTINCT o_custkey) AS ucust",
+    "sum(o_totalprice) AS sum_price",
+    "avg(c_acctbal) AS avg_bal",
+    "min(o_orderdate) AS min_dt",
+    "max(o_orderkey) AS max_key",
+]
+_HAVINGS = [None, "count(*) >= 3", "count(*) > 10", "max(o_orderkey) > 3000"]
+
+
+@st.composite
+def join_agg_specs(draw):
+    jt = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    three = draw(st.booleans())
+    dims = draw(st.lists(st.sampled_from(
+        _DIMS + (["n_name"] if three else [])),
+        min_size=1, max_size=2, unique=True))
+    aggs = draw(st.lists(st.sampled_from(_AGGS),
+                         min_size=1, max_size=3, unique=True))
+    rollup = draw(st.booleans())
+    where = draw(st.one_of(_ORDER_LEAVES, _CUST_LEAVES))
+    having = draw(st.sampled_from(_HAVINGS))
+    return jt, three, dims, aggs, rollup, where, having
+
+
+@settings(max_examples=14, deadline=None)
+@given(spec=join_agg_specs())
+def test_join_groupby_having_agree_with_duckdb(qeng, sf_small, spec):
+    jt, three, dims, aggs, rollup, where, having = spec
+    # customer LEFT JOIN orders keeps customers with no orders → NULL
+    # aggregate inputs, the shape where a silent semantics drift hurts
+    frm = "{customer} c " + jt + " {orders} o ON c.c_custkey = o.o_custkey"
+    if three:
+        frm += " JOIN {nation} n ON c.c_nationkey = n.n_nationkey"
+    group = ", ".join(dims)
+    sql = (
+        f"SELECT {group}, {', '.join(aggs)} FROM {frm}"
+        + (f" WHERE {where}" if where else "")
+        + " GROUP BY " + (f"ROLLUP({group})" if rollup else group)
+        + (f" HAVING {having}" if having else "")
+    )
+    ours, duck = _run_both(qeng, sf_small, sql)
+    if rollup and not ours and len(duck) == 1 \
+            and all(duck[0][i] is None for i in range(len(dims))):
+        # Pinned divergence (docs/DIVERGENCES.md): over EMPTY input,
+        # Spark's expand-based ROLLUP emits zero rows while DuckDB /
+        # the SQL standard emit the grand-total () grouping-set row.
+        # See test_rollup_over_empty_input_divergence_pinned.
+        return
+    assert ours == duck, f"join/agg mismatch for: {sql}"
+
+
+def test_rollup_over_empty_input_divergence_pinned(qeng, sf_small):
+    """Spark GROUP BY ROLLUP/GROUPING SETS over an EMPTY input returns
+    ZERO rows; the SQL standard (and DuckDB, and DataFusion — what the
+    reference would return) emits the () grouping-set grand-total row.
+    Pinned so the shape is visible and a future Spark behavior change
+    is caught; recorded in docs/DIVERGENCES.md."""
+    import duckdb
+
+    sql = ("SELECT o_orderstatus, count(*) AS cnt FROM {orders} "
+           "WHERE o_totalprice < 0 GROUP BY ROLLUP(o_orderstatus)")
+    ours = qeng.sql(sql.format(
+        orders="read_parquet('orders.parquet')")).collect()
+    con = duckdb.connect()
+    try:
+        duck = con.execute(sql.format(
+            orders=f"read_parquet('{sf_small}/orders.parquet')")).fetchall()
+    finally:
+        con.close()
+    assert ours == []           # Spark: no rows
+    assert duck == [(None, 0)]  # standard: grand-total row
+
+
+# ---------------------------------------------------------------------
+# Shape B: window functions — ranking + QUALIFY, and framed analytics
+# ---------------------------------------------------------------------
+
+_RANK_FNS = ["row_number()", "rank()", "dense_rank()"]
+_PARTS = ["o_orderstatus", "o_orderpriority"]
+_ORDS = ["o_totalprice", "o_orderdate", "o_custkey"]
+
+
+@st.composite
+def window_specs(draw):
+    kind = draw(st.sampled_from(["qualify", "frame"]))
+    part = draw(st.sampled_from(_PARTS))
+    ordc = draw(st.sampled_from(_ORDS))
+    direc = draw(st.sampled_from(["ASC", "DESC"]))
+    where = draw(_ORDER_LEAVES)
+    if kind == "qualify":
+        fn = draw(st.sampled_from(_RANK_FNS))
+        k = draw(st.integers(1, 5))
+        return kind, (part, ordc, direc, where, fn, k)
+    lo = draw(st.integers(0, 3))
+    return kind, (part, ordc, direc, where, lo)
+
+
+@settings(max_examples=12, deadline=None)
+@given(spec=window_specs())
+def test_windows_and_qualify_agree_with_duckdb(qeng, sf_small, spec):
+    kind, s = spec
+    if kind == "qualify":
+        part, ordc, direc, where, fn, k = s
+        # tie-break on o_orderkey so row_number is deterministic; rank/
+        # dense_rank are value-determined either way. QUALIFY runs
+        # natively on DuckDB and through the engine's rewrite
+        # (engine.py _rewrite_qualify — docs sql/index.md:46-48).
+        sql = (
+            f"SELECT o_orderkey, {fn} OVER (PARTITION BY {part} "
+            f"ORDER BY {ordc} {direc}, o_orderkey) AS rnk FROM {{orders}}"
+            + (f" WHERE {where}" if where else "")
+            + f" QUALIFY rnk <= {k}"
+        )
+    else:
+        part, ordc, direc, where, lo = s
+        sql = (
+            f"SELECT o_orderkey, sum(o_totalprice) OVER ("
+            f"PARTITION BY {part} ORDER BY {ordc} {direc}, o_orderkey "
+            f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW) AS w "
+            f"FROM {{orders}}"
+            + (f" WHERE {where}" if where else "")
+        )
+    ours, duck = _run_both(qeng, sf_small, sql)
+    assert ours == duck, f"window mismatch for: {sql}"
+
+
+# ---------------------------------------------------------------------
+# Shape C: set operations between type-aligned operands
+# ---------------------------------------------------------------------
+
+_SET_OPS = ["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+            "INTERSECT ALL", "EXCEPT ALL"]
+
+
+@st.composite
+def setop_specs(draw):
+    op = draw(st.sampled_from(_SET_OPS))
+    wa = draw(_ORDER_LEAVES)
+    wb = draw(_CUST_LEAVES)
+    flip = draw(st.booleans())
+    return op, wa, wb, flip
+
+
+@settings(max_examples=12, deadline=None)
+@given(spec=setop_specs())
+def test_set_ops_agree_with_duckdb(qeng, sf_small, spec):
+    op, wa, wb, flip = spec
+    a = ("SELECT o_custkey AS k FROM {orders}"
+         + (f" WHERE {wa}" if wa else ""))
+    b = ("SELECT c_custkey AS k FROM {customer}"
+         + (f" WHERE {wb}" if wb else ""))
+    if flip:
+        a, b = b, a
+    sql = f"{a} {op} {b}"
+    ours, duck = _run_both(qeng, sf_small, sql)
+    assert ours == duck, f"set-op mismatch for: {sql}"
