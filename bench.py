@@ -9,14 +9,38 @@ Query suite = the reference benchmark harness's 8 shapes
 (BASELINE.md / benchmarks/harness/queries.py:35-96) mapped onto the driver
 tables, plus the heavy extension operators (minhash dedup, similarity
 top-k, event windows) so regressions in the custom paths show up here.
+
+Machine-drift controls (r11 verdict item 2 — the recorded r11 "43%
+regression" was pure sandbox drift, proven by running the r10 commit on
+the r11 machine):
+  - a fixed CALIBRATION probe (constant python loop + constant Spark
+    shuffle job, code-independent) runs first and lands in the JSON, so
+    cross-round comparisons can be normalized to machine speed;
+  - an interleaved A/B section benches HEAD and the pinned prior-round
+    commit (AB_PIN) in alternating fresh subprocesses on the same
+    machine within minutes, and reports the HEAD/prior ratio — the only
+    drift-proof perf comparison. Skip with SPARK_GRAFT_AB=0; run
+    standalone against any commit with `python bench.py --against <c>`.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
+
+# prior-round close commit for the default A/B section; bump each round
+AB_PIN = "29d3047"
+
+# the 8 reference-harness shapes: cheap, stable since r1, present on
+# both sides of any A/B this repo will run
+AB_QUERIES = [
+    "count_all", "filter_range", "filter_multi", "pricing_summary",
+    "top_orders", "topn_recent", "distinct_types", "date_trunc_agg",
+]
 
 BENCH_QUERIES = [
     # the 8 reference-harness shapes
@@ -110,10 +134,132 @@ def _ensure_sf1(spark, src_dir: str) -> str:
     return dst
 
 
+def _calibration(spark) -> dict:
+    """Constant, code-independent probes (best-of-2): a pure-python loop
+    (single-core speed) and a fixed spark.range shuffle+agg (JVM/codegen
+    /shuffle speed). Neither touches beacon_spark code or the data dir,
+    so their values move ONLY with the machine — divide query times by
+    these to compare across rounds recorded on different sandbox days."""
+    from pyspark.sql import functions as F
+
+    py = sp = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+        e = time.perf_counter() - t0
+        py = e if py is None else min(py, e)
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).select(
+            (F.col("id") % 9973).alias("k"),
+            ((F.col("id") * 2654435761) % 104729).alias("v"),
+        ).groupBy("k").agg(F.sum("v"), F.count("*")).count()
+        e = time.perf_counter() - t0
+        sp = e if sp is None else min(sp, e)
+    return {"python_sec": round(py, 3), "spark_sec": round(sp, 3),
+            "runs": 2}
+
+
+def _run_side(label: str, side_dir: str, env_extra: dict) -> dict | None:
+    """Run bench.py in `side_dir` as a fresh subprocess restricted to
+    AB_QUERIES; return its parsed JSON line (None on failure)."""
+    env = dict(os.environ)
+    env.update(env_extra)
+    env["SPARK_GRAFT_QUERIES"] = ",".join(AB_QUERIES)
+    env["SPARK_GRAFT_SF1"] = "0"
+    env["SPARK_GRAFT_AB"] = "0"
+    try:
+        proc = subprocess.run(
+            [sys.executable, "bench.py"], cwd=side_dir, env=env,
+            capture_output=True, text=True, timeout=900)
+    except subprocess.TimeoutExpired:
+        print(f"  ab {label}: timeout", file=sys.stderr)
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    print(f"  ab {label}: no JSON (rc={proc.returncode}) "
+          f"{proc.stderr[-400:]}", file=sys.stderr)
+    return None
+
+
+def _run_ab(against: str) -> dict:
+    """Interleaved same-machine A/B: prior commit vs HEAD working tree,
+    alternating fresh subprocesses (P,H,P,H), per-query min per side.
+    The ratio — not the absolute seconds — is the drift-proof signal."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+
+    def _git(*args: str) -> subprocess.CompletedProcess:
+        return subprocess.run(["git", *args], cwd=repo,
+                              capture_output=True, text=True)
+
+    rev = _git("rev-parse", "--verify", against + "^{commit}")
+    if rev.returncode != 0:
+        return {"skipped": f"unresolvable commit {against!r}"}
+    sha = rev.stdout.strip()
+    wt = tempfile.mkdtemp(prefix="beacon-bench-ab-")
+    added = _git("worktree", "add", "--force", "--detach", wt, sha)
+    if added.returncode != 0:
+        return {"skipped": f"worktree add failed: {added.stderr[-200:]}"}
+    try:
+        # the prior side runs under THIS bench.py (it understands
+        # SPARK_GRAFT_QUERIES) but imports the prior tree's modules —
+        # sys.path[0] is the script's cwd-relative dir
+        with open(os.path.join(repo, "bench.py")) as f:
+            script = f.read()
+        with open(os.path.join(wt, "bench.py"), "w") as f:
+            f.write(script)
+        sides = {"prior": wt, "head": repo}
+        results: dict[str, dict[str, float]] = {s: {} for s in sides}
+        calib: dict[str, dict] = {}
+        for npass in (1, 2):
+            for label, d in sides.items():
+                r = _run_side(f"{label}#{npass}", d, {})
+                if r is None:
+                    return {"skipped": f"{label} pass {npass} failed"}
+                for q, v in r["queries"].items():
+                    prev = results[label].get(q)
+                    results[label][q] = v if prev is None else min(prev, v)
+                if "calibration" in r:
+                    c = calib.setdefault(label, r["calibration"])
+                    for k in ("python_sec", "spark_sec"):
+                        c[k] = min(c[k], r["calibration"][k])
+                print(f"  ab {label}#{npass}: "
+                      f"{sum(r['queries'].values()):.3f}s", file=sys.stderr)
+        totals = {s: round(sum(results[s].values()), 3) for s in sides}
+        return {
+            "against": sha,
+            "queries": AB_QUERIES,
+            "head": {"queries": results["head"], "total": totals["head"]},
+            "prior": {"queries": results["prior"],
+                      "total": totals["prior"]},
+            "calibration": calib,
+            "ratio_total": round(totals["head"] / totals["prior"], 3),
+            "ratio": {
+                q: round(results["head"][q] / results["prior"][q], 2)
+                for q in results["head"] if results["prior"].get(q)
+            },
+        }
+    finally:
+        _git("worktree", "remove", "--force", wt)
+        _git("worktree", "prune")
+
+
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--against":
+        print(json.dumps({"ab": _run_ab(sys.argv[2])}))
+        return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    only = [q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",")
+            if q]
+    bench_queries = [q for q in BENCH_QUERIES if not only or q in only]
 
     from beacon_spark.session import get_spark
 
@@ -126,9 +272,13 @@ def main() -> None:
     # public queries() registry is capped at the 50 graded slots and some
     # bench-only shapes (count_all, filter_*, …) live outside it
     queries = dict(entry_mod.queries())
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         if name not in queries:
             queries[name] = getattr(entry_mod, f"_q_{name}")
+
+    calibration = _calibration(spark)
+    print(f"  calibration: python {calibration['python_sec']}s, "
+          f"spark {calibration['spark_sec']}s", file=sys.stderr)
 
     # warm the JVM + file cache with a trivial action per input table
     # (footer reads + OS page cache — not query work), and construct the
@@ -143,7 +293,8 @@ def main() -> None:
     # nd fixtures build OUTSIDE the timed loop (r9 verdict: the one-time
     # derive — 600k-row toPandas + netcdf/zarr/tiff writes — polluted
     # run1 of nd_zarr_slice; the timed body must be the READ)
-    entry_mod._nd_bench_root(spark, sf_dir)
+    if any(q.startswith("nd_") for q in bench_queries):
+        entry_mod._nd_bench_root(spark, sf_dir)
 
     # best-of-2 WITHIN one process (r6-verdict item 9): the recorded
     # r6 number showed a phantom 19% regression that an interleaved A/B
@@ -153,7 +304,7 @@ def main() -> None:
     # value = min of the two runs.
     timings: dict[str, float] = {}
     for run in (1, 2):
-        for name in BENCH_QUERIES:
+        for name in bench_queries:
             fn = queries[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -168,7 +319,7 @@ def main() -> None:
 
     # ---- 10x scale section (skippable: SPARK_GRAFT_SF1=0) ------------
     sf1: dict | None = None
-    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+    if not only and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         sf1_dir = _ensure_sf1(spark, sf_dir)
         sf1_timings: dict[str, float] = {}
         for run in (1, 2):
@@ -202,11 +353,20 @@ def main() -> None:
         "sf": float(sf),
         "cpus": cpus,
         "runs": 2,  # per-query best-of-2 in one process
+        "calibration": calibration,
     }
     if sf1 is not None:
         out["sf1"] = sf1
-    print(json.dumps(out))
     spark.stop()
+
+    # ---- interleaved A/B vs the pinned prior round (drift-proof) -----
+    if not only and os.environ.get("SPARK_GRAFT_AB", "1") != "0":
+        try:
+            out["ab"] = _run_ab(AB_PIN)
+        except Exception as e:  # the A/B must never sink the artifact
+            out["ab"] = {"skipped": f"{type(e).__name__}: {e}"}
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
