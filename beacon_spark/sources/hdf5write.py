@@ -1,0 +1,289 @@
+"""Pure-Python minimal HDF5 writer — enough of the public HDF5 File
+Format Specification (v3, hdfgroup.org) to produce spec-correct files
+for the roundtrip gate on the pure-Python reader (hdf5lite.py):
+
+  - superblock v0;
+  - old-style root group (local heap + v1 B-tree + one SNOD);
+  - v1 object headers; dataspace v1; datatype classes fixed-point /
+    IEEE float / fixed string / compound (v1 members);
+  - data layout v3: contiguous, or chunked with a v1 B-tree chunk
+    index (edge chunks stored full-size, zero-padded, per spec);
+  - filter pipeline v1: shuffle, deflate, fletcher32 (checksum over
+    the post-compression bytes, little-endian trailer — the layout
+    hdf5lite verifies);
+  - attribute messages v1 (numeric scalars/1-D arrays, fixed strings).
+
+The reader was validated against real libhdf5-written files
+(tests/test_hdf5.py), so a writer→reader roundtrip is not a
+matching-pair tautology: the reader side of every structure is pinned
+by independent fixtures. Parity motivation: the reference reads HDF5
+via beacon-arrow-hdf5 (src/lib.rs:1-10) but has no writer either —
+this writer exists purely to let the driver's DuckDB oracle grade
+read_hdf5 on data derived from the shared tables.
+
+Not written (reader-side features covered by real fixtures instead):
+superblock v2/v3, v2 object headers, dense links/attributes, v4
+layouts, vlen types, dimension-scale (netCDF4) conventions.
+"""
+
+from __future__ import annotations
+
+import itertools
+import struct
+import zlib
+
+import numpy as np
+
+from beacon_spark.sources.hdf5lite import MAGIC, UNDEF, _fletcher32
+
+
+class Hdf5WriteError(ValueError):
+    pass
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 8)
+
+
+# ---------------------------------------------------------- datatypes
+
+
+_FLOAT_PROPS = {
+    # size -> (sign-pos, precision, exp-loc, exp-size, man-loc, man-size, bias)
+    2: (15, 16, 10, 5, 0, 10, 15),
+    4: (31, 32, 23, 8, 0, 23, 127),
+    8: (63, 64, 52, 11, 0, 52, 1023),
+}
+
+
+def encode_datatype(dt: np.dtype) -> bytes:
+    """Datatype message body for a little-endian numpy dtype."""
+    dt = np.dtype(dt)
+    if dt.names:  # compound, v1 member encoding
+        n = len(dt.names)
+        out = bytearray(
+            struct.pack("<BBBBI", 0x16, n & 0xFF, (n >> 8) & 0xFF, 0,
+                        dt.itemsize))
+        for name in dt.names:
+            mdt, off = dt.fields[name][:2]
+            out += _pad8(name.encode("utf-8") + b"\x00")
+            out += struct.pack("<I", off)
+            out += struct.pack("<B3x", 0)       # dimensionality + reserved
+            out += b"\x00" * 24                 # perm + reserved + dim sizes
+            out += encode_datatype(mdt)
+        return bytes(out)
+    if dt.kind in "iu":
+        bits0 = 0x08 if dt.kind == "i" else 0x00  # signed, little-endian
+        return struct.pack("<BBBBIHH", 0x10, bits0, 0, 0, dt.itemsize,
+                           0, dt.itemsize * 8)
+    if dt.kind == "f":
+        if dt.itemsize not in _FLOAT_PROPS:
+            raise Hdf5WriteError(f"float size {dt.itemsize}")
+        sgn, prec, eloc, esz, mloc, msz, bias = _FLOAT_PROPS[dt.itemsize]
+        return struct.pack("<BBBBIHHBBBBI", 0x11, 0x20, sgn, 0,
+                           dt.itemsize, 0, prec, eloc, esz, mloc, msz, bias)
+    if dt.kind == "S":
+        # null-terminated ASCII fixed string
+        return struct.pack("<BBBBI", 0x13, 0, 0, 0, dt.itemsize)
+    raise Hdf5WriteError(f"unsupported dtype {dt}")
+
+
+def _dataspace(shape: tuple[int, ...]) -> bytes:
+    return (struct.pack("<BB6x", 1, len(shape))
+            + b"".join(struct.pack("<Q", s) for s in shape))
+
+
+def _attr_msg(name: str, value) -> bytes:
+    """Attribute message v1."""
+    if isinstance(value, str):
+        data = value.encode("utf-8")
+        arr = np.frombuffer(data or b"\x00", dtype=f"S{max(len(data), 1)}")
+        shape: tuple[int, ...] = ()
+    else:
+        arr = np.ascontiguousarray(value)
+        shape = arr.shape if arr.ndim else ()
+        if arr.ndim > 1:
+            raise Hdf5WriteError("attribute rank > 1")
+    name_b = name.encode("utf-8") + b"\x00"
+    dt_b = encode_datatype(arr.dtype)
+    ds_b = _dataspace(shape)
+    return (struct.pack("<BBHHH", 1, 0, len(name_b), len(dt_b), len(ds_b))
+            + _pad8(name_b) + _pad8(dt_b) + _pad8(ds_b) + arr.tobytes())
+
+
+# -------------------------------------------------------------- filters
+
+
+_FILTER_IDS = {"deflate": 1, "shuffle": 2, "fletcher32": 3}
+
+
+def _filter_pipeline_msg(filters: list[tuple], itemsize: int) -> bytes:
+    out = bytearray(struct.pack("<BB6x", 1, len(filters)))
+    for f in filters:
+        kind = f[0]
+        fid = _FILTER_IDS.get(kind)
+        if fid is None:
+            raise Hdf5WriteError(f"unknown filter {kind!r}")
+        if kind == "deflate":
+            cvals: tuple[int, ...] = (f[1] if len(f) > 1 else 6,)
+        elif kind == "shuffle":
+            cvals = (itemsize,)
+        else:
+            cvals = ()
+        out += struct.pack("<HHHH", fid, 0, 0, len(cvals))
+        out += b"".join(struct.pack("<I", v) for v in cvals)
+        if len(cvals) % 2:
+            out += b"\x00" * 4
+    return bytes(out)
+
+
+def _apply_write_filters(data: bytes, filters: list[tuple],
+                         itemsize: int) -> bytes:
+    """Pipeline order = application order on write (spec); the reader
+    undoes them in reverse."""
+    for f in filters:
+        kind = f[0]
+        if kind == "shuffle" and itemsize > 1:
+            nel = len(data) // itemsize
+            arr = np.frombuffer(data[: nel * itemsize], "u1")
+            data = (arr.reshape(nel, itemsize).T.reshape(-1).tobytes()
+                    + data[nel * itemsize:])
+        elif kind == "deflate":
+            data = zlib.compress(data, f[1] if len(f) > 1 else 6)
+        elif kind == "fletcher32":
+            data = data + struct.pack("<I", _fletcher32(data))
+    return data
+
+
+# ------------------------------------------------------------- headers
+
+
+def _v1_header(msgs: list[tuple[int, bytes]]) -> bytes:
+    blob = bytearray()
+    for mtype, body in msgs:
+        body_p = _pad8(body)
+        blob += struct.pack("<HHB3x", mtype, len(body_p), 0) + body_p
+    return (struct.pack("<BBHII4x", 1, 0, len(msgs), 1, len(blob))
+            + bytes(blob))
+
+
+# ---------------------------------------------------------- the writer
+
+
+def write_hdf5(
+    path: str,
+    variables: dict[str, np.ndarray],
+    global_attrs: dict | None = None,
+    var_attrs: dict[str, dict] | None = None,
+    chunk_shapes: dict[str, tuple[int, ...]] | None = None,
+    filters: dict[str, list[tuple]] | None = None,
+) -> None:
+    """Write `variables` (name → numpy array; numeric, fixed-string, or
+    structured/compound dtype) as root-level datasets of a valid HDF5
+    file. A name in `chunk_shapes` gets a chunked v1-B-tree layout
+    (else contiguous); its `filters` entry is an ordered list drawn
+    from ("shuffle",), ("deflate", level), ("fletcher32",)."""
+    buf = bytearray(96)  # superblock, patched last
+
+    def alloc(data: bytes) -> int:
+        while len(buf) % 8:
+            buf.append(0)
+        addr = len(buf)
+        buf.extend(data)
+        return addr
+
+    ds_addrs: dict[str, int] = {}
+    for name, arr in variables.items():
+        arr = np.ascontiguousarray(arr)
+        itemsize = arr.dtype.itemsize
+        msgs: list[tuple[int, bytes]] = [
+            (0x01, _dataspace(tuple(arr.shape))),
+            (0x03, encode_datatype(arr.dtype)),
+            (0x05, bytes([2, 1, 0, 0])),  # fill v2: undefined
+        ]
+        cshape = (chunk_shapes or {}).get(name)
+        flts = (filters or {}).get(name) or []
+        if flts and cshape is None:
+            raise Hdf5WriteError(f"{name}: filters require a chunked layout")
+        if cshape is None:
+            addr = alloc(arr.tobytes())
+            msgs.append((0x08, struct.pack("<BBQQ", 3, 1, addr,
+                                           arr.nbytes)))
+        else:
+            if len(cshape) != arr.ndim:
+                raise Hdf5WriteError(f"{name}: chunk rank mismatch")
+            grid = [-(-s // c) for s, c in zip(arr.shape, cshape)]
+            chunks: list[tuple[tuple[int, ...], int, int]] = []
+            for idx in itertools.product(*(range(g) for g in grid)):
+                offs = tuple(i * c for i, c in zip(idx, cshape))
+                # edge chunks are stored FULL-SIZE, zero-padded (spec)
+                chunk = np.zeros(cshape, arr.dtype)
+                sel = tuple(
+                    slice(0, min(o + c, s) - o)
+                    for o, c, s in zip(offs, cshape, arr.shape))
+                src = tuple(
+                    slice(o, min(o + c, s))
+                    for o, c, s in zip(offs, cshape, arr.shape))
+                chunk[sel] = arr[src]
+                raw = _apply_write_filters(chunk.tobytes(), flts, itemsize)
+                chunks.append((offs, alloc(raw), len(raw)))
+            node = bytearray(b"TREE" + bytes([1, 0])
+                             + struct.pack("<HQQ", len(chunks), UNDEF, UNDEF))
+            for offs, caddr, csize in chunks:
+                node += struct.pack("<II", csize, 0)
+                node += b"".join(struct.pack("<Q", o) for o in offs)
+                node += struct.pack("<QQ", 0, caddr)
+            # trailing key: first offset past the dataset (spec)
+            node += struct.pack("<II", 0, 0)
+            node += b"".join(struct.pack("<Q", s) for s in arr.shape)
+            node += struct.pack("<Q", 0)
+            btree_addr = alloc(bytes(node))
+            lay = (struct.pack("<BBBQ", 3, 2, arr.ndim + 1, btree_addr)
+                   + b"".join(struct.pack("<I", c) for c in cshape)
+                   + struct.pack("<I", itemsize))
+            msgs.append((0x08, lay))
+            if flts:
+                msgs.append((0x0B, _filter_pipeline_msg(flts, itemsize)))
+        for aname, aval in ((var_attrs or {}).get(name) or {}).items():
+            msgs.append((0x0C, _attr_msg(aname, aval)))
+        ds_addrs[name] = alloc(_v1_header(msgs))
+
+    # ---- root group: local heap + v1 B-tree + one SNOD ---------------
+    names = sorted(ds_addrs)
+    if len(names) * 40 + 8 > 4096:
+        raise Hdf5WriteError("too many datasets for a single SNOD")
+    heap = bytearray(8)  # offset 0 reserved (empty name)
+    name_off: dict[str, int] = {}
+    for n in names:
+        name_off[n] = len(heap)
+        heap += _pad8(n.encode("utf-8") + b"\x00")
+    heap_data_addr = alloc(bytes(heap))
+    heap_addr = alloc(b"HEAP" + bytes([0, 0, 0, 0])
+                      + struct.pack("<QQQ", len(heap), 1, heap_data_addr))
+    snod = bytearray(b"SNOD" + bytes([1, 0])
+                     + struct.pack("<H", len(names)))
+    for n in names:
+        snod += struct.pack("<QQII16x", name_off[n], ds_addrs[n], 0, 0)
+    snod_addr = alloc(bytes(snod))
+    btree_addr = alloc(
+        b"TREE" + bytes([0, 0]) + struct.pack("<HQQ", 1, UNDEF, UNDEF)
+        + struct.pack("<QQQ", 0, snod_addr,
+                      name_off[names[-1]] if names else 0))
+    root_msgs: list[tuple[int, bytes]] = [
+        (0x11, struct.pack("<QQ", btree_addr, heap_addr))]
+    for aname, aval in (global_attrs or {}).items():
+        root_msgs.append((0x0C, _attr_msg(aname, aval)))
+    root_addr = alloc(_v1_header(root_msgs))
+
+    # ---- superblock v0 ----------------------------------------------
+    while len(buf) % 8:
+        buf.append(0)
+    sb = bytearray(MAGIC)
+    sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])       # versions + sizes
+    sb += struct.pack("<HHI", 4, 16, 0)          # group K's + flags
+    sb += struct.pack("<QQQQ", 0, UNDEF, len(buf), UNDEF)
+    sb += struct.pack("<QQII16x", 0, root_addr, 0, 0)  # root group STE
+    assert len(sb) == 96
+    buf[:96] = sb
+    with open(path, "wb") as f:
+        f.write(buf)
