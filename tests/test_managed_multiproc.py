@@ -1,0 +1,141 @@
+"""Cross-PROCESS concurrency hammer for managed tables on a plain
+filesystem root.
+
+The thread-level race tests (test_managed.py) exercise the O_EXCL /
+link-based manifest claim in one process; the bdb:// container got a
+cross-process hammer in r11 (which found torn reads the thread tests
+structurally could not). This is the same treatment for the plain-fs
+path: several OS processes, each with its own SparkSession, fire
+INSERT / UPDATE / OPTIMIZE at ONE file:// table; the parent then does
+model-based verification — every acknowledged commit's rows are
+present exactly once (zero lost rows, zero duplicates), update counts
+reconstruct from the linearized version order, and historical versions
+read back as the model's snapshot at that version.
+
+Fresh worker seeds every run (SystemRandom), printed for reproduction
+via SPARK_GRAFT_HAMMER_SEED.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import json, random, sys
+worker_id, path, log_path, seed, n_ops = (
+    int(sys.argv[1]), sys.argv[2], sys.argv[3], int(sys.argv[4]),
+    int(sys.argv[5]))
+from beacon_spark.session import get_spark
+from beacon_spark.managed import ManagedTable, ManifestConflict
+
+spark = get_spark(app_name=f"hammer{worker_id}", master="local[2]",
+                  shuffle_partitions=2,
+                  extra_conf={"spark.driver.memory": "2g"})
+t = ManagedTable(spark, path)
+rng = random.Random(seed)
+log, batch = [], 0
+for i in range(n_ops):
+    op = rng.choice(["insert", "insert", "insert", "update", "update",
+                     "compact"])
+    if op == "insert":
+        n = rng.randint(1, 4)
+        rows = [(worker_id * 1_000_000 + batch * 1_000 + j,
+                 worker_id, batch, 0) for j in range(n)]
+        df = spark.createDataFrame(rows, "id long, w long, b long, val long")
+        v = t.insert(df)  # insert retries internally
+        log.append({"op": "insert", "version": v, "w": worker_id,
+                    "b": batch, "n": n})
+        batch += 1
+    elif op == "update":
+        for _ in range(25):
+            try:
+                v = t.update({"val": "val + 1"}, f"w = {worker_id}")
+                log.append({"op": "update", "version": v, "w": worker_id})
+                break
+            except ManifestConflict:
+                continue
+    else:
+        try:
+            t.compact(target_file_bytes=1 << 20)
+        except ManifestConflict:
+            pass
+with open(log_path, "w") as f:
+    json.dump(log, f)
+spark.stop()
+print("DONE")
+"""
+
+
+def test_multiprocess_insert_update_optimize_hammer(spark, tmp_path):
+    from beacon_spark.managed import ManagedTable
+
+    seed0 = int(os.environ.get("SPARK_GRAFT_HAMMER_SEED",
+                               random.SystemRandom().randrange(1 << 30)))
+    print(f"hammer seed: {seed0} (SPARK_GRAFT_HAMMER_SEED to reproduce)")
+
+    path = str(tmp_path / "ht")
+    t = ManagedTable(spark, path)
+    t.create(spark.createDataFrame([(0, -1, 0, 0)],
+                                   "id long, w long, b long, val long"))
+
+    n_workers, n_ops = 3, 10
+    procs, log_paths = [], []
+    for w in range(n_workers):
+        lp = str(tmp_path / f"log{w}.json")
+        log_paths.append(lp)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(w), path, lp,
+             str(seed0 + 7 * w), str(n_ops)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd="/root/repo"))
+    outs = [p.communicate(timeout=480) for p in procs]
+    for (out, err), p in zip(outs, procs):
+        assert p.returncode == 0 and b"DONE" in out, err.decode()[-2000:]
+
+    log: list[dict] = []
+    for lp in log_paths:
+        log.extend(json.load(open(lp)))
+    inserts = [e for e in log if e["op"] == "insert"]
+    updates = [e for e in log if e["op"] == "update"]
+    assert inserts, "hammer produced no inserts"
+    versions = [e["version"] for e in log]
+    assert len(versions) == len(set(versions)), \
+        "two acknowledged commits share a version number"
+
+    # ---- final state: zero lost rows, zero duplicates ----------------
+    rows = t.read().collect()
+    got = {}
+    for r in rows:
+        got.setdefault((r.w, r.b), []).append(r)
+    assert len(got.pop((-1, 0))) == 1  # the seed row
+    expected_batches = {(e["w"], e["b"]): e for e in inserts}
+    assert set(got) == set(expected_batches), (
+        f"row batches mismatch: missing="
+        f"{set(expected_batches) - set(got)} "
+        f"extra={set(got) - set(expected_batches)} seed={seed0}")
+    for key, e in expected_batches.items():
+        batch_rows = got[key]
+        assert len(batch_rows) == e["n"], (key, seed0)
+        want_val = sum(1 for u in updates
+                       if u["w"] == e["w"] and u["version"] > e["version"])
+        assert all(r.val == want_val for r in batch_rows), (
+            f"{key}: vals={[r.val for r in batch_rows]} "
+            f"want {want_val} seed={seed0}")
+
+    # ---- time travel: sampled versions replay the model --------------
+    sample = sorted(versions)[:: max(1, len(versions) // 8)]
+    for v in sample:
+        snap = t.read(version=v).collect()
+        want_rows = 1 + sum(e["n"] for e in inserts if e["version"] <= v)
+        assert len(snap) == want_rows, (v, seed0)
+        want_sum = sum(
+            e["n"] * sum(1 for u in updates
+                         if u["w"] == e["w"] and e["version"] < u["version"] <= v)
+            for e in inserts if e["version"] <= v)
+        assert sum(r.val for r in snap) == want_sum, (v, seed0)
