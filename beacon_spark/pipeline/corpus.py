@@ -345,7 +345,7 @@ def pack_sequences(
         T.StructField("seq_tokens", T.LongType()),
     ])
 
-    def _pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         part = int(key[0])
         # first-fit DECREASING: sort by tokens desc (id asc tiebreak)
         pdf = pdf.sort_values(

@@ -199,6 +199,25 @@ test("admin SPA drives the live server end-to-end", { skip }, async () => {
   assert.ok(dom["view"].textContent.includes("answer"));
   assert.ok(dom["view"].textContent.includes("1 rows"));
 
+  // XSS: server-controlled strings (cell values AND column names)
+  // must render as TEXT nodes — never become elements. A table cell
+  // containing "<img onerror=…>" with any HTML-parsing render path
+  // would materialize an IMG node in the tree.
+  const payload = "<img src=x onerror=alert(1)>";
+  sql.value =
+    `SELECT '${payload}' AS c, 1 AS \`<b onclick=evil()>n</b>\``;
+  runBtn.dispatch("click");
+  await waitFor(() => dom["view"].textContent.includes(payload),
+    "hostile result to render");
+  assert.equal(dom["view"].find((n) => n.tagName === "IMG"), null,
+    "hostile cell value became a DOM element");
+  assert.equal(dom["view"].find((n) => n.tagName === "B"), null,
+    "hostile column name became a DOM element");
+  assert.ok(dom["view"].find((n) => n instanceof FakeText &&
+    String(n.nodeValue).includes(payload)),
+    "payload present as an inert text node");
+  assert.ok(dom["view"].textContent.includes("<b onclick=evil()>n</b>"));
+
   // explain renders a plan
   dom["view"].find((n) => n.tagName === "BUTTON" &&
     n.textContent === "Explain").dispatch("click");
@@ -226,6 +245,20 @@ test("admin SPA drives the live server end-to-end", { skip }, async () => {
   assert.ok(!dom["login"].classList.contains("hidden"));
   assert.equal(globalThis.localStorage.getItem("beacon-admin-credentials"),
     null);
+});
+
+test("SPA source never hands server data to an HTML parser", async () => {
+  // static pin behind the integration case: every render goes through
+  // el()/createTextNode. innerHTML/outerHTML/insertAdjacentHTML/
+  // document.write would reopen the XSS the test above covers only
+  // for the workbench path.
+  const { readFile } = await import("node:fs/promises");
+  const src = await readFile(new URL("../web/app.mjs", import.meta.url),
+    "utf8");
+  for (const bad of ["innerHTML", "outerHTML", "insertAdjacentHTML",
+                     "document.write", "DOMParser"]) {
+    assert.ok(!src.includes(bad), `app.mjs uses ${bad}`);
+  }
 });
 
 test("admin SPA login rejects bad credentials", { skip }, async () => {
