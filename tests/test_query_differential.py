@@ -270,3 +270,138 @@ def test_set_ops_agree_with_duckdb(qeng, sf_small, spec):
     sql = f"{a} {op} {b}"
     ours, duck = _run_both(qeng, sf_small, sql)
     assert ours == duck, f"set-op mismatch for: {sql}"
+
+
+# ---------------------------------------------------------------------
+# Shape D: subqueries — IN / NOT IN / EXISTS / NOT EXISTS / scalar
+# ---------------------------------------------------------------------
+
+_LINE_LEAVES = st.sampled_from([
+    "l_quantity < 10",
+    "l_returnflag = 'R'",
+    "l_discount >= 0.05",
+    "l_shipdate < TIMESTAMP '1997-01-01 00:00:00'",
+])
+
+
+@st.composite
+def subquery_specs(draw):
+    kind = draw(st.sampled_from(["in", "not_in", "exists", "not_exists",
+                                 "scalar"]))
+    wo = draw(_ORDER_LEAVES)
+    wc = draw(_CUST_LEAVES)
+    wl = draw(_LINE_LEAVES)
+    return kind, wo, wc, wl
+
+
+@settings(max_examples=12, deadline=None)
+@given(spec=subquery_specs())
+def test_subqueries_agree_with_duckdb(qeng, sf_small, spec):
+    kind, wo, wc, wl = spec
+    outer_where = f" AND {wo}" if wo else ""
+    inner_c = f" WHERE {wc}" if wc else ""
+    if kind in ("in", "not_in"):
+        neg = "NOT " if kind == "not_in" else ""
+        sql = (
+            "SELECT o_orderkey FROM {orders} o WHERE o_custkey "
+            + neg + "IN (SELECT c_custkey FROM {customer}" + inner_c + ")"
+            + outer_where
+        )
+    elif kind in ("exists", "not_exists"):
+        neg = "NOT " if kind == "not_exists" else ""
+        sql = (
+            "SELECT o.o_orderkey FROM {orders} o WHERE " + neg
+            + "EXISTS (SELECT 1 FROM {lineitem} l "
+            + f"WHERE l.l_orderkey = o.o_orderkey AND {wl})"
+            + outer_where
+        )
+    else:  # correlated scalar subquery in the projection
+        sql = (
+            "SELECT o.o_orderkey, "
+            "(SELECT max(c_acctbal) FROM {customer} c "
+            "WHERE c.c_custkey = o.o_custkey" + (f" AND {wc}" if wc else "")
+            + ") AS bal FROM {orders} o"
+            + (f" WHERE {wo}" if wo else "")
+        )
+    ours, duck = _run_both(qeng, sf_small, sql)
+    assert ours == duck, f"subquery mismatch for: {sql}"
+
+
+# ---------------------------------------------------------------------
+# Shape E: CTE chains — agg CTE joined back, optionally referenced twice
+# ---------------------------------------------------------------------
+
+@st.composite
+def cte_specs(draw):
+    wc = draw(_CUST_LEAVES)
+    wo = draw(_ORDER_LEAVES)
+    having = draw(st.sampled_from([None, "count(*) >= 2"]))
+    twice = draw(st.booleans())
+    return wc, wo, having, twice
+
+
+@settings(max_examples=10, deadline=None)
+@given(spec=cte_specs())
+def test_cte_chains_agree_with_duckdb(qeng, sf_small, spec):
+    wc, wo, having, twice = spec
+    cte = (
+        "WITH cust AS (SELECT c_custkey, c_nationkey FROM {customer}"
+        + (f" WHERE {wc}" if wc else "") + "), "
+        "ords AS (SELECT o_custkey, count(*) AS n, "
+        "round(sum(o_totalprice), 2) AS tot FROM {orders}"
+        + (f" WHERE {wo}" if wo else "")
+        + " GROUP BY o_custkey"
+        + (f" HAVING {having}" if having else "") + ") "
+    )
+    if twice:  # second reference to the same CTE (self-join through it)
+        sql = cte + (
+            "SELECT c.c_nationkey, count(*) AS nc, sum(o.n) AS total_n "
+            "FROM cust c JOIN ords o ON c.c_custkey = o.o_custkey "
+            "JOIN cust c2 ON c2.c_custkey = c.c_custkey "
+            "GROUP BY c.c_nationkey"
+        )
+    else:
+        sql = cte + (
+            "SELECT c.c_nationkey, sum(o.tot) AS tot "
+            "FROM cust c JOIN ords o ON c.c_custkey = o.o_custkey "
+            "GROUP BY c.c_nationkey"
+        )
+    ours, duck = _run_both(qeng, sf_small, sql)
+    assert ours == duck, f"CTE mismatch for: {sql}"
+
+
+# ---------------------------------------------------------------------
+# Shape F: scalar-expression surfaces shared by both engines —
+# CASE / COALESCE / NULLIF / LEAST / GREATEST / arithmetic / casts
+# ---------------------------------------------------------------------
+
+_EXPRS = [
+    "CASE WHEN o_totalprice > 200000 THEN 'hi' WHEN o_totalprice > 50000 "
+    "THEN 'mid' ELSE 'lo' END",
+    "coalesce(nullif(o_orderstatus, 'O'), 'open')",
+    "least(o_custkey, 100) + greatest(o_custkey % 13, 5)",
+    "abs(o_custkey - 75) * 2",
+    # NOTE: CAST(double AS BIGINT) itself is NOT comparable — DuckDB
+    # ROUNDS (150000.75 → 150001) while Spark and DataFusion (the
+    # reference) TRUNCATE; floor() first makes the oracle agree
+    "CAST(floor(o_totalprice) AS BIGINT) % 97",
+    # STRING, not VARCHAR: Spark 4 requires a length on VARCHAR(n);
+    # both engines accept the STRING alias
+    "CAST(o_orderkey AS STRING)",
+    "nullif(o_custkey % 3, 0)",
+    "CASE o_orderstatus WHEN 'O' THEN o_custkey ELSE -o_custkey END",
+]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    exprs=st.lists(st.sampled_from(_EXPRS), min_size=1, max_size=3,
+                   unique=True),
+    where=_ORDER_LEAVES,
+)
+def test_scalar_expressions_agree_with_duckdb(qeng, sf_small, exprs, where):
+    sel = ", ".join(f"({e}) AS e{i}" for i, e in enumerate(exprs))
+    sql = ("SELECT o_orderkey, " + sel + " FROM {orders}"
+           + (f" WHERE {where}" if where else ""))
+    ours, duck = _run_both(qeng, sf_small, sql)
+    assert ours == duck, f"expression mismatch for: {sql}"
