@@ -405,3 +405,43 @@ def test_scalar_expressions_agree_with_duckdb(qeng, sf_small, exprs, where):
            + (f" WHERE {where}" if where else ""))
     ours, duck = _run_both(qeng, sf_small, sql)
     assert ours == duck, f"expression mismatch for: {sql}"
+
+
+# ---------------------------------------------------------------------
+# Shape G: temporal semantics — EXTRACT parts + date_trunc units over
+# the real o_orderdate column.
+#
+# Probed oracle hazards, excluded by construction (not engine bugs):
+#   - EXTRACT(DOW): Spark numbers Sunday=1..7, DuckDB Sunday=0..6
+#     (DataFusion follows postgres 0..6 — our dialect keeps Spark's);
+#   - EXTRACT(SECOND): Spark returns DECIMAL, DuckDB BIGINT (canon
+#     float-compare would pass but the column type legitimately differs);
+#   - EXTRACT(EPOCH): not a Spark extract field;
+#   - date_trunc day-and-coarser: DuckDB returns DATE where Spark
+#     returns TIMESTAMP — same value, so both sides CAST to TIMESTAMP.
+# ---------------------------------------------------------------------
+
+_EXTRACT_PARTS = ["year", "quarter", "month", "week", "day", "doy",
+                  "hour", "minute"]
+_TRUNC_UNITS = ["year", "quarter", "month", "week", "day", "hour"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    parts=st.lists(st.sampled_from(_EXTRACT_PARTS), min_size=1,
+                   max_size=3, unique=True),
+    unit=st.sampled_from(_TRUNC_UNITS),
+    where=_ORDER_LEAVES,
+)
+def test_temporal_parts_agree_with_duckdb(qeng, sf_small, parts, unit,
+                                          where):
+    sel = ", ".join(
+        f"CAST(EXTRACT({p} FROM o_orderdate) AS BIGINT) AS p_{p}"
+        for p in parts)
+    sql = (
+        "SELECT o_orderkey, " + sel
+        + f", CAST(date_trunc('{unit}', o_orderdate) AS TIMESTAMP) AS tr"
+        + " FROM {orders}" + (f" WHERE {where}" if where else "")
+    )
+    ours, duck = _run_both(qeng, sf_small, sql)
+    assert ours == duck, f"temporal mismatch for: {sql}"
