@@ -1631,6 +1631,34 @@ def test_update_case_colliding_targets_error(eng):
     assert eng.sql("SELECT temp FROM updc_t").collect()[0].temp == 10.0
 
 
+def test_insert_detects_concurrent_alter(spark, tmp_path, monkeypatch):
+    """An ALTER landing between INSERT's data write and its manifest
+    commit must surface as ManifestConflict('schema changed…') — the
+    retry loop re-binding blindly could mis-bind renamed columns."""
+    from beacon_spark.managed import ManagedTable, ManifestConflict
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE alt_t AS SELECT * FROM VALUES (1, 10) AS v(id, x)")
+    path = eng.catalog._load()["tables"]["alt_t"]
+    t = ManagedTable(spark, path)
+    other = ManagedTable(spark, path)
+    real_commit = t._commit_manifest
+    fired = {"done": False}
+
+    def commit_with_interleaved_alter(version, payload):
+        if not fired["done"]:
+            fired["done"] = True
+            other.alter_rename_column("x", "y")  # wins the version race
+        return real_commit(version, payload)
+
+    monkeypatch.setattr(t, "_commit_manifest", commit_with_interleaved_alter)
+    with pytest.raises(ManifestConflict, match="schema changed"):
+        t.insert(spark.createDataFrame([(2, 20)], "id long, x long"))
+    # table is intact under the new schema; the loser's rows did NOT land
+    rows = _rows(eng.sql("SELECT id, y FROM alt_t"))
+    assert rows == [(1, 10)]
+
+
 def test_vacuum_zero_manifests_spares_all_files(spark, tmp_path):
     """With ZERO manifests (pre-first-commit window / misuse) every data
     file must be treated as in-flight — the old default=inf made
