@@ -257,6 +257,89 @@ def test_dsl_sql_duckdb_agree_on_sort_and_pagination(deng, sf_small, body):
 
 
 # =====================================================================
+# DSL select FUNCTION TREES: the same random expression tree rendered
+# as a DSL select item (compiled via F.call_function) and as SQL text
+# (engine + DuckDB) must project identical values. Functions drawn from
+# the surface all three agree on. round() is integer-only: Spark
+# rounds doubles via their shortest decimal repr (123.45 → 123.5)
+# while DuckDB rounds the binary double (→ 123.4) — a real semantic
+# hazard at round(x, d>0), but .5-to-integer boundaries are dyadic and
+# exact, so round(x) compares safely.
+# =====================================================================
+
+
+@st.composite
+def select_fn_trees(draw, depth: int = 0, want: str = "any"):
+    if want == "any":
+        want = draw(st.sampled_from(["str", "num"]))
+    if depth >= 2 or draw(st.integers(0, 2)) == 0:  # leaf
+        if want == "str":
+            return want, draw(st.sampled_from(
+                ["o_orderstatus", "o_orderpriority",
+                 {"value": "lit-x"}, {"value": ""}]))
+        return want, draw(st.sampled_from(
+            ["o_custkey", "o_totalprice", {"value": 3}, {"value": -7.5}]))
+    if want == "str":
+        fn = draw(st.sampled_from(["upper", "lower", "trim", "concat"]))
+        nargs = 2 if fn == "concat" else 1
+    else:
+        fn = draw(st.sampled_from(
+            ["abs", "round", "floor", "ceil", "least", "greatest",
+             "coalesce", "length"]))
+        nargs = {"abs": 1, "round": 1, "floor": 1, "ceil": 1,
+                 "length": 1, "least": 2, "greatest": 2, "coalesce": 2}[fn]
+    argw = "str" if fn in ("upper", "lower", "trim", "concat", "length") \
+        else "num"
+    args = [draw(select_fn_trees(depth=depth + 1, want=argw))[1]
+            for _ in range(nargs)]
+    return want, {"function": fn, "args": args}
+
+
+def _item_sql(item) -> str:
+    if isinstance(item, str):
+        return item
+    if "value" in item:
+        v = item["value"]
+        return f"'{v}'" if isinstance(v, str) else repr(v)
+    args = ", ".join(_item_sql(a) for a in item.get("args", []))
+    return f"{item['function']}({args})"
+
+
+@settings(max_examples=15, deadline=None)
+@given(tree=select_fn_trees())
+def test_dsl_function_selects_match_sql_and_duckdb(deng, sf_small, tree):
+    _want, item = tree
+    body = {
+        "select": ["o_orderkey", dict(item, alias="e") if isinstance(
+            item, dict) else {"column": item, "alias": "e"}],
+        "from": {"parquet": {"paths": [ORDERS]}},
+        "sort_by": [{"asc": "o_orderkey"}],
+        "limit": 100,
+    }
+    dsl_rows = [(r.o_orderkey, r.e) for r in deng.query(body).collect()]
+    sql = (f"SELECT o_orderkey, {_item_sql(item)} AS e "
+           f"FROM read_parquet('{ORDERS}') ORDER BY o_orderkey LIMIT 100")
+    sql_rows = [(r.o_orderkey, r.e) for r in deng.sql(sql).collect()]
+    con = duckdb.connect()
+    try:
+        duck_rows = con.execute(
+            f"SELECT o_orderkey, {_item_sql(item)} AS e "
+            f"FROM read_parquet('{sf_small}/{ORDERS}') "
+            f"ORDER BY o_orderkey LIMIT 100").fetchall()
+    finally:
+        con.close()
+
+    def canon(rows):
+        return [
+            (k, round(v, 6) if isinstance(v, float) else v)
+            for k, v in rows
+        ]
+
+    assert canon(dsl_rows) == canon(sql_rows), f"DSL != SQL for {item!r}"
+    assert canon(sql_rows) == canon(duck_rows), f"Spark != DuckDB: {sql}"
+
+
+# =====================================================================
 # date_bin macro differential vs DuckDB's time_bucket: same floor
 # semantics, including PRE-ORIGIN timestamps where a truncate-vs-floor
 # confusion in the macro arithmetic would bin to the wrong side.
