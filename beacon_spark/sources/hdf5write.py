@@ -45,6 +45,19 @@ def _pad8(b: bytes) -> bytes:
     return b + b"\x00" * (-len(b) % 8)
 
 
+def _le(dt: np.dtype) -> np.dtype:
+    """Little-endian twin of a (possibly structured) dtype."""
+    dt = np.dtype(dt)
+    if dt.names:
+        return np.dtype({
+            "names": list(dt.names),
+            "formats": [_le(dt.fields[n][0]) for n in dt.names],
+            "offsets": [dt.fields[n][1] for n in dt.names],
+            "itemsize": dt.itemsize,
+        })
+    return dt.newbyteorder("<") if dt.byteorder == ">" else dt
+
+
 # ---------------------------------------------------------- datatypes
 
 
@@ -195,6 +208,12 @@ def write_hdf5(
     ds_addrs: dict[str, int] = {}
     for name, arr in variables.items():
         arr = np.ascontiguousarray(arr)
+        if arr.dtype.byteorder == ">" or any(
+                dt.byteorder == ">" for dt, _ in
+                (arr.dtype.fields or {}).values()):
+            # the datatype message is encoded little-endian; writing
+            # big-endian bytes under it would be silent corruption
+            arr = arr.astype(_le(arr.dtype))
         itemsize = arr.dtype.itemsize
         msgs: list[tuple[int, bytes]] = [
             (0x01, _dataspace(tuple(arr.shape))),

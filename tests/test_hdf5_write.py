@@ -105,6 +105,27 @@ def test_fletcher32_corruption_detected(tmp_path):
         r.read(r.root.datasets["a"])
 
 
+def test_big_endian_input_converted(tmp_path):
+    """A '>f8'/'>i4' input array must be byte-swapped on write — the
+    datatype message is little-endian, so passing the bytes through
+    would be silent value corruption."""
+    p = _path(tmp_path)
+    be_f = np.linspace(-3, 3, 7).astype(">f8")
+    be_i = np.arange(5, dtype=">i4")
+    comp = np.zeros(3, np.dtype([("a", ">i8"), ("b", "<f4")]))
+    comp["a"] = [1, -2, 3]
+    comp["b"] = [0.5, 1.5, -2.5]
+    write_hdf5(p, {"f": be_f, "i": be_i, "c": comp})
+    r = Hdf5Reader(p)
+    assert np.array_equal(r.read(r.root.datasets["f"]),
+                          be_f.astype("<f8"))
+    assert np.array_equal(r.read(r.root.datasets["i"]),
+                          be_i.astype("<i4"))
+    got = r.read(r.root.datasets["c"])
+    assert list(got["a"]) == [1, -2, 3]
+    assert np.allclose(got["b"], [0.5, 1.5, -2.5])
+
+
 def test_filters_require_chunked(tmp_path):
     with pytest.raises(Hdf5WriteError, match="chunked"):
         write_hdf5(_path(tmp_path), {"a": np.arange(4)},
