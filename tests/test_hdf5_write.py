@@ -160,6 +160,53 @@ def test_engine_sql_reads_written_file(spark, tmp_path):
     assert rows[0].lo == 9.5 and rows[0].hi == 10.5
 
 
+def test_hypothesis_roundtrip_fresh_each_run(tmp_path):
+    """Hypothesis net (fresh seeds every suite run, like the other
+    differential nets): random dtype/shape/chunk/filter combos must
+    roundtrip bit-exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    dtypes = ["<i2", "<i4", "<i8", "<u4", "<f4", "<f8"]
+    counter = [0]
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        dt=st.sampled_from(dtypes),
+        shape=st.lists(st.integers(1, 17), min_size=1, max_size=3),
+        chunked=st.booleans(),
+        flt=st.sampled_from([[], [("deflate", 1)], [("shuffle",)],
+                             [("shuffle",), ("deflate", 6)],
+                             [("deflate", 6), ("fletcher32",)]]),
+        data=st.data(),
+    )
+    def check(dt, shape, chunked, flt, data):
+        shape = tuple(shape)
+        n = int(np.prod(shape))
+        npdt = np.dtype(dt)
+        if npdt.kind == "f":
+            vals = data.draw(st.lists(
+                st.floats(allow_nan=True, allow_infinity=True,
+                          width=32 if npdt.itemsize == 4 else 64),
+                min_size=n, max_size=n))
+        else:
+            info = np.iinfo(npdt)
+            vals = data.draw(st.lists(
+                st.integers(info.min, info.max), min_size=n, max_size=n))
+        arr = np.array(vals, dtype=npdt).reshape(shape)
+        counter[0] += 1
+        p = _path(tmp_path, f"h{counter[0]}.h5")
+        chunk = tuple(max(1, s // 2) for s in shape) if chunked else None
+        write_hdf5(p, {"a": arr},
+                   chunk_shapes={"a": chunk} if chunk else None,
+                   filters={"a": flt} if (flt and chunk) else None)
+        got = Hdf5Reader(p).read(Hdf5Reader(p).root.datasets["a"])
+        assert got.dtype == arr.dtype and got.shape == arr.shape
+        assert np.array_equal(got, arr, equal_nan=npdt.kind == "f")
+
+    check()
+
+
 def test_property_random_arrays_roundtrip(tmp_path):
     """Randomized sweep: dtype × rank × chunking × filters, values
     written == values read (NaN-aware)."""

@@ -421,6 +421,41 @@ def test_scalar_expressions_agree_with_duckdb(qeng, sf_small, exprs, where):
 #     returns TIMESTAMP — same value, so both sides CAST to TIMESTAMP.
 # ---------------------------------------------------------------------
 
+# ---------------------------------------------------------------------
+# Shape H: derived tables — window functions inside a subquery, outer
+# filter/aggregate over the computed column (the composition QUALIFY
+# desugars into; here written explicitly so both engines parse it raw)
+# ---------------------------------------------------------------------
+
+@st.composite
+def derived_specs(draw):
+    fn = draw(st.sampled_from(_RANK_FNS))
+    part = draw(st.sampled_from(_PARTS))
+    ordc = draw(st.sampled_from(_ORDS))
+    k = draw(st.integers(1, 4))
+    outer = draw(st.sampled_from(["filter", "agg"]))
+    where = draw(_ORDER_LEAVES)
+    return fn, part, ordc, k, outer, where
+
+
+@settings(max_examples=10, deadline=None)
+@given(spec=derived_specs())
+def test_window_in_derived_table_agrees_with_duckdb(qeng, sf_small, spec):
+    fn, part, ordc, k, outer, where = spec
+    inner = (
+        f"SELECT o_orderkey, {part} AS p, {fn} OVER (PARTITION BY {part} "
+        f"ORDER BY {ordc} DESC, o_orderkey) AS rnk FROM {{orders}}"
+        + (f" WHERE {where}" if where else "")
+    )
+    if outer == "filter":
+        sql = f"SELECT o_orderkey, rnk FROM ({inner}) t WHERE rnk <= {k}"
+    else:
+        sql = (f"SELECT p, count(*) AS cnt, max(rnk) AS mx "
+               f"FROM ({inner}) t WHERE rnk <= {k} GROUP BY p")
+    ours, duck = _run_both(qeng, sf_small, sql)
+    assert ours == duck, f"derived-table mismatch for: {sql}"
+
+
 _EXTRACT_PARTS = ["year", "quarter", "month", "week", "day", "doy",
                   "hour", "minute"]
 _TRUNC_UNITS = ["year", "quarter", "month", "week", "day", "hour"]
