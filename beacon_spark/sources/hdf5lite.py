@@ -62,10 +62,32 @@ def _unsupported(what: str) -> Hdf5Error:
                      "(install h5py/netCDF4 for full coverage)")
 
 
+def _clean_errors(fn):
+    """Public-boundary error contract: deep structure walks over a
+    corrupt/truncated file can surface raw IndexError (mmap past EOF),
+    KeyError, struct.error, or OverflowError from anywhere in the
+    parser — convert them to Hdf5Error so callers (and the mutation
+    fuzz) see ONE clean failure set. Hdf5Error/ValueError pass through;
+    MemoryError stays a bounded refusal."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(*a, **k):
+        try:
+            return fn(*a, **k)
+        except Hdf5Error:
+            raise
+        except (IndexError, KeyError, struct.error, OverflowError) as e:
+            raise Hdf5Error(
+                f"corrupt HDF5 file: {type(e).__name__}: {e}") from e
+    return wrap
+
+
 # ---------------------------------------------------------------- file
 
 
 class Hdf5File:
+    @_clean_errors
     def __init__(self, path: str):
         self.path = path
         # byte-source abstraction: local path -> mmap (OS-paged; metadata
@@ -562,7 +584,12 @@ def apply_filters(raw: bytes, filters: list[Filter], mask: int, itemsize: int) -
         if mask & (1 << idx):
             continue
         if flt.fid == 1:  # deflate
-            data = zlib.decompress(data)
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:
+                # raw zlib.error escaping here is an unclean failure for
+                # callers catching the reader's error set (mutation fuzz)
+                raise Hdf5Error(f"corrupt deflate chunk: {e}") from e
         elif flt.fid == 2:  # shuffle
             t = flt.client[0] if flt.client else itemsize
             if t > 1:
@@ -982,6 +1009,7 @@ class Hdf5Reader(Hdf5File):
             raise _unsupported(f"dataset datatype class {dt.cls}")
         return dt.dtype
 
+    @_clean_errors
     def read(self, ds: Dataset) -> np.ndarray:
         """Materialize a whole dataset (vlen-string datasets resolve via
         the global heap; numeric/compound via layout)."""
@@ -1003,6 +1031,7 @@ class Hdf5Reader(Hdf5File):
         arr = np.frombuffer(raw[: n * npdt.itemsize], npdt).reshape(ds.shape)
         return arr
 
+    @_clean_errors
     def read_region(self, ds: Dataset, region) -> np.ndarray:
         """Decode only the chunks (or the contiguous slab) overlapping
         ``region`` — a list of (lo, hi) per dimension. This is what makes
@@ -1063,12 +1092,25 @@ class Hdf5Reader(Hdf5File):
             out[dst] = carr[src]
         return out
 
+    # Full-materialization bound for read(): a corrupt (or adversarial)
+    # dataspace can claim petabytes over a 4 KB file — chunked datasets
+    # are legally sparse, so the claim can't be cross-checked against
+    # stored bytes. The engine's own scan path never full-materializes
+    # (nd.py plans ~1M-row read_region tasks), so a whole-dataset read()
+    # beyond this bound is refused with a pointer at read_region.
+    MAX_FULL_READ_BYTES = 4 << 30
+
     def _raw(self, ds: Dataset, itemsize: int) -> bytes:
         lay = ds.layout
         n = 1
         for s in ds.shape:
             n *= s
         total = n * itemsize
+        if total > self.MAX_FULL_READ_BYTES:
+            raise Hdf5Error(
+                f"dataset {ds.name}: full read of {total} bytes exceeds "
+                f"the {self.MAX_FULL_READ_BYTES >> 30} GiB materialization "
+                "bound; use read_region")
         if lay.cls == 0:
             return lay.data or b""
         if lay.cls == 1:
@@ -1091,6 +1133,13 @@ class Hdf5Reader(Hdf5File):
         cshape = lay.chunk_shape
         ndims = len(ds.shape)
         csize_nominal = int(np.prod(cshape)) * (ds.dtype.size if ds.dtype.cls != 9 else 16)
+        if csize_nominal > (1 << 32):
+            # the spec bounds one chunk below 4 GiB (u32 dims in layout
+            # v3); a corrupt chunk shape past it would drive giant
+            # per-chunk allocations in _place_chunk/read_region
+            raise Hdf5Error(
+                f"dataset {ds.name}: chunk of {csize_nominal} bytes "
+                "exceeds the 4 GiB spec bound (corrupt chunk shape)")
         if lay.index == "btree1":
             yield from self._chunks_btree1(lay.index_addr, ndims)
         elif lay.index == "single":
@@ -1320,6 +1369,7 @@ def _collect_group_attrs(g: Group, prefix: str = "") -> dict:
     return out
 
 
+@_clean_errors
 def read_hdf5_grid(path: str):
     """Open an HDF5/NetCDF4 file as (dims, variables, var_attrs,
     global_attrs) in GridDataset's shapes.

@@ -207,7 +207,70 @@ def test_hypothesis_roundtrip_fresh_each_run(tmp_path):
     check()
 
 
-def test_property_random_arrays_roundtrip(tmp_path):
+def test_mutation_fuzz_reader_fails_clean(tmp_path):
+    """Standing mutation net: byte-flipped / truncated writer output
+    must either still read or fail with the reader's clean error set —
+    never hang, never escape a raw struct/Index/Key error, never
+    allocate unboundedly. The r11 fuzz program mutated one fixed
+    libhdf5 fixture; writer-generated files cover chunked+filtered+
+    compound layouts too. Fresh seeds each run."""
+    import os
+    import random
+    import time
+
+    from beacon_spark.sources.hdf5lite import read_hdf5_grid
+
+    seed = random.SystemRandom().randrange(1 << 30)
+    rng = random.Random(seed)
+    comp = np.zeros(11, np.dtype([("a", "<i8"), ("b", "<f4")]))
+    comp["a"] = np.arange(11)
+    comp["b"] = np.arange(11) * 0.5
+    base = _path(tmp_path, "fz.h5")
+    write_hdf5(
+        base,
+        {"k": np.arange(30, dtype=np.int64),
+         "v": np.linspace(0, 1, 30),
+         "c": comp,
+         "s": np.array([b"abc"] * 7, dtype="S3")},
+        global_attrs={"title": "fz"},
+        var_attrs={"v": {"units": "m"}},
+        chunk_shapes={"v": (8,), "k": (16,)},
+        filters={"v": [("shuffle",), ("deflate", 6)],
+                 "k": [("deflate", 1), ("fletcher32",)]},
+    )
+    blob = open(base, "rb").read()
+    ok = set()
+    for trial in range(150):
+        b = bytearray(blob)
+        kind = rng.randrange(3)
+        if kind == 0:  # single byte flip
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        elif kind == 1:  # burst of flips
+            for _ in range(rng.randrange(2, 10)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        else:  # truncate
+            b = b[: rng.randrange(8, len(b))]
+        p = _path(tmp_path, "mut.h5")
+        with open(p, "wb") as f:
+            f.write(bytes(b))
+        t0 = time.monotonic()
+        try:
+            dims, variables, va, ga = read_hdf5_grid(p)
+            for _n, (_d, lazy) in variables.items():
+                np.asarray(lazy[...] if hasattr(lazy, "__getitem__")
+                           else lazy)
+            ok.add(trial)
+        except (Hdf5Error, ValueError, OverflowError, MemoryError):
+            pass  # the clean failure set (MemoryError = bounded refusal)
+        except Exception as e:  # noqa: BLE001 - the point of the fuzz
+            raise AssertionError(
+                f"seed={seed} trial={trial} kind={kind}: "
+                f"unclean {type(e).__name__}: {e}") from e
+        took = time.monotonic() - t0
+        assert took < 20, f"seed={seed} trial={trial}: {took:.1f}s (hang?)"
+        os.remove(p)
+    # sanity: the net exercised both outcomes
+    assert len(ok) < 150
     """Randomized sweep: dtype × rank × chunking × filters, values
     written == values read (NaN-aware)."""
     rng = np.random.default_rng(12345)
