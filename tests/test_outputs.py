@@ -43,6 +43,99 @@ def test_cross_format_agreement(result_df, tmp_path, spark):
     assert len(via_parquet) > 0
 
 
+def test_output_roundtrip_random_schemas(spark, tmp_path):
+    """Generative typed-roundtrip net: random column type sets with
+    nulls → COPY TO parquet/arrow/csv → read back value-exact. Parquet
+    and Arrow must be bit-faithful for every type; CSV (a lossy text
+    format) is checked over its scalar surface by re-reading with the
+    original schema applied."""
+    import datetime
+
+    import pyarrow.ipc as _ipc
+    import pyarrow.parquet as _pq
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import types as T
+
+    POOL = {
+        "i": (T.LongType(), st.one_of(st.none(),
+                                      st.integers(-(2**62), 2**62))),
+        "si": (T.IntegerType(), st.one_of(st.none(),
+                                          st.integers(-(2**31), 2**31 - 1))),
+        "d": (T.DoubleType(), st.one_of(st.none(), st.floats(
+            allow_nan=False, allow_infinity=False, width=64))),
+        "s": (T.StringType(), st.one_of(st.none(), st.text(
+            alphabet=st.characters(codec="utf-8",
+                                   exclude_categories=["Cs", "Cc"]),
+            max_size=12))),
+        "b": (T.BooleanType(), st.one_of(st.none(), st.booleans())),
+        "ts": (T.TimestampType(), st.one_of(st.none(), st.datetimes(
+            min_value=datetime.datetime(1900, 1, 1),
+            max_value=datetime.datetime(2100, 1, 1)))),
+        "arr": (T.ArrayType(T.LongType()), st.one_of(
+            st.none(), st.lists(st.integers(-1000, 1000), max_size=4))),
+    }
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(kinds=st.lists(st.sampled_from(sorted(POOL)), min_size=1,
+                          max_size=4, unique=True),
+           data=st.data())
+    def check(kinds, data):
+        counter[0] += 1
+        fields = [T.StructField(f"c_{k}", POOL[k][0]) for k in kinds]
+        schema = T.StructType(fields)
+        n = data.draw(st.integers(1, 12))
+        rows = [tuple(data.draw(POOL[k][1]) for k in kinds)
+                for _ in range(n)]
+        df = spark.createDataFrame(rows, schema)
+        want = [tuple(r) for r in df.collect()]  # Spark-canonical values
+        base = tmp_path / f"rt{counter[0]}"
+        base.mkdir()
+        write_output(df, "parquet", str(base / "r.parquet"))
+        write_output(df, "arrow", str(base / "r.arrow"))
+        got_pq = [tuple(d[f.name] for f in fields)
+                  for d in _pq.read_table(str(base / "r.parquet")).to_pylist()]
+        with _ipc.open_file(str(base / "r.arrow")) as r:
+            got_ar = [tuple(d[f.name] for f in fields)
+                      for d in r.read_all().to_pylist()]
+
+        def naive(rows):
+            # Spark timestamps are session-UTC; pyarrow returns them
+            # tz-aware UTC while collect() gives naive — same instant
+            return sorted(
+                (tuple(v.replace(tzinfo=None)
+                       if isinstance(v, datetime.datetime) else v
+                       for v in row) for row in rows), key=repr)
+
+        assert naive(got_pq) == naive(want), kinds
+        assert naive(got_ar) == naive(want), kinds
+        if "arr" not in kinds:  # CSV: scalar surface, schema-applied read
+            write_output(df, "csv", str(base / "r.csv"))
+            # the writer renders arrow-csv style UTC instants:
+            # 2000-01-01 00:00:00.000000Z
+            back = spark.read.schema(schema).csv(
+                str(base / "r.csv"), header=True,
+                timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS'Z'",
+                nullValue="")
+            got_csv = [tuple(r) for r in back.collect()]
+            # single-column NULL and '' rows both render as a blank
+            # line (the writer minimally quotes, the pinned contract),
+            # which CSV readers skip — unroundtrippable by the text
+            # format itself, so excluded from the expectation
+            want_csv = ([r for r in want if r[0] not in (None, "")]
+                        if len(fields) == 1 else want)
+
+            # empty string and NULL are both rendered "" in csv — align
+            def canon(vals):
+                return sorted(
+                    (tuple(None if v == "" else v for v in row)
+                     for row in vals), key=repr)
+            assert canon(got_csv) == canon(want_csv), kinds
+
+    check()
+
+
 def test_distributed_parquet_write(result_df, tmp_path, spark):
     out = str(tmp_path / "dist")
     write_output(result_df, "parquet", out, single=False)
