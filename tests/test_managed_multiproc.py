@@ -72,6 +72,85 @@ print("DONE")
 """
 
 
+_VACUUM_WORKER = r"""
+import sys, time
+path, seconds = sys.argv[1], float(sys.argv[2])
+from beacon_spark.session import get_spark
+from beacon_spark.managed import ManagedTable, ManifestConflict
+
+spark = get_spark(app_name="vachammer", master="local[2]",
+                  shuffle_partitions=2,
+                  extra_conf={"spark.driver.memory": "2g"})
+t = ManagedTable(spark, path)
+end = time.time() + seconds
+n = 0
+while time.time() < end:
+    try:
+        t.vacuum(retain_versions=1)
+        n += 1
+    except ManifestConflict:
+        pass
+    time.sleep(0.02)
+spark.stop()
+print(f"VACUUMS {n}")
+"""
+
+_INSERT_WORKER = r"""
+import sys
+worker_id, path, n_ops = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+from beacon_spark.session import get_spark
+from beacon_spark.managed import ManagedTable
+
+spark = get_spark(app_name=f"inshammer{worker_id}", master="local[2]",
+                  shuffle_partitions=2,
+                  extra_conf={"spark.driver.memory": "2g"})
+t = ManagedTable(spark, path)
+for b in range(n_ops):
+    df = spark.createDataFrame(
+        [(worker_id * 1_000_000 + b, worker_id, b)], "id long, w long, b long")
+    t.insert(df)
+spark.stop()
+print("DONE")
+"""
+
+
+def test_vacuum_races_concurrent_inserts_across_processes(spark, tmp_path):
+    """A VACUUM loop in one process races INSERTs from two others
+    against one file:// table. The r11 fix: a data file moved into
+    data/ before its manifest commit must never be deleted (the table
+    would serve file-not-found forever). Every acknowledged insert must
+    be present and READABLE at the end — zero lost rows, no dangling
+    manifest references."""
+    from beacon_spark.managed import ManagedTable
+
+    path = str(tmp_path / "vt")
+    t = ManagedTable(spark, path)
+    t.create(spark.createDataFrame([(0, -1, 0)], "id long, w long, b long"))
+
+    n_ops = 8
+    writers = [subprocess.Popen(
+        [sys.executable, "-c", _INSERT_WORKER, str(w), path, str(n_ops)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd="/root/repo")
+        for w in (1, 2)]
+    vac = subprocess.Popen(
+        [sys.executable, "-c", _VACUUM_WORKER, path, "25"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd="/root/repo")
+    for p in writers:
+        out, err = p.communicate(timeout=480)
+        assert p.returncode == 0 and b"DONE" in out, err.decode()[-2000:]
+    out, err = vac.communicate(timeout=480)
+    assert vac.returncode == 0, err.decode()[-2000:]
+    n_vac = int(out.split()[-1])
+    assert n_vac > 0, "vacuum loop never ran"
+
+    # every acknowledged row present and the referenced files readable
+    rows = t.read().collect()
+    ids = sorted(r.id for r in rows)
+    want = sorted([0] + [w * 1_000_000 + b for w in (1, 2)
+                         for b in range(n_ops)])
+    assert ids == want, f"lost/extra rows after {n_vac} vacuums"
+
+
 def test_multiprocess_insert_update_optimize_hammer(spark, tmp_path):
     from beacon_spark.managed import ManagedTable
 
