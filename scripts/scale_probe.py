@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""100× scale probe: wall-clock growth of the headline shapes at 100×
+rows (key-shifted replication, join keys in lockstep — the bench.py
+sf1 derivation at factor 100).
+
+The point: at sf0.1 the shapes take well under a second, so a plan
+that silently degrades super-linearly (a broadcast that stops
+broadcasting, a shuffle whose partitioning collapses, a sort that
+spills) is invisible. 60M-row lineitem makes it visible. A healthy
+engine shows sub-100× (usually ≈1-15×) wall-clock at 100× data —
+fixed overheads amortize and the plans stay the plans.
+
+Usage: python scripts/scale_probe.py [--factor 100]
+Prints one JSON line: {"factor": N, "base": {...}, "scaled": {...},
+"ratio": {...}, "calibration": {...}}.  Derivation is cached in the
+temp dir keyed by (factor, source dir); first run pays the write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROBE_QUERIES = ["pricing_summary", "date_trunc_agg", "window_topk",
+                 "top_orders", "dedup_exact", "tumbling_window"]
+TABLES = {
+    "lineitem": {"l_orderkey": 1_000_000_000},
+    "orders": {"o_orderkey": 1_000_000_000, "o_custkey": 100_000_000},
+    "customer": {"c_custkey": 100_000_000},
+    "events": {"event_id": 10_000_000_000, "user_id": 100_000_000},
+    "documents": {"doc_id": 1_000_000_000},
+}
+
+
+def _derive(spark, src: str, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    dst = os.path.join(
+        tempfile.gettempdir(), "beacon-spark-bench",
+        f"x{factor}-from-{os.path.basename(src.rstrip('/'))}")
+    marker = os.path.join(dst, "_READY")
+    if os.path.exists(marker):
+        return dst
+    os.makedirs(dst, exist_ok=True)
+    for tbl, shifts in TABLES.items():
+        df = spark.read.parquet(f"{src}/{tbl}.parquet")
+        reps = []
+        for i in range(factor):
+            rep = df
+            for col, off in shifts.items():
+                rep = rep.withColumn(col, F.col(col) + F.lit(i * off))
+            reps.append(rep)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionAll(r)
+        out.write.mode("overwrite").parquet(f"{dst}/{tbl}.parquet")
+        print(f"  derived {tbl} x{factor}", file=sys.stderr)
+    open(marker, "w").close()
+    return dst
+
+
+def main() -> None:
+    factor = 100
+    if "--factor" in sys.argv:
+        factor = int(sys.argv[sys.argv.index("--factor") + 1])
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from beacon_spark.session import get_spark
+
+    spark = get_spark(app_name="beacon_scale_probe",
+                      master=f"local[{cpus}]", shuffle_partitions=cpus)
+    import bench
+    import __spark_entry__ as entry
+
+    calibration = bench._calibration(spark)
+    queries = dict(entry.queries())
+    for q in PROBE_QUERIES:
+        if q not in queries:
+            queries[q] = getattr(entry, f"_q_{q}")
+
+    big = _derive(spark, src, factor)
+
+    def run(sf_dir: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for _ in range(2):  # best-of-2
+            for q in PROBE_QUERIES:
+                t0 = time.perf_counter()
+                n = queries[q](spark, sf_dir).count()
+                e = round(time.perf_counter() - t0, 3)
+                out[q] = min(out.get(q, e), e)
+                print(f"  {sf_dir.rsplit('/',1)[-1]} {q}: {e:.3f}s "
+                      f"({n} rows)", file=sys.stderr)
+        return out
+
+    base = run(src)
+    scaled = run(big)
+    print(json.dumps({
+        "factor": factor,
+        "calibration": calibration,
+        "base": base,
+        "scaled": scaled,
+        "ratio": {q: round(scaled[q] / base[q], 1) for q in PROBE_QUERIES},
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
