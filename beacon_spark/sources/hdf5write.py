@@ -117,6 +117,8 @@ def _attr_msg(name: str, value) -> bytes:
         shape = arr.shape if arr.ndim else ()
         if arr.ndim > 1:
             raise Hdf5WriteError("attribute rank > 1")
+    if not name or "\x00" in name:
+        raise Hdf5WriteError(f"invalid attribute name {name!r}")
     name_b = name.encode("utf-8") + b"\x00"
     dt_b = encode_datatype(arr.dtype)
     ds_b = _dataspace(shape)
@@ -207,6 +209,10 @@ def write_hdf5(
 
     ds_addrs: dict[str, int] = {}
     for name, arr in variables.items():
+        if not name or "/" in name or "\x00" in name:
+            # link names are NUL-terminated heap strings and '/' is the
+            # path separator — either would corrupt the group walk
+            raise Hdf5WriteError(f"invalid dataset name {name!r}")
         arr = np.ascontiguousarray(arr)
         if arr.dtype.byteorder == ">" or any(
                 dt.byteorder == ">" for dt, _ in
@@ -231,6 +237,8 @@ def write_hdf5(
         else:
             if len(cshape) != arr.ndim:
                 raise Hdf5WriteError(f"{name}: chunk rank mismatch")
+            if any(c < 1 for c in cshape):
+                raise Hdf5WriteError(f"{name}: chunk dims must be >= 1")
             grid = [-(-s // c) for s, c in zip(arr.shape, cshape)]
             chunks: list[tuple[tuple[int, ...], int, int]] = []
             for idx in itertools.product(*(range(g) for g in grid)):

@@ -132,6 +132,18 @@ def test_filters_require_chunked(tmp_path):
                    filters={"a": [("deflate", 6)]})
 
 
+def test_invalid_names_and_chunks_rejected(tmp_path):
+    for bad in ("", "a/b", "nul\x00byte"):
+        with pytest.raises(Hdf5WriteError, match="invalid dataset name"):
+            write_hdf5(_path(tmp_path), {bad: np.arange(3)})
+    with pytest.raises(Hdf5WriteError, match="invalid attribute name"):
+        write_hdf5(_path(tmp_path), {"a": np.arange(3)},
+                   var_attrs={"a": {"": 1}})
+    with pytest.raises(Hdf5WriteError, match="chunk dims"):
+        write_hdf5(_path(tmp_path), {"a": np.arange(3)},
+                   chunk_shapes={"a": (0,)})
+
+
 def test_engine_sql_reads_written_file(spark, tmp_path):
     """read_hdf5 through Engine.sql over a written file: shared
     phony dim → one table; compound members as dotted columns;
