@@ -419,9 +419,13 @@ def _write_netcdf_table(
     table: pa.Table,
     path: str,
     dimension_columns: list[str] | None = None,
+    flavor: str = "netcdf3",
 ) -> None:
     """In-memory NetCDF write over a materialized Arrow table: the nd
-    re-grid path, and the flat fallback for schemas parquet can't spool."""
+    re-grid path, and the flat fallback for schemas parquet can't spool.
+    ``flavor="netcdf4"`` emits the SAME logical grid as an HDF5 file
+    with netcdf.hdf5 dimension-scale conventions (sources/hdf5write.py)
+    instead of NetCDF-3 classic."""
     from beacon_spark.sources.netcdf3 import write_netcdf3
 
     # CF-normalize at the ARROW level first: tz/decimal columns become
@@ -468,6 +472,11 @@ def _write_netcdf_table(
         dims["obs"] = table.num_rows
         for name in table.column_names:
             variables[name] = (("obs",), to_np(table.column(name)))
+    if flavor == "netcdf4":
+        from beacon_spark.sources.hdf5write import write_netcdf4
+
+        write_netcdf4(path, dims, variables, var_attrs)
+        return
     write_netcdf3(path, dims, variables, var_attrs)
 
 
@@ -850,16 +859,17 @@ def write_output(df: DataFrame, fmt: str, path: str, **options) -> None:
         write_arrow(df, path, options.get("single", True))
     elif fmt == "parquet":
         write_parquet(df, path, options.get("single", True))
-    elif fmt in ("hdf5", "h5"):
+    elif fmt in ("hdf5", "h5", "netcdf4"):
         # the reference aliases hdf5/h5 to netcdf because it writes
-        # NetCDF-4, which IS an HDF5 container (output.rs:99-101); this
-        # engine writes NetCDF-3 classic, which is NOT — delivering CDF
-        # bytes under an hdf5 name would be silent divergence
-        raise ValueError(
-            "hdf5 output is not supported: this engine writes NetCDF-3 "
-            "classic (not the HDF5-based NetCDF-4 the reference emits); "
-            "use format 'netcdf' and read it with any NetCDF library"
-        )
+        # NetCDF-4, which IS an HDF5 container (output.rs:99-101).
+        # Since r12 this engine writes real NetCDF-4 too: an HDF5 file
+        # with netcdf.hdf5 dimension-scale conventions emitted by the
+        # from-scratch writer (sources/hdf5write.write_netcdf4). This
+        # path MATERIALIZES the result on the driver (one Arrow table);
+        # the streamed writers remain NetCDF-3-only.
+        _write_netcdf_table(df.toArrow(), path,
+                            options.get("dimension_columns"),
+                            flavor="netcdf4")
     elif fmt == "netcdf":
         write_netcdf(df, path)
     elif fmt == "ndnetcdf":

@@ -185,30 +185,33 @@ def _v1_header(msgs: list[tuple[int, bytes]]) -> bytes:
 # ---------------------------------------------------------- the writer
 
 
-def write_hdf5(
-    path: str,
-    variables: dict[str, np.ndarray],
-    global_attrs: dict | None = None,
-    var_attrs: dict[str, dict] | None = None,
-    chunk_shapes: dict[str, tuple[int, ...]] | None = None,
-    filters: dict[str, list[tuple]] | None = None,
-) -> None:
-    """Write `variables` (name → numpy array; numeric, fixed-string, or
-    structured/compound dtype) as root-level datasets of a valid HDF5
-    file. A name in `chunk_shapes` gets a chunked v1-B-tree layout
-    (else contiguous); its `filters` entry is an ordered list drawn
-    from ("shuffle",), ("deflate", level), ("fletcher32",)."""
-    buf = bytearray(96)  # superblock, patched last
+class _Builder:
+    """Incremental single-file builder: datasets append in call order,
+    the root group + superblock land in :meth:`finish`. Exists so the
+    netCDF-4 layer can write dimension datasets FIRST (their object
+    header addresses feed the DIMENSION_LIST object references of the
+    data variables written after)."""
 
-    def alloc(data: bytes) -> int:
-        while len(buf) % 8:
-            buf.append(0)
-        addr = len(buf)
-        buf.extend(data)
+    def __init__(self) -> None:
+        self.buf = bytearray(96)  # superblock, patched in finish()
+        self.ds_addrs: dict[str, int] = {}
+
+    def alloc(self, data: bytes) -> int:
+        while len(self.buf) % 8:
+            self.buf.append(0)
+        addr = len(self.buf)
+        self.buf.extend(data)
         return addr
 
-    ds_addrs: dict[str, int] = {}
-    for name, arr in variables.items():
+    def dataset(
+        self,
+        name: str,
+        arr: np.ndarray,
+        cshape: tuple[int, ...] | None = None,
+        flts: list[tuple] | None = None,
+        attrs: dict | None = None,
+        raw_attr_msgs: tuple[bytes, ...] = (),
+    ) -> int:
         if not name or "/" in name or "\x00" in name:
             # link names are NUL-terminated heap strings and '/' is the
             # path separator — either would corrupt the group walk
@@ -221,17 +224,16 @@ def write_hdf5(
             # big-endian bytes under it would be silent corruption
             arr = arr.astype(_le(arr.dtype))
         itemsize = arr.dtype.itemsize
+        flts = flts or []
         msgs: list[tuple[int, bytes]] = [
             (0x01, _dataspace(tuple(arr.shape))),
             (0x03, encode_datatype(arr.dtype)),
             (0x05, bytes([2, 1, 0, 0])),  # fill v2: undefined
         ]
-        cshape = (chunk_shapes or {}).get(name)
-        flts = (filters or {}).get(name) or []
         if flts and cshape is None:
             raise Hdf5WriteError(f"{name}: filters require a chunked layout")
         if cshape is None:
-            addr = alloc(arr.tobytes())
+            addr = self.alloc(arr.tobytes())
             msgs.append((0x08, struct.pack("<BBQQ", 3, 1, addr,
                                            arr.nbytes)))
         else:
@@ -253,7 +255,7 @@ def write_hdf5(
                     for o, c, s in zip(offs, cshape, arr.shape))
                 chunk[sel] = arr[src]
                 raw = _apply_write_filters(chunk.tobytes(), flts, itemsize)
-                chunks.append((offs, alloc(raw), len(raw)))
+                chunks.append((offs, self.alloc(raw), len(raw)))
             node = bytearray(b"TREE" + bytes([1, 0])
                              + struct.pack("<HQQ", len(chunks), UNDEF, UNDEF))
             for offs, caddr, csize in chunks:
@@ -264,53 +266,195 @@ def write_hdf5(
             node += struct.pack("<II", 0, 0)
             node += b"".join(struct.pack("<Q", s) for s in arr.shape)
             node += struct.pack("<Q", 0)
-            btree_addr = alloc(bytes(node))
+            btree_addr = self.alloc(bytes(node))
             lay = (struct.pack("<BBBQ", 3, 2, arr.ndim + 1, btree_addr)
                    + b"".join(struct.pack("<I", c) for c in cshape)
                    + struct.pack("<I", itemsize))
             msgs.append((0x08, lay))
             if flts:
                 msgs.append((0x0B, _filter_pipeline_msg(flts, itemsize)))
-        for aname, aval in ((var_attrs or {}).get(name) or {}).items():
+        for aname, aval in (attrs or {}).items():
             msgs.append((0x0C, _attr_msg(aname, aval)))
-        ds_addrs[name] = alloc(_v1_header(msgs))
+        for raw in raw_attr_msgs:
+            msgs.append((0x0C, raw))
+        addr = self.alloc(_v1_header(msgs))
+        self.ds_addrs[name] = addr
+        return addr
 
-    # ---- root group: local heap + v1 B-tree + one SNOD ---------------
-    names = sorted(ds_addrs)
-    if len(names) * 40 + 8 > 4096:
-        raise Hdf5WriteError("too many datasets for a single SNOD")
-    heap = bytearray(8)  # offset 0 reserved (empty name)
-    name_off: dict[str, int] = {}
-    for n in names:
-        name_off[n] = len(heap)
-        heap += _pad8(n.encode("utf-8") + b"\x00")
-    heap_data_addr = alloc(bytes(heap))
-    heap_addr = alloc(b"HEAP" + bytes([0, 0, 0, 0])
-                      + struct.pack("<QQQ", len(heap), 1, heap_data_addr))
-    snod = bytearray(b"SNOD" + bytes([1, 0])
-                     + struct.pack("<H", len(names)))
-    for n in names:
-        snod += struct.pack("<QQII16x", name_off[n], ds_addrs[n], 0, 0)
-    snod_addr = alloc(bytes(snod))
-    btree_addr = alloc(
-        b"TREE" + bytes([0, 0]) + struct.pack("<HQQ", 1, UNDEF, UNDEF)
-        + struct.pack("<QQQ", 0, snod_addr,
-                      name_off[names[-1]] if names else 0))
-    root_msgs: list[tuple[int, bytes]] = [
-        (0x11, struct.pack("<QQ", btree_addr, heap_addr))]
-    for aname, aval in (global_attrs or {}).items():
-        root_msgs.append((0x0C, _attr_msg(aname, aval)))
-    root_addr = alloc(_v1_header(root_msgs))
+    def finish(self, path: str, global_attrs: dict | None = None) -> None:
+        # ---- root group: local heap + v1 B-tree + one SNOD -----------
+        names = sorted(self.ds_addrs)
+        if len(names) * 40 + 8 > 4096:
+            raise Hdf5WriteError("too many datasets for a single SNOD")
+        heap = bytearray(8)  # offset 0 reserved (empty name)
+        name_off: dict[str, int] = {}
+        for n in names:
+            name_off[n] = len(heap)
+            heap += _pad8(n.encode("utf-8") + b"\x00")
+        heap_data_addr = self.alloc(bytes(heap))
+        heap_addr = self.alloc(
+            b"HEAP" + bytes([0, 0, 0, 0])
+            + struct.pack("<QQQ", len(heap), 1, heap_data_addr))
+        snod = bytearray(b"SNOD" + bytes([1, 0])
+                         + struct.pack("<H", len(names)))
+        for n in names:
+            snod += struct.pack("<QQII16x", name_off[n],
+                                self.ds_addrs[n], 0, 0)
+        snod_addr = self.alloc(bytes(snod))
+        btree_addr = self.alloc(
+            b"TREE" + bytes([0, 0]) + struct.pack("<HQQ", 1, UNDEF, UNDEF)
+            + struct.pack("<QQQ", 0, snod_addr,
+                          name_off[names[-1]] if names else 0))
+        root_msgs: list[tuple[int, bytes]] = [
+            (0x11, struct.pack("<QQ", btree_addr, heap_addr))]
+        for aname, aval in (global_attrs or {}).items():
+            root_msgs.append((0x0C, _attr_msg(aname, aval)))
+        root_addr = self.alloc(_v1_header(root_msgs))
 
-    # ---- superblock v0 ----------------------------------------------
-    while len(buf) % 8:
-        buf.append(0)
-    sb = bytearray(MAGIC)
-    sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])       # versions + sizes
-    sb += struct.pack("<HHI", 4, 16, 0)          # group K's + flags
-    sb += struct.pack("<QQQQ", 0, UNDEF, len(buf), UNDEF)
-    sb += struct.pack("<QQII16x", 0, root_addr, 0, 0)  # root group STE
-    assert len(sb) == 96
-    buf[:96] = sb
-    with open(path, "wb") as f:
-        f.write(buf)
+        # ---- superblock v0 ------------------------------------------
+        buf = self.buf
+        while len(buf) % 8:
+            buf.append(0)
+        sb = bytearray(MAGIC)
+        sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])       # versions + sizes
+        sb += struct.pack("<HHI", 4, 16, 0)          # group K's + flags
+        sb += struct.pack("<QQQQ", 0, UNDEF, len(buf), UNDEF)
+        sb += struct.pack("<QQII16x", 0, root_addr, 0, 0)  # root STE
+        assert len(sb) == 96
+        buf[:96] = sb
+        with open(path, "wb") as f:
+            f.write(buf)
+
+
+def write_hdf5(
+    path: str,
+    variables: dict[str, np.ndarray],
+    global_attrs: dict | None = None,
+    var_attrs: dict[str, dict] | None = None,
+    chunk_shapes: dict[str, tuple[int, ...]] | None = None,
+    filters: dict[str, list[tuple]] | None = None,
+) -> None:
+    """Write `variables` (name → numpy array; numeric, fixed-string, or
+    structured/compound dtype) as root-level datasets of a valid HDF5
+    file. A name in `chunk_shapes` gets a chunked v1-B-tree layout
+    (else contiguous); its `filters` entry is an ordered list drawn
+    from ("shuffle",), ("deflate", level), ("fletcher32",)."""
+    b = _Builder()
+    for name, arr in variables.items():
+        b.dataset(name, np.asarray(arr),
+                  cshape=(chunk_shapes or {}).get(name),
+                  flts=(filters or {}).get(name),
+                  attrs=(var_attrs or {}).get(name))
+    b.finish(path, global_attrs)
+
+
+# ----------------------------------------------------- netCDF-4 flavor
+
+
+_PURE_DIM_SENTINEL = "This is a netCDF dimension but not a netCDF variable"
+
+
+def _gcol_block(payloads: list[bytes]) -> bytes:
+    """Global heap collection holding `payloads` at indexes 1..n."""
+    body = bytearray(b"GCOL" + bytes([1, 0, 0, 0]) + b"\x00" * 8)
+    for i, p in enumerate(payloads, start=1):
+        body += struct.pack("<HH4xQ", i, 1, len(p)) + _pad8(p)
+    body += struct.pack("<HH4xQ", 0, 0, 0)  # terminator
+    struct.pack_into("<Q", body, 8, len(body))
+    return bytes(body)
+
+
+def _dimension_list_attr(entries: list[tuple[int, int]]) -> bytes:
+    """DIMENSION_LIST attribute message body: a 1-D array (one element
+    per dataset dimension) of vlen(object reference), each vlen holding
+    ONE reference — the dimension-scale dataset's object header
+    address, resolved via the global heap (netcdf.hdf5 convention; the
+    reader side is hdf5lite.read_hdf5_grid)."""
+    name_b = b"DIMENSION_LIST\x00"
+    dt_b = (struct.pack("<BBBBI", 0x19, 0x00, 0, 0, 16)   # vlen sequence
+            + struct.pack("<BBBBI", 0x17, 0, 0, 0, 8))    # of object ref
+    ds_b = _dataspace((len(entries),))
+    data = b"".join(struct.pack("<IQI", 1, gaddr, gidx)
+                    for gaddr, gidx in entries)
+    return (struct.pack("<BBHHH", 1, 0, len(name_b), len(dt_b), len(ds_b))
+            + _pad8(name_b) + _pad8(dt_b) + _pad8(ds_b) + data)
+
+
+def write_netcdf4(
+    path: str,
+    dims: dict[str, int],
+    variables: dict[str, tuple[tuple[str, ...], np.ndarray]],
+    var_attrs: dict[str, dict] | None = None,
+    global_attrs: dict | None = None,
+    chunk_shapes: dict[str, tuple[int, ...]] | None = None,
+    filters: dict[str, list[tuple]] | None = None,
+) -> None:
+    """NetCDF-4-convention HDF5 file: `dims` name dimension sizes;
+    `variables` maps name → (dim names, array). A variable named like a
+    dim is its coordinate variable; dims without one get a pure-dim
+    carrier dataset (the netCDF-c sentinel NAME). Every dataset carries
+    CLASS/NAME (scales) or DIMENSION_LIST (data variables) per the
+    netcdf.hdf5 convention, so NetCDF-4 readers — including our own
+    read_netcdf/read_hdf5 path — recover the named grid.
+
+    Unicode string arrays are written as fixed-width UTF-8 `S` strings
+    (NetCDF-4 char-array convention, minus the vlen-string variant)."""
+    var_attrs = dict(var_attrs or {})
+    b = _Builder()
+
+    def _as_bytes(arr: np.ndarray) -> np.ndarray:
+        arr = np.asarray(arr)
+        if arr.dtype.kind == "U":
+            enc = np.char.encode(arr, "utf-8")
+            width = max(1, enc.dtype.itemsize)
+            return enc.astype(f"S{width}")
+        if arr.dtype == object:
+            return _as_bytes(arr.astype("U"))
+        return arr
+
+    # 1) dimension-scale datasets first — their addresses seed the refs
+    for dname, size in dims.items():
+        if dname in variables:
+            ddims, coord = variables[dname]
+            if tuple(ddims) != (dname,):
+                raise Hdf5WriteError(
+                    f"coordinate variable {dname!r} must span ({dname},)")
+            coord = _as_bytes(coord)
+            if coord.shape != (size,):
+                raise Hdf5WriteError(
+                    f"coordinate {dname!r}: shape {coord.shape} != ({size},)")
+            name_attr = dname
+        else:
+            coord = np.zeros(size, np.float32)
+            name_attr = f"{_PURE_DIM_SENTINEL}.{size:>10}"
+        attrs = {"CLASS": "DIMENSION_SCALE", "NAME": name_attr}
+        attrs.update(var_attrs.get(dname) or {})
+        b.dataset(dname, coord, cshape=(chunk_shapes or {}).get(dname),
+                  flts=(filters or {}).get(dname), attrs=attrs)
+
+    # 2) one global-heap object per (variable, dim) reference
+    data_vars = [(n, v) for n, v in variables.items() if n not in dims]
+    payloads: list[bytes] = []
+    idx_of: dict[tuple[str, int], int] = {}
+    for name, (vdims, _arr) in data_vars:
+        for k, d in enumerate(vdims):
+            if d not in dims:
+                raise Hdf5WriteError(f"{name}: unknown dimension {d!r}")
+            idx_of[(name, k)] = len(payloads) + 1
+            payloads.append(struct.pack("<Q", b.ds_addrs[d]))
+    gaddr = b.alloc(_gcol_block(payloads)) if payloads else 0
+
+    # 3) data variables with their DIMENSION_LIST
+    for name, (vdims, arr) in data_vars:
+        arr = _as_bytes(arr)
+        want = tuple(dims[d] for d in vdims)
+        if arr.shape != want:
+            raise Hdf5WriteError(
+                f"{name}: shape {arr.shape} != dims {vdims} = {want}")
+        dl = _dimension_list_attr(
+            [(gaddr, idx_of[(name, k)]) for k in range(len(vdims))])
+        b.dataset(name, arr, cshape=(chunk_shapes or {}).get(name),
+                  flts=(filters or {}).get(name),
+                  attrs=var_attrs.get(name),
+                  raw_attr_msgs=(dl,) if vdims else ())
+    b.finish(path, global_attrs)

@@ -219,6 +219,48 @@ def test_hypothesis_roundtrip_fresh_each_run(tmp_path):
     check()
 
 
+def test_netcdf4_conventions_roundtrip(tmp_path):
+    """write_netcdf4: named dims via DIMENSION_LIST object references,
+    pure-dim carriers (sentinel NAME) excluded from the variable set,
+    coordinate variables CF-attributed, strings as fixed-width S."""
+    from beacon_spark.sources.hdf5lite import read_hdf5_grid
+    from beacon_spark.sources.hdf5write import write_netcdf4
+    from beacon_spark.sources.nd import GridDataset
+
+    p = _path(tmp_path, "c.nc")
+    write_netcdf4(
+        p,
+        dims={"t": 2, "x": 3, "anon": 4},
+        variables={
+            "t": (("t",), np.array([0.0, 60.0])),
+            "v": (("t", "x"), np.arange(6, dtype=np.float64).reshape(2, 3)),
+            "label": (("x",), np.array(["aa", "b", "ccc"])),
+            "on_anon": (("anon",), np.arange(4, dtype=np.int32)),
+        },
+        var_attrs={"t": {"units": "seconds since 2000-01-01"}},
+        chunk_shapes={"v": (1, 2)},
+        filters={"v": [("deflate", 6)]},
+    )
+    dims, variables, va, ga = read_hdf5_grid(p)
+    assert dims == {"t": 2, "x": 3, "anon": 4}
+    assert variables["v"][0] == ("t", "x")
+    assert variables["label"][0] == ("x",)
+    assert variables["on_anon"][0] == ("anon",)
+    assert "anon" not in variables  # pure-dim carrier is not a variable
+    ds = GridDataset(dims, variables, va, ga)
+    tab = ds.flatten(attribute_columns=False)
+    assert str(tab.schema.field("t").type).startswith("timestamp")
+    assert tab.column("v").to_pylist() == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+
+    from beacon_spark.sources.hdf5write import Hdf5WriteError as E
+    with pytest.raises(E, match="unknown dimension"):
+        write_netcdf4(_path(tmp_path, "e1.nc"), {"t": 2},
+                      {"v": (("bogus",), np.arange(2))})
+    with pytest.raises(E, match="shape"):
+        write_netcdf4(_path(tmp_path, "e2.nc"), {"t": 2},
+                      {"v": (("t",), np.arange(5))})
+
+
 def test_mutation_fuzz_reader_fails_clean(tmp_path):
     """Standing mutation net: byte-flipped / truncated writer output
     must either still read or fail with the reader's clean error set —
