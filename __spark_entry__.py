@@ -1930,6 +1930,47 @@ FROM lineitem GROUP BY bucket ORDER BY bucket
 """
 
 
+def _q_netcdf4_roundtrip(spark, sf_dir):
+    """§2.10 NetCDF-4 output (r12): the hdf5/netcdf4 output flavor —
+    output.rs:99-101 aliases hdf5 to the reference's NetCDF-4 writer —
+    re-gridded over two derived dims, written as a REAL HDF5 container
+    with dimension-scale conventions (sources/hdf5write.write_netcdf4),
+    read back through read_netcdf. The oracle recomputes the grid from
+    orders directly, so a hash match proves the HDF5 write→read cycle
+    preserves the named grid and values."""
+    import os
+    import tempfile
+
+    from beacon_spark.engine import Engine
+    from beacon_spark.outputs import write_output
+
+    _reg(spark, sf_dir, "orders")
+    agg = spark.sql(
+        "SELECT CAST(o_custkey % 8 AS BIGINT) AS ck, "
+        "       CAST(o_custkey % 5 AS BIGINT) AS m, "
+        "       round(sum(o_totalprice), 2) AS total, "
+        "       CAST(count(*) AS DOUBLE) AS n "
+        "FROM orders GROUP BY ck, m"
+    )
+    root = tempfile.mkdtemp(prefix="beacon_nc4_")
+    write_output(agg, "netcdf4", os.path.join(root, "agg.h5"),
+                 dimension_columns=["ck", "m"])
+    eng = Engine(spark, datasets_root=root)
+    return eng.sql(
+        "SELECT ck, m, total, CAST(n AS BIGINT) AS n "
+        "FROM read_netcdf('agg.h5') WHERE n IS NOT NULL ORDER BY ck, m"
+    )
+
+
+_SQL_NETCDF4_RT = """
+SELECT CAST(o_custkey % 8 AS BIGINT) AS ck,
+       CAST(o_custkey % 5 AS BIGINT) AS m,
+       round(sum(o_totalprice), 2) AS total,
+       count(*) AS n
+FROM orders GROUP BY ck, m ORDER BY ck, m
+"""
+
+
 def _q_atlas_roundtrip(spark, sf_dir):
     """§2.1 read_atlas (beacon-arrow-atlas/): an atlas store with TWO
     named datasets (split halves of an orders aggregate) reads back as
@@ -2327,7 +2368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "pack_sequences": _q_pack_sequences,
         "temporal_funcs": _q_temporal_funcs,
-        # NOTE: 57 entries total = 50 graded + 7 trailing. Redundant
+        "netcdf4_roundtrip": _q_netcdf4_roundtrip,
+        # NOTE: 58 entries total = 50 graded + 8 trailing. Redundant
         # shapes that used to trail here (count_all, filter_range,
         # filter_multi, topn_recent, distinct_types, simhash_pairs,
         # ann_lsh_topk) are bench- or pytest-covered: bench.py resolves
@@ -2362,6 +2404,7 @@ def oracle_sql() -> dict[str, str]:
         "netcdf_roundtrip": _SQL_NETCDF_RT,
         "zarr_roundtrip": _SQL_ZARR_RT,
         "hdf5_roundtrip": _SQL_HDF5_RT,
+        "netcdf4_roundtrip": _SQL_NETCDF4_RT,
         "zarr_sql_pruned": _SQL_ZARR_SQL_PRUNED,
         "atlas_roundtrip": _SQL_ATLAS_RT,
         "odv_roundtrip": _SQL_ODV_RT,
