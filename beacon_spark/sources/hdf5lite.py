@@ -893,7 +893,7 @@ class Hdf5Reader(Hdf5File):
                 try:
                     name, val = parse_attribute(self, body)
                     attrs[name] = val
-                except (Hdf5Error, ValueError, IndexError, struct.error):
+                except (Hdf5Error, ValueError, IndexError, KeyError, struct.error):
                     # exotic/malformed attribute: skip, don't fail the
                     # file. The broad catch matters: Hdf5Error subclasses
                     # ValueError, so catching only it let a plain
@@ -945,7 +945,7 @@ class Hdf5Reader(Hdf5File):
                 body = heap.get(hid)
                 name, val = parse_attribute(self, body)
                 out[name] = val
-            except (Hdf5Error, ValueError, IndexError, struct.error):
+            except (Hdf5Error, ValueError, IndexError, KeyError, struct.error):
                 continue  # same skip-don't-fail contract as inline attrs
         return out
 
@@ -1229,7 +1229,14 @@ class Hdf5Reader(Hdf5File):
         full = np.frombuffer(raw, "u1")
         need = int(np.prod(cshape)) * itemsize
         if len(full) < need:
-            full = np.concatenate([full, np.zeros(need - len(full), "u1")])
+            # zeros + slice-assign, NOT np.concatenate: concatenating a
+            # tiny frombuffer view onto a ~100 MB zeros array takes ~10 s
+            # on this numpy build (found by the hdf5 mutation fuzz — a
+            # corrupt chunk dim made every short chunk pay it); this
+            # form is microseconds for the same result
+            padded = np.zeros(need, "u1")
+            padded[: len(full)] = full
+            full = padded
         chunk = full[:need].reshape(tuple(cshape) + (itemsize,)) if cshape else full
         dst = np.frombuffer(out, "u1").reshape(tuple(shape) + (itemsize,)) if shape else np.frombuffer(out, "u1")
         sel_dst = tuple(

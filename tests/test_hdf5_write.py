@@ -280,17 +280,25 @@ def test_mutation_fuzz_reader_fails_clean(tmp_path):
     comp["a"] = np.arange(11)
     comp["b"] = np.arange(11) * 0.5
     base = _path(tmp_path, "fz.h5")
-    write_hdf5(
+    # netCDF-4 flavor: the fuzz also walks DIMENSION_LIST vlen object
+    # references through a global heap collection — a corrupt heap
+    # index/address must skip-or-fail clean, never escape raw
+    from beacon_spark.sources.hdf5write import write_netcdf4
+
+    write_netcdf4(
         base,
-        {"k": np.arange(30, dtype=np.int64),
-         "v": np.linspace(0, 1, 30),
-         "c": comp,
-         "s": np.array([b"abc"] * 7, dtype="S3")},
+        dims={"row": 30, "s7": 7},
+        variables={
+            "row": (("row",), np.arange(30, dtype=np.int64)),
+            "v": (("row",), np.linspace(0, 1, 30)),
+            "c": (("s7",), comp[:7]),
+            "s": (("s7",), np.array([b"abc"] * 7, dtype="S3")),
+        },
         global_attrs={"title": "fz"},
         var_attrs={"v": {"units": "m"}},
-        chunk_shapes={"v": (8,), "k": (16,)},
+        chunk_shapes={"v": (8,), "row": (16,)},
         filters={"v": [("shuffle",), ("deflate", 6)],
-                 "k": [("deflate", 1), ("fletcher32",)]},
+                 "row": [("deflate", 1), ("fletcher32",)]},
     )
     blob = open(base, "rb").read()
     ok = set()
