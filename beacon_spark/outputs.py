@@ -865,8 +865,18 @@ def write_output(df: DataFrame, fmt: str, path: str, **options) -> None:
         # Since r12 this engine writes real NetCDF-4 too: an HDF5 file
         # with netcdf.hdf5 dimension-scale conventions emitted by the
         # from-scratch writer (sources/hdf5write.write_netcdf4). This
-        # path MATERIALIZES the result on the driver (one Arrow table);
-        # the streamed writers remain NetCDF-3-only.
+        # path MATERIALIZES the result on the driver (one Arrow table),
+        # so it is row-capped with a pointer at the STREAMED 'netcdf'
+        # writer — a silent driver OOM is the alternative. The count is
+        # one extra cheap job before the collect.
+        cap = int(options.get("max_rows", 20_000_000))
+        n = df.count()
+        if n > cap:
+            raise ValueError(
+                f"netcdf4 output materializes the result on the driver; "
+                f"{n} rows exceeds the {cap}-row cap. Use format "
+                "'netcdf' (streamed NetCDF-3) for results this large, "
+                "or raise the cap via write_output(..., max_rows=N)")
         _write_netcdf_table(df.toArrow(), path,
                             options.get("dimension_columns"),
                             flavor="netcdf4")

@@ -407,6 +407,12 @@ def test_hdf5_output_writes_real_netcdf4(spark, tmp_path):
         "SELECT k, val FROM read_hdf5('copied.h5') ORDER BY k").collect()
     assert [(r.k, r.val) for r in rows] == [(1, 10.5), (2, 20.5)]
 
+    # driver-materialization row cap: a clean error pointing at the
+    # streamed netcdf format, never a silent driver OOM
+    import pytest as _p
+    with _p.raises(ValueError, match="streamed"):
+        write_output(df, "netcdf4", str(tmp_path / "big.h5"), max_rows=3)
+
 
 def test_netcdf_flat_int64_beyond_int32_not_clipped(spark, tmp_path):
     """r10 sweep: int64 columns were unconditionally narrowed to int32
