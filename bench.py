@@ -216,14 +216,15 @@ def _run_ab(against: str) -> dict:
             script = f.read()
         with open(os.path.join(wt, "bench.py"), "w") as f:
             f.write(script)
-        # three alternations: per-side min-of-3 absorbs BURSTY load (a
-        # background job landing on one side's passes skews a min-of-2;
-        # the contaminated probe this was added for read 1.95× under
-        # concurrent test runs vs 1.06× clean)
+        # two alternations of min-of-3 subprocesses (6 samples/side):
+        # alternation absorbs BURSTY load landing on one side's pass
+        # (the contaminated probe read 1.95× under concurrent test runs
+        # vs 1.06× clean), the in-process min-of-3 absorbs sub-400ms
+        # jitter, and the total A/B stays ~4-5 min at sf0.1
         sides = {"prior": wt, "head": repo}
         results: dict[str, dict[str, float]] = {s: {} for s in sides}
         calib: dict[str, dict] = {}
-        for npass in (1, 2, 3):
+        for npass in (1, 2):
             for label, d in sides.items():
                 r = _run_side(f"{label}#{npass}", d, {})
                 if r is None:
