@@ -1028,7 +1028,9 @@ class Hdf5Reader(Hdf5File):
         n = 1
         for s in ds.shape:
             n *= s
-        arr = np.frombuffer(raw[: n * npdt.itemsize], npdt).reshape(ds.shape)
+        # count= instead of slicing: raw may be a near-cap bytearray and
+        # a slice would copy (re-touch) every page
+        arr = np.frombuffer(raw, npdt, count=n).reshape(ds.shape)
         return arr
 
     @_clean_errors
@@ -1100,7 +1102,25 @@ class Hdf5Reader(Hdf5File):
     # beyond this bound is refused with a pointer at read_region.
     MAX_FULL_READ_BYTES = 4 << 30
 
-    def _raw(self, ds: Dataset, itemsize: int) -> bytes:
+    @staticmethod
+    def _fill_buffer(fill: bytes | None, itemsize: int, n: int) -> np.ndarray:
+        """Allocate an n-element fill-initialized byte buffer WITHOUT
+        touching every page for the (overwhelmingly common) zero-fill
+        case: ``np.zeros`` is calloc — virtual zero pages, ~20 µs even at
+        the 4 GiB bound — where ``bytes_fill * n`` multiplication (and
+        even ``bytearray(total)``, which memsets: measured 2.1 s at
+        4 GiB) writes and faults every page. A corrupt 2.7 KB file
+        claiming a just-under-cap dataspace must fail in milliseconds,
+        not seconds (r12 verdict #2; fuzz seed=677706035 trial=46 spent
+        4.19s here). Non-zero fills broadcast via a vectorized view —
+        unavoidable page writes, but numpy-speed."""
+        out = np.zeros(n * itemsize, dtype=np.uint8)
+        if fill and any(fill):
+            pat = fill[:itemsize].ljust(itemsize, b"\x00")
+            out.reshape(n, itemsize)[:] = np.frombuffer(pat, dtype=np.uint8)
+        return out
+
+    def _raw(self, ds: Dataset, itemsize: int) -> "bytes | np.ndarray":
         lay = ds.layout
         n = 1
         for s in ds.shape:
@@ -1115,17 +1135,28 @@ class Hdf5Reader(Hdf5File):
             return lay.data or b""
         if lay.cls == 1:
             if lay.addr == UNDEF:
-                return (ds.fill or b"\x00" * itemsize) * n
+                return self._fill_buffer(ds.fill, itemsize, n)
+            if lay.addr + total > len(self.buf):
+                # contiguous data is NOT sparse: a dataspace claiming
+                # bytes past EOF is corrupt — refuse before allocating
+                raise Hdf5Error(
+                    f"dataset {ds.name}: contiguous layout claims "
+                    f"{total} bytes at {lay.addr} beyond file end "
+                    f"({len(self.buf)} bytes)")
             return bytes(self.buf[lay.addr: lay.addr + total])
-        # chunked
-        out = bytearray((ds.fill or b"\x00" * itemsize) * n)
+        # chunked (legally sparse — the claim can't be cross-checked
+        # against stored bytes, so rely on calloc + the 4 GiB bound)
+        out = self._fill_buffer(ds.fill, itemsize, n)
         cshape = lay.chunk_shape
         for coffset, caddr, csize, cmask in self._chunks(ds):
             raw = bytes(self.buf[caddr: caddr + csize])
             if ds.filters:
                 raw = apply_filters(raw, ds.filters, cmask, itemsize)
             self._place_chunk(out, raw, ds.shape, cshape, coffset, itemsize)
-        return bytes(out)
+        # no bytes(out) copy — callers (np.frombuffer/_upk) accept any
+        # buffer; a final copy would re-touch every page of a sparse
+        # near-cap buffer
+        return out
 
     def _chunks(self, ds: Dataset):
         """Yield (chunk_offset_tuple, file_addr, stored_size, filter_mask)."""
@@ -1133,10 +1164,10 @@ class Hdf5Reader(Hdf5File):
         cshape = lay.chunk_shape
         ndims = len(ds.shape)
         csize_nominal = int(np.prod(cshape)) * (ds.dtype.size if ds.dtype.cls != 9 else 16)
-        if csize_nominal > (1 << 32):
-            # the spec bounds one chunk below 4 GiB (u32 dims in layout
-            # v3); a corrupt chunk shape past it would drive giant
-            # per-chunk allocations in _place_chunk/read_region
+        if csize_nominal >= (1 << 32):
+            # the spec bounds one chunk STRICTLY below 4 GiB (u32 dims in
+            # layout v3); a corrupt chunk shape at/past it would drive
+            # giant per-chunk allocations in _place_chunk/read_region
             raise Hdf5Error(
                 f"dataset {ds.name}: chunk of {csize_nominal} bytes "
                 "exceeds the 4 GiB spec bound (corrupt chunk shape)")
@@ -1223,7 +1254,7 @@ class Hdf5Reader(Hdf5File):
             yield off, caddr, csize, cmask
 
     @staticmethod
-    def _place_chunk(out: bytearray, raw: bytes, shape, cshape, coffset, itemsize):
+    def _place_chunk(out, raw: bytes, shape, cshape, coffset, itemsize):
         """Scatter one (full-size, possibly edge-overhanging) chunk into
         the C-order output buffer."""
         full = np.frombuffer(raw, "u1")
@@ -1243,7 +1274,7 @@ class Hdf5Reader(Hdf5File):
             slice(o, min(o + c, s)) for o, c, s in zip(coffset, cshape, shape)
         )
         sel_src = tuple(slice(0, sl.stop - sl.start) for sl in sel_dst)
-        # bytearray-backed frombuffer views are writable
+        # writable-buffer-backed frombuffer views are writable
         dst[sel_dst] = chunk[sel_src]
 
     def read_compound(self, ds: Dataset) -> dict[str, np.ndarray]:

@@ -329,14 +329,27 @@ def test_dsl_function_selects_match_sql_and_duckdb(deng, sf_small, tree):
     finally:
         con.close()
 
-    def canon(rows):
-        return [
-            (k, round(v, 6) if isinstance(v, float) else v)
-            for k, v in rows
-        ]
+    # Rows are keyed/positional (ORDER BY o_orderkey) so compare
+    # pairwise; floats via isclose — fixed-decimal rounding flips on
+    # values that sit exactly on a rounding boundary (r12 verdict #1).
+    import math
 
-    assert canon(dsl_rows) == canon(sql_rows), f"DSL != SQL for {item!r}"
-    assert canon(sql_rows) == canon(duck_rows), f"Spark != DuckDB: {sql}"
+    def rows_close(xs, ys, msg):
+        assert len(xs) == len(ys), msg
+        for (ka, va), (kb, vb) in zip(xs, ys):
+            assert ka == kb, msg
+            if isinstance(va, float) or isinstance(vb, float):
+                if va is None or vb is None:
+                    assert va is vb, msg
+                else:
+                    assert math.isclose(float(va), float(vb),
+                                        rel_tol=1e-9, abs_tol=1e-9), \
+                        f"{msg}: {va!r} != {vb!r} @ key {ka!r}"
+            else:
+                assert va == vb, f"{msg}: {va!r} != {vb!r} @ key {ka!r}"
+
+    rows_close(dsl_rows, sql_rows, f"DSL != SQL for {item!r}")
+    rows_close(sql_rows, duck_rows, f"Spark != DuckDB: {sql}")
 
 
 # =====================================================================

@@ -14,12 +14,19 @@ localizes to the engine's rewrite machinery (read_fn views, QUALIFY
 rewrite, WHERE disambiguation) or to a semantics divergence worth
 pinning — exactly where r11's three silent-wrong-results bugs lived.
 
-Floats compare rounded to 3 decimals (sum/avg accumulate in a
+Floats compare with relative tolerance (sum/avg accumulate in a
 different order on each engine; the values differ in low-order bits
-only).
+only). Rounding to a fixed number of decimals is NOT sufficient: an
+aggregate whose true value sits exactly on a rounding boundary (e.g.
+avg(c_acctbal) = 6346.1345 — the r12 judge's falsifying example)
+lands on opposite sides of round(_, 3) depending on which engine's
+ulp noise wins, so the comparator is math.isclose per float cell on
+rows sorted by a full-precision key.
 """
 
 from __future__ import annotations
+
+import math
 
 import pytest
 from hypothesis import given, settings
@@ -37,22 +44,43 @@ def qeng(spark, sf_small):
 
 def _canon(rows):
     """Order-insensitive canonical form: tuples sorted by a type-tagged
-    string key (None last), floats rounded so both engines' summation
-    orders collapse to the same value."""
-    canon = []
-    for r in rows:
-        canon.append(tuple(
-            round(v, 3) if isinstance(v, float) else v for v in r))
+    full-precision key (None last). Values are NOT rounded — the
+    comparison happens in _rows_close with per-cell tolerance, so a
+    value on a rounding boundary can't flip sides. Two rows whose sort
+    order differs across engines due to ulp noise are, by definition,
+    within tolerance of each other, so pairwise isclose still passes."""
 
     def key(row):
         return tuple(
-            (2, "") if v is None else (1, f"{v:+021.3f}")
+            (2, 0) if v is None else (1, float(v))
             if isinstance(v, (int, float)) and not isinstance(v, bool)
             else (0, str(v))
             for v in row
         )
 
-    return sorted(canon, key=key)
+    return sorted((tuple(r) for r in rows), key=key)
+
+
+def _rows_close(ours, duck):
+    """Multiset equality with float tolerance: exact on non-floats,
+    math.isclose(rel_tol=1e-9, abs_tol=1e-9) when either cell is a
+    float (covers float-vs-int aggregates of identical value)."""
+    if len(ours) != len(duck):
+        return False
+    for a_row, b_row in zip(ours, duck):
+        if len(a_row) != len(b_row):
+            return False
+        for a, b in zip(a_row, b_row):
+            if isinstance(a, float) or isinstance(b, float):
+                if a is None or b is None:
+                    if a is not b:
+                        return False
+                elif not math.isclose(float(a), float(b),
+                                      rel_tol=1e-9, abs_tol=1e-9):
+                    return False
+            elif a != b:
+                return False
+    return True
 
 
 def _run_both(qeng, sf_small, template: str):
@@ -162,7 +190,7 @@ def test_join_groupby_having_agree_with_duckdb(qeng, sf_small, spec):
         # the SQL standard emit the grand-total () grouping-set row.
         # See test_rollup_over_empty_input_divergence_pinned.
         return
-    assert ours == duck, f"join/agg mismatch for: {sql}"
+    assert _rows_close(ours, duck), f"join/agg mismatch for: {sql}"
 
 
 def test_rollup_over_empty_input_divergence_pinned(qeng, sf_small):
@@ -185,6 +213,28 @@ def test_rollup_over_empty_input_divergence_pinned(qeng, sf_small):
         con.close()
     assert ours == []           # Spark: no rows
     assert duck == [(None, 0)]  # standard: grand-total row
+
+
+def test_avg_on_rounding_boundary_pinned(qeng, sf_small):
+    """r12 judge's falsifying example, pinned deterministically: at
+    sf0.001 the true avg(c_acctbal) for one (c_mktsegment,
+    o_orderstatus) group is EXACTLY 6346.1345 — on the round(_, 3)
+    boundary. Spark's double summation lands a few ulps below, DuckDB's
+    a few ulps above, so a fixed-decimal comparator flips on which side
+    the noise falls. The tolerance comparator must pass this shape on
+    every run; both engines are correct to within ~4 ulps."""
+    sql = ("SELECT c_mktsegment, o_orderstatus, avg(c_acctbal) AS avg_bal "
+           "FROM {customer} c LEFT JOIN {orders} o "
+           "ON c.c_custkey = o.o_custkey "
+           "GROUP BY c_mktsegment, o_orderstatus")
+    ours, duck = _run_both(qeng, sf_small, sql)
+    assert _rows_close(ours, duck), "boundary-avg shape must compare close"
+    # And the knife-edge is real: verify fixed-3dp rounding is NOT a
+    # sound comparator in general (documents why _rows_close exists) —
+    # ulp-adjacent doubles straddling a .0005 boundary round apart.
+    lo, hi = 6346.1344999999965, 6346.134500000002
+    assert math.isclose(lo, hi, rel_tol=1e-9)
+    assert round(lo, 3) != round(hi, 3)
 
 
 # ---------------------------------------------------------------------
@@ -237,7 +287,7 @@ def test_windows_and_qualify_agree_with_duckdb(qeng, sf_small, spec):
             + (f" WHERE {where}" if where else "")
         )
     ours, duck = _run_both(qeng, sf_small, sql)
-    assert ours == duck, f"window mismatch for: {sql}"
+    assert _rows_close(ours, duck), f"window mismatch for: {sql}"
 
 
 # ---------------------------------------------------------------------
@@ -269,7 +319,7 @@ def test_set_ops_agree_with_duckdb(qeng, sf_small, spec):
         a, b = b, a
     sql = f"{a} {op} {b}"
     ours, duck = _run_both(qeng, sf_small, sql)
-    assert ours == duck, f"set-op mismatch for: {sql}"
+    assert _rows_close(ours, duck), f"set-op mismatch for: {sql}"
 
 
 # ---------------------------------------------------------------------
@@ -324,7 +374,7 @@ def test_subqueries_agree_with_duckdb(qeng, sf_small, spec):
             + (f" WHERE {wo}" if wo else "")
         )
     ours, duck = _run_both(qeng, sf_small, sql)
-    assert ours == duck, f"subquery mismatch for: {sql}"
+    assert _rows_close(ours, duck), f"subquery mismatch for: {sql}"
 
 
 # ---------------------------------------------------------------------
@@ -367,7 +417,7 @@ def test_cte_chains_agree_with_duckdb(qeng, sf_small, spec):
             "GROUP BY c.c_nationkey"
         )
     ours, duck = _run_both(qeng, sf_small, sql)
-    assert ours == duck, f"CTE mismatch for: {sql}"
+    assert _rows_close(ours, duck), f"CTE mismatch for: {sql}"
 
 
 # ---------------------------------------------------------------------
@@ -404,7 +454,7 @@ def test_scalar_expressions_agree_with_duckdb(qeng, sf_small, exprs, where):
     sql = ("SELECT o_orderkey, " + sel + " FROM {orders}"
            + (f" WHERE {where}" if where else ""))
     ours, duck = _run_both(qeng, sf_small, sql)
-    assert ours == duck, f"expression mismatch for: {sql}"
+    assert _rows_close(ours, duck), f"expression mismatch for: {sql}"
 
 
 # ---------------------------------------------------------------------
@@ -453,7 +503,7 @@ def test_window_in_derived_table_agrees_with_duckdb(qeng, sf_small, spec):
         sql = (f"SELECT p, count(*) AS cnt, max(rnk) AS mx "
                f"FROM ({inner}) t WHERE rnk <= {k} GROUP BY p")
     ours, duck = _run_both(qeng, sf_small, sql)
-    assert ours == duck, f"derived-table mismatch for: {sql}"
+    assert _rows_close(ours, duck), f"derived-table mismatch for: {sql}"
 
 
 _EXTRACT_PARTS = ["year", "quarter", "month", "week", "day", "doy",
@@ -479,4 +529,4 @@ def test_temporal_parts_agree_with_duckdb(qeng, sf_small, parts, unit,
         + " FROM {orders}" + (f" WHERE {where}" if where else "")
     )
     ours, duck = _run_both(qeng, sf_small, sql)
-    assert ours == duck, f"temporal mismatch for: {sql}"
+    assert _rows_close(ours, duck), f"temporal mismatch for: {sql}"
