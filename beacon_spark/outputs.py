@@ -644,6 +644,109 @@ def _write_netcdf_flat_streamed(
         w.close()
 
 
+def _write_netcdf4_flat_streamed(
+    df: DataFrame, path: str, max_chunksize: int = 1 << 15
+) -> None:
+    """Flat NetCDF-4 with BOUNDED driver memory (r12 verdict #3): spool
+    once to executor-written parquet, size ``obs`` from parquet row
+    counts, decide each column's HDF5 dtype from the Arrow schema +
+    parquet null statistics, take string widths from a column-pruned
+    pass, then stream every column through ``Nc4StreamWriter`` — chunked
+    HDF5 datasets appended batch-by-batch, chunk data flowing straight
+    to disk (the reference's COPY TO temp-file stream,
+    beacon-core/src/runtime.rs:192-246). No row cap: the driver never
+    holds the result. Unlike NetCDF-3, HDF5 holds int64/uint64 natively,
+    so no stats-gated narrowing is needed — only nullability matters
+    (nulls choose the NaN-double encoding, like every other writer).
+    Schemas parquet can't spool (VOID, intervals) fall back to the
+    materialized writer, which those degenerate schemas keep tiny."""
+    import pyarrow.compute as pc
+
+    from beacon_spark.sources.hdf5write import Nc4StreamWriter
+
+    target = arrow_schema_of(df)
+    with _parquet_spool(df) as pfs:
+        if pfs is None:
+            _write_netcdf_table(df.toArrow(), path, None, flavor="netcdf4")
+            return
+        nrows = sum(pf.metadata.num_rows for pf in pfs)
+
+        def has_nulls(name: str) -> bool:
+            for pf in pfs:
+                md = pf.metadata
+                try:
+                    idx = [
+                        md.schema.column(i).path for i in range(len(md.schema))
+                    ].index(name)
+                except ValueError:
+                    return True
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx).statistics
+                    if st is None or st.null_count is None or st.null_count:
+                        return True
+            return False
+
+        specs: dict[str, np.dtype] = {}
+        var_attrs: dict[str, dict] = {}
+        for field in target:
+            name, ft = field.name, field.type
+            if pa.types.is_string(ft) or pa.types.is_large_string(ft):
+                width = 1
+                for pf in pfs:
+                    for b in pf.iter_batches(columns=[name],
+                                             batch_size=1 << 16):
+                        m = pc.max(pc.binary_length(
+                            b.column(0).cast(pa.large_binary()))).as_py()
+                        if m:
+                            width = max(width, m)
+                specs[name] = np.dtype(f"S{width}")
+            elif pa.types.is_timestamp(ft):
+                specs[name] = np.dtype("<f8")
+                var_attrs[name] = {"units": "microseconds since 1970-01-01"}
+            elif pa.types.is_date(ft):
+                specs[name] = np.dtype("<f8")
+                var_attrs[name] = {"units": "days since 1970-01-01"}
+            elif pa.types.is_decimal(ft) or pa.types.is_floating(ft):
+                specs[name] = np.dtype(
+                    "<f8" if not pa.types.is_float32(ft)
+                    and not pa.types.is_float16(ft)
+                    else ("<f4" if pa.types.is_float32(ft) else "<f2"))
+            elif pa.types.is_boolean(ft):
+                specs[name] = np.dtype(
+                    "<f8" if has_nulls(name) else "<i1")
+            elif pa.types.is_integer(ft):
+                specs[name] = (np.dtype("<f8") if has_nulls(name)
+                               else np.dtype(ft.to_pandas_dtype()))
+            else:
+                raise ValueError(
+                    f"netcdf4 output does not support column {name!r} "
+                    f"of type {ft}")
+
+        def chunk_np(col: pa.Array, ftype, dt: np.dtype) -> np.ndarray:
+            if dt.kind == "S":
+                vals = ["" if v is None else v for v in col.to_pylist()]
+                return np.char.encode(
+                    np.asarray(vals, dtype="U"), "utf-8").astype(dt)
+            col = _cf_cast(col, ftype)
+            col = col.cast(pa.from_numpy_dtype(dt))
+            return np.ascontiguousarray(
+                col.to_numpy(zero_copy_only=False), dt)
+
+        w = Nc4StreamWriter(path, nrows, specs, var_attrs)
+        try:
+            for name, dt in specs.items():
+                ft = target.field(name).type
+                for pf in pfs:
+                    for b in pf.iter_batches(
+                        columns=[name], batch_size=max_chunksize
+                    ):
+                        w.write_values(name, chunk_np(b.column(0), ft, dt))
+        except BaseException:
+            w.abort()  # don't mask the real error with close()'s checks
+            raise
+        w.close()
+
+
 def _write_netcdf_nd_streamed(
     df: DataFrame,
     path: str,
@@ -864,22 +967,27 @@ def write_output(df: DataFrame, fmt: str, path: str, **options) -> None:
         # NetCDF-4, which IS an HDF5 container (output.rs:99-101).
         # Since r12 this engine writes real NetCDF-4 too: an HDF5 file
         # with netcdf.hdf5 dimension-scale conventions emitted by the
-        # from-scratch writer (sources/hdf5write.write_netcdf4). This
-        # path MATERIALIZES the result on the driver (one Arrow table),
-        # so it is row-capped with a pointer at the STREAMED 'netcdf'
-        # writer — a silent driver OOM is the alternative. The count is
-        # one extra cheap job before the collect.
-        cap = int(options.get("max_rows", 20_000_000))
-        n = df.count()
-        if n > cap:
-            raise ValueError(
-                f"netcdf4 output materializes the result on the driver; "
-                f"{n} rows exceeds the {cap}-row cap. Use format "
-                "'netcdf' (streamed NetCDF-3) for results this large, "
-                "or raise the cap via write_output(..., max_rows=N)")
-        _write_netcdf_table(df.toArrow(), path,
-                            options.get("dimension_columns"),
-                            flavor="netcdf4")
+        # from-scratch writer (sources/hdf5write.py). The FLAT shape
+        # streams through the executor-written parquet spool with NO
+        # row cap (r13) — bounded driver memory, like every other
+        # single-file output. The re-gridded shape materializes one
+        # Arrow table (its unit of work is a dense grid anyway), so it
+        # keeps a row cap — probed with a BOUNDED limit(cap+1) job, not
+        # a full count (r12 ADVICE).
+        dim_cols = options.get("dimension_columns")
+        if not dim_cols:
+            _write_netcdf4_flat_streamed(df, path)
+        else:
+            cap = int(options.get("max_rows", 20_000_000))
+            if df.limit(cap + 1).count() > cap:
+                raise ValueError(
+                    f"re-gridded netcdf4 output materializes the result "
+                    f"on the driver; more than {cap} rows. Use format "
+                    "'ndnetcdf' (streamed, one grid at a time) for "
+                    "results this large, or raise the cap via "
+                    "write_output(..., max_rows=N)")
+            _write_netcdf_table(df.toArrow(), path, dim_cols,
+                                flavor="netcdf4")
     elif fmt == "netcdf":
         write_netcdf(df, path)
     elif fmt == "ndnetcdf":

@@ -117,6 +117,14 @@ def _attr_msg(name: str, value) -> bytes:
         shape = arr.shape if arr.ndim else ()
         if arr.ndim > 1:
             raise Hdf5WriteError("attribute rank > 1")
+        if arr.dtype.byteorder == ">" or any(
+                dt.byteorder == ">" for dt, _ in
+                (arr.dtype.fields or {}).values()):
+            # mirror the dataset path: encode_datatype always declares
+            # little-endian, so BE attribute bytes under it would
+            # roundtrip silently corrupted ([5,6] as >i4 reads back as
+            # [83886080, 100663296])
+            arr = arr.astype(_le(arr.dtype))
     if not name or "\x00" in name:
         raise Hdf5WriteError(f"invalid attribute name {name!r}")
     name_b = name.encode("utf-8") + b"\x00"
@@ -190,13 +198,36 @@ class _Builder:
     the root group + superblock land in :meth:`finish`. Exists so the
     netCDF-4 layer can write dimension datasets FIRST (their object
     header addresses feed the DIMENSION_LIST object references of the
-    data variables written after)."""
+    data variables written after).
 
-    def __init__(self) -> None:
-        self.buf = bytearray(96)  # superblock, patched in finish()
+    Two backings: in-memory (default — one bytearray dumped at finish)
+    or FILE-BACKED (``path=`` given): every ``alloc`` appends straight
+    to disk, so a streamed export's chunk data never accumulates on the
+    driver (the reference streams COPY TO through a temp file,
+    beacon-core/src/runtime.rs:192-246). The 96-byte superblock slot is
+    reserved up front and patched at finish in both modes."""
+
+    def __init__(self, path: str | None = None) -> None:
         self.ds_addrs: dict[str, int] = {}
+        if path is None:
+            self.buf: bytearray | None = bytearray(96)
+            self._f = None
+        else:
+            self.buf = None
+            self._f = open(path, "w+b")
+            self._f.write(b"\x00" * 96)
+            self._end = 96
 
     def alloc(self, data: bytes) -> int:
+        if self._f is not None:
+            pad = -self._end % 8
+            if pad:
+                self._f.write(b"\x00" * pad)
+                self._end += pad
+            addr = self._end
+            self._f.write(data)
+            self._end += len(data)
+            return addr
         while len(self.buf) % 8:
             self.buf.append(0)
         addr = len(self.buf)
@@ -281,6 +312,119 @@ class _Builder:
         self.ds_addrs[name] = addr
         return addr
 
+    def dataset_placeholder(
+        self,
+        name: str,
+        dtype: np.dtype,
+        shape: tuple[int, ...],
+        attrs: dict | None = None,
+    ) -> int:
+        """Dataset whose data is NEVER allocated: contiguous layout at
+        the UNDEF address (spec: "data not yet allocated"; libhdf5 does
+        the same lazy allocation). Readers serve the fill value. This is
+        how a streamed export writes a billion-element pure-dimension
+        carrier in 0 bytes instead of materializing 4 GB of zeros."""
+        dtype = _le(np.dtype(dtype))
+        nbytes = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize
+        msgs: list[tuple[int, bytes]] = [
+            (0x01, _dataspace(tuple(shape))),
+            (0x03, encode_datatype(dtype)),
+            (0x05, bytes([2, 1, 0, 0])),  # fill v2: undefined
+            (0x08, struct.pack("<BBQQ", 3, 1, UNDEF, nbytes)),
+        ]
+        for aname, aval in (attrs or {}).items():
+            msgs.append((0x0C, _attr_msg(aname, aval)))
+        addr = self.alloc(_v1_header(msgs))
+        self.ds_addrs[name] = addr
+        return addr
+
+    def begin_stream_dataset(
+        self,
+        name: str,
+        dtype: np.dtype,
+        nrows: int,
+        chunk_rows: int = 1 << 16,
+        flts: list[tuple] | None = None,
+        attrs: dict | None = None,
+        raw_attr_msgs: tuple[bytes, ...] = (),
+    ) -> dict:
+        """Open a 1-D chunked dataset of ``nrows`` total rows to be fed
+        incrementally via :meth:`stream_values` — chunk data flows to
+        the backing as each chunk fills, so peak memory is ONE chunk
+        buffer, never the column. The v1-btree chunk index and object
+        header are emitted by :meth:`end_stream_dataset` (their
+        addresses only exist once all chunks have landed)."""
+        if not name or "/" in name or "\x00" in name:
+            raise Hdf5WriteError(f"invalid dataset name {name!r}")
+        dtype = _le(np.dtype(dtype))
+        # one v1-btree leaf holds at most 65535 entries (u16 "entries
+        # used"); widen chunks instead of failing on huge exports
+        chunk_rows = max(int(chunk_rows), -(-nrows // 60_000) if nrows else 1)
+        return {
+            "name": name, "dtype": dtype, "nrows": int(nrows),
+            "chunk_rows": chunk_rows, "flts": list(flts or []),
+            "attrs": dict(attrs or {}), "raw": tuple(raw_attr_msgs),
+            "pend": np.empty(0, dtype), "written": 0,
+            "chunks": [],  # (row_offset, addr, stored_size)
+        }
+
+    def stream_values(self, st: dict, arr: np.ndarray) -> None:
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype != st["dtype"]:
+            arr = arr.astype(st["dtype"])
+        if arr.ndim != 1:
+            raise Hdf5WriteError(f"{st['name']}: stream values must be 1-D")
+        pend = np.concatenate([st["pend"], arr]) if len(st["pend"]) else arr
+        cr, itemsize = st["chunk_rows"], st["dtype"].itemsize
+        while len(pend) >= cr:
+            chunk, pend = pend[:cr], pend[cr:]
+            raw = _apply_write_filters(
+                np.ascontiguousarray(chunk).tobytes(), st["flts"], itemsize)
+            st["chunks"].append((st["written"], self.alloc(raw), len(raw)))
+            st["written"] += cr
+        st["pend"] = pend
+
+    def end_stream_dataset(self, st: dict) -> int:
+        name, dtype = st["name"], st["dtype"]
+        cr, itemsize = st["chunk_rows"], dtype.itemsize
+        pend = st["pend"]
+        if len(pend):
+            # final edge chunk: stored FULL-SIZE, zero-padded (spec)
+            chunk = np.zeros(cr, dtype)
+            chunk[: len(pend)] = pend
+            raw = _apply_write_filters(chunk.tobytes(), st["flts"], itemsize)
+            st["chunks"].append((st["written"], self.alloc(raw), len(raw)))
+            st["written"] += len(pend)
+        if st["written"] != st["nrows"]:
+            raise Hdf5WriteError(
+                f"{name}: streamed {st['written']} rows, declared "
+                f"{st['nrows']}")
+        node = bytearray(b"TREE" + bytes([1, 0])
+                         + struct.pack("<HQQ", len(st["chunks"]),
+                                       UNDEF, UNDEF))
+        for off, caddr, csize in st["chunks"]:
+            node += struct.pack("<II", csize, 0)
+            node += struct.pack("<QQQ", off, 0, caddr)
+        node += struct.pack("<II", 0, 0)
+        node += struct.pack("<QQ", st["nrows"], 0)
+        btree_addr = self.alloc(bytes(node))
+        msgs: list[tuple[int, bytes]] = [
+            (0x01, _dataspace((st["nrows"],))),
+            (0x03, encode_datatype(dtype)),
+            (0x05, bytes([2, 1, 0, 0])),
+            (0x08, struct.pack("<BBBQ", 3, 2, 2, btree_addr)
+             + struct.pack("<I", cr) + struct.pack("<I", itemsize)),
+        ]
+        if st["flts"]:
+            msgs.append((0x0B, _filter_pipeline_msg(st["flts"], itemsize)))
+        for aname, aval in st["attrs"].items():
+            msgs.append((0x0C, _attr_msg(aname, aval)))
+        for raw in st["raw"]:
+            msgs.append((0x0C, raw))
+        addr = self.alloc(_v1_header(msgs))
+        self.ds_addrs[name] = addr
+        return addr
+
     def finish(self, path: str, global_attrs: dict | None = None) -> None:
         # ---- root group: local heap + v1 B-tree + one SNOD -----------
         names = sorted(self.ds_addrs)
@@ -312,15 +456,28 @@ class _Builder:
         root_addr = self.alloc(_v1_header(root_msgs))
 
         # ---- superblock v0 ------------------------------------------
-        buf = self.buf
-        while len(buf) % 8:
-            buf.append(0)
+        if self._f is not None:
+            pad = -self._end % 8
+            if pad:
+                self._f.write(b"\x00" * pad)
+                self._end += pad
+            eof = self._end
+        else:
+            buf = self.buf
+            while len(buf) % 8:
+                buf.append(0)
+            eof = len(buf)
         sb = bytearray(MAGIC)
         sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])       # versions + sizes
         sb += struct.pack("<HHI", 4, 16, 0)          # group K's + flags
-        sb += struct.pack("<QQQQ", 0, UNDEF, len(buf), UNDEF)
+        sb += struct.pack("<QQQQ", 0, UNDEF, eof, UNDEF)
         sb += struct.pack("<QQII16x", 0, root_addr, 0, 0)  # root STE
         assert len(sb) == 96
+        if self._f is not None:
+            self._f.seek(0)
+            self._f.write(sb)
+            self._f.close()
+            return
         buf[:96] = sb
         with open(path, "wb") as f:
             f.write(buf)
@@ -427,8 +584,19 @@ def write_netcdf4(
         else:
             coord = np.zeros(size, np.float32)
             name_attr = f"{_PURE_DIM_SENTINEL}.{size:>10}"
-        attrs = {"CLASS": "DIMENSION_SCALE", "NAME": name_attr}
-        attrs.update(var_attrs.get(dname) or {})
+        # user attrs first, conventions LAST: a caller-supplied CLASS/
+        # NAME must not clobber the dimension-scale convention (it would
+        # silently break named-grid readback); reject an explicit
+        # conflict loudly rather than ignoring it
+        user = dict(var_attrs.get(dname) or {})
+        for k in ("CLASS", "NAME", "REFERENCE_LIST"):
+            if k in user:
+                raise Hdf5WriteError(
+                    f"coordinate {dname!r}: attribute {k!r} is reserved "
+                    "by the netCDF-4 dimension-scale convention")
+        attrs = dict(user)
+        attrs["CLASS"] = "DIMENSION_SCALE"
+        attrs["NAME"] = name_attr
         b.dataset(dname, coord, cshape=(chunk_shapes or {}).get(dname),
                   flts=(filters or {}).get(dname), attrs=attrs)
 
@@ -458,3 +626,124 @@ def write_netcdf4(
                   attrs=var_attrs.get(name),
                   raw_attr_msgs=(dl,) if vdims else ())
     b.finish(path, global_attrs)
+
+
+class Nc4StreamWriter:
+    """Streamed FLAT NetCDF-4 writer: one record dimension (``obs``),
+    each column a 1-D chunked dataset fed batch-by-batch — the HDF5
+    container is file-backed (chunks land on disk as they arrive), so
+    peak driver memory is one chunk buffer per variable, never the
+    result. This is the COPY TO stream the reference runs for every
+    output format (beacon-core/src/runtime.rs:192-246), re-expressed
+    for the HDF5 container; the materialized ``write_netcdf4`` remains
+    for the re-gridded (dimension_columns) shape, whose unit of work is
+    one dense grid anyway.
+
+    Contract (mirrors netcdf3.FlatStreamWriter): declare every column
+    up front (``specs``: name → numpy dtype, strings pre-sized as
+    ``S<w>``), then call :meth:`write_values` variable-by-variable —
+    each variable's batches contiguous, in ``specs`` order, ``obs``
+    first if it is a column — and :meth:`close`. Variables never
+    written stream as all-fill (zero-row results included).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        nrows: int,
+        specs: dict[str, np.dtype],
+        var_attrs: dict[str, dict] | None = None,
+        global_attrs: dict | None = None,
+        chunk_rows: int = 1 << 16,
+        filters: dict[str, list[tuple]] | None = None,
+    ) -> None:
+        self._b = _Builder(path)
+        self._path = path
+        self._nrows = int(nrows)
+        self._specs = {n: _le(np.dtype(dt)) for n, dt in specs.items()}
+        self._attrs = {n: dict(a or {}) for n, a in (var_attrs or {}).items()}
+        self._global = dict(global_attrs or {})
+        self._chunk_rows = chunk_rows
+        self._filters = dict(filters or {})
+        self._done: set[str] = set()
+        self._cur: str | None = None
+        self._cur_st: dict | None = None
+        self._gaddr: int | None = None
+        self._idx_of: dict[str, int] = {
+            n: i + 1 for i, n in enumerate(n for n in self._specs
+                                           if n != "obs")}
+        if "obs" not in self._specs:
+            # anonymous record dimension: 0-byte placeholder carrier
+            # (contiguous layout at UNDEF — data never allocated)
+            self._b.dataset_placeholder(
+                "obs", np.float32, (self._nrows,),
+                attrs={"CLASS": "DIMENSION_SCALE",
+                       "NAME": f"{_PURE_DIM_SENTINEL}.{self._nrows:>10}"})
+
+    def _ensure_gcol(self) -> int:
+        """The global heap holds one object-reference payload per data
+        variable, each the ``obs`` dim dataset's header address — which
+        exists only after obs lands (placeholder in __init__, or the
+        streamed coordinate's end_stream_dataset)."""
+        if self._gaddr is None:
+            if "obs" not in self._b.ds_addrs:
+                raise Hdf5WriteError(
+                    "the 'obs' coordinate column must be streamed first "
+                    "(its dataset address seeds every DIMENSION_LIST)")
+            payloads = [struct.pack("<Q", self._b.ds_addrs["obs"])
+                        for _ in self._idx_of]
+            self._gaddr = (self._b.alloc(_gcol_block(payloads))
+                           if payloads else 0)
+        return self._gaddr
+
+    def _begin(self, name: str) -> None:
+        if name not in self._specs:
+            raise Hdf5WriteError(f"undeclared variable {name!r}")
+        if name in self._done:
+            raise Hdf5WriteError(
+                f"{name}: variables must stream contiguously, in order")
+        attrs = dict(self._attrs.get(name) or {})
+        if name == "obs":
+            # a result column literally named obs IS the coordinate
+            attrs["CLASS"] = "DIMENSION_SCALE"
+            attrs["NAME"] = "obs"
+            raw: tuple[bytes, ...] = ()
+        else:
+            dl = _dimension_list_attr(
+                [(self._ensure_gcol(), self._idx_of[name])])
+            raw = (dl,)
+        self._cur = name
+        self._cur_st = self._b.begin_stream_dataset(
+            name, self._specs[name], self._nrows,
+            chunk_rows=self._chunk_rows,
+            flts=self._filters.get(name), attrs=attrs, raw_attr_msgs=raw)
+
+    def _finish_cur(self) -> None:
+        if self._cur is not None:
+            self._b.end_stream_dataset(self._cur_st)
+            self._done.add(self._cur)
+            self._cur = self._cur_st = None
+
+    def write_values(self, name: str, values: np.ndarray) -> None:
+        if name != self._cur:
+            self._finish_cur()
+            self._begin(name)
+        self._b.stream_values(self._cur_st, values)
+
+    def close(self) -> None:
+        self._finish_cur()
+        for name in self._specs:
+            if name not in self._done:
+                if self._nrows:
+                    raise Hdf5WriteError(
+                        f"{name}: no values streamed for a {self._nrows}"
+                        "-row dimension")
+                self._begin(name)
+                self._finish_cur()
+        self._b.finish(self._path, self._global)
+
+    def abort(self) -> None:
+        """Close the backing file without finalizing (error paths)."""
+        f = self._b._f
+        if f is not None and not f.closed:
+            f.close()

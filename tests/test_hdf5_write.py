@@ -89,6 +89,52 @@ def test_attributes_roundtrip(tmp_path):
     assert a["units"] == "m" and a["scale_factor"] == 0.5
 
 
+def test_big_endian_attribute_byteswapped(tmp_path):
+    """r13 ADVICE: encode_datatype always declares little-endian, so a
+    >i4 attribute array written without a byte-swap roundtrips as
+    [83886080, 100663296] instead of [5, 6]. Dataset arrays already
+    swapped; attributes must mirror that path — scalars, arrays, and
+    BE floats alike."""
+    p = _path(tmp_path)
+    write_hdf5(
+        p, {"x": np.arange(3, dtype=">i8")},
+        global_attrs={"be_arr": np.array([5, 6], dtype=">i4"),
+                      "be_f": np.float64(1.5).astype(">f8")},
+        var_attrs={"x": {"be_scalar": np.int32(7).astype(">i4")}},
+    )
+    r = Hdf5Reader(p)
+    assert list(r.root.attrs["be_arr"]) == [5, 6]
+    assert float(r.root.attrs["be_f"]) == 1.5
+    assert int(r.root.datasets["x"].attrs["be_scalar"]) == 7
+    assert list(r.read(r.root.datasets["x"])) == [0, 1, 2]
+
+
+def test_netcdf4_coordinate_reserved_attrs_rejected(tmp_path):
+    """r13 ADVICE: a caller-supplied CLASS/NAME/REFERENCE_LIST on a
+    coordinate variable would clobber the dimension-scale convention
+    and break named-grid readback — must error loudly, while ordinary
+    user attrs on a coordinate still roundtrip."""
+    from beacon_spark.sources.hdf5write import write_netcdf4
+
+    for bad in ("CLASS", "NAME", "REFERENCE_LIST"):
+        with pytest.raises(Hdf5WriteError, match="reserved"):
+            write_netcdf4(
+                _path(tmp_path, "bad.nc"), dims={"t": 3},
+                variables={"t": (("t",), np.arange(3, dtype=np.int64)),
+                           "v": (("t",), np.zeros(3))},
+                var_attrs={"t": {bad: "evil"}})
+    p = _path(tmp_path, "ok.nc")
+    write_netcdf4(
+        p, dims={"t": 3},
+        variables={"t": (("t",), np.arange(3, dtype=np.int64)),
+                   "v": (("t",), np.zeros(3))},
+        var_attrs={"t": {"units": "s"}})
+    r = Hdf5Reader(p)
+    a = r.root.datasets["t"].attrs
+    assert a["units"] == "s"
+    assert a["CLASS"] == "DIMENSION_SCALE" and a["NAME"] == "t"
+
+
 def test_fletcher32_corruption_detected(tmp_path):
     """Flipping one byte inside a fletcher32-protected chunk must fail
     the read loudly, not serve corrupt values."""

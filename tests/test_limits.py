@@ -192,6 +192,28 @@ def test_export_path_never_full_collects(spark, tmp_path, monkeypatch):
     assert dims_g["x"] == 10 and dims_g["y"] == 10
     arr = np.asarray(vars_g["val"][1])
     assert arr.shape == (10, 10) and float(arr[3][2]) == 23 * 1.5
+    # r13 (r12 verdict item 3): flat NetCDF-4 streams too — spy active,
+    # no row cap, nullable + string + int64 columns through the spool
+    from beacon_spark.outputs import write_output
+    from beacon_spark.sources.hdf5lite import Hdf5Reader
+
+    ndf = spark.range(1000).selectExpr(
+        "id", "IF(id % 7 = 0, NULL, id * 2) AS maybe",
+        "CONCAT('row-', id) AS label", "id + 5000000000 AS big")
+    h5 = str(tmp_path / "out.h5")
+    write_output(ndf, "netcdf4", h5)
+    r = Hdf5Reader(h5)
+    ids = r.read(r.root.datasets["id"])
+    assert ids.dtype == np.int64 and len(ids) == 1000
+    maybe = r.read(r.root.datasets["maybe"])
+    assert maybe.dtype == np.float64  # nullable → NaN-double
+    got = {int(i): m for i, m in zip(ids, maybe)}
+    assert np.isnan(got[7]) and got[8] == 16.0
+    lab = r.read(r.root.datasets["label"])
+    assert lab[list(ids).index(42)] == b"row-42"
+    big = r.read(r.root.datasets["big"])
+    assert big.dtype == np.int64  # HDF5 holds int64 natively, no narrow
+    assert int(big[list(ids).index(3)]) == 5000000003
 
 
 def test_iter_arrow_batches_preserves_order_and_types(spark):

@@ -407,11 +407,20 @@ def test_hdf5_output_writes_real_netcdf4(spark, tmp_path):
         "SELECT k, val FROM read_hdf5('copied.h5') ORDER BY k").collect()
     assert [(r.k, r.val) for r in rows] == [(1, 10.5), (2, 20.5)]
 
-    # driver-materialization row cap: a clean error pointing at the
-    # streamed netcdf format, never a silent driver OOM
+    # FLAT netcdf4 streams (r13): no row cap — max_rows is simply
+    # ignored on the streamed path
+    p3 = str(tmp_path / "uncapped.h5")
+    write_output(df, "netcdf4", p3, max_rows=3)
+    assert open(p3, "rb").read(8) == MAGIC
+
+    # the RE-GRIDDED variant still materializes one Arrow table on the
+    # driver, so its row cap remains — probed with a bounded
+    # limit(cap+1) job and a clean error pointing at the streamed
+    # ndnetcdf format, never a silent driver OOM
     import pytest as _p
     with _p.raises(ValueError, match="streamed"):
-        write_output(df, "netcdf4", str(tmp_path / "big.h5"), max_rows=3)
+        write_output(grid, "netcdf4", str(tmp_path / "big.h5"),
+                     dimension_columns=["x", "y"], max_rows=3)
 
 
 def test_netcdf_flat_int64_beyond_int32_not_clipped(spark, tmp_path):
