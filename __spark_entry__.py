@@ -1955,10 +1955,37 @@ def _q_netcdf4_roundtrip(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="beacon_nc4_")
     write_output(agg, "netcdf4", os.path.join(root, "agg.h5"),
                  dimension_columns=["ck", "m"])
+    # r13 leg: variable-length (NC_STRING) labels through the global
+    # heap — write_netcdf4(vlen_strings=True) closes DIVERGENCES #6's
+    # last residual; the oracle recomputes the label in SQL, so the
+    # hash proves vlen write→read preserves unicode values
+    import numpy as np
+
+    from beacon_spark.sources.hdf5write import write_netcdf4
+
+    pdf = agg.orderBy("ck", "m").toPandas()  # bounded: ≤ 40 groups
+    write_netcdf4(
+        os.path.join(root, "labels.h5"),
+        dims={"obs": len(pdf)},
+        variables={
+            "ck": (("obs",), pdf["ck"].to_numpy(np.int64)),
+            "m": (("obs",), pdf["m"].to_numpy(np.int64)),
+            "label": (("obs",), np.array(
+                [f"seg-β{c}.{m}" for c, m in zip(pdf["ck"], pdf["m"])],
+                dtype=object)),
+        },
+        vlen_strings=True,
+    )
     eng = Engine(spark, datasets_root=root)
-    return eng.sql(
+    grid = eng.sql(
         "SELECT ck, m, total, CAST(n AS BIGINT) AS n "
-        "FROM read_netcdf('agg.h5') WHERE n IS NOT NULL ORDER BY ck, m"
+        "FROM read_netcdf('agg.h5') WHERE n IS NOT NULL"
+    )
+    labels = eng.sql("SELECT ck, m, label FROM read_netcdf('labels.h5')")
+    return (
+        grid.join(labels, ["ck", "m"])
+        .select("ck", "m", "total", "n", "label")
+        .orderBy("ck", "m")
     )
 
 
@@ -1966,7 +1993,9 @@ _SQL_NETCDF4_RT = """
 SELECT CAST(o_custkey % 8 AS BIGINT) AS ck,
        CAST(o_custkey % 5 AS BIGINT) AS m,
        round(sum(o_totalprice), 2) AS total,
-       count(*) AS n
+       count(*) AS n,
+       'seg-' || chr(946) || CAST(o_custkey % 8 AS BIGINT) || '.'
+              || CAST(o_custkey % 5 AS BIGINT) AS label
 FROM orders GROUP BY ck, m ORDER BY ck, m
 """
 

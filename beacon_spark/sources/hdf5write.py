@@ -190,6 +190,30 @@ def _v1_header(msgs: list[tuple[int, bytes]]) -> bytes:
             + bytes(blob))
 
 
+def _vlen_str_datatype() -> bytes:
+    """Variable-length STRING datatype message (class 9, type=string):
+    16-byte heap descriptors (<IQI> size, gcol addr, gcol index) over a
+    1-byte character base — the encoding netCDF-4's NC_STRING uses and
+    hdf5lite.parse_datatype recognizes as is_vlen_str."""
+    return (struct.pack("<BBBBI", 0x19, 0x01, 0, 0, 16)
+            + struct.pack("<BBBBI", 0x13, 0, 0, 0, 1))
+
+
+def _vlen_descriptors(builder: "_Builder", payloads: list[bytes]) -> bytes:
+    """Write ``payloads`` into global heap collection(s) (chunked at
+    60k objects — heap indexes are u16) and return the packed 16-byte
+    descriptor stream referencing them."""
+    descs = bytearray()
+    i = 0
+    while i < len(payloads):
+        group = payloads[i:i + 60_000]
+        gaddr = builder.alloc(_gcol_block(group))
+        for j, p in enumerate(group, start=1):
+            descs += struct.pack("<IQI", len(p), gaddr, j)
+        i += len(group)
+    return bytes(descs)
+
+
 # ---------------------------------------------------------- the writer
 
 
@@ -338,6 +362,39 @@ class _Builder:
         self.ds_addrs[name] = addr
         return addr
 
+    def dataset_vlen_str(
+        self,
+        name: str,
+        arr: np.ndarray,
+        attrs: dict | None = None,
+        raw_attr_msgs: tuple[bytes, ...] = (),
+    ) -> int:
+        """Variable-length UTF-8 string dataset: values live in global
+        heap collections, the dataset data is the 16-byte descriptor
+        stream (contiguous layout). This is netCDF-4's NC_STRING — the
+        DIVERGENCES #6 residual the fixed-width `S` encoding left
+        open."""
+        if not name or "/" in name or "\x00" in name:
+            raise Hdf5WriteError(f"invalid dataset name {name!r}")
+        arr = np.asarray(arr)
+        payloads = [("" if s is None else str(s)).encode("utf-8")
+                    for s in arr.ravel()]
+        descs = _vlen_descriptors(self, payloads)
+        data_addr = self.alloc(descs)
+        msgs: list[tuple[int, bytes]] = [
+            (0x01, _dataspace(tuple(arr.shape))),
+            (0x03, _vlen_str_datatype()),
+            (0x05, bytes([2, 1, 0, 0])),
+            (0x08, struct.pack("<BBQQ", 3, 1, data_addr, len(descs))),
+        ]
+        for aname, aval in (attrs or {}).items():
+            msgs.append((0x0C, _attr_msg(aname, aval)))
+        for raw in raw_attr_msgs:
+            msgs.append((0x0C, raw))
+        addr = self.alloc(_v1_header(msgs))
+        self.ds_addrs[name] = addr
+        return addr
+
     def begin_stream_dataset(
         self,
         name: str,
@@ -347,6 +404,7 @@ class _Builder:
         flts: list[tuple] | None = None,
         attrs: dict | None = None,
         raw_attr_msgs: tuple[bytes, ...] = (),
+        dtype_msg: bytes | None = None,
     ) -> dict:
         """Open a 1-D chunked dataset of ``nrows`` total rows to be fed
         incrementally via :meth:`stream_values` — chunk data flows to
@@ -364,6 +422,7 @@ class _Builder:
             "name": name, "dtype": dtype, "nrows": int(nrows),
             "chunk_rows": chunk_rows, "flts": list(flts or []),
             "attrs": dict(attrs or {}), "raw": tuple(raw_attr_msgs),
+            "dtype_msg": dtype_msg,
             "pend": np.empty(0, dtype), "written": 0,
             "chunks": [],  # (row_offset, addr, stored_size)
         }
@@ -410,7 +469,7 @@ class _Builder:
         btree_addr = self.alloc(bytes(node))
         msgs: list[tuple[int, bytes]] = [
             (0x01, _dataspace((st["nrows"],))),
-            (0x03, encode_datatype(dtype)),
+            (0x03, st["dtype_msg"] or encode_datatype(dtype)),
             (0x05, bytes([2, 1, 0, 0])),
             (0x08, struct.pack("<BBBQ", 3, 2, 2, btree_addr)
              + struct.pack("<I", cr) + struct.pack("<I", itemsize)),
@@ -545,6 +604,7 @@ def write_netcdf4(
     global_attrs: dict | None = None,
     chunk_shapes: dict[str, tuple[int, ...]] | None = None,
     filters: dict[str, list[tuple]] | None = None,
+    vlen_strings: bool = False,
 ) -> None:
     """NetCDF-4-convention HDF5 file: `dims` name dimension sizes;
     `variables` maps name → (dim names, array). A variable named like a
@@ -555,9 +615,16 @@ def write_netcdf4(
     read_netcdf/read_hdf5 path — recover the named grid.
 
     Unicode string arrays are written as fixed-width UTF-8 `S` strings
-    (NetCDF-4 char-array convention, minus the vlen-string variant)."""
+    by default (vectorized read-back), or as TRUE variable-length
+    strings — netCDF-4's NC_STRING, values on the global heap — with
+    ``vlen_strings=True`` (closes DIVERGENCES #6's last residual; reads
+    resolve per-element heap lookups, so fixed-width stays the default
+    for large exports)."""
     var_attrs = dict(var_attrs or {})
     b = _Builder()
+
+    def _is_str(arr) -> bool:
+        return np.asarray(arr).dtype.kind in ("U", "O")
 
     def _as_bytes(arr: np.ndarray) -> np.ndarray:
         arr = np.asarray(arr)
@@ -576,12 +643,14 @@ def write_netcdf4(
             if tuple(ddims) != (dname,):
                 raise Hdf5WriteError(
                     f"coordinate variable {dname!r} must span ({dname},)")
-            coord = _as_bytes(coord)
+            vlen_coord = vlen_strings and _is_str(coord)
+            coord = np.asarray(coord) if vlen_coord else _as_bytes(coord)
             if coord.shape != (size,):
                 raise Hdf5WriteError(
                     f"coordinate {dname!r}: shape {coord.shape} != ({size},)")
             name_attr = dname
         else:
+            vlen_coord = False
             coord = np.zeros(size, np.float32)
             name_attr = f"{_PURE_DIM_SENTINEL}.{size:>10}"
         # user attrs first, conventions LAST: a caller-supplied CLASS/
@@ -597,8 +666,11 @@ def write_netcdf4(
         attrs = dict(user)
         attrs["CLASS"] = "DIMENSION_SCALE"
         attrs["NAME"] = name_attr
-        b.dataset(dname, coord, cshape=(chunk_shapes or {}).get(dname),
-                  flts=(filters or {}).get(dname), attrs=attrs)
+        if vlen_coord:
+            b.dataset_vlen_str(dname, coord, attrs=attrs)
+        else:
+            b.dataset(dname, coord, cshape=(chunk_shapes or {}).get(dname),
+                      flts=(filters or {}).get(dname), attrs=attrs)
 
     # 2) one global-heap object per (variable, dim) reference
     data_vars = [(n, v) for n, v in variables.items() if n not in dims]
@@ -614,17 +686,27 @@ def write_netcdf4(
 
     # 3) data variables with their DIMENSION_LIST
     for name, (vdims, arr) in data_vars:
-        arr = _as_bytes(arr)
+        vlen_var = vlen_strings and _is_str(arr)
+        arr = np.asarray(arr) if vlen_var else _as_bytes(arr)
         want = tuple(dims[d] for d in vdims)
         if arr.shape != want:
             raise Hdf5WriteError(
                 f"{name}: shape {arr.shape} != dims {vdims} = {want}")
         dl = _dimension_list_attr(
             [(gaddr, idx_of[(name, k)]) for k in range(len(vdims))])
-        b.dataset(name, arr, cshape=(chunk_shapes or {}).get(name),
-                  flts=(filters or {}).get(name),
-                  attrs=var_attrs.get(name),
-                  raw_attr_msgs=(dl,) if vdims else ())
+        if vlen_var:
+            if (chunk_shapes or {}).get(name) or (filters or {}).get(name):
+                raise Hdf5WriteError(
+                    f"{name}: vlen-string data lives on the global heap; "
+                    "chunking/filters apply only to the descriptors and "
+                    "are not supported")
+            b.dataset_vlen_str(name, arr, attrs=var_attrs.get(name),
+                               raw_attr_msgs=(dl,) if vdims else ())
+        else:
+            b.dataset(name, arr, cshape=(chunk_shapes or {}).get(name),
+                      flts=(filters or {}).get(name),
+                      attrs=var_attrs.get(name),
+                      raw_attr_msgs=(dl,) if vdims else ())
     b.finish(path, global_attrs)
 
 

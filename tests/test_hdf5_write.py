@@ -135,6 +135,52 @@ def test_netcdf4_coordinate_reserved_attrs_rejected(tmp_path):
     assert a["CLASS"] == "DIMENSION_SCALE" and a["NAME"] == "t"
 
 
+def test_vlen_string_roundtrip(tmp_path):
+    """r13 (r12 verdict #5): write_netcdf4(vlen_strings=True) writes
+    TRUE variable-length strings — netCDF-4's NC_STRING, 16-byte heap
+    descriptors over global heap collections — and the reader resolves
+    them back to exact unicode values: empty strings, multibyte UTF-8,
+    a 300-char value, a vlen coordinate, and >60k strings spanning
+    multiple heap collections (heap indexes are u16)."""
+    from beacon_spark.sources.hdf5write import write_netcdf4
+
+    p = _path(tmp_path, "v.nc")
+    names = np.array(["alpha", "", "β-漢字", "d" * 300], dtype=object)
+    write_netcdf4(
+        p, dims={"station": 4},
+        variables={
+            "station": (("station",),
+                        np.array(["st-α", "st-b", "st-c", "st-d"],
+                                 dtype=object)),
+            "name": (("station",), names),
+            "v": (("station",), np.linspace(0, 1, 4)),
+        },
+        var_attrs={"name": {"long_name": "labels"}},
+        vlen_strings=True,
+    )
+    r = Hdf5Reader(p)
+    assert list(r.read(r.root.datasets["name"])) == list(names)
+    assert list(r.read(r.root.datasets["station"])) == [
+        "st-α", "st-b", "st-c", "st-d"]
+    assert r.root.datasets["station"].attrs["CLASS"] == "DIMENSION_SCALE"
+    assert r.root.datasets["name"].attrs["long_name"] == "labels"
+    # vlen + chunking/filters is a loud error, not silent corruption
+    with pytest.raises(Hdf5WriteError, match="vlen"):
+        write_netcdf4(
+            _path(tmp_path, "bad.nc"), dims={"t": 2},
+            variables={"s": (("t",), np.array(["a", "b"], dtype=object))},
+            chunk_shapes={"s": (1,)}, vlen_strings=True)
+    # multi-collection chunking past the u16 heap-index bound
+    big = np.array([f"s{i}" for i in range(70_001)], dtype=object)
+    p3 = _path(tmp_path, "many.nc")
+    write_netcdf4(p3, dims={"n": len(big)},
+                  variables={"s": (("n",), big)}, vlen_strings=True)
+    r3 = Hdf5Reader(p3)
+    got = r3.read(r3.root.datasets["s"])
+    assert got[0] == "s0" and got[60_000] == "s60000" \
+        and got[70_000] == "s70000"
+
+
 def test_fletcher32_corruption_detected(tmp_path):
     """Flipping one byte inside a fletcher32-protected chunk must fail
     the read loudly, not serve corrupt values."""
