@@ -986,16 +986,16 @@ def _q_cosine_pairs_lsh(spark, sf_dir):
     """Embedding near-duplicate pairs (cosine ≥ 0.95) via banded-LSH
     candidate join + exact verification (pipeline/similarity.py:113) —
     the scale-safe pair path, graded against the brute-force all-pairs
-    DuckDB oracle. Verification keeps precision exact; 6 bands × 6
-    planes makes a ≥0.95 pair's miss probability < 1e-3 (recall pinned
-    on planted duplicates in tests/test_ann_index.py)."""
+    DuckDB oracle. Verification keeps precision exact; planes/bands are
+    size-aware auto-tuned (r13) so bucket occupancy stays bounded and a
+    ≥0.95 pair's miss probability stays < 1e-3 at any corpus size
+    (recall pinned on planted duplicates in tests/test_ann_index.py;
+    the quadratic fixed-plane default was caught by the 100x probe)."""
     from beacon_spark.pipeline.similarity import cosine_pairs_lsh
 
     _reg(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
-    return cosine_pairs_lsh(emb, threshold=0.95, n_planes=6, n_bands=6).orderBy(
-        "id_a", "id_b"
-    )
+    return cosine_pairs_lsh(emb, threshold=0.95).orderBy("id_a", "id_b")
 
 
 _SQL_SIM_PAIRS = """

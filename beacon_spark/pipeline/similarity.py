@@ -129,6 +129,44 @@ def assign_buckets(df: DataFrame, planes: np.ndarray, vec_col: str | Column) -> 
     return _assign(c.cast("array<double>"))
 
 
+def assign_buckets_multi(
+    df: DataFrame, plane_sets: list, vec_col
+) -> Column:
+    """ALL bands' LSH bucket ids in one pass -> ``array<long>`` (index =
+    band). Multi-band mining through per-band ``assign_buckets`` stacked
+    bands x planes ``aggregate(zip_with(...))`` lambdas into one
+    projection - higher-order functions don't enter whole-stage codegen,
+    and the interpreted chain cost scaled with bands x planes, not with
+    data (the r13 100x probe measured cosine_pairs_lsh at ~4.7 ms/row).
+    One broadcast (bands*planes x dim) matrix + one BLAS multiply per
+    Arrow batch replaces all of it; the Catalyst tier survives only for
+    tiny matrices where a Python round-trip costs more than it saves."""
+    n_bands = len(plane_sets)
+    stacked = np.ascontiguousarray(np.vstack(plane_sets), dtype=np.float64)
+    n_planes = plane_sets[0].shape[0]
+    dim = stacked.shape[1]
+    if n_bands * n_planes * dim <= 1024:
+        c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+        return F.array(*[lsh_bucket_expr(c, p) for p in plane_sets])
+
+    bc = df.sparkSession.sparkContext.broadcast(stacked)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _assign_multi(v):
+        import pandas as pd
+
+        mat = np.vstack(v.to_numpy())
+        bits = (mat @ bc.value.T) > 0  # (rows, bands*planes)
+        out = np.empty((len(mat), n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            out[:, b] = bits[:, b * n_planes:(b + 1) * n_planes] @ weights
+        return pd.Series(list(out))
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _assign_multi(c.cast("array<double>"))
+
+
 def assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str | Column) -> Column:
     """Nearest-centroid cell id for every row, codegen-guarded.
 
@@ -186,8 +224,8 @@ def cosine_pairs_lsh(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 6,
-    n_bands: int = 4,
+    n_planes: int | None = None,
+    n_bands: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """All-pairs near-duplicate vectors (cosine ≥ threshold) via banded
@@ -195,9 +233,19 @@ def cosine_pairs_lsh(
     plane-set; a pair is a candidate if it collides in ANY band
     (OR-amplification: miss probability (1-p^planes)^bands, with p the
     per-plane agreement probability). Exact verification keeps precision
-    at 1.0, so extra bands only improve recall. Candidate volume is
-    ~bands * n^2 / 2^planes instead of n^2 — this is the scale path; the
-    brute-force theta join exists only as its tiny-N oracle."""
+    at 1.0, so extra bands only improve recall.
+
+    ``n_planes``/``n_bands`` default to SIZE-AWARE auto-tuning (r13: the
+    100x probe caught the fixed 2^6-bucket default going quadratic —
+    6.4x wall at 10x data): planes grow with log2(n) so expected bucket
+    occupancy stays ~32 vectors and candidate volume stays
+    ~bands * n * occupancy / 2 (LINEAR in n), then bands are chosen so a
+    true >= threshold pair's miss probability is < 1e-3 given the
+    per-plane agreement p = 1 - acos(threshold)/pi. Explicit values
+    bypass the count() job and the tuning — the tiny-N recall pins use
+    them."""
+    import math as _math
+
     sample = df.select(vec_col).first()
     if sample is None or sample[0] is None:
         # the IVF path raises the same way; without this the len() below
@@ -206,12 +254,21 @@ def cosine_pairs_lsh(
             f"no vectors in column {vec_col!r} (empty corpus cannot "
             "plan hyperplane buckets)")
     dim = len(sample[0])
-    bands = [
-        assign_buckets(
-            df, _hyperplanes(dim, n_planes, seed + 7919 * b), vec_col
-        ).alias(f"__b{b}")
-        for b in range(n_bands)
-    ]
+    if n_planes is None or n_bands is None:
+        n = df.count()
+        if n_planes is None:
+            n_planes = min(20, max(6, _math.ceil(
+                _math.log2(max(n, 1) / 32)) if n > 32 else 6))
+        if n_bands is None:
+            p = 1.0 - _math.acos(min(max(threshold, -0.999), 0.999)) / _math.pi
+            hit = p ** n_planes
+            n_bands = (4 if hit >= 0.999 else min(48, max(4, _math.ceil(
+                _math.log(1e-3) / _math.log1p(-hit)))))
+    band_buckets = assign_buckets_multi(
+        df,
+        [_hyperplanes(dim, n_planes, seed + 7919 * b) for b in range(n_bands)],
+        vec_col,
+    )
     # candidate mining carries ONLY (band, bucket, id): at 768-dim
     # doubles a vector is ~6 KB, and dragging two of them through the
     # self-join + dropDuplicates shuffles would dominate the exchange.
@@ -219,7 +276,7 @@ def cosine_pairs_lsh(
     # dedup.py's minhash verification).
     base = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.array(*bands)).alias("__band", "__bucket"),
+        F.posexplode(band_buckets).alias("__band", "__bucket"),
     )
     cand = (
         base.alias("a")
@@ -242,19 +299,25 @@ def cosine_pairs_lsh(
         .join(vecs, F.col("id_b") == vecs["__vid"])
         .select("id_a", "id_b", "__va", F.col("__vec").alias("__vb"))
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>"),
-                   lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    norm_a = F.sqrt(F.aggregate(
-        F.zip_with(F.col("__va").cast("array<double>"), F.col("__va").cast("array<double>"),
-                   lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
-    norm_b = F.sqrt(F.aggregate(
-        F.zip_with(F.col("__vb").cast("array<double>"), F.col("__vb").cast("array<double>"),
-                   lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
+    # exact verification, Arrow-batched: three aggregate(zip_with(...))
+    # folds per candidate ran interpreted (higher-order fns skip WSCG)
+    # and dominated the r13 100x probe at millions of candidates; one
+    # einsum per batch verifies the same pairs at BLAS speed
+    @F.pandas_udf("double")
+    def _pair_cosine(va, vb):
+        import pandas as pd
+
+        A = np.vstack(va.to_numpy())
+        B = np.vstack(vb.to_numpy())
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A)
+                      * np.einsum("ij,ij->i", B, B))
+        return pd.Series(num / np.maximum(den, 1e-300))
+
     return (
-        cand.withColumn("cosine", F.round(dot / (norm_a * norm_b), 4))
+        cand.withColumn("cosine", F.round(
+            _pair_cosine(F.col("__va").cast("array<double>"),
+                         F.col("__vb").cast("array<double>")), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -28,32 +28,55 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PROBE_QUERIES = ["pricing_summary", "date_trunc_agg", "window_topk",
                  "top_orders", "dedup_exact", "tumbling_window"]
+# r13 (r12 verdict #4): the pipeline operators whose 100-TB claims
+# previously rested on plan-reading alone — now probed at 10x/100x on a
+# derived documents/embeddings corpus.
+PIPELINE_QUERIES = ["minhash_lsh_pairs", "dedup_clusters",
+                    "cosine_pairs_lsh", "ann_ivf_probe"]
 TABLES = {
     "lineitem": {"l_orderkey": 1_000_000_000},
     "orders": {"o_orderkey": 1_000_000_000, "o_custkey": 100_000_000},
     "customer": {"c_custkey": 100_000_000},
     "events": {"event_id": 10_000_000_000, "user_id": 100_000_000},
     "documents": {"doc_id": 1_000_000_000},
+    "embeddings": {"vec_id": 1_000_000_000},
 }
 
 
 def _derive(spark, src: str, factor: int) -> str:
     from pyspark.sql import functions as F
 
+    # v2: documents text is SALTED per replica (a replica token every
+    # 4 words, so word-3-gram jaccard across replicas falls to ~0.14 —
+    # cloned text would make every planted duplicate group 100x larger
+    # and the candidate-pair count grow QUADRATICALLY, a property of
+    # the cloning, not the algorithm); embeddings are rolled by
+    # (replica % dim) positions (cosine structure preserved within a
+    # replica, decorrelated across). Cache key bumped accordingly.
     dst = os.path.join(
         tempfile.gettempdir(), "beacon-spark-bench",
-        f"x{factor}-from-{os.path.basename(src.rstrip('/'))}")
+        f"x{factor}-v2-from-{os.path.basename(src.rstrip('/'))}")
     marker = os.path.join(dst, "_READY")
     if os.path.exists(marker):
         return dst
     os.makedirs(dst, exist_ok=True)
     for tbl, shifts in TABLES.items():
         df = spark.read.parquet(f"{src}/{tbl}.parquet")
+        if tbl == "embeddings":
+            dim = len(df.select("embedding").first()[0])
         reps = []
         for i in range(factor):
             rep = df
             for col, off in shifts.items():
                 rep = rep.withColumn(col, F.col(col) + F.lit(i * off))
+            if tbl == "documents" and i:
+                rep = rep.withColumn("text", F.regexp_replace(
+                    "text", r"((\S+\s+){4})", f"$1r{i} "))
+            if tbl == "embeddings" and i % dim:
+                r = i % dim
+                rep = rep.withColumn("embedding", F.expr(
+                    f"concat(slice(embedding, {r + 1}, "
+                    f"size(embedding) - {r}), slice(embedding, 1, {r}))"))
             reps.append(rep)
         out = reps[0]
         for r in reps[1:]:
@@ -80,7 +103,13 @@ def main() -> None:
 
     calibration = bench._calibration(spark)
     queries = dict(entry.queries())
-    for q in PROBE_QUERIES:
+    probe_list = list(PROBE_QUERIES)
+    if "--no-pipeline" not in sys.argv:
+        probe_list += PIPELINE_QUERIES
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+        probe_list = [q for q in probe_list if q in only]
+    for q in probe_list:
         if q not in queries:
             queries[q] = getattr(entry, f"_q_{q}")
 
@@ -89,7 +118,7 @@ def main() -> None:
     def run(sf_dir: str) -> dict[str, float]:
         out: dict[str, float] = {}
         for _ in range(2):  # best-of-2
-            for q in PROBE_QUERIES:
+            for q in probe_list:
                 t0 = time.perf_counter()
                 n = queries[q](spark, sf_dir).count()
                 e = round(time.perf_counter() - t0, 3)
@@ -105,7 +134,7 @@ def main() -> None:
         "calibration": calibration,
         "base": base,
         "scaled": scaled,
-        "ratio": {q: round(scaled[q] / base[q], 1) for q in PROBE_QUERIES},
+        "ratio": {q: round(scaled[q] / base[q], 1) for q in probe_list},
     }))
     spark.stop()
 
