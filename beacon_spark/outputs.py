@@ -728,7 +728,11 @@ def _write_netcdf4_flat_streamed(
                 return np.char.encode(
                     np.asarray(vals, dtype="U"), "utf-8").astype(dt)
             col = _cf_cast(col, ftype)
-            col = col.cast(pa.from_numpy_dtype(dt))
+            # safe=False: a NULLABLE int64 column maps to NaN-doubles,
+            # and values beyond 2^53 round like every float64 encoding
+            # here does (the in-memory writer's to_pandas path rounds
+            # identically)
+            col = col.cast(pa.from_numpy_dtype(dt), safe=False)
             return np.ascontiguousarray(
                 col.to_numpy(zero_copy_only=False), dt)
 

@@ -162,13 +162,27 @@ def read_odv_table(path: str) -> pa.Table:
             vals = pd.to_datetime(raw, errors="coerce", format="ISO8601")
             arr = pa.Array.from_pandas(vals).cast(pa.timestamp("ms"))
         elif pa.types.is_integer(fld.dtype):
-            arr = pa.Array.from_pandas(pd.to_numeric(raw, errors="coerce")).cast(
-                fld.dtype, safe=False
-            )
+            # nullable Int64 keeps the parse integer-exact: to_numeric
+            # falls back to float64 when the column has ANY null, which
+            # silently rounds int64 values beyond 2^53 (r13 net catch,
+            # same class as the float ulp bug above)
+            try:
+                vals = raw.astype("Int64")
+            except (ValueError, TypeError):
+                vals = pd.to_numeric(raw, errors="coerce")
+            arr = pa.Array.from_pandas(vals).cast(fld.dtype, safe=False)
         elif pa.types.is_floating(fld.dtype):
-            arr = pa.Array.from_pandas(
-                pd.to_numeric(raw, errors="coerce").astype(np.float64)
-            ).cast(fld.dtype, safe=False)
+            # NOT pd.to_numeric for the clean case: it parses via
+            # pandas' fast xstrtod, which is off by 1 ulp on some
+            # doubles ('5.960464477539063e-08' → ...064e-08; caught by
+            # the r13 generative writer net). Series.astype goes
+            # through C strtod — exact — and the coercing parser
+            # survives only as the malformed-cell fallback.
+            try:
+                vals = raw.astype(np.float64)
+            except (ValueError, TypeError):
+                vals = pd.to_numeric(raw, errors="coerce").astype(np.float64)
+            arr = pa.Array.from_pandas(vals).cast(fld.dtype, safe=False)
         else:
             arr = pa.Array.from_pandas(raw.astype("object"))
         name = fld.name

@@ -453,3 +453,165 @@ def test_netcdf_regrid_int64_beyond_int32_coords(tmp_path):
     assert arr[0] == 5_000_000_000.0
     t, arr = _nc_type_for(np.array([1, 2], dtype=np.int64))
     assert t == 4 and arr.dtype == np.int32
+
+
+def test_writer_roundtrip_random_schemas_nc4_geo_odv(spark, tmp_path):
+    """Generative typed-roundtrip net for the writers the COPY-TO net
+    missed (r12 verdict #6): streamed flat NetCDF-4, geoparquet, and
+    ODV — random schemas/values with nulls, fresh seeds each run.
+
+    Expected NetCDF-4 semantics mirror the writer's documented mapping:
+    columns with nulls become NaN-doubles (parquet-stats gated), int64
+    keeps its width, bool → i1, string → fixed-S UTF-8 with null → "",
+    timestamp → CF microseconds-since-epoch doubles."""
+    import datetime
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import types as T
+
+    from beacon_spark.outputs import write_geoparquet, write_output
+    from beacon_spark.sources.hdf5lite import Hdf5Reader
+    from beacon_spark.sources.odv import read_odv_table, write_odv
+
+    EPOCH = datetime.datetime(1970, 1, 1)
+    POOL = {
+        "i": (T.LongType(), st.one_of(st.none(),
+                                      st.integers(-(2**62), 2**62))),
+        "d": (T.DoubleType(), st.one_of(st.none(), st.floats(
+            allow_nan=False, allow_infinity=False, width=64))),
+        "s": (T.StringType(), st.one_of(st.none(), st.text(
+            alphabet=st.characters(codec="utf-8",
+                                   exclude_categories=["Cs", "Cc"]),
+            max_size=10))),
+        "b": (T.BooleanType(), st.one_of(st.none(), st.booleans())),
+        "ts": (T.TimestampType(), st.one_of(st.none(), st.datetimes(
+            min_value=datetime.datetime(1900, 1, 1),
+            max_value=datetime.datetime(2100, 1, 1)))),
+    }
+    counter = [0]
+
+    def canon(rows):
+        return sorted((tuple("NaN" if isinstance(v, float)
+                             and math.isnan(v) else v for v in r)
+                       for r in rows), key=repr)
+
+    @settings(max_examples=6, deadline=None)
+    @given(kinds=st.lists(st.sampled_from(sorted(POOL)), min_size=1,
+                          max_size=4, unique=True),
+           data=st.data())
+    def check(kinds, data):
+        counter[0] += 1
+        base = tmp_path / f"w{counter[0]}"
+        base.mkdir()
+        fields = [T.StructField(f"c_{k}", POOL[k][0]) for k in kinds]
+        n = data.draw(st.integers(1, 10))
+        rows = [tuple(data.draw(POOL[k][1]) for k in kinds)
+                for _ in range(n)]
+        df = spark.createDataFrame(rows, T.StructType(fields))
+        want = [tuple(r) for r in df.collect()]
+
+        # ---- streamed flat NetCDF-4 ---------------------------------
+        p = str(base / "r.h5")
+        write_output(df, "netcdf4", p)
+        r = Hdf5Reader(p)
+        cols = []
+        for j, k in enumerate(kinds):
+            vals = [row[j] for row in want]
+            has_null = any(v is None for v in vals)
+            got = list(r.read(r.root.datasets[f"c_{k}"]))
+            if k == "s":
+                exp = ["" if v is None else v for v in vals]
+                got = [g.decode("utf-8") for g in got]
+            elif k == "ts":
+                exp = [float("nan") if v is None else
+                       float(round((v - EPOCH).total_seconds() * 1e6))
+                       for v in vals]
+                got = [float(g) for g in got]
+            elif k == "d" or has_null:
+                exp = [float("nan") if v is None else float(v)
+                       for v in vals]
+                got = [float(g) for g in got]
+            elif k == "b":
+                exp = [int(v) for v in vals]
+                got = [int(g) for g in got]
+            else:
+                exp = [int(v) for v in vals]
+                got = [int(g) for g in got]
+            cols.append((exp, got))
+        assert canon(zip(*[c[1] for c in cols])) == \
+            canon(zip(*[c[0] for c in cols])), kinds
+
+        # ---- geoparquet: lon/lat → WKB points, extras pass through --
+        import struct as _struct
+
+        coords = [(data.draw(st.floats(-180, 180, allow_nan=False)),
+                   data.draw(st.floats(-90, 90, allow_nan=False)))
+                  for _ in range(n)]
+        gdf = spark.createDataFrame(
+            [(lon, lat) + r for (lon, lat), r in zip(coords, rows)],
+            T.StructType([T.StructField("lon", T.DoubleType(), False),
+                          T.StructField("lat", T.DoubleType(), False)]
+                         + fields))
+        gp = str(base / "r.geoparquet")
+        write_geoparquet(gdf, gp, "lon", "lat")
+        table = pq.read_table(gp)
+        assert json.loads(
+            table.schema.metadata[b"geo"])["primary_column"] == "geometry"
+        got_geo = []
+        for d in table.to_pylist():
+            x, y = _struct.unpack("<2d", d["geometry"][5:21])
+            got_geo.append((x, y) + tuple(
+                v.replace(tzinfo=None) if isinstance(v, datetime.datetime)
+                else v for v in (d[f.name] for f in fields)))
+        want_geo = [(lon, lat) + tuple(
+            v.replace(tzinfo=None) if isinstance(v, datetime.datetime)
+            else v for v in r) for (lon, lat), r in zip(coords, want)]
+        assert canon(got_geo) == canon(want_geo), kinds
+
+        # ---- ODV: tab-separated text spreadsheet --------------------
+        # format envelope: strings lose tabs/newlines (generator already
+        # excludes control chars), "" and NULL both render blank,
+        # timestamps truncate to milliseconds, bools become text
+        op = str(base / "r.odv")
+        write_odv(gdf, op, longitude_column="lon", latitude_column="lat")
+        back = read_odv_table(op).to_pylist()
+        got_odv = canon(
+            (d["lon"], d["lat"]) + tuple(d[f"c_{k}"] for k in kinds)
+            for d in back)
+        exp_odv = []
+        for (lon, lat), r in zip(coords, want):
+            out = [lon, lat]
+            for k, v in zip(kinds, r):
+                if v is None:
+                    out.append(None)
+                elif k == "ts":
+                    # ODV has no timestamp value_type: time is typed
+                    # only through the conventionally-NAMED columns
+                    # (time_ISO8601 / yyyy-mm-ddThh:mm:ss.sss,
+                    # reader.rs:155-175); an arbitrary timestamp column
+                    # renders as ISO text truncated to milliseconds
+                    out.append(v.isoformat(timespec="milliseconds"))
+                elif k == "b":
+                    out.append(str(v))
+                elif k == "s":
+                    out.append(None if v == "" else v)
+                else:
+                    out.append(v)
+            exp_odv.append(tuple(out))
+        assert got_odv == canon(exp_odv), kinds
+
+    check()
+
+    # the naming convention IS the timestamp path — pin it once
+    import datetime as _dt
+
+    tdf = spark.createDataFrame(
+        [(1.0, 2.0, _dt.datetime(2021, 3, 4, 5, 6, 7, 123000), 9.5)],
+        "lon double, lat double, time_ISO8601 timestamp, v double")
+    tp = str(tmp_path / "conv.odv")
+    write_odv(tdf, tp, longitude_column="lon", latitude_column="lat")
+    row = read_odv_table(tp).to_pylist()[0]
+    assert row["time_ISO8601"] == _dt.datetime(2021, 3, 4, 5, 6, 7, 123000)
+    assert row["v"] == 9.5
