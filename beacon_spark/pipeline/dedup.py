@@ -20,6 +20,7 @@ Scale design notes (the point of each choice):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -293,8 +294,6 @@ def minhash_lsh_pairs(
             f"(1 <= bands <= num_perm)")
     rows_per_band = num_perm // bands
     params = _hash_params(num_perm, seed)
-    a_arr = ", ".join(f"{a}L" for a, _ in params)
-    b_arr = ", ".join(f"{b}L" for _, b in params)
 
     # ONE corpus scan → 64-bit shingle hashes, cached and reused by (a) the
     # banding inputs and (b) exact verification. Verification on the raw
@@ -313,26 +312,63 @@ def minhash_lsh_pairs(
         .cache()
     )
 
-    # Signature + band keys in one expression over the cached hashes:
-    #   hm  = hash mod p (let-bound, one pass)
-    #   sig = per-permutation scalar fold aggregate(least(...)) — no
-    #         intermediate nsh-array allocation per permutation (the
-    #         array_min(transform(...)) form allocates k arrays per doc)
-    #   band b's key = xxhash64(b, sig[b*r : b*r+r]) — the band index is
-    #         folded into the hash, so the join key is a single long.
-    # sig semantics are unchanged: min over pmod(hm*a + b, p), p = 2³¹-1,
-    # identical to minhash_signatures (pinned by tests).
-    bands_expr = (
-        f"transform(array(transform(__hs, h -> pmod(h, {_MERSENNE}L))), hm -> "
-        f"transform(array(zip_with(array({a_arr}), array({b_arr}), (a, b) -> "
-        f"aggregate(hm, {_MERSENNE}L, (acc, h) -> least(acc, pmod(h * a + b, {_MERSENNE}L))))), "
-        f"sg -> transform(sequence(0, {bands - 1}), "
-        f"b -> xxhash64(b, slice(sg, b * {rows_per_band} + 1, {rows_per_band}))))[0])[0]"
-    )
+    # Signature + band keys, Arrow-batched (r13): the previous Catalyst
+    # form ran num_perm interpreted aggregate(least(...)) folds per doc
+    # (higher-order fns skip whole-stage codegen) — the 100x probe put
+    # it at ~0.25 ms/doc, dominating the operator. One numpy pass per
+    # batch computes every permutation with np.minimum.reduceat over
+    # the flattened hash values. Sig semantics are bit-identical:
+    # min over pmod(hm*a + b, p), p = 2^31-1, with Java int64 wraparound
+    # reproduced by numpy's int64 overflow (same two's-complement wrap),
+    # matching minhash_signatures. Band b's key mixes the band index and
+    # its r sig values through a FNV-1a fold — any deterministic
+    # function of (b, sig slice) yields the SAME candidate recall (keys
+    # equal iff slices equal, modulo collisions that only add candidates
+    # for the exact verifier to discard).
+    a_np = np.array([a for a, _ in params], dtype=np.int64)
+    b_np = np.array([b for _, b in params], dtype=np.int64)
+    n_bands_, rpb_ = bands, rows_per_band
+
+    @F.pandas_udf("array<long>")
+    def _band_keys(hs):
+        import pandas as pd
+
+        lens = np.fromiter((len(x) for x in hs), dtype=np.int64,
+                           count=len(hs))
+        ndocs = len(lens)
+        if ndocs == 0:
+            return pd.Series([], dtype=object)
+        total = int(lens.sum())
+        vals = (np.concatenate([np.asarray(x, dtype=np.int64) for x in hs])
+                if total else np.empty(0, np.int64))
+        hm = vals % _MERSENNE
+        starts = np.zeros(ndocs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        sig = np.full((ndocs, len(a_np)), _MERSENNE, dtype=np.int64)
+        nonempty = lens > 0
+        with np.errstate(over="ignore"):
+            for k in range(len(a_np)):
+                pm = (hm * a_np[k] + b_np[k]) % _MERSENNE
+                if total:
+                    sig[nonempty, k] = np.minimum.reduceat(
+                        pm, starts[nonempty])
+        keys = np.empty((ndocs, n_bands_), dtype=np.uint64)
+        FNV_OFF = np.uint64(1469598103934665603)
+        FNV_PRIME = np.uint64(1099511628211)
+        usig = sig.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(n_bands_):
+                acc = (FNV_OFF ^ np.uint64(b)) * FNV_PRIME
+                acc = np.full(ndocs, acc, dtype=np.uint64)
+                for j in range(b * rpb_, b * rpb_ + rpb_):
+                    acc = (acc ^ usig[:, j]) * FNV_PRIME
+                keys[:, b] = acc
+        return pd.Series(list(keys.view(np.int64)))
+
     # cached: the self-join consumes band keys on both sides; without the
-    # cache the k-permutation fold would run twice per doc
+    # cache the per-permutation pass would run twice per doc
     stacked = base.select(
-        "__id", F.explode(F.expr(bands_expr)).alias("__bsig")
+        "__id", F.explode(_band_keys(F.col("__hs"))).alias("__bsig")
     ).cache()
 
     cand = (
