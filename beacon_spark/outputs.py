@@ -736,6 +736,12 @@ def _write_netcdf4_flat_streamed(
             return np.ascontiguousarray(
                 col.to_numpy(zero_copy_only=False), dt)
 
+        if "obs" in specs:
+            # a column literally named obs IS the record-dimension
+            # coordinate — it must stream FIRST (its dataset address
+            # seeds every other variable's DIMENSION_LIST)
+            specs = {"obs": specs["obs"],
+                     **{k: v for k, v in specs.items() if k != "obs"}}
         w = Nc4StreamWriter(path, nrows, specs, var_attrs)
         try:
             for name, dt in specs.items():

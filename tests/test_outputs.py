@@ -604,6 +604,19 @@ def test_writer_roundtrip_random_schemas_nc4_geo_odv(spark, tmp_path):
 
     check()
 
+    # a result column literally named "obs" becomes the record-dim
+    # coordinate; it must work even when it isn't the FIRST column
+    # (the writer reorders it to stream first — its dataset address
+    # seeds every DIMENSION_LIST)
+    odf = spark.createDataFrame([(1.5, 0), (2.5, 1)], "v double, obs long")
+    op2 = str(tmp_path / "obs.h5")
+    write_output(odf, "netcdf4", op2)
+    from beacon_spark.sources.hdf5lite import Hdf5Reader as _R
+    r2 = _R(op2)
+    assert list(r2.read(r2.root.datasets["obs"])) == [0, 1]
+    assert list(r2.read(r2.root.datasets["v"])) == [1.5, 2.5]
+    assert r2.root.datasets["obs"].attrs["CLASS"] == "DIMENSION_SCALE"
+
     # the naming convention IS the timestamp path — pin it once
     import datetime as _dt
 
