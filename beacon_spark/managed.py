@@ -227,6 +227,26 @@ class ManagedTable:
             # commit ATOMICALLY with the data they mark — ingest.py)
             doc["stream_batches"] = stream_batches
         self._commit_manifest(version, json.dumps(doc).encode())
+        # Version-number REUSE guard (r13 — the cross-process vacuum
+        # hammer caught this as lost acknowledged rows): VACUUM deletes
+        # old manifests, so a slow writer (manifest read → Spark data
+        # write → commit) can put-if-absent a version number that
+        # vacuum has since FREED. The create succeeds, the writer acks,
+        # but newer versions exist — the commit is an orphan stale
+        # version no reader ever sees. Vacuum never deletes the newest
+        # manifest, so "a newer version exists" is always observable
+        # right after our create: undo the orphan and surface the
+        # conflict to the caller's retry loop (which re-reads the real
+        # newest and merges). A reader in the undo window is safe — our
+        # manifest is removed only when a strictly newer one exists, so
+        # it is never the one _read_manifest selects.
+        ms = self._manifests()
+        if ms and ms[-1] != f"v{version:08d}.json":
+            with contextlib.suppress(OSError):
+                bs.remove(bs.join(self.manifest_dir, f"v{version:08d}.json"))
+            raise ManifestConflict(
+                f"{self.path}: version {version} had already been "
+                f"superseded and vacuumed when our commit landed; retry")
         return version
 
     def _commit_manifest(self, version: int, payload: bytes) -> None:
@@ -314,7 +334,15 @@ class ManagedTable:
                     # pins rename alias_files carriers forever
                     continue
                 new = f"part-{uuid.uuid4().hex}.parquet"
-                bs.move(src, bs.join(self.data_dir, new))
+                dst = bs.join(self.data_dir, new)
+                bs.move(src, dst)
+                # rename PRESERVES the staging-write mtime, so a file
+                # from a long Spark job would look old the moment it
+                # lands; VACUUM's in-flight protections (grace window +
+                # newer-than-last-commit) both key off mtime, so stamp
+                # the LANDING time
+                with contextlib.suppress(OSError):
+                    bs.touch(dst)
                 out.append(f"data/{new}")
         bs.rmtree(staging)
         return out
@@ -1004,25 +1032,42 @@ class ManagedTable:
     #: VACUUM retention plays the same role for its tombstoned files)
     STAGING_GRACE_SECS = 7 * 24 * 3600.0
 
-    def vacuum(self, retain_versions: int = 1) -> tuple[int, int]:
+    #: minimum age (seconds since landing in data/) before an
+    #: unreferenced data file becomes VACUUM-reclaimable. The Delta
+    #: retention contract in miniature: a concurrent writer must get
+    #: from file-land to manifest-commit inside this window.
+    VACUUM_GRACE_SECS = 600.0
+
+    def vacuum(self, retain_versions: int = 1,
+               grace_seconds: float | None = None) -> tuple[int, int]:
         """Reclaim storage: drop manifests older than the newest
         ``retain_versions`` and delete data files no surviving version
         references. Time travel shortens accordingly (the same contract
         as Delta VACUUM / Lance cleanup). Returns (manifests_removed,
         files_removed).
 
-        Concurrent-writer safety: a data file is deleted only when it is
-        BOTH unreferenced and older than the newest manifest — an
-        in-flight INSERT moves its files into ``data/`` BEFORE its
-        manifest commit, so "unreferenced" alone would let VACUUM delete
-        files the about-to-win commit references (the table would then
-        serve file-not-found forever). Files newer than the latest
-        commit are left for a later VACUUM, by which time they are
-        either referenced or provably abandoned. Crashed writers'
-        ``_staging-*`` dirs are reclaimed after :data:`STAGING_GRACE_SECS`.
+        Concurrent-writer safety, two independent guards (r13 — the
+        cross-process hammer caught the first guard alone losing
+        acknowledged rows): a data file is deleted only when it is
+        unreferenced AND (a) older than the newest manifest AND (b)
+        landed in ``data/`` more than ``grace_seconds`` ago (default
+        :data:`VACUUM_GRACE_SECS`). Guard (a) alone is insufficient:
+        writer A lands its file, writer B commits, and VACUUM runs
+        before A's commit — A's file is unreferenced and older than
+        B's manifest, yet A's imminent commit references it (the
+        hammer reproduced exactly this as lost acknowledged rows).
+        Guard (b) closes it for any writer that commits within the
+        grace window — the same retention contract Delta's VACUUM
+        documents. ``_write_data`` touch-stamps files at LANDING time
+        (rename preserves the staging-write mtime, which for a long
+        Spark job can predate the move by hours). Crashed writers'
+        ``_staging-*`` dirs are reclaimed after
+        :data:`STAGING_GRACE_SECS`.
         """
         if retain_versions < 1:
             raise ManagedTableError("VACUUM must retain at least 1 version")
+        if grace_seconds is None:
+            grace_seconds = self.VACUUM_GRACE_SECS
         ms = self._manifests()
         keep_ms = ms[-retain_versions:]
         drop_ms = ms[: -retain_versions] if retain_versions < len(ms) else []
@@ -1041,23 +1086,23 @@ class ManagedTable:
             default=0.0,
         )
         removed_files = 0
+        now = time.time()
         if bs.isdir(self.data_dir):
             for fn in bs.listdir(self.data_dir):
                 if fn.endswith(".parquet") and f"data/{fn}" not in live:
                     p = bs.join(self.data_dir, fn)
                     try:
-                        in_flight = bs.mtime(p) >= newest_commit
+                        mt = bs.mtime(p)
                     except OSError:
                         continue  # vanished — another vacuum got it
-                    if in_flight:
-                        continue
+                    if mt >= newest_commit or now - mt < grace_seconds:
+                        continue  # in flight (either guard)
                     bs.remove(p)
                     removed_files += 1
         for name in drop_ms:
             bs.remove(bs.join(self.manifest_dir, name))
         # abandoned staging dirs (writer crashed between _write_data's
         # Spark write and the moves): old enough = reclaimable
-        now = time.time()
         for fn in bs.listdir(self.path) if bs.isdir(self.path) else []:
             if fn.startswith("_staging-"):
                 p = bs.join(self.path, fn)

@@ -376,6 +376,9 @@ class _LocalFS:
     def move(self, src: str, dst: str) -> None:
         os.replace(local_path(src), local_path(dst))
 
+    def touch(self, path: str) -> None:
+        os.utime(local_path(path), None)
+
     def mtime(self, path: str) -> float:
         return os.path.getmtime(local_path(path))
 
@@ -530,6 +533,12 @@ class _ArrowFS:
                  self.fs.open_output_stream(self._p(dst)) as w:
                 w.write(r.read())
             self.fs.delete_file(self._p(src))
+
+    def touch(self, path: str) -> None:
+        # key-value stores have no utime; copy-based moves already
+        # stamp a fresh object timestamp, which is what touch-on-land
+        # exists to guarantee
+        return None
 
     def mtime(self, path: str) -> float:
         info = self._info(path)
@@ -707,6 +716,16 @@ def rmtree(path: str) -> None:
 def move(src: str, dst: str) -> None:
     """Rename src → dst (same store only)."""
     fs_for(src).move(src, dst)
+
+
+def touch(path: str) -> None:
+    """Refresh a file's modification time to now. Best-effort by
+    design: stores without utime (object stores, the bdb container,
+    custom mock FSes) stamp fresh timestamps on their copy-based
+    moves already, so missing support is a no-op, not an error."""
+    t = getattr(fs_for(path), "touch", None)
+    if t is not None:
+        t(path)
 
 
 def mtime(path: str) -> float:

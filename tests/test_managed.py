@@ -193,9 +193,14 @@ def test_create_index_clusters_and_prunes(spark, tmp_path):
     assert out3.count() > 0
 
 
-def test_vacuum_reclaims_old_versions(spark, tmp_path):
+def test_vacuum_reclaims_old_versions(spark, tmp_path, monkeypatch):
     from beacon_spark import Engine
+    from beacon_spark.managed import ManagedTable
 
+    # grace=0: this test asserts IMMEDIATE reclamation of superseded
+    # files; the default 600s landing-grace (concurrent-writer safety,
+    # r13) would rightly spare them
+    monkeypatch.setattr(ManagedTable, "VACUUM_GRACE_SECS", 0.0)
     eng = Engine(spark, datasets_root=str(tmp_path))
     eng.catalog.create_table("vac_t", spark.range(10).selectExpr("id"))
     eng.sql("INSERT INTO vac_t SELECT id + 100 AS id FROM range(5)")
@@ -1683,16 +1688,19 @@ def test_vacuum_zero_manifests_spares_all_files(spark, tmp_path):
     assert sorted(survivors) == sorted(data)
 
 
-def test_vacuum_spares_inflight_writer_files(spark, tmp_path):
+def test_vacuum_spares_inflight_writer_files(spark, tmp_path, monkeypatch):
     """A data file moved into data/ by a not-yet-committed INSERT is
     unreferenced but IN FLIGHT — vacuum deleting it would make the
     about-to-win commit reference a dead file. Only files older than
-    the newest manifest are reclaimable."""
+    the newest manifest are reclaimable. Grace pinned to 0 so this
+    exercises the newer-than-last-commit guard IN ISOLATION (the
+    landing-grace guard has its own pin below)."""
     import os
     import time as _time
 
     from beacon_spark.managed import ManagedTable
 
+    monkeypatch.setattr(ManagedTable, "VACUUM_GRACE_SECS", 0.0)
     eng = Engine(spark, datasets_root=str(tmp_path))
     eng.sql("CREATE TABLE vt AS SELECT * FROM VALUES (1), (2) AS v(id)")
     path = eng.catalog._load()["tables"]["vt"]
@@ -1717,6 +1725,47 @@ def test_vacuum_spares_inflight_writer_files(spark, tmp_path):
     eng.sql("INSERT INTO vt VALUES (4)")
     eng.sql("VACUUM vt RETAIN 1 VERSIONS")
     assert not os.path.exists(inflight)
+
+
+def test_vacuum_landing_grace_spares_other_writers_files(spark, tmp_path):
+    """r13: the cross-process hammer caught VACUUM losing acknowledged
+    rows through this exact interleave — writer A lands a file, writer
+    B commits, VACUUM runs before A's manifest commit: A's file is
+    unreferenced AND older than B's manifest (guard (a) passes), yet
+    A's imminent commit references it. The landing-grace guard must
+    spare any file younger than grace_seconds regardless of the
+    newest-commit comparison; once past grace (simulated by back-dating
+    the landing stamp) it is reclaimable."""
+    import os
+    import time as _time
+
+    from beacon_spark.managed import ManagedTable
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE gt AS SELECT * FROM VALUES (1), (2) AS v(id)")
+    path = eng.catalog._load()["tables"]["gt"]
+    # writer A's file lands (fresh mtime)...
+    landed = os.path.join(path, "data", "part-landed.parquet")
+    df = spark.createDataFrame([(3,)], "id int")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.mode("overwrite").parquet(td + "/w")
+        src = next(f for f in os.listdir(td + "/w") if f.endswith(".parquet"))
+        os.replace(td + "/w/" + src, landed)
+    os.utime(landed, None)
+    _time.sleep(0.02)
+    # ...then writer B commits, making A's file OLDER than the newest
+    # manifest — guard (a) alone would delete it
+    eng.sql("INSERT INTO gt VALUES (4)")
+    t = ManagedTable(spark, path)
+    t.vacuum(retain_versions=1)  # default grace
+    assert os.path.exists(landed), "landing grace must spare A's file"
+    # past the grace window it is provably abandoned
+    old = _time.time() - 10.0
+    os.utime(landed, (old, old))
+    t.vacuum(retain_versions=1, grace_seconds=5.0)
+    assert not os.path.exists(landed)
 
 
 def test_vacuum_reclaims_stale_staging_dirs(spark, tmp_path, monkeypatch):
