@@ -645,7 +645,8 @@ def _write_netcdf_flat_streamed(
 
 
 def _write_netcdf4_flat_streamed(
-    df: DataFrame, path: str, max_chunksize: int = 1 << 15
+    df: DataFrame, path: str, max_chunksize: int = 1 << 15,
+    compression: str | None = None, compression_level: int = 4,
 ) -> None:
     """Flat NetCDF-4 with BOUNDED driver memory (r12 verdict #3): spool
     once to executor-written parquet, size ``obs`` from parquet row
@@ -742,7 +743,18 @@ def _write_netcdf4_flat_streamed(
             # seeds every other variable's DIMENSION_LIST)
             specs = {"obs": specs["obs"],
                      **{k: v for k, v in specs.items() if k != "obs"}}
-        w = Nc4StreamWriter(path, nrows, specs, var_attrs)
+        filters = None
+        if compression:
+            if compression not in ("deflate", "zlib", "gzip"):
+                raise ValueError(
+                    f"unsupported netcdf4 compression {compression!r} "
+                    "(deflate/zlib/gzip)")
+            # shuffle + deflate per chunk — the standard netCDF-4
+            # combination; the HDF5 filter pipeline is already pinned
+            # by the writer->reader roundtrip tests
+            filters = {n: [("shuffle",), ("deflate", compression_level)]
+                       for n in specs}
+        w = Nc4StreamWriter(path, nrows, specs, var_attrs, filters=filters)
         try:
             for name, dt in specs.items():
                 ft = target.field(name).type
@@ -986,7 +998,10 @@ def write_output(df: DataFrame, fmt: str, path: str, **options) -> None:
         # a full count (r12 ADVICE).
         dim_cols = options.get("dimension_columns")
         if not dim_cols:
-            _write_netcdf4_flat_streamed(df, path)
+            _write_netcdf4_flat_streamed(
+                df, path,
+                compression=options.get("compression"),
+                compression_level=int(options.get("compression_level", 4)))
         else:
             cap = int(options.get("max_rows", 20_000_000))
             if df.limit(cap + 1).count() > cap:

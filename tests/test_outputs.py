@@ -604,6 +604,25 @@ def test_writer_roundtrip_random_schemas_nc4_geo_odv(spark, tmp_path):
 
     check()
 
+    # streamed netcdf4 with shuffle+deflate chunks: smaller file, same
+    # values (the filter pipeline itself is pinned by the writer→reader
+    # roundtrip matrix in test_hdf5_write.py)
+    cdf = spark.range(20_000).selectExpr("id", "id % 7 * 0.25 AS v")
+    pu = str(tmp_path / "u.h5")
+    pc_ = str(tmp_path / "c.h5")
+    write_output(cdf, "netcdf4", pu)
+    write_output(cdf, "netcdf4", pc_, compression="deflate")
+    import os as _os
+    assert _os.path.getsize(pc_) < _os.path.getsize(pu) * 0.6
+    from beacon_spark.sources.hdf5lite import Hdf5Reader as _HR
+    rc = _HR(pc_)
+    assert list(rc.read_region(rc.root.datasets["v"], [(35, 40)])) == [
+        (35 + i) % 7 * 0.25 for i in range(5)]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="compression"):
+        write_output(cdf, "netcdf4", str(tmp_path / "x.h5"),
+                     compression="lz4")
+
     # a result column literally named "obs" becomes the record-dim
     # coordinate; it must work even when it isn't the FIRST column
     # (the writer reorders it to stream first — its dataset address
