@@ -1004,13 +1004,32 @@ def write_output(df: DataFrame, fmt: str, path: str, **options) -> None:
                 compression_level=int(options.get("compression_level", 4)))
         else:
             cap = int(options.get("max_rows", 20_000_000))
-            if df.limit(cap + 1).count() > cap:
+            n = df.limit(cap + 1).count()
+            if n > cap:
                 raise ValueError(
                     f"re-gridded netcdf4 output materializes the result "
                     f"on the driver; more than {cap} rows. Use format "
                     "'ndnetcdf' (streamed, one grid at a time) for "
                     "results this large, or raise the cap via "
                     "write_output(..., max_rows=N)")
+            # bytes cap too (r12 ADVICE): a row cap alone lets a WIDE
+            # 20M-row result OOM the driver; estimate from the schema
+            # (numerics by width, strings/binary/arrays at a nominal
+            # 64 B — an estimate, not an accounting)
+            from pyspark.sql import types as _T
+
+            _W = {_T.ByteType: 1, _T.ShortType: 2, _T.IntegerType: 4,
+                  _T.FloatType: 4, _T.BooleanType: 1, _T.LongType: 8,
+                  _T.DoubleType: 8, _T.DateType: 4, _T.TimestampType: 8}
+            est = n * max(8, sum(
+                _W.get(type(f.dataType), 64) for f in df.schema.fields))
+            max_bytes = int(options.get("max_bytes", 8 << 30))
+            if est > max_bytes:
+                raise ValueError(
+                    f"re-gridded netcdf4 output: estimated result size "
+                    f"{est >> 20} MiB exceeds the {max_bytes >> 20} MiB "
+                    "driver-materialization bound; use 'ndnetcdf' or "
+                    "raise it via write_output(..., max_bytes=N)")
             _write_netcdf_table(df.toArrow(), path, dim_cols,
                                 flavor="netcdf4")
     elif fmt == "netcdf":

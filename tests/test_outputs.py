@@ -421,6 +421,11 @@ def test_hdf5_output_writes_real_netcdf4(spark, tmp_path):
     with _p.raises(ValueError, match="streamed"):
         write_output(grid, "netcdf4", str(tmp_path / "big.h5"),
                      dimension_columns=["x", "y"], max_rows=3)
+    # ...and a BYTES cap besides rows: a wide result under the row cap
+    # must still refuse driver materialization (r12 ADVICE)
+    with _p.raises(ValueError, match="MiB"):
+        write_output(grid, "netcdf4", str(tmp_path / "big2.h5"),
+                     dimension_columns=["x", "y"], max_bytes=64)
 
 
 def test_netcdf_flat_int64_beyond_int32_not_clipped(spark, tmp_path):
