@@ -1454,8 +1454,22 @@ def read_hdf5_grid(path: str):
             ]
         elif isinstance(dl, list) and len(dl) == len(ds.shape):
             for k, refs in enumerate(dl):
-                ref = refs[0] if isinstance(refs, list) and refs else refs
-                dname = dim_names.get(int(ref) if ref is not None else -1)
+                # a corrupt vlen can nest lists arbitrarily (fuzz seed
+                # 11189252 trial 108: int(list) escaped as a raw
+                # TypeError) — unwrap boundedly, fall back to a phony
+                # dim on anything that isn't a clean object reference
+                ref = refs
+                for _ in range(4):
+                    if isinstance(ref, list):
+                        ref = ref[0] if ref else None
+                    else:
+                        break
+                try:
+                    dname = (dim_names.get(int(ref))
+                             if ref is not None and not isinstance(ref, list)
+                             else None)
+                except (TypeError, ValueError):
+                    dname = None
                 dims.append(dname if dname else _phony_dim(ds.shape[k]))
         else:
             dims = [_phony_dim(s) for s in ds.shape]
