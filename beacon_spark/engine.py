@@ -1127,10 +1127,9 @@ class Engine:
                 ts = ts.replace(tzinfo=_dt.timezone.utc)
             t = ManagedTable(self.spark, tables[name])
             best = None
-            for mf in t._manifests():
-                committed = bs.mtime(bs.join(t.manifest_dir, mf))
+            for ver, committed in t.versions():
                 if committed <= ts.timestamp():
-                    best = int(mf[1:9])
+                    best = ver
             if best is None:
                 raise ValueError(
                     f"no version of {name!r} existed at {ts_text!r} "
@@ -1704,12 +1703,10 @@ class Engine:
             import datetime as _dt
 
             rows = []
-            for mf in t._manifests():
-                ver = int(mf[1:9])
+            for ver, committed in t.versions():
                 mani = t._read_manifest(ver)
                 ts = _dt.datetime.fromtimestamp(
-                    bs.mtime(bs.join(t.manifest_dir, mf)),
-                    tz=_dt.timezone.utc,
+                    committed, tz=_dt.timezone.utc,
                 )
                 rows.append((ver, ts, len(mani["files"])))
             return self.spark.createDataFrame(

@@ -95,6 +95,30 @@ class ManagedTable:
         ms = self._manifests()
         return int(ms[-1][1:-5]) if ms else 0
 
+    def versions(self) -> list[tuple[int, float]]:
+        """``(version, committed_at)`` for every RETAINED version,
+        ascending — skips vacuum tombstones (their names persist as
+        reuse guards but they are no longer readable) and in-progress
+        empty claims. Time travel / SHOW VERSIONS iterate this instead
+        of raw ``_manifests()``."""
+        out: list[tuple[int, float]] = []
+        for name in self._manifests():
+            target = bs.join(self.manifest_dir, name)
+            try:
+                body = bs.read_text(target)
+            except OSError:
+                continue  # vacuumed/reclaimed underneath us
+            if not body:
+                continue  # claim in progress
+            try:
+                doc = json.loads(body)
+            except ValueError:
+                continue
+            if doc.get("vacuumed") or "files" not in doc:
+                continue
+            out.append((int(name[1:9]), bs.mtime(target)))
+        return out
+
     #: an empty manifest claim older than this is treated as abandoned
     #: (writer crashed between the O_EXCL claim and the atomic replace)
     #: and reclaimed by the next reader. Generous on purpose: a LIVE
@@ -114,7 +138,15 @@ class ManagedTable:
         for _ in range(20):
             body = bs.read_text(target)
             if body:
-                return json.loads(body)
+                doc = json.loads(body)
+                if doc.get("vacuumed"):
+                    # the name stays claimed forever (version-reuse
+                    # guard) but the content is gone
+                    raise ManagedTableError(
+                        f"{self.path}: version {doc.get('version', name)} "
+                        f"has been vacuumed — time travel no longer "
+                        f"reaches it")
+                return doc
             # the no-hardlink commit fallback claims the name empty for
             # an instant before the atomic replace — wait it out
             time.sleep(0.01)
@@ -227,26 +259,20 @@ class ManagedTable:
             # commit ATOMICALLY with the data they mark — ingest.py)
             doc["stream_batches"] = stream_batches
         self._commit_manifest(version, json.dumps(doc).encode())
-        # Version-number REUSE guard (r13 — the cross-process vacuum
-        # hammer caught this as lost acknowledged rows): VACUUM deletes
-        # old manifests, so a slow writer (manifest read → Spark data
-        # write → commit) can put-if-absent a version number that
-        # vacuum has since FREED. The create succeeds, the writer acks,
-        # but newer versions exist — the commit is an orphan stale
-        # version no reader ever sees. Vacuum never deletes the newest
-        # manifest, so "a newer version exists" is always observable
-        # right after our create: undo the orphan and surface the
-        # conflict to the caller's retry loop (which re-reads the real
-        # newest and merges). A reader in the undo window is safe — our
-        # manifest is removed only when a strictly newer one exists, so
-        # it is never the one _read_manifest selects.
-        ms = self._manifests()
-        if ms and ms[-1] != f"v{version:08d}.json":
-            with contextlib.suppress(OSError):
-                bs.remove(bs.join(self.manifest_dir, f"v{version:08d}.json"))
-            raise ManifestConflict(
-                f"{self.path}: version {version} had already been "
-                f"superseded and vacuumed when our commit landed; retry")
+        # Version-number REUSE cannot happen: VACUUM replaces dropped
+        # manifests with TOMBSTONE files (same name, {"vacuumed": true})
+        # instead of deleting them, so a slow writer whose candidate
+        # number was vacuumed finds the name still claimed and gets a
+        # clean ManifestConflict from put-if-absent above. The previous
+        # design (r13) deleted old manifests and compensated with a
+        # post-commit "newer version exists → retract ours" check — but
+        # that conflated the vacuum-reuse case with the BENIGN race
+        # where a fast follower read our fresh commit and built v(N+2)
+        # on top of it inside our link→list window: retracting then
+        # punched a hole under the follower and made insert()'s retry
+        # double-append our files. Tombstones make the claim namespace
+        # append-only, so a successful put-if-absent IS the commit —
+        # nothing is ever retracted.
         return version
 
     def _commit_manifest(self, version: int, payload: bytes) -> None:
@@ -584,9 +610,15 @@ class ManagedTable:
             try:
                 # appends are retryable: on conflict, re-read the winner's
                 # manifest and append the SAME data files to its file list
-                # (the pre-conflict behavior silently dropped the loser)
+                # (the pre-conflict behavior silently dropped the loser).
+                # Dedupe on merge: if a ManifestConflict ever fires after
+                # the commit actually landed (a remote store's write-back
+                # verify reading stale), the winner's list already holds
+                # our files — appending blind would serve duplicated rows
+                seen = set(m["files"])
                 return self._write_manifest(
-                    T.StructType.fromJson(m["schema"]), m["files"] + files,
+                    T.StructType.fromJson(m["schema"]),
+                    m["files"] + [f for f in files if f not in seen],
                     m.get("aliases") or {}, m.get("alias_files") or {},
                     m.get("retired") or [], markers,
                     base_version=m["version"])
@@ -1038,6 +1070,15 @@ class ManagedTable:
     #: from file-land to manifest-commit inside this window.
     VACUUM_GRACE_SECS = 600.0
 
+    #: how long a vacuumed manifest's NAME stays claimed as a tombstone
+    #: before a later VACUUM may delete the file. While the tombstone
+    #: exists, a stale writer that computed the same version number gets
+    #: a clean put-if-absent conflict instead of committing an invisible
+    #: orphan (acknowledged-row loss). A writer stalled mid-commit
+    #: longer than this is out of contract — the same shape as Delta's
+    #: log-retention window.
+    MANIFEST_TOMBSTONE_SECS = 7 * 24 * 3600.0
+
     def vacuum(self, retain_versions: int = 1,
                grace_seconds: float | None = None) -> tuple[int, int]:
         """Reclaim storage: drop manifests older than the newest
@@ -1069,13 +1110,24 @@ class ManagedTable:
         if grace_seconds is None:
             grace_seconds = self.VACUUM_GRACE_SECS
         ms = self._manifests()
-        keep_ms = ms[-retain_versions:]
-        drop_ms = ms[: -retain_versions] if retain_versions < len(ms) else []
+        # classify once: live manifests vs tombstones from earlier
+        # vacuums vs in-progress empty claims (left alone — the
+        # abandoned-claim reclaim in _read_manifest owns those)
+        docs: dict[str, dict] = {}
+        for name in ms:
+            try:
+                body = bs.read_text(bs.join(self.manifest_dir, name))
+                docs[name] = json.loads(body) if body else {}
+            except (OSError, ValueError):
+                docs[name] = {}
+        live_ms = [n for n in ms if "files" in docs[n]]
+        tomb_ms = [n for n in ms if docs[n].get("vacuumed")]
+        keep_ms = live_ms[-retain_versions:]
+        drop_ms = (live_ms[: -retain_versions]
+                   if retain_versions < len(live_ms) else [])
         live: set[str] = set()
         for name in keep_ms:
-            live.update(
-                json.loads(bs.read_text(bs.join(self.manifest_dir, name)))["files"]
-            )
+            live.update(docs[name]["files"])
         # default=0.0, NOT inf: with zero manifests (pre-first-commit
         # window / misuse) `mtime >= inf` would be False for every file
         # and VACUUM would delete an in-flight INSERT's data — the exact
@@ -1099,8 +1151,28 @@ class ManagedTable:
                         continue  # in flight (either guard)
                     bs.remove(p)
                     removed_files += 1
+        # TOMBSTONE, never delete: the manifest NAME is the put-if-absent
+        # claim token, so deleting it would free the version number for a
+        # slow writer to reuse — its commit would land invisibly behind
+        # newer versions (acknowledged-row loss; the r13 post-commit
+        # retraction that tried to compensate conflated this with the
+        # benign fast-follower race and could retract GOOD commits).
+        # Content is atomically replaced so concurrent readers see the
+        # old manifest or the tombstone, never a torn file.
         for name in drop_ms:
-            bs.remove(bs.join(self.manifest_dir, name))
+            v = int(name[1:9])
+            bs.publish_bytes(
+                bs.join(self.manifest_dir, name),
+                json.dumps({"version": v, "vacuumed": True}).encode())
+        # reap tombstones past the retention contract: a writer still
+        # mid-commit MANIFEST_TOMBSTONE_SECS after its number was
+        # vacuumed is out of contract (same shape as Delta's log
+        # retention), so the reuse guard may finally release the name
+        for name in tomb_ms:
+            p = bs.join(self.manifest_dir, name)
+            with contextlib.suppress(OSError):
+                if now - bs.mtime(p) > self.MANIFEST_TOMBSTONE_SECS:
+                    bs.remove(p)
         # abandoned staging dirs (writer crashed between _write_data's
         # Spark write and the moves): old enough = reclaimable
         for fn in bs.listdir(self.path) if bs.isdir(self.path) else []:

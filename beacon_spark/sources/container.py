@@ -280,6 +280,21 @@ class _Container:
                 )
         self._invalidate(key)
 
+    def touch(self, key: str) -> bool:
+        """Re-stamp an object's mtime to now. ``rename`` is a key
+        UPDATE that keeps the original write stamp, so a moved object
+        would look as old as its staging write — VACUUM's landing-time
+        guards need the LANDING stamp (same contract as the filesystem
+        facades' touch)."""
+        with self._lock:
+            conn = self._conn()
+            with conn:
+                cur = conn.execute(
+                    "UPDATE objects SET mtime = ? WHERE key = ?",
+                    (time.time(), key),
+                )
+        return cur.rowcount == 1
+
     def write_bytes_if_absent(self, key: str, data: bytes) -> bool:
         """TRUE conditional put — the transactional primitive the
         object-store facade can only approximate with exists+verify.
@@ -839,6 +854,13 @@ class ContainerFS:
         if not rows:
             raise FileNotFoundError(uri)
         return max(m for _, _, m in rows)
+
+    def touch(self, uri: str) -> None:
+        # rename preserves the staging-write stamp (it is a key UPDATE)
+        # — re-stamp so VACUUM's landing-time guards see landing time
+        cont, key = self._ck(uri)
+        if not cont.touch(key):
+            raise FileNotFoundError(uri)
 
     # -------------------------------------------------- write side
 

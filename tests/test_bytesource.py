@@ -332,3 +332,63 @@ def test_glob_regex_hypothesis_differential(tmp_path):
         assert got == want, (pat, sorted(keep), got, want)
 
     check()
+
+
+def test_arrowfs_touch_restamps_after_native_rename(tmp_path):
+    """r14 (ADVICE medium): _ArrowFS.move tries NATIVE fs.move first,
+    which on local-backed Arrow filesystems is a rename that PRESERVES
+    the staging-write mtime — touch must re-stamp, or VACUUM's
+    landing-time guards key off a stale time and can reclaim an
+    in-flight writer's freshly landed file."""
+    import os
+    import time as _time
+
+    from pyarrow import fs as pafs
+
+    from beacon_spark.sources import bytesource as bs
+
+    root = tmp_path / "store"
+    root.mkdir()
+
+    class SubTreeFS(bs._ArrowFS):
+        def __init__(self, scheme, authority):
+            self.scheme, self.authority = scheme, authority
+            self.fs = pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem())
+            self._root = ""
+
+    bs.register_scheme("touchfs", SubTreeFS)
+    try:
+        bs.write_bytes("touchfs://b/staging.bin", b"payload")
+        old = _time.time() - 3600.0
+        os.utime(root / "staging.bin", (old, old))
+        bs.move("touchfs://b/staging.bin", "touchfs://b/landed.bin")
+        # native rename preserved the hour-old stamp
+        assert _time.time() - bs.mtime("touchfs://b/landed.bin") > 3000
+        bs.touch("touchfs://b/landed.bin")
+        assert _time.time() - bs.mtime("touchfs://b/landed.bin") < 60
+    finally:
+        bs.register_scheme("touchfs", SubTreeFS)  # drop cache entry
+
+
+def test_container_touch_restamps_after_rename(tmp_path):
+    """r14 (ADVICE medium): the bdb container's rename is a key UPDATE
+    that keeps the original write stamp — touch must re-stamp it."""
+    import time as _time
+
+    from beacon_spark.sources import bytesource as bs
+    from beacon_spark.sources.container import _container
+
+    db = str(tmp_path / "lake.db")
+    uri = f"bdb://{db}"
+    bs.write_bytes(f"{uri}/a/staging.bin", b"payload")
+    cont = _container(db)
+    with cont._lock:
+        conn = cont._conn()
+        with conn:
+            conn.execute("UPDATE objects SET mtime = ? WHERE key = ?",
+                         (_time.time() - 3600.0, "a/staging.bin"))
+    cont._invalidate("a/staging.bin")
+    bs.move(f"{uri}/a/staging.bin", f"{uri}/a/landed.bin")
+    assert _time.time() - bs.mtime(f"{uri}/a/landed.bin") > 3000
+    bs.touch(f"{uri}/a/landed.bin")
+    assert _time.time() - bs.mtime(f"{uri}/a/landed.bin") < 60

@@ -1799,3 +1799,97 @@ def test_catalog_rejects_path_escaping_names(spark, tmp_path):
         eng.catalog.create_table("../evil", df)
     with pytest.raises(ManagedTableError, match="bad table name"):
         eng.catalog.create_materialized_view("a/b", "SELECT 1", df)
+
+
+def test_vacuum_tombstones_block_version_reuse(spark, tmp_path, monkeypatch):
+    """r14 (ADVICE high): VACUUM must never free a version NUMBER — a
+    slow writer that computed a freed number would put-if-absent it
+    successfully and commit an invisible orphan behind newer versions
+    (acknowledged-row loss). Old manifests are tombstoned in place, so
+    the stale writer gets a clean ManifestConflict instead; the newest
+    manifest is untouched (the r13 post-commit retraction that
+    compensated for freed numbers could delete GOOD commits)."""
+    import os
+
+    from beacon_spark.managed import (ManagedTable, ManagedTableError,
+                                      ManifestConflict)
+
+    monkeypatch.setattr(ManagedTable, "VACUUM_GRACE_SECS", 0.0)
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE reuse_t AS SELECT * FROM range(10)")
+    eng.sql("INSERT INTO reuse_t SELECT id + 100 AS id FROM range(5)")
+    eng.sql("INSERT INTO reuse_t SELECT id + 200 AS id FROM range(5)")
+    mt = eng.catalog.table("reuse_t")
+    assert mt.current_version() == 3
+    mt.vacuum(retain_versions=1)
+    mdir = os.path.join(mt.path, "_manifests")
+    # names v1/v2 persist as tombstones, v3 is live
+    names = sorted(os.listdir(mdir))
+    assert names == ["v00000001.json", "v00000002.json", "v00000003.json"]
+    for tomb in names[:2]:
+        with open(os.path.join(mdir, tomb)) as f:
+            assert json.load(f)["vacuumed"] is True
+    # a stale writer that read v1 long ago tries to commit v2 — the
+    # tombstone holds the claim: clean conflict, nothing retracted
+    schema = mt.schema()
+    with pytest.raises(ManifestConflict):
+        mt._write_manifest(schema, mt._read_manifest()["files"],
+                           base_version=1)
+    assert mt.current_version() == 3
+    assert mt.read().count() == 20
+    # vacuumed versions give a clear time-travel error
+    with pytest.raises(ManagedTableError, match="vacuumed"):
+        mt.read(version=1)
+    # versions()/SHOW VERSIONS skip tombstones
+    assert [v for v, _ in mt.versions()] == [3]
+    # tombstones past the retention contract are reaped by a later run
+    monkeypatch.setattr(ManagedTable, "MANIFEST_TOMBSTONE_SECS", 0.0)
+    mt.vacuum(retain_versions=1)
+    assert sorted(os.listdir(mdir)) == ["v00000003.json"]
+
+
+def test_successful_commit_never_retracted_by_fast_follower(spark, tmp_path):
+    """r14 (ADVICE high): a follower committing v(N+1) on top of our
+    fresh vN must not cause OUR manifest to be deleted — every
+    committed version stays readable until vacuumed."""
+    import os
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE ff_t AS SELECT * FROM range(4)")
+    eng.sql("INSERT INTO ff_t SELECT id + 10 AS id FROM range(4)")
+    eng.sql("INSERT INTO ff_t SELECT id + 20 AS id FROM range(4)")
+    mt = eng.catalog.table("ff_t")
+    mdir = os.path.join(mt.path, "_manifests")
+    assert sorted(os.listdir(mdir)) == [
+        "v00000001.json", "v00000002.json", "v00000003.json"]
+    assert mt.read(version=2).count() == 8
+
+
+def test_insert_retry_after_phantom_conflict_does_not_duplicate(
+        spark, tmp_path, monkeypatch):
+    """r14 (ADVICE high, defense-in-depth): if a store's write-back
+    verify reads stale and reports ManifestConflict AFTER the commit
+    actually landed, insert()'s retry re-reads a manifest that already
+    lists our files — the merge must dedupe, not double-append."""
+    from beacon_spark.managed import ManagedTable, ManifestConflict
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE ph_t AS SELECT * FROM range(10)")
+    mt = eng.catalog.table("ph_t")
+
+    orig = ManagedTable._write_manifest
+    state = {"fired": False}
+
+    def flaky(self, *a, **kw):
+        v = orig(self, *a, **kw)
+        if not state["fired"]:
+            state["fired"] = True
+            raise ManifestConflict("phantom: write-back verify read stale")
+        return v
+
+    monkeypatch.setattr(ManagedTable, "_write_manifest", flaky)
+    mt.insert(spark.range(5).selectExpr("id + 100 AS id"))
+    monkeypatch.undo()
+    m = mt._read_manifest()
+    assert len(m["files"]) == len(set(m["files"]))
+    assert mt.read().count() == 15  # not 20

@@ -118,11 +118,17 @@ def test_mv_and_vacuum_on_object_store(spark, meng, mock_root):
     got = {(r.g, r.n) for r in meng.sql("SELECT * FROM mv").collect()}
     assert got == {(0, 23), (1, 20), (2, 20)}
 
-    # vacuum drops old versions' files through the store facade
+    # vacuum drops old versions through the store facade — manifests
+    # are TOMBSTONED in place (name stays claimed as the version-reuse
+    # guard), not removed
     mt = meng.catalog.table("base")
     dropped_ms, dropped_files = mt.vacuum(retain_versions=1)
     assert dropped_ms >= 1
-    assert _fs(mock_root).ops["remove"] >= dropped_ms
+    mdir = bs.join(mt.path, "_manifests")
+    tombs = [n for n in bs.listdir(mdir)
+             if json.loads(bs.read_text(bs.join(mdir, n)) or "{}")
+             .get("vacuumed")]
+    assert len(tombs) >= dropped_ms
     assert meng.sql("SELECT count(*) AS n FROM base").collect()[0].n == 63
 
     meng.sql("DROP TABLE base")
