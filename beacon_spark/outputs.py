@@ -763,10 +763,14 @@ def _write_netcdf4_flat_streamed(
                         columns=[name], batch_size=max_chunksize
                     ):
                         w.write_values(name, chunk_np(b.column(0), ft, dt))
+            # close() inside the try: it flushes final edge chunks and
+            # the chunk btrees and re-checks declared row counts — if IT
+            # raises, abort() must still run (handle + partial file
+            # cleanup), not leak (ADVICE r14 low)
+            w.close()
         except BaseException:
             w.abort()  # don't mask the real error with close()'s checks
             raise
-        w.close()
 
 
 def _write_netcdf_nd_streamed(

@@ -258,6 +258,51 @@ class _Builder:
         self.buf.extend(data)
         return addr
 
+    def _chunk_btree(self, chunks, dims: tuple[int, ...]) -> int:
+        """Multi-level v1 B-tree chunk index (node type 1), max 64
+        entries per node. A v0 superblock carries no indexed-storage K,
+        so libhdf5 assumes its default K=32 and REJECTS any chunk-btree
+        node with more than 2K=64 children ("number of children exceeds
+        maximum") — a single flat leaf made every >64-chunk file
+        unreadable by h5py/netCDF-C/ncdump (ADVICE r14 high). Entries
+        are stacked into internal levels as deep as needed, so exports
+        of any size index correctly. Sibling pointers stay UNDEF:
+        read paths (libhdf5 H5B__find / H5B__iterate_helper) descend
+        from the root and never follow them; they only matter for
+        in-place inserts, which a write-once file never does.
+
+        ``chunks`` = ordered ``(offsets_tuple, chunk_addr, stored_size)``;
+        ``dims`` = dataset dims (the past-the-end max key, spec)."""
+        k2 = 64
+        def key(size: int, mask: int, offs) -> bytes:
+            # size, filter mask, one offset per dim + the elem-size dim
+            return (struct.pack("<II", size, mask)
+                    + b"".join(struct.pack("<Q", o) for o in offs)
+                    + struct.pack("<Q", 0))
+        maxkey = key(0, 0, dims)
+        entries = [(key(csize, 0, offs), caddr)
+                   for offs, caddr, csize in chunks]
+        level = 0
+        while True:
+            groups = ([entries[i: i + k2]
+                       for i in range(0, len(entries), k2)] or [[]])
+            nodes = []
+            for gi, g in enumerate(groups):
+                # trailing key = first key of the right sibling's
+                # subtree; past-the-end for the rightmost node (spec)
+                nxt = groups[gi + 1][0][0] if gi + 1 < len(groups) else maxkey
+                node = bytearray(b"TREE" + bytes([1, level])
+                                 + struct.pack("<HQQ", len(g), UNDEF, UNDEF))
+                for k, child in g:
+                    node += k + struct.pack("<Q", child)
+                node += nxt
+                nodes.append((g[0][0] if g else maxkey,
+                              self.alloc(bytes(node))))
+            if len(nodes) == 1:
+                return nodes[0][1]
+            entries = nodes
+            level += 1
+
     def dataset(
         self,
         name: str,
@@ -311,17 +356,7 @@ class _Builder:
                 chunk[sel] = arr[src]
                 raw = _apply_write_filters(chunk.tobytes(), flts, itemsize)
                 chunks.append((offs, self.alloc(raw), len(raw)))
-            node = bytearray(b"TREE" + bytes([1, 0])
-                             + struct.pack("<HQQ", len(chunks), UNDEF, UNDEF))
-            for offs, caddr, csize in chunks:
-                node += struct.pack("<II", csize, 0)
-                node += b"".join(struct.pack("<Q", o) for o in offs)
-                node += struct.pack("<QQ", 0, caddr)
-            # trailing key: first offset past the dataset (spec)
-            node += struct.pack("<II", 0, 0)
-            node += b"".join(struct.pack("<Q", s) for s in arr.shape)
-            node += struct.pack("<Q", 0)
-            btree_addr = self.alloc(bytes(node))
+            btree_addr = self._chunk_btree(chunks, arr.shape)
             lay = (struct.pack("<BBBQ", 3, 2, arr.ndim + 1, btree_addr)
                    + b"".join(struct.pack("<I", c) for c in cshape)
                    + struct.pack("<I", itemsize))
@@ -415,9 +450,9 @@ class _Builder:
         if not name or "/" in name or "\x00" in name:
             raise Hdf5WriteError(f"invalid dataset name {name!r}")
         dtype = _le(np.dtype(dtype))
-        # one v1-btree leaf holds at most 65535 entries (u16 "entries
-        # used"); widen chunks instead of failing on huge exports
-        chunk_rows = max(int(chunk_rows), -(-nrows // 60_000) if nrows else 1)
+        # the multi-level chunk btree (_chunk_btree) indexes any chunk
+        # count — no cap-driven widening needed
+        chunk_rows = max(int(chunk_rows), 1)
         return {
             "name": name, "dtype": dtype, "nrows": int(nrows),
             "chunk_rows": chunk_rows, "flts": list(flts or []),
@@ -458,15 +493,9 @@ class _Builder:
             raise Hdf5WriteError(
                 f"{name}: streamed {st['written']} rows, declared "
                 f"{st['nrows']}")
-        node = bytearray(b"TREE" + bytes([1, 0])
-                         + struct.pack("<HQQ", len(st["chunks"]),
-                                       UNDEF, UNDEF))
-        for off, caddr, csize in st["chunks"]:
-            node += struct.pack("<II", csize, 0)
-            node += struct.pack("<QQQ", off, 0, caddr)
-        node += struct.pack("<II", 0, 0)
-        node += struct.pack("<QQ", st["nrows"], 0)
-        btree_addr = self.alloc(bytes(node))
+        btree_addr = self._chunk_btree(
+            [((off,), caddr, csize) for off, caddr, csize in st["chunks"]],
+            (st["nrows"],))
         msgs: list[tuple[int, bytes]] = [
             (0x01, _dataspace((st["nrows"],))),
             (0x03, st["dtype_msg"] or encode_datatype(dtype)),
