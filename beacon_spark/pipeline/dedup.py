@@ -1134,17 +1134,31 @@ def semdedup(
 
         @F.pandas_udf("int")
         def _subcell(cell, v):
-            out = np.zeros(len(cell), dtype="int32")
+            # null cell/vector rows -> null sub-cell (never a vstack
+            # crash on one bad row — ADVICE r14, same contract as the
+            # similarity UDFs)
             cells = cell.to_numpy()
-            for c in np.unique(cells):
+            vals = v.to_numpy()
+            n = len(cells)
+            valid = np.fromiter(
+                (cells[i] is not None and not pd.isna(cells[i])
+                 and vals[i] is not None for i in range(n)),
+                dtype=bool, count=n)
+            out = np.empty(n, dtype=object)
+            out[valid] = np.int32(0)
+            for c in np.unique(cells[valid].astype(np.int64)):
                 cent = bc_sub.value.get(int(c))
                 if cent is None:
                     continue
-                idx = np.nonzero(cells == c)[0]
-                mat = np.vstack(v.iloc[idx].to_numpy()).astype(np.float64)
+                dim = cent.shape[1]
+                idx = np.nonzero(valid & (cells == c))[0]
+                idx = np.array([i for i in idx if len(vals[i]) == dim])
+                if not len(idx):
+                    continue
+                mat = np.vstack(vals[idx]).astype(np.float64)
                 mat /= np.maximum(
                     np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-                out[idx] = np.argmax(mat @ cent.T, axis=1)
+                out[idx] = np.argmax(mat @ cent.T, axis=1).astype("int32")
             return pd.Series(out)
 
         with_cell = with_cell.withColumn(

@@ -101,6 +101,24 @@ def lsh_bucket_expr(vec_col: str | Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def _stack_valid(series, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """``(matrix, valid_mask)`` for an Arrow batch of embeddings.
+    NULL vectors and vectors whose length differs from ``dim`` are
+    masked out instead of crashing ``np.vstack`` (ADVICE r14): the
+    Catalyst expression tier degrades a null vector to a null bucket
+    that downstream explode/join silently skip, and the UDF tier must
+    degrade identically — one bad row must never fail the query."""
+    vals = series.to_numpy()
+    mask = np.fromiter(
+        (v is not None and len(v) == dim for v in vals),
+        dtype=bool, count=len(vals))
+    if not mask.any():
+        return np.zeros((0, dim), dtype=np.float64), mask
+    if mask.all():
+        return np.vstack(vals).astype(np.float64, copy=False), mask
+    return np.vstack(vals[mask]).astype(np.float64, copy=False), mask
+
+
 def assign_buckets(df: DataFrame, planes: np.ndarray, vec_col: str | Column) -> Column:
     """LSH bucket id for every row, codegen-guarded.
 
@@ -121,9 +139,11 @@ def assign_buckets(df: DataFrame, planes: np.ndarray, vec_col: str | Column) -> 
     def _assign(v):
         import pandas as pd
 
-        mat = np.vstack(v.to_numpy())
+        mat, mask = _stack_valid(v, dim)
         bits = (mat @ bc.value.T) > 0
-        return pd.Series((bits @ weights).astype("int64"))
+        out = np.empty(len(mask), dtype=object)
+        out[mask] = (bits @ weights).astype("int64")
+        return pd.Series(out)  # null bucket for null/ragged vectors
 
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return _assign(c.cast("array<double>"))
@@ -156,12 +176,17 @@ def assign_buckets_multi(
     def _assign_multi(v):
         import pandas as pd
 
-        mat = np.vstack(v.to_numpy())
-        bits = (mat @ bc.value.T) > 0  # (rows, bands*planes)
-        out = np.empty((len(mat), n_bands), dtype=np.int64)
+        mat, mask = _stack_valid(v, dim)
+        bits = (mat @ bc.value.T) > 0  # (valid rows, bands*planes)
+        buckets = np.empty((len(mat), n_bands), dtype=np.int64)
         for b in range(n_bands):
-            out[:, b] = bits[:, b * n_planes:(b + 1) * n_planes] @ weights
-        return pd.Series(list(out))
+            buckets[:, b] = (
+                bits[:, b * n_planes:(b + 1) * n_planes] @ weights)
+        out = np.empty(len(mask), dtype=object)
+        for j, i in enumerate(np.nonzero(mask)[0]):
+            out[i] = buckets[j]  # per-index: a bulk out[mask]=list(...)
+            # re-collapses the row arrays into one 2-D assignment
+        return pd.Series(out)  # null bucket array for null/ragged rows
 
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return _assign_multi(c.cast("array<double>"))
@@ -187,8 +212,10 @@ def assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str | Column) ->
     def _assign(v):
         import pandas as pd
 
-        mat = np.vstack(v.to_numpy())
-        return pd.Series(np.argmax(mat @ bc.value.T, axis=1).astype("int32"))
+        mat, mask = _stack_valid(v, dim)
+        out = np.empty(len(mask), dtype=object)
+        out[mask] = np.argmax(mat @ bc.value.T, axis=1).astype("int32")
+        return pd.Series(out)  # null cell for null/ragged vectors
 
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return _assign(c.cast("array<double>"))
@@ -246,7 +273,11 @@ def cosine_pairs_lsh(
     them."""
     import math as _math
 
-    sample = df.select(vec_col).first()
+    # plan the hyperplane dim from the first NON-NULL vector — a null
+    # in row one must not fail a corpus that has real vectors (nulls
+    # themselves degrade to null buckets downstream, ADVICE r14)
+    sample = (df.select(vec_col)
+              .filter(F.col(vec_col).isNotNull()).first())
     if sample is None or sample[0] is None:
         # the IVF path raises the same way; without this the len() below
         # failed with an undiagnosable NoneType TypeError
@@ -307,12 +338,25 @@ def cosine_pairs_lsh(
     def _pair_cosine(va, vb):
         import pandas as pd
 
-        A = np.vstack(va.to_numpy())
-        B = np.vstack(vb.to_numpy())
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.sqrt(np.einsum("ij,ij->i", A, A)
-                      * np.einsum("ij,ij->i", B, B))
-        return pd.Series(num / np.maximum(den, 1e-300))
+        a_vals, b_vals = va.to_numpy(), vb.to_numpy()
+        n = len(a_vals)
+        la = np.fromiter((len(a) if a is not None else -1 for a in a_vals),
+                         dtype=np.int64, count=n)
+        lb = np.fromiter((len(b) if b is not None else -1 for b in b_vals),
+                         dtype=np.int64, count=n)
+        # null or dim-mismatched pairs -> null cosine (the filter drops
+        # them, matching the Catalyst tier's skip) — never a crash
+        valid = (la > 0) & (la == lb)
+        out = np.empty(n, dtype=object)
+        for d in np.unique(la[valid]):
+            sub = valid & (la == d)
+            A = np.vstack(a_vals[sub])
+            B = np.vstack(b_vals[sub])
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.sqrt(np.einsum("ij,ij->i", A, A)
+                          * np.einsum("ij,ij->i", B, B))
+            out[sub] = num / np.maximum(den, 1e-300)
+        return pd.Series(out)
 
     return (
         cand.withColumn("cosine", F.round(

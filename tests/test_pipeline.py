@@ -1018,3 +1018,60 @@ def test_codec_bombs_fail_as_per_asset_errors():
     out = _lzw_decode(big, 2, max_out=1000)
     assert len(out) == 1000
     assert _lzw_decode(big, 2)[:1000] == out  # same prefix, full decode
+
+
+def test_null_and_ragged_embeddings_degrade_not_crash(spark):
+    """r14 (ADVICE medium): the Arrow-batched LSH/cosine UDFs vstack
+    the batch — a single NULL or wrong-length embedding crashed the
+    whole query, where the Catalyst tier produced null buckets that
+    joins silently skipped. Null/ragged rows must degrade to null
+    (skipped) and every valid pair must still come out."""
+    import numpy as np
+
+    from beacon_spark.pipeline.similarity import (assign_cells,
+                                                  cosine_pairs_lsh)
+
+    rng = np.random.default_rng(7)
+    dim = 32
+    base = rng.normal(size=(6, dim))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # a near-duplicate of each (cosine ~ 1)
+        rows.append((100 + i, [float(x) for x in v * 1.01]))
+    clean = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dirty = clean.unionByName(spark.createDataFrame(
+        [(900, None), (901, [1.0, 2.0, 3.0])],  # null + ragged (dim 3)
+        "vec_id long, embedding array<double>"))
+
+    # n_planes*n_bands*dim > 1024 forces the pandas-UDF tier
+    kw = dict(threshold=0.95, n_planes=6, n_bands=6)
+    want = {(r.id_a, r.id_b) for r in cosine_pairs_lsh(clean, **kw).collect()}
+    got = {(r.id_a, r.id_b) for r in cosine_pairs_lsh(dirty, **kw).collect()}
+    assert len(want) >= 6
+    assert got == want  # bad rows skipped, nothing else changed
+
+    # assign_cells UDF tier: null/ragged -> null cell
+    cents = rng.normal(size=(40, dim))  # 40*32 > 4096 -> UDF tier
+    cells = dirty.select(
+        "vec_id", assign_cells(dirty, cents, "embedding").alias("c")
+    ).collect()
+    by_id = {r.vec_id: r.c for r in cells}
+    assert by_id[900] is None and by_id[901] is None
+    assert all(v is not None for k, v in by_id.items() if k < 900)
+
+
+def test_null_first_row_still_plans_lsh(spark):
+    """Corpus whose FIRST row is a null vector must still plan (dim
+    comes from the first non-null vector)."""
+    import numpy as np
+
+    from beacon_spark.pipeline.similarity import cosine_pairs_lsh
+
+    rng = np.random.default_rng(3)
+    v = [float(x) for x in rng.normal(size=16)]
+    df = spark.createDataFrame(
+        [(0, None), (1, v), (2, [x * 1.01 for x in v])],
+        "vec_id long, embedding array<double>").orderBy("vec_id")
+    out = cosine_pairs_lsh(df, threshold=0.95, n_planes=4, n_bands=4)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
