@@ -33,6 +33,7 @@ ranges).
 
 from __future__ import annotations
 
+import contextlib
 import glob as _glob
 import io
 import mmap as _mmap
@@ -535,6 +536,57 @@ class _ArrowFS:
                 w.write(r.read())
             self.fs.delete_file(self._p(src))
 
+    def _local_real_path(self, fs_path: str) -> str | None:
+        """The on-disk path when this Arrow fs bottoms out in a
+        LocalFileSystem (possibly through SubTree layers), else None."""
+        from pyarrow import fs as pafs
+
+        base, real = self.fs, fs_path
+        while isinstance(base, pafs.SubTreeFileSystem):
+            real = f"{base.base_path.rstrip('/')}/{real.lstrip('/')}"
+            base = base.base_fs
+        return real if isinstance(base, pafs.LocalFileSystem) else None
+
+    def publish_if_absent(self, path: str, data: bytes) -> bool:
+        """TRUE put-if-absent where the store can express one. The
+        generic exists+put+verify fallback has a cross-process window
+        (both writers pass exists, the loser's verify can read its own
+        bytes before the winner's put lands — a lost update); on
+        local-backed Arrow filesystems os.link claims the name
+        atomically with full-content visibility, the same primitive
+        _commit_manifest uses for plain paths. Non-local stores keep
+        the module-level fallback (returning None defers to it)."""
+        import uuid as _uuid
+
+        real = self._local_real_path(self._p(path))
+        if real is None:
+            if self.exists(path):
+                return False
+            self.publish_bytes(path, data)
+            try:
+                if self.read_bytes(path) != data:
+                    return False
+            except OSError:
+                pass
+            return True
+        tmp = f"{real}.tmp-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, real)
+        except FileExistsError:
+            return False
+        except OSError:
+            # no hard links: narrowest available window
+            if os.path.exists(real):
+                return False
+            os.replace(tmp, real)
+            return True
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(tmp)
+        return True
+
     def touch(self, path: str) -> None:
         """Stamp landing time. Copy-based moves (key-value stores)
         already produce a fresh object timestamp — for those this is a
@@ -548,14 +600,9 @@ class _ArrowFS:
         demonstrably stale, rewrite the object in place (the file is
         pre-commit, unreferenced by any manifest, so no reader can see
         the non-atomic rewrite)."""
-        from pyarrow import fs as pafs
-
-        base, p = self.fs, self._p(path)
-        real = p
-        while isinstance(base, pafs.SubTreeFileSystem):
-            real = f"{base.base_path.rstrip('/')}/{real.lstrip('/')}"
-            base = base.base_fs
-        if isinstance(base, pafs.LocalFileSystem):
+        p = self._p(path)
+        real = self._local_real_path(p)
+        if real is not None:
             os.utime(real, None)
             return
         try:

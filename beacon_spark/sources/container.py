@@ -135,13 +135,24 @@ class _Container:
             instance = conn.execute(
                 "SELECT v FROM beacon_meta WHERE k = 'instance_id'"
             ).fetchone()[0]
+        # PER-PROCESS shadow (r14 — the cross-process vacuum hammer on
+        # bdb:// caught this): the cache/stage dirs hold THIS process's
+        # in-flight JVM handoffs and its extraction ledger's backing
+        # files. Sharing them across processes made one process's
+        # reconcile sweep see another's mid-write staging parquet as
+        # ledger-less cache to ingest/delete — Spark's committer then
+        # died in setupJob under the vanished directory. sqlite is the
+        # only cross-process truth; the shadow is scratch.
         tag = hashlib.sha1(
-            f"{db_path}:{instance}".encode()).hexdigest()[:16]
+            f"{db_path}:{instance}:{os.getpid()}".encode()).hexdigest()[:16]
         shadow = os.path.join(tempfile.gettempdir(), "beacon-bdb", tag)
         self.cache_dir = os.path.join(shadow, "cache")
         self.stage_dir = os.path.join(shadow, "stage")
         os.makedirs(self.cache_dir, exist_ok=True)
         os.makedirs(self.stage_dir, exist_ok=True)
+        with open(os.path.join(shadow, "owner.pid"), "w") as f:
+            f.write(str(os.getpid()))
+        self._reap_dead_shadows(os.path.dirname(shadow))
         # cache paths handed to the JVM this session: lazy DataFrames
         # may execute ANY time later, so these are never pruned
         self._pinned: set[str] = set()
@@ -154,6 +165,31 @@ class _Container:
         # spark_path handouts of EXISTING keys/prefixes, each arming one
         # reconciliation sweep on the next facade op touching them
         self._armed: set[str] = set()
+
+    @staticmethod
+    def _reap_dead_shadows(base: str) -> None:
+        """Per-process shadow dirs outlive crashed processes — remove
+        any whose recorded owner pid is gone (best-effort; a dead
+        process's un-ingested scratch was never acknowledged data)."""
+        try:
+            entries = os.listdir(base)
+        except OSError:
+            return
+        for name in entries:
+            d = os.path.join(base, name)
+            pid_file = os.path.join(d, "owner.pid")
+            try:
+                pid = int(open(pid_file).read().strip())
+            except (OSError, ValueError):
+                continue  # pre-r14 layout or mid-create — leave it
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                continue  # alive but not ours to signal
 
     def _conn(self) -> sqlite3.Connection:
         # per-thread AND per-process: a forked Spark python worker
