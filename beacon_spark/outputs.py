@@ -778,18 +778,25 @@ def _write_netcdf_nd_streamed(
     path: str,
     dimension_columns: list[str],
     max_chunksize: int = 1 << 15,
+    flavor: str = "netcdf3",
+    compression: str | None = None,
+    compression_level: int = 4,
 ) -> None:
     """nd (re-gridded) NetCDF with BOUNDED driver memory (VERDICT r7
-    item 3): spool once to executor-written parquet, learn each
-    dimension's sorted distinct coordinates from a column-pruned scan,
-    then materialize ONE VARIABLE'S dense grid at a time — scatter that
-    variable's values batch-by-batch and stream the grid out through
-    ``GridStreamWriter``. Peak driver memory is one grid (the output's
-    own size per variable), never the whole row table plus every grid.
-    Value semantics match the in-memory ``regrid`` path exactly:
-    numerics/temporals → NaN-filled doubles, strings/other → char grids
-    with "" for absent cells, coords sorted ascending. Schemas parquet
-    can't spool fall back to the materialized writer."""
+    item 3; ``flavor="netcdf4"`` r14 — lifts the last materialization
+    cap, matching the reference's always-streamed COPY TO,
+    runtime.rs:192-246): spool once to executor-written parquet, learn
+    each dimension's sorted distinct coordinates from a column-pruned
+    scan, then materialize ONE VARIABLE'S dense grid at a time —
+    scatter that variable's values batch-by-batch and stream the grid
+    out through ``GridStreamWriter`` (NetCDF-3 classic) or
+    ``GridNc4StreamWriter`` (NetCDF-4/HDF5). Peak driver memory is one
+    grid (the output's own size per variable), never the whole row
+    table plus every grid. Value semantics match the in-memory
+    ``regrid`` path exactly: numerics/temporals → NaN-filled doubles,
+    strings/other → char grids with "" for absent cells, coords sorted
+    ascending. Schemas parquet can't spool fall back to the
+    materialized writer."""
     import pyarrow.compute as pc
 
     from beacon_spark.sources.netcdf3 import (
@@ -800,7 +807,8 @@ def _write_netcdf_nd_streamed(
     target = arrow_schema_of(df)
     with _parquet_spool(df) as pfs:
         if pfs is None:
-            _write_netcdf_table(df.toArrow(), path, dimension_columns)
+            _write_netcdf_table(df.toArrow(), path, dimension_columns,
+                                flavor=flavor)
             return
 
         def batches(cols):
@@ -851,58 +859,97 @@ def _write_netcdf_nd_streamed(
                     or pa.types.is_decimal(ft)
                     or pa.types.is_timestamp(ft) or pa.types.is_date(ft))
 
-        # ---- specs in write_netcdf3's declaration order: coord vars
-        # first (native types, int64 narrowed like _nc_type_for), then
-        # value vars (numeric → double grid, everything else → char)
+        # ---- specs in declaration order: coord vars first, then value
+        # vars (numeric → double grid, everything else → char)
         value_cols = [f.name for f in target
                       if f.name not in dimension_columns]
-        specs: list[tuple] = []   # (name, dnames, t, width)
-        coord_data: dict[str, np.ndarray] = {}
-        for dim in dimension_columns:
-            arr = np.asarray(coords[dim])
-            if arr.dtype.kind in ("U", "S", "O"):
-                enc = np.char.encode(
-                    np.asarray(["" if v is None else str(v)
-                                for v in coords[dim]], dtype="U"), "utf-8")
-                width = max(1, int(enc.dtype.itemsize))
-                specs.append((dim, (dim,), 2, width))
-                coord_data[dim] = np.frombuffer(
-                    enc.astype(f"S{width}").tobytes(), "S1"
-                ).reshape(-1, width)
-            else:
-                t, arr = _nc_type_for(arr)
-                specs.append((dim, (dim,), t, None))
-                coord_data[dim] = arr
         widths: dict[str, int] = {}
         for name in value_cols:
-            ft = target.field(name).type
-            if is_numeric(ft):
-                specs.append((name, tuple(dimension_columns), 6, None))
-            else:
-                w = 1
-                for b in batches([name]):
-                    col = b.column(0)
-                    if pa.types.is_string(col.type) \
-                            or pa.types.is_large_string(col.type):
-                        m = pc.max(pc.binary_length(
-                            col.cast(pa.large_binary()))).as_py()
-                    else:
-                        m = max((len(str(v).encode("utf-8"))
-                                 for v in col.to_pylist()
-                                 if v is not None), default=0)
-                    w = max(w, m or 0)
-                widths[name] = w
-                specs.append((name, tuple(dimension_columns), 2, w))
+            if is_numeric(target.field(name).type):
+                continue
+            w = 1
+            for b in batches([name]):
+                col = b.column(0)
+                if pa.types.is_string(col.type) \
+                        or pa.types.is_large_string(col.type):
+                    m = pc.max(pc.binary_length(
+                        col.cast(pa.large_binary()))).as_py()
+                else:
+                    m = max((len(str(v).encode("utf-8"))
+                             for v in col.to_pylist()
+                             if v is not None), default=0)
+                w = max(w, m or 0)
+            widths[name] = w
+
+        def coord_str_enc(dim: str) -> np.ndarray:
+            enc = np.char.encode(
+                np.asarray(["" if v is None else str(v)
+                            for v in coords[dim]], dtype="U"), "utf-8")
+            width = max(1, int(enc.dtype.itemsize))
+            return enc.astype(f"S{width}")
+
+        specs: list[tuple] = []   # nc3: (name, dnames, t, width)
+        coord_data: dict[str, np.ndarray] = {}
+        if flavor == "netcdf4":
+            # the HDF5 flavor keeps native coord dtypes (int64 stays
+            # 64-bit) and fixed-width S strings — same mapping as the
+            # materialized write_netcdf4 regrid shape
+            specs4: dict[str, np.dtype] = {}
+            for dim in dimension_columns:
+                arr = np.asarray(coords[dim])
+                coord_data[dim] = (coord_str_enc(dim)
+                                   if arr.dtype.kind in ("U", "S", "O")
+                                   else arr)
+            for name in value_cols:
+                specs4[name] = (np.dtype(np.float64)
+                                if is_numeric(target.field(name).type)
+                                else np.dtype(f"S{widths[name]}"))
+        else:
+            for dim in dimension_columns:
+                arr = np.asarray(coords[dim])
+                if arr.dtype.kind in ("U", "S", "O"):
+                    enc = coord_str_enc(dim)
+                    width = int(enc.dtype.itemsize)
+                    specs.append((dim, (dim,), 2, width))
+                    coord_data[dim] = np.frombuffer(
+                        enc.tobytes(), "S1").reshape(-1, width)
+                else:
+                    t, arr = _nc_type_for(arr)
+                    specs.append((dim, (dim,), t, None))
+                    coord_data[dim] = arr
+            for name in value_cols:
+                if is_numeric(target.field(name).type):
+                    specs.append((name, tuple(dimension_columns), 6, None))
+                else:
+                    specs.append((name, tuple(dimension_columns), 2,
+                                  widths[name]))
 
         var_attrs = {k: v for k, v in cf_attrs.items()
                      if k in dimension_columns or k in value_cols}
-        writer = GridStreamWriter(
-            path, {d: len(coords[d]) for d in dimension_columns},
-            specs, var_attrs)
+        if flavor == "netcdf4":
+            from beacon_spark.sources.hdf5write import GridNc4StreamWriter
+
+            filters = None
+            if compression:
+                if compression not in ("deflate", "zlib", "gzip"):
+                    raise ValueError(
+                        f"unsupported netcdf4 compression {compression!r} "
+                        "(deflate/zlib/gzip)")
+                filters = {n: [("shuffle",),
+                               ("deflate", compression_level)]
+                           for n in specs4}
+            writer = GridNc4StreamWriter(
+                path, {d: len(coords[d]) for d in dimension_columns},
+                coord_data, specs4, var_attrs, filters=filters)
+        else:
+            writer = GridStreamWriter(
+                path, {d: len(coords[d]) for d in dimension_columns},
+                specs, var_attrs)
         with writer:
-            for dim in dimension_columns:
-                if len(coord_data[dim]):
-                    writer.write_values(dim, coord_data[dim])
+            if flavor != "netcdf4":  # nc4 coords land in __init__
+                for dim in dimension_columns:
+                    if len(coord_data[dim]):
+                        writer.write_values(dim, coord_data[dim])
             read_cols = list(dimension_columns)
             for name in value_cols:
                 ft = target.field(name).type
@@ -948,8 +995,11 @@ def _write_netcdf_nd_streamed(
                             continue
                         enc = np.char.encode(
                             chunk.astype("U"), "utf-8").astype(f"S{w}")
-                        writer.write_values(name, np.frombuffer(
-                            enc.tobytes(), "S1").reshape(-1, w))
+                        if flavor == "netcdf4":
+                            writer.write_values(name, enc)
+                        else:
+                            writer.write_values(name, np.frombuffer(
+                                enc.tobytes(), "S1").reshape(-1, w))
                 del grid
 
 
@@ -995,11 +1045,12 @@ def write_output(df: DataFrame, fmt: str, path: str, **options) -> None:
         # with netcdf.hdf5 dimension-scale conventions emitted by the
         # from-scratch writer (sources/hdf5write.py). The FLAT shape
         # streams through the executor-written parquet spool with NO
-        # row cap (r13) — bounded driver memory, like every other
-        # single-file output. The re-gridded shape materializes one
-        # Arrow table (its unit of work is a dense grid anyway), so it
-        # keeps a row cap — probed with a BOUNDED limit(cap+1) job, not
-        # a full count (r12 ADVICE).
+        # row cap (r13); the RE-GRIDDED shape streams too since r14
+        # (one variable's grid at a time through GridNc4StreamWriter,
+        # same contract as ndnetcdf) — every COPY TO is now streamed,
+        # matching the reference (runtime.rs:192-246). The old 20M-row
+        # + bytes caps are gone with the driver materialization they
+        # guarded.
         dim_cols = options.get("dimension_columns")
         if not dim_cols:
             _write_netcdf4_flat_streamed(
@@ -1007,35 +1058,10 @@ def write_output(df: DataFrame, fmt: str, path: str, **options) -> None:
                 compression=options.get("compression"),
                 compression_level=int(options.get("compression_level", 4)))
         else:
-            cap = int(options.get("max_rows", 20_000_000))
-            n = df.limit(cap + 1).count()
-            if n > cap:
-                raise ValueError(
-                    f"re-gridded netcdf4 output materializes the result "
-                    f"on the driver; more than {cap} rows. Use format "
-                    "'ndnetcdf' (streamed, one grid at a time) for "
-                    "results this large, or raise the cap via "
-                    "write_output(..., max_rows=N)")
-            # bytes cap too (r12 ADVICE): a row cap alone lets a WIDE
-            # 20M-row result OOM the driver; estimate from the schema
-            # (numerics by width, strings/binary/arrays at a nominal
-            # 64 B — an estimate, not an accounting)
-            from pyspark.sql import types as _T
-
-            _W = {_T.ByteType: 1, _T.ShortType: 2, _T.IntegerType: 4,
-                  _T.FloatType: 4, _T.BooleanType: 1, _T.LongType: 8,
-                  _T.DoubleType: 8, _T.DateType: 4, _T.TimestampType: 8}
-            est = n * max(8, sum(
-                _W.get(type(f.dataType), 64) for f in df.schema.fields))
-            max_bytes = int(options.get("max_bytes", 8 << 30))
-            if est > max_bytes:
-                raise ValueError(
-                    f"re-gridded netcdf4 output: estimated result size "
-                    f"{est >> 20} MiB exceeds the {max_bytes >> 20} MiB "
-                    "driver-materialization bound; use 'ndnetcdf' or "
-                    "raise it via write_output(..., max_bytes=N)")
-            _write_netcdf_table(df.toArrow(), path, dim_cols,
-                                flavor="netcdf4")
+            _write_netcdf_nd_streamed(
+                df, path, dim_cols, flavor="netcdf4",
+                compression=options.get("compression"),
+                compression_level=int(options.get("compression_level", 4)))
     elif fmt == "netcdf":
         write_netcdf(df, path)
     elif fmt == "ndnetcdf":

@@ -553,3 +553,122 @@ def test_materialized_many_chunks_btree_capped(tmp_path):
     walk(ds.layout.index_addr, nodes, 8 + 8 * 3)  # 2 dims + elem dim
     assert max(nu for _, nu in nodes) <= 64, nodes
     assert sum(nu for lvl, nu in nodes if lvl == 0) == 130
+
+
+def test_grid_nc4_stream_writer_matches_materialized(tmp_path):
+    """r14 (VERDICT #1): the streamed re-gridded NetCDF-4 writer must
+    produce the same logical grid as the materialized write_netcdf4 —
+    dims, coord values/dtypes, grid values (NaN holes), attrs."""
+    from beacon_spark.sources.hdf5lite import read_hdf5_grid
+    from beacon_spark.sources.hdf5write import (GridNc4StreamWriter,
+                                                write_netcdf4)
+
+    dims = {"x": 3, "lab": 4}
+    xs = np.array([1, 2, 5], dtype=np.int64)
+    labs = np.asarray(["aa", "b", "cccc", "dd"])
+    temp = np.arange(12, dtype=np.float64).reshape(3, 4)
+    temp[1, 2] = np.nan
+    tags = np.asarray([f"t{i}" if i % 3 else "" for i in range(12)]
+                      ).reshape(3, 4)
+
+    p_mat = _path(tmp_path, "mat.nc4")
+    enc_lab = np.char.encode(labs, "utf-8").astype("S4")
+    enc_tags = np.char.encode(tags.astype("U"), "utf-8").astype("S3")
+    write_netcdf4(p_mat, dims, {
+        "x": (("x",), xs), "lab": (("lab",), enc_lab),
+        "temp": (("x", "lab"), temp), "tags": (("x", "lab"), enc_tags),
+    }, var_attrs={"temp": {"units": "K"}})
+
+    p_str = _path(tmp_path, "streamed.nc4")
+    w = GridNc4StreamWriter(
+        p_str, dims, {"x": xs, "lab": enc_lab},
+        {"temp": np.dtype(np.float64), "tags": np.dtype("S3")},
+        var_attrs={"temp": {"units": "K"}}, chunk_rows=2)  # edge chunks
+    with w:
+        flat = temp.ravel()
+        w.write_values("temp", flat[:5])   # ragged batches on purpose
+        w.write_values("temp", flat[5:])
+        w.write_values("tags", enc_tags.ravel())
+
+    got_m = read_hdf5_grid(p_mat)
+    got_s = read_hdf5_grid(p_str)
+    dims_m, vars_m, attrs_m, _ = got_m
+    dims_s, vars_s, attrs_s, _ = got_s
+    assert dims_s == dims_m
+    assert set(vars_s) == set(vars_m)
+    for name in vars_m:
+        dm, am = vars_m[name]
+        ds_, as_ = vars_s[name]
+        assert dm == ds_, name
+        am, as_ = np.asarray(am[:]), np.asarray(as_[:])  # lazy readers
+        assert am.dtype == as_.dtype, name
+        if am.dtype.kind == "f":
+            np.testing.assert_array_equal(am, as_)  # NaN == NaN here
+        else:
+            assert (am == as_).all(), name
+    assert attrs_s.get("temp", {}).get("units") == "K"
+
+
+def test_grid_nc4_multilevel_btree_many_chunks(tmp_path):
+    """N-D streamed grid with >64 chunks exercises the multi-level
+    chunk btree with multi-dim keys; exact roundtrip."""
+    from beacon_spark.sources.hdf5lite import read_hdf5_grid
+    from beacon_spark.sources.hdf5write import GridNc4StreamWriter
+
+    dims = {"a": 130, "b": 5}
+    av = np.arange(130, dtype=np.int64)
+    bv = np.arange(5, dtype=np.float64)
+    g = np.arange(650, dtype=np.float64)
+    p = _path(tmp_path, "manychunks.nc4")
+    w = GridNc4StreamWriter(p, dims, {"a": av, "b": bv},
+                            {"v": np.dtype(np.float64)}, chunk_rows=1)
+    with w:
+        for i in range(0, 650, 37):
+            w.write_values("v", g[i:i + 37])
+    _, variables, _, _ = read_hdf5_grid(p)
+    vd, varr = variables["v"]
+    assert vd == ("a", "b")
+    np.testing.assert_array_equal(varr, g.reshape(130, 5))
+    # structural: no btree node exceeds 64 entries (libhdf5 K=32 cap)
+    import struct as _struct
+
+    from beacon_spark.sources.hdf5lite import Hdf5Reader
+    r = Hdf5Reader(p)
+    ds = r.root.datasets["v"]
+    with open(p, "rb") as f:
+        buf = f.read()
+
+    def walk(addr, out, key_stride):
+        assert buf[addr: addr + 4] == b"TREE"
+        level = buf[addr + 5]
+        nused = _struct.unpack_from("<H", buf, addr + 6)[0]
+        out.append((level, nused))
+        if level > 0:
+            q = addr + 24
+            for _ in range(nused):
+                child = _struct.unpack_from("<Q", buf, q + key_stride)[0]
+                walk(child, out, key_stride)
+                q += key_stride + 8
+
+    nodes: list[tuple[int, int]] = []
+    walk(ds.layout.index_addr, nodes, 8 + 8 * 3)
+    assert max(nu for _, nu in nodes) <= 64
+    assert sum(nu for lvl, nu in nodes if lvl == 0) == 130
+    assert max(lvl for lvl, _ in nodes) >= 1
+
+
+def test_grid_nc4_compression_roundtrip(tmp_path):
+    from beacon_spark.sources.hdf5lite import read_hdf5_grid
+    from beacon_spark.sources.hdf5write import GridNc4StreamWriter
+
+    dims = {"a": 50, "b": 8}
+    g = np.tile(np.arange(8, dtype=np.float64), 50)
+    p = _path(tmp_path, "gz.nc4")
+    w = GridNc4StreamWriter(
+        p, dims, {"a": np.arange(50), "b": np.arange(8)},
+        {"v": np.dtype(np.float64)},
+        filters={"v": [("shuffle",), ("deflate", 4)]}, chunk_rows=16)
+    with w:
+        w.write_values("v", g)
+    _, variables, _, _ = read_hdf5_grid(p)
+    np.testing.assert_array_equal(variables["v"][1], g.reshape(50, 8))

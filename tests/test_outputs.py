@@ -413,19 +413,17 @@ def test_hdf5_output_writes_real_netcdf4(spark, tmp_path):
     write_output(df, "netcdf4", p3, max_rows=3)
     assert open(p3, "rb").read(8) == MAGIC
 
-    # the RE-GRIDDED variant still materializes one Arrow table on the
-    # driver, so its row cap remains — probed with a bounded
-    # limit(cap+1) job and a clean error pointing at the streamed
-    # ndnetcdf format, never a silent driver OOM
-    import pytest as _p
-    with _p.raises(ValueError, match="streamed"):
-        write_output(grid, "netcdf4", str(tmp_path / "big.h5"),
-                     dimension_columns=["x", "y"], max_rows=3)
-    # ...and a BYTES cap besides rows: a wide result under the row cap
-    # must still refuse driver materialization (r12 ADVICE)
-    with _p.raises(ValueError, match="MiB"):
-        write_output(grid, "netcdf4", str(tmp_path / "big2.h5"),
-                     dimension_columns=["x", "y"], max_bytes=64)
+    # the RE-GRIDDED variant streams too since r14 (GridNc4StreamWriter,
+    # one variable's grid at a time) — the old max_rows/max_bytes
+    # driver-materialization caps are gone with the materialization
+    # they guarded; tiny values are simply ignored
+    p4 = str(tmp_path / "big.h5")
+    write_output(grid, "netcdf4", p4,
+                 dimension_columns=["x", "y"], max_rows=3, max_bytes=64)
+    rows = eng.sql(
+        "SELECT x, y, temp FROM read_netcdf('big.h5') "
+        "WHERE x = 1 ORDER BY y").collect()
+    assert [r.temp for r in rows] == [10.0, 11.0, 12.0, 13.0]
 
 
 def test_netcdf_flat_int64_beyond_int32_not_clipped(spark, tmp_path):
