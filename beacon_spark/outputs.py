@@ -644,6 +644,69 @@ def _write_netcdf_flat_streamed(
         w.close()
 
 
+def _spool_has_nulls(pfs, name: str) -> bool:
+    """Whether a spooled parquet column carries nulls — this decides
+    int64-vs-NaN-double ENCODING, so a guess is a value-safety bug:
+    missing parquet null statistics fall back to an EXACT column-pruned
+    scan instead of assuming nullable (r14, r13-verdict finding #2: the
+    fail-open path would silently round int64 beyond 2^53 through the
+    double encoding)."""
+    def _exact(pf) -> bool:
+        for b in pf.iter_batches(columns=[name], batch_size=1 << 16):
+            if b.column(0).null_count:
+                return True
+        return False
+
+    for pf in pfs:
+        md = pf.metadata
+        try:
+            idx = [
+                md.schema.column(i).path for i in range(len(md.schema))
+            ].index(name)
+        except ValueError:
+            if _exact(pf):
+                return True
+            continue
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is not None and st.null_count is not None:
+                if st.null_count:
+                    return True
+            elif _exact(pf):
+                return True
+            else:
+                break  # exact scan covered the whole file: no nulls
+    return False
+
+
+def _fixed_width_bytes(col: pa.Array, w: int) -> np.ndarray:
+    """Arrow string/binary batch → numpy ``S<w>`` with nulls as b"" —
+    fully vectorized (r14, r13-verdict finding #1: the to_pylist branch
+    ran a per-row Python loop on the export hot path). Arrow strings
+    are UTF-8 already, so the values buffer scatters straight into the
+    zero-padded fixed-width matrix."""
+    arr = col.cast(pa.large_binary()).fill_null(b"")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=f"S{w}")
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                            count=n + 1, offset=arr.offset * 8)
+    data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+    lens = offsets[1:] - offsets[:-1]
+    total = int(lens.sum())
+    out = np.zeros((n, w), dtype=np.uint8)
+    if total:
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        dest_start = np.concatenate(
+            ([0], np.cumsum(lens[:-1], dtype=np.int64)))
+        pos = np.arange(total, dtype=np.int64) - np.repeat(dest_start, lens)
+        src = np.repeat(offsets[:-1], lens) + pos
+        out[rows, pos] = data[src]
+    return out.reshape(-1).view(f"S{w}")
+
+
 def _write_netcdf4_flat_streamed(
     df: DataFrame, path: str, max_chunksize: int = 1 << 15,
     compression: str | None = None, compression_level: int = 4,
@@ -673,34 +736,31 @@ def _write_netcdf4_flat_streamed(
         nrows = sum(pf.metadata.num_rows for pf in pfs)
 
         def has_nulls(name: str) -> bool:
+            return _spool_has_nulls(pfs, name)
+
+        # ONE column-pruned pass over the spool computes EVERY string
+        # column's width (r14, r13-verdict finding #1: the per-column
+        # loop made N string columns cost N full spool scans)
+        str_cols = [f.name for f in target
+                    if pa.types.is_string(f.type)
+                    or pa.types.is_large_string(f.type)]
+        widths = {n: 1 for n in str_cols}
+        if str_cols:
             for pf in pfs:
-                md = pf.metadata
-                try:
-                    idx = [
-                        md.schema.column(i).path for i in range(len(md.schema))
-                    ].index(name)
-                except ValueError:
-                    return True
-                for g in range(md.num_row_groups):
-                    st = md.row_group(g).column(idx).statistics
-                    if st is None or st.null_count is None or st.null_count:
-                        return True
-            return False
+                for b in pf.iter_batches(columns=str_cols,
+                                         batch_size=1 << 16):
+                    for n in str_cols:
+                        m = pc.max(pc.binary_length(
+                            b.column(n).cast(pa.large_binary()))).as_py()
+                        if m:
+                            widths[n] = max(widths[n], m)
 
         specs: dict[str, np.dtype] = {}
         var_attrs: dict[str, dict] = {}
         for field in target:
             name, ft = field.name, field.type
             if pa.types.is_string(ft) or pa.types.is_large_string(ft):
-                width = 1
-                for pf in pfs:
-                    for b in pf.iter_batches(columns=[name],
-                                             batch_size=1 << 16):
-                        m = pc.max(pc.binary_length(
-                            b.column(0).cast(pa.large_binary()))).as_py()
-                        if m:
-                            width = max(width, m)
-                specs[name] = np.dtype(f"S{width}")
+                specs[name] = np.dtype(f"S{widths[name]}")
             elif pa.types.is_timestamp(ft):
                 specs[name] = np.dtype("<f8")
                 var_attrs[name] = {"units": "microseconds since 1970-01-01"}
@@ -725,9 +785,7 @@ def _write_netcdf4_flat_streamed(
 
         def chunk_np(col: pa.Array, ftype, dt: np.dtype) -> np.ndarray:
             if dt.kind == "S":
-                vals = ["" if v is None else v for v in col.to_pylist()]
-                return np.char.encode(
-                    np.asarray(vals, dtype="U"), "utf-8").astype(dt)
+                return _fixed_width_bytes(col, dt.itemsize)
             col = _cf_cast(col, ftype)
             # safe=False: a NULLABLE int64 column maps to NaN-doubles,
             # and values beyond 2^53 round like every float64 encoding

@@ -650,3 +650,105 @@ def test_writer_roundtrip_random_schemas_nc4_geo_odv(spark, tmp_path):
     row = read_odv_table(tp).to_pylist()[0]
     assert row["time_ISO8601"] == _dt.datetime(2021, 3, 4, 5, 6, 7, 123000)
     assert row["v"] == 9.5
+
+
+def test_flat_nc4_string_path_one_width_pass_no_python_loop(
+        spark, tmp_path, monkeypatch):
+    """r14 (r13-verdict finding #1): the streamed flat NetCDF-4 export
+    must (a) compute ALL string widths in ONE column-pruned spool pass
+    — not one full pass per string column — and (b) never run a
+    per-row Python loop (to_pylist) while streaming values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beacon_spark.outputs import write_output
+    from beacon_spark.sources.hdf5lite import Hdf5Reader
+
+    df = spark.range(500).selectExpr(
+        "id",
+        "CONCAT('a-', id) AS s1",
+        "IF(id % 5 = 0, NULL, CONCAT('bb-', id)) AS s2",
+        "CONCAT('ccc-', id % 7) AS s3",
+        "id * 0.5 AS v")
+
+    calls: list[tuple] = []
+    orig = pq.ParquetFile.iter_batches
+
+    def spy(self, *a, **kw):
+        calls.append(tuple(kw.get("columns") or a[1] if len(a) > 1 else
+                           kw.get("columns")))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(pq.ParquetFile, "iter_batches", spy)
+
+    # the vectorized fixed-width encoder must carry every string chunk
+    # (pa.Array is a C type — can't patch to_pylist itself)
+    import beacon_spark.outputs as outputs_mod
+    fw_calls = [0]
+    orig_fw = outputs_mod._fixed_width_bytes
+
+    def fw_spy(col, w):
+        fw_calls[0] += 1
+        return orig_fw(col, w)
+
+    monkeypatch.setattr(outputs_mod, "_fixed_width_bytes", fw_spy)
+
+    p = str(tmp_path / "strs.h5")
+    write_output(df, "netcdf4", p)
+    monkeypatch.undo()
+
+    # width passes = the calls naming all three string columns at once;
+    # no single-string-column width scans remain
+    width_passes = [c for c in calls if c == ("s1", "s2", "s3")]
+    single_str = [c for c in calls
+                  if len(c) == 1 and c[0] in ("s1", "s2", "s3")]
+    assert width_passes, calls
+    # streaming reads each column once per spool file afterwards
+    assert len(single_str) == 3 * len(width_passes), calls
+    assert fw_calls[0] >= 3  # every string chunk went vectorized
+
+    r = Hdf5Reader(p)
+    ids = r.read(r.root.datasets["id"])
+    s2 = r.read(r.root.datasets["s2"])
+    by = {int(i): x for i, x in zip(ids, s2)}
+    assert by[5] == b"" and by[6] == b"bb-6"
+    s3 = r.read(r.root.datasets["s3"])
+    assert s3.dtype == np.dtype("S5")
+
+
+def test_spool_has_nulls_exact_when_stats_missing(tmp_path):
+    """r14 (r13-verdict finding #2): with parquet null statistics
+    STRIPPED, the nc4 encoding decision must scan the column exactly —
+    an int64 column without nulls keeps int64 (no silent NaN-double
+    rounding beyond 2^53); a column with real nulls is detected."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from beacon_spark.outputs import _spool_has_nulls
+
+    t = pa.table({
+        "clean": pa.array([5_000_000_000_000_000_001, 2, 3],
+                          type=pa.int64()),
+        "holey": pa.array([1, None, 3], type=pa.int64()),
+    })
+    p = str(tmp_path / "nostats.parquet")
+    _pq.write_table(t, p, write_statistics=False)
+    pf = _pq.ParquetFile(p)
+    st = pf.metadata.row_group(0).column(0).statistics
+    assert st is None or st.null_count is None  # stats really absent
+    assert _spool_has_nulls([pf], "clean") is False
+    assert _spool_has_nulls([pf], "holey") is True
+
+    # with stats present, no exact scan runs (pure metadata decision)
+    p2 = str(tmp_path / "stats.parquet")
+    _pq.write_table(t, p2, write_statistics=True)
+    pf2 = _pq.ParquetFile(p2)
+
+    class NoScan:
+        metadata = pf2.metadata
+
+        def iter_batches(self, *a, **kw):
+            raise AssertionError("exact scan despite present stats")
+
+    assert _spool_has_nulls([NoScan()], "clean") is False
+    assert _spool_has_nulls([NoScan()], "holey") is True
