@@ -224,11 +224,12 @@ def _run_ab(against: str) -> dict:
         sides = {"prior": wt, "head": repo}
         results: dict[str, dict[str, float]] = {s: {} for s in sides}
         calib: dict[str, dict] = {}
-        for npass in (1, 2):
+
+        def _one_pass(npass: int) -> str | None:
             for label, d in sides.items():
                 r = _run_side(f"{label}#{npass}", d, {})
                 if r is None:
-                    return {"skipped": f"{label} pass {npass} failed"}
+                    return f"{label} pass {npass} failed"
                 for q, v in r["queries"].items():
                     prev = results[label].get(q)
                     results[label][q] = v if prev is None else min(prev, v)
@@ -238,7 +239,31 @@ def _run_ab(against: str) -> dict:
                         c[k] = min(c[k], r["calibration"][k])
                 print(f"  ab {label}#{npass}: "
                       f"{sum(r['queries'].values()):.3f}s", file=sys.stderr)
+            return None
+
+        def _divergence() -> float:
+            vals = [calib[s]["spark_sec"] for s in sides if s in calib
+                    and calib[s].get("spark_sec")]
+            return (max(vals) / min(vals)) if len(vals) == 2 else 1.0
+
+        for npass in (1, 2):
+            err = _one_pass(npass)
+            if err:
+                return {"skipped": err}
+        # load-skew adjudication (r14, r13-verdict finding #3): when the
+        # two sides' constant calibration probes diverge >20% a load
+        # burst landed on one side — re-run one extra alternation (the
+        # per-side mins absorb it), then FLAG if still skewed so the
+        # judge adjudicates mechanically instead of reading a
+        # uniform-multiplier signature out of the per-query ratios
+        reran = False
+        if _divergence() > 1.2:
+            print(f"  ab calibration divergence {_divergence():.2f} — "
+                  f"re-running one alternation", file=sys.stderr)
+            reran = True
+            _one_pass(3)  # best-effort; mins only improve
         totals = {s: round(sum(results[s].values()), 3) for s in sides}
+        div = round(_divergence(), 3)
         return {
             "against": sha,
             "queries": AB_QUERIES,
@@ -246,6 +271,9 @@ def _run_ab(against: str) -> dict:
             "prior": {"queries": results["prior"],
                       "total": totals["prior"]},
             "calibration": calib,
+            "calibration_divergence": div,
+            "load_skewed": div > 1.2,
+            "reran_for_skew": reran,
             "ratio_total": round(totals["head"] / totals["prior"], 3),
             "ratio": {
                 q: round(results["head"][q] / results["prior"][q], 2)

@@ -1,0 +1,70 @@
+"""A/B protocol hardening (r14, r13-verdict finding #3): the
+interleaved A/B must adjudicate load skew mechanically — when the two
+sides' constant calibration probes diverge >20%, re-run one
+alternation and FLAG the result JSON, instead of leaving a
+uniform-multiplier signature for the judge to spot by eye."""
+
+import importlib.util
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_for_test", "/root/repo/bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _fake_side(calibs, passes):
+    """_run_side stub: per-(label, pass) calibration spark_sec."""
+    def run(label, side_dir, env_extra):
+        name, npass = label.split("#")
+        passes.append(label)
+        return {
+            "queries": {"q1": 1.0, "q2": 2.0},
+            "calibration": {"python_sec": 0.1,
+                            "spark_sec": calibs.get((name, int(npass)),
+                                                    0.7)},
+        }
+    return run
+
+
+def test_ab_clean_run_carries_no_skew_flag(monkeypatch):
+    bench = _load_bench()
+    passes: list[str] = []
+    monkeypatch.setattr(bench, "_run_side", _fake_side({}, passes))
+    out = bench._run_ab("HEAD")
+    assert "skipped" not in out, out
+    assert out["load_skewed"] is False
+    assert out["reran_for_skew"] is False
+    assert out["calibration_divergence"] <= 1.2
+    # exactly two alternations (P,H,P,H) — no extra pass
+    assert len(passes) == 4, passes
+
+
+def test_ab_loaded_run_reruns_and_flags(monkeypatch):
+    bench = _load_bench()
+    passes: list[str] = []
+    # a load burst lands on every 'prior' pass: its calibration reads
+    # 3x slower than head's on all three alternations
+    calibs = {("prior", 1): 2.1, ("prior", 2): 2.2, ("prior", 3): 2.3,
+              ("head", 1): 0.7, ("head", 2): 0.7, ("head", 3): 0.7}
+    monkeypatch.setattr(bench, "_run_side", _fake_side(calibs, passes))
+    out = bench._run_ab("HEAD")
+    assert "skipped" not in out, out
+    assert out["reran_for_skew"] is True
+    assert len(passes) == 6, passes  # one extra alternation ran
+    assert out["load_skewed"] is True  # still skewed -> flagged
+    assert out["calibration_divergence"] > 1.2
+
+
+def test_ab_transient_burst_clears_after_rerun(monkeypatch):
+    bench = _load_bench()
+    passes: list[str] = []
+    # burst only during pass 1 of prior; pass 3's min clears it
+    calibs = {("prior", 1): 2.1, ("prior", 2): 2.2, ("prior", 3): 0.71,
+              ("head", 1): 0.7, ("head", 2): 0.7, ("head", 3): 0.7}
+    monkeypatch.setattr(bench, "_run_side", _fake_side(calibs, passes))
+    out = bench._run_ab("HEAD")
+    assert out["reran_for_skew"] is True
+    assert out["load_skewed"] is False  # the re-run adjudicated it
