@@ -30,9 +30,12 @@ PROBE_QUERIES = ["pricing_summary", "date_trunc_agg", "window_topk",
                  "top_orders", "dedup_exact", "tumbling_window"]
 # r13 (r12 verdict #4): the pipeline operators whose 100-TB claims
 # previously rested on plan-reading alone — now probed at 10x/100x on a
-# derived documents/embeddings corpus.
+# derived documents/embeddings corpus. r14 (r13 verdict #4) adds the
+# remaining unprobed trio: span_dedup (salted hot-key join), semdedup
+# (mega-cell auto-split), pack_sequences (FFD segment tree).
 PIPELINE_QUERIES = ["minhash_lsh_pairs", "dedup_clusters",
-                    "cosine_pairs_lsh", "ann_ivf_probe"]
+                    "cosine_pairs_lsh", "ann_ivf_probe",
+                    "span_dedup", "semantic_dedup", "pack_sequences"]
 TABLES = {
     "lineitem": {"l_orderkey": 1_000_000_000},
     "orders": {"o_orderkey": 1_000_000_000, "o_custkey": 100_000_000},
