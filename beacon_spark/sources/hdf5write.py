@@ -536,11 +536,22 @@ class _Builder:
         self.ds_addrs[name] = addr
         return addr
 
+    #: Group Leaf Node K declared in the superblock. libhdf5 validates
+    #: every symbol-table node against the DECLARED K (`nsyms > 2K` →
+    #: "too many symbols") — the old default-matching K=4 capped a
+    #: readable root group at 8 datasets, so a 10-column flat netcdf4
+    #: export was unreadable by h5py/netCDF-C (same failure class as
+    #: the r14 chunk-btree fix; caught by inspection while closing it).
+    #: 512 → one SNOD legally holds 1024 symbols (41 KB node).
+    GROUP_LEAF_K = 512
+
     def finish(self, path: str, global_attrs: dict | None = None) -> None:
         # ---- root group: local heap + v1 B-tree + one SNOD -----------
         names = sorted(self.ds_addrs)
-        if len(names) * 40 + 8 > 4096:
-            raise Hdf5WriteError("too many datasets for a single SNOD")
+        if len(names) > 2 * self.GROUP_LEAF_K:
+            raise Hdf5WriteError(
+                f"too many datasets for a single SNOD "
+                f"({len(names)} > {2 * self.GROUP_LEAF_K})")
         heap = bytearray(8)  # offset 0 reserved (empty name)
         name_off: dict[str, int] = {}
         for n in names:
@@ -580,7 +591,9 @@ class _Builder:
             eof = len(buf)
         sb = bytearray(MAGIC)
         sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])       # versions + sizes
-        sb += struct.pack("<HHI", 4, 16, 0)          # group K's + flags
+        # group leaf/internal K + flags — leaf K must cover the SNOD's
+        # actual symbol count (libhdf5 validates nsyms ≤ 2K on decode)
+        sb += struct.pack("<HHI", self.GROUP_LEAF_K, 16, 0)
         sb += struct.pack("<QQQQ", 0, UNDEF, eof, UNDEF)
         sb += struct.pack("<QQII16x", 0, root_addr, 0, 0)  # root STE
         assert len(sb) == 96

@@ -672,3 +672,32 @@ def test_grid_nc4_compression_roundtrip(tmp_path):
         w.write_values("v", g)
     _, variables, _, _ = read_hdf5_grid(p)
     np.testing.assert_array_equal(variables["v"][1], g.reshape(50, 8))
+
+
+def test_wide_file_snod_within_declared_group_leaf_k(tmp_path):
+    """r14: libhdf5 validates every symbol-table node against the
+    superblock's DECLARED Group Leaf Node K (nsyms ≤ 2K) — with the old
+    default-matching K=4 any file with more than 8 datasets was
+    unreadable by h5py/netCDF-C. Write 200 datasets and assert (a) the
+    roundtrip is exact and (b) the SNOD's nsyms fits within 2× the
+    DECLARED K read back from the superblock."""
+    import struct as _struct
+
+    p = _path(tmp_path, "wide.h5")
+    vars_ = {f"c{i:03d}": np.arange(5, dtype=np.int64) * i
+             for i in range(200)}
+    write_hdf5(p, vars_)
+    r = Hdf5Reader(p)
+    assert len(r.root.datasets) == 200
+    for name, arr in vars_.items():
+        np.testing.assert_array_equal(r.read(r.root.datasets[name]), arr)
+
+    with open(p, "rb") as f:
+        buf = f.read()
+    leaf_k = _struct.unpack_from("<H", buf, 16)[0]  # after 8+8 header
+    assert leaf_k >= 1
+    snod_at = buf.find(b"SNOD")
+    assert snod_at > 0
+    nsyms = _struct.unpack_from("<H", buf, snod_at + 6)[0]
+    assert nsyms == 200
+    assert nsyms <= 2 * leaf_k  # the libhdf5 decode invariant
