@@ -1149,7 +1149,10 @@ class ManagedTable:
                         continue  # vanished — another vacuum got it
                     if mt >= newest_commit or now - mt < grace_seconds:
                         continue  # in flight (either guard)
-                    bs.remove(p)
+                    try:
+                        bs.remove(p)
+                    except OSError:
+                        continue  # a concurrent vacuum removed it first
                     removed_files += 1
         # TOMBSTONE, never delete: the manifest NAME is the put-if-absent
         # claim token, so deleting it would free the version number for a

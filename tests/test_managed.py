@@ -1848,6 +1848,52 @@ def test_vacuum_tombstones_block_version_reuse(spark, tmp_path, monkeypatch):
     assert sorted(os.listdir(mdir)) == ["v00000003.json"]
 
 
+def test_vacuum_survives_concurrent_file_removal(spark, tmp_path,
+                                                 monkeypatch):
+    """Two VACUUMs racing on the same unreferenced data file: the loser's
+    remove sees the file already gone and must SKIP it (not abort the
+    sweep mid-way, which would leave the remaining drop manifests
+    untombstoned and staging dirs unreclaimed)."""
+    import os
+
+    from beacon_spark.managed import ManagedTable
+    from beacon_spark.sources import bytesource as bs_mod
+
+    monkeypatch.setattr(ManagedTable, "VACUUM_GRACE_SECS", 0.0)
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE cvac_t AS SELECT * FROM range(10)")
+    eng.sql("INSERT INTO cvac_t SELECT id + 100 AS id FROM range(5)")
+    eng.sql("UPDATE cvac_t SET id = id + 1 WHERE id < 3")
+    mt = eng.catalog.table("cvac_t")
+
+    real_remove = bs_mod.remove
+    stolen = []
+
+    def racing_remove(path):
+        real_remove(path)  # the "other" vacuum wins the file...
+        if not stolen and path.endswith(".parquet"):
+            stolen.append(path)
+            raise FileNotFoundError(path)  # ...so ours sees it vanish
+    monkeypatch.setattr(bs_mod, "remove", racing_remove)
+
+    dropped, removed = mt.vacuum(retain_versions=1)
+    assert stolen, "no unreferenced data file was contended"
+    # the stolen file is not counted, the sweep still finished:
+    # tombstones written, newest intact, no dangling files
+    mdir = os.path.join(mt.path, "_manifests")
+    names = sorted(os.listdir(mdir))
+    assert dropped == 2 and names == [
+        "v00000001.json", "v00000002.json", "v00000003.json"]
+    for tomb in names[:2]:
+        with open(os.path.join(mdir, tomb)) as f:
+            assert json.load(f)["vacuumed"] is True
+    assert mt.read().count() == 15
+    live = set(mt._read_manifest()["files"])
+    on_disk = {os.path.join("data", f)
+               for f in os.listdir(os.path.join(mt.path, "data"))}
+    assert on_disk == live
+
+
 def test_successful_commit_never_retracted_by_fast_follower(spark, tmp_path):
     """r14 (ADVICE high): a follower committing v(N+1) on top of our
     fresh vN must not cause OUR manifest to be deleted — every
