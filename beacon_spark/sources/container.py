@@ -143,15 +143,21 @@ class _Container:
         # ledger-less cache to ingest/delete — Spark's committer then
         # died in setupJob under the vanished directory. sqlite is the
         # only cross-process truth; the shadow is scratch.
+        # pid ALONE is not a process identity: after pid wrap-around a
+        # NEW process could inherit a crashed one's shadow dir (its
+        # ledger-less stage scratch would be swept INTO the container as
+        # phantom rows) and the reaper would see the recycled pid as
+        # alive forever. pid + kernel start time is unique per boot.
+        me = f"{os.getpid()} {self._proc_start(os.getpid()) or ''}".strip()
         tag = hashlib.sha1(
-            f"{db_path}:{instance}:{os.getpid()}".encode()).hexdigest()[:16]
+            f"{db_path}:{instance}:{me}".encode()).hexdigest()[:16]
         shadow = os.path.join(tempfile.gettempdir(), "beacon-bdb", tag)
         self.cache_dir = os.path.join(shadow, "cache")
         self.stage_dir = os.path.join(shadow, "stage")
         os.makedirs(self.cache_dir, exist_ok=True)
         os.makedirs(self.stage_dir, exist_ok=True)
         with open(os.path.join(shadow, "owner.pid"), "w") as f:
-            f.write(str(os.getpid()))
+            f.write(me)
         self._reap_dead_shadows(os.path.dirname(shadow))
         # cache paths handed to the JVM this session: lazy DataFrames
         # may execute ANY time later, so these are never pruned
@@ -167,10 +173,26 @@ class _Container:
         self._armed: set[str] = set()
 
     @staticmethod
-    def _reap_dead_shadows(base: str) -> None:
+    def _proc_start(pid: int) -> int | None:
+        """Kernel start time (clock ticks since boot) of ``pid`` — the
+        disambiguator that makes (pid, start) a process identity across
+        pid wrap-around. None off-Linux / when unreadable."""
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as f:
+                stat = f.read()
+            # comm (field 2) may contain spaces/parens: fields 3+ start
+            # after the LAST ')'; starttime is field 22 (index 19 there)
+            return int(stat[stat.rindex(b")") + 2:].split()[19])
+        except (OSError, ValueError, IndexError):
+            return None
+
+    @classmethod
+    def _reap_dead_shadows(cls, base: str) -> None:
         """Per-process shadow dirs outlive crashed processes — remove
-        any whose recorded owner pid is gone (best-effort; a dead
-        process's un-ingested scratch was never acknowledged data)."""
+        any whose recorded owner process is gone (best-effort; a dead
+        process's un-ingested scratch was never acknowledged data).
+        ``owner.pid`` holds ``pid [starttime]``: a live pid whose start
+        time differs is a RECYCLED pid, i.e. the owner is dead."""
         try:
             entries = os.listdir(base)
         except OSError:
@@ -179,9 +201,16 @@ class _Container:
             d = os.path.join(base, name)
             pid_file = os.path.join(d, "owner.pid")
             try:
-                pid = int(open(pid_file).read().strip())
-            except (OSError, ValueError):
+                parts = open(pid_file).read().split()
+                pid = int(parts[0])
+                start = int(parts[1]) if len(parts) > 1 else None
+            except (OSError, ValueError, IndexError):
                 continue  # pre-r14 layout or mid-create — leave it
+            now_start = cls._proc_start(pid)
+            if start is not None and now_start is not None:
+                if start != now_start:  # dead (pid possibly recycled)
+                    shutil.rmtree(d, ignore_errors=True)
+                continue  # alive — even if the pid matches our own
             if pid == os.getpid():
                 continue
             try:

@@ -638,3 +638,36 @@ def test_container_glob_matches_local_glob_semantics(tmp_path):
         )
         assert got == want, (pat, got, want)
     bc.close_container(str(db))
+
+
+def test_reap_dead_shadows_survives_pid_reuse(tmp_path):
+    """The shadow reaper must key on (pid, starttime), not pid alone: a
+    recycled pid made a crashed process's scratch look owned by a LIVE
+    process (even ourselves), so its never-acknowledged stage files
+    survived for a later sweep to ingest as phantom rows."""
+    C = bc._Container
+    me_start = C._proc_start(os.getpid())
+    assert isinstance(me_start, int)  # Linux container
+
+    base = tmp_path / "shadows"
+
+    def shadow(name, owner):
+        d = base / name
+        (d / "stage").mkdir(parents=True)
+        (d / "owner.pid").write_text(owner)
+        return d
+
+    alive = shadow("alive", f"{os.getpid()} {me_start}")
+    recycled = shadow("recycled", f"{os.getpid()} {me_start + 777}")
+    # a pid beyond pid_max never exists: both identity forms must reap it
+    dead = shadow("dead", f"{2**22 + 12345} 1")
+    legacy_alive = shadow("legacy", f"{os.getpid()}")  # pre-starttime format
+    garbage = shadow("garbage", "not-a-pid")
+
+    C._reap_dead_shadows(str(base))
+
+    assert alive.is_dir(), "live owner with matching starttime reaped"
+    assert not recycled.exists(), "recycled-pid shadow not reaped"
+    assert not dead.exists(), "dead-pid shadow not reaped"
+    assert legacy_alive.is_dir(), "legacy live-pid shadow reaped"
+    assert garbage.is_dir(), "unparseable owner file must be left alone"
