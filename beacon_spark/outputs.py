@@ -843,14 +843,17 @@ def _write_netcdf_nd_streamed(
     """nd (re-gridded) NetCDF with BOUNDED driver memory (VERDICT r7
     item 3; ``flavor="netcdf4"`` r14 — lifts the last materialization
     cap, matching the reference's always-streamed COPY TO,
-    runtime.rs:192-246): spool once to executor-written parquet, learn
-    each dimension's sorted distinct coordinates from a column-pruned
-    scan, then materialize ONE VARIABLE'S dense grid at a time —
-    scatter that variable's values batch-by-batch and stream the grid
-    out through ``GridStreamWriter`` (NetCDF-3 classic) or
+    runtime.rs:192-246): sort by the dimension tuple IN SPARK (a
+    distributed sort, so row order = flat C-order of the grid), spool
+    once to executor-written parquet, learn each dimension's sorted
+    distinct coordinates from a column-pruned scan, then MERGE-FILL
+    each variable — its values arrive with monotone grid indices, so
+    the dense grid streams out as [fill gap][batch window][fill gap]…
+    through ``GridStreamWriter`` (NetCDF-3 classic) or
     ``GridNc4StreamWriter`` (NetCDF-4/HDF5). Peak driver memory is one
-    grid (the output's own size per variable), never the whole row
-    table plus every grid. Value semantics match the in-memory
+    ~1M-cell buffer — never a dense per-variable grid, which for a
+    billion-cell export was itself a driver OOM. Value semantics match
+    the in-memory
     ``regrid`` path exactly: numerics/temporals → NaN-filled doubles,
     strings/other → char grids with "" for absent cells, coords sorted
     ascending. Schemas parquet can't spool fall back to the
@@ -863,6 +866,16 @@ def _write_netcdf_nd_streamed(
     )
 
     target = arrow_schema_of(df)
+    if dimension_columns:
+        # global sort by the dim tuple = flat C-order of the output grid
+        # (coords sort ascending per axis, and Spark's per-type ordering
+        # matches Python's sorted() on the CF-normalized coord values):
+        # _parquet_spool yields range-partitioned parts in result order,
+        # so each variable's scatter pass sees MONOTONE grid indices and
+        # streams with O(chunk) driver memory — no dense per-variable
+        # grid, which for a billion-cell export was a driver OOM the
+        # output file itself never needed
+        df = df.orderBy(*dimension_columns)
     with _parquet_spool(df) as pfs:
         if pfs is None:
             _write_netcdf_table(df.toArrow(), path, dimension_columns,
@@ -895,11 +908,16 @@ def _write_netcdf_nd_streamed(
             elif pa.types.is_date(field.type):
                 cf_attrs[field.name] = {"units": "days since 1970-01-01"}
         coords: dict[str, list] = {}
-        for dim in dimension_columns:
-            vals: set = set()
-            for b in batches([dim]):
-                vals.update(cf_col(b, 0, dim).to_pylist())
-            coords[dim] = sorted(_checked_dim_values(dim, vals))
+        if dimension_columns:
+            # ONE column-pruned pass for every axis, per-batch distinct
+            # vectorized (pc.unique) so only the distinct values cross
+            # into Python — the sets stay axis-sized, not row-sized
+            sets: dict[str, set] = {d: set() for d in dimension_columns}
+            for b in batches(list(dimension_columns)):
+                for k, dim in enumerate(dimension_columns):
+                    sets[dim].update(pc.unique(cf_col(b, k, dim)).to_pylist())
+            for dim in dimension_columns:
+                coords[dim] = sorted(_checked_dim_values(dim, sets[dim]))
         lookups = [
             {v: i for i, v in enumerate(coords[d])}
             for d in dimension_columns
@@ -922,22 +940,24 @@ def _write_netcdf_nd_streamed(
         value_cols = [f.name for f in target
                       if f.name not in dimension_columns]
         widths: dict[str, int] = {}
-        for name in value_cols:
-            if is_numeric(target.field(name).type):
-                continue
-            w = 1
-            for b in batches([name]):
-                col = b.column(0)
-                if pa.types.is_string(col.type) \
-                        or pa.types.is_large_string(col.type):
-                    m = pc.max(pc.binary_length(
-                        col.cast(pa.large_binary()))).as_py()
-                else:
-                    m = max((len(str(v).encode("utf-8"))
-                             for v in col.to_pylist()
-                             if v is not None), default=0)
-                w = max(w, m or 0)
-            widths[name] = w
+        str_cols = [n for n in value_cols
+                    if not is_numeric(target.field(n).type)]
+        if str_cols:
+            # ONE column-pruned pass computes every char variable's
+            # width (was one full spool scan per string column)
+            widths = {n: 1 for n in str_cols}
+            for b in batches(str_cols):
+                for j, name in enumerate(str_cols):
+                    col = b.column(j)
+                    if pa.types.is_string(col.type) \
+                            or pa.types.is_large_string(col.type):
+                        m = pc.max(pc.binary_length(
+                            col.cast(pa.large_binary()))).as_py()
+                    else:
+                        m = max((len(str(v).encode("utf-8"))
+                                 for v in col.to_pylist()
+                                 if v is not None), default=0)
+                    widths[name] = max(widths[name], m or 0)
 
         def coord_str_enc(dim: str) -> np.ndarray:
             enc = np.char.encode(
@@ -1009,14 +1029,46 @@ def _write_netcdf_nd_streamed(
                     if len(coord_data[dim]):
                         writer.write_values(dim, coord_data[dim])
             read_cols = list(dimension_columns)
+            chunk_cells = 1 << 20
             for name in value_cols:
                 ft = target.field(name).type
                 numeric = is_numeric(ft)
-                # ONE variable's dense grid — the bounded peak
-                if numeric:
-                    grid = np.full(cells, np.nan, dtype=np.float64)
-                else:
-                    grid = np.full(cells, "", dtype=object)
+                w = widths.get(name)
+                grid_dt = (np.dtype(np.float64) if numeric
+                           else np.dtype(f"S{w}"))
+
+                def emit(arr):
+                    if not len(arr):
+                        return
+                    if numeric or flavor == "netcdf4":
+                        writer.write_values(name, arr)
+                    else:  # nc3 char grids stream as (rows, width) S1
+                        writer.write_values(name, np.frombuffer(
+                            arr.tobytes(), "S1").reshape(-1, w))
+
+                def fill(n):  # absent cells: NaN / zero-padded ""
+                    return (np.full(n, np.nan) if numeric
+                            else np.zeros(n, dtype=grid_dt))
+
+                def prep(col):  # one batch's values in the grid dtype
+                    if numeric:
+                        return pc.cast(col, pa.float64()).to_numpy(
+                            zero_copy_only=False)
+                    if (pa.types.is_string(col.type)
+                            or pa.types.is_large_string(col.type)):
+                        return _fixed_width_bytes(col, w)
+                    vs = ["" if v is None else str(v)
+                          for v in col.to_pylist()]
+                    if not vs:
+                        return np.empty(0, grid_dt)
+                    return np.char.encode(
+                        np.asarray(vs, dtype="U"), "utf-8").astype(grid_dt)
+
+                # MERGE-FILL over the sorted spool: indices arrive
+                # monotone (orderBy above), so the grid streams out as
+                # [fill gap][batch window][fill gap]… with one ≤1M-cell
+                # buffer — never a dense cells-sized grid
+                nxt = 0
                 for b in batches(read_cols + [name]):
                     if b.num_rows == 0:
                         continue
@@ -1035,30 +1087,44 @@ def _write_netcdf_nd_streamed(
                             lk = lookups[k]
                             idx[k] = [lk[v] for v in col.to_pylist()]
                     flat = np.ravel_multi_index(tuple(idx), shape)
-                    col = cf_col(b, len(read_cols), name)
-                    if numeric:
-                        grid[flat] = pc.cast(col, pa.float64()).to_numpy(
-                            zero_copy_only=False)
-                    else:
-                        grid[flat] = ["" if v is None else str(v)
-                                      for v in col.to_pylist()]
-                if numeric:
-                    for i in range(0, cells, 1 << 20):
-                        writer.write_values(name, grid[i:i + (1 << 20)])
-                else:
-                    w = widths[name]
-                    for i in range(0, cells, 1 << 18):
-                        chunk = grid[i:i + (1 << 18)]
-                        if not len(chunk):
+                    if np.any(np.diff(flat) < 0):
+                        raise RuntimeError(
+                            "ndnetcdf stream: spool lost the dimension "
+                            "sort order — refusing to write a "
+                            "misplaced-cell grid")
+                    vals = prep(cf_col(b, len(read_cols), name))
+                    if flat[0] < nxt:
+                        # duplicate dim tuples crossing a batch edge
+                        # (out of contract): keep the first-emitted cell
+                        k0 = np.searchsorted(flat, nxt, side="left")
+                        flat, vals = flat[k0:], vals[k0:]
+                        if not len(flat):
                             continue
-                        enc = np.char.encode(
-                            chunk.astype("U"), "utf-8").astype(f"S{w}")
-                        if flavor == "netcdf4":
-                            writer.write_values(name, enc)
-                        else:
-                            writer.write_values(name, np.frombuffer(
-                                enc.tobytes(), "S1").reshape(-1, w))
-                del grid
+                    gap = int(flat[0]) - nxt
+                    while gap > 0:
+                        g = min(gap, chunk_cells)
+                        emit(fill(g))
+                        gap -= g
+                        nxt += g
+                    last = int(flat[-1])
+                    lo = nxt
+                    while lo <= last:
+                        hi = min(lo + chunk_cells, last + 1)
+                        a0, b0 = np.searchsorted(flat, [lo, hi])
+                        buf = fill(hi - lo)
+                        # duplicates within a batch: LAST wins (numpy
+                        # fancy assignment order), same as the dense
+                        # scatter this replaces
+                        buf[flat[a0:b0] - lo] = vals[a0:b0]
+                        emit(buf)
+                        lo = hi
+                    nxt = last + 1
+                rem = cells - nxt
+                while rem > 0:
+                    g = min(rem, chunk_cells)
+                    emit(fill(g))
+                    rem -= g
+                    nxt += g
 
 
 # ------------------------------------------------------------ dispatcher

@@ -554,8 +554,8 @@ class _ArrowFS:
         bytes before the winner's put lands — a lost update); on
         local-backed Arrow filesystems os.link claims the name
         atomically with full-content visibility, the same primitive
-        _commit_manifest uses for plain paths. Non-local stores keep
-        the module-level fallback (returning None defers to it)."""
+        _commit_manifest uses for plain paths. Non-local stores
+        replicate the module-level exists+put+verify compromise."""
         import uuid as _uuid
 
         real = self._local_real_path(self._p(path))

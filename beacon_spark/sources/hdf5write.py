@@ -28,7 +28,9 @@ layouts, vlen types, dimension-scale (netCDF4) conventions.
 
 from __future__ import annotations
 
+import contextlib
 import itertools
+import os
 import struct
 import zlib
 
@@ -890,10 +892,14 @@ class Nc4StreamWriter:
         self._b.finish(self._path, self._global)
 
     def abort(self) -> None:
-        """Close the backing file without finalizing (error paths)."""
+        """Close AND REMOVE the backing file without finalizing (error
+        paths) — a truncated file left behind could be mistaken for a
+        complete export."""
         f = self._b._f
         if f is not None and not f.closed:
             f.close()
+        with contextlib.suppress(OSError):
+            os.unlink(self._path)
 
 
 class GridNc4StreamWriter:
@@ -1019,10 +1025,14 @@ class GridNc4StreamWriter:
         self._b.finish(self._path, self._global)
 
     def abort(self) -> None:
-        """Close the backing file without finalizing (error paths)."""
+        """Close AND REMOVE the backing file without finalizing (error
+        paths) — a truncated file left behind could be mistaken for a
+        complete export."""
         f = self._b._f
         if f is not None and not f.closed:
             f.close()
+        with contextlib.suppress(OSError):
+            os.unlink(self._path)
 
     def __enter__(self):
         return self

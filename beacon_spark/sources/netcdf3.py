@@ -551,6 +551,7 @@ class GridStreamWriter:
         for (nm, dn, t, nv), begin in zip(prepared, begins):
             var_header(w, nm, dn, t, nv, begin)
 
+        self._path = path
         self._f = open(path, "wb")
         for p in w.parts:
             self._f.write(p)
@@ -595,7 +596,14 @@ class GridStreamWriter:
             # truncated file
             self.close()
         else:
-            self._f.close()  # don't mask the in-flight error
+            # don't mask the in-flight error — and don't leave a
+            # truncated file a consumer could mistake for a complete
+            # export
+            self._f.close()
+            import contextlib
+            import os
+            with contextlib.suppress(OSError):
+                os.unlink(self._path)
         return False
 
 

@@ -226,6 +226,38 @@ def test_export_path_never_full_collects(spark, tmp_path, monkeypatch):
     assert arr4.shape == (10, 10) and float(arr4[3][2]) == 23 * 1.5
 
 
+def test_regrid_stream_buffers_bounded(spark, tmp_path, monkeypatch):
+    """r14: the re-grid export never materializes a dense per-variable
+    grid on the driver — every array reaching the stream writers is ≤
+    the 1M-cell merge-fill buffer, for a grid far larger than the row
+    count (here 16M cells from 5k rows; a dense grid would be one
+    16M-element allocation per variable)."""
+    import beacon_spark.outputs as out_mod
+    from beacon_spark.sources.hdf5write import GridNc4StreamWriter
+    from beacon_spark.sources.netcdf3 import GridStreamWriter
+
+    seen: list[int] = []
+    for cls in (GridNc4StreamWriter, GridStreamWriter):
+        orig = cls.write_values
+
+        def spy(self, name, arr, _orig=orig):
+            seen.append(int(np.asarray(arr).shape[0]))
+            return _orig(self, name, arr)
+        monkeypatch.setattr(cls, "write_values", spy)
+
+    df = spark.range(5000).selectExpr(
+        "CAST(id % 4000 AS INT) AS x",
+        "CAST((id * 97) % 4000 AS INT) AS y",
+        "id * 0.5 AS v", "CONCAT('s', id % 13) AS s")
+    for flavor, ext in (("netcdf4", "h5"), ("netcdf3", "nc")):
+        seen.clear()
+        p = str(tmp_path / f"g.{ext}")
+        out_mod._write_netcdf_nd_streamed(df, p, ["x", "y"],
+                                          flavor=flavor)
+        assert seen, flavor
+        assert max(seen) <= (1 << 20), (flavor, max(seen))
+
+
 def test_iter_arrow_batches_preserves_order_and_types(spark):
     from beacon_spark.outputs import iter_arrow_batches
 

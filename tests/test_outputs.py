@@ -845,3 +845,35 @@ def test_regrid_nc4_streamed_matches_materialized_random(spark, tmp_path):
         assert attrs_s == attrs_m
 
     check()
+
+
+def test_aborted_stream_exports_leave_no_partial_file(tmp_path):
+    """A failed streamed export must not leave a truncated file behind —
+    a consumer (or a retrying pipeline) could mistake it for a complete
+    export. All stream writers remove their backing file on abort."""
+    import os
+
+    import pytest
+
+    from beacon_spark.sources.hdf5write import (GridNc4StreamWriter,
+                                                Nc4StreamWriter)
+    from beacon_spark.sources.netcdf3 import GridStreamWriter
+
+    p = str(tmp_path / "grid.h5")
+    with pytest.raises(RuntimeError, match="boom"):
+        with GridNc4StreamWriter(p, {"x": 4}, {"x": np.arange(4)},
+                                 {"v": np.dtype(np.float64)}):
+            raise RuntimeError("boom")
+    assert not os.path.exists(p)
+
+    p = str(tmp_path / "flat.h5")
+    w = Nc4StreamWriter(p, 10, {"v": np.dtype(np.float64)})
+    w.write_values("v", np.arange(5.0))
+    w.abort()  # what _write_netcdf4_flat_streamed runs on any failure
+    assert not os.path.exists(p)
+
+    p = str(tmp_path / "grid.nc")
+    with pytest.raises(RuntimeError, match="boom"):
+        with GridStreamWriter(p, {"x": 4}, [("v", ("x",), 6, None)]):
+            raise RuntimeError("boom")
+    assert not os.path.exists(p)
