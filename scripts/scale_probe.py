@@ -90,6 +90,44 @@ def _derive(spark, src: str, factor: int) -> str:
     return dst
 
 
+def _export_probe(spark, factor: int) -> dict:
+    """Regrid NetCDF-4 export wall at 1× vs factor× CELLS (sparse synth
+    grid, rows = cells/200). The r14 merge-fill keeps driver memory
+    O(chunk) regardless of grid size — maxrss is recorded per leg so a
+    regression back to a dense per-variable grid (8 B × cells) shows up
+    as a multi-GB jump on the scaled leg."""
+    import resource
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from beacon_spark.outputs import _write_netcdf_nd_streamed
+
+    out: dict = {}
+    for label, cells in (("base", 4_000_000),
+                         ("scaled", 4_000_000 * factor)):
+        n = int(cells ** 0.5)
+        rows = max(cells // 200, 10_000)
+        df = (spark.range(rows)
+              .select((F.col("id") % n).alias("x"),
+                      ((F.col("id") * 7919) % n).alias("y"),
+                      (F.col("id").cast("double") * 0.5).alias("v")))
+        d = tempfile.mkdtemp(prefix="beacon-export-probe-")
+        try:
+            t0 = time.perf_counter()
+            _write_netcdf_nd_streamed(df, os.path.join(d, "g.h5"),
+                                      ["x", "y"], flavor="netcdf4")
+            out[label] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        out[f"{label}_maxrss_gb"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
+        print(f"  export {label}: {out[label]}s ({cells} cells, "
+              f"maxrss {out[f'{label}_maxrss_gb']} GB)", file=sys.stderr)
+    out["ratio"] = round(out["scaled"] / out["base"], 1)
+    return out
+
+
 def main() -> None:
     factor = 100
     if "--factor" in sys.argv:
@@ -132,13 +170,16 @@ def main() -> None:
 
     base = run(src)
     scaled = run(big)
-    print(json.dumps({
+    result = {
         "factor": factor,
         "calibration": calibration,
         "base": base,
         "scaled": scaled,
         "ratio": {q: round(scaled[q] / base[q], 1) for q in probe_list},
-    }))
+    }
+    if "--exports" in sys.argv:
+        result["exports"] = _export_probe(spark, factor)
+    print(json.dumps(result))
     spark.stop()
 
 

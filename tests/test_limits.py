@@ -215,7 +215,7 @@ def test_export_path_never_full_collects(spark, tmp_path, monkeypatch):
     assert big.dtype == np.int64  # HDF5 holds int64 natively, no narrow
     assert int(big[list(ids).index(3)]) == 5000000003
     # r14 (r13 verdict item 1): the RE-GRIDDED NetCDF-4 shape streams
-    # too — spy active, caps gone, one variable's grid at a time
+    # too — spy active, caps gone, merge-fill over the sorted spool
     from beacon_spark.sources.hdf5lite import read_hdf5_grid
 
     g4 = str(tmp_path / "grid.h5")
