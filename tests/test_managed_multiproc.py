@@ -286,6 +286,92 @@ print(f"VACUUMS {n}")
 """
 
 
+_KILL_WORKER = r"""
+import os, sys
+worker_id, path, ack_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+from beacon_spark.session import get_spark
+from beacon_spark.managed import ManagedTable
+spark = get_spark(app_name=f"killhammer{worker_id}", master="local[2]",
+                  shuffle_partitions=2,
+                  extra_conf={"spark.driver.memory": "2g"})
+t = ManagedTable(spark, path)
+ack = open(ack_path, "a")
+b = 0
+while True:
+    rid = worker_id * 1_000_000 + b
+    df = spark.createDataFrame([(rid, worker_id, b)],
+                               "id long, w long, b long")
+    t.insert(df)
+    # durably acknowledge AFTER the commit returns: rows in the table
+    # must always be a SUPERSET of these ids
+    ack.write(f"{rid}\n"); ack.flush(); os.fsync(ack.fileno())
+    b += 1
+"""
+
+
+def test_sigkill_mid_commit_never_loses_acknowledged_rows(
+        spark, tmp_path, monkeypatch):
+    """Crash consistency: a writer SIGKILLed at a random point (possibly
+    mid-Spark-write, mid-rename, or mid-manifest-claim) must leave the
+    table readable, every DURABLY ACKNOWLEDGED insert present exactly
+    once, new commits accepted, and its abandoned staging reclaimable —
+    the invariants the O_EXCL/link claim + staging-grace design exists
+    to provide. (The hammers cover concurrent completions; this covers
+    torn executions.)"""
+    import signal
+    import time
+
+    from beacon_spark.managed import ManagedTable
+
+    path = str(tmp_path / "kt")
+    t = ManagedTable(spark, path)
+    t.create(spark.createDataFrame([(0, -1, 0)], "id long, w long, b long"))
+
+    acked: list[int] = []
+    for w in (1, 2, 3):  # three independent kill windows
+        ack_path = str(tmp_path / f"ack{w}.txt")
+        p = subprocess.Popen(
+            [sys.executable, "-c", _KILL_WORKER, str(w), path, ack_path],
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+            cwd="/root/repo")
+        # wait until the worker is actually committing, then strike at
+        # a random moment inside the insert loop
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if os.path.exists(ack_path) and os.path.getsize(ack_path):
+                break
+            if p.poll() is not None:
+                raise AssertionError(
+                    p.communicate()[1].decode()[-2000:])
+            time.sleep(0.05)
+        else:
+            raise AssertionError("worker never committed")
+        time.sleep(random.SystemRandom().uniform(0.0, 1.5))
+        p.send_signal(signal.SIGKILL)
+        p.wait(timeout=60)
+        with open(ack_path) as f:
+            acked += [int(x) for x in f.read().split()]
+
+    # every durably acknowledged row present; nothing duplicated
+    rows = [r.id for r in t.read().collect()]
+    assert len(rows) == len(set(rows)), "duplicated rows after crashes"
+    missing = set(acked) - set(rows)
+    assert not missing, f"lost acknowledged rows: {sorted(missing)[:5]}"
+
+    # the table still accepts and serves new commits
+    t.insert(spark.createDataFrame([(999_999_999, 9, 0)],
+                                   "id long, w long, b long"))
+    assert 999_999_999 in {r.id for r in t.read().collect()}
+
+    # the killed writers' staging dirs reclaim once out of grace
+    monkeypatch.setattr(ManagedTable, "STAGING_GRACE_SECS", 0.0)
+    t.vacuum(retain_versions=1)
+    leftover = [d for d in os.listdir(path) if d.startswith("_staging-")]
+    assert not leftover, leftover
+    after = {r.id for r in t.read().collect()}
+    assert set(acked) <= after and 999_999_999 in after
+
+
 @pytest.mark.parametrize("backend", ["mock", "bdb"])
 def test_vacuum_races_inserts_on_remote_backends(spark, tmp_path, backend):
     """r14 (VERDICT #2): the r13/r14 vacuum-safety fixes lean on
