@@ -1184,6 +1184,17 @@ class ManagedTable:
                 with contextlib.suppress(OSError):
                     if now - bs.mtime(p) > self.STAGING_GRACE_SECS:
                         bs.rmtree(p)
+        # manifest .tmp-* files orphaned by a writer killed between its
+        # tmp write and the os.link claim (the unlink lives in a finally
+        # SIGKILL skips): excluded from _manifests() by the .json filter,
+        # so purely a disk leak — reclaim past the same grace
+        if bs.isdir(self.manifest_dir):
+            for fn in bs.listdir(self.manifest_dir):
+                if ".tmp-" in fn:
+                    p = bs.join(self.manifest_dir, fn)
+                    with contextlib.suppress(OSError):
+                        if now - bs.mtime(p) > self.STAGING_GRACE_SECS:
+                            bs.remove(p)
         return len(drop_ms), removed_files
 
     def drop(self) -> None:

@@ -1848,6 +1848,34 @@ def test_vacuum_tombstones_block_version_reuse(spark, tmp_path, monkeypatch):
     assert sorted(os.listdir(mdir)) == ["v00000003.json"]
 
 
+def test_vacuum_reaps_orphaned_manifest_tmps(spark, tmp_path, monkeypatch):
+    """A writer SIGKILLed between its manifest tmp write and the os.link
+    claim skips the finally-unlink — the orphan .tmp-* is invisible to
+    listings (the .json filter) but leaks disk forever. VACUUM reclaims
+    it past STAGING_GRACE_SECS; in-grace tmps (a live writer mid-claim)
+    survive."""
+    import os
+    import time
+
+    from beacon_spark.managed import ManagedTable
+
+    monkeypatch.setattr(ManagedTable, "VACUUM_GRACE_SECS", 0.0)
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    eng.sql("CREATE TABLE tmp_t AS SELECT * FROM range(5)")
+    mt = eng.catalog.table("tmp_t")
+    mdir = os.path.join(mt.path, "_manifests")
+    dead = os.path.join(mdir, "v00000002.json.tmp-999-dead")
+    open(dead, "w").write("{}")
+    old = time.time() - mt.STAGING_GRACE_SECS - 60
+    os.utime(dead, (old, old))
+    live = os.path.join(mdir, "v00000002.json.tmp-1-live")
+    open(live, "w").write("{}")
+    mt.vacuum(retain_versions=1)
+    assert not os.path.exists(dead)
+    assert os.path.exists(live)
+    assert mt.read().count() == 5
+
+
 def test_vacuum_survives_concurrent_file_removal(spark, tmp_path,
                                                  monkeypatch):
     """Two VACUUMs racing on the same unreferenced data file: the loser's

@@ -363,11 +363,15 @@ def test_sigkill_mid_commit_never_loses_acknowledged_rows(
                                    "id long, w long, b long"))
     assert 999_999_999 in {r.id for r in t.read().collect()}
 
-    # the killed writers' staging dirs reclaim once out of grace
+    # the killed writers' staging dirs AND orphaned manifest tmp files
+    # reclaim once out of grace
     monkeypatch.setattr(ManagedTable, "STAGING_GRACE_SECS", 0.0)
     t.vacuum(retain_versions=1)
     leftover = [d for d in os.listdir(path) if d.startswith("_staging-")]
     assert not leftover, leftover
+    tmps = [f for f in os.listdir(os.path.join(path, "_manifests"))
+            if ".tmp-" in f]
+    assert not tmps, tmps
     after = {r.id for r in t.read().collect()}
     assert set(acked) <= after and 999_999_999 in after
 
