@@ -376,6 +376,75 @@ def test_sigkill_mid_commit_never_loses_acknowledged_rows(
     assert set(acked) <= after and 999_999_999 in after
 
 
+def test_sigkill_mid_commit_on_bdb_container(spark, tmp_path):
+    """Crash consistency on the bdb:// container: a SIGKILLed writer
+    leaves a mid-transaction sqlite journal, per-process shadow
+    cache/stage scratch, and possibly a half-staged Spark write. The
+    table must stay readable with every durably acknowledged row
+    present, keep accepting commits, and the dead process's shadow dir
+    must reap on the next container open (the (pid, starttime)
+    ownership sweep)."""
+    import signal
+    import tempfile as _tempfile
+    import time
+
+    from beacon_spark.managed import ManagedTable
+    from beacon_spark.sources import container as bc
+
+    db = str(tmp_path / "lake.db")
+    path = f"bdb://{db}/kt"
+    t = ManagedTable(spark, path)
+    t.create(spark.createDataFrame([(0, -1, 0)], "id long, w long, b long"))
+
+    acked: list[int] = []
+    dead_pids: list[int] = []
+    for w in (1, 2):
+        ack_path = str(tmp_path / f"back{w}.txt")
+        p = subprocess.Popen(
+            [sys.executable, "-c", _KILL_WORKER, str(w), path, ack_path],
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+            cwd="/root/repo")
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if os.path.exists(ack_path) and os.path.getsize(ack_path):
+                break
+            if p.poll() is not None:
+                raise AssertionError(p.communicate()[1].decode()[-2000:])
+            time.sleep(0.05)
+        else:
+            raise AssertionError("worker never committed")
+        time.sleep(random.SystemRandom().uniform(0.0, 1.5))
+        p.send_signal(signal.SIGKILL)
+        p.wait(timeout=60)
+        dead_pids.append(p.pid)
+        with open(ack_path) as f:
+            acked += [int(x) for x in f.read().split()]
+
+    rows = [r.id for r in t.read().collect()]
+    assert len(rows) == len(set(rows)), "duplicated rows after crashes"
+    missing = set(acked) - set(rows)
+    assert not missing, f"lost acknowledged rows: {sorted(missing)[:5]}"
+    t.insert(spark.createDataFrame([(999_999_999, 9, 0)],
+                                   "id long, w long, b long"))
+    assert 999_999_999 in {r.id for r in t.read().collect()}
+
+    # reopening the container sweeps the dead workers' shadow scratch
+    bc.close_container(db)
+    t.read().count()  # reopens → _reap_dead_shadows runs
+    base = os.path.join(_tempfile.gettempdir(), "beacon-bdb")
+    stale = []
+    for name in os.listdir(base) if os.path.isdir(base) else []:
+        pf = os.path.join(base, name, "owner.pid")
+        try:
+            pid = int(open(pf).read().split()[0])
+        except (OSError, ValueError, IndexError):
+            continue
+        if pid in dead_pids:
+            stale.append(name)
+    assert not stale, f"dead workers' shadow dirs not reaped: {stale}"
+    bc.close_container(db)
+
+
 @pytest.mark.parametrize("backend", ["mock", "bdb"])
 def test_vacuum_races_inserts_on_remote_backends(spark, tmp_path, backend):
     """r14 (VERDICT #2): the r13/r14 vacuum-safety fixes lean on
