@@ -294,6 +294,7 @@ from beacon_spark.managed import ManagedTable
 spark = get_spark(app_name=f"killhammer{worker_id}", master="local[2]",
                   shuffle_partitions=2,
                   extra_conf={"spark.driver.memory": "2g"})
+from beacon_spark.managed import ManifestConflict
 t = ManagedTable(spark, path)
 ack = open(ack_path, "a")
 b = 0
@@ -306,6 +307,13 @@ while True:
     # must always be a SUPERSET of these ids
     ack.write(f"{rid}\n"); ack.flush(); os.fsync(ack.fileno())
     b += 1
+    if b % 3 == 0:
+        # a kill mid-COMPACTION (rewriting every live file) is a
+        # different window than mid-insert: rows must survive it too
+        try:
+            t.compact(target_file_bytes=1 << 20)
+        except ManifestConflict:
+            pass
 """
 
 
