@@ -754,13 +754,15 @@ def test_spool_has_nulls_exact_when_stats_missing(tmp_path):
     assert _spool_has_nulls([NoScan()], "holey") is True
 
 
-def test_regrid_nc4_streamed_matches_materialized_random(spark, tmp_path):
-    """Generative parity net for the r14 streamed re-gridded NetCDF-4:
+def test_regrid_streamed_matches_materialized_random(spark, tmp_path):
+    """Generative parity net for the r14 streamed re-gridded exports
+    (both flavors — NetCDF-4 via GridNc4StreamWriter and NetCDF-3 via
+    GridStreamWriter, sharing the merge-fill scatter):
     random dim-column types (int/double/string), random value columns
     (double/long/string/bool/timestamp with nulls), sparse grids — the
-    streamed GridNc4StreamWriter path must produce the same LOGICAL
-    grid (dims, coord values+dtypes, grid values incl. NaN/'' fills)
-    as the materialized write_netcdf4, fresh seeds each run."""
+    streamed path must produce the same LOGICAL grid (dims, coord
+    values+dtypes, grid values incl. NaN/'' fills) as the materialized
+    writer, fresh seeds each run."""
     import datetime
 
     from hypothesis import given, settings
@@ -803,8 +805,11 @@ def test_regrid_nc4_streamed_matches_materialized_random(spark, tmp_path):
                               min_size=1, max_size=2, unique=True),
            val_kinds=st.lists(st.sampled_from(sorted(VAL_POOL)),
                               min_size=1, max_size=3, unique=True),
+           flavor=st.sampled_from(["netcdf4", "netcdf3"]),
            data=st.data())
-    def check(dim_kinds, val_kinds, data):
+    def check(dim_kinds, val_kinds, flavor, data):
+        from beacon_spark.sources.netcdf3 import read_netcdf3
+
         counter[0] += 1
         base = tmp_path / f"g{counter[0]}"
         base.mkdir()
@@ -823,12 +828,13 @@ def test_regrid_nc4_streamed_matches_materialized_random(spark, tmp_path):
         p_stream = str(base / "stream.h5")
         p_mat = str(base / "mat.h5")
         _write_netcdf_nd_streamed(df, p_stream, list(dim_kinds),
-                                  flavor="netcdf4")
+                                  flavor=flavor)
         _write_netcdf_table(df.toArrow(), p_mat, list(dim_kinds),
-                            flavor="netcdf4")
+                            flavor=flavor)
 
-        dims_s, vars_s, attrs_s, _ = read_hdf5_grid(p_stream)
-        dims_m, vars_m, attrs_m, _ = read_hdf5_grid(p_mat)
+        read = read_hdf5_grid if flavor == "netcdf4" else read_netcdf3
+        dims_s, vars_s, attrs_s, _ = read(p_stream)
+        dims_m, vars_m, attrs_m, _ = read(p_mat)
         assert dims_s == dims_m, (dim_kinds, val_kinds)
         assert set(vars_s) == set(vars_m)
         for name in vars_m:
