@@ -910,6 +910,7 @@ class Engine:
         statement = self._rewrite_metadata_fns(statement)
         statement = self._rewrite_try_arrow_cast(statement)
         statement = self._rewrite_macros(statement)
+        statement = self._rewrite_extract_fields(statement)
         statement = self._rewrite_qualify(statement)
         # Explicit spaces in the replacement: `WHERE(flag)` (no space —
         # \s* matches empty) must become `WHERE flag`, not the fused
@@ -3004,6 +3005,61 @@ class Engine:
         expand("arrow_typeof",
                lambda args: f"__arrow_typename(typeof({args[0].strip()}))")
         return statement
+
+    def _rewrite_extract_fields(self, statement: str) -> str:
+        """DataFusion/Postgres EXTRACT fields Spark numbers differently
+        or lacks (DIVERGENCES #15/#16, closed r14):
+
+        - ``EXTRACT(DOW FROM x)`` / ``date_part('dow', x)`` — the
+          reference numbers Sunday=0..Saturday=6 (Postgres), Spark's
+          native DOW is Sunday=1..7 → ``dayofweek(x) - 1``;
+        - ``EXTRACT(EPOCH FROM x)`` / ``date_part('epoch', x)`` —
+          fractional seconds since the epoch; not a Spark extract
+          field → ``unix_micros(CAST(x AS TIMESTAMP)) / 1e6``.
+
+        Every other field passes through to Spark's native EXTRACT.
+        Paren matching and string-literal blanking ride the shared
+        lexer scrub, same as the macro expander."""
+        low = statement.lower()
+        if "extract" not in low and "date_part" not in low:
+            return statement
+        rx = re.compile(r"\b(extract|date_part)\s*\(", re.IGNORECASE)
+        pos = 0
+        while True:
+            blanked = _noncode_blanked(statement)
+            m = rx.search(blanked, pos)
+            if not m:
+                return statement
+            start = m.end()
+            end = _matching_paren_end(blanked, start)
+            if end < 0:
+                return statement  # malformed — let Spark's parser raise
+            inner = statement[start:end - 1]
+            field = expr = None
+            if m.group(1).lower() == "extract":
+                fm = re.match(r"(?is)^\s*(\w+)\s+FROM\s+(.*)$", inner)
+                if fm:
+                    field, expr = fm.group(1).lower(), fm.group(2)
+            else:
+                args = _split_top_level(inner)
+                if len(args) == 2:
+                    am = re.match(r"(?i)^\s*'(\w+)'\s*$", args[0])
+                    if am:
+                        field, expr = am.group(1).lower(), args[1]
+            if field == "dow":
+                repl = f"(dayofweek({expr}) - 1)"
+            elif field == "epoch":
+                # CAST to DOUBLE first: bigint / decimal-literal would
+                # yield DECIMAL where the reference returns Float64
+                repl = (f"(CAST(unix_micros(CAST(({expr}) AS TIMESTAMP))"
+                        f" AS DOUBLE) / 1000000.0)")
+            else:
+                pos = m.end()  # native Spark field (or not a field call)
+                continue
+            statement = statement[:m.start()] + repl + statement[end:]
+            # rescan from the splice: expr itself may contain another
+            # extract/date_part; the replacement text never re-matches
+            pos = m.start()
 
     def _rewrite_qualify(self, statement: str) -> str:
         """``QUALIFY <pred>`` (docs sql/index.md:46-48 — DataFusion dialect)

@@ -839,3 +839,35 @@ def test_engine_scoped_views_keyed_by_root(spark, tmp_path):
     eb.sql("CREATE TABLE tt AS SELECT 2 AS a, 3 AS b")
     assert ea.sql("SELECT * FROM tt VERSION AS OF 1").collect()[0].a == 1
     assert eb.sql("SELECT * FROM tt VERSION AS OF 1").collect()[0].a == 2
+
+
+def test_extract_dow_epoch_rewrite(spark, tmp_path):
+    """DIVERGENCES #15/#16 closed (r14): EXTRACT(DOW)/date_part('dow')
+    number Sunday=0..6 like the reference (Postgres/DataFusion; Spark's
+    native DOW is Sunday=1..7), and EXTRACT(EPOCH)/date_part('epoch')
+    return fractional seconds as DOUBLE (not a Spark extract field at
+    all). Other fields pass through natively; string literals and
+    nested calls are lexer-safe."""
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    r = eng.sql(
+        "SELECT EXTRACT(DOW FROM DATE '2024-01-07') AS sun, "
+        "       EXTRACT(DOW FROM DATE '2024-01-13') AS sat, "
+        "       date_part('dow', DATE '2024-01-08') AS mon, "
+        "       EXTRACT(EPOCH FROM TIMESTAMP '1970-01-02 00:00:01.5') AS ep, "
+        "       date_part('epoch', TIMESTAMP '1970-01-01 00:00:00') AS ep0, "
+        "       EXTRACT(YEAR FROM DATE '2024-01-07') AS yr"
+    ).collect()[0]
+    assert (r.sun, r.sat, r.mon) == (0, 6, 1)
+    assert r.ep == 86401.5 and r.ep0 == 0.0 and r.yr == 2024
+    df = eng.sql("SELECT EXTRACT(EPOCH FROM TIMESTAMP '2000-01-01') AS e")
+    assert dict(df.dtypes)["e"] == "double"  # Float64 parity, not DECIMAL
+    # a string literal spelling extract() must not rewrite; a nested
+    # extract inside the FROM expr must
+    r2 = eng.sql(
+        "SELECT 'extract(dow from x)' AS s, "
+        "       EXTRACT(EPOCH FROM TIMESTAMP '1970-01-01 00:00:10') "
+        "         + EXTRACT(DOW FROM DATE '2024-01-09') AS v"
+    ).collect()[0]
+    assert r2.s == "extract(dow from x)" and float(r2.v) == 12.0

@@ -462,11 +462,11 @@ def test_scalar_expressions_agree_with_duckdb(qeng, sf_small, exprs, where):
 # the real o_orderdate column.
 #
 # Probed oracle hazards, excluded by construction (not engine bugs):
-#   - EXTRACT(DOW): Spark numbers Sunday=1..7, DuckDB Sunday=0..6
-#     (DataFusion follows postgres 0..6 — our dialect keeps Spark's);
 #   - EXTRACT(SECOND): Spark returns DECIMAL, DuckDB BIGINT (canon
 #     float-compare would pass but the column type legitimately differs);
-#   - EXTRACT(EPOCH): not a Spark extract field;
+#   (DOW and EPOCH were excluded here until r14 — the engine now
+#   rewrites both to the reference's Postgres semantics, so they're in
+#   the pool below)
 #   - date_trunc day-and-coarser: DuckDB returns DATE where Spark
 #     returns TIMESTAMP — same value, so both sides CAST to TIMESTAMP.
 # ---------------------------------------------------------------------
@@ -507,7 +507,12 @@ def test_window_in_derived_table_agrees_with_duckdb(qeng, sf_small, spec):
 
 
 _EXTRACT_PARTS = ["year", "quarter", "month", "week", "day", "doy",
-                  "hour", "minute"]
+                  "hour", "minute",
+                  # r14: DIVERGENCES #15/#16 closed — the engine
+                  # rewrites DOW to Sunday=0 numbering and EPOCH to
+                  # fractional seconds, so both join the DuckDB
+                  # differential pool (CAST AS BIGINT canonicalizes)
+                  "dow", "epoch"]
 _TRUNC_UNITS = ["year", "quarter", "month", "week", "day", "hour"]
 
 
