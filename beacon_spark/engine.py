@@ -911,6 +911,7 @@ class Engine:
         statement = self._rewrite_try_arrow_cast(statement)
         statement = self._rewrite_macros(statement)
         statement = self._rewrite_extract_fields(statement)
+        statement = self._rewrite_numeric_trunc(statement)
         statement = self._rewrite_qualify(statement)
         # Explicit spaces in the replacement: `WHERE(flag)` (no space —
         # \s* matches empty) must become `WHERE flag`, not the fused
@@ -3059,6 +3060,46 @@ class Engine:
             statement = statement[:m.start()] + repl + statement[end:]
             # rescan from the splice: expr itself may contain another
             # extract/date_part; the replacement text never re-matches
+            pos = m.start()
+
+    def _rewrite_numeric_trunc(self, statement: str) -> str:
+        """DataFusion's numeric ``trunc(x[, d])`` (DIVERGENCES #3):
+        Spark's builtin ``trunc(date, fmt)`` shadows the name, so the
+        numeric form was simply unavailable. The rewrite is strictly
+        ADDITIVE: it only fires on shapes Spark's trunc would REJECT
+        anyway (one argument, or a non-string-literal second argument —
+        Spark requires a string format), so no working query changes.
+        Truncation toward zero via ``x - x % 1`` (magnitude-safe where
+        a BIGINT cast would overflow ANSI-style); ``nanvl`` restores
+        ±inf (inf % 1 is NaN)."""
+        if "trunc" not in statement.lower():
+            return statement
+        rx = re.compile(r"(?<![\w.])trunc\s*\(", re.IGNORECASE)
+        pos = 0
+        while True:
+            blanked = _noncode_blanked(statement)
+            m = rx.search(blanked, pos)
+            if not m:
+                return statement
+            start = m.end()
+            end = _matching_paren_end(blanked, start)
+            if end < 0:
+                return statement
+            args = _split_top_level(statement[start:end - 1])
+            if len(args) == 2 and re.match(r"^\s*'", args[1]):
+                pos = m.end()  # Spark's native trunc(date, 'fmt')
+                continue
+            if len(args) not in (1, 2):
+                pos = m.end()
+                continue
+            a = f"CAST(({args[0]}) AS DOUBLE)"
+            if len(args) == 1:
+                repl = f"nanvl({a} - ({a} % 1), {a})"
+            else:
+                s = f"power(10, CAST(({args[1]}) AS INT))"
+                repl = (f"nanvl(({a} * {s} - (({a} * {s}) % 1)) / {s}, "
+                        f"{a})")
+            statement = statement[:m.start()] + repl + statement[end:]
             pos = m.start()
 
     def _rewrite_qualify(self, statement: str) -> str:

@@ -871,3 +871,26 @@ def test_extract_dow_epoch_rewrite(spark, tmp_path):
         "         + EXTRACT(DOW FROM DATE '2024-01-09') AS v"
     ).collect()[0]
     assert r2.s == "extract(dow from x)" and float(r2.v) == 12.0
+
+
+def test_numeric_trunc_macro(spark, tmp_path):
+    """DIVERGENCES #3 closed for the SQL path (r14): DataFusion's
+    numeric trunc(x[, d]) works even though Spark's builtin
+    trunc(date, fmt) shadows the name — the rewrite only fires on
+    shapes Spark's trunc would reject (1 arg, or a non-string second
+    arg), so native date truncation is untouched."""
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+    r = eng.sql(
+        "SELECT trunc(2.7) AS a, trunc(-2.7) AS b, "
+        "       trunc(3.14159, 2) AS c, trunc(-3.14159, 2) AS d, "
+        "       trunc(1234.5, -2) AS e, trunc(1e30) AS big, "
+        "       trunc(double('infinity')) AS inf_kept, "
+        "       trunc(DATE '2024-03-15', 'MM') AS dt"
+    ).collect()[0]
+    assert (r.a, r.b, r.c, r.d, r.e) == (2.0, -2.0, 3.14, -3.14, 1200.0)
+    assert r.big == 1e30  # magnitude-safe: no ANSI BIGINT overflow
+    import math
+    assert math.isinf(r.inf_kept)
+    assert str(r.dt) == "2024-03-01"  # native trunc(date, 'fmt') kept
