@@ -33,7 +33,7 @@ import tempfile
 import time
 
 # prior-round close commit for the default A/B section; bump each round
-AB_PIN = "61b41c2"  # r12 close
+AB_PIN = "ab213d0"  # r13 close
 
 # the 8 reference-harness shapes: cheap, stable since r1, present on
 # both sides of any A/B this repo will run
