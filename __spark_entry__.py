@@ -1502,6 +1502,36 @@ def _q_date_bin(spark, sf_dir):
     )
 
 
+def _q_extract_fields(spark, sf_dir):
+    """§2.8 EXTRACT field parity (DIVERGENCES #15/#16 closed r14): DOW
+    numbered Sunday=0..6 like Postgres/DataFusion (the engine rewrites
+    Spark's Sunday=1 dayofweek) and EPOCH as fractional-second DOUBLE
+    (not a Spark extract field at all). The DuckDB oracle runs its
+    NATIVE Postgres semantics — a direct cross-engine check of
+    engine.py:_rewrite_extract_fields. Epoch values of DATEs are exact
+    86400-multiples, so the summed day-count is float-exact on both
+    engines."""
+    from beacon_spark.engine import Engine
+
+    _reg(spark, sf_dir, "orders")
+    eng = Engine(spark)
+    return eng.sql(
+        "SELECT CAST(EXTRACT(DOW FROM o_orderdate) AS BIGINT) AS dow, "
+        "       count(*) AS n, "
+        "       round(sum(EXTRACT(EPOCH FROM o_orderdate)) / 86400.0, 4)"
+        "         AS ep_days "
+        "FROM orders GROUP BY 1 ORDER BY 1"
+    )
+
+
+_SQL_EXTRACT_FIELDS = """
+SELECT CAST(EXTRACT(DOW FROM o_orderdate) AS BIGINT) AS dow,
+       count(*) AS n,
+       round(sum(EXTRACT(EPOCH FROM o_orderdate)) / 86400.0, 4) AS ep_days
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 _SQL_DATE_BIN = """
 SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts)) AS BIGINT) AS bucket_start,
        count(*) AS n,
@@ -2398,7 +2428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "temporal_funcs": _q_temporal_funcs,
         "netcdf4_roundtrip": _q_netcdf4_roundtrip,
-        # NOTE: 58 entries total = 50 graded + 8 trailing. Redundant
+        "extract_fields": _q_extract_fields,
+        # NOTE: 59 entries total = 50 graded + 9 trailing. Redundant
         # shapes that used to trail here (count_all, filter_range,
         # filter_multi, topn_recent, distinct_types, simhash_pairs,
         # ann_lsh_topk) are bench- or pytest-covered: bench.py resolves
@@ -2434,6 +2465,7 @@ def oracle_sql() -> dict[str, str]:
         "zarr_roundtrip": _SQL_ZARR_RT,
         "hdf5_roundtrip": _SQL_HDF5_RT,
         "netcdf4_roundtrip": _SQL_NETCDF4_RT,
+        "extract_fields": _SQL_EXTRACT_FIELDS,
         "zarr_sql_pruned": _SQL_ZARR_SQL_PRUNED,
         "atlas_roundtrip": _SQL_ATLAS_RT,
         "odv_roundtrip": _SQL_ODV_RT,
