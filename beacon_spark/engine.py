@@ -3011,20 +3011,26 @@ class Engine:
         """DataFusion/Postgres EXTRACT fields Spark numbers differently
         or lacks (DIVERGENCES #15/#16, closed r14):
 
-        - ``EXTRACT(DOW FROM x)`` / ``date_part('dow', x)`` — the
-          reference numbers Sunday=0..Saturday=6 (Postgres), Spark's
-          native DOW is Sunday=1..7 → ``dayofweek(x) - 1``;
-        - ``EXTRACT(EPOCH FROM x)`` / ``date_part('epoch', x)`` —
-          fractional seconds since the epoch; not a Spark extract
-          field → ``unix_micros(CAST(x AS TIMESTAMP)) / 1e6``.
+        - ``EXTRACT(DOW FROM x)`` / ``date_part('dow', x)`` /
+          ``datepart('dow', x)`` (the reference's documented alias) —
+          the reference numbers Sunday=0..Saturday=6 (Postgres),
+          Spark's native DOW is Sunday=1..7 → ``dayofweek(x) - 1``;
+        - ``EXTRACT(EPOCH FROM x)`` / ``date_part('epoch', x)`` /
+          ``datepart('epoch', x)`` — fractional seconds since the
+          epoch; not a Spark extract field →
+          ``unix_micros(CAST(x AS TIMESTAMP)) / 1e6``.
 
-        Every other field passes through to Spark's native EXTRACT.
-        Paren matching and string-literal blanking ride the shared
-        lexer scrub, same as the macro expander."""
+        Every other field passes through to Spark's native
+        EXTRACT/date_part/datepart (Spark accepts the 2-arg quoted
+        form for all three spellings). Paren matching and
+        string-literal blanking ride the shared lexer scrub, same as
+        the macro expander."""
         low = statement.lower()
-        if "extract" not in low and "date_part" not in low:
+        if ("extract" not in low and "date_part" not in low
+                and "datepart" not in low):
             return statement
-        rx = re.compile(r"\b(extract|date_part)\s*\(", re.IGNORECASE)
+        rx = re.compile(r"\b(extract|date_part|datepart)\s*\(",
+                        re.IGNORECASE)
         pos = 0
         while True:
             blanked = _noncode_blanked(statement)

@@ -855,11 +855,12 @@ def test_extract_dow_epoch_rewrite(spark, tmp_path):
         "SELECT EXTRACT(DOW FROM DATE '2024-01-07') AS sun, "
         "       EXTRACT(DOW FROM DATE '2024-01-13') AS sat, "
         "       date_part('dow', DATE '2024-01-08') AS mon, "
+        "       datepart('dow', DATE '2024-01-12') AS fri, "
         "       EXTRACT(EPOCH FROM TIMESTAMP '1970-01-02 00:00:01.5') AS ep, "
         "       date_part('epoch', TIMESTAMP '1970-01-01 00:00:00') AS ep0, "
         "       EXTRACT(YEAR FROM DATE '2024-01-07') AS yr"
     ).collect()[0]
-    assert (r.sun, r.sat, r.mon) == (0, 6, 1)
+    assert (r.sun, r.sat, r.mon, r.fri) == (0, 6, 1, 5)
     assert r.ep == 86401.5 and r.ep0 == 0.0 and r.yr == 2024
     df = eng.sql("SELECT EXTRACT(EPOCH FROM TIMESTAMP '2000-01-01') AS e")
     assert dict(df.dtypes)["e"] == "double"  # Float64 parity, not DECIMAL
