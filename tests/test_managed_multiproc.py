@@ -286,9 +286,11 @@ print(f"VACUUMS {n}")
 """
 
 
-_KILL_WORKER = r"""
+_KILL_WORKER = _MOCK_PREAMBLE + r"""
 import os, sys
 worker_id, path, ack_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+if path.startswith("mock://"):
+    _register_mock(sys.argv[4])
 from beacon_spark.session import get_spark
 from beacon_spark.managed import ManagedTable
 spark = get_spark(app_name=f"killhammer{worker_id}", master="local[2]",
@@ -317,21 +319,48 @@ while True:
 """
 
 
+@pytest.mark.parametrize("backend", ["fs", "mock"])
 def test_sigkill_mid_commit_never_loses_acknowledged_rows(
-        spark, tmp_path, monkeypatch):
+        spark, tmp_path, monkeypatch, backend):
     """Crash consistency: a writer SIGKILLed at a random point (possibly
     mid-Spark-write, mid-rename, or mid-manifest-claim) must leave the
     table readable, every DURABLY ACKNOWLEDGED insert present exactly
     once, new commits accepted, and its abandoned staging reclaimable —
     the invariants the O_EXCL/link claim + staging-grace design exists
     to provide. (The hammers cover concurrent completions; this covers
-    torn executions.)"""
+    torn executions.) The mock:// leg drives the _ArrowFS plane —
+    native renames, link-based publish_if_absent — through the same
+    kill windows."""
     import signal
     import time
 
     from beacon_spark.managed import ManagedTable
 
-    path = str(tmp_path / "kt")
+    extra: list[str] = []
+    if backend == "mock":
+        from urllib.parse import urlparse
+
+        from pyarrow import fs as pafs
+
+        from beacon_spark.sources import bytesource as bs
+
+        root = str(tmp_path / "store")
+        os.makedirs(root)
+
+        class SubFS(bs._ArrowFS):
+            def __init__(self, scheme, authority):
+                self.scheme, self.authority = scheme, authority
+                self.fs = pafs.SubTreeFileSystem(root, pafs.LocalFileSystem())
+                self._root = ""
+
+            def spark_path(self, uri):
+                return root + urlparse(uri).path
+
+        bs.register_scheme("mock", SubFS)
+        path = "mock://bucket/kt"
+        extra = [root]
+    else:
+        path = str(tmp_path / "kt")
     t = ManagedTable(spark, path)
     t.create(spark.createDataFrame([(0, -1, 0)], "id long, w long, b long"))
 
@@ -339,7 +368,8 @@ def test_sigkill_mid_commit_never_loses_acknowledged_rows(
     for w in (1, 2, 3):  # three independent kill windows
         ack_path = str(tmp_path / f"ack{w}.txt")
         p = subprocess.Popen(
-            [sys.executable, "-c", _KILL_WORKER, str(w), path, ack_path],
+            [sys.executable, "-c", _KILL_WORKER, str(w), path, ack_path]
+            + extra,
             stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
             cwd="/root/repo")
         # wait until the worker is actually committing, then strike at
@@ -373,11 +403,14 @@ def test_sigkill_mid_commit_never_loses_acknowledged_rows(
 
     # the killed writers' staging dirs AND orphaned manifest tmp files
     # reclaim once out of grace
+    from beacon_spark.sources import bytesource as bs_mod
+
     monkeypatch.setattr(ManagedTable, "STAGING_GRACE_SECS", 0.0)
     t.vacuum(retain_versions=1)
-    leftover = [d for d in os.listdir(path) if d.startswith("_staging-")]
+    leftover = [d for d in bs_mod.listdir(t.path)
+                if d.startswith("_staging-")]
     assert not leftover, leftover
-    tmps = [f for f in os.listdir(os.path.join(path, "_manifests"))
+    tmps = [f for f in bs_mod.listdir(bs_mod.join(t.path, "_manifests"))
             if ".tmp-" in f]
     assert not tmps, tmps
     after = {r.id for r in t.read().collect()}
