@@ -895,3 +895,82 @@ def test_numeric_trunc_macro(spark, tmp_path):
     import math
     assert math.isinf(r.inf_kept)
     assert str(r.dt) == "2024-03-01"  # native trunc(date, 'fmt') kept
+
+
+def test_rewrite_macros_compose_random(spark, tmp_path):
+    """Generative lexer net for the SQL rewrite layer (macros + extract
+    + trunc): random nestings of trunc/extract/date_part/datepart over
+    known literals, composed with arithmetic, rendered with random
+    case — next to DECOY string literals containing unbalanced parens,
+    doubled quotes, and the rewrite keywords themselves. The engine
+    result must match a Python-evaluated oracle and the decoys must
+    come back verbatim (a blanking bug would splice them)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from beacon_spark.engine import Engine
+
+    eng = Engine(spark, datasets_root=str(tmp_path))
+
+    # (sql fragment, python value) leaves with exactly-known semantics
+    DATES = {"2024-01-07": 0, "2024-01-08": 1, "2024-01-12": 5,
+             "2021-06-19": 6}
+    TS = {"1970-01-02 00:00:00": 86400.0, "2000-01-01 00:00:30": 946684830.0}
+
+    @st.composite
+    def leaf(draw):
+        kind = draw(st.sampled_from(
+            ["num", "trunc1", "trunc2", "dow", "epoch"]))
+        if kind == "num":
+            v = draw(st.integers(-999, 999))
+            return f"{v}", float(v)
+        if kind == "trunc1":
+            x = draw(st.floats(-1e6, 1e6, allow_nan=False))
+            return f"trunc({x!r})", float(math.trunc(x))
+        if kind == "trunc2":
+            x = draw(st.floats(-1e4, 1e4, allow_nan=False))
+            k = draw(st.integers(-2, 3))
+            s = 10.0 ** k
+            y = x * s
+            return f"trunc({x!r}, {k})", (y - math.fmod(y, 1)) / s
+        if kind == "dow":
+            d = draw(st.sampled_from(sorted(DATES)))
+            spelling = draw(st.sampled_from(
+                [f"extract(dow from DATE '{d}')",
+                 f"EXTRACT(DOW FROM DATE '{d}')",
+                 f"date_part('dow', DATE '{d}')",
+                 f"datepart('DOW', DATE '{d}')"]))
+            return spelling, float(DATES[d])
+        t = draw(st.sampled_from(sorted(TS)))
+        spelling = draw(st.sampled_from(
+            [f"extract(epoch from TIMESTAMP '{t}')",
+             f"date_part('epoch', TIMESTAMP '{t}')"]))
+        return spelling, TS[t]
+
+    DECOYS = ["extract(dow from x((", "trunc((('", "it''s trunc(",
+              "date_part('epoch', ", ") from (", "-- extract("]
+
+    @settings(max_examples=25, deadline=None)
+    @given(leaves=st.lists(leaf(), min_size=1, max_size=3),
+           op=st.sampled_from(["+", "*"]),
+           decoy=st.sampled_from(DECOYS),
+           data=st.data())
+    def check(leaves, op, decoy, data):
+        frags, vals = zip(*leaves)
+        expr = f" {op} ".join(f"({f})" for f in frags)
+        want = vals[0]
+        for v in vals[1:]:
+            want = want + v if op == "+" else want * v
+        lit = decoy.replace("'", "''")
+        sql = f"SELECT {expr} AS v, '{lit}' AS s"
+        if data.draw(st.booleans()):
+            sql += "  -- trailing trunc( extract( comment"
+        row = eng.sql(sql).collect()[0]
+        assert row.s == decoy, (decoy, row.s)
+        got = float(row.v)
+        assert got == want or abs(got - want) <= 1e-6 * max(
+            1.0, abs(want)), (sql, got, want)
+
+    check()
