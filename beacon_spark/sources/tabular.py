@@ -176,18 +176,21 @@ def read_csv(
     infer_records: int | None = None,
 ) -> DataFrame:
     """``read_csv(globs[, delimiter, infer_records])``
-    (table-functions.md:171-186). Without ``infer_records``, Spark's CSV
-    inference is a single distributed pass over all files producing one
-    harmonized schema. With it, the schema is inferred from only the
-    first N data rows (the reference samples ``infer_records`` rows,
-    default 128000) and APPLIED to the full scan — at 100 TB the full
-    inference pass is itself a full read, so bounding it matters;
-    later rows that don't parse as the sampled type become NULL
-    (PERMISSIVE), exactly the sampling trade the reference makes."""
+    (table-functions.md:171-186). The schema is inferred from only the
+    first N data rows — ``infer_records`` defaults to the reference's
+    128000 (r14, DIVERGENCES #9 closed) — and APPLIED to the full
+    scan: at 100 TB Spark's unbounded ``inferSchema`` pass is itself a
+    full read, so bounding it matters for scale as much as parity.
+    Later rows that don't parse as the sampled type become NULL
+    (PERMISSIVE), exactly the sampling trade the reference makes.
+    Pass ``infer_records=-1`` for Spark's unbounded one-pass
+    inference over every file."""
     files = resolve_globs(paths, datasets_root)
     sep = delimiter or ","
     base = spark.read.option("header", "true").option("sep", sep)
     if infer_records is None:
+        infer_records = 128_000
+    if int(infer_records) < 0:
         return base.option("inferSchema", "true").csv(files)
     # sample-limited inference: header + N lines of the first file,
     # through Spark's OWN csv inference (type conventions identical to

@@ -194,3 +194,30 @@ def test_read_arrow_through_file_uri(spark, tmp_path):
     df = read_arrow(spark, f"file://{p}")
     rows = sorted((r.a, r.b) for r in df.collect())
     assert rows == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_read_csv_default_samples_128k_like_reference(spark, tmp_path):
+    """DIVERGENCES #9 closed (r14): read_csv defaults to the
+    reference's 128000-row inference sample (table-functions.md —
+    Spark's unbounded inferSchema is a full pass, a scale problem of
+    its own at 100 TB). A type-widening value past the sample window
+    does not change the schema (it degrades to NULL, PERMISSIVE);
+    infer_records=-1 restores the unbounded one-pass inference."""
+    from beacon_spark.sources.tabular import read_csv
+
+    p = tmp_path / "wide.csv"
+    with open(p, "w") as f:
+        f.write("k,v\n")
+        for i in range(129_000):
+            f.write(f"{i},{i}\n")
+        f.write("129000,not-a-number\n")
+
+    df = read_csv(spark, str(p))
+    assert dict(df.dtypes)["v"] in ("int", "bigint")  # sampled window
+    row = df.where("k = 129000").collect()[0]
+    assert row.v is None  # PERMISSIVE degrade past the sample
+    assert df.count() == 129_001
+
+    full = read_csv(spark, str(p), infer_records=-1)
+    assert dict(full.dtypes)["v"] == "string"  # unbounded pass widens
+    assert full.where("k = 129000").collect()[0].v == "not-a-number"
