@@ -123,7 +123,11 @@ def write_csv(df: DataFrame, path: str, single: bool = True) -> None:
     the old row-at-a-time ``csv.writer`` loop survives only as the
     fallback for types Arrow's CSV writer can't render (binary, nested)."""
     if not single:
-        df.write.mode("overwrite").option("header", "true").csv(path)
+        # escape='"': RFC 4180 doubled quotes, matching the single-file
+        # Arrow path and the reference's arrow-rs writer — Spark's
+        # default backslash-escaping is its own dialect
+        (df.write.mode("overwrite").option("header", "true")
+         .option("escape", '"').csv(path))
         return
     import csv as _csv
     import io

@@ -114,10 +114,14 @@ def test_output_roundtrip_random_schemas(spark, tmp_path):
             write_output(df, "csv", str(base / "r.csv"))
             # the writer renders arrow-csv style UTC instants:
             # 2000-01-01 00:00:00.000000Z
+            # escape='"': the writer emits RFC 4180 doubled quotes
+            # (reference arrow-rs dialect); Spark's default reader
+            # expects ITS backslash dialect and would hand back `""`
+            # for a lone `"` (caught by a fresh seed, r14)
             back = spark.read.schema(schema).csv(
                 str(base / "r.csv"), header=True,
                 timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS'Z'",
-                nullValue="")
+                nullValue="", escape='"')
             got_csv = [tuple(r) for r in back.collect()]
             # single-column NULL and '' rows both render as a blank
             # line (the writer minimally quotes, the pinned contract),
@@ -883,3 +887,32 @@ def test_aborted_stream_exports_leave_no_partial_file(tmp_path):
         with GridStreamWriter(p, {"x": 4}, [("v", ("x",), 6, None)]):
             raise RuntimeError("boom")
     assert not os.path.exists(p)
+
+
+def test_csv_quote_char_roundtrips_rfc4180(spark, tmp_path):
+    """The r14 fresh-seed catch, pinned: a lone quote-char value must
+    write as an RFC 4180 quoted-and-doubled field (reference arrow-rs
+    QuoteStyle::Necessary) and read back exactly — through DuckDB
+    (neutral RFC reader) and through Spark with the quote-escape
+    dialect — on BOTH the single-file Arrow path and the distributed
+    Spark path."""
+    import duckdb
+
+    from beacon_spark.outputs import write_csv
+
+    df = spark.createDataFrame(
+        [('"',), ('a"b',), ("plain",), ("x,y",), ('""',)], "s string")
+    want = sorted(['"', 'a"b', "plain", "x,y", '""'])
+
+    p1 = str(tmp_path / "single.csv")
+    write_csv(df, p1, single=True)
+    assert sorted(r[0] for r in duckdb.connect().execute(
+        f"SELECT s FROM read_csv_auto('{p1}')").fetchall()) == want
+
+    p2 = str(tmp_path / "dist")
+    write_csv(df, p2, single=False)
+    back = spark.read.schema("s string").option("header", True) \
+        .option("escape", '"').csv(p2)
+    assert sorted(r.s for r in back.collect()) == want
+    assert sorted(r[0] for r in duckdb.connect().execute(
+        f"SELECT s FROM read_csv_auto('{p2}/*.csv')").fetchall()) == want
