@@ -2698,6 +2698,11 @@ class Engine:
             self.spark.read.format("beacon_nd")
             .option("fmt", fmt)
             .option("paths", json.dumps(list(globs)))
+            # partitions() runs in a plan-time Python worker without a
+            # SparkSession — ship the cluster parallelism for the
+            # scale-adaptive task sizing (nd_datasource.NDReader)
+            .option("parallelism",
+                    str(self.spark.sparkContext.defaultParallelism))
         )
         if self.datasets_root:
             reader = reader.option("datasets_root", self.datasets_root)

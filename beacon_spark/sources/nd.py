@@ -493,6 +493,92 @@ def coord_region(
     return region
 
 
+#: floor on adaptive task size — below this the per-task costs (store
+#: metadata open, Python worker round-trip, Arrow framing) dominate the
+#: decode they parallelize
+_MIN_TASK_ROWS = 65_536
+
+
+def _lead_block_rows(ds: GridDataset, dimensions, region) -> int:
+    """Rows per leading-grid-dimension storage block (chunk band) of the
+    grid-defining variable, in the region's row space. Task boundaries
+    aligned to this decode every chunk/strip exactly once; splitting
+    mid-band makes adjacent tasks re-decode the shared band (chunked
+    formats decode whole chunks to slice them). 0 = no alignment
+    constraint (contiguous layouts split freely)."""
+    try:
+        grid = ds.grid(dimensions)
+        if not grid or not region:
+            return 0
+        best, vol = None, -1
+        for dims_of, arr in ds.variables.values():
+            if tuple(dims_of) != tuple(grid):
+                continue
+            v = int(np.prod([ds.dims[d] for d in dims_of]))
+            if v > vol:
+                vol, best = v, arr
+        if best is None:
+            return 0
+        lead = 0
+        cs = getattr(best, "chunk_shape", None)  # ZarrLazyArray
+        if cs:
+            lead = int(cs[0])
+        elif getattr(best, "img", None) is not None:  # _TiffLazyBand
+            img = best.img
+            lead = int(img.th if img.tiled else (img.rps or 0))
+        else:  # _H5Lazy (chunked layouts carry chunk_shape on Layout)
+            lay = getattr(getattr(best, "ds", None), "layout", None)
+            cs2 = getattr(lay, "chunk_shape", ()) if lay is not None else ()
+            if cs2:
+                lead = int(cs2[0])
+        if lead <= 0:
+            return 0
+        inner = (int(np.prod([hi - lo for lo, hi in region[1:]]))
+                 if len(region) > 1 else 1)
+        return max(lead * max(inner, 1), 0)
+    except Exception:
+        return 0  # alignment is an optimization, never a gate
+
+
+def effective_rows_per_task(n_total: int, cap: int, parallelism: int) -> int:
+    """Scale-adaptive task rows (guide §2.2/§6: derive partitioning from
+    input size, not a constant): target ~2 tasks per core over the whole
+    scan so one big file still fans out, floored at ``_MIN_TASK_ROWS`` so
+    per-task overhead stays amortized, capped at the caller's
+    ``rows_per_task``. The previous fixed 1M-row default planned a
+    sliced 800k-row store as ONE task — a serial decode on a 32-core
+    machine (plans/r14/nd_zarr_slice_before.txt: Exchange
+    SinglePartition)."""
+    if n_total <= 0 or parallelism <= 0:
+        return cap
+    return max(1, min(cap, max(_MIN_TASK_ROWS,
+                               -(-n_total // (parallelism * 2)))))
+
+
+def split_task_rows(n: int, eff: int, block: int, lead_off: int) -> list[tuple[int, int]]:
+    """Split ``n`` region rows into [lo, hi) tasks of ~``eff`` rows.
+    With a storage ``block`` (rows per chunk band), boundaries snap to
+    ABSOLUTE band edges — ``lead_off`` is the row offset from the region
+    start back to the enclosing band's start — so no two tasks decode
+    the same band. eff is first rounded to a whole number of bands."""
+    if n <= 0:
+        return []
+    eff = max(eff, 1)
+    if block and block > 0:
+        eff = max(block, (eff // block) * block)
+        # first absolute band edge AFTER row 0 of the region
+        first = (block - (lead_off % block)) % block
+        if first == 0:
+            first = eff  # region starts on a band edge: plain eff steps
+        cuts, c = [0], first
+        while c < n:
+            cuts.append(c)
+            c += eff
+        cuts.append(n)
+        return [(cuts[i], cuts[i + 1]) for i in range(len(cuts) - 1)]
+    return [(lo, min(lo + eff, n)) for lo in range(0, n, eff)]
+
+
 def read_nd(
     spark,
     fmt: str,
@@ -536,9 +622,16 @@ def read_nd(
         ds = opener(f)
         region = coord_region(ds, dimensions, ranges)
         if region is None:
-            return f, None, 0
+            return f, None, 0, 0, 0
         n = int(np.prod([hi - lo for lo, hi in region])) if region else 1
-        return f, region, n
+        block = _lead_block_rows(ds, dimensions, region)
+        inner = (int(np.prod([hi - lo for lo, hi in region[1:]]))
+                 if len(region) > 1 else 1)
+        lead = region[0][0] if region else 0
+        # row offset from the region start back to its band's start
+        lead_off = ((lead % (block // max(inner, 1))) * inner
+                    if block and inner else 0)
+        return f, region, n, block, lead_off
 
     if len(files) > 64:
         sc = spark.sparkContext
@@ -553,13 +646,23 @@ def read_nd(
         sample_schema = opener(files[0]).flatten(
             dimensions, columns=columns, row_range=(0, 1)).schema
 
+    # scale-adaptive task sizing (guide §2.2): ~2 tasks/core over the
+    # whole scan, chunk-band-aligned per file so no band decodes twice
+    n_total = sum(p[2] for p in plans)
+    eff = effective_rows_per_task(
+        n_total, rows_per_task, spark.sparkContext.defaultParallelism)
     tasks: list[tuple[str, str, int, int]] = []
-    for f, region, n in plans:
+    for f, region, n, block, lead_off in plans:
         if region is None or n == 0:
             continue
         rjson = _json.dumps(region)
-        for lo in range(0, n, rows_per_task):
-            tasks.append((f, rjson, lo, min(lo + rows_per_task, n)))
+        # an explicit rows_per_task below the band size is an intent to
+        # split fine (tests pin task counts with it) — the redundant
+        # band decode is the caller's accepted trade; alignment applies
+        # only when a whole band fits under the cap
+        use_block = block if block <= rows_per_task else 0
+        for lo, hi in split_task_rows(n, eff, use_block, lead_off):
+            tasks.append((f, rjson, lo, hi))
 
     # widen the ARROW batch types to what Spark's ArrowUtils accepts
     # (it rejects unsigned ints outright): the BATCHES must match the

@@ -109,18 +109,26 @@ class BeaconNDDataSource(DataSource):
             int(self.options.get("rows_per_task", 1_000_000)),
             schema,
             self._columns(),
+            parallelism=int(self.options.get("parallelism", 0)) or None,
         )
 
 
 class NDReader(DataSourceReader):
     def __init__(self, fmt, files, dimensions, rows_per_task, schema,
-                 columns=None):
+                 columns=None, parallelism=None):
+        import os as _os
+
         self.fmt = fmt
         self.files = files
         self.dimensions = dimensions
         self.rows_per_task = rows_per_task
         self.spark_schema = schema
         self.columns = columns
+        # partitions() runs in a plan-time Python worker with no
+        # SparkSession; the engine ships defaultParallelism as an option,
+        # else fall back to the driver-contract core count / cpu count
+        self.parallelism = parallelism or int(
+            _os.environ.get("SPARK_GRAFT_CPUS", _os.cpu_count() or 8))
         self._ranges = None
 
     def pushFilters(self, filters):
@@ -191,13 +199,29 @@ class NDReader(DataSourceReader):
 
         import numpy as np
 
-        from beacon_spark.sources.nd import _OPENERS, coord_region
+        from beacon_spark.sources.nd import (
+            _OPENERS,
+            _lead_block_rows,
+            coord_region,
+            effective_rows_per_task,
+            split_task_rows,
+        )
 
         opener = _OPENERS[self.fmt]
 
         def plan(f: str):
             ds = opener(f)  # lazy: metadata + coordinate vars only
-            return f, coord_region(ds, self.dimensions, self._ranges)
+            region = coord_region(ds, self.dimensions, self._ranges)
+            if region is None:
+                return f, None, 0, 0, 0
+            n = int(np.prod([hi - lo for lo, hi in region])) if region else 1
+            block = _lead_block_rows(ds, self.dimensions, region)
+            inner = (int(np.prod([hi - lo for lo, hi in region[1:]]))
+                     if len(region) > 1 else 1)
+            lead = region[0][0] if region else 0
+            lead_off = ((lead % (block // max(inner, 1))) * inner
+                        if block and inner else 0)
+            return f, region, n, block, lead_off
 
         units = self._scan_units()
         if len(units) > 8:
@@ -208,16 +232,21 @@ class NDReader(DataSourceReader):
                 plans = list(pool.map(plan, units))
         else:
             plans = [plan(f) for f in units]
+        # scale-adaptive, chunk-band-aligned task sizing — same planner
+        # as read_nd (guide §2.2: the fixed 1M-row constant planned a
+        # pruned 800k-row slice as ONE task)
+        eff = effective_rows_per_task(
+            sum(p[2] for p in plans), self.rows_per_task, self.parallelism)
         parts: list[NDPartition] = []
-        for f, region in plans:
-            if region is None:
+        for f, region, n, block, lead_off in plans:
+            if region is None or n == 0:
                 continue
-            n = int(np.prod([hi - lo for lo, hi in region])) if region else 1
             rjson = json.dumps(region)
-            for lo in range(0, n, self.rows_per_task):
-                parts.append(
-                    NDPartition(f, rjson, lo, min(lo + self.rows_per_task, n))
-                )
+            # explicit fine rows_per_task beats band alignment (same
+            # contract as read_nd — tests pin task counts with it)
+            use_block = block if block <= self.rows_per_task else 0
+            for lo, hi in split_task_rows(n, eff, use_block, lead_off):
+                parts.append(NDPartition(f, rjson, lo, hi))
         return parts or [NDPartition("", "[]", 0, 0)]
 
     def read(self, partition: NDPartition):

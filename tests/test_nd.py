@@ -201,3 +201,43 @@ def test_cf_time_decode_is_exact_at_modern_epochs():
     out = _to_arrow(arr, t).to_pylist()
     assert out == [__import__("datetime").datetime(2023, 11, 14, 22, 13, 20),
                    None]
+
+
+# ------------------------------------------------- adaptive task planning
+
+
+def test_effective_rows_per_task_scales_with_input():
+    from beacon_spark.sources.nd import _MIN_TASK_ROWS, effective_rows_per_task
+
+    # small scans floor at the minimum task size (never 1-row tasks)
+    assert effective_rows_per_task(100_000, 1_000_000, 32) == _MIN_TASK_ROWS
+    # huge scans cap at the caller's rows_per_task
+    assert effective_rows_per_task(10**9, 1_000_000, 32) == 1_000_000
+    # mid-size scans target ~2 tasks per core
+    eff = effective_rows_per_task(32 * 2 * 200_000, 10**9, 32)
+    assert eff == 200_000
+    # explicit tiny caps are honored verbatim
+    assert effective_rows_per_task(10**6, 5, 32) == 5
+    # degenerate inputs fall back to the cap
+    assert effective_rows_per_task(0, 777, 32) == 777
+
+
+def test_split_task_rows_band_alignment_and_coverage():
+    from beacon_spark.sources.nd import split_task_rows
+
+    # bench zarr shape: 400x2000 region, chunk band 150*2000 rows,
+    # region starts mid-band (time=400, chunk lead 150 -> offset 100*2000)
+    bounds = split_task_rows(800_000, 65_536, 300_000, 200_000)
+    # full coverage, no overlap
+    assert bounds[0][0] == 0 and bounds[-1][1] == 800_000
+    assert all(a[1] == b[0] for a, b in zip(bounds, bounds[1:]))
+    # every interior cut sits on an ABSOLUTE chunk-band edge
+    # (absolute edges at rows ≡ -200000 ≡ 100000 (mod 300000))
+    for lo, _ in bounds[1:]:
+        assert (lo + 200_000) % 300_000 == 0
+    # contiguous layouts split in plain eff steps
+    plain = split_task_rows(150_000, 65_536, 0, 0)
+    assert plain == [(0, 65_536), (65_536, 131_072), (131_072, 150_000)]
+    # degenerate
+    assert split_task_rows(0, 100, 50, 0) == []
+    assert split_task_rows(10, 100, 0, 0) == [(0, 10)]
