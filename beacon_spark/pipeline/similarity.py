@@ -145,6 +145,12 @@ def assign_buckets(df: DataFrame, planes: np.ndarray, vec_col: str | Column) -> 
         out[mask] = (bits @ weights).astype("int64")
         return pd.Series(out)  # null bucket for null/ragged vectors
 
+    # the function is pure, but every caller FILTERS on its output
+    # (bucket == probe bucket); marking non-deterministic stops the
+    # optimizer duplicating the evaluation below the pushed-down filter
+    # (guide §4.4: two ArrowEvalPython nodes = the full matmul twice)
+    _assign = _assign.asNondeterministic()
+
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return _assign(c.cast("array<double>"))
 
@@ -216,6 +222,10 @@ def assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str | Column) ->
         out = np.empty(len(mask), dtype=object)
         out[mask] = np.argmax(mat @ bc.value.T, axis=1).astype("int32")
         return pd.Series(out)  # null cell for null/ragged vectors
+
+    # pure, but probe paths filter on the output (cell IN nprobe cells):
+    # non-deterministic marking prevents the §4.4 double evaluation
+    _assign = _assign.asNondeterministic()
 
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return _assign(c.cast("array<double>"))
@@ -300,23 +310,42 @@ def cosine_pairs_lsh(
         [_hyperplanes(dim, n_planes, seed + 7919 * b) for b in range(n_bands)],
         vec_col,
     )
-    # candidate mining carries ONLY (band, bucket, id): at 768-dim
-    # doubles a vector is ~6 KB, and dragging two of them through the
-    # self-join + dropDuplicates shuffles would dominate the exchange.
-    # Vectors are re-joined per UNIQUE pair afterwards (the same shape as
-    # dedup.py's minhash verification).
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(band_buckets).alias("__band", "__bucket"),
-    )
-    cand = (
-        base.alias("a")
-        .join(
-            base.alias("b"),
+    # candidate mining carries ONLY (key, id): at 768-dim doubles a
+    # vector is ~6 KB, and dragging two of them through the self-join +
+    # dropDuplicates shuffles would dominate the exchange. Vectors are
+    # re-joined per UNIQUE pair afterwards (the same shape as dedup.py's
+    # minhash verification). (band, bucket) folds into ONE long key —
+    # key = band << n_planes | bucket, exact because bucket < 2^n_planes
+    # — halving the join-key bytes per exploded row (guide §2.3); the
+    # two-column form survives only for explicit plane counts too wide
+    # to fold. The exploded frame is CACHED: the self-join consumes it on
+    # both sides, and without the cache the full-corpus bucket matmul
+    # (ArrowEvalPython) + explode ran once PER SIDE (guide §2.4 / §4 —
+    # the before-plan shows _assign_multi twice).
+    if n_planes + max(1, (n_bands - 1).bit_length()) <= 62:
+        key = F.explode(
+            F.transform(
+                band_buckets,
+                lambda b, i: F.shiftleft(i.cast("long"), n_planes).bitwiseOR(b),
+            )
+        )
+        base = df.select(F.col(id_col).alias("__id"), key.alias("__k"))
+        join_cond = lambda a, b: (  # noqa: E731
+            (F.col("a.__k") == F.col("b.__k"))
+            & (F.col("a.__id") < F.col("b.__id")))
+    else:
+        base = df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(band_buckets).alias("__band", "__bucket"),
+        )
+        join_cond = lambda a, b: (  # noqa: E731
             (F.col("a.__band") == F.col("b.__band"))
             & (F.col("a.__bucket") == F.col("b.__bucket"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
+            & (F.col("a.__id") < F.col("b.__id")))
+    base = base.cache()
+    cand = (
+        base.alias("a")
+        .join(base.alias("b"), join_cond("a", "b"))
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
@@ -358,13 +387,23 @@ def cosine_pairs_lsh(
             out[sub] = num / np.maximum(den, 1e-300)
         return pd.Series(out)
 
-    return (
+    # pure, but the threshold filter reads its output: without the
+    # non-deterministic marking the optimizer pushes the filter below
+    # the projection and evaluates the UDF TWICE per candidate (the
+    # before-plan shows two ArrowEvalPython _pair_cosine nodes straddling
+    # the filter — guide §4.4), doubling the verify boundary crossings
+    pair_cosine = _pair_cosine.asNondeterministic()
+    out = (
         cand.withColumn("cosine", F.round(
-            _pair_cosine(F.col("__va").cast("array<double>"),
-                         F.col("__vb").cast("array<double>")), 4))
+            pair_cosine(F.col("__va").cast("array<double>"),
+                        F.col("__vb").cast("array<double>")), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    # the cache backs the result's lineage; the caller releases it via
+    # dedup.release_caches() after consuming (same contract as minhash)
+    out._beacon_cached = (base,)
+    return out
 
 
 # ---------------------------------------------------------------- IVF
