@@ -309,7 +309,6 @@ def minhash_lsh_pairs(
                 f"transform({_shingles_sql(text_col, shingle_n)}, s -> xxhash64(s))"
             ).alias("__hs"),
         )
-        .cache()
     )
 
     # Signature + band keys, Arrow-batched (r13): the previous Catalyst
@@ -365,11 +364,14 @@ def minhash_lsh_pairs(
                 keys[:, b] = acc
         return pd.Series(list(keys.view(np.int64)))
 
-    # cached: the self-join consumes band keys on both sides; without the
-    # cache the per-permutation pass would run twice per doc
-    stacked = base.select(
-        "__id", F.explode(_band_keys(F.col("__hs"))).alias("__bsig")
-    ).cache()
+    # ONE cached frame carries both the shingle hashes and the band keys
+    # (r14: was two caches — base and the exploded band keys — costing a
+    # second full materialization pass). The UDF runs exactly once, in
+    # the cache fill; both self-join sides and the verifier read the
+    # cache, and the explode (pure JVM) re-runs per side instead of
+    # being materialized n_bands-wide.
+    base = base.withColumn("__keys", _band_keys(F.col("__hs"))).cache()
+    stacked = base.select("__id", F.explode("__keys").alias("__bsig"))
 
     cand = (
         stacked.alias("a")
@@ -404,12 +406,12 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # the two caches back the RESULT's lineage, so they cannot be
-    # unpersisted here — they'd recompute (twice) at consumption. A
-    # caller done with the result releases them via release_caches();
-    # otherwise they live until LRU eviction / session end (fine for a
-    # one-shot query, wasteful in a long repeated-call session).
-    verified._beacon_cached = (base, stacked)
+    # the cache backs the RESULT's lineage, so it cannot be unpersisted
+    # here — it would recompute (twice) at consumption. A caller done
+    # with the result releases it via release_caches(); otherwise it
+    # lives until LRU eviction / session end (fine for a one-shot query,
+    # wasteful in a long repeated-call session).
+    verified._beacon_cached = (base,)
     return verified
 
 
