@@ -759,12 +759,18 @@ def duplicate_spans(
     )
     span_txt = lambda i: F.concat_ws(" ", F.slice("__t", i, n))  # noqa: E731
     key = (lambda i: F.xxhash64(span_txt(i))) if by == "hash" else span_txt
+    # cached: the window build (slice + concat_ws per position, ~n x
+    # corpus bytes — the dominant compute) feeds BOTH the dup-key
+    # aggregate and the salted join side; uncached it ran twice end to
+    # end (the before-plan shows two span Generate subtrees over two
+    # parquet scans). Same contract as ngram_jaccard's exploded cache:
+    # release_caches(result) frees it after consumption.
     spans = base.select(
         "__id",
         F.explode(
             F.transform(F.sequence(F.lit(1), F.col("__npos")), key)
         ).alias("__k"),
-    )
+    ).cache()
     dup_keys = (
         spans.groupBy("__k")
         .agg(F.count(F.lit(1)).alias("__occ"))
@@ -792,7 +798,7 @@ def duplicate_spans(
         .groupBy("__id")
         .agg(F.count(F.lit(1)).alias("dup_spans"))
     )
-    return (
+    out = (
         base.select("__id", F.col("__npos").alias("total_spans"))
         .join(per_doc, "__id", "left")
         .select(
@@ -801,6 +807,8 @@ def duplicate_spans(
             "total_spans",
         )
     )
+    out._beacon_cached = (spans,)  # release_caches(result) frees the spans
+    return out
 
 
 # ------------------------------------------------- incremental dedup
