@@ -38,6 +38,22 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # scalar @udf registrations (geo predicates, cast_int8_as_char,
+        # vocab mappers' SQL surface) cross the Python boundary as Arrow
+        # batches instead of pickled rows (guide §4.3/§9); return types
+        # here are declared honestly, so the Arrow-cast coercion
+        # difference is inert (suite + oracle pin every surface)
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+        # let AQE rewrite a sort-merge join to shuffled-hash at runtime
+        # when every post-shuffle map output is small (guide §3.1) —
+        # runtime sizes, not plan-time estimates, make the call; 0
+        # (default) disables the rewrite entirely
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                str(128 * 1024 * 1024))
+        # parquet written by this engine (spools, managed tables, sf1
+        # bench derivation) compresses zstd: smaller than snappy at
+        # similar read speed (guide §6); explicit writer options still win
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
         .config("spark.ui.enabled", "false")
