@@ -89,7 +89,7 @@ def ngram_jaccard_pairs(
     = exact semantics (the DuckDB oracle's definition).
     Returns (id_a, id_b, jaccard) with jaccard rounded to 4 places.
     """
-    t = _ensure_parallelism(_min_words_filter(df, text_col, n)).select(
+    t = _ensure_parallelism(_min_words_filter(df, text_col, n), id_col).select(
         F.col(id_col).alias("__id"), shingles_expr(text_col, n).alias("__sh")
     )
     # cached: the explode (the dominant cost per this docstring) feeds
@@ -141,14 +141,21 @@ def _min_words_filter(df: DataFrame, text_col: str, n: int) -> DataFrame:
     return df.filter(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n)
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
+def _ensure_parallelism(df: DataFrame, key: str | None = None) -> DataFrame:
     """Spread a narrow input across the cluster before a CPU-bound map
     stage. A small file count (locally: one parquet file) yields fewer
     input splits than cores, serializing per-doc hashing; at real scale
     the input already exceeds defaultParallelism and this is a no-op.
     Partition count is estimated from the scan's file listing
     (``inputFiles``) — cheap metadata, unlike ``df.rdd`` which forces an
-    RDD translation of the whole plan per call."""
+    RDD translation of the whole plan per call.
+
+    With ``key`` (the caller's ~unique id column) rows spread by HASH:
+    a keyless round-robin repartition first pays a local sort of its
+    full input rows — text payloads included — so retried map tasks
+    reproduce the same row placement (sortBeforeRepartition,
+    SPARK-23207; guide §2.5). Hashing a deterministic unique key is
+    retry-safe by construction and skips that sort."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
@@ -157,6 +164,8 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
         nfiles = 0
     if nfiles >= target:
         return df
+    if key is not None:
+        return df.repartition(target, F.col(key))
     return df.repartition(target)
 
 
@@ -213,7 +222,8 @@ def minhash_signatures(
     # derived shingle count (which Catalyst would push down and re-evaluate
     # the whole minhash expression for — see _min_words_filter)
     return (
-        _ensure_parallelism(_min_words_filter(df, text_col, shingle_n))
+        _ensure_parallelism(_min_words_filter(df, text_col, shingle_n),
+                            id_col)
         .select(F.col(id_col).alias("__id"), F.expr(st).alias("__st"))
         .select(
             "__id",
@@ -253,7 +263,7 @@ def _minhash_signatures_numpy(
     _sig_fn.__annotations__ = {"hs": pd.Series, "return": pd.Series}
     sig_udf = F.pandas_udf(_sig_fn, T.ArrayType(T.LongType()))
 
-    base = _ensure_parallelism(_min_words_filter(df, text_col, shingle_n)).select(
+    base = _ensure_parallelism(_min_words_filter(df, text_col, shingle_n), id_col).select(
         F.col(id_col).alias("__id"),
         F.expr(
             f"transform({_shingles_sql(text_col, shingle_n)}, "
@@ -302,7 +312,8 @@ def minhash_lsh_pairs(
     # intersect. Collision risk within one pair's union (~10³ hashes over a
     # 2⁶⁴ space) is ~0 — the exact-Jaccard oracle stays bit-identical.
     base = (
-        _ensure_parallelism(_min_words_filter(df, text_col, shingle_n))
+        _ensure_parallelism(_min_words_filter(df, text_col, shingle_n),
+                            id_col)
         .select(
             F.col(id_col).alias("__id"),
             F.expr(
@@ -475,7 +486,7 @@ def simhash_pairs(
     if 64 % bands:
         raise ValueError(f"simhash_pairs: bands ({bands}) must divide 64")
     sigs = (
-        _ensure_parallelism(df)
+        _ensure_parallelism(df, id_col)
         .select(F.col(id_col).alias("__id"), simhash_expr(text_col).alias("__sig"))
         .cache()
     )
@@ -841,7 +852,8 @@ def _fingerprint_frame(
         f"b -> xxhash64(b, slice(sg, b * {rows_per_band} + 1, {rows_per_band}))))[0])[0]"
     )
     return (
-        _ensure_parallelism(_min_words_filter(df, text_col, shingle_n))
+        _ensure_parallelism(_min_words_filter(df, text_col, shingle_n),
+                            id_col)
         .select(
             F.col(id_col).alias("__id"),
             F.expr(
