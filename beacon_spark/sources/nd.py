@@ -687,8 +687,14 @@ def read_nd(
     if not tasks:
         # every chunk provably outside the requested coordinate ranges
         return spark.createDataFrame([], spark_schema)
+    # parallelize the task list straight into one-slice-per-task RDD
+    # partitions (capped): a createDataFrame(...).repartition(n) spread
+    # the same rows through a full round-robin Exchange stage — one
+    # shuffle barrier per nd read for a list that is already in driver
+    # memory (guide §2.4: remove shuffles outright; the before-plan
+    # shows Exchange RoundRobinPartitioning feeding MapInArrow)
     tasks_df = spark.createDataFrame(
-        tasks,
+        spark.sparkContext.parallelize(tasks, min(len(tasks), 256)),
         T.StructType(
             [
                 T.StructField("path", T.StringType(), False),
@@ -697,7 +703,7 @@ def read_nd(
                 T.StructField("hi", T.LongType(), False),
             ]
         ),
-    ).repartition(min(len(tasks), 256))
+    )
 
     target_fields = list(sample_schema)
 
