@@ -22,6 +22,18 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def _marker_hits(t: Column, words: list[str]) -> Column:
+    """Total word-boundary hits of ``words`` in one regex pass.
+
+    Equal by construction to summing per-word ``regexp_count`` calls:
+    a ``\\b<w>\\b`` match always spans a whole word (no boundary exists
+    inside a word), whole words are disjoint, and the alternation counts
+    each such word exactly once — so one alternation scan replaces
+    len(words) full scans (each of which materializes a match array via
+    RegExpCount -> size(regexp_extract_all))."""
+    return F.regexp_count(t, F.lit(r"(?i)\b(?:" + "|".join(words) + r")\b"))
+
+
 def token_count_expr(text_col: str = "text") -> Column:
     """Whitespace token count (the whitespace half of the tokenizer; a
     BPE-ish regex count is ``regexp_count(text, pattern)``)."""
@@ -38,16 +50,20 @@ def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     t = F.col(text_col)
     n_tokens = token_count_expr(text_col)
     n_chars = F.length(t)
-    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
-    n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    # translate, not regexp_replace: counting chars in a fixed set needs
+    # no regex engine and no rebuilt string beyond the translate pass
+    # ([.,;:!?] and [A-Z] are literal ASCII sets, so the removed-char
+    # semantics are identical)
+    n_punct = F.length(t) - F.length(F.translate(t, ".,;:!?", ""))
+    n_upper = F.length(t) - F.length(
+        F.translate(t, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "")
+    )
     # word-boundary regexp counts: the old space-split trick missed
     # markers adjacent to punctuation/newlines and shared-space repeats
     # (' the the ' counted 2 of 3), systematically deflating the ratio
     # (?i): sentence-initial markers ('The cat…') count too — the
     # case-sensitive pattern systematically deflated prose ratios
-    stop_hits = sum(
-        F.regexp_count(t, F.lit(rf"(?i)\b{w}\b")) for w in LANG_MARKERS["en"]
-    )
+    stop_hits = _marker_hits(t, LANG_MARKERS["en"])
     mean_word_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
     return df.select(
         F.col(id_col),
@@ -67,8 +83,8 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     t = F.col(text_col)
     scores = {
         # (?i): a doc whose markers are all sentence-initial scored 0
-        lang: sum(F.regexp_count(t, F.lit(rf"(?i)\b{w}\b")) for w in words)
-        for lang, words in LANG_MARKERS.items()
+        # one alternation pass per language (was one pass per word)
+        lang: _marker_hits(t, words) for lang, words in LANG_MARKERS.items()
     }
     best = F.greatest(*scores.values())
     pred = F.lit("und")
@@ -215,7 +231,7 @@ def quality_filter(
     )
     punct = (
         n_chars
-        - F.length(F.regexp_replace(F.col(text_col), r"[.,;:!?]", ""))
+        - F.length(F.translate(F.col(text_col), ".,;:!?", ""))
     ) / F.greatest(n_chars, F.lit(1))
     return df.filter(
         (n_chars >= min_chars)
