@@ -21,6 +21,7 @@ Scale design notes (the point of each choice):
 from __future__ import annotations
 
 import numpy as np
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -28,6 +29,14 @@ from pyspark.sql import types as T
 # Mersenne prime for universal hashing min((a*h+b) mod p). 2^31-1 keeps
 # a*h < 2^62 so the arithmetic never overflows int64 (Spark 4 is ANSI).
 _MERSENNE = (1 << 31) - 1
+
+# Corpus-wide intermediate caches persist SERIALIZED (r14 verdict #2):
+# PySpark's MEMORY_AND_DISK carries deserialized=false, unlike
+# DataFrame.cache()'s MEMORY_AND_DISK_DESER default. The exploded
+# shingle/band-key/span frames are ~k x corpus width — at 100 TB,
+# deserialized on-heap caching of those is a guide §5 spill/GC hazard;
+# serialized columnar batches stay compact and spill to disk cleanly.
+_CACHE_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 
 def _shingles_sql(text_col: str, n: int = 3) -> str:
@@ -96,7 +105,7 @@ def ngram_jaccard_pairs(
     # the hot-shingle aggregate, BOTH sides of the self-join, and the
     # sizes aggregate — uncached it re-runs split+distinct+explode up
     # to 4× over the corpus (release_caches(result) frees it)
-    e = t.select("__id", F.explode("__sh").alias("__s")).cache()
+    e = t.select("__id", F.explode("__sh").alias("__s")).persist(_CACHE_LEVEL)
     if max_shingle_df is not None:
         hot = (
             e.groupBy("__s")
@@ -381,7 +390,8 @@ def minhash_lsh_pairs(
     # the cache fill; both self-join sides and the verifier read the
     # cache, and the explode (pure JVM) re-runs per side instead of
     # being materialized n_bands-wide.
-    base = base.withColumn("__keys", _band_keys(F.col("__hs"))).cache()
+    base = base.withColumn("__keys", _band_keys(F.col("__hs"))).persist(
+        _CACHE_LEVEL)
     stacked = base.select("__id", F.explode("__keys").alias("__bsig"))
 
     cand = (
@@ -488,7 +498,7 @@ def simhash_pairs(
     sigs = (
         _ensure_parallelism(df, id_col)
         .select(F.col(id_col).alias("__id"), simhash_expr(text_col).alias("__sig"))
-        .cache()
+        .persist(_CACHE_LEVEL)
     )
     width = 64 // bands
     chunks = sigs.select(
@@ -776,12 +786,17 @@ def duplicate_spans(
     # end (the before-plan shows two span Generate subtrees over two
     # parquet scans). Same contract as ngram_jaccard's exploded cache:
     # release_caches(result) frees it after consumption.
+    # storage-cost note (ADVICE r14): with by='text' the cache key is the
+    # full n-token window text, ~n x corpus bytes — acceptable for the
+    # oracle mode's small inputs; the 100 TB path is by='hash' (8-byte
+    # keys). The serialized level keeps even the text mode columnar-
+    # compressed and disk-spillable rather than deserialized on-heap.
     spans = base.select(
         "__id",
         F.explode(
             F.transform(F.sequence(F.lit(1), F.col("__npos")), key)
         ).alias("__k"),
-    ).cache()
+    ).persist(_CACHE_LEVEL)
     dup_keys = (
         spans.groupBy("__k")
         .agg(F.count(F.lit(1)).alias("__occ"))
@@ -1126,7 +1141,7 @@ def semdedup(
         # consumed by the sizes aggregate, each mega-cell's sub-trainer,
         # and the final applyInPandas — uncached that is 2+k full
         # embedding-scan passes (release_caches(result) frees it)
-        .cache()
+        .persist(_CACHE_LEVEL)
     )
 
     # mega-cell auto-split: one n_cells-row aggregate finds skewed

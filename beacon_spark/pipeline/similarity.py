@@ -14,6 +14,7 @@ by the bucket fan-out. Exactness is traded per-bucket; the API returns
 from __future__ import annotations
 
 import numpy as np
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -125,7 +126,15 @@ def assign_buckets(df: DataFrame, planes: np.ndarray, vec_col: str | Column) -> 
     Small plane matrix -> pure Catalyst expression (JVM-side, WSCG).
     Large (n_planes*dim > _CODEGEN_LIMIT) -> Arrow-batched pandas UDF:
     planes broadcast once, one (batch x dim)@(dim x planes) BLAS multiply
-    + sign-pack per batch."""
+    + sign-pack per batch.
+
+    API contract (ADVICE r14): on the UDF tier the returned Column is
+    marked non-deterministic (it stops the optimizer evaluating the
+    matmul twice around pushed-down filters — guide §4.4), so it must
+    be PROJECTED first (``withColumn``/``select``) before use in
+    groupBy/join/repartition expressions; composing it directly into
+    grouping keys raises AnalysisException. Every in-repo caller
+    projects."""
     n_planes, dim = planes.shape
     if n_planes * dim <= _CODEGEN_LIMIT:
         return lsh_bucket_expr(vec_col, planes)
@@ -203,7 +212,11 @@ def assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str | Column) ->
 
     Small index -> pure Catalyst expression (no Python in the hot path).
     Large -> pandas UDF: centroids broadcast once, argmax over a single
-    matrix multiply per Arrow batch."""
+    matrix multiply per Arrow batch.
+
+    Same projection contract as :func:`assign_buckets` (ADVICE r14):
+    the UDF tier's Column is non-deterministic-marked — project it via
+    withColumn/select before grouping/joining on it."""
     n_cells, dim = centroids.shape
     if n_cells * dim <= _CODEGEN_LIMIT:
         if not isinstance(vec_col, str):
@@ -342,7 +355,11 @@ def cosine_pairs_lsh(
             (F.col("a.__band") == F.col("b.__band"))
             & (F.col("a.__bucket") == F.col("b.__bucket"))
             & (F.col("a.__id") < F.col("b.__id")))
-    base = base.cache()
+    # serialized persist (r14 verdict #2): the exploded candidate-key
+    # frame is n_bands x corpus rows — PySpark's MEMORY_AND_DISK stores
+    # serialized columnar batches (cache()'s default is the
+    # deserialized _DESER flavor, a guide §5 on-heap GC hazard at scale)
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         base.alias("a")
         .join(base.alias("b"), join_cond("a", "b"))

@@ -30,8 +30,18 @@ def _marker_hits(t: Column, words: list[str]) -> Column:
     inside a word), whole words are disjoint, and the alternation counts
     each such word exactly once — so one alternation scan replaces
     len(words) full scans (each of which materializes a match array via
-    RegExpCount -> size(regexp_extract_all))."""
-    return F.regexp_count(t, F.lit(r"(?i)\b(?:" + "|".join(words) + r")\b"))
+    RegExpCount -> size(regexp_extract_all)).
+
+    Words are regex-escaped (ADVICE r14): a future marker containing a
+    metachar must match literally, not corrupt the whole language's
+    alternation; an empty word would make the alternation match every
+    boundary, so it is rejected outright. (re.escape only backslash-
+    escapes ASCII punctuation, which Java's regex reads identically.)"""
+    import re
+
+    assert words and all(words), f"empty marker word in {words!r}"
+    pat = r"(?i)\b(?:" + "|".join(re.escape(w) for w in words) + r")\b"
+    return F.regexp_count(t, F.lit(pat))
 
 
 def token_count_expr(text_col: str = "text") -> Column:

@@ -42,7 +42,13 @@ def get_spark(
         # vocab mappers' SQL surface) cross the Python boundary as Arrow
         # batches instead of pickled rows (guide §4.3/§9); return types
         # here are declared honestly, so the Arrow-cast coercion
-        # difference is inert (suite + oracle pin every surface)
+        # difference is inert (suite + oracle pin every surface).
+        # DOCUMENTED SESSION-WIDE BEHAVIOR (ADVICE r14): the flag also
+        # switches THIRD-PARTY plain @udf registrations on this session
+        # to Arrow serialization, whose type-mismatch coercion differs
+        # from pickle (Arrow casts/errors where pickle nulls silently —
+        # guide §4.3). External UDFs with sloppy return types should
+        # pass useArrow=False per-udf to opt back out.
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         # let AQE rewrite a sort-merge join to shuffled-hash at runtime
         # when every post-shuffle map output is small (guide §3.1) —

@@ -579,6 +579,26 @@ def split_task_rows(n: int, eff: int, block: int, lead_off: int) -> list[tuple[i
     return [(lo, min(lo + eff, n)) for lo in range(0, n, eff)]
 
 
+def rdd_slice_count(n_tasks: int, parallelism: int) -> int:
+    """RDD slices for the planned task list: one slice per task up to a
+    scale-adaptive cap. The old fixed 256 silently serialized >=4 tasks
+    per slice on clusters past 1024 cores (r14 verdict #1); tasks are
+    cheap driver-side metadata, so the cap only bounds scheduler
+    overhead for scans that plan tens of thousands of tasks."""
+    return min(n_tasks, max(256, parallelism))
+
+
+def interleave_tasks(tasks: list, n_slices: int) -> list:
+    """Round-robin reorder so a contiguous slice split spreads adjacent
+    same-file/same-region tasks (whose decode cost correlates with
+    position) across slices — the straggler-skew guard the removed
+    RoundRobin Exchange used to provide, without the shuffle (ADVICE
+    r14). No-op when every task gets its own slice."""
+    if n_slices >= len(tasks) or n_slices <= 0:
+        return tasks
+    return [t for i in range(n_slices) for t in tasks[i::n_slices]]
+
+
 def read_nd(
     spark,
     fmt: str,
@@ -692,9 +712,14 @@ def read_nd(
     # the same rows through a full round-robin Exchange stage — one
     # shuffle barrier per nd read for a list that is already in driver
     # memory (guide §2.4: remove shuffles outright; the before-plan
-    # shows Exchange RoundRobinPartitioning feeding MapInArrow)
+    # shows Exchange RoundRobinPartitioning feeding MapInArrow).
+    # Slice cap scales with the cluster (r14 verdict #1) and adjacent
+    # tasks interleave across slices (ADVICE r14) — see the helpers.
+    n_slices = rdd_slice_count(
+        len(tasks), spark.sparkContext.defaultParallelism)
+    tasks = interleave_tasks(tasks, n_slices)
     tasks_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(tasks, min(len(tasks), 256)),
+        spark.sparkContext.parallelize(tasks, n_slices),
         T.StructType(
             [
                 T.StructField("path", T.StringType(), False),

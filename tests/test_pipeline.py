@@ -172,6 +172,29 @@ def test_quality_metrics_empty_and_punct(spark):
     assert out[2].n_tokens == 0 and out[2].mean_word_len == 0.0
 
 
+def test_marker_hits_escapes_metachars_and_rejects_empty(spark):
+    """ADVICE r14: a marker word carrying a regex metachar must count
+    literally (not corrupt the whole language's alternation), and an
+    empty marker — which would match every word boundary — is rejected
+    at build time."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from beacon_spark.pipeline.text import _marker_hits
+
+    df = spark.createDataFrame(
+        [(1, "a.b then axb then A.B")], "doc_id long, text string")
+    n = df.select(
+        _marker_hits(F.col("text"), ["a.b"]).alias("n")).first()["n"]
+    # literal 'a.b' twice (case-insensitive); an unescaped '.' would
+    # also swallow 'axb' and read 3
+    assert n == 2
+    with pytest.raises(AssertionError):
+        _marker_hits(F.col("text"), ["the", ""])
+    with pytest.raises(AssertionError):
+        _marker_hits(F.col("text"), [])
+
+
 # ---------------------------------------------------------------- IVF ANN
 
 
