@@ -49,6 +49,115 @@ def cosine_expr(col: str | Column, query: list[float]) -> Column:
     return acc["d"] / (F.sqrt(acc["n"]) * F.lit(qnorm))
 
 
+# Dim threshold above which the corpus-scan cosine runs as a mapInArrow
+# numpy pass instead of the interpreted Catalyst fold. Both costs are
+# ~linear in dim, but with different constants: the interpreted
+# higher-order fold costs ~25ns/element, the Arrow boundary ~15ns/
+# element + ~1.5us/row fixed. Interleaved noop minima at 100k rows
+# (r15, local[32]): dim 64 fold 0.49s vs arrow 0.64s; dim 128 fold
+# 0.62 vs 0.76; dim 256 fold 1.25 vs arrow 0.90 (arrow wins); dim 768
+# fold 3.48 vs arrow 1.54 (2.3x). Crossover sits between 128 and 256 —
+# threshold at the midpoint. The bench's 64-dim sim_topk therefore
+# KEEPS the Catalyst fold (the measured winner at that width).
+_ARROW_COSINE_MIN_DIM = 192
+
+
+def _cosine_scores_arrow(
+    df: DataFrame, query: list[float], vec_col: str, id_col: str
+) -> DataFrame:
+    """(id, cosine-vs-query) via one mapInArrow numpy pass per batch
+    (guide §4.2: batch-vectorize the per-row fold).
+
+    BIT-IDENTICAL to ``cosine_expr`` by construction: dot and self-norm
+    accumulate SEQUENTIALLY over the dimension index — the same
+    left-to-right order as the Catalyst ``aggregate(zip_with(...))``
+    fold — never via pairwise/BLAS summation, so every IEEE-754
+    intermediate matches and ``round(., 4)`` cannot diverge on a
+    knife-edge value (pinned corpus-wide in tests/test_pipeline.py).
+    Null semantics mirror the fold exactly: a null vector, a
+    length != dim vector (zip_with pads with null), or a null ELEMENT
+    all fold to null."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    q = np.asarray([float(x) for x in query], dtype=np.float64)
+    qnorm = float(np.sqrt(np.dot(q, q)))
+    dim = len(q)
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("cosine", T.DoubleType(), True),
+    ])
+
+    def _score(batches):
+        for b in batches:
+            n = b.num_rows
+            ids, vecs = b.column(0), b.column(1)
+            if n == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array([], type=pa.float64())],
+                    names=[id_col, "cosine"])
+                continue
+            offs = vecs.offsets.to_numpy()
+            rect = (vecs.null_count == 0
+                    and vecs.values.null_count == 0
+                    and bool(np.all(np.diff(offs) == dim)))
+            if rect:
+                vals = vecs.values.to_numpy(zero_copy_only=False)
+                A = vals[offs[0]:offs[-1]].reshape(n, dim)
+                d = np.zeros(n, dtype=np.float64)
+                s = np.zeros(n, dtype=np.float64)
+                for j in range(dim):  # sequential: matches the fold
+                    col = A[:, j]
+                    d = d + col * q[j]
+                    s = s + col * col
+                den = np.sqrt(s) * qnorm
+                if bool((den == 0.0).any()):
+                    # ANSI parity: the Catalyst fold RAISES on a
+                    # zero-norm vector (double division by zero errors
+                    # under spark.sql.ansi.enabled) — numpy would
+                    # silently yield NaN
+                    raise ArithmeticError(
+                        "[DIVIDE_BY_ZERO] zero-norm vector in cosine "
+                        "(matches the ANSI Catalyst-fold behavior)")
+                cos = pa.array(d / den, type=pa.float64())
+            else:
+                # rare path (null/ragged rows or null elements): per-row
+                # Python-float fold — the same left-to-right IEEE double
+                # ops, so still bit-identical; null-degrading like the
+                # Catalyst tier
+                out: list[float | None] = []
+                for i in range(n):
+                    v = vecs[i].as_py()
+                    if v is None or len(v) != dim or any(
+                            x is None for x in v):
+                        out.append(None)
+                        continue
+                    d0 = s0 = 0.0
+                    for j in range(dim):
+                        x = v[j]
+                        d0 = d0 + x * q[j]
+                        s0 = s0 + x * x
+                    den0 = float(np.sqrt(s0)) * qnorm
+                    if den0 == 0.0:
+                        raise ArithmeticError(
+                            "[DIVIDE_BY_ZERO] zero-norm vector in "
+                            "cosine (ANSI Catalyst-fold parity)")
+                    out.append(d0 / den0)
+                cos = pa.array(out, type=pa.float64())
+            yield pa.RecordBatch.from_arrays(
+                [ids, cos], names=[id_col, "cosine"])
+
+    # cast to array<double> in the JVM (identical float->double widening
+    # to the Catalyst tier); select ONLY the two needed columns so the
+    # opaque map never defeats scan pruning (guide §4.1)
+    return (
+        df.select(F.col(id_col),
+                  (F.col(vec_col) if isinstance(vec_col, Column)
+                   else F.col(vec_col)).cast("array<double>").alias("__v"))
+        .mapInArrow(_score, out_schema)
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query: list[float],
@@ -58,12 +167,23 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: projection + TakeOrdered (no full sort, no
     shuffle of the data — only k rows per partition reach the driver-side
-    merge). Deterministic tie-break on id."""
-    return (
-        df.select(
+    merge). Deterministic tie-break on id.
+
+    Tier-guarded (r15): at ``dim >= _ARROW_COSINE_MIN_DIM`` the corpus
+    scan scores through one mapInArrow numpy pass per batch instead of
+    the interpreted O(dim)-per-row Catalyst fold; the two tiers are
+    bit-identical (sequential accumulation — see _cosine_scores_arrow),
+    so results never depend on the tier."""
+    if len(query) >= _ARROW_COSINE_MIN_DIM:
+        scored = _cosine_scores_arrow(df, query, vec_col, id_col).select(
+            F.col(id_col), F.round(F.col("cosine"), 4).alias("cosine"))
+    else:
+        scored = df.select(
             F.col(id_col),
             F.round(cosine_expr(vec_col, query), 4).alias("cosine"),
         )
+    return (
+        scored
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )

@@ -195,6 +195,110 @@ def test_marker_hits_escapes_metachars_and_rejects_empty(spark):
         _marker_hits(F.col("text"), [])
 
 
+def test_arrow_cosine_bit_identical_to_catalyst_fold(spark, sf_dir):
+    """The r15 mapInArrow cosine tier must be BIT-identical (unrounded)
+    to the Catalyst aggregate(zip_with(...)) fold — sequential
+    accumulation, same IEEE-754 op order — on the full corpus, so the
+    round(.,4) oracle hash can never diverge on a knife-edge value."""
+    from pyspark.sql import functions as F
+
+    from beacon_spark.pipeline.similarity import (
+        _cosine_scores_arrow,
+        cosine_expr,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    old = {r[0]: r[1] for r in emb.select(
+        "vec_id", cosine_expr("embedding", query)).collect()}
+    new = {r[0]: r[1] for r in _cosine_scores_arrow(
+        emb, query, "embedding", "vec_id").collect()}
+    assert old == new  # exact float equality, full corpus, unrounded
+
+
+def test_arrow_cosine_null_semantics_match_fold(spark):
+    """Null vector / ragged length / null element all degrade to null in
+    BOTH tiers; NaN data propagates as NaN in both."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from beacon_spark.pipeline.similarity import (
+        _cosine_scores_arrow,
+        cosine_expr,
+    )
+
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, None),                 # null vector
+        (3, [1.0, 2.0]),           # too short (zip_with pads -> null)
+        (4, [1.0, 2.0, 3.0, 4.0]),  # too long -> null
+        (5, [1.0, None, 3.0]),     # null element -> null
+        (6, [float("nan"), 2.0, 3.0]),  # NaN data -> NaN
+        (7, [0.5, -1.5, 2.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = [0.25, -0.5, 1.0]
+    old = {r[0]: r[1] for r in df.select(
+        "vec_id", cosine_expr("embedding", query)).collect()}
+    new = {r[0]: r[1] for r in _cosine_scores_arrow(
+        df, query, "embedding", "vec_id").collect()}
+    assert set(old) == set(new)
+    for k in old:
+        a, b = old[k], new[k]
+        if a is None or b is None:
+            assert a is None and b is None, (k, a, b)
+        elif math.isnan(a) or math.isnan(b):
+            assert math.isnan(a) and math.isnan(b), (k, a, b)
+        else:
+            assert a == b, (k, a, b)
+
+
+def test_arrow_cosine_zero_norm_raises_like_ansi_fold(spark):
+    """Under ANSI (Spark 4 default) the Catalyst fold RAISES on a
+    zero-norm vector (double division by zero); the Arrow tier must
+    fail too, not silently yield NaN."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from beacon_spark.pipeline.similarity import (
+        _cosine_scores_arrow,
+        cosine_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>")
+    query = [1.0, 0.0, 0.0]
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        df.select(cosine_expr("embedding", query)).collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        _cosine_scores_arrow(df, query, "embedding", "vec_id").collect()
+
+
+def test_brute_force_topk_tier_threshold_consistency(spark):
+    """Below the Arrow-dim threshold the Catalyst tier runs; both tiers
+    return the same top-k on the same data either way."""
+    import numpy as np
+
+    from beacon_spark.pipeline import similarity as sim
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(24)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = [float(x) for x in rng.randn(24)]
+    orig = sim._ARROW_COSINE_MIN_DIM
+    try:
+        sim._ARROW_COSINE_MIN_DIM = 1  # force the Arrow tier
+        got_arrow = sim.brute_force_topk(df, query, k=5).collect()
+        sim._ARROW_COSINE_MIN_DIM = 1000  # force the Catalyst tier
+        got_fold = sim.brute_force_topk(df, query, k=5).collect()
+    finally:
+        sim._ARROW_COSINE_MIN_DIM = orig
+    assert [(r[0], r[1]) for r in got_arrow] == [
+        (r[0], r[1]) for r in got_fold]
+
+
 # ---------------------------------------------------------------- IVF ANN
 
 
