@@ -196,6 +196,29 @@ def test_sql_projection_narrows_scan(nd_engine, zarr_store):
     assert "v#" in scan[0] and "t#" in scan[0]
 
 
+def test_sql_view_schema_matches_worker_inference(nd_engine, zarr_store):
+    """r15: the engine hands the beacon_nd reader a DRIVER-computed
+    schema (skipping the plan-time Python worker's schema() round
+    trip). It must be byte-equal to what worker-side inference yields —
+    BeaconNDDataSource.schema() run in-process IS that code path."""
+    import json as _json
+
+    from beacon_spark.sources.nd_datasource import BeaconNDDataSource
+
+    df = nd_engine.sql(
+        f"SELECT t, v FROM read_zarr('{zarr_store}') WHERE t >= 10")
+    inferred = BeaconNDDataSource(
+        {"fmt": "zarr", "paths": _json.dumps([zarr_store]),
+         "columns": _json.dumps(["t", "v"])}).schema()
+    # the view schema (before projection) equals the inferred one
+    view_schema = nd_engine.sql(
+        f"SELECT * FROM (SELECT t, v FROM read_zarr('{zarr_store}'))").schema
+    assert [(f.name, f.dataType) for f in view_schema] == [
+        (f.name, f.dataType) for f in inferred]
+    assert [r.t for r in df.orderBy("t").collect()] == [
+        float(x) for x in range(10, 40)]
+
+
 def test_sql_star_fails_open(nd_engine, zarr_store):
     """SELECT * (and any star shape) disables projection — every
     variable must survive."""
