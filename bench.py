@@ -181,30 +181,39 @@ def _cpu_scaling(spark, sf_dir: str, cpus: int) -> dict:
 
     shapes: dict[str, float] = {}
 
-    # 1) pure-JVM codegen hash chain: fixed 6M md5 rounds spread over
-    #    4*cpus tasks — embarrassingly parallel, zero shuffle
+    # 1) pure-JVM codegen hash chain: fixed 192M md5 rounds (6M rows x
+    #    32-deep nesting amortizes row overhead) spread over 4*cpus
+    #    tasks — embarrassingly parallel, zero shuffle. Sized so the
+    #    work is genuinely compute-bound (~60 CPU-seconds): smaller
+    #    probes measured overhead-bound (6M single-md5: 0.65s at 32
+    #    cores vs 0.80s at 8 — useless as a signal; 48M: 1.7 vs 2.4)
     spark.sparkContext.setJobDescription("cpu_scaling: md5_chain")
+    col = F.col("id").cast("string")
+    for _ in range(32):
+        col = F.md5(col)
     t0 = time.perf_counter()
     (spark.range(0, 6_000_000, 1, max(4 * cpus, 32))
-     .select(F.md5(F.concat(F.col("id").cast("string"),
-                            F.md5(F.col("id").cast("string")))).alias("h"))
+     .select(col.alias("h"))
      .write.format("noop").mode("overwrite").save())
-    shapes["md5_chain_6m"] = round(time.perf_counter() - t0, 3)
+    shapes["md5_chain_192m"] = round(time.perf_counter() - t0, 3)
 
-    # 2) a real operator at fixed 10x work: quality_metrics (pure map
-    #    stage, regex+translate per doc) over the sf docs replicated 10x,
-    #    hash-spread so the map stage can use every core
+    # 2) a real operator at fixed 80x work: quality_metrics (pure map
+    #    stage, regex+translate per doc) over the sf docs replicated 80x.
+    #    The narrow base spreads FIRST (the one-file scan is serial —
+    #    exploding before the exchange put the 80x replication behind an
+    #    Amdahl bottleneck and compressed the 8-vs-32-core ratio to
+    #    1.75x); the explode runs post-shuffle in every task.
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select("doc_id", "text"))
+            .select("doc_id", "text")
+            .repartition(max(4 * cpus, 32), F.col("doc_id")))
     big = (docs.withColumn(
-               "__r", F.explode(F.array(*[F.lit(i) for i in range(10)])))
-           .repartition(max(4 * cpus, 32), F.col("doc_id"), F.col("__r"))
-           .select((F.col("doc_id") * 10 + F.col("__r")).alias("doc_id"),
+               "__r", F.explode(F.array(*[F.lit(i) for i in range(80)])))
+           .select((F.col("doc_id") * 80 + F.col("__r")).alias("doc_id"),
                    "text"))
-    spark.sparkContext.setJobDescription("cpu_scaling: text_quality_10x")
+    spark.sparkContext.setJobDescription("cpu_scaling: text_quality_80x")
     t0 = time.perf_counter()
     (quality_metrics(big).write.format("noop").mode("overwrite").save())
-    shapes["text_quality_10x"] = round(time.perf_counter() - t0, 3)
+    shapes["text_quality_80x"] = round(time.perf_counter() - t0, 3)
     spark.sparkContext.setJobDescription(None)
     return {"cpus": cpus, "shapes": shapes,
             "total": round(sum(shapes.values()), 3)}
