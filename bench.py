@@ -282,6 +282,7 @@ def _run_ab(against: str) -> dict:
         sides = {"prior": wt, "head": repo}
         results: dict[str, dict[str, float]] = {s: {} for s in sides}
         calib: dict[str, dict] = {}
+        pass_totals: dict[str, dict[int, float]] = {s: {} for s in sides}
 
         def _one_pass(npass: int) -> str | None:
             for label, d in sides.items():
@@ -291,6 +292,7 @@ def _run_ab(against: str) -> dict:
                 for q, v in r["queries"].items():
                     prev = results[label].get(q)
                     results[label][q] = v if prev is None else min(prev, v)
+                pass_totals[label][npass] = sum(r["queries"].values())
                 if "calibration" in r:
                     c = calib.setdefault(label, r["calibration"])
                     for k in ("python_sec", "spark_sec"):
@@ -322,6 +324,23 @@ def _run_ab(against: str) -> dict:
             _one_pass(3)  # best-effort; mins only improve
         totals = {s: round(sum(results[s].values()), 3) for s in sides}
         div = round(_divergence(), 3)
+        # paired-sample estimator (additions-only, r14 "not yet" #5):
+        # each alternation yields one head/prior ratio from totals
+        # measured minutes apart under the SAME load; the median of
+        # those is robust to a single skewed pass in a way the
+        # min-of-mins ratio_total is not. Reported alongside, not
+        # replacing, ratio_total.
+        paired = [
+            pass_totals["head"][p] / pass_totals["prior"][p]
+            for p in sorted(pass_totals["head"])
+            if pass_totals["prior"].get(p)
+        ]
+        paired.sort()
+        mid = len(paired) // 2
+        ratio_paired = (
+            round((paired[mid] if len(paired) % 2 else
+                   (paired[mid - 1] + paired[mid]) / 2), 3)
+            if paired else None)
         return {
             "against": sha,
             "queries": AB_QUERIES,
@@ -333,6 +352,7 @@ def _run_ab(against: str) -> dict:
             "load_skewed": div > 1.2,
             "reran_for_skew": reran,
             "ratio_total": round(totals["head"] / totals["prior"], 3),
+            "ratio_paired_median": ratio_paired,
             "ratio": {
                 q: round(results["head"][q] / results["prior"][q], 2)
                 for q in results["head"] if results["prior"].get(q)

@@ -42,6 +42,17 @@ def test_ab_clean_run_carries_no_skew_flag(monkeypatch):
     assert len(passes) == 4, passes
 
 
+def test_ab_reports_paired_ratio_median(monkeypatch):
+    """r15: each alternation contributes one head/prior totals ratio;
+    the median is reported alongside ratio_total (robust to one skewed
+    pass). With constant fake sides it reads exactly 1.0."""
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "_run_side", _fake_side({}, []))
+    out = bench._run_ab("HEAD")
+    assert out["ratio_paired_median"] == 1.0
+    assert out["ratio_total"] == 1.0
+
+
 def test_ab_loaded_run_reruns_and_flags(monkeypatch):
     bench = _load_bench()
     passes: list[str] = []
